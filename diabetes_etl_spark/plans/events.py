@@ -1,0 +1,278 @@
+"""Event-time query plans: tumbling/sliding/session windows, as-of join,
+and Structured Streaming variants (SURVEY.md §2.8 + extensions §7.5).
+
+The batch window queries have exact DuckDB oracles (tumbling =
+date_trunc; sliding = offset expansion; session = gaps-and-islands).
+The streaming variants run the same logical plans through real
+Structured Streaming with availableNow, checked rows-only by the
+driver and more deeply in tests/test_streaming.py.
+
+Session semantics: a new session starts when the gap since the previous
+event is >= the 30-minute timeout — matching Spark's end-exclusive
+``session_window`` so the native operator and the SQL formulation agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.functions.numeric import dec_sum, sql_dec_sum
+from diabetes_etl_spark.operators.asof import asof_join
+from diabetes_etl_spark.plans.registry import register
+from diabetes_etl_spark.sources.tables import load_events_stream, load_table
+from diabetes_etl_spark.streaming.ingest import stream_snapshot
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_DUCK_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '{_DUCK_FMT}') AS hour_start,
+  event_type, COUNT(*) AS n_events,
+  {sql_dec_sum("value", 2)} AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    doc="Tumbling 1-hour event-time windows (batch form of the streaming "
+    "windowed agg; Spark window() aligns to the epoch = date_trunc).",
+    tags=("events", "window-time"),
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum(F.col("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+@register(
+    "events_sliding_windows",
+    oracle=f"""
+WITH base AS (
+  SELECT value,
+    CAST(to_timestamp(900 * CAST(floor(epoch(ts) / 900) AS BIGINT)) AS TIMESTAMP) AS slot
+  FROM events
+), expanded AS (
+  SELECT slot - (k * INTERVAL 15 MINUTE) AS window_start, value
+  FROM base, (VALUES (0), (1), (2), (3)) off(k)
+)
+SELECT strftime(window_start, '{_DUCK_FMT}') AS window_start,
+  COUNT(*) AS n_events,
+  {sql_dec_sum("value", 2)} AS total_value
+FROM expanded
+GROUP BY 1
+ORDER BY 1
+""",
+    doc="Sliding windows (1h length, 15min slide): each event lands in 4 "
+    "overlapping windows; oracle expands the same 4 offsets explicitly.",
+    tags=("events", "window-time"),
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum(F.col("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+_SESSION_ORACLE = f"""
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+  strftime(MIN(ts), '{_DUCK_FMT}') AS session_start,
+  {sql_dec_sum("value", 2)} AS total_value
+FROM s
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+@register(
+    "events_sessionize_sql",
+    oracle=_SESSION_ORACLE,
+    doc="Batch sessionization via gaps-and-islands (lag + running sum), "
+    "30-minute inactivity timeout.",
+    tags=("events", "session"),
+)
+def events_sessionize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    # Same logical SQL as the oracle, with Spark's date_format in place
+    # of DuckDB's strftime.
+    return spark.sql(
+        _SESSION_ORACLE.replace(
+            f"strftime(MIN(ts), '{_DUCK_FMT}')", f"date_format(MIN(ts), '{_TS_FMT}')"
+        )
+    )
+
+
+@register(
+    "events_session_native",
+    oracle=f"""
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM g
+)
+SELECT user_id,
+  strftime(MIN(ts), '{_DUCK_FMT}') AS session_start,
+  COUNT(*) AS n_events,
+  {sql_dec_sum("value", 2)} AS total_value
+FROM s
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_start
+""",
+    doc="Native session_window operator (30-minute gap); oracle is the "
+    "equivalent gaps-and-islands SQL.",
+    tags=("events", "session"),
+)
+def events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum(F.col("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _TS_FMT).alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "asof_purchase_last_click",
+    oracle=f"""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, p.user_id,
+  strftime(p.ts, '{_DUCK_FMT}') AS purchase_ts,
+  strftime(c.ts, '{_DUCK_FMT}') AS last_click_ts,
+  c.value AS last_click_value
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+""",
+    doc="As-of join: for each purchase, the user's most recent click at or "
+    "before it (operators/asof.py union+window formulation; oracle is "
+    "DuckDB's native ASOF LEFT JOIN).",
+    tags=("events", "asof", "join"),
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols={"ts": "click_ts", "value": "last_click_value"},
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+        F.date_format("click_ts", _TS_FMT).alias("last_click_ts"),
+        "last_click_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming variants — real readStream plans driven to
+# completion with availableNow.  Rows-only in the driver gate (streaming
+# is not SQL-expressible); exactly-once and watermark behavior asserted
+# in tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_events_stream(spark, sf_dir)
+
+
+@register(
+    "stream_tumbling_hourly",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '{_DUCK_FMT}') AS hour_start,
+  event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Streaming tumbling-window count with a 1-hour watermark, driven "
+    "by availableNow through a real readStream source; on bounded input "
+    "the complete-mode result equals the batch oracle.",
+    tags=("streaming", "window-time"),
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    snap = stream_snapshot(spark, agg, output_mode="complete")
+    return snap.select(
+        F.date_format(F.col("w.start"), _TS_FMT).alias("hour_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+@register(
+    "stream_ingest_events",
+    oracle="SELECT COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS n_ids FROM events",
+    doc="Exactly-once incremental file ingest (availableNow + checkpoint): "
+    "ingests the events parquet through a streaming source and reports "
+    "row/id counts (reference Autoloader analogue, pipeline:57-74).",
+    tags=("streaming", "ingest"),
+)
+def stream_ingest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snap = stream_snapshot(spark, _events_stream(spark, sf_dir))
+    return snap.agg(
+        F.count("*").alias("n_rows"), F.countDistinct("event_id").alias("n_ids")
+    )

@@ -1,0 +1,937 @@
+"""Core relational query plans (SURVEY.md §2.1–§2.7) over the TPC-H-ish
+fixtures, each with a DuckDB oracle twin.
+
+These are the library-coverage queries: the reference pipeline itself is
+join-free single-table (SURVEY §2.4), but the rebuild ships the full
+relational operator family, exercised here on the star schema
+(FIXTURES.md §C).  Scale notes are inline per query — the plans are
+written the way you'd want them on a 1000-executor cluster (pushed-down
+filters, broadcast dims, partial aggregation, no driver collects).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from diabetes_etl_spark.functions.numeric import (
+    dec_avg,
+    dec_cast,
+    dec_sum,
+    sql_dec_avg,
+    sql_dec_cast,
+    sql_dec_sum,
+)
+from diabetes_etl_spark.plans.registry import register
+from diabetes_etl_spark.sources.tables import load_table, register_views
+
+
+def _sql_query(sql: str, tables: tuple[str, ...]):
+    """A query whose Spark plan IS the shared ANSI SQL text (spark.sql).
+
+    Catalyst produces the same plan from SQL as from the DataFrame API;
+    using one SQL string for both engines pins query/oracle parity.
+    """
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, tables)
+        return spark.sql(sql)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Scan + filter + group-by aggregate (the flagship: TPC-H Q1 shape).
+# Scale: single pass over the fact table; partial (map-side) aggregation on
+# 6 tiny groups means the shuffle carries ~6 rows per task. Filter and the
+# 7-column projection push into the parquet scan.
+# ---------------------------------------------------------------------------
+
+_Q1_CUTOFF = "1999-12-01"
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+  {sql_dec_sum("l_quantity", 2)} AS sum_qty,
+  {sql_dec_sum("l_extendedprice", 2)} AS sum_base_price,
+  {sql_dec_sum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+  {sql_dec_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+  {sql_dec_avg("l_quantity", 2)} AS avg_qty,
+  {sql_dec_avg("l_extendedprice", 2)} AS avg_price,
+  {sql_dec_avg("l_discount", 6)} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 shape: filtered scan + grouped multi-aggregate "
+    "(reference analogue: gold grouped aggs, diabetes_etl_pipeline.py:283-295).",
+    tags=("agg", "scan", "flagship"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+            dec_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dec_sum(disc_price, 4).alias("sum_disc_price"),
+            dec_sum(charge, 6).alias("sum_charge"),
+            dec_avg(F.col("l_quantity"), 2).alias("avg_qty"),
+            dec_avg(F.col("l_extendedprice"), 2).alias("avg_price"),
+            dec_avg(F.col("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3-way join + top-k (TPC-H Q3 shape).
+# Scale: customer filter prunes before the join; orders⋈lineitem is the big
+# shuffle join on the natural key; deterministic top-k via exact revenue and
+# a unique tiebreak. No driver-side sorting — limit is pushed to a TakeOrdered.
+# ---------------------------------------------------------------------------
+
+_Q3_DATE = "1998-01-01"
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  {sql_dec_sum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{_Q3_DATE}'
+  AND l_shipdate > TIMESTAMP '{_Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3 shape: selective dim filter → fact joins → grouped agg → "
+    "deterministic top-10.",
+    tags=("join", "agg", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_Q3_DATE).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp")
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6-way snowflake join (TPC-H Q5 shape).
+# Scale: region/nation are broadcast (tiny dims — no shuffle); the
+# customer/orders/lineitem/supplier chain shuffles on its keys; AQE picks
+# broadcast for supplier when it fits.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+SELECT n_name,
+  {sql_dec_sum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC
+""",
+    doc="TPC-H Q5 shape: snowflake join with broadcast dimensions.",
+    tags=("join", "agg", "broadcast"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter / CASE bucketing / string & date scalar functions
+# (reference analogue: silver feature engineering, pipeline:185-257).
+# Scale: narrow per-row map, fully inside whole-stage codegen; filter and
+# column pruning reach the parquet scan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "proj_filter_case_lineitem",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber,
+  CASE WHEN l_quantity < 10 THEN 'LOW'
+       WHEN l_quantity < 25 THEN 'MID'
+       ELSE 'HIGH' END AS qty_band,
+  {sql_dec_cast("l_extendedprice * (1 - l_discount)", 4)} AS net_price,
+  l_returnflag || '/' || l_linestatus AS flag_status,
+  CAST(l_shipdate AS DATE) AS ship_date
+FROM lineitem
+WHERE l_quantity > 5 AND l_returnflag <> 'A'
+""",
+    doc="Per-row projection: CASE bucketing, arithmetic with deterministic "
+    "rounding, concat, date cast (reference: pipeline:185-257).",
+    tags=("project", "filter", "case"),
+)
+def proj_filter_case_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.filter((q > 5) & (F.col("l_returnflag") != "A")).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(q < 10, "LOW").when(q < 25, "MID").otherwise("HIGH").alias("qty_band"),
+        # scale 4: the product of two 2-decimal values has exactly 4
+        # decimals, so the cast never hits a rounding tie (engines
+        # disagree on tie-break for doubles).
+        dec_cast(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+        F.concat(F.col("l_returnflag"), F.lit("/"), F.col("l_linestatus")).alias("flag_status"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global (no-key) aggregate with conditional sums — the reference's
+# executive-summary / validation-summary shape (pipeline:359-366,645-653).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_global_kpis",
+    oracle=f"""
+SELECT COUNT(*) AS total_rows,
+  COUNT(DISTINCT l_orderkey) AS n_orders,
+  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_rows,
+  CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS discounted_rows,
+  {sql_dec_avg("l_quantity", 2)} AS avg_qty,
+  {sql_dec_sum("l_extendedprice * (1 - l_discount)", 4)} AS total_revenue,
+  CAST(MIN(l_shipdate) AS DATE) AS first_ship_date,
+  CAST(MAX(l_shipdate) AS DATE) AS last_ship_date
+FROM lineitem
+""",
+    doc="Single-row global KPIs: count, countDistinct, conditional sums "
+    "(count_if), min/max (reference: pipeline:359-366,645-653).",
+    tags=("agg", "global"),
+)
+def agg_global_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("total_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("returned_rows"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("discounted_rows"),
+        dec_avg(F.col("l_quantity"), 2).alias("avg_qty"),
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("total_revenue"),
+        F.min("l_shipdate").cast("date").alias("first_ship_date"),
+        F.max("l_shipdate").cast("date").alias("last_ship_date"),
+    )
+
+
+@register(
+    "agg_grouped_orders",
+    oracle=f"""
+SELECT o_orderpriority,
+  COUNT(*) AS n_orders,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  {sql_dec_sum("o_totalprice", 2)} AS total_price,
+  {sql_dec_avg("o_totalprice", 2)} AS avg_price,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="Grouped aggregate with exact countDistinct + conditional sum "
+    "(reference: pipeline:283-295,318-329).",
+    tags=("agg",),
+)
+def agg_grouped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            dec_sum(F.col("o_totalprice"), 2).alias("total_price"),
+            dec_avg(F.col("o_totalprice"), 2).alias("avg_price"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+                "finished_orders"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantiles: exact median/percentile for oracle parity (reference uses
+# percentile_approx for imputation, pipeline:123-155; the approx sketch is
+# the 100 TB scale path and is exercised without an oracle below).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantiles_by_flag",
+    oracle="""
+SELECT l_returnflag,
+  ROUND(median(l_quantity), 6) AS med_qty,
+  ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+  ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75_qty,
+  ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="Exact median / interpolated percentiles per group "
+    "(reference: pipeline:123-155 median imputation).",
+    tags=("agg", "quantile"),
+)
+def quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_quantity"), 6).alias("med_qty"),
+            F.round(F.percentile("l_quantity", 0.25), 6).alias("p25_qty"),
+            F.round(F.percentile("l_quantity", 0.75), 6).alias("p75_qty"),
+            F.round(F.percentile("l_extendedprice", 0.9), 6).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "quantile_sketch_by_flag",
+    oracle=None,  # approx sketch is engine-specific; rows-only check.
+    doc="percentile_approx / approx_count_distinct: the mergeable-sketch "
+    "scale path for 100 TB (no oracle — sketches are engine-specific; "
+    "bounded-error property is asserted in tests/test_operators.py).",
+    tags=("agg", "quantile", "sketch"),
+)
+def quantile_sketch_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_quantity", 0.5, 10000).alias("approx_med_qty"),
+            F.percentile_approx("l_extendedprice", 0.9, 10000).alias("approx_p90_price"),
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "corr_stddev_by_flag",
+    oracle="""
+SELECT l_returnflag,
+  ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+  ROUND(stddev_samp(l_discount), 6) AS discount_stddev,
+  ROUND(var_samp(l_quantity), 6) AS qty_variance
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="Pearson correlation + sample stddev/variance per group "
+    "(reference: pipeline:323,608-611).",
+    tags=("agg", "stats"),
+)
+def corr_stddev_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.stddev("l_discount"), 6).alias("discount_stddev"),
+            F.round(F.var_samp("l_quantity"), 6).alias("qty_variance"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort by CASE expression — the dashboard's custom categorical ordering
+# (reference: Diabetes-Dashboard.lvdash.json:36-43).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_case_custom_order",
+    oracle=f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+  {sql_dec_sum("o_totalprice", 2)} AS total_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY CASE o_orderpriority
+  WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 WHEN '3-MEDIUM' THEN 3
+  WHEN '5-LOW' THEN 4 ELSE 5 END
+""",
+    doc="ORDER BY simple-CASE categorical order (reference: dashboard D:36-43).",
+    tags=("sort", "case"),
+)
+def sort_case_custom_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy(
+            F.expr(
+                "CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 "
+                "WHEN '3-MEDIUM' THEN 3 WHEN '5-LOW' THEN 4 ELSE 5 END"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Long-format KPI unpivot — the dashboard's UNION-ALL KPI dataset
+# (reference: D:6-21). Spark side uses stack() = one scan instead of the
+# oracle's 4-branch UNION ALL over a CTE (semantically identical result);
+# at 100 TB re-scanning the fact table per KPI branch would be the bug.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kpi_long_unpivot",
+    oracle=f"""
+WITH k AS (
+  SELECT COUNT(*) AS total_rows,
+    {sql_dec_sum("l_extendedprice * (1 - l_discount)", 4)} AS total_revenue,
+    {sql_dec_avg("l_discount", 6)} AS avg_discount,
+    COUNT(DISTINCT l_orderkey) AS n_orders
+  FROM lineitem
+)
+SELECT 'total_rows' AS metric_name, CAST(total_rows AS DOUBLE) AS metric_value FROM k
+UNION ALL SELECT 'total_revenue', total_revenue FROM k
+UNION ALL SELECT 'avg_discount', avg_discount FROM k
+UNION ALL SELECT 'n_orders', CAST(n_orders AS DOUBLE) FROM k
+""",
+    doc="Wide 1-row KPI aggregate unpivoted to (metric_name, metric_value) "
+    "long format (reference: dashboard D:6-21).",
+    tags=("unpivot", "agg", "setop"),
+)
+def kpi_long_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.agg(
+        F.count("*").alias("total_rows"),
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "total_revenue"
+        ),
+        dec_avg(F.col("l_discount"), 6).alias("avg_discount"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+    return base.select(
+        F.expr(
+            "stack(4, "
+            "'total_rows', CAST(total_rows AS DOUBLE), "
+            "'total_revenue', total_revenue, "
+            "'avg_discount', avg_discount, "
+            "'n_orders', CAST(n_orders AS DOUBLE)) AS (metric_name, metric_value)"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_share_of_total",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+  ROUND(COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS segment_share
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    doc="Unbounded window SUM() OVER () for share-of-total "
+    "(reference: dashboard D:130).",
+    tags=("window", "agg"),
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_mktsegment").agg(F.count("*").alias("n_customers"))
+    return g.select(
+        "c_mktsegment",
+        "n_customers",
+        F.round(
+            F.col("n_customers") / F.sum("n_customers").over(Window.partitionBy()), 6
+        ).alias("segment_share"),
+    ).orderBy("c_mktsegment")
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+SELECT o_orderstatus, o_orderkey, o_totalprice, rn AS price_rank
+FROM (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t WHERE rn <= 3
+""",
+    doc="Top-k per group via ranking window (library operator; no reference "
+    "analogue — SURVEY §2.6).",
+    tags=("window", "topk"),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("price_rank", F.row_number().over(w))
+        .filter(F.col("price_rank") <= 3)
+        .select("o_orderstatus", "o_orderkey", "o_totalprice", "price_rank")
+    )
+
+
+@register(
+    "window_running_lead_lag",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+  CAST(lag(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS prev_price,
+  CAST(lead(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS next_price,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS running_total,
+  row_number() OVER w AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    doc="lead/lag + running sum with explicit ROWS frame (library operator, "
+    "SURVEY §2.5; decimal-exact so the running sum is order-stable).",
+    tags=("window",),
+)
+def window_running_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag(dec).over(w).cast("double").alias("prev_price"),
+        F.lead(dec).over(w).cast("double").alias("next_price"),
+        F.sum(dec)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery / CTE / HAVING — SQL-layer forms (reference: D:57, D:105-135).
+# Shared SQL string = identical semantics in Spark SQL and DuckDB.
+# ---------------------------------------------------------------------------
+
+_SCALAR_SUBQ_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+  ROUND(COUNT(*) * CAST(100 AS DOUBLE) / (SELECT COUNT(*) FROM customer), 6) AS pct_of_all
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+register(
+    "scalar_subquery_share",
+    oracle=_SCALAR_SUBQ_SQL,
+    doc="Uncorrelated scalar subquery as divisor (reference: dashboard D:57).",
+    tags=("subquery", "sql"),
+)(_sql_query(_SCALAR_SUBQ_SQL, ("customer",)))
+
+
+_CTE_SQL = f"""
+WITH banded AS (
+  SELECT CASE WHEN o_totalprice < 50000 THEN 'P1_SMALL'
+              WHEN o_totalprice < 150000 THEN 'P2_MEDIUM'
+              ELSE 'P3_LARGE' END AS price_band,
+         o_orderstatus, o_totalprice
+  FROM orders
+)
+SELECT price_band, o_orderstatus, COUNT(*) AS n_orders,
+  {sql_dec_sum("o_totalprice", 2)} AS total_price
+FROM banded
+GROUP BY price_band, o_orderstatus
+ORDER BY price_band, o_orderstatus
+"""
+
+register(
+    "cte_price_bands",
+    oracle=_CTE_SQL,
+    doc="CTE + CASE bucketing + grouped agg (reference: dashboard D:105-135).",
+    tags=("cte", "case", "sql"),
+)(_sql_query(_CTE_SQL, ("orders",)))
+
+
+_HAVING_SQL = f"""
+SELECT o_custkey, COUNT(*) AS n_orders,
+  {sql_dec_sum("o_totalprice", 2)} AS total_spent
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 15
+ORDER BY o_custkey
+"""
+
+register(
+    "having_frequent_customers",
+    oracle=_HAVING_SQL,
+    doc="HAVING filter over grouped aggregate (library coverage, FIXTURES §C).",
+    tags=("agg", "having", "sql"),
+)(_sql_query(_HAVING_SQL, ("orders",)))
+
+
+# ---------------------------------------------------------------------------
+# Joins: broadcast dim chain, semi, anti, outer.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_broadcast_dims",
+    oracle=f"""
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+  {sql_dec_sum("c_acctbal", 2)} AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+""",
+    doc="Fact ⋈ broadcast dims (nation, region): no shuffle for the dim side.",
+    tags=("join", "broadcast"),
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dec_sum(F.col("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "join_semi_active_customers",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    doc="Left-semi join (EXISTS): customers having at least one order.",
+    tags=("join", "semi"),
+)
+def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_anti_inactive_customers",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    doc="Left-anti join (NOT EXISTS): customers with no orders.",
+    tags=("join", "anti"),
+)
+def join_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "join_outer_order_counts",
+    oracle=f"""
+SELECT c_custkey, c_mktsegment,
+  COUNT(o_orderkey) AS n_orders,
+  COALESCE({sql_dec_sum("o_totalprice", 2)}, 0.0) AS total_spent
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+""",
+    doc="Left-outer join preserving zero-order customers + null-safe agg.",
+    tags=("join", "outer"),
+)
+def join_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dec_sum(F.col("o_totalprice"), 2), F.lit(0.0)).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setop_union_all",
+    oracle="""
+SELECT o_orderkey AS orderkey, 'EARLY' AS era FROM orders
+WHERE o_orderdate < TIMESTAMP '1996-01-01'
+UNION ALL
+SELECT o_orderkey, 'LATE' FROM orders
+WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+""",
+    doc="UNION ALL of two filtered projections (reference: dashboard D:6-21).",
+    tags=("setop",),
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    early = orders.filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    ).select(F.col("o_orderkey").alias("orderkey"), F.lit("EARLY").alias("era"))
+    late = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select(F.col("o_orderkey").alias("orderkey"), F.lit("LATE").alias("era"))
+    return early.unionAll(late)
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+""",
+    doc="INTERSECT (distinct) of two key sets (SURVEY §2.7 library op).",
+    tags=("setop",),
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    rich = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return orders.intersect(rich)
+
+
+@register(
+    "setop_except",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+EXCEPT
+SELECT o_custkey FROM orders
+""",
+    doc="EXCEPT (distinct): high-balance customers that never ordered.",
+    tags=("setop",),
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rich = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return rich.exceptAll(orders.distinct()).distinct()
+
+
+@register(
+    "distinct_flag_status",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    doc="DISTINCT projection (dropDuplicates).",
+    tags=("setop", "distinct"),
+)
+def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot / rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_priority_by_status",
+    oracle="""
+SELECT o_orderpriority,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="Server-side pivot with pinned value list (reference: dashboard "
+    "pivot widget D:742-790; pinned values per SURVEY §7.6).",
+    tags=("pivot",),
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    p = orders.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).count()
+    return p.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(c), F.lit(0).cast("long")).alias(f"status_{c.lower()}")
+            for c in ("F", "O", "P")
+        ],
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "unpivot_part_metrics",
+    oracle="""
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS metric_value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+""",
+    doc="Unpivot wide columns to long format (df.unpivot / stack).",
+    tags=("unpivot",),
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return part.unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "metric_value")
+
+
+@register(
+    "rollup_status_priority",
+    oracle=f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+  COALESCE(o_orderpriority, 'ALL') AS priority,
+  COUNT(*) AS n_orders,
+  {sql_dec_sum("o_totalprice", 2)} AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+""",
+    doc="ROLLUP hierarchy totals (library op; SURVEY §2.3 notes reference "
+    "has no grouping sets — shipped as part of the full agg family).",
+    tags=("agg", "rollup"),
+)
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range-predicate join (equi key + time-range filter).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "range_join_ship_lag",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS n_lineitems,
+  {sql_dec_sum("l_quantity", 2)} AS total_qty
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+  AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 60 DAY
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="Equi + range-predicate join: lineitems shipped within 60 days of "
+    "their order (SURVEY §2.4 range-join family).",
+    tags=("join", "range"),
+)
+def range_join_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate <= orders.o_orderdate + F.expr("INTERVAL 60 DAYS"))
+    )
+    return (
+        orders.join(li, cond)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            dec_sum(F.col("l_quantity"), 2).alias("total_qty"),
+        )
+        .orderBy("o_orderstatus")
+    )
