@@ -1,0 +1,208 @@
+"""Golden end-to-end tests for the diabetes medallion pipeline
+(SURVEY.md §5.2): full-DAG run on the real 768-row Pima CSVs, invariants
+verified against the actual data, plus a DuckDB differential check of a
+gold table and unit tests for bucket boundaries / imputation fallbacks.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.context import RunContext
+from diabetes_etl_spark.diabetes import features as FE
+from diabetes_etl_spark.diabetes.dashboard import run_dashboard_queries
+from diabetes_etl_spark.diabetes.pipeline_def import build_diabetes_pipeline
+from diabetes_etl_spark.diabetes.schema import DIABETES_SCHEMA, FALLBACK_MEDIANS
+from diabetes_etl_spark.pipeline.registry import PipelineRunner
+
+CSV_DIR = os.environ.get("DIABETES_CSV_DIR", "/root/reference/data")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(CSV_DIR), reason="diabetes CSVs not available"
+)
+
+CTX = RunContext(fixed_now="2024-06-01 12:00:00", fixed_run_id="test-run-001")
+
+
+@pytest.fixture(scope="module")
+def runner(spark):
+    r = PipelineRunner(
+        build_diabetes_pipeline(CSV_DIR, ctx=CTX),
+        spark,
+        mode="views",
+        cache=("diabetes_silver",),
+    )
+    r.run()
+    return r
+
+
+def test_golden_invariants(runner):
+    silver = runner.materialize("diabetes_silver")
+    assert silver.count() == 768
+    exec_row = runner.materialize("diabetes_executive_summary").collect()[0]
+    assert exec_row["total_patients"] == 768.0
+    assert exec_row["diabetes_cases"] == 268.0
+    assert exec_row["diabetes_percentage"] == round(268 / 768 * 100, 2)
+
+
+def test_imputation_flags_and_no_zeros(runner):
+    """Flag-first semantics: flags reflect raw zero-inflation counts
+    (FIXTURES.md §A: Glucose 5, BloodPressure 35, SkinThickness 227,
+    Insulin 374, BMI 11) and the imputed measures contain no zeros."""
+    silver = runner.materialize("diabetes_silver")
+    counts = silver.agg(
+        *[
+            F.sum(F.when(F.col(flag), 1).otherwise(0)).alias(flag)
+            for flag in (
+                "glucose_imputed",
+                "bp_imputed",
+                "skin_imputed",
+                "insulin_imputed",
+                "bmi_imputed",
+            )
+        ]
+    ).collect()[0]
+    assert counts["glucose_imputed"] == 5
+    assert counts["bp_imputed"] == 35
+    assert counts["skin_imputed"] == 227
+    assert counts["insulin_imputed"] == 374
+    assert counts["bmi_imputed"] == 11
+    zeros = silver.filter(
+        (F.col("Glucose") == 0)
+        | (F.col("BloodPressure") == 0)
+        | (F.col("SkinThickness") == 0)
+        | (F.col("Insulin") == 0)
+        | (F.col("BMI") == 0)
+    ).count()
+    assert zeros == 0
+    # imputed values are the nonzero medians of the real data
+    row = silver.filter(F.col("glucose_imputed")).select("Glucose").first()
+    assert row["Glucose"] == 117.0
+    row = silver.filter(F.col("bp_imputed")).select("BloodPressure").first()
+    assert row["BloodPressure"] == 72.0
+    row = silver.filter(F.col("bmi_imputed")).select("BMI").first()
+    assert row["BMI"] == 32.3
+
+
+def test_data_quality_score_domain(runner):
+    silver = runner.materialize("diabetes_silver")
+    vals = {
+        r["data_quality_score"]
+        for r in silver.select("data_quality_score").distinct().collect()
+    }
+    assert vals <= {0, 20, 40, 60, 80, 100}
+    # flag-first fix: scores are NOT constant-100 (the reference's literal
+    # behavior) because zeros exist in the raw data
+    assert vals != {100}
+
+
+def test_gold_demographics_vs_duckdb(runner, spark):
+    """Differential check: recompute the demographics gold table in DuckDB
+    from the silver output and compare (tolerance for float avgs)."""
+    silver = runner.materialize("diabetes_silver")
+    pdf = silver.select(
+        "age_group", "bmi_category", "pregnancy_risk", "Outcome",
+        "Age", "BMI", "Glucose", "BloodPressure", "risk_score",
+        "data_quality_score",
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("silver", pdf)
+    expected = con.execute(
+        """
+        SELECT age_group, bmi_category, pregnancy_risk,
+          COUNT(*) AS patient_count,
+          SUM(Outcome) AS diabetes_cases,
+          ROUND(AVG(Age), 2) AS avg_age,
+          ROUND(AVG(BMI), 2) AS avg_bmi,
+          ROUND(AVG(Glucose), 2) AS avg_glucose,
+          ROUND(AVG(BloodPressure), 2) AS avg_blood_pressure,
+          ROUND(AVG(risk_score), 3) AS avg_risk_score,
+          ROUND(AVG(data_quality_score), 2) AS avg_data_quality,
+          MIN(Age) AS min_age, MAX(Age) AS max_age,
+          ROUND(SUM(Outcome) * 100.0 / COUNT(*), 2) AS diabetes_rate
+        FROM silver
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """
+    ).fetchall()
+    actual = [
+        tuple(r)
+        for r in runner.materialize("diabetes_demographics_summary")
+        .drop("created_at")
+        .orderBy("age_group", "bmi_category", "pregnancy_risk")
+        .collect()
+    ]
+    assert len(actual) == len(expected)
+    for a, e in zip(actual, expected):
+        for x, y in zip(a, e):
+            if isinstance(x, float):
+                # Spark and DuckDB can disagree on round() ties of double
+                # averages (e.g. avg=28.305): allow one ulp of the rounding
+                # scale; real aggregation bugs differ far more.
+                assert abs(x - float(y)) < 0.011, (a, e)
+            else:
+                assert x == y, (a, e)
+
+
+def test_dashboard_queries_run(runner, spark):
+    results = run_dashboard_queries(spark)
+    assert len(results) == 6
+    kpi = results["kpi_cards"].collect()
+    assert len(kpi) == 8
+    kpis = {r["metric_name"]: r["metric_value"] for r in kpi}
+    assert kpis["Total Patients"] == 768.0
+    assert kpis["Diabetes Cases"] == 268.0
+    bmi = results["bmi_distribution"].collect()
+    assert sum(r["total_patients"] for r in bmi) == 768
+    dist = results["risk_distribution"].collect()
+    # Spark parses `100.0` literals as DECIMAL → result may be Decimal
+    assert abs(sum(float(r["population_percentage"]) for r in dist) - 100.0) < 1.0
+
+
+def test_expectation_metrics(runner):
+    m = runner.expectation_metrics()
+    rows = {(r["dataset"], r["expectation"]): r for r in m.collect()}
+    # all warn-expectations hold on the real data
+    for key, r in rows.items():
+        assert r["violations"] == 0, key
+    assert ("diabetes_silver", "valid_age") in rows
+
+
+def test_bucket_boundaries(spark):
+    """Boundary values for every CASE bucket (SURVEY §5.3)."""
+    rows = [
+        Row(Age=29, BMI=24.9, Glucose=99, BloodPressure=79, Pregnancies=0),
+        Row(Age=30, BMI=25.0, Glucose=100, BloodPressure=80, Pregnancies=1),
+        Row(Age=39, BMI=29.9, Glucose=125, BloodPressure=89, Pregnancies=2),
+        Row(Age=40, BMI=30.0, Glucose=126, BloodPressure=90, Pregnancies=3),
+        Row(Age=59, BMI=18.4, Glucose=50, BloodPressure=99, Pregnancies=5),
+        Row(Age=60, BMI=18.5, Glucose=200, BloodPressure=100, Pregnancies=6),
+    ]
+    df = spark.createDataFrame(rows).select(
+        FE.age_group().alias("ag"),
+        FE.bmi_category().alias("bc"),
+        FE.glucose_level().alias("gl"),
+        FE.bp_category().alias("bp"),
+        FE.pregnancy_risk().alias("pr"),
+    )
+    got = [tuple(r) for r in df.collect()]
+    assert got == [
+        ("Young (< 30)", "Normal", "Normal", "Normal", "No Pregnancies"),
+        ("Adult (30-39)", "Overweight", "Prediabetic", "High Normal", "Low Risk"),
+        ("Adult (30-39)", "Overweight", "Prediabetic", "High Normal", "Low Risk"),
+        ("Middle Age (40-49)", "Obese", "Diabetic Range", "Mild Hypertension", "Moderate Risk"),
+        ("Mature (50-59)", "Underweight", "Normal", "Mild Hypertension", "Moderate Risk"),
+        # BMI exactly 18.5 is Normal (bucket is `< 18.5`)
+        ("Senior (60+)", "Normal", "Diabetic Range", "Hypertension", "High Risk"),
+    ]
+
+
+def test_median_fallbacks_on_empty_input(spark):
+    empty = spark.createDataFrame([], DIABETES_SCHEMA)
+    med = FE.nonzero_medians(empty).collect()[0]
+    for c, v in FALLBACK_MEDIANS.items():
+        assert med[f"__med_{c}"] == v

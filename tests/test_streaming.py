@@ -1,0 +1,104 @@
+"""Structured Streaming behavior tests (SURVEY.md §5.4): exactly-once
+incremental file ingestion with availableNow + checkpoint, the streaming
+diabetes bronze through the pipeline engine, and stateful dedup.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.context import RunContext
+from diabetes_etl_spark.diabetes.pipeline_def import build_diabetes_pipeline
+from diabetes_etl_spark.diabetes.schema import DIABETES_SCHEMA
+from diabetes_etl_spark.pipeline.registry import PipelineRunner
+from diabetes_etl_spark.sources.tables import load_events_stream
+from diabetes_etl_spark.streaming.ingest import incremental_file_ingest, run_to_sink
+from diabetes_etl_spark.streaming.ingest import stream_snapshot
+
+CSV_DIR = "/root/reference/data"
+needs_csvs = pytest.mark.skipif(
+    not os.path.isdir(CSV_DIR), reason="diabetes CSVs not available"
+)
+
+
+@needs_csvs
+def test_incremental_ingest_exactly_once(spark, tmp_path):
+    src = tmp_path / "raw"
+    out = tmp_path / "bronze"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def run_once():
+        stream = incremental_file_ingest(spark, str(src), DIABETES_SCHEMA)
+        run_to_sink(stream, str(out), str(ckpt))
+        return spark.read.parquet(str(out)).count()
+
+    shutil.copy(f"{CSV_DIR}/diabetes_part_1.csv", src / "part_1.csv")
+    assert run_once() == 128
+
+    # new file arrives → only the new file is ingested
+    shutil.copy(f"{CSV_DIR}/diabetes_part_2.csv", src / "part_2.csv")
+    assert run_once() == 256
+
+    # re-run with no new files → no duplicates (exactly-once)
+    assert run_once() == 256
+
+
+@needs_csvs
+def test_streaming_bronze_through_pipeline(spark, tmp_path):
+    src = tmp_path / "raw"
+    src.mkdir()
+    for i in (1, 2, 3):
+        shutil.copy(f"{CSV_DIR}/diabetes_part_{i}.csv", src / f"part_{i}.csv")
+    ctx = RunContext(fixed_now="2024-06-01 12:00:00", fixed_run_id="stream-test")
+    runner = PipelineRunner(
+        build_diabetes_pipeline(str(src), ctx=ctx, streaming=True),
+        spark,
+        mode="warehouse",
+        warehouse=str(tmp_path / "wh"),
+    )
+    bronze = runner.materialize("diabetes_bronze")
+    assert bronze.count() == 384
+    assert set(bronze.columns) >= {"file_name", "ingestion_timestamp", "Glucose"}
+    silver = runner.materialize("diabetes_silver")
+    assert silver.count() == 384
+    # file_name audit column extracted per source file
+    assert (
+        bronze.select("file_name").distinct().count() == 3
+    )
+
+
+def test_streaming_watermark_dedup(spark, sf_dir):
+    """dropDuplicatesWithinWatermark removes re-delivered events."""
+    ev = load_events_stream(spark, sf_dir)
+    doubled = ev.union(ev)  # simulate at-least-once redelivery
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    snap = stream_snapshot(spark, deduped)
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert snap.count() == n
+
+
+def test_streaming_sliding_window_counts(spark, sf_dir):
+    """Streaming sliding-window agg equals the batch equivalent."""
+    ev = load_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    snap = stream_snapshot(spark, agg, output_mode="complete")
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    got = {(r["window"]["start"], r["n"]) for r in snap.collect()}
+    want = {(r["window"]["start"], r["n"]) for r in batch.collect()}
+    assert got == want
