@@ -1,0 +1,232 @@
+"""Deduplication operators for LLM-corpus pipelines: exact, n-gram
+Jaccard with length blocking, MinHash-LSH, SimHash.
+
+Scale design (the 100 TB rationale per operator):
+
+- **exact**: one hash-aggregate on md5(text) — a single shuffle of
+  (hash, id), never the text itself twice.
+- **ngram-jaccard**: the naive all-pairs comparison is O(n²) and
+  unusable at scale; pairs are blocked on a length band (near-dups have
+  near-equal lengths) and each doc is emitted into its own and the next
+  band so boundary-straddling pairs are kept.  Still quadratic within a
+  block — it is the *exact* verifier for small/medium corpora and for
+  LSH candidate verification.
+- **minhash-lsh**: the scale path. Signature = K minhashes of the
+  shingle set (one pass, native expressions, no UDF), banded into B
+  groups of R; candidate pairs come from an equi-join on (band, band
+  hash) — pure shuffle join on small keys, no cross product — then are
+  verified with exact Jaccard.
+- **simhash**: 63-bit locality-sensitive bit signature from token
+  hashes; near-dup candidates join on one of four 16-bit chunks
+  (pigeonhole: hamming <= 3 implies one chunk equal), verified with
+  bit_count(xor).
+
+Everything is native Spark SQL expressions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.operators.text import jaccard, word_shingles
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct text: canonical (min) id + copy count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.8,
+    band_width: int = 50,
+    length_col: str | None = None,
+) -> DataFrame:
+    """Exact near-duplicate pairs (Jaccard over n-token shingles >=
+    threshold), blocked on a character-length band.  Each doc lands in
+    band b and b+1, so pairs split by a band boundary still meet; the
+    resulting duplicate candidates are de-duplicated before scoring.
+    """
+    length = (
+        F.col(length_col) if length_col else F.length(F.col(text_col))
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), n).alias("sh"),
+        length.cast("long").alias("len"),
+    )
+    banded = base.select(
+        "doc_id", "sh", F.expr("len div " + str(band_width)).alias("band")
+    ).unionAll(
+        base.select(
+            "doc_id", "sh", (F.expr("len div " + str(band_width)) + 1).alias("band")
+        )
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band"
+    )
+    pairs = (
+        a.join(b, ["band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        pairs.withColumn("jaccard_sim", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("doc_a", "doc_b", "jaccard_sim")
+    )
+
+
+def minhash_signature(sh: Column, num_hashes: int = 32) -> Column:
+    """K minhashes of a shingle array in one expression: for each seed
+    h, min over shingles of xxhash64(shingle, h)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda h: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, h))),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup detection, exact-verified.
+
+    rows = num_hashes // bands; a pair collides if any band of its
+    signatures is identical — the classic S-curve selectivity.  Collided
+    candidates are verified with exact shingle Jaccard, so the output
+    has no false positives; banding only affects recall.
+    """
+    rows = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    exploded = base.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice(F.col("sig"), b * rows + 1, rows))
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sh", "bb.band_idx", "bb.band_hash")
+    a = exploded.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+        "band_idx", "band_hash",
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+        "band_idx", "band_hash",
+    )
+    candidates = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        candidates.withColumn(
+            "jaccard_sim", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("doc_a", "doc_b", "jaccard_sim")
+    )
+
+
+def simhash63(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """63-bit SimHash per document from xxhash64 of its tokens.
+
+    Explode tokens → one grouped aggregate with 63 conditional sums
+    (bit majorities) → recombine into a non-negative BIGINT.  One
+    shuffle on the id; everything else is map-side.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(63)
+        ]
+    )
+    bit_expr = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0L END)"
+        for i in range(63)
+    )
+    return sums.select("doc_id", F.expr(bit_expr).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Candidates join on one of four 16-bit chunks (pigeonhole for
+    hamming <= 3 over 4 chunks), then verify with bit_count(xor).
+    """
+    sh = simhash63(df, id_col, text_col)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.expr(f"(simhash >> {i * 16}) & 65535").alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk")
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+        "chunk_idx", "chunk",
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+        "chunk_idx", "chunk",
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.expr("sim_a ^ sim_b"))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,207 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Exact cosine via native zip_with/aggregate expressions — the dot
+  product folds into a fixed-scale DECIMAL accumulator so the result is
+  bit-identical regardless of partitioning/engine (same rationale as
+  functions/numeric.py), which lets brute-force top-k be oracle-checked
+  exactly.
+- Brute-force top-k broadcasts the (small) query set against the
+  candidate corpus: one pass over the big side, no shuffle of the
+  corpus, window top-k per query.  This is the exact baseline and the
+  verifier for the ANN path.
+- ANN path: random-hyperplane LSH (signed projections onto
+  hash-derived pseudo-random planes) buckets vectors into 2^n_bits
+  cells; queries probe their own cell plus all 1-bit flips (multiprobe)
+  and re-rank exactly within candidates.  At 100 TB the bucket join
+  replaces the full cross product; recall is tunable via n_bits and
+  probes and is measured against brute force in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_DEC_ELEM = "DECIMAL(20,15)"
+_DEC_ACC = "DECIMAL(30,15)"
+
+
+def _dot_exact_sql(a: str, b: str) -> str:
+    """Exact (decimal-folded) dot product of two float arrays, as SQL."""
+    return (
+        f"CAST(aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {_DEC_ELEM})), "
+        f"CAST(0 AS {_DEC_ACC}), "
+        f"(acc, v) -> CAST(acc + CAST(v AS {_DEC_ACC}) AS {_DEC_ACC})) AS DOUBLE)"
+    )
+
+
+def dot_exact(a: str, b: str) -> Column:
+    return F.expr(_dot_exact_sql(a, b))
+
+
+def norm_exact(a: str) -> Column:
+    return F.sqrt(F.expr(_dot_exact_sql(a, a)))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", norm_exact(vec_col))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_ids: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k cosine neighbours for each query vector.
+
+    `query_ids` is a boolean Column selecting the query rows out of df.
+    Output: query_id, candidate_id, cosine_sim, sim_rank.
+    """
+    base = with_norm(df, vec_col)
+    queries = base.filter(query_ids).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+    )
+    cands = base.select(
+        F.col(id_col).alias("candidate_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("_norm").alias("c_norm"),
+    )
+    pairs = cands.crossJoin(F.broadcast(queries)).filter(
+        F.col("candidate_id") != F.col("query_id")
+    )
+    # Round to 9 decimals: the DECIMAL fold is order-independent but the
+    # product->DECIMAL rounding mode may differ by 1 ULP across engines;
+    # ranking on the rounded value keeps order cross-engine stable.
+    scored = pairs.withColumn(
+        "cosine_sim",
+        F.round(
+            dot_exact("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 9
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("candidate_id")
+    )
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .select("query_id", "candidate_id", "cosine_sim", "sim_rank")
+    )
+
+
+def cosine_threshold_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold (embedding near-dup detection).
+    Exact all-pairs form — the verifier; use lsh_topk for the scale path.
+    """
+    base = with_norm(df, vec_col)
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+        F.col("_norm").alias("norm_a"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+        F.col("_norm").alias("norm_b"),
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                dot_exact("vec_a", "vec_b")
+                / (F.col("norm_a") * F.col("norm_b")),
+                9,
+            ),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+# -- ANN: random-hyperplane LSH --------------------------------------------
+
+
+def _hyperplane(h: int, dim: int) -> Column:
+    """Pseudo-random unit-free hyperplane derived from xxhash64 — fully
+    deterministic, no RNG state to ship to executors."""
+    return F.expr(
+        f"transform(sequence(0, {dim - 1}), "
+        f"i -> CAST(pmod(xxhash64({h} * 1024 + i), 2000) AS DOUBLE) / 1000.0 - 1.0)"
+    )
+
+
+def lsh_bucket(vec_col: str, n_bits: int, dim: int) -> Column:
+    """Signed-projection bit code: bit h = sign(dot(vec, plane_h))."""
+    code = F.lit(0).cast("long")
+    for h in range(n_bits):
+        proj = F.expr(
+            f"aggregate(zip_with({vec_col}, "
+            f"transform(sequence(0, {dim - 1}), "
+            f"i -> CAST(pmod(xxhash64({h} * 1024 + i), 2000) AS DOUBLE) / 1000.0 - 1.0), "
+            f"(x, p) -> CAST(x AS DOUBLE) * p), 0D, (acc, v) -> acc + v)"
+        )
+        code = code + F.when(proj > 0, F.lit(1 << h)).otherwise(F.lit(0)).cast("long")
+    return code
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_ids: Column,
+    k: int = 5,
+    n_bits: int = 6,
+    dim: int = 64,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: LSH-bucketed candidate generation + exact
+    re-rank.  Queries probe their own bucket and every 1-bit flip.
+    """
+    base = with_norm(df, vec_col).withColumn(
+        "bucket", lsh_bucket(vec_col, n_bits, dim)
+    )
+    cands = base.select(
+        F.col(id_col).alias("candidate_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("_norm").alias("c_norm"),
+        "bucket",
+    )
+    probes = [F.col("bucket")] + (
+        [F.expr(f"bucket ^ {1 << i}") for i in range(n_bits)] if multiprobe else []
+    )
+    queries = (
+        base.filter(query_ids)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("_norm").alias("q_norm"),
+            F.explode(F.array(*probes)).alias("bucket"),
+        )
+    )
+    pairs = cands.join(F.broadcast(queries), "bucket").filter(
+        F.col("candidate_id") != F.col("query_id")
+    )
+    scored = pairs.withColumn(
+        "cosine_sim",
+        F.round(
+            dot_exact("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 9
+        ),
+    ).dropDuplicates(["query_id", "candidate_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("candidate_id")
+    )
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .select("query_id", "candidate_id", "cosine_sim", "sim_rank")
+    )

@@ -1,0 +1,114 @@
+"""Text-analysis operators for large-scale document pipelines:
+tokenization, quality scoring, language ID, shingling, fingerprinting.
+
+All column builders are native Spark SQL expressions (no Python UDFs) —
+they stay inside whole-stage codegen and scale linearly with no
+serialization overhead, which is the requirement at 100 TB of text.
+Each has an exact ANSI/DuckDB mirror used by the oracle-paired queries
+in plans/textplans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword probes for the language-ID heuristic.
+# (The fixture corpus is synthetic, so this is a deterministic scoring
+# operator, not a model-quality claim.)
+LANG_STOPWORDS = {
+    "en": r"\b(the|and|of|to|is|in)\b",
+    "fr": r"\b(le|la|les|et|des|une)\b",
+    "de": r"\b(der|die|das|und|ist|ein)\b",
+    "es": r"\b(el|los|las|es|una|y)\b",
+}
+
+
+def tokens(c: Column) -> Column:
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def distinct_token_count(c: Column) -> Column:
+    return F.size(F.array_distinct(tokens(c)))
+
+
+def type_token_ratio(c: Column) -> Column:
+    """Lexical diversity: distinct tokens / tokens (repetition detector)."""
+    return distinct_token_count(c) / token_count(c)
+
+
+def stopword_hits(c: Column, pattern: str = LANG_STOPWORDS["en"]) -> Column:
+    return F.regexp_count(F.lower(c), F.lit(pattern))
+
+
+def char_class_count(c: Column, char_class: str) -> Column:
+    """Number of characters NOT matching [^class] — i.e. in the class."""
+    return F.length(F.regexp_replace(c, f"[^{char_class}]", ""))
+
+
+def quality_score(c: Column) -> Column:
+    """Heuristic document quality in [0,1]: length, stopword density,
+    lexical diversity — the standard cheap pre-filters for LLM corpora.
+    Deterministic (integer counts + one double division each)."""
+    length_part = F.least(token_count(c) / F.lit(100.0), F.lit(1.0))
+    stop_part = F.least(stopword_hits(c) / F.lit(10.0), F.lit(1.0))
+    return F.round(
+        0.4 * length_part + 0.3 * stop_part + 0.3 * type_token_ratio(c), 6
+    )
+
+
+def lang_scores(c: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(c, pat) for lang, pat in LANG_STOPWORDS.items()}
+
+
+def lang_guess(c: Column) -> Column:
+    """argmax over stopword-hit counts with a fixed preference order."""
+    s = lang_scores(c)
+    return (
+        F.when((s["en"] >= s["fr"]) & (s["en"] >= s["de"]) & (s["en"] >= s["es"]), "en")
+        .when((s["fr"] >= s["de"]) & (s["fr"] >= s["es"]), "fr")
+        .when(s["de"] >= s["es"], "de")
+        .otherwise("es")
+    )
+
+
+def word_shingles(c: Column, n: int = 5) -> Column:
+    """Distinct n-token shingles (the MinHash/Jaccard unit)."""
+    toks = tokens(c)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def char_ngrams(c: Column, n: int = 3) -> Column:
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+            lambda i: F.substring(c, i, n),
+        )
+    )
+
+
+def fingerprint(col_name: str, base: int = 131, mod: int = 1_000_000_007) -> Column:
+    """Deterministic polynomial rolling hash over the character codes —
+    an engine-portable document fingerprint (unlike murmur/xxhash which
+    are engine-specific).  acc stays < mod so the bigint math cannot
+    overflow under ANSI mode."""
+    return F.expr(
+        f"aggregate(transform(split({col_name}, ''), ch -> ascii(ch)), 0L, "
+        f"(acc, x) -> (acc * {base} + x) % {mod})"
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two pre-distinct arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return inter / union

@@ -1,2 +1,144 @@
-"""Similarity-search query plans over the `embeddings` fixture (filled in
-by operators/similarity.py — brute-force cosine top-k, LSH variant)."""
+"""Similarity-search query plans over the `embeddings` fixture
+(operators/similarity.py).  Brute-force cosine top-k and threshold
+pairs are oracle-paired exactly (decimal-folded dot products); the LSH
+ANN variant is rows-only with recall measured against brute force in
+tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.operators import similarity as SIM
+from diabetes_etl_spark.plans.registry import register
+from diabetes_etl_spark.sources.tables import load_table
+
+# DuckDB: zipped unnest + decimal-folded sum == the Spark dot_exact.
+_D_NORMS = """
+norms AS (
+  SELECT vec_id,
+    sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+         AS DECIMAL(20,15))) AS DOUBLE)) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+  GROUP BY vec_id
+)"""
+
+
+@register(
+    "sim_topk_cosine",
+    oracle=f"""
+WITH {_D_NORMS},
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+         q.embedding AS qe, c.embedding AS ce
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id < 10 AND c.vec_id != q.vec_id
+),
+upairs AS (
+  SELECT query_id, candidate_id, unnest(qe) AS qx, unnest(ce) AS cx FROM pairs
+),
+dots AS (
+  SELECT query_id, candidate_id,
+    CAST(SUM(CAST(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)
+         AS DECIMAL(20,15))) AS DOUBLE) AS dot
+  FROM upairs GROUP BY query_id, candidate_id
+),
+scored AS (
+  SELECT d.query_id, d.candidate_id,
+    ROUND(d.dot / (nq.nrm * nc.nrm), 9) AS cosine_sim
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nc ON d.candidate_id = nc.vec_id
+)
+SELECT query_id, candidate_id, cosine_sim, CAST(rn AS INT) AS sim_rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, candidate_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+    doc="Brute-force cosine top-5 for 10 query vectors: broadcast queries "
+    "x one corpus pass, decimal-exact dot products, deterministic "
+    "tiebreak (operators/similarity.py:cosine_topk — the ANN baseline).",
+    tags=("similarity", "extension"),
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(emb, F.col("vec_id") < 10, k=5)
+
+
+@register(
+    "sim_neardup_pairs",
+    oracle=f"""
+WITH {_D_NORMS},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+upairs AS (
+  SELECT id_a, id_b, unnest(ea) AS xa, unnest(eb) AS xb FROM pairs
+),
+dots AS (
+  SELECT id_a, id_b,
+    CAST(SUM(CAST(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)
+         AS DECIMAL(20,15))) AS DOUBLE) AS dot
+  FROM upairs GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, cosine_sim FROM (
+  SELECT d.id_a, d.id_b, ROUND(d.dot / (na.nrm * nb.nrm), 9) AS cosine_sim
+  FROM dots d
+  JOIN norms na ON d.id_a = na.vec_id
+  JOIN norms nb ON d.id_b = nb.vec_id
+) WHERE cosine_sim >= 0.45
+""",
+    doc="Embedding near-duplicate pairs: exact all-pairs cosine >= 0.45 "
+    "(the verifier form; lsh_topk is the scale path).",
+    tags=("similarity", "extension"),
+)
+def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_threshold_pairs(emb, threshold=0.45)
+
+
+@register(
+    "sim_lsh_topk",
+    oracle=None,  # approximate; recall vs brute force in tests
+    doc="ANN top-5 via random-hyperplane LSH (6-bit codes, 1-bit "
+    "multiprobe) + exact re-rank within candidates — replaces the full "
+    "cross product with a bucket join at scale.",
+    tags=("similarity", "lsh", "extension"),
+)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(emb, F.col("vec_id") < 10, k=5, n_bits=6, dim=64)
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id, 'text/plain' AS mime,
+  CAST(length(text) AS INT) AS byte_len,
+  CAST(length(text) - length(replace(text, ' ', '')) AS INT) AS n_space,
+  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INT) AS n_alpha,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(string_split(substr(text, 1, 16), ''),
+                   ch -> CAST(ascii(ch) AS BIGINT))),
+    (acc, x) -> (acc * 131 + x) % 1000000007) AS head_fingerprint
+FROM documents
+""",
+    doc="Multimodal plumbing: binary payload + metadata struct, decode + "
+    "byte-level featurization via Arrow-batched mapInPandas "
+    "(operators/multimodal.py; real media decoders stubbed, text path "
+    "fully real — oracle checks the byte-exact features).",
+    tags=("multimodal", "extension"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_binary_payload(docs))

@@ -1,3 +1,159 @@
-"""Text-analysis query plans over the `documents` fixture (filled in by
-operators/text.py — language ID, quality scoring, token counting,
-fingerprinting)."""
+"""Text-analysis query plans over the `documents` fixture — language ID,
+quality scoring, token stats, fingerprinting (operators/text.py), each
+with an exact DuckDB oracle (integer counts + deterministic ratios).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.operators import text as TX
+from diabetes_etl_spark.plans.registry import register
+from diabetes_etl_spark.sources.tables import load_table
+
+# DuckDB fragments mirroring the operators (RE2 vs Java regex agree on
+# the patterns used: \b, \s, simple classes).
+_D_TOKENS = r"regexp_split_to_array(trim(text), '\s+')"
+_D_STOPS = {
+    "en": r"length(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in)\b'))",
+    "fr": r"length(regexp_extract_all(lower(text), '\b(le|la|les|et|des|une)\b'))",
+    "de": r"length(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein)\b'))",
+    "es": r"length(regexp_extract_all(lower(text), '\b(el|los|las|es|una|y)\b'))",
+}
+_D_FINGERPRINT = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({col}, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+    "(acc, x) -> (acc * 131 + x) % 1000000007)"
+)
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+  len({_D_TOKENS}) AS n_tokens,
+  len(list_distinct({_D_TOKENS})) AS n_distinct_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_text,
+  len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in)\\b')) AS stop_hits,
+  {_D_FINGERPRINT.format(col="text")} AS doc_fingerprint
+FROM documents
+""",
+    doc="Per-document token counting + portable rolling-hash fingerprint "
+    "(operators/text.py; all-native expressions).",
+    tags=("text", "extension"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).cast("long").alias("n_tokens"),
+        TX.distinct_token_count(t).cast("long").alias("n_distinct_tokens"),
+        F.length(t).cast("long").alias("n_chars_text"),
+        TX.stopword_hits(t).cast("long").alias("stop_hits"),
+        TX.fingerprint("text").alias("doc_fingerprint"),
+    )
+
+
+@register(
+    "text_quality_by_lang",
+    oracle=f"""
+SELECT lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(len({_D_TOKENS})) AS DOUBLE) / COUNT(*) AS avg_tokens,
+  CAST(SUM(CAST(CAST(len(list_distinct({_D_TOKENS})) AS DOUBLE) / len({_D_TOKENS})
+       AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_ttr,
+  CAST(SUM(CAST(ROUND(
+        0.4 * least(len({_D_TOKENS}) / CAST(100 AS DOUBLE), 1.0)
+      + 0.3 * least({_D_STOPS["en"]} / CAST(10 AS DOUBLE), 1.0)
+      + 0.3 * (CAST(len(list_distinct({_D_TOKENS})) AS DOUBLE) / len({_D_TOKENS})),
+      6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_quality
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+    doc="Corpus quality profile per language tag: token volume, lexical "
+    "diversity, heuristic quality score (operators/text.py).",
+    tags=("text", "agg", "extension"),
+)
+def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    per_doc = docs.select(
+        "lang",
+        TX.token_count(t).cast("long").alias("n_tokens"),
+        TX.type_token_ratio(t).alias("ttr"),
+        TX.quality_score(t).alias("q"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
+            (
+                F.sum(F.col("ttr").cast("decimal(18,9)")).cast("double")
+                / F.count("*")
+            ).alias("avg_ttr"),
+            (
+                F.sum(F.col("q").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+SELECT doc_id, lang AS tagged_lang,
+  {_D_STOPS["en"]} AS en_hits, {_D_STOPS["fr"]} AS fr_hits,
+  {_D_STOPS["de"]} AS de_hits, {_D_STOPS["es"]} AS es_hits,
+  CASE
+    WHEN {_D_STOPS["en"]} >= {_D_STOPS["fr"]} AND {_D_STOPS["en"]} >= {_D_STOPS["de"]}
+         AND {_D_STOPS["en"]} >= {_D_STOPS["es"]} THEN 'en'
+    WHEN {_D_STOPS["fr"]} >= {_D_STOPS["de"]} AND {_D_STOPS["fr"]} >= {_D_STOPS["es"]} THEN 'fr'
+    WHEN {_D_STOPS["de"]} >= {_D_STOPS["es"]} THEN 'de'
+    ELSE 'es'
+  END AS lang_pred
+FROM documents
+""",
+    doc="N-gram/stopword language-ID heuristic: per-language hit counts + "
+    "argmax with fixed preference order (deterministic scoring operator).",
+    tags=("text", "extension"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scores = TX.lang_scores(t)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("tagged_lang"),
+        *[scores[lang].cast("long").alias(f"{lang}_hits") for lang in ("en", "fr", "de", "es")],
+        TX.lang_guess(t).alias("lang_pred"),
+    )
+
+
+@register(
+    "text_quality_filter",
+    oracle=f"""
+SELECT doc_id, quality_score FROM (
+  SELECT doc_id, ROUND(
+      0.4 * least(len({_D_TOKENS}) / CAST(100 AS DOUBLE), 1.0)
+    + 0.3 * least({_D_STOPS["en"]} / CAST(10 AS DOUBLE), 1.0)
+    + 0.3 * (CAST(len(list_distinct({_D_TOKENS})) AS DOUBLE) / len({_D_TOKENS})),
+    6) AS quality_score
+  FROM documents
+) WHERE quality_score >= 0.5
+""",
+    doc="Quality-gate filter: keep documents above the heuristic quality "
+    "threshold (the standard corpus pre-filter stage).",
+    tags=("text", "filter", "extension"),
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality_score"))
+        .filter(F.col("quality_score") >= 0.5)
+    )
