@@ -56,6 +56,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules lazily to avoid import cycles.
     from diabetes_etl_spark.plans import (  # noqa: F401
         dedupplans,
+        diabetesplans,
         events,
         medallion_demo,
         relational,
