@@ -193,9 +193,15 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
-    Candidates join on one of four 16-bit chunks (pigeonhole for
-    hamming <= 3 over 4 chunks), then verify with bit_count(xor).
+    Pigeonhole candidate generation: the 63 signature bits are split
+    into (max_hamming + 1) nearly-equal chunks — if two signatures
+    differ in at most max_hamming bits, at least one chunk is
+    bit-identical, so an equi-join on (chunk_idx, chunk value) finds
+    every qualifying pair; bit_count(xor) then verifies exactly.
+    Recall is therefore 1.0 by construction at any max_hamming.
     """
+    n_chunks = max_hamming + 1
+    bounds = [round(63 * t / n_chunks) for t in range(n_chunks + 1)]
     sh = simhash63(df, id_col, text_col)
     chunks = sh.select(
         "doc_id",
@@ -205,9 +211,12 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_idx"),
-                        F.expr(f"(simhash >> {i * 16}) & 65535").alias("chunk"),
+                        F.expr(
+                            f"(simhash >> {bounds[i]}) & "
+                            f"{(1 << (bounds[i + 1] - bounds[i])) - 1}"
+                        ).alias("chunk"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),

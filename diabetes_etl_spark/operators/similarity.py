@@ -131,23 +131,19 @@ def cosine_threshold_pairs(
 # -- ANN: random-hyperplane LSH --------------------------------------------
 
 
-def _hyperplane(h: int, dim: int) -> Column:
-    """Pseudo-random unit-free hyperplane derived from xxhash64 — fully
-    deterministic, no RNG state to ship to executors."""
-    return F.expr(
-        f"transform(sequence(0, {dim - 1}), "
-        f"i -> CAST(pmod(xxhash64({h} * 1024 + i), 2000) AS DOUBLE) / 1000.0 - 1.0)"
-    )
+def lsh_bucket(vec_col: str, n_bits: int, dim: int, seed: int = 0) -> Column:
+    """Signed-projection bit code: bit h = sign(dot(vec, plane_h)).
 
-
-def lsh_bucket(vec_col: str, n_bits: int, dim: int) -> Column:
-    """Signed-projection bit code: bit h = sign(dot(vec, plane_h))."""
+    Hyperplanes are pseudo-random vectors derived from xxhash64 of
+    (seed, plane, coordinate) — fully deterministic, no RNG state to
+    ship to executors; distinct seeds give independent tables."""
     code = F.lit(0).cast("long")
     for h in range(n_bits):
         proj = F.expr(
             f"aggregate(zip_with({vec_col}, "
             f"transform(sequence(0, {dim - 1}), "
-            f"i -> CAST(pmod(xxhash64({h} * 1024 + i), 2000) AS DOUBLE) / 1000.0 - 1.0), "
+            f"i -> CAST(pmod(xxhash64({seed} * 65536 + {h} * 1024 + i), 2000) "
+            f"AS DOUBLE) / 1000.0 - 1.0), "
             f"(x, p) -> CAST(x AS DOUBLE) * p), 0D, (acc, v) -> acc + v)"
         )
         code = code + F.when(proj > 0, F.lit(1 << h)).otherwise(F.lit(0)).cast("long")
@@ -160,24 +156,51 @@ def lsh_topk(
     k: int = 5,
     n_bits: int = 6,
     dim: int = 64,
+    n_tables: int = 4,
     multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: LSH-bucketed candidate generation + exact
-    re-rank.  Queries probe their own bucket and every 1-bit flip.
+    """Approximate top-k: multi-table LSH candidate generation + exact
+    re-rank.
+
+    L independent hash tables (disjoint hyperplane seeds) raise recall
+    the standard way — a neighbour is found if it collides in ANY
+    table: P = 1-(1-p^b)^L; multiprobe additionally probes every 1-bit
+    flip of each query bucket.  The corpus side is scanned once per
+    table (map-side explode, no shuffle); the tiny exploded query side
+    is broadcast, so the join never moves the corpus.
     """
-    base = with_norm(df, vec_col).withColumn(
-        "bucket", lsh_bucket(vec_col, n_bits, dim)
+    base = with_norm(df, vec_col)
+    table_buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(vec_col, n_bits, dim, seed=t * 131).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
     )
     cands = base.select(
         F.col(id_col).alias("candidate_id"),
         F.col(vec_col).alias("c_vec"),
         F.col("_norm").alias("c_norm"),
-        "bucket",
-    )
-    probes = [F.col("bucket")] + (
-        [F.expr(f"bucket ^ {1 << i}") for i in range(n_bits)] if multiprobe else []
+        F.explode(table_buckets).alias("tb"),
+    ).select("candidate_id", "c_vec", "c_norm", "tb.tbl", "tb.bucket")
+    flips = [0] + ([1 << i for i in range(n_bits)] if multiprobe else [])
+    probe_buckets = F.flatten(
+        F.transform(
+            table_buckets,
+            lambda tb: F.array(
+                *[
+                    F.struct(
+                        tb["tbl"].alias("tbl"),
+                        tb["bucket"].bitwiseXOR(F.lit(flip)).alias("bucket"),
+                    )
+                    for flip in flips
+                ]
+            ),
+        )
     )
     queries = (
         base.filter(query_ids)
@@ -185,10 +208,11 @@ def lsh_topk(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
             F.col("_norm").alias("q_norm"),
-            F.explode(F.array(*probes)).alias("bucket"),
+            F.explode(probe_buckets).alias("tb"),
         )
+        .select("query_id", "q_vec", "q_norm", "tb.tbl", "tb.bucket")
     )
-    pairs = cands.join(F.broadcast(queries), "bucket").filter(
+    pairs = cands.join(F.broadcast(queries), ["tbl", "bucket"]).filter(
         F.col("candidate_id") != F.col("query_id")
     )
     scored = pairs.withColumn(

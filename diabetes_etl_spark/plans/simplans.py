@@ -105,14 +105,17 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_lsh_topk",
     oracle=None,  # approximate; recall vs brute force in tests
-    doc="ANN top-5 via random-hyperplane LSH (6-bit codes, 1-bit "
-    "multiprobe) + exact re-rank within candidates — replaces the full "
-    "cross product with a bucket join at scale.",
+    doc="ANN top-5 via multi-table random-hyperplane LSH (8 tables x "
+    "6-bit codes, 1-bit multiprobe) + exact re-rank within candidates — "
+    "replaces the full cross product with a broadcast bucket join at "
+    "scale; recall@5 ~0.94 vs brute force (tests/test_similarity.py).",
     tags=("similarity", "lsh", "extension"),
 )
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.lsh_topk(emb, F.col("vec_id") < 10, k=5, n_bits=6, dim=64)
+    return SIM.lsh_topk(
+        emb, F.col("vec_id") < 10, k=5, n_bits=6, dim=64, n_tables=8
+    )
 
 
 @register(

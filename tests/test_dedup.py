@@ -1,0 +1,139 @@
+"""Deduplication operator tests.
+
+The LSH/SimHash paths use engine-specific hashing (xxhash64) and so get
+no DuckDB oracle; their contract is verified here against the exact
+operators instead: MinHash-LSH output must be a subset of the exact
+blocked-Jaccard pairs (candidates are exact-verified, so no false
+positives) with high recall, and SimHash must find identical /
+near-identical docs while not pairing unrelated ones."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.operators import dedup as DD
+
+_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango"
+).split()
+
+
+def _corpus():
+    """Deterministic synthetic corpus with known near-duplicates:
+    30 base docs of 60 tokens; every third doc gets a near-dup copy
+    (two tokens appended -> 5-shingle Jaccard 56/58 ~ 0.97)."""
+    rows = []
+    for i in range(30):
+        # (i*31+j)%97 makes docs shift-free: no doc is a token-shifted
+        # copy of another, so the only near-dup pairs are the planted ones
+        toks = [_WORDS[(i * 7 + j * 3) % len(_WORDS)] + str((i * 31 + j) % 97)
+                for j in range(60)]
+        rows.append((i, " ".join(toks)))
+        if i % 3 == 0:
+            rows.append((1000 + i, " ".join(toks + ["extra", "tail"])))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(_corpus(), ["doc_id", "text"])
+
+
+def test_exact_dedup_partitions_corpus(spark):
+    rows = [(1, "same text"), (2, "same text"), (3, "other text")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.keep_id: r.n_copies for r in
+           DD.exact_dedup_groups(df, "doc_id", "text").collect()}
+    assert out == {1: 2, 3: 1}  # canonical min id, copies counted
+
+
+def test_ngram_jaccard_finds_planted_pairs(docs):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in DD.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=5, threshold=0.8, band_width=50
+        ).collect()
+    }
+    planted = {(i, 1000 + i) for i in range(0, 30, 3)}
+    assert planted <= pairs
+    # base docs are mutually distinct: no cross-base pairs
+    assert all(a >= 1000 or b >= 1000 for a, b in pairs)
+
+
+def test_minhash_lsh_no_false_positives_high_recall(docs):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in DD.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=5, threshold=0.8, band_width=50
+        ).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in DD.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=5, num_hashes=32, bands=8,
+            threshold=0.8,
+        ).collect()
+    }
+    assert lsh <= exact  # candidates are exact-verified: precision 1.0
+    assert len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_minhash_lsh_on_fixture_matches_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in DD.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=5, threshold=0.8, band_width=50
+        ).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in DD.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=5, num_hashes=32, bands=8,
+            threshold=0.8,
+        ).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_simhash_identical_and_disjoint(spark):
+    a = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (1, a),
+        (2, a),  # identical -> hamming 0
+        (3, "completely different words zebra yak xylophone quince " * 8),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in DD.simhash_near_pairs(df, "doc_id", "text",
+                                       max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_near_duplicate_low_hamming(docs):
+    # appending 2 tokens to a 60-token doc flips at most a handful of
+    # majority bits; at max_hamming=6 the pigeonhole join (7 chunks)
+    # guarantees recall for every pair within distance 6
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in DD.simhash_near_pairs(docs, "doc_id", "text",
+                                       max_hamming=6).collect()
+    }
+    planted = {(i, 1000 + i) for i in range(0, 30, 3)}
+    found = planted & set(pairs)
+    assert len(found) / len(planted) >= 0.9
+    assert all(pairs[p] <= 6 for p in found)
+    # tighter radius is a strict subset with full recall within it
+    tight = {
+        (r.doc_a, r.doc_b)
+        for r in DD.simhash_near_pairs(docs, "doc_id", "text",
+                                       max_hamming=3).collect()
+    }
+    assert tight == {p for p, h in pairs.items() if h <= 3}

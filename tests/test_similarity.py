@@ -1,0 +1,74 @@
+"""Similarity-search operator tests: exact top-k invariants and the
+ANN (multi-table hyperplane LSH) recall measured against brute force.
+All hashing is deterministic (xxhash64-seeded planes), so the recall
+numbers are exact constants for a given fixture — the bounds below sit
+under the observed values (0.94 at sf0.001 with 8 tables)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_cosine_topk_invariants(emb):
+    out = SIM.cosine_topk(emb, F.col("vec_id") < 10, k=5).collect()
+    assert len(out) == 50  # 10 queries x k=5
+    by_q = {}
+    for r in out:
+        assert r.query_id != r.candidate_id  # self excluded
+        assert -1.000001 <= r.cosine_sim <= 1.000001
+        by_q.setdefault(r.query_id, []).append((r.sim_rank, r.cosine_sim))
+    for ranks in by_q.values():
+        ranks.sort()
+        assert [r for r, _ in ranks] == [1, 2, 3, 4, 5]
+        sims = [s for _, s in ranks]
+        assert sims == sorted(sims, reverse=True)  # rank follows cosine
+
+
+def test_cosine_threshold_pairs_canonical(emb):
+    out = SIM.cosine_threshold_pairs(emb, threshold=0.45).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.id_a < r.id_b  # canonical orientation, no dup pairs
+        assert r.cosine_sim >= 0.45
+
+
+def test_lsh_topk_recall_vs_brute_force(emb):
+    brute = {
+        (r.query_id, r.candidate_id)
+        for r in SIM.cosine_topk(emb, F.col("vec_id") < 10, k=5).collect()
+    }
+    ann_rows = SIM.lsh_topk(
+        emb, F.col("vec_id") < 10, k=5, n_bits=6, dim=64, n_tables=8
+    ).collect()
+    ann = {(r.query_id, r.candidate_id) for r in ann_rows}
+    assert len(ann) <= 50
+    recall = len(brute & ann) / len(brute)
+    assert recall >= 0.8, f"ANN recall@5 degraded: {recall}"
+
+
+def test_lsh_more_tables_no_worse(emb):
+    """Multi-table union can only add candidates: recall(L=8) >= recall(L=2)."""
+    brute = {
+        (r.query_id, r.candidate_id)
+        for r in SIM.cosine_topk(emb, F.col("vec_id") < 3, k=5).collect()
+    }
+
+    def recall(tables: int) -> float:
+        ann = {
+            (r.query_id, r.candidate_id)
+            for r in SIM.lsh_topk(
+                emb, F.col("vec_id") < 3, k=5, n_bits=6, dim=64,
+                n_tables=tables,
+            ).collect()
+        }
+        return len(brute & ann) / len(brute)
+
+    assert recall(8) >= recall(2)
