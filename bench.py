@@ -32,6 +32,15 @@ HEADLINE = [
     "events_sessionize_sql",
     "asof_purchase_last_click",
     "medallion_events_gold",
+    # diabetes medallion + dashboard (the reference's own surface)
+    "diab_gold_demographics",
+    "diab_dash_risk_distribution",
+    # LLM-pipeline extensions
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "sim_topk_cosine",
+    "sim_lsh_topk",
+    "text_quality_by_lang",
 ]
 
 
@@ -50,10 +59,12 @@ def main() -> None:
     for name in names:
         t0 = time.perf_counter()
         df = registry[name].fn(spark, sf_dir)
-        n = df.count()
-        df.limit(1000).collect()
+        # noop sink: full plan executes exactly once, nothing written.
+        # (count() would column-prune projections; count()+collect()
+        # would execute the plan twice.)
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
     total = round(time.perf_counter() - t_all, 3)
 
     print(

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from diabetes_etl_spark.operators.text import jaccard, word_shingles
+from diabetes_etl_spark.operators.util import widen
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -60,43 +61,75 @@ def ngram_jaccard_pairs(
     length = (
         F.col(length_col) if length_col else F.length(F.col(text_col))
     )
-    base = df.select(
+    base = widen(df).select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), n).alias("sh"),
         length.cast("long").alias("len"),
     )
+    # Candidate generation moves ONLY (id, band): the shingle arrays
+    # never ride through the band self-join; they are re-attached once
+    # per side for verification (see _verify_jaccard).
     banded = base.select(
-        "doc_id", "sh", F.expr("len div " + str(band_width)).alias("band")
+        "doc_id", F.expr("len div " + str(band_width)).alias("band")
     ).unionAll(
         base.select(
-            "doc_id", "sh", (F.expr("len div " + str(band_width)) + 1).alias("band")
+            "doc_id", (F.expr("len div " + str(band_width)) + 1).alias("band")
         )
     )
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band"
-    )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band"
-    )
-    pairs = (
-        a.join(b, ["band"])
+    cand_ids = (
+        banded.select(F.col("doc_id").alias("doc_a"), "band")
+        .join(banded.select(F.col("doc_id").alias("doc_b"), "band"), ["band"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    return _verify_jaccard(cand_ids, base.select("doc_id", "sh"), threshold)
+
+
+def _verify_jaccard(
+    cand_ids: DataFrame, shingled: DataFrame, threshold: float
+) -> DataFrame:
+    """Attach shingle arrays to candidate id pairs (one join per side —
+    the arrays are shuffled exactly once each) and keep pairs with exact
+    Jaccard >= threshold."""
+    sh_a = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    sh_b = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
     return (
-        pairs.withColumn("jaccard_sim", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        cand_ids.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn(
+            "jaccard_sim", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+        )
         .filter(F.col("jaccard_sim") >= threshold)
         .select("doc_a", "doc_b", "jaccard_sim")
     )
 
 
 def minhash_signature(sh: Column, num_hashes: int = 32) -> Column:
-    """K minhashes of a shingle array in one expression: for each seed
-    h, min over shingles of xxhash64(shingle, h)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda h: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, h))),
+    """K minhashes of a shingle array in ONE fold over the shingles.
+
+    Structured as ``aggregate(hashed_shingles, [MAX]*K, merge)`` so each
+    shingle string is hashed exactly once (the cost that scales with
+    text size) no matter how Catalyst collapses projections — a naive
+    ``transform(0..K-1, h -> min(hash(s, h)))`` re-evaluates the string
+    hashing K times.  The merge step derives the K slot hashes from the
+    8-byte base hash (xxhash64 seeded by slot), K cheap integer hashes
+    per shingle."""
+    hashed = F.transform(sh, lambda s: F.xxhash64(s))
+    init = F.expr(
+        f"array_repeat(CAST(9223372036854775807 AS BIGINT), {num_hashes})"
+    )
+    slots = F.expr(f"sequence(0, {num_hashes - 1})")
+    return F.aggregate(
+        hashed,
+        init,
+        lambda acc, v: F.zip_with(
+            acc, slots, lambda m, h: F.least(m, F.xxhash64(v, h))
+        ),
     )
 
 
@@ -117,13 +150,19 @@ def minhash_lsh_pairs(
     has no false positives; banding only affects recall.
     """
     rows = num_hashes // bands
-    base = df.select(
+    base = widen(df).select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), n).alias("sh"),
     ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    # Only (id, band_idx, band_hash) leaves the signature stage, and the
+    # pair generation GROUPS bucket members instead of self-joining — a
+    # self-join would duplicate the whole minhash subtree (Catalyst
+    # plans each join side independently) and compute every signature
+    # twice.  Buckets are near-dup clusters, so collect_list stays tiny;
+    # a pathological all-identical corpus is the only skew case (then
+    # exact_dedup_groups is the right operator anyway).
     exploded = base.select(
         "doc_id",
-        "sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -135,27 +174,31 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("doc_id", "sh", "bb.band_idx", "bb.band_hash")
-    a = exploded.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
-        "band_idx", "band_hash",
-    )
-    b = exploded.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
-        "band_idx", "band_hash",
-    )
-    candidates = (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    ).select("doc_id", "bb.band_idx", "bb.band_hash")
+    cand_ids = _bucket_pairs(exploded, ["band_idx", "band_hash"])
+    return _verify_jaccard(cand_ids, base.select("doc_id", "sh"), threshold)
+
+
+def _bucket_pairs(exploded: DataFrame, keys: list[str]) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs of ids sharing a bucket key.
+
+    One tiny shuffle of (key, id); all-pairs expansion happens inside
+    each bucket via a native expression."""
     return (
-        candidates.withColumn(
-            "jaccard_sim", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+        exploded.groupBy(*keys)
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> "
+                    "struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .filter(F.col("jaccard_sim") >= threshold)
-        .select("doc_a", "doc_b", "jaccard_sim")
+        .select("p.doc_a", "p.doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -166,7 +209,7 @@ def simhash63(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (bit majorities) → recombine into a non-negative BIGINT.  One
     shuffle on the id; everything else is map-side.
     """
-    toks = df.select(
+    toks = widen(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
@@ -221,21 +264,30 @@ def simhash_near_pairs(
             )
         ).alias("c"),
     ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk")
-    a = chunks.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
-        "chunk_idx", "chunk",
-    )
-    b = chunks.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
-        "chunk_idx", "chunk",
-    )
+    # Bucket-group instead of self-join (a self-join would run the whole
+    # 63-sum simhash aggregation once per side); the 8-byte signature
+    # rides along in the bucket, so pairs come out fully materialized.
     return (
-        a.join(b, ["chunk_idx", "chunk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-        .withColumn(
-            "hamming", F.bit_count(F.expr("sim_a ^ sim_b"))
+        chunks.groupBy("chunk_idx", "chunk")
+        .agg(
+            F.collect_list(F.struct("doc_id", "simhash")).alias("ms")
         )
+        .filter(F.size("ms") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (x, i) -> "
+                    "transform(slice(ms, i + 2, size(ms)), y -> struct("
+                    "IF(x.doc_id < y.doc_id, x.doc_id, y.doc_id) AS doc_a, "
+                    "IF(x.doc_id < y.doc_id, x.simhash, y.simhash) AS sim_a, "
+                    "IF(x.doc_id < y.doc_id, y.doc_id, x.doc_id) AS doc_b, "
+                    "IF(x.doc_id < y.doc_id, y.simhash, x.simhash) AS sim_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", F.bit_count(F.expr("sim_a ^ sim_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

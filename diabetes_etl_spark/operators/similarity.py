@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from diabetes_etl_spark.operators.util import widen
+
 _DEC_ELEM = "DECIMAL(20,15)"
 _DEC_ACC = "DECIMAL(30,15)"
 
@@ -46,7 +48,7 @@ def norm_exact(a: str) -> Column:
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return df.withColumn("_norm", norm_exact(vec_col))
+    return widen(df).withColumn("_norm", norm_exact(vec_col))
 
 
 def cosine_topk(
