@@ -276,3 +276,41 @@ def stream_ingest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.agg(
         F.count("*").alias("n_rows"), F.countDistinct("event_id").alias("n_ids")
     )
+
+
+@register(
+    "stream_stateful_user_profiles",
+    oracle=f"""
+SELECT user_id,
+  COUNT(*) AS n_events,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_purchases,
+  MAX(value) AS max_value,
+  strftime(MAX(ts), '{_DUCK_FMT}') AS last_ts
+FROM events
+GROUP BY user_id
+""",
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "per-user running profile (counts/extrema) as arbitrary per-key "
+    "state across micro-batches; on bounded input the final state "
+    "equals the batch groupBy, so even this non-SQL operator is "
+    "oracle-checked (streaming/stateful.py).",
+    tags=("streaming", "stateful", "extension"),
+)
+def stream_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.streaming.stateful import (
+        latest_profiles,
+        running_user_profiles,
+    )
+
+    prof = running_user_profiles(_events_stream(spark, sf_dir))
+    snap = stream_snapshot(spark, prof, output_mode="update")
+    return latest_profiles(snap).select(
+        "user_id",
+        "n_events",
+        "n_purchases",
+        "max_value",
+        F.date_format(
+            F.timestamp_micros(F.col("last_ts_micros")), _TS_FMT
+        ).alias("last_ts"),
+    )

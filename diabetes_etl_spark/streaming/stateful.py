@@ -1,0 +1,90 @@
+"""Custom stateful streaming operator via applyInPandasWithState —
+the extension tier's arbitrary-state example (SURVEY.md §7.5; no
+reference counterpart: the reference pipeline is processing-time only).
+
+Pattern: per-key mutable state that survives across micro-batches,
+updated from Arrow-batched pandas frames.  This is the Spark-native
+shape for operators that windowed aggregation can't express (running
+profiles, custom sessionization, online sketches).  State stays small
+and fixed-width per key; each micro-batch emits the refreshed profile
+row for keys it touched (update mode).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_OUT_SCHEMA = (
+    "user_id long, n_events long, n_purchases long, max_value double, "
+    "last_ts_micros long"
+)
+_STATE_SCHEMA = (
+    "n_events long, n_purchases long, max_value double, last_ts_micros long"
+)
+
+
+def _update_user_profile(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, n_p, mx, last = state.get
+    else:
+        n, n_p, mx, last = 0, 0, None, None
+    for pdf in pdfs:
+        n += len(pdf)
+        n_p += int((pdf["event_type"] == "purchase").sum())
+        bmax = pdf["value"].max(skipna=True)
+        if pd.notna(bmax):
+            mx = float(bmax) if mx is None else max(mx, float(bmax))
+        blast = pdf["ts"].max()
+        if pd.notna(blast):
+            micros = blast.value // 1000  # pandas ns -> micros
+            last = micros if last is None else max(last, micros)
+    state.update((n, n_p, mx, last))
+    yield pd.DataFrame(
+        [(user_id, n, n_p, mx, last)],
+        columns=[
+            "user_id", "n_events", "n_purchases", "max_value",
+            "last_ts_micros",
+        ],
+    )
+
+
+def running_user_profiles(events_stream: DataFrame) -> DataFrame:
+    """Per-user running profile maintained as arbitrary streaming state.
+
+    Counts and extrema only — deterministic under any batch/row order,
+    so on bounded input the final state per key equals the batch
+    groupBy (asserted against the DuckDB oracle and in
+    tests/test_streaming.py).
+    """
+    return (
+        events_stream.select("user_id", "event_type", "value", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_profile,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def latest_profiles(snapshot: DataFrame) -> DataFrame:
+    """Collapse the update-mode emission log to the newest row per key
+    (n_events is cumulative, so max(n_events) identifies it)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        snapshot.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

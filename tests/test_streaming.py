@@ -102,3 +102,52 @@ def test_streaming_sliding_window_counts(spark, sf_dir):
     got = {(r["window"]["start"], r["n"]) for r in snap.collect()}
     want = {(r["window"]["start"], r["n"]) for r in batch.collect()}
     assert got == want
+
+
+def test_stateful_profiles_accumulate_across_batches(spark, tmp_path, sf_dir):
+    """applyInPandasWithState must carry per-key state between
+    micro-batches: two files + maxFilesPerTrigger=1 -> two batches; the
+    final profile must equal the batch aggregate over BOTH files, and a
+    user seen in both batches must have been re-emitted with a larger
+    cumulative count."""
+    from diabetes_etl_spark.streaming.stateful import (
+        latest_profiles,
+        running_user_profiles,
+    )
+    from diabetes_etl_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    src = str(tmp_path / "events_src")
+    half = events.filter(F.col("event_id") % 2 == 0)
+    other = events.subtract(half)
+    half.coalesce(1).write.parquet(src)
+    other.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    snap = stream_snapshot(spark, running_user_profiles(stream),
+                           output_mode="update")
+    final = {
+        r.user_id: (r.n_events, r.n_purchases)
+        for r in latest_profiles(snap).collect()
+    }
+    expected = {
+        r.user_id: (r.n_events, r.n_purchases)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purchases"),
+        )
+        .collect()
+    }
+    assert final == expected
+    # at least one key emitted twice with growing count = state carried over
+    emissions = snap.groupBy("user_id").count().filter("count >= 2").count()
+    assert emissions > 0
