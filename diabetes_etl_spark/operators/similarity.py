@@ -19,6 +19,9 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -221,6 +224,97 @@ def lsh_topk(
         "cosine_sim",
         F.round(
             dot_exact("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 9
+        ),
+    ).dropDuplicates(["query_id", "candidate_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("candidate_id")
+    )
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .select("query_id", "candidate_id", "cosine_sim", "sim_rank")
+    )
+
+
+# -- ANN, vectorized variant ------------------------------------------------
+
+
+def lsh_topk_vectorized(
+    df: DataFrame,
+    query_ids: Column,
+    k: int = 5,
+    n_bits: int = 6,
+    dim: int = 64,
+    n_tables: int = 8,
+    seed: int = 7,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """lsh_topk with the bucket codes computed by an Arrow-batched
+    Pandas UDF: all (n_tables * n_bits) signed projections per vector
+    collapse into ONE numpy matmul per batch.
+
+    Native higher-order expressions evaluate lambda-per-element
+    interpreted — fine for a handful of projections, but at 48 planes x
+    dim 64 the matmul path is the honest winner (the one place in this
+    repo where a Python UDF beats built-ins).  Hyperplanes come from a
+    seeded PCG64 generator, deterministic across runs and platforms.
+    """
+    planes = (
+        np.random.default_rng(seed)
+        .standard_normal((dim, n_tables * n_bits))
+        .astype("float64")
+    )
+    weights = (1 << np.arange(n_bits)).astype("int64")
+
+    @F.pandas_udf("struct<norm: double, codes: array<long>>")
+    def vec_profile(emb: pd.Series) -> pd.DataFrame:
+        m = np.stack(emb.to_numpy()).astype("float64")  # (batch, dim)
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        bits = (m @ planes) > 0  # (batch, tables*bits)
+        codes = (
+            bits.reshape(len(m), n_tables, n_bits) * weights
+        ).sum(axis=2).astype("int64")
+        return pd.DataFrame({"norm": norms, "codes": list(codes)})
+
+    @F.pandas_udf("double")
+    def pair_cosine(q: pd.Series, c: pd.Series, qn: pd.Series, cn: pd.Series) -> pd.Series:
+        qa = np.stack(q.to_numpy()).astype("float64")
+        ca = np.stack(c.to_numpy()).astype("float64")
+        dots = np.einsum("ij,ij->i", qa, ca)
+        return pd.Series(np.round(dots / (qn.to_numpy() * cn.to_numpy()), 9))
+
+    base = widen(df).withColumn("_p", vec_profile(F.col(vec_col)))
+    cands = base.select(
+        F.col(id_col).alias("candidate_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("_p.norm").alias("c_norm"),
+        F.posexplode("_p.codes").alias("tbl", "bucket"),
+    )
+    flips = [0] + ([1 << i for i in range(n_bits)] if multiprobe else [])
+    queries = (
+        base.filter(query_ids)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("_p.norm").alias("q_norm"),
+            F.posexplode("_p.codes").alias("tbl", "bucket0"),
+        )
+        .select(
+            "query_id", "q_vec", "q_norm", "tbl",
+            F.explode(
+                F.array(*[F.col("bucket0").bitwiseXOR(F.lit(f)) for f in flips])
+            ).alias("bucket"),
+        )
+    )
+    pairs = cands.join(F.broadcast(queries), ["tbl", "bucket"]).filter(
+        F.col("candidate_id") != F.col("query_id")
+    )
+    scored = pairs.withColumn(
+        "cosine_sim",
+        pair_cosine(
+            F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
         ),
     ).dropDuplicates(["query_id", "candidate_id"])
     w = Window.partitionBy("query_id").orderBy(

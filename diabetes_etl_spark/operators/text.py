@@ -112,3 +112,16 @@ def jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     union = F.size(a) + F.size(b) - inter
     return inter / union
+
+
+# BPE-style pre-tokenizer split (GPT-2 shape, portable subset: letter
+# runs, short digit runs, punctuation runs, each with optional leading
+# space).  Counting its matches approximates an LLM tokenizer's token
+# count without shipping a vocabulary — the standard cheap budget
+# estimator for corpus curation.
+BPE_SPLIT = r" ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9\s]+"
+
+
+def subword_count(c: Column) -> Column:
+    """Approximate LLM-token count via the BPE-ish split regex."""
+    return F.regexp_count(c, F.lit(BPE_SPLIT))

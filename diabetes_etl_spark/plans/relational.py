@@ -935,3 +935,69 @@ def range_join_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "cube_status_priority",
+    oracle=f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+  COALESCE(o_orderpriority, 'ALL') AS priority,
+  COUNT(*) AS n_orders,
+  {sql_dec_sum("o_totalprice", 2)} AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+""",
+    doc="CUBE cross-dimension totals (library op completing the "
+    "grouping-set family next to ROLLUP; SURVEY §2.3).",
+    tags=("agg", "cube"),
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register(
+    "grouping_sets_regions",
+    oracle=f"""
+SELECT COALESCE(r_name, 'ALL') AS region,
+  COALESCE(n_name, 'ALL') AS nation,
+  COUNT(*) AS n_customers,
+  {sql_dec_sum("c_acctbal", 2)} AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+ORDER BY region, nation
+""",
+    doc="GROUPING SETS with explicit set list over a dimension join "
+    "(SQL entry; completes the grouping-set family, SURVEY §2.3).",
+    tags=("agg", "grouping-sets", "sql"),
+)
+def grouping_sets_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"gs_{t}")
+    return spark.sql(f"""
+SELECT COALESCE(r_name, 'ALL') AS region,
+  COALESCE(n_name, 'ALL') AS nation,
+  COUNT(*) AS n_customers,
+  {sql_dec_sum("c_acctbal", 2)} AS total_acctbal
+FROM gs_customer
+JOIN gs_nation ON c_nationkey = n_nationkey
+JOIN gs_region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+ORDER BY region, nation
+""")

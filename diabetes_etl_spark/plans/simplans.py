@@ -145,3 +145,18 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(attach_binary_payload(docs))
+
+
+@register(
+    "sim_lsh_topk_vectorized",
+    oracle=None,  # approximate; recall vs brute force in tests
+    doc="ANN top-5, fully Arrow-vectorized: one numpy matmul computes "
+    "all 48 hyperplane projections + norms per batch, einsum re-ranks "
+    "candidate pairs — the one hot path where a Pandas UDF honestly "
+    "beats native expressions (~2x the interpreted zip_with/aggregate "
+    "form; recall@5 ~0.92, tests/test_similarity.py).",
+    tags=("similarity", "lsh", "pandas-udf", "extension"),
+)
+def sim_lsh_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk_vectorized(emb, F.col("vec_id") < 10, k=5)

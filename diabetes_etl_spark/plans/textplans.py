@@ -157,3 +157,47 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality_score"))
         .filter(F.col("quality_score") >= 0.5)
     )
+
+
+@register(
+    "text_subword_tokens",
+    oracle=rf"""
+SELECT doc_id, n_tokens, n_subwords,
+  CASE WHEN n_subwords > 0 THEN
+    ROUND(CAST(n_chars_text AS DOUBLE) / n_subwords, 6)
+  END AS chars_per_subword
+FROM (
+  SELECT doc_id,
+    len({_D_TOKENS}) AS n_tokens,
+    len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]{{1,3}}| ?[^A-Za-z0-9\s]+'))
+      AS n_subwords,
+    CAST(length(text) AS BIGINT) AS n_chars_text
+  FROM documents
+) t
+""",
+    doc="BPE-ish token-count estimation: whitespace tokens vs regex "
+    "pre-tokenizer matches + chars-per-token ratio (operators/text.py: "
+    "subword_count — the LLM token-budget estimator).",
+    tags=("text", "extension"),
+)
+def text_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        docs.select(
+            "doc_id",
+            TX.token_count(t).cast("long").alias("n_tokens"),
+            TX.subword_count(t).cast("long").alias("n_subwords"),
+            F.length(t).cast("long").alias("_n_chars"),
+        )
+        .withColumn(
+            "chars_per_subword",
+            F.when(
+                F.col("n_subwords") > 0,
+                F.round(
+                    F.col("_n_chars").cast("double") / F.col("n_subwords"), 6
+                ),
+            ),
+        )
+        .drop("_n_chars")
+    )

@@ -72,3 +72,18 @@ def test_lsh_more_tables_no_worse(emb):
         return len(brute & ann) / len(brute)
 
     assert recall(8) >= recall(2)
+
+
+def test_lsh_vectorized_recall_vs_brute_force(emb):
+    brute = {
+        (r.query_id, r.candidate_id)
+        for r in SIM.cosine_topk(emb, F.col("vec_id") < 10, k=5).collect()
+    }
+    ann = {
+        (r.query_id, r.candidate_id)
+        for r in SIM.lsh_topk_vectorized(
+            emb, F.col("vec_id") < 10, k=5
+        ).collect()
+    }
+    recall = len(brute & ann) / len(brute)
+    assert recall >= 0.8, f"vectorized ANN recall@5 degraded: {recall}"
