@@ -1001,3 +1001,72 @@ JOIN gs_region ON n_regionkey = r_regionkey
 GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
 ORDER BY region, nation
 """)
+
+
+@register(
+    "salted_agg_orders",
+    oracle=f"""
+SELECT o_custkey,
+  COUNT(*) AS n_orders,
+  {sql_dec_sum("o_totalprice", 2)} AS total_price
+FROM orders
+GROUP BY o_custkey
+ORDER BY n_orders DESC, o_custkey
+LIMIT 100
+""",
+    doc="Skew-safe two-phase aggregation: groupBy(key, salt) partial -> "
+    "groupBy(key) merge.  On a skewed key distribution the salt spreads "
+    "a hot key over N reducers; the final merge handles N rows per key. "
+    "(AQE skew handling is also on globally — session.py — this is the "
+    "explicit form for deterministic pipelines.)  Result is salt-"
+    "invariant, so it oracle-checks against a plain GROUP BY.",
+    tags=("agg", "skew", "salting"),
+)
+def salted_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    n_salt = 16
+    partial = (
+        orders.withColumn(
+            "_salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(n_salt))
+        )
+        .groupBy("o_custkey", "_salt")
+        .agg(
+            F.count("*").alias("_n"),
+            dec_sum(F.col("o_totalprice"), 2).alias("_tp"),
+        )
+    )
+    return (
+        partial.groupBy("o_custkey")
+        .agg(
+            F.sum("_n").alias("n_orders"),
+            # partial sums are exact decimals cast to double; re-fold at
+            # the same scale so the merged sum is still order-independent
+            dec_sum(F.col("_tp"), 2).alias("total_price"),
+        )
+        .orderBy(F.col("n_orders").desc(), F.col("o_custkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "approx_distinct_customers",
+    oracle=None,  # HLL++ sketch: no ANSI equivalent; tolerance vs exact
+    # asserted in tests/test_plans.py
+    doc="approx_count_distinct (HyperLogLog++) per order-priority — the "
+    "mergeable scale path for countDistinct (exact form exercised by "
+    "diab_gold_refresh_log / risk_analysis); within 5% of exact by "
+    "construction at rsd=0.02, asserted in tests.",
+    tags=("agg", "sketch", "approx"),
+)
+def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias(
+                "approx_customers"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,92 @@
+"""Physical-plan regression tests — the scale contract, asserted.
+
+Correctness tests prove the numbers; these prove the SHAPE of the plan
+is the one that survives a 100x scale-up: filters and projections reach
+the parquet scan, small dimensions broadcast, nothing silently falls
+back to a cartesian product, and the reference-parity tier stays free
+of row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from diabetes_etl_spark.plans import all_queries
+
+QUERIES = all_queries()
+
+
+def _plan(spark, sf_dir, name: str, mode: str = "extended") -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_q1_scan_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    # the shipdate filter must reach the parquet scan…
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # …and the scan must NOT read the full 16-column lineitem schema
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in read_schema and "l_shipmode" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q5_broadcasts_dimensions_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # region filter is pushed into its scan, enabling join pruning
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_q3_selective_filters_pushed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_diabetes_medians_broadcast_not_shuffled(spark, sf_dir):
+    # the 1-row medians aggregate must come back via broadcast
+    # (cross-join of a 1-row relation), never a shuffled join
+    plan = _plan(spark, sf_dir, "diab_silver_features")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n, s in QUERIES.items()
+        if not any(t in s.tags for t in ("extension", "streaming"))
+    ),
+)
+def test_parity_tier_has_no_python_udfs(spark, sf_dir, name):
+    """Reference-parity queries must stay whole-stage-codegen JVM plans:
+    no row-at-a-time or Arrow Python evaluation anywhere (Python is
+    reserved for the extension tier: multimodal decode, vectorized ANN,
+    stateful streaming)."""
+    plan = _plan(spark, sf_dir, name, mode="simple")
+    assert "BatchEvalPython" not in plan  # row-at-a-time UDF
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    rows = QUERIES["approx_distinct_customers"].fn(spark, sf_dir).collect()
+    from diabetes_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    exact = {
+        r.o_orderpriority: r.exact
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("exact"))
+        .collect()
+    }
+    for r in rows:
+        e = exact[r.o_orderpriority]
+        assert abs(r.approx_customers - e) / e <= 0.05
