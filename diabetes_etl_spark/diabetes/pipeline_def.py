@@ -232,6 +232,9 @@ def build_diabetes_pipeline(
     @p.table(
         name="diabetes_data_quality_metrics",
         comment="Per-file imputation and quality monitoring",
+        # production shape (SURVEY §7.4): date-partitioned gold so
+        # monitoring scans prune to the day under inspection
+        partition_by=("processing_date",),
     )
     def diabetes_data_quality_metrics(c) -> DataFrame:
         # reference: pipeline:453-489

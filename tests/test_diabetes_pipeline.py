@@ -206,3 +206,28 @@ def test_median_fallbacks_on_empty_input(spark):
     med = FE.nonzero_medians(empty).collect()[0]
     for c, v in FALLBACK_MEDIANS.items():
         assert med[f"__med_{c}"] == v
+
+
+def test_warehouse_partitioned_gold_prunes(spark, tmp_path):
+    """Warehouse mode writes dq metrics partitioned by processing_date;
+    a date-filtered read must hit only that partition (PartitionFilters
+    in the scan, not a post-scan filter)."""
+    r = PipelineRunner(
+        build_diabetes_pipeline(CSV_DIR, ctx=CTX),
+        spark,
+        mode="warehouse",
+        warehouse=str(tmp_path / "wh"),
+    )
+    r.materialize("diabetes_data_quality_metrics")
+    table_dir = os.path.join(str(tmp_path / "wh"), "diabetes_data_quality_metrics")
+    parts = [d for d in os.listdir(table_dir) if d.startswith("processing_date=")]
+    assert parts, f"expected hive-style partition dirs in {table_dir}"
+
+    df = spark.read.parquet(table_dir).filter(
+        F.col("processing_date") == "2024-06-01"
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "extended"
+    )
+    assert "PartitionFilters: [isnotnull(processing_date" in plan
+    assert df.count() > 0
