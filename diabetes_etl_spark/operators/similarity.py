@@ -236,6 +236,202 @@ def lsh_topk(
     )
 
 
+# -- Near-dup pairs, LSH-bucketed scale path --------------------------------
+
+
+def cosine_neardup_lsh(
+    df: DataFrame,
+    threshold: float,
+    n_bits: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold via LSH bucketing — the scale
+    path for cosine_threshold_pairs.
+
+    The exact form is an O(n^2) cross join; here the only shuffle moves
+    (table, bucket, id) — 20 bytes/row/table — pair ids are generated by
+    grouping bucket members (never a bucket self-join, which would
+    duplicate the hashing subtree), and the exact cosine verification
+    re-attaches vectors with one join per side.  Few hyperplane bits per
+    table (collision prob per bit p = 1 - theta/pi is only ~0.65 at
+    cosine 0.45, so p^bits decays fast) and many tables give the recall;
+    exact verification keeps precision at 1.0 — output contains no
+    false positives by construction, banding only affects recall
+    (measured vs the exact form in tests/test_similarity.py).
+    """
+    base = with_norm(df, vec_col)
+    table_buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(vec_col, n_bits, dim, seed=t * 131).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    exploded = base.select(
+        F.col(id_col).alias("doc_id"), F.explode(table_buckets).alias("tb")
+    ).select("doc_id", "tb.tbl", "tb.bucket")
+    pair_ids = (
+        exploded.groupBy("tbl", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> "
+                    "struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = base.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.col("_norm").alias("nrm"),
+    )
+    return (
+        pair_ids.join(
+            vecs.withColumnsRenamed(
+                {"vid": "id_a", "vec": "vec_a", "nrm": "norm_a"}
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.withColumnsRenamed(
+                {"vid": "id_b", "vec": "vec_b", "nrm": "norm_b"}
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                dot_exact("vec_a", "vec_b")
+                / (F.col("norm_a") * F.col("norm_b")),
+                9,
+            ),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+# -- ANN: IVF (inverted file over spherical k-means cells) -------------------
+
+
+def _train_centroids(
+    vecs: np.ndarray, n_centroids: int, n_iters: int, seed: int
+) -> np.ndarray:
+    """Spherical k-means (Lloyd's on the unit sphere), deterministic.
+
+    Runs on a bounded driver-side sample — the FAISS convention: IVF
+    coarse quantizers train on O(centroids * 100) sampled vectors no
+    matter the corpus size, so this is not a data-proportional collect.
+    Returns unit-norm centroids, shape (n_centroids, dim)."""
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    v = vecs / np.where(norms == 0, 1.0, norms)
+    rng = np.random.default_rng(seed)
+    cent = v[rng.choice(len(v), size=min(n_centroids, len(v)), replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(v @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = v[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    cent[c] = m / nm
+    return cent
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids: Column,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_assign: int = 2,
+    n_iters: int = 8,
+    seed: int = 11,
+    train_cap: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an inverted-file (IVF) index: partition the
+    sphere into k-means cells, search only the cells nearest the query.
+
+    Corpus vectors are indexed under their n_assign nearest centroids
+    map-side (one Arrow-batched matmul per batch, no shuffle) — the
+    multi-assignment "spill" that rescues neighbours sitting near a
+    cell boundary; each query probes its n_probe nearest cells.  The
+    cell join replaces the cross product: candidate volume
+    ~ n_assign * n_probe / n_centroids of the corpus, concentrated
+    where the neighbours actually are — the complementary ANN design to
+    lsh_topk (data-adaptive cells vs oblivious planes).  Training
+    samples min(train_cap, n) vectors by xxhash64 order — deterministic
+    and bounded regardless of corpus size.
+    """
+    sample = np.array(
+        [
+            r[0]
+            for r in df.select(F.col(vec_col))
+            .orderBy(F.xxhash64(F.col(id_col)))
+            .limit(train_cap)
+            .collect()
+        ],
+        dtype="float64",
+    )
+    cent = _train_centroids(sample, n_centroids, n_iters, seed)
+    n_cells = len(cent)
+    probes = min(max(n_probe, n_assign), n_cells)
+
+    @F.pandas_udf("struct<norm: double, cells: array<int>>")
+    def cell_profile(emb: pd.Series) -> pd.DataFrame:
+        m = np.stack(emb.to_numpy()).astype("float64")
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        safe = np.where(norms == 0, 1.0, norms)
+        sims = (m / safe[:, None]) @ cent.T  # (batch, n_cells)
+        top = np.argsort(-sims, axis=1)[:, :probes].astype("int32")
+        return pd.DataFrame({"norm": norms, "cells": list(top)})
+
+    base = widen(df).withColumn("_p", cell_profile(F.col(vec_col)))
+    cands = base.select(
+        F.col(id_col).alias("candidate_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("_p.norm").alias("c_norm"),
+        F.explode(F.slice("_p.cells", 1, min(n_assign, n_cells))).alias("cell"),
+    )
+    queries = base.filter(query_ids).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("_p.norm").alias("q_norm"),
+        F.explode(F.slice("_p.cells", 1, min(n_probe, n_cells))).alias("cell"),
+    )
+    pairs = cands.join(F.broadcast(queries), "cell").filter(
+        F.col("candidate_id") != F.col("query_id")
+    )
+    scored = pairs.withColumn(
+        "cosine_sim",
+        F.round(
+            dot_exact("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 9
+        ),
+    ).dropDuplicates(["query_id", "candidate_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("candidate_id")
+    )
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .select("query_id", "candidate_id", "cosine_sim", "sim_rank")
+    )
+
+
 # -- ANN, vectorized variant ------------------------------------------------
 
 

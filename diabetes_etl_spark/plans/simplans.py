@@ -119,6 +119,40 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_neardup_lsh",
+    oracle=None,  # approximate recall; precision 1.0 by construction
+    doc="Embedding near-dup pairs (cosine >= 0.45) via LSH bucketing — "
+    "the scale path for sim_neardup_pairs: the only shuffle carries "
+    "(table, bucket, id); pairs come from grouped bucket members and "
+    "are exact-verified, so precision is 1.0 and only recall is "
+    "approximate (measured vs the exact form in tests/test_similarity.py).",
+    tags=("similarity", "lsh", "extension"),
+)
+def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_neardup_lsh(emb, threshold=0.45)
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=None,  # approximate; recall vs brute force in tests
+    doc="ANN top-5 via an IVF index: spherical k-means cells trained on "
+    "a bounded deterministic sample (FAISS-style), corpus multi-assigned "
+    "map-side to its 2 nearest cells, queries probe their 4 nearest of "
+    "16 cells, exact re-rank within candidates — the data-adaptive "
+    "complement to the oblivious-hyperplane lsh_topk "
+    "(operators/similarity.py:ivf_topk; recall@5 0.74-0.88 on the "
+    "weakly-clustered synthetic fixtures, tests/test_similarity.py).",
+    tags=("similarity", "ivf", "pandas-udf", "extension"),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(
+        emb, F.col("vec_id") < 10, k=5, n_centroids=16, n_probe=4
+    )
+
+
+@register(
     "multimodal_features",
     oracle="""
 SELECT doc_id, 'text/plain' AS mime,

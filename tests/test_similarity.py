@@ -74,6 +74,61 @@ def test_lsh_more_tables_no_worse(emb):
     assert recall(8) >= recall(2)
 
 
+def test_neardup_lsh_precision_and_recall(emb):
+    """LSH-bucketed near-dup: precision 1.0 by construction (pairs are
+    exact-verified), recall measured against the exact all-pairs form."""
+    exact = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in SIM.cosine_threshold_pairs(emb, threshold=0.45).collect()
+    }
+    lsh_rows = SIM.cosine_neardup_lsh(emb, threshold=0.45).collect()
+    lsh = {(r.id_a, r.id_b): r.cosine_sim for r in lsh_rows}
+    assert set(lsh) <= set(exact)  # no false positives, canonical pairs
+    for pair, sim in lsh.items():
+        assert sim == exact[pair]  # exact-verified cosine matches
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, f"near-dup LSH recall degraded: {recall}"
+
+
+def test_ivf_topk_recall_vs_brute_force(emb):
+    brute = {
+        (r.query_id, r.candidate_id)
+        for r in SIM.cosine_topk(emb, F.col("vec_id") < 10, k=5).collect()
+    }
+    ivf_rows = SIM.ivf_topk(
+        emb, F.col("vec_id") < 10, k=5, n_centroids=16, n_probe=4
+    ).collect()
+    ivf = {(r.query_id, r.candidate_id) for r in ivf_rows}
+    assert len(ivf) <= 50
+    by_q = {}
+    for r in ivf_rows:
+        assert r.query_id != r.candidate_id
+        by_q.setdefault(r.query_id, []).append(r.sim_rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.8, f"IVF recall@5 degraded: {recall}"
+
+
+def test_ivf_more_probes_no_worse(emb):
+    """Probing more cells can only widen the candidate set."""
+    brute = {
+        (r.query_id, r.candidate_id)
+        for r in SIM.cosine_topk(emb, F.col("vec_id") < 3, k=5).collect()
+    }
+
+    def recall(probes: int) -> float:
+        got = {
+            (r.query_id, r.candidate_id)
+            for r in SIM.ivf_topk(
+                emb, F.col("vec_id") < 3, k=5, n_centroids=16, n_probe=probes
+            ).collect()
+        }
+        return len(brute & got) / len(brute)
+
+    assert recall(8) >= recall(1)
+
+
 def test_lsh_vectorized_recall_vs_brute_force(emb):
     brute = {
         (r.query_id, r.candidate_id)
