@@ -572,6 +572,45 @@ def window_running_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_distribution_ranks",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+  CAST(ntile(4) OVER w AS INT) AS price_quartile,
+  ROUND(percent_rank() OVER w, 9) AS price_pct_rank,
+  ROUND(cume_dist() OVER w, 9) AS price_cume_dist,
+  first_value(o_orderkey) OVER wf AS frame_first_key,
+  last_value(o_orderkey) OVER wf AS frame_last_key
+FROM orders
+WINDOW
+  w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+  wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+""",
+    doc="Distribution ranks: ntile / percent_rank / cume_dist plus "
+    "first_value/last_value over an explicit bounded ROWS frame (library "
+    "operators, SURVEY §2.5; full orderBy tiebreak keeps every rank "
+    "deterministic — percent_rank and cume_dist are exact rational "
+    "divisions, identical IEEE doubles in both engines).",
+    tags=("window",),
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wf = w.rowsBetween(-2, 2)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("price_cume_dist"),
+        F.first("o_orderkey").over(wf).alias("frame_first_key"),
+        F.last("o_orderkey").over(wf).alias("frame_last_key"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar subquery / CTE / HAVING — SQL-layer forms (reference: D:57, D:105-135).
 # Shared SQL string = identical semantics in Spark SQL and DuckDB.

@@ -70,6 +70,93 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+_SOURCE_FORMATS = {
+    "parquet": {},
+    "orc": {},
+    "csv": {"header": "true"},
+    "json": {},
+}
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options: str,
+) -> DataFrame:
+    """Generic batch source over the formats the engine supports.
+
+    Schema inference is never the default for text formats: at 100 TB an
+    inference pass scans the input twice (the reference disables it too,
+    src/diabetes_etl_pipeline.py:67 "inferSchema","false") — callers pass
+    an explicit StructType; parquet/orc carry their own schema.
+    """
+    fmt = fmt.lower()
+    if fmt not in _SOURCE_FORMATS:
+        raise ValueError(f"unsupported source format {fmt!r}")
+    reader = spark.read.format(fmt).options(
+        **{**_SOURCE_FORMATS[fmt], **options}
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        raise ValueError(
+            f"{fmt} source needs an explicit schema — inference would "
+            "double-scan the input"
+        )
+    return reader.load(path)
+
+
+def write_sink(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+    **options: str,
+) -> None:
+    """Generic file sink; partition_by gives directory-level partition
+    pruning to every downstream reader."""
+    fmt = fmt.lower()
+    if fmt not in _SOURCE_FORMATS:
+        raise ValueError(f"unsupported sink format {fmt!r}")
+    writer = df.write.format(fmt).mode(mode).options(
+        **{**_SOURCE_FORMATS[fmt], **options}
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def save_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (hash-pre-partitioned) managed table.
+
+    Bucketing pays the shuffle once at write time: every later
+    equi-join or aggregation on the bucket key reads co-located buckets
+    and plans with NO Exchange on either bucketed side — the difference
+    between moving 100 TB per join and moving nothing
+    (tests/test_sources.py asserts the shuffle-free plan).  The
+    repartition guarantees one file per bucket, which is what lets a
+    sortBy'd table also skip the join-time sort.
+    """
+    writer = (
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = FIXTURE_TABLES
 ) -> None:

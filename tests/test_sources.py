@@ -1,0 +1,109 @@
+"""Source/sink coverage: multi-format round-trips (csv/json/orc keep
+values and types under an explicit schema) and bucketed managed tables
+(the write-once-shuffle, join-forever-free layout for 100 TB fact
+tables)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.sources.tables import (
+    load_table,
+    read_source,
+    save_bucketed,
+    write_sink,
+)
+
+
+@pytest.fixture(scope="module")
+def lineitem_slice(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+            "l_returnflag", "l_shipdate",
+        )
+        .filter(F.col("l_orderkey") < 200)
+    )
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc", "parquet"])
+def test_format_round_trip(spark, tmp_path_factory, lineitem_slice, fmt):
+    path = str(tmp_path_factory.mktemp("src") / f"rt_{fmt}")
+    write_sink(lineitem_slice, path, fmt=fmt)
+    back = read_source(spark, path, fmt=fmt, schema=lineitem_slice.schema)
+    assert back.schema == lineitem_slice.schema
+    want = sorted(map(tuple, lineitem_slice.collect()))
+    got = sorted(map(tuple, back.collect()))
+    assert got == want
+
+
+def test_text_formats_require_schema(spark, tmp_path_factory, lineitem_slice):
+    path = str(tmp_path_factory.mktemp("src") / "noschema")
+    write_sink(lineitem_slice, path, fmt="csv")
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_source(spark, path, fmt="csv")
+
+
+def test_partitioned_sink_prunes(spark, tmp_path_factory, lineitem_slice):
+    path = str(tmp_path_factory.mktemp("src") / "parted")
+    write_sink(lineitem_slice, path, fmt="parquet", partition_by=("l_returnflag",))
+    back = read_source(spark, path, fmt="parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition filter handled at listing time, not as a data filter
+    assert back.count() == lineitem_slice.filter(F.col("l_returnflag") == "R").count()
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Both sides bucketed on the join key => SortMergeJoin with zero
+    Exchange operators (broadcast disabled to force the SMJ path)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    save_bucketed(orders, "t_orders_bkt", ("o_custkey",), 8, ("o_custkey",))
+    save_bucketed(customer, "t_customer_bkt", ("c_custkey",), 8, ("c_custkey",))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_orders_bkt").join(
+            spark.table("t_customer_bkt"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # and it computes the same thing as the plain join
+        plain = orders.join(
+            customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_customer_bkt")
+
+
+def test_bucketed_aggregation_is_shuffle_free(spark, sf_dir):
+    """groupBy on the bucket key reuses the bucketing => no Exchange."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    save_bucketed(orders, "t_orders_bkt_agg", ("o_custkey",), 8)
+    try:
+        agg = (
+            spark.table("t_orders_bkt_agg")
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias("n_orders"))
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed agg still shuffles:\n{plan}"
+        assert agg.count() == orders.select("o_custkey").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_bkt_agg")
