@@ -41,9 +41,6 @@ HEADLINE = [
     "sim_topk_cosine",
     "sim_lsh_topk",
     "text_quality_by_lang",
-    # last: first Pandas-UDF query spawns the Python worker pool (one-off
-    # process+numpy cost) and perturbs the next few JVM queries — keep it
-    # at the end so the other measurements stay clean.
     "sim_lsh_topk_vectorized",
 ]
 
@@ -57,6 +54,15 @@ def main() -> None:
     # Warm the JVM/session on the smallest fixture so per-query numbers
     # measure the plans, not session startup.
     registry["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001").count()
+    # Warm the Python worker pool too: the first Pandas-UDF stage pays a
+    # process spawn + numpy/pandas import per core (~20s across 32
+    # cores), which is session startup, not plan cost.
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    _warm = F.pandas_udf(lambda s: s, "double")
+    spark.range(256).repartition(32).select(
+        _warm(F.col("id").cast("double"))
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()

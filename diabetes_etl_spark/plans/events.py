@@ -279,6 +279,94 @@ def stream_ingest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_enrich",
+    oracle=f"""
+SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_events,
+  {sql_dec_sum("e.value", 2)} AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+""",
+    doc="Stream-static join: the event stream enriched against a "
+    "broadcast dimension table mid-stream (the 100 TB pattern — the "
+    "static side is planned per micro-batch, never shuffled), then a "
+    "streaming aggregate; bounded input makes the complete-mode result "
+    "equal the batch oracle.",
+    tags=("streaming", "join"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = _events_stream(spark, sf_dir).join(
+        F.broadcast(dim), F.col("user_id") == F.col("c_custkey")
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        dec_sum(F.col("value"), 2).alias("total_value"),
+    )
+    snap = stream_snapshot(spark, agg, output_mode="complete")
+    return snap.select(
+        F.col("c_mktsegment").alias("mktsegment"), "n_events", "total_value"
+    )
+
+
+@register(
+    "stream_stream_join",
+    oracle=f"""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+  strftime(p.ts, '{_DUCK_FMT}') AS purchase_ts,
+  strftime(c.ts, '{_DUCK_FMT}') AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+""",
+    doc="Stream-stream interval join: purchases matched to same-user "
+    "clicks within the preceding hour; watermarks on both sides bound "
+    "the join state (state holds only the last hour per side at scale), "
+    "inner join emits matches as they occur — on bounded input the "
+    "append-mode result equals the batch oracle.",
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND "
+            "c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+        ),
+    )
+    snap = stream_snapshot(spark, joined)
+    return snap.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.date_format("p_ts", _TS_FMT).alias("purchase_ts"),
+        F.date_format("c_ts", _TS_FMT).alias("click_ts"),
+    )
+
+
+@register(
     "stream_stateful_user_profiles",
     oracle=f"""
 SELECT user_id,

@@ -1088,6 +1088,45 @@ def salted_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_join_orders",
+    oracle=f"""
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+  {sql_dec_sum("o_totalprice", 2)} AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    doc="Skew-safe salted equi-join (operators/joins.py:salted_join): the "
+    "fact side carries a deterministic 16-way salt, the dimension side "
+    "is replicated per salt, so a hot customer key spreads over 16 "
+    "reducers instead of one straggler.  Salt-invariant by construction "
+    "— oracle-checks against the plain join.",
+    tags=("join", "skew", "salting"),
+)
+def salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.joins import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(
+        orders, customer, "o_custkey", "c_custkey",
+        salt_src="o_orderkey", n_salts=16,
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "approx_distinct_customers",
     oracle=None,  # HLL++ sketch: no ANSI equivalent; tolerance vs exact
     # asserted in tests/test_plans.py
