@@ -43,13 +43,26 @@ def asof_join(
     """
     keys = [on] if isinstance(on, str) else list(on)
     out_names = list(value_cols.values())
+    right_types = dict(right.dtypes)
 
+    # All right-side payload columns travel as ONE struct so the matched
+    # row is atomic: carrying each column independently with
+    # last(ignorenulls=True) could mix values from different right rows
+    # whenever the most recent row holds a NULL payload column (an older
+    # row's non-NULL value would be substituted).  A struct is non-NULL
+    # as soon as the row exists, so its fields — including genuine NULLs
+    # — always come from the single matched row, same as DuckDB ASOF JOIN.
+    rv_type = (
+        "struct<"
+        + ",".join(f"{dst}:{right_types[src]}" for src, dst in value_cols.items())
+        + ">"
+    )
     l2 = left.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__side"),
         F.struct(*left.columns).alias("__row"),
-        *[F.lit(None).cast(dict(right.dtypes)[src]).alias(dst) for src, dst in value_cols.items()],
+        F.lit(None).cast(rv_type).alias("__rv"),
     )
     r2 = right.select(
         *[F.col(k) for k in keys],
@@ -58,7 +71,9 @@ def asof_join(
         F.lit(None).cast(
             "struct<" + ",".join(f"{c}:{t}" for c, t in left.dtypes) + ">"
         ).alias("__row"),
-        *[F.col(src).alias(dst) for src, dst in value_cols.items()],
+        F.struct(
+            *[F.col(src).alias(dst) for src, dst in value_cols.items()]
+        ).alias("__rv"),
     )
     # right rows sort before left rows at equal ts => inclusive match.
     w = (
@@ -69,9 +84,9 @@ def asof_join(
     carried = r2.unionByName(l2).select(
         "__side",
         "__row",
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in out_names],
+        F.last(F.col("__rv"), ignorenulls=True).over(w).alias("__rv"),
     )
     return carried.filter(F.col("__side") == 1).select(
         *[F.col(f"__row.{c}").alias(c) for c in left.columns],
-        *[F.col(c) for c in out_names],
+        *[F.col(f"__rv.{c}").alias(c) for c in out_names],
     )

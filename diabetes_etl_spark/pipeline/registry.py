@@ -33,6 +33,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class ExpectationFailed(RuntimeError):
+    """Raised when an ``expect_or_fail`` expectation is violated
+    (DLT semantics: the pipeline update aborts)."""
+
+
 @dataclass(frozen=True)
 class Expectation:
     name: str
@@ -184,6 +189,21 @@ class PipelineRunner:
             self._in_progress.discard(name)
 
     def _apply_expectations(self, ds: Dataset, df: DataFrame) -> DataFrame:
+        fail_exps = [e for e in ds.expectations if e.action == "fail"]
+        if fail_exps and not df.isStreaming:
+            # DLT expect_or_fail semantics: ANY violating row aborts the
+            # update.  One combined existence probe (limit(1) keeps it a
+            # short-circuit scan, no full count) for all fail conditions,
+            # then per-expectation attribution only on the failure path.
+            combined = " AND ".join(f"({e.condition})" for e in fail_exps)
+            if df.filter(~F.expr(combined)).limit(1).count() > 0:
+                for e in fail_exps:
+                    n_bad = df.filter(~F.expr(e.condition)).count()
+                    if n_bad:
+                        raise ExpectationFailed(
+                            f"dataset {ds.name!r}: expectation {e.name!r} "
+                            f"({e.condition}) violated by {n_bad} row(s)"
+                        )
         for exp in ds.expectations:
             if exp.action == "drop":
                 df = df.filter(F.expr(exp.condition))
@@ -220,6 +240,16 @@ class PipelineRunner:
         )
         q.awaitTermination()
         out = self.spark.read.parquet(path)
+        # fail expectations can't be probed on the unbounded plan above
+        # (no count on a streaming DataFrame) — enforce them on the
+        # materialized batch output instead, still aborting the update.
+        fail_ds = Dataset(
+            name=ds.name, fn=ds.fn, kind=ds.kind,
+            expectations=tuple(
+                e for e in ds.expectations if e.action == "fail"
+            ),
+        )
+        self._apply_expectations(fail_ds, out)
         out.createOrReplaceTempView(self.view_prefix + ds.name)
         return out
 

@@ -48,11 +48,17 @@ def compact_files(
 
     File count is derived from actual bytes on disk (never a guess), the
     compacted copy is written beside the original, and the swap is two
-    renames — the window where neither directory exists is a metadata
-    operation, not a data copy.  With partition_by the same partition
-    layout is re-created, compacted within each partition.  Returns
-    (files_before, files_after).
+    renames.  The swap is NOT atomic: there is a brief window between the
+    renames where ``path`` does not exist, a concurrent reader can fail,
+    and ``os.rename`` requires tmp/backup to live on the same filesystem
+    as ``path`` (they are siblings, so they do unless ``path`` itself is
+    a mount point).  A crash inside the window is recoverable: the next
+    ``compact_files`` (or ``recover_compaction``) restores the
+    ``__pre_compact`` backup before doing anything else.  With
+    partition_by the same partition layout is re-created, compacted
+    within each partition.  Returns (files_before, files_after).
     """
+    recover_compaction(path)
     before = data_file_count(path)
     n_files = max(1, math.ceil(_data_bytes(path) / (target_mb * 1024 * 1024)))
     df = read_source(spark, path, fmt=fmt, schema=schema)
@@ -64,8 +70,30 @@ def compact_files(
         df = df.repartition(n_files)
     tmp = path.rstrip("/") + "__compact_tmp"
     backup = path.rstrip("/") + "__pre_compact"
+    if os.path.exists(tmp):  # leftover from an earlier crash pre-swap
+        shutil.rmtree(tmp)
     write_sink(df, tmp, fmt=fmt, partition_by=partition_by)
     os.rename(path, backup)
     os.rename(tmp, path)
     shutil.rmtree(backup)
     return before, data_file_count(path)
+
+
+def recover_compaction(path: str) -> bool:
+    """Crash recovery for ``compact_files``.
+
+    If a previous compaction crashed between its two renames, the data
+    survives only as ``<path>__pre_compact``.  Restore it (preferring the
+    backup whenever ``path`` is missing; a leftover backup *alongside* a
+    live ``path`` means the crash happened after the second rename, so
+    the backup is stale and is discarded).  Returns True if a restore or
+    cleanup happened.
+    """
+    backup = path.rstrip("/") + "__pre_compact"
+    if not os.path.exists(backup):
+        return False
+    if os.path.exists(path):
+        shutil.rmtree(backup)  # crash after swap completed: backup stale
+    else:
+        os.rename(backup, path)  # crash inside the window: restore
+    return True

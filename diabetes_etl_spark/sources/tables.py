@@ -38,15 +38,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# The fixture's event schema (TESTDATA.md).  ts is parquet
+# TIMESTAMP(NANOS), which Spark's reader rejects outright; requesting the
+# column as a plain LongType reads the raw nanosecond int64 without
+# touching any session conf (the previous approach set
+# spark.sql.legacy.parquet.nanosAsLong on the shared session and never
+# restored it, silently changing every later nanos-parquet read).
+_EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts long, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright.  Read it as raw nanos (legacy long mode) and
-    rebuild a TimestampType at microsecond precision — the fixture's
-    values are all micro-aligned, so the conversion is lossless and
-    matches DuckDB's nanosecond view of the same file.
+    """Read the events fixture, rebuilding ts as a TimestampType at
+    microsecond precision (DuckDB also compares at micros — its native
+    TIMESTAMP is microsecond — so both engines truncate identically).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(path)
+    raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
@@ -64,9 +73,11 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(path, link)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
-    raw = spark.readStream.format("parquet").schema(schema).load(stream_dir)
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(_EVENTS_RAW_SCHEMA)
+        .load(stream_dir)
+    )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
