@@ -52,11 +52,13 @@ class QuerySpec:
 GATE_CAPACITY = 50
 
 # The extended tier, as one auditable list.  Every name here remains a
-# fully tested query (tests/test_oracle.py runs the extended tier with
-# the same oracle comparison); it is only excluded from the
-# driver-facing ``queries()`` so the curated gate set fits the cap.
+# fully tested query — tests/test_oracle.py builds its cases from
+# ``all_queries(include_extended=True)``, so the extended tier goes
+# through the same oracle comparison locally; it is only excluded from
+# the driver-facing ``queries()`` so the curated gate set fits the cap.
 # The operator family of each extended query is covered in the gate by
-# the composite query named in the comment.
+# the composite query named in the comment (all composites live in
+# plans/composites.py and are themselves oracle-paired gate queries).
 _EXTENDED: frozenset[str] = frozenset(
     {
         # covered by diab_silver_features / diab_view_* (project/filter/case)
@@ -157,6 +159,7 @@ def all_queries(include_extended: bool = False) -> dict[str, QuerySpec]:
     from diabetes_etl_spark.plans import dedupplans  # noqa: F401
     from diabetes_etl_spark.plans import simplans  # noqa: F401
     from diabetes_etl_spark.plans import textplans  # noqa: F401
+    from diabetes_etl_spark.plans import composites  # noqa: F401
 
     if include_extended:
         return dict(_REGISTRY)

@@ -16,7 +16,7 @@ import pytest
 from diabetes_etl_spark.plans import all_queries
 from tests.pandas_compare import compare_frames
 
-QUERIES = all_queries()
+QUERIES = all_queries(include_extended=True)
 ORACLE_CASES = sorted(n for n, s in QUERIES.items() if s.oracle)
 ROWS_ONLY_CASES = sorted(n for n, s in QUERIES.items() if not s.oracle)
 

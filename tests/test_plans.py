@@ -13,7 +13,7 @@ import pytest
 
 from diabetes_etl_spark.plans import all_queries
 
-QUERIES = all_queries()
+QUERIES = all_queries(include_extended=True)
 
 
 def _plan(spark, sf_dir, name: str, mode: str = "extended") -> str:

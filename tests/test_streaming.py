@@ -15,7 +15,7 @@ from diabetes_etl_spark.context import RunContext
 from diabetes_etl_spark.diabetes.pipeline_def import build_diabetes_pipeline
 from diabetes_etl_spark.diabetes.schema import DIABETES_SCHEMA
 from diabetes_etl_spark.pipeline.registry import PipelineRunner
-from diabetes_etl_spark.sources.tables import load_events_stream
+from diabetes_etl_spark.sources.tables import load_events_stream, load_table
 from diabetes_etl_spark.streaming.ingest import incremental_file_ingest, run_to_sink
 from diabetes_etl_spark.streaming.ingest import stream_snapshot
 
@@ -80,7 +80,7 @@ def test_streaming_watermark_dedup(spark, sf_dir):
         ["event_id"]
     )
     snap = stream_snapshot(spark, deduped)
-    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    n = load_table(spark, sf_dir, "events").count()
     assert snap.count() == n
 
 
@@ -94,8 +94,7 @@ def test_streaming_sliding_window_counts(spark, sf_dir):
     )
     snap = stream_snapshot(spark, agg, output_mode="complete")
     batch = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        load_table(spark, sf_dir, "events")
         .groupBy(F.window("ts", "1 hour", "30 minutes"))
         .agg(F.count("*").alias("n"))
     )
