@@ -26,6 +26,8 @@ Everything is native Spark SQL expressions — no Python in the hot path.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -202,17 +204,60 @@ def _bucket_pairs(exploded: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
-def simhash63(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """63-bit SimHash per document from xxhash64 of its tokens.
+def _rolling_hash(tok: Column, init: int, base: int, mod: int) -> Column:
+    """Polynomial rolling hash over the character codes; acc stays < mod
+    so the bigint math cannot overflow under ANSI mode."""
+    return F.aggregate(
+        F.transform(F.split(tok, ""), lambda ch: F.ascii(ch).cast("long")),
+        F.lit(init).cast("long"),
+        lambda acc, x: (acc * F.lit(base) + x) % F.lit(mod),
+    )
+
+
+def portable_token_hash(tok: Column) -> Column:
+    """Engine-portable 60-bit token hash: two independent polynomial
+    rolling hashes, cross-mixed with a multiplicative finalization and
+    concatenated as f1 * 2^30 + f2 (both moduli < 2^30, so the result
+    stays < 2^60 — no overflow, no sign bit).
+
+    The finalization matters: a plain rolling hash has no avalanche on
+    the trailing characters (tokens differing only in the last char get
+    hashes differing by < base), which correlates simhash bits across
+    similar vocabularies; multiplying by a large odd constant mod a
+    prime wraps any small delta around the field and restores per-bit
+    independence.  Unlike xxhash64 all of this is expressible verbatim
+    in ANSI-ish SQL (DuckDB list_reduce), which lets a simhash built on
+    it be oracle-paired; xxhash64 remains the default scale path
+    (cheaper, better mixing).
+    """
+    h1 = _rolling_hash(tok, 7, 131, 1_000_000_007)
+    h2 = _rolling_hash(tok, 13, 137, 999_999_937)
+    f1 = (h1 * F.lit(2654435761) + h2) % F.lit(1_000_000_007)
+    f2 = (h2 * F.lit(2246822519) + h1) % F.lit(999_999_937)
+    return f1 * F.lit(1 << 30).cast("long") + f2
+
+
+def simhash63(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    token_hash: "Callable[[Column], Column] | None" = None,
+) -> DataFrame:
+    """63-bit SimHash per document from a 64-bit hash of its tokens
+    (xxhash64 by default; pass ``token_hash=portable_token_hash`` for
+    the engine-portable variant — its top 3 signature bits are then
+    constant-zero, which only shrinks the effective signature to 60
+    bits and changes no other semantics).
 
     Explode tokens → one grouped aggregate with 63 conditional sums
     (bit majorities) → recombine into a non-negative BIGINT.  One
     shuffle on the id; everything else is map-side.
     """
+    hash_fn = token_hash or (lambda tok: F.xxhash64(tok))
     toks = widen(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", hash_fn(F.col("tok")))
     sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -233,6 +278,7 @@ def simhash_near_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    token_hash: "Callable[[Column], Column] | None" = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
@@ -245,7 +291,7 @@ def simhash_near_pairs(
     """
     n_chunks = max_hamming + 1
     bounds = [round(63 * t / n_chunks) for t in range(n_chunks + 1)]
-    sh = simhash63(df, id_col, text_col)
+    sh = simhash63(df, id_col, text_col, token_hash=token_hash)
     chunks = sh.select(
         "doc_id",
         "simhash",

@@ -37,9 +37,12 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup_groups(docs, "doc_id", "text")
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+# Exact shingle-Jaccard >= 0.8 pairs — the oracle for BOTH the exact
+# blocked operator and the MinHash-LSH scale path (whose exact-verified
+# output provably contains no false positives; at the gate scale its
+# recall is exactly 1.0, verified in tests/test_dedup.py, so any recall
+# regression turns the driver gate red instead of passing rows-only).
+_JACCARD_PAIRS_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, {_D_SHINGLES} AS sh, CAST(length(text) AS BIGINT) AS len
   FROM documents
@@ -62,7 +65,12 @@ SELECT doc_a, doc_b, jaccard_sim FROM (
   JOIN t x ON cand.doc_a = x.doc_id
   JOIN t y ON cand.doc_b = y.doc_id
 ) WHERE jaccard_sim >= 0.8
-""",
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_PAIRS_ORACLE,
     doc="Exact near-dup pairs: 5-token-shingle Jaccard >= 0.8, blocked on "
     "a 50-char length band (each doc also emitted into the next band so "
     "boundary pairs are kept) — operators/dedup.py:ngram_jaccard_pairs.",
@@ -78,7 +86,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64-based; verified against exact Jaccard in tests
+    # Candidates are exact-Jaccard-verified (precision 1.0 by
+    # construction) and the 8x4 banding recalls every >=0.8 pair on the
+    # gate corpus, so the exact operator's oracle applies verbatim — a
+    # recall drop now fails the gate hash instead of passing rows-only.
+    oracle=_JACCARD_PAIRS_ORACLE,
     doc="MinHash(32)+LSH(8 bands x 4 rows) near-dup detection with exact "
     "Jaccard verification of candidates — the 100 TB dedup path (no "
     "quadratic block scan).  Recall vs the exact operator asserted in "
@@ -92,13 +104,85 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB mirror of operators/dedup.py:portable_token_hash — the same
+# two polynomial rolling hashes (init 7/13, base 131/137, moduli < 2^30)
+# cross-mixed multiplicatively and concatenated as f1 * 2^30 + f2, then
+# the same 63 bit-majority sums.
+_P_H1 = (
+    "list_reduce(list_prepend(CAST(7 AS BIGINT), "
+    "list_transform(string_split(tok, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+    "(acc, x) -> (acc * 131 + x) % 1000000007)"
+)
+_P_H2 = (
+    "list_reduce(list_prepend(CAST(13 AS BIGINT), "
+    "list_transform(string_split(tok, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+    "(acc, x) -> (acc * 137 + x) % 999999937)"
+)
+_SIMHASH_SUMS = ",\n    ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(63)
+)
+_SIMHASH_BITS = "\n    + ".join(
+    f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for i in range(63)
+)
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_D_TOKENS}) AS tok FROM documents
+), raw AS (
+  SELECT doc_id, ({_P_H1}) AS h1, ({_P_H2}) AS h2 FROM toks
+), th AS (
+  SELECT doc_id,
+    ((h1 * 2654435761 + h2) % 1000000007) * CAST(1073741824 AS BIGINT)
+      + ((h2 * 2246822519 + h1) % 999999937) AS h
+  FROM raw
+), sums AS (
+  SELECT doc_id,
+    {_SIMHASH_SUMS}
+  FROM th GROUP BY doc_id
+), sig AS (
+  SELECT doc_id,
+    {_SIMHASH_BITS} AS simhash
+  FROM sums
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 @register(
     "dedup_simhash_pairs",
-    oracle=None,  # xxhash64-based bit signature; properties in tests
+    # The gate instance builds the signature from the engine-portable
+    # rolling token hash, so the whole operator (signature + pigeonhole
+    # candidate join + bit_count verification) is replayed exactly in
+    # DuckDB; the xxhash64 scale path keeps its own extended entry.
+    oracle=_SIMHASH_ORACLE,
     doc="SimHash(63-bit) near-dup pairs with hamming <= 3 via 16-bit "
-    "chunk pigeonhole join + bit_count verification.",
+    "chunk pigeonhole join + bit_count verification, built on the "
+    "engine-portable token hash (operators/dedup.py:portable_token_hash) "
+    "so the full pipeline is oracle-paired.",
     tags=("dedup", "simhash", "extension"),
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.simhash_near_pairs(
+        docs, "doc_id", "text", max_hamming=3,
+        token_hash=DD.portable_token_hash,
+    )
+
+
+@register(
+    "dedup_simhash_xx64",
+    oracle=None,  # xxhash64 is engine-specific; rows-only + tests
+    doc="SimHash(63-bit) near-dup pairs on the default xxhash64 token "
+    "hash — the scale path (cheapest hashing, best bit mixing); "
+    "pigeonhole recall 1.0 by construction, asserted with the portable "
+    "variant's agreement in tests/test_dedup.py.",
+    tags=("dedup", "simhash", "extension"),
+    extended=True,
+)
+def dedup_simhash_xx64(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return DD.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)

@@ -25,9 +25,13 @@ norms AS (
 )"""
 
 
-@register(
-    "sim_topk_cosine",
-    oracle=f"""
+# Exact brute-force top-5 for 10 query vectors — the oracle for the
+# brute-force operator AND both ANN variants below: their re-rank is the
+# same decimal-exact cosine, so whenever the candidate set covers the
+# true top-k the outputs are bit-identical; the gate instances use
+# probe parameters that make coverage exact at the gate scale (verified
+# sweep, tests/test_similarity.py keeps the scale parameters + floors).
+_TOPK_ORACLE = f"""
 WITH {_D_NORMS},
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
@@ -57,7 +61,12 @@ FROM (
     PARTITION BY query_id ORDER BY cosine_sim DESC, candidate_id) AS rn
   FROM scored
 ) WHERE rn <= 5
-""",
+"""
+
+
+@register(
+    "sim_topk_cosine",
+    oracle=_TOPK_ORACLE,
     doc="Brute-force cosine top-5 for 10 query vectors: broadcast queries "
     "x one corpus pass, decimal-exact dot products, deterministic "
     "tiebreak (operators/similarity.py:cosine_topk — the ANN baseline).",
@@ -68,9 +77,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(emb, F.col("vec_id") < 10, k=5)
 
 
-@register(
-    "sim_neardup_pairs",
-    oracle=f"""
+_NEARDUP_ORACLE = f"""
 WITH {_D_NORMS},
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -92,7 +99,12 @@ SELECT id_a, id_b, cosine_sim FROM (
   JOIN norms na ON d.id_a = na.vec_id
   JOIN norms nb ON d.id_b = nb.vec_id
 ) WHERE cosine_sim >= 0.45
-""",
+"""
+
+
+@register(
+    "sim_neardup_pairs",
+    oracle=_NEARDUP_ORACLE,
     doc="Embedding near-duplicate pairs: exact all-pairs cosine >= 0.45 "
     "(the verifier form; lsh_topk is the scale path).",
     tags=("similarity", "extension"),
@@ -104,23 +116,32 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_lsh_topk",
-    oracle=None,  # approximate; recall vs brute force in tests
-    doc="ANN top-5 via multi-table random-hyperplane LSH (8 tables x "
+    # 16 tables make candidate coverage exact on the gate corpus and the
+    # re-rank is the same decimal cosine as brute force, so the exact
+    # oracle applies; tests keep the 8-table scale configuration with a
+    # recall floor (tests/test_similarity.py).
+    oracle=_TOPK_ORACLE,
+    doc="ANN top-5 via multi-table random-hyperplane LSH (16 tables x "
     "6-bit codes, 1-bit multiprobe) + exact re-rank within candidates — "
     "replaces the full cross product with a broadcast bucket join at "
-    "scale; recall@5 ~0.94 vs brute force (tests/test_similarity.py).",
+    "scale; candidate coverage exact at gate scale, oracle-paired with "
+    "brute force.",
     tags=("similarity", "lsh", "extension"),
 )
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.lsh_topk(
-        emb, F.col("vec_id") < 10, k=5, n_bits=6, dim=64, n_tables=8
+        emb, F.col("vec_id") < 10, k=5, n_bits=6, dim=64, n_tables=16
     )
 
 
 @register(
     "sim_neardup_lsh",
-    oracle=None,  # approximate recall; precision 1.0 by construction
+    # Precision 1.0 by construction (exact verification) and recall 1.0
+    # at the gate/local fixture scales with 32 tables x 3 bits, so the
+    # exact all-pairs oracle applies verbatim; a recall drop now fails
+    # the gate.  Tests keep the sharper 16x4 scale configuration.
+    oracle=_NEARDUP_ORACLE,
     doc="Embedding near-dup pairs (cosine >= 0.45) via LSH bucketing — "
     "the scale path for sim_neardup_pairs: the only shuffle carries "
     "(table, bucket, id); pairs come from grouped bucket members and "
@@ -130,25 +151,29 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.cosine_neardup_lsh(emb, threshold=0.45)
+    return SIM.cosine_neardup_lsh(emb, threshold=0.45, n_bits=3, n_tables=32)
 
 
 @register(
     "sim_ivf_topk",
-    oracle=None,  # approximate; recall vs brute force in tests
+    # Probing 8 of 16 cells with 4-cell multi-assignment covers the true
+    # top-5 exactly on the gate corpus (verified sweep); the re-rank is
+    # the same decimal cosine, so the brute-force oracle applies.  Tests
+    # keep the sharper 4-probe/2-assign scale config with recall floors.
+    oracle=_TOPK_ORACLE,
     doc="ANN top-5 via an IVF index: spherical k-means cells trained on "
     "a bounded deterministic sample (FAISS-style), corpus multi-assigned "
-    "map-side to its 2 nearest cells, queries probe their 4 nearest of "
+    "map-side to its 4 nearest cells, queries probe their 8 nearest of "
     "16 cells, exact re-rank within candidates — the data-adaptive "
     "complement to the oblivious-hyperplane lsh_topk "
-    "(operators/similarity.py:ivf_topk; recall@5 0.74-0.88 on the "
-    "weakly-clustered synthetic fixtures, tests/test_similarity.py).",
+    "(operators/similarity.py:ivf_topk; gate instance oracle-paired, "
+    "scale config recall-floored in tests/test_similarity.py).",
     tags=("similarity", "ivf", "pandas-udf", "extension"),
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(
-        emb, F.col("vec_id") < 10, k=5, n_centroids=16, n_probe=4
+        emb, F.col("vec_id") < 10, k=5, n_centroids=16, n_probe=8, n_assign=4
     )
 
 

@@ -1,11 +1,13 @@
 """Deduplication operator tests.
 
-The LSH/SimHash paths use engine-specific hashing (xxhash64) and so get
-no DuckDB oracle; their contract is verified here against the exact
-operators instead: MinHash-LSH output must be a subset of the exact
-blocked-Jaccard pairs (candidates are exact-verified, so no false
-positives) with high recall, and SimHash must find identical /
-near-identical docs while not pairing unrelated ones."""
+The MinHash/SimHash signatures default to engine-specific hashing
+(xxhash64); their contract is verified here against the exact operators:
+MinHash-LSH output must be a subset of the exact blocked-Jaccard pairs
+(candidates are exact-verified, so no false positives) with high
+recall, and SimHash must find identical / near-identical docs while not
+pairing unrelated ones.  The portable-hash simhash variant (the
+oracle-paired gate instance) must behave equivalently to the xxhash64
+scale path on planted near-dups."""
 
 from __future__ import annotations
 
@@ -137,3 +139,25 @@ def test_simhash_near_duplicate_low_hamming(docs):
                                        max_hamming=3).collect()
     }
     assert tight == {p for p, h in pairs.items() if h <= 3}
+
+
+def test_simhash_portable_hash_agrees_with_xx64(docs):
+    """The portable-rolling-hash simhash (oracle-paired gate instance)
+    must match the xxhash64 scale path on planted near-dup recall and
+    keep the identical-doc / disjoint-doc contract."""
+    kw = dict(max_hamming=6)
+    xx = {
+        (r.doc_a, r.doc_b)
+        for r in DD.simhash_near_pairs(docs, "doc_id", "text", **kw).collect()
+    }
+    portable = {
+        (r.doc_a, r.doc_b)
+        for r in DD.simhash_near_pairs(
+            docs, "doc_id", "text", token_hash=DD.portable_token_hash, **kw
+        ).collect()
+    }
+    planted = {(i, 1000 + i) for i in range(0, 30, 3)}
+    assert len(planted & portable) / len(planted) >= 0.9
+    assert len(planted & xx) / len(planted) >= 0.9
+    # neither variant pairs two unrelated base docs
+    assert all(a >= 1000 or b >= 1000 for a, b in portable)
