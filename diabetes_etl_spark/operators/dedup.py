@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from diabetes_etl_spark.operators.text import jaccard, word_shingles
-from diabetes_etl_spark.operators.util import widen
+from diabetes_etl_spark.operators.util import bounded_bucket_pairs, widen
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -143,6 +143,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    bucket_cap: int = 64,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup detection, exact-verified.
 
@@ -160,9 +161,9 @@ def minhash_lsh_pairs(
     # pair generation GROUPS bucket members instead of self-joining — a
     # self-join would duplicate the whole minhash subtree (Catalyst
     # plans each join side independently) and compute every signature
-    # twice.  Buckets are near-dup clusters, so collect_list stays tiny;
-    # a pathological all-identical corpus is the only skew case (then
-    # exact_dedup_groups is the right operator anyway).
+    # twice.  Per-bucket work is bounded (bounded_bucket_pairs): even a
+    # pathological near-identical corpus cannot make a bucket quadratic
+    # or blow an aggregation buffer.
     exploded = base.select(
         "doc_id",
         F.explode(
@@ -177,31 +178,12 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band_idx", "bb.band_hash")
-    cand_ids = _bucket_pairs(exploded, ["band_idx", "band_hash"])
-    return _verify_jaccard(cand_ids, base.select("doc_id", "sh"), threshold)
-
-
-def _bucket_pairs(exploded: DataFrame, keys: list[str]) -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs of ids sharing a bucket key.
-
-    One tiny shuffle of (key, id); all-pairs expansion happens inside
-    each bucket via a native expression."""
-    return (
-        exploded.groupBy(*keys)
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), y -> "
-                    "struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+    # Skew-safe pair generation: all-pairs within the bucket head, star
+    # edges to the bucket leader beyond the cap (operators/util.py).
+    cand_ids = bounded_bucket_pairs(
+        exploded, ["band_idx", "band_hash"], cap=bucket_cap
     )
+    return _verify_jaccard(cand_ids, base.select("doc_id", "sh"), threshold)
 
 
 def _rolling_hash(tok: Column, init: int, base: int, mod: int) -> Column:
@@ -279,6 +261,7 @@ def simhash_near_pairs(
     text_col: str,
     max_hamming: int = 3,
     token_hash: "Callable[[Column], Column] | None" = None,
+    bucket_cap: int = 64,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
@@ -309,30 +292,21 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("c"),
-    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk")
-    # Bucket-group instead of self-join (a self-join would run the whole
-    # 63-sum simhash aggregation once per side); the 8-byte signature
-    # rides along in the bucket, so pairs come out fully materialized.
+    ).select("doc_id", "c.chunk_idx", "c.chunk")
+    # Skew-safe bucket-group pair generation (operators/util.py) —
+    # still no bucket self-join, so the 63-sum simhash aggregation runs
+    # exactly once; the 8-byte signatures are re-attached to the
+    # bounded candidate pairs with one tiny join per side.
+    cand = bounded_bucket_pairs(chunks, ["chunk_idx", "chunk"], cap=bucket_cap)
+    sig_a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
+    )
+    sig_b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b")
+    )
     return (
-        chunks.groupBy("chunk_idx", "chunk")
-        .agg(
-            F.collect_list(F.struct("doc_id", "simhash")).alias("ms")
-        )
-        .filter(F.size("ms") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ms, (x, i) -> "
-                    "transform(slice(ms, i + 2, size(ms)), y -> struct("
-                    "IF(x.doc_id < y.doc_id, x.doc_id, y.doc_id) AS doc_a, "
-                    "IF(x.doc_id < y.doc_id, x.simhash, y.simhash) AS sim_a, "
-                    "IF(x.doc_id < y.doc_id, y.doc_id, x.doc_id) AS doc_b, "
-                    "IF(x.doc_id < y.doc_id, y.simhash, x.simhash) AS sim_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
         .withColumn("hamming", F.bit_count(F.expr("sim_a ^ sim_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from diabetes_etl_spark.operators.util import widen
+from diabetes_etl_spark.operators.util import bounded_bucket_pairs, widen
 
 _DEC_ELEM = "DECIMAL(20,15)"
 _DEC_ACC = "DECIMAL(30,15)"
@@ -245,6 +245,7 @@ def cosine_neardup_lsh(
     n_bits: int = 4,
     n_tables: int = 16,
     dim: int = 64,
+    bucket_cap: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -275,22 +276,12 @@ def cosine_neardup_lsh(
     exploded = base.select(
         F.col(id_col).alias("doc_id"), F.explode(table_buckets).alias("tb")
     ).select("doc_id", "tb.tbl", "tb.bucket")
-    pair_ids = (
-        exploded.groupBy("tbl", "bucket")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), y -> "
-                    "struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # Skew-safe pair generation (operators/util.py): bounded all-pairs
+    # within the bucket head + star edges to the bucket leader, so a
+    # near-identical corpus cannot make any bucket quadratic.
+    pair_ids = bounded_bucket_pairs(
+        exploded, ["tbl", "bucket"], cap=bucket_cap
+    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
     vecs = base.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
@@ -355,8 +346,8 @@ def ivf_topk(
     query_ids: Column,
     k: int = 5,
     n_centroids: int = 16,
-    n_probe: int = 4,
-    n_assign: int = 2,
+    n_probe: int = 6,
+    n_assign: int = 3,
     n_iters: int = 8,
     seed: int = 11,
     train_cap: int = 2048,
@@ -376,6 +367,13 @@ def ivf_topk(
     lsh_topk (data-adaptive cells vs oblivious planes).  Training
     samples min(train_cap, n) vectors by xxhash64 order — deterministic
     and bounded regardless of corpus size.
+
+    Defaults (6-probe/3-assign of 16 cells) hold recall@5 >= 0.9 on the
+    weakly-clustered synthetic fixtures (tests/test_similarity.py);
+    they are deliberately generous because 16 cells is tiny.  At real
+    scale grow n_centroids ~ sqrt(corpus) (the FAISS rule) and the same
+    probe COUNTS become a small probed fraction — recall comes from
+    probing the nearest cells, not a constant fraction of the sphere.
     """
     sample = np.array(
         [

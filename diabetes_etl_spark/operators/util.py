@@ -3,6 +3,76 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def bounded_bucket_pairs(
+    exploded: DataFrame,
+    keys: list[str],
+    id_col: str = "doc_id",
+    cap: int = 64,
+) -> DataFrame:
+    """Distinct canonical (doc_a < doc_b) id pairs sharing a bucket key,
+    with bounded per-bucket work — the skew-safe LSH pair generator.
+
+    An unbounded bucket (every member of a near-identical 100 TB corpus
+    hashing to one band value) would make the naive
+    collect_list-then-all-pairs expansion quadratic AND materialize the
+    whole bucket in one aggregation buffer.  Bounding strategy:
+
+    - the ``cap`` smallest ids per bucket ("head") expand all-pairs —
+      at most cap*(cap-1)/2 pairs and a collect_list of at most cap
+      elements per bucket;
+    - every member beyond the cap ("tail") emits ONE star edge to the
+      bucket leader (the minimum id) — linear in bucket size, and it
+      preserves duplicate-cluster connectivity: any member still
+      reaches the cluster through the leader after exact verification
+      of its edge (near-identical corpora pass verification against
+      the leader too, which is what made the bucket huge).
+
+    Buckets at or under the cap (every real-world near-dup bucket) are
+    expanded identically to the unbounded version — fixture results are
+    unchanged; only pathological skew changes shape.  The row_number
+    runs on the (key, id) shuffle that already exists — no extra
+    exchange, only a per-bucket sort.
+    """
+    w = Window.partitionBy(*keys).orderBy(id_col)
+    ranked = exploded.select(
+        *keys,
+        F.col(id_col).alias("_id"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    head_pairs = (
+        ranked.filter(F.col("_rn") <= cap)
+        .groupBy(*keys)
+        .agg(F.collect_list("_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> "
+                    "struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+    )
+    leaders = ranked.filter(F.col("_rn") == 1).select(
+        *keys, F.col("_id").alias("_leader")
+    )
+    tail_pairs = (
+        ranked.filter(F.col("_rn") > cap)
+        .join(leaders, keys)
+        .select(
+            F.least("_leader", "_id").alias("doc_a"),
+            F.greatest("_leader", "_id").alias("doc_b"),
+        )
+    )
+    return head_pairs.unionByName(tail_pairs).dropDuplicates(
+        ["doc_a", "doc_b"]
+    )
 
 
 def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

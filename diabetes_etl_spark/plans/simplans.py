@@ -1,7 +1,10 @@
 """Similarity-search query plans over the `embeddings` fixture
-(operators/similarity.py).  Brute-force cosine top-k and threshold
-pairs are oracle-paired exactly (decimal-folded dot products); the LSH
-ANN variant is rows-only with recall measured against brute force in
+(operators/similarity.py).  Every entry is oracle-paired: the exact
+forms (brute-force top-k, all-pairs threshold) directly, and the
+ANN/LSH gate instances via probe parameters chosen so their candidate
+sets cover the exact answer at fixture scale (their shared decimal
+cosine re-rank then makes the outputs bit-identical to the exact
+oracles).  The sharper scale configurations keep recall floors in
 tests/test_similarity.py.
 """
 
@@ -151,7 +154,12 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.cosine_neardup_lsh(emb, threshold=0.45, n_bits=3, n_tables=32)
+    # bucket_cap 4096 = effectively unbounded at fixture scale so the
+    # gate instance stays exact; the default cap=64 bounding behavior
+    # is covered by the skew test in tests/test_dedup.py.
+    return SIM.cosine_neardup_lsh(
+        emb, threshold=0.45, n_bits=3, n_tables=32, bucket_cap=4096
+    )
 
 
 @register(

@@ -141,6 +141,45 @@ def test_simhash_near_duplicate_low_hamming(docs):
     assert tight == {p for p, h in pairs.items() if h <= 3}
 
 
+def test_bounded_bucket_pairs_caps_skewed_buckets(spark):
+    """A near-identical corpus (every doc in one LSH bucket) must not
+    expand quadratically: with cap=64, a 500-member bucket yields at
+    most C(64,2) head pairs + 436 star edges — not C(500,2) — and every
+    member stays connected to the bucket leader."""
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.operators.util import bounded_bucket_pairs
+
+    n = 500
+    exploded = spark.range(n).select(
+        F.lit(0).alias("band"), F.col("id").alias("doc_id")
+    )
+    pairs = bounded_bucket_pairs(exploded, ["band"], cap=64).collect()
+    n_pairs = len(pairs)
+    assert n_pairs <= 64 * 63 // 2 + (n - 64)
+    assert n_pairs < n * (n - 1) // 2  # NOT quadratic
+    # connectivity: every doc appears in at least one pair, and all
+    # overflow members reach the leader (doc 0) directly
+    seen = {d for p in pairs for d in (p.doc_a, p.doc_b)}
+    assert seen == set(range(n))
+    star = {p.doc_b for p in pairs if p.doc_a == 0}
+    assert set(range(65, n)) <= star
+
+
+def test_minhash_results_unchanged_by_bounding(docs):
+    """The bounded pair generator must not change results on realistic
+    (small-bucket) corpora: every planted near-dup is still found."""
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in DD.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=5, num_hashes=32, bands=8,
+            threshold=0.8,
+        ).collect()
+    }
+    planted = {(i, 1000 + i) for i in range(0, 30, 3)}
+    assert planted <= pairs
+
+
 def test_simhash_portable_hash_agrees_with_xx64(docs):
     """The portable-rolling-hash simhash (oracle-paired gate instance)
     must match the xxhash64 scale path on planted near-dup recall and

@@ -96,7 +96,7 @@ def test_ivf_topk_recall_vs_brute_force(emb):
         for r in SIM.cosine_topk(emb, F.col("vec_id") < 10, k=5).collect()
     }
     ivf_rows = SIM.ivf_topk(
-        emb, F.col("vec_id") < 10, k=5, n_centroids=16, n_probe=4
+        emb, F.col("vec_id") < 10, k=5, n_centroids=16
     ).collect()
     ivf = {(r.query_id, r.candidate_id) for r in ivf_rows}
     assert len(ivf) <= 50
@@ -107,7 +107,7 @@ def test_ivf_topk_recall_vs_brute_force(emb):
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
     recall = len(brute & ivf) / len(brute)
-    assert recall >= 0.8, f"IVF recall@5 degraded: {recall}"
+    assert recall >= 0.9, f"IVF recall@5 degraded: {recall}"
 
 
 def test_ivf_more_probes_no_worse(emb):
