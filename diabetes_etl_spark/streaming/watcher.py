@@ -1,0 +1,139 @@
+"""File-arrival pipeline trigger — the operational entry point the
+reference gets from Databricks ("Pipeline will automatically trigger
+when new CSV files are uploaded", reference:
+src/diabetes_etl_pipeline.py:10 and docs/deployment).
+
+Databricks wires cloud-storage events to a DLT pipeline update.  On
+stock PySpark the equivalent is a landing-directory watcher that fires
+a bounded (``availableNow``) pipeline run whenever the listing changes.
+Correctness does NOT depend on the watcher: exactly-once ingestion is
+the streaming checkpoint's job (streaming/ingest.py), so a spurious or
+duplicate trigger is a cheap no-op run, and a missed poll is caught by
+the next one.  That separation is what makes the design safe at scale —
+the watcher only compares directory listings (names + sizes, no data
+I/O), while all data movement stays inside the checkpointed stream.
+
+A listing snapshot includes file size so a file that is still being
+copied triggers again once it finishes (the checkpoint dedups the
+already-ingested portion at file granularity: the file source logs a
+path exactly once, so writers must create-then-rename — the same
+contract Autoloader has).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from collections.abc import Callable, Iterable
+from dataclasses import dataclass, field
+
+
+def _scan(src_dirs: Iterable[str], suffixes: tuple[str, ...]) -> frozenset:
+    """Listing snapshot: frozenset of (path, size).  Names + sizes only —
+    no file contents are read, so a poll is O(#files) metadata calls."""
+    entries = []
+    for d in src_dirs:
+        if not os.path.isdir(d):
+            continue
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue  # hidden / in-progress / metadata files
+                if suffixes and not f.endswith(suffixes):
+                    continue
+                p = os.path.join(root, f)
+                try:
+                    entries.append((p, os.path.getsize(p)))
+                except OSError:
+                    continue  # raced a delete/rename; next poll settles
+    return frozenset(entries)
+
+
+@dataclass
+class FileArrivalTrigger:
+    """Poll ``src_dirs`` and invoke ``run_pipeline`` when the listing
+    changes.
+
+    ``run_pipeline`` should perform one bounded pipeline update — e.g.
+    construct a fresh :class:`~diabetes_etl_spark.pipeline.registry.
+    PipelineRunner` over the same warehouse/checkpoint and ``run()`` it
+    (runners memoize materialized datasets, so reuse a factory, not one
+    runner instance).  The checkpoint makes re-runs incremental and
+    exactly-once regardless of how often the trigger fires.
+    """
+
+    src_dirs: tuple[str, ...]
+    run_pipeline: Callable[[], None]
+    poll_interval: float = 1.0
+    suffixes: tuple[str, ...] = (".csv",)
+    run_on_start: bool = False
+    runs: int = field(default=0, init=False)
+    _seen: frozenset = field(default=frozenset(), init=False, repr=False)
+
+    def __post_init__(self) -> None:
+        if isinstance(self.src_dirs, str):
+            self.src_dirs = (self.src_dirs,)
+        if not self.run_on_start:
+            # adopt the current listing as the baseline: only files that
+            # arrive AFTER the watcher starts fire a run (the checkpoint
+            # still ingests pre-existing files on the first real run).
+            self._seen = _scan(self.src_dirs, self.suffixes)
+
+    def poll_once(self) -> bool:
+        """One poll: fire ``run_pipeline`` iff the listing changed.
+
+        The baseline advances to the PRE-run snapshot, so files that
+        land while a run is in flight trigger another run on the next
+        poll instead of being silently absorbed.
+        """
+        snapshot = _scan(self.src_dirs, self.suffixes)
+        if snapshot == self._seen:
+            return False
+        self.run_pipeline()
+        self.runs += 1
+        self._seen = snapshot
+        return True
+
+    def watch(
+        self,
+        stop: threading.Event | None = None,
+        max_runs: int | None = None,
+        timeout: float | None = None,
+    ) -> int:
+        """Blocking poll loop; returns the number of runs fired.
+
+        Stops when ``stop`` is set, ``max_runs`` pipeline runs have
+        fired, or ``timeout`` seconds have elapsed — whichever first.
+        """
+        started = self.runs
+        deadline = time.monotonic() + timeout if timeout is not None else None
+        while True:
+            if stop is not None and stop.is_set():
+                break
+            if max_runs is not None and self.runs - started >= max_runs:
+                break
+            if deadline is not None and time.monotonic() >= deadline:
+                break
+            self.poll_once()
+            if stop is not None:
+                stop.wait(self.poll_interval)
+            else:
+                time.sleep(self.poll_interval)
+        return self.runs - started
+
+    def start_background(
+        self,
+        stop: threading.Event,
+        max_runs: int | None = None,
+        timeout: float | None = None,
+    ) -> threading.Thread:
+        """Run :meth:`watch` on a daemon thread (set ``stop`` to end)."""
+        t = threading.Thread(
+            target=self.watch,
+            kwargs={"stop": stop, "max_runs": max_runs, "timeout": timeout},
+            daemon=True,
+            name="file-arrival-trigger",
+        )
+        t.start()
+        return t
