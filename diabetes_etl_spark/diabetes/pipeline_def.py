@@ -36,6 +36,14 @@ def _audit_columns(df: DataFrame, ctx: RunContext) -> DataFrame:
     )
 
 
+def _props(tier: str) -> dict[str, str]:
+    """Per-table properties, as the reference declares on every table
+    (pipeline:49-53 and per-table): a medallion quality tier plus its
+    auto-optimize marker, persisted to the catalog by the warehouse
+    sink (SHOW TBLPROPERTIES)."""
+    return {"quality": tier, "pipelines.autoOptimize.managed": "true"}
+
+
 def build_diabetes_pipeline(
     source_dir: str,
     ctx: RunContext = REAL,
@@ -48,6 +56,7 @@ def build_diabetes_pipeline(
         name="diabetes_bronze",
         comment="Raw diabetes patient data ingested from CSV files",
         streaming=streaming,
+        table_properties=_props("bronze"),
     )
     @Pipeline.expect_or_drop("valid_file", "file_name IS NOT NULL")
     def diabetes_bronze(c) -> DataFrame:
@@ -71,6 +80,7 @@ def build_diabetes_pipeline(
     @p.table(
         name="diabetes_bronze_materialized",
         comment="Batch-queryable view of bronze for median calculations",
+        table_properties=_props("bronze"),
     )
     def diabetes_bronze_materialized(c) -> DataFrame:
         # reference: pipeline:79-92
@@ -79,6 +89,7 @@ def build_diabetes_pipeline(
     @p.table(
         name="diabetes_silver",
         comment="Cleaned diabetes data with median imputation + features",
+        table_properties=_props("silver"),
     )
     @Pipeline.expect_all(
         {
@@ -99,6 +110,7 @@ def build_diabetes_pipeline(
     @p.table(
         name="diabetes_demographics_summary",
         comment="Demographics by age group, BMI category, pregnancy risk",
+        table_properties=_props("gold"),
     )
     def diabetes_demographics_summary(c) -> DataFrame:
         # reference: pipeline:268-301
@@ -133,6 +145,7 @@ def build_diabetes_pipeline(
     @p.table(
         name="diabetes_risk_analysis",
         comment="Risk factor analysis by risk level / glucose / blood pressure",
+        table_properties=_props("gold"),
     )
     def diabetes_risk_analysis(c) -> DataFrame:
         # reference: pipeline:303-342
@@ -184,6 +197,7 @@ def build_diabetes_pipeline(
     @p.table(
         name="diabetes_executive_summary",
         comment="Executive KPIs, single wide row",
+        table_properties=_props("gold"),
     )
     def diabetes_executive_summary(c) -> DataFrame:
         # reference: pipeline:344-389
@@ -232,6 +246,7 @@ def build_diabetes_pipeline(
     @p.table(
         name="diabetes_data_quality_metrics",
         comment="Per-file imputation and quality monitoring",
+        table_properties=_props("gold"),
         # production shape (SURVEY §7.4): date-partitioned gold so
         # monitoring scans prune to the day under inspection
         partition_by=("processing_date",),
@@ -290,6 +305,7 @@ def build_diabetes_pipeline(
     @p.table(
         name="dashboard_refresh_log",
         comment="Pipeline-run audit row for dashboard refresh automation",
+        table_properties=_props("gold"),
     )
     def dashboard_refresh_log(c) -> DataFrame:
         # reference: pipeline:498-534
@@ -317,6 +333,7 @@ def build_diabetes_pipeline(
     @p.table(
         name="pipeline_health_metrics",
         comment="Ingest throughput / health monitoring per hour and file",
+        table_properties=_props("gold"),
     )
     def pipeline_health_metrics(c) -> DataFrame:
         # reference: pipeline:543-580
@@ -364,6 +381,7 @@ def build_diabetes_pipeline(
     @p.table(
         name="diabetes_feature_correlation",
         comment="Feature correlations per (age group, BMI category)",
+        table_properties=_props("gold"),
     )
     def diabetes_feature_correlation(c) -> DataFrame:
         # reference: pipeline:589-622
@@ -390,6 +408,7 @@ def build_diabetes_pipeline(
     @p.table(
         name="data_validation_summary",
         comment="Validity-rate report across the quality rules",
+        table_properties=_props("gold"),
     )
     def data_validation_summary(c) -> DataFrame:
         # reference: pipeline:631-672

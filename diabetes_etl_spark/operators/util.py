@@ -37,11 +37,18 @@ def bounded_bucket_pairs(
     runs on the (key, id) shuffle that already exists — no extra
     exchange, only a per-bucket sort.
     """
+    # One window pass computes both the rank and the bucket leader
+    # (first == min under this ordering), so the tail needs no join
+    # back to a leaders table; the head aggregation and the tail
+    # projection then share the same Exchange+Sort+Window subtree
+    # (Catalyst reuses the exchange, so the upstream — e.g. an
+    # expensive signature computation — runs once).
     w = Window.partitionBy(*keys).orderBy(id_col)
     ranked = exploded.select(
         *keys,
         F.col(id_col).alias("_id"),
         F.row_number().over(w).alias("_rn"),
+        F.first(id_col).over(w).alias("_leader"),
     )
     head_pairs = (
         ranked.filter(F.col("_rn") <= cap)
@@ -59,16 +66,9 @@ def bounded_bucket_pairs(
         )
         .select("p.doc_a", "p.doc_b")
     )
-    leaders = ranked.filter(F.col("_rn") == 1).select(
-        *keys, F.col("_id").alias("_leader")
-    )
-    tail_pairs = (
-        ranked.filter(F.col("_rn") > cap)
-        .join(leaders, keys)
-        .select(
-            F.least("_leader", "_id").alias("doc_a"),
-            F.greatest("_leader", "_id").alias("doc_b"),
-        )
+    tail_pairs = ranked.filter(F.col("_rn") > cap).select(
+        F.least("_leader", "_id").alias("doc_a"),
+        F.greatest("_leader", "_id").alias("doc_b"),
     )
     return head_pairs.unionByName(tail_pairs).dropDuplicates(
         ["doc_a", "doc_b"]

@@ -38,6 +38,47 @@ class ExpectationFailed(RuntimeError):
     (DLT semantics: the pipeline update aborts)."""
 
 
+def _sql_str(s: str) -> str:
+    """Escape a Python string for embedding in a single-quoted SQL
+    literal (comments and table properties are user-authored text)."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _committed_sink_files(sink_dir: str) -> set[str] | None:
+    """File names the streaming file sink has durably committed, parsed
+    from its ``_spark_metadata`` log (v1: one JSON SinkFileStatus per
+    line).  Returns None when no log exists (not a file-sink dir) —
+    callers then fall back to the raw listing.  Filtering the publish
+    step through this log means a task file left behind by a failed
+    batch can never be published."""
+    meta = os.path.join(sink_dir, "_spark_metadata")
+    if not os.path.isdir(meta):
+        return None
+    import json  # noqa: PLC0415
+
+    names: set[str] = set()
+    for lf in sorted(os.listdir(meta)):
+        if lf.startswith(".") or lf.endswith(".crc"):
+            continue
+        try:
+            with open(os.path.join(meta, lf)) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line or line.startswith("v"):
+                        continue
+                    try:
+                        obj = json.loads(line)
+                    except ValueError:
+                        continue
+                    if obj.get("action") == "delete":
+                        names.discard(os.path.basename(obj.get("path", "")))
+                    elif obj.get("path"):
+                        names.add(os.path.basename(obj["path"]))
+        except OSError:
+            continue
+    return names
+
+
 @dataclass(frozen=True)
 class Expectation:
     name: str
@@ -54,6 +95,7 @@ class Dataset:
     expectations: tuple[Expectation, ...] = ()
     streaming: bool = False
     partition_by: tuple[str, ...] = ()
+    table_properties: dict[str, str] = field(default_factory=dict)
 
 
 class Pipeline:
@@ -65,7 +107,8 @@ class Pipeline:
 
     def _register(self, kind: str, name: str | None, comment: str,
                   expectations: tuple[Expectation, ...], streaming: bool,
-                  partition_by: tuple[str, ...]):
+                  partition_by: tuple[str, ...],
+                  table_properties: dict[str, str] | None = None):
         def deco(fn):
             ds_name = name or fn.__name__
             if ds_name in self.datasets:
@@ -75,14 +118,17 @@ class Pipeline:
                 name=ds_name, fn=fn, kind=kind, comment=comment,
                 expectations=exps, streaming=streaming,
                 partition_by=tuple(partition_by),
+                table_properties=dict(table_properties or {}),
             )
             return fn
 
         return deco
 
     def table(self, name: str | None = None, comment: str = "",
-              streaming: bool = False, partition_by: tuple[str, ...] = ()):
-        return self._register("table", name, comment, (), streaming, partition_by)
+              streaming: bool = False, partition_by: tuple[str, ...] = (),
+              table_properties: dict[str, str] | None = None):
+        return self._register("table", name, comment, (), streaming,
+                              partition_by, table_properties)
 
     def view(self, name: str | None = None, comment: str = ""):
         return self._register("view", name, comment, (), False, ())
@@ -191,14 +237,21 @@ class PipelineRunner:
     def _apply_expectations(self, ds: Dataset, df: DataFrame) -> DataFrame:
         fail_exps = [e for e in ds.expectations if e.action == "fail"]
         if fail_exps and not df.isStreaming:
-            # DLT expect_or_fail semantics: ANY violating row aborts the
-            # update.  One combined existence probe (limit(1) keeps it a
-            # short-circuit scan, no full count) for all fail conditions,
-            # then per-expectation attribution only on the failure path.
-            combined = " AND ".join(f"({e.condition})" for e in fail_exps)
-            if df.filter(~F.expr(combined)).limit(1).count() > 0:
+            # DLT expect_or_fail semantics: ANY row whose condition is
+            # not TRUE (false OR NULL) aborts the update — NULL results
+            # are violations, same as expect_or_drop's filter(cond)
+            # dropping them.  One combined existence probe (limit(1)
+            # keeps it a short-circuit scan, no full count) for all fail
+            # conditions, then per-expectation attribution only on the
+            # failure path.
+            combined = " OR ".join(
+                f"NOT coalesce(({e.condition}), false)" for e in fail_exps
+            )
+            if df.filter(F.expr(combined)).limit(1).count() > 0:
                 for e in fail_exps:
-                    n_bad = df.filter(~F.expr(e.condition)).count()
+                    n_bad = df.filter(
+                        F.expr(f"NOT coalesce(({e.condition}), false)")
+                    ).count()
                     if n_bad:
                         raise ExpectationFailed(
                             f"dataset {ds.name!r}: expectation {e.name!r} "
@@ -216,40 +269,118 @@ class PipelineRunner:
             writer = writer.partitionBy(*ds.partition_by)
         writer.parquet(path)
         out = self.spark.read.parquet(path)
+        self._register_catalog_table(ds, path)
         out.createOrReplaceTempView(self.view_prefix + ds.name)
         return out
+
+    def _register_catalog_table(self, ds: Dataset, path: str) -> None:
+        """Persist the dataset as an external catalog table over its
+        parquet location, carrying the declared ``comment`` and
+        ``table_properties`` — the reference declares both on every
+        table (src/diabetes_etl_pipeline.py:46-53,82-85) and DLT
+        surfaces them through the catalog.  ``DESCRIBE TABLE EXTENDED``
+        / ``SHOW TBLPROPERTIES`` show them here the same way.
+        """
+        # database-qualified so the same-named temp view (which shadows
+        # unqualified names) never intercepts the DDL
+        ident = f"`default`.`{self.view_prefix + ds.name}`"
+        self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
+        ddl = f"CREATE TABLE {ident} USING parquet"
+        if ds.comment:
+            ddl += f" COMMENT '{_sql_str(ds.comment)}'"
+        if ds.partition_by:
+            # partition columns must be declared for the catalog table;
+            # infer the full schema from the written dataset
+            sch = self.spark.read.parquet(path).schema
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in sch
+            )
+            part = ", ".join(f"`{c}`" for c in ds.partition_by)
+            ddl = (
+                f"CREATE TABLE {ident} ({cols}) USING parquet"
+                + (f" COMMENT '{_sql_str(ds.comment)}'" if ds.comment else "")
+                + f" PARTITIONED BY ({part})"
+            )
+        ddl += f" LOCATION '{_sql_str(path)}'"
+        self.spark.sql(ddl)
+        if ds.partition_by:
+            self.spark.sql(f"ALTER TABLE {ident} RECOVER PARTITIONS")
+        if ds.table_properties:
+            kv = ", ".join(
+                f"'{_sql_str(k)}' = '{_sql_str(str(v))}'"
+                for k, v in ds.table_properties.items()
+            )
+            self.spark.sql(f"ALTER TABLE {ident} SET TBLPROPERTIES ({kv})")
 
     def _materialize_stream(self, ds: Dataset, df: DataFrame) -> DataFrame:
         """Run a streaming dataset to completion with availableNow —
         the OSS equivalent of the reference's bounded Autoloader ingest
         ("halts after reading available files", pipeline:57-69).
         The checkpoint gives exactly-once across re-runs.
+
+        Fail expectations can't be probed on the unbounded plan (no
+        count on a streaming DataFrame), so the stream lands in a
+        STAGING sink (the checkpoint's stable partner); each update's
+        not-yet-published files are validated there and published to
+        the table path only on success — DLT semantics: a failed update
+        aborts WITHOUT committing the bad data, and the table keeps its
+        last good contents.  Publishing is per-file (unique sink file
+        names), so it is idempotent and only the new delta is ever
+        validated or moved — no full-table rewrite or rescan per update.
         """
         if self.mode != "warehouse":
             raise ValueError(
                 f"streaming dataset {ds.name!r} requires warehouse mode"
             )
         path = os.path.join(self.warehouse, ds.name)
+        staging = os.path.join(self.warehouse, "_staging", ds.name)
         checkpoint = os.path.join(self.checkpoint_dir, ds.name)
         q = (
             df.writeStream.format("parquet")
-            .option("path", path)
+            .option("path", staging)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-        out = self.spark.read.parquet(path)
-        # fail expectations can't be probed on the unbounded plan above
-        # (no count on a streaming DataFrame) — enforce them on the
-        # materialized batch output instead, still aborting the update.
-        fail_ds = Dataset(
-            name=ds.name, fn=ds.fn, kind=ds.kind,
-            expectations=tuple(
-                e for e in ds.expectations if e.action == "fail"
-            ),
+        os.makedirs(path, exist_ok=True)
+        published = set(os.listdir(path))
+        committed = _committed_sink_files(staging)
+        pending = [
+            f
+            for f in sorted(os.listdir(staging))
+            if f.endswith(".parquet")
+            and f not in published
+            and (committed is None or f in committed)
+        ]
+        fail_exps = tuple(
+            e for e in ds.expectations if e.action == "fail"
         )
-        self._apply_expectations(fail_ds, out)
+        if fail_exps and pending:
+            delta = self.spark.read.parquet(
+                *[os.path.join(staging, f) for f in pending]
+            )
+            # raises ExpectationFailed on violation: nothing published,
+            # the table keeps its previous contents; the next run
+            # re-validates the same pending files (stays red until the
+            # operator intervenes, like a failed DLT update).
+            self._apply_expectations(
+                Dataset(name=ds.name, fn=ds.fn, kind=ds.kind,
+                        expectations=fail_exps),
+                delta,
+            )
+        import shutil  # noqa: PLC0415
+
+        for f in pending:
+            # hard-link when possible (atomic, zero-copy), copy as the
+            # cross-device fallback
+            src, dst = os.path.join(staging, f), os.path.join(path, f)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+        out = self.spark.read.parquet(path)
+        self._register_catalog_table(ds, path)
         out.createOrReplaceTempView(self.view_prefix + ds.name)
         return out
 
@@ -271,8 +402,15 @@ class PipelineRunner:
             agg = df.agg(
                 F.count(F.lit(1)).alias("rows_checked"),
                 *[
+                    # non-TRUE (false or NULL) counts as a violation,
+                    # matching the fail/drop paths and DLT
                     F.sum(
-                        F.when(~F.expr(e.condition), 1).otherwise(0)
+                        F.when(
+                            F.expr(
+                                f"NOT coalesce(({e.condition}), false)"
+                            ),
+                            1,
+                        ).otherwise(0)
                     ).alias(f"__v_{i}")
                     for i, e in enumerate(warn)
                 ],

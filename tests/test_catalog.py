@@ -1,0 +1,166 @@
+"""Catalog persistence + staged streaming publish (SURVEY.md §2.1/§2.9;
+reference: src/diabetes_etl_pipeline.py:46-53 — every table declares
+comment= and table_properties=, surfaced through the catalog; DLT fails
+an update WITHOUT committing the violating data).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from diabetes_etl_spark.pipeline.registry import (
+    ExpectationFailed,
+    Pipeline,
+    PipelineRunner,
+)
+
+
+def _tblprops(spark, name: str) -> dict[str, str]:
+    return {
+        r.key: r.value
+        for r in spark.sql(f"SHOW TBLPROPERTIES `default`.`{name}`").collect()
+    }
+
+
+def test_warehouse_persists_comment_and_properties(spark, tmp_path):
+    p = Pipeline("props")
+
+    @p.table(
+        name="props_tbl",
+        comment="it's a gold table",  # quote exercises escaping
+        table_properties={"quality": "gold", "pipelines.autoOptimize.managed": "true"},
+    )
+    def props_tbl(ctx):
+        return spark.createDataFrame([Row(a=1), Row(a=2)])
+
+    PipelineRunner(p, spark, mode="warehouse", warehouse=str(tmp_path)).run()
+    props = _tblprops(spark, "props_tbl")
+    assert props.get("quality") == "gold"
+    assert props.get("pipelines.autoOptimize.managed") == "true"
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql("DESCRIBE TABLE EXTENDED `default`.`props_tbl`").collect()
+    }
+    assert desc.get("Comment") == "it's a gold table"
+    # the catalog table reads the same data the runner materialized
+    assert spark.sql("SELECT count(*) AS n FROM `default`.`props_tbl`").first().n == 2
+    spark.sql("DROP TABLE IF EXISTS `default`.`props_tbl`")
+
+
+def test_partitioned_table_registered_with_partitions(spark, tmp_path):
+    p = Pipeline("props-part")
+
+    @p.table(name="props_part", partition_by=("d",),
+             table_properties={"quality": "silver"})
+    def props_part(ctx):
+        return spark.createDataFrame(
+            [Row(d="2024-01-01", v=1), Row(d="2024-01-02", v=2)]
+        )
+
+    PipelineRunner(p, spark, mode="warehouse", warehouse=str(tmp_path)).run()
+    assert _tblprops(spark, "props_part").get("quality") == "silver"
+    parts = spark.sql("SHOW PARTITIONS `default`.`props_part`").count()
+    assert parts == 2
+    assert (
+        spark.sql("SELECT sum(v) AS s FROM `default`.`props_part`").first().s == 3
+    )
+    spark.sql("DROP TABLE IF EXISTS `default`.`props_part`")
+
+
+def _write_csv(path, rows: list[tuple[int, int]]) -> None:
+    with open(path, "w") as fh:
+        fh.write("id,v\n")
+        for r in rows:
+            fh.write(f"{r[0]},{r[1]}\n")
+
+
+def _stream_pipeline(spark, src: str) -> Pipeline:
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from diabetes_etl_spark.streaming.ingest import incremental_file_ingest
+
+    schema = StructType(
+        [StructField("id", IntegerType()), StructField("v", IntegerType())]
+    )
+    p = Pipeline("staged")
+
+    @p.table(name="staged_tbl", streaming=True)
+    @Pipeline.expect_or_fail("positive_v", "v > 0")
+    def staged_tbl(ctx):
+        return incremental_file_ingest(
+            ctx.spark, src, schema, with_audit_columns=False
+        )
+
+    return p
+
+
+def test_streaming_fail_expectation_does_not_publish_bad_data(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    wh = str(tmp_path / "wh")
+
+    def run():
+        PipelineRunner(
+            _stream_pipeline(spark, str(src)), spark, mode="warehouse",
+            warehouse=wh,
+        ).run()
+
+    # clean batch publishes
+    _write_csv(src / "a.csv", [(1, 10), (2, 20)])
+    run()
+    tbl = os.path.join(wh, "staged_tbl")
+    assert spark.read.parquet(tbl).count() == 2
+
+    # violating batch aborts the update AND nothing new is published
+    _write_csv(src / "b.csv", [(3, -5), (4, 40)])
+    with pytest.raises(ExpectationFailed, match="positive_v"):
+        run()
+    good = spark.read.parquet(tbl)
+    assert good.count() == 2, "violating rows must not reach the table"
+    assert good.filter("v < 0").count() == 0
+
+    # the update stays red on re-run (pending files re-validated)
+    with pytest.raises(ExpectationFailed):
+        run()
+    assert spark.read.parquet(tbl).count() == 2
+    spark.sql("DROP TABLE IF EXISTS `default`.`staged_tbl`")
+
+
+def test_streaming_staged_publish_is_incremental(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    wh = str(tmp_path / "wh")
+
+    def run():
+        PipelineRunner(
+            _stream_pipeline(spark, str(src)), spark, mode="warehouse",
+            warehouse=wh,
+        ).run()
+
+    _write_csv(src / "a.csv", [(1, 10)])
+    run()
+    tbl = os.path.join(wh, "staged_tbl")
+    first_files = set(os.listdir(tbl))
+    _write_csv(src / "b.csv", [(2, 20)])
+    run()
+    assert spark.read.parquet(tbl).count() == 2
+    # previously published files are untouched (per-file delta publish)
+    assert first_files <= set(os.listdir(tbl))
+    spark.sql("DROP TABLE IF EXISTS `default`.`staged_tbl`")
+
+
+def test_expect_or_fail_null_condition_is_violation(spark):
+    """DLT semantics: a constraint evaluating to NULL is a violation,
+    consistent with expect_or_drop dropping non-TRUE rows."""
+    p = Pipeline("nullfail")
+
+    @p.table(name="null_src")
+    @Pipeline.expect_or_fail("positive_v", "v > 0")
+    def null_src(ctx):
+        return spark.createDataFrame([Row(v=1), Row(v=None), Row(v=3)])
+
+    with pytest.raises(ExpectationFailed, match="positive_v.*1 row"):
+        PipelineRunner(p, spark, mode="views").run()
