@@ -41,9 +41,13 @@ HEADLINE = [
     "sim_topk_cosine",
     "sim_lsh_topk",
     "text_quality_by_lang",
+    # E2E training-data prep composite (dedup -> near-dup -> quality ->
+    # token budget) — the nightly-corpus-pipeline headline
+    "docs_prep_pipeline",
     # equal-params pair: interpreted vs Arrow-vectorized LSH bucketing
     # at identical (8 tables, 6 bits, top-5) — keeps the "vectorized
-    # wins ~3x" claim measured every round.
+    # wins (1.2-3x paired)" claim measured every round; single-shot
+    # numbers swing on this host, trust paired/min-of-N comparisons.
     "sim_lsh_topk_scale",
     "sim_lsh_topk_vectorized",
 ]

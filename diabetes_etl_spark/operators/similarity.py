@@ -452,13 +452,15 @@ def lsh_topk_vectorized(
     Native higher-order expressions evaluate lambda-per-element
     interpreted — fine for a handful of projections, but at 48 planes x
     dim 64 the matmul path is the honest winner (the one place in this
-    repo where a Python UDF beats built-ins): measured 1.4-3x faster
-    than lsh_topk at identical (8 tables, 6 bits, top-5) on sf0.1,
-    local[32] — 1.9s vs 5.9s median of 3 interleaved runs; 1.5s vs 2.1s
-    best-of-2 in bench.py, which pairs sim_lsh_topk_vectorized with
-    sim_lsh_topk_scale to keep the comparison on the record every
-    round.  Hyperplanes come from a seeded PCG64 generator,
-    deterministic across runs and platforms.
+    repo where a Python UDF beats built-ins).  Measured by paired
+    alternating runs at identical (8 tables, 6 bits, top-5) on sf0.1,
+    local[32]: vectorized won all 5 of 5 rounds, paired ratios
+    1.2-3.0x, medians 3.1s vs 5.3s (round 3; single-shot timings on
+    this host swing up to 3x, so only the paired comparison is
+    meaningful — bench.py keeps sim_lsh_topk_vectorized and
+    sim_lsh_topk_scale adjacent every round for exactly that reason).
+    Hyperplanes come from a seeded PCG64 generator, deterministic
+    across runs and platforms.
     """
     planes = (
         np.random.default_rng(seed)

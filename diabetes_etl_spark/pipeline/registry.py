@@ -44,6 +44,26 @@ def _sql_str(s: str) -> str:
     return s.replace("\\", "\\\\").replace("'", "\\'")
 
 
+def delta_available(spark: SparkSession) -> bool:
+    """True when the Delta Lake runtime is on the session's classpath.
+
+    The reference's table_properties (`pipelines.autoOptimize.managed`,
+    src/diabetes_etl_pipeline.py:49-52) imply Delta-backed managed
+    tables on Databricks; stock-Spark deployments add the
+    `delta-spark` package to get the same format.  This probe gates the
+    optional `table_format="delta"` sink path so environments without
+    the package (like this sandbox) fall back to parquet with a clear
+    error instead of a classpath stack trace mid-write.
+    """
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.spark.sql.delta.DeltaLog"
+        )
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def _committed_sink_files(sink_dir: str) -> set[str] | None:
     """File names the streaming file sink has durably committed, parsed
     from its ``_spark_metadata`` log (v1: one JSON SinkFileStatus per
@@ -183,11 +203,21 @@ class PipelineRunner:
         checkpoint_dir: str | None = None,
         cache: tuple[str, ...] = (),
         view_prefix: str = "",
+        table_format: str = "parquet",
     ):
         if mode not in ("views", "warehouse"):
             raise ValueError(mode)
         if mode == "warehouse" and not warehouse:
             raise ValueError("warehouse mode requires a warehouse dir")
+        if table_format not in ("parquet", "delta"):
+            raise ValueError(f"unsupported table_format {table_format!r}")
+        if table_format == "delta" and not delta_available(spark):
+            raise RuntimeError(
+                "table_format='delta' requires the Delta Lake runtime "
+                "(delta-spark) on the Spark classpath; this session does "
+                "not have it — use the parquet default"
+            )
+        self.table_format = table_format
         self.pipeline = pipeline
         self.spark = spark
         self.mode = mode
@@ -264,11 +294,11 @@ class PipelineRunner:
 
     def _materialize_batch(self, ds: Dataset, df: DataFrame) -> DataFrame:
         path = os.path.join(self.warehouse, ds.name)
-        writer = df.write.mode("overwrite")
+        writer = df.write.mode("overwrite").format(self.table_format)
         if ds.partition_by:
             writer = writer.partitionBy(*ds.partition_by)
-        writer.parquet(path)
-        out = self.spark.read.parquet(path)
+        writer.save(path)
+        out = self.spark.read.format(self.table_format).load(path)
         self._register_catalog_table(ds, path)
         out.createOrReplaceTempView(self.view_prefix + ds.name)
         return out
@@ -283,27 +313,29 @@ class PipelineRunner:
         """
         # database-qualified so the same-named temp view (which shadows
         # unqualified names) never intercepts the DDL
+        fmt = self.table_format
         ident = f"`default`.`{self.view_prefix + ds.name}`"
         self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
-        ddl = f"CREATE TABLE {ident} USING parquet"
+        ddl = f"CREATE TABLE {ident} USING {fmt}"
         if ds.comment:
             ddl += f" COMMENT '{_sql_str(ds.comment)}'"
-        if ds.partition_by:
-            # partition columns must be declared for the catalog table;
-            # infer the full schema from the written dataset
-            sch = self.spark.read.parquet(path).schema
+        if ds.partition_by and fmt == "parquet":
+            # partition columns must be declared for the catalog table
+            # (delta carries them in its own log); infer the full
+            # schema from the written dataset
+            sch = self.spark.read.format(fmt).load(path).schema
             cols = ", ".join(
                 f"`{f.name}` {f.dataType.simpleString()}" for f in sch
             )
             part = ", ".join(f"`{c}`" for c in ds.partition_by)
             ddl = (
-                f"CREATE TABLE {ident} ({cols}) USING parquet"
+                f"CREATE TABLE {ident} ({cols}) USING {fmt}"
                 + (f" COMMENT '{_sql_str(ds.comment)}'" if ds.comment else "")
                 + f" PARTITIONED BY ({part})"
             )
         ddl += f" LOCATION '{_sql_str(path)}'"
         self.spark.sql(ddl)
-        if ds.partition_by:
+        if ds.partition_by and fmt == "parquet":
             self.spark.sql(f"ALTER TABLE {ident} RECOVER PARTITIONS")
         if ds.table_properties:
             kv = ", ".join(
@@ -331,6 +363,16 @@ class PipelineRunner:
         if self.mode != "warehouse":
             raise ValueError(
                 f"streaming dataset {ds.name!r} requires warehouse mode"
+            )
+        if self.table_format != "parquet":
+            # Delta's transactional log is its own commit protocol; the
+            # per-file staged publish below is parquet-specific.  A
+            # delta streaming sink would validate via time travel +
+            # RESTORE instead — not implemented (no delta runtime in
+            # this environment to test against).
+            raise NotImplementedError(
+                "streaming datasets currently support only the parquet "
+                "table_format"
             )
         path = os.path.join(self.warehouse, ds.name)
         staging = os.path.join(self.warehouse, "_staging", ds.name)

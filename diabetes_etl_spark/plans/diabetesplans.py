@@ -1297,3 +1297,85 @@ for _name, (_tpl, _needs, _doc) in _DASH_SPECS.items():
         doc=_doc,
         tags=("diabetes", "dashboard", "sql"),
     )(_dash_fn(_tpl, _needs))
+
+
+# -- widget-level post-processing (reference: dashboard JSON widgets) -------
+#
+# The dashboard's widget layer applies client-side transforms on top of
+# the dataset SQL: a pivot widget (rows risk_level x glucose_level,
+# columns bp_category, cell avg_diabetes_rate — D:742-830) and
+# categorical custom-order encodings (pinned orderedValues lists,
+# D:418-434).  Both re-expressed server-side.
+
+_BP_ORDER = ["Normal", "High Normal", "Mild Hypertension", "Hypertension"]
+_AGE_ORDER = [
+    "Young (< 30)", "Adult (30-39)", "Middle Age (40-49)",
+    "Mature (50-59)", "Senior (60+)",
+]
+_BP_COLS = {
+    "Normal": "bp_normal",
+    "High Normal": "bp_high_normal",
+    "Mild Hypertension": "bp_mild_hypertension",
+    "Hypertension": "bp_hypertension",
+}
+
+
+@register(
+    "diab_widget_risk_pivot",
+    oracle=(
+        "SELECT risk_level, glucose_level, "
+        + ", ".join(
+            f"MAX(CASE WHEN bp_category = '{v}' THEN avg_diabetes_rate "
+            f"END) AS {c}"
+            for v, c in _BP_COLS.items()
+        )
+        + f" FROM ({_dash_oracle(_DASH_MATRIX, ('risk',))}) m"
+        " GROUP BY risk_level, glucose_level"
+    ),
+    doc="Pivot widget over the risk matrix: rows (risk_level, "
+    "glucose_level), pinned bp_category columns, avg_diabetes_rate "
+    "cells (reference: D:742-830).  Server-side pivot with pinned "
+    "values — no distinct-value scan, one shuffle on the row keys.",
+    tags=("diabetes", "dashboard", "widget", "pivot"),
+    extended=True,
+)
+def diab_widget_risk_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _dash_fn(_DASH_MATRIX, ("risk",))(spark, sf_dir)
+    piv = (
+        m.groupBy("risk_level", "glucose_level")
+        .pivot("bp_category", _BP_ORDER)
+        .agg(F.max("avg_diabetes_rate"))
+    )
+    for v, c in _BP_COLS.items():
+        piv = piv.withColumnRenamed(v, c)
+    return piv
+
+
+@register(
+    "diab_widget_age_order",
+    oracle=(
+        "SELECT age_group, total_patients, diabetes_rate, "
+        "CAST(list_position("
+        + "[" + ", ".join(f"'{v}'" for v in _AGE_ORDER) + "]"
+        ", age_group) AS INT) AS sort_key"
+        f" FROM ({_dash_oracle(_DASH_AGE, ('demo',))}) a"
+        " ORDER BY sort_key"
+    ),
+    doc="Categorical custom-order widget encoding: the pinned "
+    "orderedValues list (reference: D:418-434) materialized as a "
+    "sort key via array_position — the widget's field projection plus "
+    "its encoding sort, server-side.",
+    tags=("diabetes", "dashboard", "widget", "sort"),
+    extended=True,
+)
+def diab_widget_age_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _dash_fn(_DASH_AGE, ("demo",))(spark, sf_dir)
+    order_arr = F.array(*[F.lit(v) for v in _AGE_ORDER])
+    return a.select(
+        "age_group",
+        "total_patients",
+        "diabetes_rate",
+        F.array_position(order_arr, F.col("age_group"))
+        .cast("int")
+        .alias("sort_key"),
+    ).orderBy("sort_key")

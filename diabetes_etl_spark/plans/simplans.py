@@ -220,10 +220,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ANN top-5, fully Arrow-vectorized: one numpy matmul computes "
     "all 48 hyperplane projections + norms per batch, einsum re-ranks "
     "candidate pairs — the one hot path where a Pandas UDF honestly "
-    "beats native expressions (measured 1.4-3x faster than the "
-    "interpreted zip_with/aggregate form at identical 8-table x 6-bit "
-    "x top-5 params on sf0.1 — sim_lsh_topk_scale is the equal-params "
-    "partner in bench.py; recall@5 ~0.92, tests/test_similarity.py).",
+    "beats native expressions (paired alternating runs at identical "
+    "8-table x 6-bit x top-5 params on sf0.1: won 5/5 rounds, 1.2-3x "
+    "per pair — sim_lsh_topk_scale is the equal-params partner in "
+    "bench.py; recall@5 ~0.92, tests/test_similarity.py).",
     tags=("similarity", "lsh", "pandas-udf", "extension"),
 )
 def sim_lsh_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:

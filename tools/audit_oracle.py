@@ -27,7 +27,7 @@ def main() -> int:
     prefixes = tuple(sys.argv[2:])
     spark = get_spark(app_name="audit-oracle", shuffle_partitions=16)
     duck = make_duck(sf)
-    qs = all_queries()
+    qs = all_queries(include_extended=True)
     names = [n for n, s in qs.items() if s.oracle]
     if prefixes:
         names = [n for n in names if n.startswith(prefixes)]
