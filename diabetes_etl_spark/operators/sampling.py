@@ -1,0 +1,154 @@
+"""Corpus sampling, chunking, and training-order operators — the stages
+between "cleaned corpus" and "training shards" in a large-scale
+pipeline (SURVEY.md extension tier; companions to operators/dedup.py
+and operators/text.py in the docs-prep flow).
+
+All three are single-scan native-expression operators (no UDFs, no
+shuffle except where noted), and all are DETERMINISTIC: sampling and
+shuffling key off portable integer hashes of (seed, id), never
+``rand()``, so a re-run — or a different engine replaying the logic —
+selects byte-identical rows.  That is what makes a 100 TB sampling job
+reproducible, auditable, and oracle-checkable.
+
+Scale shapes:
+- ``chunk_documents``: narrow map (split + slice + posexplode); output
+  rows ~ tokens/chunk_tokens per doc, no shuffle.
+- ``stratified_sample``: narrow filter; the per-stratum rates ride in
+  as a literal map, so there is no join and no driver round-trip.
+- ``training_shuffle``: one hash-partition shuffle on the shuffle key —
+  exactly the exchange a training-data writer needs anyway to produce
+  shard files; within-shard order is the hash order (decorrelated from
+  source order by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mixing constants for the portable integer hash (a multiplicative LCG
+# step reduced mod a large prime): cheap, stateless, identical in any
+# engine with 64-bit integer arithmetic.  NOT cryptographic — good
+# enough to decorrelate ids from selection, which is the requirement.
+# The multiplier/increment are pre-reduced mod p so the intermediate
+# product stays < 1e18 — inside long range, which matters because
+# Spark 4 runs ANSI mode (overflow raises, there is no wrap-around).
+_MOD = 1_000_000_007
+_MIX_A = 6364136223846793005 % _MOD  # Knuth MMIX LCG multiplier, mod p
+_MIX_C = 1442695040888963407 % _MOD
+
+
+def _mix(id_col: Column, seed: int) -> Column:
+    """((id + seed) mod p) * A + C, reduced mod p — every intermediate
+    fits a long (p^2 < 2^63), so it is ANSI-overflow-safe."""
+    return F.pmod(
+        F.pmod(id_col.cast("long") + F.lit(seed), F.lit(_MOD))
+        * F.lit(_MIX_A)
+        + F.lit(_MIX_C),
+        F.lit(_MOD),
+    )
+
+
+def portable_unit_hash(id_col: Column, seed: int) -> Column:
+    """Deterministic pseudo-uniform value in [0, 1) from an integer id.
+
+    ``(((id + seed) mod p) * A + C) mod p / p``; engine-portable
+    (DuckDB mirrors it verbatim) and stable across runs, partitions,
+    and cluster sizes — unlike ``rand()``, whose draw depends on
+    partition layout.
+    """
+    return _mix(id_col, seed).cast("double") / F.lit(float(_MOD))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into token-bounded chunks with overlap — the
+    standard pre-tokenization stage for long-document training.
+
+    Chunks start every ``chunk_tokens - overlap`` tokens and carry
+    ``chunk_tokens`` tokens (the last chunk may be shorter; a document
+    shorter than one chunk yields exactly one chunk).  Pure native
+    expressions: split -> slice windows -> posexplode; no shuffle.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(step)).cast("int"),
+    )
+    starts = F.sequence(F.lit(0), n_chunks - F.lit(1))
+    chunks = F.transform(
+        starts,
+        lambda i: F.slice(toks, i * F.lit(step) + F.lit(1), F.lit(chunk_tokens)),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(chunks).alias("chunk_idx", "chunk_toks"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.array_join("chunk_toks", " ").alias("chunk_text"),
+            F.size("chunk_toks").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 17,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the training-mixture stage
+    ("2x English, 0.5x code, drop the rest" style corpus weighting).
+
+    Keeps a row iff ``portable_unit_hash(id, seed) < rate(stratum)``.
+    Rates are compiled into a CASE literal (no join, no broadcast);
+    selection is independent of partitioning and cluster size, and a
+    re-run selects the same rows — the property audits depend on.
+    Rates > 1 are capped at 1 (up-sampling is ``repeat_sample``'s job,
+    kept separate so row multiplicity stays explicit).
+    """
+    u = portable_unit_hash(F.col(id_col), seed)
+    rate = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        rate = F.when(
+            F.col(stratum_col) == F.lit(k), F.lit(min(float(v), 1.0))
+        ).otherwise(rate)
+    return df.filter(u < rate)
+
+
+def training_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 29,
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    order: shuffle_key decorrelates neighbors, shard = key mod shards.
+
+    Unlike ``df.orderBy(rand())``, the order is reproducible and
+    engine-portable; unlike ``repartition(n)``, the assignment does not
+    depend on Spark's internal hash or the input partitioning.  Writing
+    shards is then ``.repartition("shard").write.partitionBy("shard")``
+    — one exchange, balanced by the uniformity of the hash.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    key = _mix(F.col(id_col), seed)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        key.cast("long").alias("shuffle_key"),
+        F.pmod(key, F.lit(n_shards)).cast("int").alias("shard"),
+    )
