@@ -270,7 +270,14 @@ def simhash_near_pairs(
     differ in at most max_hamming bits, at least one chunk is
     bit-identical, so an equi-join on (chunk_idx, chunk value) finds
     every qualifying pair; bit_count(xor) then verifies exactly.
-    Recall is therefore 1.0 by construction at any max_hamming.
+    Recall is therefore 1.0 by construction for every bucket at or
+    under ``bucket_cap``: beyond the cap the skew-safe pair generator
+    replaces tail pairs with star edges to the bucket leader, and a
+    tail pair (b, c) can be lost when both leader edges exceed
+    max_hamming (the triangle inequality only bounds them by
+    2*max_hamming).  Pass an effectively-unbounded cap when exactness
+    matters more than skew safety (the oracle-paired gate instance
+    does).
     """
     n_chunks = max_hamming + 1
     bounds = [round(63 * t / n_chunks) for t in range(n_chunks + 1)]

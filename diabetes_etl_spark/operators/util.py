@@ -85,8 +85,28 @@ def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     exist.  At real scale the scan is already wide and this is a no-op
     — the repartition only fires when the source is narrower than the
     default parallelism, so it never adds a shuffle to a big input.
+
+    Width is estimated from Catalyst's optimized-plan size statistics
+    (``sizeInBytes / spark.sql.files.maxPartitionBytes``), NOT by
+    probing the DataFrame's RDD partition count: the RDD probe forces
+    eager physical planning + lineage construction on every operator
+    call (real driver-side cost on 100 TB plan sizes) and bypasses
+    AQE's view of the plan.  Stats only need analysis; on any
+    estimation failure the input is returned unchanged — the safe
+    direction at scale, where scans are already wide.
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    try:
+        size_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        max_split = int(
+            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
+    except Exception:
+        return df
+    est_splits = max(1, size_bytes // max_split)
+    if est_splits < target:
         return df.repartition(target)
     return df

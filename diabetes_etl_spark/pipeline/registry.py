@@ -303,7 +303,9 @@ class PipelineRunner:
         out.createOrReplaceTempView(self.view_prefix + ds.name)
         return out
 
-    def _register_catalog_table(self, ds: Dataset, path: str) -> None:
+    def _register_catalog_table(
+        self, ds: Dataset, path: str, schema=None
+    ) -> None:
         """Persist the dataset as an external catalog table over its
         parquet location, carrying the declared ``comment`` and
         ``table_properties`` — the reference declares both on every
@@ -317,6 +319,14 @@ class PipelineRunner:
         ident = f"`default`.`{self.view_prefix + ds.name}`"
         self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
         ddl = f"CREATE TABLE {ident} USING {fmt}"
+        if schema is not None:
+            # explicit columns: required when the location holds no
+            # files yet (a streaming table's empty first run) — parquet
+            # inference would fail
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema
+            )
+            ddl = f"CREATE TABLE {ident} ({cols}) USING {fmt}"
         if ds.comment:
             ddl += f" COMMENT '{_sql_str(ds.comment)}'"
         if ds.partition_by and fmt == "parquet":
@@ -359,6 +369,11 @@ class PipelineRunner:
         last good contents.  Publishing is per-file (unique sink file
         names), so it is idempotent and only the new delta is ever
         validated or moved — no full-table rewrite or rescan per update.
+
+        The staged publish assumes a local-POSIX warehouse path
+        (os.listdir + os.link/copy); on an object store the equivalent
+        is a manifest-commit protocol (what Delta's transaction log
+        provides — see the table_format gate below).
         """
         if self.mode != "warehouse":
             raise ValueError(
@@ -421,8 +436,18 @@ class PipelineRunner:
                 os.link(src, dst)
             except OSError:
                 shutil.copy2(src, dst)
-        out = self.spark.read.parquet(path)
-        self._register_catalog_table(ds, path)
+        if any(f.endswith(".parquet") for f in os.listdir(path)):
+            out = self.spark.read.parquet(path)
+            self._register_catalog_table(ds, path)
+        else:
+            # first run with zero input files: nothing staged or
+            # published, and parquet can't infer a schema from an empty
+            # dir — fall back to an empty frame with the STREAM's
+            # (known) schema so downstream datasets see the right
+            # columns instead of an AnalysisException, and register the
+            # catalog table with explicit columns for the same reason.
+            out = self.spark.createDataFrame([], df.schema)
+            self._register_catalog_table(ds, path, schema=df.schema)
         out.createOrReplaceTempView(self.view_prefix + ds.name)
         return out
 

@@ -264,10 +264,12 @@ def setop_intersect_except_distinct(spark: SparkSession, sf_dir: str) -> DataFra
     inter = order_keys.intersect(rich).select(
         F.lit("intersect").alias("op"), "custkey"
     )
-    exc = (
-        rich.exceptAll(order_keys.distinct())
-        .distinct()
-        .select(F.lit("except").alias("op"), "custkey")
+    # subtract() IS Spark's EXCEPT DISTINCT — semantically equal to the
+    # oracle's EXCEPT for any input multiplicity (exceptAll+distinct
+    # would keep a multiplicity->1 survivor for left rows that also
+    # appear on the right).
+    exc = rich.subtract(order_keys).select(
+        F.lit("except").alias("op"), "custkey"
     )
     dist = (
         orders.filter(F.col("o_orderstatus") == "P")

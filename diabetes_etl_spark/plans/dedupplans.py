@@ -167,9 +167,15 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # bucket_cap 4096 = effectively unbounded at fixture scale, so the
+    # gate instance is exact against the unbounded quadratic oracle
+    # regardless of how the fixture's chunk buckets are populated (the
+    # pigeonhole guarantee holds only for buckets <= cap; sim_neardup_lsh
+    # set the same precedent).  The default cap=64 bounding behavior is
+    # covered by the skew test in tests/test_dedup.py.
     return DD.simhash_near_pairs(
         docs, "doc_id", "text", max_hamming=3,
-        token_hash=DD.portable_token_hash,
+        token_hash=DD.portable_token_hash, bucket_cap=4096,
     )
 
 
@@ -178,8 +184,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # xxhash64 is engine-specific; rows-only + tests
     doc="SimHash(63-bit) near-dup pairs on the default xxhash64 token "
     "hash — the scale path (cheapest hashing, best bit mixing); "
-    "pigeonhole recall 1.0 by construction, asserted with the portable "
-    "variant's agreement in tests/test_dedup.py.",
+    "pigeonhole recall 1.0 by construction for buckets <= bucket_cap "
+    "(beyond the cap, star-edge bounding may drop tail pairs — see "
+    "operators/dedup.py:simhash_near_pairs), asserted with the "
+    "portable variant's agreement in tests/test_dedup.py.",
     tags=("dedup", "simhash", "extension"),
     extended=True,
 )

@@ -68,8 +68,17 @@ class FileArrivalTrigger:
     poll_interval: float = 1.0
     suffixes: tuple[str, ...] = (".csv",)
     run_on_start: bool = False
+    # fire a run every this many seconds even without a listing change —
+    # the reference's scheduled dashboard-refresh cadence ("refreshes
+    # every 1 min"); None = arrival-triggered only.
+    refresh_interval: float | None = None
     runs: int = field(default=0, init=False)
+    # failed runs do NOT kill the watcher (see watch()); they are
+    # counted here and the last exception kept for the operator.
+    errors: int = field(default=0, init=False)
+    last_error: BaseException | None = field(default=None, init=False)
     _seen: frozenset = field(default=frozenset(), init=False, repr=False)
+    _last_fire: float = field(default=0.0, init=False, repr=False)
 
     def __post_init__(self) -> None:
         if isinstance(self.src_dirs, str):
@@ -81,18 +90,31 @@ class FileArrivalTrigger:
             self._seen = _scan(self.src_dirs, self.suffixes)
 
     def poll_once(self) -> bool:
-        """One poll: fire ``run_pipeline`` iff the listing changed.
+        """One poll: fire ``run_pipeline`` iff the listing changed (or
+        ``refresh_interval`` has elapsed since the last fired run).
 
         The baseline advances to the PRE-run snapshot, so files that
         land while a run is in flight trigger another run on the next
-        poll instead of being silently absorbed.
+        poll instead of being silently absorbed.  Exceptions from
+        ``run_pipeline`` propagate to the caller — :meth:`watch` is the
+        layer that catches them.
         """
         snapshot = _scan(self.src_dirs, self.suffixes)
-        if snapshot == self._seen:
+        refresh_due = (
+            self.refresh_interval is not None
+            and time.monotonic() - self._last_fire >= self.refresh_interval
+        )
+        if snapshot == self._seen and not refresh_due:
             return False
+        # advance the baseline BEFORE firing: files landing mid-run
+        # still re-trigger (they change the listing again), and a run
+        # that raises doesn't hot-retry every poll — it retries on the
+        # next listing change or refresh tick.  ``runs`` counts
+        # completed runs only.
+        self._last_fire = time.monotonic()
+        self._seen = snapshot
         self.run_pipeline()
         self.runs += 1
-        self._seen = snapshot
         return True
 
     def watch(
@@ -105,6 +127,16 @@ class FileArrivalTrigger:
 
         Stops when ``stop`` is set, ``max_runs`` pipeline runs have
         fired, or ``timeout`` seconds have elapsed — whichever first.
+
+        A run that raises (e.g. ExpectationFailed from a staged-publish
+        validation — a designed failure mode of streaming updates) does
+        NOT kill the loop: the exception is recorded on
+        ``errors``/``last_error`` and polling continues, so later file
+        arrivals still trigger runs — exactly DLT's behavior, where a
+        failed update leaves the pipeline schedulable.  The failed
+        run's baseline does advance, so the SAME listing won't re-fire
+        until it changes again (or ``refresh_interval`` elapses, which
+        doubles as the retry cadence for red tables).
         """
         started = self.runs
         deadline = time.monotonic() + timeout if timeout is not None else None
@@ -115,7 +147,11 @@ class FileArrivalTrigger:
                 break
             if deadline is not None and time.monotonic() >= deadline:
                 break
-            self.poll_once()
+            try:
+                self.poll_once()
+            except Exception as exc:  # noqa: BLE001 — keep watching
+                self.errors += 1
+                self.last_error = exc
             if stop is not None:
                 stop.wait(self.poll_interval)
             else:

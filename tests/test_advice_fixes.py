@@ -157,3 +157,46 @@ def test_compact_files_self_heals_before_running(spark, tmp_path):
     assert spark.read.parquet(path).count() == n
     assert after <= before
     assert data_file_count(path) == after
+
+
+# -- 5. widen() must not probe df.rdd (round-3 VERDICT #6) ----------------
+
+
+def test_widen_repartitions_narrow_scan(spark, sf_dir):
+    from diabetes_etl_spark.operators.util import widen
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    # a tiny fixture scan estimates << defaultParallelism splits
+    out = widen(docs)
+    assert out.rdd.getNumPartitions() >= min(target, 8)
+
+
+def test_widen_is_noop_when_scan_estimates_wide(spark, sf_dir):
+    from diabetes_etl_spark.operators.util import widen
+
+    docs = load_table(spark, sf_dir, "documents")
+    # shrink the split size so Catalyst stats estimate a wide scan:
+    # widen must then return the input unchanged (no repartition at
+    # scale, where the scan is already wide)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        out = widen(docs)
+        assert out is docs
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_operator_path_has_no_rdd_probe():
+    """The operator/plan modules must not touch df.rdd (forces eager
+    physical planning + RDD lineage and bypasses AQE)."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "diabetes_etl_spark"
+    offenders = []
+    for f in pkg.rglob("*.py"):
+        src = f.read_text()
+        if ".rdd" in src:
+            offenders.append(str(f))
+    assert offenders == [], f".rdd probe found in {offenders}"

@@ -152,6 +152,72 @@ def test_streaming_staged_publish_is_incremental(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS `default`.`staged_tbl`")
 
 
+def test_streaming_first_run_empty_input_yields_typed_empty(spark, tmp_path):
+    """First run with ZERO input files must return an empty frame with
+    the stream's schema (round-3 ADVICE: the staged-publish path used to
+    die on 'Unable to infer schema' reading the empty published dir)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    wh = str(tmp_path / "wh")
+    runner = PipelineRunner(
+        _stream_pipeline(spark, str(src)), spark, mode="warehouse",
+        warehouse=wh,
+    )
+    out = runner.run()
+    df = out["staged_tbl"]
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["id", "v"]
+    # and the next run with real data still publishes incrementally
+    _write_csv(src / "a.csv", [(1, 10)])
+    PipelineRunner(
+        _stream_pipeline(spark, str(src)), spark, mode="warehouse",
+        warehouse=wh,
+    ).run()
+    assert spark.read.parquet(os.path.join(wh, "staged_tbl")).count() == 1
+    spark.sql("DROP TABLE IF EXISTS `default`.`staged_tbl`")
+
+
+def test_streaming_publish_crash_recovery(spark, tmp_path):
+    """Simulate a crash between per-file publishes: some staged files
+    published, others missing from the table dir.  A rerun (no new
+    input) must converge the table — missing files republished from
+    staging, no duplicates, no loss (VERDICT round 3, next-round #5)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    wh = str(tmp_path / "wh")
+
+    def run():
+        PipelineRunner(
+            _stream_pipeline(spark, str(src)), spark, mode="warehouse",
+            warehouse=wh,
+        ).run()
+
+    _write_csv(src / "a.csv", [(1, 10)])
+    run()
+    _write_csv(src / "b.csv", [(2, 20)])
+    run()
+    tbl = os.path.join(wh, "staged_tbl")
+    published = sorted(
+        f for f in os.listdir(tbl) if f.endswith(".parquet")
+    )
+    assert len(published) >= 2
+    baseline = {
+        (r.id, r.v) for r in spark.read.parquet(tbl).collect()
+    }
+    # crash half-way: one published file never made it
+    os.remove(os.path.join(tbl, published[0]))
+    assert spark.read.parquet(tbl).count() < len(baseline)
+    # rerun with no new input: checkpoint ingests nothing, the per-file
+    # publish re-links exactly the missing delta
+    run()
+    recovered = [
+        (r.id, r.v) for r in spark.read.parquet(tbl).collect()
+    ]
+    assert len(recovered) == len(baseline), "no dupes and no loss"
+    assert set(recovered) == baseline
+    spark.sql("DROP TABLE IF EXISTS `default`.`staged_tbl`")
+
+
 def test_delta_format_is_gated_on_runtime(spark, tmp_path):
     """table_format='delta' must fail fast with a clear message when the
     Delta runtime is absent (this sandbox), and write delta when it is
