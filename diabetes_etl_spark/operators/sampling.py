@@ -102,6 +102,21 @@ def chunk_documents(
     )
 
 
+def _rate_case(
+    rates: dict[str, float],
+    stratum_col: str,
+    default_rate: float,
+    cap_at_one: bool,
+) -> Column:
+    """Compile a per-stratum rate table into one CASE literal — no join,
+    no broadcast, no driver round-trip at any corpus size."""
+    rate = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        r = min(float(v), 1.0) if cap_at_one else float(v)
+        rate = F.when(F.col(stratum_col) == F.lit(k), F.lit(r)).otherwise(rate)
+    return rate
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],
@@ -117,16 +132,46 @@ def stratified_sample(
     Rates are compiled into a CASE literal (no join, no broadcast);
     selection is independent of partitioning and cluster size, and a
     re-run selects the same rows — the property audits depend on.
-    Rates > 1 are capped at 1 (up-sampling is ``repeat_sample``'s job,
-    kept separate so row multiplicity stays explicit).
+    Rates > 1 are capped at 1 (up-sampling is :func:`repeat_sample`'s
+    job, kept separate so row multiplicity stays explicit).
     """
     u = portable_unit_hash(F.col(id_col), seed)
-    rate = F.lit(float(default_rate))
-    for k, v in sorted(rates.items()):
-        rate = F.when(
-            F.col(stratum_col) == F.lit(k), F.lit(min(float(v), 1.0))
-        ).otherwise(rate)
-    return df.filter(u < rate)
+    return df.filter(u < _rate_case(rates, stratum_col, default_rate, True))
+
+
+def repeat_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 23,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic up/down-sampling with EXPLICIT row multiplicity —
+    the epoch-weighting stage ("see English 2.3x per epoch").
+
+    Each row appears ``floor(rate) + (unit_hash < frac(rate))`` times
+    (so rate 2.3 means 2 copies always, a 3rd for a deterministic 30%
+    of ids), tagged ``copy_idx`` 0..m-1 so downstream shuffling can
+    decorrelate the copies.  Rows whose multiplicity lands on 0 are
+    dropped — rate < 1 degrades to :func:`stratified_sample` with the
+    same selection rule.  Narrow sequence+explode, no shuffle; the
+    multiplicity is a pure function of (seed, id, stratum), so a re-run
+    — or another engine — reproduces the exact same physical epoch.
+    """
+    rate = _rate_case(rates, stratum_col, default_rate, False)
+    u = portable_unit_hash(F.col(id_col), seed)
+    mult = F.floor(rate).cast("int") + (
+        u < (rate - F.floor(rate))
+    ).cast("int")
+    return (
+        df.withColumn("_mult", mult)
+        .filter(F.col("_mult") > 0)
+        .withColumn(
+            "copy_idx", F.explode(F.sequence(F.lit(0), F.col("_mult") - 1))
+        )
+        .drop("_mult")
+    )
 
 
 def training_shuffle(
@@ -143,12 +188,16 @@ def training_shuffle(
     depend on Spark's internal hash or the input partitioning.  Writing
     shards is then ``.repartition("shard").write.partitionBy("shard")``
     — one exchange, balanced by the uniformity of the hash.
+
+    All input columns are preserved (a shard assignment that drops the
+    payload would be useless to the shard writer); ``shuffle_key`` and
+    ``shard`` are appended.
     """
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
     key = _mix(F.col(id_col), seed)
     return df.select(
-        F.col(id_col).alias("doc_id"),
+        "*",
         key.cast("long").alias("shuffle_key"),
         F.pmod(key, F.lit(n_shards)).cast("int").alias("shard"),
     )

@@ -61,6 +61,12 @@ GATE_CAPACITY = 50
 # plans/composites.py and are themselves oracle-paired gate queries).
 _EXTENDED: frozenset[str] = frozenset(
     {
+        # view-sink coverage stays in the gate via diab_view_demographics
+        # and diab_view_risk_analysis; the executive twin (identical
+        # operator surface to the gate's diab_gold_executive, through
+        # the same view sink) moved to the extended tier to free one
+        # gate slot for corpus_sampling_shards (round-4)
+        "diab_view_executive",
         # covered by diab_silver_features / diab_view_* (project/filter/case)
         "proj_filter_case_lineitem",
         # covered by diab_gold_executive / diab_gold_validation (global agg)
@@ -161,6 +167,7 @@ def all_queries(include_extended: bool = False) -> dict[str, QuerySpec]:
     from diabetes_etl_spark.plans import textplans  # noqa: F401
     from diabetes_etl_spark.plans import composites  # noqa: F401
     from diabetes_etl_spark.plans import docsprep  # noqa: F401
+    from diabetes_etl_spark.plans import samplingplans  # noqa: F401
 
     if include_extended:
         return dict(_REGISTRY)

@@ -1,0 +1,269 @@
+"""Corpus sampling / chunking / sharding query plans over the
+`documents` fixture (operators/sampling.py) — the stages between
+"cleaned corpus" and "training shards" in a large-scale pipeline.
+
+Every operator here keys its selection off the engine-portable
+integer hash in operators/sampling.py, which was designed so DuckDB
+can mirror it VERBATIM: the oracle SQL below replays
+``(((id + seed) mod p) * A + C) mod p`` with the same pre-reduced
+constants, so row selection, multiplicities, shuffle keys, and shard
+assignments are compared bit-for-bit — not just statistically.
+
+Gate entry: ``corpus_sampling_shards`` (the composite pipeline —
+stratified sample -> chunk -> shard -> per-shard profile).  Extended
+tier: one oracle-paired query per individual operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.operators.sampling import (
+    _MIX_A,
+    _MIX_C,
+    _MOD,
+    chunk_documents,
+    repeat_sample,
+    stratified_sample,
+    training_shuffle,
+)
+from diabetes_etl_spark.plans.registry import register
+from diabetes_etl_spark.sources.tables import load_table
+
+# Training-mixture rates keyed on the fixture's lang column
+# (de/en/es/fr/zh): down-sample the over-represented languages, keep
+# Spanish whole, thin the default bucket.
+_RATES = {"en": 0.5, "fr": 0.75, "de": 0.25, "es": 1.0}
+_DEFAULT_RATE = 0.1
+# Epoch-weighting rates for repeat_sample (explicit multiplicity;
+# values > 1 up-sample).
+_REPEAT_RATES = {"en": 2.3, "de": 1.0, "zh": 0.5}
+_REPEAT_DEFAULT = 0.75
+
+_CHUNK_TOKENS = 32
+_OVERLAP = 4
+_STEP = _CHUNK_TOKENS - _OVERLAP
+_N_SHARDS = 8
+# Composite chunk id: doc_id * _CID_BASE + chunk_idx.  Collision-free
+# while chunks-per-doc < 4096 (128k tokens/doc at 32-token chunks); a
+# corpus of longer documents would raise the base — it only has to stay
+# under 2^63 / max(doc_id).
+_CID_BASE = 4096
+
+
+def _mix_sql(id_expr: str, seed: int) -> str:
+    """DuckDB replay of operators/sampling.py:_mix — same pre-reduced
+    constants, every intermediate < 1e18 (BIGINT-safe in both engines).
+    """
+    return (
+        f"(((CAST({id_expr} AS BIGINT) + {seed}) % {_MOD}) * {_MIX_A}"
+        f" + {_MIX_C}) % {_MOD}"
+    )
+
+
+def _unit_sql(id_expr: str, seed: int) -> str:
+    return f"(CAST({_mix_sql(id_expr, seed)} AS DOUBLE) / {float(_MOD)!r})"
+
+
+def _rate_sql(rates: dict[str, float], default: float, cap: bool) -> str:
+    branches = " ".join(
+        f"WHEN '{k}' THEN {min(float(v), 1.0) if cap else float(v)!r}"
+        for k, v in sorted(rates.items())
+    )
+    return f"(CASE lang {branches} ELSE {float(default)!r} END)"
+
+
+# DuckDB replay of chunk_documents on the documents table: explode
+# chunk indices with generate_series, slice the token array per index.
+_CHUNKS_CTE = f"""
+toks AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, lang, t, len(t) AS n,
+    greatest(1, CAST(ceil((len(t) - {_OVERLAP}) / CAST({_STEP} AS DOUBLE))
+                     AS INT)) AS n_chunks
+  FROM toks
+),
+chunk_rows AS (
+  SELECT doc_id, lang, t, n,
+    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM sized
+),
+chunks AS (
+  SELECT doc_id, lang, chunk_idx,
+    array_to_string(
+      list_slice(t, chunk_idx * {_STEP} + 1,
+                 chunk_idx * {_STEP} + {_CHUNK_TOKENS}), ' ') AS chunk_text,
+    CAST(least({_CHUNK_TOKENS}, n - chunk_idx * {_STEP}) AS BIGINT)
+      AS n_tokens
+  FROM chunk_rows
+)
+"""
+
+
+@register(
+    "corpus_sampling_shards",
+    oracle=f"""
+WITH sampled AS (
+  SELECT * FROM documents
+  WHERE {_unit_sql("doc_id", 17)} < {_rate_sql(_RATES, _DEFAULT_RATE, True)}
+),
+{_CHUNKS_CTE.replace("FROM documents", "FROM sampled", 1)},
+sharded AS (
+  SELECT doc_id, chunk_idx, n_tokens,
+    CAST({_mix_sql(f"doc_id * {_CID_BASE} + chunk_idx", 29)} % {_N_SHARDS}
+         AS INT) AS shard
+  FROM chunks
+)
+SELECT shard,
+  COUNT(*) AS n_chunks,
+  COUNT(DISTINCT doc_id) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM sharded GROUP BY shard ORDER BY shard
+""",
+    doc="Corpus-to-training-shards composite: deterministic stratified "
+    "sampling by lang -> token chunking with overlap -> portable-hash "
+    "shard assignment -> per-shard profile (operators/sampling.py; the "
+    "whole pipeline replays verbatim in DuckDB).  Narrow map stages "
+    "end-to-end — the only shuffle is the final per-shard aggregate "
+    "(at scale, the same exchange the shard writer needs anyway).",
+    tags=("sampling", "chunking", "sharding", "composite", "extension"),
+)
+def corpus_sampling_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        docs, _RATES, seed=17, default_rate=_DEFAULT_RATE
+    )
+    chunks = chunk_documents(
+        sampled, chunk_tokens=_CHUNK_TOKENS, overlap=_OVERLAP
+    )
+    sharded = training_shuffle(
+        chunks.withColumn(
+            "cid",
+            F.col("doc_id") * F.lit(_CID_BASE) + F.col("chunk_idx"),
+        ),
+        n_shards=_N_SHARDS,
+        id_col="cid",
+        seed=29,
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "corpus_chunk_stats",
+    oracle=f"""
+WITH {_CHUNKS_CTE.lstrip()}
+SELECT doc_id, chunk_idx, n_tokens, md5(chunk_text) AS chunk_md5
+FROM chunks
+""",
+    doc="Per-chunk rows from chunk_documents (32-token chunks, 4-token "
+    "overlap): index, token count, and an md5 of the chunk text so the "
+    "oracle checks the chunk CONTENT byte-for-byte, not just the "
+    "boundary math (operators/sampling.py:chunk_documents).",
+    tags=("sampling", "chunking", "extension"),
+    extended=True,
+)
+def corpus_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs, chunk_tokens=_CHUNK_TOKENS, overlap=_OVERLAP
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+    )
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang,
+  CAST({_mix_sql("doc_id", 17)} AS BIGINT) AS sel_key
+FROM documents
+WHERE {_unit_sql("doc_id", 17)} < {_rate_sql(_RATES, _DEFAULT_RATE, True)}
+""",
+    doc="Deterministic per-stratum sampling keyed on the portable hash "
+    "(operators/sampling.py:stratified_sample): the oracle replays the "
+    "exact selection rule, so the kept-row SET matches bit-for-bit — "
+    "partition-layout- and engine-independent, unlike rand().",
+    tags=("sampling", "extension"),
+    extended=True,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.sampling import _mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, _RATES, seed=17, default_rate=_DEFAULT_RATE
+    ).select(
+        "doc_id", "lang", _mix(F.col("doc_id"), 17).cast("long").alias("sel_key")
+    )
+
+
+@register(
+    "corpus_repeat_sample",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, lang,
+    {_rate_sql(_REPEAT_RATES, _REPEAT_DEFAULT, False)} AS rate,
+    {_unit_sql("doc_id", 23)} AS u
+  FROM documents
+),
+mm AS (
+  SELECT doc_id, lang,
+    CAST(floor(rate) AS INT)
+      + (CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END) AS mult
+  FROM m
+)
+SELECT doc_id, lang,
+  CAST(unnest(generate_series(0, mult - 1)) AS INT) AS copy_idx
+FROM mm WHERE mult > 0
+""",
+    doc="Up/down-sampling with explicit row multiplicity "
+    "(operators/sampling.py:repeat_sample): rate 2.3 -> 2 copies always "
+    "+ a 3rd for a deterministic 30% of ids; the oracle replays "
+    "floor(rate) + bernoulli(frac) verbatim, so per-row multiplicities "
+    "match exactly.",
+    tags=("sampling", "extension"),
+    extended=True,
+)
+def corpus_repeat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return repeat_sample(
+        docs, _REPEAT_RATES, seed=23, default_rate=_REPEAT_DEFAULT
+    ).select("doc_id", "lang", "copy_idx")
+
+
+@register(
+    "corpus_training_shards",
+    oracle=f"""
+SELECT doc_id,
+  CAST({_mix_sql("doc_id", 29)} AS BIGINT) AS shuffle_key,
+  CAST({_mix_sql("doc_id", 29)} % {_N_SHARDS} AS INT) AS shard
+FROM documents
+""",
+    doc="Deterministic training shuffle + shard assignment "
+    "(operators/sampling.py:training_shuffle): shuffle_key decorrelates "
+    "source order reproducibly (unlike orderBy(rand())), shard = key "
+    "mod n; the oracle recomputes both per row.",
+    tags=("sampling", "sharding", "extension"),
+    extended=True,
+)
+def corpus_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return training_shuffle(
+        docs.select("doc_id"), n_shards=_N_SHARDS, seed=29
+    ).select("doc_id", "shuffle_key", "shard")

@@ -1,0 +1,238 @@
+"""Unit tests for operators/sampling.py (round-3 VERDICT #1/#2: the
+module shipped with zero importers/tests; oracle pairing lives in
+tests/test_oracle.py via the corpus_* queries — these cover the
+boundary math and the determinism contracts directly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.operators.sampling import (
+    chunk_documents,
+    portable_unit_hash,
+    repeat_sample,
+    stratified_sample,
+    training_shuffle,
+)
+
+
+def _docs(spark, texts: list[str]):
+    return spark.createDataFrame(
+        [Row(doc_id=i, lang="en", text=t) for i, t in enumerate(texts)]
+    )
+
+
+# -- chunk_documents boundary math ----------------------------------------
+
+
+def test_chunk_boundaries_with_overlap(spark):
+    # 10 tokens, chunk 4, overlap 1 -> step 3, n_chunks = ceil(9/3) = 3
+    text = " ".join(f"t{i}" for i in range(10))
+    rows = {
+        r.chunk_idx: r
+        for r in chunk_documents(
+            _docs(spark, [text]), chunk_tokens=4, overlap=1
+        ).collect()
+    }
+    assert sorted(rows) == [0, 1, 2]
+    assert rows[0].chunk_text == "t0 t1 t2 t3"
+    assert rows[1].chunk_text == "t3 t4 t5 t6"  # 1-token overlap
+    assert rows[2].chunk_text == "t6 t7 t8 t9"
+    assert [rows[i].n_tokens for i in range(3)] == [4, 4, 4]
+
+
+def test_chunk_short_doc_yields_single_chunk(spark):
+    rows = chunk_documents(
+        _docs(spark, ["only two"]), chunk_tokens=64, overlap=8
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].chunk_idx == 0
+    assert rows[0].chunk_text == "only two"
+    assert rows[0].n_tokens == 2
+
+
+def test_chunk_exact_multiple_no_empty_tail(spark):
+    # 8 tokens, chunk 4, overlap 0: exactly 2 chunks, never a 3rd empty
+    text = " ".join(f"t{i}" for i in range(8))
+    rows = chunk_documents(
+        _docs(spark, [text]), chunk_tokens=4, overlap=0
+    ).collect()
+    assert len(rows) == 2
+    assert all(r.n_tokens == 4 for r in rows)
+
+
+def test_chunk_ragged_last_chunk_shorter(spark):
+    # 9 tokens, chunk 4, overlap 0 -> chunks of 4, 4, 1
+    text = " ".join(f"t{i}" for i in range(9))
+    rows = sorted(
+        chunk_documents(
+            _docs(spark, [text]), chunk_tokens=4, overlap=0
+        ).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [r.n_tokens for r in rows] == [4, 4, 1]
+    assert rows[2].chunk_text == "t8"
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    df = _docs(spark, ["a b c"])
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=-1)
+
+
+def test_chunks_cover_every_token(spark):
+    """Every source token appears in at least one chunk (no gaps)."""
+    text = " ".join(f"t{i}" for i in range(50))
+    out = chunk_documents(
+        _docs(spark, [text]), chunk_tokens=8, overlap=3
+    ).collect()
+    seen = set()
+    for r in out:
+        seen.update(r.chunk_text.split(" "))
+    assert seen == {f"t{i}" for i in range(50)}
+
+
+# -- stratified_sample ----------------------------------------------------
+
+
+def _corpus(spark, n=400):
+    langs = ["en", "fr", "de", "zh"]
+    return spark.createDataFrame(
+        [Row(doc_id=i, lang=langs[i % 4], text=f"doc {i}") for i in range(n)]
+    )
+
+
+def test_stratified_rates_roughly_hold(spark):
+    df = _corpus(spark)
+    out = (
+        stratified_sample(df, {"en": 1.0, "fr": 0.5, "de": 0.0}, seed=17)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    by_lang = {r.lang: r["count"] for r in out}
+    assert by_lang.get("en") == 100  # rate 1.0 keeps everything
+    assert by_lang.get("de") is None  # rate 0 drops the stratum
+    assert by_lang.get("zh") is None  # default_rate 0 drops unknowns
+    assert 30 <= by_lang.get("fr", 0) <= 70  # ~0.5 of 100
+
+
+def test_stratified_rate_above_one_caps(spark):
+    df = _corpus(spark)
+    n_en = df.filter("lang = 'en'").count()
+    out = stratified_sample(df, {"en": 7.5}, seed=17)
+    assert out.filter("lang = 'en'").count() == n_en
+
+
+def test_stratified_selection_is_partition_invariant(spark):
+    df = _corpus(spark)
+    ids_1 = {
+        r.doc_id
+        for r in stratified_sample(df.coalesce(1), {"en": 0.4}, seed=5)
+        .select("doc_id").collect()
+    }
+    ids_16 = {
+        r.doc_id
+        for r in stratified_sample(df.repartition(16), {"en": 0.4}, seed=5)
+        .select("doc_id").collect()
+    }
+    assert ids_1 == ids_16, "selection must not depend on partitioning"
+
+
+def test_unit_hash_uniform_enough(spark):
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    buckets = (
+        df.select(
+            (portable_unit_hash(F.col("doc_id"), 3) * 10)
+            .cast("int").alias("b")
+        )
+        .groupBy("b").count().collect()
+    )
+    counts = {r.b: r["count"] for r in buckets}
+    assert sorted(counts) == list(range(10))
+    assert all(120 <= c <= 280 for c in counts.values()), counts
+
+
+# -- repeat_sample --------------------------------------------------------
+
+
+def test_repeat_sample_integer_rate_exact_copies(spark):
+    df = _corpus(spark, n=100)
+    out = repeat_sample(df, {"en": 3.0}, seed=23, default_rate=0.0)
+    per_doc = out.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 3 for r in per_doc)
+    assert {r.copy_idx for r in out.collect()} == {0, 1, 2}
+
+
+def test_repeat_sample_fractional_rate_mixes_2_and_3(spark):
+    df = _corpus(spark, n=400)  # 100 en docs
+    out = repeat_sample(df, {"en": 2.3}, seed=23, default_rate=0.0)
+    per_doc = {r.doc_id: r["count"] for r in out.groupBy("doc_id").count().collect()}
+    assert set(per_doc.values()) <= {2, 3}
+    n3 = sum(1 for v in per_doc.values() if v == 3)
+    assert 10 <= n3 <= 50, f"~30% of 100 docs expected a 3rd copy, got {n3}"
+    total = sum(per_doc.values())
+    assert 200 <= total <= 260
+
+
+def test_repeat_sample_rate_below_one_downsamples(spark):
+    df = _corpus(spark, n=400)
+    out = repeat_sample(df, {"en": 0.5}, seed=23, default_rate=0.0)
+    per_doc = out.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 1 for r in per_doc)
+    assert 30 <= len(per_doc) <= 70
+    # and it selects EXACTLY the rows stratified_sample would (same rule)
+    strat = {
+        r.doc_id
+        for r in stratified_sample(df, {"en": 0.5}, seed=23)
+        .select("doc_id").collect()
+    }
+    assert {r.doc_id for r in per_doc} == strat
+
+
+def test_repeat_sample_preserves_payload_columns(spark):
+    df = _corpus(spark, n=8)
+    out = repeat_sample(df, {"en": 2.0}, default_rate=1.0)
+    assert set(out.columns) == {"doc_id", "lang", "text", "copy_idx"}
+
+
+# -- training_shuffle -----------------------------------------------------
+
+
+def test_training_shuffle_deterministic_and_balanced(spark):
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    a = training_shuffle(df, n_shards=8, seed=29).collect()
+    b = training_shuffle(df.repartition(13), n_shards=8, seed=29).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard = {}
+    for r in a:
+        assert r.shard == r.shuffle_key % 8
+        by_shard[r.shard] = by_shard.get(r.shard, 0) + 1
+    assert sorted(by_shard) == list(range(8))
+    assert all(85 <= c <= 165 for c in by_shard.values()), by_shard
+
+
+def test_training_shuffle_decorrelates_source_order(spark):
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    rows = training_shuffle(df, n_shards=4, seed=29).collect()
+    order_of = {r.doc_id: r.shuffle_key for r in rows}
+    # consecutive source ids should land far apart in shuffle order:
+    # count adjacent-id pairs that stay adjacent by key rank
+    ranked = sorted(order_of, key=order_of.get)
+    pos = {doc: i for i, doc in enumerate(ranked)}
+    adjacent = sum(1 for i in range(999) if abs(pos[i] - pos[i + 1]) == 1)
+    assert adjacent < 20, f"{adjacent} source-adjacent pairs stayed adjacent"
+
+
+def test_training_shuffle_keeps_payload_and_rejects_bad_shards(spark):
+    df = _corpus(spark, n=10)
+    out = training_shuffle(df, n_shards=2)
+    assert set(out.columns) == {
+        "doc_id", "lang", "text", "shuffle_key", "shard"
+    }
+    with pytest.raises(ValueError, match="n_shards"):
+        training_shuffle(df, n_shards=0)
