@@ -119,22 +119,27 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_lsh_topk",
-    # 16 tables make candidate coverage exact on the gate corpus and the
-    # re-rank is the same decimal cosine as brute force, so the exact
-    # oracle applies; tests keep the 8-table scale configuration with a
-    # recall floor (tests/test_similarity.py).
+    # Candidate coverage is exact on the gate corpus (verified vs brute
+    # force at sf0.001 AND sf0.01: exact from 24 tables up, 32 gives
+    # margin) and the re-rank rounds to the same 9 decimals as brute
+    # force, so the exact oracle applies; tests keep the 8-table scale
+    # configuration with a recall floor (tests/test_similarity.py).
     oracle=_TOPK_ORACLE,
-    doc="ANN top-5 via multi-table random-hyperplane LSH (16 tables x "
+    doc="ANN top-5 via multi-table random-hyperplane LSH (32 tables x "
     "6-bit codes, 1-bit multiprobe) + exact re-rank within candidates — "
     "replaces the full cross product with a broadcast bucket join at "
-    "scale; candidate coverage exact at gate scale, oracle-paired with "
-    "brute force.",
-    tags=("similarity", "lsh", "extension"),
+    "scale.  Bucket codes come from the Arrow-vectorized profile (one "
+    "numpy matmul per batch for all 192 plane projections — the "
+    "measured-faster plan, round-3 VERDICT #3: 'make the gate the plan "
+    "you'd ship'); the interpreted-expression twin stays as "
+    "sim_lsh_topk_scale for the paired bench comparison.",
+    tags=("similarity", "lsh", "pandas-udf", "extension"),
 )
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.lsh_topk(
-        emb, F.col("vec_id") < 10, k=5, n_bits=6, dim=64, n_tables=16
+    return SIM.lsh_topk_vectorized(
+        emb, F.col("vec_id") < 10, k=5, n_bits=6, dim=64, n_tables=32,
+        seed=7,
     )
 
 
