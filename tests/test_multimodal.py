@@ -1,0 +1,238 @@
+"""Unit tests for the pure-Python media decoders in
+operators/multimodal.py (round-3 VERDICT #4: de-stub a real decoder).
+
+The PNG decoder is exercised against hand-built encodes using ALL five
+scanline filter types — the encoder only emits filter 0, so the other
+unfilter paths need adversarial inputs built here."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from diabetes_etl_spark.operators.multimodal import (
+    decode_payload,
+    decode_png,
+    fixture_media_dims,
+    jpeg_bytes,
+    png_bytes,
+    probe_jpeg,
+    probe_png,
+)
+
+
+def _pix(n: int, seed: int = 5) -> bytes:
+    return bytes((seed * 31 + i * 7) % 256 for i in range(n))
+
+
+# -- PNG round trip -------------------------------------------------------
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (4, 3), (16, 9), (13, 1)])
+def test_png_roundtrip_rgb(w, h):
+    pixels = _pix(w * h * 3)
+    payload = png_bytes(w, h, pixels)
+    assert probe_png(payload) == (w, h, 3)
+    assert decode_png(payload) == (w, h, 3, pixels)
+    # decode_payload routes PNG to the real decoder
+    assert decode_payload("image/png", payload) == pixels
+
+
+def _png_with_filters(w, h, channels, color_type, pixels, filters):
+    """Hand-roll a PNG whose scanlines are FILTERED with the given
+    per-row filter types (what libpng emits; our encoder only writes 0).
+    """
+    stride = w * channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = pixels[y * stride : (y + 1) * stride]
+        f = filters[y % len(filters)]
+        raw.append(f)
+        if f == 0:
+            raw += line
+        elif f == 1:  # Sub: store delta vs left
+            raw += bytes(
+                (line[i] - (line[i - channels] if i >= channels else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif f == 2:  # Up
+            raw += bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+        elif f == 3:  # Average
+            raw += bytes(
+                (line[i] - ((line[i - channels] if i >= channels else 0)
+                            + prev[i]) // 2) & 0xFF
+                for i in range(stride)
+            )
+        elif f == 4:  # Paeth
+            out = bytearray()
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out.append((line[i] - pred) & 0xFF)
+            raw += out
+        prev = line
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filters", [[1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_unfilters_all_filter_types(filters):
+    w, h = 7, 6
+    pixels = _pix(w * h * 3)
+    payload = _png_with_filters(w, h, 3, 2, pixels, filters)
+    assert decode_png(payload) == (w, h, 3, pixels)
+
+
+@pytest.mark.parametrize(
+    "color_type,channels", [(0, 1), (4, 2), (6, 4)]
+)
+def test_png_gray_and_alpha_color_types(color_type, channels):
+    w, h = 5, 4
+    pixels = _pix(w * h * channels)
+    payload = _png_with_filters(w, h, channels, color_type, pixels, [0, 2])
+    assert probe_png(payload) == (w, h, channels)
+    assert decode_png(payload) == (w, h, channels, pixels)
+
+
+def test_png_split_idat_chunks_concatenate():
+    """Real encoders split IDAT; the decoder must concatenate."""
+    w, h = 4, 4
+    pixels = _pix(w * h * 3)
+    whole = png_bytes(w, h, pixels)
+    # re-split the single IDAT into two chunks
+    def chunks(b):
+        pos = 8
+        while pos < len(b):
+            (ln,) = struct.unpack(">I", b[pos : pos + 4])
+            yield b[pos + 4 : pos + 8], b[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+    parts = dict(chunks(whole))
+    idat = parts[b"IDAT"]
+    mid = len(idat) // 2
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    rebuilt = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", parts[b"IHDR"])
+        + chunk(b"IDAT", idat[:mid])
+        + chunk(b"IDAT", idat[mid:])
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(rebuilt) == (w, h, 3, pixels)
+
+
+def test_png_corrupt_inputs_fail_loudly():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"GIF89a not a png")
+    good = png_bytes(2, 2, _pix(12))
+    with pytest.raises(ValueError, match="truncated|IEND"):
+        decode_png(good[:-8])
+    # 16-bit depth rejected, not mis-decoded
+    bad_ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    deep = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", bad_ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 26)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(deep)
+
+
+# -- JPEG header probe ----------------------------------------------------
+
+
+@pytest.mark.parametrize("w,h,ncomp", [(8, 8, 3), (640, 480, 3), (1, 1, 1)])
+def test_jpeg_probe_parses_sof0(w, h, ncomp):
+    assert probe_jpeg(jpeg_bytes(w, h, ncomp)) == (w, h, ncomp)
+
+
+def test_jpeg_probe_progressive_and_skips_segments():
+    """SOF2 (progressive) after COM + fill bytes must still be found."""
+    com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+    sof2 = (
+        b"\xff\xff"  # fill byte before marker (legal)
+        + b"\xff\xc2" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 33, 44) + b"\x01" + bytes([1, 0x11, 0])
+    )
+    payload = b"\xff\xd8" + com + sof2 + b"\xff\xd9"
+    assert probe_jpeg(payload) == (44, 33, 1)
+
+
+def test_jpeg_probe_rejects_non_jpeg():
+    with pytest.raises(ValueError, match="SOI"):
+        probe_jpeg(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError, match="no SOF"):
+        probe_jpeg(b"\xff\xd8\xff\xd9")
+
+
+def test_jpeg_pixel_decode_still_stubbed():
+    with pytest.raises(NotImplementedError, match="image/jpeg"):
+        decode_payload("image/jpeg", jpeg_bytes(8, 8))
+    with pytest.raises(NotImplementedError, match="audio/wav"):
+        decode_payload("audio/wav", b"RIFF....WAVE")
+
+
+# -- Spark-side plumbing ---------------------------------------------------
+
+
+def test_extract_features_mixed_corpus(spark):
+    from pyspark.sql import Row
+
+    from diabetes_etl_spark.operators.multimodal import (
+        attach_media_payloads,
+        extract_features,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"some text {i}") for i in range(9)]
+    )
+    rows = {r.doc_id: r for r in
+            extract_features(attach_media_payloads(docs)).collect()}
+    assert len(rows) == 9
+    for i in range(9):
+        r = rows[i]
+        png_w, png_h, jpg_w, jpg_h = fixture_media_dims(i)
+        if i % 3 == 0:
+            assert r.mime == "image/png"
+            assert (r.width, r.height, r.n_channels) == (png_w, png_h, 3)
+            assert r.byte_len == png_w * png_h * 3  # decoded size
+            assert r.n_space is not None
+        elif i % 3 == 1:
+            assert r.mime == "image/jpeg"
+            assert (r.width, r.height, r.n_channels) == (jpg_w, jpg_h, 3)
+            assert r.n_space is None and r.head_fingerprint is None
+        else:
+            assert r.mime == "text/plain"
+            assert r.width is None
+            assert r.byte_len == len(f"some text {i}")
+            assert r.n_space == 2
