@@ -97,6 +97,58 @@ def main() -> None:
             print(f"# {name} (run {run}): {elapsed}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
 
+    # 10x scale spot-check for the dedup/ANN scale paths (round-3
+    # VERDICT #7): replicate documents+embeddings 10x (id offsets; each
+    # document copy gets a distinct trailing token, so copies are
+    # NEAR-dups that must survive banding AND exact verification — a
+    # duplication-heavy corpus is the worst case the bounded-bucket
+    # design exists for).  Bench-only: validates that the bounded pair
+    # generator and the broadcast bucket join hold beyond sf0.1.
+    scale10x = None
+    if os.environ.get("SPARK_GRAFT_SCALE10X", "1") != "0":
+        import shutil
+        import tempfile
+        from functools import reduce
+
+        from pyspark.sql import DataFrame
+
+        tmp = tempfile.mkdtemp(prefix="bench_scale10x_")
+        try:
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            reduce(
+                DataFrame.unionByName,
+                [
+                    docs.select(
+                        (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+                        F.concat(F.col("text"), F.lit(f" copytag{k}")).alias("text"),
+                        "lang", "source", "n_chars",
+                    )
+                    for k in range(10)
+                ],
+            ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+            reduce(
+                DataFrame.unionByName,
+                [
+                    emb.select(
+                        (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
+                        "embedding", "label",
+                    )
+                    for k in range(10)
+                ],
+            ).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+            n_docs = spark.read.parquet(f"{tmp}/documents.parquet").count()
+            scale10x = {"rows_documents": n_docs}
+            for name in ("dedup_minhash_lsh", "sim_lsh_topk_scale"):
+                t0 = time.perf_counter()
+                registry[name].fn(spark, tmp).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                scale10x[name] = round(time.perf_counter() - t0, 3)
+                print(f"# scale10x {name}: {scale10x[name]}s", file=sys.stderr)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     # End-to-end medallion pipeline TAT on the reference's own 768-row
     # CSV input (the number BASELINE.md's "<5 min" is defined against):
     # streaming bronze ingest (availableNow + checkpoint) through every
@@ -140,6 +192,8 @@ def main() -> None:
     }
     if pipeline_e2e is not None:
         result["pipeline_e2e_sec"] = pipeline_e2e
+    if scale10x is not None:
+        result["scale10x"] = scale10x
     print(json.dumps(result))
     spark.stop()
 
