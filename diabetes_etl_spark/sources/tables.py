@@ -38,29 +38,58 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-# The fixture's event schema (TESTDATA.md).  ts is parquet
-# TIMESTAMP(NANOS), which Spark's reader rejects outright; requesting the
-# column as a plain LongType reads the raw nanosecond int64 without
-# touching any session conf (the previous approach set
-# spark.sql.legacy.parquet.nanosAsLong on the shared session and never
-# restored it, silently changing every later nanos-parquet read).
+# The fixture's event schema (TESTDATA.md).  ts has been published both
+# as parquet TIMESTAMP(NANOS) (which Spark's reader rejects outright)
+# and TIMESTAMP(MICROS), depending on the generator version — so the
+# loader probes the file footer for the actual unit instead of hard-
+# coding one.  Requesting the column as a plain LongType reads the raw
+# int64 in whatever unit the file stores, without touching any session
+# conf (the earliest approach set spark.sql.legacy.parquet.nanosAsLong
+# on the shared session and never restored it, silently changing every
+# later nanos-parquet read).
 _EVENTS_RAW_SCHEMA = (
     "event_id bigint, ts long, user_id bigint, "
     "event_type string, value double, props string"
 )
 
+# Physical-unit -> expression producing epoch MICROSECONDS from the raw
+# int64.  Micros is the normalization target because both Spark
+# TimestampType and DuckDB TIMESTAMP are microsecond-precision, so the
+# two engines truncate identically.
+_TS_UNIT_TO_MICROS = {
+    "ns": "ts div 1000",
+    "us": "ts",
+    "ms": "ts * 1000",
+    "s": "ts * 1000000",
+}
+
+_ts_unit_cache: dict[str, str] = {}
+
+
+def _events_ts_unit(path: str) -> str:
+    """Probe the parquet footer (one driver-side metadata read — no data
+    pages) for the ts column's physical time unit."""
+    unit = _ts_unit_cache.get(path)
+    if unit is None:
+        import pyarrow.parquet as pq
+
+        unit = pq.read_schema(path).field("ts").type.unit
+        if unit not in _TS_UNIT_TO_MICROS:
+            raise ValueError(f"unsupported parquet timestamp unit {unit!r}")
+        _ts_unit_cache[path] = unit
+    return unit
+
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
     """Read the events fixture, rebuilding ts as a TimestampType at
-    microsecond precision (DuckDB also compares at micros — its native
-    TIMESTAMP is microsecond — so both engines truncate identically).
-    """
+    microsecond precision whatever unit the file physically stores."""
     raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    to_micros = _TS_UNIT_TO_MICROS[_events_ts_unit(path)]
+    return raw.withColumn("ts", F.timestamp_micros(F.expr(to_micros)))
 
 
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming variant of the events loader (same nanos handling).
+    """Streaming variant of the events loader (same unit probing).
 
     Spark's file stream source wants a directory; the fixture is a single
     parquet file, so it is exposed through a per-sf symlink directory.
@@ -78,7 +107,8 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema(_EVENTS_RAW_SCHEMA)
         .load(stream_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    to_micros = _TS_UNIT_TO_MICROS[_events_ts_unit(path)]
+    return raw.withColumn("ts", F.timestamp_micros(F.expr(to_micros)))
 
 
 _SOURCE_FORMATS = {
