@@ -21,7 +21,12 @@ can and cannot decode):
   width/height/components; baseline+progressive).  Entropy decode
   needs a DCT stack that stdlib doesn't have, so pixel-level features
   for JPEG are NULL, not fake.
-- ``audio/*``     — still stubbed behind NotImplementedError.
+- ``audio/wav``   — a REAL RIFF/WAVE parser: chunk walk (with odd-size
+  padding), fmt parse, PCM16 frame extraction.  Features are computed
+  over the DECODED little-endian sample bytes.
+- compressed audio (mp3/ogg) and video — still behind
+  NotImplementedError: they need codec libraries (libmp3lame/ffmpeg)
+  this container lacks, and faking a decode would be dishonest.
 """
 
 from __future__ import annotations
@@ -37,7 +42,8 @@ from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = (
     "doc_id long, mime string, byte_len int, width int, height int, "
-    "n_channels int, n_space int, n_alpha int, head_fingerprint long"
+    "n_channels int, n_space int, n_alpha int, head_fingerprint long, "
+    "sample_rate int, n_frames int"
 )
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -115,6 +121,51 @@ def jpeg_bytes(width: int, height: int, n_components: int = 3) -> bytes:
     return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
 
+def wav_bytes(sample_rate: int, n_channels: int, samples: list[int]) -> bytes:
+    """Encode interleaved signed 16-bit PCM samples as a fully valid
+    RIFF/WAVE file — pure stdlib, used to build binary fixtures and to
+    round-trip-test the decoder."""
+    if len(samples) % max(n_channels, 1):
+        raise ValueError("sample count must be a multiple of n_channels")
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # PCM
+        n_channels,
+        sample_rate,
+        sample_rate * n_channels * 2,  # byte rate
+        n_channels * 2,  # block align
+        16,  # bits per sample
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _fixture_samples(doc_id: int, n: int) -> list[int]:
+    """Deterministic signed PCM16 fixture samples: sample i of doc d is
+    ``((d*37 + i*11) mod 65536) - 32768``.  Two's-complement little-
+    endian byte j of the decoded stream is then pure arithmetic (with
+    ``u = (d*37 + (j div 2)*11) mod 65536``): even j -> ``u mod 256``,
+    odd j -> ``(u div 256 + 128) mod 256`` — so a SQL oracle recomputes
+    byte statistics of the DECODED audio without decoding anything."""
+    return [((doc_id * 37 + i * 11) % 65536) - 32768 for i in range(n)]
+
+
+def fixture_audio_params(doc_id: int) -> tuple[int, int, int]:
+    """(sample_rate, n_channels, n_frames) for a fixture doc id —
+    shared by the payload producer, the tests, and (as arithmetic) the
+    oracle."""
+    return 8000 + 100 * (doc_id % 5), 1 + doc_id % 2, 64 + doc_id % 50
+
+
 def _fixture_pixels(doc_id: int, n: int) -> bytes:
     """Deterministic pixel bytes for fixture PNGs: byte i of doc d is
     ``(d*31 + i*7) mod 256`` — chosen so a SQL oracle can recompute
@@ -137,12 +188,13 @@ def fixture_media_dims(doc_id: int) -> tuple[int, int, int, int]:
 def attach_media_payloads(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Mixed-modality binary fixture over a text table: by doc_id mod 3,
+    """Mixed-modality binary fixture over a text table: by doc_id mod 4,
     rows become a real PNG (synthesized pixels), a JPEG container with
-    a real frame header, or the plain-text payload.  Runs as an
-    Arrow-batched mapInPandas producer — the same plumbing a real
-    ingest-side media normalizer would use (payload bytes are created
-    executor-side, never shipped through the driver)."""
+    a real frame header, a real PCM16 WAV (synthesized samples), or the
+    plain-text payload.  Runs as an Arrow-batched mapInPandas producer —
+    the same plumbing a real ingest-side media normalizer would use
+    (payload bytes are created executor-side, never shipped through the
+    driver)."""
     src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
     def produce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -151,7 +203,7 @@ def attach_media_payloads(
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 doc_id = int(doc_id)
                 png_w, png_h, jpg_w, jpg_h = fixture_media_dims(doc_id)
-                kind = doc_id % 3
+                kind = doc_id % 4
                 if kind == 0:
                     payload = png_bytes(
                         png_w, png_h, _fixture_pixels(doc_id, png_w * png_h * 3)
@@ -160,6 +212,12 @@ def attach_media_payloads(
                 elif kind == 1:
                     payload = jpeg_bytes(jpg_w, jpg_h)
                     mime = "image/jpeg"
+                elif kind == 2:
+                    rate, ch, frames = fixture_audio_params(doc_id)
+                    payload = wav_bytes(
+                        rate, ch, _fixture_samples(doc_id, ch * frames)
+                    )
+                    mime = "audio/wav"
                 else:
                     payload = str(text).encode("utf-8")
                     mime = "text/plain"
@@ -320,18 +378,85 @@ def probe_jpeg(payload: bytes) -> tuple[int, int, int]:
     raise ValueError("JPEG has no SOF marker")
 
 
+def _wav_chunks(payload: bytes) -> Iterator[tuple[bytes, bytes]]:
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF/WAVE header)")
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated WAV chunk")
+        yield tag, data
+        pos += 8 + length + (length & 1)  # chunks pad to even offsets
+
+
+def probe_wav(payload: bytes) -> tuple[int, int, int, int]:
+    """(sample_rate, n_channels, bits_per_sample, n_frames) from the
+    fmt chunk + data chunk size — header-only, no sample decode."""
+    rate = channels = bits = block = None
+    data_len = None
+    for tag, data in _wav_chunks(payload):
+        if tag == b"fmt ":
+            fmt_code, channels, rate, _brate, block, bits = struct.unpack(
+                "<HHIIHH", data[:16]
+            )
+            if fmt_code != 1:
+                raise ValueError(
+                    f"unsupported WAV format code {fmt_code} (PCM only)"
+                )
+        elif tag == b"data":
+            data_len = len(data)
+    if rate is None or data_len is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, channels, bits, data_len // block
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Full decode to raw PCM frames:
+    (sample_rate, n_channels, n_frames, sample_bytes).
+
+    Supports PCM16 — the shape a training-data pipeline normalizes
+    audio to anyway.  sample_bytes is the little-endian interleaved
+    frame stream exactly as a resampler/feature extractor consumes it."""
+    rate = channels = bits = block = None
+    frames = None
+    for tag, data in _wav_chunks(payload):
+        if tag == b"fmt ":
+            fmt_code, channels, rate, _brate, block, bits = struct.unpack(
+                "<HHIIHH", data[:16]
+            )
+            if fmt_code != 1:
+                raise ValueError(
+                    f"unsupported WAV format code {fmt_code} (PCM only)"
+                )
+            if bits != 16:
+                raise ValueError(f"unsupported WAV bit depth {bits}")
+        elif tag == b"data":
+            frames = data
+    if rate is None or frames is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if len(frames) % block:
+        raise ValueError("WAV data chunk is not frame-aligned")
+    return rate, channels, len(frames) // block, frames
+
+
 def decode_payload(mime: str, payload: bytes) -> bytes:
     """Decode a media payload to its canonical raw representation
-    (identity for text, pixel bytes for PNG).
+    (identity for text, pixel bytes for PNG, PCM frame bytes for WAV).
 
-    JPEG/audio decoding needs codec libraries this environment lacks;
-    those fail loudly instead of producing fake media — probe the
-    header with :func:`probe_jpeg` when only metadata is needed.
+    JPEG pixel decode and compressed audio/video need codec libraries
+    this environment lacks; those fail loudly instead of producing fake
+    media — probe the header with :func:`probe_jpeg` / :func:`probe_wav`
+    when only metadata is needed.
     """
     if mime == "text/plain":
         return payload
     if mime == "image/png":
         return decode_png(payload)[3]
+    if mime == "audio/wav":
+        return decode_wav(payload)[3]
     raise NotImplementedError(
         f"decoder for {mime!r} requires media libraries (libjpeg/ffmpeg) "
         "not present in this environment"
@@ -366,12 +491,21 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 w, h, ch, raw = decode_png(payload)
                 n_space, n_alpha, fp = _byte_stats(raw)
                 rows.append(
-                    (doc_id, mime, len(raw), w, h, ch, n_space, n_alpha, fp)
+                    (doc_id, mime, len(raw), w, h, ch, n_space, n_alpha,
+                     fp, None, None)
                 )
             elif mime == "image/jpeg":
                 w, h, ch = probe_jpeg(payload)
                 rows.append(
-                    (doc_id, mime, len(payload), w, h, ch, None, None, None)
+                    (doc_id, mime, len(payload), w, h, ch, None, None,
+                     None, None, None)
+                )
+            elif mime == "audio/wav":
+                rate, ch, n_frames, raw = decode_wav(payload)
+                n_space, n_alpha, fp = _byte_stats(raw)
+                rows.append(
+                    (doc_id, mime, len(raw), None, None, ch, n_space,
+                     n_alpha, fp, rate, n_frames)
                 )
             else:
                 raw = decode_payload(mime, payload)
@@ -379,7 +513,7 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 rows.append(
                     (
                         doc_id, mime, len(raw), None, None, None,
-                        n_space, n_alpha, fp,
+                        n_space, n_alpha, fp, None, None,
                     )
                 )
         out = pd.DataFrame(
@@ -387,11 +521,13 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             columns=[
                 "doc_id", "mime", "byte_len", "width", "height",
                 "n_channels", "n_space", "n_alpha", "head_fingerprint",
+                "sample_rate", "n_frames",
             ],
         )
         # nullable int columns must cross Arrow as ints-with-nulls, not
         # object/float
-        for c in ("width", "height", "n_channels", "n_space", "n_alpha"):
+        for c in ("width", "height", "n_channels", "n_space", "n_alpha",
+                  "sample_rate", "n_frames"):
             out[c] = out[c].astype("Int32")
         out["head_fingerprint"] = out["head_fingerprint"].astype("Int64")
         yield out

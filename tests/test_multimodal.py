@@ -15,11 +15,15 @@ import pytest
 from diabetes_etl_spark.operators.multimodal import (
     decode_payload,
     decode_png,
+    decode_wav,
+    fixture_audio_params,
     fixture_media_dims,
     jpeg_bytes,
     png_bytes,
     probe_jpeg,
     probe_png,
+    probe_wav,
+    wav_bytes,
 )
 
 
@@ -195,11 +199,74 @@ def test_jpeg_probe_rejects_non_jpeg():
         probe_jpeg(b"\xff\xd8\xff\xd9")
 
 
-def test_jpeg_pixel_decode_still_stubbed():
+def test_codec_gaps_still_stubbed():
     with pytest.raises(NotImplementedError, match="image/jpeg"):
         decode_payload("image/jpeg", jpeg_bytes(8, 8))
-    with pytest.raises(NotImplementedError, match="audio/wav"):
-        decode_payload("audio/wav", b"RIFF....WAVE")
+    with pytest.raises(NotImplementedError, match="audio/mpeg"):
+        decode_payload("audio/mpeg", b"\xff\xfb\x90\x00")
+    with pytest.raises(NotImplementedError, match="video/mp4"):
+        decode_payload("video/mp4", b"\x00\x00\x00\x18ftypmp42")
+
+
+# -- WAV round trip -------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "rate,ch,frames", [(8000, 1, 1), (8000, 2, 7), (44100, 2, 64)]
+)
+def test_wav_roundtrip_pcm16(rate, ch, frames):
+    samples = [((i * 7919) % 65536) - 32768 for i in range(ch * frames)]
+    payload = wav_bytes(rate, ch, samples)
+    r_rate, r_ch, r_frames, raw = decode_wav(payload)
+    assert (r_rate, r_ch, r_frames) == (rate, ch, frames)
+    assert raw == struct.pack(f"<{len(samples)}h", *samples)
+    assert probe_wav(payload) == (rate, ch, 16, frames)
+    assert decode_payload("audio/wav", payload) == raw
+
+
+def test_wav_skips_foreign_chunks_and_odd_padding():
+    # a LIST chunk with odd length before fmt/data must be skipped with
+    # its pad byte (RIFF chunks align to even offsets)
+    samples = [0, 1000, -1000, 32767]
+    base = wav_bytes(8000, 1, samples)
+    foreign = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    payload = base[:12] + foreign + base[12:]
+    payload = payload[:4] + struct.pack(
+        "<I", len(payload) - 8
+    ) + payload[8:]
+    assert probe_wav(payload) == (8000, 1, 16, 4)
+    assert decode_wav(payload)[3] == struct.pack("<4h", *samples)
+
+
+def test_wav_corrupt_inputs_fail_loudly():
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        probe_wav(b"OggS" + b"\x00" * 40)
+    with pytest.raises(ValueError, match="missing fmt/data"):
+        decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    # truncated data chunk
+    good = wav_bytes(8000, 1, [1, 2, 3, 4])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(good[:-3])
+    # non-PCM format code
+    bad_fmt = bytearray(good)
+    bad_fmt[20] = 3  # IEEE float
+    with pytest.raises(ValueError, match="format code"):
+        decode_wav(bytes(bad_fmt))
+
+
+def test_wav_fixture_byte_arithmetic_matches_oracle_formula():
+    """The SQL oracle recomputes decoded WAV bytes as (u mod 256 /
+    u div 256 + 128 mod 256) — verify that formula against the real
+    encoder+decoder for several doc ids."""
+    for doc_id in (2, 6, 10, 14):
+        rate, ch, frames = fixture_audio_params(doc_id)
+        n = ch * frames
+        samples = [((doc_id * 37 + i * 11) % 65536) - 32768 for i in range(n)]
+        _, _, _, raw = decode_wav(wav_bytes(rate, ch, samples))
+        for j in range(2 * n):
+            u = (doc_id * 37 + (j // 2) * 11) % 65536
+            expect = u % 256 if j % 2 == 0 else ((u // 256) + 128) % 256
+            assert raw[j] == expect, (doc_id, j)
 
 
 # -- Spark-side plumbing ---------------------------------------------------
@@ -214,23 +281,33 @@ def test_extract_features_mixed_corpus(spark):
     )
 
     docs = spark.createDataFrame(
-        [Row(doc_id=i, text=f"some text {i}") for i in range(9)]
+        [Row(doc_id=i, text=f"some text {i}") for i in range(12)]
     )
     rows = {r.doc_id: r for r in
             extract_features(attach_media_payloads(docs)).collect()}
-    assert len(rows) == 9
-    for i in range(9):
+    assert len(rows) == 12
+    for i in range(12):
         r = rows[i]
         png_w, png_h, jpg_w, jpg_h = fixture_media_dims(i)
-        if i % 3 == 0:
+        if i % 4 == 0:
             assert r.mime == "image/png"
             assert (r.width, r.height, r.n_channels) == (png_w, png_h, 3)
             assert r.byte_len == png_w * png_h * 3  # decoded size
             assert r.n_space is not None
-        elif i % 3 == 1:
+            assert r.sample_rate is None and r.n_frames is None
+        elif i % 4 == 1:
             assert r.mime == "image/jpeg"
             assert (r.width, r.height, r.n_channels) == (jpg_w, jpg_h, 3)
             assert r.n_space is None and r.head_fingerprint is None
+        elif i % 4 == 2:
+            rate, ch, frames = fixture_audio_params(i)
+            assert r.mime == "audio/wav"
+            assert (r.sample_rate, r.n_channels, r.n_frames) == (
+                rate, ch, frames,
+            )
+            assert r.width is None and r.height is None
+            assert r.byte_len == 2 * ch * frames  # decoded PCM size
+            assert r.n_space is not None and r.head_fingerprint is not None
         else:
             assert r.mime == "text/plain"
             assert r.width is None
