@@ -75,6 +75,42 @@ def test_parity_tier_has_no_python_udfs(spark, sf_dir, name):
     assert "FlatMapGroupsInPandas" not in plan
 
 
+def test_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """EXISTS must become a left semi join (one shuffle, no row
+    multiplication) — never a per-row subquery or cartesian."""
+    plan = _plan(spark, sf_dir, "subq_exists_shipped_orders")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # the date-range filter on orders pushes into its scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_not_exists_decorrelates_to_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "subq_not_exists_urgent_free")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # the priority filter ships only urgent orders into the anti side
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+
+
+def test_correlated_scalar_agg_runs_once_not_per_row(spark, sf_dir):
+    """RewriteCorrelatedScalarSubquery: the per-part AVG must appear as
+    a re-grouped aggregate joined back, i.e. exactly one extra
+    aggregate over lineitem — not a per-outer-row execution."""
+    plan = _plan(spark, sf_dir, "subq_small_quantity_revenue")
+    assert "CartesianProduct" not in plan
+    # decorrelated: the avg shows up as a grouped HashAggregate keyed
+    # on the correlation column, feeding a join
+    assert plan.count("avg(l_quantity") >= 1
+    assert "Join" in plan
+
+
+def test_not_in_plans_null_aware_anti(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "subq_not_in_high_qty_parts")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(p_size,10)" in plan
+
+
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     rows = QUERIES["approx_distinct_customers"].fn(spark, sf_dir).collect()
     from diabetes_etl_spark.sources.tables import load_table
