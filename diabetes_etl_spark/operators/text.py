@@ -114,6 +114,42 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / union
 
 
+def ngrams_with_duplicates(c: Column, n: int = 2) -> Column:
+    """Word n-grams KEEPING duplicate occurrences — the denominator of
+    repetition fractions (:func:`word_shingles` is the distinct
+    variant used for similarity)."""
+    toks = tokens(c)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def repeated_ngram_fraction(c: Column, n: int = 2) -> Column:
+    """Gopher-style repetition signal (Rae et al. 2021 §A1.1): the
+    fraction of n-gram occurrences that repeat an earlier occurrence.
+    Pure per-row array math — map-side, no shuffle, no Python."""
+    g = ngrams_with_duplicates(c, n)
+    return F.round((F.size(g) - F.size(F.array_distinct(g))) / F.size(g), 6)
+
+
+def top_token_fraction(c: Column) -> Column:
+    """Fraction of all token occurrences taken by the single most
+    frequent token (Gopher's top-1-gram filter).
+
+    Cost is O(distinct x total) per document via nested higher-order
+    functions — bounded because curation pipelines cap document size
+    long before this stage; it stays map-side with zero shuffle, which
+    beats the explode + groupBy(doc, token) + max alternative (a full
+    shuffle of every token occurrence) at corpus scale."""
+    toks = tokens(c)
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda g: F.size(F.filter(toks, lambda x: x == g)),
+    )
+    return F.round(F.array_max(counts) / F.size(toks), 6)
+
+
 # BPE-style pre-tokenizer split (GPT-2 shape, portable subset: letter
 # runs, short digit runs, punctuation runs, each with optional leading
 # space).  Counting its matches approximates an LLM tokenizer's token

@@ -201,3 +201,59 @@ def text_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_n_chars")
     )
+
+
+# DuckDB mirrors of the Gopher repetition signals (operators/text.py:
+# ngrams_with_duplicates / repeated_ngram_fraction / top_token_fraction).
+def _d_ngrams(n: int) -> str:
+    return (
+        f"list_transform(generate_series(1, greatest(len({_D_TOKENS})-{n - 1},1)),"
+        f" i -> array_to_string(list_slice({_D_TOKENS}, i, i+{n - 1}), ' '))"
+    )
+
+
+def _d_rep_frac(n: int) -> str:
+    g = _d_ngrams(n)
+    return f"round((len({g}) - len(list_distinct({g}))) / len({g}), 6)"
+
+
+_D_TOP1 = (
+    f"round(list_max(list_transform(list_distinct({_D_TOKENS}),"
+    f" g -> len(list_filter({_D_TOKENS}, x -> x = g)))) / len({_D_TOKENS}), 6)"
+)
+
+
+@register(
+    "text_repetition_signals",
+    oracle=f"""
+SELECT doc_id, rep_bigram_frac, rep_trigram_frac, top_token_frac,
+  (rep_bigram_frac < 0.04 AND top_token_frac < 0.1) AS keep
+FROM (
+  SELECT doc_id,
+    {_d_rep_frac(2)} AS rep_bigram_frac,
+    {_d_rep_frac(3)} AS rep_trigram_frac,
+    {_D_TOP1} AS top_token_frac
+  FROM documents
+) t
+""",
+    doc="Gopher-style repetition quality signals (Rae et al. 2021 "
+    "§A1.1): repeated bigram/trigram occurrence fractions and the "
+    "top-1-token mass fraction, plus the keep verdict a curation "
+    "pipeline filters on.  All nested higher-order array expressions "
+    "— per-row, map-side, zero shuffle, no Python "
+    "(operators/text.py:repeated_ngram_fraction/top_token_fraction).",
+    tags=("text", "extension"),
+    extended=True,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.repeated_ngram_fraction(t, 2).alias("rep_bigram_frac"),
+        TX.repeated_ngram_fraction(t, 3).alias("rep_trigram_frac"),
+        TX.top_token_fraction(t).alias("top_token_frac"),
+    ).withColumn(
+        "keep",
+        (F.col("rep_bigram_frac") < 0.04) & (F.col("top_token_frac") < 0.1),
+    )
