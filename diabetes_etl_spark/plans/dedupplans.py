@@ -8,6 +8,7 @@ assertions against the exact operators in tests/test_dedup.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from diabetes_etl_spark.operators import dedup as DD
 from diabetes_etl_spark.plans.registry import register
@@ -194,3 +195,59 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_xx64(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return DD.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "dedup_components",
+    # Transitive closure of the exact >=0.8-Jaccard pair relation: the
+    # oracle replays the pair oracle and closes it with a recursive CTE
+    # (min reachable id = component), which is exactly what the
+    # iterative min-label propagation computes distributed-side.
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS_ORACLE})
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(id, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id
+),
+lab AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id)
+SELECT id AS doc_id, component,
+  CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS component_size
+FROM lab
+ORDER BY doc_id
+""",
+    doc="Near-dup cluster formation: connected components over the "
+    "exact Jaccard pair relation via iterative min-label propagation "
+    "(operators/components.py — one shuffle per round, O(diameter) "
+    "rounds, lineage checkpointed).  Turns pairwise near-dup output "
+    "into keep-one-per-cluster semantics; singleton docs never enter "
+    "the graph.",
+    tags=("dedup", "components", "extension"),
+    extended=True,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from diabetes_etl_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=5, threshold=0.8, band_width=50,
+        length_col=None,
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        comp.select(F.col("id").alias("doc_id"), "component")
+        .withColumn(
+            "component_size",
+            F.count("*").over(Window.partitionBy("component")),
+        )
+        .orderBy("doc_id")
+    )

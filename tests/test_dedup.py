@@ -200,3 +200,36 @@ def test_simhash_portable_hash_agrees_with_xx64(docs):
     assert len(planted & xx) / len(planted) >= 0.9
     # neither variant pairs two unrelated base docs
     assert all(a >= 1000 or b >= 1000 for a, b in portable)
+
+
+# -- connected components ---------------------------------------------------
+
+
+def test_connected_components_labels_min_id(spark):
+    from diabetes_etl_spark.operators.components import connected_components
+
+    # two components: a 4-chain {1,2,3,4} (diameter 3 exercises >1
+    # propagation round) and a pair {10, 11}
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["src", "dst"]
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    import pytest
+
+    from diabetes_etl_spark.operators.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # and the full run does converge on the same input
+    labels = connected_components(chain).collect()
+    assert all(r.component == 0 for r in labels)
