@@ -403,3 +403,40 @@ def stream_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame
             F.timestamp_micros(F.col("last_ts_micros")), _TS_FMT
         ).alias("last_ts"),
     )
+
+
+@register(
+    "stream_dedup_events",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events,
+  COUNT(DISTINCT event_id) AS n_ids
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="Streaming deduplication: the event stream unioned with itself "
+    "(every event arrives twice, the at-least-once delivery shape) is "
+    "deduplicated with dropDuplicatesWithinWatermark(event_id) under a "
+    "1-hour watermark — state holds only keys inside the watermark "
+    "horizon, so it is bounded at scale (plain dropDuplicates would "
+    "grow state forever).  Post-dedup counts per type equal the batch "
+    "DISTINCT oracle on the single corpus.",
+    tags=("streaming", "dedup", "extension"),
+    extended=True,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doubled = _events_stream(spark, sf_dir).unionByName(
+        _events_stream(spark, sf_dir)
+    )
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    snap = stream_snapshot(spark, deduped)
+    return (
+        snap.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_id").alias("n_ids"),
+        )
+        .orderBy("event_type")
+    )
