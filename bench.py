@@ -35,12 +35,17 @@ HEADLINE = [
     # diabetes medallion + dashboard (the reference's own surface)
     "diab_gold_demographics",
     "diab_dash_risk_distribution",
+    # subquery family (decorrelation-to-join plans, round-4)
+    "subq_large_volume_orders",
+    "subq_small_quantity_revenue",
     # LLM-pipeline extensions
     "dedup_exact_docs",
     "dedup_minhash_lsh",
+    "dedup_components",
     "sim_topk_cosine",
     "sim_lsh_topk",
     "text_quality_by_lang",
+    "text_repetition_signals",
     # E2E training-data prep composite (dedup -> near-dup -> quality ->
     # token budget) — the nightly-corpus-pipeline headline
     "docs_prep_pipeline",

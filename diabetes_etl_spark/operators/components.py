@@ -49,10 +49,15 @@ def connected_components(
     rounds don't reach the fixpoint (diameter > max_iter signals a
     pathological pair set, not a tuning problem).
     """
+    # materialize the symmetric edge relation ONCE: it re-enters the
+    # join every round, and without the checkpoint each round would
+    # re-execute the whole upstream pair pipeline (shingling, LSH,
+    # verification joins) from scratch
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("id"))

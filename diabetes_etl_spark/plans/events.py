@@ -14,6 +14,8 @@ event is >= the 30-minute timeout — matching Spark's end-exclusive
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -440,3 +442,55 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "cdc_scd1_user_state",
+    oracle=f"""
+SELECT user_id, event_id AS last_event_id,
+  strftime(ts, '{_DUCK_FMT}') AS last_ts, value AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+ORDER BY user_id
+""",
+    doc="CDC apply-changes (SCD type 1): the event stream applied as "
+    "keyed upserts (key=user_id, sequence=ts, tiebreak=event_id) into "
+    "a bucket-partitioned parquet target via foreachBatch "
+    "(streaming/cdc.py — the DLT apply_changes analogue; per-batch "
+    "merge touches only the buckets the batch names).  Final state "
+    "equals the batch latest-row-per-key oracle.",
+    tags=("streaming", "cdc", "extension"),
+    extended=True,
+)
+def cdc_scd1_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from diabetes_etl_spark.streaming.cdc import apply_changes_scd1
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_cdc",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    # fresh target+checkpoint per invocation: the query is a from-scratch
+    # replay (incremental catch-up behavior is tests/test_cdc.py's job)
+    shutil.rmtree(base, ignore_errors=True)
+    final = apply_changes_scd1(
+        spark,
+        _events_stream(spark, sf_dir),
+        target_dir=os.path.join(base, "target"),
+        keys=["user_id"],
+        sequence_col="ts",
+        tiebreak_cols=["event_id"],
+        checkpoint=os.path.join(base, "ck"),
+    )
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.date_format("ts", _TS_FMT).alias("last_ts"),
+        F.col("value").alias("last_value"),
+    ).orderBy("user_id")

@@ -239,7 +239,7 @@ FROM (
     doc="Gopher-style repetition quality signals (Rae et al. 2021 "
     "§A1.1): repeated bigram/trigram occurrence fractions and the "
     "top-1-token mass fraction, plus the keep verdict a curation "
-    "pipeline filters on.  All nested higher-order array expressions "
+    "pipeline filters on.  All native array expressions (struct n-grams via arrays_zip, sorted-run aggregates) "
     "— per-row, map-side, zero shuffle, no Python "
     "(operators/text.py:repeated_ngram_fraction/top_token_fraction).",
     tags=("text", "extension"),

@@ -1,0 +1,174 @@
+"""CDC apply-changes: SCD Type 1 upsert/delete stream into a
+bucket-partitioned parquet target — the engine's analogue of DLT's
+``apply_changes`` API (the reference pipeline itself doesn't call it,
+but it is the flagship DLT surface a migrating user expects).
+
+Semantics (the public ``dlt.apply_changes`` contract for SCD type 1):
+
+- per key, the row with the highest ``(sequence_col, *tiebreak_cols)``
+  wins;
+- late/out-of-order rows lose to an already-applied newer row — even
+  across separate runs (the target retains the sequence columns, so
+  every merge re-resolves winners against what was applied before);
+- a winning row matching ``delete_expr`` removes the key.
+
+Implementation: ``foreachBatch`` + bucket-partitioned parquet.
+
+- The target is laid out as ``__bucket=<xxhash64(keys) % n_buckets>/``
+  directories.
+- Each micro-batch reduces to its per-key winners (one window over the
+  batch — small), reads back ONLY the bucket dirs those winners touch,
+  re-resolves winners against them, and swaps just those buckets (two
+  renames each, same crash contract as
+  sources/maintenance.py:compact_files, with per-bucket recovery).
+- Buckets the batch doesn't name are never read or written, so merge
+  cost scales with ``batch_size x target_size / n_buckets``, not with
+  target size.  At warehouse scale the same statement maps onto Delta
+  MERGE (see pipeline/registry.py's delta gate); this file is the
+  format-independent expression of the operator.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _winners(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _recover_buckets(target_dir: str) -> None:
+    """Per-bucket crash recovery: restore any bucket whose swap was
+    interrupted (backup exists without a live dir), drop stale backups."""
+    if not os.path.isdir(target_dir):
+        return
+    for name in os.listdir(target_dir):
+        if not name.endswith("__pre_swap"):
+            continue
+        backup = os.path.join(target_dir, name)
+        live = backup[: -len("__pre_swap")]
+        if os.path.exists(live):
+            shutil.rmtree(backup)  # crash after swap completed
+        else:
+            os.rename(backup, live)  # crash inside the window
+
+
+def _bucket_dirs(target_dir: str) -> list[str]:
+    if not os.path.isdir(target_dir):
+        return []
+    return sorted(
+        os.path.join(target_dir, d)
+        for d in os.listdir(target_dir)
+        if d.startswith("__bucket=") and not d.endswith("__pre_swap")
+    )
+
+
+def read_target(spark: SparkSession, target_dir: str) -> DataFrame | None:
+    """Read the current state of an apply-changes target (all buckets);
+    None when no batch has ever committed a bucket."""
+    _recover_buckets(target_dir)
+    dirs = _bucket_dirs(target_dir)
+    if not dirs:
+        return None
+    return spark.read.option("basePath", target_dir).parquet(*dirs)
+
+
+def apply_changes_scd1(
+    spark: SparkSession,
+    changes: DataFrame,
+    target_dir: str,
+    keys: list[str],
+    sequence_col: str,
+    tiebreak_cols: list[str] | None = None,
+    delete_expr: str | None = None,
+    n_buckets: int = 16,
+    checkpoint: str | None = None,
+) -> DataFrame | None:
+    """Drain the ``changes`` stream (availableNow) into ``target_dir``
+    with latest-wins upsert semantics; returns the resulting state (or
+    None if nothing has ever been applied).
+
+    ``changes`` must be a streaming DataFrame containing ``keys``,
+    ``sequence_col`` and any ``tiebreak_cols``.  ``delete_expr`` is a
+    SQL boolean over the change row; a winning delete removes the key.
+    """
+    order_cols = [sequence_col, *(tiebreak_cols or [])]
+    ck = checkpoint or tempfile.mkdtemp(prefix="cdc_scd1_ck_")
+
+    def merge(batch: DataFrame, _batch_id: int) -> None:
+        if not batch.columns:
+            return
+        _recover_buckets(target_dir)
+        tagged = batch.withColumn(
+            "__bucket",
+            F.pmod(
+                F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
+            ).cast("int"),
+        ).withColumn(
+            "__deleted",
+            F.expr(delete_expr) if delete_expr else F.lit(False),
+        )
+        best = _winners(tagged, keys, order_cols)
+        affected = sorted(
+            r[0] for r in best.select("__bucket").distinct().collect()
+        )
+        if not affected:
+            return
+        existing_dirs = [
+            os.path.join(target_dir, f"__bucket={b}")
+            for b in affected
+            if os.path.isdir(os.path.join(target_dir, f"__bucket={b}"))
+        ]
+        if existing_dirs:
+            existing = (
+                spark.read.option("basePath", target_dir)
+                .parquet(*existing_dirs)
+                .withColumn("__deleted", F.lit(False))
+            )
+            merged = _winners(
+                existing.unionByName(best), keys, order_cols
+            )
+        else:
+            merged = best
+        live = merged.filter(~F.col("__deleted")).drop("__deleted")
+
+        tmp = target_dir.rstrip("/") + "__merge_tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        live.write.partitionBy("__bucket").mode("overwrite").parquet(tmp)
+        os.makedirs(target_dir, exist_ok=True)
+        for b in affected:
+            src = os.path.join(tmp, f"__bucket={b}")
+            dst = os.path.join(target_dir, f"__bucket={b}")
+            backup = dst + "__pre_swap"
+            if os.path.exists(backup):
+                shutil.rmtree(backup)
+            if os.path.exists(dst):
+                os.rename(dst, backup)
+            if os.path.exists(src):
+                os.rename(src, dst)
+            # bucket fully deleted: no src dir — leaving dst absent IS
+            # the correct new state
+            if os.path.exists(backup):
+                shutil.rmtree(backup)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    (
+        changes.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return read_target(spark, target_dir)

@@ -1,0 +1,149 @@
+"""CDC apply-changes (streaming/cdc.py) semantics: latest-wins upsert,
+late-data rejection across separate runs, deletes, bucket-scoped
+rewrites, and crash recovery of an interrupted bucket swap."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import Row
+
+from diabetes_etl_spark.streaming.cdc import (
+    apply_changes_scd1,
+    read_target,
+)
+
+SCHEMA = "user_id bigint, seq bigint, value string, op string"
+
+
+def _write_changes(spark, src_dir: str, name: str, rows) -> None:
+    # the file stream source lists files, not nested dirs: land each
+    # change batch as a single parquet FILE in src_dir
+    tmp = os.path.join(src_dir, f"__tmp_{name}")
+    spark.createDataFrame(
+        [Row(user_id=u, seq=s, value=v, op=op) for u, s, v, op in rows],
+        SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(
+        f for f in os.listdir(tmp)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    shutil.move(
+        os.path.join(tmp, part), os.path.join(src_dir, f"{name}.parquet")
+    )
+    shutil.rmtree(tmp)
+
+
+def _run(spark, base: str, n_buckets: int = 4):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(base, "src"))
+    )
+    return apply_changes_scd1(
+        spark,
+        stream,
+        target_dir=os.path.join(base, "target"),
+        keys=["user_id"],
+        sequence_col="seq",
+        delete_expr="op = 'delete'",
+        n_buckets=n_buckets,
+        checkpoint=os.path.join(base, "ck"),
+    )
+
+
+def _state(df) -> dict:
+    return {r.user_id: (r.seq, r.value) for r in df.collect()}
+
+
+def test_upsert_latest_wins_and_late_rows_lose_across_runs(spark, tmp_path):
+    base = str(tmp_path)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    _write_changes(
+        spark, src, "b1",
+        [(1, 10, "a", "upsert"), (1, 20, "b", "upsert"), (2, 5, "x", "upsert")],
+    )
+    got = _state(_run(spark, base))
+    assert got == {1: (20, "b"), 2: (5, "x")}
+
+    # second run, same checkpoint: only the new file is processed, and
+    # its LATE row for key 1 (seq 15 < applied 20) must lose while the
+    # genuinely newer row for key 2 wins
+    _write_changes(
+        spark, src, "b2",
+        [(1, 15, "late", "upsert"), (2, 6, "y", "upsert")],
+    )
+    got = _state(_run(spark, base))
+    assert got == {1: (20, "b"), 2: (6, "y")}
+
+
+def test_winning_delete_removes_key_and_late_delete_loses(spark, tmp_path):
+    base = str(tmp_path)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    _write_changes(
+        spark, src, "b1",
+        [
+            (1, 10, "a", "upsert"),
+            (1, 20, None, "delete"),   # newest for key 1 -> key gone
+            (2, 9, None, "delete"),
+            (2, 12, "kept", "upsert"),  # delete is older -> upsert wins
+        ],
+    )
+    got = _state(_run(spark, base))
+    assert got == {2: (12, "kept")}
+
+
+def test_merge_touches_only_named_buckets(spark, tmp_path):
+    base = str(tmp_path)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    _write_changes(
+        spark, src, "b1",
+        [(u, 1, f"v{u}", "upsert") for u in range(12)],
+    )
+    _run(spark, base)
+    target = os.path.join(base, "target")
+    before = {
+        d: sorted(os.listdir(os.path.join(target, d)))
+        for d in os.listdir(target)
+    }
+    assert len(before) >= 2  # several buckets exist
+
+    # one more change for a single key: only that key's bucket may change
+    _write_changes(spark, src, "b2", [(0, 2, "v0b", "upsert")])
+    final = _run(spark, base)
+    after = {
+        d: sorted(os.listdir(os.path.join(target, d)))
+        for d in os.listdir(target)
+    }
+    changed = [d for d in before if before[d] != after.get(d)]
+    assert len(changed) == 1
+    assert _state(final)[0] == (2, "v0b")
+
+
+def test_crash_recovery_restores_interrupted_swap(spark, tmp_path):
+    base = str(tmp_path)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    _write_changes(spark, src, "b1", [(1, 10, "a", "upsert")])
+    final = _run(spark, base)
+    target = os.path.join(base, "target")
+    bucket = next(
+        d for d in os.listdir(target) if d.startswith("__bucket=")
+    )
+    live = os.path.join(target, bucket)
+    # simulate a crash inside the swap window: live dir renamed to the
+    # backup, replacement never arrived
+    os.rename(live, live + "__pre_swap")
+    recovered = read_target(spark, target)
+    assert _state(recovered) == {1: (10, "a")}
+    assert os.path.isdir(live) and not os.path.isdir(live + "__pre_swap")
+    assert _state(final) == {1: (10, "a")}
+
+
+def test_empty_target_reads_none(spark, tmp_path):
+    assert read_target(spark, str(tmp_path / "nope")) is None
