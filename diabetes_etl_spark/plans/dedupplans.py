@@ -238,9 +238,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.operators.components import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = DD.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=5, threshold=0.8, band_width=50,
-        length_col=None,
+    # the SCALE path feeds the graph: MinHash-LSH candidates (exact-
+    # verified, recall 1.0 at gate scale vs the exact operator — see
+    # dedup_minhash_lsh), so the exact-Jaccard closure oracle applies
+    # verbatim while the pair stage stays the one you'd run at 100 TB
+    # (no quadratic block scan)
+    pairs = DD.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=5, num_hashes=32, bands=8, threshold=0.8
     )
     comp = connected_components(pairs, "doc_a", "doc_b")
     return (
