@@ -494,3 +494,51 @@ def cdc_scd1_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", _TS_FMT).alias("last_ts"),
         F.col("value").alias("last_value"),
     ).orderBy("user_id")
+
+
+@register(
+    "cdc_scd2_user_history",
+    oracle=f"""
+SELECT user_id, event_id, value,
+  strftime(ts, '{_DUCK_FMT}') AS start_at,
+  strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+           '{_DUCK_FMT}') AS end_at
+FROM events
+ORDER BY user_id, start_at, event_id
+""",
+    doc="CDC apply-changes (SCD type 2): every change version kept "
+    "with __start_at/__end_at validity bounds (streaming/cdc.py:"
+    "apply_changes_scd2, DLT stored_as_scd_type=2 contract); the "
+    "current version per key has end_at NULL.  Oracle = the lead() "
+    "window over the raw changes.",
+    tags=("streaming", "cdc", "extension"),
+    extended=True,
+)
+def cdc_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from diabetes_etl_spark.streaming.cdc import apply_changes_scd2
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_cdc2",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    hist = apply_changes_scd2(
+        spark,
+        _events_stream(spark, sf_dir),
+        target_dir=os.path.join(base, "target"),
+        keys=["user_id"],
+        sequence_col="ts",
+        tiebreak_cols=["event_id"],
+        checkpoint=os.path.join(base, "ck"),
+    )
+    return hist.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.date_format("__start_at", _TS_FMT).alias("start_at"),
+        F.date_format("__end_at", _TS_FMT).alias("end_at"),
+    ).orderBy("user_id", "start_at", "event_id")

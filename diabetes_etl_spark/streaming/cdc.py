@@ -1,7 +1,8 @@
-"""CDC apply-changes: SCD Type 1 upsert/delete stream into a
-bucket-partitioned parquet target — the engine's analogue of DLT's
-``apply_changes`` API (the reference pipeline itself doesn't call it,
-but it is the flagship DLT surface a migrating user expects).
+"""CDC apply-changes: SCD Type 1 (latest-wins) and Type 2 (full
+version history) upsert/delete streams into a bucket-partitioned
+parquet target — the engine's analogue of DLT's ``apply_changes`` API
+(the reference pipeline itself doesn't call it, but it is the flagship
+DLT surface a migrating user expects).
 
 Semantics (the public ``dlt.apply_changes`` contract for SCD type 1):
 
@@ -160,6 +161,105 @@ def apply_changes_scd1(
                 os.rename(src, dst)
             # bucket fully deleted: no src dir — leaving dst absent IS
             # the correct new state
+            if os.path.exists(backup):
+                shutil.rmtree(backup)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    (
+        changes.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return read_target(spark, target_dir)
+
+
+def apply_changes_scd2(
+    spark: SparkSession,
+    changes: DataFrame,
+    target_dir: str,
+    keys: list[str],
+    sequence_col: str,
+    tiebreak_cols: list[str] | None = None,
+    delete_expr: str | None = None,
+    n_buckets: int = 16,
+    checkpoint: str | None = None,
+) -> DataFrame | None:
+    """SCD Type 2 apply-changes: every change VERSION is kept, with
+    ``__start_at`` = its own sequence value and ``__end_at`` = the next
+    version's sequence (NULL while current) — DLT's
+    ``stored_as_scd_type=2`` contract.
+
+    A delete row closes the key's current version and is itself kept
+    as a tombstone version flagged ``__deleted`` (so the history shows
+    WHEN the key disappeared); re-upserting later re-opens history.
+    Late rows splice into their correct historical position — the
+    per-key window is recomputed over the merged history, which is
+    bucket-scoped like SCD1 (only buckets the batch names are read or
+    rewritten).
+    """
+    order_cols = [sequence_col, *(tiebreak_cols or [])]
+    ck = checkpoint or tempfile.mkdtemp(prefix="cdc_scd2_ck_")
+
+    def merge(batch: DataFrame, _batch_id: int) -> None:
+        if not batch.columns:
+            return
+        _recover_buckets(target_dir)
+        incoming = batch.withColumn(
+            "__bucket",
+            F.pmod(
+                F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
+            ).cast("int"),
+        ).withColumn(
+            "__deleted",
+            F.expr(delete_expr) if delete_expr else F.lit(False),
+        )
+        affected = sorted(
+            r[0] for r in incoming.select("__bucket").distinct().collect()
+        )
+        if not affected:
+            return
+        existing_dirs = [
+            os.path.join(target_dir, f"__bucket={b}")
+            for b in affected
+            if os.path.isdir(os.path.join(target_dir, f"__bucket={b}"))
+        ]
+        if existing_dirs:
+            history = (
+                spark.read.option("basePath", target_dir)
+                .parquet(*existing_dirs)
+                .drop("__start_at", "__end_at")
+                .unionByName(incoming)
+            )
+        else:
+            history = incoming
+        # exact-duplicate versions (same key + sequence + tiebreaks)
+        # collapse to one row — reprocessing a file is idempotent
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).asc() for c in order_cols]
+        )
+        versioned = (
+            _winners(history, [*keys, *order_cols], ["__deleted"])
+            .withColumn("__start_at", F.col(sequence_col))
+            .withColumn("__end_at", F.lead(sequence_col).over(w))
+        )
+
+        tmp = target_dir.rstrip("/") + "__merge_tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        versioned.write.partitionBy("__bucket").mode("overwrite").parquet(tmp)
+        os.makedirs(target_dir, exist_ok=True)
+        for b in affected:
+            src = os.path.join(tmp, f"__bucket={b}")
+            dst = os.path.join(target_dir, f"__bucket={b}")
+            backup = dst + "__pre_swap"
+            if os.path.exists(backup):
+                shutil.rmtree(backup)
+            if os.path.exists(dst):
+                os.rename(dst, backup)
+            if os.path.exists(src):
+                os.rename(src, dst)
             if os.path.exists(backup):
                 shutil.rmtree(backup)
         shutil.rmtree(tmp, ignore_errors=True)

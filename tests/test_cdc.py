@@ -147,3 +147,86 @@ def test_crash_recovery_restores_interrupted_swap(spark, tmp_path):
 
 def test_empty_target_reads_none(spark, tmp_path):
     assert read_target(spark, str(tmp_path / "nope")) is None
+
+
+# -- SCD Type 2 -------------------------------------------------------------
+
+
+def _run2(spark, base: str, n_buckets: int = 4):
+    from diabetes_etl_spark.streaming.cdc import apply_changes_scd2
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(base, "src"))
+    )
+    return apply_changes_scd2(
+        spark,
+        stream,
+        target_dir=os.path.join(base, "target2"),
+        keys=["user_id"],
+        sequence_col="seq",
+        delete_expr="op = 'delete'",
+        n_buckets=n_buckets,
+        checkpoint=os.path.join(base, "ck2"),
+    )
+
+
+def _history(df) -> list:
+    # Row.__getattr__ rejects dunder names: use item access
+    return sorted(
+        (r["user_id"], r["seq"], r["value"], r["__start_at"], r["__end_at"])
+        for r in df.collect()
+    )
+
+
+def test_scd2_keeps_versions_with_validity_bounds(spark, tmp_path):
+    base = str(tmp_path)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    _write_changes(
+        spark, src, "b1",
+        [(1, 10, "a", "upsert"), (1, 20, "b", "upsert"), (2, 5, "x", "upsert")],
+    )
+    got = _history(_run2(spark, base))
+    assert got == [
+        (1, 10, "a", 10, 20),
+        (1, 20, "b", 20, None),
+        (2, 5, "x", 5, None),
+    ]
+
+
+def test_scd2_late_row_splices_into_history(spark, tmp_path):
+    base = str(tmp_path)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    _write_changes(
+        spark, src, "b1", [(1, 10, "a", "upsert"), (1, 30, "c", "upsert")]
+    )
+    _run2(spark, base)
+    # late version seq=20 must land BETWEEN the existing versions,
+    # closing a's validity at 20 and ending itself at 30
+    _write_changes(spark, src, "b2", [(1, 20, "late", "upsert")])
+    got = _history(_run2(spark, base))
+    assert got == [
+        (1, 10, "a", 10, 20),
+        (1, 20, "late", 20, 30),
+        (1, 30, "c", 30, None),
+    ]
+
+
+def test_scd2_delete_closes_history_as_tombstone(spark, tmp_path):
+    base = str(tmp_path)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    _write_changes(
+        spark, src, "b1",
+        [(1, 10, "a", "upsert"), (1, 20, None, "delete")],
+    )
+    final = _run2(spark, base)
+    got = _history(final)
+    assert got == [(1, 10, "a", 10, 20), (1, 20, None, 20, None)]
+    tombstones = {(r.user_id, r.seq) for r in final.filter("__deleted").collect()}
+    assert tombstones == {(1, 20)}
+    # current LIVE state = end_at IS NULL and not deleted -> empty
+    assert final.filter("__end_at IS NULL AND NOT __deleted").count() == 0
