@@ -542,3 +542,43 @@ def cdc_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("__start_at", _TS_FMT).alias("start_at"),
         F.date_format("__end_at", _TS_FMT).alias("end_at"),
     ).orderBy("user_id", "start_at", "event_id")
+
+
+@register(
+    "events_json_props",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+    AS sum_k_schemaless
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="Semi-structured extraction: the JSON props payload parsed "
+    "in-plan with from_json (schema-on-read, JVM-native — no Python, "
+    "no double scan) and aggregated; a second expression shows the "
+    "schemaless get_json_object path agrees.  At 100 TB the parse "
+    "happens inside the scan stage's codegen, so JSON columns cost "
+    "one pass like any other column.",
+    tags=("events", "json", "extension"),
+    extended=True,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k int")["k"].cast("long")
+    k2 = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"), k2.alias("k2"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k2").alias("sum_k_schemaless"),
+        )
+        .orderBy("event_type")
+    )

@@ -257,3 +257,32 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep",
         (F.col("rep_bigram_frac") < 0.04) & (F.col("top_token_frac") < 0.1),
     )
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=f"""
+SELECT token, COUNT(*) AS n_occurrences
+FROM (SELECT unnest({_D_TOKENS}) AS token FROM documents) t
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 20
+""",
+    doc="Corpus-wide heavy hitters: explode(tokens) -> hash aggregate "
+    "-> total-ordered top-k.  The explode multiplies rows map-side but "
+    "partial aggregation collapses them before the shuffle, so the "
+    "exchange carries one row per (partition, distinct token) — the "
+    "vocabulary, not the corpus.  Total tiebreak (count DESC, token) "
+    "keeps the limit deterministic.",
+    tags=("text", "extension"),
+    extended=True,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(20)
+    )
