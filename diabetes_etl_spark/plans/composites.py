@@ -524,3 +524,46 @@ def stream_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return static_snap.unionByName(stream_snap).orderBy("branch", "join_key")
+
+
+@register(
+    "window_range_frame_trailing",
+    oracle=f"""
+SELECT o_orderkey, o_custkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate
+    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS trailing_30d_spend
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+""",
+    doc="Time-based RANGE window frame: per-customer 30-day trailing "
+    "spend.  Spark's rangeBetween needs a numeric ordering column, so "
+    "the plan orders on epoch seconds with a -30d literal bound — "
+    "logically identical to the oracle's RANGE BETWEEN INTERVAL "
+    "frame; rows with equal order values share one frame (the "
+    "RANGE-vs-ROWS distinction the ROWS suite can't exercise).  One "
+    "shuffle on the partition key, frame evaluation is streaming "
+    "within each sorted partition.",
+    tags=("window", "range-frame", "extension"),
+    extended=True,
+)
+def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        # dec_sum can't be .over()'d directly (the window must attach to
+        # the SUM, not the outer double cast) — same decimal-exact shape
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30d_spend"),
+    ).orderBy("o_custkey", "order_date", "o_orderkey")
