@@ -230,7 +230,6 @@ ORDER BY doc_id
     "into keep-one-per-cluster semantics; singleton docs never enter "
     "the graph.",
     tags=("dedup", "components", "extension"),
-    extended=True,
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window

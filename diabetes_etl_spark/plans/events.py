@@ -463,7 +463,6 @@ ORDER BY user_id
     "merge touches only the buckets the batch names).  Final state "
     "equals the batch latest-row-per-key oracle.",
     tags=("streaming", "cdc", "extension"),
-    extended=True,
 )
 def cdc_scd1_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil

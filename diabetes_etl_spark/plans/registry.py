@@ -61,12 +61,22 @@ GATE_CAPACITY = 50
 # plans/composites.py and are themselves oracle-paired gate queries).
 _EXTENDED: frozenset[str] = frozenset(
     {
-        # view-sink coverage stays in the gate via diab_view_demographics
-        # and diab_view_risk_analysis; the executive twin (identical
-        # operator surface to the gate's diab_gold_executive, through
-        # the same view sink) moved to the extended tier to free one
-        # gate slot for corpus_sampling_shards (round-4)
+        # view-sink coverage stays in the gate via diab_view_demographics;
+        # the executive and risk twins (identical operator surface to
+        # the gate's diab_gold_* queries, through the same view sink)
+        # moved to the extended tier to free gate slots for
+        # corpus_sampling_shards and cdc_scd1_user_state (round-4)
         "diab_view_executive",
+        "diab_view_risk_analysis",
+        # the gaps-and-islands SQL formulation is the oracle-identical
+        # twin of the gate's events_session_native (same rows, same
+        # oracle); its slot now carries dedup_components (round-4)
+        "events_sessionize_sql",
+        # exact all-pairs cosine verifier — the scale path twin
+        # sim_neardup_lsh stays in the gate with the SAME oracle, so
+        # gate exactness is unchanged; its slot now carries
+        # subq_small_quantity_revenue (round-4)
+        "sim_neardup_pairs",
         # covered by diab_silver_features / diab_view_* (project/filter/case)
         "proj_filter_case_lineitem",
         # covered by diab_gold_executive / diab_gold_validation (global agg)

@@ -83,7 +83,6 @@ register(
     "l_partkey — the inner table is scanned once, not once per outer "
     "row, which is the difference between O(N) and O(N^2) at scale.",
     tags=("subquery", "correlated", "extension"),
-    extended=True,
 )(_sql_query(_CORR_AVG_SQL, ("lineitem", "part")))
 
 
