@@ -106,6 +106,18 @@ class Expectation:
     action: str  # "drop" | "warn" | "fail"
 
 
+@dataclass(frozen=True)
+class CdcSpec:
+    """apply_changes configuration (the dlt.apply_changes argument set)."""
+
+    keys: tuple[str, ...]
+    sequence_by: str
+    scd_type: int = 1
+    tiebreak_by: tuple[str, ...] = ()
+    apply_as_deletes: str | None = None
+    n_buckets: int = 16
+
+
 @dataclass
 class Dataset:
     name: str
@@ -116,6 +128,7 @@ class Dataset:
     streaming: bool = False
     partition_by: tuple[str, ...] = ()
     table_properties: dict[str, str] = field(default_factory=dict)
+    cdc: CdcSpec | None = None
 
 
 class Pipeline:
@@ -152,6 +165,59 @@ class Pipeline:
 
     def view(self, name: str | None = None, comment: str = ""):
         return self._register("view", name, comment, (), False, ())
+
+    def apply_changes(
+        self,
+        target: str,
+        source: str | Callable[["PipelineContext"], DataFrame],
+        keys: list[str] | tuple[str, ...],
+        sequence_by: str,
+        scd_type: int = 1,
+        tiebreak_by: tuple[str, ...] = (),
+        apply_as_deletes: str | None = None,
+        n_buckets: int = 16,
+        comment: str = "",
+    ) -> None:
+        """Register a CDC target fed by a change stream — the engine's
+        ``dlt.apply_changes``.  ``source`` is either the name of another
+        registered (streaming) dataset, whose RAW builder output feeds
+        the merge (it is not separately materialized), or a callable
+        producing the change stream.  scd_type 1 keeps latest-wins
+        state; 2 keeps full version history with __start_at/__end_at
+        (streaming/cdc.py has the semantics and the scale notes).
+        """
+        if scd_type not in (1, 2):
+            raise ValueError(f"unsupported scd_type {scd_type}")
+
+        if callable(source):
+            fn = source
+        else:
+
+            def fn(ctx: "PipelineContext") -> DataFrame:
+                src = self.datasets.get(source)
+                if src is None:
+                    raise KeyError(
+                        f"apply_changes source dataset {source!r} not found"
+                    )
+                return src.fn(ctx)
+
+        if target in self.datasets:
+            raise ValueError(f"duplicate dataset {target!r}")
+        self.datasets[target] = Dataset(
+            name=target,
+            fn=fn,
+            kind="table",
+            comment=comment,
+            streaming=True,
+            cdc=CdcSpec(
+                keys=tuple(keys),
+                sequence_by=sequence_by,
+                scd_type=scd_type,
+                tiebreak_by=tuple(tiebreak_by),
+                apply_as_deletes=apply_as_deletes,
+                n_buckets=n_buckets,
+            ),
+        )
 
     # -- expectation decorators (stack under @table, like dlt) ------------
 
@@ -251,6 +317,8 @@ class PipelineRunner:
             df = self._apply_expectations(ds, df)
             if ds.kind == "view":
                 df.createOrReplaceTempView(self.view_prefix + name)
+            elif ds.cdc is not None:
+                df = self._materialize_cdc(ds, df)
             elif ds.streaming and df.isStreaming:
                 df = self._materialize_stream(ds, df)
             elif self.mode == "warehouse":
@@ -291,6 +359,55 @@ class PipelineRunner:
             if exp.action == "drop":
                 df = df.filter(F.expr(exp.condition))
         return df
+
+    def _materialize_cdc(self, ds: Dataset, df: DataFrame) -> DataFrame:
+        """Drive an apply_changes dataset: merge the change stream into
+        its bucket-partitioned target and expose the resulting state as
+        a temp view.  In warehouse mode the target (and checkpoint) are
+        durable, so re-runs process only new change files and merge them
+        against the previously applied state; in views mode a
+        runner-lifetime temp dir gives the same semantics per session.
+        """
+        import tempfile
+
+        from diabetes_etl_spark.streaming import cdc as cdc_ops
+
+        if not df.isStreaming:
+            raise ValueError(
+                f"apply_changes dataset {ds.name!r} needs a streaming source"
+            )
+        if self.warehouse:
+            base = self.warehouse
+        else:
+            if not hasattr(self, "_cdc_tmp"):
+                self._cdc_tmp = tempfile.mkdtemp(prefix="cdc_pipeline_")
+            base = self._cdc_tmp
+        target = os.path.join(base, ds.name)
+        ck = os.path.join(
+            self.checkpoint_dir or os.path.join(base, "_checkpoints"),
+            ds.name,
+        )
+        spec = ds.cdc
+        apply = (
+            cdc_ops.apply_changes_scd1
+            if spec.scd_type == 1
+            else cdc_ops.apply_changes_scd2
+        )
+        out = apply(
+            self.spark,
+            df,
+            target_dir=target,
+            keys=list(spec.keys),
+            sequence_col=spec.sequence_by,
+            tiebreak_cols=list(spec.tiebreak_by),
+            delete_expr=spec.apply_as_deletes,
+            n_buckets=spec.n_buckets,
+            checkpoint=ck,
+        )
+        if out is None:  # no changes ever applied: empty typed state
+            out = self.spark.createDataFrame([], df.schema)
+        out.createOrReplaceTempView(self.view_prefix + ds.name)
+        return out
 
     def _materialize_batch(self, ds: Dataset, df: DataFrame) -> DataFrame:
         path = os.path.join(self.warehouse, ds.name)

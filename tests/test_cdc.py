@@ -230,3 +230,92 @@ def test_scd2_delete_closes_history_as_tombstone(spark, tmp_path):
     assert tombstones == {(1, 20)}
     # current LIVE state = end_at IS NULL and not deleted -> empty
     assert final.filter("__end_at IS NULL AND NOT __deleted").count() == 0
+
+
+# -- pipeline integration (dlt.apply_changes shape) -------------------------
+
+
+def test_pipeline_apply_changes_incremental(spark, tmp_path):
+    from diabetes_etl_spark.pipeline.registry import Pipeline, PipelineRunner
+
+    base = str(tmp_path)
+    src = os.path.join(base, "src")
+    wh = os.path.join(base, "wh")
+    os.makedirs(src)
+    _write_changes(
+        spark, src, "b1", [(1, 10, "a", "upsert"), (2, 5, "x", "upsert")]
+    )
+
+    def build():
+        p = Pipeline("cdc_demo")
+
+        @p.table(name="changes_bronze", streaming=True)
+        def changes_bronze(ctx):
+            return (
+                ctx.spark.readStream.schema(SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+
+        p.apply_changes(
+            target="user_state",
+            source="changes_bronze",
+            keys=["user_id"],
+            sequence_by="seq",
+            apply_as_deletes="op = 'delete'",
+            comment="latest user state (SCD1)",
+        )
+        return p
+
+    r1 = PipelineRunner(build(), spark, mode="warehouse", warehouse=wh)
+    out = r1.run(targets=["user_state"])["user_state"]
+    assert _state(out) == {1: (10, "a"), 2: (5, "x")}
+    # registered as a queryable view, like every other dataset
+    assert _state(spark.sql("SELECT * FROM user_state")) == {
+        1: (10, "a"), 2: (5, "x"),
+    }
+
+    # second run on a FRESH runner: durable checkpoint + target mean
+    # only the new file is read and merged against applied state
+    _write_changes(
+        spark, src, "b2", [(1, 8, "late", "upsert"), (2, 9, None, "delete")]
+    )
+    r2 = PipelineRunner(build(), spark, mode="warehouse", warehouse=wh)
+    out = r2.run(targets=["user_state"])["user_state"]
+    assert _state(out) == {1: (10, "a")}  # late row lost, key 2 deleted
+
+
+def test_pipeline_apply_changes_scd2_and_validation(spark, tmp_path):
+    from diabetes_etl_spark.pipeline.registry import Pipeline, PipelineRunner
+
+    base = str(tmp_path)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    _write_changes(
+        spark, src, "b1", [(1, 10, "a", "upsert"), (1, 20, "b", "upsert")]
+    )
+    p = Pipeline("cdc_demo2")
+
+    @p.table(name="changes_bronze", streaming=True)
+    def changes_bronze(ctx):
+        return ctx.spark.readStream.schema(SCHEMA).parquet(src)
+
+    p.apply_changes(
+        target="user_history",
+        source="changes_bronze",
+        keys=["user_id"],
+        sequence_by="seq",
+        scd_type=2,
+    )
+    out = PipelineRunner(p, spark).run(targets=["user_history"])[
+        "user_history"
+    ]
+    assert _history(out) == [(1, 10, "a", 10, 20), (1, 20, "b", 20, None)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported scd_type"):
+        p.apply_changes(
+            target="bad", source="changes_bronze", keys=["user_id"],
+            sequence_by="seq", scd_type=3,
+        )
