@@ -1,0 +1,183 @@
+"""Property-based tests (hypothesis) for the operators whose edge cases
+are easiest to get wrong: as-of join tie/ordering semantics, connected
+components on arbitrary graphs, and CDC winner resolution.
+
+Each property drives the REAL Spark operator against a tiny in-Python
+reference implementation on randomized inputs.  Example counts are kept
+small (each example is a Spark job); the value is the randomized edge
+structure, not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# -- asof_join --------------------------------------------------------------
+
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),          # key
+        st.integers(0, 50),         # ts
+        st.integers(0, 1),          # side: 0=right(click), 1=left(probe)
+        st.integers(0, 999),        # payload
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SLOW
+@given(_events)
+def test_asof_join_matches_brute_force(spark, rows):
+    from diabetes_etl_spark.operators.asof import asof_join
+
+    lefts = [
+        (i, k, t, v) for i, (k, t, s, v) in enumerate(rows) if s == 1
+    ]
+    rights = [
+        (i, k, t, v) for i, (k, t, s, v) in enumerate(rows) if s == 0
+    ]
+    if not lefts or not rights:
+        return
+    left = spark.createDataFrame(lefts, "id long, k long, ts long, v long")
+    right = spark.createDataFrame(
+        rights, "rid long, k long, ts long, rv long"
+    )
+    got = {
+        r.id: (r.m_ts, r.m_rv)
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_cols={"ts": "m_ts", "rv": "m_rv"},
+        ).collect()
+    }
+    for lid, lk, lts, _ in lefts:
+        # brute force: most recent right with right.ts <= left.ts,
+        # ties on ts: any right row is acceptable ONLY if the
+        # operator is deterministic; it carries the LAST right row in
+        # (ts, insertion) window order, so reference takes max ts and,
+        # within equal ts, the latest (rid) — matching the union sort
+        # tiebreak (__side=0 sorts before 1; among right rows the
+        # window's last() takes the final one in sort order, which for
+        # equal (ts, side) is implementation-ordered).  To keep the
+        # property implementation-independent we only assert the ts and
+        # that the payload belongs to SOME right row at that ts.
+        cands = [(t, v) for _, k, t, v in rights if k == lk and t <= lts]
+        if not cands:
+            assert got[lid] == (None, None)
+        else:
+            best_ts = max(t for t, _ in cands)
+            m_ts, m_rv = got[lid]
+            assert m_ts == best_ts
+            assert m_rv in [v for t, v in cands if t == best_ts]
+
+
+# -- connected_components ---------------------------------------------------
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SLOW
+@given(_edges)
+def test_connected_components_matches_union_find(spark, edges):
+    from diabetes_etl_spark.operators.components import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        parent[find(a)] = find(b)
+
+    for a, b in edges:
+        union(a, b)
+    expected_groups: dict[int, int] = {}
+    for n in parent:
+        root = find(n)
+        expected_groups[n] = min(
+            m for m in parent if find(m) == root
+        )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.id: r.component for r in connected_components(df).collect()
+    }
+    assert got == expected_groups
+
+
+# -- CDC winner resolution --------------------------------------------------
+
+_changes = st.lists(
+    st.tuples(
+        st.integers(0, 4),            # key
+        st.integers(0, 20),           # seq
+        st.integers(0, 99),           # tiebreak
+        st.booleans(),                # delete?
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda c: (c[0], c[1], c[2]),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_changes)
+def test_scd1_state_matches_reference(spark, tmp_path_factory, changes):
+    import os
+
+    from diabetes_etl_spark.streaming.cdc import apply_changes_scd1
+
+    base = str(tmp_path_factory.mktemp("cdc_prop"))
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        changes, "k long, seq long, tb long, del boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "k long, seq long, tb long, del boolean"
+    ).parquet(src)
+    out = apply_changes_scd1(
+        spark, stream,
+        target_dir=os.path.join(base, "t"),
+        keys=["k"], sequence_col="seq", tiebreak_cols=["tb"],
+        delete_expr="del", n_buckets=4,
+        checkpoint=os.path.join(base, "ck"),
+    )
+    got = (
+        {}
+        if out is None
+        else {r.k: (r.seq, r.tb) for r in out.collect()}
+    )
+
+    expected = {}
+    for k in {c[0] for c in changes}:
+        winner = max(
+            (c for c in changes if c[0] == k), key=lambda c: (c[1], c[2])
+        )
+        if not winner[3]:
+            expected[k] = (winner[1], winner[2])
+    assert got == expected
