@@ -567,3 +567,43 @@ def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_30d_spend"),
     ).orderBy("o_custkey", "order_date", "o_orderkey")
+
+
+@register(
+    "orders_monthly_rollup",
+    oracle=f"""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+    {sql_dec_sum("o_totalprice", 2)} AS revenue,
+    COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT strftime(month, '%Y-%m-%d') AS month_start, revenue, n_orders,
+  ROUND(revenue - lag(revenue) OVER (ORDER BY month), 2) AS revenue_delta
+FROM m ORDER BY month
+""",
+    doc="Calendar rollup: month-truncated revenue totals with a "
+    "month-over-month delta via lag — the date_trunc/window composite "
+    "every reporting layer needs.  Group keys are months (tiny), so "
+    "the aggregate shuffle carries one row per (task, month) and the "
+    "single-partition window over ~80 months is driver-trivial.",
+    tags=("calendar", "window", "extension"),
+    extended=True,
+)
+def orders_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        dec_sum(F.col("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    return m.select(
+        F.date_format("month", "yyyy-MM-dd").alias("month_start"),
+        "revenue",
+        "n_orders",
+        F.round(
+            F.col("revenue") - F.lag("revenue").over(w), 2
+        ).alias("revenue_delta"),
+    ).orderBy("month_start")
