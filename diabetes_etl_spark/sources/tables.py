@@ -204,3 +204,32 @@ def register_views(
     """Register fixture tables as temp views for the SQL entry point."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def save_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: tuple[str, ...],
+    n_files: int,
+    fmt: str = "parquet",
+) -> None:
+    """Persist with a RANGE-partitioned, within-file-sorted layout — the
+    open-source analogue of clustering/Z-ordering on one key prefix.
+
+    repartitionByRange gives globally disjoint per-file key ranges and
+    sortWithinPartitions makes every parquet row group's min/max stats
+    tight, so any reader filtering on the sort key skips whole files
+    and row groups from footer metadata alone (parquet predicate
+    pushdown).  At 100 TB this is the difference between scanning the
+    table and scanning the qualifying fraction; the shuffle is paid
+    once at write time, like save_bucketed pays for join locality.
+    tests/test_sources.py asserts the disjoint-ranges property from the
+    actual footers.
+    """
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )

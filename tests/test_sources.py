@@ -5,6 +5,8 @@ tables)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -107,3 +109,40 @@ def test_bucketed_aggregation_is_shuffle_free(spark, sf_dir):
         assert agg.count() == orders.select("o_custkey").distinct().count()
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_bkt_agg")
+
+
+def test_save_range_sorted_yields_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    import pyarrow.parquet as pq
+
+    from diabetes_etl_spark.sources.tables import load_table, save_range_sorted
+
+    out = str(tmp_path / "orders_sorted")
+    save_range_sorted(
+        load_table(spark, sf_dir, "orders"), out, ("o_orderkey",), n_files=4
+    )
+    ranges = []
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(out, f))
+        col_idx = md.schema.to_arrow_schema().get_field_index("o_orderkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+            # within a file, row groups are sorted: tight stats
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2
+    # files' key ranges must be pairwise disjoint (range partitioning)
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, (ranges,)
+    # and a key-filtered scan pushes the predicate to those footers
+    got = (
+        spark.read.parquet(out)
+        .filter("o_orderkey = 7")
+        .select("o_orderkey")
+        .collect()
+    )
+    assert [r.o_orderkey for r in got] == [7]
