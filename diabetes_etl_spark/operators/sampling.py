@@ -159,6 +159,13 @@ def repeat_sample(
     multiplicity is a pure function of (seed, id, stratum), so a re-run
     — or another engine — reproduces the exact same physical epoch.
     """
+    clash = {"_mult", "copy_idx"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} — repeating "
+            "already-repeated output would create ambiguous references; "
+            "drop or rename them first"
+        )
     rate = _rate_case(rates, stratum_col, default_rate, False)
     u = portable_unit_hash(F.col(id_col), seed)
     mult = F.floor(rate).cast("int") + (
@@ -195,6 +202,13 @@ def training_shuffle(
     """
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
+    clash = {"shuffle_key", "shard"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} — re-sharding "
+            "sharded output would create ambiguous references; drop or "
+            "rename them first"
+        )
     key = _mix(F.col(id_col), seed)
     return df.select(
         "*",

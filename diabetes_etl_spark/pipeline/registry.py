@@ -404,8 +404,21 @@ class PipelineRunner:
             n_buckets=spec.n_buckets,
             checkpoint=ck,
         )
-        if out is None:  # no changes ever applied: empty typed state
-            out = self.spark.createDataFrame([], df.schema)
+        if out is None:
+            # no changes ever applied: empty state typed EXACTLY like
+            # the non-empty output (SCD2 adds validity/tombstone
+            # columns), so downstream selects don't flap between runs
+            from pyspark.sql.types import BooleanType, StructField, StructType
+
+            fields = list(df.schema.fields)
+            if spec.scd_type == 2:
+                seq_type = df.schema[spec.sequence_by].dataType
+                fields += [
+                    StructField("__deleted", BooleanType()),
+                    StructField("__start_at", seq_type),
+                    StructField("__end_at", seq_type),
+                ]
+            out = self.spark.createDataFrame([], StructType(fields))
         out.createOrReplaceTempView(self.view_prefix + ds.name)
         return out
 
@@ -435,31 +448,30 @@ class PipelineRunner:
         fmt = self.table_format
         ident = f"`default`.`{self.view_prefix + ds.name}`"
         self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
-        ddl = f"CREATE TABLE {ident} USING {fmt}"
-        if schema is not None:
-            # explicit columns: required when the location holds no
-            # files yet (a streaming table's empty first run) — parquet
-            # inference would fail
-            cols = ", ".join(
+        # ONE DDL construction.  Explicit columns are used whenever a
+        # schema is available or derivable: required when the location
+        # holds no files yet (a streaming table's empty first run —
+        # parquet inference throws), and required to declare partition
+        # columns.  A schema passed by the caller always wins — the
+        # partitioned branch must NOT re-infer from the (possibly
+        # empty) location, which was exactly the empty-first-run bug.
+        if schema is None and ds.partition_by and fmt == "parquet":
+            schema = self.spark.read.format(fmt).load(path).schema
+        cols_sql = (
+            "("
+            + ", ".join(
                 f"`{f.name}` {f.dataType.simpleString()}" for f in schema
             )
-            ddl = f"CREATE TABLE {ident} ({cols}) USING {fmt}"
+            + ") "
+            if schema is not None
+            else ""
+        )
+        ddl = f"CREATE TABLE {ident} {cols_sql}USING {fmt}"
         if ds.comment:
             ddl += f" COMMENT '{_sql_str(ds.comment)}'"
         if ds.partition_by and fmt == "parquet":
-            # partition columns must be declared for the catalog table
-            # (delta carries them in its own log); infer the full
-            # schema from the written dataset
-            sch = self.spark.read.format(fmt).load(path).schema
-            cols = ", ".join(
-                f"`{f.name}` {f.dataType.simpleString()}" for f in sch
-            )
             part = ", ".join(f"`{c}`" for c in ds.partition_by)
-            ddl = (
-                f"CREATE TABLE {ident} ({cols}) USING {fmt}"
-                + (f" COMMENT '{_sql_str(ds.comment)}'" if ds.comment else "")
-                + f" PARTITIONED BY ({part})"
-            )
+            ddl += f" PARTITIONED BY ({part})"
         ddl += f" LOCATION '{_sql_str(path)}'"
         self.spark.sql(ddl)
         if ds.partition_by and fmt == "parquet":

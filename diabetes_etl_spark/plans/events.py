@@ -465,19 +465,16 @@ ORDER BY user_id
     tags=("streaming", "cdc", "extension"),
 )
 def cdc_scd1_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
     import tempfile
 
     from diabetes_etl_spark.streaming.cdc import apply_changes_scd1
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_cdc",
-        sf_dir.strip("/").replace("/", "_"),
-    )
-    # fresh target+checkpoint per invocation: the query is a from-scratch
-    # replay (incremental catch-up behavior is tests/test_cdc.py's job)
-    shutil.rmtree(base, ignore_errors=True)
+    # per-invocation PRIVATE workspace (mkdtemp): a fixed path keyed on
+    # sf_dir would let concurrent runs (gate + audit, parallel CI) rmtree
+    # each other's live target mid-stream.  The query is a from-scratch
+    # replay (incremental catch-up behavior is tests/test_cdc.py's job);
+    # the dir is tmpfs-lifetime, bounded by invocations.
+    base = tempfile.mkdtemp(prefix="spark_graft_cdc1_")
     final = apply_changes_scd1(
         spark,
         _events_stream(spark, sf_dir),
@@ -514,17 +511,12 @@ ORDER BY user_id, start_at, event_id
     extended=True,
 )
 def cdc_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
     import tempfile
 
     from diabetes_etl_spark.streaming.cdc import apply_changes_scd2
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_cdc2",
-        sf_dir.strip("/").replace("/", "_"),
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    # per-invocation private workspace — see cdc_scd1_user_state
+    base = tempfile.mkdtemp(prefix="spark_graft_cdc2_")
     hist = apply_changes_scd2(
         spark,
         _events_stream(spark, sf_dir),

@@ -11,7 +11,13 @@ Semantics (the public ``dlt.apply_changes`` contract for SCD type 1):
 - late/out-of-order rows lose to an already-applied newer row — even
   across separate runs (the target retains the sequence columns, so
   every merge re-resolves winners against what was applied before);
-- a winning row matching ``delete_expr`` removes the key.
+- a winning row matching ``delete_expr`` removes the key FROM THE LIVE
+  STATE but persists in the target as a tombstone carrying its
+  sequence — otherwise a late upsert older than the delete would find
+  no applied row to lose to and resurrect the key.  Tombstones are
+  filtered out of the returned state; a retention sweep that drops
+  tombstones older than the late-data horizon is the operational
+  analogue of Delta's VACUUM and is left to the operator.
 
 Implementation: ``foreachBatch`` + bucket-partitioned parquet.
 
@@ -132,22 +138,22 @@ def apply_changes_scd1(
             if os.path.isdir(os.path.join(target_dir, f"__bucket={b}"))
         ]
         if existing_dirs:
-            existing = (
-                spark.read.option("basePath", target_dir)
-                .parquet(*existing_dirs)
-                .withColumn("__deleted", F.lit(False))
+            # the target stores __deleted tombstones alongside live rows
+            existing = spark.read.option("basePath", target_dir).parquet(
+                *existing_dirs
             )
             merged = _winners(
                 existing.unionByName(best), keys, order_cols
             )
         else:
             merged = best
-        live = merged.filter(~F.col("__deleted")).drop("__deleted")
 
         tmp = target_dir.rstrip("/") + "__merge_tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-        live.write.partitionBy("__bucket").mode("overwrite").parquet(tmp)
+        # tombstones are WRITTEN (their sequence must outlive the row so
+        # later out-of-order upserts still lose) and filtered on read
+        merged.write.partitionBy("__bucket").mode("overwrite").parquet(tmp)
         os.makedirs(target_dir, exist_ok=True)
         for b in affected:
             src = os.path.join(tmp, f"__bucket={b}")
@@ -172,7 +178,11 @@ def apply_changes_scd1(
         .start()
         .awaitTermination()
     )
-    return read_target(spark, target_dir)
+    raw = read_target(spark, target_dir)
+    if raw is None:
+        return None
+    # live state only: tombstones and the layout column are internal
+    return raw.filter(~F.col("__deleted")).drop("__deleted", "__bucket")
 
 
 def apply_changes_scd2(
@@ -271,4 +281,9 @@ def apply_changes_scd2(
         .start()
         .awaitTermination()
     )
-    return read_target(spark, target_dir)
+    raw = read_target(spark, target_dir)
+    if raw is None:
+        return None
+    # history keeps tombstone VERSIONS (__deleted marks them); only the
+    # physical layout column is internal
+    return raw.drop("__bucket")

@@ -265,3 +265,31 @@ def test_expect_or_fail_null_condition_is_violation(spark):
 
     with pytest.raises(ExpectationFailed, match="positive_v.*1 row"):
         PipelineRunner(p, spark, mode="views").run()
+
+
+def test_streaming_partitioned_empty_first_run_registers_table(
+    spark, tmp_path
+):
+    """A PARTITIONED streaming table's first run with zero input files
+    must still register a typed catalog table — the partition branch of
+    the DDL builder has to honor the explicit schema instead of
+    re-inferring from the empty location (round-4 review finding)."""
+    src = tmp_path / "landing"
+    src.mkdir()
+    wh = str(tmp_path / "wh")
+    p = Pipeline("empty_part_stream")
+
+    @p.table(name="bronze_part", streaming=True, partition_by=("v",))
+    def bronze_part(ctx):
+        return ctx.spark.readStream.schema("k long, v string").parquet(
+            str(src)
+        )
+
+    out = PipelineRunner(p, spark, mode="warehouse", warehouse=wh).run()[
+        "bronze_part"
+    ]
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields][:2] == ["k", "v"]
+    cols = spark.sql("DESCRIBE TABLE `default`.`bronze_part`").collect()
+    assert {r.col_name for r in cols} >= {"k", "v"}
+    spark.sql("DROP TABLE IF EXISTS `default`.`bronze_part`")

@@ -319,3 +319,45 @@ def test_pipeline_apply_changes_scd2_and_validation(spark, tmp_path):
             target="bad", source="changes_bronze", keys=["user_id"],
             sequence_by="seq", scd_type=3,
         )
+
+
+def test_delete_tombstone_blocks_late_resurrection_across_runs(
+    spark, tmp_path
+):
+    """A late upsert OLDER than an applied delete must stay dead: the
+    delete persists as a tombstone carrying its sequence (the SCD1
+    contract 'late rows lose even across separate runs' applies to
+    deletes too)."""
+    base = str(tmp_path)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    _write_changes(spark, src, "b1", [(1, 10, "a", "upsert")])
+    _run(spark, base)
+    _write_changes(spark, src, "b2", [(1, 30, None, "delete")])
+    got = _state(_run(spark, base))
+    assert got == {}
+    # the late upsert (seq 20 < delete's 30) arrives in a LATER run
+    _write_changes(spark, src, "b3", [(1, 20, "late", "upsert")])
+    got = _state(_run(spark, base))
+    assert got == {}  # key stays deleted
+    # a genuinely newer upsert re-creates the key
+    _write_changes(spark, src, "b4", [(1, 40, "back", "upsert")])
+    got = _state(_run(spark, base))
+    assert got == {1: (40, "back")}
+
+
+def test_sampling_output_column_collisions_rejected(spark):
+    import pytest as _pytest
+
+    from diabetes_etl_spark.operators.sampling import (
+        repeat_sample,
+        training_shuffle,
+    )
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    sharded = training_shuffle(df, n_shards=2)
+    with _pytest.raises(ValueError, match="shuffle_key"):
+        training_shuffle(sharded, n_shards=4)
+    repeated = repeat_sample(df, rates={}, default_rate=1.0)
+    with _pytest.raises(ValueError, match="copy_idx"):
+        repeat_sample(repeated, rates={}, default_rate=1.0)

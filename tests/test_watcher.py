@@ -178,3 +178,21 @@ def test_ignores_hidden_and_foreign_files(tmp_path):
     (src / "real.csv").write_text("a,b\n1,2\n")
     assert trig.poll_once() is True
     assert fired == [1]
+
+
+def test_refresh_interval_does_not_fire_immediately(tmp_path):
+    """run_on_start=False + refresh_interval must NOT fire on the first
+    poll: the refresh clock starts at watcher start, not at epoch."""
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "preexisting.csv").write_text("a,b\n1,2\n")
+    fired = []
+    trig = FileArrivalTrigger(
+        (str(src),),
+        lambda: fired.append(1),
+        poll_interval=0.01,
+        refresh_interval=10.0,
+    )
+    stop = threading.Event()
+    n = trig.watch(stop=stop, timeout=0.2)
+    assert n == 0 and fired == []
