@@ -15,9 +15,9 @@ Semantics (the public ``dlt.apply_changes`` contract for SCD type 1):
   STATE but persists in the target as a tombstone carrying its
   sequence — otherwise a late upsert older than the delete would find
   no applied row to lose to and resurrect the key.  Tombstones are
-  filtered out of the returned state; a retention sweep that drops
-  tombstones older than the late-data horizon is the operational
-  analogue of Delta's VACUUM and is left to the operator.
+  filtered out of the returned state; :func:`vacuum_tombstones` is the
+  retention sweep (Delta VACUUM analogue) that drops them once they
+  age past the late-data horizon.
 
 Implementation: ``foreachBatch`` + bucket-partitioned parquet.
 
@@ -287,3 +287,71 @@ def apply_changes_scd2(
     # history keeps tombstone VERSIONS (__deleted marks them); only the
     # physical layout column is internal
     return raw.drop("__bucket")
+
+
+def vacuum_tombstones(
+    spark: SparkSession,
+    target_dir: str,
+    keep_after,
+) -> int:
+    """Drop SCD1 tombstones whose sequence is < ``keep_after`` —
+    the retention sweep completing the delete lifecycle.
+
+    ``keep_after`` must be at or behind the late-data horizon: a
+    tombstone may only be dropped once no change older than it can
+    still arrive (the same contract as a streaming watermark; dropping
+    earlier re-opens the resurrection window the tombstone closed).
+
+    Bucket-scoped like the merges: only buckets that actually hold
+    expired tombstones are read and rewritten (two-rename swap, same
+    crash recovery); untouched buckets keep their files.  Returns the
+    number of tombstones removed.  Like any file-replacing maintenance
+    (sources/maintenance.py:compact_files), DataFrames created over the
+    target BEFORE the sweep go stale — re-read after vacuuming.
+    """
+    _recover_buckets(target_dir)
+    dirs = _bucket_dirs(target_dir)
+    if not dirs:
+        return 0
+    all_rows = spark.read.option("basePath", target_dir).parquet(*dirs)
+    # the sequence column is whatever the merges ordered on; it is part
+    # of every stored row, so the caller names it with the threshold
+    if not (isinstance(keep_after, tuple) and len(keep_after) == 2):
+        raise TypeError(
+            "keep_after must be (sequence_col_name, threshold_value)"
+        )
+    seq_col, threshold = keep_after
+    expired = F.col("__deleted") & (F.col(seq_col) < F.lit(threshold))
+    affected = sorted(
+        r[0]
+        for r in all_rows.filter(expired).select("__bucket").distinct().collect()
+    )
+    if not affected:
+        return 0
+    affected_dirs = [
+        os.path.join(target_dir, f"__bucket={b}") for b in affected
+    ]
+    bucket_rows = spark.read.option("basePath", target_dir).parquet(
+        *affected_dirs
+    )
+    n_expired = bucket_rows.filter(expired).count()
+    keep = bucket_rows.filter(~expired)
+
+    tmp = target_dir.rstrip("/") + "__vacuum_tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    keep.write.partitionBy("__bucket").mode("overwrite").parquet(tmp)
+    for b in affected:
+        src = os.path.join(tmp, f"__bucket={b}")
+        dst = os.path.join(target_dir, f"__bucket={b}")
+        backup = dst + "__pre_swap"
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+        if os.path.exists(dst):
+            os.rename(dst, backup)
+        if os.path.exists(src):
+            os.rename(src, dst)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n_expired

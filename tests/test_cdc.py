@@ -361,3 +361,36 @@ def test_sampling_output_column_collisions_rejected(spark):
     repeated = repeat_sample(df, rates={}, default_rate=1.0)
     with _pytest.raises(ValueError, match="copy_idx"):
         repeat_sample(repeated, rates={}, default_rate=1.0)
+
+
+def test_vacuum_drops_only_expired_tombstones(spark, tmp_path):
+    from diabetes_etl_spark.streaming.cdc import (
+        read_target,
+        vacuum_tombstones,
+    )
+
+    base = str(tmp_path)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    _write_changes(
+        spark, src, "b1",
+        [
+            (1, 10, None, "delete"),   # old tombstone -> expired
+            (2, 50, None, "delete"),   # recent tombstone -> kept
+            (3, 5, "live", "upsert"),  # live row older than threshold:
+                                       # NEVER vacuumed (not a tombstone)
+        ],
+    )
+    final = _run(spark, base)
+    # consume pre-vacuum frames BEFORE the sweep: vacuum replaces bucket
+    # files, so earlier DataFrames over the target go stale (the same
+    # caveat as compact_files)
+    assert _state(final) == {3: (5, "live")}
+    target = os.path.join(base, "target")
+    removed = vacuum_tombstones(spark, target, ("seq", 30))
+    assert removed == 1
+    raw = read_target(spark, target)
+    rows = {r["user_id"]: r["__deleted"] for r in raw.collect()}
+    assert rows == {2: True, 3: False}
+    # idempotent: nothing further to remove
+    assert vacuum_tombstones(spark, target, ("seq", 30)) == 0
