@@ -146,3 +146,46 @@ def test_save_range_sorted_yields_disjoint_file_ranges(spark, sf_dir, tmp_path):
         .collect()
     )
     assert [r.o_orderkey for r in got] == [7]
+
+
+def test_merge_schema_reads_evolving_parquet(spark, tmp_path):
+    """Schema evolution: files written before a column existed merge
+    with later files (mergeSchema) — the additive-evolution contract a
+    long-lived 100 TB table needs."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.mode(
+        "append"
+    ).parquet(out)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "k long, v string, score double"
+    ).write.mode("append").parquet(out)
+    df = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(df.columns) == {"k", "v", "score"}
+    rows = {r.k: r.score for r in df.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+
+def test_csv_malformed_row_handling_modes(spark, tmp_path):
+    """Ingest-side data quality: PERMISSIVE captures bad rows in
+    _corrupt_record, DROPMALFORMED drops them, FAILFAST raises — the
+    three contracts a bronze layer chooses between."""
+    p = tmp_path / "dirty.csv"
+    p.write_text("k,v\n1,10\nnot_an_int,20\n3,30\n")
+    schema = "k int, v int, _corrupt_record string"
+    permissive = read_source(
+        spark, str(p), fmt="csv", schema=schema, mode="PERMISSIVE"
+    )
+    bad = permissive.filter("_corrupt_record IS NOT NULL").collect()
+    assert len(bad) == 1 and "not_an_int" in bad[0]._corrupt_record
+    dropped = read_source(
+        spark, str(p), fmt="csv", schema="k int, v int", mode="DROPMALFORMED"
+    )
+    assert sorted(r.k for r in dropped.collect()) == [1, 3]
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    failfast = read_source(
+        spark, str(p), fmt="csv", schema="k int, v int", mode="FAILFAST"
+    )
+    with _pytest.raises((Py4JJavaError, Exception)):
+        failfast.collect()
