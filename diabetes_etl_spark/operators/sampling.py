@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Mixing constants for the portable integer hash (a multiplicative LCG
 # step reduced mod a large prime): cheap, stateless, identical in any
@@ -214,4 +215,58 @@ def training_shuffle(
         "*",
         key.cast("long").alias("shuffle_key"),
         F.pmod(key, F.lit(n_shards)).cast("int").alias("shard"),
+    )
+
+
+# floor(cum_tokens / budget) stays far below 2^40 for any real shard
+# (2^40 sequences x 256 tokens ~ 280 T tokens PER SHARD), so the
+# composite id shard * _SEQ_BASE + seq_idx cannot collide or overflow.
+_SEQ_BASE = 1 << 40
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    shard_col: str = "shard",
+    order_cols: tuple[str, ...] = ("shuffle_key", "doc_id"),
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in shard order
+    and split every ``budget`` tokens.  A document's sequence is
+    ``floor(tokens_before_it / budget)`` — documents may straddle a
+    boundary (``crosses_boundary``), exactly like
+    concatenate-then-chunk training pipelines.
+
+    The window is PER SHARD (the parallel unit `training_shuffle`
+    created), so the cumulative sum never needs a global order — each
+    shard's packing is independent, one exchange on the shard key, and
+    a 1000-executor cluster packs 1000 shards concurrently.  Greedy
+    never-split packing (start a new bin when a doc would overflow) is
+    deliberately NOT offered: its running state makes it sequential
+    per shard anyway and modern pipelines concatenate-and-split.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    clash = {"seq_id", "seq_offset", "crosses_boundary"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} — re-packing "
+            "packed output would create ambiguous references"
+        )
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.select(
+        "*",
+        (
+            F.col(shard_col).cast("long") * F.lit(_SEQ_BASE)
+            + F.floor(cum_before / budget)
+        ).alias("seq_id"),
+        (cum_before % budget).cast("long").alias("seq_offset"),
+        (
+            (cum_before % budget) + F.col(token_col) > budget
+        ).alias("crosses_boundary"),
     )

@@ -267,3 +267,76 @@ def corpus_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_shuffle(
         docs.select("doc_id"), n_shards=_N_SHARDS, seed=29
     ).select("doc_id", "shuffle_key", "shard")
+
+
+_PACK_BUDGET = 256
+
+
+@register(
+    "corpus_packed_sequences",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+      AS n_tokens
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, n_tokens,
+    CAST({_mix_sql("doc_id", 29)} AS BIGINT) AS shuffle_key,
+    CAST({_mix_sql("doc_id", 29)} % {_N_SHARDS} AS INT) AS shard
+  FROM toks
+),
+packed AS (
+  SELECT shard, doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY shard ORDER BY shuffle_key, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM sharded
+)
+SELECT CAST(shard * {1 << 40} + cum_before // {_PACK_BUDGET} AS BIGINT)
+    AS seq_id,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  CAST(SUM(CASE WHEN cum_before % {_PACK_BUDGET} + n_tokens
+                     > {_PACK_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_straddlers
+FROM packed
+GROUP BY seq_id
+ORDER BY seq_id
+""",
+    doc="GPT-style sequence packing: documents in deterministic shuffle "
+    "order are concatenated per shard and split every 256 tokens "
+    "(operators/sampling.py:pack_sequences); per-sequence doc/token/"
+    "straddler profile.  The cumulative window runs PER SHARD — no "
+    "global order, shards pack independently on a cluster — and the "
+    "whole pipeline (portable hash, shard mod, window cumsum) replays "
+    "verbatim in DuckDB.",
+    tags=("sampling", "packing", "extension"),
+    extended=True,
+)
+def corpus_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        training_shuffle(with_tokens, _N_SHARDS, seed=29),
+        budget=_PACK_BUDGET,
+    )
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum(F.col("crosses_boundary").cast("int"))
+            .cast("long")
+            .alias("n_straddlers"),
+        )
+        .orderBy("seq_id")
+    )

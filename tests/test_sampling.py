@@ -236,3 +236,49 @@ def test_training_shuffle_keeps_payload_and_rejects_bad_shards(spark):
     }
     with pytest.raises(ValueError, match="n_shards"):
         training_shuffle(df, n_shards=0)
+
+
+def test_pack_sequences_boundary_semantics(spark):
+    from diabetes_etl_spark.operators.sampling import pack_sequences
+
+    # one shard, fixed order: tokens 100, 100, 100 with budget 250 —
+    # doc c starts at offset 200 and crosses into the next sequence
+    df = spark.createDataFrame(
+        [(1, 0, 1, 100), (2, 0, 2, 100), (3, 0, 3, 100)],
+        "doc_id long, shard int, shuffle_key long, n_tokens long",
+    )
+    rows = {
+        r.doc_id: (r.seq_id, r.seq_offset, r.crosses_boundary)
+        for r in pack_sequences(df, budget=250).collect()
+    }
+    assert rows[1] == (0, 0, False)
+    assert rows[2] == (0, 100, False)
+    assert rows[3] == (0, 200, True)  # 200+100 > 250: straddles seq 0/1
+
+    # a doc landing exactly ON the boundary starts the next sequence
+    df2 = spark.createDataFrame(
+        [(1, 0, 1, 250), (2, 0, 2, 10)],
+        "doc_id long, shard int, shuffle_key long, n_tokens long",
+    )
+    rows2 = {
+        r.doc_id: (r.seq_id - 0, r.seq_offset, r.crosses_boundary)
+        for r in pack_sequences(df2, budget=250).collect()
+    }
+    assert rows2[1] == (0, 0, False)
+    assert rows2[2] == (1, 0, False)
+
+
+def test_pack_sequences_guards(spark):
+    import pytest as _pytest
+
+    from diabetes_etl_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 0, 1, 10)],
+        "doc_id long, shard int, shuffle_key long, n_tokens long",
+    )
+    with _pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, budget=0)
+    packed = pack_sequences(df, budget=16)
+    with _pytest.raises(ValueError, match="seq_id"):
+        pack_sequences(packed, budget=16)
