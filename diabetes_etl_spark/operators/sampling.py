@@ -247,7 +247,9 @@ def pack_sequences(
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
-    clash = {"seq_id", "seq_offset", "crosses_boundary"} & set(df.columns)
+    clash = {
+        "seq_id", "seq_offset", "crosses_boundary", "__cum_before"
+    } & set(df.columns)
     if clash:
         raise ValueError(
             f"input already has column(s) {sorted(clash)} — re-packing "
@@ -258,15 +260,22 @@ def pack_sequences(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
-    return df.select(
-        "*",
+    cum_before = F.coalesce(
+        F.sum(F.col(token_col).cast("long")).over(w), F.lit(0)
+    )
+    # `div` = exact BIGINT division.  floor(double/double) would round a
+    # quotient whose fractional part is under one ulp (possible once
+    # cum_before is large relative to budget) up to the next sequence,
+    # silently diverging from the oracle's integer `//`.
+    staged = df.select("*", cum_before.alias("__cum_before"))
+    return staged.select(
+        *df.columns,
         (
             F.col(shard_col).cast("long") * F.lit(_SEQ_BASE)
-            + F.floor(cum_before / budget)
+            + F.expr(f"__cum_before div {int(budget)}")
         ).alias("seq_id"),
-        (cum_before % budget).cast("long").alias("seq_offset"),
+        (F.col("__cum_before") % budget).cast("long").alias("seq_offset"),
         (
-            (cum_before % budget) + F.col(token_col) > budget
+            (F.col("__cum_before") % budget) + F.col(token_col) > budget
         ).alias("crosses_boundary"),
     )

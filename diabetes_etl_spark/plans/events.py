@@ -473,8 +473,13 @@ def cdc_scd1_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf_dir would let concurrent runs (gate + audit, parallel CI) rmtree
     # each other's live target mid-stream.  The query is a from-scratch
     # replay (incremental catch-up behavior is tests/test_cdc.py's job);
-    # the dir is tmpfs-lifetime, bounded by invocations.
+    # cleanup is deferred to process exit (atexit) because the returned
+    # DataFrame lazily reads the target until the caller collects it.
+    import atexit
+    import shutil
+
     base = tempfile.mkdtemp(prefix="spark_graft_cdc1_")
+    atexit.register(shutil.rmtree, base, True)
     final = apply_changes_scd1(
         spark,
         _events_stream(spark, sf_dir),
@@ -516,7 +521,11 @@ def cdc_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.streaming.cdc import apply_changes_scd2
 
     # per-invocation private workspace — see cdc_scd1_user_state
+    import atexit
+    import shutil
+
     base = tempfile.mkdtemp(prefix="spark_graft_cdc2_")
+    atexit.register(shutil.rmtree, base, True)
     hist = apply_changes_scd2(
         spark,
         _events_stream(spark, sf_dir),

@@ -81,6 +81,36 @@ def _bucket_dirs(target_dir: str) -> list[str]:
     )
 
 
+def _with_deleted(df: DataFrame) -> DataFrame:
+    """Compatibility shim: SCD1 targets written before tombstones were
+    persisted carry no __deleted column — treat every stored row as
+    live (which is exactly what the old layout meant)."""
+    if "__deleted" not in df.columns:
+        df = df.withColumn("__deleted", F.lit(False))
+    return df
+
+
+def _swap_buckets(target_dir: str, tmp: str, affected: list[int]) -> None:
+    """Two-rename swap of the affected bucket dirs from ``tmp`` into the
+    target (crash contract of sources/maintenance.py:compact_files,
+    recovered per bucket by _recover_buckets).  A bucket absent from
+    ``tmp`` is removed — an empty new state is a legal one."""
+    os.makedirs(target_dir, exist_ok=True)
+    for b in affected:
+        src = os.path.join(tmp, f"__bucket={b}")
+        dst = os.path.join(target_dir, f"__bucket={b}")
+        backup = dst + "__pre_swap"
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+        if os.path.exists(dst):
+            os.rename(dst, backup)
+        if os.path.exists(src):
+            os.rename(src, dst)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def read_target(spark: SparkSession, target_dir: str) -> DataFrame | None:
     """Read the current state of an apply-changes target (all buckets);
     None when no batch has ever committed a bucket."""
@@ -123,8 +153,14 @@ def apply_changes_scd1(
                 F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
             ).cast("int"),
         ).withColumn(
+            # NULL from delete_expr must mean "not a delete", never a
+            # phantom NULL tombstone that no filter or vacuum matches
+            # (same coalesce convention as expectation conditions,
+            # pipeline/registry.py)
             "__deleted",
-            F.expr(delete_expr) if delete_expr else F.lit(False),
+            F.coalesce(F.expr(delete_expr), F.lit(False))
+            if delete_expr
+            else F.lit(False),
         )
         best = _winners(tagged, keys, order_cols)
         affected = sorted(
@@ -139,8 +175,10 @@ def apply_changes_scd1(
         ]
         if existing_dirs:
             # the target stores __deleted tombstones alongside live rows
-            existing = spark.read.option("basePath", target_dir).parquet(
-                *existing_dirs
+            existing = _with_deleted(
+                spark.read.option("basePath", target_dir).parquet(
+                    *existing_dirs
+                )
             )
             merged = _winners(
                 existing.unionByName(best), keys, order_cols
@@ -154,22 +192,7 @@ def apply_changes_scd1(
         # tombstones are WRITTEN (their sequence must outlive the row so
         # later out-of-order upserts still lose) and filtered on read
         merged.write.partitionBy("__bucket").mode("overwrite").parquet(tmp)
-        os.makedirs(target_dir, exist_ok=True)
-        for b in affected:
-            src = os.path.join(tmp, f"__bucket={b}")
-            dst = os.path.join(target_dir, f"__bucket={b}")
-            backup = dst + "__pre_swap"
-            if os.path.exists(backup):
-                shutil.rmtree(backup)
-            if os.path.exists(dst):
-                os.rename(dst, backup)
-            if os.path.exists(src):
-                os.rename(src, dst)
-            # bucket fully deleted: no src dir — leaving dst absent IS
-            # the correct new state
-            if os.path.exists(backup):
-                shutil.rmtree(backup)
-        shutil.rmtree(tmp, ignore_errors=True)
+        _swap_buckets(target_dir, tmp, affected)
 
     (
         changes.writeStream.foreachBatch(merge)
@@ -182,7 +205,11 @@ def apply_changes_scd1(
     if raw is None:
         return None
     # live state only: tombstones and the layout column are internal
-    return raw.filter(~F.col("__deleted")).drop("__deleted", "__bucket")
+    return (
+        _with_deleted(raw)
+        .filter(~F.col("__deleted"))
+        .drop("__deleted", "__bucket")
+    )
 
 
 def apply_changes_scd2(
@@ -223,7 +250,9 @@ def apply_changes_scd2(
             ).cast("int"),
         ).withColumn(
             "__deleted",
-            F.expr(delete_expr) if delete_expr else F.lit(False),
+            F.coalesce(F.expr(delete_expr), F.lit(False))
+            if delete_expr
+            else F.lit(False),
         )
         affected = sorted(
             r[0] for r in incoming.select("__bucket").distinct().collect()
@@ -259,20 +288,7 @@ def apply_changes_scd2(
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         versioned.write.partitionBy("__bucket").mode("overwrite").parquet(tmp)
-        os.makedirs(target_dir, exist_ok=True)
-        for b in affected:
-            src = os.path.join(tmp, f"__bucket={b}")
-            dst = os.path.join(target_dir, f"__bucket={b}")
-            backup = dst + "__pre_swap"
-            if os.path.exists(backup):
-                shutil.rmtree(backup)
-            if os.path.exists(dst):
-                os.rename(dst, backup)
-            if os.path.exists(src):
-                os.rename(src, dst)
-            if os.path.exists(backup):
-                shutil.rmtree(backup)
-        shutil.rmtree(tmp, ignore_errors=True)
+        _swap_buckets(target_dir, tmp, affected)
 
     (
         changes.writeStream.foreachBatch(merge)
@@ -292,7 +308,7 @@ def apply_changes_scd2(
 def vacuum_tombstones(
     spark: SparkSession,
     target_dir: str,
-    keep_after,
+    keep_after: tuple[str, object],
 ) -> int:
     """Drop SCD1 tombstones whose sequence is < ``keep_after`` —
     the retention sweep completing the delete lifecycle.
@@ -309,18 +325,19 @@ def vacuum_tombstones(
     (sources/maintenance.py:compact_files), DataFrames created over the
     target BEFORE the sweep go stale — re-read after vacuuming.
     """
-    _recover_buckets(target_dir)
-    dirs = _bucket_dirs(target_dir)
-    if not dirs:
-        return 0
-    all_rows = spark.read.option("basePath", target_dir).parquet(*dirs)
-    # the sequence column is whatever the merges ordered on; it is part
-    # of every stored row, so the caller names it with the threshold
+    # validate BEFORE any I/O — misuse should be free
     if not (isinstance(keep_after, tuple) and len(keep_after) == 2):
         raise TypeError(
             "keep_after must be (sequence_col_name, threshold_value)"
         )
     seq_col, threshold = keep_after
+    _recover_buckets(target_dir)
+    dirs = _bucket_dirs(target_dir)
+    if not dirs:
+        return 0
+    all_rows = _with_deleted(
+        spark.read.option("basePath", target_dir).parquet(*dirs)
+    )
     expired = F.col("__deleted") & (F.col(seq_col) < F.lit(threshold))
     affected = sorted(
         r[0]
@@ -328,12 +345,9 @@ def vacuum_tombstones(
     )
     if not affected:
         return 0
-    affected_dirs = [
-        os.path.join(target_dir, f"__bucket={b}") for b in affected
-    ]
-    bucket_rows = spark.read.option("basePath", target_dir).parquet(
-        *affected_dirs
-    )
+    # partition pruning turns this into the affected-buckets-only scan —
+    # no second read is needed
+    bucket_rows = all_rows.filter(F.col("__bucket").isin(affected))
     n_expired = bucket_rows.filter(expired).count()
     keep = bucket_rows.filter(~expired)
 
@@ -341,17 +355,5 @@ def vacuum_tombstones(
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     keep.write.partitionBy("__bucket").mode("overwrite").parquet(tmp)
-    for b in affected:
-        src = os.path.join(tmp, f"__bucket={b}")
-        dst = os.path.join(target_dir, f"__bucket={b}")
-        backup = dst + "__pre_swap"
-        if os.path.exists(backup):
-            shutil.rmtree(backup)
-        if os.path.exists(dst):
-            os.rename(dst, backup)
-        if os.path.exists(src):
-            os.rename(src, dst)
-        if os.path.exists(backup):
-            shutil.rmtree(backup)
-    shutil.rmtree(tmp, ignore_errors=True)
+    _swap_buckets(target_dir, tmp, affected)
     return n_expired

@@ -83,14 +83,17 @@ class FileArrivalTrigger:
     def __post_init__(self) -> None:
         if isinstance(self.src_dirs, str):
             self.src_dirs = (self.src_dirs,)
-        # the refresh clock starts NOW, not at epoch: otherwise the
-        # first poll's (now - 0.0) >= interval always holds and fires
-        # an immediate unrequested run even with run_on_start=False
-        self._last_fire = time.monotonic()
         if not self.run_on_start:
             # adopt the current listing as the baseline: only files that
             # arrive AFTER the watcher starts fire a run (the checkpoint
             # still ingests pre-existing files on the first real run).
+            # The refresh clock also starts NOW — otherwise the first
+            # poll's (now - 0.0) >= interval always holds and fires an
+            # immediate unrequested run.  With run_on_start=True the
+            # epoch clock is kept deliberately: the caller ASKED for an
+            # immediate first run, and the refresh path provides it
+            # even when the landing dir starts empty.
+            self._last_fire = time.monotonic()
             self._seen = _scan(self.src_dirs, self.suffixes)
 
     def poll_once(self) -> bool:

@@ -394,3 +394,32 @@ def test_vacuum_drops_only_expired_tombstones(spark, tmp_path):
     assert rows == {2: True, 3: False}
     # idempotent: nothing further to remove
     assert vacuum_tombstones(spark, target, ("seq", 30)) == 0
+
+
+def test_old_layout_target_without_deleted_column_still_merges(
+    spark, tmp_path
+):
+    """Targets written before tombstones were persisted have no
+    __deleted column; the compatibility shim must treat their rows as
+    live in both the merge and the returned state."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    target = os.path.join(base, "target")
+    bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(1).cast("bigint")), F.lit(4)).cast("int")
+    ).first()[0]
+    # hand-write an OLD-layout target: no __deleted column
+    spark.createDataFrame(
+        [(1, 10, "a", "upsert", bucket)], SCHEMA + ", __bucket int"
+    ).write.partitionBy("__bucket").mode("overwrite").parquet(target)
+
+    # merge a late row for the old key plus a fresh key
+    _write_changes(
+        spark, src, "b1",
+        [(1, 5, "late", "upsert"), (2, 7, "x", "upsert")],
+    )
+    got = _state(_run(spark, base))
+    assert got == {1: (10, "a"), 2: (7, "x")}  # old row won; late lost

@@ -182,10 +182,10 @@ def test_csv_malformed_row_handling_modes(spark, tmp_path):
     )
     assert sorted(r.k for r in dropped.collect()) == [1, 3]
     import pytest as _pytest
-    from py4j.protocol import Py4JJavaError
 
     failfast = read_source(
         spark, str(p), fmt="csv", schema="k int, v int", mode="FAILFAST"
     )
-    with _pytest.raises((Py4JJavaError, Exception)):
+    # pin the SPECIFIC failure (malformed-record abort), not any error
+    with _pytest.raises(Exception, match="(?i)malformed"):
         failfast.collect()
