@@ -582,3 +582,63 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_daily_users",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS first_day
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+    COUNT(*) AS n_events,
+    COUNT(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.n_events, d.dau,
+  CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users
+FROM daily d
+LEFT JOIN (
+  SELECT first_day, COUNT(*) AS new_users FROM firsts GROUP BY first_day
+) n ON n.first_day = d.day
+ORDER BY d.day
+""",
+    doc="Product-analytics composite: daily events, exact DAU "
+    "(countDistinct), and new-vs-returning split via each user's "
+    "first-seen day — two grouped aggregates and one small left join "
+    "on the day key (the day dimension is tiny, so the join "
+    "broadcasts; the heavy work is the two partial-aggregated scans).",
+    tags=("events", "analytics", "extension"),
+    extended=True,
+)
+def events_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("dau"),
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("first_day")
+    )
+    new_per_day = firsts.groupBy("first_day").agg(
+        F.count("*").alias("new_users")
+    )
+    return (
+        daily.join(
+            F.broadcast(new_per_day),
+            daily["day"] == new_per_day["first_day"],
+            "left",
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "dau",
+            F.coalesce(F.col("new_users"), F.lit(0))
+            .cast("long")
+            .alias("new_users"),
+        )
+        .orderBy("day")
+    )
