@@ -642,3 +642,67 @@ def events_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_weekly_cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+    CAST(floor(date_diff('day', f.cohort_week,
+                         CAST(date_trunc('week', e.ts) AS DATE)) / 7.0)
+         AS BIGINT) AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+  COUNT(*) AS active_users
+FROM activity
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+""",
+    doc="Cohort retention matrix: users grouped by first-seen week, "
+    "counted per week-offset of later activity — the canonical "
+    "retention triangle.  One aggregate builds the cohort dim (small: "
+    "one row per user), re-joined to events on user_id (AQE broadcasts "
+    "it at fixture scale; at 100 TB it shuffles on user_id exactly "
+    "once), then DISTINCT collapses (user, offset) before the final "
+    "count so the last shuffle carries the matrix, not the events.",
+    tags=("events", "analytics", "cohort", "extension"),
+    extended=True,
+)
+def events_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7.0
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("active_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "active_users",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
