@@ -31,7 +31,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from diabetes_etl_spark.operators.text import jaccard, word_shingles
+from diabetes_etl_spark.operators.text import jaccard, tokens, word_shingles
 from diabetes_etl_spark.operators.util import bounded_bucket_pairs, widen
 
 
@@ -59,6 +59,16 @@ def ngram_jaccard_pairs(
     threshold), blocked on a character-length band.  Each doc lands in
     band b and b+1, so pairs split by a band boundary still meet; the
     resulting duplicate candidates are de-duplicated before scoring.
+
+    The Jaccard scoring of generated candidates is exact; the BLOCKING
+    is a length heuristic, so two caveats bound its completeness: (a) a
+    pair whose char lengths differ by >= 2*band_width is never
+    generated even if its token shingles match (whitespace padding can
+    construct this — use minhash_lsh_pairs when inputs are
+    adversarial), and (b) the within-band candidate join is unbounded,
+    so a corpus of mostly-equal-length docs concentrates in few bands
+    and goes quadratic — this operator is the small-scale VERIFIER;
+    minhash_lsh_pairs (bounded buckets) is the 100 TB path.
     """
     length = (
         F.col(length_col) if length_col else F.length(F.col(text_col))
@@ -152,6 +162,15 @@ def minhash_lsh_pairs(
     candidates are verified with exact shingle Jaccard, so the output
     has no false positives; banding only affects recall.
     """
+    if bands <= 0 or num_hashes % bands != 0:
+        # rows=0 would put EVERY doc in one bucket per band (empty band
+        # slice hashes equal), and a non-dividing bands count silently
+        # ignores the trailing signature slots — both are config bugs
+        # better rejected than absorbed
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes "
+            f"({num_hashes}) with at least 1 row per band"
+        )
     rows = num_hashes // bands
     base = widen(df).select(
         F.col(id_col).alias("doc_id"),
@@ -238,7 +257,7 @@ def simhash63(
     hash_fn = token_hash or (lambda tok: F.xxhash64(tok))
     toks = widen(df).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
     ).withColumn("h", hash_fn(F.col("tok")))
     sums = toks.groupBy("doc_id").agg(
         *[

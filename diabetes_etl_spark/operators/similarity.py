@@ -28,8 +28,12 @@ from pyspark.sql.window import Window
 
 from diabetes_etl_spark.operators.util import bounded_bucket_pairs, widen
 
-_DEC_ELEM = "DECIMAL(20,15)"
-_DEC_ACC = "DECIMAL(30,15)"
+# Element products need integer headroom for UNNORMALIZED embeddings:
+# DECIMAL(30,15) holds |x*y| < 1e15 (components up to ~3e7) where the
+# old (20,15) overflowed at |x*y| >= 1e5 under ANSI mode; the
+# accumulator gets 23 integer digits for dim * that.
+_DEC_ELEM = "DECIMAL(30,15)"
+_DEC_ACC = "DECIMAL(38,15)"
 
 
 def _dot_exact_sql(a: str, b: str) -> str:
@@ -51,7 +55,17 @@ def norm_exact(a: str) -> Column:
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return widen(df).withColumn("_norm", norm_exact(vec_col))
+    """Attach the exact L2 norm and DROP zero-norm vectors: an all-zeros
+    embedding has no direction, so it can be neither query nor
+    neighbour — and under Spark 4's default ANSI mode the cosine
+    division would otherwise raise DIVIDE_BY_ZERO, killing the job on
+    one bad row (missing/padded embeddings are routine in real
+    corpora)."""
+    return (
+        widen(df)
+        .withColumn("_norm", norm_exact(vec_col))
+        .filter(F.col("_norm") > 0)
+    )
 
 
 def cosine_topk(
@@ -147,7 +161,8 @@ def lsh_bucket(vec_col: str, n_bits: int, dim: int, seed: int = 0) -> Column:
         proj = F.expr(
             f"aggregate(zip_with({vec_col}, "
             f"transform(sequence(0, {dim - 1}), "
-            f"i -> CAST(pmod(xxhash64({seed} * 65536 + {h} * 1024 + i), 2000) "
+            f"i -> CAST(pmod(xxhash64((CAST({seed} AS BIGINT) * 1000003 + {h})"
+            f" * {dim} + i), 2000) "
             f"AS DOUBLE) / 1000.0 - 1.0), "
             f"(x, p) -> CAST(x AS DOUBLE) * p), 0D, (acc, v) -> acc + v)"
         )
@@ -385,6 +400,15 @@ def ivf_topk(
         ],
         dtype="float64",
     )
+    if sample.size == 0:
+        # empty/fully-filtered input: an empty typed result, like every
+        # other operator here (np.linalg.norm(axis=1) would raise on
+        # the dimensionless empty array)
+        return df.sparkSession.createDataFrame(
+            [],
+            "query_id long, candidate_id long, cosine_sim double, "
+            "sim_rank int",
+        )
     cent = _train_centroids(sample, n_centroids, n_iters, seed)
     n_cells = len(cent)
     probes = min(max(n_probe, n_assign), n_cells)
@@ -398,7 +422,12 @@ def ivf_topk(
         top = np.argsort(-sims, axis=1)[:, :probes].astype("int32")
         return pd.DataFrame({"norm": norms, "cells": list(top)})
 
-    base = widen(df).withColumn("_p", cell_profile(F.col(vec_col)))
+    # zero-norm vectors are direction-less: excluded like with_norm does
+    base = (
+        widen(df)
+        .withColumn("_p", cell_profile(F.col(vec_col)))
+        .filter(F.col("_p.norm") > 0)
+    )
     cands = base.select(
         F.col(id_col).alias("candidate_id"),
         F.col(vec_col).alias("c_vec"),
@@ -486,7 +515,14 @@ def lsh_topk_vectorized(
         dots = np.einsum("ij,ij->i", qa, ca)
         return pd.Series(np.round(dots / (qn.to_numpy() * cn.to_numpy()), 9))
 
-    base = widen(df).withColumn("_p", vec_profile(F.col(vec_col)))
+    # zero-norm vectors are direction-less: excluded like with_norm
+    # does (numpy would yield NaN cosine, which sorts FIRST under desc
+    # and would displace real neighbours)
+    base = (
+        widen(df)
+        .withColumn("_p", vec_profile(F.col(vec_col)))
+        .filter(F.col("_p.norm") > 0)
+    )
     cands = base.select(
         F.col(id_col).alias("candidate_id"),
         F.col(vec_col).alias("c_vec"),

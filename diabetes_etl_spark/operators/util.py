@@ -96,8 +96,12 @@ def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     direction at scale, where scans are already wide.
     """
     spark = df.sparkSession
-    target = min_partitions or spark.sparkContext.defaultParallelism
     try:
+        # everything JVM-internal stays inside the guard: on Spark
+        # Connect, sparkContext itself raises — the documented fallback
+        # ("on any estimation failure return df unchanged") must cover
+        # that too, not just the stats probe
+        target = min_partitions or spark.sparkContext.defaultParallelism
         size_bytes = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
