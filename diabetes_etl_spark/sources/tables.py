@@ -63,20 +63,18 @@ _TS_UNIT_TO_MICROS = {
     "s": "ts * 1000000",
 }
 
-_ts_unit_cache: dict[str, str] = {}
-
-
 def _events_ts_unit(path: str) -> str:
     """Probe the parquet footer (one driver-side metadata read — no data
-    pages) for the ts column's physical time unit."""
-    unit = _ts_unit_cache.get(path)
-    if unit is None:
-        import pyarrow.parquet as pq
+    pages) for the ts column's physical time unit.  Deliberately
+    UNCACHED: the fixture generator has published both NANOS and MICROS
+    at the same path, so a process-lifetime cache would mis-scale ts by
+    1000x if the file is regenerated under a live session; the footer
+    read costs ~a stat call and happens once per query construction."""
+    import pyarrow.parquet as pq
 
-        unit = pq.read_schema(path).field("ts").type.unit
-        if unit not in _TS_UNIT_TO_MICROS:
-            raise ValueError(f"unsupported parquet timestamp unit {unit!r}")
-        _ts_unit_cache[path] = unit
+    unit = pq.read_schema(path).field("ts").type.unit
+    if unit not in _TS_UNIT_TO_MICROS:
+        raise ValueError(f"unsupported parquet timestamp unit {unit!r}")
     return unit
 
 

@@ -233,3 +233,49 @@ def test_connected_components_raises_when_not_converged(spark):
     # and the full run does converge on the same input
     labels = connected_components(chain).collect()
     assert all(r.component == 0 for r in labels)
+
+
+def test_connected_components_resumes_from_checkpointed_rounds(
+    spark, tmp_path
+):
+    """Driver-restart tolerance: a run that dies mid-loop leaves
+    committed per-round parquet in work_dir; a rerun against the same
+    work_dir resumes from the last committed round instead of
+    restarting, and does NOT rewrite earlier rounds."""
+    import os
+
+    import pytest
+
+    from diabetes_etl_spark.operators.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["src", "dst"]
+    )
+    wd = str(tmp_path / "cc_work")
+    # simulated mid-job death: max_iter=3 raises AFTER committing
+    # rounds 0..3 to work_dir (same on-disk state as a crashed driver)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3, work_dir=wd)
+    r2 = os.path.join(wd, "round_00002")
+    assert os.path.exists(os.path.join(r2, "_SUCCESS"))
+    stamp = os.path.getmtime(os.path.join(r2, "_SUCCESS"))
+
+    got = {
+        r.id: r.component
+        for r in connected_components(chain, work_dir=wd).collect()
+    }
+    assert got == {i: 0 for i in range(9)}
+    # round 2 was reused, not recomputed
+    assert os.path.getmtime(os.path.join(r2, "_SUCCESS")) == stamp
+    # converged marker short-circuits a third call entirely
+    assert os.path.exists(os.path.join(wd, "CONVERGED"))
+    n_rounds = len([d for d in os.listdir(wd) if d.startswith("round_")])
+    again = {
+        r.id: r.component
+        for r in connected_components(chain, work_dir=wd).collect()
+    }
+    assert again == got
+    assert (
+        len([d for d in os.listdir(wd) if d.startswith("round_")])
+        == n_rounds
+    )
