@@ -116,6 +116,7 @@ class CdcSpec:
     tiebreak_by: tuple[str, ...] = ()
     apply_as_deletes: str | None = None
     n_buckets: int = 16
+    commit_mode: str = "rename"
 
 
 @dataclass
@@ -177,6 +178,7 @@ class Pipeline:
         apply_as_deletes: str | None = None,
         n_buckets: int = 16,
         comment: str = "",
+        commit_mode: str = "rename",
     ) -> None:
         """Register a CDC target fed by a change stream — the engine's
         ``dlt.apply_changes``.  ``source`` is either the name of another
@@ -185,6 +187,10 @@ class Pipeline:
         producing the change stream.  scd_type 1 keeps latest-wins
         state; 2 keeps full version history with __start_at/__end_at
         (streaming/cdc.py has the semantics and the scale notes).
+        ``commit_mode="manifest"`` publishes buckets through the
+        object-store-safe manifest protocol instead of directory
+        renames — required when the warehouse lives on s3/abfss-style
+        storage where rename is not atomic.
         """
         if scd_type not in (1, 2):
             raise ValueError(f"unsupported scd_type {scd_type}")
@@ -216,6 +222,7 @@ class Pipeline:
                 tiebreak_by=tuple(tiebreak_by),
                 apply_as_deletes=apply_as_deletes,
                 n_buckets=n_buckets,
+                commit_mode=commit_mode,
             ),
         )
 
@@ -403,6 +410,7 @@ class PipelineRunner:
             delete_expr=spec.apply_as_deletes,
             n_buckets=spec.n_buckets,
             checkpoint=ck,
+            commit_mode=spec.commit_mode,
         )
         if out is None:
             # no changes ever applied: empty state typed EXACTLY like

@@ -68,6 +68,13 @@ _EXTENDED: frozenset[str] = frozenset(
         # corpus_sampling_shards and cdc_scd1_user_state (round-4)
         "diab_view_executive",
         "diab_view_risk_analysis",
+        # the view-sink surface is identical across all three view
+        # twins and fully exercised by diab_gold_demographics through
+        # the same sink; the last view twin moved out to carry
+        # cdc_scd2_user_history (stored_as_scd_type=2, the flagship
+        # apply_changes shape, now committed via the manifest
+        # protocol) in the gate (round-5)
+        "diab_view_demographics",
         # the gaps-and-islands SQL formulation is the oracle-identical
         # twin of the gate's events_session_native (same rows, same
         # oracle); its slot now carries dedup_components (round-4)

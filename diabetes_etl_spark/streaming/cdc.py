@@ -21,29 +21,70 @@ Semantics (the public ``dlt.apply_changes`` contract for SCD type 1):
 
 Implementation: ``foreachBatch`` + bucket-partitioned parquet.
 
-- The target is laid out as ``__bucket=<xxhash64(keys) % n_buckets>/``
-  directories.
-- Each micro-batch reduces to its per-key winners (one window over the
-  batch — small), reads back ONLY the bucket dirs those winners touch,
-  re-resolves winners against them, and swaps just those buckets (two
-  renames each, same crash contract as
-  sources/maintenance.py:compact_files, with per-bucket recovery).
-- Buckets the batch doesn't name are never read or written, so merge
-  cost scales with ``batch_size x target_size / n_buckets``, not with
-  target size.  At warehouse scale the same statement maps onto Delta
-  MERGE (see pipeline/registry.py's delta gate); this file is the
-  format-independent expression of the operator.
+- The target is laid out in ``__bucket = xxhash64(keys) % n_buckets``
+  units.  Each micro-batch reduces to its per-key winners (one window
+  over the batch — small), reads back ONLY the buckets those winners
+  touch, re-resolves winners against them, and republishes just those
+  buckets.  Buckets the batch doesn't name are never read or written,
+  so merge cost scales with ``batch_size x target_size / n_buckets``,
+  not with target size.  At warehouse scale the same statement maps
+  onto Delta MERGE (see pipeline/registry.py's delta gate); this file
+  is the format-independent expression of the operator.
+
+Two commit protocols publish the rewritten buckets:
+
+- ``commit_mode="rename"`` (default): each affected bucket dir is
+  swapped in place with two POSIX renames (backup -> replace, same
+  crash contract as sources/maintenance.py:compact_files, recovered
+  per bucket by _recover_buckets).  Correct ONLY where directory
+  rename is atomic — a local filesystem or HDFS.
+- ``commit_mode="manifest"``: object-store-safe.  Data files are
+  written to a write-once ``__data/<run-id>/`` directory that no
+  reader looks at yet, then a single NEW manifest file
+  ``_manifests/v<N+1>.json`` — carrying the complete bucket -> file
+  list mapping — is published with put-if-absent.  The manifest write
+  is the commit point: readers resolve the highest parseable
+  manifest, so a crash anywhere before the manifest lands leaves the
+  previous state fully intact (the half-written data dir is invisible
+  garbage, swept by :func:`gc_orphan_data`).  Object stores give
+  atomic single-object PUT (and conditional PUT for the if-absent
+  check); nothing relies on rename.  Put-if-absent also detects a
+  concurrent writer racing to the same version — the loser gets
+  :class:`ConcurrentCommitError` instead of silently clobbering
+  (optimistic concurrency, the Delta/Iceberg log pattern).
+
+  A target becomes manifest-mode on its first manifest commit, which
+  absorbs any pre-existing rename-layout buckets by reference (their
+  dirs are listed in the manifest and left in place — no rewrite);
+  from then on readers and writers auto-detect the mode from the
+  ``_manifests`` dir, whatever ``commit_mode`` callers pass.
+
+Staging/data directories are suffixed with ``<pid>.<uuid>`` so two
+concurrent runs against one target can never delete each other's
+in-flight staging; leftovers from dead processes are reaped by the
+next run (rename mode) or by gc_orphan_data (manifest mode).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "__data"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the manifest version this writer was
+    about to publish — the losing merge must be retried against the
+    new state (or the single-writer contract enforced upstream)."""
 
 
 def _winners(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
@@ -55,9 +96,47 @@ def _winners(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame
     )
 
 
+def _staging_path(target_dir: str, kind: str) -> str:
+    """Unique sibling staging dir: <target>__<kind>_tmp.<pid>.<uuid>."""
+    return (
+        target_dir.rstrip("/")
+        + f"__{kind}_tmp.{os.getpid()}.{uuid.uuid4().hex[:12]}"
+    )
+
+
+def _reap_stale_staging(target_dir: str) -> None:
+    """Remove sibling staging dirs left by DEAD processes (crashed
+    before their swap).  A staging dir whose embedded pid is alive
+    belongs to a concurrent run and is left alone."""
+    parent = os.path.dirname(target_dir.rstrip("/")) or "."
+    base = os.path.basename(target_dir.rstrip("/"))
+    if not os.path.isdir(parent):
+        return
+    for name in os.listdir(parent):
+        if not name.startswith(base + "__") or "_tmp." not in name:
+            continue
+        parts = name.rsplit(".", 2)
+        if len(parts) != 3:
+            continue
+        try:
+            pid = int(parts[1])
+        except ValueError:
+            continue
+        try:
+            os.kill(pid, 0)
+            continue  # owner alive — concurrent run in flight
+        except ProcessLookupError:
+            pass
+        except PermissionError:
+            continue  # alive, owned by someone else
+        shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+
+
 def _recover_buckets(target_dir: str) -> None:
-    """Per-bucket crash recovery: restore any bucket whose swap was
-    interrupted (backup exists without a live dir), drop stale backups."""
+    """Per-bucket crash recovery (rename mode): restore any bucket whose
+    swap was interrupted (backup exists without a live dir), drop stale
+    backups and dead processes' staging dirs."""
+    _reap_stale_staging(target_dir)
     if not os.path.isdir(target_dir):
         return
     for name in os.listdir(target_dir):
@@ -69,7 +148,6 @@ def _recover_buckets(target_dir: str) -> None:
             shutil.rmtree(backup)  # crash after swap completed
         else:
             os.rename(backup, live)  # crash inside the window
-
 
 def _bucket_dirs(target_dir: str) -> list[str]:
     if not os.path.isdir(target_dir):
@@ -83,11 +161,14 @@ def _bucket_dirs(target_dir: str) -> list[str]:
 
 def _with_deleted(df: DataFrame) -> DataFrame:
     """Compatibility shim: SCD1 targets written before tombstones were
-    persisted carry no __deleted column — treat every stored row as
-    live (which is exactly what the old layout meant)."""
+    persisted carry no __deleted column (treat every stored row as
+    live — exactly what the old layout meant), and a mixed
+    legacy/manifest union can surface it as NULL."""
     if "__deleted" not in df.columns:
-        df = df.withColumn("__deleted", F.lit(False))
-    return df
+        return df.withColumn("__deleted", F.lit(False))
+    return df.withColumn(
+        "__deleted", F.coalesce(F.col("__deleted"), F.lit(False))
+    )
 
 
 def _swap_buckets(target_dir: str, tmp: str, affected: list[int]) -> None:
@@ -111,9 +192,268 @@ def _swap_buckets(target_dir: str, tmp: str, affected: list[int]) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+# -- manifest commit protocol ------------------------------------------------
+
+
+def _manifest_dir(target_dir: str) -> str:
+    return os.path.join(target_dir, _MANIFEST_DIR)
+
+
+def _is_manifest_target(target_dir: str) -> bool:
+    return os.path.isdir(_manifest_dir(target_dir))
+
+
+def _latest_manifest(target_dir: str) -> tuple[int, dict | None]:
+    """Resolve the highest PARSEABLE manifest.  A truncated/corrupt
+    newest file (non-atomic writer died mid-PUT) is skipped — the
+    previous version is then the committed state, which is exactly the
+    crash contract."""
+    mdir = _manifest_dir(target_dir)
+    if not os.path.isdir(mdir):
+        return 0, None
+    names = sorted(
+        (n for n in os.listdir(mdir) if n.startswith("v") and n.endswith(".json")),
+        reverse=True,
+    )
+    for name in names:
+        try:
+            with open(os.path.join(mdir, name), encoding="utf-8") as fh:
+                doc = json.load(fh)
+            return int(doc["version"]), doc
+        except (OSError, ValueError, KeyError):
+            continue
+    return 0, None
+
+
+def _publish_manifest(target_dir: str, version: int, buckets: dict) -> None:
+    """Atomic put-if-absent of ``_manifests/v<version>.json``.  Local
+    FS: hard-link from a unique temp name (EEXIST = lost the race).
+    On an object store the equivalent is a conditional PUT
+    (If-None-Match) of the final key."""
+    mdir = _manifest_dir(target_dir)
+    os.makedirs(mdir, exist_ok=True)
+    final = os.path.join(mdir, f"v{version:020d}.json")
+    tmp = os.path.join(mdir, f".tmp.{os.getpid()}.{uuid.uuid4().hex[:12]}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"version": version, "buckets": buckets}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"manifest v{version} already committed by another writer "
+            f"for target {target_dir}"
+        ) from None
+    finally:
+        os.unlink(tmp)
+
+
+def _legacy_bucket_entries(target_dir: str) -> dict:
+    """Manifest entries referencing pre-manifest rename-layout bucket
+    dirs in place (first manifest commit absorbs them — no rewrite)."""
+    entries = {}
+    for d in _bucket_dirs(target_dir):
+        b = os.path.basename(d).split("=", 1)[1]
+        entries[b] = {"dir": os.path.basename(d)}
+    return entries
+
+
+def _current_bucket_entries(target_dir: str) -> tuple[int, dict]:
+    """(latest manifest version, bucket->entry map), falling back to
+    the legacy dir layout when no manifest has ever been committed."""
+    ver, doc = _latest_manifest(target_dir)
+    if doc is None:
+        return 0, _legacy_bucket_entries(target_dir)
+    return ver, dict(doc["buckets"])
+
+
+def _write_manifest_data(
+    df: DataFrame, target_dir: str
+) -> dict[int, list[str]]:
+    """Write merged rows into a fresh write-once ``__data/<run-id>/``
+    dir (invisible until a manifest references it) and return the
+    bucket -> relative file list mapping.  ``__bucket`` is kept as a
+    DATA column (the partition dir uses a twin ``__pb``), so manifest
+    files read back standalone — no partition-inference/basePath
+    coupling to directory layout, which object-store listings make
+    expensive and fragile."""
+    run_id = f"{os.getpid()}.{uuid.uuid4().hex[:12]}"
+    out = os.path.join(target_dir, _DATA_DIR, run_id)
+    (
+        df.withColumn("__pb", F.col("__bucket"))
+        .write.partitionBy("__pb")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    files: dict[int, list[str]] = {}
+    for name in sorted(os.listdir(out)):
+        if not name.startswith("__pb="):
+            continue
+        b = int(name.split("=", 1)[1])
+        bucket_dir = os.path.join(out, name)
+        files[b] = sorted(
+            os.path.relpath(os.path.join(bucket_dir, f), target_dir)
+            for f in os.listdir(bucket_dir)
+            if f.endswith(".parquet")
+        )
+    return files
+
+
+def _read_bucket_entries(
+    spark: SparkSession, target_dir: str, entries: dict
+) -> DataFrame | None:
+    """Read the rows behind a set of manifest bucket entries.  Legacy
+    dir entries need basePath partition inference (their files lack the
+    __bucket column); manifest file entries read standalone.  The two
+    shapes union by name."""
+    legacy_dirs = [
+        os.path.join(target_dir, e["dir"]) for e in entries.values() if "dir" in e
+    ]
+    file_lists = [
+        os.path.join(target_dir, f)
+        for e in entries.values()
+        if "files" in e
+        for f in e["files"]
+    ]
+    parts = []
+    if legacy_dirs:
+        parts.append(
+            spark.read.option("basePath", target_dir).parquet(*legacy_dirs)
+        )
+    if file_lists:
+        parts.append(spark.read.parquet(*file_lists))
+    if not parts:
+        return None
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p, allowMissingColumns=True)
+    return df
+
+
+def _commit_buckets(
+    merged: DataFrame, target_dir: str, affected: list[int], mode: str
+) -> None:
+    """Publish the re-resolved rows of the affected buckets under the
+    target's commit protocol (see module docstring)."""
+    if mode == "manifest":
+        files = _write_manifest_data(merged, target_dir)
+        ver, buckets = _current_bucket_entries(target_dir)
+        for b in affected:
+            if b in files:
+                buckets[str(b)] = {"files": files[b]}
+            else:
+                buckets.pop(str(b), None)  # bucket emptied
+        _publish_manifest(target_dir, ver + 1, buckets)
+    else:
+        tmp = _staging_path(target_dir, "merge")
+        merged.write.partitionBy("__bucket").mode("overwrite").parquet(tmp)
+        _swap_buckets(target_dir, tmp, affected)
+
+
+def _target_mode(target_dir: str, commit_mode: str) -> str:
+    """The commit protocol is a property of the TARGET once created:
+    an existing manifest dir wins over whatever the caller passed."""
+    if commit_mode not in ("rename", "manifest"):
+        raise ValueError(f"unknown commit_mode {commit_mode!r}")
+    return "manifest" if _is_manifest_target(target_dir) else commit_mode
+
+
+def _read_affected(
+    spark: SparkSession, target_dir: str, affected: list[int], mode: str
+) -> DataFrame | None:
+    """Current contents of just the affected buckets."""
+    if mode == "manifest":
+        _, entries = _current_bucket_entries(target_dir)
+        wanted = {str(b) for b in affected}
+        entries = {b: e for b, e in entries.items() if b in wanted}
+        return _read_bucket_entries(spark, target_dir, entries)
+    dirs = [
+        os.path.join(target_dir, f"__bucket={b}")
+        for b in affected
+        if os.path.isdir(os.path.join(target_dir, f"__bucket={b}"))
+    ]
+    if not dirs:
+        return None
+    return spark.read.option("basePath", target_dir).parquet(*dirs)
+
+
+def gc_orphan_data(target_dir: str, grace_seconds: float = 86400.0) -> int:
+    """Sweep ``__data/<run-id>/`` dirs that no retained manifest
+    references and whose mtime is older than ``grace_seconds`` — the
+    garbage left by writers that died between data write and manifest
+    publish (plus superseded bucket rewrites).  The grace window keeps
+    an in-flight writer's not-yet-committed data safe; size it above
+    the longest plausible merge.  Returns the number of dirs removed."""
+    import time
+
+    data_root = os.path.join(target_dir, _DATA_DIR)
+    if not os.path.isdir(data_root):
+        return 0
+    referenced: set[str] = set()
+    mdir = _manifest_dir(target_dir)
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            try:
+                with open(os.path.join(mdir, name), encoding="utf-8") as fh:
+                    doc = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            for entry in doc.get("buckets", {}).values():
+                for f in entry.get("files", ()):
+                    rel = os.path.normpath(f)
+                    parts = rel.split(os.sep)
+                    if len(parts) >= 2 and parts[0] == _DATA_DIR:
+                        referenced.add(parts[1])
+    removed = 0
+    now = time.time()
+    for run_id in os.listdir(data_root):
+        path = os.path.join(data_root, run_id)
+        if run_id in referenced or not os.path.isdir(path):
+            continue
+        if now - os.path.getmtime(path) < grace_seconds:
+            continue
+        shutil.rmtree(path, ignore_errors=True)
+        removed += 1
+    return removed
+
+
+def _parquet_rows(paths: list[str]) -> int:
+    """Row count from parquet FOOTERS only — a driver-side metadata
+    read per file, no data-page scan and no Spark job."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for p in paths:
+        total += pq.ParquetFile(p).metadata.num_rows
+    return total
+
+
+def _entry_files(target_dir: str, entries: dict) -> list[str]:
+    out: list[str] = []
+    for e in entries.values():
+        if "files" in e:
+            out.extend(os.path.join(target_dir, f) for f in e["files"])
+        else:
+            d = os.path.join(target_dir, e["dir"])
+            out.extend(
+                os.path.join(d, f)
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+    return out
+
+
 def read_target(spark: SparkSession, target_dir: str) -> DataFrame | None:
     """Read the current state of an apply-changes target (all buckets);
-    None when no batch has ever committed a bucket."""
+    None when no batch has ever committed a bucket.  Auto-detects the
+    commit protocol.  Manifest-mode reads carry ``__bucket`` as a data
+    column; legacy dirs recover it from the partition path."""
+    if _is_manifest_target(target_dir):
+        _, entries = _current_bucket_entries(target_dir)
+        return _read_bucket_entries(spark, target_dir, entries)
     _recover_buckets(target_dir)
     dirs = _bucket_dirs(target_dir)
     if not dirs:
@@ -131,6 +471,7 @@ def apply_changes_scd1(
     delete_expr: str | None = None,
     n_buckets: int = 16,
     checkpoint: str | None = None,
+    commit_mode: str = "rename",
 ) -> DataFrame | None:
     """Drain the ``changes`` stream (availableNow) into ``target_dir``
     with latest-wins upsert semantics; returns the resulting state (or
@@ -139,6 +480,9 @@ def apply_changes_scd1(
     ``changes`` must be a streaming DataFrame containing ``keys``,
     ``sequence_col`` and any ``tiebreak_cols``.  ``delete_expr`` is a
     SQL boolean over the change row; a winning delete removes the key.
+    ``commit_mode`` picks the bucket publish protocol (module
+    docstring); an existing manifest target stays manifest whatever is
+    passed.
     """
     order_cols = [sequence_col, *(tiebreak_cols or [])]
     ck = checkpoint or tempfile.mkdtemp(prefix="cdc_scd1_ck_")
@@ -146,7 +490,9 @@ def apply_changes_scd1(
     def merge(batch: DataFrame, _batch_id: int) -> None:
         if not batch.columns:
             return
-        _recover_buckets(target_dir)
+        mode = _target_mode(target_dir, commit_mode)
+        if mode == "rename":
+            _recover_buckets(target_dir)
         tagged = batch.withColumn(
             "__bucket",
             F.pmod(
@@ -168,31 +514,18 @@ def apply_changes_scd1(
         )
         if not affected:
             return
-        existing_dirs = [
-            os.path.join(target_dir, f"__bucket={b}")
-            for b in affected
-            if os.path.isdir(os.path.join(target_dir, f"__bucket={b}"))
-        ]
-        if existing_dirs:
-            # the target stores __deleted tombstones alongside live rows
-            existing = _with_deleted(
-                spark.read.option("basePath", target_dir).parquet(
-                    *existing_dirs
-                )
-            )
+        existing = _read_affected(spark, target_dir, affected, mode)
+        if existing is not None:
+            # the target stores __deleted tombstones alongside live
+            # rows; tombstones are WRITTEN (their sequence must outlive
+            # the row so later out-of-order upserts still lose) and
+            # filtered on read
             merged = _winners(
-                existing.unionByName(best), keys, order_cols
+                _with_deleted(existing).unionByName(best), keys, order_cols
             )
         else:
             merged = best
-
-        tmp = target_dir.rstrip("/") + "__merge_tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        # tombstones are WRITTEN (their sequence must outlive the row so
-        # later out-of-order upserts still lose) and filtered on read
-        merged.write.partitionBy("__bucket").mode("overwrite").parquet(tmp)
-        _swap_buckets(target_dir, tmp, affected)
+        _commit_buckets(merged, target_dir, affected, mode)
 
     (
         changes.writeStream.foreachBatch(merge)
@@ -222,6 +555,7 @@ def apply_changes_scd2(
     delete_expr: str | None = None,
     n_buckets: int = 16,
     checkpoint: str | None = None,
+    commit_mode: str = "rename",
 ) -> DataFrame | None:
     """SCD Type 2 apply-changes: every change VERSION is kept, with
     ``__start_at`` = its own sequence value and ``__end_at`` = the next
@@ -242,7 +576,9 @@ def apply_changes_scd2(
     def merge(batch: DataFrame, _batch_id: int) -> None:
         if not batch.columns:
             return
-        _recover_buckets(target_dir)
+        mode = _target_mode(target_dir, commit_mode)
+        if mode == "rename":
+            _recover_buckets(target_dir)
         incoming = batch.withColumn(
             "__bucket",
             F.pmod(
@@ -259,17 +595,10 @@ def apply_changes_scd2(
         )
         if not affected:
             return
-        existing_dirs = [
-            os.path.join(target_dir, f"__bucket={b}")
-            for b in affected
-            if os.path.isdir(os.path.join(target_dir, f"__bucket={b}"))
-        ]
-        if existing_dirs:
-            history = (
-                spark.read.option("basePath", target_dir)
-                .parquet(*existing_dirs)
-                .drop("__start_at", "__end_at")
-                .unionByName(incoming)
+        existing = _read_affected(spark, target_dir, affected, mode)
+        if existing is not None:
+            history = existing.drop("__start_at", "__end_at").unionByName(
+                incoming
             )
         else:
             history = incoming
@@ -283,12 +612,7 @@ def apply_changes_scd2(
             .withColumn("__start_at", F.col(sequence_col))
             .withColumn("__end_at", F.lead(sequence_col).over(w))
         )
-
-        tmp = target_dir.rstrip("/") + "__merge_tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        versioned.write.partitionBy("__bucket").mode("overwrite").parquet(tmp)
-        _swap_buckets(target_dir, tmp, affected)
+        _commit_buckets(versioned, target_dir, affected, mode)
 
     (
         changes.writeStream.foreachBatch(merge)
@@ -319,11 +643,19 @@ def vacuum_tombstones(
     earlier re-opens the resurrection window the tombstone closed).
 
     Bucket-scoped like the merges: only buckets that actually hold
-    expired tombstones are read and rewritten (two-rename swap, same
-    crash recovery); untouched buckets keep their files.  Returns the
-    number of tombstones removed.  Like any file-replacing maintenance
-    (sources/maintenance.py:compact_files), DataFrames created over the
-    target BEFORE the sweep go stale — re-read after vacuuming.
+    expired tombstones are read and rewritten (published under the
+    target's commit protocol, same crash recovery); untouched buckets
+    keep their files.  The removed count comes from parquet FOOTER row
+    counts (before minus after over the affected buckets), not an
+    extra data scan.  Returns the number of tombstones removed.  Like
+    any file-replacing maintenance (sources/maintenance.py:
+    compact_files), DataFrames created over the target BEFORE the
+    sweep go stale — re-read after vacuuming.
+
+    SCD1-only by contract, and ENFORCED: an SCD2 target (schema
+    carries __start_at/__end_at) is rejected, because dropping its
+    tombstone VERSIONS would corrupt neighbors' validity bounds that
+    still reference their sequence values.
     """
     # validate BEFORE any I/O — misuse should be free
     if not (isinstance(keep_after, tuple) and len(keep_after) == 2):
@@ -331,13 +663,17 @@ def vacuum_tombstones(
             "keep_after must be (sequence_col_name, threshold_value)"
         )
     seq_col, threshold = keep_after
-    _recover_buckets(target_dir)
-    dirs = _bucket_dirs(target_dir)
-    if not dirs:
+    mode = _target_mode(target_dir, "rename")
+    all_rows = read_target(spark, target_dir)
+    if all_rows is None:
         return 0
-    all_rows = _with_deleted(
-        spark.read.option("basePath", target_dir).parquet(*dirs)
-    )
+    if {"__start_at", "__end_at"} & set(all_rows.columns):
+        raise ValueError(
+            "vacuum_tombstones is SCD1-only: target carries __start_at/"
+            "__end_at (SCD2 history), whose tombstone versions anchor "
+            "neighbors' validity bounds and must not be swept"
+        )
+    all_rows = _with_deleted(all_rows)
     expired = F.col("__deleted") & (F.col(seq_col) < F.lit(threshold))
     affected = sorted(
         r[0]
@@ -345,15 +681,52 @@ def vacuum_tombstones(
     )
     if not affected:
         return 0
-    # partition pruning turns this into the affected-buckets-only scan —
-    # no second read is needed
-    bucket_rows = all_rows.filter(F.col("__bucket").isin(affected))
-    n_expired = bucket_rows.filter(expired).count()
+    # re-read ONLY the affected buckets for the rewrite: in rename mode
+    # this is partition pruning, in manifest mode it's the per-bucket
+    # file lists — either way untouched buckets are never scanned again
+    bucket_rows = _with_deleted(
+        _read_affected(spark, target_dir, affected, mode)
+    )
     keep = bucket_rows.filter(~expired)
 
-    tmp = target_dir.rstrip("/") + "__vacuum_tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    keep.write.partitionBy("__bucket").mode("overwrite").parquet(tmp)
-    _swap_buckets(target_dir, tmp, affected)
-    return n_expired
+    if mode == "manifest":
+        _, entries = _current_bucket_entries(target_dir)
+        before_files = _entry_files(
+            target_dir,
+            {b: e for b, e in entries.items() if int(b) in set(affected)},
+        )
+    else:
+        before_files = _entry_files(
+            target_dir,
+            {
+                str(b): {"dir": f"__bucket={b}"}
+                for b in affected
+                if os.path.isdir(os.path.join(target_dir, f"__bucket={b}"))
+            },
+        )
+    rows_before = _parquet_rows(before_files)
+    if mode == "manifest":
+        files = _write_manifest_data(keep, target_dir)
+        ver, buckets = _current_bucket_entries(target_dir)
+        for b in affected:
+            if b in files:
+                buckets[str(b)] = {"files": files[b]}
+            else:
+                buckets.pop(str(b), None)
+        rows_after = _parquet_rows(
+            [os.path.join(target_dir, f) for fs in files.values() for f in fs]
+        )
+        _publish_manifest(target_dir, ver + 1, buckets)
+    else:
+        tmp = _staging_path(target_dir, "vacuum")
+        keep.write.partitionBy("__bucket").mode("overwrite").parquet(tmp)
+        rows_after = _parquet_rows(
+            [
+                os.path.join(root, f)
+                for root, _dirs, fs in os.walk(tmp)
+                for f in fs
+                if f.endswith(".parquet")
+            ]
+        )
+        _swap_buckets(target_dir, tmp, affected)
+    return rows_before - rows_after

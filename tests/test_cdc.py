@@ -36,7 +36,7 @@ def _write_changes(spark, src_dir: str, name: str, rows) -> None:
     shutil.rmtree(tmp)
 
 
-def _run(spark, base: str, n_buckets: int = 4):
+def _run(spark, base: str, n_buckets: int = 4, commit_mode: str = "rename"):
     stream = (
         spark.readStream.schema(SCHEMA)
         .option("maxFilesPerTrigger", "1")
@@ -51,6 +51,7 @@ def _run(spark, base: str, n_buckets: int = 4):
         delete_expr="op = 'delete'",
         n_buckets=n_buckets,
         checkpoint=os.path.join(base, "ck"),
+        commit_mode=commit_mode,
     )
 
 
@@ -321,6 +322,35 @@ def test_pipeline_apply_changes_scd2_and_validation(spark, tmp_path):
         )
 
 
+def test_pipeline_apply_changes_manifest_mode(spark, tmp_path):
+    from diabetes_etl_spark.pipeline.registry import Pipeline, PipelineRunner
+
+    base = str(tmp_path)
+    src = os.path.join(base, "src")
+    wh = os.path.join(base, "wh")
+    os.makedirs(src)
+    _write_changes(spark, src, "b1", [(1, 10, "a", "upsert")])
+    p = Pipeline("cdc_manifest_demo")
+
+    @p.table(name="changes_bronze", streaming=True)
+    def changes_bronze(ctx):
+        return ctx.spark.readStream.schema(SCHEMA).parquet(src)
+
+    p.apply_changes(
+        target="user_state_m",
+        source="changes_bronze",
+        keys=["user_id"],
+        sequence_by="seq",
+        apply_as_deletes="op = 'delete'",
+        commit_mode="manifest",
+    )
+    out = PipelineRunner(p, spark, mode="warehouse", warehouse=wh).run(
+        targets=["user_state_m"]
+    )["user_state_m"]
+    assert _state(out) == {1: (10, "a")}
+    assert os.path.isdir(os.path.join(wh, "user_state_m", "_manifests"))
+
+
 def test_delete_tombstone_blocks_late_resurrection_across_runs(
     spark, tmp_path
 ):
@@ -393,6 +423,242 @@ def test_vacuum_drops_only_expired_tombstones(spark, tmp_path):
     rows = {r["user_id"]: r["__deleted"] for r in raw.collect()}
     assert rows == {2: True, 3: False}
     # idempotent: nothing further to remove
+    assert vacuum_tombstones(spark, target, ("seq", 30)) == 0
+
+
+# -- manifest commit protocol (object-store-safe) ---------------------------
+
+
+def test_manifest_mode_latest_wins_delete_and_late_rows(spark, tmp_path):
+    """The full SCD1 contract under the manifest protocol: latest wins,
+    deletes tombstone, late rows lose across runs — with no bucket dirs
+    at the target root (data lives under __data/, commits under
+    _manifests/)."""
+    base = str(tmp_path)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    _write_changes(
+        spark, src, "b1",
+        [(1, 10, "a", "upsert"), (1, 20, "b", "upsert"), (2, 5, "x", "upsert")],
+    )
+    got = _state(_run(spark, base, commit_mode="manifest"))
+    assert got == {1: (20, "b"), 2: (5, "x")}
+    target = os.path.join(base, "target")
+    assert os.path.isdir(os.path.join(target, "_manifests"))
+    assert not [d for d in os.listdir(target) if d.startswith("__bucket=")]
+
+    _write_changes(
+        spark, src, "b2",
+        [(1, 15, "late", "upsert"), (2, 30, None, "delete")],
+    )
+    # second run auto-detects manifest mode even without the flag
+    got = _state(_run(spark, base))
+    assert got == {1: (20, "b")}
+    # and a late upsert older than the applied delete stays dead
+    _write_changes(spark, src, "b3", [(2, 25, "zombie", "upsert")])
+    assert _state(_run(spark, base)) == {1: (20, "b")}
+
+
+def test_manifest_crash_before_publish_leaves_state_intact(spark, tmp_path):
+    """The crash window of the manifest protocol: data files written,
+    manifest never published.  Readers must still see the previous
+    state; gc_orphan_data sweeps the garbage after the grace window."""
+    from diabetes_etl_spark.streaming.cdc import gc_orphan_data
+
+    base = str(tmp_path)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    _write_changes(spark, src, "b1", [(1, 10, "a", "upsert")])
+    _run(spark, base, commit_mode="manifest")
+    target = os.path.join(base, "target")
+
+    # simulate a writer that died between data write and manifest
+    # publish: a data dir exists that no manifest references
+    orphan = os.path.join(target, "__data", "99999.deadbeef0000")
+    os.makedirs(orphan)
+    spark.createDataFrame(
+        [Row(user_id=1, seq=99, value="ghost", op="upsert")], SCHEMA
+    ).write.mode("overwrite").parquet(orphan)
+
+    assert _state(
+        read_target(spark, target).filter("NOT __deleted")
+    ) == {1: (10, "a")}  # ghost invisible
+    # inside the grace window the orphan is protected (in-flight write)
+    assert gc_orphan_data(target, grace_seconds=3600) == 0
+    assert os.path.isdir(orphan)
+    assert gc_orphan_data(target, grace_seconds=0) == 1
+    assert not os.path.exists(orphan)
+    # committed data untouched
+    assert _state(
+        read_target(spark, target).filter("NOT __deleted")
+    ) == {1: (10, "a")}
+
+
+def test_manifest_migration_absorbs_legacy_layout(spark, tmp_path):
+    """First manifest commit on a rename-layout target references the
+    untouched legacy bucket dirs in place — no rewrite — and merges
+    correctly against their rows."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    target = os.path.join(base, "target")
+    buckets = {
+        u: spark.range(1)
+        .select(
+            F.pmod(F.xxhash64(F.lit(u).cast("bigint")), F.lit(4)).cast("int")
+        )
+        .first()[0]
+        for u in (1, 2)
+    }
+    assert buckets[1] != buckets[2]  # the scenario needs two buckets
+    spark.createDataFrame(
+        [
+            (1, 10, "a", "upsert", buckets[1]),
+            (2, 40, "keep", "upsert", buckets[2]),
+        ],
+        SCHEMA + ", __bucket int",
+    ).write.partitionBy("__bucket").mode("overwrite").parquet(target)
+    legacy_dir = os.path.join(target, f"__bucket={buckets[1]}")
+    untouched_dir = os.path.join(target, f"__bucket={buckets[2]}")
+
+    # late row for key 1 (loses to legacy seq 10) + fresh key 1 update
+    _write_changes(spark, src, "b1", [(1, 20, "b", "upsert")])
+    got = _state(_run(spark, base, commit_mode="manifest"))
+    assert got == {1: (20, "b"), 2: (40, "keep")}
+    # key 2's bucket was not named by the batch: still legacy, in place
+    assert os.path.isdir(untouched_dir)
+    import json as _json
+
+    mdir = os.path.join(target, "_manifests")
+    latest = sorted(os.listdir(mdir))[-1]
+    with open(os.path.join(mdir, latest)) as fh:
+        man = _json.load(fh)
+    entries = man["buckets"]
+    assert entries[str(buckets[2])] == {"dir": f"__bucket={buckets[2]}"}
+    assert "files" in entries[str(buckets[1])]
+    # rewritten bucket's legacy dir is now unreferenced garbage — but
+    # never silently deleted (readers of older manifests may hold it);
+    # it is simply no longer consulted
+    assert os.path.isdir(legacy_dir)
+
+
+def test_manifest_concurrent_commit_detected(tmp_path):
+    from diabetes_etl_spark.streaming.cdc import (
+        ConcurrentCommitError,
+        _publish_manifest,
+    )
+
+    target = str(tmp_path / "t")
+    _publish_manifest(target, 1, {"0": {"files": []}})
+    with pytest.raises(ConcurrentCommitError, match="v1 already committed"):
+        _publish_manifest(target, 1, {"0": {"files": []}})
+    _publish_manifest(target, 2, {"0": {"files": []}})  # next version fine
+
+
+def test_truncated_manifest_falls_back_to_previous_version(spark, tmp_path):
+    """A corrupt newest manifest (non-atomic writer died mid-PUT) must
+    be skipped, not crash the reader or hide the committed state."""
+    base = str(tmp_path)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    _write_changes(spark, src, "b1", [(1, 10, "a", "upsert")])
+    _run(spark, base, commit_mode="manifest")
+    target = os.path.join(base, "target")
+    mdir = os.path.join(target, "_manifests")
+    with open(os.path.join(mdir, f"v{2:020d}.json"), "w") as fh:
+        fh.write('{"version": 2, "buck')  # truncated JSON
+    assert _state(
+        read_target(spark, target).filter("NOT __deleted")
+    ) == {1: (10, "a")}
+
+
+def test_stale_staging_reaped_only_for_dead_pids(spark, tmp_path):
+    import subprocess
+
+    base = str(tmp_path)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    target = os.path.join(base, "target")
+    p = subprocess.Popen(["true"])
+    p.wait()
+    dead = os.path.join(base, f"target__merge_tmp.{p.pid}.deadc0de1234")
+    live = os.path.join(base, f"target__merge_tmp.{os.getpid()}.aaaa00001111")
+    os.makedirs(dead)
+    os.makedirs(live)
+    _write_changes(spark, src, "b1", [(1, 10, "a", "upsert")])
+    _run(spark, base)  # merge triggers recovery/reaping
+    assert not os.path.exists(dead)  # dead writer's staging swept
+    assert os.path.isdir(live)  # concurrent (alive) writer's kept
+
+
+def test_scd2_manifest_late_splice_and_vacuum_guard(spark, tmp_path):
+    from diabetes_etl_spark.streaming.cdc import vacuum_tombstones
+
+    base = str(tmp_path)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+
+    def run2m():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        from diabetes_etl_spark.streaming.cdc import apply_changes_scd2
+
+        return apply_changes_scd2(
+            spark,
+            stream,
+            target_dir=os.path.join(base, "t2"),
+            keys=["user_id"],
+            sequence_col="seq",
+            delete_expr="op = 'delete'",
+            n_buckets=4,
+            checkpoint=os.path.join(base, "ck2"),
+            commit_mode="manifest",
+        )
+
+    _write_changes(
+        spark, src, "b1", [(1, 10, "a", "upsert"), (1, 30, "c", "upsert")]
+    )
+    run2m()
+    _write_changes(spark, src, "b2", [(1, 20, "late", "upsert")])
+    got = _history(run2m())
+    assert got == [
+        (1, 10, "a", 10, 20),
+        (1, 20, "late", 20, 30),
+        (1, 30, "c", 30, None),
+    ]
+    # the SCD1-only retention sweep must refuse SCD2 history
+    with pytest.raises(ValueError, match="SCD1-only"):
+        vacuum_tombstones(spark, os.path.join(base, "t2"), ("seq", 100))
+
+
+def test_vacuum_on_manifest_target(spark, tmp_path):
+    from diabetes_etl_spark.streaming.cdc import vacuum_tombstones
+
+    base = str(tmp_path)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    _write_changes(
+        spark, src, "b1",
+        [
+            (1, 10, None, "delete"),
+            (2, 50, None, "delete"),
+            (3, 5, "live", "upsert"),
+        ],
+    )
+    final = _run(spark, base, commit_mode="manifest")
+    assert _state(final) == {3: (5, "live")}
+    target = os.path.join(base, "target")
+    assert vacuum_tombstones(spark, target, ("seq", 30)) == 1
+    rows = {
+        r["user_id"]: r["__deleted"]
+        for r in read_target(spark, target).collect()
+    }
+    assert rows == {2: True, 3: False}
     assert vacuum_tombstones(spark, target, ("seq", 30)) == 0
 
 
