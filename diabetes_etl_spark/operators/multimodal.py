@@ -17,10 +17,14 @@ can and cannot decode):
   parse, zlib inflate, scanline unfiltering (all five filter types:
   None/Sub/Up/Average/Paeth) for 8-bit non-interlaced gray/RGB/RGBA.
   Features are computed over the DECODED pixel bytes.
-- ``image/jpeg``  — header probe only (SOF marker scan for
-  width/height/components; baseline+progressive).  Entropy decode
-  needs a DCT stack that stdlib doesn't have, so pixel-level features
-  for JPEG are NULL, not fake.
+- ``image/jpeg``  — header probe (SOF marker scan for width/height/
+  components; baseline+progressive) PLUS a REAL pure-Python baseline
+  entropy decoder for 8-bit GRAYSCALE JPEG: DQT/DHT/SOF0/SOS parse,
+  canonical Huffman decode with byte unstuffing, DC prediction,
+  AC run-length, dequantization, float IDCT (numpy), level shift +
+  clamp, edge-block crop.  Features for baseline grayscale are
+  computed over the DECODED pixels; color and progressive JPEG fall
+  back to the header probe with NULL pixel stats, never fake.
 - ``audio/wav``   — a REAL RIFF/WAVE parser: chunk walk (with odd-size
   padding), fmt parse, PCM16 frame extraction.  Features are computed
   over the DECODED little-endian sample bytes.
@@ -185,6 +189,25 @@ def fixture_media_dims(doc_id: int) -> tuple[int, int, int, int]:
     )
 
 
+def fixture_jpeg_block_value(doc_id: int, bx: int, by: int) -> int:
+    """Gray value of 8x8 block (bx, by) of fixture JPEG doc_id:
+    ``(d*29 + bx*17 + by*53) mod 256``.  Constant-per-block images
+    reconstruct BIT-EXACTLY through the baseline codec (only the DC
+    coefficient is nonzero and it quantizes exactly under the all-ones
+    table), so decoded-pixel statistics are pure arithmetic for the
+    SQL oracle — while the Spark side still runs the full Huffman
+    entropy decode + IDCT over real compressed bytes."""
+    return (doc_id * 29 + bx * 17 + by * 53) % 256
+
+
+def _fixture_jpeg_pixels(doc_id: int, width: int, height: int) -> bytes:
+    return bytes(
+        fixture_jpeg_block_value(doc_id, x // 8, y // 8)
+        for y in range(height)
+        for x in range(width)
+    )
+
+
 def attach_media_payloads(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -210,7 +233,10 @@ def attach_media_payloads(
                     )
                     mime = "image/png"
                 elif kind == 1:
-                    payload = jpeg_bytes(jpg_w, jpg_h)
+                    payload = jpeg_gray_bytes(
+                        jpg_w, jpg_h,
+                        _fixture_jpeg_pixels(doc_id, jpg_w, jpg_h),
+                    )
                     mime = "image/jpeg"
                 elif kind == 2:
                     rate, ch, frames = fixture_audio_params(doc_id)
@@ -378,6 +404,349 @@ def probe_jpeg(payload: bytes) -> tuple[int, int, int]:
     raise ValueError("JPEG has no SOF marker")
 
 
+# -- baseline JPEG codec (ITU T.81, grayscale) ------------------------------
+#
+# Public-spec tables: zigzag scan order (T.81 Figure A.6) and the
+# "typical" luminance Huffman tables of Annex K — the ones virtually
+# every baseline encoder ships.
+
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# (counts of codes per length 1..16, symbol values) — Annex K.3
+_DC_LUM_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_DC_LUM_VALS = tuple(range(12))
+_AC_LUM_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_AC_LUM_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _huff_codes(bits, vals) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) canonical Huffman assignment (T.81
+    Annex C): codes of each length are consecutive, lengths ascending."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits, vals) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, inverse of _huff_codes."""
+    return {
+        (length, code): sym for sym, (code, length) in _huff_codes(bits, vals).items()
+    }
+
+
+def _dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    c[0, :] /= np.sqrt(2.0)
+    return c
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._nbits += nbits
+        while self._nbits >= 8:
+            byte = (self._acc >> (self._nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+            self._nbits -= 8
+
+    def flush(self) -> None:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+
+
+def _mag_category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def jpeg_gray_bytes(width: int, height: int, pixels: bytes) -> bytes:
+    """Encode raw 8-bit grayscale pixels (row-major, len = w*h) as a
+    fully valid BASELINE JPEG (SOF0, Annex-K Huffman tables, all-ones
+    quantization — maximum fidelity) — pure Python + numpy, used to
+    build entropy-coded fixtures and to round-trip-test the decoder.
+
+    With an all-ones quantization table the only loss is float DCT
+    rounding; an image whose every 8x8 block is CONSTANT reconstructs
+    bit-exactly (only the DC coefficient is nonzero and it quantizes
+    exactly), which is what makes decoded-pixel oracles arithmetic."""
+    import numpy as np
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes (gray8)")
+    dct = _dct_matrix()
+    dc_codes = _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    bh = (height + 7) // 8 * 8
+    bw = (width + 7) // 8 * 8
+    padded = np.empty((bh, bw), dtype=np.float64)
+    padded[:height, :width] = img
+    padded[height:, :width] = img[-1:, :]  # edge replication
+    padded[:, width:] = padded[:, width - 1 : width]
+
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            block = padded[by : by + 8, bx : bx + 8] - 128.0
+            coeff = dct @ block @ dct.T
+            q = np.rint(coeff).astype(np.int64)
+            zz = [int(q.flat[_ZIGZAG[i]]) for i in range(64)]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            cat = _mag_category(diff)
+            code, nb = dc_codes[cat]
+            w.write(code, nb)
+            if cat:
+                w.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+            run = 0
+            for k in range(1, 64):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, nb = ac_codes[0xF0]  # ZRL
+                    w.write(code, nb)
+                    run -= 16
+                cat = _mag_category(v)
+                code, nb = ac_codes[(run << 4) | cat]
+                w.write(code, nb)
+                w.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+                run = 0
+            if run:
+                code, nb = ac_codes[0x00]  # EOB
+                w.write(code, nb)
+    w.flush()
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof0 = seg(0xC0, b"\x08" + struct.pack(">HH", height, width) + b"\x01"
+               + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+        + b"\x10" + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS),
+    )
+    sos = seg(0xDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
+    return (
+        b"\xff\xd8" + dqt + sof0 + dht + sos + bytes(w.out) + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing (T.81
+    F.1.2.3); restart markers are rejected (this decoder's encoder
+    contract never emits DRI)."""
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0
+        self._acc = 0
+        self._nbits = 0
+
+    def read_bit(self) -> int:
+        if not self._nbits:
+            if self.pos >= len(self.buf):
+                raise ValueError("truncated JPEG entropy stream")
+            byte = self.buf[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.buf):
+                    raise ValueError("truncated JPEG entropy stream")
+                nxt = self.buf[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed 0xFF data byte
+                elif 0xD0 <= nxt <= 0xD7:
+                    raise ValueError("JPEG restart markers not supported")
+                else:
+                    raise ValueError("unexpected marker in entropy stream")
+            self._acc = byte
+            self._nbits = 8
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    """Sign-extend a magnitude-category value (T.81 F.2.2.1)."""
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """Full baseline decode of an 8-bit GRAYSCALE JPEG to raw pixels:
+    (width, height, pixel_bytes).
+
+    Raises ValueError for color (multi-component) or progressive
+    (SOF2) streams — callers fall back to :func:`probe_jpeg` there;
+    fabricating pixels for codecs this environment can't decode would
+    poison downstream feature statistics."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    comp_q = comp_dc = comp_ac = None
+    scan_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        data = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(data):
+                pq, tq = data[p] >> 4, data[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables not supported")
+                qtables[tq] = list(data[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(data):
+                tc, th = data[p] >> 4, data[p] & 0x0F
+                bits = tuple(data[p + 1 : p + 17])
+                n = sum(bits)
+                vals = tuple(data[p + 17 : p + 17 + n])
+                htables[(tc, th)] = _huff_decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG not supported")
+        elif marker in _JPEG_SOF:
+            if marker != 0xC0:
+                raise ValueError("only baseline (SOF0) JPEG is supported")
+            height, width = struct.unpack(">HH", data[1:5])
+            ncomp = data[5]
+            if ncomp != 1:
+                raise ValueError("color JPEG decode not supported (gray only)")
+            if data[7] != 0x11:
+                raise ValueError("subsampled JPEG not supported")
+            comp_q = data[8]
+        elif marker == 0xDD:  # DRI
+            (interval,) = struct.unpack(">H", data[:2])
+            if interval:
+                raise ValueError("JPEG restart markers not supported")
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            if ns != 1:
+                raise ValueError("multi-scan JPEG not supported")
+            comp_dc = data[2] >> 4
+            comp_ac = data[2] & 0x0F
+            scan_start = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if width is None or scan_start is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    if comp_q not in qtables:
+        raise ValueError("JPEG quantization table missing")
+    qt = np.empty(64, dtype=np.float64)
+    for i in range(64):
+        qt[_ZIGZAG[i]] = qtables[comp_q][i]
+    qt = qt.reshape(8, 8)
+    dc_table = htables.get((0, comp_dc))
+    ac_table = htables.get((1, comp_ac))
+    if dc_table is None or ac_table is None:
+        raise ValueError("JPEG Huffman table missing")
+
+    end = payload.rfind(b"\xff\xd9")
+    reader = _BitReader(payload[scan_start : end if end > 0 else len(payload)])
+    dct = _dct_matrix()
+    bh = (height + 7) // 8 * 8
+    bw = (width + 7) // 8 * 8
+    out = np.empty((bh, bw), dtype=np.uint8)
+    prev_dc = 0
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            coeff = np.zeros(64, dtype=np.float64)
+            cat = reader.read_symbol(dc_table)
+            diff = _extend(reader.read_bits(cat), cat) if cat else 0
+            prev_dc += diff
+            coeff[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = reader.read_symbol(ac_table)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, cat = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC coefficient overflow")
+                coeff[_ZIGZAG[k]] = _extend(reader.read_bits(cat), cat)
+                k += 1
+            block = dct.T @ (coeff.reshape(8, 8) * qt) @ dct
+            out[by : by + 8, bx : bx + 8] = np.clip(
+                np.rint(block) + 128, 0, 255
+            ).astype(np.uint8)
+    return width, height, out[:height, :width].tobytes()
+
+
 def _wav_chunks(payload: bytes) -> Iterator[tuple[bytes, bytes]]:
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV (bad RIFF/WAVE header)")
@@ -410,6 +779,8 @@ def probe_wav(payload: bytes) -> tuple[int, int, int, int]:
             data_len = len(data)
     if rate is None or data_len is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if not block or block <= 0:
+        raise ValueError("invalid WAV block align")
     return rate, channels, bits, data_len // block
 
 
@@ -437,6 +808,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
             frames = data
     if rate is None or frames is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if not block or block <= 0:
+        raise ValueError("invalid WAV block align")
     if len(frames) % block:
         raise ValueError("WAV data chunk is not frame-aligned")
     return rate, channels, len(frames) // block, frames
@@ -444,12 +817,13 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
 
 def decode_payload(mime: str, payload: bytes) -> bytes:
     """Decode a media payload to its canonical raw representation
-    (identity for text, pixel bytes for PNG, PCM frame bytes for WAV).
+    (identity for text, pixel bytes for PNG/baseline-gray JPEG, PCM
+    frame bytes for WAV).
 
-    JPEG pixel decode and compressed audio/video need codec libraries
-    this environment lacks; those fail loudly instead of producing fake
-    media — probe the header with :func:`probe_jpeg` / :func:`probe_wav`
-    when only metadata is needed.
+    Color/progressive JPEG and compressed audio/video need codec
+    libraries this environment lacks; those fail loudly instead of
+    producing fake media — probe the header with :func:`probe_jpeg` /
+    :func:`probe_wav` when only metadata is needed.
     """
     if mime == "text/plain":
         return payload
@@ -457,6 +831,10 @@ def decode_payload(mime: str, payload: bytes) -> bytes:
         return decode_png(payload)[3]
     if mime == "audio/wav":
         return decode_wav(payload)[3]
+    if mime == "image/jpeg":
+        # baseline grayscale decodes fully; color/progressive raise
+        # ValueError and the caller decides between probe and failure
+        return decode_jpeg_gray(payload)[2]
     raise NotImplementedError(
         f"decoder for {mime!r} requires media libraries (libjpeg/ffmpeg) "
         "not present in this environment"
@@ -495,11 +873,21 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                      fp, None, None)
                 )
             elif mime == "image/jpeg":
-                w, h, ch = probe_jpeg(payload)
-                rows.append(
-                    (doc_id, mime, len(payload), w, h, ch, None, None,
-                     None, None, None)
-                )
+                try:
+                    w, h, raw = decode_jpeg_gray(payload)
+                    n_space, n_alpha, fp = _byte_stats(raw)
+                    rows.append(
+                        (doc_id, mime, len(raw), w, h, 1, n_space,
+                         n_alpha, fp, None, None)
+                    )
+                except ValueError:
+                    # color/progressive: dimensions from the header
+                    # probe, pixel stats honestly NULL
+                    w, h, ch = probe_jpeg(payload)
+                    rows.append(
+                        (doc_id, mime, len(payload), w, h, ch, None,
+                         None, None, None, None)
+                    )
             elif mime == "audio/wav":
                 rate, ch, n_frames, raw = decode_wav(payload)
                 n_space, n_alpha, fp = _byte_stats(raw)

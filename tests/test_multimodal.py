@@ -13,12 +13,15 @@ import zlib
 import pytest
 
 from diabetes_etl_spark.operators.multimodal import (
+    decode_jpeg_gray,
     decode_payload,
     decode_png,
     decode_wav,
     fixture_audio_params,
+    fixture_jpeg_block_value,
     fixture_media_dims,
     jpeg_bytes,
+    jpeg_gray_bytes,
     png_bytes,
     probe_jpeg,
     probe_png,
@@ -199,9 +202,80 @@ def test_jpeg_probe_rejects_non_jpeg():
         probe_jpeg(b"\xff\xd8\xff\xd9")
 
 
+# -- baseline JPEG entropy codec -------------------------------------------
+
+
+@pytest.mark.parametrize("w,h", [(8, 8), (16, 16), (19, 13), (28, 22), (1, 1)])
+def test_jpeg_gray_roundtrip_near_lossless(w, h):
+    """Arbitrary pixels through encode -> full Huffman/IDCT decode:
+    with the all-ones quantization table the only loss is float DCT
+    rounding (a couple of LSBs) — this drives nonzero AC coefficients,
+    ZRL runs, byte stuffing, and DC prediction."""
+    pixels = _pix(w * h, seed=w * 100 + h)
+    payload = jpeg_gray_bytes(w, h, pixels)
+    assert probe_jpeg(payload) == (w, h, 1)
+    dw, dh, dec = decode_jpeg_gray(payload)
+    assert (dw, dh) == (w, h)
+    assert len(dec) == w * h
+    assert max(abs(a - b) for a, b in zip(pixels, dec)) <= 2
+
+
+def test_jpeg_gray_constant_blocks_decode_bit_exactly():
+    """The fixture contract: constant-per-8x8-block images reconstruct
+    exactly (DC-only spectrum, exact quantization) — this is what lets
+    the SQL oracle recompute decoded-pixel statistics arithmetically."""
+    w, h = 28, 22
+    for doc_id in (1, 5, 77, 1021):
+        pixels = bytes(
+            fixture_jpeg_block_value(doc_id, x // 8, y // 8)
+            for y in range(h)
+            for x in range(w)
+        )
+        dw, dh, dec = decode_jpeg_gray(jpeg_gray_bytes(w, h, pixels))
+        assert (dw, dh, dec) == (w, h, pixels)
+        assert decode_payload(
+            "image/jpeg", jpeg_gray_bytes(w, h, pixels)
+        ) == pixels
+
+
+def test_jpeg_gray_decoder_rejects_unsupported_shapes():
+    # header-only container (no scan data)
+    with pytest.raises(ValueError, match="missing SOF/SOS"):
+        decode_jpeg_gray(jpeg_bytes(8, 8, 1))
+    # color frame
+    with pytest.raises(ValueError, match="gray only"):
+        decode_jpeg_gray(
+            b"\xff\xd8"
+            + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 8, 8) + b"\x03"
+            + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+            + b"\xff\xd9"
+        )
+    # progressive frame
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg_gray(
+            b"\xff\xd8"
+            + b"\xff\xc2" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 8, 8) + b"\x01" + bytes([1, 0x11, 0])
+            + b"\xff\xd9"
+        )
+    # truncated entropy stream
+    good = jpeg_gray_bytes(16, 16, _pix(256))
+    with pytest.raises(ValueError, match="truncated|invalid"):
+        decode_jpeg_gray(good[:-12])
+
+
+def test_wav_rejects_zero_block_align():
+    good = wav_bytes(8000, 1, [1, 2, 3, 4])
+    bad = bytearray(good)
+    bad[32:34] = struct.pack("<H", 0)  # fmt block-align field
+    with pytest.raises(ValueError, match="block align"):
+        probe_wav(bytes(bad))
+    with pytest.raises(ValueError, match="block align"):
+        decode_wav(bytes(bad))
+
+
 def test_codec_gaps_still_stubbed():
-    with pytest.raises(NotImplementedError, match="image/jpeg"):
-        decode_payload("image/jpeg", jpeg_bytes(8, 8))
     with pytest.raises(NotImplementedError, match="audio/mpeg"):
         decode_payload("audio/mpeg", b"\xff\xfb\x90\x00")
     with pytest.raises(NotImplementedError, match="video/mp4"):
@@ -297,8 +371,17 @@ def test_extract_features_mixed_corpus(spark):
             assert r.sample_rate is None and r.n_frames is None
         elif i % 4 == 1:
             assert r.mime == "image/jpeg"
-            assert (r.width, r.height, r.n_channels) == (jpg_w, jpg_h, 3)
-            assert r.n_space is None and r.head_fingerprint is None
+            assert (r.width, r.height, r.n_channels) == (jpg_w, jpg_h, 1)
+            assert r.byte_len == jpg_w * jpg_h  # decoded gray8 size
+            # bit-exact decode of the constant-per-block fixture
+            expect_space = sum(
+                1
+                for y in range(jpg_h)
+                for x in range(jpg_w)
+                if fixture_jpeg_block_value(i, x // 8, y // 8) == 32
+            )
+            assert r.n_space == expect_space
+            assert r.head_fingerprint is not None
         elif i % 4 == 2:
             rate, ch, frames = fixture_audio_params(i)
             assert r.mime == "audio/wav"
