@@ -83,23 +83,36 @@ def main() -> None:
         _warm(F.col("id").cast("double"))
     ).write.format("noop").mode("overwrite").save()
 
-    # Two passes per query, keep the per-query minimum: single-shot
+    # Multiple passes per query, keep the per-query minimum: single-shot
     # timings on a shared host mix plan cost with transient JVM/GC/IO
     # state (observed 3-10x swings on identical plans); the minimum is
     # the reproducible plan cost.  "value" is the sum of the minima.
-    RUNS = 2
-    timings: dict[str, float] = {}
-    for run in range(RUNS):
+    # Queries under 2 s get a THIRD pass (round-4 VERDICT #4: short
+    # queries are the noise-dominated ones), and per-query medians are
+    # published alongside the minima so round-over-round regressions
+    # read without a noise disclaimer.
+    def run_query(name: str, data_dir: str) -> float:
+        t0 = time.perf_counter()
+        df = registry[name].fn(spark, data_dir)
+        # noop sink: full plan executes exactly once, nothing written.
+        # (count() would column-prune projections; count()+collect()
+        # would execute the plan twice.)
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for run in range(2):
         for name in names:
-            t0 = time.perf_counter()
-            df = registry[name].fn(spark, sf_dir)
-            # noop sink: full plan executes exactly once, nothing written.
-            # (count() would column-prune projections; count()+collect()
-            # would execute the plan twice.)
-            df.write.format("noop").mode("overwrite").save()
-            elapsed = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, elapsed), elapsed)
+            elapsed = run_query(name, sf_dir)
+            samples[name].append(elapsed)
             print(f"# {name} (run {run}): {elapsed}s", file=sys.stderr)
+    for name in names:
+        if min(samples[name]) < 2.0:
+            elapsed = run_query(name, sf_dir)
+            samples[name].append(elapsed)
+            print(f"# {name} (run 2, sub-2s extra): {elapsed}s", file=sys.stderr)
+    timings = {n: min(s) for n, s in samples.items()}
+    medians = {n: round(sorted(s)[len(s) // 2], 3) for n, s in samples.items()}
     total = round(sum(timings.values()), 3)
 
     # 10x scale spot-check for the dedup/ANN scale paths (round-3
@@ -154,6 +167,72 @@ def main() -> None:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    # sf1 scaling check for the relational join/shuffle paths (round-4
+    # VERDICT #3): replicate lineitem+orders 10x with matching orderkey
+    # offsets (joins stay consistent; dims untouched, so fact/dim
+    # fan-out grows 10x like a real sf1) and run the join-heavy
+    # headliners once each.  Reported as sec + the ratio vs 10x linear
+    # scaling of the sf0.1 minimum — a ratio well above 1 flags a plan
+    # that degrades super-linearly (the dedup/ANN scale paths get the
+    # same treatment in the scale10x block above).
+    scale_sf1 = None
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        import shutil
+        import tempfile
+        from functools import reduce
+
+        from pyspark.sql import DataFrame
+
+        tmp = tempfile.mkdtemp(prefix="bench_sf1_")
+        off = 100_000_000
+        try:
+            for tbl, keys in (
+                ("lineitem", {"l_orderkey"}),
+                ("orders", {"o_orderkey"}),
+            ):
+                base = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
+                reduce(
+                    DataFrame.unionByName,
+                    [
+                        base.select(
+                            *[
+                                (F.col(c) + k * off).alias(c)
+                                if c in keys
+                                else F.col(c)
+                                for c in base.columns
+                            ]
+                        )
+                        for k in range(10)
+                    ],
+                ).write.mode("overwrite").parquet(f"{tmp}/{tbl}.parquet")
+            for tbl in (
+                "region", "nation", "customer", "supplier", "part",
+                "events", "documents", "embeddings",
+            ):
+                os.symlink(
+                    f"{sf_dir}/{tbl}.parquet", f"{tmp}/{tbl}.parquet"
+                )
+            scale_sf1 = {}
+            for name in (
+                "q1_pricing_summary",
+                "q3_shipping_priority",
+                "q5_local_supplier_volume",
+                "join_outer_semi_anti",
+            ):
+                base_t = timings.get(name) or run_query(name, sf_dir)
+                t = run_query(name, tmp)
+                scale_sf1[name] = {
+                    "sec": t,
+                    "x_vs_linear": round(t / (10 * base_t), 2),
+                }
+                print(
+                    f"# sf1 {name}: {t}s"
+                    f" ({scale_sf1[name]['x_vs_linear']}x vs linear)",
+                    file=sys.stderr,
+                )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     # End-to-end medallion pipeline TAT on the reference's own 768-row
     # CSV input (the number BASELINE.md's "<5 min" is defined against):
     # streaming bronze ingest (availableNow + checkpoint) through every
@@ -193,12 +272,15 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
         "sf": sf,
     }
     if pipeline_e2e is not None:
         result["pipeline_e2e_sec"] = pipeline_e2e
     if scale10x is not None:
         result["scale10x"] = scale10x
+    if scale_sf1 is not None:
+        result["scale_sf1"] = scale_sf1
     print(json.dumps(result))
     spark.stop()
 

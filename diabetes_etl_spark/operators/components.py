@@ -101,15 +101,24 @@ def connected_components(
     if os.path.exists(conv_marker) and last is not None:
         return spark.read.parquet(_round_path(work_dir, last))
 
-    # materialize the symmetric edge relation ONCE: it re-enters the
-    # join every round, and without persistence each round would
-    # re-execute the whole upstream pair pipeline (shingling, LSH,
-    # verification joins) from scratch
+    # materialize the RAW edge list first, then symmetrize FROM THE
+    # PARQUET: the upstream pair pipeline (shingling, LSH, verification
+    # joins) executes exactly once.  Building union(edges, swap(edges))
+    # directly would duplicate the whole upstream subtree — Catalyst
+    # does not share common subtrees across union branches, so the
+    # most expensive stage of the job would run twice.
+    raw_path = os.path.join(work_dir, "raw_edges")
     sym_path = os.path.join(work_dir, "sym_edges")
     if not _is_committed(sym_path):
+        if not _is_committed(raw_path):
+            (
+                edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+                .write.mode("overwrite")
+                .parquet(raw_path)
+            )
+        raw = spark.read.parquet(raw_path)
         (
-            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+            raw.union(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
             .distinct()
             .write.mode("overwrite")
             .parquet(sym_path)
@@ -159,5 +168,142 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "the edge set has a longer path than any near-dup cluster "
-        "should; raise max_iter only if that is intended"
+        "should; raise max_iter only if that is intended (or use "
+        "connected_components_star, which converges in O(log^2 n) "
+        "rounds on high-diameter graphs)"
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 40,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — same (id, component) contract as
+    :func:`connected_components`, but O(log^2 n) rounds instead of
+    O(diameter), so it handles long-chain / high-diameter graphs that
+    min-label propagation cannot finish in bounded rounds.
+
+    State is the CANONICAL undirected pair set {(lo, hi) : lo < hi};
+    each phase computes every node's neighborhood minimum
+    m(u) = min(Gamma(u) + {u}) over the symmetrized relation (one
+    groupBy of longs) and rewrites the pair set (one join + projection):
+
+    - large-star: each pair (a, b), a < b, becomes (m(a), b) — larger
+      neighbors re-attach to the smaller endpoint's minimum;
+    - small-star: each node's smaller neighbors re-attach to its
+      minimum ((v, m(u)) for v < u) and the node itself attaches to
+      its minimum ((u, m(u))).
+
+    The set converges to a star forest — every pair is (component
+    minimum, member) — detected STRUCTURALLY (each member appears in
+    exactly one pair and never as a root), which is stateless and so
+    survives driver-restart resume.  Per-round state is persisted to
+    ``work_dir`` exactly like the label-propagation variant: reliable
+    parquet materialization, resume from the last committed round, no
+    executor-memory checkpoints.
+
+    Near-dup clusters are near-cliques, so the default pair-dedup path
+    keeps min-label propagation (fewer, cheaper rounds there); this
+    variant is the documented escape hatch for adversarial/general
+    graphs (chains of borderline-similar documents, entity-resolution
+    edges, clickstream link graphs).
+    """
+    spark = edges.sparkSession
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="spark_ccstar_")
+        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
+    else:
+        os.makedirs(work_dir, exist_ok=True)
+
+    conv_marker = os.path.join(work_dir, _CONVERGED_MARKER)
+
+    def _is_star_forest(pairs: DataFrame) -> bool:
+        dup_member = (
+            pairs.groupBy("b").count().filter(F.col("count") > 1)
+        )
+        member_as_root = pairs.select("a").intersect(pairs.select("b"))
+        return (
+            dup_member.limit(1).count() == 0
+            and member_as_root.limit(1).count() == 0
+        )
+
+    last = _last_committed_round(work_dir, max_iter)
+    if not (os.path.exists(conv_marker) and last is not None):
+        if last is None:
+            (
+                edges.select(
+                    F.least(F.col(src), F.col(dst)).alias("a"),
+                    F.greatest(F.col(src), F.col(dst)).alias("b"),
+                )
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(_round_path(work_dir, 0))
+            )
+            last = 0
+        cur = spark.read.parquet(_round_path(work_dir, last))
+        converged = _is_star_forest(cur)
+        if converged:
+            with open(conv_marker, "w", encoding="utf-8") as fh:
+                fh.write(str(last))
+        k = last
+        while not converged:
+            k += 1
+            if k > max_iter:
+                raise RuntimeError(
+                    f"connected_components_star did not converge in "
+                    f"{max_iter} rounds"
+                )
+            sym = cur.union(
+                cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            m = (
+                sym.groupBy("a")
+                .agg(F.min("b").alias("minb"))
+                .select("a", F.least(F.col("a"), F.col("minb")).alias("m"))
+            )
+            if k % 2 == 1:  # large-star
+                # every canonical pair (a, b) has b > a, so the whole
+                # set rewrites to (m(a), b); m(a) <= a < b keeps the
+                # output canonical with no self-pairs
+                nxt = cur.join(m, "a").select(
+                    F.col("m").alias("a"), F.col("b")
+                )
+            else:  # small-star
+                # per node u: (m(u), v) for smaller neighbors v < u,
+                # plus (m(u), u); m(u) <= v for neighbors v < u, and
+                # self-pairs (v = m(u) or u = m(u)) are filtered
+                smaller = sym.filter(F.col("b") < F.col("a")).join(
+                    m, "a"
+                ).select(F.col("m").alias("a"), F.col("b"))
+                self_attach = m.select(
+                    F.col("m").alias("a"), F.col("a").alias("b")
+                )
+                nxt = smaller.union(self_attach).filter(
+                    F.col("a") != F.col("b")
+                )
+            out = _round_path(work_dir, k)
+            nxt.distinct().write.mode("overwrite").parquet(out)
+            cur = spark.read.parquet(out)
+            converged = _is_star_forest(cur)
+            if converged:
+                with open(conv_marker, "w", encoding="utf-8") as fh:
+                    fh.write(str(k))
+    last = _last_committed_round(work_dir, max_iter)
+    cur = spark.read.parquet(_round_path(work_dir, last))
+    # star forest -> labels: members point at their component minimum;
+    # roots label themselves
+    members = cur.select(
+        F.col("b").alias("id"), F.col("a").alias("component")
+    )
+    roots = (
+        cur.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    return members.union(roots)

