@@ -28,9 +28,12 @@ can and cannot decode):
 - ``audio/wav``   — a REAL RIFF/WAVE parser: chunk walk (with odd-size
   padding), fmt parse, PCM16 frame extraction.  Features are computed
   over the DECODED little-endian sample bytes.
-- compressed audio (mp3/ogg) and video — still behind
-  NotImplementedError: they need codec libraries (libmp3lame/ffmpeg)
-  this container lacks, and faking a decode would be dishonest.
+- ``audio/mpeg`` — frame-HEADER probe (MPEG-1 Layer III sync walk:
+  bitrate/sample-rate tables, channel mode, frame count — the
+  metadata a routing/budgeting stage needs).  Sample decode, ogg, and
+  video stay behind NotImplementedError: they need codec libraries
+  (libmp3lame/ffmpeg) this container lacks, and faking a decode would
+  be dishonest.
 """
 
 from __future__ import annotations
@@ -745,6 +748,88 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
                 np.rint(block) + 128, 0, 255
             ).astype(np.uint8)
     return width, height, out[:height, :width].tobytes()
+
+
+# -- MPEG audio (mp3) frame-header probe ------------------------------------
+#
+# Public-spec tables (ISO/IEC 11172-3): MPEG-1 Layer III bitrates and
+# sample rates.  Header-only metadata — no codec, no fake samples;
+# entropy decode of MPEG audio stays behind NotImplementedError.
+
+_MP3_BITRATES_V1L3 = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_MP3_RATES_V1 = (44100, 48000, 32000)
+
+
+def mp3_frame_bytes(
+    bitrate_kbps: int, sample_rate: int, n_frames: int = 1,
+    channels: int = 2,
+) -> bytes:
+    """Build a valid MPEG-1 Layer III frame sequence (real headers,
+    zeroed payload) — a fixture for the probe, not a playable song."""
+    try:
+        br_idx = _MP3_BITRATES_V1L3.index(bitrate_kbps)
+    except ValueError:
+        raise ValueError(f"unsupported MPEG1-L3 bitrate {bitrate_kbps}")
+    try:
+        sr_idx = _MP3_RATES_V1.index(sample_rate)
+    except ValueError:
+        raise ValueError(f"unsupported MPEG1 sample rate {sample_rate}")
+    mode = 0b00 if channels == 2 else 0b11  # stereo / single channel
+    hdr = bytes(
+        [
+            0xFF,
+            0xFB,  # sync + MPEG1 + Layer III + no CRC
+            (br_idx << 4) | (sr_idx << 2),  # no padding, private=0
+            (mode << 6),
+        ]
+    )
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    return (hdr + bytes(frame_len - 4)) * n_frames
+
+
+def probe_mp3(payload: bytes) -> tuple[int, int, int, int]:
+    """(bitrate_kbps, sample_rate, n_channels, n_frames) from MPEG-1
+    Layer III frame headers — walks the whole frame chain so a
+    truncated or desynced stream fails loudly instead of reporting a
+    duration it cannot have.  Header metadata only; sample decode
+    stays NotImplementedError (see decode_payload)."""
+    if len(payload) < 4:
+        raise ValueError("not an MP3 (too short for a frame header)")
+    pos = 0
+    bitrate = rate = channels = None
+    n_frames = 0
+    while pos + 4 <= len(payload):
+        b0, b1, b2, b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"bad MP3 frame sync at byte {pos}")
+        version = (b1 >> 3) & 0x03
+        layer = (b1 >> 1) & 0x03
+        if version != 0b11 or layer != 0b01:
+            raise ValueError(
+                "only MPEG-1 Layer III frame headers are supported"
+            )
+        br_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 0x03
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("invalid MP3 bitrate/samplerate index")
+        f_bitrate = _MP3_BITRATES_V1L3[br_idx]
+        f_rate = _MP3_RATES_V1[sr_idx]
+        padding = (b2 >> 1) & 0x01
+        f_channels = 1 if ((b3 >> 6) & 0x03) == 0b11 else 2
+        if bitrate is None:
+            bitrate, rate, channels = f_bitrate, f_rate, f_channels
+        elif (f_bitrate, f_rate, f_channels) != (bitrate, rate, channels):
+            raise ValueError("variable-bitrate MP3 probe not supported")
+        frame_len = 144 * f_bitrate * 1000 // f_rate + padding
+        if pos + frame_len > len(payload):
+            raise ValueError("truncated MP3 frame")
+        pos += frame_len
+        n_frames += 1
+    if n_frames == 0:
+        raise ValueError("MP3 stream contains no frames")
+    return bitrate, rate, channels, n_frames
 
 
 def _wav_chunks(payload: bytes) -> Iterator[tuple[bytes, bytes]]:

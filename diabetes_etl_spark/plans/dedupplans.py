@@ -269,3 +269,60 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_components_star",
+    # identical transitive-closure semantics, so the same recursive-CTE
+    # oracle applies; the edge set here is the EXACT band-blocked pair
+    # relation (the oracle's own relation), isolating the algorithm
+    # under test from LSH recall
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS_ORACLE})
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(id, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id
+),
+lab AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id)
+SELECT id AS doc_id, component,
+  CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS component_size
+FROM lab
+ORDER BY doc_id
+""",
+    doc="Near-dup cluster formation via alternating large-star/"
+    "small-star (Kiveris et al. SoCC'14, operators/components.py:"
+    "connected_components_star): O(log^2 n) rounds instead of "
+    "O(diameter), the escape hatch for high-diameter pair graphs "
+    "(chains of borderline-similar docs, entity-resolution edges) "
+    "that min-label propagation cannot finish in bounded rounds.  "
+    "Same reliable per-round parquet persistence + driver-restart "
+    "resume as the gate query's loop.",
+    tags=("dedup", "components", "extension"),
+    extended=True,
+)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from diabetes_etl_spark.operators.components import (
+        connected_components_star,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
+    comp = connected_components_star(pairs, "doc_a", "doc_b")
+    return (
+        comp.select(F.col("id").alias("doc_id"), "component")
+        .withColumn(
+            "component_size",
+            F.count("*").over(Window.partitionBy("component")),
+        )
+        .orderBy("doc_id")
+    )

@@ -282,6 +282,42 @@ def test_codec_gaps_still_stubbed():
         decode_payload("video/mp4", b"\x00\x00\x00\x18ftypmp42")
 
 
+# -- MP3 frame-header probe -------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "kbps,rate,frames,ch",
+    [(128, 44100, 3, 2), (320, 48000, 1, 1), (32, 32000, 5, 2)],
+)
+def test_mp3_probe_walks_frame_chain(kbps, rate, frames, ch):
+    from diabetes_etl_spark.operators.multimodal import (
+        mp3_frame_bytes,
+        probe_mp3,
+    )
+
+    payload = mp3_frame_bytes(kbps, rate, n_frames=frames, channels=ch)
+    assert probe_mp3(payload) == (kbps, rate, ch, frames)
+
+
+def test_mp3_probe_rejects_bad_streams():
+    from diabetes_etl_spark.operators.multimodal import (
+        mp3_frame_bytes,
+        probe_mp3,
+    )
+
+    with pytest.raises(ValueError, match="frame sync"):
+        probe_mp3(b"ID3\x04\x00" + b"\x00" * 40)
+    with pytest.raises(ValueError, match="truncated"):
+        probe_mp3(mp3_frame_bytes(128, 44100)[:-10])
+    with pytest.raises(ValueError, match="too short"):
+        probe_mp3(b"\xff")
+    # MPEG-2 version bits rejected, not mis-parsed
+    p = bytearray(mp3_frame_bytes(128, 44100))
+    p[1] = 0xF3  # version = MPEG-2
+    with pytest.raises(ValueError, match="MPEG-1 Layer III"):
+        probe_mp3(bytes(p))
+
+
 # -- WAV round trip -------------------------------------------------------
 
 
