@@ -178,6 +178,7 @@ def all_queries(include_extended: bool = False) -> dict[str, QuerySpec]:
     from diabetes_etl_spark.plans import diabetesplans  # noqa: F401
     from diabetes_etl_spark.plans import relational  # noqa: F401
     from diabetes_etl_spark.plans import subqueries  # noqa: F401
+    from diabetes_etl_spark.plans import tpch_breadth  # noqa: F401
     from diabetes_etl_spark.plans import events  # noqa: F401
     from diabetes_etl_spark.plans import medallion_demo  # noqa: F401
     from diabetes_etl_spark.plans import dedupplans  # noqa: F401

@@ -1,0 +1,297 @@
+"""TPC-H breadth family: q7/q8/q10/q12/q14/q19 shapes adapted to the
+fixture schema (the fixtures carry no l_shipmode/l_receiptdate/
+p_container, so q12 and q19 substitute equivalent predicates over the
+columns that exist — the *plan shapes* are the point, not the spec
+constants).
+
+The reference surface needs none of these (its SQL tier is six
+dashboard queries — SURVEY.md §2.4); this module extends the relational
+repertoire the same way plans/subqueries.py does, one registered
+oracle-paired query per shape:
+
+- q7: two-sided dimension filter (nation x nation) feeding a 6-way
+  join, grouped by derived year — the classic "volume shipping" shape;
+- q8: market-share — a conditional aggregate (share of a sum) over an
+  8-table snowflake;
+- q10: returned-items revenue — selective fact predicate, 4-way join,
+  deterministic top-20;
+- q12 (adapted): late-shipment counting with CASE inside SUM, grouped
+  by priority class (fixture has no l_shipmode; lateness is
+  l_shipdate > o_orderdate + 90 days instead of receipt/commit);
+- q14 (adapted): promo revenue share — two conditional sums over a
+  part join, one output row;
+- q19 (adapted): disjunctive (OR-of-ANDs) brand/size/quantity
+  predicate over a part join — the pushdown-through-OR shape.
+
+Scale notes (100 TB lens): every query here joins facts on their
+natural keys (one hash shuffle each, AQE re-plans to broadcast when a
+filtered side fits); nation/region are always broadcast; the
+disjunctive q19 predicate stays a single scan + join (Catalyst
+extracts the common p_partkey conjunct; the OR residual evaluates
+post-join without row multiplication).  All aggregates go through the
+decimal-exact helpers so results are partition-count-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.functions.numeric import (
+    dec_sum,
+    sql_dec_cast,
+    sql_dec_sum,
+)
+from diabetes_etl_spark.plans.registry import register
+from diabetes_etl_spark.plans.relational import _sql_query
+from diabetes_etl_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# q7: volume shipping between two nation groups, by year.
+# ---------------------------------------------------------------------------
+
+_Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+  {sql_dec_sum("volume", 4)} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(YEAR FROM l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                       AND TIMESTAMP '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+register(
+    "q7_volume_shipping",
+    oracle=_Q7_SQL,
+    doc="TPC-H q7 shape: revenue shipped between two nations by year. "
+    "Both nation joins broadcast (25 rows); the nation-pair filter "
+    "prunes supplier and customer BEFORE the fact joins, so the "
+    "lineitem-orders shuffle carries only the two nations' rows; "
+    "EXTRACT(YEAR) groups post-join on a derived column.",
+    tags=("join", "agg", "broadcast", "extension"),
+    extended=True,
+)(_sql_query(_Q7_SQL, ("supplier", "lineitem", "orders", "customer", "nation")))
+
+
+# ---------------------------------------------------------------------------
+# q8: national market share inside one region, by year.
+# ---------------------------------------------------------------------------
+
+_Q8_NATION_CASE = "CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END"
+_Q8_SHARE = sql_dec_cast(
+    f"{sql_dec_sum(_Q8_NATION_CASE, 4)} / {sql_dec_sum('volume', 4)}", 6
+)
+
+_Q8_SQL = f"""
+SELECT o_year,
+  {_Q8_SHARE} AS mkt_share
+FROM (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                        AND TIMESTAMP '1996-12-31'
+    AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+register(
+    "q8_market_share",
+    oracle=_Q8_SQL,
+    doc="TPC-H q8 shape: one nation's share of a region's promo-part "
+    "revenue by year — a conditional sum divided by a total sum, over "
+    "an 8-table snowflake.  part/supplier/nation/region all broadcast "
+    "after their filters; the only big shuffle is lineitem⋈orders; "
+    "both sums compute in ONE aggregate pass (no self-join, no second "
+    "scan).",
+    tags=("join", "agg", "case", "extension"),
+    extended=True,
+)(
+    _sql_query(
+        _Q8_SQL,
+        ("part", "lineitem", "supplier", "orders", "customer", "nation", "region"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# q10: returned-item revenue by customer (top 20).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name, n_name,
+  {sql_dec_sum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+  {sql_dec_cast("c_acctbal", 2)} AS c_acctbal
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="TPC-H q10 shape: revenue lost to returns per customer in a "
+    "two-quarter window, top-20.  The l_returnflag and o_orderdate "
+    "filters push into the parquet scans; orders⋈lineitem is the one "
+    "big shuffle; nation broadcasts; top-20 runs as TakeOrdered with "
+    "a c_custkey tiebreak (no global sort).",
+    tags=("join", "agg", "topk", "extension"),
+    extended=True,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(dec_sum(revenue, 4).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "revenue",
+            F.col("c_acctbal").cast("decimal(18,2)").cast("double").alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 (adapted): late-shipment severity counting by order priority.
+# ---------------------------------------------------------------------------
+
+_Q12_SQL = """
+SELECT priority_class,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM (
+  SELECT o_orderpriority,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+              THEN 'LATE' ELSE 'ON_TIME' END AS priority_class
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+) classified
+GROUP BY priority_class
+ORDER BY priority_class
+"""
+
+register(
+    "q12_late_shipments",
+    oracle=_Q12_SQL,
+    doc="TPC-H q12 shape (adapted: no l_shipmode/l_receiptdate in the "
+    "fixture — lateness is shipdate > orderdate + 90 days): "
+    "CASE-derived group key plus two conditional counts in one "
+    "aggregate.  One shuffle join on orderkey, then a 2-group "
+    "aggregate whose partial (map-side) combine reduces the shuffle "
+    "to 2 rows per task.",
+    tags=("join", "agg", "case", "extension"),
+    extended=True,
+)(_sql_query(_Q12_SQL, ("orders", "lineitem")))
+
+
+# ---------------------------------------------------------------------------
+# q14 (adapted): promo revenue share over one month.
+# ---------------------------------------------------------------------------
+
+_Q14_PROMO_CASE = (
+    "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount)"
+    " ELSE 0 END"
+)
+_Q14_SHARE = sql_dec_cast(
+    f"100.00 * {sql_dec_sum(_Q14_PROMO_CASE, 4)}"
+    f" / {sql_dec_sum('l_extendedprice * (1 - l_discount)', 4)}",
+    6,
+)
+
+_Q14_SQL = f"""
+SELECT {_Q14_SHARE}
+  AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+register(
+    "q14_promo_effect",
+    oracle=_Q14_SQL,
+    doc="TPC-H q14 shape: percentage of one month's revenue from promo "
+    "parts — conditional sum / total sum in a single global aggregate "
+    "over a part join.  The one-month shipdate filter prunes the "
+    "lineitem scan to ~1/84 of the table before the join; part "
+    "broadcasts under AQE; no second pass for the denominator.",
+    tags=("join", "agg", "global", "extension"),
+    extended=True,
+)(_sql_query(_Q14_SQL, ("lineitem", "part")))
+
+
+# ---------------------------------------------------------------------------
+# q19 (adapted): disjunctive brand/size/quantity predicate.
+# ---------------------------------------------------------------------------
+
+_Q19_SQL = f"""
+SELECT {sql_dec_sum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 21)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 40)
+"""
+
+register(
+    "q19_disjunctive_filter",
+    oracle=_Q19_SQL,
+    doc="TPC-H q19 shape (adapted: fixture has no p_container / "
+    "l_shipinstruct — brand/size/quantity carry the disjunction): "
+    "revenue under an OR-of-ANDs predicate spanning both join sides. "
+    "Catalyst cannot push the mixed OR below the join, but it DOES "
+    "extract the per-side prunable parts (p_size <= 35, quantity "
+    "range hull) and evaluates the residual post-join — one scan "
+    "each, one shuffle, no row multiplication.  The plan-shape test "
+    "asserts the join stays a single hash join.",
+    tags=("join", "filter", "extension"),
+    extended=True,
+)(_sql_query(_Q19_SQL, ("lineitem", "part")))

@@ -126,3 +126,49 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     for r in rows:
         e = exact[r.o_orderpriority]
         assert abs(r.approx_customers - e) / e <= 0.05
+
+
+# -- TPC-H breadth family (plans/tpch_breadth.py) ------------------------
+
+
+def test_q7_nation_filters_prune_before_fact_join(spark, sf_dir):
+    """The two-nation filter must reach the nation scans (broadcast
+    side), so the fact join ships only the two nations' rows — at
+    100 TB the difference between joining 8% and 100% of lineitem."""
+    plan = _plan(spark, sf_dir, "q7_volume_shipping")
+    assert "CartesianProduct" not in plan
+    # nation names appear as pushed/pruning predicates, not only as a
+    # post-join residual
+    assert "NATION_3" in plan and "NATION_7" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q8_single_aggregate_pass(spark, sf_dir):
+    """Numerator (conditional sum) and denominator compute in ONE
+    grouped aggregate — a second scan or self-join of the snowflake
+    would double the cost of the most expensive stage."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q8_market_share", mode="simple")
+    li_scans = len(re.findall(r"FileScan parquet[^\n]*lineitem", plan))
+    assert li_scans == 1, f"lineitem scanned {li_scans}x (self-join?)"
+
+
+def test_q10_filters_pushed_topk_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q10_returned_items")
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_disjunction_stays_single_join(spark, sf_dir):
+    """The OR-of-ANDs predicate spans both sides; Catalyst must keep
+    ONE hash join and evaluate the residual post-join — a plan that
+    splits the OR into a union of three joins would scan lineitem 3x."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q19_disjunctive_filter", mode="simple")
+    li_scans = len(re.findall(r"FileScan parquet[^\n]*lineitem", plan))
+    part_scans = len(re.findall(r"FileScan parquet[^\n]*part\.", plan))
+    assert li_scans == 1 and part_scans == 1
+    assert "CartesianProduct" not in plan
