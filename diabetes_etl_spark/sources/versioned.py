@@ -1,0 +1,414 @@
+"""Versioned parquet table: snapshot isolation + time travel on a plain
+filesystem / object store, no table-format runtime required.
+
+The reference pipeline writes Delta tables (its ``autoOptimize``
+TBLPROPERTIES — /root/reference/src/diabetes_etl_pipeline.py:49-52 —
+exist only on Delta), but no Delta runtime ships in this environment
+(install attempt recorded in COVERAGE.md).  This module supplies the
+ACID-table semantics a Delta user actually relies on, natively:
+
+- **Atomic commits.** Data files land in write-once
+  ``_data/<run-id>/`` directories that are INVISIBLE until a manifest
+  references them; the manifest itself commits via put-if-absent
+  (hard-link on a local FS; the documented object-store equivalent is
+  a conditional PUT with If-None-Match, the same mapping
+  streaming/cdc.py uses).  A reader never sees a half-written version.
+- **Snapshot isolation.** Readers resolve ONE manifest and read
+  exactly its file list; concurrent commits never change a running
+  query's input set.
+- **Time travel.** ``read(version_as_of=N)`` / ``history()`` /
+  ``rollback(N)`` — a rollback is a NEW commit whose file list equals
+  the old version's (never a destructive delete), so audit history is
+  preserved, exactly like Delta's RESTORE.
+- **Optimistic concurrency.** Losing a manifest race raises
+  ``ConcurrentCommitError``; ``append`` retries automatically (an
+  append commutes with any committed append — its own files are
+  already on disk, only the manifest pointer is recomputed), while
+  ``overwrite``/``delete_where``/``rollback`` surface the conflict to
+  the caller (they read table state, so a blind retry could lose the
+  other writer's rows).
+- **File-level data skipping.** Each commit records per-file min/max
+  for the declared ``stats_cols`` straight from the parquet footers
+  (driver-side metadata read, no data pages); ``read`` with
+  ``between=`` prunes files manifest-side before Spark ever lists
+  them — the same pruning Delta file statistics give, and the
+  mechanism that keeps a 100 TB table's point query from scanning
+  100 TB.
+- **Vacuum.** ``vacuum(keep_last=K)`` deletes data directories no
+  retained manifest references (crash-safe: manifests are pruned
+  first, then unreferenced data dirs; a crash in between leaves only
+  harmless orphans that the next vacuum reaps).
+
+Scale notes (100 TB lens): manifests carry file METADATA only (path,
+rows, bytes, min/max), so a million-file table is a few hundred MB of
+JSON read once on the driver — the same envelope as a Delta
+transaction log checkpoint.  Reads hand Spark an explicit file list
+(no recursive directory listing, the object-store killer).  Writes
+stream through Spark writers; nothing row-shaped touches the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from diabetes_etl_spark.streaming.cdc import ConcurrentCommitError
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "_data"
+
+# Parquet logical types whose min/max footer stats are safely ordered
+# (strings are too — pyarrow surfaces them as python str — but float
+# NaN handling and truncated binary stats make them weaker; start with
+# the numeric/temporal kinds the pruning predicates target).
+_STATS_OK = ("int", "double", "float", "timestamp", "date", "string")
+
+
+@dataclass(frozen=True)
+class CommitInfo:
+    version: int
+    operation: str
+    timestamp: float
+    n_files: int
+    n_rows: int
+
+
+def _run_id() -> str:
+    return f"{os.getpid()}.{uuid.uuid4().hex[:12]}"
+
+
+class VersionedTable:
+    """A path-addressed versioned parquet table (see module docstring).
+
+    Layout::
+
+        <path>/_manifests/v<00000000000000000001>.json
+        <path>/_data/<run-id>/part-*.parquet
+    """
+
+    def __init__(self, spark: SparkSession, path: str, stats_cols: tuple[str, ...] = ()):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.stats_cols = tuple(stats_cols)
+
+    # -- manifest plumbing -------------------------------------------------
+
+    def _mdir(self) -> str:
+        return os.path.join(self.path, _MANIFEST_DIR)
+
+    def _latest(self) -> tuple[int, dict | None]:
+        """Highest PARSEABLE manifest (a truncated newest file means
+        that commit never happened — skip it)."""
+        mdir = self._mdir()
+        if not os.path.isdir(mdir):
+            return 0, None
+        for name in sorted(os.listdir(mdir), reverse=True):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            try:
+                with open(os.path.join(mdir, name), encoding="utf-8") as fh:
+                    doc = json.load(fh)
+                return int(doc["version"]), doc
+            except (OSError, ValueError, KeyError):
+                continue
+        return 0, None
+
+    def _manifest_at(self, version: int) -> dict:
+        p = os.path.join(self._mdir(), f"v{version:020d}.json")
+        try:
+            with open(p, encoding="utf-8") as fh:
+                return json.load(fh)
+        except OSError:
+            raise ValueError(
+                f"version {version} does not exist (or was vacuumed) "
+                f"for table {self.path}"
+            ) from None
+
+    def _publish(self, version: int, doc: dict) -> None:
+        """Put-if-absent commit of v<version>.json (hard-link; object
+        stores: conditional PUT)."""
+        mdir = self._mdir()
+        os.makedirs(mdir, exist_ok=True)
+        final = os.path.join(mdir, f"v{version:020d}.json")
+        tmp = os.path.join(mdir, f".tmp.{_run_id()}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(doc, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {version} already committed for {self.path}"
+            ) from None
+        finally:
+            os.unlink(tmp)
+
+    # -- data-file plumbing ------------------------------------------------
+
+    def _write_data(self, df: DataFrame) -> list[dict]:
+        """Write ``df`` into a fresh ``_data/<run-id>/`` dir and return
+        file entries (relative path, rows, bytes, per-column min/max
+        from the parquet footers)."""
+        import pyarrow.parquet as pq
+
+        rid = _run_id()
+        out = os.path.join(self.path, _DATA_DIR, rid)
+        df.write.mode("overwrite").parquet(out)
+        entries = []
+        for name in sorted(os.listdir(out)):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(out, name)
+            md = pq.read_metadata(full)
+            stats: dict[str, list] = {}
+            if self.stats_cols:
+                schema_names = md.schema.to_arrow_schema().names
+                for col in self.stats_cols:
+                    if col not in schema_names:
+                        continue
+                    idx = schema_names.index(col)
+                    lo, hi = None, None
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            lo = hi = None
+                            break
+                        mn, mx = st.min, st.max
+                        lo = mn if lo is None or mn < lo else lo
+                        hi = mx if hi is None or mx > hi else hi
+                    if lo is not None:
+                        stats[col] = [_json_safe(lo), _json_safe(hi)]
+            entries.append(
+                {
+                    "path": os.path.join(_DATA_DIR, rid, name),
+                    "rows": md.num_rows,
+                    "bytes": os.path.getsize(full),
+                    "stats": stats,
+                }
+            )
+        return entries
+
+    def _commit(
+        self,
+        operation: str,
+        files: list[dict],
+        base_version: int,
+        schema_json: str,
+    ) -> int:
+        version = base_version + 1
+        doc = {
+            "version": version,
+            "operation": operation,
+            "timestamp": time.time(),
+            "schema": schema_json,
+            "files": files,
+        }
+        self._publish(version, doc)
+        return version
+
+    # -- public API --------------------------------------------------------
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace the table contents (CREATE OR REPLACE).  Conflicts
+        with any concurrent commit: the caller decided the full new
+        state from what it read, so a lost race must surface."""
+        ver, _ = self._latest()
+        files = self._write_data(df)
+        return self._commit("overwrite", files, ver, df.schema.json())
+
+    def append(self, df: DataFrame, _retries: int = 5) -> int:
+        """Append rows.  Data files are written ONCE; on a lost
+        manifest race only the pointer recomputes (append commutes
+        with committed appends)."""
+        new_files = self._write_data(df)
+        for _ in range(_retries):
+            ver, doc = self._latest()
+            base = list(doc["files"]) if doc else []
+            schema = doc["schema"] if doc else df.schema.json()
+            try:
+                return self._commit("append", base + new_files, ver, schema)
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"append lost {_retries} manifest races for {self.path}"
+        )
+
+    def delete_where(self, condition: str) -> int:
+        """Delete matching rows: rewrite ONLY the files whose stats
+        ranges can contain a match (the rest carry over by reference —
+        the Delta MERGE/DELETE file-granularity model)."""
+        from pyspark.sql import functions as F
+
+        ver, doc = self._latest()
+        if doc is None:
+            raise ValueError(f"table {self.path} has no committed version")
+        cond = F.expr(condition)
+        keep, rewrite = [], []
+        for entry in doc["files"]:
+            if self._maybe_matches(entry, condition):
+                rewrite.append(entry)
+            else:
+                keep.append(entry)
+        new_files: list[dict] = []
+        if rewrite:
+            paths = [os.path.join(self.path, e["path"]) for e in rewrite]
+            survivors = self.spark.read.parquet(*paths).filter(~cond)
+            new_files = self._write_data(survivors)
+        return self._commit(
+            "delete_where", keep + new_files, ver, doc["schema"]
+        )
+
+    def _maybe_matches(self, entry: dict, condition: str) -> bool:
+        """Conservative: a file is rewritten unless its recorded stats
+        PROVE no row matches.  Only simple ``col OP literal`` range
+        checks are evaluated; anything unprovable rewrites."""
+        import re
+
+        m = re.match(
+            r"^\s*(\w+)\s*(<=|>=|<|>|=)\s*([-\w.'\" ]+?)\s*$", condition
+        )
+        if not m:
+            return True
+        col, op, lit = m.groups()
+        stats = entry.get("stats", {})
+        if col not in stats:
+            return True
+        lo, hi = stats[col]
+        lit = lit.strip("'\"")
+        try:
+            lit = type(lo)(lit) if not isinstance(lo, str) else lit
+        except (TypeError, ValueError):
+            return True
+        if op == "=":
+            return lo <= lit <= hi
+        if op == "<":
+            return lo < lit
+        if op == "<=":
+            return lo <= lit
+        if op == ">":
+            return hi > lit
+        return hi >= lit
+
+    def rollback(self, version: int) -> int:
+        """Restore an old version as a NEW commit (Delta RESTORE)."""
+        ver, _ = self._latest()
+        old = self._manifest_at(version)
+        return self._commit(
+            f"rollback_to_{version}", old["files"], ver, old["schema"]
+        )
+
+    def read(
+        self,
+        version_as_of: int | None = None,
+        between: tuple[str, object, object] | None = None,
+    ) -> DataFrame:
+        """Snapshot read.  ``between=(col, lo, hi)`` prunes files whose
+        recorded [min,max] is disjoint from [lo,hi] BEFORE Spark sees
+        the file list (manifest-level data skipping); the residual
+        predicate still applies row-level, so pruning is never a
+        correctness decision, only a cost one."""
+        if version_as_of is None:
+            ver, doc = self._latest()
+            if doc is None:
+                raise ValueError(f"table {self.path} has no committed version")
+        else:
+            doc = self._manifest_at(version_as_of)
+        files = doc["files"]
+        if between is not None:
+            col, lo, hi = between
+            files = [
+                e
+                for e in files
+                if col not in e.get("stats", {})
+                or not (e["stats"][col][1] < lo or e["stats"][col][0] > hi)
+            ]
+        if not files:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(doc["schema"]))
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, e["path"]) for e in files]
+        df = self.spark.read.parquet(*paths)
+        if between is not None:
+            col, lo, hi = between
+            from pyspark.sql import functions as F
+
+            df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+        return df
+
+    def history(self) -> list[CommitInfo]:
+        """Commit log, newest first (only non-vacuumed versions)."""
+        mdir = self._mdir()
+        if not os.path.isdir(mdir):
+            return []
+        out = []
+        for name in sorted(os.listdir(mdir), reverse=True):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            try:
+                with open(os.path.join(mdir, name), encoding="utf-8") as fh:
+                    doc = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            out.append(
+                CommitInfo(
+                    version=doc["version"],
+                    operation=doc.get("operation", "?"),
+                    timestamp=doc.get("timestamp", 0.0),
+                    n_files=len(doc["files"]),
+                    n_rows=sum(e.get("rows", 0) for e in doc["files"]),
+                )
+            )
+        return out
+
+    def vacuum(self, keep_last: int = 2) -> int:
+        """Drop manifests beyond the newest ``keep_last`` and delete
+        data dirs no retained manifest references.  Order matters for
+        crash-safety: manifests go first (so no retained version can
+        ever reference a deleted file); a crash after that leaves only
+        orphan data dirs, which the next vacuum reaps."""
+        ver, _ = self._latest()
+        mdir = self._mdir()
+        if not os.path.isdir(mdir):
+            return 0
+        names = sorted(
+            n
+            for n in os.listdir(mdir)
+            if n.startswith("v") and n.endswith(".json")
+        )
+        for name in names[:-keep_last] if keep_last else names:
+            os.unlink(os.path.join(mdir, name))
+        referenced: set[str] = set()
+        for info in self.history():
+            doc = self._manifest_at(info.version)
+            for e in doc["files"]:
+                # _data/<run-id>/file → keep the whole run dir
+                referenced.add(e["path"].split("/")[1])
+        ddir = os.path.join(self.path, _DATA_DIR)
+        removed = 0
+        if os.path.isdir(ddir):
+            for rid in os.listdir(ddir):
+                if rid not in referenced:
+                    shutil.rmtree(os.path.join(ddir, rid), ignore_errors=True)
+                    removed += 1
+        return removed
+
+
+def _json_safe(v):
+    """Footer stats values → JSON-serializable (datetimes → isoformat
+    strings, which order identically to their datetime originals for
+    same-type comparisons; bytes decode best-effort)."""
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v

@@ -1,0 +1,166 @@
+"""VersionedTable: atomic manifest commits, snapshot isolation, time
+travel, rollback, optimistic concurrency, file-stats data skipping,
+and vacuum (sources/versioned.py — the native stand-in for the
+reference's Delta tables)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.sources.versioned import VersionedTable
+from diabetes_etl_spark.streaming.cdc import ConcurrentCommitError
+
+
+@pytest.fixture
+def vt(spark, tmp_path):
+    return VersionedTable(spark, str(tmp_path / "tbl"), stats_cols=("k",))
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_overwrite_append_time_travel(spark, vt):
+    v1 = vt.overwrite(_df(spark, 0, 10))
+    v2 = vt.append(_df(spark, 10, 15))
+    assert (v1, v2) == (1, 2)
+    assert vt.read().count() == 15
+    assert vt.read(version_as_of=1).count() == 10
+    # snapshot isolation: a DataFrame resolved at v2 keeps its file
+    # list even after later commits
+    snap = vt.read(version_as_of=2)
+    vt.overwrite(_df(spark, 0, 3))
+    assert snap.count() == 15
+    assert vt.read().count() == 3
+
+
+def test_history_and_rollback_preserve_audit_trail(spark, vt):
+    vt.overwrite(_df(spark, 0, 10))
+    vt.append(_df(spark, 10, 20))
+    vt.rollback(1)
+    hist = vt.history()
+    assert [h.version for h in hist] == [3, 2, 1]
+    assert hist[0].operation == "rollback_to_1"
+    assert vt.read().count() == 10
+    # rollback is additive: v2 is still readable
+    assert vt.read(version_as_of=2).count() == 20
+
+
+def test_concurrent_commit_detected(spark, vt):
+    vt.overwrite(_df(spark, 0, 5))
+    # another writer commits v2 out from under this one's overwrite
+    other = VersionedTable(spark, vt.path, stats_cols=("k",))
+    files = other._write_data(_df(spark, 100, 105))
+    other._commit("overwrite", files, 1, _df(spark, 100, 105).schema.json())
+    with pytest.raises(ConcurrentCommitError):
+        v, _ = 1, vt._publish(2, {"version": 2, "files": [], "schema": "{}"})
+    # overwrite recomputes from latest, so it lands as v3
+    assert vt.overwrite(_df(spark, 0, 2)) == 3
+
+
+def test_append_retries_through_lost_race(spark, vt, monkeypatch):
+    """An append that loses the manifest race must recompute the
+    pointer and keep BOTH writers' rows — its own data files are
+    already on disk and commute with the committed append."""
+    vt.overwrite(_df(spark, 0, 10))
+    real_publish = vt._publish
+    raced = {"done": False}
+
+    def racing_publish(version, doc):
+        if not raced["done"]:
+            raced["done"] = True
+            VersionedTable(vt.spark, vt.path).append(_df(vt.spark, 50, 60))
+        return real_publish(version, doc)
+
+    monkeypatch.setattr(vt, "_publish", racing_publish)
+    vt.append(_df(spark, 10, 20))
+    assert vt.read().count() == 30  # 10 base + 10 other + 10 ours
+
+
+def test_torn_manifest_ignored(spark, vt):
+    """A truncated newest manifest (writer died mid-PUT without the
+    atomic link) must be skipped — previous version stays committed."""
+    vt.overwrite(_df(spark, 0, 10))
+    mdir = vt._mdir()
+    with open(os.path.join(mdir, f"v{2:020d}.json"), "w") as fh:
+        fh.write('{"version": 2, "files": [')  # torn
+    assert vt.read().count() == 10
+    # the next commit must supersede the torn file's version slot:
+    # _latest() says v1, _commit targets v2 which EXISTS as garbage —
+    # put-if-absent refuses, append retries land on v3? No: the torn
+    # file occupies the name, so the commit must fail loudly rather
+    # than silently overwrite.
+    with pytest.raises(ConcurrentCommitError):
+        vt.overwrite(_df(spark, 0, 1))
+
+
+def test_uncommitted_data_invisible(spark, vt):
+    vt.overwrite(_df(spark, 0, 10))
+    # a crashed writer left data files but no manifest
+    vt._write_data(_df(spark, 500, 600))
+    assert vt.read().count() == 10
+
+
+def test_stats_pruning_skips_disjoint_files(spark, vt):
+    """between= must drop files whose [min,max] is disjoint BEFORE
+    Spark reads them, and keep results identical."""
+    # three appends → three disjoint k-ranges in separate data dirs
+    vt.overwrite(_df(spark, 0, 100).repartition(1))
+    vt.append(_df(spark, 100, 200).repartition(1))
+    vt.append(_df(spark, 200, 300).repartition(1))
+    _, doc = vt._latest()
+    assert len(doc["files"]) == 3
+    pruned = vt.read(between=("k", 120, 180))
+    full = vt.read().filter(F.col("k").between(120, 180))
+    assert sorted(r.k for r in pruned.collect()) == sorted(
+        r.k for r in full.collect()
+    )
+    # plan reads exactly one file
+    scanned = pruned.inputFiles()
+    assert len(scanned) == 1
+
+
+def test_delete_where_rewrites_only_matching_files(spark, vt):
+    vt.overwrite(_df(spark, 0, 100).repartition(1))
+    vt.append(_df(spark, 100, 200).repartition(1))
+    _, before = vt._latest()
+    untouched = {e["path"] for e in before["files"] if e["stats"]["k"][0] >= 100}
+    vt.delete_where("k < 50")
+    _, after = vt._latest()
+    # the 100-199 file carried over BY REFERENCE (same path, no rewrite)
+    assert untouched <= {e["path"] for e in after["files"]}
+    assert vt.read().count() == 150
+    assert vt.read().filter(F.col("k") < 50).count() == 0
+
+
+def test_vacuum_drops_unreferenced_data_only(spark, vt):
+    vt.overwrite(_df(spark, 0, 10))
+    vt.overwrite(_df(spark, 0, 20))
+    vt.overwrite(_df(spark, 0, 30))
+    removed = vt.vacuum(keep_last=1)
+    assert removed == 2
+    assert vt.read().count() == 30
+    with pytest.raises(ValueError):
+        vt.read(version_as_of=1)
+    # retained data intact after a second (idempotent) vacuum
+    assert vt.vacuum(keep_last=1) == 0
+    assert vt.read().count() == 30
+
+
+def test_empty_table_read_errors(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "none"))
+    with pytest.raises(ValueError):
+        vt.read()
+
+
+def test_schema_preserved_across_empty_prune(spark, vt):
+    vt.overwrite(_df(spark, 0, 10).repartition(1))
+    out = vt.read(between=("k", 1000, 2000))
+    assert out.columns == ["k", "v"]
+    assert out.count() == 0
