@@ -1,0 +1,82 @@
+"""PII detection and redaction over text columns — all native
+``pyspark.sql.functions`` regexp expressions (JVM-side, whole-stage
+codegen; no Python in the hot path).
+
+A training-data pipeline scrubs personally identifying strings before
+anything ships to a tokenizer; the operators here are the standard
+regex tier (emails, phone numbers, IPv4 addresses, US-SSN-shaped ids).
+Patterns are deliberately written in the common subset of Java regex
+(Spark) and RE2 (DuckDB/Go scanners) so one pattern string serves the
+engine, the oracle, and any sidecar scanner:
+
+- no backreferences, no lookaround (RE2 has neither);
+- character classes / bounded repetition / non-capturing groups only.
+
+Scale notes: detection and redaction are row-local ``regexp_count`` /
+``regexp_replace`` projections — no shuffle, no UDF, fully pipelined
+into whatever scan feeds them.  At 100 TB the cost is one pass over
+the text bytes; the regex NFA is compiled once per task, not per row.
+
+Reference: the reference pipeline has no PII surface (its input is a
+768-row clinical CSV with no free text); this module is part of the
+LLM-pipeline extension tier (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Pattern order matters for redaction: SSN before phone (both are
+# digit-dash shapes; SSN's 3-2-4 grouping must not be half-eaten by a
+# phone match), email before ipv4 (dotted hostnames contain
+# digit-dot runs).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+REDACTION_TOKENS: dict[str, str] = {
+    "email": "<EMAIL>",
+    "ssn": "<SSN>",
+    "phone": "<PHONE>",
+    "ipv4": "<IP>",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-class match-count columns for ``text`` (regexp_count —
+    one pass per pattern, zero shuffle)."""
+    return {
+        f"n_{name}": F.regexp_count(text, F.lit(pat))
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def with_pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``df`` + ``n_email/n_ssn/n_phone/n_ipv4`` + ``has_pii``."""
+    counts = pii_counts(F.col(text_col))
+    out = df.withColumns(counts)
+    any_pii = None
+    for c in counts:
+        term = F.col(c) > 0
+        any_pii = term if any_pii is None else (any_pii | term)
+    return out.withColumn("has_pii", any_pii)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with its class token, in the documented
+    pattern order.  Chained regexp_replace stays a single projection
+    (Catalyst collapses the chain into one codegen stage)."""
+    out = text
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, REDACTION_TOKENS[name])
+    return out
+
+
+def with_redacted_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    return df.withColumn(out_col, redact_pii(F.col(text_col)))

@@ -1,0 +1,195 @@
+"""PII scan / redaction queries over the documents fixture.
+
+The synthetic corpus contains no organic PII, so each query first
+ENRICHES a deterministic subset of documents with synthetic
+identifiers derived from ``doc_id`` (emails for ``doc_id % 7 == 0``,
+phones for ``% 11``, IPv4 for ``% 13``, SSN-shaped ids for ``% 17``) —
+the same arithmetic on both the Spark side and the DuckDB oracle, so
+detection runs against real positives AND real negatives while inputs
+stay fixture-only.  The oracle recomputes detection with
+``regexp_extract_all`` and redaction with ``regexp_replace(..., 'g')``
+(DuckDB replaces only the first match without the flag — the one
+dialect difference worth a comment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.operators.pii import (
+    PII_PATTERNS,
+    redact_pii,
+    with_pii_counts,
+)
+from diabetes_etl_spark.plans.registry import register
+from diabetes_etl_spark.sources.tables import load_table
+
+# -- shared enrichment (Spark + SQL twins, same arithmetic) -----------------
+
+
+def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    text = F.col("text")
+    text = F.when(
+        did % 7 == 0,
+        F.concat(text, F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+    ).otherwise(text)
+    text = F.when(
+        did % 11 == 0,
+        F.concat(
+            text,
+            F.lit(" call 555-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(text)
+    text = F.when(
+        did % 13 == 0,
+        F.concat(
+            text,
+            F.lit(" from 10."),
+            (did % 256).cast("string"),
+            F.lit(".0."),
+            ((did * 7) % 256).cast("string"),
+        ),
+    ).otherwise(text)
+    text = F.when(
+        did % 17 == 0,
+        F.concat(
+            text,
+            F.lit(" ssn 123-45-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(text)
+    return docs.withColumn("text", text)
+
+
+_ENRICH_SQL = """
+SELECT doc_id, lang,
+  text
+  || CASE WHEN doc_id % 7 = 0
+          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+          ELSE '' END
+  || CASE WHEN doc_id % 11 = 0
+          THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+               || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END
+  || CASE WHEN doc_id % 13 = 0
+          THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+               || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+          ELSE '' END
+  || CASE WHEN doc_id % 17 = 0
+          THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END
+  AS text
+FROM documents
+"""
+
+# NOTE the append-order difference is deliberate: the Spark side
+# appends via chained WHEN/OTHERWISE in the same email→phone→ip→ssn
+# order as the SQL's concatenated CASE arms, so a doc_id divisible by
+# several moduli gets the same final string on both sides.
+
+
+def _duck_count(cls: str) -> str:
+    pat = PII_PATTERNS[cls].replace("'", "''")
+    return f"len(regexp_extract_all(text, '{pat}'))"
+
+
+@register(
+    "pii_scan_stats",
+    oracle=f"""
+WITH enriched AS ({_ENRICH_SQL}),
+scored AS (
+  SELECT lang,
+    {_duck_count('email')} AS n_email,
+    {_duck_count('ssn')} AS n_ssn,
+    {_duck_count('phone')} AS n_phone,
+    {_duck_count('ipv4')} AS n_ipv4
+  FROM enriched
+)
+SELECT lang, COUNT(*) AS docs_scanned,
+  CAST(SUM(CASE WHEN n_email + n_ssn + n_phone + n_ipv4 > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+  CAST(SUM(n_email) AS BIGINT) AS total_email,
+  CAST(SUM(n_ssn) AS BIGINT) AS total_ssn,
+  CAST(SUM(n_phone) AS BIGINT) AS total_phone,
+  CAST(SUM(n_ipv4) AS BIGINT) AS total_ipv4
+FROM scored GROUP BY lang ORDER BY lang
+""",
+    doc="PII scan: per-language document and match counts for "
+    "email/SSN/phone/IPv4 patterns (operators/pii.py — native "
+    "regexp_count, zero shuffle before the 5-group aggregate).  The "
+    "deterministic doc_id-derived enrichment gives every pattern real "
+    "positives; the oracle recounts with regexp_extract_all.",
+    tags=("pii", "text", "extension"),
+)
+def pii_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = with_pii_counts(_enriched(spark, sf_dir))
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs_scanned"),
+            F.sum(F.col("has_pii").cast("int")).alias("docs_with_pii"),
+            F.sum("n_email").alias("total_email"),
+            F.sum("n_ssn").alias("total_ssn"),
+            F.sum("n_phone").alias("total_phone"),
+            F.sum("n_ipv4").alias("total_ipv4"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _duck_redact() -> str:
+    out = "text"
+    from diabetes_etl_spark.operators.pii import REDACTION_TOKENS
+
+    for name, pat in PII_PATTERNS.items():
+        esc = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{esc}', '{REDACTION_TOKENS[name]}', 'g')"
+    return out
+
+
+@register(
+    "pii_redaction_stats",
+    oracle=f"""
+WITH enriched AS ({_ENRICH_SQL}),
+red AS (
+  SELECT lang, text, {_duck_redact()} AS redacted FROM enriched
+)
+SELECT lang,
+  CAST(SUM(CASE WHEN redacted <> text THEN 1 ELSE 0 END) AS BIGINT)
+    AS docs_redacted,
+  CAST(SUM(length(text) - length(redacted)) AS BIGINT) AS chars_delta,
+  CAST(SUM({_duck_count('email')
+           .replace('(text,', '(redacted,')}) AS BIGINT)
+    AS residual_email
+FROM red GROUP BY lang ORDER BY lang
+""",
+    doc="PII redaction round trip: every match replaced with its class "
+    "token (chained regexp_replace — one codegen projection), then "
+    "per-language counts of altered docs, net length change, and "
+    "residual email matches (zero by construction: the oracle "
+    "recomputes all three from its own 'g'-flagged replacements, so "
+    "an under-redaction on either engine breaks the hash).",
+    tags=("pii", "text", "extension"),
+    extended=True,
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enriched = _enriched(spark, sf_dir)
+    red = enriched.withColumn("redacted", redact_pii(F.col("text")))
+    residual = F.regexp_count(F.col("redacted"), F.lit(PII_PATTERNS["email"]))
+    return (
+        red.groupBy("lang")
+        .agg(
+            F.sum((F.col("redacted") != F.col("text")).cast("int")).alias(
+                "docs_redacted"
+            ),
+            F.sum(F.length("text") - F.length("redacted")).alias("chars_delta"),
+            F.sum(residual).alias("residual_email"),
+        )
+        .orderBy("lang")
+    )

@@ -75,6 +75,14 @@ _EXTENDED: frozenset[str] = frozenset(
         # apply_changes shape, now committed via the manifest
         # protocol) in the gate (round-5)
         "diab_view_demographics",
+        # batch event-time window composite: its operator family
+        # (tumbling + sliding event-time windows) stays gate-covered by
+        # stream_tumbling_hourly (the streaming watermarked twin, same
+        # window semantics through a real readStream) and window_suite;
+        # its slot now carries pii_scan_stats (PII detection, a
+        # first-class LLM-pipeline family previously absent from the
+        # gate) (round-5)
+        "events_windows",
         # the gaps-and-islands SQL formulation is the oracle-identical
         # twin of the gate's events_session_native (same rows, same
         # oracle); its slot now carries dedup_components (round-4)
@@ -188,6 +196,7 @@ def all_queries(include_extended: bool = False) -> dict[str, QuerySpec]:
     from diabetes_etl_spark.plans import docsprep  # noqa: F401
     from diabetes_etl_spark.plans import samplingplans  # noqa: F401
     from diabetes_etl_spark.plans import versionedplans  # noqa: F401
+    from diabetes_etl_spark.plans import piiplans  # noqa: F401
 
     if include_extended:
         return dict(_REGISTRY)

@@ -1,0 +1,84 @@
+"""PII operators (operators/pii.py): pattern coverage, redaction
+order contract, and engine/oracle regex-dialect agreement."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.operators.pii import (
+    PII_PATTERNS,
+    REDACTION_TOKENS,
+    redact_pii,
+    with_pii_counts,
+)
+
+CASES = [
+    ("mail me at jane.doe+spam@mail.example.co today", {"email": 1}),
+    ("two mails a@b.io c.d@e-f.org", {"email": 2}),
+    ("ssn 123-45-6789 on file", {"ssn": 1}),
+    ("call 555-867-5309 or +1 444.555.6666?", {"phone": 2}),
+    ("host 192.168.0.1 and 10.0.0.255", {"ipv4": 2}),
+    ("clean text, no identifiers here", {}),
+    # phone must NOT eat an SSN (3-2-4 grouping != 3-3-4)
+    ("id 123-45-6789", {"ssn": 1, "phone": 0}),
+]
+
+
+def _spark_counts(spark, text: str) -> dict[str, int]:
+    df = spark.createDataFrame([(text,)], "text string")
+    row = with_pii_counts(df).collect()[0]
+    return {c: row[f"n_{c}"] for c in PII_PATTERNS}
+
+
+@pytest.mark.parametrize("text,expect", CASES)
+def test_detection_counts(spark, text, expect):
+    got = _spark_counts(spark, text)
+    for cls in PII_PATTERNS:
+        assert got[cls] == expect.get(cls, 0), (cls, text, got)
+
+
+@pytest.mark.parametrize("text,expect", CASES)
+def test_python_re_agrees_with_spark(spark, text, expect):
+    """The patterns are written in the Java-regex ∩ RE2 common subset;
+    Python's re engine is a third dialect — agreement across all three
+    is the portability contract the module docstring promises."""
+    got = _spark_counts(spark, text)
+    for cls, pat in PII_PATTERNS.items():
+        assert len(re.findall(pat, text)) == got[cls], (cls, text)
+
+
+def test_redaction_replaces_all_and_is_idempotent(spark):
+    text = (
+        "jane@example.com met 123-45-6789 at 10.1.2.3, "
+        "call 555-123-4567 or mail bob@corp.net"
+    )
+    df = spark.createDataFrame([(text,)], "text string")
+    once = df.select(redact_pii(F.col("text")).alias("r")).collect()[0].r
+    for tok in REDACTION_TOKENS.values():
+        assert tok in once
+    for pat in PII_PATTERNS.values():
+        assert not re.search(pat, once), (pat, once)
+    twice = (
+        spark.createDataFrame([(once,)], "text string")
+        .select(redact_pii(F.col("text")).alias("r"))
+        .collect()[0]
+        .r
+    )
+    assert twice == once
+
+
+def test_duckdb_dialect_agrees(duck):
+    """Every pattern must compile and match identically under RE2
+    (DuckDB) — the oracle-side engine for the registered queries."""
+    text = (
+        "jane@example.com met 123-45-6789 at 10.1.2.3, call 555-123-4567"
+    )
+    for cls, pat in PII_PATTERNS.items():
+        esc = pat.replace("'", "''")
+        n = duck.execute(
+            f"SELECT len(regexp_extract_all('{text}', '{esc}'))"
+        ).fetchone()[0]
+        assert n == len(re.findall(pat, text)), cls
