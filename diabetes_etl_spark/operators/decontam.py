@@ -1,0 +1,89 @@
+"""Benchmark decontamination: flag (or drop) corpus documents that
+share any n-token shingle with a benchmark/eval set — the standard
+"test-set leakage" scrub a training corpus goes through before
+tokenization (the GPT-3/PaLM papers' 8-13-gram overlap rule).
+
+Shape (100 TB lens): the benchmark side is SMALL (eval sets are
+thousands of documents — millions of distinct n-grams at most), the
+corpus side is the 100 TB.  So:
+
+- benchmark → distinct shingles, broadcast (`F.broadcast`): the big
+  side never shuffles;
+- corpus → explode its per-doc distinct shingles and inner-join the
+  broadcast set: a row survives only on a hit, so the post-join
+  volume is proportional to CONTAMINATION, not corpus size;
+- per-doc hit counts aggregate on doc id (the only shuffle, carrying
+  (id, n_hits) longs for contaminated docs only);
+- the final flag attaches back with a left join on id.
+
+For a benchmark too big to broadcast, pass ``broadcast=False`` and the
+gram join becomes a plain hash join on the shingle string — still one
+shuffle of (id, gram) pairs, never all-pairs.
+
+No reference counterpart (SURVEY.md §6 extension tier); shingle
+generation shares operators/text.py:word_shingles with the dedup
+family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.operators.text import word_shingles
+
+
+def benchmark_shingles(
+    benchmark: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Distinct n-token shingles of the benchmark set (one column
+    ``g``) — the contamination dictionary."""
+    return (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("g")
+        )
+        .distinct()
+    )
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    broadcast: bool = True,
+) -> DataFrame:
+    """(id, n_hit_grams) for every corpus doc sharing >= 1 shingle
+    with the benchmark.  Clean docs don't appear (join-reduced)."""
+    bench = benchmark_shingles(benchmark, text_col, n)
+    if broadcast:
+        bench = F.broadcast(bench)
+    grams = corpus.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    )
+    return (
+        grams.join(bench, "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    broadcast: bool = True,
+    drop: bool = False,
+) -> DataFrame:
+    """Corpus + ``contaminated``/``n_hit_grams`` columns (or, with
+    ``drop=True``, only the clean rows — the anti-join formulation)."""
+    hits = contamination_hits(corpus, benchmark, id_col, text_col, n, broadcast)
+    if drop:
+        return corpus.join(hits, id_col, "left_anti")
+    out = corpus.join(hits, id_col, "left")
+    return out.withColumn(
+        "n_hit_grams", F.coalesce(F.col("n_hit_grams"), F.lit(0))
+    ).withColumn("contaminated", F.col("n_hit_grams") > 0)
