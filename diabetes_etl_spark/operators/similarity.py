@@ -562,3 +562,97 @@ def lsh_topk_vectorized(
         .filter(F.col("sim_rank") <= k)
         .select("query_id", "candidate_id", "cosine_sim", "sim_rank")
     )
+
+
+# -- int8 scalar quantization -------------------------------------------------
+#
+# The memory-bandwidth path for 100 TB ANN: a per-vector symmetric
+# int8 code is 4x smaller than float32 (and its dot product is a plain
+# BIGINT sum — exact integer arithmetic, no decimal folding), so the
+# quantized corpus fits 4x more vectors per executor page and the
+# broadcast-query scoring pass moves 4x fewer bytes.  Quantization is
+# floor-based (floor(x*127/amax + 0.5)) rather than round() so the
+# Spark side and any SQL oracle produce bit-identical codes — integer
+# results end the cross-engine float-rounding question entirely.
+
+
+def with_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach `_qvec` (array<bigint> in [-127,127]) and `_amax` (the
+    per-vector scale numerator; dequant scale = _amax/127).  Zero
+    vectors are dropped (no direction — same contract as with_norm)."""
+    amax = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    )
+    base = widen(df).withColumn("_amax", amax).filter(F.col("_amax") > 0)
+    qvec = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(
+            x.cast("double") * F.lit(127.0) / F.col("_amax") + F.lit(0.5)
+        ),
+    )
+    return base.withColumn("_qvec", qvec)
+
+
+def _qdot(a: str, b: str) -> Column:
+    """Exact integer dot product of two int8 code arrays (BIGINT
+    accumulator: |x*y| <= 16129, dim * that is far inside int64)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def quantized_topk(
+    df: DataFrame,
+    query_ids: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by int8-quantized cosine: integer dot products rescaled by
+    the two vectors' dequant scales and normalized by the EXACT float
+    norms (so the only approximation is the codes themselves).
+
+    Output: query_id, candidate_id, qcos_sim, sim_rank — fully
+    deterministic (integer dots + fixed-order double rescale), so the
+    whole approximate ranking is oracle-checkable bit-for-bit, unlike
+    a float dot whose partition order leaks into the result.  Recall
+    vs the exact ranking is measured in tests/test_similarity.py."""
+    base = with_norm(with_int8(df, vec_col), vec_col)
+    queries = base.filter(query_ids).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_qvec").alias("q_qvec"),
+        F.col("_amax").alias("q_amax"),
+        F.col("_norm").alias("q_norm"),
+    )
+    cands = base.select(
+        F.col(id_col).alias("candidate_id"),
+        F.col("_qvec").alias("c_qvec"),
+        F.col("_amax").alias("c_amax"),
+        F.col("_norm").alias("c_norm"),
+    )
+    pairs = cands.crossJoin(F.broadcast(queries)).filter(
+        F.col("candidate_id") != F.col("query_id")
+    )
+    # expression shape mirrored verbatim in the SQL oracle:
+    # ((dotq * (amq * amc)) / 16129.0) / (nq * nc)
+    scored = pairs.withColumn(
+        "qcos_sim",
+        F.round(
+            (
+                _qdot("q_qvec", "c_qvec").cast("double")
+                * (F.col("q_amax") * F.col("c_amax"))
+                / F.lit(16129.0)
+            )
+            / (F.col("q_norm") * F.col("c_norm")),
+            9,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos_sim").desc(), F.col("candidate_id")
+    )
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .select("query_id", "candidate_id", "qcos_sim", "sim_rank")
+    )

@@ -362,3 +362,70 @@ def sim_lsh_topk_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(
         emb, F.col("vec_id") < 10, k=5, n_bits=6, dim=64, n_tables=8
     )
+
+
+# int8-quantized approximate top-k: integer codes are bit-identical
+# across engines (floor-based quantization), so even the APPROXIMATE
+# ranking is exactly oracle-paired — the oracle rebuilds the codes,
+# integer dots, and the same fixed-order rescale in DuckDB.
+_QUANT_ORACLE = f"""
+WITH {_D_NORMS},
+amax AS (
+  SELECT vec_id,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS am
+  FROM embeddings
+),
+qv AS (
+  SELECT e.vec_id, a.am,
+    list_transform(e.embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / a.am + 0.5) AS BIGINT)) AS q
+  FROM embeddings e JOIN amax a USING (vec_id) WHERE a.am > 0
+),
+pairs AS (
+  SELECT q1.vec_id AS query_id, c.vec_id AS candidate_id,
+         q1.q AS qq, c.q AS cq, q1.am AS qam, c.am AS cam
+  FROM qv q1 JOIN qv c ON q1.vec_id < 10 AND c.vec_id != q1.vec_id
+),
+updot AS (
+  SELECT query_id, candidate_id, unnest(qq) AS x, unnest(cq) AS y FROM pairs
+),
+dots AS (
+  SELECT query_id, candidate_id, SUM(x * y) AS dotq
+  FROM updot GROUP BY query_id, candidate_id
+),
+scored AS (
+  SELECT d.query_id, d.candidate_id,
+    ROUND((CAST(d.dotq AS DOUBLE) * (p.qam * p.cam) / 16129.0)
+          / (nq.nrm * nc.nrm), 9) AS qcos_sim
+  FROM dots d
+  JOIN (SELECT DISTINCT query_id, candidate_id, qam, cam FROM pairs) p
+    ON d.query_id = p.query_id AND d.candidate_id = p.candidate_id
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nc ON d.candidate_id = nc.vec_id
+)
+SELECT query_id, candidate_id, qcos_sim, CAST(rn AS INT) AS sim_rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY qcos_sim DESC, candidate_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+@register(
+    "sim_quantized_topk",
+    oracle=_QUANT_ORACLE,
+    doc="int8-quantized cosine top-5 for 10 queries "
+    "(operators/similarity.py:quantized_topk): per-vector symmetric "
+    "codes (floor(x*127/amax+0.5)), exact BIGINT dot products, "
+    "fixed-order double rescale — the 4x-less-bandwidth scale path "
+    "for broadcast-query ANN scoring, deterministic enough to be "
+    "hash-compared against a full DuckDB replay of the quantization "
+    "itself.  Recall vs the exact ranking keeps a floor in "
+    "tests/test_similarity.py.",
+    tags=("similarity", "quantization", "extension"),
+    extended=True,
+)
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.quantized_topk(emb, F.col("vec_id") < 10, k=5)
