@@ -30,8 +30,12 @@ can and cannot decode):
   over the DECODED little-endian sample bytes.
 - ``audio/mpeg`` — frame-HEADER probe (MPEG-1 Layer III sync walk:
   bitrate/sample-rate tables, channel mode, frame count — the
-  metadata a routing/budgeting stage needs).  Sample decode, ogg, and
-  video stay behind NotImplementedError: they need codec libraries
+  metadata a routing/budgeting stage needs).
+- ``video/mp4`` — ISO-BMFF container probe (ISO/IEC 14496-12 box
+  walk, largesize/to-end aware: ftyp/moov/mvhd/tkhd/mdhd/hdlr →
+  duration, track geometry, video/audio track counts).
+  Compressed SAMPLE decode (mp3/ogg audio, any video codec) stays
+  behind NotImplementedError: it needs codec libraries
   (libmp3lame/ffmpeg) this container lacks, and faking a decode would
   be dishonest.
 """
@@ -1009,3 +1013,227 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def extract_features(assets: DataFrame) -> DataFrame:
     """Arrow-batched decode + featurize over the binary payloads."""
     return assets.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+
+
+# -- ISO-BMFF (MP4) container probe -----------------------------------------
+#
+# Public-spec structures (ISO/IEC 14496-12): box = 4-byte big-endian
+# size + 4-byte type (+ 8-byte largesize when size == 1; size == 0
+# means to-end-of-file).  Header/metadata only — the moov tree carries
+# duration, track geometry, and handler types without touching a
+# codec, which is exactly the metadata a routing/budgeting stage needs
+# at 100 TB.  Frame/sample decode stays behind NotImplementedError
+# (needs ffmpeg-class codecs this container lacks).
+
+
+def _box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + tag + payload
+
+
+def _fixed_16_16(v: int) -> bytes:
+    return struct.pack(">I", (v & 0xFFFF) << 16)
+
+
+_MP4_MATRIX = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+
+def mp4_bytes(
+    width: int,
+    height: int,
+    duration_ms: int,
+    with_audio: bool = False,
+    timescale: int = 1000,
+) -> bytes:
+    """Build a minimal valid ISO-BMFF container (ftyp + moov with real
+    mvhd/tkhd/mdhd/hdlr boxes + an empty mdat) — a probe fixture, not
+    a playable movie (no sample tables, no codec data)."""
+    duration = duration_ms * timescale // 1000
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0
+        + struct.pack(">II", 0, 0)  # ctime/mtime
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + bytes(10)
+        + _MP4_MATRIX
+        + bytes(24)
+        + struct.pack(">I", 3),  # next track id
+    )
+
+    def trak(track_id: int, handler: bytes, w: int, h: int) -> bytes:
+        tkhd = _box(
+            b"tkhd",
+            struct.pack(">B3B", 0, 0, 0, 7)  # version 0, flags enabled
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">I", track_id)
+            + bytes(4)
+            + struct.pack(">I", duration)
+            + bytes(8)
+            + struct.pack(">hhh", 0, 0, 0x0100 if handler == b"soun" else 0)
+            + bytes(2)
+            + _MP4_MATRIX
+            + _fixed_16_16(w)
+            + _fixed_16_16(h),
+        )
+        mdhd = _box(
+            b"mdhd",
+            struct.pack(">B3x", 0)
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">II", timescale, duration)
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+        )
+        hdlr = _box(
+            b"hdlr", bytes(8) + handler + bytes(12) + b"probe\x00"
+        )
+        return _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr))
+
+    traks = trak(1, b"vide", width, height)
+    if with_audio:
+        traks += trak(2, b"soun", 0, 0)
+    moov = _box(b"moov", mvhd + traks)
+    mdat = _box(b"mdat", b"")
+    return ftyp + moov + mdat
+
+
+def _bmff_boxes(buf: bytes, start: int, end: int) -> Iterator[tuple[bytes, int, int]]:
+    """Walk (type, payload_start, payload_end) over [start, end);
+    handles largesize (size==1) and to-end (size==0) boxes; truncated
+    boxes raise ValueError."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated ISO-BMFF box header")
+        size = struct.unpack(">I", buf[pos : pos + 4])[0]
+        tag = buf[pos + 4 : pos + 8]
+        head = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated ISO-BMFF largesize header")
+            size = struct.unpack(">Q", buf[pos + 8 : pos + 16])[0]
+            head = 16
+        elif size == 0:
+            size = end - pos
+        if size < head or pos + size > end:
+            raise ValueError(f"bad ISO-BMFF box size for {tag!r}")
+        yield tag, pos + head, pos + size
+        pos += size
+
+
+def _child(buf: bytes, start: int, end: int, tag: bytes) -> tuple[int, int]:
+    for t, s, e in _bmff_boxes(buf, start, end):
+        if t == tag:
+            return s, e
+    raise ValueError(f"ISO-BMFF container missing {tag!r} box")
+
+
+def probe_mp4(payload: bytes) -> tuple[int, int, int, int, int]:
+    """(duration_ms, width, height, n_video_tracks, n_audio_tracks)
+    from the moov tree.  width/height come from the FIRST video
+    track's tkhd (16.16 fixed point); duration from mvhd via its own
+    timescale.  Raises ValueError on anything that is not a
+    well-formed ISO-BMFF container with a moov."""
+    if len(payload) < 8:
+        raise ValueError("not an ISO-BMFF container (too short)")
+    tags = [t for t, _, _ in _bmff_boxes(payload, 0, len(payload))]
+    if b"ftyp" not in tags[:1]:
+        raise ValueError("not an ISO-BMFF container (no leading ftyp)")
+    moov_s, moov_e = _child(payload, 0, len(payload), b"moov")
+    mvhd_s, mvhd_e = _child(payload, moov_s, moov_e, b"mvhd")
+    version = payload[mvhd_s]
+    if version == 1:
+        timescale, duration = struct.unpack(
+            ">IQ", payload[mvhd_s + 20 : mvhd_s + 32]
+        )
+    else:
+        timescale, duration = struct.unpack(
+            ">II", payload[mvhd_s + 12 : mvhd_s + 20]
+        )
+    if timescale == 0:
+        raise ValueError("invalid mvhd timescale 0")
+    duration_ms = duration * 1000 // timescale
+    width = height = 0
+    n_video = n_audio = 0
+    for t, s, e in _bmff_boxes(payload, moov_s, moov_e):
+        if t != b"trak":
+            continue
+        tkhd_s, tkhd_e = _child(payload, s, e, b"tkhd")
+        tk_ver = payload[tkhd_s]
+        geom_off = tkhd_e - 8  # width/height are the last 8 bytes
+        w16, h16 = struct.unpack(">II", payload[geom_off : geom_off + 8])
+        mdia_s, mdia_e = _child(payload, s, e, b"mdia")
+        hdlr_s, hdlr_e = _child(payload, mdia_s, mdia_e, b"hdlr")
+        handler = payload[hdlr_s + 8 : hdlr_s + 12]
+        if handler == b"vide":
+            n_video += 1
+            if width == 0:
+                width, height = w16 >> 16, h16 >> 16
+        elif handler == b"soun":
+            n_audio += 1
+    if n_video + n_audio == 0:
+        raise ValueError("moov contains no vide/soun tracks")
+    return duration_ms, width, height, n_video, n_audio
+
+
+def fixture_video_params(doc_id: int) -> tuple[int, int, int, bool]:
+    """Deterministic per-doc MP4 fixture geometry (mirrored in the
+    registered query's SQL oracle — keep the arithmetic in sync)."""
+    width = 16 * (2 + doc_id % 5)
+    height = 16 * (1 + doc_id % 3)
+    duration_ms = 500 + (doc_id % 100) * 40
+    with_audio = doc_id % 2 == 1
+    return width, height, duration_ms, with_audio
+
+
+def attach_video_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Executor-side producer of real ISO-BMFF payloads (geometry a
+    pure function of doc_id), Arrow-batched — the video twin of
+    attach_media_payloads."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def produce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h, dur, audio = fixture_video_params(doc_id)
+                payload = mp4_bytes(w, h, dur, with_audio=audio)
+                rows.append((doc_id, payload, "video/mp4", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "mime", "n_bytes"]
+            )
+
+    return src.mapInPandas(
+        produce,
+        schema="doc_id long, payload binary, mime string, n_bytes int",
+    )
+
+
+def probe_video_features(assets: DataFrame) -> DataFrame:
+    """mapInPandas probe over video/mp4 payloads → container metadata
+    rows (no codec, no fake frames)."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dur, w, h, nv, na = probe_mp4(bytes(payload))
+                rows.append((int(doc_id), dur, w, h, nv, na))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "duration_ms", "width", "height",
+                    "n_video_tracks", "n_audio_tracks",
+                ],
+            )
+
+    return assets.mapInPandas(
+        probe,
+        schema=(
+            "doc_id long, duration_ms long, width int, height int, "
+            "n_video_tracks int, n_audio_tracks int"
+        ),
+    )

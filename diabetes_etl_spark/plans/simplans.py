@@ -429,3 +429,46 @@ FROM (
 def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.quantized_topk(emb, F.col("vec_id") < 10, k=5)
+
+
+@register(
+    "multimodal_video_probe",
+    oracle="""
+SELECT CAST(16 * (2 + doc_id % 5) AS INT) AS width,
+  COUNT(*) AS n_docs,
+  CAST(SUM(500 + (doc_id % 100) * 40) AS BIGINT) AS total_duration_ms,
+  CAST(MAX(16 * (1 + doc_id % 3)) AS INT) AS max_height,
+  CAST(SUM(doc_id % 2) AS BIGINT) AS n_with_audio
+FROM documents
+GROUP BY 1 ORDER BY 1
+""",
+    doc="Video container probe: real ISO-BMFF payloads built "
+    "executor-side (geometry a pure function of doc_id), then the "
+    "moov tree walked back out by probe_mp4 (operators/multimodal.py "
+    "— ftyp/moov/mvhd/tkhd/mdhd/hdlr boxes, largesize-aware) and "
+    "aggregated per width class.  The oracle recomputes the same "
+    "metadata from the doc_id arithmetic — a probe that misread a "
+    "fixed-point width or a timescale would hash-mismatch.  Sample "
+    "decode stays honestly behind NotImplementedError (no codecs in "
+    "this environment).",
+    tags=("multimodal", "video", "pandas-udf", "extension"),
+    extended=True,
+)
+def multimodal_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.multimodal import (
+        attach_video_payloads,
+        probe_video_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    probed = probe_video_features(attach_video_payloads(docs))
+    return (
+        probed.groupBy("width")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("duration_ms").alias("total_duration_ms"),
+            F.max("height").alias("max_height"),
+            F.sum("n_audio_tracks").alias("n_with_audio"),
+        )
+        .orderBy("width")
+    )

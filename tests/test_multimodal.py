@@ -432,3 +432,65 @@ def test_extract_features_mixed_corpus(spark):
             assert r.width is None
             assert r.byte_len == len(f"some text {i}")
             assert r.n_space == 2
+
+
+# -- ISO-BMFF (MP4) probe ----------------------------------------------------
+
+
+def test_mp4_probe_round_trips_builder_metadata():
+    from diabetes_etl_spark.operators.multimodal import mp4_bytes, probe_mp4
+
+    p = mp4_bytes(640, 360, 2500, with_audio=True)
+    assert probe_mp4(p) == (2500, 640, 360, 1, 1)
+    assert probe_mp4(mp4_bytes(64, 48, 500)) == (500, 64, 48, 1, 0)
+
+
+def test_mp4_probe_handles_largesize_and_to_end_boxes():
+    import struct
+
+    from diabetes_etl_spark.operators.multimodal import mp4_bytes, probe_mp4
+
+    p = mp4_bytes(320, 240, 1000)
+    # rewrite the trailing mdat as a largesize box, then append a
+    # size==0 (to-end) free box — both must walk cleanly
+    assert p.endswith(struct.pack(">I", 8) + b"mdat")
+    body = p[:-8]
+    large_mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16)
+    to_end_free = struct.pack(">I", 0) + b"free" + b"xx"
+    assert probe_mp4(body + large_mdat + to_end_free) == (1000, 320, 240, 1, 0)
+
+
+def test_mp4_probe_rejects_malformed():
+    import pytest
+
+    from diabetes_etl_spark.operators.multimodal import mp4_bytes, probe_mp4
+
+    with pytest.raises(ValueError):
+        probe_mp4(b"\x00\x00")  # too short
+    with pytest.raises(ValueError):
+        probe_mp4(b"\x00\x00\x00\x08mdat")  # no ftyp
+    good = mp4_bytes(64, 48, 500)
+    with pytest.raises(ValueError):
+        probe_mp4(good[: len(good) // 2])  # truncated box
+    # moov-less container
+    ftyp_only = good[:24]
+    with pytest.raises(ValueError):
+        probe_mp4(ftyp_only)
+
+
+def test_video_payload_plumbing(spark):
+    from diabetes_etl_spark.operators.multimodal import (
+        attach_video_payloads,
+        fixture_video_params,
+        probe_video_features,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    out = {r.doc_id: r for r in probe_video_features(
+        attach_video_payloads(docs)
+    ).collect()}
+    for i in range(8):
+        w, h, dur, audio = fixture_video_params(i)
+        r = out[i]
+        assert (r.width, r.height, r.duration_ms) == (w, h, dur)
+        assert r.n_audio_tracks == (1 if audio else 0)
