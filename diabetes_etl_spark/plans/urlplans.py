@@ -1,0 +1,101 @@
+"""Registered URL-analytics query: deterministic per-doc URLs built
+from doc_id/source/lang arithmetic (the fixture corpus carries no
+organic URLs), parsed back apart with Spark's native ``parse_url`` and
+the public-suffix-aware registrable-domain rule
+(operators/urls.py), then aggregated per domain.
+
+Oracle design: DuckDB has no parse_url, so the oracle derives the
+expected host/domain/ref DIRECTLY from the same doc_id arithmetic that
+built the URL string — an independent path to the same answer, which
+is exactly what makes it a real check on the parser (a parse_url
+misread of host or query param would hash-mismatch).
+
+The URL shape varies by doc_id so the parser faces real variety:
+- tld cycles com / org / co.uk (the last exercising the multi-label
+  public-suffix rule);
+- every third doc gains a subdomain (www. / cdn.);
+- every fifth doc gains a port (:8080) — which HOST must strip;
+- ref query param present on even doc_ids only (NULL otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.operators.urls import with_url_parts
+from diabetes_etl_spark.plans.registry import register
+from diabetes_etl_spark.sources.tables import load_table
+
+
+def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    tld = (
+        F.when(did % 3 == 0, ".com")
+        .when(did % 3 == 1, ".org")
+        .otherwise(".co.uk")
+    )
+    sub = (
+        F.when(did % 3 == 0, "www.")
+        .when(did % 3 == 1, "cdn.")
+        .otherwise("")
+    )
+    port = F.when(did % 5 == 0, ":8080").otherwise("")
+    ref = F.when(did % 2 == 0, F.concat(F.lit("?ref="), F.col("lang"))).otherwise(
+        F.lit("")
+    )
+    url = F.concat(
+        F.lit("https://"),
+        sub,
+        F.col("source"),
+        tld,
+        port,
+        F.lit("/docs/"),
+        did.cast("string"),
+        ref,
+    )
+    return docs.select("doc_id", "lang", "source", url.alias("url"))
+
+
+@register(
+    "url_domain_stats",
+    oracle="""
+WITH parts AS (
+  SELECT doc_id, lang,
+    source || CASE WHEN doc_id % 3 = 0 THEN '.com'
+                   WHEN doc_id % 3 = 1 THEN '.org'
+                   ELSE '.co.uk' END AS domain,
+    CASE WHEN doc_id % 2 = 0 THEN lang ELSE NULL END AS ref
+  FROM documents
+)
+SELECT domain,
+  COUNT(*) AS n_urls,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN ref IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_with_ref,
+  COUNT(DISTINCT ref) AS n_ref_values
+FROM parts GROUP BY domain ORDER BY domain
+""",
+    doc="Per-registrable-domain URL stats: URLs synthesized from "
+    "doc_id arithmetic (subdomains, ports, co.uk suffixes, optional "
+    "query params), parsed with native parse_url + the multi-label "
+    "public-suffix rule, aggregated per domain.  The oracle derives "
+    "the expected parts from the generator arithmetic — an "
+    "independent path that catches parser misreads.  Scan-local "
+    "projection + one aggregate shuffle on domain.",
+    tags=("url", "text", "extension"),
+    extended=True,
+)
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = with_url_parts(_urls(spark, sf_dir))
+    return (
+        parts.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(F.col("ref").isNotNull().cast("int")).alias("n_with_ref"),
+            F.countDistinct("ref").alias("n_ref_values"),
+        )
+        .orderBy("domain")
+    )
