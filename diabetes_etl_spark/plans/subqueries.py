@@ -180,3 +180,41 @@ register(
     tags=("subquery", "correlated", "scalar", "extension"),
     extended=True,
 )(_sql_query(_SCALAR_PER_SUPPLIER_SQL, ("supplier", "lineitem")))
+
+
+_WAITING_SUPPLIER_SQL = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+register(
+    "subq_waiting_suppliers",
+    oracle=_WAITING_SUPPLIER_SQL,
+    doc="TPC-H q21 shape (adapted: lateness is shipdate > orderdate + "
+    "60 days — the fixture has no receipt/commit dates): suppliers "
+    "who were the SOLE late shipper on finished multi-supplier "
+    "orders.  The hardest decorrelation in the suite: an EXISTS and a "
+    "NOT EXISTS over the SAME fact table, both correlated on "
+    "l_orderkey with an extra inequality on suppkey, and the NOT "
+    "EXISTS additionally referencing o_orderdate from a DIFFERENT "
+    "outer table.  Catalyst plans both as one-pass semi/anti hash "
+    "joins on orderkey (lineitem scanned three times but never "
+    "row-multiplied; at 100 TB each pass is scan + one shuffle, vs "
+    "the per-row-subquery disaster a naive evaluation would be).",
+    tags=("subquery", "exists", "not-exists", "extension"),
+    extended=True,
+)(_sql_query(_WAITING_SUPPLIER_SQL, ("supplier", "lineitem", "orders")))

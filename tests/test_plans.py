@@ -172,3 +172,13 @@ def test_q19_disjunction_stays_single_join(spark, sf_dir):
     part_scans = len(re.findall(r"FileScan parquet[^\n]*part\.", plan))
     assert li_scans == 1 and part_scans == 1
     assert "CartesianProduct" not in plan
+
+
+def test_q21_decorrelates_both_subqueries(spark, sf_dir):
+    """q21's EXISTS and NOT EXISTS must both become hash semi/anti
+    joins — no nested-loop, no cartesian, no row multiplication."""
+    plan = _plan(spark, sf_dir, "subq_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(o_orderstatus,F)" in plan
