@@ -296,6 +296,56 @@ class VersionedTable:
             return hi > lit
         return hi >= lit
 
+    def merge(self, updates: DataFrame, key_col: str) -> int:
+        """Upsert by key (Delta MERGE WHEN MATCHED UPDATE / WHEN NOT
+        MATCHED INSERT, whole-row semantics): rewrite ONLY the files
+        whose recorded [min,max] range of ``key_col`` overlaps the
+        batch's key envelope — every other file carries over by
+        reference.  At 100 TB this is the difference between
+        rewriting a partition's worth of files and rewriting the
+        table: cost ∝ files-overlapping-batch, not table size.
+
+        Driver-side state is two scalars (the batch's min/max key —
+        one agg, no row collect).  ``updates`` must carry one row per
+        key (pre-dedup upstream: CDC winners, aggregation output).
+        Conflicts surface as ConcurrentCommitError (a merge read the
+        table state, so a blind retry could lose a concurrent
+        writer's rows)."""
+        from pyspark.sql import functions as F
+
+        ver, doc = self._latest()
+        if doc is None:
+            files = self._write_data(updates)
+            return self._commit("merge", files, ver, updates.schema.json())
+        if key_col not in self.stats_cols:
+            raise ValueError(
+                f"merge key {key_col!r} must be in stats_cols={self.stats_cols} "
+                "(file pruning is the point of file-granularity merge)"
+            )
+        env = updates.agg(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).first()
+        lo, hi = env["lo"], env["hi"]
+        if lo is None:
+            return self._commit("merge", doc["files"], ver, doc["schema"])
+        keep, rewrite = [], []
+        for entry in doc["files"]:
+            st = entry.get("stats", {}).get(key_col)
+            if st is None or not (st[1] < lo or st[0] > hi):
+                rewrite.append(entry)
+            else:
+                keep.append(entry)
+        new_files = list(self._write_data(updates))
+        if rewrite:
+            paths = [os.path.join(self.path, e["path"]) for e in rewrite]
+            survivors = self.spark.read.parquet(*paths).join(
+                updates.select(key_col), key_col, "left_anti"
+            )
+            new_files += self._write_data(
+                survivors.select(*updates.columns)
+            )
+        return self._commit("merge", keep + new_files, ver, doc["schema"])
+
     def rollback(self, version: int) -> int:
         """Restore an old version as a NEW commit (Delta RESTORE)."""
         ver, _ = self._latest()

@@ -164,3 +164,49 @@ def test_schema_preserved_across_empty_prune(spark, vt):
     out = vt.read(between=("k", 1000, 2000))
     assert out.columns == ["k", "v"]
     assert out.count() == 0
+
+
+def test_merge_upserts_and_carries_untouched_files(spark, vt):
+    """Keys 150-159 update in place + 300-309 insert; the 0-99 file's
+    range is disjoint from the batch envelope so it must survive BY
+    REFERENCE (same manifest path, no rewrite)."""
+    vt.overwrite(_df(spark, 0, 100).repartition(1))
+    vt.append(_df(spark, 100, 200).repartition(1))
+    _, before = vt._latest()
+    low_file = {e["path"] for e in before["files"] if e["stats"]["k"][1] < 100}
+    assert len(low_file) == 1
+    updates = spark.range(150, 160).select(
+        F.col("id").alias("k"), F.lit(-1).alias("v")
+    ).unionByName(
+        spark.range(300, 310).select(F.col("id").alias("k"), F.lit(-2).alias("v"))
+    )
+    vt.merge(updates, "k")
+    _, after = vt._latest()
+    assert low_file <= {e["path"] for e in after["files"]}
+    out = vt.read()
+    assert out.count() == 210
+    assert out.filter(F.col("v") == -1).count() == 10
+    assert out.filter(F.col("v") == -2).count() == 10
+    # unmatched rows in the overlapping file kept their values
+    assert out.filter((F.col("k") == 120) & (F.col("v") == 240)).count() == 1
+    # pre-merge version still readable (time travel unaffected)
+    assert vt.read(version_as_of=2).filter(F.col("v") < 0).count() == 0
+
+
+def test_merge_into_empty_table_is_insert(spark, vt):
+    vt.merge(_df(spark, 0, 5), "k")
+    assert vt.read().count() == 5
+
+
+def test_merge_requires_stats_on_key(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "nostats"))
+    vt.overwrite(_df(spark, 0, 5))
+    with pytest.raises(ValueError):
+        vt.merge(_df(spark, 0, 2), "k")
+
+
+def test_merge_empty_batch_is_noop_commit(spark, vt):
+    vt.overwrite(_df(spark, 0, 5))
+    vt.merge(_df(spark, 0, 0), "k")
+    assert vt.read().count() == 5
+    assert vt.history()[0].operation == "merge"
