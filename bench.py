@@ -46,6 +46,9 @@ HEADLINE = [
     "sim_lsh_topk",
     "text_quality_by_lang",
     "text_repetition_signals",
+    # round-5 LLM-pipeline families: PII scan (gate) + decontamination
+    "pii_scan_stats",
+    "decontam_overlap_stats",
     # E2E training-data prep composite (dedup -> near-dup -> quality ->
     # token budget) — the nightly-corpus-pipeline headline
     "docs_prep_pipeline",
