@@ -21,7 +21,18 @@ oracle-paired query per shape:
 - q14 (adapted): promo revenue share — two conditional sums over a
   part join, one output row;
 - q19 (adapted): disjunctive (OR-of-ANDs) brand/size/quantity
-  predicate over a part join — the pushdown-through-OR shape.
+  predicate over a part join — the pushdown-through-OR shape;
+- q6: pure filtered global aggregate (the pushdown benchmark);
+- q9 (adapted): per-nation/year profit for a LIKE part family (no
+  partsupp in the fixture, so profit is discounted revenue);
+- q13: customer order-count distribution — filter INSIDE an outer
+  join + double aggregate with COUNT(col) null semantics;
+- q15: top supplier — a CTE consumed twice (join + scalar MAX).
+
+With plans/relational.py (q1/q3/q5) and plans/subqueries.py
+(q4/q16/q17/q18/q21/q22 + q2-flavor), every TPC-H query shape the
+fixture schema can express is covered; q11/q20 need partsupp and are
+omitted rather than faked.
 
 Scale notes (100 TB lens): every query here joins facts on their
 natural keys (one hash shuffle each, AQE re-plans to broadcast when a
@@ -295,3 +306,132 @@ register(
     tags=("join", "filter", "extension"),
     extended=True,
 )(_sql_query(_Q19_SQL, ("lineitem", "part")))
+
+
+# ---------------------------------------------------------------------------
+# q6: forecast revenue change (pure filter + global agg — the pushdown
+# benchmark: every predicate reaches the scan, no join, no group key).
+# ---------------------------------------------------------------------------
+
+_Q6_SQL = f"""
+SELECT {sql_dec_sum("l_extendedprice * l_discount", 4)} AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+register(
+    "q6_forecast_revenue",
+    oracle=_Q6_SQL,
+    doc="TPC-H q6 shape: revenue impact of discount elimination — a "
+    "pure filtered global aggregate.  All four predicates push into "
+    "the parquet scan (shipdate range + discount range + quantity), "
+    "so the scan skips row groups on footer stats before a zero-key "
+    "partial/final aggregate whose shuffle is one row per task.",
+    tags=("agg", "filter", "global", "extension"),
+    extended=True,
+)(_sql_query(_Q6_SQL, ("lineitem",)))
+
+
+# ---------------------------------------------------------------------------
+# q9 (adapted): profit by supplier nation and year for one part family.
+# ---------------------------------------------------------------------------
+
+_Q9_SQL = f"""
+SELECT nation, o_year, {sql_dec_sum("amount", 4)} AS profit
+FROM (
+  SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+register(
+    "q9_product_profit",
+    oracle=_Q9_SQL,
+    doc="TPC-H q9 shape (adapted: the fixture has no partsupp, so "
+    "profit is discounted revenue without supply cost): per-nation "
+    "per-year profit for parts matching a LIKE family.  The LIKE "
+    "filter prunes part BEFORE its join (substring predicates "
+    "evaluate in the scan), nation broadcasts, and the orders join "
+    "attaches the year — grouped on two low-cardinality derived "
+    "keys, so the final shuffle is tiny.",
+    tags=("join", "agg", "extension"),
+    extended=True,
+)(_sql_query(_Q9_SQL, ("part", "lineitem", "supplier", "orders", "nation")))
+
+
+# ---------------------------------------------------------------------------
+# q13: customer order-count distribution (outer join + double aggregate).
+# ---------------------------------------------------------------------------
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+register(
+    "q13_order_count_distribution",
+    oracle=_Q13_SQL,
+    doc="TPC-H q13 shape: the distribution of per-customer order "
+    "counts, with the join-condition filter (NOT urgent) INSIDE the "
+    "outer join so zero-order customers count as 0, not disappear.  "
+    "Two aggregates: per-customer COUNT over the outer join (one "
+    "shuffle on custkey), then a re-aggregate on the tiny count "
+    "domain.  COUNT(col) vs COUNT(*) null semantics are the point — "
+    "an engine that counted null o_orderkeys would shift the 0 "
+    "bucket.",
+    tags=("join", "outer", "agg", "extension"),
+    extended=True,
+)(_sql_query(_Q13_SQL, ("customer", "orders")))
+
+
+# ---------------------------------------------------------------------------
+# q15: top supplier via CTE reused twice (agg + scalar-subquery max).
+# ---------------------------------------------------------------------------
+
+_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    {sql_dec_sum("l_extendedprice * (1 - l_discount)", 4)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+register(
+    "q15_top_supplier",
+    oracle=_Q15_SQL,
+    doc="TPC-H q15 shape: the quarter's top-revenue supplier — a CTE "
+    "consumed twice (joined to supplier AND max-reduced in a scalar "
+    "subquery).  The decimal-exact revenue makes the equality against "
+    "MAX well-defined cross-engine (a float sum here would make "
+    "'= MAX' flaky by one ulp — the reason the spec itself is wary "
+    "of q15 determinism).  One grouped aggregate over the filtered "
+    "lineitem; the 1-row max broadcasts into the filter.",
+    tags=("join", "agg", "cte", "scalar", "extension"),
+    extended=True,
+)(_sql_query(_Q15_SQL, ("lineitem", "supplier")))
