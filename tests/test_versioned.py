@@ -210,3 +210,59 @@ def test_merge_empty_batch_is_noop_commit(spark, vt):
     vt.merge(_df(spark, 0, 0), "k")
     assert vt.read().count() == 5
     assert vt.history()[0].operation == "merge"
+
+
+def test_streaming_foreachbatch_merge_into_versioned_table(spark, tmp_path, sf_dir):
+    """The streaming upsert-to-warehouse shape: foreachBatch computes
+    per-user winners and MERGEs them into a VersionedTable — the
+    manifest commit gives each micro-batch snapshot isolation, and the
+    final state equals the batch latest-row-per-key computation."""
+    from pyspark.sql.window import Window
+
+    from diabetes_etl_spark.sources.tables import (
+        load_events_stream,
+        load_table,
+    )
+
+    vt = VersionedTable(
+        spark, str(tmp_path / "user_state"), stats_cols=("user_id",)
+    )
+
+    def upsert(batch, batch_id):
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        winners = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", "event_id", "value")
+        )
+        vt.merge(winners, "user_id")
+
+    stream = load_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    q = stream.writeStream.foreachBatch(upsert).trigger(
+        availableNow=True
+    ).option(
+        "checkpointLocation", str(tmp_path / "ck")
+    ).start()
+    q.awaitTermination(120)
+
+    expect = {
+        (r.user_id, r.event_id)
+        for r in load_table(spark, sf_dir, "events")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .collect()
+    }
+    got = {(r.user_id, r.event_id) for r in vt.read().collect()}
+    assert got == expect
+    assert vt.history()[0].operation == "merge"
