@@ -709,3 +709,122 @@ def events_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# -- ordered funnel + calendar gap-fill (round 5) ---------------------------
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT stage, n_users FROM (
+  SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+  UNION ALL SELECT '2_click', COUNT(*) FROM c
+  UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+) stages
+ORDER BY stage
+"""
+
+@register(
+    "events_funnel_conversion",
+    oracle=_FUNNEL_SQL,
+    doc="Ordered funnel: users whose first view precedes a click that "
+    "precedes a purchase (strict event-time ordering, not mere "
+    "presence).  Three cascaded keyed MIN-aggregates, each a shuffle "
+    "on user_id over an ALREADY type-filtered slice (the event_type "
+    "predicate pushes into each scan), each stage's population "
+    "shrinking — the standard product-analytics shape that a "
+    "presence-only join would get wrong for users who purchased "
+    "before ever clicking.",
+    tags=("events", "analytics", "funnel", "extension"),
+    extended=True,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_FUNNEL_SQL)
+
+
+_GAPFILL_SQL = f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT strftime(s.h, '{_DUCK_FMT}') AS hour_start,
+  CAST(COALESCE(y.n, 0) AS BIGINT) AS n_purchases,
+  CAST(CASE WHEN y.n IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap,
+  CAST(SUM(COALESCE(y.n, 0)) OVER (ORDER BY s.h) AS BIGINT) AS cum_purchases
+FROM spine s LEFT JOIN hourly y ON s.h = y.h
+ORDER BY s.h
+"""
+
+@register(
+    "events_hourly_gapfill",
+    oracle=_GAPFILL_SQL,
+    doc="Calendar gap-fill: a generated hourly spine (sequence + "
+    "explode — the distributed replacement for a calendar dim table) "
+    "left-joined to per-hour purchase counts, zero-filled, with a "
+    "running cumulative sum.  The spine is O(hours) — tiny — so the "
+    "join broadcasts and the unpartitioned running-total window "
+    "orders hours, not events; the only event-sized operation is the "
+    "pushed-down filtered aggregate.  Dashboards need the explicit "
+    "zero rows (a missing hour is data, not absence of data).",
+    tags=("events", "calendar", "window", "extension"),
+    extended=True,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    hourly = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy("h")
+    return (
+        spine.join(hourly, "h", "left")
+        .select(
+            F.col("h"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_purchases"),
+            F.col("n").isNull().cast("int").alias("is_gap"),
+        )
+        .withColumn("cum_purchases", F.sum("n_purchases").over(w))
+        .select(
+            F.date_format("h", _TS_FMT).alias("hour_start"),
+            "n_purchases",
+            "is_gap",
+            "cum_purchases",
+        )
+        .orderBy("hour_start")
+    )
