@@ -1,0 +1,67 @@
+"""Column profiler (operators/profile.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.operators.profile import profile_table
+
+
+def _rows_by_col(df):
+    return {r["column"]: r for r in df.collect()}
+
+
+def test_profile_mixed_types_and_nulls(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 2.5, "ab", None),
+            (2, None, "abcd", None),
+            (None, 7.5, None, None),
+            (2, 0.0, "ab", None),
+        ],
+        "k long, x double, s string, t timestamp",
+    )
+    prof = _rows_by_col(profile_table(df))
+    assert set(prof) == {"k", "x", "s", "t"}
+    k = prof["k"]
+    assert (k.n_rows, k.n_nulls, k.n_distinct) == (4, 1, 2)
+    assert (k.min_value, k.max_value) == (1.0, 2.0)
+    assert abs(k.mean_value - (1 + 2 + 2) / 3) < 1e-6  # 6-dec fold
+    assert k.avg_length is None
+    x = prof["x"]
+    assert (x.n_nulls, x.n_distinct) == (1, 3)
+    assert (x.min_value, x.max_value) == (0.0, 7.5)
+    s = prof["s"]
+    assert s.min_value is None and s.mean_value is None
+    assert abs(s.avg_length - (2 + 4 + 2) / 3) < 1e-4  # 4-dec fold
+    t = prof["t"]
+    assert t.n_nulls == 4 and t.n_distinct == 0
+    assert t.min_value is None and t.avg_length is None
+
+
+def test_profile_single_scan(spark, sf_dir):
+    """The whole profile must come from ONE scan of the table —
+    a per-column loop of separate aggregates would scan N times."""
+    import re
+
+    from diabetes_etl_spark.sources.tables import load_table
+
+    prof = profile_table(load_table(spark, sf_dir, "part"))
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    scans = len(re.findall(r"FileScan parquet[^\n]*part\.", plan))
+    assert scans == 1, f"part scanned {scans}x"
+
+
+def test_profile_approx_close_to_exact(spark, sf_dir):
+    from diabetes_etl_spark.sources.tables import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    exact = _rows_by_col(profile_table(part))
+    approx = _rows_by_col(profile_table(part, approx=True))
+    for col in exact:
+        e, a = exact[col].n_distinct, approx[col].n_distinct
+        if e:
+            assert abs(a - e) / e <= 0.05, col
+        # everything except the distinct estimator must be identical
+        assert exact[col].n_nulls == approx[col].n_nulls
+        assert exact[col].mean_value == approx[col].mean_value
