@@ -182,3 +182,45 @@ def test_q21_decorrelates_both_subqueries(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_runtime_bloom_filter_on_shuffle_joins(spark, sf_dir):
+    """At 100 TB a selective fact⋈fact join can't broadcast either
+    side; Spark's runtime bloom-filter injection (enabled in
+    session.py's config surface) must prune the application side.
+    Asserted with broadcast disabled to simulate the
+    both-sides-too-big regime — at default thresholds the same join
+    correctly broadcasts instead (the better plan when it fits)."""
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.sources.tables import load_table
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan or "bloom" in plan.lower()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
