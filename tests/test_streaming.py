@@ -150,3 +150,31 @@ def test_stateful_profiles_accumulate_across_batches(spark, tmp_path, sf_dir):
     # at least one key emitted twice with growing count = state carried over
     emissions = snap.groupBy("user_id").count().filter("count >= 2").count()
     assert emissions > 0
+
+
+def test_transform_with_state_gated_on_protobuf(spark, sf_dir):
+    """The Spark-4 transformWithStateInPandas twin is env-gated: its
+    wire protocol needs google.protobuf, absent here (COVERAGE.md).
+    With the package present the operator runs the same profile logic
+    as the applyInPandasWithState gate query; without it, it must
+    raise the clear NotImplementedError, not the raw worker crash."""
+    from diabetes_etl_spark.sources.tables import load_events_stream
+    from diabetes_etl_spark.streaming.stateful import (
+        running_user_profiles_tws,
+        transform_with_state_available,
+    )
+
+    stream = load_events_stream(spark, sf_dir)
+    if not transform_with_state_available():
+        import pytest
+
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            running_user_profiles_tws(stream)
+        return
+    from diabetes_etl_spark.streaming.ingest import stream_snapshot
+    from diabetes_etl_spark.streaming.stateful import latest_profiles
+
+    snap = stream_snapshot(
+        spark, running_user_profiles_tws(stream), output_mode="update"
+    )
+    assert latest_profiles(snap).count() > 0
