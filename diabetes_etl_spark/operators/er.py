@@ -1,0 +1,67 @@
+"""Entity resolution: blocked fuzzy-match candidate pairs over a name
+column — the record-linkage slice of data curation (supplier/customer
+master-data dedup, catalog matching).
+
+Shape (100 TB lens): NEVER all-pairs.  Records explode into blocking
+keys (cheap derived attributes: a token, a prefix, a phonetic code);
+candidate pairs are generated only WITHIN a block through the same
+skew-safe bounded generator the LSH dedup family uses
+(operators/util.py:bounded_bucket_pairs — cap² head pairs + linear
+star edges, so one degenerate block can't go quadratic); the edit
+distance evaluates on the pair rows only.  Cost is
+sum-over-blocks(pairs), controlled by blocking-key selectivity — the
+standard ER blocking trade (recall lost only across blocks, measured
+by the block-coverage stat).
+
+Everything is native (`levenshtein`, string expressions) — no UDF; the
+distance evaluates post-join inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.operators.util import bounded_bucket_pairs
+
+
+def blocked_match_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_col: Column,
+    max_distance: int = 2,
+    cap: int = 256,
+) -> DataFrame:
+    """Canonical (id_a < id_b) candidate pairs sharing a blocking key
+    whose names are within ``max_distance`` Levenshtein edits.
+
+    Output: id_a, id_b, name_a, name_b, block, distance."""
+    base = df.select(
+        F.col(id_col).alias("_eid"),
+        F.col(name_col).alias("_ename"),
+        block_col.alias("block"),
+    )
+    pairs = bounded_bucket_pairs(
+        base.select("block", "_eid"), keys=["block"], id_col="_eid", cap=cap
+    )
+    a = base.select(
+        F.col("_eid").alias("id_a"), F.col("_ename").alias("name_a"),
+        F.col("block").alias("block"),
+    )
+    b = base.select(
+        F.col("_eid").alias("id_b"), F.col("_ename").alias("name_b"),
+        F.col("block").alias("_block_b"),
+    )
+    # re-attach names (ids only travelled through pair generation),
+    # then evaluate the distance on candidate rows only
+    pa, pb = pairs.columns[0], pairs.columns[1]
+    cand = (
+        pairs.withColumnRenamed(pa, "id_a")
+        .withColumnRenamed(pb, "id_b")
+        .join(a.drop("block"), "id_a")
+        .join(b.drop("_block_b"), "id_b")
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= max_distance)
+    )
+    return cand.select("id_a", "id_b", "name_a", "name_b", "distance")

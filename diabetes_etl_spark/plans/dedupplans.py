@@ -326,3 +326,44 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "er_fuzzy_name_pairs",
+    oracle="""
+WITH names AS (SELECT DISTINCT p_name FROM part),
+s AS (SELECT p_name, string_split(p_name, ' ')[-1] AS noun FROM names)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+  levenshtein(a.p_name, b.p_name) AS distance
+FROM s a JOIN s b ON a.noun = b.noun AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY name_a, name_b
+""",
+    doc="Entity resolution: fuzzy-matching part names within blocks "
+    "keyed on the trailing token (operators/er.py — blocked "
+    "candidates through the same skew-safe bounded pair generator as "
+    "the LSH family, native levenshtein post-join; never all-pairs).  "
+    "The name itself is the pair-canonicalization id, so Spark's "
+    "within-block ordering equals the oracle's a.p_name < b.p_name.",
+    tags=("er", "dedup", "fuzzy", "extension"),
+    extended=True,
+)
+def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.er import blocked_match_pairs
+
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    pairs = blocked_match_pairs(
+        names,
+        id_col="p_name",
+        name_col="p_name",
+        block_col=F.element_at(F.split(F.col("p_name"), " "), -1),
+        max_distance=2,
+    )
+    return (
+        pairs.select(
+            F.col("id_a").alias("name_a"),
+            F.col("id_b").alias("name_b"),
+            "distance",
+        )
+        .orderBy("name_a", "name_b")
+    )

@@ -1,0 +1,80 @@
+"""PageRank (operators/graph.py) and entity resolution
+(operators/er.py) unit tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.operators.er import blocked_match_pairs
+from diabetes_etl_spark.operators.graph import pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_pagerank_ring_is_uniform(spark):
+    """On a symmetric ring every node is structurally identical —
+    ranks must all equal 1/N exactly (decimal-folded arithmetic)."""
+    n = 6
+    ring = _edges(spark, [(i, (i + 1) % n) for i in range(n)])
+    ranks = {r.node: r.rank for r in pagerank(ring, iterations=4).collect()}
+    assert len(ranks) == n
+    assert len({round(v, 12) for v in ranks.values()}) == 1
+
+
+def test_pagerank_star_center_dominates(spark):
+    star = _edges(spark, [(0, i) for i in range(1, 8)])
+    ranks = {r.node: r.rank for r in pagerank(star, iterations=3).collect()}
+    assert ranks[0] > max(v for k, v in ranks.items() if k != 0) * 2
+
+
+def test_pagerank_mass_conserved_when_symmetric(spark):
+    """Symmetric edges leave no dangling nodes: total rank stays 1
+    (up to the 12-decimal fold)."""
+    g = _edges(spark, [(0, 1), (1, 2), (2, 3), (0, 3), (1, 3)])
+    total = sum(r.rank for r in pagerank(g, iterations=3).collect())
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_pagerank_partition_invariant(spark):
+    g = _edges(spark, [(i, (i * 7 + 1) % 20) for i in range(40)])
+    a = sorted((r.node, r.rank) for r in pagerank(g, iterations=3).collect())
+    b = sorted(
+        (r.node, r.rank)
+        for r in pagerank(
+            _edges(spark, [(i, (i * 7 + 1) % 20) for i in range(40)])
+            .repartition(13), iterations=3,
+        ).collect()
+    )
+    assert a == b  # bit-identical, not approximately
+
+
+def test_er_blocked_pairs_find_near_names(spark):
+    df = spark.createDataFrame(
+        [("red bolt",), ("ted bolt",), ("red ring",), ("blue anvil",)],
+        "name string",
+    )
+    pairs = blocked_match_pairs(
+        df,
+        id_col="name",
+        name_col="name",
+        block_col=F.element_at(F.split(F.col("name"), " "), -1),
+        max_distance=1,
+    ).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {("red bolt", "ted bolt")}
+    assert pairs[0].distance == 1
+
+
+def test_er_cross_block_pairs_never_generated(spark):
+    """'red bolt' vs 'red ring' are distance 4 but would be distance-2
+    on the adjective alone — blocking on the noun must keep them
+    apart without ever evaluating the distance."""
+    df = spark.createDataFrame(
+        [("red bolt",), ("red ring",)], "name string"
+    )
+    pairs = blocked_match_pairs(
+        df, "name", "name",
+        F.element_at(F.split(F.col("name"), " "), -1), max_distance=10,
+    ).collect()
+    assert pairs == []
