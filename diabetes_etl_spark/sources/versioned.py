@@ -215,6 +215,27 @@ class VersionedTable:
 
     # -- public API --------------------------------------------------------
 
+    def _align(self, df: DataFrame, schema_json: str) -> DataFrame:
+        """Conform ``df`` to the table schema: same column set required
+        (by name), each column cast to the committed type.  Without
+        this, a writer handing in `int` where the table holds `bigint`
+        would commit parquet files whose physical type disagrees with
+        the rest of the table — and reads would fail or succeed
+        depending on which file Spark's vectorized reader hit first."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        target = StructType.fromJson(json.loads(schema_json))
+        want = [f.name for f in target.fields]
+        if sorted(df.columns) != sorted(want):
+            raise ValueError(
+                f"schema mismatch for {self.path}: table columns {want}, "
+                f"input columns {list(df.columns)}"
+            )
+        return df.select(
+            [F.col(f.name).cast(f.dataType) for f in target.fields]
+        )
+
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table contents (CREATE OR REPLACE).  Conflicts
         with any concurrent commit: the caller decided the full new
@@ -227,6 +248,9 @@ class VersionedTable:
         """Append rows.  Data files are written ONCE; on a lost
         manifest race only the pointer recomputes (append commutes
         with committed appends)."""
+        _, doc0 = self._latest()
+        if doc0 is not None:
+            df = self._align(df, doc0["schema"])
         new_files = self._write_data(df)
         for _ in range(_retries):
             ver, doc = self._latest()
@@ -256,10 +280,15 @@ class VersionedTable:
                 rewrite.append(entry)
             else:
                 keep.append(entry)
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(doc["schema"]))
         new_files: list[dict] = []
         if rewrite:
             paths = [os.path.join(self.path, e["path"]) for e in rewrite]
-            survivors = self.spark.read.parquet(*paths).filter(~cond)
+            survivors = self.spark.read.schema(schema).parquet(*paths).filter(
+                ~cond
+            )
             new_files = self._write_data(survivors)
         return self._commit(
             "delete_where", keep + new_files, ver, doc["schema"]
@@ -322,6 +351,7 @@ class VersionedTable:
                 f"merge key {key_col!r} must be in stats_cols={self.stats_cols} "
                 "(file pruning is the point of file-granularity merge)"
             )
+        updates = self._align(updates, doc["schema"])
         env = updates.agg(
             F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
         ).first()
@@ -335,10 +365,13 @@ class VersionedTable:
                 rewrite.append(entry)
             else:
                 keep.append(entry)
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(doc["schema"]))
         new_files = list(self._write_data(updates))
         if rewrite:
             paths = [os.path.join(self.path, e["path"]) for e in rewrite]
-            survivors = self.spark.read.parquet(*paths).join(
+            survivors = self.spark.read.schema(schema).parquet(*paths).join(
                 updates.select(key_col), key_col, "left_anti"
             )
             new_files += self._write_data(
@@ -379,13 +412,15 @@ class VersionedTable:
                 if col not in e.get("stats", {})
                 or not (e["stats"][col][1] < lo or e["stats"][col][0] > hi)
             ]
-        if not files:
-            from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructType
 
-            schema = StructType.fromJson(json.loads(doc["schema"]))
+        schema = StructType.fromJson(json.loads(doc["schema"]))
+        if not files:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.path, e["path"]) for e in files]
-        df = self.spark.read.parquet(*paths)
+        # the manifest schema is authoritative — never re-inferred from
+        # whichever file the reader samples first
+        df = self.spark.read.schema(schema).parquet(*paths)
         if between is not None:
             col, lo, hi = between
             from pyspark.sql import functions as F

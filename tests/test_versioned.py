@@ -266,3 +266,29 @@ def test_streaming_foreachbatch_merge_into_versioned_table(spark, tmp_path, sf_d
     got = {(r.user_id, r.event_id) for r in vt.read().collect()}
     assert got == expect
     assert vt.history()[0].operation == "merge"
+
+
+def test_writer_type_mismatch_aligned_to_table_schema(spark, vt):
+    """The flake that motivated _align: updates carrying INT where the
+    table holds BIGINT must be cast on write, and reads must use the
+    MANIFEST schema (never per-file inference) — otherwise the table
+    works or crashes depending on which file the vectorized reader
+    samples first."""
+    vt.overwrite(_df(spark, 0, 10))  # v is bigint
+    updates = spark.range(3, 6).select(
+        F.col("id").alias("k"), F.lit(-1).alias("v")  # v is INT here
+    )
+    vt.merge(updates, "k")
+    vt.append(
+        spark.range(50, 52).select(
+            F.col("id").cast("int").alias("k"), F.lit(7).alias("v")
+        )
+    )
+    out = vt.read()
+    assert dict(out.dtypes)["v"] == "bigint"
+    assert dict(out.dtypes)["k"] == "bigint"
+    assert out.count() == 12
+    assert out.filter(F.col("v") == -1).count() == 3
+    # column-set mismatches are rejected, not silently reordered away
+    with pytest.raises(ValueError, match="schema mismatch"):
+        vt.append(spark.range(3).select(F.col("id").alias("wrong")))
