@@ -99,7 +99,9 @@ def connected_components(
     conv_marker = os.path.join(work_dir, _CONVERGED_MARKER)
     last = _last_committed_round(work_dir, max_iter)
     if os.path.exists(conv_marker) and last is not None:
-        return spark.read.parquet(_round_path(work_dir, last))
+        return spark.read.parquet(_round_path(work_dir, last)).select(
+            "id", "component"
+        )
 
     # materialize the RAW edge list first, then symmetrize FROM THE
     # PARQUET: the upstream pair pipeline (shingling, LSH, verification
@@ -141,26 +143,29 @@ def connected_components(
             labels, sym["b"] == labels["id"]
         ).groupBy("a").agg(F.min("component").alias("nbr_min"))
         out = _round_path(work_dir, k)
+        new_comp = F.least(
+            labels["component"],
+            F.coalesce(F.col("nbr_min"), labels["component"]),
+        )
+        # the convergence signal is computed INSIDE the round's write
+        # (the join is already running) and persisted as a column, so
+        # the probe below is a filter+count over the tiny label parquet
+        # — not a second join job per round; coalesce keeps the
+        # per-round file count flat (labels are two longs per node)
         (
             labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
             .select(
                 labels["id"],
-                F.least(
-                    labels["component"],
-                    F.coalesce(F.col("nbr_min"), labels["component"]),
-                ).alias("component"),
+                new_comp.alias("component"),
+                (new_comp != labels["component"]).alias("changed"),
             )
+            .coalesce(8)
             .write.mode("overwrite")
             .parquet(out)
         )
         new_labels = spark.read.parquet(out)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.select("id", "component")
         if changed == 0:
             with open(conv_marker, "w", encoding="utf-8") as fh:
                 fh.write(str(k))
