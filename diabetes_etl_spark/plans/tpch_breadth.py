@@ -435,3 +435,43 @@ register(
     tags=("join", "agg", "cte", "scalar", "extension"),
     extended=True,
 )(_sql_query(_Q15_SQL, ("lineitem", "supplier")))
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram (explicit floor arithmetic — identical IEEE ops
+# on both engines, so bucket edges can't drift cross-engine the way
+# width_bucket implementations can).
+# ---------------------------------------------------------------------------
+
+_HIST_LO, _HIST_HI, _HIST_N = 0.0, 60000.0, 12
+
+_HIST_SQL = f"""
+SELECT o_orderpriority, bucket,
+  CAST({_HIST_LO} + bucket * ({_HIST_HI} - {_HIST_LO}) / {_HIST_N} AS DOUBLE)
+    AS bucket_lo,
+  COUNT(*) AS n_orders
+FROM (
+  SELECT o_orderpriority,
+    CASE WHEN o_totalprice >= {_HIST_HI} THEN {_HIST_N}
+         ELSE CAST(floor((o_totalprice - {_HIST_LO})
+                         / (({_HIST_HI} - {_HIST_LO}) / {_HIST_N}))
+              AS BIGINT)
+    END AS bucket
+  FROM orders
+) b
+GROUP BY o_orderpriority, bucket
+ORDER BY o_orderpriority, bucket
+"""
+
+register(
+    "hist_totalprice_by_priority",
+    oracle=_HIST_SQL,
+    doc="Equi-width histogram of order totals per priority (12 "
+    "buckets, overflow clamped to the top bucket): the profiling "
+    "companion to profile_part_columns — one scan, bucket index "
+    "computed scan-side with explicit floor arithmetic (identical "
+    "IEEE evaluation on both engines), then a grouped count whose "
+    "shuffle carries priorities x buckets rows per task.",
+    tags=("agg", "histogram", "profile", "extension"),
+    extended=True,
+)(_sql_query(_HIST_SQL, ("orders",)))
