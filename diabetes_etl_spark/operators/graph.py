@@ -12,19 +12,28 @@ unlike the typical float PageRank whose result depends on reduction
 order.
 
 Scale notes (100 TB lens):
-- state per iteration is (node, rank) — two longs' worth per node,
-  never edges × anything;
-- each iteration is ONE join (edges ⋈ ranks on src — the join the
-  next aggregation needs anyway) + ONE aggregate on dst; out-degrees
-  are computed once up front and travel WITH the rank row (joined
-  once, not per iteration);
+- state per iteration is (node, rank, deg, __n) — a few longs per
+  node, never edges × anything; out-degrees are joined into the rank
+  state ONCE before the loop and then simply travel with the rank
+  row, so no per-iteration degree join and no broadcast of an
+  O(nodes) table ever happens (the iteration body is exactly ONE
+  shuffle join edges ⋈ ranks on src + ONE aggregate on dst + ONE
+  small left join back onto the node state);
+- the input edge subtree (which may be an expensive upstream
+  pipeline) is materialized to parquet once and every iteration reads
+  the parquet, so the upstream plan executes exactly once;
 - the iteration count is fixed (power iteration converges
   geometrically at damping^k; 10-20 rounds is production practice —
   web-graph PageRank, not an unbounded loop);
-- lineage is truncated per round via eager materialization of the
-  small rank table (same executor-loss-safe parquet-checkpoint
-  pattern as components.py when `checkpoint_dir` is given; plain
-  persist otherwise — ranks are O(nodes), cheap to rebuild).
+- each round's rank state is committed to ``work_dir`` as parquet
+  (``_SUCCESS`` markers are the commit protocol — the
+  executor-loss-safe pattern proven in operators/components.py):
+  lineage is truncated every round, the materialization lives in the
+  filesystem rather than executor block-manager memory, and a
+  restarted driver resumes from the last fully-written round.  When
+  ``work_dir`` is omitted a process-local temp dir is used (removed
+  at interpreter exit; the returned DataFrame reads from it, hence
+  atexit, not finally).
 
 Dangling nodes: the caller chooses — `symmetric=True` doubles each
 edge so no node dangles (undirected interpretation); with directed
@@ -35,12 +44,64 @@ exactly in the SQL oracle.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from diabetes_etl_spark.functions.numeric import dec_cast, dec_sum
 
 _SCALE = 12
+
+
+def _round_path(work_dir: str, k: int) -> str:
+    return os.path.join(work_dir, f"rank_{k:05d}")
+
+
+def _is_committed(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _pr_step(e: DataFrame, ranks: DataFrame, damping: float) -> DataFrame:
+    """One power iteration, lazily: edges ⋈ rank-state on src (deg and
+    __n already live IN the state row — no degree join, no broadcast
+    hint; AQE picks the physical join from the actual sizes), one
+    decimal-folded aggregate on dst, one left join back onto the node
+    state.  Exactly two joins total — asserted in tests/test_plans.py."""
+    contribs = (
+        e.join(
+            ranks.select(F.col("node").alias("src"), "rank", "deg"),
+            "src",
+        )
+        .select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("deg")).alias("c"),
+        )
+        .groupBy("node")
+        # fold at scale 15 (not the output's 12): a 12-decimal rank
+        # divided by a small integer degree can land EXACTLY on a
+        # 13th-decimal 5, where Spark's HALF_UP and a SQL oracle's
+        # half-even decimal casts disagree; three extra digits put
+        # the cast far below any exactly-representable tie
+        .agg(dec_sum(F.col("c"), _SCALE + 3, 38).alias("in_mass"))
+    )
+    return (
+        ranks.select("node", "deg", "__n")
+        .join(contribs, "node", "left")
+        .select(
+            "node",
+            dec_cast(
+                (1.0 - damping) / F.col("__n")
+                + damping * F.coalesce(F.col("in_mass"), F.lit(0.0)),
+                _SCALE,
+            ).alias("rank"),
+            F.col("deg"),
+            F.col("__n"),
+        )
+    )
 
 
 def pagerank(
@@ -50,70 +111,73 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     symmetric: bool = True,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` of power iteration at 12
     decimal digits.  Ranks start uniform at 1/N (N computed IN-PLAN
-    via a broadcast 1-row aggregate — no driver collect)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    if symmetric:
-        e = e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-    e = e.distinct()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    n_total = nodes.agg(F.count("*").alias("__n"))
-    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    ranks = (
-        nodes.crossJoin(F.broadcast(n_total))
-        .select(
-            "node",
-            dec_cast(F.lit(1.0) / F.col("__n"), _SCALE).alias("rank"),
-            F.col("__n"),
-        )
-        .persist()
-    )
-    ranks.count()  # materialize the base
-    for _ in range(iterations):
-        contribs = (
-            e.join(
-                ranks.select(
-                    F.col("node").alias("src"), "rank", F.col("__n")
-                ),
-                "src",
+    via a broadcast 1-row aggregate — no driver collect).
+
+    ``work_dir`` is the reliable-materialization directory (module
+    docstring): pass a durable path to make the loop resumable across
+    driver restarts; a given ``work_dir`` is one invocation's state
+    and must not be shared across different edge sets or parameters.
+    """
+    spark = edges.sparkSession
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="spark_pr_")
+        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
+    else:
+        os.makedirs(work_dir, exist_ok=True)
+
+    # materialize the (possibly expensive) edge subtree exactly once;
+    # every iteration reads this parquet, not the upstream plan
+    edge_path = os.path.join(work_dir, "edges")
+    if not _is_committed(edge_path):
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        if symmetric:
+            e = e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             )
-            .join(F.broadcast(outdeg), "src")
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("deg")).alias("c"),
-                F.col("__n"),
-            )
-            .groupBy("node", "__n")
-            # fold at scale 15 (not the output's 12): a 12-decimal rank
-            # divided by a small integer degree can land EXACTLY on a
-            # 13th-decimal 5, where Spark's HALF_UP and a SQL oracle's
-            # half-even decimal casts disagree; three extra digits put
-            # the cast far below any exactly-representable tie
-            .agg(dec_sum(F.col("c"), _SCALE + 3, 38).alias("in_mass"))
+        e.distinct().write.mode("overwrite").parquet(edge_path)
+    e = spark.read.parquet(edge_path)
+
+    last = None
+    for k in range(iterations, -1, -1):
+        if _is_committed(_round_path(work_dir, k)):
+            last = k
+            break
+    if last is None:
+        # round 0: uniform ranks, with the out-degree joined in ONCE —
+        # from here on deg travels with the rank row
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
         )
-        new_ranks = (
-            ranks.select("node", "__n")
-            .join(contribs.select("node", "in_mass"), "node", "left")
+        n_total = nodes.agg(F.count("*").alias("__n"))
+        outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        (
+            nodes.crossJoin(F.broadcast(n_total))
+            .join(outdeg, nodes["node"] == outdeg["src"], "left")
             .select(
                 "node",
-                dec_cast(
-                    (1.0 - damping) / F.col("__n")
-                    + damping * F.coalesce(F.col("in_mass"), F.lit(0.0)),
-                    _SCALE,
-                ).alias("rank"),
+                dec_cast(F.lit(1.0) / F.col("__n"), _SCALE).alias("rank"),
+                F.col("deg"),
                 F.col("__n"),
             )
-            .persist()
+            .coalesce(8)
+            .write.mode("overwrite")
+            .parquet(_round_path(work_dir, 0))
         )
-        new_ranks.count()  # materialize before unpersisting the parent
-        ranks.unpersist()
-        ranks = new_ranks
+        last = 0
+    ranks = spark.read.parquet(_round_path(work_dir, last))
+
+    for k in range(last + 1, iterations + 1):
+        (
+            _pr_step(e, ranks, damping)
+            .coalesce(8)
+            .write.mode("overwrite")
+            .parquet(_round_path(work_dir, k))
+        )
+        ranks = spark.read.parquet(_round_path(work_dir, k))
     return ranks.select("node", "rank")

@@ -78,3 +78,30 @@ def test_er_cross_block_pairs_never_generated(spark):
         F.element_at(F.split(F.col("name"), " "), -1), max_distance=10,
     ).collect()
     assert pairs == []
+
+
+def test_pagerank_work_dir_resume_bit_identical(spark, tmp_path):
+    """Driver-restart resume: a run interrupted after round 1 (simulated
+    by invoking with iterations=1 into a durable work_dir, plus a junk
+    uncommitted round-2 directory standing in for a partial write)
+    resumes from the last _SUCCESS-committed round and lands on ranks
+    bit-identical to an uninterrupted run."""
+    g = [(i, (i * 7 + 1) % 20) for i in range(40)]
+    full = sorted(
+        (r.node, r.rank)
+        for r in pagerank(
+            _edges(spark, g), iterations=3, work_dir=str(tmp_path / "full")
+        ).collect()
+    )
+    wd = tmp_path / "resume"
+    pagerank(_edges(spark, g), iterations=1, work_dir=str(wd)).collect()
+    partial = wd / "rank_00002"
+    partial.mkdir()
+    (partial / "part-junk.parquet").write_bytes(b"not parquet")
+    resumed = sorted(
+        (r.node, r.rank)
+        for r in pagerank(
+            _edges(spark, g), iterations=3, work_dir=str(wd)
+        ).collect()
+    )
+    assert resumed == full

@@ -224,3 +224,23 @@ def test_runtime_bloom_filter_on_shuffle_joins(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter."
             "applicationSideScanSizeThreshold"
         )
+
+
+def test_pagerank_step_two_joins_degree_in_state_no_hints(spark):
+    """The scale contract for pagerank's iteration body: the out-degree
+    travels IN the rank state, so one step is exactly two joins
+    (edges ⋈ state, state ⋈ contribs) with NO per-iteration degree
+    join and NO explicit broadcast hint — AQE picks the physical join
+    from the actual sizes."""
+    from diabetes_etl_spark.operators.graph import _pr_step
+
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    state = spark.createDataFrame(
+        [(1, 0.5, 1, 2), (2, 0.5, 1, 2)],
+        "node long, rank double, deg long, __n long",
+    )
+    step = _pr_step(e, state, 0.85)
+    optimized = step._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("Join") == 2
+    analyzed = step._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "hint" not in analyzed.lower()
