@@ -63,11 +63,11 @@ from diabetes_etl_spark.streaming.cdc import ConcurrentCommitError
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "_data"
 
-# Parquet logical types whose min/max footer stats are safely ordered
-# (strings are too — pyarrow surfaces them as python str — but float
-# NaN handling and truncated binary stats make them weaker; start with
-# the numeric/temporal kinds the pruning predicates target).
-_STATS_OK = ("int", "double", "float", "timestamp", "date", "string")
+# Arrow type-name prefixes whose parquet min/max footer stats are
+# safely ordered for pruning; consulted by _write_data — a stats_col
+# of any other type (binary, nested, decimal's raw-bytes edge cases)
+# records NO stats, so its files are conservatively never pruned.
+_STATS_OK = ("int", "uint", "double", "float", "timestamp", "date", "string", "large_string")
 
 
 @dataclass(frozen=True)
@@ -169,11 +169,16 @@ class VersionedTable:
             md = pq.read_metadata(full)
             stats: dict[str, list] = {}
             if self.stats_cols:
-                schema_names = md.schema.to_arrow_schema().names
+                arrow_schema = md.schema.to_arrow_schema()
+                schema_names = arrow_schema.names
                 for col in self.stats_cols:
                     if col not in schema_names:
                         continue
                     idx = schema_names.index(col)
+                    if not str(arrow_schema.field(idx).type).startswith(
+                        _STATS_OK
+                    ):
+                        continue
                     lo, hi = None, None
                     for rg in range(md.num_row_groups):
                         st = md.row_group(rg).column(idx).statistics
@@ -286,8 +291,12 @@ class VersionedTable:
         new_files: list[dict] = []
         if rewrite:
             paths = [os.path.join(self.path, e["path"]) for e in rewrite]
+            # SQL DELETE semantics: a row is deleted only when the
+            # predicate is TRUE — NULL-evaluating rows survive (a bare
+            # filter(~cond) would silently drop them, and only in the
+            # files selected for rewrite)
             survivors = self.spark.read.schema(schema).parquet(*paths).filter(
-                ~cond
+                ~cond | cond.isNull()
             )
             new_files = self._write_data(survivors)
         return self._commit(
@@ -379,6 +388,48 @@ class VersionedTable:
             )
         return self._commit("merge", keep + new_files, ver, doc["schema"])
 
+    def compact(
+        self, target_bytes: int = 128 * 1024 * 1024, min_files: int = 2
+    ) -> int | None:
+        """Small-file compaction (the other half of Delta's OPTIMIZE,
+        which the reference's ``autoOptimize`` TBLPROPERTIES implies —
+        /root/reference/src/diabetes_etl_pipeline.py:49-52): rewrite
+        every data file smaller than ``target_bytes`` into
+        ceil(total/target) coalesced files, committed as a NEW version
+        whose contents are row-identical.  Time travel is untouched —
+        old manifests still reference the old small files, which stay
+        on disk until ``vacuum`` retires those versions.
+
+        Returns the new version, or ``None`` when fewer than
+        ``min_files`` files are under the threshold (nothing to do —
+        no empty commits).  Like overwrite/delete, a lost manifest
+        race surfaces as ConcurrentCommitError: compaction read the
+        file list, so a blind retry could drop a concurrent commit.
+
+        Scale notes: the small-file set is chosen driver-side from
+        manifest metadata (no listing, no data read); the rewrite
+        reads ONLY the small files.  Big files carry over by
+        reference, so cost ∝ small-file bytes, not table size.
+        """
+        ver, doc = self._latest()
+        if doc is None:
+            raise ValueError(f"table {self.path} has no committed version")
+        small = [e for e in doc["files"] if e["bytes"] < target_bytes]
+        if len(small) < min_files:
+            return None
+        keep = [e for e in doc["files"] if e["bytes"] >= target_bytes]
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(doc["schema"]))
+        paths = [os.path.join(self.path, e["path"]) for e in small]
+        total = sum(e["bytes"] for e in small)
+        n_out = max(1, -(-total // target_bytes))  # ceil
+        merged = self.spark.read.schema(schema).parquet(*paths).coalesce(
+            n_out
+        )
+        new_files = self._write_data(merged)
+        return self._commit("compact", keep + new_files, ver, doc["schema"])
+
     def rollback(self, version: int) -> int:
         """Restore an old version as a NEW commit (Delta RESTORE)."""
         ver, _ = self._latest()
@@ -458,7 +509,16 @@ class VersionedTable:
         data dirs no retained manifest references.  Order matters for
         crash-safety: manifests go first (so no retained version can
         ever reference a deleted file); a crash after that leaves only
-        orphan data dirs, which the next vacuum reaps."""
+        orphan data dirs, which the next vacuum reaps.
+
+        ``keep_last`` must be >= 1: the current version is never
+        removable (Delta's VACUUM has the same floor) — keep_last=0
+        would delete every manifest and then reap ALL data."""
+        if keep_last < 1:
+            raise ValueError(
+                f"keep_last must be >= 1 (got {keep_last}): vacuum never "
+                "removes the current version"
+            )
         ver, _ = self._latest()
         mdir = self._mdir()
         if not os.path.isdir(mdir):
@@ -468,7 +528,7 @@ class VersionedTable:
             for n in os.listdir(mdir)
             if n.startswith("v") and n.endswith(".json")
         )
-        for name in names[:-keep_last] if keep_last else names:
+        for name in names[:-keep_last]:
             os.unlink(os.path.join(mdir, name))
         referenced: set[str] = set()
         for info in self.history():

@@ -292,3 +292,99 @@ def test_writer_type_mismatch_aligned_to_table_schema(spark, vt):
     # column-set mismatches are rejected, not silently reordered away
     with pytest.raises(ValueError, match="schema mismatch"):
         vt.append(spark.range(3).select(F.col("id").alias("wrong")))
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, vt):
+    """SQL DELETE semantics: rows where the predicate evaluates NULL
+    are KEPT (deleted only on TRUE) — regardless of which files the
+    stats pruner selects for rewrite."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30), (4, None)], "k long, v long"
+    )
+    vt.overwrite(df)
+    vt.delete_where("v < 20")
+    rows = {(r.k, r.v) for r in vt.read().collect()}
+    assert rows == {(2, None), (3, 30), (4, None)}
+
+
+def test_vacuum_rejects_keep_last_below_one(spark, vt):
+    vt.overwrite(_df(spark, 0, 10))
+    with pytest.raises(ValueError):
+        vt.vacuum(keep_last=0)
+    with pytest.raises(ValueError):
+        vt.vacuum(keep_last=-3)
+    assert vt.read().count() == 10
+
+
+def test_binary_stats_col_records_no_stats_and_never_prunes(spark, tmp_path):
+    """A stats_col whose type isn't in the ordered-stats allowlist
+    (binary here) records NO stats — its files are conservatively
+    unprunable, never wrongly prunable."""
+    vt = VersionedTable(spark, str(tmp_path / "bin"), stats_cols=("b", "k"))
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x01")), (2, bytearray(b"\xff"))],
+        "k long, b binary",
+    )
+    vt.overwrite(df.coalesce(1))
+    _, doc = vt._latest()
+    data_files = [e for e in doc["files"] if e["rows"] > 0]
+    assert data_files
+    for e in data_files:
+        assert "b" not in e["stats"]          # binary: no stats recorded
+        assert "k" in e["stats"]              # long: stats as before
+    # a between= on the statless column reads every file (no pruning)
+    assert vt.read(between=("b", b"\x00", b"\x01")).count() >= 0
+    assert vt.read().count() == 2
+
+
+def test_compact_merges_small_files_preserving_history(spark, vt):
+    vt.overwrite(_df(spark, 0, 50).repartition(1))
+    for lo in range(50, 250, 50):
+        vt.append(_df(spark, lo, lo + 50).repartition(1))
+    ver_before, doc_before = vt._latest()
+    n_files_before = len(doc_before["files"])
+    assert n_files_before >= 5
+    new_ver = vt.compact(target_bytes=1 << 30)
+    assert new_ver == ver_before + 1
+    _, doc_after = vt._latest()
+    assert len(doc_after["files"]) < n_files_before
+    # contents row-identical
+    assert sorted(
+        (r.k, r.v) for r in vt.read().collect()
+    ) == [(k, 2 * k) for k in range(250)]
+    # time travel to the pre-compaction version still works, and the
+    # old manifest is byte-identical (history preserved, not rewritten)
+    assert vt.read(version_as_of=ver_before).count() == 250
+    _, still = vt._latest()
+    assert vt._manifest_at(ver_before)["files"] == doc_before["files"]
+    # big-file carry-over: nothing to do → no empty commit
+    assert vt.compact(target_bytes=1) is None
+    assert vt._latest()[0] == new_ver
+
+
+def test_compact_crash_before_publish_leaves_table_unchanged(
+    spark, vt, monkeypatch
+):
+    vt.overwrite(_df(spark, 0, 40).repartition(1))
+    vt.append(_df(spark, 40, 80).repartition(1))
+    ver, doc = vt._latest()
+
+    def boom(version, doc):
+        raise RuntimeError("crash between data write and manifest publish")
+
+    monkeypatch.setattr(vt, "_publish", boom)
+    with pytest.raises(RuntimeError):
+        vt.compact(target_bytes=1 << 30)
+    monkeypatch.undo()
+    # table state untouched: same version, same files, same rows
+    ver2, doc2 = vt._latest()
+    assert (ver2, doc2["files"]) == (ver, doc["files"])
+    assert vt.read().count() == 80
+    # the orphaned compaction output is reaped by the next vacuum
+    data_dirs = os.listdir(os.path.join(vt.path, "_data"))
+    referenced = {e["path"].split("/")[1] for e in doc2["files"]}
+    assert set(data_dirs) - referenced  # orphan exists
+    vt.vacuum(keep_last=10)
+    data_dirs = set(os.listdir(os.path.join(vt.path, "_data")))
+    assert not data_dirs - referenced
+    assert vt.read().count() == 80
