@@ -4,14 +4,21 @@ master-data dedup, catalog matching).
 
 Shape (100 TB lens): NEVER all-pairs.  Records explode into blocking
 keys (cheap derived attributes: a token, a prefix, a phonetic code);
-candidate pairs are generated only WITHIN a block through the same
-skew-safe bounded generator the LSH dedup family uses
-(operators/util.py:bounded_bucket_pairs — cap² head pairs + linear
-star edges, so one degenerate block can't go quadratic); the edit
-distance evaluates on the pair rows only.  Cost is
-sum-over-blocks(pairs), controlled by blocking-key selectivity — the
-standard ER blocking trade (recall lost only across blocks, measured
-by the block-coverage stat).
+candidate pairs are generated only WITHIN a block
+(operators/util.py:bounded_bucket_pairs); the edit distance evaluates
+on the pair rows only.  Cost is sum-over-blocks(pairs), controlled by
+blocking-key selectivity — the standard ER blocking trade (recall
+lost only across blocks, measured by the block-coverage stat).
+
+Within a block the default is UNCAPPED all-pairs (cap=None): ER
+recall inside a block must be exact — the head+star bound the LSH
+dedup family uses would silently drop tail-tail candidate pairs in a
+block past the cap, which for near-dup clustering is harmless (star
+edges preserve connectivity through the verifier) but for ER is a
+recall loss with no verifier to recover it.  The block size is the
+caller's contract: pick blocking keys selective enough that the
+largest block's pair count is acceptable, or pass an explicit ``cap``
+to trade recall for a hard per-block bound on degenerate keys.
 
 Everything is native (`levenshtein`, string expressions) — no UDF; the
 distance evaluates post-join inside codegen.
@@ -31,12 +38,14 @@ def blocked_match_pairs(
     name_col: str,
     block_col: Column,
     max_distance: int = 2,
-    cap: int = 256,
+    cap: int | None = None,
 ) -> DataFrame:
     """Canonical (id_a < id_b) candidate pairs sharing a blocking key
     whose names are within ``max_distance`` Levenshtein edits.
+    ``cap=None`` (default) enumerates every within-block pair — see
+    module docstring for the recall rationale.
 
-    Output: id_a, id_b, name_a, name_b, block, distance."""
+    Output columns: id_a, id_b, name_a, name_b, distance."""
     base = df.select(
         F.col(id_col).alias("_eid"),
         F.col(name_col).alias("_ename"),

@@ -7,14 +7,27 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+_ALL_PAIRS = (
+    "flatten(transform(ids, (x, i) -> "
+    "transform(slice(ids, i + 2, size(ids)), y -> "
+    "struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))"
+)
+
+
 def bounded_bucket_pairs(
     exploded: DataFrame,
     keys: list[str],
     id_col: str = "doc_id",
-    cap: int = 64,
+    cap: int | None = 64,
 ) -> DataFrame:
     """Distinct canonical (doc_a < doc_b) id pairs sharing a bucket key,
     with bounded per-bucket work — the skew-safe LSH pair generator.
+
+    ``cap=None`` disables the bound and enumerates ALL within-bucket
+    pairs (no window pass, no star edges) — for callers whose bucket
+    size is bounded upstream by construction (e.g. entity-resolution
+    blocking keys chosen for selectivity), where head+star would
+    silently drop tail-tail candidates.
 
     An unbounded bucket (every member of a near-identical 100 TB corpus
     hashing to one band value) would make the naive
@@ -37,6 +50,15 @@ def bounded_bucket_pairs(
     runs on the (key, id) shuffle that already exists — no extra
     exchange, only a per-bucket sort.
     """
+    if cap is None:
+        return (
+            exploded.groupBy(*keys)
+            .agg(F.collect_list(id_col).alias("ids"))
+            .filter(F.size("ids") > 1)
+            .select(F.explode(F.expr(_ALL_PAIRS)).alias("p"))
+            .select("p.doc_a", "p.doc_b")
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
     # One window pass computes both the rank and the bucket leader
     # (first == min under this ordering), so the tail needs no join
     # back to a leaders table; the head aggregation and the tail
@@ -55,15 +77,7 @@ def bounded_bucket_pairs(
         .groupBy(*keys)
         .agg(F.collect_list("_id").alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), y -> "
-                    "struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))"
-                )
-            ).alias("p")
-        )
+        .select(F.explode(F.expr(_ALL_PAIRS)).alias("p"))
         .select("p.doc_a", "p.doc_b")
     )
     tail_pairs = ranked.filter(F.col("_rn") > cap).select(

@@ -105,3 +105,21 @@ def test_pagerank_work_dir_resume_bit_identical(spark, tmp_path):
         ).collect()
     )
     assert resumed == full
+
+
+def test_er_uncapped_finds_tail_tail_pairs_in_large_block(spark):
+    """A block larger than the old head cap must still enumerate ALL
+    within-block pairs (ER recall contract): 10 identical-prefix names
+    in one block → C(10,2)=45 candidates, every one within distance 1
+    of at least the shared stem."""
+    names = [f"acme corp {i}" for i in range(10)]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    pairs = blocked_match_pairs(
+        df, "name", "name", F.lit("one-block"), max_distance=2
+    ).collect()
+    assert len(pairs) == 45  # all pairs survive (distance 1 each)
+    # an explicit cap restores the bounded head+star shape
+    capped = blocked_match_pairs(
+        df, "name", "name", F.lit("one-block"), max_distance=2, cap=4
+    ).collect()
+    assert len(capped) < 45
