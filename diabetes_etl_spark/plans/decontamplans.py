@@ -58,7 +58,7 @@ GROUP BY d.lang ORDER BY d.lang
     "contamination; the oracle replays the same shingling and join "
     "in DuckDB.",
     tags=("decontam", "dedup", "text", "extension"),
-    extended=True,
+    extended=False,  # promoted to the gate round 6 (see registry._EXTENDED rationale)
 )
 def decontam_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

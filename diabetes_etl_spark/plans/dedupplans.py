@@ -346,7 +346,7 @@ ORDER BY name_a, name_b
     "The name itself is the pair-canonicalization id, so Spark's "
     "within-block ordering equals the oracle's a.p_name < b.p_name.",
     tags=("er", "dedup", "fuzzy", "extension"),
-    extended=True,
+    extended=False,  # promoted to the gate round 6 (see registry._EXTENDED rationale)
 )
 def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.operators.er import blocked_match_pairs

@@ -78,7 +78,7 @@ SELECT node, rank FROM r{_ITERS} ORDER BY node
     "identical iterations as CTE layers, so the hash pins every "
     "intermediate round, not just the fixed point.",
     tags=("graph", "iterative", "pagerank", "extension"),
-    extended=True,
+    extended=False,  # promoted to the gate round 6 (see registry._EXTENDED rationale)
 )
 def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")

@@ -66,7 +66,7 @@ _PROFILE_ORACLE = "\nUNION ALL".join(_arm(c) for c in _COLS) + '\nORDER BY "colu
     "100 TB profile, where per-column exact-distinct shuffles are the "
     "dominant cost.",
     tags=("profile", "agg", "stats", "extension"),
-    extended=True,
+    extended=False,  # promoted to the gate round 6 (see registry._EXTENDED rationale)
 )
 def profile_part_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(load_table(spark, sf_dir, "part"))

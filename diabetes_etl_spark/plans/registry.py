@@ -154,6 +154,38 @@ _EXTENDED: frozenset[str] = frozenset(
         "text_lang_id",
         "text_quality_filter",
         "text_subword_tokens",
+        # ---- round-6 rotation: six redundant twins move out so the
+        # round-5 families (versioned_time_travel, decontam_overlap_
+        # stats, url_domain_stats, profile_part_columns, er_fuzzy_name_
+        # pairs, graph_pagerank_trade) get driver-gate visibility.
+        # Each demoted query keeps its oracle and stays green in
+        # tests/test_oracle.py; its operator family remains
+        # gate-covered as noted:
+        # range/theta join: plan family covered by asof_purchase_last_
+        # click (same range-condition join machinery; the as-of variant
+        # is the stricter contract)
+        "range_join_ship_lag",
+        # n-gram Jaccard near-dup: dedup_minhash_lsh stays in the gate
+        # with the SAME exact-Jaccard oracle (minhash is the scale path
+        # over identical shingle semantics)
+        "dedup_ngram_jaccard",
+        # SimHash near-dup: third near-dup family alongside the gate's
+        # minhash-LSH; pigeonhole recall + xxhash64 twin agreement
+        # asserted in tests/test_dedup.py
+        "dedup_simhash_pairs",
+        # exact brute-force cosine top-k: the gate keeps sim_lsh_topk
+        # and sim_ivf_topk, both of which re-rank candidates by the
+        # same decimal-exact cosine; the uncompressed exact baseline
+        # stays oracle-green locally
+        "sim_topk_cosine",
+        # LSH-bucketed embedding near-dup: same hyperplane-LSH bucket
+        # machinery as the gate's sim_lsh_topk; its exact verifier twin
+        # sim_neardup_pairs was already extended (round 4)
+        "sim_neardup_lsh",
+        # SQL-over-registered-views scan: identical surface to the five
+        # diab_dash_* queries remaining in the gate (same view
+        # registration, same SQL entry path)
+        "diab_dash_totals",
     }
 )
 

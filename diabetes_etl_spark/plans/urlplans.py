@@ -85,7 +85,7 @@ FROM parts GROUP BY domain ORDER BY domain
     "independent path that catches parser misreads.  Scan-local "
     "projection + one aggregate shuffle on domain.",
     tags=("url", "text", "extension"),
-    extended=True,
+    extended=False,  # promoted to the gate round 6 (see registry._EXTENDED rationale)
 )
 def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = with_url_parts(_urls(spark, sf_dir))

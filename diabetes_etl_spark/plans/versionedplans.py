@@ -66,7 +66,7 @@ ORDER BY snapshot
     "each aggregated and hash-compared against the equivalent "
     "predicate replay on the raw fixture.",
     tags=("versioned", "time-travel", "extension"),
-    extended=True,
+    extended=False,  # promoted to the gate round 6 (see registry._EXTENDED rationale)
 )
 def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.sources.versioned import VersionedTable
