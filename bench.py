@@ -85,6 +85,14 @@ def main() -> None:
     spark.range(256).repartition(32).select(
         _warm(F.col("id").cast("double"))
     ).write.format("noop").mode("overwrite").save()
+    # Warm the Structured-Streaming machinery too: the session's FIRST
+    # streaming query pays one-time init (~4-10s observed) that would
+    # otherwise land on whichever streaming-shaped headline runs first
+    # and pollute its run-0 sample (round-5 VERDICT #3).
+    if "stream_ingest_events" in registry:
+        registry["stream_ingest_events"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).write.format("noop").mode("overwrite").save()
 
     # Multiple passes per query, keep the per-query minimum: single-shot
     # timings on a shared host mix plan cost with transient JVM/GC/IO
@@ -114,6 +122,19 @@ def main() -> None:
             elapsed = run_query(name, sf_dir)
             samples[name].append(elapsed)
             print(f"# {name} (run 2, sub-2s extra): {elapsed}s", file=sys.stderr)
+    # Cold-start guard (round-5 VERDICT #3): when the two samples
+    # disagree by >1.5x, one of them measured transient state (first
+    # streaming init, cold page cache), not the plan — take a third
+    # sample so the median discards the outlier.
+    for name in names:
+        s = samples[name]
+        if len(s) == 2 and max(s) > 1.5 * min(s):
+            elapsed = run_query(name, sf_dir)
+            samples[name].append(elapsed)
+            print(
+                f"# {name} (run 2, >1.5x spread extra): {elapsed}s",
+                file=sys.stderr,
+            )
     timings = {n: min(s) for n, s in samples.items()}
     medians = {n: round(sorted(s)[len(s) // 2], 3) for n, s in samples.items()}
     total = round(sum(timings.values()), 3)
@@ -192,6 +213,11 @@ def main() -> None:
             for tbl, keys in (
                 ("lineitem", {"l_orderkey"}),
                 ("orders", {"o_orderkey"}),
+                # customer replicated too (distinct custkeys; orders
+                # keep referencing the k=0 copy) so the agg/window
+                # paths below run against 10x of THEIR driving table,
+                # not a symlinked sf0.1 dimension
+                ("customer", {"c_custkey"}),
             ):
                 base = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
                 reduce(
@@ -209,7 +235,7 @@ def main() -> None:
                     ],
                 ).write.mode("overwrite").parquet(f"{tmp}/{tbl}.parquet")
             for tbl in (
-                "region", "nation", "customer", "supplier", "part",
+                "region", "nation", "supplier", "part",
                 "events", "documents", "embeddings",
             ):
                 os.symlink(
@@ -221,6 +247,11 @@ def main() -> None:
                 "q3_shipping_priority",
                 "q5_local_supplier_volume",
                 "join_outer_semi_anti",
+                # round-5 VERDICT #7: the window and grouping-sets
+                # paths had never run past sf0.1 — window_suite drives
+                # 10x orders, grouping_sets_having_regions 10x customer
+                "window_suite",
+                "grouping_sets_having_regions",
             ):
                 base_t = timings.get(name) or run_query(name, sf_dir)
                 t = run_query(name, tmp)

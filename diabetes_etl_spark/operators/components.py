@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _CONVERGED_MARKER = "CONVERGED"
+_STAR_SWITCH_MARKER = "STAR_SWITCH"
 
 
 def _round_path(work_dir: str, k: int) -> str:
@@ -73,21 +74,36 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 20,
     work_dir: str | None = None,
+    auto_star: bool = True,
 ) -> DataFrame:
     """Label every node reachable through ``edges`` with the minimum
     node id of its connected component.
 
     Returns (id, component) for every node that appears in at least
     one edge — singletons (docs with no near-dup pair) are not graph
-    nodes and are the caller's pass-through.  Raises if ``max_iter``
-    rounds don't reach the fixpoint (diameter > max_iter signals a
-    pathological pair set, not a tuning problem).
+    nodes and are the caller's pass-through.  High-diameter graphs
+    auto-switch to the star algorithm (below) well before ``max_iter``;
+    the RuntimeError backstop remains for the pathological case where
+    neither loop reaches a fixpoint in bounded rounds.
 
     ``work_dir`` is the reliable-materialization directory (see module
     docstring).  Pass a durable path to make the loop resumable across
     driver restarts; when omitted a process-local temp dir is used and
     removed at interpreter exit (the returned DataFrame reads from it,
     so it must outlive consumption — hence atexit, not finally).
+
+    High-diameter escape hatch: min-label propagation needs
+    O(diameter) rounds, so when the per-round label-change count stops
+    shrinking geometrically (the signature of a long-chain graph — a
+    near-dup cluster is a near-clique and converges in 2-4 rounds),
+    the loop AUTO-SWITCHES to :func:`connected_components_star`
+    (O(log^2 n) rounds) over the already-materialized edge parquet.
+    The switch is recorded in ``work_dir`` so a restarted driver
+    resumes directly on the star path.  Result contract is unchanged
+    (the star labels are reconciled with self-loop-only nodes, which
+    the star relation drops).  ``auto_star=False`` pins pure label
+    propagation (tests of the propagation loop itself; callers who
+    want the O(diameter) bound to FAIL loudly instead).
     """
     spark = edges.sparkSession
     if work_dir is None:
@@ -97,11 +113,31 @@ def connected_components(
         os.makedirs(work_dir, exist_ok=True)
 
     conv_marker = os.path.join(work_dir, _CONVERGED_MARKER)
+    star_marker = os.path.join(work_dir, _STAR_SWITCH_MARKER)
     last = _last_committed_round(work_dir, max_iter)
     if os.path.exists(conv_marker) and last is not None:
         return spark.read.parquet(_round_path(work_dir, last)).select(
             "id", "component"
         )
+
+    def _star_fallback(sym_df: DataFrame) -> DataFrame:
+        labels = connected_components_star(
+            sym_df,
+            "a",
+            "b",
+            max_iter=max(2 * max_iter, 40),
+            work_dir=os.path.join(work_dir, "star"),
+        )
+        # parity with the label-propagation contract: a node appearing
+        # ONLY in self-loop edges is its own component (the canonical
+        # star relation filters self-pairs, so reconcile here)
+        missing = (
+            sym_df.select(F.col("a").alias("id"))
+            .distinct()
+            .join(labels, "id", "left_anti")
+            .withColumn("component", F.col("id"))
+        )
+        return labels.unionByName(missing)
 
     # materialize the RAW edge list first, then symmetrize FROM THE
     # PARQUET: the upstream pair pipeline (shingling, LSH, verification
@@ -126,6 +162,8 @@ def connected_components(
             .parquet(sym_path)
         )
     sym = spark.read.parquet(sym_path)
+    if os.path.exists(star_marker):
+        return _star_fallback(sym)
 
     if last is None:
         (
@@ -138,6 +176,8 @@ def connected_components(
         last = 0
     labels = spark.read.parquet(_round_path(work_dir, last))
 
+    prev_changed: int | None = None
+    strikes = 0
     for k in range(last + 1, max_iter + 1):
         nbr_min = sym.join(
             labels, sym["b"] == labels["id"]
@@ -170,6 +210,25 @@ def connected_components(
             with open(conv_marker, "w", encoding="utf-8") as fh:
                 fh.write(str(k))
             return labels
+        # geometric-shrink probe (module docstring): a near-clique's
+        # change count collapses round over round; a chain's decays
+        # ~linearly (ratio -> 1).  One high ratio can be noise from a
+        # small residual right before the fixpoint (a bridged clique
+        # pair produces exactly that), so the switch needs TWO
+        # CONSECUTIVE rounds with ratio > 0.7 — the signature of
+        # O(diameter) rounds ahead — and then hands the same
+        # materialized edge set to the O(log^2 n) star algorithm
+        # (recording the switch so a restarted driver resumes straight
+        # onto the star path).
+        if prev_changed is not None and changed > 0.7 * prev_changed:
+            strikes += 1
+        else:
+            strikes = 0
+        if auto_star and k >= 3 and strikes >= 2:
+            with open(star_marker, "w", encoding="utf-8") as fh:
+                fh.write(str(k))
+            return _star_fallback(sym)
+        prev_changed = changed
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "the edge set has a longer path than any near-dup cluster "

@@ -294,14 +294,16 @@ def test_connected_components_resumes_from_checkpointed_rounds(
     # simulated mid-job death: max_iter=3 raises AFTER committing
     # rounds 0..3 to work_dir (same on-disk state as a crashed driver)
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=3, work_dir=wd)
+        connected_components(chain, max_iter=3, work_dir=wd, auto_star=False)
     r2 = os.path.join(wd, "round_00002")
     assert os.path.exists(os.path.join(r2, "_SUCCESS"))
     stamp = os.path.getmtime(os.path.join(r2, "_SUCCESS"))
 
     got = {
         r.id: r.component
-        for r in connected_components(chain, work_dir=wd).collect()
+        for r in connected_components(
+            chain, work_dir=wd, auto_star=False
+        ).collect()
     }
     assert got == {i: 0 for i in range(9)}
     # round 2 was reused, not recomputed
@@ -311,10 +313,67 @@ def test_connected_components_resumes_from_checkpointed_rounds(
     n_rounds = len([d for d in os.listdir(wd) if d.startswith("round_")])
     again = {
         r.id: r.component
-        for r in connected_components(chain, work_dir=wd).collect()
+        for r in connected_components(
+            chain, work_dir=wd, auto_star=False
+        ).collect()
     }
     assert again == got
     assert (
         len([d for d in os.listdir(wd) if d.startswith("round_")])
         == n_rounds
     )
+
+
+def test_connected_components_auto_switches_on_high_diameter(
+    spark, tmp_path
+):
+    """A diameter-30 chain exceeds the default max_iter=20 for pure
+    label propagation — the geometric-shrink probe must detect the
+    linear decay by round 3 and auto-switch to the star algorithm
+    through the DEFAULT entry point, no parameter changes (round-5
+    VERDICT #4)."""
+    import os
+
+    from diabetes_etl_spark.operators.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["src", "dst"]
+    )
+    wd = str(tmp_path / "cc_auto")
+    labels = {
+        r.id: r.component
+        for r in connected_components(chain, work_dir=wd).collect()
+    }
+    assert labels == {i: 0 for i in range(31)}
+    # the switch was taken and recorded (restart-resume goes straight
+    # to the star path)
+    assert os.path.exists(os.path.join(wd, "STAR_SWITCH"))
+    again = {
+        r.id: r.component
+        for r in connected_components(chain, work_dir=wd).collect()
+    }
+    assert again == labels
+
+
+def test_connected_components_no_switch_on_near_clique(spark, tmp_path):
+    """Near-dup clusters (near-cliques) converge in 2-4 propagation
+    rounds — the auto-switch must NOT trigger on the normal path."""
+    import os
+
+    from diabetes_etl_spark.operators.components import connected_components
+
+    # two 6-cliques joined at one node each: diameter 3, the realistic
+    # worst case for a near-dup cluster graph
+    edges = [
+        (a, b) for grp in (range(6), range(6, 12))
+        for a in grp for b in grp if a < b
+    ] + [(5, 6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    wd = str(tmp_path / "cc_clique")
+    labels = {
+        r.id: r.component
+        for r in connected_components(df, work_dir=wd).collect()
+    }
+    assert labels == {i: 0 for i in range(12)}
+    assert not os.path.exists(os.path.join(wd, "STAR_SWITCH"))
+    assert os.path.exists(os.path.join(wd, "CONVERGED"))
