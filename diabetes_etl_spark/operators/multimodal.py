@@ -19,12 +19,14 @@ can and cannot decode):
   Features are computed over the DECODED pixel bytes.
 - ``image/jpeg``  — header probe (SOF marker scan for width/height/
   components; baseline+progressive) PLUS a REAL pure-Python baseline
-  entropy decoder for 8-bit GRAYSCALE JPEG: DQT/DHT/SOF0/SOS parse,
-  canonical Huffman decode with byte unstuffing, DC prediction,
+  entropy decoder for 8-bit GRAYSCALE and 3-component 4:4:4 COLOR
+  JPEG: DQT/DHT/SOF0/SOS parse (per-component table ids), canonical
+  Huffman decode with byte unstuffing, per-component DC prediction,
   AC run-length, dequantization, float IDCT (numpy), level shift +
-  clamp, edge-block crop.  Features for baseline grayscale are
-  computed over the DECODED pixels; color and progressive JPEG fall
-  back to the header probe with NULL pixel stats, never fake.
+  clamp, edge-block crop, JFIF YCbCr -> RGB inverse.  Features for
+  baseline streams are computed over the DECODED pixels; progressive
+  and chroma-subsampled JPEG fall back to the header probe with NULL
+  pixel stats, never fake.
 - ``audio/wav``   — a REAL RIFF/WAVE parser: chunk walk (with odd-size
   padding), fmt parse, PCM16 frame extraction.  Features are computed
   over the DECODED little-endian sample bytes.
@@ -212,6 +214,64 @@ def _fixture_jpeg_pixels(doc_id: int, width: int, height: int) -> bytes:
         fixture_jpeg_block_value(doc_id, x // 8, y // 8)
         for y in range(height)
         for x in range(width)
+    )
+
+
+def fixture_color_block_rgb(doc_id: int, bx: int, by: int) -> tuple[int, int, int]:
+    """RGB of 8x8 block (bx, by) of fixture COLOR JPEG doc_id: the gray
+    fixture value v = (d*29 + bx*17 + by*53) mod 256 fans out to
+    (v, (3v+7) mod 256, (5v+13) mod 256) — three channels that differ
+    per block, so the Cb/Cr components carry real nonzero entropy
+    data."""
+    v = (doc_id * 29 + bx * 17 + by * 53) % 256
+    return (v, (v * 3 + 7) % 256, (v * 5 + 13) % 256)
+
+
+def _fixture_color_pixels(doc_id: int, width: int, height: int) -> bytes:
+    out = bytearray()
+    for y in range(height):
+        for x in range(width):
+            out += bytes(fixture_color_block_rgb(doc_id, x // 8, y // 8))
+    return bytes(out)
+
+
+def attach_color_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """All-color-JPEG binary fixture: every row becomes a REAL
+    3-component 4:4:4 baseline entropy-coded stream
+    (:func:`jpeg_color_bytes`) whose 8x8 blocks are constant in YCbCr
+    — the color twin of the mixed-modality producer below, used by the
+    multimodal_color_decode query whose oracle recomputes decoded-RGB
+    statistics arithmetically."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def produce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                _, _, jw, jh = fixture_media_dims(doc_id)
+                payload = jpeg_color_bytes(
+                    jw, jh, _fixture_color_pixels(doc_id, jw, jh)
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        payload,
+                        {
+                            "mime": "image/jpeg",
+                            "n_bytes": len(payload),
+                            "checksum": hashlib.md5(payload).hexdigest(),
+                        },
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "asset_meta"])
+
+    return src.mapInPandas(
+        produce,
+        schema=(
+            "doc_id long, payload binary, "
+            "asset_meta struct<mime: string, n_bytes: int, checksum: string>"
+        ),
     )
 
 
@@ -504,6 +564,89 @@ def _mag_category(v: int) -> int:
     return v.bit_length() if v >= 0 else (-v).bit_length()
 
 
+def _encode_block(
+    w: "_BitWriter", block, dct, dc_codes, ac_codes, prev_dc: int
+) -> int:
+    """Forward-DCT + zigzag + Huffman-encode one 8x8 sample block
+    (level-shifted inside); returns the block's DC for prediction."""
+    import numpy as np
+
+    coeff = dct @ (block - 128.0) @ dct.T
+    q = np.rint(coeff).astype(np.int64)
+    zz = [int(q.flat[_ZIGZAG[i]]) for i in range(64)]
+    diff = zz[0] - prev_dc
+    cat = _mag_category(diff)
+    code, nb = dc_codes[cat]
+    w.write(code, nb)
+    if cat:
+        w.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    for k in range(1, 64):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, nb = ac_codes[0xF0]  # ZRL
+            w.write(code, nb)
+            run -= 16
+        cat = _mag_category(v)
+        code, nb = ac_codes[(run << 4) | cat]
+        w.write(code, nb)
+        w.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if run:
+        code, nb = ac_codes[0x00]  # EOB
+        w.write(code, nb)
+    return zz[0]
+
+
+def _pad_plane(img, width: int, height: int):
+    """Edge-replicate a (h, w) plane to 8-multiple dims as float64."""
+    import numpy as np
+
+    bh = (height + 7) // 8 * 8
+    bw = (width + 7) // 8 * 8
+    padded = np.empty((bh, bw), dtype=np.float64)
+    padded[:height, :width] = img
+    padded[height:, :width] = img[-1:, :]
+    padded[:, width:] = padded[:, width - 1 : width]
+    return padded
+
+
+# JFIF RGB<->YCbCr (ITU-R BT.601 full range), rounded HALF-UP via
+# floor(x + 0.5): the SQL oracle replays the IDENTICAL double-precision
+# expression (same literals, same left-to-right op order), so the
+# conversion is bit-reproducible across engines — np.round's half-even
+# would not be.
+
+
+def _rgb_to_ycbcr(r, g, b):
+    import numpy as np
+
+    y = np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+    cb = np.floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)
+    cr = np.floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)
+    return (
+        np.clip(y, 0, 255),
+        np.clip(cb, 0, 255),
+        np.clip(cr, 0, 255),
+    )
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    import numpy as np
+
+    r = np.floor(y + 1.402 * (cr - 128.0) + 0.5)
+    g = np.floor(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5)
+    b = np.floor(y + 1.772 * (cb - 128.0) + 0.5)
+    return (
+        np.clip(r, 0, 255),
+        np.clip(g, 0, 255),
+        np.clip(b, 0, 255),
+    )
+
+
 def jpeg_gray_bytes(width: int, height: int, pixels: bytes) -> bytes:
     """Encode raw 8-bit grayscale pixels (row-major, len = w*h) as a
     fully valid BASELINE JPEG (SOF0, Annex-K Huffman tables, all-ones
@@ -522,60 +665,94 @@ def jpeg_gray_bytes(width: int, height: int, pixels: bytes) -> bytes:
     dc_codes = _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
     ac_codes = _huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
-    bh = (height + 7) // 8 * 8
-    bw = (width + 7) // 8 * 8
-    padded = np.empty((bh, bw), dtype=np.float64)
-    padded[:height, :width] = img
-    padded[height:, :width] = img[-1:, :]  # edge replication
-    padded[:, width:] = padded[:, width - 1 : width]
+    padded = _pad_plane(img, width, height)
+    bh, bw = padded.shape
 
     w = _BitWriter()
     prev_dc = 0
     for by in range(0, bh, 8):
         for bx in range(0, bw, 8):
-            block = padded[by : by + 8, bx : bx + 8] - 128.0
-            coeff = dct @ block @ dct.T
-            q = np.rint(coeff).astype(np.int64)
-            zz = [int(q.flat[_ZIGZAG[i]]) for i in range(64)]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            cat = _mag_category(diff)
-            code, nb = dc_codes[cat]
-            w.write(code, nb)
-            if cat:
-                w.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
-            run = 0
-            for k in range(1, 64):
-                v = zz[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, nb = ac_codes[0xF0]  # ZRL
-                    w.write(code, nb)
-                    run -= 16
-                cat = _mag_category(v)
-                code, nb = ac_codes[(run << 4) | cat]
-                w.write(code, nb)
-                w.write(v if v >= 0 else v + (1 << cat) - 1, cat)
-                run = 0
-            if run:
-                code, nb = ac_codes[0x00]  # EOB
-                w.write(code, nb)
+            prev_dc = _encode_block(
+                w, padded[by : by + 8, bx : bx + 8], dct,
+                dc_codes, ac_codes, prev_dc,
+            )
     w.flush()
 
-    def seg(marker: int, data: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
-
-    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
-    sof0 = seg(0xC0, b"\x08" + struct.pack(">HH", height, width) + b"\x01"
-               + bytes([1, 0x11, 0]))
-    dht = seg(
+    dqt = _jseg(0xDB, b"\x00" + bytes([1] * 64))
+    sof0 = _jseg(0xC0, b"\x08" + struct.pack(">HH", height, width) + b"\x01"
+                 + bytes([1, 0x11, 0]))
+    dht = _jseg(
         0xC4,
         b"\x00" + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
         + b"\x10" + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS),
     )
-    sos = seg(0xDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
+    sos = _jseg(0xDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
+    return (
+        b"\xff\xd8" + dqt + sof0 + dht + sos + bytes(w.out) + b"\xff\xd9"
+    )
+
+
+def _jseg(marker: int, data: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+
+def jpeg_color_bytes(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode interleaved 8-bit RGB pixels (row-major, len = w*h*3) as
+    a fully valid 3-component 4:4:4 BASELINE color JPEG (SOF0,
+    JFIF YCbCr, all-ones quantization, the Annex-K luminance Huffman
+    pair serving all three components — a legal encoder choice that
+    keeps the stream single-DHT; the decoder reads table ids from the
+    stream, so two-table real-world files decode identically).
+
+    The color twin of :func:`jpeg_gray_bytes`: blocks whose YCbCr is
+    constant reconstruct bit-exactly (only the integer DC survives and
+    all-ones quantization is lossless on it), which is what makes
+    decoded-RGB oracles pure arithmetic — the fixture's RGB -> YCbCr
+    conversion uses floor(x + 0.5) rounding that a SQL oracle replays
+    bit-for-bit in doubles."""
+    import numpy as np
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb must be width*height*3 bytes (rgb24)")
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    planes = _rgb_to_ycbcr(
+        arr[:, :, 0].astype(np.float64),
+        arr[:, :, 1].astype(np.float64),
+        arr[:, :, 2].astype(np.float64),
+    )
+    padded = [_pad_plane(p, width, height) for p in planes]
+    bh, bw = padded[0].shape
+    dct = _dct_matrix()
+    dc_codes = _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+
+    w = _BitWriter()
+    prev = [0, 0, 0]  # per-component DC predictors (T.81 F.1.1.5.1)
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):  # one 4:4:4 MCU = Y, Cb, Cr blocks
+            for c in range(3):
+                prev[c] = _encode_block(
+                    w, padded[c][by : by + 8, bx : bx + 8], dct,
+                    dc_codes, ac_codes, prev[c],
+                )
+    w.flush()
+
+    dqt = _jseg(0xDB, b"\x00" + bytes([1] * 64))
+    sof0 = _jseg(
+        0xC0,
+        b"\x08" + struct.pack(">HH", height, width) + b"\x03"
+        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0]),
+    )
+    dht = _jseg(
+        0xC4,
+        b"\x00" + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+        + b"\x10" + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS),
+    )
+    sos = _jseg(
+        0xDA,
+        b"\x03" + bytes([1, 0x00]) + bytes([2, 0x00]) + bytes([3, 0x00])
+        + b"\x00\x3f\x00",
+    )
     return (
         b"\xff\xd8" + dqt + sof0 + dht + sos + bytes(w.out) + b"\xff\xd9"
     )
@@ -634,14 +811,19 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
-def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
-    """Full baseline decode of an 8-bit GRAYSCALE JPEG to raw pixels:
-    (width, height, pixel_bytes).
+def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Full baseline decode of an 8-bit grayscale OR 3-component 4:4:4
+    color JPEG: (width, height, n_components, pixel_bytes) — gray8 for
+    one component, interleaved RGB (JFIF YCbCr inverse, floor(x+0.5)
+    rounding) for three.
 
-    Raises ValueError for color (multi-component) or progressive
-    (SOF2) streams — callers fall back to :func:`probe_jpeg` there;
-    fabricating pixels for codecs this environment can't decode would
-    poison downstream feature statistics."""
+    Per-component quantization and Huffman table ids come from the
+    stream (SOF/SOS), so single-DHT fixtures and two-table real-world
+    encoders both decode.  Raises ValueError for progressive (SOF2),
+    chroma-subsampled, or restart-interval streams — callers fall back
+    to :func:`probe_jpeg` there; fabricating pixels for codecs this
+    environment can't decode would poison downstream feature
+    statistics."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -650,7 +832,8 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
-    comp_q = comp_dc = comp_ac = None
+    comps: list[tuple[int, int]] = []  # SOF order: (component id, tq)
+    scan_tables: dict[int, tuple[int, int]] = {}  # comp id -> (dc, ac)
     scan_start = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -688,70 +871,104 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
                 raise ValueError("only baseline (SOF0) JPEG is supported")
             height, width = struct.unpack(">HH", data[1:5])
             ncomp = data[5]
-            if ncomp != 1:
-                raise ValueError("color JPEG decode not supported (gray only)")
-            if data[7] != 0x11:
-                raise ValueError("subsampled JPEG not supported")
-            comp_q = data[8]
+            if ncomp not in (1, 3):
+                raise ValueError(f"{ncomp}-component JPEG not supported")
+            for c in range(ncomp):
+                cid, sampling, tq = data[6 + 3 * c : 9 + 3 * c]
+                if sampling != 0x11:
+                    raise ValueError(
+                        "chroma-subsampled JPEG not supported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
         elif marker == 0xDD:  # DRI
             (interval,) = struct.unpack(">H", data[:2])
             if interval:
                 raise ValueError("JPEG restart markers not supported")
         elif marker == 0xDA:  # SOS
             ns = data[0]
-            if ns != 1:
+            if ns != len(comps):
                 raise ValueError("multi-scan JPEG not supported")
-            comp_dc = data[2] >> 4
-            comp_ac = data[2] & 0x0F
+            for c in range(ns):
+                cid, tt = data[1 + 2 * c : 3 + 2 * c]
+                scan_tables[cid] = (tt >> 4, tt & 0x0F)
             scan_start = pos + 2 + seg_len
             break
         pos += 2 + seg_len
-    if width is None or scan_start is None:
+    if width is None or scan_start is None or not comps:
         raise ValueError("JPEG missing SOF/SOS")
-    if comp_q not in qtables:
-        raise ValueError("JPEG quantization table missing")
-    qt = np.empty(64, dtype=np.float64)
-    for i in range(64):
-        qt[_ZIGZAG[i]] = qtables[comp_q][i]
-    qt = qt.reshape(8, 8)
-    dc_table = htables.get((0, comp_dc))
-    ac_table = htables.get((1, comp_ac))
-    if dc_table is None or ac_table is None:
-        raise ValueError("JPEG Huffman table missing")
+
+    qts = []
+    tabs = []
+    for cid, tq in comps:
+        if tq not in qtables:
+            raise ValueError("JPEG quantization table missing")
+        qt = np.empty(64, dtype=np.float64)
+        for i in range(64):
+            qt[_ZIGZAG[i]] = qtables[tq][i]
+        qts.append(qt.reshape(8, 8))
+        if cid not in scan_tables:
+            raise ValueError("JPEG scan component missing")
+        dc_id, ac_id = scan_tables[cid]
+        dc_table = htables.get((0, dc_id))
+        ac_table = htables.get((1, ac_id))
+        if dc_table is None or ac_table is None:
+            raise ValueError("JPEG Huffman table missing")
+        tabs.append((dc_table, ac_table))
 
     end = payload.rfind(b"\xff\xd9")
     reader = _BitReader(payload[scan_start : end if end > 0 else len(payload)])
     dct = _dct_matrix()
     bh = (height + 7) // 8 * 8
     bw = (width + 7) // 8 * 8
-    out = np.empty((bh, bw), dtype=np.uint8)
-    prev_dc = 0
+    n = len(comps)
+    planes = [np.empty((bh, bw), dtype=np.uint8) for _ in range(n)]
+    prev = [0] * n
     for by in range(0, bh, 8):
-        for bx in range(0, bw, 8):
-            coeff = np.zeros(64, dtype=np.float64)
-            cat = reader.read_symbol(dc_table)
-            diff = _extend(reader.read_bits(cat), cat) if cat else 0
-            prev_dc += diff
-            coeff[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = reader.read_symbol(ac_table)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, cat = sym >> 4, sym & 0x0F
-                k += run
-                if k > 63:
-                    raise ValueError("JPEG AC coefficient overflow")
-                coeff[_ZIGZAG[k]] = _extend(reader.read_bits(cat), cat)
-                k += 1
-            block = dct.T @ (coeff.reshape(8, 8) * qt) @ dct
-            out[by : by + 8, bx : bx + 8] = np.clip(
-                np.rint(block) + 128, 0, 255
-            ).astype(np.uint8)
-    return width, height, out[:height, :width].tobytes()
+        for bx in range(0, bw, 8):  # one MCU: every component's block
+            for c in range(n):
+                dc_table, ac_table = tabs[c]
+                coeff = np.zeros(64, dtype=np.float64)
+                cat = reader.read_symbol(dc_table)
+                diff = _extend(reader.read_bits(cat), cat) if cat else 0
+                prev[c] += diff
+                coeff[0] = prev[c]
+                k = 1
+                while k < 64:
+                    sym = reader.read_symbol(ac_table)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, cat = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG AC coefficient overflow")
+                    coeff[_ZIGZAG[k]] = _extend(reader.read_bits(cat), cat)
+                    k += 1
+                block = dct.T @ (coeff.reshape(8, 8) * qts[c]) @ dct
+                planes[c][by : by + 8, bx : bx + 8] = np.clip(
+                    np.rint(block) + 128, 0, 255
+                ).astype(np.uint8)
+    if n == 1:
+        return width, height, 1, planes[0][:height, :width].tobytes()
+    r, g, b = _ycbcr_to_rgb(
+        planes[0][:height, :width].astype(np.float64),
+        planes[1][:height, :width].astype(np.float64),
+        planes[2][:height, :width].astype(np.float64),
+    )
+    rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    return width, height, 3, rgb.tobytes()
+
+
+def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """Grayscale-only wrapper over :func:`decode_jpeg_baseline`
+    (original single-component entry point; raises ValueError on color
+    streams so metadata-only callers keep their probe fallback)."""
+    width, height, ncomp, raw = decode_jpeg_baseline(payload)
+    if ncomp != 1:
+        raise ValueError("color JPEG: use decode_jpeg_baseline")
+    return width, height, raw
 
 
 # -- MPEG audio (mp3) frame-header probe ------------------------------------
@@ -921,9 +1138,10 @@ def decode_payload(mime: str, payload: bytes) -> bytes:
     if mime == "audio/wav":
         return decode_wav(payload)[3]
     if mime == "image/jpeg":
-        # baseline grayscale decodes fully; color/progressive raise
-        # ValueError and the caller decides between probe and failure
-        return decode_jpeg_gray(payload)[2]
+        # baseline gray and 4:4:4 color decode fully; progressive /
+        # chroma-subsampled raise ValueError and the caller decides
+        # between probe and failure
+        return decode_jpeg_baseline(payload)[3]
     raise NotImplementedError(
         f"decoder for {mime!r} requires media libraries (libjpeg/ffmpeg) "
         "not present in this environment"
@@ -963,15 +1181,15 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 )
             elif mime == "image/jpeg":
                 try:
-                    w, h, raw = decode_jpeg_gray(payload)
+                    w, h, ch, raw = decode_jpeg_baseline(payload)
                     n_space, n_alpha, fp = _byte_stats(raw)
                     rows.append(
-                        (doc_id, mime, len(raw), w, h, 1, n_space,
+                        (doc_id, mime, len(raw), w, h, ch, n_space,
                          n_alpha, fp, None, None)
                     )
                 except ValueError:
-                    # color/progressive: dimensions from the header
-                    # probe, pixel stats honestly NULL
+                    # progressive/subsampled: dimensions from the
+                    # header probe, pixel stats honestly NULL
                     w, h, ch = probe_jpeg(payload)
                     rows.append(
                         (doc_id, mime, len(payload), w, h, ch, None,

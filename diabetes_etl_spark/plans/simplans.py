@@ -314,9 +314,11 @@ FROM documents
     "report decoded-pixel statistics (constant-per-8x8-block fixtures "
     "reconstruct bit-exactly, so the oracle is block arithmetic); "
     "text rows keep the byte-exact feature path "
-    "(operators/multimodal.py:decode_png/decode_jpeg_gray/decode_wav; "
-    "NotImplementedError remains only for color/progressive JPEG and "
-    "compressed audio/video codecs absent from the environment).",
+    "(operators/multimodal.py:decode_png/decode_jpeg_baseline/"
+    "decode_wav; baseline COLOR 4:4:4 decode is oracle-checked by the "
+    "multimodal_color_decode twin; NotImplementedError remains only "
+    "for progressive / chroma-subsampled JPEG and compressed "
+    "audio/video codecs absent from the environment).",
     tags=("multimodal", "extension"),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,6 +329,134 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(attach_media_payloads(docs))
+
+
+# Color-JPEG fixture arithmetic (multimodal.py:fixture_color_block_rgb
+# / jpeg_color_bytes): 8x8 block (bx, by) of doc d has RGB
+# (v, (3v+7) mod 256, (5v+13) mod 256) with v = (d*29 + bx*17 + by*53)
+# mod 256.  The encoder stores floor(x+0.5)-rounded integer YCbCr;
+# constant blocks survive the codec bit-exactly (all-ones quantization,
+# integer DC), and the decoder's YCbCr -> RGB inverse uses the SAME
+# double-precision expression (identical literals, left-to-right op
+# order) the oracle spells out below — so decoded-RGB statistics are
+# pure cross-engine arithmetic while Spark runs the real 3-component
+# interleaved-MCU Huffman decode + IDCT per row.
+_COLOR_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, (8 + doc_id % 21) AS jw, (8 + doc_id % 15) AS jh
+  FROM documents
+),
+bxs AS (
+  SELECT doc_id, jw, jh,
+         unnest(generate_series(0, (jw + 7) // 8 - 1)) AS bx
+  FROM dims
+),
+blk AS (
+  SELECT doc_id, jw, jh, bx,
+         unnest(generate_series(0, (jh + 7) // 8 - 1)) AS by
+  FROM bxs
+),
+src AS (
+  SELECT doc_id, jw, jh, bx, by,
+         LEAST(8, jw - bx * 8) * LEAST(8, jh - by * 8) AS npix,
+         ((doc_id * 29 + bx * 17 + by * 53) % 256) AS r0,
+         (((doc_id * 29 + bx * 17 + by * 53) % 256) * 3 + 7) % 256 AS g0,
+         (((doc_id * 29 + bx * 17 + by * 53) % 256) * 5 + 13) % 256 AS b0
+  FROM blk
+),
+ycc AS (
+  SELECT *,
+    CAST(LEAST(255, GREATEST(0, FLOOR(
+      CAST(0.299 AS DOUBLE) * r0 + CAST(0.587 AS DOUBLE) * g0
+      + CAST(0.114 AS DOUBLE) * b0 + CAST(0.5 AS DOUBLE)))) AS BIGINT) AS y,
+    CAST(LEAST(255, GREATEST(0, FLOOR(
+      CAST(128 AS DOUBLE) - CAST(0.168736 AS DOUBLE) * r0
+      - CAST(0.331264 AS DOUBLE) * g0 + CAST(0.5 AS DOUBLE) * b0
+      + CAST(0.5 AS DOUBLE)))) AS BIGINT) AS cb,
+    CAST(LEAST(255, GREATEST(0, FLOOR(
+      CAST(128 AS DOUBLE) + CAST(0.5 AS DOUBLE) * r0
+      - CAST(0.418688 AS DOUBLE) * g0 - CAST(0.081312 AS DOUBLE) * b0
+      + CAST(0.5 AS DOUBLE)))) AS BIGINT) AS cr
+  FROM src
+),
+dec AS (
+  SELECT *,
+    CAST(LEAST(255, GREATEST(0, FLOOR(
+      y + CAST(1.402 AS DOUBLE) * (cr - 128) + CAST(0.5 AS DOUBLE)
+      ))) AS BIGINT) AS rr,
+    CAST(LEAST(255, GREATEST(0, FLOOR(
+      y - CAST(0.344136 AS DOUBLE) * (cb - 128)
+      - CAST(0.714136 AS DOUBLE) * (cr - 128) + CAST(0.5 AS DOUBLE)
+      ))) AS BIGINT) AS gg,
+    CAST(LEAST(255, GREATEST(0, FLOOR(
+      y + CAST(1.772 AS DOUBLE) * (cb - 128) + CAST(0.5 AS DOUBLE)
+      ))) AS BIGINT) AS bb
+  FROM ycc
+),
+agg AS (
+  SELECT doc_id, MAX(jw) AS jw, MAX(jh) AS jh,
+    SUM(npix * (CASE WHEN rr = 32 THEN 1 ELSE 0 END
+              + CASE WHEN gg = 32 THEN 1 ELSE 0 END
+              + CASE WHEN bb = 32 THEN 1 ELSE 0 END)) AS n_space,
+    SUM(npix * (CASE WHEN rr BETWEEN 97 AND 122 THEN 1 ELSE 0 END
+              + CASE WHEN gg BETWEEN 97 AND 122 THEN 1 ELSE 0 END
+              + CASE WHEN bb BETWEEN 97 AND 122 THEN 1 ELSE 0 END))
+      AS n_alpha
+  FROM dec GROUP BY doc_id
+),
+head AS (
+  -- the first 16 interleaved RGB bytes all come from block (0, 0)
+  SELECT doc_id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(generate_series(0, 15),
+        j -> CAST(CASE j % 3 WHEN 0 THEN rr WHEN 1 THEN gg ELSE bb END
+                  AS BIGINT))),
+      (acc, x) -> (acc * 131 + x) % 1000000007) AS head_fingerprint
+  FROM dec WHERE bx = 0 AND by = 0
+)
+SELECT a.doc_id,
+  CAST(a.jw * a.jh * 3 AS INT) AS byte_len,
+  CAST(a.jw AS INT) AS width,
+  CAST(a.jh AS INT) AS height,
+  CAST(3 AS INT) AS n_channels,
+  CAST(a.n_space AS INT) AS n_space,
+  CAST(a.n_alpha AS INT) AS n_alpha,
+  h.head_fingerprint
+FROM agg a JOIN head h USING (doc_id)
+"""
+
+
+@register(
+    "multimodal_color_decode",
+    oracle=_COLOR_ORACLE,
+    doc="Full 3-component 4:4:4 baseline COLOR JPEG decode over a "
+    "corpus of real entropy-coded streams (round-5 VERDICT #5): every "
+    "documents row becomes a color JPEG whose 8x8 blocks are constant "
+    "RGB derived from doc_id; Spark decodes the interleaved-MCU "
+    "Huffman stream (per-component DC prediction), dequantizes, runs "
+    "the IDCT, and inverts JFIF YCbCr to RGB "
+    "(operators/multimodal.py:decode_jpeg_baseline); the oracle "
+    "recomputes the decoded-RGB statistics purely arithmetically — "
+    "bit-exact because constant blocks survive the all-ones-quant "
+    "codec and both engines evaluate the identical floor(x+0.5) "
+    "double-precision color transform.  The environment stub now "
+    "covers only progressive / chroma-subsampled JPEG and video "
+    "codecs.",
+    tags=("multimodal", "jpeg", "pandas-udf", "extension"),
+    extended=True,
+)
+def multimodal_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.multimodal import (
+        attach_color_jpeg_payloads,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_color_jpeg_payloads(docs))
+    return feats.select(
+        "doc_id", "byte_len", "width", "height", "n_channels",
+        "n_space", "n_alpha", "head_fingerprint",
+    )
 
 
 @register(

@@ -13,8 +13,11 @@ import zlib
 import pytest
 
 from diabetes_etl_spark.operators.multimodal import (
+    decode_jpeg_baseline,
     decode_jpeg_gray,
     decode_payload,
+    fixture_color_block_rgb,
+    jpeg_color_bytes,
     decode_png,
     decode_wav,
     fixture_audio_params,
@@ -242,13 +245,16 @@ def test_jpeg_gray_decoder_rejects_unsupported_shapes():
     # header-only container (no scan data)
     with pytest.raises(ValueError, match="missing SOF/SOS"):
         decode_jpeg_gray(jpeg_bytes(8, 8, 1))
-    # color frame
-    with pytest.raises(ValueError, match="gray only"):
+    # a real color stream through the gray-only wrapper
+    with pytest.raises(ValueError, match="color JPEG"):
+        decode_jpeg_gray(jpeg_color_bytes(8, 8, bytes(range(64)) * 3))
+    # chroma-subsampled frame (4:2:0 sampling factors)
+    with pytest.raises(ValueError, match="subsampled"):
         decode_jpeg_gray(
             b"\xff\xd8"
             + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
             + struct.pack(">HH", 8, 8) + b"\x03"
-            + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+            + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
             + b"\xff\xd9"
         )
     # progressive frame
@@ -494,3 +500,71 @@ def test_video_payload_plumbing(spark):
         r = out[i]
         assert (r.width, r.height, r.duration_ms) == (w, h, dur)
         assert r.n_audio_tracks == (1 if audio else 0)
+
+
+# -- 3-component 4:4:4 baseline color JPEG ----------------------------------
+
+
+def _color_pixels(doc_id: int, w: int, h: int) -> bytes:
+    out = bytearray()
+    for y in range(h):
+        for x in range(w):
+            out += bytes(fixture_color_block_rgb(doc_id, x // 8, y // 8))
+    return bytes(out)
+
+
+def test_jpeg_color_constant_blocks_decode_to_transform_fixpoint():
+    """Constant-per-block color fixtures reconstruct EXACTLY the
+    floor(x+0.5)-rounded RGB->YCbCr->RGB transform of the input (the
+    YCbCr integers survive the codec bit-exactly; the only change is
+    the color transform itself — which the SQL oracle replays)."""
+    import numpy as np
+
+    from diabetes_etl_spark.operators.multimodal import (
+        _rgb_to_ycbcr,
+        _ycbcr_to_rgb,
+    )
+
+    for doc_id in (2, 9, 41, 1021):
+        w = 8 + doc_id % 21
+        h = 8 + doc_id % 15
+        rgb = _color_pixels(doc_id, w, h)
+        dw, dh, nc, dec = decode_jpeg_baseline(jpeg_color_bytes(w, h, rgb))
+        assert (dw, dh, nc) == (w, h, 3)
+        arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        y, cb, cr = _rgb_to_ycbcr(
+            arr[:, :, 0].astype(np.float64),
+            arr[:, :, 1].astype(np.float64),
+            arr[:, :, 2].astype(np.float64),
+        )
+        r, g, b = _ycbcr_to_rgb(y, cb, cr)
+        exp = np.stack([r, g, b], axis=-1).astype(np.uint8).tobytes()
+        assert dec == exp
+
+
+def test_jpeg_color_nonconstant_blocks_roundtrip_losslessly():
+    """All-ones quantization is lossless whenever every DCT coefficient
+    rounds to itself — a gradient image decodes back to the exact
+    YCbCr the encoder stored, so decode(encode(x)) is idempotent:
+    encoding the DECODED RGB again reproduces identical pixels."""
+    w, h = 16, 16
+    rgb = bytes(
+        ((x * 7 + y * 3 + c * 29) % 256)
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    _, _, _, once = decode_jpeg_baseline(jpeg_color_bytes(w, h, rgb))
+    _, _, _, twice = decode_jpeg_baseline(jpeg_color_bytes(w, h, once))
+    assert once == twice
+
+
+def test_probe_reports_color_dimensions():
+    payload = jpeg_color_bytes(24, 13, _color_pixels(3, 24, 13))
+    assert probe_jpeg(payload) == (24, 13, 3)
+
+
+def test_decode_payload_routes_color_jpeg():
+    payload = jpeg_color_bytes(8, 8, _color_pixels(7, 8, 8))
+    raw = decode_payload("image/jpeg", payload)
+    assert len(raw) == 8 * 8 * 3
