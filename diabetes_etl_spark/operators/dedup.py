@@ -337,3 +337,71 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Exact duplicated-substring detection: for every document, how
+    many of its k-token shingles occur VERBATIM in at least one OTHER
+    document — the signal behind exact-substring training-data dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": memorization tracks verbatim repeated spans, which
+    document-level near-dup misses when only a paragraph is shared).
+
+    Output: (doc_id, n_shingles, n_dup_shingles) — n_shingles counts
+    every position (n_tokens - k + 1, repeats included; 0 for docs
+    shorter than k tokens), n_dup_shingles the positions whose shingle
+    is cross-doc duplicated.  Downstream policy (drop doc / cut span /
+    weight) is the caller's.
+
+    Scale shape (100 TB lens): shingles leave the document as
+    (16-hex-char md5 prefix, doc_id) pairs — the TEXT never shuffles.
+    One groupBy finds cross-doc-duplicated hashes (count(distinct
+    doc) >= 2 folds map-side via partial aggregation), one equi-join
+    re-attaches them, one groupBy counts per doc.  The duplicated-hash
+    set scales with the corpus' duplication rate, not its size, and
+    AQE broadcasts it when small.  The md5 prefix is portable (same
+    function in the SQL oracle), 64-bit collision-safe at corpus
+    scale; a production variant swaps in xxhash64 unchanged.
+    """
+    w = tokens(F.col(text_col))
+    shingles = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(shingles).alias("shingle"),
+    ).select(
+        "doc_id",
+        F.substring(F.md5(F.col("shingle")), 1, 16).alias("h"),
+    )
+    real = sh.filter(F.col("h").isNotNull())
+    dup = (
+        real.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    per_doc = real.join(dup, "h").groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_shingles")
+    )
+    base = sh.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("h").isNotNull(), 1).otherwise(0)).alias(
+            "n_shingles"
+        )
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.coalesce(F.col("n_dup_shingles"), F.lit(0))
+        .cast("long")
+        .alias("n_dup_shingles"),
+    )

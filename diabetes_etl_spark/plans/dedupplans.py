@@ -367,3 +367,47 @@ def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name_a", "name_b")
     )
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 8 + 1)) AS i
+  FROM toks WHERE len(w) >= 8
+),
+sh AS (
+  SELECT doc_id,
+    substr(md5(array_to_string(list_slice(w, i, i + 7), ' ')), 1, 16) AS h
+  FROM pos
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+per AS (SELECT doc_id, COUNT(*) AS n_dup FROM sh JOIN dup USING (h)
+        GROUP BY doc_id)
+SELECT t.doc_id,
+  CAST(GREATEST(len(t.w) - 8 + 1, 0) AS BIGINT) AS n_shingles,
+  CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_shingles
+FROM toks t LEFT JOIN per p USING (doc_id)
+ORDER BY doc_id
+""",
+    doc="Exact duplicated-substring detection (Lee et al. 2022 "
+    "exact-substring training-data dedup): per document, how many of "
+    "its 8-token shingles occur verbatim in at least one OTHER "
+    "document (operators/dedup.py:substring_dup_stats).  The text "
+    "never shuffles — shingles travel as 16-hex md5 prefixes; the "
+    "duplicated-hash set scales with the corpus' duplication rate, "
+    "not its size.  Complements document-level near-dup: a shared "
+    "paragraph inside two otherwise-different docs is invisible to "
+    "MinHash at document granularity but lights up here.",
+    tags=("dedup", "substring", "extension"),
+    extended=True,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.dedup import substring_dup_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dup_stats(docs, k=8).orderBy("doc_id")

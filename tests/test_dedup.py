@@ -377,3 +377,28 @@ def test_connected_components_no_switch_on_near_clique(spark, tmp_path):
     assert labels == {i: 0 for i in range(12)}
     assert not os.path.exists(os.path.join(wd, "STAR_SWITCH"))
     assert os.path.exists(os.path.join(wd, "CONVERGED"))
+
+
+def test_substring_dup_stats_finds_shared_paragraph(spark):
+    """Two long documents sharing only one 10-token paragraph: both
+    light up with exactly the paragraph's k-shingles; the unrelated
+    doc and the short doc stay clean."""
+    from diabetes_etl_spark.operators.dedup import substring_dup_stats
+
+    para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d1 = "one two three four five six seven " + para + " tail1 tail2"
+    d2 = "red blue green yellow purple " + para + " endx endy endz"
+    d3 = "totally unrelated words that repeat nothing from the others at all"
+    d4 = "short doc"  # < k tokens -> zero shingles
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.n_shingles, r.n_dup_shingles)
+        for r in substring_dup_stats(df, k=8).collect()
+    }
+    # the shared 10-token span yields 10-8+1 = 3 duplicated 8-shingles
+    assert out[1][1] == 3 and out[2][1] == 3
+    assert out[3] == (4, 0)
+    assert out[4] == (0, 0)
+    assert out[1][0] == 19 - 8 + 1 and out[2][0] == 18 - 8 + 1
