@@ -95,3 +95,87 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, iterations=_ITERS, damping=_D, symmetric=True
     )
     return ranks.orderBy("node")
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+WITH co AS (
+  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+wedges AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM co e1 JOIN co e2 ON e1.b = e2.a
+),
+tri AS (
+  SELECT w.a, w.b, w.c FROM wedges w JOIN co e3
+    ON w.a = e3.a AND w.c = e3.b
+)
+SELECT
+  (SELECT COUNT(*) FROM co)     AS n_edges,
+  (SELECT COUNT(*) FROM wedges) AS n_wedges,
+  (SELECT COUNT(*) FROM tri)    AS n_triangles,
+  (SELECT COUNT(*) FROM tri) * (CAST(3 AS DOUBLE) /
+    (SELECT COUNT(*) FROM wedges)) AS closure_ratio
+""",
+    doc="Triangle counting over the supplier co-purchase graph "
+    "(suppliers sharing an order): canonical id-ordered edges "
+    "(a < b < c), one self-join builds wedges, one membership join "
+    "closes them — the standard two-join MapReduce triangle count.  "
+    "At scale the orientation would be by DEGREE (low -> high), which "
+    "bounds per-node join fan-out by sqrt(m) and kills hub skew; the "
+    "id orientation keeps the oracle byte-identical, and the "
+    "degree-ordered variant changes only the orientation expression.  "
+    "closure_ratio (global clustering coefficient numerator 3T/W) is "
+    "one IEEE division + multiply — bit-identical cross-engine.",
+    tags=("graph", "triangles", "extension"),
+    extended=True,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("a"), F.col("b.l_suppkey").alias("b")
+        )
+        .distinct()
+    )
+    e1 = co.alias("e1")
+    e2 = co.alias("e2")
+    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
+        F.col("e1.a").alias("a"),
+        F.col("e1.b").alias("b"),
+        F.col("e2.b").alias("c"),
+    )
+    e3 = co.select(
+        F.col("a").alias("ea"), F.col("b").alias("eb")
+    )
+    tri = wedges.join(
+        e3, (F.col("a") == F.col("ea")) & (F.col("c") == F.col("eb"))
+    ).select("a", "b", "c")
+    n_edges = co.agg(F.count("*").alias("n_edges"))
+    n_wedges = wedges.agg(F.count("*").alias("n_wedges"))
+    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    return (
+        n_edges.crossJoin(F.broadcast(n_wedges))
+        .crossJoin(F.broadcast(n_tri))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (
+                F.col("n_triangles")
+                * (F.lit(3).cast("double") / F.col("n_wedges"))
+            ).alias("closure_ratio"),
+        )
+    )

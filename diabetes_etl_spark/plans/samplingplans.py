@@ -340,3 +340,55 @@ def corpus_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seq_id")
     )
+
+
+@register(
+    "corpus_hash_split",
+    oracle=r"""
+WITH assigned AS (
+  SELECT doc_id, lang,
+    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+    CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+         WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM assigned GROUP BY split, lang
+ORDER BY split, lang
+""",
+    doc="Deterministic train/val/test assignment by multiplicative "
+    "integer hash (Knuth 2654435761) of the document id — the "
+    "reproducible-split primitive every training pipeline needs: "
+    "stable across runs, engines, partitionings, and re-shards "
+    "because it is pure integer arithmetic on the id (no RNG, no "
+    "row order dependence).  80/10/10 buckets; per-(split, lang) doc "
+    "and token tallies verify both the assignment and its balance.  "
+    "Zero-shuffle assignment (a projection); one aggregate exchange.",
+    tags=("sampling", "split", "extension"),
+    extended=True,
+)
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    assigned = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        assigned.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )

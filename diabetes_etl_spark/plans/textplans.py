@@ -286,3 +286,74 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "token")
         .limit(20)
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.token, t.tf, d.df,
+         t.tf * (CAST(n.n AS DOUBLE) / d.df) AS score
+  FROM tf t JOIN dfreq d USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+  FROM scored
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score
+FROM ranked WHERE rn <= 3
+ORDER BY doc_id, rn
+""",
+    doc="Inverted-index / TF-IDF: tokenize, build per-(doc, term) "
+    "frequencies and per-term document frequencies (one shuffle "
+    "each, both map-side-combined), score tf * (N / df) with the "
+    "corpus size N computed IN-PLAN (broadcast 1-row aggregate, no "
+    "driver collect), top-3 terms per doc via row_number with a "
+    "total (score DESC, token) tiebreak.  The score is two "
+    "correctly-rounded IEEE double ops — bit-identical across "
+    "engines without any decimal fold — so even the float column "
+    "hash-matches.  The per-term df relation IS the inverted-index "
+    "statistics layer a retrieval/routing stage needs; at 100 TB "
+    "the heavy shuffle is (token, doc) pairs, which partial "
+    "aggregation collapses before exchange.",
+    tags=("text", "tfidf", "extension"),
+    extended=True,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf") * (F.col("n").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "df", "score")
+        .orderBy("doc_id", "token")
+    )
