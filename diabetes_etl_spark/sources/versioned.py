@@ -389,7 +389,10 @@ class VersionedTable:
         return self._commit("merge", keep + new_files, ver, doc["schema"])
 
     def compact(
-        self, target_bytes: int = 128 * 1024 * 1024, min_files: int = 2
+        self,
+        target_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 2,
+        zorder_by: tuple[str, str] | None = None,
     ) -> int | None:
         """Small-file compaction (the other half of Delta's OPTIMIZE,
         which the reference's ``autoOptimize`` TBLPROPERTIES implies —
@@ -410,6 +413,19 @@ class VersionedTable:
         manifest metadata (no listing, no data read); the rewrite
         reads ONLY the small files.  Big files carry over by
         reference, so cost ∝ small-file bytes, not table size.
+
+        ``zorder_by=(col_a, col_b)`` additionally CLUSTERS the
+        rewritten rows on the Morton (bit-interleaved) order of the
+        two columns — Delta's OPTIMIZE ZORDER: each output file then
+        covers a compact rectangle in (a, b) space, so the footer
+        min/max recorded for BOTH columns are tight and ``read``'s
+        ``between=`` pruning works on either dimension, not just the
+        insertion order.  The z-value is built from 16-bit range
+        buckets (one in-plan min/max aggregate over the rewrite set,
+        native bit expressions, no UDF) and rows route through
+        ``repartitionByRange`` on it — at scale every output file is
+        a contiguous z-range, which is exactly what makes
+        multi-dimensional skipping effective on a 100 TB table.
         """
         ver, doc = self._latest()
         if doc is None:
@@ -424,9 +440,11 @@ class VersionedTable:
         paths = [os.path.join(self.path, e["path"]) for e in small]
         total = sum(e["bytes"] for e in small)
         n_out = max(1, -(-total // target_bytes))  # ceil
-        merged = self.spark.read.schema(schema).parquet(*paths).coalesce(
-            n_out
-        )
+        data = self.spark.read.schema(schema).parquet(*paths)
+        if zorder_by is None:
+            merged = data.coalesce(n_out)
+        else:
+            merged = _zorder(data, zorder_by, n_out)
         new_files = self._write_data(merged)
         return self._commit("compact", keep + new_files, ver, doc["schema"])
 
@@ -544,6 +562,54 @@ class VersionedTable:
                     shutil.rmtree(os.path.join(ddir, rid), ignore_errors=True)
                     removed += 1
         return removed
+
+
+def _zorder(df: DataFrame, cols: tuple[str, str], n_out: int) -> DataFrame:
+    """Cluster ``df`` into ``n_out`` contiguous ranges of the Morton
+    order of two numeric/temporal columns.  Each column maps to a
+    16-bit bucket by linear scaling over its (in-plan, broadcast)
+    min/max, the buckets bit-interleave into a 32-bit z-value with
+    native shift/mask expressions, and ``repartitionByRange`` +
+    a partition-local sort lay rows out so every output file covers a
+    compact z-range (tight footer stats on BOTH columns).  NULLs
+    bucket to 0 (they sort first; their files simply record no
+    narrowing for that column)."""
+    from pyspark.sql import functions as F
+
+    a, b = cols
+    env = df.agg(
+        F.min(a).alias("__alo"), F.max(a).alias("__ahi"),
+        F.min(b).alias("__blo"), F.max(b).alias("__bhi"),
+    )
+    with_env = df.crossJoin(F.broadcast(env))
+
+    def bucket(col: str, lo: str, hi: str):
+        span = F.col(hi).cast("double") - F.col(lo).cast("double")
+        frac = F.when(span > 0,
+                      (F.col(col).cast("double") - F.col(lo).cast("double"))
+                      / span).otherwise(F.lit(0.0))
+        return F.coalesce(
+            F.least(F.floor(frac * 65536).cast("long"), F.lit(65535)),
+            F.lit(0),
+        )
+
+    ba, bb = bucket(a, "__alo", "__ahi"), bucket(b, "__blo", "__bhi")
+    z = F.lit(0).cast("long")
+    for i in range(16):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(ba, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(bb, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    clustered = (
+        with_env.withColumn("__z", z)
+        .repartitionByRange(n_out, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z", "__alo", "__ahi", "__blo", "__bhi")
+    )
+    return clustered
 
 
 def _json_safe(v):

@@ -388,3 +388,80 @@ def test_compact_crash_before_publish_leaves_table_unchanged(
     data_dirs = set(os.listdir(os.path.join(vt.path, "_data")))
     assert not data_dirs - referenced
     assert vt.read().count() == 80
+
+
+def test_compact_zorder_enables_two_dimensional_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER contract: after z-order compaction on (x, y),
+    a between= on EITHER column prunes files — the pre-compaction
+    layout (appended in x order) can only prune on x, every file's y
+    stats span the full domain."""
+    vt = VersionedTable(spark, str(tmp_path / "z"), stats_cols=("x", "y"))
+    # 8 appends ordered by x; y is independent of x (decorrelated via
+    # multiplicative hash), so insertion order carries no y locality
+    for part in range(8):
+        df = spark.range(part * 512, (part + 1) * 512).select(
+            F.col("id").alias("x"),
+            ((F.col("id") * 2654435761) % 4096).alias("y"),
+        )
+        vt.append(df.coalesce(1))
+    _, doc = vt._latest()
+    n_before = len([e for e in doc["files"] if e["rows"] > 0])
+
+    def files_read(between):
+        sel = vt.read(between=between)
+        _, cur = vt._latest()
+        col, lo, hi = between
+        return len([
+            e for e in cur["files"]
+            if e["rows"] > 0 and (
+                col not in e.get("stats", {})
+                or not (e["stats"][col][1] < lo or e["stats"][col][0] > hi)
+            )
+        ])
+
+    # pre-compaction: x prunes (insertion order), y cannot
+    assert files_read(("x", 0, 100)) == 1
+    assert files_read(("y", 0, 255)) == n_before
+
+    rows_before = sorted((r.x, r.y) for r in vt.read().collect())
+    ver = vt.compact(target_bytes=1 << 30, zorder_by=("x", "y"))
+    assert ver is not None
+    # contents identical after clustering
+    assert sorted((r.x, r.y) for r in vt.read().collect()) == rows_before
+
+    # force multiple output files for the pruning assertion
+    vt2 = VersionedTable(spark, str(tmp_path / "z2"), stats_cols=("x", "y"))
+    for part in range(8):
+        df = spark.range(part * 512, (part + 1) * 512).select(
+            F.col("id").alias("x"),
+            ((F.col("id") * 2654435761) % 4096).alias("y"),
+        )
+        vt2.append(df.coalesce(1))
+    data = vt2.read()
+    from diabetes_etl_spark.sources.versioned import _zorder
+
+    vt3 = VersionedTable(spark, str(tmp_path / "z3"), stats_cols=("x", "y"))
+    vt3.overwrite(_zorder(data, ("x", "y"), 8))
+    _, doc3 = vt3._latest()
+    n_files = len([e for e in doc3["files"] if e["rows"] > 0])
+    assert n_files >= 4
+
+    def pruned(vt_, col, lo, hi):
+        _, cur = vt_._latest()
+        total = len([e for e in cur["files"] if e["rows"] > 0])
+        kept = len([
+            e for e in cur["files"]
+            if e["rows"] > 0 and (
+                col not in e.get("stats", {})
+                or not (e["stats"][col][1] < lo or e["stats"][col][0] > hi)
+            )
+        ])
+        return total - kept
+
+    # z-ordered layout prunes on BOTH dimensions
+    assert pruned(vt3, "x", 0, 511) > 0
+    assert pruned(vt3, "y", 0, 511) > 0
+    # and the clustered table still returns exactly the right rows
+    assert vt3.read(between=("y", 0, 255)).count() == sum(
+        1 for _, y in rows_before if 0 <= y <= 255
+    )
