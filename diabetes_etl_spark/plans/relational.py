@@ -1148,3 +1148,37 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "skew_profile_orders",
+    oracle="""
+WITH counts AS (
+  SELECT o_custkey AS key, COUNT(*) AS n_rows FROM orders GROUP BY 1
+),
+tot AS (SELECT SUM(n_rows) AS total, COUNT(*) AS nkeys FROM counts),
+ranked AS (
+  SELECT c.key, c.n_rows,
+    c.n_rows / CAST(t.total AS DOUBLE) AS share,
+    c.n_rows / (CAST(t.total AS DOUBLE) / t.nkeys) AS x_vs_mean,
+    ROW_NUMBER() OVER (ORDER BY c.n_rows DESC, c.key) AS rn
+  FROM counts c CROSS JOIN tot t
+)
+SELECT key, n_rows, share, x_vs_mean
+FROM ranked WHERE rn <= 10 ORDER BY n_rows DESC, key
+""",
+    doc="Key-skew diagnostics (operators/skew.py:key_skew_profile): "
+    "top-10 heaviest customer keys in orders with each key's share "
+    "of the table and its ratio to the mean key load — the "
+    "measurement that decides WHEN the salted join/agg mitigations "
+    "are worth their extra shuffle.  One aggregate pass, exact "
+    "integers + single IEEE divisions (floats hash-match without a "
+    "decimal fold), top-k with a total tiebreak.",
+    tags=("skew", "diagnostics", "extension"),
+    extended=True,
+)
+def skew_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.skew import key_skew_profile
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return key_skew_profile(orders, "o_custkey", top_n=10)
