@@ -368,7 +368,17 @@ def substring_dup_stats(
     function in the SQL oracle), 64-bit collision-safe at corpus
     scale; a production variant swaps in xxhash64 unchanged.
     """
+    df = widen(df)
     w = tokens(F.col(text_col))
+    # n_shingles is arithmetic on the token count — computed WITHOUT
+    # exploding, so the expensive shingle subtree below runs exactly
+    # once (not once for counting and once for matching)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(F.size(w) - (k - 1), F.lit(0))
+        .cast("long")
+        .alias("n_shingles"),
+    )
     shingles = F.when(
         F.size(w) >= k,
         F.transform(
@@ -378,29 +388,23 @@ def substring_dup_stats(
     ).otherwise(F.array().cast("array<string>"))
     sh = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode_outer(shingles).alias("shingle"),
+        F.explode(shingles).alias("shingle"),
     ).select(
         "doc_id",
         F.substring(F.md5(F.col("shingle")), 1, 16).alias("h"),
     )
-    real = sh.filter(F.col("h").isNotNull())
     dup = (
-        real.groupBy("h")
+        sh.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("h")
     )
-    per_doc = real.join(dup, "h").groupBy("doc_id").agg(
+    per_doc = sh.join(dup, "h").groupBy("doc_id").agg(
         F.count("*").alias("n_dup_shingles")
-    )
-    base = sh.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("h").isNotNull(), 1).otherwise(0)).alias(
-            "n_shingles"
-        )
     )
     return base.join(per_doc, "doc_id", "left").select(
         "doc_id",
-        F.col("n_shingles").cast("long").alias("n_shingles"),
+        "n_shingles",
         F.coalesce(F.col("n_dup_shingles"), F.lit(0))
         .cast("long")
         .alias("n_dup_shingles"),

@@ -242,7 +242,9 @@ def attach_color_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFra
     — the color twin of the mixed-modality producer below, used by the
     multimodal_color_decode query whose oracle recomputes decoded-RGB
     statistics arithmetically."""
-    src = df.select(F.col(id_col).alias("doc_id"))
+    from diabetes_etl_spark.operators.util import widen
+
+    src = widen(df.select(F.col(id_col).alias("doc_id")))
 
     def produce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -285,7 +287,11 @@ def attach_media_payloads(
     the same plumbing a real ingest-side media normalizer would use
     (payload bytes are created executor-side, never shipped through the
     driver)."""
-    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    from diabetes_etl_spark.operators.util import widen
+
+    src = widen(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
 
     def produce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1410,7 +1416,9 @@ def attach_video_payloads(
     """Executor-side producer of real ISO-BMFF payloads (geometry a
     pure function of doc_id), Arrow-batched — the video twin of
     attach_media_payloads."""
-    src = df.select(F.col(id_col).alias("doc_id"))
+    from diabetes_etl_spark.operators.util import widen
+
+    src = widen(df.select(F.col(id_col).alias("doc_id")))
 
     def produce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
