@@ -101,41 +101,46 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_triangle_count",
     oracle="""
 WITH co AS (
-  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
   FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ),
-wedges AS (
-  SELECT e1.a AS a, e1.b AS b, e2.b AS c
-  FROM co e1 JOIN co e2 ON e1.b = e2.a
+sym AS (SELECT a, b FROM co UNION ALL SELECT b, a FROM co),
+deg AS (SELECT a AS v, COUNT(*) AS d FROM sym GROUP BY a),
+orient AS (
+  SELECT CASE WHEN (da.d, s.a) < (db.d, s.b) THEN s.a ELSE s.b END AS u,
+         CASE WHEN (da.d, s.a) < (db.d, s.b) THEN s.b ELSE s.a END AS v
+  FROM co s JOIN deg da ON s.a = da.v JOIN deg db ON s.b = db.v
 ),
 tri AS (
-  SELECT w.a, w.b, w.c FROM wedges w JOIN co e3
-    ON w.a = e3.a AND w.c = e3.b
+  SELECT 1 FROM orient e1
+  JOIN orient e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN orient e3 ON e3.u = e1.v AND e3.v = e2.v
 )
 SELECT
-  (SELECT COUNT(*) FROM co)     AS n_edges,
-  (SELECT COUNT(*) FROM wedges) AS n_wedges,
-  (SELECT COUNT(*) FROM tri)    AS n_triangles,
+  (SELECT COUNT(*) FROM co) AS n_edges,
+  (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+  (SELECT COUNT(*) FROM tri) AS n_triangles,
   (SELECT COUNT(*) FROM tri) * (CAST(3 AS DOUBLE) /
-    (SELECT COUNT(*) FROM wedges)) AS closure_ratio
+    (SELECT SUM(d * (d - 1) / 2) FROM deg)) AS closure_ratio
 """,
-    doc="Triangle counting over the supplier co-purchase graph "
-    "(suppliers sharing an order): canonical id-ordered edges "
-    "(a < b < c), one self-join builds wedges, one membership join "
-    "closes them — the standard two-join MapReduce triangle count.  "
-    "At scale the orientation would be by DEGREE (low -> high), which "
-    "bounds per-node join fan-out by sqrt(m) and kills hub skew; the "
-    "id orientation keeps the oracle byte-identical, and the "
-    "degree-ordered variant changes only the orientation expression.  "
-    "closure_ratio (global clustering coefficient numerator 3T/W) is "
-    "one IEEE division + multiply — bit-identical cross-engine.",
+    doc="Triangle counting over the parts co-purchase graph (parts "
+    "sharing an order) with the DEGREE-ORIENTED enumeration: edges "
+    "orient from the (degree, id)-smaller endpoint, so per-node "
+    "out-degree is O(sqrt m) and wedge candidates are O(m^1.5) "
+    "instead of sum(deg^2) — the difference between a bounded join "
+    "and a blow-up on hub nodes at 100 TB.  The wedge total for the "
+    "clustering coefficient never materializes a wedge at all: it is "
+    "sum C(deg, 2) from the degree table (one aggregate).  "
+    "closure_ratio (3T/W) is one IEEE division + multiply — "
+    "bit-identical cross-engine.  Both engines orient identically, "
+    "so the oracle pins the exact triangle set, not just the count.",
     tags=("graph", "triangles", "extension"),
     extended=True,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
+        "l_orderkey", "l_partkey"
     )
     a = li.alias("a")
     b = li.alias("b")
@@ -143,28 +148,39 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .select(
-            F.col("a.l_suppkey").alias("a"), F.col("b.l_suppkey").alias("b")
+            F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
         )
         .distinct()
     )
-    e1 = co.alias("e1")
-    e2 = co.alias("e2")
-    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
-        F.col("e1.a").alias("a"),
-        F.col("e1.b").alias("b"),
-        F.col("e2.b").alias("c"),
+    sym = co.unionByName(
+        co.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    e3 = co.select(
-        F.col("a").alias("ea"), F.col("b").alias("eb")
+    deg = sym.groupBy(F.col("a").alias("v")).agg(F.count("*").alias("d"))
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    tri = wedges.join(
-        e3, (F.col("a") == F.col("ea")) & (F.col("c") == F.col("eb"))
-    ).select("a", "b", "c")
+    orient = (
+        co.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    e1 = orient.select(F.col("u"), F.col("v").alias("v1"))
+    e2 = orient.select(F.col("u"), F.col("v").alias("v2"))
+    cand = e1.join(e2, "u").filter(F.col("v1") < F.col("v2"))
+    e3 = orient.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = cand.join(e3, ["v1", "v2"])
     n_edges = co.agg(F.count("*").alias("n_edges"))
-    n_wedges = wedges.agg(F.count("*").alias("n_wedges"))
+    n_wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
     n_tri = tri.agg(F.count("*").alias("n_triangles"))
     return (
         n_edges.crossJoin(F.broadcast(n_wedges))
