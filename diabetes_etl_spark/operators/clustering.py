@@ -1,0 +1,206 @@
+"""Distributed k-means (Lloyd's algorithm) with fixed iterations and
+bit-deterministic, cross-engine-exact arithmetic — the third
+iterative operator next to connected components and PageRank
+(operators/components.py, operators/graph.py), and the clustering
+primitive behind SemDeDup-style semantic deduplication
+(plans/clusterplans.py).
+
+Reference parity note: the reference (/root/reference/src/
+diabetes_etl_pipeline.py) has no clustering operator — this is part
+of the LLM-data-pipeline extension tier (BASELINE.json north star):
+cluster-then-dedup-within-cluster is the standard way to run
+embedding near-dup at corpus scale without an all-pairs join.
+
+Determinism contract (what makes an ITERATIVE float algorithm
+hash-checkable against a SQL oracle):
+- seeds are the k vectors with the smallest ids (no RNG — resumable
+  and replayable by construction);
+- squared distances fold per-dimension terms through fixed-scale
+  DECIMAL, so the argmin sees exact, order-independent sums (IEEE
+  subtraction/multiplication of pinned doubles is deterministic;
+  only the reduction order is not — the decimal fold removes it);
+- argmin ties break on cluster id (min over (d2, cid) pairs);
+- centroid means are exact decimal sums divided once in IEEE double,
+  then pinned to DECIMAL(18,12) — the PageRank recipe
+  (operators/graph.py), so every round's centroids are bit-identical
+  across partitionings AND engines.
+
+Scale notes (100 TB lens):
+- points are exploded ONCE to long format (id, pos, x) and
+  materialized to ``work_dir`` parquet; every iteration reads that
+  parquet, so the (possibly expensive) upstream embedding subtree
+  executes exactly once;
+- the per-iteration cost is the unavoidable n·d·k term shape, but it
+  is produced by a BROADCAST join of the k·d centroid table (a few
+  KB) against the long point table — no shuffle of the points until
+  the (id, cid) partial aggregate, which map-side-combines n·d·k
+  down to n·k before the exchange;
+- centroid state is k·d rows (tiny) and is committed per round to
+  ``work_dir`` parquet with ``_SUCCESS`` markers — the
+  executor-loss-safe pattern proven in operators/components.py:
+  lineage truncates every round and a restarted driver resumes from
+  the last fully-committed round;
+- k and d are bounded (centroids broadcast); n is unbounded — the
+  only O(n) state lives in the filesystem, never in driver memory.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.functions.numeric import dec_cast
+
+# per-dimension squared-difference terms and point coordinates fold at
+# scale 15 (the similarity operators' element scale); centroid means
+# pin at 12 — three guard digits below the fold, the PageRank recipe
+# for keeping HALF_UP-vs-half-even cast ties unreachable.
+_DEC_TERM = "decimal(25,15)"
+_MEAN_SCALE = 12
+
+
+def _round_path(work_dir: str, k: int) -> str:
+    return os.path.join(work_dir, f"centroids_{k:05d}")
+
+
+def _is_committed(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
+    """(id, cluster, d2): nearest centroid per point under exact
+    decimal-folded squared L2, ties on the smaller cluster id.
+
+    The centroid side is k·d rows — broadcast, so the n·d long table
+    never shuffles for the join; the (id, cid) aggregate map-side
+    combines before its exchange."""
+    diff = F.col("x") - F.col("c")
+    d2 = (
+        pts.join(F.broadcast(cent), "pos")
+        .groupBy("id", "cid")
+        .agg(F.sum((diff * diff).cast(_DEC_TERM)).alias("d2"))
+    )
+    return d2.groupBy("id").agg(F.min(F.struct("d2", "cid")).alias("m")).select(
+        "id", F.col("m.cid").alias("cluster"), F.col("m.d2").alias("d2")
+    )
+
+
+def _update(pts: DataFrame, assign: DataFrame, prev: DataFrame) -> DataFrame:
+    """New centroid table from an assignment: per-(cluster, pos) exact
+    decimal mean, pinned to DECIMAL(18,12) doubles; clusters that lost
+    every point carry their previous centroid (the left-join spine is
+    the previous round's k·d rows, so k never shrinks)."""
+    sums = (
+        pts.join(assign.select("id", "cluster"), "id")
+        .groupBy("cluster", "pos")
+        .agg(
+            F.sum(F.col("x").cast(_DEC_TERM)).alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    newc = sums.select(
+        F.col("cluster").alias("cid"),
+        "pos",
+        dec_cast(F.col("s").cast("double") / F.col("n"), _MEAN_SCALE).alias(
+            "c_new"
+        ),
+    )
+    return (
+        prev.select("cid", "pos", F.col("c").alias("c_old"))
+        .join(newc, ["cid", "pos"], "left")
+        .select("cid", "pos", F.coalesce("c_new", "c_old").alias("c"))
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iterations: int = 2,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """(id, cluster, d2) after ``iterations`` Lloyd's updates, assigned
+    under the FINAL centroids (so ``iterations + 1`` assignment passes
+    run in total).  ``d2`` is the exact squared L2 distance to the
+    winning centroid, cast to DOUBLE on output.
+
+    ``work_dir`` is the reliable-materialization directory (module
+    docstring): pass a durable path to make the loop resumable across
+    driver restarts; a given ``work_dir`` belongs to one invocation's
+    (input, k, iterations) and must not be shared across different
+    ones.  When omitted, a process-local temp dir is used (removed at
+    interpreter exit; the returned DataFrame reads from it, hence
+    atexit, not finally).
+    """
+    spark = df.sparkSession
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="spark_kmeans_")
+        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
+    else:
+        os.makedirs(work_dir, exist_ok=True)
+
+    # long-format points, materialized exactly once
+    pts_path = os.path.join(work_dir, "points")
+    if not _is_committed(pts_path):
+        (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.posexplode(F.col(vec_col)).alias("pos", "xf"),
+            )
+            .select("id", "pos", F.col("xf").cast("double").alias("x"))
+            .write.mode("overwrite")
+            .parquet(pts_path)
+        )
+    pts = spark.read.parquet(pts_path)
+
+    last = None
+    for r in range(iterations, -1, -1):
+        if _is_committed(_round_path(work_dir, r)):
+            last = r
+            break
+    if last is None:
+        # round 0: the k smallest ids seed the centroids (k-row window
+        # after a LIMIT — bounded, deterministic, no driver collect)
+        seeds = (
+            df.select(F.col(id_col).alias("sid"))
+            .orderBy("sid")
+            .limit(k)
+            .withColumn(
+                "cid", F.row_number().over(Window.orderBy("sid")) - 1
+            )
+        )
+        (
+            pts.join(F.broadcast(seeds), pts["id"] == seeds["sid"])
+            .select("cid", "pos", F.col("x").alias("c"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(_round_path(work_dir, 0))
+        )
+        last = 0
+    cent = spark.read.parquet(_round_path(work_dir, last))
+
+    for r in range(last + 1, iterations + 1):
+        (
+            _update(pts, _assign(pts, cent), cent)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(_round_path(work_dir, r))
+        )
+        cent = spark.read.parquet(_round_path(work_dir, r))
+
+    final = _assign(pts, cent)
+    # d2 reports at 9 digits (the repo's float-output convention, cf.
+    # cosine_sim): the full scale-15 decimal is exact per engine but a
+    # double->decimal CAST tie (HALF_UP vs half-even) in one of the
+    # n*d*k term casts can leak a 1-ulp difference into the 15th digit
+    # cross-engine; 9 digits is far above that noise and far below any
+    # real between-cluster distance gap.
+    return final.select(
+        "id", "cluster", F.round(F.col("d2").cast("double"), 9).alias("d2")
+    )

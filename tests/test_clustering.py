@@ -1,0 +1,117 @@
+"""Distributed k-means (operators/clustering.py) unit tests:
+convergence on separable data, determinism/partition invariance,
+empty-cluster carry, driver-restart resume, and the broadcast plan
+shape for the centroid join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.operators.clustering import kmeans_assign
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _two_blobs(spark):
+    # even ids hug (0,0); odd ids hug (10,10) — clearly separable, and
+    # the two smallest ids (the k=2 seeds) land one in each blob
+    rows = [(2 * i, [0.0 + i * 0.01, 0.0 - i * 0.01]) for i in range(6)]
+    rows += [
+        (2 * i + 1, [10.0 + i * 0.01, 10.0 - i * 0.01]) for i in range(6)
+    ]
+    return _vecs(spark, rows)
+
+
+def test_kmeans_separates_two_blobs(spark):
+    asg = kmeans_assign(_two_blobs(spark), k=2, iterations=2).collect()
+    by_cluster = {}
+    for r in asg:
+        by_cluster.setdefault(r.cluster, set()).add(r.id)
+    assert len(by_cluster) == 2
+    assert set(map(frozenset, by_cluster.values())) == {
+        frozenset(range(0, 12, 2)),
+        frozenset(range(1, 12, 2)),
+    }
+
+
+def test_kmeans_partition_invariant_bit_identical(spark):
+    df = _vecs(
+        spark,
+        [(i, [float((i * 7) % 13), float((i * 5) % 11), float(i % 3)])
+         for i in range(40)],
+    )
+    a = sorted(
+        (r.id, r.cluster, r.d2)
+        for r in kmeans_assign(df, k=3, iterations=2).collect()
+    )
+    b = sorted(
+        (r.id, r.cluster, r.d2)
+        for r in kmeans_assign(
+            df.repartition(17), k=3, iterations=2
+        ).collect()
+    )
+    assert a == b  # bit-identical, not approximately
+
+
+def test_kmeans_empty_cluster_carries_previous_centroid(spark):
+    """Identical seed vectors force cluster 1 empty in round 1 (ties
+    break to the smaller cid), so its centroid must CARRY at [0,0];
+    after cluster 0's mean migrates toward the far blob, the carried
+    centroid recaptures the two origin points — the final assignment
+    proves the empty cluster survived instead of vanishing."""
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0])]
+    rows += [(i, [5.0 + i * 0.01, 5.0]) for i in range(2, 12)]
+    asg = {
+        r.id: r.cluster
+        for r in kmeans_assign(_vecs(spark, rows), k=2, iterations=2).collect()
+    }
+    assert len(asg) == 12
+    assert asg[0] == 1 and asg[1] == 1
+    assert all(asg[i] == 0 for i in range(2, 12))
+
+
+def test_kmeans_work_dir_resume_bit_identical(spark, tmp_path):
+    """A run interrupted after round 1 (simulated by iterations=1 into
+    a durable work_dir plus a junk uncommitted round-2 directory)
+    resumes from the last _SUCCESS-committed round and lands on
+    assignments bit-identical to an uninterrupted run."""
+    df = _vecs(
+        spark,
+        [(i, [float((i * 7) % 13), float((i * 5) % 11)]) for i in range(30)],
+    )
+    full = sorted(
+        (r.id, r.cluster, r.d2)
+        for r in kmeans_assign(
+            df, k=3, iterations=3, work_dir=str(tmp_path / "full")
+        ).collect()
+    )
+    wd = tmp_path / "resume"
+    kmeans_assign(df, k=3, iterations=1, work_dir=str(wd)).collect()
+    partial = wd / "centroids_00002"
+    partial.mkdir()
+    (partial / "part-junk.parquet").write_bytes(b"not parquet")
+    resumed = sorted(
+        (r.id, r.cluster, r.d2)
+        for r in kmeans_assign(
+            df, k=3, iterations=3, work_dir=str(wd)
+        ).collect()
+    )
+    assert resumed == full
+
+
+def test_kmeans_centroid_join_is_broadcast(spark, tmp_path):
+    """The n·d point table must never shuffle for the distance join:
+    the k·d centroid side broadcasts (asserted on the final-assignment
+    plan), so the only exchange is the map-side-combined (id, cid)
+    aggregate."""
+    df = _vecs(
+        spark,
+        [(i, [float(i % 5), float(i % 7)]) for i in range(50)],
+    )
+    plan = kmeans_assign(
+        df, k=2, iterations=1, work_dir=str(tmp_path / "wd")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
