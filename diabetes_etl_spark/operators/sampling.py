@@ -279,3 +279,85 @@ def pack_sequences(
             (F.col("__cum_before") % budget) + F.col(token_col) > budget
         ).alias("crosses_boundary"),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    target_weight: float | None = None,
+    alpha: float = 0.5,
+    stratum_col: str = "lang",
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: int = 31,
+) -> DataFrame:
+    """Temperature-based mixture resampling — per-stratum rates DERIVED
+    FROM THE CORPUS in-plan (the mT5/XLM-R sampling-temperature
+    pattern), unlike :func:`stratified_sample` /
+    :func:`repeat_sample`, whose rates arrive as caller literals.
+
+    Stratum s with total weight ``w_s`` (sum of ``weight_col``) gets
+    mixture probability ``p_s = w_s^alpha / sum_t w_t^alpha``; at
+    ``alpha=1`` the mix is the natural distribution, at ``alpha=0``
+    uniform across strata — in between, over-represented strata are
+    flattened (the standard fix for English dominating a multilingual
+    corpus).  Each row then appears ``m_s = target_weight * p_s / w_s``
+    times: ``floor(m_s)`` copies always, one more for a deterministic
+    ``frac(m_s)`` share of ids (portable hash — reproducible,
+    partition-invariant, engine-replayable).  ``target_weight=None``
+    keeps the corpus' own total weight (pure re-mixing).
+
+    Scale shape: two TINY aggregates (k strata; the second folds
+    ``w^alpha`` through DECIMAL so the cross-stratum sum is
+    order-independent), broadcast back onto the scan — no wide
+    shuffle, no driver round-trip, rows appear ``m`` times via a
+    narrow sequence+explode.  ``alpha=0.5`` uses ``sqrt`` (correctly
+    rounded IEEE — bit-identical cross-engine); other alphas go
+    through ``pow``, whose last-ulp behaviour is libm-dependent —
+    fine for production mixing, but oracle-paired checks should stick
+    to 0.5.
+
+    Output: input columns + ``mix_rate`` (= m_s) + ``copy_idx``
+    (0..mult-1); rows whose multiplicity lands on 0 are dropped.
+    """
+    clash = {"mix_rate", "copy_idx"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} — re-mixing "
+            "mixed output would create ambiguous references; drop or "
+            "rename them first"
+        )
+    w_stat = F.col("_w")
+    powed = (
+        F.sqrt(w_stat) if alpha == 0.5 else F.pow(w_stat, F.lit(alpha))
+    )
+    w = df.groupBy(stratum_col).agg(
+        F.sum(F.col(weight_col).cast("long")).cast("double").alias("_w")
+    )
+    # z folds through DECIMAL(38,6): k stratum terms, order-independent;
+    # t (the natural total) is a sum of integer-valued doubles — exact
+    # at any order while < 2^53, no fold needed.
+    tot = w.agg(
+        F.sum(powed.cast("decimal(38,6)")).cast("double").alias("_z"),
+        F.sum(w_stat).alias("_t"),
+    )
+    target = (
+        F.col("_t") if target_weight is None
+        else F.lit(float(target_weight))
+    )
+    rates = w.crossJoin(F.broadcast(tot)).select(
+        F.col(stratum_col),
+        ((target * (powed / F.col("_z"))) / w_stat).alias("mix_rate"),
+    )
+    u = portable_unit_hash(F.col(id_col), seed)
+    mult = F.floor("mix_rate").cast("int") + (
+        u < (F.col("mix_rate") - F.floor("mix_rate"))
+    ).cast("int")
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .withColumn("_mult", mult)
+        .filter(F.col("_mult") > 0)
+        .withColumn(
+            "copy_idx", F.explode(F.sequence(F.lit(0), F.col("_mult") - 1))
+        )
+        .drop("_mult")
+    )

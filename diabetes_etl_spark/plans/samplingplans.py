@@ -392,3 +392,70 @@ def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+_MIX_SEED = 31
+
+_MIX_ORACLE = f"""
+WITH w AS (
+  SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS w
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT CAST(SUM(CAST(sqrt(w) AS DECIMAL(38,6))) AS DOUBLE) AS z,
+         SUM(w) AS t
+  FROM w
+),
+r AS (
+  SELECT lang, w, ((t * (sqrt(w) / z)) / w) AS m FROM w CROSS JOIN tot
+),
+sel AS (
+  SELECT d.lang, d.doc_id, d.n_chars, r.m,
+    CAST(FLOOR(r.m) AS INT) +
+    CASE WHEN {_unit_sql('d.doc_id', _MIX_SEED)} < r.m - FLOOR(r.m)
+         THEN 1 ELSE 0 END AS mult
+  FROM documents d JOIN r ON d.lang = r.lang
+)
+SELECT lang,
+  CAST(COUNT(*) FILTER (WHERE mult > 0) AS BIGINT) AS n_docs_kept,
+  CAST(SUM(mult) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(mult AS BIGINT) * n_chars) AS BIGINT) AS chars_kept,
+  ROUND(MAX(m), 9) AS mix_rate
+FROM sel GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "mix_temperature_langs",
+    oracle=_MIX_ORACLE,
+    doc="Temperature-based mixture resampling (alpha=0.5, the mT5 "
+    "sampling-temperature pattern): per-language rates are DERIVED "
+    "IN-PLAN from the corpus' own char totals — p_s ~ sqrt(w_s), "
+    "multiplicity m_s = total * p_s / w_s — flattening English "
+    "dominance while keeping the total char budget.  Two k-row "
+    "aggregates broadcast back onto the scan (no wide shuffle, no "
+    "driver round-trip); the cross-stratum normalizer folds through "
+    "DECIMAL so it is order-independent, and sqrt is correctly "
+    "rounded IEEE, so the oracle's replay is bit-identical.  "
+    "Per-language kept-doc / row / char tallies plus the rate.",
+    tags=("sampling", "mixing", "extension"),
+    extended=True,
+)
+def mix_temperature_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = temperature_mix(
+        docs, alpha=0.5, stratum_col="lang", weight_col="n_chars",
+        id_col="doc_id", seed=_MIX_SEED,
+    )
+    return (
+        mixed.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs_kept"),
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+            F.round(F.max("mix_rate"), 9).alias("mix_rate"),
+        )
+        .orderBy("lang")
+    )

@@ -282,3 +282,63 @@ def test_pack_sequences_guards(spark):
     packed = pack_sequences(df, budget=16)
     with _pytest.raises(ValueError, match="seq_id"):
         pack_sequences(packed, budget=16)
+
+
+# -- temperature_mix -------------------------------------------------------
+
+
+def _skewed_corpus(spark):
+    # 40 'en' docs of 100 chars, 10 'fr' of 100, 5 'zh' of 100
+    rows = [(i, "en", 100) for i in range(40)]
+    rows += [(100 + i, "fr", 100) for i in range(10)]
+    rows += [(200 + i, "zh", 100) for i in range(5)]
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long"
+    )
+
+
+def test_temperature_mix_flattens_skew(spark):
+    from diabetes_etl_spark.operators.sampling import temperature_mix
+
+    out = temperature_mix(_skewed_corpus(spark)).collect()
+    rates = {r.lang: r.mix_rate for r in out}
+    # sqrt-temperature: the dominant stratum is downsampled, the rare
+    # one upsampled, and rates order inversely to stratum size
+    assert rates["en"] < 1 < rates["zh"]
+    assert rates["en"] < rates["fr"] < rates["zh"]
+    # the total char budget is approximately conserved (multiplicity
+    # rounding moves it by at most one doc per stratum)
+    kept = sum(r.n_chars for r in out)
+    assert abs(kept - 5500) <= 300
+
+
+def test_temperature_mix_alpha1_is_natural_distribution(spark):
+    from diabetes_etl_spark.operators.sampling import temperature_mix
+
+    out = temperature_mix(_skewed_corpus(spark), alpha=1.0).collect()
+    assert all(abs(r.mix_rate - 1.0) < 1e-9 for r in out)
+
+
+def test_temperature_mix_partition_invariant_bit_identical(spark):
+    from diabetes_etl_spark.operators.sampling import temperature_mix
+
+    df = _skewed_corpus(spark)
+    a = sorted(
+        (r.doc_id, r.copy_idx, r.mix_rate)
+        for r in temperature_mix(df).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.copy_idx, r.mix_rate)
+        for r in temperature_mix(df.repartition(13)).collect()
+    )
+    assert a == b
+
+
+def test_temperature_mix_rejects_clashing_columns(spark):
+    import pytest
+
+    from diabetes_etl_spark.operators.sampling import temperature_mix
+
+    df = _skewed_corpus(spark).withColumn("copy_idx", F.lit(0))
+    with pytest.raises(ValueError, match="copy_idx"):
+        temperature_mix(df)
