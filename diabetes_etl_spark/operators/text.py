@@ -189,3 +189,74 @@ BPE_SPLIT = r" ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9\s]+"
 def subword_count(c: Column) -> Column:
     """Approximate LLM-token count via the BPE-ish split regex."""
     return F.regexp_count(c, F.lit(BPE_SPLIT))
+
+
+def doc_bigrams(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """(id, w1, w2) — one row per consecutive token pair.  Narrow map
+    (split + zip of two shifted slices + explode); docs with fewer
+    than two tokens contribute nothing."""
+    t = tokens(F.col(text_col))
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(pairs).alias("bg")
+    ).select("id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+
+
+def bigram_lm_score(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_threshold: int = 2,
+) -> "DataFrame":
+    """Corpus-trained bigram language-model quality signals per doc —
+    the CCNet/KenLM perplexity-filter pattern, in its EXACT log-free
+    form: the LM is the corpus' own bigram table, and each doc scores
+
+    - ``avg_cond_prob``: mean of p(w2|w1) = c(w1,w2)/c(w1) over its
+      bigrams (exact rational per term; the per-doc mean folds through
+      DECIMAL then pins at 12 digits, so it is order-independent and
+      bit-identical cross-engine — a log-domain perplexity would hang
+      on libm's ln and could not be hash-checked);
+    - ``rare_bigram_frac``: share of its bigrams seen <= rare_threshold
+      times corpus-wide (the out-of-distribution signal).
+
+    Docs full of corpus-typical word transitions score high; boilerplate
+    mashups, lorem-ipsum, and wrong-language fragments score low.
+
+    Scale shape: the bigram count table is ONE map-side-combined
+    groupBy of the exploded pairs (the count table is orders of
+    magnitude smaller than the corpus); unigram counts re-aggregate
+    the COUNT TABLE, not the corpus; scoring is one big-big equi-join
+    on (w1, w2) plus a smaller join on w1, then a per-doc aggregate.
+    No driver state — the "model" lives in the plan.
+    """
+    bg = doc_bigrams(df, text_col, id_col)
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("cnt2"))
+    c1 = c2.groupBy("w1").agg(F.sum("cnt2").alias("cnt1"))
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .select(
+            "id",
+            (F.col("cnt2").cast("double") / F.col("cnt1")).alias("p"),
+            (F.col("cnt2") <= rare_threshold).cast("int").alias("rare"),
+        )
+    )
+    from diabetes_etl_spark.functions.numeric import dec_cast, dec_sum
+
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        dec_cast(
+            dec_sum(F.col("p"), 15, 38) / F.count("*"), 12
+        ).alias("avg_cond_prob"),
+        (F.sum("rare").cast("double") / F.count("*")).alias(
+            "rare_bigram_frac"
+        ),
+    )

@@ -357,3 +357,55 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", "tf", "df", "score")
         .orderBy("doc_id", "token")
     )
+
+
+_BIGRAM_ORACLE = f"""
+WITH bg AS (
+  SELECT doc_id AS id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM (SELECT doc_id, {_D_TOKENS} AS t FROM documents))
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(cnt2) AS BIGINT) AS cnt1 FROM c2 GROUP BY w1),
+scored AS (
+  SELECT bg.id, CAST(c2.cnt2 AS DOUBLE) / c1.cnt1 AS p,
+         CASE WHEN c2.cnt2 <= 2 THEN 1 ELSE 0 END AS rare
+  FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+  JOIN c1 ON bg.w1 = c1.w1
+)
+SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(CAST(CAST(SUM(CAST(p AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*)
+       AS DECIMAL(18,12)) AS DOUBLE) AS avg_cond_prob,
+  CAST(SUM(rare) AS DOUBLE) / COUNT(*) AS rare_bigram_frac
+FROM scored GROUP BY id ORDER BY doc_id
+"""
+
+
+@register(
+    "text_bigram_lm_quality",
+    oracle=_BIGRAM_ORACLE,
+    doc="Corpus-trained bigram LM quality signals per doc (the "
+    "CCNet/KenLM perplexity-filter pattern in exact log-free form): "
+    "mean conditional probability p(w2|w1) over each doc's bigrams "
+    "(decimal-folded, 12-digit-pinned — hash-checkable, unlike a "
+    "libm-log perplexity) and the fraction of corpus-rare bigrams.  "
+    "One map-side-combined count-table groupBy; unigrams re-aggregate "
+    "the COUNT TABLE, not the corpus; scoring is equi-joins + one "
+    "per-doc aggregate — the model lives in the plan, not the driver.",
+    tags=("text", "lm", "quality", "extension"),
+    extended=True,
+)
+def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.text import bigram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        bigram_lm_score(docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_bigrams",
+            "avg_cond_prob",
+            "rare_bigram_frac",
+        )
+        .orderBy("doc_id")
+    )

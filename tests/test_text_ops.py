@@ -1,0 +1,50 @@
+"""Bigram language-model scoring (operators/text.py:bigram_lm_score)
+unit tests on a hand-computable corpus."""
+
+from __future__ import annotations
+
+from diabetes_etl_spark.operators.text import bigram_lm_score, doc_bigrams
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_doc_bigrams_shifted_pairs(spark):
+    bg = doc_bigrams(_docs(spark, [(1, "x y z")])).collect()
+    assert sorted((r.w1, r.w2) for r in bg) == [("x", "y"), ("y", "z")]
+
+
+def test_doc_bigrams_short_docs_contribute_nothing(spark):
+    bg = doc_bigrams(_docs(spark, [(1, "solo"), (2, "")])).collect()
+    assert bg == []
+
+
+def test_bigram_lm_score_hand_case(spark):
+    # corpus: c(a,b)=3 c(b,a)=1 c(b,c)=1; c1(a)=3 c1(b)=2
+    out = {
+        r.id: r
+        for r in bigram_lm_score(
+            _docs(spark, [(1, "a b a b"), (2, "a b c")])
+        ).collect()
+    }
+    d1, d2 = out[1], out[2]
+    assert d1.n_bigrams == 3 and d2.n_bigrams == 2
+    # doc1: mean(1.0, 0.5, 1.0); doc2: mean(1.0, 0.5)
+    assert abs(d1.avg_cond_prob - 2.5 / 3) < 1e-12
+    assert abs(d2.avg_cond_prob - 0.75) < 1e-12
+    # rare = corpus count <= 2: (b,a) and (b,c) only
+    assert abs(d1.rare_bigram_frac - 1 / 3) < 1e-12
+    assert abs(d2.rare_bigram_frac - 0.5) < 1e-12
+
+
+def test_bigram_lm_partition_invariant_bit_identical(spark):
+    rows = [(i, f"w{i % 5} w{(i * 3) % 7} w{i % 5} end") for i in range(40)]
+    a = sorted(map(tuple, bigram_lm_score(_docs(spark, rows)).collect()))
+    b = sorted(
+        map(
+            tuple,
+            bigram_lm_score(_docs(spark, rows).repartition(11)).collect(),
+        )
+    )
+    assert a == b
