@@ -1,0 +1,71 @@
+"""Time-series gap handling: last-observation-carried-forward (LOCF)
+fill — the standard treatment for sparse measurements in event
+streams (sensor readings, price ticks, profile attributes that only
+appear on change events).
+
+Reference parity note: the reference (/root/reference/src/
+diabetes_etl_pipeline.py) fills missing vitals with column MEDIANS
+(global imputation, diabetes/features.py implements that surface);
+LOCF is the ORDERED counterpart for time-keyed data, where the most
+recent prior observation — not a global statistic — is the right
+imputation.  Extension tier (BASELINE.json north star).
+
+Scale notes (100 TB lens): one window over (key, time) — exactly one
+hash-partition exchange on the key plus a per-partition sort, the
+same shuffle a sessionize or as-of join needs anyway; the fill
+itself is a running ``last(..., ignorenulls=True)`` evaluated in a
+single pass over each sorted partition (no self-join, no per-gap
+lookup).  Keys are users/devices — high cardinality, so partitions
+stay balanced; a single global-ordered fill (no key) would be the
+one shape to avoid at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def locf_fill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    fill_cols: Sequence[str | Column],
+    out_names: Sequence[str] | None = None,
+) -> DataFrame:
+    """Append ``<col>_filled`` columns carrying the last non-null
+    observation forward within each key group, in ``order_cols``
+    order.
+
+    ``order_cols`` must be a DETERMINISTIC total order within a key
+    (include a tiebreaker id when timestamps can collide) — otherwise
+    two runs can legally disagree about which observation is
+    "previous".  ``fill_cols`` may be column names or expressions
+    (e.g. a CASE that nulls out non-measurement rows); pass
+    ``out_names`` to name expression outputs.
+
+    Rows before a key's first observation keep NULL — LOCF has
+    nothing to carry; chain a global-statistic imputation (cf.
+    diabetes/features.py) if a default is required.
+    """
+    if out_names is None:
+        out_names = [
+            (c if isinstance(c, str) else f"fill_{i}")
+            for i, c in enumerate(fill_cols)
+        ]
+    if len(out_names) != len(fill_cols):
+        raise ValueError("out_names must match fill_cols in length")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c, name in zip(fill_cols, out_names):
+        col = F.col(c) if isinstance(c, str) else c
+        out = out.withColumn(
+            f"{name}_filled", F.last(col, ignorenulls=True).over(w)
+        )
+    return out

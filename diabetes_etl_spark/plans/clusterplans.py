@@ -109,7 +109,9 @@ FROM af ORDER BY vec_id
     "pattern).  The oracle unrolls identical iterations as CTE "
     "layers, hash-pinning every round.",
     tags=("clustering", "iterative", "extension"),
-    extended=True,
+    # gate since round 6 (second rotation): replaces sim_ivf_topk —
+    # see the swap rationale in registry._EXTENDED
+    extended=False,
 )
 def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -828,3 +828,76 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start")
     )
+
+
+_LOCF_ORACLE = """
+WITH st AS (
+  SELECT user_id,
+    CASE WHEN event_type = 'purchase' THEN value END AS sparse,
+    last_value(CASE WHEN event_type = 'purchase' THEN value END
+               IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+  FROM events
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN sparse IS NULL AND filled IS NOT NULL
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_carried,
+  CAST(SUM(CASE WHEN filled IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unfilled,
+  CAST(SUM(CASE WHEN sparse IS NULL
+           THEN CAST(filled AS DECIMAL(18,2)) END) AS DOUBLE)
+    AS carried_value_sum
+FROM st GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register(
+    "events_locf_fill",
+    oracle=_LOCF_ORACLE,
+    doc="Last-observation-carried-forward fill "
+    "(operators/timeseries.py:locf_fill): the purchase price is a "
+    "SPARSE series (null on every non-purchase event); each user's "
+    "most recent prior purchase value is carried onto their "
+    "click/view/error rows via one running last(ignorenulls) window "
+    "over (ts, event_id) — one key-partition exchange + sort, no "
+    "self-join, no per-gap lookup.  Rows before a user's first "
+    "purchase stay null (LOCF has nothing to carry).  Per-user "
+    "tallies pin the whole fill sequence: carried-row count, "
+    "unfilled-prefix count, and the decimal-exact sum of carried "
+    "values.",
+    tags=("events", "timeseries", "window", "extension"),
+    extended=True,
+)
+def events_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.timeseries import locf_fill
+
+    ev = load_table(spark, sf_dir, "events")
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    st = locf_fill(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        fill_cols=[sparse],
+        out_names=["price"],
+    ).select("user_id", sparse.alias("sparse"), "price_filled")
+    return (
+        st.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                (
+                    F.col("sparse").isNull()
+                    & F.col("price_filled").isNotNull()
+                ).cast("int")
+            ).cast("long").alias("n_carried"),
+            F.sum(F.col("price_filled").isNull().cast("int"))
+            .cast("long")
+            .alias("n_unfilled"),
+            dec_sum(
+                F.when(F.col("sparse").isNull(), F.col("price_filled")), 2
+            ).alias("carried_value_sum"),
+        )
+        .orderBy("user_id")
+    )

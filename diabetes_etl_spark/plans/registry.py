@@ -173,11 +173,19 @@ _EXTENDED: frozenset[str] = frozenset(
         # minhash-LSH; pigeonhole recall + xxhash64 twin agreement
         # asserted in tests/test_dedup.py
         "dedup_simhash_pairs",
-        # exact brute-force cosine top-k: the gate keeps sim_lsh_topk
-        # and sim_ivf_topk, both of which re-rank candidates by the
-        # same decimal-exact cosine; the uncompressed exact baseline
-        # stays oracle-green locally
+        # exact brute-force cosine top-k: the gate keeps sim_lsh_topk,
+        # which re-ranks candidates by the same decimal-exact cosine;
+        # the uncompressed exact baseline stays oracle-green locally
         "sim_topk_cosine",
+        # round-6 second rotation: IVF ANN moves out — the ANN surface
+        # (bucketed candidates -> decimal-exact re-rank -> covering-
+        # probe oracle) stays gate-visible via sim_lsh_topk, and IVF's
+        # spherical k-means training is now gate-exercised MORE
+        # strictly by cluster_kmeans_embeddings (decimal-exact
+        # unrolled Lloyd's iterations, hash-pinned per round); IVF's
+        # own oracle pairing + recall@5 >= 0.9 floor stay green in
+        # tests/test_oracle.py and tests/test_similarity.py
+        "sim_ivf_topk",
         # LSH-bucketed embedding near-dup: same hyperplane-LSH bucket
         # machinery as the gate's sim_lsh_topk; its exact verifier twin
         # sim_neardup_pairs was already extended (round 4)

@@ -1,0 +1,65 @@
+"""LOCF fill (operators/timeseries.py) unit tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.operators.timeseries import locf_fill
+
+
+def _ts(spark, rows):
+    return spark.createDataFrame(rows, "k long, t long, v double")
+
+
+def test_locf_carries_last_observation_across_gaps(spark):
+    df = _ts(
+        spark,
+        [(1, 1, 10.0), (1, 2, None), (1, 3, None), (1, 4, 7.0), (1, 5, None)],
+    )
+    out = {
+        r.t: r.v_filled
+        for r in locf_fill(df, ["k"], ["t"], ["v"]).collect()
+    }
+    assert out == {1: 10.0, 2: 10.0, 3: 10.0, 4: 7.0, 5: 7.0}
+
+
+def test_locf_prefix_before_first_observation_stays_null(spark):
+    df = _ts(spark, [(1, 1, None), (1, 2, None), (1, 3, 5.0)])
+    out = {
+        r.t: r.v_filled
+        for r in locf_fill(df, ["k"], ["t"], ["v"]).collect()
+    }
+    assert out[1] is None and out[2] is None and out[3] == 5.0
+
+
+def test_locf_keys_do_not_leak(spark):
+    df = _ts(spark, [(1, 1, 10.0), (2, 2, None), (2, 3, 3.0)])
+    out = {
+        (r.k, r.t): r.v_filled
+        for r in locf_fill(df, ["k"], ["t"], ["v"]).collect()
+    }
+    assert out[(2, 2)] is None  # key 1's value must not cross keys
+    assert out[(1, 1)] == 10.0 and out[(2, 3)] == 3.0
+
+
+def test_locf_expression_fill_col_with_out_names(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "m", 5.0), (1, 2, "x", 9.0), (1, 3, "m", 2.0)],
+        "k long, t long, kind string, v double",
+    )
+    sparse = F.when(F.col("kind") == "m", F.col("v"))
+    out = {
+        r.t: r.meas_filled
+        for r in locf_fill(
+            df, ["k"], ["t"], [sparse], out_names=["meas"]
+        ).collect()
+    }
+    # the non-measurement row at t=2 carries t=1's measurement, not 9.0
+    assert out == {1: 5.0, 2: 5.0, 3: 2.0}
+
+
+def test_locf_out_names_length_mismatch_raises(spark):
+    df = _ts(spark, [(1, 1, 1.0)])
+    with pytest.raises(ValueError, match="out_names"):
+        locf_fill(df, ["k"], ["t"], ["v"], out_names=["a", "b"])
