@@ -409,3 +409,91 @@ def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- count-min sketch (operators/sketch.py) --------------------------------
+
+_CMS_W, _CMS_D, _CMS_SEED = 512, 4, 7
+
+
+def _cms_sql_col(f_expr: str, j_expr: str) -> str:
+    from diabetes_etl_spark.operators.sampling import _MIX_A, _MIX_C, _MOD
+
+    return (
+        f"CAST((((({f_expr} + ({_CMS_SEED} + {j_expr} * 1000003))"
+        f" % {_MOD}) * {_MIX_A} + {_MIX_C}) % {_MOD}) % {_CMS_W} AS INT)"
+    )
+
+
+_CMS_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({_D_TOKENS}) AS tok FROM documents
+),
+fp AS (
+  SELECT tok, {_D_FINGERPRINT.format(col="tok")} AS f FROM toks
+),
+probes AS (
+  SELECT f, j, {_cms_sql_col('f', 'j')} AS c
+  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS j) js
+),
+cells AS (SELECT j AS r, c, COUNT(*) AS cnt FROM probes GROUP BY j, c),
+exact AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM toks
+  GROUP BY tok ORDER BY exact_cnt DESC, tok LIMIT 20
+),
+fpd AS (SELECT DISTINCT tok, f FROM fp),
+eprobes AS (
+  SELECT e.tok, e.exact_cnt, j AS r, {_cms_sql_col('fpd.f', 'j')} AS c
+  FROM exact e JOIN fpd ON e.tok = fpd.tok
+  CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS j) js
+),
+est AS (
+  SELECT p.tok, p.exact_cnt,
+         CAST(MIN(COALESCE(cells.cnt, 0)) AS BIGINT) AS cms_cnt
+  FROM eprobes p
+  LEFT JOIN cells ON p.r = cells.r AND p.c = cells.c
+  GROUP BY p.tok, p.exact_cnt
+)
+SELECT tok, exact_cnt, cms_cnt,
+       CAST(cms_cnt - exact_cnt AS BIGINT) AS overcount
+FROM est ORDER BY exact_cnt DESC, tok
+"""
+
+
+@register(
+    "cms_token_frequencies",
+    oracle=_CMS_ORACLE,
+    doc=f"Count-min sketch frequency estimation "
+    f"(operators/sketch.py): a {_CMS_D}x{_CMS_W} mergeable cell table "
+    "summarizes the full token stream in constant memory (map-side "
+    "combine bounds the shuffle at depth*width partial cells per "
+    "partition, independent of corpus size), then the exact top-20 "
+    "heavy hitters are point-estimated from the broadcast sketch — "
+    "est >= exact always, est <= exact + eps*N w.h.p.  The hash "
+    "functions are the portable LCG mix over the rolling-hash "
+    "fingerprint, so even this APPROXIMATE structure is bit-identical "
+    "cross-engine and the overcounts themselves hash-match the "
+    "oracle's replay.",
+    tags=("text", "sketch", "approximate", "extension"),
+    extended=True,
+)
+def cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.sketch import cms_cells, cms_estimate
+    from diabetes_etl_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    cells = cms_cells(toks, "tok", _CMS_W, _CMS_D, _CMS_SEED)
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "tok")
+        .limit(20)
+    )
+    est = cms_estimate(cells, exact, "tok", _CMS_W, _CMS_D, _CMS_SEED)
+    return est.select(
+        "tok",
+        "exact_cnt",
+        "cms_cnt",
+        (F.col("cms_cnt") - F.col("exact_cnt")).alias("overcount"),
+    ).orderBy(F.desc("exact_cnt"), "tok")

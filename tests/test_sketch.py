@@ -1,0 +1,77 @@
+"""Count-min sketch (operators/sketch.py) unit tests: upper-bound
+guarantee, cell-wise mergeability, CMS error bound, and partition
+invariance."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.operators.sketch import cms_cells, cms_estimate
+
+_W, _D = 32, 4  # small width so collisions actually happen
+
+
+def _stream(spark, counts: dict[str, int]):
+    rows = [(k,) for k, n in counts.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "tok string")
+
+
+_COUNTS = {f"w{i}": (i % 7) + 1 for i in range(60)}  # 60 keys, 32 cells
+
+
+def test_cms_estimates_upper_bound_every_key(spark):
+    df = _stream(spark, _COUNTS)
+    cells = cms_cells(df, "tok", _W, _D)
+    keys = df.select("tok").distinct()
+    est = {
+        r.tok: r.cms_cnt
+        for r in cms_estimate(cells, keys, "tok", _W, _D).collect()
+    }
+    assert set(est) == set(_COUNTS)
+    assert all(est[k] >= v for k, v in _COUNTS.items())
+
+
+def test_cms_error_bound(spark):
+    """Overcount <= e*N/width holds per the CMS guarantee with prob
+    1 - (1/e)^depth ~ 0.98; on this fixed dataset it is deterministic —
+    assert the bound outright."""
+    df = _stream(spark, _COUNTS)
+    n_total = sum(_COUNTS.values())
+    cells = cms_cells(df, "tok", _W, _D)
+    est = {
+        r.tok: r.cms_cnt
+        for r in cms_estimate(
+            cells, df.select("tok").distinct(), "tok", _W, _D
+        ).collect()
+    }
+    bound = 2.718281828 * n_total / _W
+    assert all(est[k] - v <= bound for k, v in _COUNTS.items())
+
+
+def test_cms_merge_is_cellwise_sum(spark):
+    """sketch(A union B) must equal the cell-wise sum of sketch(A) and
+    sketch(B) — the mergeability contract that lets per-day /
+    per-partition sketches roll up without raw data."""
+    a = {f"w{i}": i + 1 for i in range(20)}
+    b = {f"w{i}": 2 * i + 1 for i in range(10, 30)}
+    ca = cms_cells(_stream(spark, a), "tok", _W, _D)
+    cb = cms_cells(_stream(spark, b), "tok", _W, _D)
+    merged = (
+        ca.unionByName(cb)
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    union_counts = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
+    direct = cms_cells(_stream(spark, union_counts), "tok", _W, _D)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_cms_partition_invariant_bit_identical(spark):
+    df = _stream(spark, _COUNTS)
+    a = sorted(map(tuple, cms_cells(df, "tok", _W, _D).collect()))
+    b = sorted(
+        map(tuple, cms_cells(df.repartition(13), "tok", _W, _D).collect())
+    )
+    assert a == b
