@@ -1463,3 +1463,87 @@ def probe_video_features(assets: DataFrame) -> DataFrame:
             "n_video_tracks int, n_audio_tracks int"
         ),
     )
+
+
+# -- nearest-neighbor raster resize -----------------------------------------
+
+RESIZE_SCHEMA = (
+    "doc_id long, mime string, in_width int, in_height int, "
+    "n_channels int, out_width int, out_height int, px_sum long, "
+    "px_min int, px_max int, head_fingerprint long"
+)
+
+
+def resize_images(assets: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of every decodable raster payload to
+    ``out_w x out_h`` via Arrow-batched ``mapInPandas`` — the
+    thumbnail/normalize stage of an image-training pipeline, and the
+    template for any decoded-pixel transform (the heavy part, decode,
+    is the same machinery as extract_features).
+
+    Sampling uses pure integer arithmetic — source pixel of output
+    (x2, y2) is ``((x2*w) // out_w, (y2*h) // out_h)`` — so the
+    resampled bytes are exactly reproducible by arithmetic alone (no
+    float rounding), which is what lets a SQL oracle verify the full
+    decode→resize path.  Emitted stats: exact pixel sum / min / max
+    and the 16-byte-head rolling fingerprint of the RESIZED image.
+
+    Non-raster rows are dropped; a progressive/subsampled JPEG (no
+    full decode available here) degrades to header dims with NULL
+    pixel stats — never fabricated pixels.
+
+    Scale shape: narrow mapInPandas (no shuffle); decode cost
+    parallelizes with input splits (widen() upstream in the attach
+    producers keeps single-file fixtures from pinning one core).
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["asset_meta"]
+            ):
+                mime = meta["mime"]
+                if not mime.startswith("image/"):
+                    continue
+                payload = bytes(payload)
+                try:
+                    if mime == "image/png":
+                        w, h, ch, raw = decode_png(payload)
+                    else:
+                        w, h, ch, raw = decode_jpeg_baseline(payload)
+                except ValueError:
+                    w, h, ch = probe_jpeg(payload)
+                    rows.append(
+                        (doc_id, mime, w, h, ch, out_w, out_h,
+                         None, None, None, None)
+                    )
+                    continue
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                flat = arr[ys][:, xs].reshape(-1)
+                fp = 0
+                for x in flat[:16]:
+                    fp = (fp * 131 + int(x)) % 1_000_000_007
+                rows.append(
+                    (doc_id, mime, w, h, ch, out_w, out_h,
+                     int(flat.sum()), int(flat.min()), int(flat.max()), fp)
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "mime", "in_width", "in_height",
+                    "n_channels", "out_width", "out_height", "px_sum",
+                    "px_min", "px_max", "head_fingerprint",
+                ],
+            )
+            for c in ("in_width", "in_height", "n_channels", "out_width",
+                      "out_height", "px_min", "px_max"):
+                out[c] = out[c].astype("Int32")
+            for c in ("px_sum", "head_fingerprint"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return assets.mapInPandas(batches, schema=RESIZE_SCHEMA)

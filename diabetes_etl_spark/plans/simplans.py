@@ -602,3 +602,84 @@ def multimodal_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("width")
     )
+
+
+# -- nearest-neighbor resize (decode -> integer-arithmetic resample) --------
+
+_RW = "(4 + doc_id % 13)"   # PNG width
+_RH = "(3 + doc_id % 7)"    # PNG height
+# resized flat index j (out 8x8, 3ch): y2=j//24, x2=(j//3)%8, c=j%3;
+# source pixel ((x2*W)//8, (y2*H)//8); byte = (d*31 + i*7) % 256
+_R_PNG = (
+    f"((doc_id * 31 + (((((j // 24) * {_RH}) // 8) * {_RW}"
+    f" + (((j // 3) % 8) * {_RW}) // 8) * 3 + j % 3) * 7) % 256)"
+)
+# gray JPEG (out 8x8, 1ch): y2=j//8, x2=j%8; constant 8x8 source blocks
+_R_JPG = (
+    f"((doc_id * 29 + ((((j % 8) * {_JW}) // 8) // 8) * 17"
+    f" + ((((j // 8) * {_JH}) // 8) // 8) * 53) % 256)"
+)
+
+
+def _r_list(expr: str, n: int) -> str:
+    return f"list_transform(generate_series(0, {n - 1}), j -> {expr})"
+
+
+def _r_fp(expr: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(0, 15), j -> CAST({expr} AS "
+        "BIGINT))), (acc, x) -> (acc * 131 + x) % 1000000007)"
+    )
+
+
+_RESIZE_ORACLE = f"""
+SELECT doc_id,
+  CASE doc_id % 4 WHEN 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+  CAST(CASE doc_id % 4 WHEN 0 THEN {_RW} ELSE {_JW} END AS INT) AS in_width,
+  CAST(CASE doc_id % 4 WHEN 0 THEN {_RH} ELSE {_JH} END AS INT) AS in_height,
+  CAST(CASE doc_id % 4 WHEN 0 THEN 3 ELSE 1 END AS INT) AS n_channels,
+  CAST(8 AS INT) AS out_width,
+  CAST(8 AS INT) AS out_height,
+  CAST(CASE doc_id % 4
+    WHEN 0 THEN list_sum({_r_list(_R_PNG, 192)})
+    ELSE list_sum({_r_list(_R_JPG, 64)}) END AS BIGINT) AS px_sum,
+  CAST(CASE doc_id % 4
+    WHEN 0 THEN list_aggregate({_r_list(_R_PNG, 192)}, 'min')
+    ELSE list_aggregate({_r_list(_R_JPG, 64)}, 'min') END AS INT) AS px_min,
+  CAST(CASE doc_id % 4
+    WHEN 0 THEN list_aggregate({_r_list(_R_PNG, 192)}, 'max')
+    ELSE list_aggregate({_r_list(_R_JPG, 64)}, 'max') END AS INT) AS px_max,
+  CASE doc_id % 4
+    WHEN 0 THEN {_r_fp(_R_PNG)}
+    ELSE {_r_fp(_R_JPG)} END AS head_fingerprint
+FROM documents WHERE doc_id % 4 IN (0, 1)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "multimodal_resize_stats",
+    oracle=_RESIZE_ORACLE,
+    doc="Decode -> nearest-neighbor resize to 8x8 over the mixed "
+    "PNG/JPEG corpus (operators/multimodal.py:resize_images, "
+    "Arrow-batched mapInPandas): REAL bytes round-trip the pure-Python "
+    "decoders, then integer-arithmetic resampling "
+    "(src = (dst*in)//out) makes the resized bytes exactly "
+    "reproducible — the oracle recomputes pixel sum/min/max and the "
+    "16-byte-head fingerprint of the RESIZED images from the fixture "
+    "generator arithmetic without decoding anything.  Narrow plan, no "
+    "shuffle; decode parallelizes with input splits.",
+    tags=("multimodal", "extension"),
+    extended=True,
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.multimodal import (
+        attach_media_payloads,
+        resize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_images(attach_media_payloads(docs), 8, 8).orderBy(
+        "doc_id"
+    )

@@ -568,3 +568,67 @@ def test_decode_payload_routes_color_jpeg():
     payload = jpeg_color_bytes(8, 8, _color_pixels(7, 8, 8))
     raw = decode_payload("image/jpeg", payload)
     assert len(raw) == 8 * 8 * 3
+
+
+# -- nearest-neighbor resize (resize_images) --------------------------------
+
+
+def _asset_df(spark, rows):
+    """(doc_id, payload, asset_meta) frame matching the attach_* shape."""
+    return spark.createDataFrame(
+        rows, "doc_id long, payload binary, asset_meta map<string,string>"
+    )
+
+
+def test_resize_upsample_duplicates_pixels_exactly(spark):
+    # 2x1 gray-as-rgb PNG: pixels P0=(10,20,30), P1=(200,210,220);
+    # NN to 4x2 -> columns [P0,P0,P1,P1] twice: sum = 4*(sum P0 + sum P1)
+    px = bytes([10, 20, 30, 200, 210, 220])
+    df = _asset_df(
+        spark, [(1, png_bytes(2, 1, px), {"mime": "image/png"})]
+    )
+    from diabetes_etl_spark.operators.multimodal import resize_images
+
+    r = resize_images(df, 4, 2).collect()[0]
+    assert (r.in_width, r.in_height, r.n_channels) == (2, 1, 3)
+    assert r.px_sum == 4 * (10 + 20 + 30 + 200 + 210 + 220)
+    assert r.px_min == 10 and r.px_max == 220
+
+
+def test_resize_downsample_picks_integer_grid(spark):
+    # 4x4 single-channel-per-pixel values via rgb triples all equal;
+    # NN 4x4 -> 2x2 picks sources ((0,0),(2,0),(0,2),(2,2))
+    vals = list(range(16))
+    px = bytes(v for v in vals for _ in range(3))
+    df = _asset_df(
+        spark, [(1, png_bytes(4, 4, bytes(px)), {"mime": "image/png"})]
+    )
+    from diabetes_etl_spark.operators.multimodal import resize_images
+
+    r = resize_images(df, 2, 2).collect()[0]
+    assert r.px_sum == 3 * (vals[0] + vals[2] + vals[8] + vals[10])
+
+
+def test_resize_drops_non_raster_rows(spark):
+    from diabetes_etl_spark.operators.multimodal import resize_images
+
+    df = _asset_df(
+        spark,
+        [
+            (1, png_bytes(2, 2, bytes(12)), {"mime": "image/png"}),
+            (2, b"plain words", {"mime": "text/plain"}),
+        ],
+    )
+    out = resize_images(df, 2, 2).collect()
+    assert [r.doc_id for r in out] == [1]
+
+
+def test_resize_jpeg_gray_path(spark):
+    # constant-block gray JPEG decodes bit-exactly; resize of a
+    # constant image is constant
+    from diabetes_etl_spark.operators.multimodal import resize_images
+
+    payload = jpeg_gray_bytes(8, 8, bytes([77] * 64))
+    df = _asset_df(spark, [(3, payload, {"mime": "image/jpeg"})])
+    r = resize_images(df, 4, 4).collect()[0]
+    assert (r.n_channels, r.px_sum, r.px_min, r.px_max) == (1, 77 * 16, 77, 77)
