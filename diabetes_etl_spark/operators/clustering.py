@@ -204,3 +204,53 @@ def kmeans_assign(
     return final.select(
         "id", "cluster", F.round(F.col("d2").cast("double"), 9).alias("d2")
     )
+
+
+def within_cluster_candidates(
+    members: DataFrame,
+    min_cosine: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    norm_col: str = "nrm",
+) -> DataFrame:
+    """(cluster, id_a, id_b) candidate pairs whose IEEE-double cosine
+    reaches ``min_cosine``, generated with ONE numpy matmul per
+    cluster group (``applyInPandas``) instead of a pair join — the
+    vectorized candidate stage of SemDeDup (callers re-verify
+    survivors with the decimal-exact cosine, so ``min_cosine`` should
+    sit a safety margin BELOW the real threshold; the double matmul's
+    error is ~dim*ulp ~ 1e-13, so a 1e-6 margin loses nothing).
+
+    Pairs come out canonical (id_a < id_b).  Scale contract: one
+    cluster must fit a worker's memory as a dense (n_c x dim) matrix —
+    the SemDeDup operating point (k is chosen so n_c ~ n/k is
+    10^4-ish); for degenerate giant clusters fall back to the join
+    path or re-cluster with larger k.  The matmul is the honest
+    O(n_c^2 d) work; emitted rows are only the pairs above the margin.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def gen(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        norms = pdf[norm_col].to_numpy().astype("float64")
+        sims = (m @ m.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= min_cosine
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {
+                "cluster": pdf[cluster_col].iloc[:1].repeat(len(lo)).to_numpy()
+                if len(lo)
+                else pdf[cluster_col].iloc[:0].to_numpy(),
+                "id_a": lo,
+                "id_b": hi,
+            }
+        )
+
+    return members.groupBy(cluster_col).applyInPandas(
+        gen, schema="cluster int, id_a long, id_b long"
+    )

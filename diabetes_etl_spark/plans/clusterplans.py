@@ -201,21 +201,32 @@ def semdedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(asg, "vec_id")
         .select("vec_id", "embedding", "cluster", F.col("_norm").alias("nrm"))
     )
+    # vectorized-candidates-then-exact-verify: one numpy matmul per
+    # cluster group emits the pairs whose IEEE cosine reaches
+    # (tau - 1e-6) — the matmul's error is ~dim*ulp ~ 1e-13, six
+    # orders below the margin, so no pair whose EXACT rounded cosine
+    # reaches tau can be lost — then ONLY those few candidates pay the
+    # decimal-folded exact cosine.  Replaces a within-cluster pair
+    # join that evaluated ~sum C(n_c,2) interpreted decimal dot folds
+    # (43s -> ~4s at sf0.1); result set identical by construction.
+    from diabetes_etl_spark.operators.clustering import (
+        within_cluster_candidates,
+    )
+
+    cand = within_cluster_candidates(members, _TAU - 1e-6)
     x = members.select(
-        "cluster",
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),
     )
     y = members.select(
-        "cluster",
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
     )
     dup = (
-        x.join(y, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(x, "id_a")
+        .join(y, "id_b")
         .withColumn(
             "cosine_sim",
             F.round(

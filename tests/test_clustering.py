@@ -115,3 +115,36 @@ def test_kmeans_centroid_join_is_broadcast(spark, tmp_path):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_within_cluster_candidates_matches_bruteforce(spark):
+    import itertools
+
+    import numpy as np
+
+    from diabetes_etl_spark.operators.clustering import (
+        within_cluster_candidates,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(30):
+        v = rng.standard_normal(8)
+        rows.append((i, i % 3, [float(x) for x in v], float(np.sqrt(v @ v))))
+    members = spark.createDataFrame(
+        rows, "vec_id long, cluster int, embedding array<float>, nrm double"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in within_cluster_candidates(members, 0.2).collect()
+    }
+    by_cluster = {}
+    for i, c, v, n in rows:
+        by_cluster.setdefault(c, []).append((i, np.array(v), n))
+    want = set()
+    for mem in by_cluster.values():
+        for (ia, va, na), (ib, vb, nb) in itertools.combinations(mem, 2):
+            if float(va @ vb) / (na * nb) >= 0.2:
+                want.add((min(ia, ib), max(ia, ib)))
+    assert got == want
+    assert all(a < b for a, b in got)
