@@ -656,3 +656,75 @@ def quantized_topk(
         .filter(F.col("sim_rank") <= k)
         .select("query_id", "candidate_id", "qcos_sim", "sim_rank")
     )
+
+
+# -- random projection (Johnson-Lindenstrauss) ------------------------------
+
+_RP_MOD = 1_000_000_007
+_RP_A = 6364136223846793005 % _RP_MOD
+_RP_C = 1442695040888963407 % _RP_MOD
+
+
+def _rp_plane_sql(j: str, i: str, dim: int, seed: int) -> str:
+    """Plane coefficient p(j,i) in [-1, 1): a QUADRATIC portable hash
+    of the flattened plane index, scaled — pure integer arithmetic +
+    one division, replayable verbatim in any engine (unlike xxhash64
+    planes, which only Spark can compute).
+
+    Quadratic, not the repo's affine LCG mix: an affine map sends the
+    SEQUENTIAL plane indices to an arithmetic progression mod p —
+    coefficients along a row would be perfectly correlated and the
+    projection would not concentrate (measured ratio band blew past
+    2x); squaring the index first breaks the progression (quadratic
+    residues mod a large prime equidistribute).  Valid while
+    out_dim*dim + seed < ~3e9 (idx^2 must fit BIGINT) — far beyond
+    any real embedding width."""
+    # BIGINT from the start: sequence() indices are INTs and the
+    # multiplier exceeds 32-bit range (ANSI mode raises on overflow)
+    idx = f"(CAST(({j}) * {dim} + ({i}) + {seed} AS BIGINT))"
+    return (
+        f"(CAST((({idx} * {idx}) % {_RP_MOD} * {_RP_A} "
+        f"+ {idx} * {_RP_C}) % {_RP_MOD} "
+        f"AS DOUBLE) / {float(_RP_MOD)!r} * 2.0 - 1.0)"
+    )
+
+
+def random_project(
+    df: DataFrame,
+    out_dim: int,
+    dim: int = 64,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+) -> DataFrame:
+    """Append a ``out_dim``-wide dense random projection of
+    ``vec_col`` — Johnson-Lindenstrauss dimensionality reduction, the
+    standard pre-step that makes downstream ANN / clustering /
+    near-dup O(out_dim) instead of O(dim) per comparison while
+    preserving pairwise distances to (1 ± eps) for
+    out_dim = O(log n / eps^2).
+
+    y_j = sqrt(3/out_dim) * sum_i x_i * p(j, i) — the sqrt(3)
+    corrects for Var(uniform[-1,1)) = 1/3, so projected distances are
+    UNBIASED estimates of true distances.  Plane coefficients come
+    from the quadratic portable hash (no RNG state, no driver-side
+    plane matrix to ship — the plane is ARITHMETIC, so a SQL oracle
+    replays the projection bit-for-bit).  The inner sum is a
+    SEQUENTIAL in-array fold — both engines fold left-to-right in the
+    same order, so plain IEEE doubles are already deterministic (no
+    decimal needed, unlike unordered SUM aggregates).
+
+    Narrow map, zero shuffle; cost is one dim x out_dim multiply-add
+    pass per row, fused into whole-stage codegen.
+    """
+    scale = (3.0 / float(out_dim)) ** 0.5
+    proj = F.expr(
+        f"transform(sequence(0, {out_dim - 1}), j -> "
+        f"aggregate(zip_with({vec_col}, "
+        f"transform(sequence(0, {dim - 1}), "
+        f"i -> {_rp_plane_sql('j', 'i', dim, seed)}), "
+        f"(x, p) -> CAST(x AS DOUBLE) * p), 0D, "
+        f"(acc, v) -> acc + v) * {scale!r}D)"
+    )
+    return df.select(F.col(id_col), proj.alias(out_col))

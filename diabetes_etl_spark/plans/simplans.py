@@ -683,3 +683,53 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(attach_media_payloads(docs), 8, 8).orderBy(
         "doc_id"
     )
+
+
+# -- random projection (Johnson-Lindenstrauss) ------------------------------
+
+_RP_OUT = 8
+_RP_SEED = 11
+_RP_SCALE = (3.0 / float(_RP_OUT)) ** 0.5
+
+
+def _rp_oracle() -> str:
+    from diabetes_etl_spark.operators.similarity import _rp_plane_sql
+
+    plane = _rp_plane_sql("j", "(i - 1)", 64, _RP_SEED)
+    return f"""
+SELECT vec_id, j AS pos,
+  ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+    list_transform(generate_series(1, 64),
+      i -> CAST(embedding[i] AS DOUBLE) * {plane})),
+    (acc, v) -> acc + v) * CAST({_RP_SCALE!r} AS DOUBLE), 9) AS y
+FROM embeddings
+CROSS JOIN (SELECT unnest(generate_series(0, {_RP_OUT - 1})) AS j) js
+ORDER BY vec_id, pos
+"""
+
+
+@register(
+    "sim_random_projection",
+    oracle=_rp_oracle(),
+    doc=f"Johnson-Lindenstrauss random projection 64 -> {_RP_OUT} dims "
+    "(operators/similarity.py:random_project): plane coefficients are "
+    "portable-LCG arithmetic (no RNG state, no shipped matrix), the "
+    "inner multiply-add is a SEQUENTIAL in-array fold — both engines "
+    "fold left-to-right, so plain IEEE doubles replay bit-for-bit "
+    "with no decimal machinery.  Narrow whole-stage-codegen map, zero "
+    "shuffle; the pre-step that makes downstream ANN/clustering "
+    "O(out_dim) per comparison.  Output: one row per (vec, out-dim) "
+    "component.",
+    tags=("similarity", "projection", "extension"),
+    extended=True,
+)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.similarity import random_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = random_project(emb, _RP_OUT, seed=_RP_SEED)
+    return proj.select(
+        "vec_id", F.posexplode("projected").alias("pos", "y0")
+    ).select("vec_id", "pos", F.round("y0", 9).alias("y")).orderBy(
+        "vec_id", "pos"
+    )

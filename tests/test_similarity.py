@@ -173,3 +173,52 @@ def test_quantized_topk_recall_floor(spark, sf_dir):
     ex = {(r.query_id, r.candidate_id) for r in exact}
     qu = {(r.query_id, r.candidate_id) for r in quant}
     assert len(ex & qu) / len(ex) >= 0.9
+
+
+# -- random projection (Johnson-Lindenstrauss) ------------------------------
+
+
+def test_random_project_preserves_pairwise_distances(spark):
+    """JL contract: with out_dim=32, pairwise distances of a 64-dim
+    cloud survive to within a (0.6, 1.6) ratio band — enough to
+    catch a broken plane derivation or a mis-scaled fold, while slack
+    enough to never flake (the data and planes are deterministic, so
+    this is a fixed computation, not a probabilistic assertion)."""
+    import itertools
+
+    import numpy as np
+
+    from diabetes_etl_spark.operators.similarity import random_project
+
+    rng = np.random.default_rng(3)
+    vecs = {i: rng.standard_normal(64) for i in range(12)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    proj = {
+        r.vec_id: np.array(r.projected)
+        for r in random_project(df, 32).collect()
+    }
+    assert all(len(p) == 32 for p in proj.values())
+    for a, b in itertools.combinations(vecs, 2):
+        true_d = float(np.linalg.norm(vecs[a] - vecs[b]))
+        proj_d = float(np.linalg.norm(proj[a] - proj[b]))
+        assert 0.6 < proj_d / true_d < 1.6, (a, b, proj_d / true_d)
+
+
+def test_random_project_deterministic_and_partition_invariant(spark):
+    from diabetes_etl_spark.operators.similarity import random_project
+
+    df = spark.createDataFrame(
+        [(i, [float((i * j) % 7) for j in range(64)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    a = sorted(
+        (r.vec_id, tuple(r.projected)) for r in random_project(df, 8).collect()
+    )
+    b = sorted(
+        (r.vec_id, tuple(r.projected))
+        for r in random_project(df.repartition(9), 8).collect()
+    )
+    assert a == b
