@@ -361,3 +361,35 @@ def temperature_mix(
         )
         .drop("_mult")
     )
+
+
+def fixed_size_sample(
+    df: DataFrame,
+    k: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 37,
+) -> DataFrame:
+    """EXACTLY ``k`` rows per stratum (fewer only when the stratum is
+    smaller) — the eval-set / human-review / per-source-quota sampler,
+    complementing :func:`stratified_sample`, whose rate-based
+    selection only hits a target size in expectation.
+
+    Selection is the first ``k`` rows in PORTABLE-HASH order (ties on
+    id are impossible — the hash is injective per stratum for ids
+    < 1e9+7 apart): deterministic, partition-invariant,
+    engine-replayable, and STABLE under corpus growth in the usual
+    reservoir sense that each stratum's sample changes only where new
+    ids hash below the old k-th row.
+
+    Scale shape: one window over (stratum, hash) — a single
+    hash-partition exchange + per-partition sort, the same shuffle a
+    per-group top-k needs; no driver state, no rejection loop.  Output
+    adds ``sample_rank`` (1..k within the stratum).
+    """
+    u = _mix(F.col(id_col), seed)
+    w = Window.partitionBy(stratum_col).orderBy(u.asc(), F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

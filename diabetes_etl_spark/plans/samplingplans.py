@@ -459,3 +459,44 @@ def mix_temperature_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_FS_SEED = 37
+_FS_K = 10
+
+_FS_ORACLE = f"""
+SELECT lang, doc_id, CAST(rn AS INT) AS sample_rank
+FROM (
+  SELECT lang, doc_id,
+    row_number() OVER (
+      PARTITION BY lang
+      ORDER BY {_mix_sql('doc_id', _FS_SEED)}, doc_id) AS rn
+  FROM documents
+) WHERE rn <= {_FS_K}
+ORDER BY lang, sample_rank
+"""
+
+
+@register(
+    "corpus_fixed_size_sample",
+    oracle=_FS_ORACLE,
+    doc=f"Exactly {_FS_K} docs per language in portable-hash order "
+    "(operators/sampling.py:fixed_size_sample) — the eval-set / "
+    "review-quota sampler whose selection is deterministic, "
+    "partition-invariant, and bit-replayable (rate-based "
+    "stratified_sample only hits a size in expectation).  One "
+    "(stratum, hash) window — a single exchange + sort, no driver "
+    "state.  The oracle replays hash order AND rank, pinning the "
+    "exact selection.",
+    tags=("sampling", "extension"),
+    extended=True,
+)
+def corpus_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.sampling import fixed_size_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        fixed_size_sample(docs, _FS_K, seed=_FS_SEED)
+        .select("lang", "doc_id", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    )

@@ -342,3 +342,44 @@ def test_temperature_mix_rejects_clashing_columns(spark):
     df = _skewed_corpus(spark).withColumn("copy_idx", F.lit(0))
     with pytest.raises(ValueError, match="copy_idx"):
         temperature_mix(df)
+
+
+# -- fixed_size_sample -----------------------------------------------------
+
+
+def test_fixed_size_sample_exact_k_per_stratum(spark):
+    from diabetes_etl_spark.operators.sampling import fixed_size_sample
+
+    df = _skewed_corpus(spark)  # en:40 fr:10 zh:5
+    out = fixed_size_sample(df, 8).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.lang, []).append(r.sample_rank)
+    assert len(by["en"]) == 8 and sorted(by["en"]) == list(range(1, 9))
+    assert len(by["fr"]) == 8
+    assert len(by["zh"]) == 5  # stratum smaller than k: all rows, no pad
+
+
+def test_fixed_size_sample_partition_invariant_and_stable(spark):
+    from diabetes_etl_spark.operators.sampling import fixed_size_sample
+
+    df = _skewed_corpus(spark)
+    a = sorted(
+        (r.lang, r.doc_id, r.sample_rank)
+        for r in fixed_size_sample(df, 6).collect()
+    )
+    b = sorted(
+        (r.lang, r.doc_id, r.sample_rank)
+        for r in fixed_size_sample(df.repartition(13), 6).collect()
+    )
+    assert a == b
+    # growth stability: adding rows only displaces where the new ids
+    # hash below the old k-th — the k=6 'en' sample is a prefix of the
+    # k=8 one
+    eight = {
+        r.doc_id
+        for r in fixed_size_sample(df, 8).collect()
+        if r.lang == "en"
+    }
+    six = {r[1] for r in a if r[0] == "en"}
+    assert six < eight
