@@ -1,0 +1,129 @@
+"""Byte-pair-encoding tokenizer TRAINING on the cluster — the
+pair-count / merge loop of Sennrich et al. 2016 (the GPT-2/RoBERTa
+tokenizer recipe) expressed as DataFrame operators.
+
+Why this belongs in a 100 TB engine: tokenizer training is a corpus
+job, not a driver job — the pair statistics are a full scan of the
+training text.  The heavy pieces here are (a) the WORD table (one
+map-side-combined groupBy: Zipf makes it orders of magnitude smaller
+than the corpus; every later step runs on words × counts, never raw
+text again) and (b) one pair-count aggregate per merge (explode of
+adjacent symbol pairs weighted by word count, map-side combined).
+The driver sees ONE row per merge step (the argmax pair) — bounded
+like the IVF train collect, not O(vocabulary).
+
+Determinism contract: greedy left-to-right merge semantics are
+implemented as a sequential string fold over the symbol list —
+replayable verbatim in DuckDB's ``list_reduce`` (tests pin the fold
+against a pure-Python reference BPE) — and the argmax pair breaks
+ties on (count DESC, a ASC, b ASC), so a re-run or another engine
+learns the IDENTICAL merge table.  Merged symbols are literal
+concatenations, so "apply merge (a, b)" appends ``b`` to an
+accumulator ending in symbol ``a`` — no lookbehind regex (RE2 has
+none) and no shared-delimiter-consumption bug that plain
+``replace(' a b ', ' ab ')`` hits on adjacent repeats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.operators.text import tokens
+
+
+def symbolize_words(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n, sym): corpus word frequencies with each word spelled
+    as a space-joined character sequence — BPE's starting state.
+    One explode + one map-side-combined groupBy; all later training
+    steps run on this (small) table, never the corpus."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "sym", F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 "))
+        )
+    )
+
+
+def pair_counts(words: DataFrame) -> DataFrame:
+    """(a, b, cnt): adjacent-symbol pair frequencies weighted by word
+    count.  Explode of two shifted slices + one aggregate."""
+    arr = F.split(F.col("sym"), " ")
+    pairs = F.arrays_zip(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+    )
+    return (
+        words.select("n", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def top_pair(words: DataFrame) -> DataFrame:
+    """The argmax pair as a 1-row DataFrame (a, b, cnt); ties break on
+    (cnt DESC, a, b) so the learned merge table is deterministic."""
+    return pair_counts(words).orderBy(
+        F.desc("cnt"), "a", "b"
+    ).limit(1)
+
+
+def _merge_fold() -> Column:
+    """Greedy left-to-right merge of pair (a, b) over the symbol
+    string: a sequential fold whose accumulator is the partially
+    rebuilt symbol string — when the accumulator ends in symbol ``a``
+    (exactly: equals it, or ends with space+``a``; the space delimiter
+    prevents partial-symbol matches, and a just-merged ``ab`` no
+    longer ends in ``a`` so it cannot re-trigger) and the next symbol
+    is ``b``, append ``b`` without a space (the merged symbol IS the
+    concatenation).  Identical element-order fold in DuckDB's
+    list_reduce — greedy semantics replay bit-for-bit."""
+    return F.expr(
+        "aggregate(split(sym, ' '), '', (acc, x) -> "
+        "CASE WHEN acc = '' THEN x "
+        "WHEN (acc = ma OR endswith(acc, ' ' || ma)) AND x = mb "
+        "THEN acc || mb "
+        "ELSE acc || ' ' || x END)"
+    )
+
+
+def apply_merge(words: DataFrame, merge: DataFrame) -> DataFrame:
+    """Rewrite every word's symbol string under the 1-row ``merge``
+    table (broadcast — no driver round-trip): the in-plan form used by
+    the oracle-paired single-step query."""
+    m = merge.select(F.col("a").alias("ma"), F.col("b").alias("mb"))
+    return (
+        words.crossJoin(F.broadcast(m))
+        .withColumn("sym", _merge_fold())
+        .drop("ma", "mb")
+    )
+
+
+def bpe_train(
+    df: DataFrame, n_merges: int, text_col: str = "text"
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``n_merges`` merges; returns (merge table, final word
+    table).  One 1-row collect per step (the argmax — bounded driver
+    traffic, like the IVF train sample); each step's rewrite is the
+    same broadcast fold as :func:`apply_merge`, and the word table is
+    cached between steps (it is the whole working set)."""
+    words = symbolize_words(df, text_col).cache()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        row = top_pair(words).collect()
+        if not row or row[0].cnt is None:
+            break
+        a, b, cnt = row[0].a, row[0].b, int(row[0].cnt)
+        merges.append((a, b, cnt))
+        nxt = apply_merge(
+            words, words.sparkSession.createDataFrame(
+                [(a, b)], "a string, b string"
+            )
+        ).cache()
+        nxt.count()  # materialize before uncaching the parent
+        words.unpersist()
+        words = nxt
+    return merges, words

@@ -497,3 +497,93 @@ def cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_cnt",
         (F.col("cms_cnt") - F.col("exact_cnt")).alias("overcount"),
     ).orderBy(F.desc("exact_cnt"), "tok")
+
+
+# -- BPE tokenizer training, one merge step (operators/bpe.py) -------------
+
+_BPE_ORACLE = r"""
+WITH w AS (
+  SELECT word, COUNT(*) AS n FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+    FROM documents)
+  WHERE word != '' GROUP BY word
+),
+ws AS (SELECT word, n,
+              trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS sym
+       FROM w),
+pc AS (
+  SELECT s[i] AS a, s[i + 1] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+  FROM (SELECT n, s, unnest(generate_series(1, len(s) - 1)) AS i
+        FROM (SELECT n, string_split(sym, ' ') AS s FROM ws))
+  GROUP BY a, b
+),
+tp AS (SELECT a, b, cnt FROM pc ORDER BY cnt DESC, a, b LIMIT 1),
+m AS (
+  SELECT ws.word, ws.n, ws.sym,
+    list_reduce(string_split(ws.sym, ' '), (acc, x) ->
+      CASE WHEN (acc = tp.a OR ends_with(acc, ' ' || tp.a)) AND x = tp.b
+           THEN acc || tp.b ELSE acc || ' ' || x END) AS sym2
+  FROM ws CROSS JOIN tp
+),
+vb AS (SELECT COUNT(DISTINCT s) AS v
+       FROM (SELECT unnest(string_split(sym, ' ')) AS s FROM ws)),
+va AS (SELECT COUNT(DISTINCT s) AS v
+       FROM (SELECT unnest(string_split(sym2, ' ')) AS s FROM m)),
+nm AS (SELECT COUNT(*) AS c FROM m WHERE sym2 != sym)
+SELECT tp.a AS merge_a, tp.b AS merge_b, tp.cnt AS pair_count,
+  CAST(vb.v AS BIGINT) AS vocab_before,
+  CAST(va.v AS BIGINT) AS vocab_after,
+  CAST(nm.c AS BIGINT) AS n_merged_words
+FROM tp, vb, va, nm
+"""
+
+
+@register(
+    "bpe_merge_step",
+    oracle=_BPE_ORACLE,
+    doc="One BPE tokenizer-training step (operators/bpe.py, Sennrich "
+    "et al. 2016) fully in-plan: word table (map-side-combined "
+    "groupBy — Zipf makes it tiny vs the corpus), adjacent-pair "
+    "counts weighted by word frequency, deterministic argmax "
+    "(cnt DESC, a, b), and the greedy left-to-right merge as a "
+    "sequential string fold (broadcast 1-row merge table, no driver "
+    "round-trip; no lookbehind regex, no replace() "
+    "delimiter-consumption bug on adjacent repeats).  The oracle "
+    "replays the identical fold in list_reduce — the learned merge, "
+    "both vocab sizes, and the rewritten-word count all hash-match.",
+    tags=("text", "bpe", "tokenizer", "extension"),
+    extended=True,
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.bpe import (
+        apply_merge,
+        symbolize_words,
+        top_pair,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = symbolize_words(docs)
+    tp = top_pair(words)
+    merged = apply_merge(words, tp)
+    syms_b = words.select(
+        F.explode(F.split("sym", " ")).alias("s")
+    ).agg(F.countDistinct("s").alias("vocab_before"))
+    syms_a = merged.select(
+        F.explode(F.split("sym", " ")).alias("s")
+    ).agg(F.countDistinct("s").alias("vocab_after"))
+    changed = (
+        words.select("word", F.col("sym").alias("sym_old"))
+        .join(merged.select("word", "sym"), "word")
+        .filter(F.col("sym") != F.col("sym_old"))
+        .agg(F.count("*").alias("n_merged_words"))
+    )
+    return (
+        tp.select(
+            F.col("a").alias("merge_a"),
+            F.col("b").alias("merge_b"),
+            F.col("cnt").alias("pair_count"),
+        )
+        .crossJoin(F.broadcast(syms_b))
+        .crossJoin(F.broadcast(syms_a))
+        .crossJoin(F.broadcast(changed))
+    )
