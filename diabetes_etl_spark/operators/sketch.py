@@ -108,3 +108,15 @@ def cms_estimate(
         .groupBy(*keys.columns)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_cnt"))
     )
+
+
+def merge_cells(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of CMS cell tables built with identical
+    (width, depth, seed) — the rollup operation: per-partition,
+    per-day, or per-micro-batch sketches combine into the sketch of
+    the concatenated input exactly (tested), in one bounded
+    depth*width aggregate."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))

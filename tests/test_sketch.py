@@ -75,3 +75,47 @@ def test_cms_partition_invariant_bit_identical(spark):
         map(tuple, cms_cells(df.repartition(13), "tok", _W, _D).collect())
     )
     assert a == b
+
+
+def test_cms_streaming_incremental_maintenance(spark, tmp_path, sf_dir):
+    """Streaming rollup shape: each micro-batch's sketch merges into a
+    VersionedTable via foreachBatch (snapshot-isolated commits); the
+    final cell table equals the batch-built sketch of ALL events —
+    the mergeability contract end-to-end through Structured
+    Streaming."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from diabetes_etl_spark.operators.sketch import cms_cells, merge_cells
+    from diabetes_etl_spark.sources.tables import (
+        load_events_stream,
+        load_table,
+    )
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "cms_store"))
+
+    def update(batch, batch_id):
+        cells = cms_cells(batch, "event_type", _W, _D)
+        if vt.history():
+            cells = merge_cells(vt.read(), cells)
+        vt.overwrite(cells)
+
+    stream = load_events_stream(spark, sf_dir).select("event_type")
+    q = (
+        stream.writeStream.foreachBatch(update)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, vt.read().select("r", "c", "cnt").collect()))
+    want = sorted(
+        map(
+            tuple,
+            cms_cells(
+                load_table(spark, sf_dir, "events"), "event_type", _W, _D
+            ).collect(),
+        )
+    )
+    assert got == want
