@@ -52,6 +52,14 @@ HEADLINE = [
     # E2E training-data prep composite (dedup -> near-dup -> quality ->
     # token budget) — the nightly-corpus-pipeline headline
     "docs_prep_pipeline",
+    # round-6 LLM-pipeline families: iterative k-means + SemDeDup
+    # within-cluster dedup, corpus-trained bigram LM scoring,
+    # temperature mixing, LOCF fill
+    "cluster_kmeans_embeddings",
+    "semdedup_cluster_stats",
+    "text_bigram_lm_quality",
+    "mix_temperature_langs",
+    "events_locf_fill",
     # equal-params pair: interpreted vs Arrow-vectorized LSH bucketing
     # at identical (8 tables, 6 bits, top-5) — keeps the "vectorized
     # wins (1.2-3x paired)" claim measured every round; single-shot
@@ -181,7 +189,15 @@ def main() -> None:
             ).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
             n_docs = spark.read.parquet(f"{tmp}/documents.parquet").count()
             scale10x = {"rows_documents": n_docs}
-            for name in ("dedup_minhash_lsh", "sim_lsh_topk_scale"):
+            for name in (
+                "dedup_minhash_lsh",
+                "sim_lsh_topk_scale",
+                # round-6: count-table designs — bigram LM's model table
+                # and the CMS's constant-size cells must stay sublinear
+                # on a 10x duplication-heavy corpus
+                "text_bigram_lm_quality",
+                "cms_token_frequencies",
+            ):
                 t0 = time.perf_counter()
                 registry[name].fn(spark, tmp).write.format("noop").mode(
                     "overwrite"

@@ -127,8 +127,9 @@ def kmeans_assign(
 ) -> DataFrame:
     """(id, cluster, d2) after ``iterations`` Lloyd's updates, assigned
     under the FINAL centroids (so ``iterations + 1`` assignment passes
-    run in total).  ``d2`` is the exact squared L2 distance to the
-    winning centroid, cast to DOUBLE on output.
+    run in total).  ``d2`` is the squared L2 distance to the winning
+    centroid — exact decimal internally, reported as a DOUBLE rounded
+    to 9 digits (see the output comment in the code).
 
     ``work_dir`` is the reliable-materialization directory (module
     docstring): pass a durable path to make the loop resumable across

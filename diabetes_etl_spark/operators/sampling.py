@@ -318,6 +318,14 @@ def temperature_mix(
 
     Output: input columns + ``mix_rate`` (= m_s) + ``copy_idx``
     (0..mult-1); rows whose multiplicity lands on 0 are dropped.
+
+    Degenerate-stratum hazard: a stratum holding a vanishing share of
+    the corpus weight gets m_s ~ target/(k·w_s) — a near-empty
+    stratum under a large target means a huge per-row multiplicity
+    (the explode fans out by floor(m)).  That is the correct
+    temperature semantics, but audit per-stratum rates (they ride in
+    the ``mix_rate`` column) before pointing a big budget at a corpus
+    with trace strata; alpha -> 1 shrinks the effect.
     """
     clash = {"mix_rate", "copy_idx"} & set(df.columns)
     if clash:
