@@ -241,6 +241,60 @@ class VersionedTable:
             [F.col(f.name).cast(f.dataType) for f in target.fields]
         )
 
+    def _evolve(self, df: DataFrame, schema_json: str) -> DataFrame:
+        """Schema-evolution alignment (Delta ``mergeSchema`` parity):
+        committed columns keep their committed types (cast, like
+        :meth:`_align`), committed columns the batch lacks are filled
+        with typed NULLs, and batch-only columns append to the schema
+        as nullable fields.  Old files never rewrite — the reader's
+        explicit manifest schema fills the new columns with NULL for
+        pre-evolution files."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructField, StructType
+
+        target = StructType.fromJson(json.loads(schema_json))
+        have = {f.name for f in target.fields}
+        evolved = StructType(
+            list(target.fields)
+            + [
+                StructField(f.name, f.dataType, True)
+                for f in df.schema.fields
+                if f.name not in have
+            ]
+        )
+        return df.select(
+            [
+                F.col(f.name).cast(f.dataType)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in evolved.fields
+            ]
+        )
+
+    @staticmethod
+    def _union_schema_json(committed_json: str, written_json: str) -> str:
+        """Schema to commit after a lost append race under evolution:
+        the OTHER writer's committed fields (their types win — our
+        shared columns were already cast to the pre-race committed
+        types, which a concurrent append cannot change) plus our
+        written-file-only fields.  A genuine type conflict on a shared
+        name means the other commit was an overwrite/rollback that
+        retyped the table — surface it, the files on disk disagree."""
+        from pyspark.sql.types import StructType
+
+        committed = StructType.fromJson(json.loads(committed_json))
+        written = StructType.fromJson(json.loads(written_json))
+        by_name = {f.name: f for f in committed.fields}
+        for f in written.fields:
+            if f.name in by_name and by_name[f.name].dataType != f.dataType:
+                raise ConcurrentCommitError(
+                    f"column {f.name!r} was retyped concurrently "
+                    f"({by_name[f.name].dataType.simpleString()} vs "
+                    f"written {f.dataType.simpleString()})"
+                )
+        extra = [f for f in written.fields if f.name not in by_name]
+        return StructType(list(committed.fields) + extra).json()
+
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table contents (CREATE OR REPLACE).  Conflicts
         with any concurrent commit: the caller decided the full new
@@ -249,18 +303,39 @@ class VersionedTable:
         files = self._write_data(df)
         return self._commit("overwrite", files, ver, df.schema.json())
 
-    def append(self, df: DataFrame, _retries: int = 5) -> int:
+    def append(
+        self, df: DataFrame, _retries: int = 5, merge_schema: bool = False
+    ) -> int:
         """Append rows.  Data files are written ONCE; on a lost
         manifest race only the pointer recomputes (append commutes
-        with committed appends)."""
+        with committed appends).
+
+        ``merge_schema=True`` is Delta's ``mergeSchema``: batch-only
+        columns evolve the table schema (nullable, appended after the
+        committed columns), committed columns the batch lacks fill
+        with NULL, and earlier versions keep their narrower schema —
+        time travel reads each version under the schema it committed.
+        The default stays STRICT (exact column set) so a typo'd
+        producer column is an error, not a silent 1-column table
+        evolution."""
         _, doc0 = self._latest()
         if doc0 is not None:
-            df = self._align(df, doc0["schema"])
+            df = (
+                self._evolve(df, doc0["schema"])
+                if merge_schema
+                else self._align(df, doc0["schema"])
+            )
+        written_schema = df.schema.json()
         new_files = self._write_data(df)
         for _ in range(_retries):
             ver, doc = self._latest()
             base = list(doc["files"]) if doc else []
-            schema = doc["schema"] if doc else df.schema.json()
+            if doc is None:
+                schema = written_schema
+            elif merge_schema:
+                schema = self._union_schema_json(doc["schema"], written_schema)
+            else:
+                schema = doc["schema"]
             try:
                 return self._commit("append", base + new_files, ver, schema)
             except ConcurrentCommitError:

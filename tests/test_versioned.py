@@ -465,3 +465,68 @@ def test_compact_zorder_enables_two_dimensional_pruning(spark, tmp_path):
     assert vt3.read(between=("y", 0, 255)).count() == sum(
         1 for _, y in rows_before if 0 <= y <= 255
     )
+
+
+# -- schema evolution (append merge_schema — Delta mergeSchema parity) ------
+
+
+def test_append_merge_schema_adds_nullable_column(spark, vt):
+    vt.overwrite(_df(spark, 0, 5))
+    wide = _df(spark, 5, 8).withColumn("tag", F.lit("new"))
+    vt.append(wide, merge_schema=True)
+    got = vt.read()
+    assert got.columns == ["k", "v", "tag"]
+    rows = {r.k: r.tag for r in got.collect()}
+    assert all(rows[k] is None for k in range(5))   # old files -> NULL
+    assert all(rows[k] == "new" for k in range(5, 8))
+
+
+def test_append_merge_schema_fills_missing_committed_column(spark, vt):
+    vt.overwrite(_df(spark, 0, 3))
+    narrow = spark.range(3, 5).select(F.col("id").alias("k"))  # no v
+    vt.append(narrow, merge_schema=True)
+    rows = {r.k: r.v for r in vt.read().collect()}
+    assert rows[4] is None and rows[1] == 2
+
+
+def test_append_without_merge_schema_stays_strict(spark, vt):
+    vt.overwrite(_df(spark, 0, 3))
+    wide = _df(spark, 3, 4).withColumn("oops", F.lit(1))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        vt.append(wide)
+
+
+def test_time_travel_reads_pre_evolution_schema(spark, vt):
+    vt.overwrite(_df(spark, 0, 3))
+    vt.append(_df(spark, 3, 5).withColumn("tag", F.lit("t")), merge_schema=True)
+    assert vt.read(version_as_of=1).columns == ["k", "v"]
+    assert vt.read().columns == ["k", "v", "tag"]
+
+
+def test_merge_schema_evolution_survives_lost_race(spark, vt, monkeypatch):
+    """An evolving append that loses the manifest race to a plain
+    append must still commit the UNION schema (its own new column
+    survives) without rewriting any data file."""
+    vt.overwrite(_df(spark, 0, 3))
+    real_latest = vt._latest
+    raced = {"done": False}
+
+    def latest_with_interloper():
+        out = real_latest()
+        if not raced["done"]:
+            raced["done"] = True
+            # interloper commits between our read and our publish
+            VersionedTable(spark, vt.path, stats_cols=("k",)).append(
+                _df(spark, 100, 102)
+            )
+        return out
+
+    monkeypatch.setattr(vt, "_latest", latest_with_interloper)
+    vt.append(
+        _df(spark, 3, 5).withColumn("tag", F.lit("t")), merge_schema=True
+    )
+    got = vt.read()
+    assert got.columns == ["k", "v", "tag"]
+    rows = {r.k: r.tag for r in got.collect()}
+    assert rows[101] is None and rows[4] == "t"
+    assert got.count() == 7
