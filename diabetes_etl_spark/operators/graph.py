@@ -181,3 +181,78 @@ def pagerank(
         )
         ranks = spark.read.parquet(_round_path(work_dir, k))
     return ranks.select("node", "rank")
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    work_dir: str | None = None,
+) -> DataFrame:
+    """(node, deg) after ``rounds`` of k-core peeling — each round
+    recomputes degrees on the surviving subgraph and drops every node
+    with degree < k (Matula & Beck's peel, the fixed-round form).
+    When a round removes nothing the state is the exact k-core and
+    further rounds are no-ops, so "enough rounds" converges — tests
+    pin fixpoint equivalence against a pure-Python reference, and the
+    registered query's oracle unrolls the SAME rounds as CTE layers
+    (the PageRank recipe: fixed iterations make an iterative
+    algorithm hash-checkable).
+
+    Input edges are treated as undirected and are symmetrized +
+    deduplicated here (self-loops dropped: a self-loop inflates its
+    node's degree with no neighbor to peel).
+
+    Scale notes (100 TB lens): per round ONE degree aggregate (map-
+    side combined) + two semi-joins of the edge set against the
+    surviving-node table (AQE broadcasts it as it shrinks); the edge
+    set only ever SHRINKS, and each round's survivor edges commit to
+    ``work_dir`` parquet with ``_SUCCESS`` markers — lineage truncates
+    per round, a restarted driver resumes from the last committed
+    round (operators/components.py pattern).
+    """
+    spark = edges.sparkSession
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="spark_kcore_")
+        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
+    else:
+        os.makedirs(work_dir, exist_ok=True)
+
+    def _epath(r: int) -> str:
+        return os.path.join(work_dir, f"edges_{r:05d}")
+
+    last = None
+    for r in range(rounds, -1, -1):
+        if _is_committed(_epath(r)):
+            last = r
+            break
+    if last is None:
+        e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        e = (
+            e.unionByName(
+                e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        e.write.mode("overwrite").parquet(_epath(0))
+        last = 0
+    e = spark.read.parquet(_epath(last))
+
+    for r in range(last + 1, rounds + 1):
+        deg = e.groupBy("a").agg(F.count("*").alias("deg"))
+        alive = deg.filter(F.col("deg") >= k).select("a")
+        (
+            e.join(alive, "a")
+            .join(alive.select(F.col("a").alias("b")), "b")
+            .select("a", "b")
+            .write.mode("overwrite")
+            .parquet(_epath(r))
+        )
+        e = spark.read.parquet(_epath(r))
+
+    return e.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("deg")
+    )

@@ -195,3 +195,66 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("closure_ratio"),
         )
     )
+
+
+# -- k-core peeling ---------------------------------------------------------
+
+_KC_K = 3
+_KC_ROUNDS = 3
+
+
+def _kcore_round_sql(r: int) -> str:
+    return f"""
+d{r} AS (SELECT a, COUNT(*) AS deg FROM e{r - 1} GROUP BY a),
+a{r} AS (SELECT a FROM d{r} WHERE deg >= {_KC_K}),
+e{r} AS (
+  SELECT e.a, e.b FROM e{r - 1} e
+  JOIN a{r} x ON e.a = x.a
+  JOIN a{r} y ON e.b = y.a
+)"""
+
+
+_KCORE_ORACLE = (
+    """
+WITH raw AS (
+  SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e0 AS (SELECT s AS a, c AS b FROM raw
+       UNION SELECT c AS a, s AS b FROM raw)"""
+    + ",".join([""] + [_kcore_round_sql(r) for r in range(1, _KC_ROUNDS + 1)])
+    + f"""
+SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+FROM e{_KC_ROUNDS} GROUP BY a ORDER BY node
+"""
+)
+
+
+@register(
+    "graph_kcore_trade",
+    oracle=_KCORE_ORACLE,
+    doc=f"{_KC_K}-core peeling ({_KC_ROUNDS} rounds, Matula-Beck) over "
+    "the symmetric supplier-customer trade graph "
+    "(operators/graph.py:kcore_peel): each round is one map-side-"
+    "combined degree aggregate + two semi-joins against the shrinking "
+    "survivor set, with per-round edge parquet commits and driver-"
+    "restart resume (the components.py pattern).  The oracle unrolls "
+    "identical rounds as CTE layers — the hash pins every peel round, "
+    "and when a round removes nothing the state IS the exact k-core.",
+    tags=("graph", "iterative", "kcore", "extension"),
+    extended=True,
+)
+def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.graph import kcore_peel
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    return kcore_peel(edges, _KC_K, _KC_ROUNDS).orderBy("node")

@@ -123,3 +123,77 @@ def test_er_uncapped_finds_tail_tail_pairs_in_large_block(spark):
         df, "name", "name", F.lit("one-block"), max_distance=2, cap=4
     ).collect()
     assert len(capped) < 45
+
+
+# -- k-core peeling (kcore_peel) --------------------------------------------
+
+
+def _ref_kcore(pairs, k):
+    """Pure-Python peel to fixpoint."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(ns) for n, ns in adj.items() if ns}
+
+
+def test_kcore_matches_reference_at_fixpoint(spark):
+    from diabetes_etl_spark.operators.graph import kcore_peel
+
+    # a 4-clique (survives k=3) with pendant chains (peel away)
+    pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    pairs += [(0, 10), (10, 11), (11, 12), (3, 20)]
+    got = {
+        r.node: r.deg
+        for r in kcore_peel(_edges(spark, pairs), k=3, rounds=4).collect()
+    }
+    assert got == _ref_kcore(pairs, 3)
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_cascading_peel_needs_multiple_rounds(spark):
+    from diabetes_etl_spark.operators.graph import kcore_peel
+
+    # chain 0-1-2-3-4: k=2 peels ends inward, one node pair per round,
+    # until nothing remains — the cascade a 1-round implementation
+    # would miss
+    chain = [(i, i + 1) for i in range(4)]
+    got = kcore_peel(_edges(spark, chain), k=2, rounds=4).collect()
+    assert got == []
+    ref = _ref_kcore(chain, 2)
+    assert ref == {}
+
+
+def test_kcore_work_dir_resume_bit_identical(spark, tmp_path):
+    from diabetes_etl_spark.operators.graph import kcore_peel
+
+    pairs = [(i, (i * 3 + 1) % 15) for i in range(40)]
+    full = sorted(
+        (r.node, r.deg)
+        for r in kcore_peel(
+            _edges(spark, pairs), 2, 4, work_dir=str(tmp_path / "full")
+        ).collect()
+    )
+    wd = tmp_path / "resume"
+    kcore_peel(_edges(spark, pairs), 2, 1, work_dir=str(wd)).collect()
+    partial = wd / "edges_00002"
+    partial.mkdir()
+    (partial / "part-junk.parquet").write_bytes(b"junk")
+    resumed = sorted(
+        (r.node, r.deg)
+        for r in kcore_peel(
+            _edges(spark, pairs), 2, 4, work_dir=str(wd)
+        ).collect()
+    )
+    assert resumed == full
