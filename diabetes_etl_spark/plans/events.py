@@ -901,3 +901,61 @@ def events_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_DRIFT_ORACLE = """
+WITH spine AS (SELECT unnest(generate_series(0, 19)) AS bin),
+r AS (
+  SELECT LEAST(19, GREATEST(0, CAST(FLOOR((value - 0.0) / 5.0) AS INT)))
+           AS bin,
+         COUNT(*) AS n
+  FROM events WHERE value IS NOT NULL AND event_id % 2 = 0 GROUP BY 1),
+c AS (
+  SELECT LEAST(19, GREATEST(0, CAST(FLOOR((value - 0.0) / 5.0) AS INT)))
+           AS bin,
+         COUNT(*) AS n
+  FROM events WHERE value IS NOT NULL AND event_id % 2 = 1 GROUP BY 1),
+j AS (
+  SELECT spine.bin, COALESCE(r.n, 0) AS ref_n, COALESCE(c.n, 0) AS cur_n
+  FROM spine LEFT JOIN r ON spine.bin = r.bin
+  LEFT JOIN c ON spine.bin = c.bin),
+t AS (SELECT SUM(ref_n) AS rt, SUM(cur_n) AS ct FROM j),
+p AS (
+  SELECT bin, ref_n, cur_n,
+    CAST(ref_n AS DOUBLE) / rt AS ref_frac,
+    CAST(cur_n AS DOUBLE) / ct AS cur_frac,
+    ABS(CAST(ref_n AS DOUBLE) / rt - CAST(cur_n AS DOUBLE) / ct)
+      AS abs_diff
+  FROM j CROSS JOIN t),
+tv AS (SELECT CAST(SUM(CAST(abs_diff AS DECIMAL(38,15))) AS DOUBLE) / 2
+         AS tv_distance FROM p)
+SELECT p.bin, CAST(p.ref_n AS BIGINT) AS ref_n,
+  CAST(p.cur_n AS BIGINT) AS cur_n, p.ref_frac, p.cur_frac, p.abs_diff,
+  tv.tv_distance
+FROM p, tv ORDER BY p.bin
+"""
+
+
+@register(
+    "events_value_drift",
+    oracle=_DRIFT_ORACLE,
+    doc="Distribution-drift monitoring (operators/drift.py): the "
+    "event-value distribution of one population half vs the other "
+    "(deterministic id-parity split standing in for "
+    "week-over-week), as a 20-bin equi-width histogram with clamped "
+    "outlier bins, per-bin mass attribution, and the total-variation "
+    "distance (exact-integer bin ratios, DECIMAL-folded cross-bin "
+    "sum — hash-checkable, unlike ln-based PSI/KL).  Each side is one "
+    "map-side-combined aggregate onto <= bins rows — constant "
+    "comparison cost at any input size, the scheduled schema-"
+    "preserving-breakage alarm row-level expectations cannot raise.",
+    tags=("events", "quality", "drift", "extension"),
+    extended=True,
+)
+def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.drift import drift_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    return drift_profile(ref, cur, "value", 0.0, 5.0, 20).orderBy("bin")

@@ -63,3 +63,46 @@ def test_locf_out_names_length_mismatch_raises(spark):
     df = _ts(spark, [(1, 1, 1.0)])
     with pytest.raises(ValueError, match="out_names"):
         locf_fill(df, ["k"], ["t"], ["v"], out_names=["a", "b"])
+
+
+# -- drift_profile (operators/drift.py) -------------------------------------
+
+
+def test_drift_zero_for_identical_distributions(spark):
+    from diabetes_etl_spark.operators.drift import drift_profile
+
+    df = spark.createDataFrame(
+        [(float(i % 10),) for i in range(100)], "v double"
+    )
+    out = drift_profile(df, df, "v", 0.0, 1.0, 10).collect()
+    assert all(r.tv_distance == 0.0 for r in out)
+    assert all(r.abs_diff == 0.0 for r in out)
+
+
+def test_drift_one_for_disjoint_distributions(spark):
+    from diabetes_etl_spark.operators.drift import drift_profile
+
+    ref = spark.createDataFrame([(1.0,)] * 10, "v double")
+    cur = spark.createDataFrame([(8.0,)] * 10, "v double")
+    out = drift_profile(ref, cur, "v", 0.0, 1.0, 10).collect()
+    assert out[0].tv_distance == 1.0
+
+
+def test_drift_outliers_clamp_into_edge_bins(spark):
+    from diabetes_etl_spark.operators.drift import drift_profile
+
+    ref = spark.createDataFrame([(5.0,)] * 4, "v double")
+    cur = spark.createDataFrame([(-99.0,), (999.0,)], "v double")
+    rows = {r.bin: r for r in drift_profile(
+        ref, cur, "v", 0.0, 1.0, 10
+    ).collect()}
+    assert rows[0].cur_n == 1 and rows[9].cur_n == 1  # clamped, counted
+
+
+def test_drift_half_mass_moved(spark):
+    from diabetes_etl_spark.operators.drift import drift_profile
+
+    ref = spark.createDataFrame([(1.0,)] * 8 + [(3.0,)] * 0, "v double")
+    cur = spark.createDataFrame([(1.0,)] * 4 + [(3.0,)] * 4, "v double")
+    out = drift_profile(ref, cur, "v", 0.0, 1.0, 5).collect()
+    assert abs(out[0].tv_distance - 0.5) < 1e-12
