@@ -60,7 +60,10 @@ def cms_cells(
     independent of input size.  Merging sketches = unionByName +
     groupBy(r, c).sum(cnt).
     """
-    fp = fingerprint(key_col)
+    # fingerprint projected ONCE per row — Catalyst does not CSE the
+    # character fold across the depth structs, so inlining it would
+    # evaluate the per-key hash depth times
+    fp = F.col("__fp")
     probes = F.array(
         *[
             F.struct(
@@ -70,7 +73,8 @@ def cms_cells(
         ]
     )
     return (
-        df.select(F.explode(probes).alias("rc"))
+        df.select(fingerprint(key_col).alias("__fp"))
+        .select(F.explode(probes).alias("rc"))
         .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
         .agg(F.count("*").alias("cnt"))
     )
@@ -91,7 +95,7 @@ def cms_estimate(
     The cell table is at most depth*width rows, so it BROADCASTS — the
     estimate join never shuffles the key side.
     """
-    fp = fingerprint(key_col)
+    fp = F.col("__fp")
     probes = F.array(
         *[
             F.struct(
@@ -100,8 +104,12 @@ def cms_estimate(
             for j in range(depth)
         ]
     )
-    probed = keys.select("*", F.explode(probes).alias("rc")).select(
-        *keys.columns, F.col("rc.r").alias("r"), F.col("rc.c").alias("c")
+    probed = (
+        keys.select("*", fingerprint(key_col).alias("__fp"))
+        .select(*keys.columns, F.explode(probes).alias("rc"))
+        .select(
+            *keys.columns, F.col("rc.r").alias("r"), F.col("rc.c").alias("c")
+        )
     )
     return (
         probed.join(F.broadcast(cells), ["r", "c"], "left")

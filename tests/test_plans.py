@@ -244,3 +244,50 @@ def test_pagerank_step_two_joins_degree_in_state_no_hints(spark):
     assert optimized.count("Join") == 2
     analyzed = step._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed and "hint" not in analyzed.lower()
+
+
+# -- round-6 operator plan shapes -------------------------------------------
+
+
+def test_temperature_mix_rates_broadcast_no_wide_shuffle_join(spark, sf_dir):
+    """The derived per-stratum rate table (k rows) must come back onto
+    the scan as a broadcast — a sort-merge join here would shuffle the
+    whole corpus to attach 5 numbers."""
+    plan = _plan(spark, sf_dir, "mix_temperature_langs", "formatted")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_random_projection_is_shuffle_free(spark, sf_dir):
+    """JL projection is a pure narrow map: no Exchange anywhere before
+    the final orderBy's range partitioning (the only allowed exchange
+    is for the presentation sort)."""
+    plan = _plan(spark, sf_dir, "sim_random_projection", "formatted")
+    body = plan.split("rangepartitioning")[0]
+    assert "Exchange hashpartitioning" not in body
+
+
+def test_cms_cells_single_bounded_exchange(spark, sf_dir):
+    """Building the sketch costs exactly ONE hash exchange (the
+    (r, c) aggregate, bounded at depth*width groups); the estimate
+    join against the cell table broadcasts."""
+    from diabetes_etl_spark.operators.sketch import cms_cells
+    from diabetes_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        cms_cells(toks, "tok")._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("hashpartitioning") == 1
+    assert "partial_count" in plan  # map-side combine before the exchange
+
+
+def test_locf_single_key_exchange(spark, sf_dir):
+    """LOCF = one window: exactly one hash exchange on the key, no
+    self-join (the naive per-gap formulation would add joins)."""
+    plan = _plan(spark, sf_dir, "events_locf_fill", "formatted")
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "SortMergeJoin" not in plan
