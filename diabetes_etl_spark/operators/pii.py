@@ -80,3 +80,40 @@ def with_redacted_text(
     df: DataFrame, text_col: str = "text", out_col: str = "redacted"
 ) -> DataFrame:
     return df.withColumn(out_col, redact_pii(F.col(text_col)))
+
+
+def kanonymity_profile(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Per-quasi-identifier-combination re-identification risk profile
+    — the release-gate check for sharing a "de-identified" table
+    (Sweeney's k-anonymity): a QI combination matching fewer than
+    ``k`` rows singles its members out by join with any public
+    dataset carrying the same attributes.
+
+    Output per QI group: ``n_rows``, ``is_risky`` (n < k), and — when
+    ``sensitive_col`` is given — ``l_diversity`` (distinct sensitive
+    values in the group) with ``is_homogeneous`` (l = 1): a group can
+    be k-anonymous yet still leak the sensitive attribute outright
+    when every member shares it (the homogeneity attack l-diversity
+    exists to catch).
+
+    Scale shape: ONE map-side-combined groupBy on the QI columns
+    (count + conditional distinct) — the same single exchange any
+    release-audit aggregation needs; no self-joins, no driver state.
+    Suppression/generalization is the caller's policy decision —
+    filter on the flags this emits.
+    """
+    aggs = [F.count("*").alias("n_rows")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).alias("l_diversity")
+        )
+    out = df.groupBy(*quasi_cols).agg(*aggs)
+    out = out.withColumn("is_risky", F.col("n_rows") < k)
+    if sensitive_col is not None:
+        out = out.withColumn("is_homogeneous", F.col("l_diversity") <= 1)
+    return out

@@ -193,3 +193,46 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_KANON_K = 5
+
+_KANON_ORACLE = f"""
+SELECT c_nationkey, c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT c_acctbal < 0) AS BIGINT) AS l_diversity,
+  COUNT(*) < {_KANON_K} AS is_risky,
+  COUNT(DISTINCT c_acctbal < 0) <= 1 AS is_homogeneous
+FROM (SELECT c_nationkey, c_mktsegment, c_acctbal FROM customer)
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+@register(
+    "pii_kanonymity_customer",
+    oracle=_KANON_ORACLE,
+    doc=f"k-anonymity / l-diversity release-gate profile "
+    "(operators/pii.py:kanonymity_profile): customer rows grouped by "
+    "the quasi-identifier pair (nation, market segment) — groups "
+    f"under k={_KANON_K} rows are re-identifiable by join with any "
+    "public table carrying the same attributes, and groups where "
+    "every member shares the sensitive in-debt flag leak it outright "
+    "even when k-anonymous (the homogeneity attack).  One "
+    "map-side-combined groupBy; suppression is the caller's policy "
+    "filter on the emitted flags.",
+    tags=("privacy", "governance", "extension"),
+    extended=True,
+)
+def pii_kanonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.pii import kanonymity_profile
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") < 0).alias("in_debt"),
+    )
+    return kanonymity_profile(
+        cust, ["c_nationkey", "c_mktsegment"], _KANON_K,
+        sensitive_col="in_debt",
+    ).orderBy("c_nationkey", "c_mktsegment")

@@ -82,3 +82,34 @@ def test_duckdb_dialect_agrees(duck):
             f"SELECT len(regexp_extract_all('{text}', '{esc}'))"
         ).fetchone()[0]
         assert n == len(re.findall(pat, text)), cls
+
+
+# -- k-anonymity / l-diversity (kanonymity_profile) -------------------------
+
+
+def test_kanonymity_flags_small_and_homogeneous_groups(spark):
+    from diabetes_etl_spark.operators.pii import kanonymity_profile
+
+    rows = [("a", 1, "x")] * 5          # big, diverse below
+    rows += [("a", 1, "y")] * 3
+    rows += [("b", 2, "x")] * 2         # small (risky), homogeneous
+    df = spark.createDataFrame(rows, "zip string, age int, diag string")
+    out = {
+        (r.zip, r.age): r
+        for r in kanonymity_profile(
+            df, ["zip", "age"], k=4, sensitive_col="diag"
+        ).collect()
+    }
+    big, small = out[("a", 1)], out[("b", 2)]
+    assert (big.n_rows, big.is_risky) == (8, False)
+    assert (big.l_diversity, big.is_homogeneous) == (2, False)
+    assert (small.n_rows, small.is_risky) == (2, True)
+    assert (small.l_diversity, small.is_homogeneous) == (1, True)
+
+
+def test_kanonymity_without_sensitive_col_has_no_diversity_columns(spark):
+    from diabetes_etl_spark.operators.pii import kanonymity_profile
+
+    df = spark.createDataFrame([("a", 1)] * 3, "zip string, age int")
+    out = kanonymity_profile(df, ["zip"], k=2)
+    assert out.columns == ["zip", "n_rows", "is_risky"]
