@@ -1547,3 +1547,73 @@ def resize_images(assets: DataFrame, out_w: int, out_h: int) -> DataFrame:
             yield out
 
     return assets.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+# -- nearest-sample audio resample ------------------------------------------
+
+RESAMPLE_SCHEMA = (
+    "doc_id long, rate_in int, rate_out int, n_channels int, "
+    "n_frames_in int, n_frames_out int, sample_sum long, "
+    "sample_min int, sample_max int, head_fingerprint long"
+)
+
+
+def resample_audio(assets: DataFrame, target_rate: int) -> DataFrame:
+    """Nearest-sample resample of every decodable PCM16 payload to
+    ``target_rate`` via Arrow-batched ``mapInPandas`` — the
+    rate-normalization stage of an audio-training pipeline (models
+    want one sample rate), and the audio counterpart of
+    :func:`resize_images`.
+
+    Source frame of output frame ``j`` is ``(j*rate_in)//target_rate``
+    (pure integer arithmetic; ``n_out = (n_in*target)//rate_in``), so
+    the resampled stream is exactly reproducible by formula — the SQL
+    oracle re-derives SIGNED sample statistics and the 16-byte-head
+    fingerprint of the RESAMPLED stream from the fixture generator's
+    arithmetic without touching a decoder.  Channels stay interleaved
+    (a frame keeps all its channels).  Compressed audio (MP3) has no
+    sample decoder here and is dropped, never fabricated.
+
+    Scale shape: narrow mapInPandas, no shuffle; decode parallelizes
+    with input splits.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["asset_meta"]
+            ):
+                if meta["mime"] != "audio/wav":
+                    continue
+                rate, ch, n_frames, raw = decode_wav(bytes(payload))
+                arr = np.frombuffer(raw, dtype="<i2").reshape(n_frames, ch)
+                n_out = (n_frames * target_rate) // rate
+                idx = (np.arange(n_out) * rate) // target_rate
+                res = arr[idx]
+                flat = res.astype("<i2").tobytes()
+                fp = 0
+                for x in flat[:16]:
+                    fp = (fp * 131 + x) % 1_000_000_007
+                rows.append(
+                    (doc_id, rate, target_rate, ch, n_frames, n_out,
+                     int(res.astype("int64").sum()), int(res.min()),
+                     int(res.max()), fp)
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "rate_in", "rate_out", "n_channels",
+                    "n_frames_in", "n_frames_out", "sample_sum",
+                    "sample_min", "sample_max", "head_fingerprint",
+                ],
+            )
+            for c in ("rate_in", "rate_out", "n_channels", "n_frames_in",
+                      "n_frames_out", "sample_min", "sample_max"):
+                out[c] = out[c].astype("Int32")
+            for c in ("sample_sum", "head_fingerprint"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return assets.mapInPandas(batches, schema=RESAMPLE_SCHEMA)

@@ -733,3 +733,74 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "pos", F.round("y0", 9).alias("y")).orderBy(
         "vec_id", "pos"
     )
+
+
+# -- nearest-sample audio resample ------------------------------------------
+
+_AR_TGT = 4000
+_AR_RATE = "(8000 + 100 * (doc_id % 5))"
+_AR_CH = "(1 + doc_id % 2)"
+_AR_NF = "(64 + doc_id % 50)"
+_AR_NOUT = f"(({_AR_NF} * {_AR_TGT}) // {_AR_RATE})"
+# resampled interleaved sample t: frame j=t//ch, channel c=t%ch,
+# source sample s = ((j*rate)//target)*ch + c
+_AR_S = (
+    f"((((t // {_AR_CH}) * {_AR_RATE}) // {_AR_TGT}) * {_AR_CH}"
+    f" + t % {_AR_CH})"
+)
+_AR_V = f"(((doc_id * 37 + {_AR_S} * 11) % 65536) - 32768)"
+_AR_LIST = (
+    f"list_transform(generate_series(0, {_AR_NOUT} * {_AR_CH} - 1), "
+    f"t -> {_AR_V})"
+)
+# byte m of the resampled PCM16-LE stream (t = m//2; u = v + 32768)
+_AR_U = f"((doc_id * 37 + {_AR_S.replace('t', '(m // 2)')} * 11) % 65536)"
+_AR_BYTE = (
+    f"(CASE WHEN m % 2 = 0 THEN {_AR_U} % 256"
+    f" ELSE ({_AR_U} // 256 + 128) % 256 END)"
+)
+
+_RESAMPLE_ORACLE = f"""
+SELECT doc_id,
+  CAST({_AR_RATE} AS INT) AS rate_in,
+  CAST({_AR_TGT} AS INT) AS rate_out,
+  CAST({_AR_CH} AS INT) AS n_channels,
+  CAST({_AR_NF} AS INT) AS n_frames_in,
+  CAST({_AR_NOUT} AS INT) AS n_frames_out,
+  CAST(list_sum({_AR_LIST}) AS BIGINT) AS sample_sum,
+  CAST(list_aggregate({_AR_LIST}, 'min') AS INT) AS sample_min,
+  CAST(list_aggregate({_AR_LIST}, 'max') AS INT) AS sample_max,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(generate_series(0, 15), m -> CAST({_AR_BYTE} AS BIGINT))),
+    (acc, x) -> (acc * 131 + x) % 1000000007) AS head_fingerprint
+FROM documents WHERE doc_id % 4 = 2
+ORDER BY doc_id
+"""
+
+
+@register(
+    "multimodal_audio_resample",
+    oracle=_RESAMPLE_ORACLE,
+    doc=f"Decode -> nearest-sample resample to {_AR_TGT} Hz over the "
+    "WAV rows of the mixed corpus "
+    "(operators/multimodal.py:resample_audio, Arrow-batched "
+    "mapInPandas): REAL RIFF/PCM16 bytes round-trip the pure-Python "
+    "decoder, then integer-arithmetic frame selection "
+    "(src = (dst*rate)//target, channels interleaved) makes the "
+    "resampled stream exactly reproducible — the oracle re-derives "
+    "signed sample sum/min/max and the 16-byte-head fingerprint of "
+    "the RESAMPLED stream from the fixture generator arithmetic.  "
+    "Narrow plan, no shuffle.",
+    tags=("multimodal", "audio", "extension"),
+    extended=True,
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.multimodal import (
+        attach_media_payloads,
+        resample_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resample_audio(attach_media_payloads(docs), _AR_TGT).orderBy(
+        "doc_id"
+    )

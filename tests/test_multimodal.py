@@ -632,3 +632,48 @@ def test_resize_jpeg_gray_path(spark):
     df = _asset_df(spark, [(3, payload, {"mime": "image/jpeg"})])
     r = resize_images(df, 4, 4).collect()[0]
     assert (r.n_channels, r.px_sum, r.px_min, r.px_max) == (1, 77 * 16, 77, 77)
+
+
+# -- nearest-sample audio resample (resample_audio) -------------------------
+
+
+def test_resample_downsample_picks_integer_frames(spark):
+    from diabetes_etl_spark.operators.multimodal import resample_audio
+
+    # 8 frames mono at 8000 Hz -> 4000 Hz: frames 0,2,4,6
+    samples = [0, 100, -200, 300, -400, 500, -600, 32767]
+    payload = wav_bytes(8000, 1, samples)
+    df = _asset_df(spark, [(1, payload, {"mime": "audio/wav"})])
+    r = resample_audio(df, 4000).collect()[0]
+    picked = [samples[0], samples[2], samples[4], samples[6]]
+    assert r.n_frames_out == 4
+    assert r.sample_sum == sum(picked)
+    assert (r.sample_min, r.sample_max) == (min(picked), max(picked))
+
+
+def test_resample_keeps_channels_interleaved(spark):
+    from diabetes_etl_spark.operators.multimodal import resample_audio
+
+    # stereo: frames [(1,-1), (2,-2), (3,-3), (4,-4)] -> half rate
+    # keeps frames 0 and 2 with BOTH channels
+    inter = [1, -1, 2, -2, 3, -3, 4, -4]
+    payload = wav_bytes(8000, 2, inter)
+    df = _asset_df(spark, [(1, payload, {"mime": "audio/wav"})])
+    r = resample_audio(df, 4000).collect()[0]
+    assert (r.n_channels, r.n_frames_out) == (2, 2)
+    assert r.sample_sum == (1 - 1) + (3 - 3)
+    assert (r.sample_min, r.sample_max) == (-3, 3)
+
+
+def test_resample_drops_non_wav_rows(spark):
+    from diabetes_etl_spark.operators.multimodal import resample_audio
+
+    df = _asset_df(
+        spark,
+        [
+            (1, wav_bytes(8000, 1, [5, 6]), {"mime": "audio/wav"}),
+            (2, b"words", {"mime": "text/plain"}),
+        ],
+    )
+    out = resample_audio(df, 4000).collect()
+    assert [r.doc_id for r in out] == [1]
