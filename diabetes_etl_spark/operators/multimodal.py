@@ -1617,3 +1617,71 @@ def resample_audio(assets: DataFrame, target_rate: int) -> DataFrame:
             yield out
 
     return assets.mapInPandas(batches, schema=RESAMPLE_SCHEMA)
+
+
+# -- video frame-sampling plan ----------------------------------------------
+
+FRAME_PLAN_SCHEMA = (
+    "doc_id long, frame_idx int, ts_ms long, width int, height int, "
+    "n_frames_sampled int"
+)
+
+
+def plan_video_frames(
+    assets: DataFrame, n_frames: int, fps: int = 25
+) -> DataFrame:
+    """Uniform frame-sampling PLAN for video payloads: which frame
+    indices/timestamps a trainer should extract from each clip —
+    ``n_frames`` per clip at ``ts = (j*duration)//n`` (integer
+    arithmetic; the frame index assumes a nominal ``fps``), clamped to
+    clips shorter than ``n_frames`` frames.
+
+    This is the REAL Spark-side plumbing of the frame-sample stage —
+    container probe (moov walk), per-clip fan-out, schema, Arrow batch
+    shape — with the pixel DECODE deliberately env-gated: turning a
+    timestamp into pixels needs an H.264-class codec this environment
+    lacks (``decode_video_frame`` below raises NotImplementedError;
+    wiring a real decoder means replacing ONE function, not the
+    pipeline).  Fabricating pixels here would poison any downstream
+    feature statistics.
+    """
+
+    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dur, w, h, nv, _na = probe_mp4(bytes(payload))
+                if nv == 0 or dur <= 0:
+                    continue
+                total = max(1, (dur * fps) // 1000)
+                n = int(min(n_frames, total))
+                for j in range(n):
+                    ts = (j * dur) // n
+                    rows.append(
+                        (int(doc_id), int((ts * fps) // 1000), int(ts),
+                         w, h, n)
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "ts_ms", "width", "height",
+                    "n_frames_sampled",
+                ],
+            )
+            for c in ("frame_idx", "width", "height", "n_frames_sampled"):
+                out[c] = out[c].astype("Int32")
+            out["ts_ms"] = out["ts_ms"].astype("Int64")
+            yield out
+
+    return assets.mapInPandas(plan, schema=FRAME_PLAN_SCHEMA)
+
+
+def decode_video_frame(payload: bytes, ts_ms: int) -> bytes:
+    """ENV-GATED: extracting pixels at a timestamp requires an
+    H.264/H.265-class codec; this sandbox has none and fabricated
+    pixels would poison downstream statistics.  The sampling PLAN
+    (which frames to pull) is real — see plan_video_frames."""
+    raise NotImplementedError(
+        "video frame decode needs a codec library absent from this "
+        "environment; plan_video_frames supplies the sampling plan"
+    )

@@ -804,3 +804,53 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_audio(attach_media_payloads(docs), _AR_TGT).orderBy(
         "doc_id"
     )
+
+
+# -- video frame-sampling plan ----------------------------------------------
+
+_VF_N = 4
+_VF_FPS = 25
+_VF_DUR = "(500 + (doc_id % 100) * 40)"
+
+_FRAMES_ORACLE = f"""
+SELECT doc_id,
+  CAST(((j * {_VF_DUR}) // {_VF_N}) * {_VF_FPS} // 1000 AS INT)
+    AS frame_idx,
+  CAST((j * {_VF_DUR}) // {_VF_N} AS BIGINT) AS ts_ms,
+  CAST(16 * (2 + doc_id % 5) AS INT) AS width,
+  CAST(16 * (1 + doc_id % 3) AS INT) AS height,
+  CAST(LEAST({_VF_N}, GREATEST(1, ({_VF_DUR} * {_VF_FPS}) // 1000))
+    AS INT) AS n_frames_sampled
+FROM documents
+CROSS JOIN (SELECT unnest(generate_series(0, {_VF_N - 1})) AS j) js
+WHERE j < LEAST({_VF_N}, GREATEST(1, ({_VF_DUR} * {_VF_FPS}) // 1000))
+ORDER BY doc_id, frame_idx
+"""
+
+
+@register(
+    "multimodal_video_frame_plan",
+    oracle=_FRAMES_ORACLE,
+    doc=f"Uniform video frame-sampling plan ({_VF_N} frames per clip "
+    "at ts = (j*duration)//n, nominal "
+    f"{_VF_FPS} fps) over real ISO-BMFF containers "
+    "(operators/multimodal.py:plan_video_frames): the moov-walk "
+    "probe, per-clip fan-out, schema, and Arrow batch shape are the "
+    "REAL plumbing of a frame-extraction stage; only the pixel "
+    "decode itself is env-gated (decode_video_frame raises — no "
+    "codec here, and fabricated pixels would poison downstream "
+    "stats).  Integer-arithmetic timestamps make the plan "
+    "oracle-replayable from the fixture geometry.",
+    tags=("multimodal", "video", "extension"),
+    extended=True,
+)
+def multimodal_video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.multimodal import (
+        attach_video_payloads,
+        plan_video_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return plan_video_frames(
+        attach_video_payloads(docs), _VF_N, _VF_FPS
+    ).orderBy("doc_id", "frame_idx")

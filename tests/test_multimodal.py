@@ -677,3 +677,47 @@ def test_resample_drops_non_wav_rows(spark):
     )
     out = resample_audio(df, 4000).collect()
     assert [r.doc_id for r in out] == [1]
+
+
+# -- video frame-sampling plan (plan_video_frames) --------------------------
+
+
+def test_frame_plan_uniform_timestamps(spark):
+    from diabetes_etl_spark.operators.multimodal import (
+        attach_video_payloads,
+        plan_video_frames,
+    )
+
+    docs = spark.createDataFrame([(3,)], "doc_id long")
+    rows = plan_video_frames(
+        attach_video_payloads(docs), 4, fps=25
+    ).collect()
+    # doc 3: duration 500 + 3*40 = 620 ms -> ts 0,155,310,465
+    assert [r.ts_ms for r in sorted(rows, key=lambda r: r.ts_ms)] == [
+        0, 155, 310, 465,
+    ]
+    assert all(r.n_frames_sampled == 4 for r in rows)
+    assert all((r.width, r.height) == (80, 16) for r in rows)  # 16*(2+3), 16*(1+3%3)
+
+
+def test_frame_plan_clamps_to_short_clips(spark):
+    from diabetes_etl_spark.operators.multimodal import (
+        mp4_bytes,
+        plan_video_frames,
+    )
+
+    # 80 ms at 25 fps = 2 total frames -> plan asks for min(4, 2) = 2
+    df = _asset_df(
+        spark, [(1, mp4_bytes(32, 32, 80), {"mime": "video/mp4"})]
+    ).select("doc_id", "payload")
+    rows = plan_video_frames(df, 4, fps=25).collect()
+    assert len(rows) == 2 and all(r.n_frames_sampled == 2 for r in rows)
+
+
+def test_video_frame_decode_is_env_gated(spark):
+    import pytest
+
+    from diabetes_etl_spark.operators.multimodal import decode_video_frame
+
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_video_frame(b"\x00", 0)
