@@ -69,3 +69,73 @@ def locf_fill(
             f"{name}_filled", F.last(col, ignorenulls=True).over(w)
         )
     return out
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    window_rows: int = 10,
+    z: float = 3.0,
+) -> DataFrame:
+    """Per-key rolling anomaly detection: score each row against the
+    mean/stddev of its ``window_rows`` PRECEDING rows (the current row
+    is excluded — an outlier must not dilute its own baseline), flag
+    ``|x - mean| > z * std``.  The streaming-monitoring workhorse for
+    metrics/sensors/prices, run here as the batch/backfill form.
+
+    Determinism: the window sum and sum-of-squares fold through
+    DECIMAL (a float window sum would depend on within-frame
+    evaluation order when frames are recomputed), mean/variance then
+    derive in IEEE from those exact operands with one expression
+    shape — replayable verbatim in a SQL oracle.  Rows without a FULL
+    baseline window score NULL (a 2-row baseline flags everything or
+    nothing — worse than no answer).
+
+    Appends: ``base_mean``, ``base_std``, ``is_anomaly``.
+
+    Scale shape: one window over (key, order) — the sessionize/LOCF
+    exchange; state per row is the O(window) frame Spark streams
+    through its sort, never a self-join.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-window_rows, -1)
+    )
+    x = F.col(value_col).cast("double")
+    n = F.count(value_col).over(w)
+    s = F.sum(F.col(value_col).cast("decimal(25,6)")).over(w).cast("double")
+    sq = (
+        F.sum(
+            (F.col(value_col).cast("double") * F.col(value_col)).cast(
+                "decimal(38,6)"
+            )
+        )
+        .over(w)
+        .cast("double")
+    )
+    mean = s / n
+    var = F.greatest(
+        (sq - s * s / n) / (n - 1), F.lit(0.0)
+    )
+    std = F.sqrt(var)
+    full = n == window_rows
+    return (
+        df.withColumn("base_mean", F.when(full, mean))
+        .withColumn("base_std", F.when(full, std))
+        .withColumn(
+            "is_anomaly",
+            # zero-variance baseline: ANY deviation is infinitely many
+            # sigmas out — flag on inequality (mean is exact there, so
+            # the float comparison is safe), don't suppress
+            F.when(
+                full,
+                F.when(
+                    F.col("base_std") > 0,
+                    F.abs(x - F.col("base_mean")) > z * F.col("base_std"),
+                ).otherwise(x != F.col("base_mean")),
+            ),
+        )
+    )

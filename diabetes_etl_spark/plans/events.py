@@ -959,3 +959,71 @@ def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = ev.filter(F.col("event_id") % 2 == 0)
     cur = ev.filter(F.col("event_id") % 2 == 1)
     return drift_profile(ref, cur, "value", 0.0, 5.0, 20).orderBy("bin")
+
+
+_ZSCORE_ORACLE = """
+WITH scored AS (
+  SELECT user_id,
+    COUNT(value) OVER w AS n,
+    CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS s,
+    CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sq,
+    value
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+),
+flagged AS (
+  SELECT user_id,
+    CASE WHEN n = 10 THEN 1 ELSE 0 END AS scored,
+    CASE WHEN n = 10 THEN
+      CASE WHEN sqrt(GREATEST((sq - s * s / n) / (n - 1), 0.0)) > 0 THEN
+        CASE WHEN ABS(value - s / n)
+                  > 2.0 * sqrt(GREATEST((sq - s * s / n) / (n - 1), 0.0))
+             THEN 1 ELSE 0 END
+      ELSE CASE WHEN value != s / n THEN 1 ELSE 0 END END
+    ELSE 0 END AS anom
+  FROM scored
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(scored) AS BIGINT) AS n_scored,
+  CAST(SUM(anom) AS BIGINT) AS n_anomalies
+FROM flagged GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register(
+    "events_rolling_anomalies",
+    oracle=_ZSCORE_ORACLE,
+    doc="Rolling z-score anomaly detection "
+    "(operators/timeseries.py:rolling_zscore): each event's value "
+    "scores against the mean/std of its 10 PRECEDING events per user "
+    "(current row excluded — an outlier must not dilute its own "
+    "baseline; partial windows honestly NULL).  Window sum and "
+    "sum-of-squares fold through DECIMAL, mean/variance derive in "
+    "IEEE from exact operands — the oracle replays the identical "
+    "expression shape.  One (user, time) window exchange, no "
+    "self-join.  Per-user scored/anomaly tallies.",
+    tags=("events", "timeseries", "anomaly", "extension"),
+    extended=True,
+)
+def events_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.timeseries import rolling_zscore
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = rolling_zscore(
+        ev, ["user_id"], ["ts", "event_id"], "value", window_rows=10, z=2.0
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("base_mean").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_scored"),
+            F.sum(F.coalesce(F.col("is_anomaly").cast("int"), F.lit(0)))
+            .cast("long")
+            .alias("n_anomalies"),
+        )
+        .orderBy("user_id")
+    )

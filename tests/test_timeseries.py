@@ -106,3 +106,43 @@ def test_drift_half_mass_moved(spark):
     cur = spark.createDataFrame([(1.0,)] * 4 + [(3.0,)] * 4, "v double")
     out = drift_profile(ref, cur, "v", 0.0, 1.0, 5).collect()
     assert abs(out[0].tv_distance - 0.5) < 1e-12
+
+
+# -- rolling_zscore ---------------------------------------------------------
+
+
+def test_rolling_zscore_flags_planted_outlier(spark):
+    from diabetes_etl_spark.operators.timeseries import rolling_zscore
+
+    # stable baseline 10.0 +- 0.5, then a spike
+    rows = [(1, t, 10.0 + (0.5 if t % 2 else -0.5)) for t in range(10)]
+    rows.append((1, 10, 50.0))   # the anomaly
+    rows.append((1, 11, 10.5))   # normal again (spike in its baseline)
+    df = _ts(spark, rows)
+    out = {
+        r.t: r
+        for r in rolling_zscore(df, ["k"], ["t"], "v", 10, 3.0).collect()
+    }
+    assert out[10].is_anomaly is True
+    assert out[11].is_anomaly is False
+    assert abs(out[10].base_mean - 10.0) < 1e-9
+
+
+def test_rolling_zscore_partial_window_scores_null(spark):
+    from diabetes_etl_spark.operators.timeseries import rolling_zscore
+
+    rows = [(1, t, float(t)) for t in range(5)]
+    out = rolling_zscore(_ts(spark, rows), ["k"], ["t"], "v", 10).collect()
+    assert all(r.is_anomaly is None and r.base_mean is None for r in out)
+
+
+def test_rolling_zscore_constant_baseline_flags_any_deviation(spark):
+    from diabetes_etl_spark.operators.timeseries import rolling_zscore
+
+    rows = [(1, t, 7.0) for t in range(10)] + [(1, 10, 7.0), (1, 11, 99.0)]
+    out = {
+        r.t: r.is_anomaly
+        for r in rolling_zscore(_ts(spark, rows), ["k"], ["t"], "v", 10).collect()
+    }
+    # zero-variance baseline: equal value passes, ANY deviation flags
+    assert out[10] is False and out[11] is True
