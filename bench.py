@@ -198,11 +198,20 @@ def main() -> None:
                 "text_bigram_lm_quality",
                 "cms_token_frequencies",
             ):
-                t0 = time.perf_counter()
-                registry[name].fn(spark, tmp).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                scale10x[name] = round(time.perf_counter() - t0, 3)
+                # min-of-2: these single-shot numbers ride right behind
+                # the corpus-replication writes and have been observed
+                # to absorb a GC/page-cache spike (one 93s sample vs a
+                # 15s isolated rerun on identical code) — one repeat
+                # recovers the plan cost like the headline minima do
+                best = None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    registry[name].fn(spark, tmp).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    sample = round(time.perf_counter() - t0, 3)
+                    best = sample if best is None else min(best, sample)
+                scale10x[name] = best
                 print(f"# scale10x {name}: {scale10x[name]}s", file=sys.stderr)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
