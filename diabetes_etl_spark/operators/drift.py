@@ -89,16 +89,24 @@ def drift_profile(
     tot = joined.agg(
         F.sum("ref_n").alias("ref_total"), F.sum("cur_n").alias("cur_total")
     )
+    # NULLIF on the totals: an EMPTY side (upstream died — the moment
+    # the alarm matters most) would otherwise produce 0/0 = NaN
+    # fractions, and the ANSI decimal cast in the TV fold raises on
+    # NaN, killing the monitoring job.  With a null total, fractions /
+    # abs_diff / tv_distance come back NULL — callers alert on NULL
+    # exactly like on a high TV.
     per_bin = joined.crossJoin(F.broadcast(tot)).select(
         "bin",
         "ref_n",
         "cur_n",
-        (F.col("ref_n").cast("double") / F.col("ref_total")).alias(
-            "ref_frac"
-        ),
-        (F.col("cur_n").cast("double") / F.col("cur_total")).alias(
-            "cur_frac"
-        ),
+        (
+            F.col("ref_n").cast("double")
+            / F.nullif(F.col("ref_total"), F.lit(0))
+        ).alias("ref_frac"),
+        (
+            F.col("cur_n").cast("double")
+            / F.nullif(F.col("cur_total"), F.lit(0))
+        ).alias("cur_frac"),
     )
     per_bin = per_bin.withColumn(
         "abs_diff", F.abs(F.col("ref_frac") - F.col("cur_frac"))

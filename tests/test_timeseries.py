@@ -146,3 +146,18 @@ def test_rolling_zscore_constant_baseline_flags_any_deviation(spark):
     }
     # zero-variance baseline: equal value passes, ANY deviation flags
     assert out[10] is False and out[11] is True
+
+
+def test_drift_empty_side_yields_null_not_crash(spark):
+    """An empty side means the monitoring comparison is undefined —
+    fractions and tv_distance must come back NULL (callers alert on
+    NULL like on high TV), not raise through the ANSI NaN->decimal
+    cast."""
+    from diabetes_etl_spark.operators.drift import drift_profile
+
+    ref = spark.createDataFrame([(1.0,)] * 4, "v double")
+    cur = spark.createDataFrame([], "v double")
+    out = drift_profile(ref, cur, "v", 0.0, 1.0, 5).collect()
+    assert len(out) == 5
+    assert all(r.cur_frac is None and r.tv_distance is None for r in out)
+    assert all(r.cur_n == 0 for r in out)
