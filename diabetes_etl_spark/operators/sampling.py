@@ -352,9 +352,15 @@ def temperature_mix(
         F.col("_t") if target_weight is None
         else F.lit(float(target_weight))
     )
+    # zero-weight stratum guard: rows whose stratum carries no weight
+    # (e.g. a lang bucket of empty docs) would hit 0/0 = NaN, and the
+    # ANSI floor(NaN)->int cast below raises; a weightless stratum
+    # contributes nothing to the mixture, so its rate is plain 0.
     rates = w.crossJoin(F.broadcast(tot)).select(
         F.col(stratum_col),
-        ((target * (powed / F.col("_z"))) / w_stat).alias("mix_rate"),
+        F.when(
+            w_stat > 0, (target * (powed / F.col("_z"))) / w_stat
+        ).otherwise(F.lit(0.0)).alias("mix_rate"),
     )
     u = portable_unit_hash(F.col(id_col), seed)
     mult = F.floor("mix_rate").cast("int") + (

@@ -383,3 +383,17 @@ def test_fixed_size_sample_partition_invariant_and_stable(spark):
     }
     six = {r[1] for r in a if r[0] == "en"}
     assert six < eight
+
+
+def test_temperature_mix_zero_weight_stratum_rate_zero(spark):
+    """A stratum whose rows carry no weight (empty docs) must get rate
+    0 and drop out — not a 0/0 NaN that the ANSI floor->int cast
+    turns into a job kill."""
+    from diabetes_etl_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "en", 100) for i in range(10)]
+    rows += [(100 + i, "xx", 0) for i in range(3)]  # weightless stratum
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = temperature_mix(df).collect()
+    assert all(r.lang == "en" for r in out)        # xx dropped entirely
+    assert {r.doc_id for r in out} <= set(range(10))
