@@ -73,7 +73,10 @@ def cms_cells(
         ]
     )
     return (
-        df.select(fingerprint(key_col).alias("__fp"))
+        # NULL keys carry no countable identity — dropped, not hashed
+        # into phantom (r, NULL) cells that would silently skew merges
+        df.filter(F.col(key_col).isNotNull())
+        .select(fingerprint(key_col).alias("__fp"))
         .select(F.explode(probes).alias("rc"))
         .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
         .agg(F.count("*").alias("cnt"))
