@@ -277,6 +277,15 @@ def main() -> None:
                 # 10x orders, grouping_sets_having_regions 10x customer
                 "window_suite",
                 "grouping_sets_having_regions",
+                # round-6: iterative graph ops at 10x input — the
+                # supplier/customer key space is unchanged by the
+                # replication, so the edge set dedups to the sf0.1
+                # graph and these measure the 10x edge-extraction
+                # scan + distinct feeding a fixed-size iteration
+                # (the realistic shape: the raw pair stream dwarfs
+                # the deduped graph)
+                "graph_pagerank_trade",
+                "graph_kcore_trade",
             ):
                 base_t = timings.get(name) or run_query(name, sf_dir)
                 t = run_query(name, tmp)
