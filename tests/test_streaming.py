@@ -178,3 +178,50 @@ def test_transform_with_state_gated_on_protobuf(spark, sf_dir):
         spark, running_user_profiles_tws(stream), output_mode="update"
     )
     assert latest_profiles(snap).count() > 0
+
+
+def test_incremental_aggregate_maintenance_equals_batch(spark, tmp_path, sf_dir):
+    """Materialized-view maintenance: per-micro-batch partial
+    aggregates merged into a VersionedTable (streaming/aggmaint.py)
+    must land on exactly the batch groupBy of ALL events — history is
+    never rescanned, yet the stored aggregate is indistinguishable
+    from a full recompute."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from diabetes_etl_spark.sources.tables import (
+        load_events_stream,
+        load_table,
+    )
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+    from diabetes_etl_spark.streaming.aggmaint import merge_partial_aggs
+
+    store = VersionedTable(spark, str(tmp_path / "agg_store"))
+
+    def refresh(batch, batch_id):
+        merge_partial_aggs(store, batch, ["event_type"], ["value"])
+
+    stream = load_events_stream(spark, sf_dir).select("event_type", "value")
+    q = (
+        stream.writeStream.foreachBatch(refresh)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r.event_type, r.n_rows, str(r.sum_value))
+        for r in store.read().collect()
+    )
+    want = sorted(
+        (r.event_type, r.n_rows, str(r.sum_value))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(28,2)")).alias("sum_value"),
+        )
+        .collect()
+    )
+    assert got == want
+    assert len(store.history()) >= 1  # at least one atomic refresh
