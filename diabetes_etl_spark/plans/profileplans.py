@@ -70,3 +70,77 @@ _PROFILE_ORACLE = "\nUNION ALL".join(_arm(c) for c in _COLS) + '\nORDER BY "colu
 )
 def profile_part_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(load_table(spark, sf_dir, "part"))
+
+
+# -- portable HyperLogLog distinct-count estimate ---------------------------
+
+_HLL_SEED = 19
+_HLL_M = 64
+_HLL_TOP = 1 << 25  # 2^(B+1), B = 24 rho bits
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+
+def _hll_oracle() -> str:
+    from diabetes_etl_spark.operators.sampling import _MIX_A, _MIX_C, _MOD
+
+    return f"""
+WITH keyed AS (
+  SELECT ((((user_id + {_HLL_SEED}) % {_MOD}) * ((user_id + {_HLL_SEED}) % {_MOD}))
+          % {_MOD} * {_MIX_A}
+          + ((user_id + {_HLL_SEED}) % {_MOD}) * {_MIX_C}) % {_MOD} AS v
+  FROM events WHERE user_id IS NOT NULL
+),
+regs AS (
+  SELECT v % {_HLL_M} AS idx,
+    MAX(CASE WHEN v // {_HLL_M} > 0
+             THEN 24 - length(bin(v // {_HLL_M})) + 1
+             ELSE 25 END) AS rho
+  FROM keyed GROUP BY v % {_HLL_M}
+),
+agg AS (
+  SELECT CAST(SUM(CAST(1 AS BIGINT) << (25 - rho)) AS BIGINT) AS st,
+         COUNT(*) AS nt
+  FROM regs
+)
+SELECT
+  CAST({_HLL_ALPHA!r} AS DOUBLE) * CAST({float(_HLL_M * _HLL_M)!r} AS DOUBLE)
+    * CAST({float(_HLL_TOP)!r} AS DOUBLE)
+    / (st + ({_HLL_M} - nt) * {_HLL_TOP}) AS hll_estimate,
+  CAST({_HLL_M} - nt AS INT) AS n_zero_registers,
+  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+    AS exact_distinct
+FROM agg
+"""
+
+
+@register(
+    "profile_hll_distinct_users",
+    oracle=_hll_oracle(),
+    doc="Portable HyperLogLog distinct-user estimate "
+    "(operators/sketch.py:hll_registers/hll_estimate) next to the "
+    "exact count: registers derive from the portable LCG mix with "
+    "integer-only rho (div + bin() length), the register sum folds as "
+    "an exact BIGINT of shifted powers, and the estimate is one IEEE "
+    "expression over exact integers — an APPROXIMATE cardinality "
+    "whose registers AND estimate hash-match a DuckDB replay "
+    "(native approx_count_distinct is engine-specific and cannot).  "
+    "Mergeable by register-wise max; constant shuffle like the CMS.",
+    tags=("profile", "sketch", "approximate", "extension"),
+    extended=True,
+)
+def profile_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_estimate(
+        hll_registers(ev, "user_id", m_log2=6, seed=_HLL_SEED), m_log2=6
+    )
+    exact = ev.agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.crossJoin(F.broadcast(exact))

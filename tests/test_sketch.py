@@ -119,3 +119,52 @@ def test_cms_streaming_incremental_maintenance(spark, tmp_path, sf_dir):
         )
     )
     assert got == want
+
+
+# -- portable HyperLogLog ---------------------------------------------------
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """Standard error for m=64 is 1.04/sqrt(64) = 13%; this fixed
+    dataset is deterministic, so assert a 3-sigma band outright."""
+    from diabetes_etl_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 5000
+    df = spark.range(n).select((F.col("id") * 7 + 3).alias("k"))
+    est = hll_estimate(hll_registers(df, "k")).collect()[0].hll_estimate
+    assert abs(est - n) / n < 0.39
+
+
+def test_hll_merge_equals_union_sketch(spark):
+    from diabetes_etl_spark.operators.sketch import (
+        hll_merge,
+        hll_registers,
+    )
+
+    a = spark.range(0, 800).select(F.col("id").alias("k"))
+    b = spark.range(500, 1500).select(F.col("id").alias("k"))
+    merged = sorted(
+        map(tuple, hll_merge(
+            hll_registers(a, "k"), hll_registers(b, "k")
+        ).collect())
+    )
+    direct = sorted(
+        map(tuple, hll_registers(a.unionByName(b), "k").collect())
+    )
+    assert merged == direct
+
+
+def test_hll_duplicates_do_not_move_the_estimate(spark):
+    from diabetes_etl_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    once = spark.range(1000).select(F.col("id").alias("k"))
+    tenx = once.crossJoin(spark.range(10)).select("k")
+    e1 = hll_estimate(hll_registers(once, "k")).collect()[0].hll_estimate
+    e2 = hll_estimate(hll_registers(tenx, "k")).collect()[0].hll_estimate
+    assert e1 == e2  # cardinality, not frequency — bit-identical
