@@ -255,3 +255,50 @@ def within_cluster_candidates(
     return members.groupBy(cluster_col).applyInPandas(
         gen, schema="cluster int, id_a long, id_b long"
     )
+
+
+def pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    out_col: str = "pooled",
+) -> DataFrame:
+    """Mean-pool vectors per group — the chunk->document aggregation of
+    a RAG/retrieval pipeline (documents are embedded in chunks; search
+    wants one vector per doc), also the centroid step any clustering
+    consumer reuses.
+
+    Deterministic like the k-means means: per-dimension sums fold
+    through DECIMAL (order-independent), one IEEE division per
+    dimension, then DECIMAL(18,12)-pinned doubles — bit-identical
+    across partitionings and engines.
+
+    Plan shape: posexplode to (group, pos, x), ONE map-side-combined
+    groupBy(group, pos), then array_agg ordered by pos — two
+    exchanges total (the second re-groups d rows per group).  The
+    vector NEVER rides through a Python UDF.
+    """
+    pts = df.select(
+        F.col(group_col).alias("__g"),
+        F.posexplode(F.col(vec_col)).alias("pos", "__xf"),
+    ).select("__g", "pos", F.col("__xf").cast("double").alias("x"))
+    dims = (
+        pts.groupBy("__g", "pos")
+        .agg(
+            F.sum(F.col("x").cast(_DEC_TERM)).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "__g",
+            "pos",
+            dec_cast(
+                F.col("s").cast("double") / F.col("n"), _MEAN_SCALE
+            ).alias("c"),
+        )
+    )
+    return dims.groupBy("__g").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda e: e["c"],
+        ).alias(out_col)
+    ).withColumnRenamed("__g", group_col)

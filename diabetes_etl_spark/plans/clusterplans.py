@@ -259,3 +259,40 @@ def semdedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+_POOL_ORACLE = """
+SELECT label, i - 1 AS pos,
+  CAST(CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,15))) AS DOUBLE)
+       / COUNT(*) AS DECIMAL(18,12)) AS DOUBLE) AS c
+FROM (SELECT label, i, embedding[i] AS x
+      FROM (SELECT label, embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings))
+GROUP BY label, i ORDER BY label, pos
+"""
+
+
+@register(
+    "cluster_pooled_embeddings",
+    oracle=_POOL_ORACLE,
+    doc="Mean-pooled embedding per label group "
+    "(operators/clustering.py:pool_embeddings) — the chunk->document "
+    "aggregation of a RAG pipeline, with the k-means determinism "
+    "recipe: per-dimension DECIMAL-folded sums, one IEEE division, "
+    "DECIMAL(18,12)-pinned doubles.  One map-side-combined "
+    "(group, pos) aggregate + one array re-assembly; the vector "
+    "never crosses into Python.  Output exploded to (label, pos, c) "
+    "rows for the hash compare.",
+    tags=("clustering", "embedding", "pooling", "extension"),
+    extended=True,
+)
+def cluster_pooled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.clustering import pool_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pooled = pool_embeddings(emb, "label")
+    return (
+        pooled.select("label", F.posexplode("pooled").alias("pos", "c"))
+        .orderBy("label", "pos")
+    )

@@ -148,3 +148,20 @@ def test_within_cluster_candidates_matches_bruteforce(spark):
                 want.add((min(ia, ib), max(ia, ib)))
     assert got == want
     assert all(a < b for a, b in got)
+
+
+def test_pool_embeddings_hand_case_and_invariance(spark):
+    from diabetes_etl_spark.operators.clustering import pool_embeddings
+
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 2.0]), (2, "a", [3.0, 6.0]), (3, "b", [5.0, 5.0])],
+        "vec_id long, grp string, embedding array<float>",
+    )
+    out = {r.grp: r.pooled for r in pool_embeddings(df, "grp").collect()}
+    assert out["a"] == [2.0, 4.0]
+    assert out["b"] == [5.0, 5.0]
+    again = {
+        r.grp: r.pooled
+        for r in pool_embeddings(df.repartition(7), "grp").collect()
+    }
+    assert again == out  # bit-identical
