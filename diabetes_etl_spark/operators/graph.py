@@ -256,3 +256,127 @@ def kcore_peel(
     return e.groupBy(F.col("a").alias("node")).agg(
         F.count("*").alias("deg")
     )
+
+
+def _ppr_step(e: DataFrame, ranks: DataFrame, damping: float) -> DataFrame:
+    """One personalized power iteration: identical join shape to
+    _pr_step, but teleport mass goes to the per-node ``tele`` weight
+    carried IN the state row (0 for non-sources) instead of 1/N."""
+    contribs = (
+        e.join(
+            ranks.select(F.col("node").alias("src"), "rank", "deg"),
+            "src",
+        )
+        .select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("deg")).alias("c"),
+        )
+        .groupBy("node")
+        .agg(dec_sum(F.col("c"), _SCALE + 3, 38).alias("in_mass"))
+    )
+    return (
+        ranks.select("node", "deg", "tele")
+        .join(contribs, "node", "left")
+        .select(
+            "node",
+            dec_cast(
+                (1.0 - damping) * F.col("tele")
+                + damping * F.coalesce(F.col("in_mass"), F.lit(0.0)),
+                _SCALE,
+            ).alias("rank"),
+            F.col("deg"),
+            F.col("tele"),
+        )
+    )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    symmetric: bool = True,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """(node, rank) under PERSONALIZED PageRank: teleport lands only on
+    the ``sources`` node set (a 1-column DataFrame of node ids), so
+    ranks measure proximity to those sources — the
+    recommendation/related-items form of PageRank (random walk with
+    restart).
+
+    Same scale/determinism contract as :func:`pagerank`: the teleport
+    weight (1/|S| for sources, 0 otherwise, |S| computed IN-PLAN) is
+    joined into the rank state ONCE and travels with the row; the
+    iteration body is exactly two joins with no O(nodes) broadcast;
+    per-round rank parquet commits to ``work_dir`` with
+    driver-restart resume; decimal-folded sums make every round
+    bit-identical to the SQL oracle's unroll.
+    """
+    spark = edges.sparkSession
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="spark_ppr_")
+        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
+    else:
+        os.makedirs(work_dir, exist_ok=True)
+
+    edge_path = os.path.join(work_dir, "edges")
+    if not _is_committed(edge_path):
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        if symmetric:
+            e = e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+        e.distinct().write.mode("overwrite").parquet(edge_path)
+    e = spark.read.parquet(edge_path)
+
+    last = None
+    for k in range(iterations, -1, -1):
+        if _is_committed(_round_path(work_dir, k)):
+            last = k
+            break
+    if last is None:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        srcs = sources.toDF("node").distinct()
+        flagged = nodes.join(
+            srcs.withColumn("__is_src", F.lit(1)), "node", "left"
+        )
+        n_src = flagged.agg(
+            F.sum(F.coalesce("__is_src", F.lit(0))).alias("__ns")
+        )
+        outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        (
+            flagged.crossJoin(F.broadcast(n_src))
+            .join(outdeg, flagged["node"] == outdeg["src"], "left")
+            .select(
+                "node",
+                dec_cast(
+                    F.coalesce("__is_src", F.lit(0)).cast("double")
+                    / F.col("__ns"),
+                    _SCALE,
+                ).alias("tele"),
+                F.col("deg"),
+            )
+            .withColumn("rank", F.col("tele"))
+            .select("node", "rank", "deg", "tele")
+            .coalesce(8)
+            .write.mode("overwrite")
+            .parquet(_round_path(work_dir, 0))
+        )
+        last = 0
+    ranks = spark.read.parquet(_round_path(work_dir, last))
+
+    for k in range(last + 1, iterations + 1):
+        (
+            _ppr_step(e, ranks, damping)
+            .coalesce(8)
+            .write.mode("overwrite")
+            .parquet(_round_path(work_dir, k))
+        )
+        ranks = spark.read.parquet(_round_path(work_dir, k))
+    return ranks.select("node", "rank")

@@ -258,3 +258,92 @@ def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return kcore_peel(edges, _KC_K, _KC_ROUNDS).orderBy("node")
+
+
+# -- personalized PageRank --------------------------------------------------
+
+_PPR_SRC_MAX = 5  # sources: supplier nodes with id <= 5
+
+
+def _ppr_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT nd.node,
+    CAST(CAST(CAST({_OFFSET!r} AS DOUBLE) * nd.tele
+              + CAST({_D} AS DOUBLE) * COALESCE(m.mass, 0.0)
+         AS DECIMAL(18,12)) AS DOUBLE) AS rank,
+    nd.tele
+  FROM t0 nd
+  LEFT JOIN (
+    SELECT e.dst AS node,
+      CAST(SUM(CAST(p.rank / deg.deg AS DECIMAL(38,15))) AS DOUBLE) AS mass
+    FROM e
+    JOIN {prev} p ON e.src = p.node
+    JOIN deg ON e.src = deg.src
+    GROUP BY e.dst
+  ) m ON nd.node = m.node
+)"""
+
+
+_PPR_ORACLE = (
+    f"""
+WITH raw AS (
+  SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (SELECT s AS src, c AS dst FROM raw
+      UNION SELECT c AS src, s AS dst FROM raw),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+ns AS (SELECT COUNT(*) AS n FROM nodes WHERE node <= {_PPR_SRC_MAX}),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+t0 AS (
+  SELECT node,
+    CAST(CAST(CAST(CASE WHEN node <= {_PPR_SRC_MAX} THEN 1 ELSE 0 END
+              AS DOUBLE) / ns.n AS DECIMAL(18,12)) AS DOUBLE) AS tele
+  FROM nodes CROSS JOIN ns
+),
+r0 AS (SELECT node, tele AS rank, tele FROM t0),"""
+    + ",".join(_ppr_iter_sql(f"r{i}", f"r{i + 1}") for i in range(_ITERS))
+    + f"""
+SELECT node, rank FROM r{_ITERS} ORDER BY node
+"""
+)
+
+
+@register(
+    "graph_ppr_trade",
+    oracle=_PPR_ORACLE,
+    doc=f"Personalized PageRank ({_ITERS} iterations, damping {_D}) "
+    "over the symmetric trade graph with the teleport restricted to "
+    f"supplier nodes <= {_PPR_SRC_MAX} "
+    "(operators/graph.py:personalized_pagerank — random walk with "
+    "restart, the recommendation/related-items form): ranks measure "
+    "proximity to the source set.  Teleport weight (1/|S| in-plan) "
+    "joins into the rank state ONCE and travels with the row; the "
+    "iteration body is exactly two joins with no O(nodes) broadcast; "
+    "per-round parquet commits with restart resume.  The oracle "
+    "unrolls identical iterations, hash-pinning every round.",
+    tags=("graph", "iterative", "pagerank", "extension"),
+    extended=True,
+)
+def graph_ppr_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.graph import personalized_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    sources = (
+        edges.select(F.col("src").alias("node"))
+        .filter(F.col("node") <= _PPR_SRC_MAX)
+        .distinct()
+    )
+    return personalized_pagerank(
+        edges, sources, iterations=_ITERS, damping=_D, symmetric=True
+    ).orderBy("node")

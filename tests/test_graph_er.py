@@ -197,3 +197,62 @@ def test_kcore_work_dir_resume_bit_identical(spark, tmp_path):
         ).collect()
     )
     assert resumed == full
+
+
+# -- personalized PageRank --------------------------------------------------
+
+
+def test_ppr_mass_concentrates_near_sources(spark):
+    from diabetes_etl_spark.operators.graph import personalized_pagerank
+
+    # two 4-cliques bridged by one edge; teleport to clique A only
+    a = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    b = [(10 + i, 10 + j) for i in range(4) for j in range(i + 1, 4)]
+    bridge = [(3, 10)]
+    srcs = spark.createDataFrame([(0,), (1,)], "node long")
+    ranks = {
+        r.node: r.rank
+        for r in personalized_pagerank(
+            _edges(spark, a + b + bridge), srcs, iterations=4
+        ).collect()
+    }
+    assert sum(ranks[i] for i in range(4)) > 3 * sum(
+        ranks[10 + i] for i in range(4)
+    )
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # symmetric: mass kept
+
+
+def test_ppr_zero_rank_for_unreachable_components(spark):
+    from diabetes_etl_spark.operators.graph import personalized_pagerank
+
+    # two disconnected edges; sources only in the first component
+    g = [(1, 2), (10, 11)]
+    srcs = spark.createDataFrame([(1,)], "node long")
+    ranks = {
+        r.node: r.rank
+        for r in personalized_pagerank(
+            _edges(spark, g), srcs, iterations=3
+        ).collect()
+    }
+    assert ranks[10] == 0.0 and ranks[11] == 0.0
+    assert ranks[1] > 0 and ranks[2] > 0
+
+
+def test_ppr_partition_invariant_bit_identical(spark):
+    from diabetes_etl_spark.operators.graph import personalized_pagerank
+
+    g = [(i, (i * 7 + 1) % 20) for i in range(40)]
+    srcs = spark.createDataFrame([(0,), (3,)], "node long")
+    a = sorted(
+        (r.node, r.rank)
+        for r in personalized_pagerank(
+            _edges(spark, g), srcs, iterations=3
+        ).collect()
+    )
+    b = sorted(
+        (r.node, r.rank)
+        for r in personalized_pagerank(
+            _edges(spark, g).repartition(13), srcs, iterations=3
+        ).collect()
+    )
+    assert a == b
