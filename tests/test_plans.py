@@ -291,3 +291,32 @@ def test_locf_single_key_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_locf_fill", "formatted")
     assert "RunningWindowFunction" in plan or "Window" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ppr_step_two_joins_teleport_in_state_no_hints(spark):
+    """Personalized PageRank inherits the global variant's scale
+    contract: teleport weight AND degree travel IN the rank state, so
+    one step is exactly two joins with no per-iteration O(nodes)
+    broadcast hint."""
+    from diabetes_etl_spark.operators.graph import _ppr_step
+
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    state = spark.createDataFrame(
+        [(1, 0.5, 1, 0.5), (2, 0.5, 1, 0.5)],
+        "node long, rank double, deg long, tele double",
+    )
+    step = _ppr_step(e, state, 0.85)
+    optimized = step._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("Join") == 2
+    analyzed = step._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "hint" not in analyzed.lower()
+
+
+def test_pool_embeddings_two_exchanges_no_udf(spark, sf_dir):
+    """Mean-pooling is two exchanges (the (group, pos) combine and the
+    per-group array reassembly) and stays entirely JVM-side."""
+    plan = _plan(spark, sf_dir, "cluster_pooled_embeddings", "formatted")
+    # count hash exchanges only — the third Exchange is the
+    # presentation orderBy's rangepartitioning
+    assert plan.count("hashpartitioning") == 2
+    assert "Python" not in plan and "ArrowEval" not in plan
