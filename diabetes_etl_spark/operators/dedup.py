@@ -409,3 +409,46 @@ def substring_dup_stats(
         .cast("long")
         .alias("n_dup_shingles"),
     )
+
+
+def content_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """(id, n_shingles, n_novel, novelty): the share of a doc's
+    distinct n-token shingles whose FIRST corpus occurrence (minimum
+    doc id — ingestion order) is this doc — the curation signal for
+    "how much new content does each document/source actually add",
+    the per-doc complement of the pairwise near-dup operators
+    (a doc can evade every pairwise threshold yet contribute nothing
+    new; novelty ~ 0 catches it).
+
+    Scale shape: shingles shuffle as 16-hex md5 prefixes, never text
+    (the substring_dup_stats discipline); one first-occurrence
+    groupBy + one hash-key join + one per-doc aggregate.  Determinism:
+    min-id first-occurrence is order-free, counts are exact, the
+    novelty ratio is one IEEE division of exact integers.
+    """
+    from diabetes_etl_spark.operators.text import word_shingles
+
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+    ).select("id", F.substring(F.md5("s"), 1, 16).alias("h"))
+    first = sh.groupBy("h").agg(F.min("id").alias("first_id"))
+    return (
+        sh.join(first, "h")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("first_id") == F.col("id")).cast("int"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.col("n_novel").cast("double") / F.col("n_shingles"),
+        )
+    )

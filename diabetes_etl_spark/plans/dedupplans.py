@@ -411,3 +411,47 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return substring_dup_stats(docs, k=8).orderBy("doc_id")
+
+
+_NOVELTY_ORACLE = f"""
+WITH sh AS (
+  SELECT id, substr(md5(s), 1, 16) AS h
+  FROM (SELECT doc_id AS id, unnest({_D_SHINGLES}) AS s FROM documents)
+),
+first AS (SELECT h, MIN(id) AS first_id FROM sh GROUP BY h)
+SELECT sh.id AS doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+  CAST(SUM(CASE WHEN first.first_id = sh.id THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_novel,
+  CAST(SUM(CASE WHEN first.first_id = sh.id THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS novelty
+FROM sh JOIN first ON sh.h = first.h
+GROUP BY sh.id ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_content_novelty",
+    oracle=_NOVELTY_ORACLE,
+    doc="Per-doc content novelty (operators/dedup.py:content_novelty): "
+    "the share of a doc's distinct 5-token shingles first seen (by "
+    "min doc id — ingestion order) in THIS doc.  The curation signal "
+    "pairwise near-dup misses: a doc can evade every pair threshold "
+    "yet add nothing new.  Shingles shuffle as 16-hex md5 prefixes "
+    "only (text never shuffles); one first-occurrence groupBy + one "
+    "hash join + one per-doc aggregate; the ratio is one IEEE "
+    "division of exact integers.",
+    tags=("dedup", "novelty", "extension"),
+    extended=True,
+)
+def dedup_content_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.dedup import content_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        content_novelty(docs)
+        .select(
+            F.col("id").alias("doc_id"), "n_shingles", "n_novel", "novelty"
+        )
+        .orderBy("doc_id")
+    )

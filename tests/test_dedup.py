@@ -402,3 +402,36 @@ def test_substring_dup_stats_finds_shared_paragraph(spark):
     assert out[3] == (4, 0)
     assert out[4] == (0, 0)
     assert out[1][0] == 19 - 8 + 1 and out[2][0] == 18 - 8 + 1
+
+
+# -- content novelty (content_novelty) --------------------------------------
+
+
+def test_content_novelty_duplicate_adds_nothing(spark):
+    from diabetes_etl_spark.operators.dedup import content_novelty
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "totally different words appear here now")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in content_novelty(docs).collect()}
+    assert out[1].novelty == 1.0       # first occurrence of everything
+    assert out[2].novelty == 0.0       # verbatim copy adds nothing
+    assert out[3].novelty == 1.0       # disjoint content, all new
+    assert out[2].n_shingles == out[1].n_shingles
+
+
+def test_content_novelty_partial_overlap(spark):
+    from diabetes_etl_spark.operators.dedup import content_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),            # shingles: abcde, bcdef
+            (2, "a b c d e x y z w v"),    # shares abcde; rest new
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in content_novelty(docs).collect()}
+    assert out[1].novelty == 1.0
+    assert out[2].n_novel == out[2].n_shingles - 1  # only abcde reused
