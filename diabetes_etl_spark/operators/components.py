@@ -49,6 +49,8 @@ import tempfile
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from diabetes_etl_spark.operators.iterstate import state_write_partitions
+
 _CONVERGED_MARKER = "CONVERGED"
 _STAR_SWITCH_MARKER = "STAR_SWITCH"
 
@@ -75,6 +77,7 @@ def connected_components(
     max_iter: int = 20,
     work_dir: str | None = None,
     auto_star: bool = True,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Label every node reachable through ``edges`` with the minimum
     node id of its connected component.
@@ -106,6 +109,7 @@ def connected_components(
     want the O(diameter) bound to FAIL loudly instead).
     """
     spark = edges.sparkSession
+    nparts = state_write_partitions(spark, state_partitions)
     if work_dir is None:
         work_dir = tempfile.mkdtemp(prefix="spark_cc_")
         atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
@@ -199,7 +203,7 @@ def connected_components(
                 new_comp.alias("component"),
                 (new_comp != labels["component"]).alias("changed"),
             )
-            .coalesce(8)
+            .coalesce(nparts)
             .write.mode("overwrite")
             .parquet(out)
         )

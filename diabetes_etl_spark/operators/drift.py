@@ -37,9 +37,22 @@ def histogram_bin(col: Column, lo: float, width: float, bins: int) -> Column:
     """Equi-width bin index with clamping: values below ``lo`` land in
     bin 0, values past the top in bin ``bins - 1`` — drifted outliers
     must COUNT somewhere, or the metric goes blind exactly when it
-    matters."""
-    raw = F.floor((col - F.lit(lo)) / F.lit(width)).cast("int")
-    return F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+    matters.
+
+    The clamp happens in DOUBLE space BEFORE floor/cast: the narrowing
+    casts (floor's BIGINT, then INT) only ever see values already in
+    [0, bins-1], so an outlier arbitrarily far past the range — the
+    rescaled-sensor scenario this module exists for — clamps into the
+    edge bin instead of overflowing an ANSI cast and killing the
+    monitoring job (clamping after a narrowing cast would raise on any
+    value more than ~2^31 widths from ``lo``).  Values in
+    [bins-1, bins) floor to bins-1 either way, so the early clamp
+    changes no in-range result."""
+    x = (col - F.lit(lo)) / F.lit(width)
+    clamped = F.least(
+        F.lit(float(bins - 1)), F.greatest(F.lit(0.0), x)
+    )
+    return F.floor(clamped).cast("int")
 
 
 def histogram_counts(

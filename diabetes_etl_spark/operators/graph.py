@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from diabetes_etl_spark.functions.numeric import dec_cast, dec_sum
+from diabetes_etl_spark.operators.iterstate import state_write_partitions
 
 _SCALE = 12
 
@@ -112,10 +113,16 @@ def pagerank(
     damping: float = 0.85,
     symmetric: bool = True,
     work_dir: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` of power iteration at 12
     decimal digits.  Ranks start uniform at 1/N (N computed IN-PLAN
     via a broadcast 1-row aggregate — no driver collect).
+
+    ``state_partitions`` caps the per-round rank-state write; the
+    default scales with ``defaultParallelism`` (operators/iterstate.py
+    — never a constant, so executor-side write parallelism survives a
+    1000-core cluster).
 
     ``work_dir`` is the reliable-materialization directory (module
     docstring): pass a durable path to make the loop resumable across
@@ -123,6 +130,7 @@ def pagerank(
     and must not be shared across different edge sets or parameters.
     """
     spark = edges.sparkSession
+    nparts = state_write_partitions(spark, state_partitions)
     if work_dir is None:
         work_dir = tempfile.mkdtemp(prefix="spark_pr_")
         atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
@@ -165,7 +173,7 @@ def pagerank(
                 F.col("deg"),
                 F.col("__n"),
             )
-            .coalesce(8)
+            .coalesce(nparts)
             .write.mode("overwrite")
             .parquet(_round_path(work_dir, 0))
         )
@@ -175,7 +183,7 @@ def pagerank(
     for k in range(last + 1, iterations + 1):
         (
             _pr_step(e, ranks, damping)
-            .coalesce(8)
+            .coalesce(nparts)
             .write.mode("overwrite")
             .parquet(_round_path(work_dir, k))
         )
@@ -299,6 +307,7 @@ def personalized_pagerank(
     damping: float = 0.85,
     symmetric: bool = True,
     work_dir: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """(node, rank) under PERSONALIZED PageRank: teleport lands only on
     the ``sources`` node set (a 1-column DataFrame of node ids), so
@@ -311,10 +320,26 @@ def personalized_pagerank(
     joined into the rank state ONCE and travels with the row; the
     iteration body is exactly two joins with no O(nodes) broadcast;
     per-round rank parquet commits to ``work_dir`` with
-    driver-restart resume; decimal-folded sums make every round
-    bit-identical to the SQL oracle's unroll.
+    driver-restart resume (write parallelism scales with the cluster
+    via ``state_partitions`` / operators/iterstate.py); decimal-folded
+    sums make every round bit-identical to the SQL oracle's unroll.
+
+    ``sources`` must intersect the graph's node set: an empty
+    intersection has no teleport distribution (1/|S| is undefined), so
+    round-0 init raises ``ValueError`` — explicitly, not as an opaque
+    NaN-cast error downstream.  The check is a LIMIT-1 existence probe
+    during init only (bounded, never O(nodes) to the driver).
+
+    Dangling mass with ``symmetric=False``: as in :func:`pagerank`,
+    a dangling node's rank mass is DROPPED each round (ranks then sum
+    to < 1 — the "simplified PageRank" convention).  For personalized
+    ranks this means proximity scores are not renormalized toward the
+    source set when walks fall off dangling nodes; use
+    ``symmetric=True`` (no dangling nodes by construction) when the
+    sum-to-1 interpretation matters.
     """
     spark = edges.sparkSession
+    nparts = state_write_partitions(spark, state_partitions)
     if work_dir is None:
         work_dir = tempfile.mkdtemp(prefix="spark_ppr_")
         atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
@@ -346,6 +371,18 @@ def personalized_pagerank(
         flagged = nodes.join(
             srcs.withColumn("__is_src", F.lit(1)), "node", "left"
         )
+        # |S ∩ nodes| = 0 leaves 1/|S| undefined (0/0 -> NaN -> the
+        # decimal cast raises an opaque ANSI error); fail loud instead.
+        # LIMIT 1 bounds the probe — one row at most reaches the driver
+        if (
+            flagged.filter(F.col("__is_src").isNotNull()).limit(1).count()
+            == 0
+        ):
+            raise ValueError(
+                "personalized_pagerank: no source id intersects the "
+                "graph's node set — the teleport distribution 1/|S| is "
+                "undefined; check the sources DataFrame's id column"
+            )
         n_src = flagged.agg(
             F.sum(F.coalesce("__is_src", F.lit(0))).alias("__ns")
         )
@@ -364,7 +401,7 @@ def personalized_pagerank(
             )
             .withColumn("rank", F.col("tele"))
             .select("node", "rank", "deg", "tele")
-            .coalesce(8)
+            .coalesce(nparts)
             .write.mode("overwrite")
             .parquet(_round_path(work_dir, 0))
         )
@@ -374,7 +411,7 @@ def personalized_pagerank(
     for k in range(last + 1, iterations + 1):
         (
             _ppr_step(e, ranks, damping)
-            .coalesce(8)
+            .coalesce(nparts)
             .write.mode("overwrite")
             .parquet(_round_path(work_dir, k))
         )

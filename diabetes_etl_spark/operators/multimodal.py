@@ -1514,7 +1514,15 @@ def resize_images(assets: DataFrame, out_w: int, out_h: int) -> DataFrame:
                     else:
                         w, h, ch, raw = decode_jpeg_baseline(payload)
                 except ValueError:
-                    w, h, ch = probe_jpeg(payload)
+                    # degrade to header dims when only full decode is
+                    # unavailable (progressive/subsampled JPEG); a
+                    # payload whose HEADER is also unreadable (corrupt
+                    # PNG, gif/webp mime) is dropped — a malformed row
+                    # must never fail the whole mapInPandas batch
+                    try:
+                        w, h, ch = probe_jpeg(payload)
+                    except ValueError:
+                        continue
                     rows.append(
                         (doc_id, mime, w, h, ch, out_w, out_h,
                          None, None, None, None)
@@ -1587,7 +1595,11 @@ def resample_audio(assets: DataFrame, target_rate: int) -> DataFrame:
             ):
                 if meta["mime"] != "audio/wav":
                     continue
-                rate, ch, n_frames, raw = decode_wav(bytes(payload))
+                try:
+                    rate, ch, n_frames, raw = decode_wav(bytes(payload))
+                except ValueError:
+                    # malformed WAV bytes: drop the row, never the batch
+                    continue
                 arr = np.frombuffer(raw, dtype="<i2").reshape(n_frames, ch)
                 n_out = (n_frames * target_rate) // rate
                 idx = (np.arange(n_out) * rate) // target_rate

@@ -15,10 +15,11 @@ Estimates are upper bounds: est(k) >= true(k) always, and
 est(k) <= true(k) + eps*N with probability 1-delta for
 width = ceil(e/eps), depth = ceil(ln(1/delta)) (Cormode & Muthu 2005).
 
-Determinism contract: the d hash functions are the repo's portable
-LCG mix (operators/sampling.py) over the polynomial rolling-hash
-fingerprint of the key (operators/text.py) — pure integer arithmetic,
-so cells, estimates, and overcounts are bit-identical across engines,
+Determinism contract: the d hash functions are a pairwise-independent
+affine family (a_j*fp + b_j mod p, DISTINCT multiplier per row — see
+_cms_row_params) over the polynomial rolling-hash fingerprint of the
+key (operators/text.py) — pure integer arithmetic, so cells,
+estimates, and overcounts are bit-identical across engines,
 partitionings, and runs, which is what lets an APPROXIMATE structure
 be hash-checked against a DuckDB replay.
 """
@@ -28,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from diabetes_etl_spark.operators.sampling import _mix
+from diabetes_etl_spark.operators.sampling import _MOD
 from diabetes_etl_spark.operators.text import fingerprint
 
 # stride between per-row hash seeds (same spacing trick as the LSH
@@ -36,10 +37,36 @@ from diabetes_etl_spark.operators.text import fingerprint
 _SEED_STRIDE = 1000003
 
 
+def _cms_row_params(depth_idx: int, seed: int) -> tuple[int, int]:
+    """Per-row (a_j, b_j) for the pairwise-independent family
+    h_j(x) = (a_j*x + b_j) mod p.
+
+    The MULTIPLIER must differ per row: with a shared multiplier and
+    only an additive per-row seed (the pre-round-7 form), every row is
+    a constant shift of the same affine map, so two keys colliding in
+    one row collide in (almost) all rows at once — effective depth ~1,
+    and the 1-(1/e)^depth Cormode-Muthukrishnan bound is void.  a_j/b_j
+    are two LCG steps from the row seed, computed in PYTHON and
+    embedded as literals, so the SQL oracle replays the identical
+    constants.  a_j is forced non-zero (a=0 degenerates to constant)."""
+    from diabetes_etl_spark.operators.sampling import _MIX_A, _MIX_C, _MOD
+
+    x = (seed + depth_idx * _SEED_STRIDE) % _MOD
+    a = (_MIX_A * x + _MIX_C) % _MOD
+    b = (_MIX_A * a + _MIX_C) % _MOD
+    if a == 0:
+        a = 1
+    return a, b
+
+
 def _cms_col(fp: Column, width: int, depth_idx: int, seed: int) -> Column:
-    """Column index of a key in sketch row ``depth_idx``."""
+    """Column index of a key in sketch row ``depth_idx`` — the
+    pairwise-independent (a_j*fp + b_j) mod p, mod width.  fp and a_j
+    are both < p ~ 1e9, so the product stays under 2^60 — exact in
+    BIGINT on both engines."""
+    a, b = _cms_row_params(depth_idx, seed)
     return F.pmod(
-        _mix(fp, seed + depth_idx * _SEED_STRIDE), F.lit(width)
+        F.pmod(fp * F.lit(a) + F.lit(b), F.lit(_MOD)), F.lit(width)
     ).cast("int")
 
 

@@ -906,12 +906,12 @@ def events_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIFT_ORACLE = """
 WITH spine AS (SELECT unnest(generate_series(0, 19)) AS bin),
 r AS (
-  SELECT LEAST(19, GREATEST(0, CAST(FLOOR((value - 0.0) / 5.0) AS INT)))
+  SELECT CAST(FLOOR(LEAST(19.0, GREATEST(0.0, (value - 0.0) / 5.0))) AS INT)
            AS bin,
          COUNT(*) AS n
   FROM events WHERE value IS NOT NULL AND event_id % 2 = 0 GROUP BY 1),
 c AS (
-  SELECT LEAST(19, GREATEST(0, CAST(FLOOR((value - 0.0) / 5.0) AS INT)))
+  SELECT CAST(FLOOR(LEAST(19.0, GREATEST(0.0, (value - 0.0) / 5.0))) AS INT)
            AS bin,
          COUNT(*) AS n
   FROM events WHERE value IS NOT NULL AND event_id % 2 = 1 GROUP BY 1),

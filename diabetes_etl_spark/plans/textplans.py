@@ -417,11 +417,32 @@ _CMS_W, _CMS_D, _CMS_SEED = 512, 4, 7
 
 
 def _cms_sql_col(f_expr: str, j_expr: str) -> str:
-    from diabetes_etl_spark.operators.sampling import _MIX_A, _MIX_C, _MOD
+    # replay the pairwise-independent per-row (a_j, b_j) from
+    # operators/sketch.py:_cms_row_params as literal CASE branches —
+    # the multipliers MUST differ per row (depth independence; see the
+    # round-7 fix note there), and embedding the Python-computed
+    # constants keeps both engines on identical integers
+    from diabetes_etl_spark.operators.sampling import _MOD
+    from diabetes_etl_spark.operators.sketch import _cms_row_params
 
+    params = [_cms_row_params(j, _CMS_SEED) for j in range(_CMS_D)]
+    a_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN {j_expr} = {j} THEN {a}" for j, (a, _) in enumerate(params)
+        )
+        + " END"
+    )
+    b_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN {j_expr} = {j} THEN {b}" for j, (_, b) in enumerate(params)
+        )
+        + " END"
+    )
     return (
-        f"CAST((((({f_expr} + ({_CMS_SEED} + {j_expr} * 1000003))"
-        f" % {_MOD}) * {_MIX_A} + {_MIX_C}) % {_MOD}) % {_CMS_W} AS INT)"
+        f"CAST((({f_expr} * ({a_case}) + ({b_case}))"
+        f" % {_MOD}) % {_CMS_W} AS INT)"
     )
 
 
