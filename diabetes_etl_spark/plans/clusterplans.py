@@ -189,7 +189,6 @@ ORDER BY m.cluster
     "Zero-norm vectors are excluded (no cosine direction).  Output: "
     "per-cluster point / dup-pair / dropped / kept counts.",
     tags=("clustering", "dedup", "similarity", "extension"),
-    extended=True,
 )
 def semdedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

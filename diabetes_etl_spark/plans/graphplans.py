@@ -242,7 +242,6 @@ FROM e{_KC_ROUNDS} GROUP BY a ORDER BY node
     "identical rounds as CTE layers — the hash pins every peel round, "
     "and when a round removes nothing the state IS the exact k-core.",
     tags=("graph", "iterative", "kcore", "extension"),
-    extended=True,
 )
 def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.operators.graph import kcore_peel

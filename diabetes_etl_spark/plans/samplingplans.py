@@ -439,7 +439,6 @@ FROM sel GROUP BY lang ORDER BY lang
     "rounded IEEE, so the oracle's replay is bit-identical.  "
     "Per-language kept-doc / row / char tallies plus the rate.",
     tags=("sampling", "mixing", "extension"),
-    extended=True,
 )
 def mix_temperature_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.operators.sampling import temperature_mix

@@ -443,7 +443,6 @@ FROM agg a JOIN head h USING (doc_id)
     "covers only progressive / chroma-subsampled JPEG and video "
     "codecs.",
     tags=("multimodal", "jpeg", "pandas-udf", "extension"),
-    extended=True,
 )
 def multimodal_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.operators.multimodal import (

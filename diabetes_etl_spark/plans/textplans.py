@@ -393,7 +393,6 @@ FROM scored GROUP BY id ORDER BY doc_id
     "the COUNT TABLE, not the corpus; scoring is equi-joins + one "
     "per-doc aggregate — the model lives in the plan, not the driver.",
     tags=("text", "lm", "quality", "extension"),
-    extended=True,
 )
 def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.operators.text import bigram_lm_score
@@ -496,7 +495,6 @@ FROM est ORDER BY exact_cnt DESC, tok
     "cross-engine and the overcounts themselves hash-match the "
     "oracle's replay.",
     tags=("text", "sketch", "approximate", "extension"),
-    extended=True,
 )
 def cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.operators.sketch import cms_cells, cms_estimate
