@@ -19,14 +19,16 @@ can and cannot decode):
   Features are computed over the DECODED pixel bytes.
 - ``image/jpeg``  — header probe (SOF marker scan for width/height/
   components; baseline+progressive) PLUS a REAL pure-Python baseline
-  entropy decoder for 8-bit GRAYSCALE and 3-component 4:4:4 COLOR
-  JPEG: DQT/DHT/SOF0/SOS parse (per-component table ids), canonical
-  Huffman decode with byte unstuffing, per-component DC prediction,
-  AC run-length, dequantization, float IDCT (numpy), level shift +
-  clamp, edge-block crop, JFIF YCbCr -> RGB inverse.  Features for
-  baseline streams are computed over the DECODED pixels; progressive
-  and chroma-subsampled JPEG fall back to the header probe with NULL
-  pixel stats, never fake.
+  entropy decoder for 8-bit GRAYSCALE and 3-component COLOR JPEG at
+  any legal sampling layout (4:4:4, 4:2:0 — the dominant real-world
+  form — 4:2:2, 4:4:0): DQT/DHT/SOF0/SOS parse (per-component
+  sampling factors + table ids), canonical Huffman decode with byte
+  unstuffing, interleaved multi-block MCU walk, per-component DC
+  prediction, AC run-length, dequantization, float IDCT (numpy),
+  level shift + clamp, per-component plane crop, chroma nearest
+  upsample, JFIF YCbCr -> RGB inverse.  Features for baseline streams
+  are computed over the DECODED pixels; progressive JPEG falls back
+  to the header probe with NULL pixel stats, never fake.
 - ``audio/wav``   — a REAL RIFF/WAVE parser: chunk walk (with odd-size
   padding), fmt parse, PCM16 frame extraction.  Features are computed
   over the DECODED little-endian sample bytes.
@@ -254,6 +256,80 @@ def attach_color_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFra
                 _, _, jw, jh = fixture_media_dims(doc_id)
                 payload = jpeg_color_bytes(
                     jw, jh, _fixture_color_pixels(doc_id, jw, jh)
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        payload,
+                        {
+                            "mime": "image/jpeg",
+                            "n_bytes": len(payload),
+                            "checksum": hashlib.md5(payload).hexdigest(),
+                        },
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "asset_meta"])
+
+    return src.mapInPandas(
+        produce,
+        schema=(
+            "doc_id long, payload binary, "
+            "asset_meta struct<mime: string, n_bytes: int, checksum: string>"
+        ),
+    )
+
+
+def fixture_color420_dims(doc_id: int) -> tuple[int, int]:
+    """(w, h) of the 4:2:0 fixture for a doc id — sized to span 1-6
+    full AND partial 16x16 MCUs so the interleaved four-Y-block decode
+    path and the edge-MCU crop both get exercised."""
+    return (16 + doc_id % 33, 16 + doc_id % 25)
+
+
+def fixture_color420_macro_rgb(
+    doc_id: int, mx: int, my: int
+) -> tuple[int, int, int]:
+    """RGB of 16x16 MACRO block (mx, my) of 4:2:0 fixture doc_id —
+    the 4:2:0 analogue of :func:`fixture_color_block_rgb`: constant
+    per MACRO block (one full MCU), so the 2x2 chroma box-downsample
+    is exact (mean of equal integers), the codec stores integer DC
+    only, and nearest upsample reconstructs the constant exactly —
+    decoded-RGB statistics stay pure arithmetic for the SQL oracle
+    while Spark runs the real interleaved 4xY+Cb+Cr Huffman decode."""
+    v = (doc_id * 37 + mx * 19 + my * 59) % 256
+    return (v, (v * 3 + 7) % 256, (v * 5 + 13) % 256)
+
+
+def _fixture_color420_pixels(doc_id: int, width: int, height: int) -> bytes:
+    out = bytearray()
+    for y in range(height):
+        for x in range(width):
+            out += bytes(fixture_color420_macro_rgb(doc_id, x // 16, y // 16))
+    return bytes(out)
+
+
+def attach_color420_jpeg_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """All-4:2:0-color-JPEG binary fixture: every row becomes a REAL
+    chroma-subsampled baseline stream (:func:`jpeg_color_bytes` with
+    ``subsampling="420"`` — the dominant real-world JPEG layout)
+    whose 16x16 macro blocks are constant RGB; used by the
+    multimodal_color420_decode query whose oracle recomputes
+    decoded-RGB statistics arithmetically."""
+    from diabetes_etl_spark.operators.util import widen
+
+    src = widen(df.select(F.col(id_col).alias("doc_id")))
+
+    def produce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                jw, jh = fixture_color420_dims(doc_id)
+                payload = jpeg_color_bytes(
+                    jw, jh, _fixture_color420_pixels(doc_id, jw, jh),
+                    subsampling="420",
                 )
                 rows.append(
                     (
@@ -607,17 +683,22 @@ def _encode_block(
     return zz[0]
 
 
-def _pad_plane(img, width: int, height: int):
-    """Edge-replicate a (h, w) plane to 8-multiple dims as float64."""
+def _pad_plane_to(img, width: int, height: int, tw: int, th: int):
+    """Edge-replicate a (h, w) plane to exactly (th, tw) as float64."""
     import numpy as np
 
-    bh = (height + 7) // 8 * 8
-    bw = (width + 7) // 8 * 8
-    padded = np.empty((bh, bw), dtype=np.float64)
+    padded = np.empty((th, tw), dtype=np.float64)
     padded[:height, :width] = img
-    padded[height:, :width] = img[-1:, :]
+    padded[height:, :width] = img[height - 1 : height, :width]
     padded[:, width:] = padded[:, width - 1 : width]
     return padded
+
+
+def _pad_plane(img, width: int, height: int):
+    """Edge-replicate a (h, w) plane to 8-multiple dims as float64."""
+    return _pad_plane_to(
+        img, width, height, (width + 7) // 8 * 8, (height + 7) // 8 * 8
+    )
 
 
 # JFIF RGB<->YCbCr (ITU-R BT.601 full range), rounded HALF-UP via
@@ -702,52 +783,111 @@ def _jseg(marker: int, data: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
 
 
-def jpeg_color_bytes(width: int, height: int, rgb: bytes) -> bytes:
+def jpeg_color_bytes(
+    width: int, height: int, rgb: bytes, subsampling: str = "444"
+) -> bytes:
     """Encode interleaved 8-bit RGB pixels (row-major, len = w*h*3) as
-    a fully valid 3-component 4:4:4 BASELINE color JPEG (SOF0,
-    JFIF YCbCr, all-ones quantization, the Annex-K luminance Huffman
-    pair serving all three components — a legal encoder choice that
-    keeps the stream single-DHT; the decoder reads table ids from the
-    stream, so two-table real-world files decode identically).
+    a fully valid 3-component BASELINE color JPEG (SOF0, JFIF YCbCr,
+    all-ones quantization, the Annex-K luminance Huffman pair serving
+    all three components — a legal encoder choice that keeps the
+    stream single-DHT; the decoder reads table ids from the stream, so
+    two-table real-world files decode identically).
+
+    ``subsampling``: "444" (one 8x8 block per component per MCU) or
+    "420" (the dominant real-world layout: 16x16 MCU = four Y blocks
+    + one Cb + one Cr, chroma box-downsampled 2x2 with floor(mean+0.5)
+    rounding from the edge-replicated even-dimension plane).
 
     The color twin of :func:`jpeg_gray_bytes`: blocks whose YCbCr is
     constant reconstruct bit-exactly (only the integer DC survives and
     all-ones quantization is lossless on it), which is what makes
     decoded-RGB oracles pure arithmetic — the fixture's RGB -> YCbCr
     conversion uses floor(x + 0.5) rounding that a SQL oracle replays
-    bit-for-bit in doubles."""
+    bit-for-bit in doubles.  For 4:2:0 the same holds per 16x16 MACRO
+    block: a constant macro block downsamples to itself (mean of equal
+    integers), survives the codec DC-only, and nearest-upsamples back
+    exactly."""
     import numpy as np
 
     if len(rgb) != width * height * 3:
         raise ValueError("rgb must be width*height*3 bytes (rgb24)")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
     planes = _rgb_to_ycbcr(
         arr[:, :, 0].astype(np.float64),
         arr[:, :, 1].astype(np.float64),
         arr[:, :, 2].astype(np.float64),
     )
-    padded = [_pad_plane(p, width, height) for p in planes]
-    bh, bw = padded[0].shape
     dct = _dct_matrix()
     dc_codes = _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
     ac_codes = _huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
-
     w = _BitWriter()
     prev = [0, 0, 0]  # per-component DC predictors (T.81 F.1.1.5.1)
-    for by in range(0, bh, 8):
-        for bx in range(0, bw, 8):  # one 4:4:4 MCU = Y, Cb, Cr blocks
-            for c in range(3):
-                prev[c] = _encode_block(
-                    w, padded[c][by : by + 8, bx : bx + 8], dct,
-                    dc_codes, ac_codes, prev[c],
+
+    if subsampling == "444":
+        padded = [_pad_plane(p, width, height) for p in planes]
+        bh, bw = padded[0].shape
+        for by in range(0, bh, 8):
+            for bx in range(0, bw, 8):  # one 4:4:4 MCU = Y, Cb, Cr
+                for c in range(3):
+                    prev[c] = _encode_block(
+                        w, padded[c][by : by + 8, bx : bx + 8], dct,
+                        dc_codes, ac_codes, prev[c],
+                    )
+        samplings = [0x11, 0x11, 0x11]
+    else:  # 420
+        mcux = (width + 15) // 16
+        mcuy = (height + 15) // 16
+        ypad = _pad_plane_to(
+            planes[0], width, height, mcux * 16, mcuy * 16
+        )
+        # chroma: 2x2 box mean over the edge-replicated even-dim
+        # plane, floor(mean + 0.5) — integer-exact on constant 2x2s
+        ew, eh = 2 * ((width + 1) // 2), 2 * ((height + 1) // 2)
+        chroma = []
+        for p in planes[1:]:
+            e = _pad_plane_to(p, width, height, ew, eh)
+            ds = np.floor(
+                (e[0::2, 0::2] + e[0::2, 1::2]
+                 + e[1::2, 0::2] + e[1::2, 1::2]) / 4.0 + 0.5
+            )
+            chroma.append(
+                _pad_plane_to(
+                    ds, ew // 2, eh // 2, mcux * 8, mcuy * 8
                 )
+            )
+        for my in range(mcuy):
+            for mx in range(mcux):
+                # T.81 interleave order: component blocks left-to-
+                # right, top-to-bottom within the MCU
+                for bv in range(2):
+                    for bh_ in range(2):
+                        prev[0] = _encode_block(
+                            w,
+                            ypad[
+                                my * 16 + bv * 8 : my * 16 + bv * 8 + 8,
+                                mx * 16 + bh_ * 8 : mx * 16 + bh_ * 8 + 8,
+                            ],
+                            dct, dc_codes, ac_codes, prev[0],
+                        )
+                for c in (0, 1):
+                    prev[c + 1] = _encode_block(
+                        w,
+                        chroma[c][
+                            my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8
+                        ],
+                        dct, dc_codes, ac_codes, prev[c + 1],
+                    )
+        samplings = [0x22, 0x11, 0x11]
     w.flush()
 
     dqt = _jseg(0xDB, b"\x00" + bytes([1] * 64))
     sof0 = _jseg(
         0xC0,
         b"\x08" + struct.pack(">HH", height, width) + b"\x03"
-        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0]),
+        + bytes([1, samplings[0], 0]) + bytes([2, samplings[1], 0])
+        + bytes([3, samplings[2], 0]),
     )
     dht = _jseg(
         0xC4,
@@ -818,15 +958,18 @@ def _extend(v: int, cat: int) -> int:
 
 
 def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Full baseline decode of an 8-bit grayscale OR 3-component 4:4:4
-    color JPEG: (width, height, n_components, pixel_bytes) — gray8 for
-    one component, interleaved RGB (JFIF YCbCr inverse, floor(x+0.5)
-    rounding) for three.
+    """Full baseline decode of an 8-bit grayscale or 3-component color
+    JPEG at ANY legal sampling-factor combination — 4:4:4, 4:2:0 (the
+    dominant real-world layout), 4:2:2, 4:4:0: (width, height,
+    n_components, pixel_bytes) — gray8 for one component, interleaved
+    RGB (JFIF YCbCr inverse, floor(x+0.5) rounding) for three.
+    Subsampled chroma planes are nearest-upsampled (sample
+    replication, the JFIF default).
 
-    Per-component quantization and Huffman table ids come from the
-    stream (SOF/SOS), so single-DHT fixtures and two-table real-world
-    encoders both decode.  Raises ValueError for progressive (SOF2),
-    chroma-subsampled, or restart-interval streams — callers fall back
+    Per-component sampling factors and quantization/Huffman table ids
+    come from the stream (SOF/SOS), so single-DHT fixtures and
+    two-table real-world encoders both decode.  Raises ValueError for
+    progressive (SOF2) or restart-interval streams — callers fall back
     to :func:`probe_jpeg` there; fabricating pixels for codecs this
     environment can't decode would poison downstream feature
     statistics."""
@@ -881,11 +1024,12 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(f"{ncomp}-component JPEG not supported")
             for c in range(ncomp):
                 cid, sampling, tq = data[6 + 3 * c : 9 + 3 * c]
-                if sampling != 0x11:
+                hs, vs = sampling >> 4, sampling & 0x0F
+                if hs not in (1, 2, 4) or vs not in (1, 2, 4):
                     raise ValueError(
-                        "chroma-subsampled JPEG not supported (4:4:4 only)"
+                        f"illegal JPEG sampling factors {hs}x{vs}"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hs, vs, tq))
         elif marker == 0xDD:  # DRI
             (interval,) = struct.unpack(">H", data[:2])
             if interval:
@@ -905,7 +1049,7 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
 
     qts = []
     tabs = []
-    for cid, tq in comps:
+    for cid, _hs, _vs, tq in comps:
         if tq not in qtables:
             raise ValueError("JPEG quantization table missing")
         qt = np.empty(64, dtype=np.float64)
@@ -924,44 +1068,75 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
     end = payload.rfind(b"\xff\xd9")
     reader = _BitReader(payload[scan_start : end if end > 0 else len(payload)])
     dct = _dct_matrix()
-    bh = (height + 7) // 8 * 8
-    bw = (width + 7) // 8 * 8
     n = len(comps)
-    planes = [np.empty((bh, bw), dtype=np.uint8) for _ in range(n)]
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    for _, hs, vs, _ in comps:
+        if hmax % hs or vmax % vs:
+            raise ValueError(
+                "JPEG sampling factors must divide the maximum"
+            )
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.empty((mcuy * 8 * vs, mcux * 8 * hs), dtype=np.uint8)
+        for _, hs, vs, _ in comps
+    ]
     prev = [0] * n
-    for by in range(0, bh, 8):
-        for bx in range(0, bw, 8):  # one MCU: every component's block
-            for c in range(n):
-                dc_table, ac_table = tabs[c]
-                coeff = np.zeros(64, dtype=np.float64)
-                cat = reader.read_symbol(dc_table)
-                diff = _extend(reader.read_bits(cat), cat) if cat else 0
-                prev[c] += diff
-                coeff[0] = prev[c]
-                k = 1
-                while k < 64:
-                    sym = reader.read_symbol(ac_table)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, cat = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG AC coefficient overflow")
-                    coeff[_ZIGZAG[k]] = _extend(reader.read_bits(cat), cat)
-                    k += 1
-                block = dct.T @ (coeff.reshape(8, 8) * qts[c]) @ dct
-                planes[c][by : by + 8, bx : bx + 8] = np.clip(
-                    np.rint(block) + 128, 0, 255
-                ).astype(np.uint8)
+
+    def _decode_block(c: int):
+        dc_table, ac_table = tabs[c]
+        coeff = np.zeros(64, dtype=np.float64)
+        cat = reader.read_symbol(dc_table)
+        diff = _extend(reader.read_bits(cat), cat) if cat else 0
+        prev[c] += diff
+        coeff[0] = prev[c]
+        k = 1
+        while k < 64:
+            sym = reader.read_symbol(ac_table)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, cat = sym >> 4, sym & 0x0F
+            k += run
+            if k > 63:
+                raise ValueError("JPEG AC coefficient overflow")
+            coeff[_ZIGZAG[k]] = _extend(reader.read_bits(cat), cat)
+            k += 1
+        block = dct.T @ (coeff.reshape(8, 8) * qts[c]) @ dct
+        return np.clip(np.rint(block) + 128, 0, 255).astype(np.uint8)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            # T.81 interleave: per component, its h x v blocks
+            # left-to-right, top-to-bottom within the MCU
+            for c, (_cid, hs, vs, _tq) in enumerate(comps):
+                for bv in range(vs):
+                    for bh in range(hs):
+                        py = (my * vs + bv) * 8
+                        px = (mx * hs + bh) * 8
+                        planes[c][py : py + 8, px : px + 8] = (
+                            _decode_block(c)
+                        )
+    # per-component crop to its true plane dims, nearest-upsample to
+    # full resolution (sample replication), crop to the image
+    full = []
+    for c, (_cid, hs, vs, _tq) in enumerate(comps):
+        pw = (width * hs + hmax - 1) // hmax
+        ph = (height * vs + vmax - 1) // vmax
+        p = planes[c][:ph, :pw]
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0),
+                          hmax // hs, axis=1)
+        full.append(p[:height, :width])
     if n == 1:
-        return width, height, 1, planes[0][:height, :width].tobytes()
+        return width, height, 1, full[0].tobytes()
     r, g, b = _ycbcr_to_rgb(
-        planes[0][:height, :width].astype(np.float64),
-        planes[1][:height, :width].astype(np.float64),
-        planes[2][:height, :width].astype(np.float64),
+        full[0].astype(np.float64),
+        full[1].astype(np.float64),
+        full[2].astype(np.float64),
     )
     rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
     return width, height, 3, rgb.tobytes()
@@ -1132,9 +1307,9 @@ def decode_payload(mime: str, payload: bytes) -> bytes:
     (identity for text, pixel bytes for PNG/baseline-gray JPEG, PCM
     frame bytes for WAV).
 
-    Color/progressive JPEG and compressed audio/video need codec
-    libraries this environment lacks; those fail loudly instead of
-    producing fake media — probe the header with :func:`probe_jpeg` /
+    Progressive JPEG and compressed audio/video need codec libraries
+    this environment lacks; those fail loudly instead of producing
+    fake media — probe the header with :func:`probe_jpeg` /
     :func:`probe_wav` when only metadata is needed.
     """
     if mime == "text/plain":
@@ -1144,9 +1319,9 @@ def decode_payload(mime: str, payload: bytes) -> bytes:
     if mime == "audio/wav":
         return decode_wav(payload)[3]
     if mime == "image/jpeg":
-        # baseline gray and 4:4:4 color decode fully; progressive /
-        # chroma-subsampled raise ValueError and the caller decides
-        # between probe and failure
+        # baseline decodes fully at any sampling (4:4:4 / 4:2:0 /
+        # 4:2:2 / 4:4:0, gray or color); progressive raises
+        # ValueError and the caller decides between probe and failure
         return decode_jpeg_baseline(payload)[3]
     raise NotImplementedError(
         f"decoder for {mime!r} requires media libraries (libjpeg/ffmpeg) "
@@ -1194,8 +1369,8 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                          n_alpha, fp, None, None)
                     )
                 except ValueError:
-                    # progressive/subsampled: dimensions from the
-                    # header probe, pixel stats honestly NULL
+                    # progressive: dimensions from the header probe,
+                    # pixel stats honestly NULL
                     w, h, ch = probe_jpeg(payload)
                     rows.append(
                         (doc_id, mime, len(payload), w, h, ch, None,
@@ -1488,7 +1663,7 @@ def resize_images(assets: DataFrame, out_w: int, out_h: int) -> DataFrame:
     decode→resize path.  Emitted stats: exact pixel sum / min / max
     and the 16-byte-head rolling fingerprint of the RESIZED image.
 
-    Non-raster rows are dropped; a progressive/subsampled JPEG (no
+    Non-raster rows are dropped; a progressive JPEG (no
     full decode available here) degrades to header dims with NULL
     pixel stats — never fabricated pixels.
 
@@ -1515,7 +1690,7 @@ def resize_images(assets: DataFrame, out_w: int, out_h: int) -> DataFrame:
                         w, h, ch, raw = decode_jpeg_baseline(payload)
                 except ValueError:
                     # degrade to header dims when only full decode is
-                    # unavailable (progressive/subsampled JPEG); a
+                    # unavailable (progressive JPEG); a
                     # payload whose HEADER is also unreadable (corrupt
                     # PNG, gif/webp mime) is dropped — a malformed row
                     # must never fail the whole mapInPandas batch

@@ -317,7 +317,7 @@ FROM documents
     "(operators/multimodal.py:decode_png/decode_jpeg_baseline/"
     "decode_wav; baseline COLOR 4:4:4 decode is oracle-checked by the "
     "multimodal_color_decode twin; NotImplementedError remains only "
-    "for progressive / chroma-subsampled JPEG and compressed "
+    "for progressive JPEG and compressed "
     "audio/video codecs absent from the environment).",
     tags=("multimodal", "extension"),
 )
@@ -440,7 +440,7 @@ FROM agg a JOIN head h USING (doc_id)
     "bit-exact because constant blocks survive the all-ones-quant "
     "codec and both engines evaluate the identical floor(x+0.5) "
     "double-precision color transform.  The environment stub now "
-    "covers only progressive / chroma-subsampled JPEG and video "
+    "covers only progressive JPEG and video "
     "codecs.",
     tags=("multimodal", "jpeg", "pandas-udf", "extension"),
 )
@@ -452,6 +452,132 @@ def multimodal_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     feats = extract_features(attach_color_jpeg_payloads(docs))
+    return feats.select(
+        "doc_id", "byte_len", "width", "height", "n_channels",
+        "n_space", "n_alpha", "head_fingerprint",
+    )
+
+
+# 4:2:0 fixture arithmetic (multimodal.py:fixture_color420_macro_rgb /
+# jpeg_color_bytes(subsampling="420")): 16x16 MACRO block (mx, my) of
+# doc d has RGB (v, (3v+7) mod 256, (5v+13) mod 256) with
+# v = (d*37 + mx*19 + my*59) mod 256 and dims
+# (16 + d % 33, 16 + d % 25).  One macro block = one full MCU (4 Y
+# blocks + Cb + Cr); constant macro blocks make the 2x2 chroma
+# box-downsample exact, survive the all-ones-quant codec DC-only, and
+# nearest-upsample back exactly — so the chroma-SUBSAMPLED decode is
+# still bit-exactly replayed by pure arithmetic.
+_COLOR420_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, (16 + doc_id % 33) AS jw, (16 + doc_id % 25) AS jh
+  FROM documents
+),
+bxs AS (
+  SELECT doc_id, jw, jh,
+         unnest(generate_series(0, (jw + 15) // 16 - 1)) AS mx
+  FROM dims
+),
+blk AS (
+  SELECT doc_id, jw, jh, mx,
+         unnest(generate_series(0, (jh + 15) // 16 - 1)) AS my
+  FROM bxs
+),
+src AS (
+  SELECT doc_id, jw, jh, mx, my,
+         LEAST(16, jw - mx * 16) * LEAST(16, jh - my * 16) AS npix,
+         ((doc_id * 37 + mx * 19 + my * 59) % 256) AS r0,
+         (((doc_id * 37 + mx * 19 + my * 59) % 256) * 3 + 7) % 256 AS g0,
+         (((doc_id * 37 + mx * 19 + my * 59) % 256) * 5 + 13) % 256 AS b0
+  FROM blk
+),
+ycc AS (
+  SELECT *,
+    CAST(LEAST(255, GREATEST(0, FLOOR(
+      CAST(0.299 AS DOUBLE) * r0 + CAST(0.587 AS DOUBLE) * g0
+      + CAST(0.114 AS DOUBLE) * b0 + CAST(0.5 AS DOUBLE)))) AS BIGINT) AS y,
+    CAST(LEAST(255, GREATEST(0, FLOOR(
+      CAST(128 AS DOUBLE) - CAST(0.168736 AS DOUBLE) * r0
+      - CAST(0.331264 AS DOUBLE) * g0 + CAST(0.5 AS DOUBLE) * b0
+      + CAST(0.5 AS DOUBLE)))) AS BIGINT) AS cb,
+    CAST(LEAST(255, GREATEST(0, FLOOR(
+      CAST(128 AS DOUBLE) + CAST(0.5 AS DOUBLE) * r0
+      - CAST(0.418688 AS DOUBLE) * g0 - CAST(0.081312 AS DOUBLE) * b0
+      + CAST(0.5 AS DOUBLE)))) AS BIGINT) AS cr
+  FROM src
+),
+dec AS (
+  SELECT *,
+    CAST(LEAST(255, GREATEST(0, FLOOR(
+      y + CAST(1.402 AS DOUBLE) * (cr - 128) + CAST(0.5 AS DOUBLE)
+      ))) AS BIGINT) AS rr,
+    CAST(LEAST(255, GREATEST(0, FLOOR(
+      y - CAST(0.344136 AS DOUBLE) * (cb - 128)
+      - CAST(0.714136 AS DOUBLE) * (cr - 128) + CAST(0.5 AS DOUBLE)
+      ))) AS BIGINT) AS gg,
+    CAST(LEAST(255, GREATEST(0, FLOOR(
+      y + CAST(1.772 AS DOUBLE) * (cb - 128) + CAST(0.5 AS DOUBLE)
+      ))) AS BIGINT) AS bb
+  FROM ycc
+),
+agg AS (
+  SELECT doc_id, MAX(jw) AS jw, MAX(jh) AS jh,
+    SUM(npix * (CASE WHEN rr = 32 THEN 1 ELSE 0 END
+              + CASE WHEN gg = 32 THEN 1 ELSE 0 END
+              + CASE WHEN bb = 32 THEN 1 ELSE 0 END)) AS n_space,
+    SUM(npix * (CASE WHEN rr BETWEEN 97 AND 122 THEN 1 ELSE 0 END
+              + CASE WHEN gg BETWEEN 97 AND 122 THEN 1 ELSE 0 END
+              + CASE WHEN bb BETWEEN 97 AND 122 THEN 1 ELSE 0 END))
+      AS n_alpha
+  FROM dec GROUP BY doc_id
+),
+head AS (
+  -- jw >= 16, so the first 16 interleaved RGB bytes all come from
+  -- macro block (0, 0)
+  SELECT doc_id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(generate_series(0, 15),
+        j -> CAST(CASE j % 3 WHEN 0 THEN rr WHEN 1 THEN gg ELSE bb END
+                  AS BIGINT))),
+      (acc, x) -> (acc * 131 + x) % 1000000007) AS head_fingerprint
+  FROM dec WHERE mx = 0 AND my = 0
+)
+SELECT a.doc_id,
+  CAST(a.jw * a.jh * 3 AS INT) AS byte_len,
+  CAST(a.jw AS INT) AS width,
+  CAST(a.jh AS INT) AS height,
+  CAST(3 AS INT) AS n_channels,
+  CAST(a.n_space AS INT) AS n_space,
+  CAST(a.n_alpha AS INT) AS n_alpha,
+  h.head_fingerprint
+FROM agg a JOIN head h USING (doc_id)
+"""
+
+
+@register(
+    "multimodal_color420_decode",
+    oracle=_COLOR420_ORACLE,
+    doc="Chroma-SUBSAMPLED (4:2:0) baseline color JPEG decode over a "
+    "corpus of real entropy-coded streams (round-6 VERDICT #5 — the "
+    "one codec slice reachable without external libraries): every "
+    "documents row becomes a 4:2:0 JPEG (16x16 MCU: four Y blocks + "
+    "one Cb + one Cr, chroma 2x2 box-downsampled) whose macro blocks "
+    "are constant RGB; Spark decodes the interleaved multi-block MCU "
+    "stream, nearest-upsamples chroma, and inverts JFIF YCbCr "
+    "(operators/multimodal.py:decode_jpeg_baseline, now general over "
+    "sampling factors); the oracle recomputes decoded-RGB statistics "
+    "purely arithmetically.  The environment stub now covers only "
+    "progressive JPEG and compressed A/V samples.",
+    tags=("multimodal", "jpeg", "pandas-udf", "extension"),
+    extended=True,
+)
+def multimodal_color420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.multimodal import (
+        attach_color420_jpeg_payloads,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_color420_jpeg_payloads(docs))
     return feats.select(
         "doc_id", "byte_len", "width", "height", "n_channels",
         "n_space", "n_alpha", "head_fingerprint",

@@ -248,13 +248,23 @@ def test_jpeg_gray_decoder_rejects_unsupported_shapes():
     # a real color stream through the gray-only wrapper
     with pytest.raises(ValueError, match="color JPEG"):
         decode_jpeg_gray(jpeg_color_bytes(8, 8, bytes(range(64)) * 3))
-    # chroma-subsampled frame (4:2:0 sampling factors)
-    with pytest.raises(ValueError, match="subsampled"):
+    # 4:2:0 sampling factors are ACCEPTED since round 7 (this frame
+    # still fails later for having no scan); an ILLEGAL factor (3 is
+    # not in T.81's {1,2,4}) is rejected at SOF parse
+    with pytest.raises(ValueError, match="missing SOF/SOS"):
         decode_jpeg_gray(
             b"\xff\xd8"
             + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
             + struct.pack(">HH", 8, 8) + b"\x03"
             + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+            + b"\xff\xd9"
+        )
+    with pytest.raises(ValueError, match="illegal JPEG sampling"):
+        decode_jpeg_gray(
+            b"\xff\xd8"
+            + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 8, 8) + b"\x03"
+            + bytes([1, 0x33, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
             + b"\xff\xd9"
         )
     # progressive frame
@@ -721,3 +731,97 @@ def test_video_frame_decode_is_env_gated(spark):
 
     with pytest.raises(NotImplementedError, match="codec"):
         decode_video_frame(b"\x00", 0)
+
+
+# -- 4:2:0 chroma-subsampled baseline JPEG (round-7) ------------------------
+
+
+def _macro_rgb_img(w, h, f):
+    out = bytearray()
+    for y in range(h):
+        for x in range(w):
+            out += bytes(f(x // 16, y // 16))
+    return bytes(out)
+
+
+def _roundtrip_expected(rgb, w, h):
+    """Integer YCbCr roundtrip of constant regions (both transforms
+    floor(x+0.5) — the arithmetic the oracle replays)."""
+    import numpy as np
+
+    from diabetes_etl_spark.operators.multimodal import (
+        _rgb_to_ycbcr,
+        _ycbcr_to_rgb,
+    )
+
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(float)
+    y, cb, cr = _rgb_to_ycbcr(arr[:, :, 0], arr[:, :, 1], arr[:, :, 2])
+    r, g, b = _ycbcr_to_rgb(y, cb, cr)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8).tobytes()
+
+
+def test_jpeg_420_constant_macro_blocks_roundtrip_bit_exactly():
+    from diabetes_etl_spark.operators.multimodal import (
+        decode_jpeg_baseline,
+        jpeg_color_bytes,
+        probe_jpeg,
+    )
+
+    # odd dims, partial edge MCUs, multiple MCUs per row/col
+    for w, h in [(16, 16), (33, 17), (17, 31), (48, 40), (16, 25)]:
+        f = lambda mx, my: (
+            (mx * 17 + my * 53 + 5) % 256,
+            (mx * 29 + 7) % 256,
+            (my * 31 + 90) % 256,
+        )
+        rgb = _macro_rgb_img(w, h, f)
+        payload = jpeg_color_bytes(w, h, rgb, subsampling="420")
+        assert probe_jpeg(payload) == (w, h, 3)
+        dw, dh, nc, raw = decode_jpeg_baseline(payload)
+        assert (dw, dh, nc) == (w, h, 3)
+        assert raw == _roundtrip_expected(rgb, w, h)
+
+
+def test_jpeg_420_luma_survives_nonconstant_content():
+    """Chroma loses per-pixel detail by construction; luma must not —
+    catches MCU/plane indexing bugs the constant fixture can't see."""
+    import numpy as np
+
+    from diabetes_etl_spark.operators.multimodal import (
+        _rgb_to_ycbcr,
+        decode_jpeg_baseline,
+        jpeg_color_bytes,
+    )
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, (24, 24, 3), dtype=np.uint8)
+    payload = jpeg_color_bytes(24, 24, rgb.tobytes(), subsampling="420")
+    _, _, _, raw = decode_jpeg_baseline(payload)
+    dec = np.frombuffer(raw, dtype=np.uint8).reshape(24, 24, 3)
+    y0, _, _ = _rgb_to_ycbcr(*[rgb[:, :, i].astype(float) for i in range(3)])
+    y1, _, _ = _rgb_to_ycbcr(*[dec[:, :, i].astype(float) for i in range(3)])
+    assert float(np.abs(y0 - y1).mean()) < 1.0
+
+
+def test_jpeg_color_bytes_rejects_unknown_subsampling():
+    from diabetes_etl_spark.operators.multimodal import jpeg_color_bytes
+
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg_color_bytes(16, 16, bytes(16 * 16 * 3), subsampling="411")
+
+
+def test_decode_payload_routes_420_jpeg():
+    from diabetes_etl_spark.operators.multimodal import (
+        decode_payload,
+        fixture_color420_dims,
+        jpeg_color_bytes,
+    )
+    from diabetes_etl_spark.operators.multimodal import (
+        _fixture_color420_pixels,
+    )
+
+    w, h = fixture_color420_dims(3)
+    payload = jpeg_color_bytes(
+        w, h, _fixture_color420_pixels(3, w, h), subsampling="420"
+    )
+    assert len(decode_payload("image/jpeg", payload)) == w * h * 3
