@@ -69,3 +69,70 @@ def test_bpe_train_partition_invariant(spark):
     m1, _ = bpe_train(df, 3)
     m2, _ = bpe_train(df.repartition(7), 3)
     assert m1 == m2
+
+
+# -- delta-maintained training (round-7) ------------------------------------
+
+
+def test_bpe_train_delta_matches_reference(spark):
+    from diabetes_etl_spark.operators.bpe import bpe_train_delta
+
+    df = spark.createDataFrame([(t,) for t in _TEXTS], "text string")
+    merges, words = bpe_train_delta(df, 5)
+    ref_merges, ref_syms = _ref_bpe(_TEXTS, 5)
+    assert merges == ref_merges
+    got = {r.word: r.sym.split(" ") for r in words.collect()}
+    assert got == ref_syms
+
+
+def test_bpe_train_delta_equals_full_loop_deep(spark):
+    """Deep merge run where delta bookkeeping errors would compound:
+    every step's argmax must match the full-reaggregation loop."""
+    from diabetes_etl_spark.operators.bpe import bpe_train, bpe_train_delta
+
+    texts = _TEXTS + [
+        "banana bandana ana anna na nab ban",
+        "mississippi missing mission emission",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    m_full, w_full = bpe_train(df, 12)
+    m_delta, w_delta = bpe_train_delta(df, 12, checkpoint_every=3)
+    assert m_delta == m_full
+    assert (
+        {r.word: r.sym for r in w_delta.collect()}
+        == {r.word: r.sym for r in w_full.collect()}
+    )
+
+
+def test_bpe_train_delta_scans_only_affected_words(spark):
+    """The delta loop's per-merge pair aggregate must read the
+    affected-word SLICE of the cached vocabulary (a Contains filter on
+    the symbol string), never the full table — the structural property
+    that replaces the full per-merge re-aggregation (raw Spark job
+    counts are not comparable under AQE's sub-job splitting)."""
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.operators.bpe import (
+        _merge_fold,
+        _word_pair_deltas,
+        symbolize_words,
+    )
+
+    df = spark.createDataFrame([(t,) for t in _TEXTS], "text string")
+    words = symbolize_words(df)
+    m = spark.createDataFrame([("l", "o")], "ma string, mb string")
+    changed_old = (
+        words.filter(
+            F.concat(F.lit(" "), F.col("sym"), F.lit(" ")).contains(
+                F.lit(" l o ")
+            )
+        )
+        .crossJoin(F.broadcast(m))
+        .withColumn("new_sym", _merge_fold())
+    )
+    plan = _word_pair_deltas(changed_old)._jdf.queryExecution().toString()
+    assert "Contains" in plan  # the affected-word restriction is in-plan
+    # and the deltas are exactly the affected words' old-minus-new pairs
+    got = {(r.a, r.b): r.d for r in _word_pair_deltas(changed_old).collect()}
+    assert got[("l", "o")] < 0  # merged pair disappears
+    assert all(d != 0 for d in got.values())
