@@ -225,3 +225,88 @@ def test_incremental_aggregate_maintenance_equals_batch(spark, tmp_path, sf_dir)
     )
     assert got == want
     assert len(store.history()) >= 1  # at least one atomic refresh
+
+
+def test_incremental_join_aggregate_maintenance_equals_batch(
+    spark, tmp_path, sf_dir
+):
+    """Join-view maintenance (streaming/aggmaint.py:
+    merge_join_partial_aggs): a (orders fact ⋈ customer dim) revenue-
+    by-market-segment aggregate maintained from insert-only fact
+    micro-batches must equal the batch recompute over ALL facts after
+    every refresh — Δ(F ⋈ D) = ΔF ⋈ D, history never rescanned."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from diabetes_etl_spark.sources.tables import load_table
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+    from diabetes_etl_spark.streaming.aggmaint import (
+        merge_join_partial_aggs,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    store = VersionedTable(spark, str(tmp_path / "join_agg_store"))
+
+    # three insert-only micro-batches split deterministically
+    batches = [orders.filter(F.col("o_orderkey") % 3 == k) for k in range(3)]
+    seen = None
+    for k, b in enumerate(batches):
+        fact = b.select(
+            F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+        )
+        merge_join_partial_aggs(
+            store, fact, dim, "c_custkey", ["c_mktsegment"],
+            ["o_totalprice"],
+        )
+        seen = batches[: k + 1]
+        want = sorted(
+            (r.c_mktsegment, r.n_rows, str(r.sum_o_totalprice))
+            for r in (
+                seen[0] if k == 0
+                else seen[0].unionByName(seen[1]) if k == 1
+                else seen[0].unionByName(seen[1]).unionByName(seen[2])
+            )
+            .select(F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+            .join(dim, "c_custkey")
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias(
+                    "sum_o_totalprice"
+                ),
+            )
+            .collect()
+        )
+        got = sorted(
+            (r.c_mktsegment, r.n_rows, str(r.sum_o_totalprice))
+            for r in store.read().collect()
+        )
+        assert got == want, f"refresh {k} diverged from batch recompute"
+    # atomic refresh history: one committed version per micro-batch
+    assert len(store.history()) == 3
+
+
+def test_join_aggregate_maintenance_broadcasts_dim(spark, tmp_path, sf_dir):
+    """The refresh plan must broadcast the dimension by default — the
+    delta join is shuffle-free (the maintenance cost is ∝ batch)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from diabetes_etl_spark.sources.tables import load_table
+    from diabetes_etl_spark.streaming.aggmaint import partial_aggs
+
+    orders = load_table(spark, sf_dir, "orders").limit(100)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    fact = orders.select(F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+    enriched = fact.join(F.broadcast(dim), "c_custkey")
+    plan = (
+        partial_aggs(enriched, ["c_mktsegment"], ["o_totalprice"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
