@@ -160,6 +160,95 @@ def merge_cells(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
 
 
+# -- portable Bloom filter --------------------------------------------------
+#
+# The membership sketch next to CMS (frequency) and HLL (cardinality):
+# m bits, k pairwise-independent probes per key (the SAME affine
+# family as the CMS rows — distinct multiplier per probe), stored as a
+# DISTINCT bit-index table of at most m rows.  est(member) has no
+# false negatives; false-positive rate ~ (1 - e^(-k*n/m))^k.
+#
+# Why at 100 TB: the canonical use is a BLOCKLIST probe (benchmark
+# shingles, known-bad URLs, seen document hashes) against a corpus too
+# big to shuffle — the bit table broadcasts (<= m rows of one int),
+# the corpus side stays scan-local, and per-partition/per-day filters
+# merge by bit union WITHOUT touching raw keys.  Same determinism
+# contract as CMS: pure integer arithmetic over the rolling-hash
+# fingerprint, so bits AND probe outcomes replay bit-identically in a
+# SQL oracle — a hash-checkable approximate structure.
+
+
+def _bloom_bit(fp: Column, m: int, probe_idx: int, seed: int) -> Column:
+    """Bit index of probe ``probe_idx`` for a key fingerprint."""
+    a, b = _cms_row_params(probe_idx, seed)
+    return F.pmod(
+        F.pmod(fp * F.lit(a) + F.lit(b), F.lit(_MOD)), F.lit(m)
+    ).cast("int")
+
+
+def bloom_bits(
+    df: DataFrame,
+    key_col: str,
+    m: int = 8192,
+    k: int = 5,
+    seed: int = 23,
+) -> DataFrame:
+    """(bit,) — the set bit indices of a Bloom filter over ``key_col``
+    (NULL keys dropped: no membership identity).  One explode + one
+    DISTINCT bounded at ``m`` rows; map-side combine caps the shuffle
+    at m per partition regardless of input size."""
+    fp = F.col("__fp")
+    probes = F.array(*[_bloom_bit(fp, m, j, seed) for j in range(k)])
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(fingerprint(key_col).alias("__fp"))
+        .select(F.explode(probes).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Bit union — per-partition/per-day filters built with identical
+    (m, k, seed) combine into the filter of the concatenated input
+    exactly (tested), like CMS merge_cells / HLL hll_merge."""
+    out = filters[0]
+    for f in filters[1:]:
+        out = out.unionByName(f)
+    return out.distinct()
+
+
+def bloom_probe(
+    bits: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    m: int = 8192,
+    k: int = 5,
+    seed: int = 23,
+) -> DataFrame:
+    """``keys`` + ``bloom_hit`` (boolean): true iff ALL k probe bits
+    are set — no false negatives, false positives at the documented
+    rate.  The bit table BROADCASTS (<= m one-int rows), so the key
+    side never shuffles for the probe itself; the only aggregate is
+    per input row over its k probes."""
+    fp = F.col("__fp")
+    probes = F.array(*[_bloom_bit(fp, m, j, seed) for j in range(k)])
+    probed = (
+        keys.select("*", fingerprint(key_col).alias("__fp"))
+        .select(*keys.columns, F.posexplode(probes).alias("__j", "bit"))
+    )
+    marked = probed.join(
+        F.broadcast(bits.withColumn("__set", F.lit(1))), "bit", "left"
+    )
+    return (
+        marked.groupBy(*keys.columns)
+        .agg(
+            (
+                F.sum(F.coalesce("__set", F.lit(0))) == F.lit(k)
+            ).alias("bloom_hit")
+        )
+    )
+
+
 # -- portable HyperLogLog ---------------------------------------------------
 #
 # Native approx_count_distinct is mergeable but engine-specific (its

@@ -74,3 +74,156 @@ def decontam_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# -- Bloom-filter blocklist probe (operators/sketch.py, round-7) ------------
+
+_BLOOM_M, _BLOOM_K, _BLOOM_SEED = 65536, 4, 23
+
+_D_FINGERPRINT_G = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(g, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+    "(acc, x) -> (acc * 131 + x) % 1000000007)"
+)
+
+
+def _bloom_sql_bit(f_expr: str, j_expr: str) -> str:
+    """DuckDB replay of operators/sketch.py:_bloom_bit — the same
+    Python-computed pairwise-independent (a_j, b_j) literals as CASE
+    branches (the CMS-oracle recipe)."""
+    from diabetes_etl_spark.operators.sampling import _MOD
+    from diabetes_etl_spark.operators.sketch import _cms_row_params
+
+    params = [_cms_row_params(j, _BLOOM_SEED) for j in range(_BLOOM_K)]
+    a_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN {j_expr} = {j} THEN {a}" for j, (a, _) in enumerate(params)
+        )
+        + " END"
+    )
+    b_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN {j_expr} = {j} THEN {b}" for j, (_, b) in enumerate(params)
+        )
+        + " END"
+    )
+    return (
+        f"CAST((({f_expr} * ({a_case}) + ({b_case}))"
+        f" % {_MOD}) % {_BLOOM_M} AS INT)"
+    )
+
+
+_BLOOM_ORACLE = f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({_D_SHINGLES}) AS g
+  FROM documents WHERE source = '{_BENCH_SRC}'
+),
+bfp AS (SELECT g, {_D_FINGERPRINT_G} AS f FROM bench),
+js AS (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j),
+bits AS (
+  SELECT DISTINCT {_bloom_sql_bit('f', 'j')} AS bit
+  FROM bfp CROSS JOIN js
+),
+corp AS (
+  SELECT doc_id, lang, unnest({_D_SHINGLES}) AS g
+  FROM documents WHERE source <> '{_BENCH_SRC}'
+),
+cfp AS (SELECT doc_id, lang, g, {_D_FINGERPRINT_G} AS f FROM corp),
+probed AS (
+  SELECT doc_id, lang, g, f,
+         SUM(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END)
+           = {_BLOOM_K} AS bloom_hit
+  FROM (SELECT cfp.*, {_bloom_sql_bit('f', 'j')} AS pb
+        FROM cfp CROSS JOIN js) p
+  LEFT JOIN bits ON p.pb = bits.bit
+  GROUP BY doc_id, lang, g, f
+),
+graded AS (
+  SELECT p.doc_id, p.lang, p.bloom_hit,
+         (bench.g IS NOT NULL) AS true_hit
+  FROM probed p LEFT JOIN bench ON p.g = bench.g
+)
+SELECT lang,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_total,
+  CAST(COUNT(DISTINCT CASE WHEN bloom_hit THEN doc_id END) AS BIGINT)
+    AS docs_bloom_flagged,
+  CAST(COUNT(DISTINCT CASE WHEN true_hit THEN doc_id END) AS BIGINT)
+    AS docs_truly_contaminated,
+  CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+    AS grams_bloom_hits,
+  CAST(SUM(CASE WHEN true_hit THEN 1 ELSE 0 END) AS BIGINT)
+    AS grams_true_hits,
+  CAST(SUM(CASE WHEN bloom_hit AND NOT true_hit THEN 1 ELSE 0 END)
+    AS BIGINT) AS grams_false_positives
+FROM graded GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "decontam_bloom_probe",
+    oracle=_BLOOM_ORACLE,
+    doc=f"Bloom-filter blocklist probe (operators/sketch.py:bloom_*): "
+    f"the benchmark shingle set compresses into a {_BLOOM_M}-bit / "
+    f"{_BLOOM_K}-probe Bloom filter whose bit table broadcasts, so the "
+    "corpus probe is scan-local — the constant-memory pre-filter for "
+    "decontamination when the blocklist outgrows a broadcast string "
+    "dictionary (bits are ints, not grams; per-day filters merge by "
+    "bit union).  No false negatives by construction; the query "
+    "accounts bloom hits vs exact membership per language, so the "
+    "false-positive rate is itself an output.  Deterministic "
+    "pairwise-independent integer hashing (the CMS family) makes even "
+    "this approximate structure bit-exactly oracle-paired.",
+    tags=("decontam", "sketch", "approximate", "extension"),
+    extended=True,
+)
+def decontam_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.decontam import benchmark_shingles
+    from diabetes_etl_spark.operators.sketch import bloom_bits, bloom_probe
+    from diabetes_etl_spark.operators.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == _BENCH_SRC)
+    corpus = docs.filter(F.col("source") != _BENCH_SRC)
+
+    bench_grams = benchmark_shingles(bench, n=_N)
+    bits = bloom_bits(
+        bench_grams, "g", m=_BLOOM_M, k=_BLOOM_K, seed=_BLOOM_SEED
+    )
+    corp_grams = corpus.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), _N))
+        ).alias("g"),
+    )
+    probed = bloom_probe(
+        bits, corp_grams, "g", m=_BLOOM_M, k=_BLOOM_K, seed=_BLOOM_SEED
+    )
+    graded = probed.join(
+        F.broadcast(bench_grams.withColumn("__true", F.lit(1))), "g", "left"
+    ).select(
+        "doc_id",
+        "lang",
+        "bloom_hit",
+        F.col("__true").isNotNull().alias("true_hit"),
+    )
+    return (
+        graded.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("docs_total"),
+            F.countDistinct(
+                F.when(F.col("bloom_hit"), F.col("doc_id"))
+            ).alias("docs_bloom_flagged"),
+            F.countDistinct(
+                F.when(F.col("true_hit"), F.col("doc_id"))
+            ).alias("docs_truly_contaminated"),
+            F.sum(F.col("bloom_hit").cast("int")).alias("grams_bloom_hits"),
+            F.sum(F.col("true_hit").cast("int")).alias("grams_true_hits"),
+            F.sum(
+                (F.col("bloom_hit") & ~F.col("true_hit")).cast("int")
+            ).alias("grams_false_positives"),
+        )
+        .orderBy("lang")
+    )

@@ -168,3 +168,67 @@ def test_hll_duplicates_do_not_move_the_estimate(spark):
     e1 = hll_estimate(hll_registers(once, "k")).collect()[0].hll_estimate
     e2 = hll_estimate(hll_registers(tenx, "k")).collect()[0].hll_estimate
     assert e1 == e2  # cardinality, not frequency — bit-identical
+
+
+# -- portable Bloom filter (round-7) ----------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    from diabetes_etl_spark.operators.sketch import bloom_bits, bloom_probe
+
+    members = spark.createDataFrame(
+        [(f"key{i}",) for i in range(500)], "tok string"
+    )
+    bits = bloom_bits(members, "tok", m=8192, k=5)
+    out = {
+        r.tok: r.bloom_hit
+        for r in bloom_probe(bits, members, "tok", m=8192, k=5).collect()
+    }
+    assert all(out.values())  # every member hits — no false negatives
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    import math
+
+    from diabetes_etl_spark.operators.sketch import bloom_bits, bloom_probe
+
+    m, k, n = 8192, 5, 500
+    members = spark.createDataFrame(
+        [(f"key{i}",) for i in range(n)], "tok string"
+    )
+    others = spark.createDataFrame(
+        [(f"other{i}",) for i in range(2000)], "tok string"
+    )
+    bits = bloom_bits(members, "tok", m=m, k=k)
+    fp = sum(
+        1
+        for r in bloom_probe(bits, others, "tok", m=m, k=k).collect()
+        if r.bloom_hit
+    )
+    expect = (1 - math.exp(-k * n / m)) ** k
+    assert fp / 2000 < 5 * expect + 0.01  # generous slack over theory
+
+
+def test_bloom_merge_equals_direct_build(spark):
+    from diabetes_etl_spark.operators.sketch import bloom_bits, bloom_merge
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(100)], "tok string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(100)], "tok string")
+    merged = sorted(
+        r.bit for r in bloom_merge(
+            bloom_bits(a, "tok"), bloom_bits(b, "tok")
+        ).collect()
+    )
+    direct = sorted(
+        r.bit for r in bloom_bits(a.unionByName(b), "tok").collect()
+    )
+    assert merged == direct
+
+
+def test_bloom_bits_partition_invariant(spark):
+    from diabetes_etl_spark.operators.sketch import bloom_bits
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(300)], "tok string")
+    b1 = sorted(r.bit for r in bloom_bits(df, "tok").collect())
+    b2 = sorted(r.bit for r in bloom_bits(df.repartition(13), "tok").collect())
+    assert b1 == b2
