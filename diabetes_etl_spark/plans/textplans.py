@@ -606,3 +606,81 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(syms_a))
         .crossJoin(F.broadcast(changed))
     )
+
+
+# -- BM25 lexical retrieval (operators/ranking.py, round-7) -----------------
+
+_BM25_TERMS = ("join", "window", "vector", "stream", "hash", "dup")
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 15
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+_BM25_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, len({_D_TOKENS}) AS dl FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM base
+),
+toks AS (
+  SELECT doc_id, unnest({_D_TOKENS}) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, tok
+),
+dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+idf AS (
+  SELECT tok,
+    ROUND(LN((CAST(n AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
+             / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 9)
+      AS idf
+  FROM dft CROSS JOIN stats
+),
+per_term AS (
+  SELECT tf.doc_id,
+    ROUND(idf.idf * (tf.tf * CAST({_BM25_K1 + 1.0} AS DOUBLE))
+      / (tf.tf + CAST({_BM25_K1} AS DOUBLE)
+         * (CAST({1.0 - _BM25_B} AS DOUBLE)
+            + CAST({_BM25_B} AS DOUBLE) * CAST(base.dl AS DOUBLE)
+              / stats.avgdl)), 9) AS w
+  FROM tf JOIN idf USING (tok) JOIN base USING (doc_id)
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id,
+    CAST(SUM(CAST(w AS DECIMAL(18,9))) AS DOUBLE) AS bm25_score
+  FROM per_term GROUP BY doc_id
+)
+SELECT doc_id, bm25_score, CAST(rn AS INT) AS bm25_rank FROM (
+  SELECT *, row_number() OVER (ORDER BY bm25_score DESC, doc_id) AS rn
+  FROM scored
+) WHERE rn <= {_BM25_TOPK}
+"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=_BM25_ORACLE,
+    doc=f"BM25 lexical retrieval (operators/ranking.py): top-"
+    f"{_BM25_TOPK} documents for a {len(_BM25_TERMS)}-term query under "
+    "the Lucene-form Okapi BM25 — the classic hybrid-search partner "
+    "of the embedding ANN family.  One tokenize pass computes "
+    "query-term tfs (isin-pruned before the aggregate) and doc "
+    "lengths; df/idf/corpus stats all broadcast, so the only corpus "
+    "shuffle carries (doc, term, tf) for MATCHING docs.  idf's ln is "
+    "the one libm call: quantized to 9 decimals at the source and "
+    "decimal-folded across terms, making the ranking hash-checkable "
+    "(see the determinism note in operators/ranking.py).",
+    tags=("text", "ranking", "retrieval", "extension"),
+    extended=True,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.ranking import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, _BM25_TERMS, k=_BM25_TOPK, k1=_BM25_K1, b=_BM25_B
+    )
