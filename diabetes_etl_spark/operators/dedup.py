@@ -452,3 +452,62 @@ def content_novelty(
             F.col("n_novel").cast("double") / F.col("n_shingles"),
         )
     )
+
+
+def apply_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    work_dir: str | None = None,
+) -> DataFrame:
+    """``docs`` + (component, is_representative): the APPLY stage of
+    near-dedup — turn a verified near-dup pair relation into the
+    cleaned corpus by keeping ONE representative per duplicate
+    cluster (the MIN id: deterministic, engine-replayable; quality-
+    based selection is a one-line change of the agg).
+
+    filter(is_representative) IS the deduplicated corpus; the dropped
+    rows keep their cluster label for attribution (how much volume
+    each duplicate cluster contributed — the number dedup reports are
+    made of).
+
+    Scale shape: components run on the PAIR relation only (clustered
+    docs, operators/components.py — per-round commits, restart
+    resume); the representative choice is one aggregate on the
+    O(clustered) label table; the corpus attaches labels back with a
+    single left join on id (AQE broadcasts the label side when
+    contamination is low — the common case).  Singleton docs never
+    enter the graph and are their own representatives by coalesce.
+    """
+    from diabetes_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    comp = connected_components(
+        pairs, a_col, b_col, work_dir=work_dir
+    )
+    reps = comp.groupBy("component").agg(F.min("id").alias("__rep"))
+    labeled = (
+        comp.join(reps, "component")
+        .select(
+            F.col("id").alias("__join_id"),
+            F.col("component").alias("__component"),
+            (F.col("id") == F.col("__rep")).alias("__is_rep"),
+        )
+    )
+    return (
+        docs.join(
+            labeled, docs[id_col] == F.col("__join_id"), "left"
+        )
+        .select(
+            *docs.columns,
+            F.coalesce(F.col("__component"), docs[id_col]).alias(
+                "component"
+            ),
+            F.coalesce(F.col("__is_rep"), F.lit(True)).alias(
+                "is_representative"
+            ),
+        )
+    )

@@ -455,3 +455,91 @@ def dedup_content_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_apply_stats",
+    # Closure of the exact pair relation (the dedup_components oracle)
+    # -> min-id representative per cluster -> per-language kept/dropped
+    # accounting joined back to the corpus.
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS_ORACLE})
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(id, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id
+),
+lab AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+reps AS (SELECT component, MIN(id) AS rep FROM lab GROUP BY component),
+labeled AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         COALESCE(lab.component, d.doc_id) AS component,
+         COALESCE(lab.id = reps.rep, TRUE) AS is_representative
+  FROM documents d
+  LEFT JOIN lab ON d.doc_id = lab.id
+  LEFT JOIN reps ON lab.component = reps.component
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS docs_total,
+  CAST(SUM(CASE WHEN is_representative THEN 1 ELSE 0 END) AS BIGINT)
+    AS docs_kept,
+  CAST(SUM(CASE WHEN is_representative THEN 0 ELSE 1 END) AS BIGINT)
+    AS docs_dropped,
+  CAST(COALESCE(SUM(CASE WHEN NOT is_representative THEN n_chars END), 0)
+    AS BIGINT) AS chars_dropped,
+  CAST(COUNT(DISTINCT component) AS BIGINT) AS n_clusters
+FROM labeled GROUP BY lang ORDER BY lang
+""",
+    doc="Near-dedup APPLY: the pair relation (MinHash-LSH candidates, "
+    "exact-verified; exact pairs unioned at gate scale per the "
+    "dedup_components recall note) closes into clusters "
+    "(operators/components.py), each cluster keeps its min-id "
+    "representative (operators/dedup.py:apply_dedup), and the corpus "
+    "gets per-language kept/dropped/chars-saved accounting — the "
+    "numbers a dedup report is made of, and filter(is_representative) "
+    "is the cleaned corpus itself.  The oracle closes the exact pair "
+    "relation with a recursive CTE and replays the same "
+    "representative choice.",
+    tags=("dedup", "components", "extension"),
+    extended=True,
+)
+def dedup_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.dedup import apply_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    lsh_pairs = DD.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=5, num_hashes=32, bands=8, threshold=0.8
+    ).select("doc_a", "doc_b")
+    if docs.count() <= 2000:
+        exact_pairs = DD.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=5, threshold=0.8
+        )
+        pairs = lsh_pairs.union(exact_pairs.select("doc_a", "doc_b")).distinct()
+    else:
+        pairs = lsh_pairs
+    labeled = apply_dedup(docs, pairs)
+    return (
+        labeled.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs_total"),
+            F.sum(F.col("is_representative").cast("int")).alias("docs_kept"),
+            F.sum((~F.col("is_representative")).cast("int")).alias(
+                "docs_dropped"
+            ),
+            F.coalesce(
+                F.sum(
+                    F.when(~F.col("is_representative"), F.col("n_chars"))
+                ),
+                F.lit(0),
+            ).cast("long").alias("chars_dropped"),
+            F.countDistinct("component").alias("n_clusters"),
+        )
+        .orderBy("lang")
+    )

@@ -435,3 +435,49 @@ def test_content_novelty_partial_overlap(spark):
     out = {r.id: r for r in content_novelty(docs).collect()}
     assert out[1].novelty == 1.0
     assert out[2].n_novel == out[2].n_shingles - 1  # only abcde reused
+
+
+# -- apply_dedup (round-7) --------------------------------------------------
+
+
+def test_apply_dedup_keeps_min_id_per_cluster(spark, tmp_path):
+    from diabetes_etl_spark.operators.dedup import apply_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}", "en") for i in range(1, 8)],
+        "doc_id long, text string, lang string",
+    )
+    # clusters {1,2,3} and {5,6}; 4 and 7 singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    out = {
+        r.doc_id: (r.component, r.is_representative)
+        for r in apply_dedup(
+            docs, pairs, work_dir=str(tmp_path / "cc")
+        ).collect()
+    }
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[3] == (1, False)
+    assert out[5] == (5, True)
+    assert out[6] == (5, False)
+    assert out[4] == (4, True)  # singleton: own representative
+    assert out[7] == (7, True)
+    kept = sorted(i for i, (_, rep) in out.items() if rep)
+    assert kept == [1, 4, 5, 7]  # filter(is_representative) = cleaned corpus
+
+
+def test_apply_dedup_preserves_all_doc_columns(spark, tmp_path):
+    from diabetes_etl_spark.operators.dedup import apply_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)],
+        "doc_id long, text string, n_chars int",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    rows = apply_dedup(docs, pairs, work_dir=str(tmp_path / "cc")).collect()
+    assert set(rows[0].asDict()) == {
+        "doc_id", "text", "n_chars", "component", "is_representative"
+    }
+    assert len(rows) == 2  # row count preserved: label attach, not a filter
