@@ -235,3 +235,90 @@ def bpe_train_delta(
             nxt = words.localCheckpoint()
             words = nxt.cache()
     return merges, words
+
+
+def merge_fold_literal(sym: Column, a: str, b: str) -> Column:
+    """:func:`_merge_fold` with LITERAL merge pair (a, b) — built with
+    the lambda DSL (no string splicing, so arbitrary symbols need no
+    escaping).  Same greedy left-to-right fold, same DuckDB
+    list_reduce replay."""
+    return F.aggregate(
+        F.split(sym, " "),
+        F.lit(""),
+        lambda acc, x: (
+            F.when(acc == F.lit(""), x)
+            .when(
+                (
+                    (acc == F.lit(a)) | acc.endswith(F.lit(" " + a))
+                )
+                & (x == F.lit(b)),
+                F.concat(acc, F.lit(b)),
+            )
+            .otherwise(F.concat(acc, F.lit(" "), x))
+        ),
+    )
+
+
+def bpe_encode_words(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    sym_col: str = "sym",
+) -> DataFrame:
+    """Apply a learned merge table to a word table IN-PLAN: the merges
+    fold in TRAINING ORDER (the published BPE apply semantics), each
+    as a native sequential-fold expression — no UDF.  Input rows keep
+    all columns; ``sym_col`` is rewritten in place.
+
+    Scale contract: run this on the DISTINCT WORD table, never the
+    corpus — Zipf makes the vocabulary orders of magnitude smaller
+    than the text, and :func:`bpe_subtoken_stats` joins the encoded
+    map back to corpus tokens.  The nested-fold expression grows with
+    the merge count (fine for the tens-of-merges tier this in-plan
+    form targets; a 32k-merge production vocabulary tokenizes via an
+    Arrow-batched rank-priority encoder — the standard split between
+    expression-friendly and library-friendly sizes)."""
+    out = F.col(sym_col)
+    for a, b in merges:
+        out = merge_fold_literal(out, a, b)
+    return words.withColumn(sym_col, out)
+
+
+def bpe_subtoken_stats(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, n_subtokens): per-document subtoken counts under
+    a learned merge table — the token-budget measurement every
+    training-data pipeline runs before packing.
+
+    Plan: corpus → (id, word) pairs; DISTINCT words → in-plan encode
+    (:func:`bpe_encode_words`, vocabulary-sized) → per-word subtoken
+    count; corpus pairs join the word map (AQE broadcasts the
+    vocabulary side when it fits — the common case) and aggregate per
+    document.  The corpus is scanned once and never carries symbol
+    strings through the shuffle — only (id, word)."""
+    pairs = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.col(text_col))).alias("word"),
+    ).filter(F.col("word") != "")
+    vocab = (
+        pairs.select("word")
+        .distinct()
+        .withColumn(
+            "sym", F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 "))
+        )
+    )
+    encoded = bpe_encode_words(vocab, merges).select(
+        "word", F.size(F.split(F.col("sym"), " ")).alias("__n_sub")
+    )
+    return (
+        pairs.join(encoded, "word")
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("__n_sub").alias("n_subtokens"),
+        )
+        .select(F.col("__id").alias(id_col), "n_tokens", "n_subtokens")
+    )

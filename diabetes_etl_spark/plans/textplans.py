@@ -684,3 +684,73 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         docs, _BM25_TERMS, k=_BM25_TOPK, k1=_BM25_K1, b=_BM25_B
     )
+
+
+# -- in-plan BPE tokenizer application (operators/bpe.py, round-7) ----------
+
+# A fixed learned-style merge table over the fixture vocabulary,
+# including two-level merges ((j,o)+(i,n) feed (jo,in) -> "join") —
+# applying a GIVEN merge table is the operator under test; training it
+# is bpe_merge_step / tests/test_bpe.py.
+_BPE_APPLY_MERGES = [
+    ("j", "o"), ("i", "n"), ("jo", "in"), ("o", "r"),
+    ("or", "d"), ("e", "r"), ("a", "g"), ("ag", "g"),
+]
+
+
+def _bpe_fold_sql(inner: str, a: str, b: str) -> str:
+    """DuckDB list_reduce replay of bpe.merge_fold_literal (same fold,
+    same element order, same greedy accumulator)."""
+    return (
+        f"list_reduce(list_prepend('', string_split({inner}, ' ')), "
+        f"(acc, x) -> CASE WHEN acc = '' THEN x "
+        f"WHEN (acc = '{a}' OR ends_with(acc, ' {a}')) AND x = '{b}' "
+        f"THEN acc || '{b}' "
+        f"ELSE acc || ' ' || x END)"
+    )
+
+
+def _bpe_encode_sql() -> str:
+    expr = "array_to_string(string_split(word, ''), ' ')"
+    for a, b in _BPE_APPLY_MERGES:
+        expr = _bpe_fold_sql(expr, a, b)
+    return expr
+
+
+_BPE_ENCODE_ORACLE = f"""
+WITH pairs AS (
+  SELECT doc_id, unnest({_D_TOKENS}) AS word FROM documents
+),
+fp AS (SELECT doc_id, word FROM pairs WHERE word <> ''),
+vocab AS (SELECT DISTINCT word FROM fp),
+enc AS (SELECT word, {_bpe_encode_sql()} AS sym FROM vocab),
+cnt AS (SELECT word, len(string_split(sym, ' ')) AS n_sub FROM enc)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(n_sub) AS BIGINT) AS n_subtokens
+FROM fp JOIN cnt USING (word)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register(
+    "bpe_encode_corpus",
+    oracle=_BPE_ENCODE_ORACLE,
+    doc=f"In-plan BPE tokenizer APPLICATION: a {len(_BPE_APPLY_MERGES)}"
+    "-merge learned table (training-order folds, incl. two-level "
+    "merges) encodes the DISTINCT word table as native sequential-fold "
+    "expressions — no UDF — and corpus tokens join the encoded "
+    "vocabulary map for per-document subtoken budgets "
+    "(operators/bpe.py:bpe_encode_words/bpe_subtoken_stats).  The "
+    "corpus shuffles only (doc_id, word); the nested folds run on "
+    "vocabulary-sized input (Zipf), which is what makes expression-"
+    "based tokenization viable at corpus scale.  The oracle replays "
+    "the identical folds in DuckDB list_reduce.",
+    tags=("text", "bpe", "tokenizer", "extension"),
+    extended=True,
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.bpe import bpe_subtoken_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_subtoken_stats(docs, _BPE_APPLY_MERGES).orderBy("doc_id")

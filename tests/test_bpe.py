@@ -136,3 +136,53 @@ def test_bpe_train_delta_scans_only_affected_words(spark):
     got = {(r.a, r.b): r.d for r in _word_pair_deltas(changed_old).collect()}
     assert got[("l", "o")] < 0  # merged pair disappears
     assert all(d != 0 for d in got.values())
+
+
+# -- in-plan encode (round-7) -----------------------------------------------
+
+
+def _ref_encode(word, merges):
+    s = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = out
+    return s
+
+
+def test_bpe_encode_words_matches_reference(spark):
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.operators.bpe import bpe_encode_words
+
+    merges = [("j", "o"), ("i", "n"), ("jo", "in"), ("a", "a")]
+    words = ["join", "joining", "rejoin", "in", "jo", "aaaa", "banana"]
+    df = spark.createDataFrame([(w,) for w in words], "word string").withColumn(
+        "sym", F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 "))
+    )
+    got = {r.word: r.sym.split(" ") for r in bpe_encode_words(df, merges).collect()}
+    for w in words:
+        assert got[w] == _ref_encode(w, merges), w
+    assert got["join"] == ["join"]  # two-level merge composes
+    assert got["aaaa"] == ["aa", "aa"]  # greedy left-to-right on repeats
+
+
+def test_bpe_subtoken_stats_counts(spark):
+    from diabetes_etl_spark.operators.bpe import bpe_subtoken_stats
+
+    df = spark.createDataFrame(
+        [(1, "join in jo"), (2, "order order")],
+        "doc_id long, text string",
+    )
+    merges = [("j", "o"), ("i", "n"), ("jo", "in"), ("o", "r"), ("or", "d")]
+    out = {r.doc_id: (r.n_tokens, r.n_subtokens) for r in bpe_subtoken_stats(df, merges).collect()}
+    # join->1, in->1, jo->1 subtokens; order -> or d e r? no: (o,r)->or,
+    # (or,d)->ord => o r d e r -> or d e r -> ord e r = 3 subtokens
+    assert out[1] == (3, 3)
+    assert out[2] == (2, 6)
