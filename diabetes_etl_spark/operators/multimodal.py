@@ -62,7 +62,11 @@ FEATURE_SCHEMA = (
 )
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> channels
+# color type -> DECODED channels (palette type 3 decodes to RGB: the
+# normalized form a training pipeline wants; its scanlines carry 1
+# index byte per pixel — see decode_png)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}
+_PNG_SCANLINE_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def attach_binary_payload(
@@ -108,6 +112,42 @@ def png_bytes(width: int, height: int, pixels: bytes) -> bytes:
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_palette_bytes(
+    width: int, height: int, palette: bytes, indices: bytes
+) -> bytes:
+    """Encode a PALETTE PNG (color type 3): ``palette`` is the PLTE
+    payload (RGB triples, <= 256 entries), ``indices`` one byte per
+    pixel.  Filter-0 scanlines, pure stdlib — the fixture/round-trip
+    twin of :func:`png_bytes` for the indexed-color decode path."""
+    if len(palette) % 3 or not 0 < len(palette) // 3 <= 256:
+        raise ValueError("palette must be 1..256 RGB triples")
+    if len(indices) != width * height:
+        raise ValueError("indices must be width*height bytes")
+    if max(indices) >= len(palette) // 3:
+        raise ValueError("palette index out of range")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + indices[y * width : (y + 1) * width]
+        for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette)
         + chunk(b"IDAT", zlib.compress(raw, 9))
         + chunk(b"IEND", b"")
     )
@@ -494,10 +534,15 @@ def probe_png(payload: bytes) -> tuple[int, int, int]:
 def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     """Full decode to raw pixel bytes: (width, height, channels, pixels).
 
-    Supports 8-bit, non-interlaced, gray/gray+alpha/RGB/RGBA — the
-    shapes a training-data pipeline normalizes to anyway."""
-    width = height = channels = None
+    Supports 8-bit, non-interlaced, gray/gray+alpha/RGB/RGBA AND
+    palette (color type 3, PLTE lookup) — palette images decode to
+    interleaved RGB, the normalized form a training pipeline wants
+    (tRNS palette alpha is out of scope: rows needing it should carry
+    RGBA sources).  Scanline unfiltering runs at the SCANLINE bpp (1
+    for palette indices), then indices map through the palette."""
+    width = height = color = None
     idat = bytearray()
+    palette = None
     for tag, data in _png_chunks(payload):
         if tag == b"IHDR":
             width, height, depth, color, _comp, _filt, interlace = (
@@ -509,20 +554,35 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("interlaced PNG not supported")
             if color not in _PNG_CHANNELS:
                 raise ValueError(f"unsupported PNG color type {color}")
-            channels = _PNG_CHANNELS[color]
+        elif tag == b"PLTE":
+            if len(data) % 3 or not data:
+                raise ValueError("malformed PNG PLTE chunk")
+            palette = data
         elif tag == b"IDAT":
             idat += data
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
+    sc_ch = _PNG_SCANLINE_CHANNELS[color]
     raw = zlib.decompress(bytes(idat))
-    expected = height * (1 + width * channels)
+    expected = height * (1 + width * sc_ch)
     if len(raw) != expected:
         raise ValueError(
             f"PNG pixel stream is {len(raw)} bytes, expected {expected}"
         )
-    return width, height, channels, _unfilter_scanlines(
-        raw, width, height, channels
-    )
+    pixels = _unfilter_scanlines(raw, width, height, sc_ch)
+    if color == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        n_entries = len(palette) // 3
+        out = bytearray(width * height * 3)
+        for i, idx in enumerate(pixels):
+            if idx >= n_entries:
+                raise ValueError(
+                    f"PNG palette index {idx} >= {n_entries} entries"
+                )
+            out[3 * i : 3 * i + 3] = palette[3 * idx : 3 * idx + 3]
+        return width, height, 3, bytes(out)
+    return width, height, sc_ch, pixels
 
 
 _JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,

@@ -543,3 +543,91 @@ def dedup_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "corpus_leakage_safe_split",
+    # closure -> cluster label -> split by hash of the CLUSTER, so a
+    # near-dup family can never straddle train/test (the contamination
+    # a doc-id hash split cannot prevent).
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS_ORACLE})
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(id, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id
+),
+lab AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+labeled AS (
+  SELECT d.doc_id, d.lang,
+    len(regexp_split_to_array(trim(d.text), '\\s+')) AS n_tokens,
+    COALESCE(lab.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN lab ON d.doc_id = lab.id
+),
+assigned AS (
+  SELECT *,
+    CASE WHEN (component * 2654435761) % 100 < 80 THEN 'train'
+         WHEN (component * 2654435761) % 100 < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM labeled
+)
+SELECT split, lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  CAST(COUNT(DISTINCT component) AS BIGINT) AS n_clusters
+FROM assigned GROUP BY split, lang
+ORDER BY split, lang
+""",
+    doc="LEAKAGE-SAFE train/val/test split: documents are assigned by "
+    "the multiplicative hash of their near-dup CLUSTER label "
+    "(apply_dedup's component), not their own id — so a near-duplicate "
+    "family lands in exactly one split and eval can never see a "
+    "training doc's twin (the contamination plain hash splits cannot "
+    "prevent; tests assert zero clusters straddle splits).  Costs one "
+    "components run over the pair relation + a label attach; the "
+    "assignment itself stays a zero-shuffle projection.",
+    tags=("dedup", "sampling", "split", "extension"),
+    extended=True,
+)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.dedup import apply_dedup
+    from diabetes_etl_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    lsh_pairs = DD.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=5, num_hashes=32, bands=8, threshold=0.8
+    ).select("doc_a", "doc_b")
+    if docs.count() <= 2000:
+        exact_pairs = DD.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=5, threshold=0.8
+        )
+        pairs = lsh_pairs.union(exact_pairs.select("doc_a", "doc_b")).distinct()
+    else:
+        pairs = lsh_pairs
+    labeled = apply_dedup(docs, pairs)
+    bucket = (F.col("component") * F.lit(2654435761)) % 100
+    assigned = labeled.select(
+        "lang",
+        "component",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        assigned.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.countDistinct("component").alias("n_clusters"),
+        )
+        .orderBy("split", "lang")
+    )

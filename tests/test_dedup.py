@@ -481,3 +481,34 @@ def test_apply_dedup_preserves_all_doc_columns(spark, tmp_path):
         "doc_id", "text", "n_chars", "component", "is_representative"
     }
     assert len(rows) == 2  # row count preserved: label attach, not a filter
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark, tmp_path):
+    """Every near-dup cluster must land wholly in one split — the
+    property the cluster-hash assignment exists for."""
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.operators.dedup import apply_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 300)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 290, 3)], "doc_a long, doc_b long"
+    )
+    labeled = apply_dedup(docs, pairs, work_dir=str(tmp_path / "cc"))
+    bucket = (F.col("component") * F.lit(2654435761)) % 100
+    assigned = labeled.select(
+        "component",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    straddlers = (
+        assigned.groupBy("component")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert straddlers == 0

@@ -825,3 +825,81 @@ def test_decode_payload_routes_420_jpeg():
         w, h, _fixture_color420_pixels(3, w, h), subsampling="420"
     )
     assert len(decode_payload("image/jpeg", payload)) == w * h * 3
+
+
+# -- palette PNG (color type 3, round-7) ------------------------------------
+
+
+def test_palette_png_decodes_to_rgb():
+    from diabetes_etl_spark.operators.multimodal import (
+        decode_png,
+        png_palette_bytes,
+        probe_png,
+    )
+
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+    indices = bytes([0, 1, 2, 3, 3, 2, 1, 0])  # 4x2
+    payload = png_palette_bytes(4, 2, palette, indices)
+    assert probe_png(payload) == (4, 2, 3)  # decoded channels
+    w, h, ch, raw = decode_png(payload)
+    assert (w, h, ch) == (4, 2, 3)
+    want = b"".join(palette[3 * i : 3 * i + 3] for i in indices)
+    assert raw == want
+
+
+def test_palette_png_filtered_scanlines_roundtrip():
+    # indices vary per row so Sub/Up filters would corrupt if bpp were
+    # wrong; filter-0 encode + full decode must reproduce exactly
+    from diabetes_etl_spark.operators.multimodal import (
+        decode_png,
+        png_palette_bytes,
+    )
+
+    palette = bytes(b for i in range(16) for b in (i * 16, 255 - i * 16, i))
+    indices = bytes((x * 3 + y * 5) % 16 for y in range(7) for x in range(5))
+    payload = png_palette_bytes(5, 7, palette, indices)
+    w, h, ch, raw = decode_png(payload)
+    assert (w, h, ch) == (5, 7, 3)
+    assert raw == b"".join(palette[3 * i : 3 * i + 3] for i in indices)
+
+
+def test_palette_png_rejects_bad_index_and_missing_plte():
+    import struct as _struct
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from diabetes_etl_spark.operators.multimodal import (
+        decode_png,
+        png_palette_bytes,
+    )
+
+    with _pytest.raises(ValueError, match="index out of range"):
+        png_palette_bytes(1, 1, bytes([1, 2, 3]), bytes([5]))
+
+    # hand-build a palette PNG with no PLTE
+    def chunk(tag, data):
+        return (
+            _struct.pack(">I", len(data)) + tag + data
+            + _struct.pack(">I", _zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    raw = _zlib.compress(b"\x00\x00")
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="missing PLTE"):
+        decode_png(payload)
+
+
+def test_decode_payload_routes_palette_png(spark):
+    from diabetes_etl_spark.operators.multimodal import (
+        decode_payload,
+        png_palette_bytes,
+    )
+
+    palette = bytes([10, 20, 30])
+    payload = png_palette_bytes(2, 2, palette, bytes(4))
+    assert decode_payload("image/png", payload) == bytes([10, 20, 30]) * 4
