@@ -1027,3 +1027,79 @@ def events_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_temporal_state_join",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, event_id, value, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS end_ts
+  FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT p.user_id, p.event_id,
+         c.event_id AS state_event_id, c.value AS state_value
+  FROM purch p LEFT JOIN clicks c
+    ON p.user_id = c.user_id
+   AND c.ts <= p.ts AND (c.end_ts IS NULL OR p.ts < c.end_ts)
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+  CAST(SUM(CASE WHEN state_event_id IS NOT NULL THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_with_state,
+  CAST(COALESCE(SUM(CAST(state_value AS DECIMAL(28,2))), 0)
+    AS DOUBLE) AS sum_state_value
+FROM j GROUP BY user_id ORDER BY user_id
+""",
+    doc="Temporal (SCD2 validity-interval) join "
+    "(operators/temporal.py): per-user click events become type-2 "
+    "history versions in-plan (start = ts, end = next version's start "
+    "— the same lead() window the CDC SCD2 sink commits), and every "
+    "purchase joins the version valid AT ITS OWN EVENT TIME — one "
+    "equi-join on the key with the interval predicate as join "
+    "residual, at most one match by the partition-of-time invariant "
+    "(no dedup pass, no fact-side window).  The interval formulation "
+    "of the as-of join; facts before any version carry NULLs.",
+    tags=("events", "temporal", "cdc", "extension"),
+    extended=True,
+)
+def events_temporal_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from diabetes_etl_spark.operators.temporal import temporal_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    history = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("state_event_id"),
+            F.col("value").alias("state_value"),
+            F.col("ts").alias("__start_at"),
+            F.lead("ts").over(w).alias("__end_at"),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = temporal_join(facts, history, ["user_id"], "ts")
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(
+                F.col("state_event_id").isNotNull().cast("int")
+            ).cast("long").alias("n_with_state"),
+            F.coalesce(
+                F.sum(F.col("state_value").cast("decimal(28,2)")),
+                F.lit(0),
+            ).cast("double").alias("sum_state_value"),
+        )
+        .orderBy("user_id")
+    )
