@@ -125,3 +125,62 @@ def merge_join_partial_aggs(
     d = F.broadcast(dim) if broadcast_dim else dim
     enriched = fact_batch.join(d, on)
     return merge_partial_aggs(store, enriched, keys, sum_cols)
+
+
+def merge_cdc_partial_aggs(
+    store: VersionedTable,
+    batch: DataFrame,
+    keys: Sequence[str],
+    op_col: str,
+    sum_cols: Sequence[str] = (),
+) -> int:
+    """Aggregate maintenance under RETRACTIONS — the Z-set/DBSP
+    formulation: each change row carries ``op_col`` with 'I' (insert)
+    or 'D' (delete of a previously-inserted row); an update is the
+    standard D(old-image) + I(new-image) pair, as CDC feeds emit it.
+    Inserts weigh +1, deletes -1; counts and sums are weighted the
+    same way, so the merged state equals the aggregate of the
+    SURVIVING rows exactly — and a group whose row count reaches zero
+    is REMOVED from the store (not kept as a zero row; its sums have
+    also provably cancelled).
+
+    Same atomic-overwrite/snapshot contract and ``foreachBatch``
+    shape as :func:`merge_partial_aggs`; unknown op codes fail the
+    refresh loudly rather than silently skewing the view.
+
+    MIN/MAX are NOT maintainable under retractions (deleting the
+    current max needs the full history) — that is inherent, not an
+    implementation gap; keep raw keys or a sketch for those.
+    """
+    ops = batch.select(F.col(op_col)).distinct()
+    bad = ops.filter(~F.col(op_col).isin("I", "D")).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"merge_cdc_partial_aggs: unknown op code {bad[0][0]!r} "
+            "(expected 'I' or 'D')"
+        )
+    w = F.when(F.col(op_col) == "I", F.lit(1)).otherwise(F.lit(-1))
+    aggs = [F.sum(w).alias("n_rows")]
+    for c in sum_cols:
+        aggs.append(
+            F.sum(
+                w * F.col(c).cast("decimal(28,2)")
+            ).alias(f"sum_{c}")
+        )
+    part = batch.groupBy(*keys).agg(*aggs)
+    if store.history():
+        merged = (
+            store.read()
+            .unionByName(part)
+            .groupBy(*keys)
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                *[
+                    F.sum(f"sum_{c}").alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+            )
+        )
+    else:
+        merged = part
+    return store.overwrite(merged.filter(F.col("n_rows") > 0))

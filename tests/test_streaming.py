@@ -310,3 +310,59 @@ def test_join_aggregate_maintenance_broadcasts_dim(spark, tmp_path, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cdc_aggregate_maintenance_handles_retractions(spark, tmp_path):
+    """Insert/delete deltas (updates as D+I pairs) maintained into the
+    store must equal the aggregate of the SURVIVING rows after every
+    batch, and fully-retracted groups must vanish from the store."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+    from diabetes_etl_spark.streaming.aggmaint import merge_cdc_partial_aggs
+
+    store = VersionedTable(spark, str(tmp_path / "cdc_agg"))
+    schema = "k string, v double, op string"
+    batches = [
+        [("a", 10.0, "I"), ("a", 5.0, "I"), ("b", 3.0, "I")],
+        # update a's 10.0 -> 12.5 (D old + I new); delete b's only row
+        [("a", 10.0, "D"), ("a", 12.5, "I"), ("b", 3.0, "D")],
+        [("c", 1.0, "I"), ("a", 5.0, "D")],
+    ]
+    live: list[tuple[str, float]] = []
+    for rows in batches:
+        merge_cdc_partial_aggs(
+            store, spark.createDataFrame(rows, schema), ["k"], "op", ["v"]
+        )
+        for k, v, op in rows:
+            if op == "I":
+                live.append((k, v))
+            else:
+                live.remove((k, v))
+        got = sorted(
+            (r.k, r.n_rows, str(r.sum_v)) for r in store.read().collect()
+        )
+        want = {}
+        for k, v in live:
+            n, s = want.get(k, (0, 0.0))
+            want[k] = (n + 1, s + v)
+        want_rows = sorted(
+            (k, n, f"{s:.2f}") for k, (n, s) in want.items() if n > 0
+        )
+        assert got == want_rows
+    # 'b' fully retracted: absent, not a zero row
+    assert "b" not in {r.k for r in store.read().collect()}
+
+
+def test_cdc_aggregate_maintenance_rejects_unknown_ops(spark, tmp_path):
+    import pytest as _pytest
+
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+    from diabetes_etl_spark.streaming.aggmaint import merge_cdc_partial_aggs
+
+    store = VersionedTable(spark, str(tmp_path / "cdc_agg_bad"))
+    df = spark.createDataFrame(
+        [("a", 1.0, "UPSERT")], "k string, v double, op string"
+    )
+    with _pytest.raises(ValueError, match="unknown op code"):
+        merge_cdc_partial_aggs(store, df, ["k"], "op", ["v"])
