@@ -66,6 +66,12 @@ HEADLINE = [
     # numbers swing on this host, trust paired/min-of-N comparisons.
     "sim_lsh_topk_scale",
     "sim_lsh_topk_vectorized",
+    # round-7 families: Bloom blocklist probe (broadcast bit table +
+    # FP accounting), dedup APPLY (components + representative attach),
+    # BM25 retrieval (broadcast query-sized sides)
+    "decontam_bloom_probe",
+    "dedup_apply_stats",
+    "text_bm25_topk",
 ]
 
 

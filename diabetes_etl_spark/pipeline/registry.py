@@ -312,6 +312,14 @@ class PipelineRunner:
         self.view_prefix = view_prefix
         self._done: dict[str, DataFrame] = {}
         self._in_progress: set[str] = set()
+        # single-pass warn metrics (pyspark Observation): observe nodes
+        # attached in _apply_expectations land here as "pending"; once
+        # a materialization ACTION has run over the observed plan they
+        # move to _observed and expectation_metrics() reads them for
+        # free (Observation.get blocks until an action — never read a
+        # pending one)
+        self._pending_obs: dict[str, tuple] = {}
+        self._observed: dict[str, tuple] = {}
 
     # -- execution --------------------------------------------------------
 
@@ -375,6 +383,36 @@ class PipelineRunner:
         for exp in ds.expectations:
             if exp.action == "drop":
                 df = df.filter(F.expr(exp.condition))
+        warn = [e for e in ds.expectations if e.action == "warn"]
+        if warn and not df.isStreaming:
+            # attach a CollectMetrics node so the warn counts ride the
+            # materialization scan itself — expectation_metrics() then
+            # costs ZERO extra passes for datasets whose write action
+            # ran (the DLT event-log behavior; the reference's
+            # data_validation_summary re-derives them with a second
+            # aggregate, pipeline:645-667).  Attached AFTER the
+            # fail-probe and drop filters: rows_checked counts the
+            # PUBLISHED rows, and the short-circuit fail probe must not
+            # consume the one-shot observation.
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            df = df.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows_checked"),
+                *[
+                    F.sum(
+                        F.when(
+                            F.expr(
+                                f"NOT coalesce(({e.condition}), false)"
+                            ),
+                            1,
+                        ).otherwise(0)
+                    ).alias(f"__v_{i}")
+                    for i, e in enumerate(warn)
+                ],
+            )
+            self._pending_obs[ds.name] = (obs, warn)
         return df
 
     def _materialize_cdc(self, ds: Dataset, df: DataFrame) -> DataFrame:
@@ -446,6 +484,10 @@ class PipelineRunner:
         if ds.partition_by:
             writer = writer.partitionBy(*ds.partition_by)
         writer.save(path)
+        if ds.name in self._pending_obs:
+            # the write was the action over the observed plan — the
+            # metrics are now available without any further scan
+            self._observed[ds.name] = self._pending_obs.pop(ds.name)
         out = self.spark.read.format(self.table_format).load(path)
         self._register_catalog_table(ds, path)
         out.createOrReplaceTempView(self.view_prefix + ds.name)
@@ -611,6 +653,29 @@ class PipelineRunner:
         for name, ds in self.pipeline.datasets.items():
             warn = [e for e in ds.expectations if e.action == "warn"]
             if not warn or name not in self._done:
+                continue
+            if name in self._observed:
+                # metrics captured DURING the materialization write —
+                # no re-scan; safe to read because the action provably
+                # ran (the pending->observed move happens after save())
+                obs, warn_obs = self._observed[name]
+                vals = obs.get
+                rows = [
+                    (
+                        name,
+                        e.name,
+                        int(vals["rows_checked"]),
+                        int(vals[f"__v_{i}"]),
+                    )
+                    for i, e in enumerate(warn_obs)
+                ]
+                parts.append(
+                    self.spark.createDataFrame(
+                        rows,
+                        "dataset string, expectation string, "
+                        "rows_checked bigint, violations bigint",
+                    )
+                )
                 continue
             df = self._done[name]
             agg = df.agg(

@@ -293,3 +293,58 @@ def test_streaming_partitioned_empty_first_run_registers_table(
     cols = spark.sql("DESCRIBE TABLE `default`.`bronze_part`").collect()
     assert {r.col_name for r in cols} >= {"k", "v"}
     spark.sql("DROP TABLE IF EXISTS `default`.`bronze_part`")
+
+
+def test_expectation_metrics_observed_without_rescan(spark, tmp_path):
+    """Warehouse-mode warn metrics must come from the Observation
+    captured during the materialization write — equal to a recompute,
+    and produced without re-scanning the dataset (the metrics frame
+    reads local rows, not files)."""
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.pipeline.registry import Pipeline, PipelineRunner
+
+    p = Pipeline("obs-metrics")
+
+    @p.table(name="src")
+    @p.expect_all({"value_positive": "v > 0", "small": "v < 100"})
+    def src(ctx):
+        return ctx.spark.createDataFrame(
+            [(1,), (-2,), (50,), (200,), (None,)], "v int"
+        )
+
+    runner = PipelineRunner(
+        p, spark, mode="warehouse", warehouse=str(tmp_path / "wh")
+    )
+    runner.run()
+    assert "src" in runner._observed  # captured by the write action
+    m = runner.expectation_metrics()
+    rows = {r.expectation: (r.rows_checked, r.violations) for r in m.collect()}
+    # NULL counts as a violation (non-TRUE), matching drop/fail paths
+    assert rows == {"value_positive": (5, 2), "small": (5, 2)}
+    # scan-free: the observed-path metrics frame is built from local
+    # rows — no file source anywhere in its plan
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+
+
+def test_expectation_metrics_fallback_in_views_mode(spark):
+    """Views mode runs no materialization action, so metrics fall back
+    to the aggregate recompute — same numbers, documented cost."""
+    from diabetes_etl_spark.pipeline.registry import Pipeline, PipelineRunner
+
+    p = Pipeline("obs-fallback")
+
+    @p.table(name="src")
+    @p.expect_all({"pos": "v > 0"})
+    def src(ctx):
+        return ctx.spark.createDataFrame([(1,), (-1,)], "v int")
+
+    runner = PipelineRunner(p, spark, mode="views")
+    runner.run()
+    assert "src" not in runner._observed
+    rows = {
+        r.expectation: (r.rows_checked, r.violations)
+        for r in runner.expectation_metrics().collect()
+    }
+    assert rows == {"pos": (2, 1)}
