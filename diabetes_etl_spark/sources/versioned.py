@@ -57,6 +57,7 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from diabetes_etl_spark.streaming.cdc import ConcurrentCommitError
 
@@ -571,6 +572,89 @@ class VersionedTable:
 
             df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
         return df
+
+    @staticmethod
+    def _changed_file_sets(
+        old_doc: dict, new_doc: dict
+    ) -> tuple[list[dict], list[dict]]:
+        """(old_only, new_only) file entries between two manifests.
+        Files present in BOTH cancel in any snapshot diff by multiset
+        algebra — exceptAll(common+A, common+B) = exceptAll(A, B) — so
+        the change feed never reads them."""
+        old_paths = {e["path"] for e in old_doc["files"]}
+        new_paths = {e["path"] for e in new_doc["files"]}
+        old_only = [e for e in old_doc["files"] if e["path"] not in new_paths]
+        new_only = [e for e in new_doc["files"] if e["path"] not in old_paths]
+        return old_only, new_only
+
+    def _read_file_entries(self, files: list[dict], schema_json: str):
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(schema_json))
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, e["path"]) for e in files]
+        # the NEWER manifest's schema is authoritative for both sides:
+        # files written before a merge_schema widening simply read the
+        # added columns as NULL — the same fill the snapshot reader uses
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def table_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level CHANGE FEED (the Delta CDF analogue): every row
+        inserted or deleted by each commit in ``(from_version,
+        to_version]``, as the table columns plus ``_change_type``
+        ('insert' / 'delete') and ``_commit_version``.  An upsert's
+        rewrite appears as its delete+insert pair — downstream
+        incremental consumers (streaming/aggmaint.py:
+        merge_cdc_partial_aggs takes exactly this shape) apply it as a
+        retraction.
+
+        Cost ∝ CHURN, not table size: a commit's diff only ever reads
+        the files that differ between its manifest and its parent's —
+        untouched files appear in both snapshots and cancel exactly
+        (multiset algebra, see _changed_file_sets), so a 1% update to a
+        100 TB table diffs ~2% of it.  Within the differing files the
+        diff is exceptAll both ways (duplicate-correct).
+
+        ``vacuum`` deletes old manifests, so the feed's horizon is the
+        retained history — asking past it raises the same loud error
+        as time travel."""
+        if to_version is None:
+            to_version, doc = self._latest()
+            if doc is None:
+                raise ValueError(
+                    f"table {self.path} has no committed version"
+                )
+        if to_version <= from_version:
+            raise ValueError(
+                f"to_version {to_version} must be > from_version "
+                f"{from_version}"
+            )
+        out = None
+        prev_doc = self._manifest_at(from_version)
+        for v in range(from_version + 1, to_version + 1):
+            doc = self._manifest_at(v)
+            old_only, new_only = self._changed_file_sets(prev_doc, doc)
+            new_side = self._read_file_entries(new_only, doc["schema"])
+            old_side = self._read_file_entries(old_only, doc["schema"])
+            inserts = new_side.exceptAll(old_side).select(
+                "*",
+                F.lit("insert").alias("_change_type"),
+                F.lit(v).alias("_commit_version"),
+            )
+            deletes = old_side.exceptAll(new_side).select(
+                "*",
+                F.lit("delete").alias("_change_type"),
+                F.lit(v).alias("_commit_version"),
+            )
+            step = inserts.unionByName(deletes)
+            out = step if out is None else out.unionByName(
+                step, allowMissingColumns=True
+            )
+            prev_doc = doc
+        return out
 
     def history(self) -> list[CommitInfo]:
         """Commit log, newest first (only non-vacuumed versions)."""

@@ -530,3 +530,125 @@ def test_merge_schema_evolution_survives_lost_race(spark, vt, monkeypatch):
     rows = {r.k: r.tag for r in got.collect()}
     assert rows[101] is None and rows[4] == "t"
     assert got.count() == 7
+
+
+# -- table_changes: row-level change feed (round-7) -------------------------
+
+
+def _cdf_rows(df):
+    return sorted(
+        (r._commit_version, r._change_type)
+        + tuple(r[c] for c in df.columns if not c.startswith("_"))
+        for r in df.collect()
+    )
+
+
+def test_table_changes_append_and_delete(spark, tmp_path):
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "cdf"))
+    vt.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))  # v1
+    vt.append(spark.createDataFrame([(3, "c")], "id long, v string"))  # v2
+    vt.delete_where("id = 1")  # v3
+
+    ch = vt.table_changes(1)
+    rows = _cdf_rows(ch)
+    assert (2, "insert", 3, "c") in rows
+    assert (3, "delete", 1, "a") in rows
+    # row 2 never changed after v1: absent from the feed
+    assert not any(r[2] == 2 for r in rows)
+
+
+def test_table_changes_upsert_is_delete_plus_insert(spark, tmp_path):
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "cdf2"), stats_cols=("id",))
+    vt.overwrite(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, x double")
+    )
+    vt.merge(
+        spark.createDataFrame([(2, 25.0), (3, 30.0)], "id long, x double"),
+        key_col="id",
+    )
+    rows = _cdf_rows(vt.table_changes(1))
+    assert (2, "delete", 2, 20.0) in rows
+    assert (2, "insert", 2, 25.0) in rows
+    assert (2, "insert", 3, 30.0) in rows
+    # id 1 lives in a rewritten-or-carried file; if its file was
+    # rewritten the unchanged ROW still cancels in exceptAll
+    assert not any(r[1:] == ("delete", 1, 10.0) for r in rows)
+    assert not any(r[1:] == ("insert", 1, 10.0) for r in rows)
+
+
+def test_table_changes_skips_untouched_files(spark, tmp_path):
+    """The common-file cancellation: an append's diff must read only
+    the new files (the big v1 file is in both manifests)."""
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "cdf3"))
+    vt.overwrite(spark.range(1000).selectExpr("id", "id * 2 AS y"))  # v1
+    vt.append(spark.createDataFrame([(5000, 1)], "id long, y long"))  # v2
+    old_doc = vt._manifest_at(1)
+    new_doc = vt._manifest_at(2)
+    old_only, new_only = vt._changed_file_sets(old_doc, new_doc)
+    assert old_only == []  # append rewrites nothing
+    assert sum(e.get("rows", 0) for e in new_only) == 1
+    rows = _cdf_rows(vt.table_changes(1))
+    assert rows == [(2, "insert", 5000, 1)]
+
+
+def test_table_changes_bad_range_and_vacuum_horizon(spark, tmp_path):
+    import pytest as _pytest
+
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "cdf4"))
+    vt.overwrite(spark.createDataFrame([(1,)], "id long"))
+    with _pytest.raises(ValueError, match="must be >"):
+        vt.table_changes(1)
+    for i in range(4):
+        vt.append(spark.createDataFrame([(10 + i,)], "id long"))
+    vt.vacuum(keep_last=2)
+    with _pytest.raises(ValueError, match="vacuumed"):
+        vt.table_changes(1).collect()
+
+
+def test_table_changes_feeds_cdc_aggregate_maintenance(spark, tmp_path):
+    """End-to-end: the change feed's (insert/delete) rows drive the
+    retraction-aware aggregate maintenance — maintained view equals
+    the aggregate of the CURRENT snapshot."""
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+    from diabetes_etl_spark.streaming.aggmaint import merge_cdc_partial_aggs
+
+    src = VersionedTable(spark, str(tmp_path / "cdf_src"), stats_cols=("k",))
+    view = VersionedTable(spark, str(tmp_path / "cdf_view"))
+    src.overwrite(
+        spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("b", 3.0)], "k string, v double"
+        )
+    )  # v1
+    # bootstrap the view from the v1 snapshot
+    boot = src.read(version_as_of=1).withColumn("op", F.lit("I"))
+    merge_cdc_partial_aggs(view, boot, ["k"], "op", ["v"])
+    src.merge(
+        spark.createDataFrame([("b", 9.0)], "k string, v double"), key_col="k"
+    )  # upsert changes nothing keyed... merge on k rewrites b rows
+    src.delete_where("k = 'a' AND v = 1.0")
+    feed = src.table_changes(1).withColumn(
+        "op", F.when(F.col("_change_type") == "insert", "I").otherwise("D")
+    )
+    merge_cdc_partial_aggs(view, feed, ["k"], "op", ["v"])
+    got = sorted((r.k, r.n_rows, str(r.sum_v)) for r in view.read().collect())
+    want = sorted(
+        (r.k, r.n_rows, str(r.sum_v))
+        for r in src.read()
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(28,2)")).alias("sum_v"),
+        )
+        .collect()
+    )
+    assert got == want
