@@ -103,3 +103,69 @@ def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("snapshot")
+
+
+@register(
+    "versioned_change_feed",
+    # The feed of the same overwrite -> append -> delete_where commit
+    # sequence: v2's changes are the appended 1996 rows (insert), v3's
+    # are the deleted low-key rows (delete).  The oracle replays both
+    # sets as plain predicates over the raw fixture — if the feed read
+    # a carried-over file, dropped a rewritten file's surviving rows'
+    # cancellation, or mislabeled a change, counts/sums here diverge.
+    oracle=f"""
+SELECT 2 AS commit_version, 'insert' AS change_type,
+  COUNT(*) AS n_rows, {sql_dec_sum("l_quantity", 2)} AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{_V1_CUT}'
+  AND l_shipdate < TIMESTAMP '{_V2_CUT}'
+UNION ALL
+SELECT 3, 'delete', COUNT(*), {sql_dec_sum("l_quantity", 2)}
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '{_V2_CUT}' AND l_orderkey < {_DEL_KEY}
+ORDER BY commit_version
+""",
+    doc="Row-level change feed over the versioned table "
+    "(sources/versioned.py:table_changes — the Delta CDF analogue): "
+    "after overwrite/append/delete_where commits, the feed from v1 "
+    "emits the append's rows as inserts and the delete's rows as "
+    "deletes, aggregated per (commit, change_type).  Files common to "
+    "consecutive manifests cancel by multiset algebra and are never "
+    "read (cost ∝ churn — asserted in tests/test_versioned.py); "
+    "rewritten files' surviving rows cancel in exceptAll.  The "
+    "delete+insert shape feeds merge_cdc_partial_aggs directly for "
+    "incremental view maintenance off the feed.",
+    tags=("versioned", "cdc", "extension"),
+    extended=True,
+)
+def versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+
+    base = tempfile.mkdtemp(prefix="spark_graft_vcdf_")
+    atexit.register(shutil.rmtree, base, True)
+    vt = VersionedTable(
+        spark, os.path.join(base, "tbl"), stats_cols=("l_orderkey",)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vt.overwrite(
+        li.filter(F.col("l_shipdate") < F.lit(_V1_CUT).cast("timestamp"))
+    )
+    vt.append(
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(_V1_CUT).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_V2_CUT).cast("timestamp"))
+        ).repartitionByRange(4, "l_orderkey")
+    )
+    vt.delete_where(f"l_orderkey < {_DEL_KEY}")
+    feed = vt.table_changes(1)
+    return (
+        feed.groupBy(
+            F.col("_commit_version").cast("int").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            dec_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("commit_version")
+    )
