@@ -25,3 +25,82 @@ def topk_per_group(
     return df.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= k
     )
+
+
+def topk_per_group_pruned(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """:func:`topk_per_group` with MAP-SIDE PRUNING — the shuffle-
+    volume fix for heavy-hitter groups at scale: the window form
+    shuffles EVERY row to its group's reducer and sorts whole groups;
+    at 100 TB with k=10 that moves the table to keep a sliver.
+
+    Two phases:
+    1. local: sortWithinPartitions(group, order) — a narrow per-
+       partition sort, NO exchange — then one Arrow-batched
+       ``mapInPandas`` keeps the first k rows per group per partition
+       (pandas groupby.head(k): vectorized, no Python-per-row work).
+       Survivors per group are bounded by k × n_partitions, and in
+       total by k × n_partitions × (groups present per partition) —
+       independent of row count.
+    2. global: the standard ranking window over the survivors (tiny).
+
+    Result identical to :func:`topk_per_group` for any TOTAL
+    ``order_cols`` order (local pruning can never drop a global top-k
+    row: a row outside its partition's per-group top k is dominated by
+    k rows that also reached the reducer).  Python appears only as a
+    vectorized head() over already-sorted Arrow batches — the honest
+    exception case (Spark has no bounded-top-k partial aggregate);
+    the sort itself stays JVM-side.
+
+    ``order_cols`` must be plain columns (optionally .desc()) whose
+    names can be given to sortWithinPartitions; expressions should be
+    projected to columns first.
+    """
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    sorted_df = df.sortWithinPartitions(*group_cols, *order_cols)
+    schema = sorted_df.schema
+
+    def local_head(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # mapInPandas may split one partition into several batches;
+        # carrying counts across batches keeps the per-partition bound
+        # exact (a group's rows are contiguous after the sort)
+        carry: dict[tuple, int] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # dropna=False: NULL group keys form a group, exactly as
+            # the SQL window's partitionBy groups nulls together
+            grp = pdf.groupby(list(group_cols), sort=False, dropna=False)
+            taken = grp.cumcount()
+            if carry:
+                base = pd.Series(
+                    [
+                        carry.get(key, 0)
+                        for key in zip(*[pdf[c] for c in group_cols])
+                    ],
+                    index=pdf.index,
+                )
+                taken = taken + base
+            keep = taken < k
+            for key, cnt in (
+                pdf.assign(__t=taken + 1)
+                .groupby(list(group_cols), sort=False, dropna=False)["__t"]
+                .max()
+                .items()
+            ):
+                key_t = key if isinstance(key, tuple) else (key,)
+                carry[key_t] = max(carry.get(key_t, 0), int(cnt))
+            out = pdf[keep]
+            if not out.empty:
+                yield out
+
+    pruned = sorted_df.mapInPandas(local_head, schema=schema)
+    return topk_per_group(pruned, group_cols, order_cols, k, rank_col)

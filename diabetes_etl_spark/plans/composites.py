@@ -607,3 +607,43 @@ def orders_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue") - F.lag("revenue").over(w), 2
         ).alias("revenue_delta"),
     ).orderBy("month_start")
+
+
+@register(
+    "topk_pruned_orders",
+    oracle="""
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rank
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 5
+ORDER BY o_orderpriority, rank
+""",
+    doc="Map-side-pruned grouped top-k "
+    "(operators/topk.py:topk_per_group_pruned): top-5 orders by price "
+    "within each of 5 priority classes — the heavy-hitter shape where "
+    "the plain window form shuffles EVERY row to 5 reducers.  Phase 1 "
+    "is a narrow per-partition sort + Arrow-batched per-group head(k) "
+    "(no exchange; survivors bounded by k x partitions per group), "
+    "phase 2 the ranking window over the bounded survivor set.  "
+    "Row-identical to the window form under the total "
+    "(price DESC, orderkey) order — the oracle IS the window form.",
+    tags=("topk", "window", "scale-technique", "extension"),
+    extended=True,
+)
+def topk_pruned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.topk import topk_per_group_pruned
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        topk_per_group_pruned(
+            orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+            ["o_orderpriority"],
+            [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+            5,
+        )
+        .orderBy("o_orderpriority", "rank")
+    )
