@@ -355,3 +355,73 @@ def hll_estimate(registers: DataFrame, m_log2: int = 6) -> DataFrame:
             "n_zero_registers"
         ),
     )
+
+
+def hll_grouped_registers(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    m_log2: int = 6,
+    seed: int = 19,
+) -> DataFrame:
+    """(group, idx, rho): one HLL register table PER GROUP — the
+    grouped form of :func:`hll_registers` (distinct-per-key rollups:
+    users per day, tokens per language).  Still ONE map-side-combined
+    groupBy; the state is at most 2^m_log2 rows per group, so a
+    million-group rollup shuffles a bounded multiple of the group
+    count, never the input.  Merge across tables/days with
+    register-wise max keyed by (group, idx)."""
+    m = 1 << m_log2
+    rho = F.when(
+        F.col("__w") > 0,
+        F.lit(_HLL_BITS) - F.length(F.expr("bin(__w)")) + F.lit(1),
+    ).otherwise(F.lit(_HLL_BITS + 1))
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            _hll_mix(F.col(key_col).cast("long"), seed).alias("__v"),
+        )
+        .select(
+            "grp",
+            F.pmod(F.col("__v"), F.lit(m)).cast("int").alias("idx"),
+            F.expr(f"__v div {m}").alias("__w"),
+        )
+        .select("grp", "idx", rho.cast("int").alias("rho"))
+        .groupBy("grp", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_grouped_estimate(
+    registers: DataFrame, m_log2: int = 6
+) -> DataFrame:
+    """(grp, hll_estimate, n_zero_registers) from a grouped register
+    table — the per-group fold of :func:`hll_estimate`, same exact-
+    BIGINT register sum and single-IEEE-expression estimate."""
+    m = 1 << m_log2
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    top = 1 << (_HLL_BITS + 1)
+    touched = registers.groupBy("grp").agg(
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), {_HLL_BITS + 1} - rho)"
+            )
+        ).alias("__s_touched"),
+        F.count("*").alias("__n_touched"),
+    )
+    return touched.select(
+        "grp",
+        (
+            F.lit(alpha)
+            * F.lit(float(m * m))
+            * F.lit(float(top))
+            / (
+                F.col("__s_touched")
+                + (F.lit(m) - F.col("__n_touched")) * F.lit(top)
+            )
+        ).alias("hll_estimate"),
+        (F.lit(m) - F.col("__n_touched")).cast("int").alias(
+            "n_zero_registers"
+        ),
+    )

@@ -1103,3 +1103,46 @@ def events_temporal_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_variant_props",
+    oracle="""
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+    AS sum_k,
+  CAST(COUNT(CASE WHEN json_extract_string(props, '$.missing') IS NOT NULL
+        THEN 1 END) AS BIGINT) AS n_with_missing_field
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="VARIANT semi-structured extraction (Spark 4's open-format "
+    "binary JSON type): props parsed ONCE into a variant column with "
+    "parse_json, fields extracted with typed variant_get paths — the "
+    "shredded-storage-ready successor to from_json/get_json_object "
+    "for schema-fluid payloads (no schema declaration, no per-field "
+    "re-parse; at scale variant's binary encoding skips the repeated "
+    "JSON text tokenization the string path pays).  try_variant_get "
+    "on an absent path returns NULL rather than failing under ANSI — "
+    "counted here to pin that contract.  Oracle replays through "
+    "DuckDB's JSON extraction.",
+    tags=("events", "json", "variant", "extension"),
+    extended=True,
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "long")
+    missing = F.try_variant_get(v, "$.missing", "string")
+    return (
+        ev.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.count("m").alias("n_with_missing_field"),
+        )
+        .orderBy("event_type")
+    )

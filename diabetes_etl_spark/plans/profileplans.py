@@ -144,3 +144,87 @@ def profile_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_distinct")
     )
     return est.crossJoin(F.broadcast(exact))
+
+
+def _hll_grouped_oracle() -> str:
+    from diabetes_etl_spark.operators.sampling import _MIX_A, _MIX_C, _MOD
+
+    return f"""
+WITH keyed AS (
+  SELECT event_type,
+    ((((user_id + {_HLL_SEED}) % {_MOD}) * ((user_id + {_HLL_SEED}) % {_MOD}))
+     % {_MOD} * {_MIX_A}
+     + ((user_id + {_HLL_SEED}) % {_MOD}) * {_MIX_C}) % {_MOD} AS v
+  FROM events WHERE user_id IS NOT NULL
+),
+regs AS (
+  SELECT event_type, v % {_HLL_M} AS idx,
+    MAX(CASE WHEN v // {_HLL_M} > 0
+             THEN 24 - length(bin(v // {_HLL_M})) + 1
+             ELSE 25 END) AS rho
+  FROM keyed GROUP BY event_type, v % {_HLL_M}
+),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(CAST(1 AS BIGINT) << (25 - rho)) AS BIGINT) AS st,
+         COUNT(*) AS nt
+  FROM regs GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+)
+SELECT a.event_type,
+  CAST({_HLL_ALPHA!r} AS DOUBLE) * CAST({float(_HLL_M * _HLL_M)!r} AS DOUBLE)
+    * CAST({float(_HLL_TOP)!r} AS DOUBLE)
+    / (st + ({_HLL_M} - nt) * {_HLL_TOP}) AS hll_estimate,
+  CAST({_HLL_M} - nt AS INT) AS n_zero_registers,
+  e.exact_distinct
+FROM agg a JOIN exact e USING (event_type)
+ORDER BY a.event_type
+"""
+
+
+@register(
+    "profile_hll_by_event_type",
+    oracle=_hll_grouped_oracle(),
+    doc="GROUPED portable HyperLogLog (operators/sketch.py:"
+    "hll_grouped_registers): one register table per event_type in a "
+    "single map-side-combined aggregate — distinct-per-key rollups "
+    "(users per day, tokens per language) whose state is bounded at "
+    "2^m rows PER GROUP regardless of input size, mergeable by "
+    "(group, idx) register max.  Estimates AND registers replay "
+    "bit-identically in DuckDB, next to the exact per-group counts.",
+    tags=("profile", "sketch", "approximate", "extension"),
+    extended=True,
+)
+def profile_hll_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.operators.sketch import (
+        hll_grouped_estimate,
+        hll_grouped_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_grouped_estimate(
+        hll_grouped_registers(
+            ev, "event_type", "user_id", m_log2=6, seed=_HLL_SEED
+        ),
+        m_log2=6,
+    )
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy(F.col("event_type").alias("grp"))
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return (
+        est.join(exact, "grp")
+        .select(
+            F.col("grp").alias("event_type"),
+            "hll_estimate",
+            "n_zero_registers",
+            "exact_distinct",
+        )
+        .orderBy("event_type")
+    )

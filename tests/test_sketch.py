@@ -232,3 +232,51 @@ def test_bloom_bits_partition_invariant(spark):
     b1 = sorted(r.bit for r in bloom_bits(df, "tok").collect())
     b2 = sorted(r.bit for r in bloom_bits(df.repartition(13), "tok").collect())
     assert b1 == b2
+
+
+# -- grouped HLL (round-7) --------------------------------------------------
+
+
+def test_grouped_hll_matches_per_group_global_hll(spark):
+    """The grouped form must produce, per group, exactly the registers
+    and estimate the global form produces on that group's slice."""
+    from diabetes_etl_spark.operators.sketch import (
+        hll_estimate,
+        hll_grouped_estimate,
+        hll_grouped_registers,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", (i * 7919) % 500) for i in range(3000)],
+        "grp string, uid long",
+    )
+    grouped = hll_grouped_estimate(
+        hll_grouped_registers(df, "grp", "uid")
+    )
+    got = {r.grp: (r.hll_estimate, r.n_zero_registers) for r in grouped.collect()}
+    for g in ("g0", "g1", "g2"):
+        part = df.filter(df.grp == g)
+        want = hll_estimate(hll_registers(part, "uid")).collect()[0]
+        assert got[g] == (want.hll_estimate, want.n_zero_registers)
+
+
+def test_grouped_hll_estimates_within_error_band(spark):
+    from diabetes_etl_spark.operators.sketch import (
+        hll_grouped_estimate,
+        hll_grouped_registers,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(1000)] + [("b", i) for i in range(100)],
+        "grp string, uid long",
+    )
+    est = {
+        r.grp: r.hll_estimate
+        for r in hll_grouped_estimate(
+            hll_grouped_registers(df, "grp", "uid")
+        ).collect()
+    }
+    # m=64 -> ~13% standard error; allow 3 sigma
+    assert abs(est["a"] - 1000) / 1000 < 0.4
+    assert abs(est["b"] - 100) / 100 < 0.4
