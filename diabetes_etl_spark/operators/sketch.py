@@ -207,6 +207,69 @@ def bloom_bits(
     )
 
 
+def bloom_hit_mask(
+    bits: DataFrame,
+    key_col: str,
+    m: int = 8192,
+    k: int = 5,
+    seed: int = 23,
+) -> Column:
+    """SCAN-LOCAL membership test: a boolean Column that is true iff
+    all k probe bits of column ``key_col`` are set — the fast
+    path of :func:`bloom_probe` and the shape a 100 TB blocklist scrub
+    actually wants.
+
+    The bit table is collected ONCE to the driver (bounded by m —
+    8 KB of ints per 64k-bit filter, the same bounded-collect budget
+    as the IVF training sample) and folded into an array-of-longs
+    bitmask LITERAL; each probe is then two integer ops + a bit test
+    inside whole-stage codegen.  No explode, no join, no shuffle, no
+    per-row aggregate — the probe disappears into the scan, which is
+    the entire point of a Bloom pre-filter.
+    """
+    return bloom_hit_mask_fp(bits, fingerprint(key_col), m, k, seed)
+
+
+def bloom_hit_mask_fp(
+    bits: DataFrame,
+    fp: Column,
+    m: int = 8192,
+    k: int = 5,
+    seed: int = 23,
+) -> Column:
+    """:func:`bloom_hit_mask` over an ALREADY-COMPUTED fingerprint
+    Column.  Callers probing long keys should project
+    ``fingerprint(col)`` into a column first and pass that column
+    here: Catalyst does not CSE the per-character fold, so inlining
+    the key would re-hash it once per probe (k x the string work --
+    the same pitfall cms_cells documents)."""
+    words = [0] * ((m + 63) // 64)
+    for row in bits.collect():  # <= m rows by construction
+        b = int(row["bit"])
+        words[b >> 6] |= 1 << (b & 63)
+    # two's-complement fold: LongType literals are signed 64-bit
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    mask = F.lit(words)
+    cond = None
+    for j in range(k):
+        a, bconst = _cms_row_params(j, seed)
+        bit = F.pmod(
+            F.pmod(fp * F.lit(a) + F.lit(bconst), F.lit(_MOD)), F.lit(m)
+        )
+        word = F.element_at(mask, (bit / 64).cast("int") + 1)
+        # (w >> n) & 1 reads bit n regardless of the sign bit;
+        # call_function routes the column-valued shift amount (the
+        # python F.shiftright binding only takes a literal)
+        test = (
+            F.call_function(
+                "shiftright", word, F.pmod(bit, F.lit(64)).cast("int")
+            ).bitwiseAND(F.lit(1))
+            == 1
+        )
+        cond = test if cond is None else (cond & test)
+    return cond
+
+
 def bloom_merge(*filters: DataFrame) -> DataFrame:
     """Bit union — per-partition/per-day filters built with identical
     (m, k, seed) combine into the filter of the concatenated input

