@@ -27,8 +27,37 @@ def incremental_file_ingest(
     fmt: str = "csv",
     header: bool = True,
     with_audit_columns: bool = True,
+    mode: str = "PERMISSIVE",
+    corrupt_record_col: str | None = None,
 ) -> DataFrame:
-    """Build the streaming bronze DataFrame (not yet started)."""
+    """Build the streaming bronze DataFrame (not yet started).
+
+    Malformed-row policy (``mode``, csv/json only — the parser modes
+    Spark defines): ``PERMISSIVE`` (default) NULL-fills unparseable
+    fields and, when ``corrupt_record_col`` is given, lands the raw
+    malformed line in that column so bad input is QUARANTINED, not
+    silently lost — at ingest scale a poison row must neither kill the
+    stream (FAILFAST's behavior, available when a hard gate is wanted)
+    nor vanish (``DROPMALFORMED``'s, for by-design-lossy feeds).  The
+    corrupt column is appended to the declared schema here; callers
+    route rows where it IS NOT NULL to a dead-letter table and drop it
+    from the clean path."""
+    if mode not in ("PERMISSIVE", "DROPMALFORMED", "FAILFAST"):
+        raise ValueError(f"unknown parser mode {mode!r}")
+    if corrupt_record_col:
+        if mode != "PERMISSIVE":
+            raise ValueError(
+                "corrupt_record_col requires PERMISSIVE mode (the other "
+                "modes never emit the corrupt row)"
+            )
+        from pyspark.sql.types import StringType, StructField
+
+        # copy — StructType.add mutates in place, and the caller's
+        # schema object is not ours to grow
+        schema = StructType(
+            list(schema.fields)
+            + [StructField(corrupt_record_col, StringType())]
+        )
     reader = spark.readStream.format(fmt).schema(schema)
     if fmt == "csv":
         # schema inference explicitly disabled, like the reference
@@ -36,6 +65,12 @@ def incremental_file_ingest(
         reader = reader.option("header", str(header).lower()).option(
             "inferSchema", "false"
         )
+    if fmt in ("csv", "json"):
+        reader = reader.option("mode", mode)
+        if corrupt_record_col:
+            reader = reader.option(
+                "columnNameOfCorruptRecord", corrupt_record_col
+            )
     df = reader.load(src_dir)
     if with_audit_columns:
         df = (

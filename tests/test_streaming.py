@@ -366,3 +366,147 @@ def test_cdc_aggregate_maintenance_rejects_unknown_ops(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="unknown op code"):
         merge_cdc_partial_aggs(store, df, ["k"], "op", ["v"])
+
+
+def test_ingest_quarantines_malformed_rows(spark, tmp_path):
+    """PERMISSIVE + corrupt_record_col: bad CSV lines land in the
+    quarantine column with clean fields NULL; good rows parse; the
+    stream completes (a poison row must never kill ingestion)."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from pyspark.sql.types import (
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from diabetes_etl_spark.streaming.ingest import (
+        incremental_file_ingest,
+        stream_snapshot,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.csv").write_text("a,b\n1,2\nnot_an_int,9\n3,4\n")
+    schema = StructType(
+        [StructField("a", IntegerType()), StructField("b", IntegerType())]
+    )
+    df = incremental_file_ingest(
+        spark,
+        str(src),
+        schema,
+        with_audit_columns=False,
+        corrupt_record_col="_bad",
+    )
+    out = stream_snapshot(spark, df).collect()
+    good = sorted((r.a, r.b) for r in out if r._bad is None)
+    bad = [r._bad for r in out if r._bad is not None]
+    assert good == [(1, 2), (3, 4)]
+    assert bad == ["not_an_int,9"]
+    # caller schema must not have been mutated by the quarantine column
+    assert [f.name for f in schema.fields] == ["a", "b"]
+
+
+def test_ingest_dropmalformed_and_guards(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from diabetes_etl_spark.streaming.ingest import (
+        incremental_file_ingest,
+        stream_snapshot,
+    )
+
+    src = tmp_path / "in2"
+    src.mkdir()
+    (src / "a.csv").write_text("a,b\n1,2\nbroken_row_xyz\n3,4\n")
+    schema = StructType(
+        [StructField("a", IntegerType()), StructField("b", IntegerType())]
+    )
+    df = incremental_file_ingest(
+        spark, str(src), schema, with_audit_columns=False,
+        mode="DROPMALFORMED",
+    )
+    got = sorted((r.a, r.b) for r in stream_snapshot(spark, df).collect())
+    assert got == [(1, 2), (3, 4)]
+    with _pytest.raises(ValueError, match="unknown parser mode"):
+        incremental_file_ingest(spark, str(src), schema, mode="YOLO")
+    with _pytest.raises(ValueError, match="requires PERMISSIVE"):
+        incremental_file_ingest(
+            spark, str(src), schema, mode="FAILFAST",
+            corrupt_record_col="_bad",
+        )
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmp_path):
+    """Watermarked stream-stream LEFT OUTER interval join: matched
+    pairs join; an impression with no click inside its interval is
+    EMITTED WITH NULLS once a LATER micro-batch advances the watermark
+    past its window end — the state-eviction semantics inner joins
+    never exercise (outer results flush on the NEXT batch, so the test
+    drives two availableNow runs over one checkpoint)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    left_dir = tmp_path / "imps"
+    right_dir = tmp_path / "clicks"
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    left_dir.mkdir()
+    right_dir.mkdir()
+    (left_dir / "b1.csv").write_text("imp_id,user,ts\n1,u1,10\n2,u2,20\n")
+    (right_dir / "b1.csv").write_text("click_user,cts\nu1,15\n")
+
+    def run_once():
+        imps = (
+            spark.readStream.format("csv")
+            .schema("imp_id int, user string, ts long")
+            .option("header", "true")
+            .load(str(left_dir))
+            .select(
+                "imp_id", "user",
+                F.col("ts").cast("timestamp").alias("imp_time"),
+            )
+            .withWatermark("imp_time", "5 seconds")
+        )
+        clicks = (
+            spark.readStream.format("csv")
+            .schema("click_user string, cts long")
+            .option("header", "true")
+            .load(str(right_dir))
+            .select(
+                "click_user",
+                F.col("cts").cast("timestamp").alias("click_time"),
+            )
+            .withWatermark("click_time", "5 seconds")
+        )
+        joined = imps.join(
+            clicks,
+            (F.col("user") == F.col("click_user"))
+            & (F.col("click_time") >= F.col("imp_time"))
+            & (
+                F.col("click_time")
+                <= F.col("imp_time") + F.expr("INTERVAL 30 SECONDS")
+            ),
+            "leftOuter",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # batch 2: watermark-advancing rows on BOTH sides flush the
+    # unmatched impression's state as a NULL-extended result
+    (left_dir / "b2.csv").write_text("imp_id,user,ts\n99,wm,500\n")
+    (right_dir / "b2.csv").write_text("click_user,cts\nwmc,500\n")
+    run_once()
+
+    rows = {
+        r.imp_id: (r.click_user, str(r.click_time) if r.click_time else None)
+        for r in spark.read.parquet(out_dir).collect()
+        if r.imp_id in (1, 2)
+    }
+    assert rows[1][0] == "u1"  # matched within the interval
+    assert rows[2] == (None, None)  # unmatched, flushed with NULLs
