@@ -71,6 +71,59 @@ _DATA_DIR = "_data"
 _STATS_OK = ("int", "uint", "double", "float", "timestamp", "date", "string", "large_string")
 
 
+_BLOOM_SEED = 29
+
+
+def _py_fingerprint(v) -> int:
+    """Pure-Python twin of operators/text.py:fingerprint (rolling hash
+    over the value's STRING form — matching Spark's CAST(x AS STRING)
+    for ints/strings, the key types bloom_cols supports)."""
+    acc = 0
+    for ch in str(v):
+        acc = (acc * 131 + ord(ch)) % 1_000_000_007
+    return acc
+
+
+def _bloom_positions(v, m: int, k: int) -> list[int]:
+    from diabetes_etl_spark.operators.sketch import _cms_row_params
+
+    fp = _py_fingerprint(v)
+    out = []
+    for j in range(k):
+        a, b = _cms_row_params(j, _BLOOM_SEED)
+        out.append(((a * fp + b) % 1_000_000_007) % m)
+    return out
+
+
+def _file_bloom_words(
+    full: str, col: str, m: int, k: int
+) -> list[int] | None:
+    """Packed bloom words for one parquet file's column (one column
+    read via Arrow; NULLs carry no identity and set no bits)."""
+    import pyarrow.parquet as pq
+
+    try:
+        tbl = pq.read_table(full, columns=[col])
+    except (KeyError, OSError, ValueError):
+        return None
+    if tbl.num_columns != 1:
+        return None
+    words = [0] * ((m + 63) // 64)
+    for v in tbl.column(0).to_pylist():
+        if v is None:
+            continue
+        for bit in _bloom_positions(v, m, k):
+            words[bit >> 6] |= 1 << (bit & 63)
+    return words
+
+
+def _bloom_maybe_contains(words: list[int], v, m: int, k: int) -> bool:
+    return all(
+        (words[bit >> 6] >> (bit & 63)) & 1
+        for bit in _bloom_positions(v, m, k)
+    )
+
+
 @dataclass(frozen=True)
 class CommitInfo:
     version: int
@@ -93,10 +146,30 @@ class VersionedTable:
         <path>/_data/<run-id>/part-*.parquet
     """
 
-    def __init__(self, spark: SparkSession, path: str, stats_cols: tuple[str, ...] = ()):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        stats_cols: tuple[str, ...] = (),
+        bloom_cols: tuple[str, ...] = (),
+        bloom_m: int = 4096,
+        bloom_k: int = 3,
+    ):
         self.spark = spark
         self.path = path.rstrip("/")
         self.stats_cols = tuple(stats_cols)
+        # per-file Bloom filters for POINT lookups on high-cardinality
+        # keys, where min/max stats prune nothing (a uuid-ish key's
+        # range spans every file).  Computed at write time from the
+        # written files' key column (one extra column read per file —
+        # the cost real writers fold into their commit step) with the
+        # same portable hash family as operators/sketch.py, stored as
+        # packed words in the manifest (bloom_m bits = bloom_m/8 bytes
+        # per file per column).  read(point=...) prunes manifest-side;
+        # false positives only cost a residual-filtered file read.
+        self.bloom_cols = tuple(bloom_cols)
+        self.bloom_m = bloom_m
+        self.bloom_k = bloom_k
 
     # -- manifest plumbing -------------------------------------------------
 
@@ -191,14 +264,22 @@ class VersionedTable:
                         hi = mx if hi is None or mx > hi else hi
                     if lo is not None:
                         stats[col] = [_json_safe(lo), _json_safe(hi)]
-            entries.append(
-                {
-                    "path": os.path.join(_DATA_DIR, rid, name),
-                    "rows": md.num_rows,
-                    "bytes": os.path.getsize(full),
-                    "stats": stats,
-                }
-            )
+            blooms: dict[str, list[int]] = {}
+            for col in self.bloom_cols:
+                words = _file_bloom_words(
+                    full, col, self.bloom_m, self.bloom_k
+                )
+                if words is not None:
+                    blooms[col] = words
+            entry = {
+                "path": os.path.join(_DATA_DIR, rid, name),
+                "rows": md.num_rows,
+                "bytes": os.path.getsize(full),
+                "stats": stats,
+            }
+            if blooms:
+                entry["bloom"] = blooms
+            entries.append(entry)
         return entries
 
     def _commit(
@@ -536,6 +617,7 @@ class VersionedTable:
         self,
         version_as_of: int | None = None,
         between: tuple[str, object, object] | None = None,
+        point: tuple[str, object] | None = None,
     ) -> DataFrame:
         """Snapshot read.  ``between=(col, lo, hi)`` prunes files whose
         recorded [min,max] is disjoint from [lo,hi] BEFORE Spark sees
@@ -557,6 +639,20 @@ class VersionedTable:
                 if col not in e.get("stats", {})
                 or not (e["stats"][col][1] < lo or e["stats"][col][0] > hi)
             ]
+        if point is not None:
+            pcol, pval = point
+            # bloom pruning: drop files whose per-file filter PROVES the
+            # key absent; files without a bloom for the column are
+            # conservatively kept.  Like between=, never a correctness
+            # decision — the residual equality filter still applies.
+            files = [
+                e
+                for e in files
+                if pcol not in e.get("bloom", {})
+                or _bloom_maybe_contains(
+                    e["bloom"][pcol], pval, self.bloom_m, self.bloom_k
+                )
+            ]
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(doc["schema"]))
@@ -568,9 +664,10 @@ class VersionedTable:
         df = self.spark.read.schema(schema).parquet(*paths)
         if between is not None:
             col, lo, hi = between
-            from pyspark.sql import functions as F
-
             df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+        if point is not None:
+            pcol, pval = point
+            df = df.filter(F.col(pcol) == F.lit(pval))
         return df
 
     @staticmethod

@@ -652,3 +652,88 @@ def test_table_changes_feeds_cdc_aggregate_maintenance(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+# -- per-file Bloom point-lookup pruning (round-7) ---------------------------
+
+
+def test_bloom_point_lookup_prunes_files(spark, tmp_path):
+    from diabetes_etl_spark.sources.versioned import (
+        VersionedTable,
+        _bloom_maybe_contains,
+    )
+
+    vt = VersionedTable(
+        spark, str(tmp_path / "blm"), bloom_cols=("key",)
+    )
+    df = spark.range(4000).selectExpr(
+        "concat('user-', id) AS key", "id AS v"
+    ).repartitionByRange(8, "v")
+    vt.overwrite(df)
+    _, doc = vt._latest()
+    assert len(doc["files"]) >= 4
+    assert all("key" in e.get("bloom", {}) for e in doc["files"])
+    # a present key: exactly its rows come back
+    got = vt.read(point=("key", "user-1234")).collect()
+    assert [(r.key, r.v) for r in got] == [("user-1234", 1234)]
+    # pruning really happens: most files' blooms reject the key
+    kept = sum(
+        1
+        for e in doc["files"]
+        if _bloom_maybe_contains(
+            e["bloom"]["key"], "user-1234", vt.bloom_m, vt.bloom_k
+        )
+    )
+    assert kept < len(doc["files"])
+    # an absent key: empty result (usually zero files read; a bloom
+    # false positive just costs a residual-filtered read)
+    assert vt.read(point=("key", "no-such-user")).count() == 0
+
+
+def test_bloom_point_lookup_is_never_a_correctness_decision(spark, tmp_path):
+    """Files without a bloom for the column are conservatively kept:
+    a table whose early commits predate bloom_cols still answers point
+    reads correctly."""
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+
+    plain = VersionedTable(spark, str(tmp_path / "blm2"))
+    plain.overwrite(
+        spark.createDataFrame([("a", 1), ("b", 2)], "key string, v int")
+    )
+    bloomy = VersionedTable(
+        spark, str(tmp_path / "blm2"), bloom_cols=("key",)
+    )
+    bloomy.append(
+        spark.createDataFrame([("c", 3)], "key string, v int")
+    )
+    assert [
+        (r.key, r.v) for r in bloomy.read(point=("key", "a")).collect()
+    ] == [("a", 1)]
+    assert [
+        (r.key, r.v) for r in bloomy.read(point=("key", "c")).collect()
+    ] == [("c", 3)]
+
+
+def test_bloom_words_match_operator_family(spark, tmp_path):
+    """The file bloom uses the same pairwise-independent family as
+    operators/sketch.py — integer keys hash via their string form,
+    matching Spark's CAST."""
+    from diabetes_etl_spark.sources.versioned import (
+        _bloom_maybe_contains,
+        _file_bloom_words,
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "blm3"), bloom_cols=("k",))
+    vt.overwrite(
+        spark.createDataFrame([(i,) for i in range(50)], "k long").coalesce(1)
+    )
+    _, doc = vt._latest()
+    e = next(e for e in doc["files"] if "k" in e.get("bloom", {}))
+    for i in range(50):
+        assert _bloom_maybe_contains(e["bloom"]["k"], i, 4096, 3)
+    misses = sum(
+        _bloom_maybe_contains(e["bloom"]["k"], 10_000 + i, 4096, 3)
+        for i in range(200)
+    )
+    assert misses < 10  # fp rate far below the 5% envelope at n=50
