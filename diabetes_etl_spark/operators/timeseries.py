@@ -139,3 +139,54 @@ def rolling_zscore(
             ),
         )
     )
+
+
+def ema(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float,
+    out_name: str = "ema",
+) -> DataFrame:
+    """One EMA row per key: the exponentially-weighted moving average
+    of ``value_col`` over the key's full (``order_cols``-sorted) series
+    — ema_t = alpha*x_t + (1-alpha)*ema_{t-1}, seeded at the first
+    observation.  The smoothing every metrics/monitoring stack applies
+    before alerting; NULL values are skipped (carry the state), so
+    sparse series behave like LOCF-then-smooth.
+
+    Shape: the recursion is inherently SEQUENTIAL per key — no window
+    frame expresses it — so the series folds in-plan: one groupBy
+    collects each key's (order, value) structs, array_sort fixes the
+    fold order, and a native ``aggregate`` lambda runs the recursion.
+    Exactly one key exchange (the same shuffle sessionize pays);
+    per-key memory is the series length, which is this operator's
+    honest bound — entity-keyed series (user/device/sku) are
+    bounded-by-activity, and a key hot enough to blow it needs a
+    windowed metric (rolling_zscore) rather than an all-history EMA.
+
+    Determinism: the fold is a fixed-order chain of IEEE ops — both
+    engines evaluate the identical expression tree element-by-element,
+    so results are bit-exact (the DuckDB oracle replays the same
+    list_reduce; no decimal needed because there is no commutative
+    reduction anywhere).
+    """
+    struct_cols = [F.col(c) for c in order_cols] + [
+        F.col(value_col).alias("__v")
+    ]
+    packed = (
+        df.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list(F.struct(*struct_cols))).alias("__s"))
+    )
+    fold = F.aggregate(
+        F.col("__s"),
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(x["__v"].isNull(), acc)
+        .when(acc.isNull(), x["__v"].cast("double"))
+        .otherwise(
+            F.lit(alpha) * x["__v"].cast("double")
+            + F.lit(1.0 - alpha) * acc
+        ),
+    )
+    return packed.select(*key_cols, fold.alias(out_name))

@@ -1146,3 +1146,40 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_ema_value",
+    oracle="""
+WITH packed AS (
+  SELECT user_id,
+    list_sort(list({'ts': ts, 'eid': event_id, 'value': value})) AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+  list_reduce(
+    list_prepend(CAST(NULL AS DOUBLE), list_transform(s, x -> x.value)),
+    (acc, v) -> CASE
+      WHEN v IS NULL THEN acc
+      WHEN acc IS NULL THEN CAST(v AS DOUBLE)
+      ELSE CAST(0.25 AS DOUBLE) * CAST(v AS DOUBLE)
+           + CAST(0.75 AS DOUBLE) * acc END
+  ) AS ema
+FROM packed ORDER BY user_id
+""",
+    doc="Per-user exponential moving average of event values "
+    "(operators/timeseries.py:ema, alpha=0.25): the sequential "
+    "recursion folds in-plan over each key's sorted series (one key "
+    "exchange; no window frame can express a recursion), NULLs carry "
+    "state.  Bit-exact cross-engine because the fold is a fixed-order "
+    "chain of IEEE ops — the oracle runs the identical list_reduce.",
+    tags=("events", "timeseries", "extension"),
+    extended=True,
+)
+def events_ema_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.timeseries import ema
+
+    ev = load_table(spark, sf_dir, "events")
+    return ema(
+        ev, ["user_id"], ["ts", "event_id"], "value", alpha=0.25
+    ).orderBy("user_id")

@@ -161,3 +161,39 @@ def test_drift_empty_side_yields_null_not_crash(spark):
     assert len(out) == 5
     assert all(r.cur_frac is None and r.tv_distance is None for r in out)
     assert all(r.cur_n == 0 for r in out)
+
+
+# -- ema (round-7) ----------------------------------------------------------
+
+
+def test_ema_matches_hand_recursion(spark):
+    from diabetes_etl_spark.operators.timeseries import ema
+
+    rows = [("u", i, float(v)) for i, v in enumerate([10, 20, 30, 40])]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = ema(df, ["k"], ["t"], "v", alpha=0.5).collect()[0].ema
+    want = 10.0
+    for v in [20.0, 30.0, 40.0]:
+        want = 0.5 * v + 0.5 * want
+    assert got == want
+
+
+def test_ema_skips_nulls_and_seeds_at_first_value(spark):
+    from diabetes_etl_spark.operators.timeseries import ema
+
+    df = spark.createDataFrame(
+        [("u", 0, None), ("u", 1, 8.0), ("u", 2, None), ("u", 3, 4.0)],
+        "k string, t int, v double",
+    )
+    got = ema(df, ["k"], ["t"], "v", alpha=0.25).collect()[0].ema
+    assert got == 0.25 * 4.0 + 0.75 * 8.0  # NULLs carried, seed = 8
+
+
+def test_ema_partition_invariant(spark):
+    from diabetes_etl_spark.operators.timeseries import ema
+
+    rows = [("u%d" % (i % 7), i, float((i * 37) % 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    a = sorted(map(tuple, ema(df, ["k"], ["t"], "v", 0.3).collect()))
+    b = sorted(map(tuple, ema(df.repartition(13), ["k"], ["t"], "v", 0.3).collect()))
+    assert a == b
