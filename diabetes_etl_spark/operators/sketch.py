@@ -488,3 +488,30 @@ def hll_grouped_estimate(
             "n_zero_registers"
         ),
     )
+
+
+def cms_join_size(cells_a: DataFrame, cells_b: DataFrame) -> DataFrame:
+    """1-row (join_size_estimate) — the CMS inner-product estimate of
+    |A ⋈ B| on the sketched key (Cormode-Muthukrishnan §4.2): for each
+    depth row r, sum_c A[r,c]*B[r,c] OVERESTIMATES the true join size
+    (every colliding key pair adds nonnegative mass), so the min over
+    rows is an upper bound that concentrates near the truth — the
+    classic cardinality estimate a planner consults before committing
+    to a join strategy, computable from two constant-size sketches
+    without touching either input again.
+
+    Both sketches must share (width, depth, seed).  Cost: one join of
+    two <= depth*width-row tables + a depth-row aggregate — O(1) in
+    input size, mergeable inputs (merge_cells) make it work across
+    partitions/days.  Deterministic like every sketch here: the
+    estimate hash-checks against a SQL replay."""
+    a = cells_a.select("r", "c", F.col("cnt").alias("__a"))
+    b = cells_b.select("r", "c", F.col("cnt").alias("__b"))
+    per_row = (
+        a.join(b, ["r", "c"])
+        .groupBy("r")
+        .agg(F.sum(F.col("__a") * F.col("__b")).alias("__dot"))
+    )
+    return per_row.agg(
+        F.min("__dot").cast("long").alias("join_size_estimate")
+    )

@@ -228,3 +228,77 @@ def profile_hll_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -- CMS join-size estimation (operators/sketch.py, round-7) ----------------
+
+_JS_W, _JS_D, _JS_SEED = 8192, 4, 7
+
+
+def _js_fp(expr: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(CAST({expr} AS VARCHAR), ''), "
+        "ch -> CAST(ascii(ch) AS BIGINT))), "
+        "(acc, x) -> (acc * 131 + x) % 1000000007)"
+    )
+
+
+def _js_cells(table: str, key: str) -> str:
+    # the CMS oracle column replay at this query's (w, d, seed)
+    from diabetes_etl_spark.plans.textplans import _cms_sql_col
+
+    col = _cms_sql_col("f", "j", width=_JS_W, depth=_JS_D, seed=_JS_SEED)
+    return f"""
+  SELECT j AS r, c, COUNT(*) AS cnt FROM (
+    SELECT {col} AS c, j FROM (
+      SELECT {_js_fp(key)} AS f FROM {table}
+    ) CROSS JOIN (SELECT unnest(generate_series(0, {_JS_D - 1})) AS j) js
+  ) GROUP BY j, c"""
+
+
+@register(
+    "profile_join_size_estimate",
+    oracle=f"""
+WITH ca AS ({_js_cells("orders", "o_orderkey")}),
+cb AS ({_js_cells("lineitem", "l_orderkey")}),
+dots AS (
+  SELECT ca.r, SUM(ca.cnt * cb.cnt) AS dot
+  FROM ca JOIN cb ON ca.r = cb.r AND ca.c = cb.c
+  GROUP BY ca.r
+),
+est AS (SELECT CAST(MIN(dot) AS BIGINT) AS join_size_estimate FROM dots)
+SELECT est.join_size_estimate,
+  (SELECT CAST(COUNT(*) AS BIGINT)
+   FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+    AS exact_join_size
+FROM est
+""",
+    doc="Join-cardinality estimation from two count-min sketches "
+    "(operators/sketch.py:cms_join_size — the Cormode-Muthukrishnan "
+    "inner product): per depth row, sum_c A[r,c]*B[r,c] upper-bounds "
+    "|orders ⋈ lineitem| and the min over rows concentrates near the "
+    "truth — the estimate a planner consults BEFORE committing to a "
+    "join strategy, computed from constant-size mergeable state "
+    "without rescanning either table.  Exact join size alongside; "
+    "both the APPROXIMATE estimate and the truth hash-match the "
+    "DuckDB replay.",
+    tags=("profile", "sketch", "join", "approximate", "extension"),
+    extended=True,
+)
+def profile_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.operators.sketch import cms_cells, cms_join_size
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    est = cms_join_size(
+        cms_cells(orders, "o_orderkey", _JS_W, _JS_D, _JS_SEED),
+        cms_cells(li, "l_orderkey", _JS_W, _JS_D, _JS_SEED),
+    )
+    exact = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .agg(F.count("*").alias("exact_join_size"))
+    )
+    return est.crossJoin(F.broadcast(exact))

@@ -415,7 +415,13 @@ def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CMS_W, _CMS_D, _CMS_SEED = 512, 4, 7
 
 
-def _cms_sql_col(f_expr: str, j_expr: str) -> str:
+def _cms_sql_col(
+    f_expr: str,
+    j_expr: str,
+    width: int | None = None,
+    depth: int | None = None,
+    seed: int | None = None,
+) -> str:
     # replay the pairwise-independent per-row (a_j, b_j) from
     # operators/sketch.py:_cms_row_params as literal CASE branches —
     # the multipliers MUST differ per row (depth independence; see the
@@ -424,7 +430,10 @@ def _cms_sql_col(f_expr: str, j_expr: str) -> str:
     from diabetes_etl_spark.operators.sampling import _MOD
     from diabetes_etl_spark.operators.sketch import _cms_row_params
 
-    params = [_cms_row_params(j, _CMS_SEED) for j in range(_CMS_D)]
+    width = _CMS_W if width is None else width
+    depth = _CMS_D if depth is None else depth
+    seed = _CMS_SEED if seed is None else seed
+    params = [_cms_row_params(j, seed) for j in range(depth)]
     a_case = (
         "CASE "
         + " ".join(
@@ -441,7 +450,7 @@ def _cms_sql_col(f_expr: str, j_expr: str) -> str:
     )
     return (
         f"CAST((({f_expr} * ({a_case}) + ({b_case}))"
-        f" % {_MOD}) % {_CMS_W} AS INT)"
+        f" % {_MOD}) % {width} AS INT)"
     )
 
 

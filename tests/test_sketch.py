@@ -314,3 +314,39 @@ def test_bloom_mask_probe_equals_join_probe(spark):
     # and the probe is genuinely scan-local: no join, no exchange
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+# -- CMS join-size estimation (round-7) --------------------------------------
+
+
+def test_cms_join_size_upper_bounds_and_tracks_truth(spark):
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.operators.sketch import cms_cells, cms_join_size
+
+    a = spark.createDataFrame(
+        [(f"k{i % 40}",) for i in range(1200)], "tok string"
+    )
+    b = spark.createDataFrame(
+        [(f"k{i % 25}",) for i in range(500)], "tok string"
+    )
+    truth = a.join(b, "tok").count()
+    est = cms_join_size(
+        cms_cells(a, "tok", width=1024, depth=4),
+        cms_cells(b, "tok", width=1024, depth=4),
+    ).collect()[0].join_size_estimate
+    assert est >= truth  # always an upper bound
+    assert est <= truth * 1.2  # concentrates at this width/cardinality
+
+
+def test_cms_join_size_disjoint_keys_is_small(spark):
+    from diabetes_etl_spark.operators.sketch import cms_cells, cms_join_size
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], "tok string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(300)], "tok string")
+    est = cms_join_size(
+        cms_cells(a, "tok", width=2048, depth=4),
+        cms_cells(b, "tok", width=2048, depth=4),
+    ).collect()[0].join_size_estimate
+    # truth is 0; only hash collisions contribute
+    assert est < 300 * 300 * 0.01
