@@ -131,3 +131,72 @@ def bm25_topk(
             .alias("bm25_rank"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09)
+    of N ranked candidate lists into one hybrid ranking:
+
+        rrf_score(d) = sum over lists L containing d of 1 / (k + rank_L(d))
+
+    — the standard score-free combiner for hybrid retrieval (BM25
+    lexical x embedding ANN), robust because it consumes only RANKS,
+    so the incomparable score scales of the fused retrievers never
+    meet.  ``k_rrf`` = 60 is the paper's constant.
+
+    Scale shape (100 TB lens): every input is a RETRIEVER OUTPUT —
+    top-k lists, i.e. query-sized, thousands of rows at most — so the
+    fusion is a union of tiny frames plus one bounded groupBy; nothing
+    here ever touches the corpus.  The corpus-scale work lives in the
+    retrievers being fused (bm25_topk's isin-pruned scan, the LSH/IVF
+    ANN profiles), which is exactly the decomposition a production
+    hybrid-search stack uses.
+
+    Determinism contract: rank is an INT, so 1/(k+rank) is one IEEE
+    division with integer-exact operands — bit-identical cross-engine
+    — quantized to 9 decimals at the source (the BM25 ln precedent)
+    and summed through DECIMAL(18,9), an order-free exact fold.  Ties
+    break (rrf_score DESC, id ASC).
+
+    Output: (id_col, rrf_score, n_lists, rrf_rank); ``topk`` keeps the
+    head if given.  Lists must carry distinct ids each (retriever
+    outputs do); a doc absent from a list simply contributes nothing.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    contribs = [
+        r.select(
+            F.col(id_col).alias("__id"),
+            F.round(
+                F.lit(1.0)
+                / (F.lit(k_rrf) + F.col(rank_col).cast("int")),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("__c"),
+        )
+        for r in rankings
+    ]
+    all_c = contribs[0]
+    for c in contribs[1:]:
+        all_c = all_c.unionByName(c)
+    fused = all_c.groupBy("__id").agg(
+        F.sum("__c").cast("double").alias("rrf_score"),
+        F.count("*").cast("int").alias("n_lists"),
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.col("__id"))
+    out = fused.select(
+        F.col("__id").alias(id_col),
+        "rrf_score",
+        "n_lists",
+        F.row_number().over(w).alias("rrf_rank"),
+    )
+    if topk is not None:
+        out = out.filter(F.col("rrf_rank") <= topk)
+    return out

@@ -84,3 +84,80 @@ def test_bm25_broadcasts_query_sized_sides(spark, sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# -- reciprocal-rank fusion (rrf_fuse, round-7) ------------------------------
+
+
+def _ref_rrf(lists, k=60):
+    """Pure-Python RRF: dict id -> (score, n_lists)."""
+    acc = {}
+    for lst in lists:
+        for _id, rank in lst:
+            s, n = acc.get(_id, (0.0, 0))
+            acc[_id] = (round(s + round(1.0 / (k + rank), 9), 9), n + 1)
+    return acc
+
+
+_L_LEX = [(10, 1), (11, 2), (12, 3), (13, 4)]
+_L_DENSE = [(12, 1), (10, 2), (14, 3)]
+
+
+def test_rrf_matches_reference(spark):
+    from diabetes_etl_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame(_L_LEX, "doc_id long, rank int")
+    b = spark.createDataFrame(_L_DENSE, "doc_id long, rank int")
+    got = {
+        r.doc_id: (r.rrf_score, r.n_lists)
+        for r in rrf_fuse([a, b]).collect()
+    }
+    want = _ref_rrf([_L_LEX, _L_DENSE])
+    assert set(got) == set(want)
+    for i in got:
+        assert abs(got[i][0] - want[i][0]) < 1e-9
+        assert got[i][1] == want[i][1]
+
+
+def test_rrf_rank_order_and_topk(spark):
+    from diabetes_etl_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame(_L_LEX, "doc_id long, rank int")
+    b = spark.createDataFrame(_L_DENSE, "doc_id long, rank int")
+    rows = rrf_fuse([a, b], topk=3).collect()
+    want = _ref_rrf([_L_LEX, _L_DENSE])
+    order = sorted(want, key=lambda i: (-want[i][0], i))[:3]
+    assert [r.doc_id for r in rows] == order
+    assert [r.rrf_rank for r in rows] == [1, 2, 3]
+
+
+def test_rrf_exact_tie_breaks_by_id(spark):
+    from diabetes_etl_spark.operators.ranking import rrf_fuse
+
+    # docs 20 and 21 hold ranks {1,2} and {2,1}: fused scores TIE
+    # exactly (decimal fold, not float accumulation) and the id
+    # tiebreak must put 20 first
+    a = spark.createDataFrame([(20, 1), (21, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(21, 1), (20, 2)], "doc_id long, rank int")
+    rows = rrf_fuse([a, b]).collect()
+    assert [r.doc_id for r in rows] == [20, 21]
+    assert rows[0].rrf_score == rows[1].rrf_score
+    assert [r.rrf_rank for r in rows] == [1, 2]
+
+
+def test_rrf_single_list_and_missing_docs(spark):
+    from diabetes_etl_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame(_L_LEX, "doc_id long, rank int")
+    rows = rrf_fuse([a]).collect()
+    assert all(r.n_lists == 1 for r in rows)
+    assert [r.doc_id for r in rows] == [10, 11, 12, 13]  # rank order
+
+
+def test_rrf_empty_input_raises(spark):
+    import pytest as _pytest
+
+    from diabetes_etl_spark.operators.ranking import rrf_fuse
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
