@@ -74,3 +74,70 @@ def blocked_match_pairs(
         .filter(F.col("distance") <= max_distance)
     )
     return cand.select("id_a", "id_b", "name_a", "name_b", "distance")
+
+
+def golden_records(
+    records: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    survivorship: list[Column],
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Survivorship: collapse ER match pairs into clusters and elect
+    ONE golden record per cluster — the master-data-management step
+    after :func:`blocked_match_pairs` (match → cluster → survive).
+
+    ``survivorship`` is the business rule as an ordering (e.g.
+    ``[F.col("updated_at").desc(), F.col("completeness").desc()]``);
+    the first row per cluster under that order survives.  ``id_col``
+    ASC is always appended, so election is total and deterministic
+    even when the rule ties.
+
+    Scale shape (100 TB lens): clustering reuses the iterative
+    connected-components operator (per-round parquet commits, restart
+    resume, auto star-switch for the long-chain pair graphs ER blocks
+    produce — sequential ids matching their neighbours chain, they do
+    not form cliques).  The election itself is ONE window over the
+    records partitioned by cluster — a single shuffle on the cluster
+    label; match-pair volume never touches it.  Records with no match
+    pair are their own cluster (singleton pass-through, label = own
+    id), so the output covers the full input.
+
+    Output: every input column + ``cluster_id`` (minimum member id,
+    the components label), ``cluster_size``, ``is_golden``.  Filter
+    ``is_golden`` for the deduplicated master table.
+    """
+    from pyspark.sql.window import Window
+
+    from diabetes_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    comp = connected_components(
+        pairs.select(id_a, id_b), id_a, id_b, work_dir=work_dir
+    )
+    labeled = records.join(
+        comp.select(
+            F.col("id").alias("__gid"),
+            F.col("component").alias("__comp"),
+        ),
+        records[id_col] == F.col("__gid"),
+        "left",
+    ).select(
+        *records.columns,
+        F.coalesce(F.col("__comp"), records[id_col]).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        *survivorship, F.col(id_col).asc()
+    )
+    return (
+        labeled.withColumn(
+            "cluster_size",
+            F.count("*").over(Window.partitionBy("cluster_id")),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("is_golden", F.col("__rn") == 1)
+        .drop("__rn")
+    )

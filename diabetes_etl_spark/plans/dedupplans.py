@@ -631,3 +631,102 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+# -- ER survivorship / golden record (operators/er.py, round-7) --------------
+
+_GOLDEN_ORACLE = """
+WITH RECURSIVE s AS (
+  SELECT c_custkey, c_name,
+         c_nationkey || '|' || c_mktsegment AS blk
+  FROM customer
+),
+pairs AS (
+  SELECT a.c_custkey AS ia, b.c_custkey AS ib
+  FROM s a JOIN s b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 2
+),
+edges AS (
+  SELECT ia AS a, ib AS b FROM pairs
+  UNION SELECT ib, ia FROM pairs
+),
+reach(id, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id
+),
+lab AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+cl AS (
+  SELECT c.*, COALESCE(l.component, c.c_custkey) AS cluster_id
+  FROM customer c LEFT JOIN lab l ON c.c_custkey = l.id
+),
+ranked AS (
+  SELECT *,
+    COUNT(*) OVER (PARTITION BY cluster_id) AS csize,
+    row_number() OVER (
+      PARTITION BY cluster_id ORDER BY c_acctbal DESC, c_custkey
+    ) AS rn
+  FROM cl
+)
+SELECT cluster_id,
+  CAST(csize AS BIGINT) AS cluster_size,
+  c_custkey AS golden_custkey,
+  c_name AS golden_name,
+  c_acctbal AS golden_acctbal,
+  c_mktsegment AS golden_mktsegment
+FROM ranked WHERE rn = 1 ORDER BY cluster_id
+"""
+
+
+@register(
+    "er_golden_customers",
+    oracle=_GOLDEN_ORACLE,
+    doc="ER survivorship (operators/er.py:golden_records): fuzzy "
+    "customer-name pairs blocked on (nation, segment) collapse into "
+    "clusters via the iterative components operator (per-round "
+    "parquet commits, auto star-switch — ER pair graphs CHAIN, "
+    "sequential ids match their neighbours), then ONE window elects "
+    "the golden record per cluster under the business rule "
+    "(highest account balance, id tiebreak).  Singletons pass "
+    "through as their own cluster, so the golden set is the full "
+    "deduplicated master table.  The oracle replays blocking, a "
+    "recursive-CTE closure, and the same election window.",
+    tags=("er", "dedup", "survivorship", "extension"),
+    extended=True,
+)
+def er_golden_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.er import (
+        blocked_match_pairs,
+        golden_records,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = blocked_match_pairs(
+        cust,
+        id_col="c_custkey",
+        name_col="c_name",
+        block_col=F.concat(
+            F.col("c_nationkey").cast("string"),
+            F.lit("|"),
+            F.col("c_mktsegment"),
+        ),
+        max_distance=2,
+    )
+    golden = golden_records(
+        cust,
+        pairs.select("id_a", "id_b"),
+        id_col="c_custkey",
+        survivorship=[F.col("c_acctbal").desc()],
+    )
+    return (
+        golden.filter("is_golden")
+        .select(
+            "cluster_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("c_custkey").alias("golden_custkey"),
+            F.col("c_name").alias("golden_name"),
+            F.col("c_acctbal").alias("golden_acctbal"),
+            F.col("c_mktsegment").alias("golden_mktsegment"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -256,3 +256,56 @@ def test_ppr_partition_invariant_bit_identical(spark):
         ).collect()
     )
     assert a == b
+
+
+# -- golden_records survivorship (operators/er.py, round-7) ------------------
+
+
+def _gr(spark):
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.operators.er import golden_records
+
+    # cluster {1,2,3} via chain 1-2, 2-3; cluster {5,6}; singleton 9
+    records = spark.createDataFrame(
+        [
+            (1, "alpha", 10.0),
+            (2, "alphb", 99.0),
+            (3, "alphc", 99.0),
+            (5, "beta", 7.0),
+            (6, "betb", 3.0),
+            (9, "gamma", 1.0),
+        ],
+        "rid long, name string, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    return golden_records(
+        records, pairs, id_col="rid",
+        survivorship=[F.col("score").desc()],
+    )
+
+
+def test_golden_records_clusters_and_election(spark):
+    rows = {r.rid: r for r in _gr(spark).collect()}
+    assert len(rows) == 6  # full input coverage
+    # chain closure: 1,2,3 share the min-id label 1
+    assert rows[1].cluster_id == rows[2].cluster_id == rows[3].cluster_id == 1
+    assert rows[5].cluster_id == rows[6].cluster_id == 5
+    assert rows[9].cluster_id == 9  # singleton pass-through
+    # highest score survives; 2 vs 3 tie at 99.0 -> min id 2 wins
+    golden = {r.rid for r in rows.values() if r.is_golden}
+    assert golden == {2, 5, 9}
+    assert rows[2].cluster_size == 3
+    assert rows[5].cluster_size == 2
+    assert rows[9].cluster_size == 1
+
+
+def test_golden_records_one_golden_per_cluster(spark):
+    out = _gr(spark).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.cluster_id, []).append(r.is_golden)
+    for cid, flags in per.items():
+        assert sum(flags) == 1, cid
