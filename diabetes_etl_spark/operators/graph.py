@@ -417,3 +417,126 @@ def personalized_pagerank(
         )
         ranks = spark.read.parquet(_round_path(work_dir, k))
     return ranks.select("node", "rank")
+
+
+def _lpa_step(e: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous label-propagation round: every node adopts the
+    most frequent label among its in-neighbours (ties -> smallest
+    label; no in-neighbours -> keep own).  The argmax folds into ONE
+    aggregate via max(struct(count, -label)) — max count first, then
+    max(-label) = MIN label — so the round is one join + two map-side-
+    combined aggregates, never a per-node window over vote rows."""
+    votes = (
+        e.join(
+            labels.select(F.col("node").alias("src"), "label"), "src"
+        )
+        .groupBy(F.col("dst").alias("node"), "label")
+        .agg(F.count("*").alias("c"))
+    )
+    winner = (
+        votes.groupBy("node")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("c").alias("c"),
+                    (-F.col("label")).alias("nl"),
+                )
+            ).alias("m")
+        )
+        .select("node", (-F.col("m.nl")).alias("__new"))
+    )
+    return (
+        labels.select("node", F.col("label").alias("__old"))
+        .join(winner, "node", "left")
+        .select(
+            "node", F.coalesce("__new", "__old").alias("label")
+        )
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    symmetric: bool = True,
+    work_dir: str | None = None,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """(node, label) after ``iterations`` of SYNCHRONOUS label
+    propagation (Raghavan et al. 2007, the fixed-round deterministic
+    form) — community detection as vote-counting: labels start as own
+    node ids and each round every node adopts its in-neighbourhood's
+    majority label, smallest-label tiebreak.
+
+    Synchronous + deterministic-tiebreak is what makes LPA
+    HASH-CHECKABLE: the reference algorithm's random update order and
+    random tie choice yield run-dependent communities, useless under
+    a correctness gate.  The fixed-round sync form is pure integer
+    arithmetic (counts and long labels — no floats anywhere), so a
+    SQL oracle unrolling the same rounds reproduces every label
+    bit-exactly.  Known sync-LPA caveat, inherited and documented:
+    labels can two-cycle on bipartite-ish regions (the reason the
+    round count is a fixed budget, not a convergence test).
+
+    Scale shape (100 TB lens): state is (node, label) — two longs per
+    node; each round is ONE edges ⋈ labels shuffle join plus two
+    map-side-combined aggregates (votes bounded by distinct
+    (node, in-label) pairs <= edges; the argmax folds into
+    max(struct)) and commits to ``work_dir`` parquet with _SUCCESS
+    markers — lineage truncation + driver-restart resume, write
+    parallelism from ``state_partitions`` / defaultParallelism
+    (operators/iterstate.py), the same contract as pagerank/
+    components.  ``symmetric=True`` doubles edges so isolated-sink
+    nodes still receive votes (undirected communities, the usual
+    reading)."""
+    spark = edges.sparkSession
+    nparts = state_write_partitions(spark, state_partitions)
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="spark_lpa_")
+        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
+    else:
+        os.makedirs(work_dir, exist_ok=True)
+
+    def _lpath(k: int) -> str:
+        return os.path.join(work_dir, f"labels_{k:05d}")
+
+    edge_path = os.path.join(work_dir, "edges")
+    if not _is_committed(edge_path):
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        if symmetric:
+            e = e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+        e.distinct().write.mode("overwrite").parquet(edge_path)
+    e = spark.read.parquet(edge_path)
+
+    last = None
+    for k in range(iterations, -1, -1):
+        if _is_committed(_lpath(k)):
+            last = k
+            break
+    if last is None:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        (
+            nodes.select("node", F.col("node").alias("label"))
+            .coalesce(nparts)
+            .write.mode("overwrite")
+            .parquet(_lpath(0))
+        )
+        last = 0
+    labels = spark.read.parquet(_lpath(last))
+
+    for k in range(last + 1, iterations + 1):
+        (
+            _lpa_step(e, labels)
+            .coalesce(nparts)
+            .write.mode("overwrite")
+            .parquet(_lpath(k))
+        )
+        labels = spark.read.parquet(_lpath(k))
+    return labels.select("node", "label")

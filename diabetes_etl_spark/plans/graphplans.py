@@ -346,3 +346,93 @@ def graph_ppr_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return personalized_pagerank(
         edges, sources, iterations=_ITERS, damping=_D, symmetric=True
     ).orderBy("node")
+
+
+# -- label-propagation communities (operators/graph.py, round-7) -------------
+
+_LPA_ITERS = 3
+
+
+def _lpa_round_sql(k: int) -> str:
+    return f"""
+v{k} AS (
+  SELECT e.dst AS node, l.label, COUNT(*) AS c
+  FROM e JOIN l{k - 1} l ON e.src = l.node
+  GROUP BY e.dst, l.label
+),
+w{k} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+      row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM v{k}
+  ) WHERE rn = 1
+),
+l{k} AS (
+  SELECT n.node, COALESCE(w.label, n.label) AS label
+  FROM l{k - 1} n LEFT JOIN w{k} w ON n.node = w.node
+)"""
+
+
+_LPA_ORACLE = (
+    """
+WITH raw AS (
+  SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (SELECT s AS src, c AS dst FROM raw
+      UNION SELECT c AS src, s AS dst FROM raw),
+l0 AS (SELECT src AS node, src AS label FROM e
+       UNION SELECT dst, dst FROM e)"""
+    + ",".join([""] + [_lpa_round_sql(k) for k in range(1, _LPA_ITERS + 1)])
+    + f"""
+SELECT node, label AS community,
+  CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+FROM l{_LPA_ITERS} ORDER BY node
+"""
+)
+
+
+@register(
+    "graph_lpa_trade",
+    oracle=_LPA_ORACLE,
+    doc=f"Community detection via SYNCHRONOUS label propagation "
+    f"({_LPA_ITERS} fixed rounds, smallest-label tiebreak) on the "
+    "symmetric supplier-customer trade graph "
+    "(operators/graph.py:label_propagation).  The random-order "
+    "reference LPA is run-dependent; the fixed-round sync form with "
+    "a deterministic tiebreak is pure integer arithmetic, so the "
+    "oracle unrolls identical vote-count rounds as CTE layers and "
+    "every intermediate label is hash-pinned.  Per round: one "
+    "edges-labels join + two map-side-combined aggregates (the "
+    "majority argmax folds into max(struct(count, -label))), state "
+    "committed to parquet with restart resume.",
+    tags=("graph", "iterative", "community", "extension"),
+    extended=True,
+)
+def graph_lpa_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from diabetes_etl_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    labels = label_propagation(edges, iterations=_LPA_ITERS, symmetric=True)
+    return (
+        labels.select(
+            "node",
+            F.col("label").alias("community"),
+        )
+        .withColumn(
+            "community_size",
+            F.count("*").over(Window.partitionBy("community")),
+        )
+        .orderBy("node")
+    )

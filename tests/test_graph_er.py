@@ -309,3 +309,97 @@ def test_golden_records_one_golden_per_cluster(spark):
         per.setdefault(r.cluster_id, []).append(r.is_golden)
     for cid, flags in per.items():
         assert sum(flags) == 1, cid
+
+
+# -- label propagation (operators/graph.py:label_propagation, round-7) -------
+
+
+def _ref_lpa(edges, iters):
+    """Pure-Python synchronous LPA: majority in-label, min tiebreak,
+    keep own when no in-neighbours.  edges: directed (src, dst) set
+    AFTER symmetrization."""
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    lab = {n: n for n in nodes}
+    for _ in range(iters):
+        votes = {}
+        for s, d in edges:
+            votes.setdefault(d, {}).setdefault(lab[s], 0)
+            votes[d][lab[s]] += 1
+        nxt = {}
+        for n in nodes:
+            if n in votes:
+                best = max(votes[n].items(), key=lambda kv: (kv[1], -kv[0]))
+                nxt[n] = best[0]
+            else:
+                nxt[n] = lab[n]
+        lab = nxt
+    return lab
+
+
+def _lpa_edges():
+    # two triangles {1,2,3} and {10,11,12} joined by a weak bridge 3-10
+    return [
+        (1, 2), (2, 3), (1, 3),
+        (10, 11), (11, 12), (10, 12),
+        (3, 10),
+    ]
+
+
+def test_lpa_matches_reference(spark):
+    from diabetes_etl_spark.operators.graph import label_propagation
+
+    raw = _lpa_edges()
+    df = spark.createDataFrame(raw, "src long, dst long")
+    got = {
+        r.node: r.label
+        for r in label_propagation(df, iterations=3).collect()
+    }
+    sym = set(raw) | {(b, a) for a, b in raw}
+    want = _ref_lpa(sym, 3)
+    assert got == want
+    # the left triangle resolves to its min label; every node ends
+    # with a label from the graph's id set (sanity on the vote rule)
+    assert got[1] == got[2] == got[3] == 1
+    assert set(got.values()) <= set(got)
+
+
+def test_lpa_partition_invariant(spark):
+    from diabetes_etl_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(_lpa_edges(), "src long, dst long")
+    a = sorted(map(tuple, label_propagation(df, iterations=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            label_propagation(df.repartition(7), iterations=3).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_lpa_work_dir_resume_bit_identical(spark, tmp_path):
+    from diabetes_etl_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(_lpa_edges(), "src long, dst long")
+    full = sorted(
+        map(
+            tuple,
+            label_propagation(
+                df, iterations=3, work_dir=str(tmp_path / "a")
+            ).collect(),
+        )
+    )
+    # run 2 rounds into a second dir, then "restart" asking for 3 —
+    # the loop must resume from the committed round, not recompute
+    label_propagation(
+        df, iterations=2, work_dir=str(tmp_path / "b")
+    ).collect()
+    resumed = sorted(
+        map(
+            tuple,
+            label_propagation(
+                df, iterations=3, work_dir=str(tmp_path / "b")
+            ).collect(),
+        )
+    )
+    assert full == resumed
