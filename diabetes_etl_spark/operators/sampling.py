@@ -407,3 +407,61 @@ def fixed_size_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 97,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, algorithm A-Res): every row draws key = u^(1/w) with u a
+    unit-uniform and w its weight; the k largest keys ARE a weighted
+    sample without replacement — one pass, no sequential draws, which
+    is the property that makes the classic sequential algorithm
+    parallelizable at all.
+
+    Ranked here on the monotone-equivalent ln(u)/w (largest first):
+    u^(1/w) overflows nothing and needs no pow(), and ln is the ONE
+    libm call — quantized to 9 decimals at the source (the BM25 ln
+    precedent) so the selection replays bit-identically in a SQL
+    oracle; ties break on id.  u derives from the portable integer
+    hash of (id, seed) — shifted to (0, 1] so ln never sees 0 — NOT
+    rand(), so the sample is reproducible across runs, partitionings,
+    and engines, and re-keyable by seed.
+
+    Rows with NULL or non-positive weight are DROPPED (inclusion
+    probability 0; a negative weight is meaningless under A-Res) —
+    documented contract, not silent NaN propagation.
+
+    Scale shape (100 TB lens): one narrow projection computes the key,
+    then a global top-k — Spark's sort-limit physical plan keeps a
+    per-partition k-row heap and merges partials on the driver-side
+    single reduce (TakeOrderedAndProject), so no full sort and no
+    O(input) shuffle ever happens; cost is one scan + k rows moved.
+
+    Output: the sampled rows (all input columns) + ``sample_key`` +
+    ``sample_rank`` (1..k in selection order).
+    """
+    u = (_mix(F.col(id_col), seed) + F.lit(1)).cast("double") / F.lit(
+        float(_MOD + 1)
+    )
+    keyed = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn(
+        "sample_key",
+        F.round(F.log(u) / F.col(weight_col).cast("double"), 9),
+    )
+    picked = keyed.orderBy(
+        F.desc("sample_key"), F.col(id_col).asc()
+    ).limit(k)
+    return picked.select(
+        "*",
+        F.row_number()
+        .over(
+            Window.orderBy(F.desc("sample_key"), F.col(id_col).asc())
+        )
+        .alias("sample_rank"),
+    )

@@ -499,3 +499,55 @@ def corpus_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "sample_rank")
         .orderBy("lang", "sample_rank")
     )
+
+
+# -- weighted sampling without replacement (A-Res, round-7) ------------------
+
+_WS_K = 20
+_WS_SEED = 97
+
+_WS_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+    ROUND(
+      LN(CAST(({_mix_sql("doc_id", _WS_SEED)}) + 1 AS DOUBLE)
+         / {float(_MOD + 1)!r})
+      / CAST(n_chars AS DOUBLE), 9) AS sample_key
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, lang, n_chars, sample_key, CAST(rn AS INT) AS sample_rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY sample_key DESC, doc_id) AS rn
+  FROM keyed
+) WHERE rn <= {_WS_K}
+ORDER BY sample_rank
+"""
+
+
+@register(
+    "corpus_weighted_sample",
+    oracle=_WS_ORACLE,
+    doc=f"Weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+    f"A-Res): top-{_WS_K} documents by key ln(u)/w with w = n_chars — "
+    "longer documents proportionally likelier, one pass, no "
+    "sequential draws (operators/sampling.py:weighted_sample).  u is "
+    "the portable (0,1]-shifted integer hash of (doc_id, seed), ln "
+    "is quantized to 9 decimals at the source, so the SELECTION "
+    "ITSELF is hash-checkable cross-engine; physically a narrow "
+    "key projection + TakeOrderedAndProject (per-partition k-row "
+    "heaps, no full sort, no O(corpus) shuffle).",
+    tags=("sampling", "weighted", "extension"),
+    extended=True,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        weighted_sample(
+            docs, _WS_K, weight_col="n_chars", seed=_WS_SEED
+        )
+        .select("doc_id", "lang", "n_chars", "sample_key", "sample_rank")
+        .orderBy("sample_rank")
+    )

@@ -397,3 +397,100 @@ def test_temperature_mix_zero_weight_stratum_rate_zero(spark):
     out = temperature_mix(df).collect()
     assert all(r.lang == "en" for r in out)        # xx dropped entirely
     assert {r.doc_id for r in out} <= set(range(10))
+
+
+# -- weighted_sample (A-Res, round-7) ----------------------------------------
+
+
+def _ref_weighted(rows, k, seed):
+    """Pure-Python A-Res replay: rows = [(id, w)]."""
+    import math
+
+    from diabetes_etl_spark.operators.sampling import _MIX_A, _MIX_C, _MOD
+
+    keyed = []
+    for i, w in rows:
+        if w is None or w <= 0:
+            continue
+        mix = (((i + seed) % _MOD) * _MIX_A + _MIX_C) % _MOD
+        u = (mix + 1) / (_MOD + 1)
+        keyed.append((round(math.log(u) / w, 9), -i))
+    keyed.sort(reverse=True)
+    return [-ni for _, ni in keyed[:k]]
+
+
+def test_weighted_sample_matches_reference(spark):
+    from diabetes_etl_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(10 + 13 * (i % 7))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [
+        r.doc_id
+        for r in weighted_sample(df, 15, "w", seed=11)
+        .orderBy("sample_rank")
+        .collect()
+    ]
+    assert got == _ref_weighted(rows, 15, 11)
+
+
+def test_weighted_sample_drops_nonpositive_and_null(spark):
+    from diabetes_etl_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 5.0)],
+        "doc_id long, w double",
+    )
+    got = {r.doc_id for r in weighted_sample(df, 10, "w").collect()}
+    assert got == {1, 5}
+
+
+def test_weighted_sample_bias_toward_heavy_weights(spark):
+    """Item with 50x the weight of the rest must win top-1 far more
+    often across seeds (the A-Res inclusion-probability property)."""
+    from diabetes_etl_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 500.0 if i == 7 else 10.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, w double").cache()
+    wins = 0
+    for seed in range(30):
+        top = (
+            weighted_sample(df, 1, "w", seed=seed)
+            .collect()[0]
+            .doc_id
+        )
+        wins += top == 7
+    df.unpersist()
+    # P(win) = 500/690 ~ 0.72; 30 trials, expect ~22; require > 15
+    assert wins > 15, wins
+
+
+def test_weighted_sample_partition_invariant(spark):
+    from diabetes_etl_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + i % 9)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = [
+        (r.doc_id, r.sample_key)
+        for r in weighted_sample(df, 12, "w").orderBy("sample_rank").collect()
+    ]
+    b = [
+        (r.doc_id, r.sample_key)
+        for r in weighted_sample(df.repartition(17), 12, "w")
+        .orderBy("sample_rank")
+        .collect()
+    ]
+    assert a == b
+
+
+def test_weighted_sample_plan_is_heap_topk(spark):
+    """The selection must compile to TakeOrderedAndProject (per-
+    partition k-row heaps) — not a global sort exchange."""
+    from diabetes_etl_spark.operators.sampling import weighted_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).cast("double").alias("w")
+    )
+    plan = (
+        weighted_sample(df, 10, "w")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
