@@ -145,6 +145,29 @@ def minhash_signature(sh: Column, num_hashes: int = 32) -> Column:
     )
 
 
+def _minhash_band_rows(
+    base: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash) from a (doc_id, sh, sig) frame —
+    the LSH routing rows shared by the one-shot pair detector and the
+    persistable incremental index."""
+    rows = num_hashes // bands
+    return base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice(F.col("sig"), b * rows + 1, rows))
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band_idx", "bb.band_hash")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -183,20 +206,7 @@ def minhash_lsh_pairs(
     # twice.  Per-bucket work is bounded (bounded_bucket_pairs): even a
     # pathological near-identical corpus cannot make a bucket quadratic
     # or blow an aggregation buffer.
-    exploded = base.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice(F.col("sig"), b * rows + 1, rows))
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band_idx", "bb.band_hash")
+    exploded = _minhash_band_rows(base, num_hashes, bands)
     # Skew-safe pair generation: all-pairs within the bucket head, star
     # edges to the bucket leader beyond the cap (operators/util.py).
     cand_ids = bounded_bucket_pairs(
@@ -510,4 +520,143 @@ def apply_dedup(
                 "is_representative"
             ),
         )
+    )
+
+
+# -- incremental MinHash dedup against a persisted index (round-7) -----------
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the PERSISTABLE near-dup index of a corpus: the two
+    tables a production pipeline stores (e.g. in the versioned table)
+    so that every FUTURE ingest batch can be deduplicated against the
+    whole history without ever re-reading historical text.
+
+    Returns ``(bands_df, profiles_df)``:
+
+    - ``bands_df`` (doc_id, band_idx, band_hash): the LSH routing rows
+      — ``bands`` small fixed-width rows per document;
+    - ``profiles_df`` (doc_id, sh_hash array<bigint>): the distinct
+      shingle set as PORTABLE 60-bit hashes
+      (:func:`portable_token_hash`) — the exact-verification payload.
+      Hashes, not strings: the index stores a few bytes per shingle
+      instead of the text, and Jaccard over the hash sets equals
+      Jaccard over the shingle sets (a 60-bit collision inside one
+      comparison's union is ~|union|^2 / 2^61 — negligible, and the
+      SQL-replayable hash keeps even that failure mode deterministic).
+
+    Both tables must be built with the same (n, num_hashes, bands) the
+    incremental matcher will use — that tuple IS the index version.
+    """
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes "
+            f"({num_hashes}) with at least 1 row per band"
+        )
+    base = widen(df).select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    bands_df = _minhash_band_rows(base, num_hashes, bands)
+    profiles_df = base.select(
+        "doc_id",
+        F.transform(F.col("sh"), portable_token_hash).alias("sh_hash"),
+    )
+    return bands_df, profiles_df
+
+
+def minhash_lsh_incremental(
+    index_bands: DataFrame,
+    index_profiles: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Near-dup matches for an ingest batch against (a) the persisted
+    index of everything already accepted and (b) the batch itself —
+    the INCREMENTAL form of :func:`minhash_lsh_pairs`, and the shape
+    continuous corpus ingestion actually needs: per batch, cost scales
+    with the BATCH (plus one equi-join against the index's band
+    table), never with the accumulated corpus, whose text is never
+    read again.
+
+    Id spaces must be disjoint (an id present in both the index and
+    the batch would match itself).  Output:
+    (new_id, matched_id, jaccard_sim, match_scope) with
+    ``match_scope`` = 'index' (historical dup) or 'batch'
+    (within-batch dup, canonical new_id < matched_id).  Candidates
+    come from band-hash equality — the index side is an equi-join on
+    (band_idx, band_hash), the batch side goes through the bounded
+    skew-safe pair generator — and every candidate is verified with
+    exact Jaccard on the stored hash profiles, so precision is 1.0 by
+    construction; banding only affects recall (the S-curve).
+    """
+    new_bands, new_profiles = minhash_index(
+        new_docs, id_col, text_col, n, num_hashes, bands
+    )
+    # historical matches: one equi-join of the batch's band rows
+    # against the stored band table; only (id, band) pairs shuffle
+    idx_cand = (
+        new_bands.select(
+            F.col("doc_id").alias("new_id"), "band_idx", "band_hash"
+        )
+        .join(
+            index_bands.select(
+                F.col("doc_id").alias("matched_id"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("new_id", "matched_id")
+        .dropDuplicates(["new_id", "matched_id"])
+    )
+    # within-batch matches: the usual bounded bucket expansion
+    batch_cand = bounded_bucket_pairs(
+        new_bands, ["band_idx", "band_hash"], cap=bucket_cap
+    ).select(
+        F.col("doc_a").alias("new_id"), F.col("doc_b").alias("matched_id")
+    )
+
+    def _verify(cand: DataFrame, right_profiles: DataFrame, scope: str) -> DataFrame:
+        return (
+            cand.join(
+                new_profiles.select(
+                    F.col("doc_id").alias("new_id"),
+                    F.col("sh_hash").alias("__sh_a"),
+                ),
+                "new_id",
+            )
+            .join(
+                right_profiles.select(
+                    F.col("doc_id").alias("matched_id"),
+                    F.col("sh_hash").alias("__sh_b"),
+                ),
+                "matched_id",
+            )
+            .withColumn(
+                "jaccard_sim",
+                F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 6),
+            )
+            .filter(F.col("jaccard_sim") >= threshold)
+            .select(
+                "new_id",
+                "matched_id",
+                "jaccard_sim",
+                F.lit(scope).alias("match_scope"),
+            )
+        )
+
+    return _verify(idx_cand, index_profiles, "index").unionByName(
+        _verify(batch_cand, new_profiles, "batch")
     )

@@ -730,3 +730,66 @@ def er_golden_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# -- incremental MinHash dedup vs a persisted index (round-7) ----------------
+
+_INC_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_D_SHINGLES} AS sh FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+      AS jaccard_sim
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+)
+SELECT
+  CASE WHEN da % 2 = 1 THEN da ELSE db END AS new_id,
+  CASE WHEN da % 2 = 1 THEN db ELSE da END AS matched_id,
+  jaccard_sim,
+  CASE WHEN da % 2 = 1 AND db % 2 = 1 THEN 'batch' ELSE 'index' END
+    AS match_scope
+FROM pairs WHERE jaccard_sim >= 0.8
+ORDER BY new_id, matched_id
+"""
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=_INC_ORACLE,
+    doc="INCREMENTAL near-dup detection (operators/dedup.py:"
+    "minhash_index/minhash_lsh_incremental): even doc_ids play the "
+    "already-accepted corpus whose index (band rows + portable "
+    "shingle-hash profiles) is all that persists; odd doc_ids are the "
+    "ingest batch, matched against the index by ONE equi-join on "
+    "(band_idx, band_hash) and against themselves through the bounded "
+    "bucket pair generator, then exact-Jaccard-verified on the stored "
+    "hash profiles.  Per-batch cost scales with the BATCH — "
+    "historical text is never re-read, the index is a few fixed-width "
+    "rows per historical doc.  8x4 banding recalls every >=0.8 pair "
+    "at gate scale, so the exact all-pairs oracle applies verbatim "
+    "(the dedup_minhash_lsh precedent).",
+    tags=("dedup", "lsh", "incremental", "extension"),
+    extended=True,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    idx_bands, idx_profiles = DD.minhash_index(
+        old, "doc_id", "text", n=5, num_hashes=32, bands=8
+    )
+    return DD.minhash_lsh_incremental(
+        idx_bands,
+        idx_profiles,
+        new,
+        "doc_id",
+        "text",
+        n=5,
+        num_hashes=32,
+        bands=8,
+        threshold=0.8,
+    ).orderBy("new_id", "matched_id")

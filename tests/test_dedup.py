@@ -512,3 +512,130 @@ def test_leakage_safe_split_never_splits_a_cluster(spark, tmp_path):
         .count()
     )
     assert straddlers == 0
+
+
+# -- incremental minhash index (round-7) -------------------------------------
+
+
+def _inc_corpus(spark):
+    rows = [
+        # old corpus (even ids): two texts, one with a future near-dup
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten"),
+        # batch (odd ids): 1 ~ near-dup of 0, 3 ~ near-dup of 5, 5 base,
+        # 7 unique
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        (3, "red orange yellow green blue indigo violet pink brown gray"),
+        (5, "red orange yellow green blue indigo violet pink brown black"),
+        (7, "completely different content with no overlapping shingles at all"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _run_incremental(spark, docs):
+    from diabetes_etl_spark.operators import dedup as DD
+
+    old = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    bands, profiles = DD.minhash_index(old, "doc_id", "text", n=3)
+    return DD.minhash_lsh_incremental(
+        bands, profiles, new, "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+def test_incremental_matches_one_shot_restricted(spark):
+    """Incremental(new vs index+batch) == one-shot all-docs pairs
+    restricted to pairs touching a new doc, with identical jaccard."""
+    from diabetes_etl_spark.operators import dedup as DD
+
+    docs = _inc_corpus(spark)
+    inc = {
+        (min(r.new_id, r.matched_id), max(r.new_id, r.matched_id)): r.jaccard_sim
+        for r in _run_incremental(spark, docs).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard_sim
+        for r in DD.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+        if r.doc_a % 2 == 1 or r.doc_b % 2 == 1
+    }
+    assert inc == full
+    assert inc  # the fixture has matches by construction
+
+
+def test_incremental_match_scopes(spark):
+    rows = _run_incremental(spark, _inc_corpus(spark)).collect()
+    scopes = {(r.new_id, r.matched_id): r.match_scope for r in rows}
+    assert scopes[(1, 0)] == "index"  # batch doc 1 matches history 0
+    assert scopes[(3, 5)] == "batch"  # within-batch pair, canonical order
+    assert all(
+        (s == "batch") == (a % 2 == 1 and b % 2 == 1)
+        for (a, b), s in scopes.items()
+    )
+
+
+def test_incremental_index_survives_parquet_roundtrip(spark, tmp_path):
+    """The index tables are the PERSISTED artifact: writing them to
+    parquet and reloading must give bit-identical matches."""
+    from diabetes_etl_spark.operators import dedup as DD
+
+    docs = _inc_corpus(spark)
+    old = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    bands, profiles = DD.minhash_index(old, "doc_id", "text", n=3)
+    bands.write.parquet(str(tmp_path / "bands"))
+    profiles.write.parquet(str(tmp_path / "profiles"))
+    live = sorted(
+        map(tuple, _run_incremental(spark, docs).collect())
+    )
+    stored = sorted(
+        map(
+            tuple,
+            DD.minhash_lsh_incremental(
+                spark.read.parquet(str(tmp_path / "bands")),
+                spark.read.parquet(str(tmp_path / "profiles")),
+                new,
+                "doc_id",
+                "text",
+                n=3,
+                threshold=0.5,
+            ).collect(),
+        )
+    )
+    assert live == stored
+
+
+def test_hash_profile_jaccard_equals_string_jaccard(spark, sf_dir):
+    """Jaccard over portable shingle hashes == Jaccard over shingle
+    strings on the fixture corpus (no 60-bit collisions)."""
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.operators.dedup import portable_token_hash
+    from diabetes_etl_spark.operators.text import jaccard, word_shingles
+    from diabetes_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    base = docs.select(
+        "doc_id",
+        word_shingles(F.col("text"), 5).alias("sh"),
+    ).withColumn("shh", F.transform(F.col("sh"), portable_token_hash))
+    a = base.select(
+        F.col("doc_id").alias("ia"),
+        F.col("sh").alias("sa"),
+        F.col("shh").alias("ha"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("ib"),
+        F.col("sh").alias("sb"),
+        F.col("shh").alias("hb"),
+    )
+    diff = (
+        a.crossJoin(b)
+        .filter("ia < ib")
+        .withColumn("js", jaccard(F.col("sa"), F.col("sb")))
+        .withColumn("jh", jaccard(F.col("ha"), F.col("hb")))
+        .filter("js != jh")
+        .count()
+    )
+    assert diff == 0
