@@ -692,7 +692,7 @@ FROM ranked WHERE rn = 1 ORDER BY cluster_id
     "deduplicated master table.  The oracle replays blocking, a "
     "recursive-CTE closure, and the same election window.",
     tags=("er", "dedup", "survivorship", "extension"),
-    extended=True,
+    extended=False,  # promoted to the gate (round-7 session rotation, see registry._EXTENDED)
 )
 def er_golden_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.operators.er import (
@@ -773,7 +773,7 @@ ORDER BY new_id, matched_id
     "at gate scale, so the exact all-pairs oracle applies verbatim "
     "(the dedup_minhash_lsh precedent).",
     tags=("dedup", "lsh", "incremental", "extension"),
-    extended=True,
+    extended=False,  # promoted to the gate (round-7 session rotation, see registry._EXTENDED)
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -228,6 +228,19 @@ _EXTENDED: frozenset[str] = frozenset(
         # scan-local string work with no join/agg surface beyond what
         # the remaining gate covers — stays oracle-green locally
         "url_domain_stats",
+        # round-7 session rotation (same precedent): the END-TO-END er
+        # query er_golden_customers runs blocked_match_pairs itself
+        # (identical blocking + levenshtein machinery, on customer
+        # instead of part) and adds components + survivorship election
+        # on top, so the pair-only query yields its gate slot to the
+        # superset surface
+        "er_fuzzy_name_pairs",
+        # minhash family: dedup_incremental_minhash exercises the SAME
+        # signature/banding code path (minhash_index shares
+        # _minhash_band_rows with minhash_lsh_pairs) plus the persisted-
+        # index join and hash-profile verification; the one-shot pair
+        # detector stays a bench headline and oracle-green locally
+        "dedup_minhash_lsh",
     }
 )
 
