@@ -60,12 +60,6 @@ HEADLINE = [
     "text_bigram_lm_quality",
     "mix_temperature_langs",
     "events_locf_fill",
-    # equal-params pair: interpreted vs Arrow-vectorized LSH bucketing
-    # at identical (8 tables, 6 bits, top-5) — keeps the "vectorized
-    # wins (1.2-3x paired)" claim measured every round; single-shot
-    # numbers swing on this host, trust paired/min-of-N comparisons.
-    "sim_lsh_topk_scale",
-    "sim_lsh_topk_vectorized",
     # round-7 families: Bloom blocklist probe (broadcast bit table +
     # FP accounting), dedup APPLY (components + representative attach),
     # BM25 retrieval (broadcast query-sized sides)
@@ -149,6 +143,50 @@ def main() -> None:
                 f"# {name} (run 2, >1.5x spread extra): {elapsed}s",
                 file=sys.stderr,
             )
+    # Equal-params ANN pair: interpreted vs Arrow-vectorized LSH
+    # bucketing at identical (8 tables, 6 bits, top-5).  Measured in
+    # its own PAIRED block (round-7 VERDICT #1): single-shot numbers
+    # on this host swing up to 3x, and the r6/r7 driver artifacts and
+    # local re-measurements disagreed about which path wins — so the
+    # bench now runs the two queries ADJACENT, alternating which goes
+    # first each round, and publishes the RAW per-run samples so the
+    # driver's own artifact settles the claim without any out-of-band
+    # measurement.  4 rounds = 4 paired comparisons; "wins" counts
+    # rounds where vectorized was strictly faster than the interpreted
+    # run of the SAME round (paired, so page-cache/GC drift hits both).
+    ann_pair = None
+    _PAIR = ("sim_lsh_topk_scale", "sim_lsh_topk_vectorized")
+    if all(n in registry for n in _PAIR):
+        pair_samples: dict[str, list[float]] = {n: [] for n in _PAIR}
+        orders = []
+        wins_vec = 0
+        for rnd in range(4):
+            order = _PAIR if rnd % 2 == 0 else _PAIR[::-1]
+            orders.append("->".join(order))
+            round_t = {}
+            for name in order:
+                t = run_query(name, sf_dir)
+                pair_samples[name].append(t)
+                round_t[name] = t
+                print(f"# ann_pair round {rnd} {name}: {t}s", file=sys.stderr)
+            if round_t[_PAIR[1]] < round_t[_PAIR[0]]:
+                wins_vec += 1
+        ann_pair = {
+            "samples": pair_samples,
+            "orders": orders,
+            "paired_rounds": 4,
+            "vectorized_wins": wins_vec,
+            "min": {n: min(s) for n, s in pair_samples.items()},
+            "median": {
+                n: round(sorted(s)[len(s) // 2], 3)
+                for n, s in pair_samples.items()
+            },
+        }
+        # feed the pair's min/median into the headline dicts so the
+        # round-over-round per-query tracking keeps its continuity
+        for n in _PAIR:
+            samples[n] = pair_samples[n]
+
     timings = {n: min(s) for n, s in samples.items()}
     medians = {n: round(sorted(s)[len(s) // 2], 3) for n, s in samples.items()}
     total = round(sum(timings.values()), 3)
@@ -368,6 +406,8 @@ def main() -> None:
         "queries_median": medians,
         "sf": sf,
     }
+    if ann_pair is not None:
+        result["ann_pair"] = ann_pair
     if pipeline_e2e is not None:
         result["pipeline_e2e_sec"] = pipeline_e2e
     if scale10x is not None:

@@ -30,6 +30,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from diabetes_etl_spark.operators.text import jaccard, tokens, word_shingles
 from diabetes_etl_spark.operators.util import bounded_bucket_pairs, widen
@@ -583,6 +584,7 @@ def minhash_lsh_incremental(
     bands: int = 8,
     threshold: float = 0.8,
     bucket_cap: int = 64,
+    index_bucket_cap: int | None = 64,
 ) -> DataFrame:
     """Near-dup matches for an ingest batch against (a) the persisted
     index of everything already accepted and (b) the batch itself —
@@ -602,22 +604,46 @@ def minhash_lsh_incremental(
     skew-safe pair generator — and every candidate is verified with
     exact Jaccard on the stored hash profiles, so precision is 1.0 by
     construction; banding only affects recall (the S-curve).
+
+    Skew safety on the INDEX side (round-7 ADVICE): a hot index bucket
+    (a 100 TB corpus where millions of near-identical documents share
+    one band value) would make the raw equi-join emit
+    |batch-bucket| x |index-bucket| candidate rows — cost proportional
+    to the accumulated corpus, exactly what this operator promises to
+    avoid.  ``index_bucket_cap`` bounds the index side per
+    (band_idx, band_hash): only the cap smallest historical doc_ids in
+    a bucket are joinable.  The same argument as
+    ``bounded_bucket_pairs`` applies — a bucket only grows huge when
+    its members are near-identical, so a new doc that would have
+    verified against a tail member verifies against the retained head
+    members too; the match_scope='index' drop decision is unchanged,
+    only WHICH historical id it matches can differ.  The residual
+    recall exposure (a genuinely mixed bucket from a band-hash
+    collision where the true dup sits past the cap) needs ~cap
+    unrelated collisions on one 64-bit band value — negligible at
+    default band widths.  ``index_bucket_cap=None`` disables the bound
+    for callers whose index buckets are bounded by construction.
     """
     new_bands, new_profiles = minhash_index(
         new_docs, id_col, text_col, n, num_hashes, bands
     )
     # historical matches: one equi-join of the batch's band rows
     # against the stored band table; only (id, band) pairs shuffle
+    idx_side = index_bands.select(
+        F.col("doc_id").alias("matched_id"), "band_idx", "band_hash"
+    )
+    if index_bucket_cap is not None:
+        w = Window.partitionBy("band_idx", "band_hash").orderBy("matched_id")
+        idx_side = (
+            idx_side.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= index_bucket_cap)
+            .drop("__rn")
+        )
     idx_cand = (
         new_bands.select(
             F.col("doc_id").alias("new_id"), "band_idx", "band_hash"
         )
-        .join(
-            index_bands.select(
-                F.col("doc_id").alias("matched_id"), "band_idx", "band_hash"
-            ),
-            ["band_idx", "band_hash"],
-        )
+        .join(idx_side, ["band_idx", "band_hash"])
         .select("new_id", "matched_id")
         .dropDuplicates(["new_id", "matched_id"])
     )

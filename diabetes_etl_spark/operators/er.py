@@ -108,12 +108,30 @@ def golden_records(
     Output: every input column + ``cluster_id`` (minimum member id,
     the components label), ``cluster_size``, ``is_golden``.  Filter
     ``is_golden`` for the deduplicated master table.
+
+    Reserved names (round-7 ADVICE): the output columns
+    ``cluster_id`` / ``cluster_size`` / ``is_golden`` and the
+    internal scratch columns ``__gid`` / ``__comp`` / ``__rn`` must
+    not already exist on ``records`` — a collision would silently
+    clobber the caller's column or raise an ambiguous-reference error
+    deep in the plan, so it is rejected loudly here instead.
     """
     from pyspark.sql.window import Window
 
     from diabetes_etl_spark.operators.components import (
         connected_components,
     )
+
+    reserved = {
+        "cluster_id", "cluster_size", "is_golden", "__gid", "__comp", "__rn"
+    }
+    clash = sorted(reserved.intersection(records.columns))
+    if clash:
+        raise ValueError(
+            f"golden_records: input columns {clash} collide with "
+            f"reserved output/internal names {sorted(reserved)}; "
+            "rename them before calling"
+        )
 
     comp = connected_components(
         pairs.select(id_a, id_b), id_a, id_b, work_dir=work_dir

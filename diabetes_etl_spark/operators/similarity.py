@@ -481,13 +481,15 @@ def lsh_topk_vectorized(
     Native higher-order expressions evaluate lambda-per-element
     interpreted — fine for a handful of projections, but at 48 planes x
     dim 64 the matmul path is the honest winner (the one place in this
-    repo where a Python UDF beats built-ins).  Measured by paired
-    alternating runs at identical (8 tables, 6 bits, top-5) on sf0.1,
-    local[32]: vectorized won all 5 of 5 rounds, paired ratios
-    1.2-3.0x, medians 3.1s vs 5.3s (round 3; single-shot timings on
-    this host swing up to 3x, so only the paired comparison is
-    meaningful — bench.py keeps sim_lsh_topk_vectorized and
-    sim_lsh_topk_scale adjacent every round for exactly that reason).
+    repo where a Python UDF beats built-ins).  The claim is PAIRED:
+    single-shot timings on a shared host swing up to 3x (the round-7
+    driver artifact, where the two queries ran separated by the full
+    headline list, briefly showed vectorized behind), so bench.py runs
+    the pair in a dedicated adjacent alternating-order block
+    (``ann_pair`` in the bench JSON, raw per-run samples included)
+    and only the same-round comparison is meaningful.  Round-8 paired
+    measurement at identical (8 tables, 6 bits, top-5), sf0.1,
+    local[32]: vectorized won 4/4 rounds, ratios 1.4-2.7x.
     Hyperplanes come from a seeded PCG64 generator, deterministic
     across runs and platforms.
     """

