@@ -632,7 +632,7 @@ ORDER BY o_orderpriority, rank
     "Row-identical to the window form under the total "
     "(price DESC, orderkey) order — the oracle IS the window form.",
     tags=("topk", "window", "scale-technique", "extension"),
-    extended=True,
+    extended=False,  # promoted to the gate round 8 (registry._EXTENDED rationale)
 )
 def topk_pruned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.operators.topk import topk_per_group_pruned

@@ -241,6 +241,47 @@ _EXTENDED: frozenset[str] = frozenset(
         # index join and hash-profile verification; the one-shot pair
         # detector stays a bench headline and oracle-green locally
         "dedup_minhash_lsh",
+        # ---- round-8 rotation: six twins move out so the round-7
+        # families (text_bm25_topk, retrieval_rrf_hybrid,
+        # graph_lpa_trade, corpus_weighted_sample, topk_pruned_orders,
+        # versioned_change_feed) get driver-gate visibility.  Every
+        # demoted query keeps its oracle and stays green in
+        # tests/test_oracle.py:
+        # inner equi-join + broadcast dims: gate-covered by
+        # join_outer_semi_anti (full join-type surface) +
+        # grouping_sets_having_regions (the same region->nation->
+        # customer dim chain) + topk_pruned_orders (orders-side agg)
+        "q5_local_supplier_volume",
+        # watermarked tumbling event-time window: the streaming window
+        # semantics stay gate-covered by events_session_native
+        # (event-time sessionization) + stream_ingest_events (the
+        # readStream/availableNow machinery) + stream_join_enrich and
+        # stream_stateful_user_profiles (watermarked state)
+        "stream_tumbling_hourly",
+        # color-JPEG/palette-PNG decode twin: multimodal_features stays
+        # in the gate over the same mapInPandas decode machinery
+        # (format sniff, PNG reconstruction, WAV PCM stats); the
+        # color-specific paths stay pinned by tests/test_multimodal.py
+        # bit-exactness and the local oracle pairing
+        "multimodal_color_decode",
+        # SCD1 apply_changes: cdc_scd2_user_history stays in the gate —
+        # it is the stricter contract over the same sequenced-merge
+        # machinery (SCD1 is the degenerate keep-latest form of it)
+        "cdc_scd1_user_state",
+        # PageRank: the iterative-graph family keeps TWO gate slots
+        # (graph_kcore_trade + the incoming graph_lpa_trade) over the
+        # same two-joins-per-round + durable per-round commit
+        # machinery; pagerank was gate-green rounds 6-7 (the
+        # url_domain_stats precedent) and its decimal-folded unrolled
+        # oracle stays green locally
+        "graph_pagerank_trade",
+        # portable-hash Bernoulli/stratified sharding: gate-green since
+        # round 4; the sampling family keeps two gate slots — the
+        # incoming corpus_weighted_sample (same portable-hash selection
+        # through A-Res keys) and mix_temperature_langs (temperature
+        # resampling); the zero-shuffle shard-assignment plan shape
+        # stays asserted in tests/test_plans.py
+        "corpus_sampling_shards",
     }
 )
 

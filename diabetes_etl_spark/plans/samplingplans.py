@@ -538,7 +538,7 @@ ORDER BY sample_rank
     "key projection + TakeOrderedAndProject (per-partition k-row "
     "heaps, no full sort, no O(corpus) shuffle).",
     tags=("sampling", "weighted", "extension"),
-    extended=True,
+    extended=False,  # promoted to the gate round 8 (registry._EXTENDED rationale)
 )
 def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.operators.sampling import weighted_sample

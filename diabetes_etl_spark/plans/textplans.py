@@ -684,7 +684,7 @@ SELECT doc_id, bm25_score, CAST(rn AS INT) AS bm25_rank FROM (
     "decimal-folded across terms, making the ranking hash-checkable "
     "(see the determinism note in operators/ranking.py).",
     tags=("text", "ranking", "retrieval", "extension"),
-    extended=True,
+    extended=False,  # promoted to the gate round 8 (registry._EXTENDED rationale)
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.operators.ranking import bm25_topk

@@ -136,7 +136,7 @@ ORDER BY commit_version
     "delete+insert shape feeds merge_cdc_partial_aggs directly for "
     "incremental view maintenance off the feed.",
     tags=("versioned", "cdc", "extension"),
-    extended=True,
+    extended=False,  # promoted to the gate round 8 (registry._EXTENDED rationale)
 )
 def versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.sources.versioned import VersionedTable

@@ -124,6 +124,30 @@ def _bloom_maybe_contains(words: list[int], v, m: int, k: int) -> bool:
     )
 
 
+# Numeric widening chains for merge_schema type evolution (the Delta
+# type-widening set that parquet readers can reconcile WITHOUT
+# rewriting old files: Spark 4's vectorized reader up-promotes a
+# narrower physical value to the wider requested type — SPARK-40876).
+# Chains never cross kinds: long->double would silently lose precision
+# for |v| > 2^53, so int-chain vs float-chain conflicts raise instead.
+_WIDEN_CHAINS = (
+    ("byte", "short", "integer", "long"),
+    ("float", "double"),
+)
+
+
+def _widen_type(a, b):
+    """The wider of two Spark types along a widening chain; the type
+    itself when equal; None when not widenable (incompatible)."""
+    if a == b:
+        return a
+    an, bn = a.typeName(), b.typeName()
+    for chain in _WIDEN_CHAINS:
+        if an in chain and bn in chain:
+            return a if chain.index(an) >= chain.index(bn) else b
+    return None
+
+
 @dataclass(frozen=True)
 class CommitInfo:
     version: int
@@ -288,6 +312,7 @@ class VersionedTable:
         files: list[dict],
         base_version: int,
         schema_json: str,
+        app_txn: tuple[str, int] | None = None,
     ) -> int:
         version = base_version + 1
         doc = {
@@ -297,8 +322,39 @@ class VersionedTable:
             "schema": schema_json,
             "files": files,
         }
+        # Application transaction ids (Delta's `txn` action): a writer
+        # that processes an upstream feed records (app_id -> upstream
+        # version) IN the same atomic commit as the data, so after a
+        # crash the consumer reads its own table to learn exactly how
+        # far it got — the idempotence handshake streaming sinks need
+        # (streaming/changefeed.py is the consumer here).  The map
+        # carries forward from the parent manifest so unrelated
+        # commits never erase another app's cursor.
+        if base_version > 0:
+            try:
+                prev = self._manifest_at(base_version).get("app_txn", {})
+            except ValueError:
+                prev = {}
+        else:
+            prev = {}
+        merged_txn = dict(prev)
+        if app_txn is not None:
+            app_id, app_version = app_txn
+            merged_txn[str(app_id)] = int(app_version)
+        if merged_txn:
+            doc["app_txn"] = merged_txn
         self._publish(version, doc)
         return version
+
+    def last_app_version(self, app_id: str) -> int | None:
+        """The upstream version the latest commit recorded for
+        ``app_id`` (None when no commit has) — the consumer-side read
+        of the Delta-style `txn` idempotence handshake."""
+        _, doc = self._latest()
+        if doc is None:
+            return None
+        v = doc.get("app_txn", {}).get(str(app_id))
+        return int(v) if v is not None else None
 
     # -- public API --------------------------------------------------------
 
@@ -325,23 +381,51 @@ class VersionedTable:
 
     def _evolve(self, df: DataFrame, schema_json: str) -> DataFrame:
         """Schema-evolution alignment (Delta ``mergeSchema`` parity):
-        committed columns keep their committed types (cast, like
-        :meth:`_align`), committed columns the batch lacks are filled
-        with typed NULLs, and batch-only columns append to the schema
-        as nullable fields.  Old files never rewrite — the reader's
-        explicit manifest schema fills the new columns with NULL for
-        pre-evolution files."""
+
+        - committed columns the batch lacks fill with typed NULLs;
+        - batch-only columns append to the schema as nullable fields;
+        - a batch column NARROWER than its committed type upcasts to
+          the committed type (unchanged schema);
+        - a batch column WIDER along the numeric-widening chain
+          (byte < short < int < long, float < double) WIDENS the
+          committed type — Delta's type-widening: old files never
+          rewrite, the reader's explicit manifest schema makes the
+          parquet reader up-promote their narrower physical values
+          (Spark 4 widening reads);
+        - anything else (string vs numeric, long vs int-in-reverse,
+          timestamp vs date, ...) raises loudly — an implicit lossy
+          cast inside an "evolution" would silently corrupt data.
+
+        Old files never rewrite in any case — time travel reads every
+        version under the schema that version committed."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructField, StructType
 
         target = StructType.fromJson(json.loads(schema_json))
-        have = {f.name for f in target.fields}
+        by_name = {f.name: f for f in target.fields}
+        out_fields = []
+        for f in target.fields:
+            if f.name not in df.columns:
+                out_fields.append(f)
+                continue
+            batch_t = df.schema[f.name].dataType
+            wider = _widen_type(f.dataType, batch_t)
+            if wider is None:
+                raise ValueError(
+                    f"incompatible schema change for {self.path}: column "
+                    f"{f.name!r} is {f.dataType.simpleString()} in the "
+                    f"table but {batch_t.simpleString()} in the batch — "
+                    "only numeric widening (byte<short<int<long, "
+                    "float<double) evolves under merge_schema; rewrite "
+                    "the table to retype"
+                )
+            out_fields.append(StructField(f.name, wider, f.nullable))
         evolved = StructType(
-            list(target.fields)
+            out_fields
             + [
                 StructField(f.name, f.dataType, True)
                 for f in df.schema.fields
-                if f.name not in have
+                if f.name not in by_name
             ]
         )
         return df.select(
@@ -356,34 +440,49 @@ class VersionedTable:
     @staticmethod
     def _union_schema_json(committed_json: str, written_json: str) -> str:
         """Schema to commit after a lost append race under evolution:
-        the OTHER writer's committed fields (their types win — our
-        shared columns were already cast to the pre-race committed
-        types, which a concurrent append cannot change) plus our
-        written-file-only fields.  A genuine type conflict on a shared
-        name means the other commit was an overwrite/rollback that
-        retyped the table — surface it, the files on disk disagree."""
-        from pyspark.sql.types import StructType
+        per shared column the WIDER of the other writer's committed
+        type and our written type (both file sets are on disk; the
+        widening read reconciles whichever is physically narrower),
+        plus our written-file-only fields.  A non-widenable type
+        conflict on a shared name means the other commit was an
+        overwrite/rollback that retyped the table incompatibly —
+        surface it, the files on disk disagree."""
+        from pyspark.sql.types import StructField, StructType
 
         committed = StructType.fromJson(json.loads(committed_json))
         written = StructType.fromJson(json.loads(written_json))
-        by_name = {f.name: f for f in committed.fields}
-        for f in written.fields:
-            if f.name in by_name and by_name[f.name].dataType != f.dataType:
+        by_name = {f.name: f for f in written.fields}
+        merged = []
+        for f in committed.fields:
+            w = by_name.get(f.name)
+            if w is None or w.dataType == f.dataType:
+                merged.append(f)
+                continue
+            wider = _widen_type(f.dataType, w.dataType)
+            if wider is None:
                 raise ConcurrentCommitError(
                     f"column {f.name!r} was retyped concurrently "
-                    f"({by_name[f.name].dataType.simpleString()} vs "
-                    f"written {f.dataType.simpleString()})"
+                    f"({f.dataType.simpleString()} vs "
+                    f"written {w.dataType.simpleString()})"
                 )
-        extra = [f for f in written.fields if f.name not in by_name]
-        return StructType(list(committed.fields) + extra).json()
+            merged.append(StructField(f.name, wider, f.nullable))
+        have = {f.name for f in committed.fields}
+        extra = [f for f in written.fields if f.name not in have]
+        return StructType(merged + extra).json()
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(
+        self, df: DataFrame, app_txn: tuple[str, int] | None = None
+    ) -> int:
         """Replace the table contents (CREATE OR REPLACE).  Conflicts
         with any concurrent commit: the caller decided the full new
-        state from what it read, so a lost race must surface."""
+        state from what it read, so a lost race must surface.
+        ``app_txn=(app_id, upstream_version)`` records a consumer
+        cursor atomically with the data (see :meth:`last_app_version`)."""
         ver, _ = self._latest()
         files = self._write_data(df)
-        return self._commit("overwrite", files, ver, df.schema.json())
+        return self._commit(
+            "overwrite", files, ver, df.schema.json(), app_txn=app_txn
+        )
 
     def append(
         self, df: DataFrame, _retries: int = 5, merge_schema: bool = False

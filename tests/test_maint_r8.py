@@ -1,0 +1,395 @@
+"""Round-8 maintenance features (round-7 VERDICT #4/#5/#6/#8):
+
+- two-store join-aggregate view surviving BOTH fact deltas and
+  dimension updates (retract-old/insert-new over affected groups);
+- streaming consumption of the versioned table's change feed with the
+  Delta-`txn` idempotence handshake (cursor committed atomically with
+  the refreshed view);
+- schema evolution type WIDENING (int chain, float→double) on
+  merge_schema appends, with loud errors on incompatible changes;
+- MIN/MAX maintenance under retractions via bounded per-group
+  candidate state (exact while the extremum stays within k retained;
+  flagged recompute otherwise).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.sources.versioned import VersionedTable
+from diabetes_etl_spark.streaming.aggmaint import (
+    maintain_minmax_state,
+    merge_join_dim_delta,
+    merge_join_fact_delta,
+)
+from diabetes_etl_spark.streaming.changefeed import (
+    maintain_cdc_view,
+    run_to_latest,
+)
+
+
+# -- two-store join view: fact + dim deltas ---------------------------------
+
+
+def _batch_join_agg(spark, facts, dim):
+    """Reference recompute: Agg(all facts ⋈ current dim)."""
+    f = spark.createDataFrame(facts, "ck long, region string, amt double")
+    d = spark.createDataFrame(dim, "ck long, segment string")
+    return sorted(
+        (r.region, r.segment, r.n_rows, str(r.sum_amt))
+        for r in f.join(d, "ck")
+        .groupBy("region", "segment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("amt").cast("decimal(28,2)")).alias("sum_amt"),
+        )
+        .collect()
+    )
+
+
+def _view_rows(view):
+    return sorted(
+        (r.region, r.segment, r.n_rows, str(r.sum_amt))
+        for r in view.read().collect()
+    )
+
+
+def test_join_view_survives_fact_and_dim_deltas(spark, tmp_path):
+    """Interleave 3 fact micro-batches with 2 dim updates; after every
+    step the maintained view equals the batch recompute over all facts
+    joined to the CURRENT dim — fact history never rescanned, dim
+    updates applied as retract-old/insert-new through fact_store."""
+    fact_store = VersionedTable(spark, str(tmp_path / "fact"))
+    view = VersionedTable(spark, str(tmp_path / "view"))
+
+    dim1 = [(1, "gold"), (2, "silver"), (3, "gold")]
+    d1 = spark.createDataFrame(dim1, "ck long, segment string")
+
+    fb1 = [(1, "eu", 10.0), (2, "eu", 20.0), (3, "us", 5.0)]
+    merge_join_fact_delta(
+        fact_store, view, spark.createDataFrame(fb1, "ck long, region string, amt double"),
+        d1, "ck", ["region"], ["segment"], ["amt"],
+    )
+    assert _view_rows(view) == _batch_join_agg(spark, fb1, dim1)
+
+    # dim update: customer 1 gold -> platinum (D old + I new images)
+    changes = spark.createDataFrame(
+        [(1, "gold", "D"), (1, "platinum", "I")],
+        "ck long, segment string, _op string",
+    )
+    merge_join_dim_delta(
+        fact_store, view, changes, "ck", ["region"], ["segment"], ["amt"]
+    )
+    dim2 = [(1, "platinum"), (2, "silver"), (3, "gold")]
+    assert _view_rows(view) == _batch_join_agg(spark, fb1, dim2)
+
+    # second fact batch joins the UPDATED dim
+    fb2 = [(1, "eu", 7.5), (3, "us", 2.5)]
+    d2 = spark.createDataFrame(dim2, "ck long, segment string")
+    merge_join_fact_delta(
+        fact_store, view, spark.createDataFrame(fb2, "ck long, region string, amt double"),
+        d2, "ck", ["region"], ["segment"], ["amt"],
+    )
+    assert _view_rows(view) == _batch_join_agg(spark, fb1 + fb2, dim2)
+
+    # dim update that CANCELS a group: customer 3 gold -> silver moves
+    # all us/gold mass to us/silver; us/gold must disappear, not
+    # linger as a zero row
+    changes2 = spark.createDataFrame(
+        [(3, "gold", "D"), (3, "silver", "I")],
+        "ck long, segment string, _op string",
+    )
+    merge_join_dim_delta(
+        fact_store, view, changes2, "ck", ["region"], ["segment"], ["amt"]
+    )
+    dim3 = [(1, "platinum"), (2, "silver"), (3, "silver")]
+    got = _view_rows(view)
+    assert got == _batch_join_agg(spark, fb1 + fb2, dim3)
+    assert all(not (r[0] == "us" and r[1] == "gold") for r in got)
+
+    # third fact batch, including a join key the dim update touched
+    fb3 = [(3, "us", 100.0), (2, "eu", 1.0)]
+    d3 = spark.createDataFrame(dim3, "ck long, segment string")
+    merge_join_fact_delta(
+        fact_store, view, spark.createDataFrame(fb3, "ck long, region string, amt double"),
+        d3, "ck", ["region"], ["segment"], ["amt"],
+    )
+    assert _view_rows(view) == _batch_join_agg(spark, fb1 + fb2 + fb3, dim3)
+
+
+def test_join_dim_delta_rejects_unknown_ops(spark, tmp_path):
+    fact_store = VersionedTable(spark, str(tmp_path / "fact"))
+    view = VersionedTable(spark, str(tmp_path / "view"))
+    merge_join_fact_delta(
+        fact_store, view,
+        spark.createDataFrame([(1, "eu", 1.0)], "ck long, region string, amt double"),
+        spark.createDataFrame([(1, "gold")], "ck long, segment string"),
+        "ck", ["region"], ["segment"], ["amt"],
+    )
+    bad = spark.createDataFrame(
+        [(1, "gold", "UPSERT")], "ck long, segment string, _op string"
+    )
+    with pytest.raises(ValueError, match="unknown op code"):
+        merge_join_dim_delta(
+            fact_store, view, bad, "ck", ["region"], ["segment"], ["amt"]
+        )
+
+
+# -- change-feed streaming consumption --------------------------------------
+
+
+def _src_table(spark, path):
+    return VersionedTable(spark, str(path), stats_cols=("k",))
+
+
+def _expect_view(spark, src, keys=("g",)):
+    return sorted(
+        (r.g, r.n_rows, str(r.sum_v))
+        for r in src.read()
+        .groupBy(*keys)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(28,2)")).alias("sum_v"),
+        )
+        .collect()
+    )
+
+
+def _got_view(view):
+    return sorted(
+        (r.g, r.n_rows, str(r.sum_v)) for r in view.read().collect()
+    )
+
+
+def test_changefeed_maintains_view_across_commit_kinds(spark, tmp_path):
+    """End-to-end CDF loop: writes to the versioned table → change
+    feed → Z-set-maintained aggregate equals the batch recompute after
+    every producer commit (append, delete_where, merge upsert)."""
+    src = _src_table(spark, tmp_path / "src")
+    view = VersionedTable(spark, str(tmp_path / "view"))
+
+    def rows(*tuples):
+        return spark.createDataFrame(list(tuples), "k long, g string, v double")
+
+    # v1: initial load; consumer bootstraps from the snapshot
+    src.overwrite(rows((1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)))
+    assert maintain_cdc_view(src, view, ["g"], ["v"]) is not None
+    assert _got_view(view) == _expect_view(spark, src)
+    assert view.last_app_version("changefeed") == 1
+
+    # nothing new -> no-op, no empty commit
+    assert maintain_cdc_view(src, view, ["g"], ["v"]) is None
+    n_commits = len(view.history())
+
+    # v2 append + v3 delete, consumed in ONE incremental batch
+    src.append(rows((4, "b", 40.0), (5, "c", 50.0)))
+    src.delete_where("k <= 1")
+    assert maintain_cdc_view(src, view, ["g"], ["v"]) is not None
+    assert _got_view(view) == _expect_view(spark, src)
+    assert view.last_app_version("changefeed") == 3
+    assert len(view.history()) == n_commits + 1
+
+    # v4 merge upsert (rewrite appears as delete+insert pair -> exact
+    # retraction); group 'c' vanishes when its only row moves to 'a'
+    src.merge(rows((5, "a", 55.0)), key_col="k")
+    maintain_cdc_view(src, view, ["g"], ["v"])
+    got = _got_view(view)
+    assert got == _expect_view(spark, src)
+    assert all(r[0] != "c" for r in got)
+
+
+def test_changefeed_idempotent_replay_and_bounded_batches(spark, tmp_path):
+    """Crash-replay safety: the cursor lives INSIDE the view's commit,
+    so re-running the consumer never double-applies; bounded draining
+    (max_versions_per_batch=1) walks the history one commit at a time
+    and converges to the same state."""
+    src = _src_table(spark, tmp_path / "src")
+    view = VersionedTable(spark, str(tmp_path / "view"))
+
+    def rows(*tuples):
+        return spark.createDataFrame(list(tuples), "k long, g string, v double")
+
+    src.overwrite(rows((1, "a", 1.0)))
+    src.append(rows((2, "b", 2.0)))
+    src.append(rows((3, "b", 3.0)))
+    src.delete_where("k = 2")
+
+    seen = []
+    n = run_to_latest(
+        src, view, ["g"], ["v"], max_versions_per_batch=1,
+        on_batch=seen.append,
+    )
+    # bootstrap consumed the snapshot at latest (v4) in one commit
+    assert n == 1 and view.last_app_version("changefeed") == 4
+    assert _got_view(view) == _expect_view(spark, src)
+
+    # two more producer commits, drained one version per batch
+    src.append(rows((4, "c", 4.0)))
+    src.append(rows((5, "c", 5.0)))
+    n = run_to_latest(src, view, ["g"], ["v"], max_versions_per_batch=1)
+    assert n == 2
+    assert _got_view(view) == _expect_view(spark, src)
+
+    # replay after "crash": calling again is a no-op at every level
+    state_before = _got_view(view)
+    assert run_to_latest(src, view, ["g"], ["v"]) == 0
+    assert maintain_cdc_view(src, view, ["g"], ["v"]) is None
+    assert _got_view(view) == state_before
+
+
+def test_app_txn_survives_unrelated_commits(spark, tmp_path):
+    """An unrelated writer's commit must carry the consumer cursor
+    forward, not erase it (the Delta `txn` carry-forward)."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1,)], "k long")
+    t.overwrite(df, app_txn=("feed", 7))
+    assert t.last_app_version("feed") == 7
+    t.append(df)  # unrelated append, no app_txn
+    assert t.last_app_version("feed") == 7
+    t.overwrite(df, app_txn=("feed", 9))
+    assert t.last_app_version("feed") == 9
+    assert t.last_app_version("other") is None
+
+
+# -- schema evolution: type widening ----------------------------------------
+
+
+def test_merge_schema_widens_int_to_long(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, 10)], "k int, v int"))
+    big = spark.createDataFrame([(2, 2**40)], "k int, v long")
+    t.append(big, merge_schema=True)
+    got = t.read()
+    assert dict(got.dtypes)["v"] == "bigint"
+    rows = {r.k: r.v for r in got.collect()}
+    # pre-widening file's int32 values read correctly under bigint
+    assert rows[1] == 10 and rows[2] == 2**40
+    # time travel: v1 keeps its committed narrow schema
+    assert dict(t.read(version_as_of=1).dtypes)["v"] == "int"
+
+
+def test_merge_schema_widens_float_to_double_and_narrow_upcasts(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, 1.5)], "k int, v float"))
+    t.append(
+        spark.createDataFrame([(2, 2.25)], "k int, v double"),
+        merge_schema=True,
+    )
+    assert dict(t.read().dtypes)["v"] == "double"
+    # a NARROWER batch after the widening upcasts to the table type
+    t.append(
+        spark.createDataFrame([(3, 3.5)], "k int, v float"),
+        merge_schema=True,
+    )
+    assert dict(t.read().dtypes)["v"] == "double"
+    assert {r.k: r.v for r in t.read().collect()} == {
+        1: 1.5, 2: 2.25, 3: 3.5,
+    }
+
+
+def test_merge_schema_incompatible_change_fails_loudly(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, 10)], "k int, v int"))
+    bad = spark.createDataFrame([(2, "oops")], "k int, v string")
+    with pytest.raises(ValueError, match="incompatible schema change"):
+        t.append(bad, merge_schema=True)
+    # int-chain vs float-chain never silently cross (precision loss)
+    lossy = spark.createDataFrame([(2, 2.5)], "k int, v double")
+    with pytest.raises(ValueError, match="incompatible schema change"):
+        t.append(lossy, merge_schema=True)
+
+
+# -- min/max under retraction -----------------------------------------------
+
+
+def _mm_batch(spark, *tuples):
+    return spark.createDataFrame(
+        list(tuples), "g string, v double, op string"
+    )
+
+
+def test_minmax_deleting_current_max_stays_exact_within_k(spark, tmp_path):
+    store = VersionedTable(spark, str(tmp_path / "mm"))
+    ins = [("a", float(v), "I") for v in range(1, 21)]
+    maintain_minmax_state(
+        store, _mm_batch(spark, *ins), ["g"], "v", "op", k=4
+    )
+    row = store.read().first()
+    assert row.group_max == 20.0 and row.n_rows == 20
+    assert row.candidates == [20.0, 19.0, 18.0, 17.0]
+    assert row.trunc_floor == 16.0
+
+    # delete the current max twice across separate batches — the
+    # candidate state absorbs both exactly
+    maintain_minmax_state(
+        store, _mm_batch(spark, ("a", 20.0, "D")), ["g"], "v", "op", k=4
+    )
+    assert store.read().first().group_max == 19.0
+    maintain_minmax_state(
+        store,
+        _mm_batch(spark, ("a", 19.0, "D"), ("a", 18.0, "D")),
+        ["g"], "v", "op", k=4,
+    )
+    row = store.read().first()
+    assert row.group_max == 17.0 and row.n_rows == 17
+    assert not row.needs_recompute
+
+    # a fresh insert above the watermark re-fills the pool
+    maintain_minmax_state(
+        store, _mm_batch(spark, ("a", 42.0, "I")), ["g"], "v", "op", k=4
+    )
+    assert store.read().first().group_max == 42.0
+
+
+def test_minmax_flags_recompute_when_candidates_exhaust(spark, tmp_path):
+    store = VersionedTable(spark, str(tmp_path / "mm"))
+    ins = [("a", float(v), "I") for v in range(1, 11)]
+    maintain_minmax_state(
+        store, _mm_batch(spark, *ins), ["g"], "v", "op", k=3
+    )
+    dels = [("a", float(v), "D") for v in (10, 9, 8)]
+    maintain_minmax_state(
+        store, _mm_batch(spark, *dels), ["g"], "v", "op", k=3
+    )
+    row = store.read().first()
+    # 7 rows survive but every candidate was deleted: the true max (7)
+    # hides among truncated history — flagged, never guessed
+    assert row.n_rows == 7
+    assert row.group_max is None
+    assert row.needs_recompute
+
+
+def test_minmax_group_disappears_at_zero_and_min_mode(spark, tmp_path):
+    store = VersionedTable(spark, str(tmp_path / "mm"))
+    maintain_minmax_state(
+        store,
+        _mm_batch(spark, ("a", 5.0, "I"), ("a", 3.0, "I"), ("b", 1.0, "I")),
+        ["g"], "v", "op", k=2, mode="min",
+    )
+    rows = {r.g: r for r in store.read().collect()}
+    assert rows["a"].group_min == 3.0 and rows["b"].group_min == 1.0
+    # deleting a's two rows removes the group entirely
+    maintain_minmax_state(
+        store,
+        _mm_batch(spark, ("a", 5.0, "D"), ("a", 3.0, "D")),
+        ["g"], "v", "op", k=2, mode="min",
+    )
+    assert [r.g for r in store.read().collect()] == ["b"]
+
+
+def test_minmax_rejects_bogus_retraction_and_ops(spark, tmp_path):
+    store = VersionedTable(spark, str(tmp_path / "mm"))
+    maintain_minmax_state(
+        store, _mm_batch(spark, ("a", 5.0, "I")), ["g"], "v", "op", k=4
+    )
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises((Py4JJavaError, Exception), match="no matching"):
+        maintain_minmax_state(
+            store, _mm_batch(spark, ("a", 99.0, "D")), ["g"], "v", "op", k=4
+        )
+    with pytest.raises(ValueError, match="unknown op code"):
+        maintain_minmax_state(
+            store, _mm_batch(spark, ("a", 1.0, "X")), ["g"], "v", "op", k=4
+        )
