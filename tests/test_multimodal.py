@@ -903,3 +903,141 @@ def test_decode_payload_routes_palette_png(spark):
     palette = bytes([10, 20, 30])
     payload = png_palette_bytes(2, 2, palette, bytes(4))
     assert decode_payload("image/png", payload) == bytes([10, 20, 30]) * 4
+
+
+# -- progressive JPEG (round-8: T.81 Annex G decode + encoder) --------------
+
+
+def test_progressive_roundtrip_matches_baseline_gray():
+    """A progressive and a baseline encode of the SAME pixels carry the
+    same quantized coefficients, so the two decoders must reconstruct
+    IDENTICAL output — including odd dims with partial edge blocks."""
+    import random
+
+    from diabetes_etl_spark.operators.multimodal import (
+        decode_jpeg_baseline,
+        decode_jpeg_progressive,
+        jpeg_gray_bytes,
+        jpeg_progressive_bytes,
+    )
+
+    rng = random.Random(11)
+    for w, h in ((8, 8), (17, 13), (5, 5), (24, 9)):
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        assert decode_jpeg_progressive(
+            jpeg_progressive_bytes(w, h, px, n_components=1)
+        ) == decode_jpeg_baseline(jpeg_gray_bytes(w, h, px))
+
+
+def test_progressive_roundtrip_matches_baseline_color_444_and_420():
+    import random
+
+    from diabetes_etl_spark.operators.multimodal import (
+        decode_jpeg_baseline,
+        decode_jpeg_progressive,
+        jpeg_color_bytes,
+        jpeg_progressive_bytes,
+    )
+
+    rng = random.Random(13)
+    for w, h in ((16, 8), (17, 13)):
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        assert decode_jpeg_progressive(
+            jpeg_progressive_bytes(w, h, rgb)
+        ) == decode_jpeg_baseline(jpeg_color_bytes(w, h, rgb))
+    for w, h in ((16, 16), (33, 18)):
+        # 4:2:0: dummy edge blocks are DC-coded in the interleaved scan
+        # but excluded from the per-component AC scans (T.81 A.2)
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        assert decode_jpeg_progressive(
+            jpeg_progressive_bytes(w, h, rgb, subsampling="420")
+        ) == decode_jpeg_baseline(
+            jpeg_color_bytes(w, h, rgb, subsampling="420")
+        )
+
+
+def test_progressive_constant_blocks_reconstruct_bit_exactly():
+    """Constant 8x8 blocks survive the progressive codec bit-exactly
+    (DC-only coefficients, all-ones quantization) — the property the
+    multimodal_progressive_decode oracle's arithmetic relies on."""
+    from diabetes_etl_spark.operators.multimodal import (
+        _fixture_color_pixels,
+        decode_jpeg_progressive,
+        fixture_media_dims,
+        jpeg_progressive_bytes,
+    )
+
+    for doc_id in (0, 7, 123):
+        _, _, jw, jh = fixture_media_dims(doc_id)
+        rgb = _fixture_color_pixels(doc_id, jw, jh)
+        w, h, ch, raw = decode_jpeg_progressive(
+            jpeg_progressive_bytes(jw, jh, rgb)
+        )
+        assert (w, h, ch) == (jw, jh, 3)
+        # decoded RGB equals the fixture constants pushed through the
+        # exact floor(x+0.5) YCbCr round trip — spot-check block (0,0)
+        from diabetes_etl_spark.operators.multimodal import (
+            _rgb_to_ycbcr,
+            _ycbcr_to_rgb,
+        )
+        import numpy as np
+
+        r0, g0, b0 = rgb[0], rgb[1], rgb[2]
+        y, cb, cr = _rgb_to_ycbcr(
+            np.array([[float(r0)]]), np.array([[float(g0)]]),
+            np.array([[float(b0)]]),
+        )
+        rr, gg, bb = _ycbcr_to_rgb(y, cb, cr)
+        assert raw[0] == int(rr[0, 0])
+        assert raw[1] == int(gg[0, 0])
+        assert raw[2] == int(bb[0, 0])
+
+
+def test_decode_jpeg_auto_dispatches_both_families():
+    from diabetes_etl_spark.operators.multimodal import (
+        decode_jpeg_auto,
+        jpeg_gray_bytes,
+        jpeg_progressive_bytes,
+    )
+
+    px = bytes(range(64))
+    base = decode_jpeg_auto(jpeg_gray_bytes(8, 8, px))
+    prog = decode_jpeg_auto(jpeg_progressive_bytes(8, 8, px, n_components=1))
+    assert base == prog
+    assert base[0] == 8 and base[2] == 1
+
+
+def test_progressive_decoder_rejects_baseline_and_malformed():
+    import pytest as _pytest
+
+    from diabetes_etl_spark.operators.multimodal import (
+        decode_jpeg_progressive,
+        jpeg_gray_bytes,
+    )
+
+    with _pytest.raises(ValueError, match="expected SOF2"):
+        decode_jpeg_progressive(jpeg_gray_bytes(8, 8, bytes(64)))
+    with _pytest.raises(ValueError, match="missing SOI"):
+        decode_jpeg_progressive(b"\x00\x01")
+
+
+def test_feature_extraction_decodes_progressive_pixels(spark):
+    """extract_features over progressive payloads must produce REAL
+    pixel statistics (not the NULL probe fallback) — the end-to-end
+    wiring of decode_jpeg_auto into the mapInPandas path."""
+    from diabetes_etl_spark.operators.multimodal import (
+        attach_progressive_jpeg_payloads,
+        extract_features,
+    )
+
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    rows = {
+        r.doc_id: r
+        for r in extract_features(
+            attach_progressive_jpeg_payloads(docs)
+        ).collect()
+    }
+    for doc_id, r in rows.items():
+        assert r.n_channels == 3
+        assert r.byte_len == r.width * r.height * 3  # decoded, not container
+        assert r.n_space is not None and r.head_fingerprint is not None
