@@ -221,12 +221,27 @@ def main() -> None:
                     for k in range(10)
                 ],
             ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+            # embeddings replicate PERTURBED (round-7 VERDICT #9): each
+            # copy k adds a deterministic per-dimension offset that
+            # changes the vector's DIRECTION, so the 10x corpus has 10x
+            # distinct points — identical copies would collapse into
+            # the same LSH buckets / k-means cells and measure a
+            # degenerate best case instead of real 10x ANN/clustering
+            # load
+            def _perturb(k: int):
+                return lambda x, i: (
+                    x
+                    + F.lit(0.013 * k)
+                    * F.cos(i.cast("double") * F.lit(1.7) + F.lit(float(k)))
+                ).cast("float")
+
             reduce(
                 DataFrame.unionByName,
                 [
                     emb.select(
                         (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
-                        "embedding", "label",
+                        F.transform("embedding", _perturb(k)).alias("embedding"),
+                        "label",
                     )
                     for k in range(10)
                 ],
@@ -248,6 +263,10 @@ def main() -> None:
                 # over 10x near-dup-heavy clusters)
                 "cluster_kmeans_embeddings",
                 "semdedup_cluster_stats",
+                # round-8 (VERDICT #9): the gate ANN query over the 10x
+                # PERTURBED embeddings — non-degenerate scaling
+                # evidence for the hyperplane-LSH bucket path
+                "sim_lsh_topk",
             ):
                 # min-of-2: these single-shot numbers ride right behind
                 # the corpus-replication writes and have been observed
