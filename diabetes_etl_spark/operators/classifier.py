@@ -1,0 +1,125 @@
+"""In-plan training of a linear quality classifier — the
+"fastText-style quality filter" stage of a training-data pipeline
+(score documents, keep the top fraction), expressed as fixed-round
+batch gradient descent over DataFrame aggregates.
+
+Why this shape: at 100 TB the feature matrix never materializes and
+nothing row-shaped reaches the driver — each GD round is ONE
+map-side-combined aggregate pass producing the (dim+1)-element
+gradient, and the weight vector (a handful of scalars, like k-means'
+centroids) is the only driver state.  Rounds are FIXED (no
+convergence test — a data-dependent stopping rule would make the
+plan nondeterministic), matching the k-means/pagerank precedent.
+
+Determinism contract (the cross-engine hash discipline):
+
+- features are quantized to 4 decimals at the source, labels are
+  0/1 integers;
+- the margin z = w·x evaluates in doubles with a FIXED left-to-right
+  term order (both engines replay the identical IEEE sequence);
+- sigma(z) = 1/(1+exp(-z)) is the one libm call: z is quantized to
+  9 decimals before exp and the sigmoid is quantized to 9 decimals
+  after it (the BM25 ln precedent — operators/ranking.py);
+- per-row gradient terms (sigma - y)·x_j have <= 11 decimals, so the
+  DECIMAL(38,15) fold cast is EXACT (no representable ties), and the
+  per-group sum is order-independent;
+- the weight update w - lr·g/n pins through DECIMAL(28,12) (the
+  pagerank mass precedent), so every round's weights are
+  hash-identical cross-engine.
+
+The SQL oracle unrolls the same rounds as CTE layers — every
+intermediate weight vector is pinned, not just the fixed point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sigmoid_q(z: Column) -> Column:
+    """Quantized logistic: round(1/(1+exp(-round(z, 9))), 7) — the
+    OUTPUT quantum is 1e-7 (coarser than ln's 1e-9 in ranking.py)
+    because sigma feeds exact decimal sums over ~10^4 rows: a last-ulp
+    exp difference flips a 1e-7 boundary with probability ~1e-9 per
+    row, keeping the whole-corpus hash-mismatch risk ~1e-5."""
+    return F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.round(z, 9))), 7
+    )
+
+
+def logistic_train_rounds(
+    feats: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iterations: int = 3,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Train logistic regression by ``iterations`` full-batch GD
+    rounds and return every round's weight vector as rows
+    (round, w0, w1, ..., wk) — w0 is the bias; round 0 is the zero
+    initialization.
+
+    ``feats`` must already carry the quantized feature columns and
+    the 0/1 integer label (see module contract).  Each round runs one
+    aggregate job over ``feats``; the collected gradient is dim+1
+    scalars (bounded driver state, the k-means pattern).  Weights are
+    plain Python floats between rounds — they re-enter the next
+    round's plan as literals, so no weight broadcast or join exists
+    anywhere.
+    """
+    spark = feats.sparkSession
+    dim = len(feature_cols)
+    weights = [0.0] * (dim + 1)
+    out_rows = [(0, *weights)]
+    n = None
+    for rnd in range(1, iterations + 1):
+        z = F.lit(weights[0])
+        for j, c in enumerate(feature_cols):
+            z = z + F.lit(weights[j + 1]) * F.col(c)
+        err = sigmoid_q(z) - F.col(label_col).cast("double")
+        aggs = [F.count("*").alias("n"),
+                F.sum(err.cast("decimal(38,15)")).alias("g0")]
+        for j, c in enumerate(feature_cols):
+            aggs.append(
+                F.sum((err * F.col(c)).cast("decimal(38,15)")).alias(f"g{j + 1}")
+            )
+        row = feats.agg(*aggs).first()
+        n = row["n"]
+        new_w = []
+        for j in range(dim + 1):
+            g = float(row[f"g{j}"])
+            # pin the inexact lr*g/n through DECIMAL(28,12), the
+            # pagerank precedent; computed driver-side on the same
+            # doubles both engines folded to
+            upd = weights[j] - lr * g / n
+            new_w.append(_dec12(upd))
+        weights = new_w
+        out_rows.append((rnd, *weights))
+    schema = "round int, " + ", ".join(
+        f"w{j} double" for j in range(dim + 1)
+    )
+    return spark.createDataFrame(out_rows, schema)
+
+
+def _dec12(v: float) -> float:
+    """CAST(v AS DECIMAL(28,12)) -> DOUBLE, reproduced exactly:
+    Spark's decimal cast rounds HALF_UP at 12 decimals."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(v)).quantize(Decimal("1e-12"), rounding=ROUND_HALF_UP)
+    )
+
+
+def logistic_score(
+    feature_cols: list[str],
+    weights: list[float],
+) -> Column:
+    """The trained model applied in-plan: quantized sigmoid of the
+    fixed-order margin — a pure scan-local expression (codegen, no
+    UDF, no join), which is what makes scoring 100 TB one pass."""
+    z = F.lit(weights[0])
+    for j, c in enumerate(feature_cols):
+        z = z + F.lit(weights[j + 1]) * F.col(c)
+    return sigmoid_q(z)

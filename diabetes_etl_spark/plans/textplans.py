@@ -763,3 +763,91 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_subtoken_stats(docs, _BPE_APPLY_MERGES).orderBy("doc_id")
+
+
+# -- inverted index + boolean retrieval (round-8) ---------------------------
+
+_INV_TOKS = (
+    "SELECT doc_id, t.term FROM documents, "
+    "unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')))"
+    " AS t(term) WHERE LENGTH(t.term) > 0"
+)
+
+_INV_TERMS = ("batch", "scan", "merge")
+
+
+@register(
+    "text_inverted_postings",
+    oracle=f"""
+WITH toks AS ({_INV_TOKS}),
+idx AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+    MIN(doc_id) AS doc_lo, MAX(doc_id) AS doc_hi,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT), list_sort(list(doc_id))),
+      (acc, x) -> (acc * 131 + x) % 1000000007) AS postings_checksum
+  FROM toks GROUP BY term
+)
+SELECT term, df, doc_lo, doc_hi, postings_checksum
+FROM idx ORDER BY df DESC, term LIMIT 20
+""",
+    doc="Inverted-index materialization "
+    "(operators/invindex.py:inverted_postings): distinct (doc, term) "
+    "pairs explode map-side — text never shuffles — and postings "
+    "aggregate per term; the top-20 terms by document frequency "
+    "return with doc-range stats and an order-sensitive rolling "
+    "CHECKSUM of the doc-id-sorted posting list, so the oracle pins "
+    "the EXACT posting content through a scalar (no cross-engine "
+    "array serialization).  The operator's max_postings_per_row mode "
+    "shards a hot term's postings into bounded (term, chunk) rows — "
+    "the segment structure a 100 TB index actually stores "
+    "(tests/test_text_ops.py pins chunk/merge equivalence).",
+    tags=("text", "index", "retrieval", "extension"),
+    extended=True,
+)
+def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.invindex import inverted_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        inverted_postings(docs)
+        .select("term", "df", "doc_lo", "doc_hi", "postings_checksum")
+        .orderBy(F.col("df").desc(), "term")
+        .limit(20)
+    )
+
+
+@register(
+    "text_conjunctive_search",
+    oracle=f"""
+WITH toks AS ({_INV_TOKS}),
+sel AS (SELECT doc_id, term FROM toks
+        WHERE term IN {_INV_TERMS!r}),
+hits AS (
+  SELECT doc_id FROM sel GROUP BY doc_id
+  HAVING COUNT(*) = {len(_INV_TERMS)}
+)
+SELECT h.doc_id, d.n_chars
+FROM hits h JOIN documents d USING (doc_id)
+ORDER BY h.doc_id
+""",
+    doc=f"Boolean AND retrieval over {_INV_TERMS} "
+    "(operators/invindex.py:conjunctive_search): the posting "
+    "intersection computed WITHOUT materializing postings — the "
+    "exploded distinct (doc, term) pairs filter to the query set "
+    "(broadcast-size isin, so only query-matching pairs shuffle) and "
+    "a per-doc match count equal to the query length is the "
+    "intersection; matched docs re-join the corpus for their "
+    "attributes.  One bounded shuffle regardless of corpus size.",
+    tags=("text", "retrieval", "boolean", "extension"),
+    extended=True,
+)
+def text_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.invindex import conjunctive_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = conjunctive_search(docs, list(_INV_TERMS))
+    return (
+        hits.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .orderBy("doc_id")
+    )

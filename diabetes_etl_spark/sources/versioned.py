@@ -712,6 +712,62 @@ class VersionedTable:
             f"rollback_to_{version}", old["files"], ver, old["schema"]
         )
 
+    def clone_to(
+        self, dest_path: str, version_as_of: int | None = None
+    ) -> "VersionedTable":
+        """SHALLOW CLONE (Delta's): a new table at ``dest_path`` whose
+        first commit references the SOURCE's data files by absolute
+        path — zero data copied, instant, and the clone's history
+        starts fresh.  Writes to the clone land in its own ``_data/``
+        (relative paths) and never touch the source; writes to the
+        source never change the clone (snapshot isolation via the
+        frozen file list).  Entry-path resolution needs no reader
+        changes: ``os.path.join(table, abs_path)`` IS the absolute
+        path, and the clone's vacuum only ever reaps its OWN run
+        dirs (absolute entries reference nothing local).
+
+        The one Delta-matching caveat: vacuuming the SOURCE can
+        delete files a shallow clone references — retain source
+        history for the clone's lifetime, or rewrite the clone
+        (e.g. ``clone.compact(target_bytes=huge)``) to localize it.
+        """
+        doc = (
+            self._manifest_at(version_as_of)
+            if version_as_of is not None
+            else self._latest()[1]
+        )
+        if doc is None:
+            raise ValueError(f"table {self.path} has no committed version")
+        entries = [
+            {
+                **e,
+                "path": e["path"]
+                if os.path.isabs(e["path"])
+                else os.path.join(self.path, e["path"]),
+            }
+            for e in doc["files"]
+        ]
+        dest = VersionedTable(
+            self.spark,
+            dest_path,
+            stats_cols=self.stats_cols,
+            bloom_cols=self.bloom_cols,
+            bloom_m=self.bloom_m,
+            bloom_k=self.bloom_k,
+        )
+        ver, existing = dest._latest()
+        if existing is not None:
+            raise ValueError(
+                f"clone destination {dest_path} already has commits"
+            )
+        dest._commit(
+            f"clone_of_{self.path}@v{doc['version']}",
+            entries,
+            ver,
+            doc["schema"],
+        )
+        return dest
+
     def read(
         self,
         version_as_of: int | None = None,

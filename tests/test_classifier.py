@@ -1,0 +1,58 @@
+"""In-plan logistic-regression trainer (operators/classifier.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.operators.classifier import (
+    _dec12,
+    logistic_score,
+    logistic_train_rounds,
+    sigmoid_q,
+)
+
+
+def test_dec12_matches_spark_decimal_cast(spark):
+    vals = [0.1234567890125, -3.0000000000005, 1.9999999999999, 0.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [
+        r.p
+        for r in df.select(
+            F.col("v").cast("decimal(28,12)").cast("double").alias("p")
+        ).collect()
+    ]
+    assert got == [_dec12(v) for v in vals]
+
+
+def test_training_separates_labels(spark):
+    """A linearly separable fixture must move the weights the right
+    way: positive weight on the separating feature, and the final
+    model must score the positive class above the negative."""
+    rows = [(float(i % 10) / 10 + (1.0 if i % 2 else 0.0), i % 2)
+            for i in range(200)]
+    feats = spark.createDataFrame(rows, "f1 double, y int").select(
+        F.round("f1", 4).alias("f1"), "y"
+    )
+    out = logistic_train_rounds(feats, ["f1"], "y", iterations=5, lr=1.0)
+    rows_out = {r["round"]: r for r in out.collect()}
+    assert rows_out[0].w1 == 0.0
+    assert rows_out[5].w1 > rows_out[1].w1 > 0  # monotone toward separation
+    w = [rows_out[5].w0, rows_out[5].w1]
+    scored = feats.select(
+        "y", logistic_score(["f1"], w).alias("s")
+    ).groupBy("y").agg(F.avg("s").alias("m")).collect()
+    means = {r.y: r.m for r in scored}
+    assert means[1] > means[0]
+
+
+def test_round_zero_is_zero_and_rounds_counted(spark):
+    feats = spark.createDataFrame([(0.5, 1), (0.1, 0)], "f1 double, y int")
+    out = logistic_train_rounds(feats, ["f1"], "y", iterations=2).collect()
+    assert [r["round"] for r in sorted(out, key=lambda r: r["round"])] == [0, 1, 2]
+
+
+def test_sigmoid_quantized_to_7_decimals(spark):
+    df = spark.createDataFrame([(0.3,)], "z double")
+    v = df.select(sigmoid_q(F.col("z")).alias("s")).first().s
+    assert v == round(v, 7)
+    assert abs(v - 0.5744425) < 1e-6

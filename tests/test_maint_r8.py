@@ -393,3 +393,45 @@ def test_minmax_rejects_bogus_retraction_and_ops(spark, tmp_path):
         maintain_minmax_state(
             store, _mm_batch(spark, ("a", 1.0, "X")), ["g"], "v", "op", k=4
         )
+
+
+# -- shallow clone ----------------------------------------------------------
+
+
+def test_shallow_clone_reads_source_and_diverges_independently(spark, tmp_path):
+    src = VersionedTable(spark, str(tmp_path / "src"), stats_cols=("k",))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, g string")
+    src.overwrite(df)
+    src.append(spark.createDataFrame([(3, "c")], "k long, g string"))
+
+    clone = src.clone_to(str(tmp_path / "clone"))
+    assert sorted(r.k for r in clone.read().collect()) == [1, 2, 3]
+    # zero data copied: the clone has no _data dir yet
+    import os as _os
+
+    assert not _os.path.isdir(str(tmp_path / "clone" / "_data"))
+
+    # divergence: writes to the clone never touch the source...
+    clone.append(spark.createDataFrame([(4, "d")], "k long, g string"))
+    assert sorted(r.k for r in clone.read().collect()) == [1, 2, 3, 4]
+    assert sorted(r.k for r in src.read().collect()) == [1, 2, 3]
+    # ...and source writes never change the clone (frozen file list)
+    src.delete_where("k <= 2")
+    assert sorted(r.k for r in clone.read().collect()) == [1, 2, 3, 4]
+
+    # clone vacuum reaps only its own run dirs: source files survive
+    clone.append(spark.createDataFrame([(5, "e")], "k long, g string"))
+    clone.vacuum(keep_last=1)
+    assert sorted(r.k for r in src.read().collect()) == [3]
+
+
+def test_shallow_clone_of_old_version_and_occupied_dest(spark, tmp_path):
+    import pytest as _pytest
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.overwrite(spark.createDataFrame([(1,)], "k long"))
+    src.append(spark.createDataFrame([(2,)], "k long"))
+    old = src.clone_to(str(tmp_path / "old"), version_as_of=1)
+    assert [r.k for r in old.read().collect()] == [1]
+    with _pytest.raises(ValueError, match="already has commits"):
+        src.clone_to(str(tmp_path / "old"))

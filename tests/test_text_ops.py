@@ -48,3 +48,56 @@ def test_bigram_lm_partition_invariant_bit_identical(spark):
         )
     )
     assert a == b
+
+
+# -- inverted index (round-8) -----------------------------------------------
+
+
+def test_inverted_postings_chunking_merges_to_unchunked(spark):
+    """Sharded postings (max_postings_per_row) must cover exactly the
+    unchunked posting lists: per term, chunks are disjoint doc-id
+    ranges in ascending order whose concatenation equals the full
+    sorted postings."""
+    from diabetes_etl_spark.operators.invindex import inverted_postings
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta" if i % 2 else "alpha gamma") for i in range(20)],
+        "doc_id long, text string",
+    )
+    full = {
+        r.term: r.postings
+        for r in inverted_postings(docs).collect()
+    }
+    chunked = inverted_postings(docs, max_postings_per_row=3).collect()
+    assert all(len(r.postings) <= 3 for r in chunked)
+    merged: dict[str, list] = {}
+    for r in sorted(chunked, key=lambda r: (r.term, r.chunk_idx)):
+        merged.setdefault(r.term, []).extend(r.postings)
+    assert merged == full
+    # chunks are ascending disjoint ranges
+    for r in sorted(chunked, key=lambda r: (r.term, r.chunk_idx)):
+        assert r.postings == sorted(r.postings)
+        assert r.doc_lo == r.postings[0] and r.doc_hi == r.postings[-1]
+
+
+def test_conjunctive_search_requires_all_terms(spark):
+    from diabetes_etl_spark.operators.invindex import conjunctive_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join shuffle"),
+            (2, "spark join"),
+            (3, "join shuffle spark extra"),
+            (4, "shuffle only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r.doc_id
+        for r in conjunctive_search(docs, ["spark", "JOIN", "shuffle"]).collect()
+    )
+    assert got == [1, 3]  # case-folded; duplicates in query collapse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one term"):
+        conjunctive_search(docs, [])
