@@ -66,6 +66,11 @@ HEADLINE = [
     "decontam_bloom_probe",
     "dedup_apply_stats",
     "text_bm25_topk",
+    # round-8 families: progressive-JPEG corpus decode (9-scan SOF2
+    # assembly per row — the heaviest pandas path), power-iteration
+    # PCA (2 corpus passes + d-row aggregates per round)
+    "multimodal_progressive_decode",
+    "embeddings_pca_power",
 ]
 
 
