@@ -118,3 +118,104 @@ def conjunctive_search(
         .filter(F.col("__hits") == len(set(t.lower() for t in terms)))
         .select("doc_id")
     )
+
+
+# -- incremental index maintenance (segment model) ---------------------------
+#
+# The continuous-ingest form mirrors how real search engines grow: a
+# batch APPENDS its own posting segment (cost ∝ batch — the stored
+# index is never read, let alone rewritten), readers MERGE segments
+# per term on the fly, and a scheduled COMPACTION folds segments back
+# into canonical bounded chunks (cost ∝ index, run like OPTIMIZE).
+# Storage is the VersionedTable, so every append/compaction is one
+# atomic manifest commit and `app_txn` gives exactly-once when driven
+# from a change feed cursor.
+
+
+def append_posting_segment(
+    store,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings_per_row: int | None = None,
+    app_txn: tuple[str, int] | None = None,
+) -> int:
+    """Append one insert-only batch's postings as a NEW segment.
+    Doc-id spaces must be disjoint across batches (insert-only
+    contract, like the aggmaint fact deltas)."""
+    seg = inverted_postings(docs, id_col, text_col, max_postings_per_row)
+    if "chunk_idx" not in seg.columns:
+        seg = seg.withColumn("chunk_idx", F.lit(0))
+    seg = seg.select(
+        "term", "chunk_idx", "df", "doc_lo", "doc_hi",
+        "postings", "postings_checksum",
+    )
+    if store.history():
+        return store.append(seg, app_txn=app_txn)
+    return store.overwrite(seg, app_txn=app_txn)
+
+
+def merged_postings(store) -> DataFrame:
+    """Reader-side segment merge: per term, the union of every
+    segment's postings as one sorted list + checksum — row-identical
+    to a from-scratch :func:`inverted_postings` over all ingested
+    documents (pinned in tests).  Cost ∝ postings read; terms are the
+    shuffle key."""
+    return (
+        store.read()
+        .select("term", F.explode("postings").alias("doc_id"))
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.min("doc_id").alias("doc_lo"),
+            F.max("doc_id").alias("doc_hi"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .withColumn("postings_checksum", postings_checksum(F.col("postings")))
+    )
+
+
+def compact_postings(
+    store, max_postings_per_row: int | None = None
+) -> int:
+    """Fold all segments back into canonical bounded chunks (the
+    OPTIMIZE step): one atomic overwrite; time travel keeps the
+    pre-compaction segment layout readable."""
+    from pyspark.sql.window import Window
+
+    pairs = store.read().select(
+        "term", F.explode("postings").alias("doc_id")
+    )
+    if max_postings_per_row is None:
+        canon = (
+            pairs.groupBy("term")
+            .agg(
+                F.count("*").alias("df"),
+                F.min("doc_id").alias("doc_lo"),
+                F.max("doc_id").alias("doc_hi"),
+                F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            )
+            .withColumn("chunk_idx", F.lit(0))
+        )
+    else:
+        w = Window.partitionBy("term").orderBy("doc_id")
+        canon = (
+            pairs.withColumn(
+                "chunk_idx",
+                ((F.row_number().over(w) - 1) / max_postings_per_row).cast(
+                    "int"
+                ),
+            )
+            .groupBy("term", "chunk_idx")
+            .agg(
+                F.count("*").alias("df"),
+                F.min("doc_id").alias("doc_lo"),
+                F.max("doc_id").alias("doc_hi"),
+                F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            )
+        )
+    canon = canon.select(
+        "term", "chunk_idx", "df", "doc_lo", "doc_hi", "postings",
+        postings_checksum(F.col("postings")).alias("postings_checksum"),
+    )
+    return store.overwrite(canon)

@@ -485,7 +485,11 @@ class VersionedTable:
         )
 
     def append(
-        self, df: DataFrame, _retries: int = 5, merge_schema: bool = False
+        self,
+        df: DataFrame,
+        _retries: int = 5,
+        merge_schema: bool = False,
+        app_txn: tuple[str, int] | None = None,
     ) -> int:
         """Append rows.  Data files are written ONCE; on a lost
         manifest race only the pointer recomputes (append commutes
@@ -518,7 +522,9 @@ class VersionedTable:
             else:
                 schema = doc["schema"]
             try:
-                return self._commit("append", base + new_files, ver, schema)
+                return self._commit(
+                    "append", base + new_files, ver, schema, app_txn=app_txn
+                )
             except ConcurrentCommitError:
                 continue
         raise ConcurrentCommitError(

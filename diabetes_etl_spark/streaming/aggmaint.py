@@ -333,6 +333,7 @@ def maintain_minmax_state(
     op_col: str,
     k: int = 16,
     mode: str = "max",
+    app_txn: tuple[str, int] | None = None,
 ) -> int:
     """MIN/MAX maintenance under retractions via a bounded per-group
     candidate state (round-7 VERDICT #8): exact while the true
@@ -485,4 +486,4 @@ def maintain_minmax_state(
         )
 
     merged = both.groupBy(*keys).applyInPandas(merge_group, out_schema)
-    return store.overwrite(merged)
+    return store.overwrite(merged, app_txn=app_txn)

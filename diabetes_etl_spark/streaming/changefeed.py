@@ -128,6 +128,56 @@ def maintain_cdc_view(
     )
 
 
+def maintain_cdc_minmax(
+    source: VersionedTable,
+    view: VersionedTable,
+    keys: Sequence[str],
+    value_col: str,
+    app_id: str = "changefeed-minmax",
+    k: int = 16,
+    mode: str = "max",
+) -> int | None:
+    """The MIN/MAX sibling of :func:`maintain_cdc_view`: drives
+    :func:`~diabetes_etl_spark.streaming.aggmaint.maintain_minmax_state`
+    from the change feed with the same atomic-cursor exactly-once
+    contract — deletes of the current extremum retract through the
+    bounded candidate state; exhausted groups surface
+    ``needs_recompute`` instead of a wrong answer.
+
+    Bootstrap seeds the candidate state from the CURRENT snapshot
+    (every row an insert); increments feed insert/delete rows
+    straight through.  Returns the view version committed, or None
+    when nothing was new.
+    """
+    from diabetes_etl_spark.streaming.aggmaint import maintain_minmax_state
+
+    cursor = view.last_app_version(app_id)
+    latest, doc = source._latest()
+    if doc is None:
+        return None
+    if cursor is None:
+        snap = source.read(version_as_of=latest).withColumn(
+            "__op", F.lit("I")
+        )
+        return maintain_minmax_state(
+            view, snap, keys, value_col, "__op", k=k, mode=mode,
+            app_txn=(app_id, latest),
+        )
+    changes, new_cursor = changes_since(source, cursor)
+    if changes is None:
+        return None
+    batch = changes.withColumn(
+        "__op",
+        F.when(F.col("_change_type") == "insert", F.lit("I")).otherwise(
+            F.lit("D")
+        ),
+    )
+    return maintain_minmax_state(
+        view, batch, keys, value_col, "__op", k=k, mode=mode,
+        app_txn=(app_id, new_cursor),
+    )
+
+
 def run_to_latest(
     source: VersionedTable,
     view: VersionedTable,

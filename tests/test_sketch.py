@@ -350,3 +350,40 @@ def test_cms_join_size_disjoint_keys_is_small(spark):
     ).collect()[0].join_size_estimate
     # truth is 0; only hash collisions contribute
     assert est < 300 * 300 * 0.01
+
+
+def test_hll_intersection_estimate_tracks_true_overlap(spark):
+    """Inclusion-exclusion on register tables: the intersection
+    estimate lands within ~2 sigma of the union's standard error of
+    the true overlap, and disjoint sets estimate ~0."""
+    from diabetes_etl_spark.operators.sketch import (
+        hll_intersection_estimate,
+        hll_registers,
+    )
+
+    m_log2 = 6
+    a = hll_registers(
+        spark.range(0, 4000).select(F.col("id").cast("string").alias("k")),
+        "k", m_log2=m_log2,
+    )
+    b = hll_registers(
+        spark.range(2000, 6000).select(
+            F.col("id").cast("string").alias("k")
+        ),
+        "k", m_log2=m_log2,
+    )
+    row = hll_intersection_estimate(a, b, m_log2).first()
+    sigma_union = 1.04 / (1 << (m_log2 // 2)) * row.hll_union
+    # true overlap 2000; allow 3x the union sigma (three estimates
+    # contribute error)
+    assert abs(row.hll_inter_estimate - 2000) < 3 * sigma_union
+
+    c = hll_registers(
+        spark.range(100000, 104000).select(
+            F.col("id").cast("string").alias("k")
+        ),
+        "k", m_log2=m_log2,
+    )
+    row2 = hll_intersection_estimate(a, c, m_log2).first()
+    assert row2.hll_inter_estimate < 3 * sigma_union  # ~disjoint
+    assert row2.hll_inter_estimate >= 0.0

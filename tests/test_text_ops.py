@@ -101,3 +101,82 @@ def test_conjunctive_search_requires_all_terms(spark):
 
     with _pytest.raises(ValueError, match="at least one term"):
         conjunctive_search(docs, [])
+
+
+def test_posting_segments_merge_equals_full_rebuild(spark, tmp_path):
+    """Segment-model maintenance: N appended batch segments, read
+    through merged_postings, must be row-identical to a from-scratch
+    index over the union corpus; compaction preserves it and
+    collapses to one row per (term, chunk)."""
+    from diabetes_etl_spark.operators.invindex import (
+        append_posting_segment,
+        compact_postings,
+        inverted_postings,
+        merged_postings,
+    )
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+
+    batches = [
+        [(1, "spark join"), (2, "join shuffle")],
+        [(10, "spark shuffle scan")],
+        [(20, "join spark")],
+    ]
+    store = VersionedTable(spark, str(tmp_path / "idx"))
+    all_rows = []
+    for i, b in enumerate(batches):
+        append_posting_segment(
+            store,
+            spark.createDataFrame(b, "doc_id long, text string"),
+            app_txn=("feed", i + 1),
+        )
+        all_rows.extend(b)
+    assert store.last_app_version("feed") == 3
+
+    def canon(df):
+        return sorted(
+            (r.term, r.df, r.doc_lo, r.doc_hi, tuple(r.postings),
+             r.postings_checksum)
+            for r in df.collect()
+        )
+
+    full = canon(
+        inverted_postings(
+            spark.createDataFrame(all_rows, "doc_id long, text string")
+        )
+    )
+    assert canon(merged_postings(store)) == full
+
+    # compaction: canonical layout, reader-equivalent, time travel
+    # keeps the segment layout
+    pre_version = store._latest()[0]
+    compact_postings(store)
+    assert canon(merged_postings(store)) == full
+    assert store.read().count() == len(full)  # one row per term now
+    assert store.read(version_as_of=pre_version).count() > 0
+
+
+def test_minmax_view_driven_from_change_feed(spark, tmp_path):
+    """maintain_cdc_minmax closes the loop: versioned-table writes ->
+    change feed -> bounded-candidate max state, exactly-once."""
+    from diabetes_etl_spark.streaming.changefeed import maintain_cdc_minmax
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+
+    src = VersionedTable(spark, str(tmp_path / "src"), stats_cols=("k",))
+    view = VersionedTable(spark, str(tmp_path / "view"))
+
+    def rows(*tuples):
+        return spark.createDataFrame(list(tuples), "k long, g string, v double")
+
+    src.overwrite(rows((1, "a", 5.0), (2, "a", 9.0), (3, "b", 2.0)))
+    assert maintain_cdc_minmax(src, view, ["g"], "v", k=4) is not None
+    got = {r.g: r.group_max for r in view.read().collect()}
+    assert got == {"a": 9.0, "b": 2.0}
+
+    # delete the current max of group a through the feed
+    src.delete_where("k = 2")
+    maintain_cdc_minmax(src, view, ["g"], "v", k=4)
+    got = {r.g: r.group_max for r in view.read().collect()}
+    assert got == {"a": 5.0, "b": 2.0}
+
+    # replay safety: nothing new -> None, state unchanged
+    assert maintain_cdc_minmax(src, view, ["g"], "v", k=4) is None
