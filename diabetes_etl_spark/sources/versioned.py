@@ -654,7 +654,7 @@ class VersionedTable:
         self,
         target_bytes: int = 128 * 1024 * 1024,
         min_files: int = 2,
-        zorder_by: tuple[str, str] | None = None,
+        zorder_by: tuple[str, ...] | None = None,
     ) -> int | None:
         """Small-file compaction (the other half of Delta's OPTIMIZE,
         which the reference's ``autoOptimize`` TBLPROPERTIES implies —
@@ -676,15 +676,16 @@ class VersionedTable:
         reads ONLY the small files.  Big files carry over by
         reference, so cost ∝ small-file bytes, not table size.
 
-        ``zorder_by=(col_a, col_b)`` additionally CLUSTERS the
-        rewritten rows on the Morton (bit-interleaved) order of the
-        two columns — Delta's OPTIMIZE ZORDER: each output file then
-        covers a compact rectangle in (a, b) space, so the footer
-        min/max recorded for BOTH columns are tight and ``read``'s
-        ``between=`` pruning works on either dimension, not just the
-        insertion order.  The z-value is built from 16-bit range
-        buckets (one in-plan min/max aggregate over the rewrite set,
-        native bit expressions, no UDF) and rows route through
+        ``zorder_by=(col_a, col_b, ...)`` additionally CLUSTERS the
+        rewritten rows on the Morton (bit-interleaved) order of N
+        columns — Delta's OPTIMIZE ZORDER: each output file then
+        covers a compact hyper-rectangle in the clustered space, so
+        the footer min/max recorded for EVERY clustered column are
+        tight and ``read``'s ``between=`` pruning works on any of the
+        dimensions, not just the insertion order.  The z-value is
+        built from min(16, 63//N)-bit range buckets (one in-plan
+        min/max aggregate over the rewrite set, native bit
+        expressions, no UDF) and rows route through
         ``repartitionByRange`` on it — at scale every output file is
         a contiguous z-range, which is exactly what makes
         multi-dimensional skipping effective on a 100 TB table.
@@ -981,50 +982,66 @@ class VersionedTable:
         return removed
 
 
-def _zorder(df: DataFrame, cols: tuple[str, str], n_out: int) -> DataFrame:
+def _zorder(df: DataFrame, cols: tuple[str, ...], n_out: int) -> DataFrame:
     """Cluster ``df`` into ``n_out`` contiguous ranges of the Morton
-    order of two numeric/temporal columns.  Each column maps to a
-    16-bit bucket by linear scaling over its (in-plan, broadcast)
-    min/max, the buckets bit-interleave into a 32-bit z-value with
-    native shift/mask expressions, and ``repartitionByRange`` +
-    a partition-local sort lay rows out so every output file covers a
-    compact z-range (tight footer stats on BOTH columns).  NULLs
-    bucket to 0 (they sort first; their files simply record no
-    narrowing for that column)."""
+    order of N numeric/temporal columns (N >= 2; 2-column layouts are
+    bit-identical to the original pairwise form).  Each column maps to
+    a ``min(16, 63 // N)``-bit bucket by linear scaling over its
+    (in-plan, broadcast) min/max — per-column resolution trades off
+    against column count so the interleaved z-value always fits a
+    BIGINT — the buckets bit-interleave cyclically (column j's bit i
+    lands at position i*N + j) with native shift/mask expressions,
+    and ``repartitionByRange`` + a partition-local sort lay rows out
+    so every output file covers a compact z-range (tight footer stats
+    on EVERY clustered column).  NULLs bucket to 0 (they sort first;
+    their files simply record no narrowing for that column)."""
     from pyspark.sql import functions as F
 
-    a, b = cols
+    if len(cols) < 2:
+        raise ValueError("zorder_by needs at least 2 columns")
+    n = len(cols)
+    nbits = min(16, 63 // n)
     env = df.agg(
-        F.min(a).alias("__alo"), F.max(a).alias("__ahi"),
-        F.min(b).alias("__blo"), F.max(b).alias("__bhi"),
+        *[
+            f
+            for c in cols
+            for f in (
+                F.min(c).alias(f"__lo_{c}"),
+                F.max(c).alias(f"__hi_{c}"),
+            )
+        ]
     )
     with_env = df.crossJoin(F.broadcast(env))
 
-    def bucket(col: str, lo: str, hi: str):
+    def bucket(col: str):
+        lo, hi = f"__lo_{col}", f"__hi_{col}"
         span = F.col(hi).cast("double") - F.col(lo).cast("double")
         frac = F.when(span > 0,
                       (F.col(col).cast("double") - F.col(lo).cast("double"))
                       / span).otherwise(F.lit(0.0))
         return F.coalesce(
-            F.least(F.floor(frac * 65536).cast("long"), F.lit(65535)),
+            F.least(
+                F.floor(frac * (1 << nbits)).cast("long"),
+                F.lit((1 << nbits) - 1),
+            ),
             F.lit(0),
         )
 
-    ba, bb = bucket(a, "__alo", "__ahi"), bucket(b, "__blo", "__bhi")
+    buckets = [bucket(c) for c in cols]
     z = F.lit(0).cast("long")
-    for i in range(16):
-        z = (
-            z
-            + F.shiftleft(F.shiftright(ba, i).bitwiseAND(F.lit(1)), 2 * i)
-            + F.shiftleft(
-                F.shiftright(bb, i).bitwiseAND(F.lit(1)), 2 * i + 1
+    for i in range(nbits):
+        for j, b in enumerate(buckets):
+            z = z + F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + j
             )
-        )
+    drop_cols = ["__z"] + [
+        f"__{side}_{c}" for c in cols for side in ("lo", "hi")
+    ]
     clustered = (
         with_env.withColumn("__z", z)
         .repartitionByRange(n_out, F.col("__z"))
         .sortWithinPartitions("__z")
-        .drop("__z", "__alo", "__ahi", "__blo", "__bhi")
+        .drop(*drop_cols)
     )
     return clustered
 

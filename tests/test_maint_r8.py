@@ -435,3 +435,51 @@ def test_shallow_clone_of_old_version_and_occupied_dest(spark, tmp_path):
     assert [r.k for r in old.read().collect()] == [1]
     with _pytest.raises(ValueError, match="already has commits"):
         src.clone_to(str(tmp_path / "old"))
+
+
+# -- N-column Z-order -------------------------------------------------------
+
+
+def test_zorder_three_columns_prunes_all_dimensions(spark, tmp_path):
+    """compact(zorder_by=(x, y, z)) must leave every clustered
+    dimension file-prunable: after clustering, a narrow between= on
+    ANY of the three columns skips files."""
+    import random
+
+    t = VersionedTable(
+        spark, str(tmp_path / "t"), stats_cols=("x", "y", "z")
+    )
+    rng = random.Random(5)
+    rows = [
+        (rng.randrange(1024), rng.randrange(1024), rng.randrange(1024))
+        for _ in range(4000)
+    ]
+    from diabetes_etl_spark.sources.versioned import _zorder
+
+    df = spark.createDataFrame(rows, "x int, y int, z int").repartition(8)
+    t.overwrite(_zorder(df, ("x", "y", "z"), 8))
+    v, doc = t._latest()
+    n_files = len([e for e in doc["files"] if e["rows"] > 0])
+    assert n_files > 1
+
+    def pruned(col):
+        files = [
+            e for e in doc["files"]
+            if col in e.get("stats", {})
+            and not (e["stats"][col][1] < 0 or e["stats"][col][0] > 127)
+        ]
+        return n_files - len(files)
+
+    for col in ("x", "y", "z"):
+        assert pruned(col) > 0, col
+    # correctness unchanged
+    got = t.read(between=("y", 0, 127)).count()
+    assert got == sum(1 for _, y, _ in rows if y <= 127)
+
+
+def test_zorder_rejects_single_column(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"), stats_cols=("x",))
+    t.overwrite(spark.createDataFrame([(i,) for i in range(100)], "x int")
+                .repartition(4))
+    with pytest.raises(ValueError, match="at least 2"):
+        t.compact(target_bytes=1 << 30, zorder_by=("x",))

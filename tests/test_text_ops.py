@@ -180,3 +180,91 @@ def test_minmax_view_driven_from_change_feed(spark, tmp_path):
 
     # replay safety: nothing new -> None, state unchanged
     assert maintain_cdc_minmax(src, view, ["g"], "v", k=4) is None
+
+
+def test_tombstones_delete_without_rewrite_and_reinsert_nets(spark, tmp_path):
+    """Tombstone segments net a doc out of every term's postings; a
+    later re-insert of the same doc id (new content) nets back to
+    exactly the new content — the Lucene delete model on the
+    versioned store."""
+    from diabetes_etl_spark.operators.invindex import (
+        append_posting_segment,
+        append_posting_tombstones,
+        inverted_postings,
+        merged_postings,
+    )
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+
+    store = VersionedTable(spark, str(tmp_path / "idx"))
+
+    def docs(*rows):
+        return spark.createDataFrame(list(rows), "doc_id long, text string")
+
+    append_posting_segment(store, docs((1, "spark join"), (2, "join scan")))
+    n_commits = len(store.history())
+    append_posting_tombstones(store, docs((1, "spark join")))
+    # delete was an APPEND, not a rewrite
+    assert len(store.history()) == n_commits + 1
+
+    def canon(df):
+        return sorted(
+            (r.term, r.df, tuple(r.postings)) for r in df.collect()
+        )
+
+    assert canon(merged_postings(store)) == canon(
+        inverted_postings(docs((2, "join scan")))
+    )
+    # re-insert doc 1 with NEW content; overlapping term 'join' must
+    # net to both docs
+    append_posting_segment(store, docs((1, "join merge")))
+    assert canon(merged_postings(store)) == canon(
+        inverted_postings(docs((2, "join scan"), (1, "join merge")))
+    )
+
+
+def test_cdc_postings_follows_document_table(spark, tmp_path):
+    """maintain_cdc_postings: document-table commits (overwrite,
+    append, delete, merge-update) flow through the change feed into
+    the index exactly once; the merged index always equals a rebuild
+    over the current snapshot."""
+    from diabetes_etl_spark.operators.invindex import (
+        inverted_postings,
+        maintain_cdc_postings,
+        merged_postings,
+    )
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+
+    src = VersionedTable(spark, str(tmp_path / "docs"), stats_cols=("doc_id",))
+    idx = VersionedTable(spark, str(tmp_path / "idx"))
+
+    def rows(*tuples):
+        return spark.createDataFrame(list(tuples), "doc_id long, text string")
+
+    def check():
+        got = sorted(
+            (r.term, r.df, tuple(r.postings))
+            for r in merged_postings(idx).collect()
+        )
+        want = sorted(
+            (r.term, r.df, tuple(r.postings))
+            for r in inverted_postings(src.read()).collect()
+        )
+        assert got == want
+
+    src.overwrite(rows((1, "spark join"), (2, "scan merge")))
+    assert maintain_cdc_postings(src, idx) is not None
+    check()
+
+    src.append(rows((3, "join merge")))
+    src.delete_where("doc_id = 2")
+    maintain_cdc_postings(src, idx)
+    check()
+
+    # update through merge: doc 3 gets new text (delete+insert pair)
+    src.merge(rows((3, "spark scan")), key_col="doc_id")
+    maintain_cdc_postings(src, idx)
+    check()
+
+    # replay safety
+    assert maintain_cdc_postings(src, idx) is None
+    check()
