@@ -307,3 +307,67 @@ def maintain_cdc_postings(
         )
     )
     return index_store.append(seg, app_txn=(app_id, new_cursor))
+
+
+# -- positional index + phrase retrieval -------------------------------------
+
+
+def _doc_positions(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, term, pos) rows — one per TOKEN OCCURRENCE (0-based
+    token position), the positional-index input.  Unlike _doc_terms
+    this keeps duplicates: phrase matching needs every occurrence."""
+    return widen(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "term"),
+    ).filter(F.length("term") > 0)
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Documents containing the EXACT consecutive token sequence
+    ``phrase`` — the positional-postings intersection, computed
+    without materializing position lists: occurrences of each phrase
+    term filter from the (doc, term, pos) stream (broadcast-size
+    isin, so only phrase-term occurrences shuffle), each occurrence
+    of term j re-keys to its would-be phrase START (pos - j), and a
+    start position where ALL |phrase| terms land is a match.  Repeated
+    terms in the phrase are handled by keying on the term's INDEX in
+    the phrase, not its text.  Returns (doc_id, n_matches) — match
+    count per document, one row per matching doc.
+
+    Scale shape: one shuffle of phrase-term occurrences keyed
+    (doc, start); cost ∝ occurrences of the phrase's terms, never the
+    corpus's full position lists."""
+    if len(phrase) < 2:
+        raise ValueError("phrase_search needs at least 2 tokens")
+    terms = [t.lower() for t in phrase]
+    occ = _doc_positions(docs, id_col, text_col).filter(
+        F.col("term").isin(list(set(terms)))
+    )
+    # each occurrence votes once per phrase slot its term fills
+    slots = F.array(
+        *[
+            F.when(F.col("term") == F.lit(t), F.lit(j)).otherwise(F.lit(-1))
+            for j, t in enumerate(terms)
+        ]
+    )
+    votes = occ.select(
+        "doc_id",
+        "pos",
+        F.explode(F.filter(slots, lambda s: s >= 0)).alias("slot"),
+    ).select(
+        "doc_id", (F.col("pos") - F.col("slot")).alias("start"), "slot"
+    ).filter(F.col("start") >= 0)
+    return (
+        votes.groupBy("doc_id", "start")
+        .agg(F.count_distinct("slot").alias("__filled"))
+        .filter(F.col("__filled") == len(terms))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_matches"))
+    )

@@ -851,3 +851,49 @@ def text_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.join(docs.select("doc_id", "n_chars"), "doc_id")
         .orderBy("doc_id")
     )
+
+
+_PHRASE = ("table", "hash")
+
+
+@register(
+    "text_phrase_search",
+    oracle=f"""
+WITH occ AS (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS term
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents WHERE LENGTH(text) > 0),
+       unnest(generate_series(1, len(toks))) AS t(i)
+  WHERE LENGTH(toks[i]) > 0
+),
+votes AS (
+  SELECT occ.doc_id, occ.pos - s.slot AS start, s.slot
+  FROM occ JOIN (VALUES {", ".join(f"({j}, '{t}')" for j, t in enumerate(_PHRASE))})
+       AS s(slot, t) ON occ.term = s.t
+  WHERE occ.pos - s.slot >= 0
+),
+hits AS (
+  SELECT doc_id, start FROM votes
+  GROUP BY doc_id, start HAVING COUNT(DISTINCT slot) = {len(_PHRASE)}
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM hits GROUP BY doc_id ORDER BY doc_id
+""",
+    doc=f"Exact PHRASE retrieval for {' '.join(_PHRASE)!r} "
+    "(operators/invindex.py:phrase_search): the positional-postings "
+    "intersection computed without materializing position lists — "
+    "occurrences of the phrase's terms filter from the (doc, term, "
+    "pos) stream (broadcast-size isin), each occurrence of slot-j's "
+    "term re-keys to its would-be phrase START (pos - j), and a "
+    "start where every slot landed is a match; per-doc match counts "
+    "return.  One shuffle ∝ phrase-term occurrences, never the "
+    "corpus's position lists.",
+    tags=("text", "retrieval", "phrase", "extension"),
+    extended=True,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.invindex import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, list(_PHRASE)).orderBy("doc_id")

@@ -268,3 +268,38 @@ def test_cdc_postings_follows_document_table(spark, tmp_path):
     # replay safety
     assert maintain_cdc_postings(src, idx) is None
     check()
+
+
+def test_phrase_search_exact_adjacency_and_repeats(spark):
+    from diabetes_etl_spark.operators.invindex import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big table scan"),           # match at 0
+            (2, "table big scan"),           # reversed: no match
+            (3, "big x table"),              # gap: no match
+            (4, "big table big table"),      # two matches
+            (5, "the big table"),            # match at 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_matches
+           for r in phrase_search(docs, ["big", "table"]).collect()}
+    assert got == {1: 1, 4: 2, 5: 1}
+
+    # repeated term in the phrase: "big big" must need TWO consecutive
+    # occurrences, not one occurrence voting twice
+    got2 = {r.doc_id: r.n_matches
+            for r in phrase_search(docs, ["big", "big"]).collect()}
+    assert got2 == {}
+    docs2 = spark.createDataFrame(
+        [(9, "big big big")], "doc_id long, text string"
+    )
+    got3 = {r.doc_id: r.n_matches
+            for r in phrase_search(docs2, ["big", "big"]).collect()}
+    assert got3 == {9: 2}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least 2"):
+        phrase_search(docs, ["big"])
