@@ -339,8 +339,17 @@ class VersionedTable:
             prev = {}
         merged_txn = dict(prev)
         if app_txn is not None:
-            app_id, app_version = app_txn
-            merged_txn[str(app_id)] = int(app_version)
+            # one (app_id, version) pair or a list of them — a commit
+            # that advances several consumer cursors atomically (e.g.
+            # a join view bootstrapped against two upstream feeds)
+            pairs = (
+                [app_txn]
+                if isinstance(app_txn, tuple) and len(app_txn) == 2
+                and not isinstance(app_txn[0], tuple)
+                else list(app_txn)
+            )
+            for app_id, app_version in pairs:
+                merged_txn[str(app_id)] = int(app_version)
         if merged_txn:
             doc["app_txn"] = merged_txn
         self._publish(version, doc)

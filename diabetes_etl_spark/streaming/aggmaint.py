@@ -54,6 +54,7 @@ def merge_partial_aggs(
     batch: DataFrame,
     keys: Sequence[str],
     sum_cols: Sequence[str] = (),
+    app_txn: tuple[str, int] | None = None,
 ) -> int:
     """Fold one batch into the stored aggregate: partial-agg the batch,
     union with the stored state, re-combine per key, commit as ONE
@@ -80,7 +81,7 @@ def merge_partial_aggs(
         )
     else:
         merged = part
-    return store.overwrite(merged)
+    return store.overwrite(merged, app_txn=app_txn)
 
 
 def merge_join_partial_aggs(
@@ -213,6 +214,7 @@ def merge_join_dim_delta(
     dim_keys: Sequence[str],
     sum_cols: Sequence[str] = (),
     op_col: str = "_op",
+    app_txn: tuple[str, int] | None = None,
 ) -> int:
     """Dimension-side delta of the two-store join-aggregate view: a
     dim UPDATE arrives as the standard CDC pair — 'D' with the old
@@ -254,7 +256,9 @@ def merge_join_dim_delta(
             for c in sum_cols
         ],
     )
-    return _zset_merge(view_store, part, [*fact_keys, *dim_keys], sum_cols)
+    return _zset_merge(
+        view_store, part, [*fact_keys, *dim_keys], sum_cols, app_txn=app_txn
+    )
 
 
 def merge_cdc_partial_aggs(

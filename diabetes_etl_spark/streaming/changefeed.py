@@ -202,3 +202,145 @@ def run_to_latest(
         n += 1
         if on_batch is not None:
             on_batch(v)
+
+
+def maintain_join_view_from_feeds(
+    fact_src: VersionedTable,
+    dim_src: VersionedTable,
+    fact_store: VersionedTable,
+    view: VersionedTable,
+    on: str | Sequence[str],
+    fact_keys: Sequence[str],
+    dim_keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    fact_app: str = "factfeed",
+    dim_app: str = "dimfeed",
+) -> dict[str, int | None]:
+    """Materialized join-aggregate view over TWO independently-updated
+    versioned tables, each consumed through its own change feed,
+    exactly once — the full composition of the round-8 machinery:
+    fact deltas flow through the two-store pair (aggmaint.py:
+    merge_join_fact_delta shape), dim updates retract-old/insert-new
+    through the rolled-up fact partials, and every cursor is a
+    Delta-`txn` entry committed atomically with the state it covers.
+
+    Correctness under interleaving AND crashes (each phase below is
+    one atomic commit; re-running after a crash anywhere converges):
+
+    1. **Bootstrap** — fact_store = partials of the fact snapshot
+       (idempotent overwrite), then view = Agg(fact ⋈ dim snapshot)
+       carrying BOTH cursors in one commit.  A crash between them
+       re-runs the whole bootstrap (the view cursor is the gate).
+    2. **Fact recovery** — if a previous call crashed between the
+       fact_store and view commits, the view catches up by re-joining
+       the missed fact inserts against the dim snapshot AS OF THE
+       VIEW'S APPLIED DIM CURSOR — the same dim state the crashed
+       attempt used, so the bilinear expansion stays exact (recovery
+       runs BEFORE any new dim delta is applied; replaying against a
+       newer dim would double-count the ΔF·ΔD cross term).
+    3. **Dim phase** — unconsumed dim-feed changes apply as I/D
+       images through the Z-set merge; the dim cursor rides the view
+       commit.
+    4. **Fact phase** — new fact inserts fold into fact_store (cursor
+       on fact_store), then their dim-enriched partials into the view
+       (cursor on view); fact deltas join the dim AS APPLIED (the
+       dim_src snapshot at the view's dim cursor), which after phase
+       3 is the current dim — the sequencing contract of
+       merge_join_fact_delta.
+
+    The fact feed must be INSERT-ONLY (append/initial-load commits;
+    a delete in the fact feed raises — retractions belong to
+    merge_cdc_partial_aggs' single-table form).  Returns the versions
+    committed per phase (None where a phase had nothing to do).
+    """
+    from diabetes_etl_spark.streaming.aggmaint import (
+        merge_join_dim_delta,
+        merge_partial_aggs,
+    )
+
+    on = [on] if isinstance(on, str) else list(on)
+    out: dict[str, int | None] = {
+        "bootstrap": None, "fact_recovery": None,
+        "dim": None, "fact": None,
+    }
+    fact_latest, fact_doc = fact_src._latest()
+    dim_latest, dim_doc = dim_src._latest()
+    if fact_doc is None or dim_doc is None:
+        return out
+
+    def _insert_only(changes: DataFrame) -> DataFrame:
+        bad = changes.filter(F.col("_change_type") != "insert").limit(1)
+        if bad.count() > 0:
+            raise ValueError(
+                "fact feed must be insert-only (got a delete change); "
+                "use merge_cdc_partial_aggs for retractable facts"
+            )
+        return changes.drop("_change_type", "_commit_version")
+
+    if view.last_app_version(fact_app) is None:
+        from diabetes_etl_spark.streaming.aggmaint import partial_aggs
+
+        # overwrite, NOT merge: a crash between the two bootstrap
+        # commits re-runs this whole branch (the view cursor is the
+        # gate), and an idempotent overwrite converges where a merge
+        # would double the snapshot
+        fact_snap = fact_src.read(version_as_of=fact_latest)
+        fact_store.overwrite(
+            partial_aggs(fact_snap, [*on, *fact_keys], sum_cols),
+            app_txn=(fact_app, fact_latest),
+        )
+        dim_snap = dim_src.read(version_as_of=dim_latest)
+        enriched = fact_snap.join(F.broadcast(dim_snap), on)
+        out["bootstrap"] = view.overwrite(
+            partial_aggs(enriched, [*fact_keys, *dim_keys], sum_cols),
+            app_txn=[(fact_app, fact_latest), (dim_app, dim_latest)],
+        )
+        return out
+
+    # 2. fact recovery: view catches up to fact_store under the
+    #    APPLIED dim snapshot
+    fs_cur = fact_store.last_app_version(fact_app) or 0
+    vw_cur = view.last_app_version(fact_app)
+    dim_applied = view.last_app_version(dim_app)
+    if vw_cur < fs_cur:
+        missed, _ = changes_since(fact_src, vw_cur, fs_cur)
+        if missed is not None:
+            inserts = _insert_only(missed)
+            dim_snap = dim_src.read(version_as_of=dim_applied)
+            out["fact_recovery"] = merge_partial_aggs(
+                view, inserts.join(F.broadcast(dim_snap), on),
+                [*fact_keys, *dim_keys], sum_cols,
+                app_txn=(fact_app, fs_cur),
+            )
+            vw_cur = fs_cur
+
+    # 3. dim phase
+    dim_changes, new_dim_cur = changes_since(dim_src, dim_applied)
+    if dim_changes is not None:
+        batch = dim_changes.withColumn(
+            "__op",
+            F.when(
+                F.col("_change_type") == "insert", F.lit("I")
+            ).otherwise(F.lit("D")),
+        ).drop("_change_type", "_commit_version")
+        out["dim"] = merge_join_dim_delta(
+            fact_store, view, batch, on, fact_keys, dim_keys, sum_cols,
+            op_col="__op", app_txn=(dim_app, new_dim_cur),
+        )
+        dim_applied = new_dim_cur
+
+    # 4. fact phase: fact_store first (its cursor leads), then view
+    fresh, new_fact_cur = changes_since(fact_src, fs_cur)
+    if fresh is not None:
+        inserts = _insert_only(fresh)
+        merge_partial_aggs(
+            fact_store, inserts, [*on, *fact_keys], sum_cols,
+            app_txn=(fact_app, new_fact_cur),
+        )
+        dim_snap = dim_src.read(version_as_of=dim_applied)
+        out["fact"] = merge_partial_aggs(
+            view, inserts.join(F.broadcast(dim_snap), on),
+            [*fact_keys, *dim_keys], sum_cols,
+            app_txn=(fact_app, new_fact_cur),
+        )
+    return out

@@ -483,3 +483,138 @@ def test_zorder_rejects_single_column(spark, tmp_path):
                 .repartition(4))
     with pytest.raises(ValueError, match="at least 2"):
         t.compact(target_bytes=1 << 30, zorder_by=("x",))
+
+
+# -- two-feed materialized join view ----------------------------------------
+
+
+def _mk_fact_rows(spark, *tuples):
+    return spark.createDataFrame(
+        list(tuples), "ck long, region string, amt double"
+    )
+
+
+def _mk_dim_rows(spark, *tuples):
+    return spark.createDataFrame(list(tuples), "ck long, segment string")
+
+
+def _expected_join_view(spark, fact_src, dim_src):
+    return sorted(
+        (r.region, r.segment, r.n_rows, str(r.sum_amt))
+        for r in fact_src.read()
+        .join(dim_src.read(), "ck")
+        .groupBy("region", "segment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("amt").cast("decimal(28,2)")).alias("sum_amt"),
+        )
+        .collect()
+    )
+
+
+def test_join_view_from_two_feeds_tracks_both_tables(spark, tmp_path):
+    from diabetes_etl_spark.streaming.changefeed import (
+        maintain_join_view_from_feeds,
+    )
+
+    fact_src = VersionedTable(spark, str(tmp_path / "facts"), stats_cols=("ck",))
+    dim_src = VersionedTable(spark, str(tmp_path / "dims"), stats_cols=("ck",))
+    fact_store = VersionedTable(spark, str(tmp_path / "fstore"))
+    view = VersionedTable(spark, str(tmp_path / "view"))
+
+    def sync():
+        return maintain_join_view_from_feeds(
+            fact_src, dim_src, fact_store, view,
+            "ck", ["region"], ["segment"], ["amt"],
+        )
+
+    fact_src.overwrite(_mk_fact_rows(spark, (1, "eu", 10.0), (2, "us", 20.0)))
+    dim_src.overwrite(_mk_dim_rows(spark, (1, "gold"), (2, "silver")))
+    out = sync()
+    assert out["bootstrap"] is not None
+    assert _view_rows(view) == _expected_join_view(spark, fact_src, dim_src)
+
+    # independent upstream commits, one sync applies both feeds
+    fact_src.append(_mk_fact_rows(spark, (1, "eu", 5.0), (2, "eu", 7.0)))
+    dim_src.merge(_mk_dim_rows(spark, (1, "platinum")), key_col="ck")
+    out = sync()
+    assert out["dim"] is not None and out["fact"] is not None
+    assert _view_rows(view) == _expected_join_view(spark, fact_src, dim_src)
+
+    # nothing new -> every phase is a no-op
+    assert all(v is None for v in sync().values())
+
+
+def test_join_view_feed_crash_between_stores_recovers_exactly(
+    spark, tmp_path, monkeypatch
+):
+    """Crash injected between the fact_store commit and the view
+    commit; a dim update lands BEFORE the next sync — the recovery
+    path must replay the missed fact delta against the dim AS APPLIED
+    at crash time, or the ΔF·ΔD cross term double-counts."""
+    from diabetes_etl_spark.streaming.changefeed import (
+        maintain_join_view_from_feeds,
+    )
+
+    fact_src = VersionedTable(spark, str(tmp_path / "facts"), stats_cols=("ck",))
+    dim_src = VersionedTable(spark, str(tmp_path / "dims"), stats_cols=("ck",))
+    fact_store = VersionedTable(spark, str(tmp_path / "fstore"))
+    view = VersionedTable(spark, str(tmp_path / "view"))
+
+    def sync():
+        return maintain_join_view_from_feeds(
+            fact_src, dim_src, fact_store, view,
+            "ck", ["region"], ["segment"], ["amt"],
+        )
+
+    fact_src.overwrite(_mk_fact_rows(spark, (1, "eu", 10.0)))
+    dim_src.overwrite(_mk_dim_rows(spark, (1, "gold")))
+    sync()
+
+    # crash: the fact phase's VIEW commit fails after fact_store moved
+    fact_src.append(_mk_fact_rows(spark, (1, "eu", 3.0)))
+    real_overwrite = view.overwrite
+
+    def exploding_overwrite(*a, **kw):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(view, "overwrite", exploding_overwrite)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sync()
+    monkeypatch.setattr(view, "overwrite", real_overwrite)
+    assert (fact_store.last_app_version("factfeed") or 0) > (
+        view.last_app_version("factfeed") or 0
+    )
+
+    # dim changes while the view lags
+    dim_src.merge(_mk_dim_rows(spark, (1, "platinum")), key_col="ck")
+    out = sync()
+    assert out["fact_recovery"] is not None and out["dim"] is not None
+    assert _view_rows(view) == _expected_join_view(spark, fact_src, dim_src)
+    # idempotent afterwards
+    assert all(v is None for v in sync().values())
+    assert _view_rows(view) == _expected_join_view(spark, fact_src, dim_src)
+
+
+def test_join_view_feed_rejects_fact_deletes(spark, tmp_path):
+    from diabetes_etl_spark.streaming.changefeed import (
+        maintain_join_view_from_feeds,
+    )
+
+    fact_src = VersionedTable(spark, str(tmp_path / "facts"), stats_cols=("ck",))
+    dim_src = VersionedTable(spark, str(tmp_path / "dims"), stats_cols=("ck",))
+    fact_store = VersionedTable(spark, str(tmp_path / "fstore"))
+    view = VersionedTable(spark, str(tmp_path / "view"))
+
+    fact_src.overwrite(_mk_fact_rows(spark, (1, "eu", 10.0), (2, "us", 1.0)))
+    dim_src.overwrite(_mk_dim_rows(spark, (1, "gold"), (2, "gold")))
+    maintain_join_view_from_feeds(
+        fact_src, dim_src, fact_store, view,
+        "ck", ["region"], ["segment"], ["amt"],
+    )
+    fact_src.delete_where("ck = 2")
+    with pytest.raises(ValueError, match="insert-only"):
+        maintain_join_view_from_feeds(
+            fact_src, dim_src, fact_store, view,
+            "ck", ["region"], ["segment"], ["amt"],
+        )
