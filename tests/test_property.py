@@ -181,3 +181,106 @@ def test_scd1_state_matches_reference(spark, tmp_path_factory, changes):
         if not winner[3]:
             expected[k] = (winner[1], winner[2])
     assert got == expected
+
+
+# -- maintain_minmax_state (round 8) ----------------------------------------
+
+_mm_ops = st.lists(
+    st.tuples(
+        st.integers(0, 1),            # group
+        st.integers(0, 8),            # value
+        st.booleans(),                # delete attempt?
+    ),
+    min_size=1,
+    max_size=18,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_mm_ops, st.integers(2, 4))
+def test_minmax_state_matches_brute_force(spark, tmp_path_factory, raw, k):
+    """Random insert/delete streams split into 2 batches: wherever the
+    operator reports a max it must be THE max of the surviving
+    multiset; a flagged group must really have survivors; groups
+    report either a correct max or the flag — never a wrong value.
+    Deletes are only emitted for values currently live (the operator's
+    contract)."""
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+    from diabetes_etl_spark.streaming.aggmaint import maintain_minmax_state
+
+    live: dict[int, list[int]] = {0: [], 1: []}
+    ops = []
+    for g, v, is_del in raw:
+        if is_del and live[g]:
+            # delete something actually live (prefer v if present)
+            victim = v if v in live[g] else live[g][0]
+            live[g].remove(victim)
+            ops.append((g, victim, "D"))
+        else:
+            live[g].append(v)
+            ops.append((g, v, "I"))
+    store = VersionedTable(
+        spark, str(tmp_path_factory.mktemp("mm") / "state")
+    )
+    mid = len(ops) // 2 or 1
+    for chunk in (ops[:mid], ops[mid:]):
+        if not chunk:
+            continue
+        batch = spark.createDataFrame(
+            [(str(g), float(v), op) for g, v, op in chunk],
+            "g string, v double, op string",
+        )
+        maintain_minmax_state(store, batch, ["g"], "v", "op", k=k)
+    rows = {r.g: r for r in store.read().collect()}
+    for g in (0, 1):
+        surviving = live[g]
+        r = rows.get(str(g))
+        if not surviving:
+            assert r is None
+            continue
+        assert r is not None and r.n_rows == len(surviving)
+        if r.needs_recompute:
+            assert r.group_max is None
+        else:
+            assert r.group_max == float(max(surviving))
+
+
+# -- phrase_search (round 8) ------------------------------------------------
+
+_phrase_docs = st.lists(
+    st.lists(st.sampled_from("abc"), min_size=0, max_size=10),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_phrase_docs, st.lists(st.sampled_from("abc"), min_size=2, max_size=3))
+def test_phrase_search_matches_brute_force(spark, docs, phrase):
+    from diabetes_etl_spark.operators.invindex import phrase_search
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_matches for r in phrase_search(df, phrase).collect()
+    }
+    want = {}
+    for i, toks in enumerate(docs):
+        n = sum(
+            1
+            for s in range(len(toks) - len(phrase) + 1)
+            if toks[s : s + len(phrase)] == phrase
+        )
+        if n:
+            want[i] = n
+    assert got == want
