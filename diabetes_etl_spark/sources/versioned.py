@@ -605,7 +605,12 @@ class VersionedTable:
             return hi > lit
         return hi >= lit
 
-    def merge(self, updates: DataFrame, key_col: str) -> int:
+    def merge(
+        self,
+        updates: DataFrame,
+        key_col: str,
+        app_txn: tuple[str, int] | None = None,
+    ) -> int:
         """Upsert by key (Delta MERGE WHEN MATCHED UPDATE / WHEN NOT
         MATCHED INSERT, whole-row semantics): rewrite ONLY the files
         whose recorded [min,max] range of ``key_col`` overlaps the
@@ -625,7 +630,9 @@ class VersionedTable:
         ver, doc = self._latest()
         if doc is None:
             files = self._write_data(updates)
-            return self._commit("merge", files, ver, updates.schema.json())
+            return self._commit(
+                "merge", files, ver, updates.schema.json(), app_txn=app_txn
+            )
         if key_col not in self.stats_cols:
             raise ValueError(
                 f"merge key {key_col!r} must be in stats_cols={self.stats_cols} "
@@ -657,7 +664,9 @@ class VersionedTable:
             new_files += self._write_data(
                 survivors.select(*updates.columns)
             )
-        return self._commit("merge", keep + new_files, ver, doc["schema"])
+        return self._commit(
+            "merge", keep + new_files, ver, doc["schema"], app_txn=app_txn
+        )
 
     def compact(
         self,

@@ -403,3 +403,50 @@ def test_lpa_work_dir_resume_bit_identical(spark, tmp_path):
         )
     )
     assert full == resumed
+
+
+# -- incremental connected components (round 8) ------------------------------
+
+
+def test_incremental_components_tracks_full_recompute(spark, tmp_path):
+    """Edge batches folded into the persisted label store must equal
+    connected_components over ALL edges so far at every step —
+    including batches that merge existing clusters, add new nodes to
+    old clusters, and no-op batches."""
+    from diabetes_etl_spark.operators.components import (
+        connected_components,
+        connected_components_incremental,
+    )
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+
+    store = VersionedTable(spark, str(tmp_path / "labels"), stats_cols=("id",))
+    batches = [
+        [(1, 2), (3, 4)],          # two clusters
+        [(5, 6)],                  # third cluster
+        [(2, 3)],                  # MERGE clusters {1,2} and {3,4}
+        [(7, 4)],                  # new node joins merged cluster
+        [(1, 4)],                  # no-op: already same cluster
+        [(6, 9), (9, 10)],         # chain growth on cluster {5,6}
+    ]
+    seen = []
+    for i, b in enumerate(batches):
+        edges = spark.createDataFrame(b, "src long, dst long")
+        connected_components_incremental(
+            store, edges,
+            work_dir=str(tmp_path / f"wd{i}"),
+            app_txn=("edges", i + 1),
+        )
+        seen.extend(b)
+        want = sorted(
+            (r.id, r.component)
+            for r in connected_components(
+                spark.createDataFrame(seen, "src long, dst long"),
+                work_dir=str(tmp_path / f"ref{i}"),
+            ).collect()
+        )
+        got = sorted((r.id, r.component) for r in store.read().collect())
+        assert got == want, f"batch {i}"
+    assert store.last_app_version("edges") == len(batches)
+    # the no-op batch committed nothing new for its turn: version count
+    # is bounded by the number of effectful batches + 1
+    assert len(store.history()) <= len(batches)
