@@ -54,6 +54,7 @@ def logistic_train_rounds(
     label_col: str,
     iterations: int = 3,
     lr: float = 0.5,
+    state_store=None,
 ) -> DataFrame:
     """Train logistic regression by ``iterations`` full-batch GD
     rounds and return every round's weight vector as rows
@@ -67,13 +68,34 @@ def logistic_train_rounds(
     plain Python floats between rounds — they re-enter the next
     round's plan as literals, so no weight broadcast or join exists
     anywhere.
+
+    ``state_store`` (a VersionedTable) makes long trainings
+    driver-restart-safe, the iterative-operator discipline the graph
+    ops follow: every completed round commits the full
+    (round, weights) history atomically, and a restarted run resumes
+    from the last committed round instead of re-paying earlier
+    corpus passes.  The caller owns config identity (same feats /
+    lr / feature set) across the restart, as with every resumable
+    loop here.
     """
     spark = feats.sparkSession
     dim = len(feature_cols)
     weights = [0.0] * (dim + 1)
     out_rows = [(0, *weights)]
+    start_round = 1
+    if state_store is not None and state_store.history():
+        prior = sorted(
+            state_store.read().collect(), key=lambda r: r["round"]
+        )
+        if prior and len(prior[0]) == dim + 2:
+            out_rows = [tuple(r) for r in prior]
+            weights = [out_rows[-1][j + 1] for j in range(dim + 1)]
+            start_round = out_rows[-1][0] + 1
     n = None
-    for rnd in range(1, iterations + 1):
+    schema = "round int, " + ", ".join(
+        f"w{j} double" for j in range(dim + 1)
+    )
+    for rnd in range(start_round, iterations + 1):
         z = F.lit(weights[0])
         for j, c in enumerate(feature_cols):
             z = z + F.lit(weights[j + 1]) * F.col(c)
@@ -96,9 +118,11 @@ def logistic_train_rounds(
             new_w.append(_dec12(upd))
         weights = new_w
         out_rows.append((rnd, *weights))
-    schema = "round int, " + ", ".join(
-        f"w{j} double" for j in range(dim + 1)
-    )
+        if state_store is not None:
+            state_store.overwrite(
+                spark.createDataFrame(out_rows, schema),
+                app_txn=("gd_round", rnd),
+            )
     return spark.createDataFrame(out_rows, schema)
 
 

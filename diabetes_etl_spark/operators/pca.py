@@ -81,6 +81,7 @@ def power_iteration_rounds(
     vec_col: str = "embedding",
     iterations: int = 3,
     mu: list[float] | None = None,
+    state_store=None,
 ) -> DataFrame:
     """Power-iterate the (centered) covariance's dominant eigenvector
     and return EVERY round's vector as rows (round, pos, v) — round 0
@@ -90,6 +91,12 @@ def power_iteration_rounds(
     Returns the unit eigenvector estimate at 9-decimal quantization;
     pair with :func:`project_out` to remove the dominant direction
     (the all-but-the-top normalization step).
+
+    ``state_store`` (a VersionedTable) commits every completed
+    round's full (round, pos, v) history atomically so a restarted
+    driver resumes from the last committed round — the iterative-
+    operator discipline (graph ops, classifier GD); config identity
+    across the restart is the caller's contract.
     """
     spark = df.sparkSession
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -102,7 +109,15 @@ def power_iteration_rounds(
         raise ValueError(f"mu has {len(mu)} dims, embeddings have {d}")
     v = [_q9(1.0 / _q9(d**0.5))] * d
     out = [(0, i, v[i]) for i in range(d)]
-    for rnd in range(1, iterations + 1):
+    start_round = 1
+    if state_store is not None and state_store.history():
+        prior = state_store.read().collect()
+        if prior:
+            out = sorted((r["round"], r["pos"], r["v"]) for r in prior)
+            last = out[-1][0]
+            v = [x for rnd_, _, x in out if rnd_ == last]
+            start_round = last + 1
+    for rnd in range(start_round, iterations + 1):
         mu_arr = F.array(*[F.lit(m) for m in mu])
         v_arr = F.array(*[F.lit(x) for x in v])
         # per-row centered dot: sequential in-array fold, fixed order
@@ -143,6 +158,13 @@ def power_iteration_rounds(
             )
         v = [_q9(x / norm) for x in s]
         out.extend((rnd, i, v[i]) for i in range(d))
+        if state_store is not None:
+            state_store.overwrite(
+                spark.createDataFrame(
+                    out, "round int, pos int, v double"
+                ),
+                app_txn=("power_round", rnd),
+            )
     return spark.createDataFrame(out, "round int, pos int, v double")
 
 

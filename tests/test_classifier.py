@@ -56,3 +56,32 @@ def test_sigmoid_quantized_to_7_decimals(spark):
     v = df.select(sigmoid_q(F.col("z")).alias("s")).first().s
     assert v == round(v, 7)
     assert abs(v - 0.5744425) < 1e-6
+
+
+def test_training_resumes_from_state_store(spark, tmp_path):
+    """A crashed long training resumes from the last committed round:
+    2 rounds with a store, then a fresh call asking for 4 continues at
+    round 3 and matches an uninterrupted 4-round run exactly."""
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+
+    rows = [(round((i % 10) / 10 + (1.0 if i % 2 else 0.0), 4), i % 2)
+            for i in range(60)]
+    feats = spark.createDataFrame(rows, "f1 double, y int")
+    store = VersionedTable(spark, str(tmp_path / "gd"))
+
+    logistic_train_rounds(feats, ["f1"], "y", iterations=2, lr=1.0,
+                          state_store=store)
+    assert store.last_app_version("gd_round") == 2
+
+    resumed = sorted(
+        tuple(r) for r in logistic_train_rounds(
+            feats, ["f1"], "y", iterations=4, lr=1.0, state_store=store
+        ).collect()
+    )
+    fresh = sorted(
+        tuple(r) for r in logistic_train_rounds(
+            feats, ["f1"], "y", iterations=4, lr=1.0
+        ).collect()
+    )
+    assert resumed == fresh
+    assert store.last_app_version("gd_round") == 4

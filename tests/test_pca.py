@@ -80,3 +80,22 @@ def test_power_iteration_degenerate_input_raises(spark):
     )
     with pytest.raises(ValueError, match="zero vector|degenerate"):
         power_iteration_rounds(df, iterations=1)
+
+
+def test_power_iteration_resumes_from_state_store(spark, tmp_path):
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+
+    df = _aniso_df(spark, n=80)
+    store = VersionedTable(spark, str(tmp_path / "pow"))
+    power_iteration_rounds(df, iterations=2, state_store=store)
+    assert store.last_app_version("power_round") == 2
+    resumed = sorted(
+        tuple(r) for r in power_iteration_rounds(
+            df, iterations=4, state_store=store
+        ).collect()
+    )
+    fresh = sorted(
+        tuple(r) for r in power_iteration_rounds(df, iterations=4).collect()
+    )
+    assert resumed == fresh
+    assert store.last_app_version("power_round") == 4
