@@ -1183,3 +1183,99 @@ def events_ema_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ema(
         ev, ["user_id"], ["ts", "event_id"], "value", alpha=0.25
     ).orderBy("user_id")
+
+
+# -- grouped OLS trend (round 8) --------------------------------------------
+
+_TREND_ORACLE = """
+WITH pts AS (
+  SELECT event_type,
+    CAST(floor(epoch(ts)) AS BIGINT) AS x, value AS y
+  FROM events
+),
+mus AS (
+  SELECT event_type,
+    ROUND(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+      AS mux,
+    ROUND(CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+      AS muy,
+    COUNT(*) AS n
+  FROM pts GROUP BY event_type
+),
+moms AS (
+  SELECT p.event_type, m.n, m.mux, m.muy,
+    CAST(SUM(CAST((p.x - m.mux) * (p.y - m.muy) AS DECIMAL(38,12)))
+         AS DOUBLE) AS sxy,
+    CAST(SUM(CAST((p.x - m.mux) * (p.x - m.mux) AS DECIMAL(38,12)))
+         AS DOUBLE) AS sxx
+  FROM pts p JOIN mus m USING (event_type)
+  GROUP BY p.event_type, m.n, m.mux, m.muy
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+  ROUND(sxy / sxx, 12) AS slope,
+  ROUND(muy - ROUND(sxy / sxx, 12) * mux, 6) AS intercept
+FROM moms ORDER BY event_type
+"""
+
+from diabetes_etl_spark.plans.diabetesplans import _mimic_spark_round
+
+_TREND_ORACLE = _mimic_spark_round(_TREND_ORACLE)
+
+
+@register(
+    "events_linear_trend",
+    oracle=_TREND_ORACLE,
+    doc="Per-group ordinary-least-squares trend (value over event "
+    "time) fitted ENTIRELY in-plan — no driver loop, no UDF: pass 1 "
+    "computes per-group decimal-pinned means, pass 2 folds the "
+    "CENTERED cross/self moments through DECIMAL(38,12) (centering "
+    "kills the catastrophic n*Sxx - Sx^2 cancellation raw-moment OLS "
+    "hits on epoch-scale x), and slope/intercept are two IEEE "
+    "divisions quantized via the established string-first ROUND "
+    "mimic.  The regression-analytics sibling of the iterative GD "
+    "trainer: closed form where one exists, so 100 TB costs two "
+    "aggregate passes.",
+    tags=("events", "regression", "analytics", "extension"),
+    extended=True,
+)
+def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pts = events.select(
+        "event_type",
+        F.floor(F.col("ts").cast("double")).cast("long").alias("x"),
+        F.col("value").alias("y"),
+    )
+    mus = pts.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mux"),
+        F.round(
+            F.sum(F.col("y").cast("decimal(28,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("muy"),
+        F.count("*").alias("n"),
+    )
+    moms = (
+        pts.join(F.broadcast(mus), "event_type")
+        .groupBy("event_type", "n", "mux", "muy")
+        .agg(
+            F.sum(
+                ((F.col("x") - F.col("mux")) * (F.col("y") - F.col("muy")))
+                .cast("decimal(38,12)")
+            ).cast("double").alias("sxy"),
+            F.sum(
+                ((F.col("x") - F.col("mux")) * (F.col("x") - F.col("mux")))
+                .cast("decimal(38,12)")
+            ).cast("double").alias("sxx"),
+        )
+    )
+    slope = F.round(F.col("sxy") / F.col("sxx"), 12)
+    return moms.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_rows"),
+        slope.alias("slope"),
+        F.round(F.col("muy") - slope * F.col("mux"), 6).alias("intercept"),
+    ).orderBy("event_type")

@@ -72,6 +72,15 @@ def _events_ts_unit(path: str) -> str:
     read costs ~a stat call and happens once per query construction."""
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        # Spark-written dataset (tests, derived fixtures): any part
+        # file carries the shared schema
+        parts = sorted(
+            n for n in os.listdir(path) if n.endswith(".parquet")
+        )
+        if not parts:
+            raise ValueError(f"no parquet part files under {path}")
+        path = os.path.join(path, parts[0])
     unit = pq.read_schema(path).field("ts").type.unit
     if unit not in _TS_UNIT_TO_MICROS:
         raise ValueError(f"unsupported parquet timestamp unit {unit!r}")

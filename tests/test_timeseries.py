@@ -197,3 +197,53 @@ def test_ema_partition_invariant(spark):
     a = sorted(map(tuple, ema(df, ["k"], ["t"], "v", 0.3).collect()))
     b = sorted(map(tuple, ema(df.repartition(13), ["k"], ["t"], "v", 0.3).collect()))
     assert a == b
+
+
+def test_linear_trend_recovers_known_slope(spark, sf_dir):
+    """events_linear_trend on synthetic exactly-linear input recovers
+    slope/intercept to quantization precision."""
+    import datetime
+
+    from diabetes_etl_spark.plans.events import events_linear_trend  # noqa: F401
+    from diabetes_etl_spark.plans import all_queries
+
+    # direct check of the math on constructed data via the same plan
+    # body: y = 2.5x + 7 for group a, y = -1 x + 100 for group b
+    base = 1_700_000_000
+    rows = []
+    for i in range(50):
+        ts = datetime.datetime.fromtimestamp(
+            base + i * 60, tz=datetime.timezone.utc
+        ).replace(tzinfo=None)
+        rows.append((ts, "a", 2.5 * (base + i * 60) + 7.0))
+        rows.append((ts, "b", -1.0 * (base + i * 60) + 100.0))
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        # single MICROS parquet file, like the driver-generated fixtures
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [ts for ts, _, _ in rows], pa.timestamp("us")
+                ),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array([g for _, g, _ in rows]),
+                "value": pa.array([v for _, _, v in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, f"{d}/events.parquet")
+        out = {
+            r.event_type: r
+            for r in all_queries(include_extended=True)[
+                "events_linear_trend"
+            ].fn(spark, d).collect()
+        }
+    assert abs(out["a"].slope - 2.5) < 1e-6
+    assert abs(out["b"].slope - (-1.0)) < 1e-6
+    assert abs(out["a"].intercept - 7.0) < 1.0   # intercept magnifies
+    assert abs(out["b"].intercept - 100.0) < 1.0  # slope quantization
