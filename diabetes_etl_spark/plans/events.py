@@ -1279,3 +1279,74 @@ def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         F.round(F.col("muy") - slope * F.col("mux"), 6).alias("intercept"),
     ).orderBy("event_type")
+
+
+# -- winsorized robust stats (round 8) --------------------------------------
+
+
+@register(
+    "events_winsorized_stats",
+    oracle="""
+WITH cuts AS (
+  SELECT event_type,
+    ROUND(quantile_cont(value, 0.01), 6) AS p01,
+    ROUND(quantile_cont(value, 0.99), 6) AS p99
+  FROM events GROUP BY event_type
+),
+clipped AS (
+  SELECT e.event_type, c.p01, c.p99,
+    CASE WHEN e.value < c.p01 THEN c.p01
+         WHEN e.value > c.p99 THEN c.p99
+         ELSE e.value END AS w,
+    CASE WHEN e.value < c.p01 OR e.value > c.p99 THEN 1 ELSE 0 END
+      AS is_clipped
+  FROM events e JOIN cuts c USING (event_type)
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(is_clipped) AS BIGINT) AS n_clipped,
+  MAX(p01) AS p01, MAX(p99) AS p99,
+  CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS sum_winsorized
+FROM clipped GROUP BY event_type ORDER BY event_type
+""",
+    doc="Winsorization — per-group 1%/99% exact-percentile clipping "
+    "with clip accounting and the decimal-folded clipped mass: the "
+    "outlier-taming step feature pipelines run before training "
+    "statistics.  Two passes: one exact-percentile aggregate (the "
+    "interpolated-percentile parity of quantiles_by_flag; the approx "
+    "sketch is the 100 TB path), its tiny per-group cut table "
+    "broadcast back over one corpus scan — clipping itself is a "
+    "scan-local CASE in codegen, no UDF, no extra shuffle.",
+    tags=("events", "quality", "winsorize", "extension"),
+    extended=True,
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cuts = events.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.01), 6).alias("p01"),
+        F.round(F.percentile("value", 0.99), 6).alias("p99"),
+    )
+    clipped = events.join(F.broadcast(cuts), "event_type").select(
+        "event_type", "p01", "p99",
+        F.when(F.col("value") < F.col("p01"), F.col("p01"))
+        .when(F.col("value") > F.col("p99"), F.col("p99"))
+        .otherwise(F.col("value"))
+        .alias("w"),
+        F.when(
+            (F.col("value") < F.col("p01")) | (F.col("value") > F.col("p99")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("is_clipped"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("is_clipped").cast("long").alias("n_clipped"),
+            F.max("p01").alias("p01"),
+            F.max("p99").alias("p99"),
+            F.sum(F.col("w").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_winsorized"),
+        )
+        .orderBy("event_type")
+    )
