@@ -1350,3 +1350,70 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_robust_outliers",
+    oracle="""
+WITH med AS (
+  SELECT event_type, ROUND(median(value), 6) AS med
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, m.med,
+    ROUND(median(abs(e.value - m.med)), 6) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type, m.med
+)
+SELECT e.event_type,
+  MAX(m.med) AS med, MAX(m.mad) AS mad,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN abs(e.value - m.med)
+                     > 3 * CAST(1.4826 AS DOUBLE) * m.mad
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN mad m USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+""",
+    doc="Robust outlier detection per group: median + MAD (median "
+    "absolute deviation) with the 3-sigma-equivalent 1.4826 scaling — "
+    "the heavy-tail-safe alternative to mean/stddev z-scores (one "
+    "wild value moves a mean arbitrarily; it moves a median not at "
+    "all).  Three passes, each one exact-percentile aggregate whose "
+    "tiny per-group result broadcasts into the next scan — the "
+    "outlier test itself is scan-local codegen.  Exact percentiles "
+    "are the oracle-parity tier; percentile_approx is the 100 TB "
+    "sketch path (quantile_sketch_by_flag precedent).",
+    tags=("events", "quality", "outliers", "extension"),
+    extended=True,
+)
+def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.round(F.median("value"), 6).alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.round(
+                F.median(F.abs(F.col("value") - F.col("med"))), 6
+            ).alias("mad")
+        )
+    )
+    return (
+        events.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(3) * F.lit(1.4826) * F.col("mad"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
