@@ -1417,3 +1417,67 @@ def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -- cohort retention (round 8) ---------------------------------------------
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+WITH weeks AS (
+  SELECT user_id,
+    CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+  FROM events GROUP BY user_id, week
+),
+cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id
+)
+SELECT c.cohort_week,
+  CAST(w.week - c.cohort_week AS BIGINT) AS week_offset,
+  CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_active
+FROM weeks w JOIN cohort c USING (user_id)
+GROUP BY c.cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+""",
+    doc="Weekly cohort retention matrix — the canonical product-"
+    "analytics rollup: users cohorted by FIRST active epoch-week, "
+    "activity re-expressed as offsets from the cohort week, distinct "
+    "actives per (cohort, offset) cell.  Shape: the (user, week) "
+    "activity grid is pre-deduplicated map-side (one groupBy), the "
+    "cohort table is one min-aggregate re-joined on user_id, and the "
+    "cell counts are a distinct-aggregate over the already-thin "
+    "grid — events volume collapses before any wide shuffle.  "
+    "Epoch-week bucketing (floor(epoch/604800)) is integer "
+    "arithmetic, identical cross-engine (no calendar/locale "
+    "dependence).",
+    tags=("events", "cohort", "analytics", "extension"),
+    extended=True,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    weeks = (
+        events.select(
+            "user_id",
+            F.floor(F.col("ts").cast("double") / F.lit(604800))
+            .cast("long")
+            .alias("week"),
+        )
+        .groupBy("user_id", "week")
+        .agg(F.lit(1).alias("__x"))
+        .drop("__x")
+    )
+    cohort = weeks.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    return (
+        weeks.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week"))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )

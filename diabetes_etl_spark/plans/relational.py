@@ -1182,3 +1182,65 @@ def skew_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
     return key_skew_profile(orders, "o_custkey", top_n=10)
+
+
+# -- referential-integrity audit (round 8) ----------------------------------
+
+
+@register(
+    "ri_orphan_audit",
+    oracle="""
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey))
+    AS orders_orphans,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_orderkey = l.l_orderkey))
+    AS lineitem_orphans,
+  (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+    AS customers_referenced,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey))
+    AS customers_never_ordered
+""",
+    doc="Cross-table referential-integrity audit — the DQ check every "
+    "warehouse runs before trusting joins: orphaned orders (missing "
+    "customer), orphaned lineitems (missing order), referenced-key "
+    "cardinality, and never-referenced dimension rows.  Each check is "
+    "one LEFT ANTI join (Catalyst turns the small side into a "
+    "broadcast where it fits); the four scalars assemble via "
+    "cross-join of 1-row aggregates — zero driver collects.",
+    tags=("dq", "join", "anti", "extension"),
+    extended=True,
+)
+def ri_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    o_orph = (
+        orders.join(
+            customer, orders.o_custkey == customer.c_custkey, "left_anti"
+        )
+        .agg(F.count("*").cast("long").alias("orders_orphans"))
+    )
+    l_orph = (
+        lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+        )
+        .agg(F.count("*").cast("long").alias("lineitem_orphans"))
+    )
+    refed = orders.agg(
+        F.count_distinct("o_custkey").cast("long").alias(
+            "customers_referenced"
+        )
+    )
+    never = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        )
+        .agg(F.count("*").cast("long").alias("customers_never_ordered"))
+    )
+    return o_orph.crossJoin(l_orph).crossJoin(refed).crossJoin(never)
