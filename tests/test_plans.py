@@ -320,3 +320,53 @@ def test_pool_embeddings_two_exchanges_no_udf(spark, sf_dir):
     # presentation orderBy's rangepartitioning
     assert plan.count("hashpartitioning") == 2
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+# -- round-8 families -------------------------------------------------------
+
+
+def test_winsorize_broadcasts_cuts_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_winsorized_stats")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_robust_outliers_broadcasts_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_robust_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_linear_trend_broadcasts_group_means(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_linear_trend")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_conjunctive_search_isin_prunes_before_shuffle(spark, sf_dir):
+    """The query-term filter must sit UNDER the aggregate exchange so
+    only query-matching pairs shuffle."""
+    plan = _plan(spark, sf_dir, "text_conjunctive_search")
+    assert "CartesianProduct" not in plan
+    # the isin filter on term appears (as an IN/OR chain) in the plan
+    assert "batch" in plan and "scan" in plan and "merge" in plan
+
+
+def test_phrase_search_single_aggregate_chain(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_phrase_search")
+    assert "CartesianProduct" not in plan
+
+
+def test_classifier_scoring_is_codegen_no_python(spark, sf_dir):
+    """Applying the trained model is pure JVM codegen — no Python
+    evaluation node anywhere in the scoring plan."""
+    plan = _plan(spark, sf_dir, "classifier_quality_apply")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pca_round_passes_have_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "embeddings_pca_power")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
