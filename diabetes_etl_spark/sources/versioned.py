@@ -178,10 +178,22 @@ class VersionedTable:
         bloom_cols: tuple[str, ...] = (),
         bloom_m: int = 4096,
         bloom_k: int = 3,
+        constraints: tuple[str, ...] = (),
     ):
         self.spark = spark
         self.path = path.rstrip("/")
         self.stats_cols = tuple(stats_cols)
+        # Delta-style CHECK constraints: every write path validates
+        # the INCOMING rows against each boolean SQL expression before
+        # any file lands (one extra pass over the batch — the price a
+        # constraint always costs); a violation aborts the commit with
+        # the constraint text and a violation count, so bad data can
+        # never become table state.  NULL-evaluating rows VIOLATE
+        # (SQL CHECK semantics are permissive on NULL, but a data
+        # table's guard wants the strict reading — documented
+        # deviation, matching expect_or_drop's strictness in
+        # pipeline/registry.py).
+        self.constraints = tuple(constraints)
         # per-file Bloom filters for POINT lookups on high-cardinality
         # keys, where min/max stats prune nothing (a uuid-ish key's
         # range spans every file).  Computed at write time from the
@@ -250,11 +262,24 @@ class VersionedTable:
 
     # -- data-file plumbing ------------------------------------------------
 
+    def _check_constraints(self, df: DataFrame) -> None:
+        for expr in self.constraints:
+            bad = df.filter(
+                ~F.expr(expr) | F.expr(expr).isNull()
+            ).limit(1_000_000).count()
+            if bad:
+                raise ValueError(
+                    f"CHECK constraint violated for {self.path}: "
+                    f"{expr!r} fails for {bad} incoming row(s)"
+                )
+
     def _write_data(self, df: DataFrame) -> list[dict]:
         """Write ``df`` into a fresh ``_data/<run-id>/`` dir and return
         file entries (relative path, rows, bytes, per-column min/max
         from the parquet footers)."""
         import pyarrow.parquet as pq
+
+        self._check_constraints(df)
 
         rid = _run_id()
         out = os.path.join(self.path, _DATA_DIR, rid)

@@ -618,3 +618,40 @@ def test_join_view_feed_rejects_fact_deletes(spark, tmp_path):
             fact_src, dim_src, fact_store, view,
             "ck", ["region"], ["segment"], ["amt"],
         )
+
+
+# -- CHECK constraints ------------------------------------------------------
+
+
+def test_check_constraints_guard_every_write_path(spark, tmp_path):
+    t = VersionedTable(
+        spark, str(tmp_path / "t"), stats_cols=("k",),
+        constraints=("v >= 0", "k IS NOT NULL"),
+    )
+    ok = spark.createDataFrame([(1, 5.0), (2, 0.0)], "k long, v double")
+    t.overwrite(ok)
+
+    bad = spark.createDataFrame([(3, -1.0)], "k long, v double")
+    with pytest.raises(ValueError, match="CHECK constraint violated.*v >= 0"):
+        t.append(bad)
+    # failed write left no trace: same version, same rows
+    assert len(t.history()) == 1
+    assert t.read().count() == 2
+
+    # NULL evaluates as a violation (strict guard semantics)
+    nullish = spark.createDataFrame(
+        [(4, None)], "k long, v double"
+    )
+    with pytest.raises(ValueError, match="v >= 0"):
+        t.append(nullish)
+
+    # merge path validates too
+    with pytest.raises(ValueError, match="v >= 0"):
+        t.merge(spark.createDataFrame([(1, -9.0)], "k long, v double"), "k")
+
+    # clean writes flow through every path
+    t.append(spark.createDataFrame([(5, 1.5)], "k long, v double"))
+    t.merge(spark.createDataFrame([(1, 7.0)], "k long, v double"), "k")
+    t.delete_where("k = 2")
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows == {1: 7.0, 5: 1.5}
