@@ -730,3 +730,89 @@ def random_project(
         f"(acc, v) -> acc + v) * {scale!r}D)"
     )
     return df.select(F.col(id_col), proj.alias(out_col))
+
+
+def lsh_cross_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    threshold: float,
+    n_bits: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+    side_cap: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All CROSS-corpus pairs (one id from ``a``, one from ``b``) with
+    cosine >= threshold — the two-large-sides case the broadcast-query
+    ANN deliberately does not cover (cross-dataset dedup, train-vs-eval
+    contamination sweeps where BOTH corpora are corpus-sized).
+
+    Shape: both sides hash through the SAME seeded hyperplanes and
+    shuffle only (id, table, bucket) — 20 bytes/row/table, vectors
+    never move to the bucket join; candidates are the (table, bucket)
+    equi-join of the two streams, with EACH side bounded to its
+    ``side_cap`` smallest ids per bucket (a hot bucket contributes at
+    most cap^2 candidate pairs instead of |A_bucket| x |B_bucket| —
+    the head-of-bucket argument of bounded_bucket_pairs: a bucket only
+    explodes when its members are near-identical, and then the head
+    matches stand for the tail); exact decimal-dot verification
+    re-attaches vectors with one join per side, so precision is 1.0
+    and only recall is approximate.  Ids may overlap between corpora
+    (they are different tables); identical-id pairs are NOT special.
+
+    Output: (id_a, id_b, cosine_sim), distinct."""
+    from pyspark.sql.window import Window
+
+    def side(df: DataFrame, alias: str) -> DataFrame:
+        base = with_norm(df, vec_col)
+        tb = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_bucket(vec_col, n_bits, dim, seed=t * 131).alias(
+                        "bucket"
+                    ),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        exploded = base.select(
+            F.col(id_col).alias(alias), F.explode(tb).alias("tb")
+        ).select(alias, "tb.tbl", "tb.bucket")
+        w = Window.partitionBy("tbl", "bucket").orderBy(alias)
+        return (
+            exploded.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= side_cap)
+            .drop("__rn")
+        )
+
+    cand = (
+        side(a, "id_a")
+        .join(side(b, "id_b"), ["tbl", "bucket"])
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = with_norm(a, vec_col).select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("_norm").alias("__na"),
+    )
+    vb = with_norm(b, vec_col).select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("_norm").alias("__nb"),
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                dot_exact("__va", "__vb") / (F.col("__na") * F.col("__nb")),
+                9,
+            ),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

@@ -1018,3 +1018,68 @@ def multimodal_video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_video_frames(
         attach_video_payloads(docs), _VF_N, _VF_FPS
     ).orderBy("doc_id", "frame_idx")
+
+
+# -- cross-corpus near-dup join (round 8) ------------------------------------
+
+_CROSS_ORACLE = """
+WITH ea AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+eb AS (SELECT * FROM embeddings WHERE vec_id % 2 = 1),
+na AS (
+  SELECT vec_id,
+    sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+         AS DECIMAL(20,15))) AS DOUBLE)) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM ea) GROUP BY vec_id
+),
+nb AS (
+  SELECT vec_id,
+    sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+         AS DECIMAL(20,15))) AS DOUBLE)) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM eb) GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS va, b.embedding AS vb
+  FROM ea a CROSS JOIN eb b
+),
+dots AS (
+  SELECT id_a, id_b,
+    CAST(SUM(CAST(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)
+         AS DECIMAL(20,15))) AS DOUBLE) AS dot
+  FROM (SELECT id_a, id_b, unnest(va) AS xa, unnest(vb) AS xb FROM pairs)
+  GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, cosine_sim FROM (
+  SELECT d.id_a, d.id_b, ROUND(d.dot / (na.nrm * nb.nrm), 9) AS cosine_sim
+  FROM dots d JOIN na ON d.id_a = na.vec_id JOIN nb ON d.id_b = nb.vec_id
+) WHERE cosine_sim >= 0.45
+"""
+
+
+@register(
+    "sim_cross_corpus_pairs",
+    # Recall is exact at the gate configuration (32 tables x 3 bits,
+    # side_cap effectively unbounded at fixture scale — the
+    # sim_neardup_lsh precedent), so the exact cross-join oracle
+    # applies verbatim; a recall drop now FAILS the gate.
+    oracle=_CROSS_ORACLE,
+    doc="CROSS-corpus embedding near-dup pairs (cosine >= 0.45 between "
+    "the even-id and odd-id halves) via two-sided LSH bucketing "
+    "(operators/similarity.py:lsh_cross_pairs) — the two-LARGE-sides "
+    "case the broadcast-query ANN deliberately does not cover "
+    "(cross-dataset dedup, train-vs-eval contamination where both "
+    "corpora are corpus-sized): both sides hash through the SAME "
+    "seeded hyperplanes, only (id, table, bucket) shuffles, each "
+    "side's buckets are head-capped so a hot bucket costs cap^2 "
+    "pairs not |A|x|B|, and exact decimal-dot verification keeps "
+    "precision 1.0.",
+    tags=("similarity", "lsh", "cross-corpus", "extension"),
+    extended=True,
+)
+def sim_cross_corpus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    return SIM.lsh_cross_pairs(
+        a, b, threshold=0.45, n_bits=3, n_tables=32, side_cap=100000
+    ).orderBy("id_a", "id_b")

@@ -222,3 +222,73 @@ def test_random_project_deterministic_and_partition_invariant(spark):
         for r in random_project(df.repartition(9), 8).collect()
     )
     assert a == b
+
+
+def test_lsh_cross_pairs_exact_at_covering_params(spark, sf_dir):
+    """Cross-corpus pairs at the gate configuration equal the exact
+    cross-join threshold pairs (recall 1.0 on the fixture, precision
+    1.0 by construction)."""
+    from diabetes_etl_spark.operators.similarity import (
+        lsh_cross_pairs,
+        with_norm,
+        dot_exact,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    got = sorted(
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in lsh_cross_pairs(
+            a, b, threshold=0.45, n_bits=3, n_tables=32, side_cap=100000
+        ).collect()
+    )
+    na = with_norm(a).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("_norm").alias("nna"),
+    )
+    nb = with_norm(b).select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("_norm").alias("nnb"),
+    )
+    want = sorted(
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in na.crossJoin(nb)
+        .withColumn(
+            "cosine_sim",
+            F.round(dot_exact("va", "vb") / (F.col("nna") * F.col("nnb")), 9),
+        )
+        .filter(F.col("cosine_sim") >= 0.45)
+        .select("id_a", "id_b", "cosine_sim")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_lsh_cross_pairs_side_cap_bounds_hot_buckets(spark):
+    """A near-identical corpus on both sides: candidates bound at
+    ~cap^2 per bucket instead of |A| x |B|, and head matches still
+    surface the duplication."""
+    from diabetes_etl_spark.operators.similarity import lsh_cross_pairs
+
+    base = [0.5] * 8
+    mk = lambda i: [x + 0.0001 * (i % 3) for x in base]  # noqa: E731
+    a = spark.createDataFrame(
+        [(i, mk(i)) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    b = spark.createDataFrame(
+        [(100 + i, mk(i)) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    capped = lsh_cross_pairs(
+        a, b, threshold=0.9, n_bits=2, n_tables=2, dim=8, side_cap=5
+    )
+    n = capped.count()
+    assert 0 < n <= 2 * 5 * 5  # <= tables * cap^2 (upper bound)
+    uncapped = lsh_cross_pairs(
+        a, b, threshold=0.9, n_bits=2, n_tables=2, dim=8, side_cap=10000
+    ).count()
+    assert uncapped > n  # the cap really bounded the hot bucket
