@@ -388,6 +388,13 @@ def maintain_minmax_state(
             f"maintain_minmax_state: unknown op code {bad[0][0]!r} "
             "(expected 'I' or 'D')"
         )
+    # NULL values carry no extremum information and are DROPPED (the
+    # SQL MIN/MAX convention) BEFORE netting — without this a NULL
+    # delta row would be indistinguishable from the state row inside
+    # the merge (state rows are identified by a NULL __val).  n_rows
+    # therefore counts NON-NULL rows only, on both insert and delete
+    # sides — a consistent Z-set over the non-null sub-multiset.
+    batch = batch.filter(F.col(value_col).isNotNull())
 
     import pandas as pd
 

@@ -655,3 +655,27 @@ def test_check_constraints_guard_every_write_path(spark, tmp_path):
     t.delete_where("k = 2")
     rows = {r.k: r.v for r in t.read().collect()}
     assert rows == {1: 7.0, 5: 1.5}
+
+
+def test_minmax_null_values_dropped_not_confused_with_state(spark, tmp_path):
+    """NULL-valued delta rows must be dropped (SQL MIN/MAX
+    convention), never parsed as the state row inside the merge."""
+    store = VersionedTable(spark, str(tmp_path / "mm"))
+    batch = spark.createDataFrame(
+        [("a", 5.0, "I"), ("a", None, "I"), ("b", None, "I")],
+        "g string, v double, op string",
+    )
+    maintain_minmax_state(store, batch, ["g"], "v", "op", k=4)
+    rows = {r.g: r for r in store.read().collect()}
+    assert rows["a"].group_max == 5.0 and rows["a"].n_rows == 1
+    assert "b" not in rows  # all-null group contributes nothing
+    # second batch with nulls against existing state
+    maintain_minmax_state(
+        store,
+        spark.createDataFrame(
+            [("a", None, "D"), ("a", 7.0, "I")],
+            "g string, v double, op string",
+        ),
+        ["g"], "v", "op", k=4,
+    )
+    assert store.read().first().group_max == 7.0
