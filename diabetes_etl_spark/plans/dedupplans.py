@@ -793,3 +793,53 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=8,
         threshold=0.8,
     ).orderBy("new_id", "matched_id")
+
+
+@register(
+    "dedup_prefix_jaccard",
+    # BRUTE-FORCE oracle: all doc pairs, exact shingle-set Jaccard.
+    # The Spark side never forms this cross product — prefix filtering
+    # generates candidates from an equi-join on each doc's rarest
+    # shingles — but the lossless prefix-filtering lemma means its
+    # output must equal the quadratic scan row-for-row, which is
+    # exactly what this oracle checks (unlike dedup_ngram_jaccard,
+    # whose length-band blocking is heuristic).
+    oracle=f"""
+WITH sets AS (
+  SELECT doc_id, {_D_SHINGLES} AS ts FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.ts, b.ts)) AS n_inter,
+         len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS n_union
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(n_union AS BIGINT) AS n_union,
+       CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard_sim
+FROM pairs
+WHERE n_inter >= 0.5 * n_union
+ORDER BY doc_a, doc_b
+""",
+    doc="LOSSLESS exact set-similarity self-join (5-token-shingle "
+    "Jaccard >= 0.5) via All-Pairs/PPJoin prefix filtering "
+    "(operators/dedup.py:prefix_filter_jaccard_pairs): candidates come "
+    "from an equi-join on each doc's RAREST shingles (prefix length "
+    "n - ceil(t*n) + 1 under a global df-asc order) plus a size "
+    "co-filter, then exact verification — provably equal to the "
+    "brute-force quadratic scan the DuckDB oracle runs, without ever "
+    "forming the cross product.  Completes the dedup family: exact "
+    "(hash), heuristic-blocked (length band), probabilistic (MinHash/"
+    "SimHash), and now exact-lossless sub-quadratic.",
+    tags=("dedup", "extension"),
+    extended=True,
+)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        DD.prefix_filter_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, shingle_n=5
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -897,3 +897,86 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return phrase_search(docs, list(_PHRASE)).orderBy("doc_id")
+
+
+_D_LTOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_D_LTOKS} AS ts FROM documents),
+big AS (
+  SELECT ts[i] AS w1, ts[i+1] AS w2
+  FROM toks, UNNEST(range(1, len(ts))) AS t(i)
+),
+bc AS (SELECT w1, w2, COUNT(*) AS n_pair FROM big GROUP BY 1, 2),
+uni AS (SELECT unnest(ts) AS w FROM toks),
+uc AS (SELECT w, COUNT(*) AS n_w FROM uni GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM big)
+SELECT bc.w1, bc.w2, bc.n_pair, a.n_w AS n_w1, b.n_w AS n_w2,
+       CAST(bc.n_pair * n.n AS DOUBLE) / CAST(a.n_w * b.n_w AS DOUBLE)
+         AS lift
+FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w CROSS JOIN n
+WHERE bc.n_pair >= 5
+ORDER BY lift DESC, bc.w1, bc.w2
+LIMIT 20
+""",
+    doc="Collocation extraction (tokenizer-vocabulary mining): corpus "
+    "bigram counts vs unigram counts, scored by PMI lift "
+    "(n_pair * N) / (n_w1 * n_w2) — exact bigint products, one "
+    "correctly-rounded divide, so the double column hash-matches "
+    "cross-engine; log-PMI is a monotone transform of it, so the "
+    "ranking is the PMI ranking.  Shuffles carry only "
+    "(bigram, partial-count) / (token, partial-count) after map-side "
+    "combine — vocabulary-sized, never the corpus; the total-bigram "
+    "count N attaches as an in-plan broadcast 1-row aggregate (no "
+    "driver collect), and the final top-20 is a TakeOrdered with a "
+    "total (lift DESC, w1, w2) tiebreak.",
+    tags=("text", "extension"),
+    extended=True,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = docs.select(ts.alias("ts"))
+    # Adjacent pairs; a <2-token doc contributes none (guarded: Spark's
+    # sequence(1, 0) would count DOWN, and ts[i] past the end is NULL).
+    big = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1), "
+                    "i -> struct(ts[i-1] AS w1, ts[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    uc = (
+        toks.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+    )
+    n = big.agg(F.count("*").alias("n"))
+    return (
+        bc.filter(F.col("n_pair") >= 5)
+        .join(uc.withColumnRenamed("w", "w1").withColumnRenamed("n_w", "n_w1"), "w1")
+        .join(uc.withColumnRenamed("w", "w2").withColumnRenamed("n_w", "n_w2"), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            (
+                (F.col("n_pair") * F.col("n")).cast("double")
+                / (F.col("n_w1") * F.col("n_w2")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(20)
+    )

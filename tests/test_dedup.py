@@ -728,3 +728,60 @@ def test_continuous_dedup_loop_matches_one_shot(spark, tmp_path):
     # the three base-variants form ONE cluster spanning all batches
     comp_of = {r.id: r.component for r in labels.read().collect()}
     assert comp_of[1] == comp_of[10] == comp_of[20] == 1
+
+
+def _brute_shingle_jaccard(rows, threshold):
+    """Driver-side quadratic scan (test-only truth): distinct 5-token
+    shingles, exact Jaccard, every pair."""
+    sets = {}
+    for doc_id, text in rows:
+        toks = text.split()
+        sets[doc_id] = {
+            " ".join(toks[i : i + 5]) for i in range(max(len(toks) - 4, 1))
+        }
+    ids = sorted(sets)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter >= threshold * union:
+                out[(a, b)] = (inter, union)
+    return out
+
+
+def test_prefix_jaccard_matches_brute_force(docs):
+    """The prefix filter is LOSSLESS: output must equal the quadratic
+    scan pair-for-pair, including the exact intersection/union counts."""
+    expected = _brute_shingle_jaccard(_corpus(), 0.5)
+    got = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.n_union)
+        for r in DD.prefix_filter_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, shingle_n=5
+        ).collect()
+    }
+    assert got == expected
+    assert expected  # the corpus must actually plant pairs
+
+
+def test_prefix_jaccard_token_sets_match_brute_force(docs):
+    """Same losslessness with distinct-token sets (shingle_n=None) and a
+    different threshold — exercises the ceil-based prefix length on
+    non-dyadic set sizes."""
+    rows = _corpus()
+    sets = {doc_id: set(text.split()) for doc_id, text in rows}
+    ids = sorted(sets)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter >= 0.5 * union:
+                expected.add((a, b))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in DD.prefix_filter_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, shingle_n=None
+        ).collect()
+    }
+    assert got == expected
