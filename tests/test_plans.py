@@ -370,3 +370,22 @@ def test_pca_round_passes_have_no_python(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embeddings_pca_power")
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_prefix_jaccard_no_cartesian_no_python(spark, sf_dir):
+    """The lossless set-similarity join must stay an equi-join pipeline:
+    no cartesian fallback anywhere, no Python in the plan."""
+    plan = _plan(spark, sf_dir, "dedup_prefix_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_pmi_collocations_broadcasts_total_no_python(spark, sf_dir):
+    """The total-bigram count N must attach as a broadcast 1-row
+    aggregate (in-plan scalar), not via a shuffled join or a driver
+    collect; the count pipeline stays JVM-side."""
+    plan = _plan(spark, sf_dir, "text_pmi_collocations")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
