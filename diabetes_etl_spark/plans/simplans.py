@@ -629,10 +629,15 @@ def multimodal_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     doc="ANN top-5, fully Arrow-vectorized: one numpy matmul computes "
     "all 48 hyperplane projections + norms per batch, einsum re-ranks "
     "candidate pairs — the one hot path where a Pandas UDF honestly "
-    "beats native expressions (paired alternating runs at identical "
-    "8-table x 6-bit x top-5 params on sf0.1: won 5/5 rounds, 1.2-3x "
-    "per pair — sim_lsh_topk_scale is the equal-params partner in "
-    "bench.py; recall@5 ~0.92, tests/test_similarity.py).",
+    "beats native expressions.  Evidence lives in the bench artifact "
+    "itself: bench.py's ann_pair block runs the pair warm, adjacent, "
+    "alternating order, and emits per-round samples — steady-state "
+    "wins of 1.4-1.7x over sim_lsh_topk_scale (the equal-params "
+    "8-table x 6-bit x top-5 partner) at sf0.1.  The path's one-time "
+    "first-touch cost (~1.5-2s: worker-side numpy import + broadcast "
+    "pickle) is warmed up before the recorded rounds, as session "
+    "startup, not plan cost.  Recall@5 ~0.92, "
+    "tests/test_similarity.py.",
     tags=("similarity", "lsh", "pandas-udf", "extension"),
 )
 def sim_lsh_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
