@@ -15,7 +15,8 @@ can and cannot decode):
 - ``text/plain``  — identity decode, full byte-level features.
 - ``image/png``   — a REAL pure-Python PNG decoder: chunk walk, IHDR
   parse, zlib inflate, scanline unfiltering (all five filter types:
-  None/Sub/Up/Average/Paeth) for 8-bit non-interlaced gray/RGB/RGBA.
+  None/Sub/Up/Average/Paeth) for 8-bit gray/RGB/RGBA, sequential
+  AND Adam7-interlaced (per-pass sub-image unfiltering + scatter).
   Features are computed over the DECODED pixel bytes.
 - ``image/jpeg``  — header probe (SOF marker scan for width/height/
   components) PLUS REAL pure-Python entropy decoders for BOTH JPEG
@@ -153,6 +154,67 @@ def png_palette_bytes(
         + chunk(b"IHDR", ihdr)
         + chunk(b"PLTE", palette)
         + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+# Adam7 pass grid (PNG spec §8.2): (x_start, y_start, x_step, y_step).
+# Together the seven passes visit every pixel exactly once.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_pass_dims(width: int, height: int) -> list[tuple[int, int, int, int, int, int]]:
+    """Per-pass (x0, y0, dx, dy, pass_width, pass_height); empty passes
+    (zero rows or columns for this image size) report 0 and contribute
+    NO scanlines to the stream — the spec's edge case small images hit."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
+def png_interlaced_bytes(width: int, height: int, pixels: bytes) -> bytes:
+    """Encode raw 8-bit RGB pixels as an Adam7 INTERLACED PNG: the
+    seven passes' sub-images are extracted on the pass grid, each
+    scanline filter-0-prefixed, all passes deflated as ONE zlib stream
+    (spec §8.2).  Pure stdlib — the interlaced fixture/round-trip twin
+    of :func:`png_bytes`."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 bytes (RGB8)")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1)
+    raw = bytearray()
+    for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(width, height):
+        if pw == 0 or ph == 0:
+            continue
+        for r in range(ph):
+            y = y0 + r * dy
+            raw += b"\x00"
+            for c in range(pw):
+                x = x0 + c * dx
+                raw += pixels[(y * width + x) * 3 : (y * width + x) * 3 + 3]
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 9))
         + chunk(b"IEND", b"")
     )
 
@@ -370,6 +432,52 @@ def attach_progressive_jpeg_payloads(
     )
 
 
+def attach_interlaced_png_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """All-INTERLACED-PNG binary fixture: every row becomes a real
+    Adam7 stream (:func:`png_interlaced_bytes`) carrying the SAME
+    ``_fixture_pixels`` content at the SAME dims as the sequential PNG
+    rows of :func:`attach_media_payloads`, so the
+    multimodal_interlaced_decode query's oracle is the familiar
+    per-byte arithmetic — while Spark runs the entirely different
+    seven-pass deinterlacing decode path (per-pass unfilter + grid
+    scatter) over honest zlib-compressed bytes."""
+    from diabetes_etl_spark.operators.util import widen
+
+    src = widen(df.select(F.col(id_col).alias("doc_id")))
+
+    def produce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                pw, ph, _, _ = fixture_media_dims(doc_id)
+                payload = png_interlaced_bytes(
+                    pw, ph, _fixture_pixels(doc_id, pw * ph * 3)
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        payload,
+                        {
+                            "mime": "image/png",
+                            "n_bytes": len(payload),
+                            "checksum": hashlib.md5(payload).hexdigest(),
+                        },
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "asset_meta"])
+
+    return src.mapInPandas(
+        produce,
+        schema=(
+            "doc_id long, payload binary, "
+            "asset_meta struct<mime: string, n_bytes: int, checksum: string>"
+        ),
+    )
+
+
 def fixture_color420_dims(doc_id: int) -> tuple[int, int]:
     """(w, h) of the 4:2:0 fixture for a doc id — sized to span 1-6
     full AND partial 16x16 MCUs so the interleaved four-Y-block decode
@@ -554,6 +662,40 @@ def _unfilter_scanlines(raw: bytes, width: int, height: int, bpp: int) -> bytes:
     return bytes(out)
 
 
+def _deinterlace_adam7(
+    raw: bytes, width: int, height: int, bpp: int
+) -> bytes:
+    """Reassemble an Adam7 interlaced pixel stream: each pass is an
+    independent sub-image (its own scanlines, its own filter history —
+    the Up/Paeth `prev` row resets per pass), unfiltered at the PASS
+    width and scattered onto the output grid at (x0 + c*dx, y0 + r*dy)."""
+    out = bytearray(width * height * bpp)
+    pos = 0
+    for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(width, height):
+        if pw == 0 or ph == 0:
+            continue
+        n = ph * (1 + pw * bpp)
+        if pos + n > len(raw):
+            raise ValueError(
+                f"PNG interlaced stream truncated: need {pos + n} bytes, "
+                f"have {len(raw)}"
+            )
+        sub = _unfilter_scanlines(raw[pos : pos + n], pw, ph, bpp)
+        pos += n
+        for r in range(ph):
+            y = y0 + r * dy
+            for c in range(pw):
+                x = x0 + c * dx
+                src = (r * pw + c) * bpp
+                dst = (y * width + x) * bpp
+                out[dst : dst + bpp] = sub[src : src + bpp]
+    if pos != len(raw):
+        raise ValueError(
+            f"PNG interlaced stream is {len(raw)} bytes, expected {pos}"
+        )
+    return bytes(out)
+
+
 def _png_chunks(payload: bytes) -> Iterator[tuple[bytes, bytes]]:
     if not payload.startswith(_PNG_SIG):
         raise ValueError("not a PNG (bad signature)")
@@ -585,7 +727,9 @@ def probe_png(payload: bytes) -> tuple[int, int, int]:
 def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     """Full decode to raw pixel bytes: (width, height, channels, pixels).
 
-    Supports 8-bit, non-interlaced, gray/gray+alpha/RGB/RGBA AND
+    Supports 8-bit gray/gray+alpha/RGB/RGBA, sequential and Adam7
+    INTERLACED (interlace method 1: seven independent sub-images, each
+    unfiltered at its pass width then scattered onto the grid), AND
     palette (color type 3, PLTE lookup) — palette images decode to
     interleaved RGB, the normalized form a training pipeline wants
     (tRNS palette alpha is out of scope: rows needing it should carry
@@ -601,8 +745,8 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             )
             if depth != 8:
                 raise ValueError(f"unsupported PNG bit depth {depth}")
-            if interlace != 0:
-                raise ValueError("interlaced PNG not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace method {interlace}")
             if color not in _PNG_CHANNELS:
                 raise ValueError(f"unsupported PNG color type {color}")
         elif tag == b"PLTE":
@@ -615,12 +759,15 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("PNG missing IHDR/IDAT")
     sc_ch = _PNG_SCANLINE_CHANNELS[color]
     raw = zlib.decompress(bytes(idat))
-    expected = height * (1 + width * sc_ch)
-    if len(raw) != expected:
-        raise ValueError(
-            f"PNG pixel stream is {len(raw)} bytes, expected {expected}"
-        )
-    pixels = _unfilter_scanlines(raw, width, height, sc_ch)
+    if interlace == 1:
+        pixels = _deinterlace_adam7(raw, width, height, sc_ch)
+    else:
+        expected = height * (1 + width * sc_ch)
+        if len(raw) != expected:
+            raise ValueError(
+                f"PNG pixel stream is {len(raw)} bytes, expected {expected}"
+            )
+        pixels = _unfilter_scanlines(raw, width, height, sc_ch)
     if color == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE chunk")

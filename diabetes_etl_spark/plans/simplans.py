@@ -316,9 +316,10 @@ FROM documents
     "text rows keep the byte-exact feature path "
     "(operators/multimodal.py:decode_png/decode_jpeg_baseline/"
     "decode_wav; baseline COLOR 4:4:4 decode is oracle-checked by the "
-    "multimodal_color_decode twin; NotImplementedError remains only "
-    "for progressive JPEG and compressed "
-    "audio/video codecs absent from the environment).",
+    "multimodal_color_decode twin; progressive JPEG and Adam7 "
+    "interlaced PNG are oracle-checked by their dedicated queries; "
+    "NotImplementedError remains only for compressed audio/video "
+    "codecs absent from the environment).",
     tags=("multimodal", "extension"),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,7 +567,8 @@ FROM agg a JOIN head h USING (doc_id)
     "(operators/multimodal.py:decode_jpeg_baseline, now general over "
     "sampling factors); the oracle recomputes decoded-RGB statistics "
     "purely arithmetically.  The environment stub now covers only "
-    "progressive JPEG and compressed A/V samples.",
+    "compressed A/V samples (progressive JPEG decodes via "
+    "multimodal_progressive_decode since round 8).",
     tags=("multimodal", "jpeg", "pandas-udf", "extension"),
     extended=True,
 )
@@ -1088,3 +1090,50 @@ def sim_cross_corpus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_cross_pairs(
         a, b, threshold=0.45, n_bits=3, n_tables=32, side_cap=100000
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "multimodal_interlaced_decode",
+    # same _fixture_pixels content and dims as the sequential-PNG rows
+    # of multimodal_features, so the oracle is the same per-byte
+    # arithmetic — the Spark side runs the seven-pass Adam7 path
+    oracle=f"""
+SELECT doc_id,
+  CAST({_PNG_LEN} AS INT) AS byte_len,
+  CAST(4 + doc_id % 13 AS INT) AS width,
+  CAST(3 + doc_id % 7 AS INT) AS height,
+  CAST(3 AS INT) AS n_channels,
+  CAST(len(list_filter(generate_series(0, {_PNG_LEN} - 1),
+                       i -> {_PIX} = 32)) AS INT) AS n_space,
+  CAST(len(list_filter(generate_series(0, {_PNG_LEN} - 1),
+                       i -> {_PIX} BETWEEN 97 AND 122)) AS INT) AS n_alpha,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(generate_series(0, 15), i -> CAST({_PIX} AS BIGINT))),
+    (acc, x) -> (acc * 131 + x) % 1000000007) AS head_fingerprint
+FROM documents
+""",
+    doc="Adam7 INTERLACED PNG decode over a corpus of real seven-pass "
+    "streams (the last PNG family): every documents row becomes an "
+    "interlaced PNG (operators/multimodal.py:png_interlaced_bytes) "
+    "whose pixels are the familiar (d*31+i*7) mod 256 fixture "
+    "arithmetic; Spark inflates ONE zlib stream, unfilters each "
+    "pass's sub-image at the PASS width (filter history resets per "
+    "pass) and scatters pixels onto the output grid "
+    "(decode_png/_deinterlace_adam7); the oracle recomputes "
+    "decoded-pixel statistics purely arithmetically.  Same "
+    "Arrow-batched mapInPandas plumbing as the other codec queries.",
+    tags=("multimodal", "png", "pandas-udf", "extension"),
+    extended=True,
+)
+def multimodal_interlaced_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.multimodal import (
+        attach_interlaced_png_payloads,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_interlaced_png_payloads(docs))
+    return feats.select(
+        "doc_id", "byte_len", "width", "height", "n_channels",
+        "n_space", "n_alpha", "head_fingerprint",
+    )

@@ -1041,3 +1041,133 @@ def test_feature_extraction_decodes_progressive_pixels(spark):
         assert r.n_channels == 3
         assert r.byte_len == r.width * r.height * 3  # decoded, not container
         assert r.n_space is not None and r.head_fingerprint is not None
+
+
+# -- Adam7 interlaced PNG -------------------------------------------------
+
+
+def test_adam7_pass_grid_partitions_every_size():
+    """The seven passes must visit every pixel exactly once for any
+    image size, including the degenerate ones (w or h < 8 -> empty
+    passes with ZERO scanlines)."""
+    from diabetes_etl_spark.operators.multimodal import _adam7_pass_dims
+
+    for w in (1, 2, 3, 5, 7, 8, 9, 16):
+        for h in (1, 2, 3, 5, 7, 8, 9, 11):
+            seen = set()
+            for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(w, h):
+                for r in range(ph):
+                    for c in range(pw):
+                        p = (x0 + c * dx, y0 + r * dy)
+                        assert p not in seen and p[0] < w and p[1] < h
+                        seen.add(p)
+            assert len(seen) == w * h
+
+
+@pytest.mark.parametrize(
+    "w,h", [(1, 1), (3, 3), (5, 3), (8, 8), (9, 7), (16, 11), (4, 13)]
+)
+def test_png_interlaced_roundtrip(w, h):
+    from diabetes_etl_spark.operators.multimodal import png_interlaced_bytes
+
+    pixels = _pix(w * h * 3)
+    payload = png_interlaced_bytes(w, h, pixels)
+    assert probe_png(payload) == (w, h, 3)
+    assert decode_png(payload) == (w, h, 3, pixels)
+    assert decode_payload("image/png", payload) == pixels
+
+
+def _interlaced_png_with_filters(w, h, channels, color_type, pixels, filters):
+    """Hand-roll an INTERLACED PNG whose pass scanlines use the given
+    filter types — each pass filtered independently at its own width
+    (what libpng does), so a decoder that carries `prev` across pass
+    boundaries or unfilters at the full image width fails this."""
+    from diabetes_etl_spark.operators.multimodal import _adam7_pass_dims
+
+    raw = bytearray()
+    for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(w, h):
+        if pw == 0 or ph == 0:
+            continue
+        stride = pw * channels
+        prev = bytes(stride)
+        for r in range(ph):
+            y = y0 + r * dy
+            line = bytearray()
+            for c in range(pw):
+                x = x0 + c * dx
+                line += pixels[
+                    (y * w + x) * channels : (y * w + x + 1) * channels
+                ]
+            f = filters[r % len(filters)]
+            raw.append(f)
+            if f == 0:
+                raw += line
+            elif f == 2:  # Up vs the PASS-local previous scanline
+                raw += bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+            else:
+                raise AssertionError("test helper supports filters 0/2 only")
+            prev = bytes(line)
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_interlaced_filter_history_resets_per_pass():
+    """Up-filtered scanlines in every pass: correct decode requires the
+    filter predecessor row to reset to zeros at each pass start and to
+    be the PASS scanline, not the image scanline."""
+    w, h = 13, 11
+    pixels = _pix(w * h * 3, seed=9)
+    payload = _interlaced_png_with_filters(w, h, 3, 2, pixels, [2])
+    assert decode_png(payload) == (w, h, 3, pixels)
+    payload = _interlaced_png_with_filters(w, h, 3, 2, pixels, [0, 2])
+    assert decode_png(payload) == (w, h, 3, pixels)
+
+
+def test_png_interlaced_gray_and_alpha_color_types():
+    for color_type, channels in ((0, 1), (4, 2), (6, 4)):
+        w, h = 9, 10
+        pixels = _pix(w * h * channels, seed=3)
+        payload = _interlaced_png_with_filters(
+            w, h, channels, color_type, pixels, [0, 2]
+        )
+        assert probe_png(payload) == (w, h, channels)
+        assert decode_png(payload) == (w, h, channels, pixels)
+
+
+def test_png_interlaced_truncated_stream_raises():
+    from diabetes_etl_spark.operators.multimodal import png_interlaced_bytes
+
+    w, h = 9, 7
+    payload = png_interlaced_bytes(w, h, _pix(w * h * 3))
+    # rebuild with the last pass's scanlines chopped off
+    pos = payload.index(b"IDAT") - 4
+    (length,) = struct.unpack(">I", payload[pos : pos + 4])
+    idat = payload[pos + 8 : pos + 8 + length]
+    raw = zlib.decompress(idat)
+    short = zlib.compress(raw[: len(raw) - 5])
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    rebuilt = (
+        payload[:pos]
+        + chunk(b"IDAT", short)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(rebuilt)
