@@ -284,3 +284,76 @@ def test_phrase_search_matches_brute_force(spark, docs, phrase):
         if n:
             want[i] = n
     assert got == want
+
+
+# -- Adam7 interlaced PNG codec (round 8) ------------------------------------
+
+_png_geom = st.tuples(st.integers(1, 17), st.integers(1, 17), st.integers(0, 9999))
+
+
+@settings(max_examples=50, deadline=None)
+@given(_png_geom)
+def test_png_interlaced_roundtrip_random_geometry(geom):
+    """Encode->decode identity for arbitrary (w, h): the Adam7 pass grid,
+    per-pass strides, and per-pass filter state must agree between the
+    stdlib encoder and the decoder at EVERY geometry, including the
+    degenerate ones where entire passes are empty (w or h < 5/8)."""
+    import random as _random
+
+    from diabetes_etl_spark.operators.multimodal import (
+        decode_png,
+        png_interlaced_bytes,
+        probe_png,
+    )
+
+    w, h, seed = geom
+    rnd = _random.Random(seed)
+    pixels = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+    payload = png_interlaced_bytes(w, h, pixels)
+    assert probe_png(payload) == (w, h, 3)
+    assert decode_png(payload) == (w, h, 3, pixels)
+
+
+# -- prefix_filter_jaccard_pairs (round 8) -----------------------------------
+
+_pj_docs = st.lists(
+    st.lists(st.sampled_from(list("abcdefgh")), min_size=1, max_size=8),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_pj_docs, st.sampled_from([0.5, 0.75]))
+def test_prefix_jaccard_random_corpora_lossless(spark, docs, threshold):
+    """Losslessness on RANDOM corpora: high-overlap token multisets,
+    duplicate documents, and singleton sets — the prefix-length ceil and
+    the size co-filter must never drop a qualifying pair (both
+    thresholds are dyadic so the comparison is exact in the reference
+    too)."""
+    from diabetes_etl_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.n_union)
+        for r in DD.prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", threshold=threshold, shingle_n=None
+        ).collect()
+    }
+    sets = {i: set(toks) for i, toks in enumerate(docs)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if inter >= threshold * union:
+                    want[(a, b)] = (inter, union)
+    assert got == want
