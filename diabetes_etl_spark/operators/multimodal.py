@@ -34,6 +34,12 @@ can and cannot decode):
   the DECODED pixels for both families; only restart-interval
   streams fall back to the header probe with NULL pixel stats,
   never fake.
+- ``image/gif``   — a REAL pure-Python GIF87a/89a decoder: logical
+  screen descriptor, global/local color tables, extension-block
+  skipping, sub-block reassembly, variable-width LZW decompression
+  (CLEAR resets, the self-referential code case, deferred clear),
+  4-pass interlace scatter, palette->RGB expansion.  Features are
+  computed over the DECODED RGB bytes.
 - ``audio/wav``   — a REAL RIFF/WAVE parser: chunk walk (with odd-size
   padding), fmt parse, PCM16 frame extraction.  Features are computed
   over the DECODED little-endian sample bytes.
@@ -2232,6 +2238,324 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
     return rate, channels, len(frames) // block, frames
 
 
+# -- GIF (87a/89a) codec: variable-width LZW, interlace, palettes ------------
+#
+# A REAL pure-Python GIF codec (CompuServe GIF89a specification):
+# logical-screen-descriptor parse, global/local color tables,
+# extension-block skipping (graphic control / comment / application),
+# variable-width LZW decompression with dictionary reset on CLEAR and
+# the standard one-entry decoder lag (the "code == next_code"
+# self-reference case), and the 4-pass row interlace.  The encoder
+# exists so fixtures and tests exercise HONEST LZW streams — code
+# widths growing 9->12 bits as the dictionary fills, mid-stream CLEAR
+# on a full table — rather than hand-crafted degenerate ones.  Like
+# PNG, GIF is losslessly indexed, so decoded RGB bytes of an
+# index-arithmetic fixture stay pure arithmetic for the SQL oracle.
+# (Reference parity note: the reference pipeline has no media columns
+# at all — src/diabetes_etl_pipeline.py — this is extension tier.)
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def fixture_gif_palette() -> bytes:
+    """The 256-entry fixture color table: entry j is
+    ``(j, (j*3) mod 256, (j*7) mod 256)`` — chosen so the decoded RGB
+    byte stream of an index-arithmetic fixture is itself pure
+    arithmetic for the SQL oracle (byte 3i -> idx, 3i+1 -> idx*3 mod
+    256, 3i+2 -> idx*7 mod 256)."""
+    return bytes(
+        v for j in range(256) for v in (j, (j * 3) % 256, (j * 7) % 256)
+    )
+
+
+def fixture_gif_dims(doc_id: int) -> tuple[int, int]:
+    """(w, h) of the GIF fixture for a doc id — shared by the payload
+    producer, the tests, and (as arithmetic) the oracle."""
+    return 5 + doc_id % 11, 4 + doc_id % 9
+
+
+def _gif_interlace_rows(height: int) -> list[int]:
+    """Row order of an interlaced GIF raster: pass k stores rows
+    ``start_k, start_k+step_k, ...`` (spec appendix E)."""
+    rows: list[int] = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        rows.extend(range(start, height, step))
+    return rows
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF variable-width LZW compress.  Codes start at
+    ``min_code_size + 1`` bits; the width grows AFTER emitting the code
+    that fills the current range (the classic compress(1) ordering —
+    the decoder's table lags the encoder's by exactly one entry, so its
+    matching rule widens when ITS next code reaches 2^width); a full
+    4096-entry table emits CLEAR and resets.  Bits pack LSB-first."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = min_code_size + 1
+    next_code = end + 1
+
+    def write(code: int) -> None:
+        nonlocal acc, nbits, width
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        # widen AFTER the write: the code that overflows the range is
+        # still written narrow; the decoder mirrors this lag
+        if next_code > (1 << width) - 1 and width < 12:
+            width += 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    write(clear)
+    run = b""
+    for i in range(len(indices)):
+        cand = run + indices[i : i + 1]
+        if cand in table:
+            run = cand
+            continue
+        write(table[run])
+        table[cand] = next_code
+        next_code += 1
+        run = indices[i : i + 1]
+        if next_code == 4096:
+            write(clear)
+            table = {bytes([j]): j for j in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+    if run:
+        write(table[run])
+    write(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """GIF variable-width LZW decompress to exactly ``n_pixels``
+    indices.  Handles CLEAR resets, the self-referential
+    ``code == next_code`` case (entry = prev + prev[0]), deferred-clear
+    streams (table pinned at 4096, no widening past 12 bits), and
+    encoders that omit the END code once the raster is full."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError(
+                    f"GIF LZW stream truncated: {len(out)} of {n_pixels} "
+                    "indices decoded"
+                )
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            raise ValueError(
+                f"GIF LZW ended early: {len(out)} of {n_pixels} indices"
+            )
+        if code < len(table) and code not in (clear, end):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(
+                f"GIF LZW code {code} beyond table size {len(table)}"
+            )
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:n_pixels])
+
+
+def gif_bytes(
+    width: int,
+    height: int,
+    indices: bytes,
+    interlaced: bool = False,
+    palette: bytes | None = None,
+) -> bytes:
+    """Encode an 8-bit indexed raster as a real GIF89a stream: 256-entry
+    global color table (:func:`fixture_gif_palette` by default), a
+    graphic-control extension (so decoders must skip extension blocks),
+    one full-screen image with honest LZW entropy coding, optionally in
+    4-pass interlaced row order."""
+    if len(indices) != width * height:
+        raise ValueError(
+            f"need {width * height} indices for {width}x{height}, "
+            f"got {len(indices)}"
+        )
+    pal = palette if palette is not None else fixture_gif_palette()
+    if len(pal) != 768:
+        raise ValueError("palette must be 256 RGB entries (768 bytes)")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes((0xF7, 0, 0))  # GCT present, 256 entries; bg 0; 1:1
+    out += pal
+    out += bytes((0x21, 0xF9, 4, 0, 0, 0, 0, 0))  # graphic control ext
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+    out += bytes((0x40 if interlaced else 0,))
+    if interlaced:
+        raster = b"".join(
+            indices[r * width : (r + 1) * width]
+            for r in _gif_interlace_rows(height)
+        )
+    else:
+        raster = bytes(indices)
+    out += bytes((8,))  # LZW minimum code size
+    lzw = _lzw_encode(raster, 8)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out += bytes((len(block),)) + block
+    out += bytes((0, 0x3B))  # block terminator + trailer
+    return bytes(out)
+
+
+def probe_gif(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, n_channels) from the logical screen descriptor —
+    no entropy decode."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    w, h = struct.unpack("<HH", payload[6:10])
+    return w, h, 3
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode the FIRST frame of a GIF87a/89a stream to (width, height,
+    3, rgb_bytes): color-table resolution (local overrides global),
+    extension skipping, sub-block reassembly, variable-width LZW, and
+    interlaced row scatter.  The frame must cover the full logical
+    screen (animation sub-rectangles are compositing state, out of
+    scope for corpus feature extraction)."""
+    w, h, _ = probe_gif(payload)
+    packed = payload[10]
+    pos = 13
+    gct: bytes | None = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = payload[pos : pos + n]
+        pos += n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:  # extension: introducer, label, sub-block chain
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b0:02x} at {pos}")
+        if pos + 10 > len(payload):
+            raise ValueError("GIF image descriptor truncated")
+        left, top, iw, ih = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+        ipacked = payload[pos + 9]
+        pos += 10
+        if (left, top, iw, ih) != (0, 0, w, h):
+            raise ValueError(
+                f"GIF frame {iw}x{ih}@({left},{top}) does not cover the "
+                f"{w}x{h} logical screen"
+            )
+        ct = gct
+        if ipacked & 0x80:
+            n = 3 * (2 << (ipacked & 0x07))
+            ct = payload[pos : pos + n]
+            pos += n
+        if not ct:
+            raise ValueError("GIF image has no color table")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            n = payload[pos]
+            data += payload[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        idx = _lzw_decode(bytes(data), min_code, w * h)
+        if ipacked & 0x40:
+            deint = bytearray(w * h)
+            for src_r, dst_r in enumerate(_gif_interlace_rows(h)):
+                deint[dst_r * w : (dst_r + 1) * w] = idx[
+                    src_r * w : (src_r + 1) * w
+                ]
+            idx = bytes(deint)
+        rgb = bytearray(w * h * 3)
+        for i, j in enumerate(idx):
+            rgb[3 * i : 3 * i + 3] = ct[3 * j : 3 * j + 3]
+        return w, h, 3, bytes(rgb)
+    raise ValueError("GIF stream has no image descriptor")
+
+
+def attach_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """All-GIF binary fixture: every row becomes a real GIF89a stream
+    (:func:`gif_bytes`) whose indices are the familiar
+    ``(d*31 + i*7) mod 256`` fixture arithmetic mapped through the
+    fixed :func:`fixture_gif_palette`; ODD doc ids are INTERLACED
+    (4-pass row order through honest LZW), even ids sequential — the
+    decoded RGB is identical either way, so ONE arithmetic oracle
+    covers both decode paths while Spark exercises each on half the
+    corpus."""
+    from diabetes_etl_spark.operators.util import widen
+
+    src = widen(df.select(F.col(id_col).alias("doc_id")))
+
+    def produce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                gw, gh = fixture_gif_dims(doc_id)
+                payload = gif_bytes(
+                    gw,
+                    gh,
+                    _fixture_pixels(doc_id, gw * gh),
+                    interlaced=doc_id % 2 == 1,
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        payload,
+                        {
+                            "mime": "image/gif",
+                            "n_bytes": len(payload),
+                            "checksum": hashlib.md5(payload).hexdigest(),
+                        },
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "asset_meta"])
+
+    return src.mapInPandas(
+        produce,
+        schema=(
+            "doc_id long, payload binary, "
+            "asset_meta struct<mime: string, n_bytes: int, checksum: string>"
+        ),
+    )
+
+
 def decode_payload(mime: str, payload: bytes) -> bytes:
     """Decode a media payload to its canonical raw representation
     (identity for text, pixel bytes for PNG/JPEG, PCM frame bytes for
@@ -2246,6 +2570,8 @@ def decode_payload(mime: str, payload: bytes) -> bytes:
         return payload
     if mime == "image/png":
         return decode_png(payload)[3]
+    if mime == "image/gif":
+        return decode_gif(payload)[3]
     if mime == "audio/wav":
         return decode_wav(payload)[3]
     if mime == "image/jpeg":
@@ -2286,6 +2612,13 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             payload = bytes(payload)
             if mime == "image/png":
                 w, h, ch, raw = decode_png(payload)
+                n_space, n_alpha, fp = _byte_stats(raw)
+                rows.append(
+                    (doc_id, mime, len(raw), w, h, ch, n_space, n_alpha,
+                     fp, None, None)
+                )
+            elif mime == "image/gif":
+                w, h, ch, raw = decode_gif(payload)
                 n_space, n_alpha, fp = _byte_stats(raw)
                 rows.append(
                     (doc_id, mime, len(raw), w, h, ch, n_space, n_alpha,

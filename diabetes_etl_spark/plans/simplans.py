@@ -1137,3 +1137,62 @@ def multimodal_interlaced_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "byte_len", "width", "height", "n_channels",
         "n_space", "n_alpha", "head_fingerprint",
     )
+
+
+# GIF fixture arithmetic (operators/multimodal.py:fixture_gif_dims /
+# fixture_gif_palette / _fixture_pixels): index of pixel p of doc d is
+# (d*31 + p*7) mod 256; palette entry j is (j, j*3 mod 256, j*7 mod
+# 256); so decoded RGB byte i maps through idx = (d*31 + (i//3)*7) mod
+# 256 by channel i mod 3.
+_GIF_LEN = "((5 + doc_id % 11) * (4 + doc_id % 9) * 3)"
+_GIF_IDX = "((doc_id * 31 + (i // 3) * 7) % 256)"
+_GIF_PX = (
+    f"(CASE i % 3 WHEN 0 THEN {_GIF_IDX} "
+    f"WHEN 1 THEN ({_GIF_IDX} * 3) % 256 "
+    f"ELSE ({_GIF_IDX} * 7) % 256 END)"
+)
+
+
+@register(
+    "multimodal_gif_decode",
+    oracle=f"""
+SELECT doc_id,
+  CAST({_GIF_LEN} AS INT) AS byte_len,
+  CAST(5 + doc_id % 11 AS INT) AS width,
+  CAST(4 + doc_id % 9 AS INT) AS height,
+  CAST(3 AS INT) AS n_channels,
+  CAST(len(list_filter(generate_series(0, {_GIF_LEN} - 1),
+                       i -> {_GIF_PX} = 32)) AS INT) AS n_space,
+  CAST(len(list_filter(generate_series(0, {_GIF_LEN} - 1),
+                       i -> {_GIF_PX} BETWEEN 97 AND 122)) AS INT) AS n_alpha,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(generate_series(0, 15), i -> CAST({_GIF_PX} AS BIGINT))),
+    (acc, x) -> (acc * 131 + x) % 1000000007) AS head_fingerprint
+FROM documents
+""",
+    doc="GIF87a/89a decode over a corpus of real LZW streams: every "
+    "documents row becomes a GIF89a (operators/multimodal.py:gif_bytes "
+    "— honest variable-width LZW entropy coding, graphic-control "
+    "extension in the block chain, ODD ids in 4-pass INTERLACED row "
+    "order) whose palette indices are the familiar (d*31+i*7) mod 256 "
+    "fixture arithmetic; Spark reassembles sub-blocks, LZW-decodes "
+    "(dictionary growth 9->12 bits, CLEAR resets, the self-referential "
+    "code case), scatters interlaced rows, and expands the palette to "
+    "RGB (decode_gif); the oracle recomputes decoded-RGB statistics "
+    "purely arithmetically through the fixed palette mapping.  Same "
+    "Arrow-batched mapInPandas plumbing as the other codec queries.",
+    tags=("multimodal", "gif", "pandas-udf", "extension"),
+    extended=True,
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.multimodal import (
+        attach_gif_payloads,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_gif_payloads(docs))
+    return feats.select(
+        "doc_id", "byte_len", "width", "height", "n_channels",
+        "n_space", "n_alpha", "head_fingerprint",
+    )

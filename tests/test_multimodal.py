@@ -1171,3 +1171,140 @@ def test_png_interlaced_truncated_stream_raises():
     )
     with pytest.raises(ValueError, match="truncated"):
         decode_png(rebuilt)
+
+
+# -- GIF (87a/89a): LZW, interlace, palettes --------------------------------
+
+
+def _gif_rgb(indices: bytes) -> bytes:
+    from diabetes_etl_spark.operators.multimodal import fixture_gif_palette
+
+    pal = fixture_gif_palette()
+    return bytes(v for j in indices for v in pal[3 * j : 3 * j + 3])
+
+
+def test_gif_lzw_roundtrip_forces_width_growth_and_clear():
+    """A 60k random-byte stream drives the dictionary through every
+    code width 9->12 and past 4096 entries (mid-stream CLEAR + reset);
+    a low-entropy run stream drives long dictionary entries and the
+    self-referential code case."""
+    import random
+
+    from diabetes_etl_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rnd = random.Random(11)
+    s = bytes(rnd.randrange(256) for _ in range(60000))
+    enc = _lzw_encode(s, 8)
+    assert len(enc) > 60000  # random bytes do not compress
+    assert _lzw_decode(enc, 8, len(s)) == s
+    runs = bytes([i // 97 % 7 for i in range(50000)])
+    enc = _lzw_encode(runs, 8)
+    assert len(enc) < len(runs) // 4  # runs must actually compress
+    assert _lzw_decode(enc, 8, len(runs)) == runs
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (5, 4), (8, 8), (15, 12), (3, 13)])
+@pytest.mark.parametrize("interlaced", [False, True])
+def test_gif_roundtrip(w, h, interlaced):
+    from diabetes_etl_spark.operators.multimodal import (
+        decode_gif,
+        decode_payload,
+        gif_bytes,
+        probe_gif,
+    )
+
+    idx = _pix(w * h, seed=7)
+    payload = gif_bytes(w, h, idx, interlaced=interlaced)
+    assert probe_gif(payload) == (w, h, 3)
+    assert decode_gif(payload) == (w, h, 3, _gif_rgb(idx))
+    assert decode_payload("image/gif", payload) == _gif_rgb(idx)
+
+
+def test_gif_interlaced_differs_on_wire_not_after_decode():
+    """Interlacing must change the stored raster (row permutation) but
+    not the decoded pixels."""
+    from diabetes_etl_spark.operators.multimodal import decode_gif, gif_bytes
+
+    w, h = 9, 11
+    idx = _pix(w * h, seed=2)
+    seq = gif_bytes(w, h, idx, interlaced=False)
+    inter = gif_bytes(w, h, idx, interlaced=True)
+    assert seq != inter
+    assert decode_gif(seq) == decode_gif(inter)
+
+
+def test_gif_skips_comment_and_application_extensions():
+    from diabetes_etl_spark.operators.multimodal import decode_gif, gif_bytes
+
+    w, h = 6, 5
+    idx = _pix(w * h, seed=3)
+    payload = gif_bytes(w, h, idx)
+    # image descriptor offset: header 6 + LSD 7 + GCT 768 + GCE 8
+    at = 789
+    assert payload[at] == 0x2C
+    comment = b"\x21\xfe\x05hello\x00"
+    app = b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    spliced = payload[:at] + comment + app + payload[at:]
+    assert decode_gif(spliced) == decode_gif(payload)
+
+
+def test_gif_local_color_table_overrides_global():
+    from diabetes_etl_spark.operators.multimodal import decode_gif, gif_bytes
+
+    w, h = 4, 3
+    idx = _pix(w * h, seed=4)
+    payload = bytearray(gif_bytes(w, h, idx))
+    at = 789  # header 6 + LSD 7 + GCT 768 + GCE 8
+    assert payload[at] == 0x2C
+    # enable the LCT flag (256 entries) and splice a remapped palette
+    lct = bytes(b for j in range(256) for b in (255 - j, j, 128))
+    packed = payload[at + 9] | 0x80 | 0x07
+    rebuilt = (
+        bytes(payload[: at + 9])
+        + bytes((packed,))
+        + lct
+        + bytes(payload[at + 10 :])
+    )
+    _, _, _, rgb = decode_gif(bytes(rebuilt))
+    want = bytes(v for j in idx for v in (255 - j, j, 128))
+    assert rgb == want
+
+
+def test_gif_truncated_stream_raises():
+    from diabetes_etl_spark.operators.multimodal import decode_gif, gif_bytes
+
+    w, h = 8, 7
+    payload = gif_bytes(w, h, _pix(w * h, seed=6))
+    with pytest.raises(ValueError, match="truncated|no image"):
+        decode_gif(payload[: len(payload) // 2])
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOTGIF" + payload[6:])
+
+
+def test_gif_features_in_plan(spark):
+    """extract_features routes image/gif through the real decoder:
+    byte_len counts DECODED RGB bytes and the stats match the palette
+    arithmetic."""
+    from diabetes_etl_spark.operators.multimodal import (
+        _fixture_pixels,
+        attach_gif_payloads,
+        extract_features,
+        fixture_gif_dims,
+    )
+
+    docs = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    rows = {
+        r.doc_id: r
+        for r in extract_features(attach_gif_payloads(docs)).collect()
+    }
+    assert len(rows) == 12
+    for doc_id, r in rows.items():
+        w, h = fixture_gif_dims(doc_id)
+        rgb = _gif_rgb(_fixture_pixels(doc_id, w * h))
+        assert (r.width, r.height, r.n_channels) == (w, h, 3)
+        assert r.byte_len == len(rgb)
+        assert r.n_space == rgb.count(b" ")
+        assert r.n_alpha == sum(1 for x in rgb if 97 <= x <= 122)
