@@ -409,6 +409,128 @@ def fixed_size_sample(
     )
 
 
+def dsir_llr_scores(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Data Selection via Importance Resampling scores (Xie et al.
+    2023, DSIR): rank raw-corpus documents by how target-like they are
+    under HASHED n-gram bucket models — the published recipe for
+    "select pretraining data that looks like my high-quality target
+    set" without training a classifier.
+
+    Each document featurizes into hashed bigram buckets
+    ``b(g) = int(md5(g)[:8], 16) mod n_buckets``; the target and raw
+    corpora induce add-one-smoothed bucket unigram models
+    ``p_t(b) = (c_t(b)+1)/(N_t+B)`` and ``p_r(b)`` likewise, and a
+    document's importance is the log-likelihood ratio of its bucket
+    occurrences::
+
+        log w(d) = sum over bigram occurrences g of
+                   ln(p_t(b(g)) / p_r(b(g)))
+
+    Downstream, ``weighted_sample`` (A-Res) over ``exp(log w)`` — or a
+    deterministic top-k — performs the actual resampling; this operator
+    deliberately stops at scores so the selection policy stays
+    auditable.
+
+    Determinism/oracle contract: the md5-prefix bucket hash is
+    engine-portable (the shingle-hash precedent); each per-bucket LLR
+    is ONE double division of exact bigint products followed by the
+    one libm ``ln``, quantized to 9 decimals at the source (the
+    BM25/A-Res ln precedent), and per-doc sums fold through
+    DECIMAL(38,12) so no representable tie is ever hit (scale-9 inputs
+    cast to scale 12 exactly).  Docs with < 2 tokens have no bigrams
+    and are absent from the output (importance undefined; documented).
+
+    Scale shape (100 TB lens): bigram occurrences leave the scan as
+    (doc_id, bucket-int) pairs — text never shuffles; the two bucket
+    models are map-side-combined aggregates onto ``n_buckets`` keys;
+    totals attach as in-plan broadcast 1-row aggregates (no driver
+    collect); the scored join broadcasts the B-row LLR table onto the
+    corpus featurization.  The raw-model aggregate and the scoring
+    join each read the corpus once (two passes total) — at 100 TB,
+    materialize the (doc_id, bucket) featurization once and feed both,
+    exactly as you would any reused stage.  The exact-product LLR
+    keeps every intermediate
+    < 2^53 while ``(c(b)+1) * (N+B) < 2^53`` — beyond that (think
+    >10^12 bigrams against a small bucket count), split the ratio into
+    two quantized ``ln`` terms; at that point the 1-ulp libm spread is
+    dwarfed by the model's own smoothing.
+
+    Output: (doc_id, n_bigrams, log_weight), one row per corpus doc
+    with >= 1 bigram.
+    """
+    from diabetes_etl_spark.functions.numeric import dec_sum
+    from diabetes_etl_spark.operators.text import ngrams_with_duplicates
+    from diabetes_etl_spark.operators.util import widen
+
+    B = int(n_buckets)
+
+    def buckets(df: DataFrame) -> DataFrame:
+        from diabetes_etl_spark.operators.text import tokens
+
+        g = F.explode(
+            ngrams_with_duplicates(F.col(text_col), 2)
+        ).alias("g")
+        return (
+            widen(df)
+            .filter(F.size(tokens(F.col(text_col))) >= 2)
+            .select(F.col(id_col).alias("doc_id"), g)
+            .select(
+                "doc_id",
+                (
+                    F.conv(F.substring(F.md5("g"), 1, 8), 16, 10)
+                    .cast("long")
+                    % B
+                ).alias("b"),
+            )
+        )
+
+    corpus_b = buckets(corpus)
+    target_b = buckets(target)
+    cr = corpus_b.groupBy("b").agg(F.count("*").alias("cr"))
+    ct = target_b.groupBy("b").agg(F.count("*").alias("ct"))
+    tot = (
+        cr.agg(F.sum("cr").alias("nr"))
+        .crossJoin(ct.agg(F.sum("ct").alias("nt")))
+    )
+    full = (
+        corpus_b.sparkSession.range(B)
+        .select(F.col("id").alias("b"))
+        .join(cr, "b", "left")
+        .join(ct, "b", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    llr = full.select(
+        "b",
+        F.round(
+            F.log(
+                (
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    * (F.col("nr") + B)
+                ).cast("double")
+                / (
+                    (F.coalesce(F.col("cr"), F.lit(0)) + 1)
+                    * (F.col("nt") + B)
+                ).cast("double")
+            ),
+            9,
+        ).alias("llr"),
+    )
+    return (
+        corpus_b.join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            dec_sum(F.col("llr"), 12, 38).alias("log_weight"),
+        )
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,

@@ -551,3 +551,75 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars", "sample_key", "sample_rank")
         .orderBy("sample_rank")
     )
+
+
+# -- DSIR importance scores --------------------------------------------------
+
+_DSIR_B = 64
+_DSIR_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_DSIR_TOKS} AS t FROM documents
+),
+bk AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % {_DSIR_B} AS b
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i + 1])) AS g
+    FROM toks WHERE len(t) >= 2
+  )
+),
+cr AS (SELECT b, count(*) AS cr FROM bk GROUP BY b),
+ct AS (SELECT b, count(*) AS ct FROM bk WHERE lang = 'en' GROUP BY b),
+tot AS (
+  SELECT (SELECT count(*) FROM bk) AS nr,
+         (SELECT count(*) FROM bk WHERE lang = 'en') AS nt
+),
+llr AS (
+  SELECT s.b,
+         round(ln(CAST((coalesce(ct.ct, 0) + 1) * (tot.nr + {_DSIR_B})
+                       AS DOUBLE)
+                  / CAST((coalesce(cr.cr, 0) + 1) * (tot.nt + {_DSIR_B})
+                         AS DOUBLE)), 9) AS llr
+  FROM (SELECT unnest(generate_series(0, {_DSIR_B - 1})) AS b) s
+  LEFT JOIN ct ON s.b = ct.b
+  LEFT JOIN cr ON s.b = cr.b
+  CROSS JOIN tot
+)
+SELECT bk.doc_id,
+       count(*) AS n_bigrams,
+       CAST(SUM(CAST(llr.llr AS DECIMAL(38,12))) AS DOUBLE) AS log_weight
+FROM bk JOIN llr ON bk.b = llr.b
+GROUP BY bk.doc_id
+"""
+
+
+@register(
+    "corpus_dsir_importance",
+    oracle=_DSIR_ORACLE,
+    doc="DSIR importance scores (Xie et al. 2023): every raw-corpus "
+    "document scored by the log-likelihood ratio of its hashed-bigram "
+    f"bucket occurrences ({_DSIR_B} md5-prefix buckets) under add-one-"
+    "smoothed target-vs-raw bucket models, target = the lang='en' "
+    "slice (operators/sampling.py:dsir_llr_scores).  Per-bucket LLRs "
+    "are one exact-bigint-product double division plus the one libm "
+    "ln quantized to 9 decimals (the BM25/A-Res precedent); per-doc "
+    "sums fold through DECIMAL(38,12), so the scores — not just the "
+    "ranking — hash-match cross-engine.  Scale shape: text never "
+    "shuffles (bigrams leave as bucket ints), both bucket models are "
+    "map-side-combined B-key aggregates, totals attach as in-plan "
+    "broadcast 1-row aggregates, and the B-row LLR table broadcasts "
+    "onto one corpus pass.",
+    tags=("sampling", "dsir", "importance", "extension"),
+    extended=True,
+)
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.sampling import dsir_llr_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_llr_scores(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=_DSIR_B
+    )

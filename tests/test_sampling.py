@@ -494,3 +494,83 @@ def test_weighted_sample_plan_is_heap_topk(spark):
         weighted_sample(df, 10, "w")._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+# -- DSIR importance scores --------------------------------------------------
+
+
+def _dsir_corpus(spark):
+    # "good" docs share a vocabulary; "bad" docs use a disjoint one
+    good = [
+        (i, "the quick brown fox jumps over the lazy dog again", "tgt")
+        for i in range(6)
+    ]
+    bad = [
+        (10 + i, "zzz qqq www eee rrr ttt yyy uuu iii ooo", "raw")
+        for i in range(6)
+    ]
+    return spark.createDataFrame(
+        good + bad, "doc_id long, text string, kind string"
+    )
+
+
+def test_dsir_scores_rank_target_like_docs_higher(spark):
+    from diabetes_etl_spark.operators.sampling import dsir_llr_scores
+
+    docs = _dsir_corpus(spark)
+    target = docs.filter("kind = 'tgt'")
+    scored = {
+        r.doc_id: r.log_weight
+        for r in dsir_llr_scores(docs, target).collect()
+    }
+    good_w = [scored[i] for i in range(6)]
+    bad_w = [scored[10 + i] for i in range(6)]
+    assert min(good_w) > max(bad_w)
+
+
+def test_dsir_short_docs_absent_and_counts_exact(spark):
+    from diabetes_etl_spark.operators.sampling import dsir_llr_scores
+
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    out = dsir_llr_scores(docs, docs).collect()
+    assert {r.doc_id for r in out} == {3}
+    assert out[0].n_bigrams == 3
+
+
+def test_dsir_partition_invariant(spark):
+    from diabetes_etl_spark.operators.sampling import dsir_llr_scores
+
+    docs = _dsir_corpus(spark)
+    target = docs.filter("kind = 'tgt'")
+    a = sorted(map(tuple, dsir_llr_scores(docs, target).collect()))
+    b = sorted(
+        map(
+            tuple,
+            dsir_llr_scores(docs.repartition(7), target.coalesce(1)).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_dsir_composes_with_weighted_sample(spark):
+    """The published pipeline: importance scores -> weighted resample.
+    exp(log_weight) is a valid A-Res weight; the heaviest-score doc
+    must be likeliest to appear first across seeds."""
+    from diabetes_etl_spark.operators.sampling import (
+        dsir_llr_scores,
+        weighted_sample,
+    )
+    from pyspark.sql import functions as F
+
+    docs = _dsir_corpus(spark)
+    scored = dsir_llr_scores(docs, docs.filter("kind = 'tgt'")).withColumn(
+        "w", F.exp("log_weight")
+    )
+    picked = weighted_sample(scored, 3, weight_col="w")
+    assert picked.count() == 3
+    # every selected doc is from the target-like half: their weights
+    # dominate by construction (disjoint vocabularies)
+    assert all(r.doc_id < 10 for r in picked.collect())
