@@ -828,3 +828,110 @@ def prefix_filter_jaccard_pairs(
             F.col("n_inter").cast("double") / F.col("n_union").cast("double")
         ).alias("jaccard_sim"),
     )
+
+
+def remove_duplicate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = 8,
+    blocklist: tuple[str, ...] = (),
+) -> DataFrame:
+    """C4-style line-level corpus cleaning WITH document
+    reconstruction (Raffel et al. 2020 §2.2: C4 drops rule-violating
+    lines, then removes every later occurrence of any line repeated
+    anywhere in the corpus, and re-emits the surviving text) — the
+    sub-document complement of the whole-doc dedup family: a page that
+    shares only its boilerplate footer with a million others keeps its
+    unique content and loses exactly the footer.
+
+    Lines here are consecutive ``line_tokens``-token blocks of the
+    whitespace tokenization (the fixture corpus has no newlines; a
+    real web corpus passes ``line_tokens`` sized to its newline-split
+    lines or swaps the splitter).  Policy, in C4's order:
+
+    1. RULE drop: a line containing any blocklisted token is removed
+       (C4's bad-words line filter) — decided per-line, locally.
+    2. DUP drop: among rule-surviving lines, only the first corpus
+       occurrence of each distinct line survives — first = smallest
+       (doc_id, line_idx), the ingestion-order tiebreak used by
+       ``content_novelty``.
+    3. Reconstruction: each document re-emits its kept lines in
+       original order.
+
+    Scale shape (100 TB lens): the dedup decision shuffles ONLY
+    (16-hex md5 prefix, doc_id, line_idx) — line text never leaves its
+    scan; the keeper election is one map-side-combinable min-struct
+    aggregate; the dropped-line set (∝ the corpus' duplication rate,
+    not its size) flows back as per-doc index arrays through one join
+    that AQE broadcasts when duplication is low.  Rule drops and the
+    rebuild are narrow (the line array is recomputed in the output
+    scan — recompute beats shuffling the text).  Degenerate corpora
+    (everything duplicated) make the drop-set corpus-sized; the join
+    is a plain shuffle join then — correct, just no longer broadcast.
+
+    Output: (doc_id, n_lines, n_rule_dropped, n_dup_dropped, n_kept,
+    cleaned_text); empty cleaned docs yield ``cleaned_text = ''``.
+    """
+    k = int(line_tokens)
+    toks = tokens(F.col(text_col))
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), F.expr(
+            f"(size(split(trim({text_col}), '\\\\s+')) + {k - 1}) div {k}"
+        ) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+    )
+    if blocklist:
+        bad_tokens = F.array(*[F.lit(b) for b in blocklist])
+
+        def rule_bad(line: Column) -> Column:
+            return F.arrays_overlap(F.split(line, " "), bad_tokens)
+    else:
+        def rule_bad(line: Column) -> Column:
+            return F.lit(False)
+
+    base = widen(df).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col)
+    )
+    keyed = base.select(
+        "doc_id", F.posexplode(lines_arr).alias("idx", "__line")
+    ).select(
+        "doc_id",
+        "idx",
+        F.substring(F.md5("__line"), 1, 16).alias("h"),
+        rule_bad(F.col("__line")).alias("bad"),
+    )
+    surv = keyed.filter(~F.col("bad")).select("doc_id", "idx", "h")
+    keeper = surv.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("keep")
+    )
+    dup_sets = (
+        surv.join(keeper, "h")
+        .filter(
+            (F.col("doc_id") != F.col("keep.doc_id"))
+            | (F.col("idx") != F.col("keep.idx"))
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("idx").alias("__dup_idx"))
+    )
+    rebuilt = base.join(dup_sets, "doc_id", "left")
+    dup_idx = F.coalesce(
+        F.col("__dup_idx"), F.array().cast("array<int>")
+    )
+    kept_arr = F.filter(
+        lines_arr,
+        lambda x, i: ~rule_bad(x) & ~F.array_contains(dup_idx, i),
+    )
+    n_total = F.expr(
+        f"(size(split(trim({text_col}), '\\\\s+')) + {k - 1}) div {k}"
+    ).cast("long")
+    n_rule = F.size(F.filter(lines_arr, rule_bad)).cast("long")
+    n_dup = F.size(dup_idx).cast("long")
+    return rebuilt.select(
+        "doc_id",
+        n_total.alias("n_lines"),
+        n_rule.alias("n_rule_dropped"),
+        n_dup.alias("n_dup_dropped"),
+        (n_total - n_rule - n_dup).alias("n_kept"),
+        F.concat_ws(" ", kept_arr).alias("cleaned_text"),
+    )

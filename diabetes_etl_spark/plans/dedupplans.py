@@ -843,3 +843,87 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# -- C4-style line dedup with reconstruction ---------------------------------
+
+_C4_K = 8
+_C4_BLOCK = "slow"
+
+_C4_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(
+           list_slice(t, i * {_C4_K} + 1, i * {_C4_K} + {_C4_K}), ' ')
+           AS line
+  FROM toks,
+       unnest(generate_series(0, (len(t) + {_C4_K - 1}) // {_C4_K} - 1))
+         AS u(i)
+),
+flags AS (
+  SELECT doc_id, idx, line,
+         list_contains(string_split(line, ' '), '{_C4_BLOCK}') AS bad
+  FROM lines
+),
+surv AS (
+  SELECT doc_id, idx, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+  FROM flags WHERE NOT bad
+),
+per_doc AS (
+  SELECT f.doc_id,
+         count(*) AS n_lines,
+         CAST(sum(CASE WHEN f.bad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rule_dropped
+  FROM flags f GROUP BY f.doc_id
+),
+dups AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_dropped
+  FROM surv WHERE rn > 1 GROUP BY doc_id
+),
+kept AS (
+  SELECT doc_id,
+         string_agg(line, ' ' ORDER BY idx) AS cleaned_text
+  FROM surv WHERE rn = 1 GROUP BY doc_id
+)
+SELECT p.doc_id,
+       p.n_lines,
+       p.n_rule_dropped,
+       coalesce(d.n_dup_dropped, 0) AS n_dup_dropped,
+       p.n_lines - p.n_rule_dropped - coalesce(d.n_dup_dropped, 0)
+         AS n_kept,
+       coalesce(k.cleaned_text, '') AS cleaned_text
+FROM per_doc p
+LEFT JOIN dups d ON p.doc_id = d.doc_id
+LEFT JOIN kept k ON p.doc_id = k.doc_id
+"""
+
+
+@register(
+    "dedup_c4_line_clean",
+    oracle=_C4_ORACLE,
+    doc="C4-style line-level corpus cleaning with document "
+    "RECONSTRUCTION (Raffel et al. 2020 §2.2, "
+    f"operators/dedup.py:remove_duplicate_lines): {_C4_K}-token line "
+    f"blocks, rule-drop of lines containing '{_C4_BLOCK}', corpus-wide "
+    "first-occurrence line dedup (min (doc_id, idx) keeper — the "
+    "ingestion-order tiebreak), then each document re-emits its kept "
+    "lines in order.  The oracle replays the whole policy INCLUDING "
+    "the rebuilt text, so reconstruction — not just the drop counts — "
+    "is hash-checked.  Scale shape: dedup decisions shuffle only "
+    "(md5-prefix, doc_id, idx); the drop-set joins back ∝ duplication "
+    "rate; rule drops and the rebuild are narrow.",
+    tags=("dedup", "c4", "lines", "extension"),
+    extended=True,
+)
+def dedup_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.dedup import remove_duplicate_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_lines(
+        docs, line_tokens=_C4_K, blocklist=(_C4_BLOCK,)
+    )

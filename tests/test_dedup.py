@@ -785,3 +785,91 @@ def test_prefix_jaccard_token_sets_match_brute_force(docs):
         ).collect()
     }
     assert got == expected
+
+
+# -- C4-style line dedup with reconstruction ---------------------------------
+
+
+def _c4_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b c d e f g h x1 x2 x3 x4 x5 x6 x7 x8"),
+            # line 0 duplicates doc 1 line 0; line 1 is rule-dropped
+            (2, "a b c d e f g h slow y2 y3 y4 y5 y6 y7 y8"),
+            (3, "unique u2 u3 u4 u5 u6 u7 u8 tail"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_c4_line_clean_rules_dedup_and_rebuild(spark):
+    from diabetes_etl_spark.operators.dedup import remove_duplicate_lines
+
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_lines(
+            _c4_docs(spark), blocklist=("slow",)
+        ).collect()
+    }
+    assert out[1].cleaned_text == "a b c d e f g h x1 x2 x3 x4 x5 x6 x7 x8"
+    assert (out[1].n_rule_dropped, out[1].n_dup_dropped) == (0, 0)
+    # doc 2 loses its dup line AND its rule-violating line -> empty
+    assert out[2].cleaned_text == ""
+    assert (out[2].n_rule_dropped, out[2].n_dup_dropped, out[2].n_kept) == (
+        1, 1, 0,
+    )
+    assert out[3].n_kept == 2
+    assert out[3].cleaned_text == "unique u2 u3 u4 u5 u6 u7 u8 tail"
+
+
+def test_c4_line_clean_within_doc_repeat_keeps_first(spark):
+    from diabetes_etl_spark.operators.dedup import remove_duplicate_lines
+
+    docs = spark.createDataFrame(
+        [(7, "p q r s t u v w p q r s t u v w end1 end2")],
+        "doc_id long, text string",
+    )
+    row = remove_duplicate_lines(docs).collect()[0]
+    assert row.n_lines == 3
+    assert row.n_dup_dropped == 1
+    assert row.cleaned_text == "p q r s t u v w end1 end2"
+
+
+def test_c4_line_clean_rule_dropped_line_is_not_a_keeper(spark):
+    """A rule-dropped occurrence must NOT consume the keeper slot:
+    the same line text appearing later in a clean doc survives."""
+    from diabetes_etl_spark.operators.dedup import remove_duplicate_lines
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1 line: contains 'bad' -> rule-dropped entirely
+            (1, "bad k2 k3 k4 k5 k6 k7 k8"),
+            # doc 2 same line minus the blocklisted token; different text
+            (2, "ok k2 k3 k4 k5 k6 k7 k8"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_lines(docs, blocklist=("bad",)).collect()
+    }
+    assert out[1].n_rule_dropped == 1 and out[1].n_kept == 0
+    assert out[2].n_kept == 1 and out[2].n_dup_dropped == 0
+
+
+def test_c4_line_clean_partition_invariant(spark):
+    from diabetes_etl_spark.operators.dedup import remove_duplicate_lines
+
+    docs = _c4_docs(spark)
+    a = sorted(
+        map(tuple, remove_duplicate_lines(docs, blocklist=("slow",)).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            remove_duplicate_lines(
+                docs.repartition(5), blocklist=("slow",)
+            ).collect(),
+        )
+    )
+    assert a == b
