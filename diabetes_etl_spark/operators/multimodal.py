@@ -3137,3 +3137,87 @@ def decode_video_frame(payload: bytes, ts_ms: int) -> bytes:
         "video frame decode needs a codec library absent from this "
         "environment; plan_video_frames supplies the sampling plan"
     )
+
+
+# -- audio signal features ---------------------------------------------------
+
+AUDIO_SIGNAL_SCHEMA = (
+    "doc_id long, rate int, n_channels int, n_frames int, "
+    "energy long, peak_amp int, zero_crossings int, "
+    "best_lag int, best_autocorr long"
+)
+
+
+def audio_signal_features(assets: DataFrame, max_lag: int = 8) -> DataFrame:
+    """Signal-level audio features over DECODED PCM — the
+    feature-extraction stage after :func:`decode_wav`, all in exact
+    integer arithmetic so every value is reproducible by formula (no
+    float FFT, no window functions whose libm spread would break the
+    hash check):
+
+    - ``energy``: sum of squared samples over ALL interleaved samples
+      (bounded: 32768^2 x samples fits a long until ~8 x 10^8 samples
+      per clip — hours of audio; chunk longer clips upstream);
+    - ``peak_amp``: max absolute sample;
+    - ``zero_crossings``: sign changes along channel 0 (negative ->
+      non-negative or back), the classic voicing/noisiness signal;
+    - ``best_lag`` / ``best_autocorr``: the lag in 1..max_lag whose
+      raw autocorrelation ``R(l) = sum_j c0[j] * c0[j+l]`` is largest
+      (smallest lag on ties) — the integer core of autocorrelation
+      pitch detection (period = rate / best_lag for strongly periodic
+      signals).
+
+    MP3 rows have no sample decoder here and are dropped, never
+    fabricated (the :func:`resample_audio` contract).
+
+    Scale shape: narrow ``mapInPandas`` over Arrow batches, no
+    shuffle; the numpy inner loop is vectorized per clip (the lag loop
+    is ``max_lag`` dot products).
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["asset_meta"]
+            ):
+                if meta["mime"] != "audio/wav":
+                    continue
+                try:
+                    rate, ch, n_frames, raw = decode_wav(bytes(payload))
+                except ValueError:
+                    continue
+                arr = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                c0 = arr[::ch]
+                energy = int((arr * arr).sum())
+                peak = int(np.abs(arr).max()) if arr.size else 0
+                neg = c0 < 0
+                zc = int((neg[1:] != neg[:-1]).sum()) if c0.size > 1 else 0
+                best_lag, best_r = 0, None
+                for lag in range(1, max_lag + 1):
+                    if lag >= c0.size:
+                        break
+                    r = int((c0[:-lag] * c0[lag:]).sum())
+                    if best_r is None or r > best_r:
+                        best_lag, best_r = lag, r
+                rows.append(
+                    (doc_id, rate, ch, n_frames, energy, peak, zc,
+                     best_lag, best_r if best_r is not None else 0)
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "rate", "n_channels", "n_frames", "energy",
+                    "peak_amp", "zero_crossings", "best_lag",
+                    "best_autocorr",
+                ],
+            )
+            for c in ("rate", "n_channels", "n_frames", "peak_amp",
+                      "zero_crossings", "best_lag"):
+                out[c] = out[c].astype("Int32")
+            for c in ("doc_id", "energy", "best_autocorr"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return assets.mapInPandas(batches, schema=AUDIO_SIGNAL_SCHEMA)

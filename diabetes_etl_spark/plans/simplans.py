@@ -1196,3 +1196,85 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "byte_len", "width", "height", "n_channels",
         "n_space", "n_alpha", "head_fingerprint",
     )
+
+
+# -- audio signal features ---------------------------------------------------
+
+_AS_RATE = "(8000 + 100 * (doc_id % 5))"
+_AS_CH = "(1 + doc_id % 2)"
+_AS_NF = "(64 + doc_id % 50)"
+_AS_MAXLAG = 8
+
+
+def _as_v(i_expr: str) -> str:
+    """Interleaved fixture sample i: ((d*37 + i*11) mod 65536) - 32768."""
+    return f"(((doc_id * 37 + ({i_expr}) * 11) % 65536) - 32768)"
+
+
+# channel-0 sample at 1-based index j
+def _as_c0(j_expr: str) -> str:
+    return _as_v(f"(({j_expr}) - 1) * {_AS_CH}")
+
+
+_AS_ALL = (
+    f"list_transform(generate_series(0, {_AS_NF} * {_AS_CH} - 1), "
+    f"i -> {_as_v('i')})"
+)
+_AS_RLIST = (
+    f"list_transform(generate_series(1, {_AS_MAXLAG}), l -> "
+    f"list_sum(list_transform(generate_series(1, {_AS_NF} - l), "
+    f"j -> CAST({_as_c0('j')} AS BIGINT) * {_as_c0('j + l')})))"
+)
+
+_AUDIO_SIGNAL_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST({_AS_RATE} AS INT) AS rate,
+    CAST({_AS_CH} AS INT) AS n_channels,
+    CAST({_AS_NF} AS INT) AS n_frames,
+    CAST(list_sum(list_transform({_AS_ALL},
+                                 x -> CAST(x AS BIGINT) * x)) AS BIGINT)
+      AS energy,
+    CAST(list_max(list_transform({_AS_ALL}, x -> abs(x))) AS INT)
+      AS peak_amp,
+    CAST(len(list_filter(generate_series(2, {_AS_NF}),
+             j -> ({_as_c0('j')} < 0) != ({_as_c0('j - 1')} < 0))) AS INT)
+      AS zero_crossings,
+    {_AS_RLIST} AS r_list
+  FROM documents WHERE doc_id % 4 = 2
+)
+SELECT doc_id, rate, n_channels, n_frames, energy, peak_amp,
+       zero_crossings,
+       CAST(list_position(r_list, list_max(r_list)) AS INT) AS best_lag,
+       CAST(list_max(r_list) AS BIGINT) AS best_autocorr
+FROM base
+"""
+
+
+@register(
+    "multimodal_audio_signal",
+    oracle=_AUDIO_SIGNAL_ORACLE,
+    doc="Signal-level audio features over DECODED PCM16 "
+    "(operators/multimodal.py:audio_signal_features, Arrow-batched "
+    "mapInPandas): total energy and peak amplitude over all "
+    "interleaved samples, zero-crossing count along channel 0, and "
+    f"the best autocorrelation lag in 1..{_AS_MAXLAG} (smallest lag "
+    "on ties) — the integer core of autocorrelation pitch detection.  "
+    "Everything is exact integer arithmetic over the decoded stream "
+    "(no float FFT), so the oracle re-derives every feature from the "
+    "WAV fixture generator's sample formula without a decoder.  "
+    "Narrow plan, no shuffle; the numpy inner loop is max_lag dot "
+    "products per clip.",
+    tags=("multimodal", "audio", "pandas-udf", "extension"),
+    extended=True,
+)
+def multimodal_audio_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.multimodal import (
+        attach_media_payloads,
+        audio_signal_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_signal_features(
+        attach_media_payloads(docs), max_lag=_AS_MAXLAG
+    ).orderBy("doc_id")

@@ -1308,3 +1308,81 @@ def test_gif_features_in_plan(spark):
         assert r.byte_len == len(rgb)
         assert r.n_space == rgb.count(b" ")
         assert r.n_alpha == sum(1 for x in rgb if 97 <= x <= 122)
+
+
+# -- audio signal features ---------------------------------------------------
+
+
+def test_audio_signal_features_known_waveform(spark):
+    """A hand-built square-ish wave: period 4 -> best autocorrelation
+    lag 4, known zero crossings and energy."""
+    from diabetes_etl_spark.operators.multimodal import (
+        audio_signal_features,
+        wav_bytes,
+    )
+    import hashlib
+
+    # 4-periodic mono signal: +1000 +1000 -1000 -1000 ...
+    samples = ([1000, 1000, -1000, -1000] * 8)
+    payload = wav_bytes(8000, 1, samples)
+    assets = spark.createDataFrame(
+        [(1, bytearray(payload), {"mime": "audio/wav",
+                                  "n_bytes": len(payload),
+                                  "checksum": hashlib.md5(payload).hexdigest()})],
+        "doc_id long, payload binary, asset_meta map<string,string>",
+    )
+    row = audio_signal_features(assets, max_lag=6).collect()[0]
+    assert (row.rate, row.n_channels, row.n_frames) == (8000, 1, 32)
+    assert row.energy == 1000 * 1000 * 32
+    assert row.peak_amp == 1000
+    # sign flips every 2 samples: 16 boundaries, minus edge = 15? count:
+    # pattern ++--++--: crossings at indices 2,4,6,... -> 15 in 32 samples
+    assert row.zero_crossings == 15
+    assert row.best_lag == 4
+    # R(4) = sum s[j]*s[j+4] = 28 * 1e6 (all aligned)
+    assert row.best_autocorr == 1000 * 1000 * 28
+
+
+def test_audio_signal_features_tie_breaks_to_smallest_lag(spark):
+    """A constant signal: every lag's autocorrelation is maximal and
+    decreasing in overlap length, so lag 1 wins outright; a truly tied
+    construction (all-zero signal) must also pick lag 1."""
+    from diabetes_etl_spark.operators.multimodal import (
+        audio_signal_features,
+        wav_bytes,
+    )
+    import hashlib
+
+    payload = wav_bytes(8000, 1, [0] * 16)
+    assets = spark.createDataFrame(
+        [(1, bytearray(payload), {"mime": "audio/wav",
+                                  "n_bytes": len(payload),
+                                  "checksum": hashlib.md5(payload).hexdigest()})],
+        "doc_id long, payload binary, asset_meta map<string,string>",
+    )
+    row = audio_signal_features(assets).collect()[0]
+    assert row.best_lag == 1 and row.best_autocorr == 0
+    assert row.zero_crossings == 0 and row.energy == 0
+
+
+def test_audio_signal_features_drops_non_wav_rows(spark):
+    from diabetes_etl_spark.operators.multimodal import (
+        audio_signal_features,
+        wav_bytes,
+    )
+    import hashlib
+
+    wav = wav_bytes(8000, 2, [1, -1, 2, -2, 3, -3, 4, -4])
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(wav), {"mime": "audio/wav",
+                                 "n_bytes": len(wav),
+                                 "checksum": hashlib.md5(wav).hexdigest()}),
+            (2, bytearray(b"\xff\xfbnot-decodable"),
+             {"mime": "audio/mpeg", "n_bytes": 14, "checksum": "x"}),
+        ],
+        "doc_id long, payload binary, asset_meta map<string,string>",
+    )
+    rows = audio_signal_features(assets).collect()
+    assert [r.doc_id for r in rows] == [1]
+    assert rows[0].n_channels == 2 and rows[0].n_frames == 4
