@@ -389,3 +389,32 @@ def test_pmi_collocations_broadcasts_total_no_python(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_dsir_importance_broadcasts_llr_no_python(spark, sf_dir):
+    """The B-row LLR table and the 1-row totals must attach as
+    broadcasts; the bigram featurization stays JVM-side (no Python),
+    and nothing falls back to a cartesian product."""
+    plan = _plan(spark, sf_dir, "corpus_dsir_importance")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_c4_line_clean_shuffles_hashes_not_text(spark, sf_dir):
+    """The dedup decision must shuffle only (md5-prefix, doc_id, idx):
+    no exchange in the plan may carry a line/text string column, and
+    the whole policy stays JVM-side."""
+    plan = _plan(spark, sf_dir, "dedup_c4_line_clean")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "__line" not in line and "text" not in line, line
+
+
+def test_audio_signal_single_python_stage_no_shuffle(spark, sf_dir):
+    """One Arrow-batched Python stage (the decoder+features), zero
+    exchanges — the narrow-scan contract of the media pipeline."""
+    plan = _plan(spark, sf_dir, "multimodal_audio_signal")
+    assert plan.count("Exchange hashpartitioning") == 0
