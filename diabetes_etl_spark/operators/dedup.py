@@ -935,3 +935,116 @@ def remove_duplicate_lines(
         (n_total - n_rule - n_dup).alias("n_kept"),
         F.concat_ws(" ", kept_arr).alias("cleaned_text"),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Exact-substring dedup WITH EXCISION — the removal step of Lee
+    et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") that :func:`substring_dup_stats` only measures: every
+    k-token span that occurs verbatim in >= 2 distinct documents keeps
+    its FIRST corpus occurrence (min (doc_id, position) — the
+    ingestion-order keeper used corpus-wide here) and is cut from
+    everywhere else; overlapping and adjacent cut spans merge into
+    maximal intervals (touching intervals merge — one convention,
+    mirrored by the oracle), and each document re-emits its surviving
+    tokens in order.  The sub-line complement of
+    :func:`remove_duplicate_lines`: a copied sentence buried
+    mid-paragraph is excised even though no line boundary isolates it.
+
+    Scale shape (100 TB lens): shingles shuffle as (16-hex md5 prefix,
+    doc_id, position) — text never leaves its scan; the duplicated-
+    hash set scales with the corpus' duplication rate; the interval
+    merge runs windowed over the MARKED positions only (∝ duplication,
+    partitioned by doc — never a corpus-wide window); the merged
+    interval arrays join back ∝ affected docs (AQE broadcasts when
+    contamination is low) and the excision is a narrow position
+    filter.  Within-doc-only repeats are NOT cut (the
+    ``substring_dup_stats`` cross-doc contract; Gopher-style
+    repetition filters handle intra-doc boilerplate).
+
+    Output: (doc_id, n_tokens, n_spans_removed, n_tokens_removed,
+    cleaned_text); untouched docs pass through with zero counts.
+    """
+    kk = int(k)
+    toks = tokens(F.col(text_col))
+    base = widen(df).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col)
+    )
+    sh = base.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size(toks) >= kk,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - kk),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, kk)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("start", "__s"),
+    ).select(
+        "doc_id", "start", F.substring(F.md5("__s"), 1, 16).alias("h")
+    )
+    agg = sh.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd"),
+        F.min(F.struct("doc_id", F.col("start").alias("idx"))).alias("keep"),
+    )
+    marked = (
+        sh.join(agg.filter(F.col("nd") >= 2), "h")
+        .filter(
+            (F.col("doc_id") != F.col("keep.doc_id"))
+            | (F.col("start") != F.col("keep.idx"))
+        )
+        .select("doc_id", "start")
+    )
+    w_order = Window.partitionBy("doc_id").orderBy("start")
+    prev_end = F.max(F.col("start") + kk).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        marked.withColumn(
+            "__new",
+            (F.col("start") > F.coalesce(prev_end, F.lit(-1))).cast("int"),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__new").over(
+                w_order.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "__island")
+        .agg(
+            F.min("start").alias("s"),
+            (F.max("start") + kk).alias("e"),
+        )
+    )
+    spans = islands.groupBy("doc_id").agg(
+        F.count("*").alias("__n_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("__n_cut"),
+        F.collect_list(F.struct("s", "e")).alias("__iv"),
+    )
+    rebuilt = base.join(spans, "doc_id", "left")
+    iv = F.coalesce(
+        F.col("__iv"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            iv, lambda v: (i >= v["s"]) & (i < v["e"])
+        ),
+    )
+    return rebuilt.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("__n_spans"), F.lit(0)).cast("long").alias(
+            "n_spans_removed"
+        ),
+        F.coalesce(F.col("__n_cut"), F.lit(0)).cast("long").alias(
+            "n_tokens_removed"
+        ),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+    )

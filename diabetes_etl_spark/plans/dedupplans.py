@@ -927,3 +927,101 @@ def dedup_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_lines(
         docs, line_tokens=_C4_K, blocklist=(_C4_BLOCK,)
     )
+
+
+# -- exact-substring span excision -------------------------------------------
+
+_SP_K = 8
+
+_SPAN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, i AS start,
+         array_to_string(list_slice(t, i + 1, i + {_SP_K}), ' ') AS s
+  FROM toks, unnest(generate_series(0, len(t) - {_SP_K})) AS u(i)
+  WHERE len(t) >= {_SP_K}
+),
+dup AS (
+  SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+),
+ranked AS (
+  SELECT sh.doc_id, sh.start,
+         row_number() OVER (PARTITION BY sh.s ORDER BY sh.doc_id, sh.start)
+           AS rn
+  FROM sh JOIN dup ON sh.s = dup.s
+),
+marked AS (SELECT doc_id, start FROM ranked WHERE rn > 1),
+isl AS (
+  SELECT doc_id, start,
+         CASE WHEN start > coalesce(max(start + {_SP_K}) OVER (
+                PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM marked
+),
+grp AS (
+  SELECT doc_id, start,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY start
+                            ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+),
+iv AS (
+  SELECT doc_id, island, min(start) AS s, max(start) + {_SP_K} AS e
+  FROM grp GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans_removed,
+         CAST(sum(e - s) AS BIGINT) AS n_tokens_removed
+  FROM iv GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT tk.doc_id,
+         string_agg(tk.tok, ' ' ORDER BY tk.pos) AS cleaned_text
+  FROM (
+    SELECT doc_id, unnest(t) AS tok,
+           unnest(generate_series(0, len(t) - 1)) AS pos
+    FROM toks
+  ) tk
+  WHERE NOT EXISTS (
+    SELECT 1 FROM iv
+    WHERE iv.doc_id = tk.doc_id AND tk.pos >= iv.s AND tk.pos < iv.e
+  )
+  GROUP BY tk.doc_id
+)
+SELECT toks.doc_id,
+       CAST(len(toks.t) AS BIGINT) AS n_tokens,
+       coalesce(p.n_spans_removed, 0) AS n_spans_removed,
+       coalesce(p.n_tokens_removed, 0) AS n_tokens_removed,
+       coalesce(r.cleaned_text, '') AS cleaned_text
+FROM toks
+LEFT JOIN per_doc p ON toks.doc_id = p.doc_id
+LEFT JOIN rebuilt r ON toks.doc_id = r.doc_id
+"""
+
+
+@register(
+    "dedup_span_excision",
+    oracle=_SPAN_ORACLE,
+    doc="Exact-substring dedup WITH EXCISION (Lee et al. 2022's "
+    "removal step; operators/dedup.py:remove_duplicate_spans): every "
+    f"{_SP_K}-token span occurring verbatim in >= 2 documents keeps "
+    "its first corpus occurrence (min (doc_id, position)) and is cut "
+    "everywhere else; overlapping/touching cut spans merge into "
+    "maximal intervals via windowed island detection OVER THE MARKED "
+    "POSITIONS ONLY (∝ duplication, partitioned per doc), and each "
+    "document re-emits its surviving tokens.  The oracle replays the "
+    "whole policy including the rebuilt text.  Scale shape: shingles "
+    "shuffle as (md5-prefix, doc, position); the interval arrays join "
+    "back ∝ affected docs; the excision is a narrow position filter.",
+    tags=("dedup", "substring", "excision", "extension"),
+    extended=True,
+)
+def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.dedup import remove_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, k=_SP_K)

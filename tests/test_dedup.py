@@ -873,3 +873,84 @@ def test_c4_line_clean_partition_invariant(spark):
         )
     )
     assert a == b
+
+
+# -- exact-substring span excision -------------------------------------------
+
+_SPAN8 = "s1 s2 s3 s4 s5 s6 s7 s8"
+
+
+def _span_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, f"intro1 intro2 {_SPAN8} outro1 outro2"),
+            (2, f"other1 other2 other3 {_SPAN8} tail1"),
+            (3, "clean c2 c3 c4 c5 c6 c7 c8 c9"),
+            (4, f"{_SPAN8} mid {_SPAN8}"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_span_excision_keeper_survives_copies_cut(spark):
+    from diabetes_etl_spark.operators.dedup import remove_duplicate_spans
+
+    out = {
+        r.doc_id: r for r in remove_duplicate_spans(_span_docs(spark)).collect()
+    }
+    # doc 1 holds the first corpus occurrence -> untouched
+    assert out[1].n_tokens_removed == 0
+    assert _SPAN8 in out[1].cleaned_text
+    # doc 2 loses exactly the 8-token span
+    assert (out[2].n_spans_removed, out[2].n_tokens_removed) == (1, 8)
+    assert out[2].cleaned_text == "other1 other2 other3 tail1"
+    assert out[3].n_spans_removed == 0
+    # doc 4: both copies are non-keepers -> two disjoint spans cut
+    assert (out[4].n_spans_removed, out[4].n_tokens_removed) == (2, 16)
+    assert out[4].cleaned_text == "mid"
+
+
+def test_span_excision_overlapping_marks_merge_to_one_interval(spark):
+    """A 9-token duplicated run yields two overlapping marked 8-token
+    shingles (positions p and p+1) in the copy — they must merge into
+    ONE 9-token excision, not double-count."""
+    from diabetes_etl_spark.operators.dedup import remove_duplicate_spans
+
+    run9 = "r1 r2 r3 r4 r5 r6 r7 r8 r9"
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 {run9} z1"),
+            (2, f"b1 {run9} b2 b3"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r for r in remove_duplicate_spans(docs).collect()
+    }
+    assert out[1].n_tokens_removed == 0
+    assert (out[2].n_spans_removed, out[2].n_tokens_removed) == (1, 9)
+    assert out[2].cleaned_text == "b1 b2 b3"
+
+
+def test_span_excision_within_doc_only_repeat_not_cut(spark):
+    """The cross-doc contract: a span repeated only INSIDE one doc is
+    kept (Gopher-style repetition filters own that case)."""
+    from diabetes_etl_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, f"{_SPAN8} gap {_SPAN8}"), (2, "totally different text here now")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs).collect()}
+    assert out[1].n_tokens_removed == 0
+
+
+def test_span_excision_partition_invariant(spark):
+    from diabetes_etl_spark.operators.dedup import remove_duplicate_spans
+
+    docs = _span_docs(spark)
+    a = sorted(map(tuple, remove_duplicate_spans(docs).collect()))
+    b = sorted(
+        map(tuple, remove_duplicate_spans(docs.repartition(7)).collect())
+    )
+    assert a == b
