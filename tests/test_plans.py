@@ -418,3 +418,16 @@ def test_audio_signal_single_python_stage_no_shuffle(spark, sf_dir):
     exchanges — the narrow-scan contract of the media pipeline."""
     plan = _plan(spark, sf_dir, "multimodal_audio_signal")
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_span_excision_windows_partition_by_doc_no_python(spark, sf_dir):
+    """The island merge must window over doc-partitioned marked rows
+    (never a corpus-global window) and the whole policy stays
+    JVM-side with no cartesian fallback."""
+    plan = _plan(spark, sf_dir, "dedup_span_excision")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    # every window spec partitions by doc_id
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "doc_id" in line, line
