@@ -971,24 +971,10 @@ def remove_duplicate_spans(
     cleaned_text); untouched docs pass through with zero counts.
     """
     kk = int(k)
-    toks = tokens(F.col(text_col))
     base = widen(df).select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col)
     )
-    sh = base.select(
-        "doc_id",
-        F.posexplode(
-            F.when(
-                F.size(toks) >= kk,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - kk),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, kk)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("start", "__s"),
-    ).select(
-        "doc_id", "start", F.substring(F.md5("__s"), 1, 16).alias("h")
-    )
+    sh = _positioned_shingles(base, text_col, kk)
     agg = sh.groupBy("h").agg(
         F.countDistinct("doc_id").alias("nd"),
         F.min(F.struct("doc_id", F.col("start").alias("idx"))).alias("keep"),
@@ -1001,6 +987,39 @@ def remove_duplicate_spans(
         )
         .select("doc_id", "start")
     )
+    return _excise_marked(base, marked, text_col, kk)
+
+
+def _positioned_shingles(
+    base: DataFrame, text_col: str, k: int
+) -> DataFrame:
+    """(doc_id, start, h): every k-token shingle position with its
+    16-hex md5 prefix — the text itself never leaves the projection."""
+    toks = tokens(F.col(text_col))
+    return base.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size(toks) >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("start", "__s"),
+    ).select(
+        "doc_id", "start", F.substring(F.md5("__s"), 1, 16).alias("h")
+    )
+
+
+def _excise_marked(
+    base: DataFrame, marked: DataFrame, text_col: str, kk: int
+) -> DataFrame:
+    """Merge marked k-token span starts into maximal intervals
+    (windowed island detection per doc over the marked rows only) and
+    re-emit each doc's surviving tokens; shared by the span-dedup and
+    span-decontamination excisers."""
+    toks = tokens(F.col(text_col))
     w_order = Window.partitionBy("doc_id").orderBy("start")
     prev_end = F.max(F.col("start") + kk).over(
         w_order.rowsBetween(Window.unboundedPreceding, -1)
@@ -1048,3 +1067,51 @@ def remove_duplicate_spans(
         ),
         F.concat_ws(" ", kept).alias("cleaned_text"),
     )
+
+
+def excise_contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    k: int = 8,
+) -> DataFrame:
+    """SPAN-level benchmark decontamination: cut every k-token span of
+    a training document that occurs verbatim anywhere in the
+    benchmark/eval set, keep the rest of the document — the
+    surgical alternative to :func:`decontaminate`'s whole-doc drop
+    (dropping a 10k-token page over one leaked quiz question wastes
+    the other 99.9%; modern pipelines excise the overlapping window).
+    Overlapping/touching cut spans merge into maximal intervals (the
+    :func:`remove_duplicate_spans` island machinery), so a long leaked
+    passage comes out as ONE interval.
+
+    Scale shape (100 TB lens): the benchmark side is small — its
+    distinct shingle hashes broadcast (the ``decontaminate``
+    contract), so the corpus never shuffles for matching; marked
+    positions are ∝ contamination; the island merge windows per doc
+    over marked rows only; the interval arrays join back ∝ affected
+    docs and the excision is a narrow position filter.
+
+    Output: (doc_id, n_tokens, n_spans_removed, n_tokens_removed,
+    cleaned_text) — the :func:`remove_duplicate_spans` schema, so the
+    two excisers compose/pipe identically.
+    """
+    kk = int(k)
+    btc = bench_text_col or text_col
+    base = widen(corpus).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col)
+    )
+    bench_base = widen(benchmark).select(
+        F.lit(0).alias("doc_id"), F.col(btc).alias(btc)
+    )
+    bench_h = (
+        _positioned_shingles(bench_base, btc, kk).select("h").distinct()
+    )
+    marked = (
+        _positioned_shingles(base, text_col, kk)
+        .join(F.broadcast(bench_h), "h")
+        .select("doc_id", "start")
+    )
+    return _excise_marked(base, marked, text_col, kk)

@@ -262,3 +262,102 @@ def decontam_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# -- span-level decontamination (excision) -----------------------------------
+
+_DX_K = 8
+
+_DX_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source, i AS start,
+         array_to_string(list_slice(t, i + 1, i + {_DX_K}), ' ') AS s
+  FROM toks, unnest(generate_series(0, len(t) - {_DX_K})) AS u(i)
+  WHERE len(t) >= {_DX_K}
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+marked AS (
+  SELECT sh.doc_id, sh.start FROM sh JOIN bench ON sh.s = bench.s
+  WHERE sh.source != 'src0'
+),
+isl AS (
+  SELECT doc_id, start,
+         CASE WHEN start > coalesce(max(start + {_DX_K}) OVER (
+                PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM marked
+),
+grp AS (
+  SELECT doc_id, start,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY start
+                            ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+),
+iv AS (
+  SELECT doc_id, island, min(start) AS s, max(start) + {_DX_K} AS e
+  FROM grp GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans_removed,
+         CAST(sum(e - s) AS BIGINT) AS n_tokens_removed
+  FROM iv GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT tk.doc_id,
+         string_agg(tk.tok, ' ' ORDER BY tk.pos) AS cleaned_text
+  FROM (
+    SELECT doc_id, unnest(t) AS tok,
+           unnest(generate_series(0, len(t) - 1)) AS pos
+    FROM toks WHERE source != 'src0'
+  ) tk
+  WHERE NOT EXISTS (
+    SELECT 1 FROM iv
+    WHERE iv.doc_id = tk.doc_id AND tk.pos >= iv.s AND tk.pos < iv.e
+  )
+  GROUP BY tk.doc_id
+)
+SELECT toks.doc_id,
+       CAST(len(toks.t) AS BIGINT) AS n_tokens,
+       coalesce(p.n_spans_removed, 0) AS n_spans_removed,
+       coalesce(p.n_tokens_removed, 0) AS n_tokens_removed,
+       coalesce(r.cleaned_text, '') AS cleaned_text
+FROM toks
+LEFT JOIN per_doc p ON toks.doc_id = p.doc_id
+LEFT JOIN rebuilt r ON toks.doc_id = r.doc_id
+WHERE toks.source != 'src0'
+"""
+
+
+@register(
+    "decontam_span_excision",
+    oracle=_DX_ORACLE,
+    doc="SPAN-level benchmark decontamination (operators/dedup.py:"
+    "excise_contaminated_spans): the src0 slice plays the eval set; "
+    f"every {_DX_K}-token span of a training doc that occurs verbatim "
+    "in the benchmark is cut (overlapping cuts merge into maximal "
+    "intervals via the span-dedup island machinery) and the document "
+    "re-emits its surviving tokens — the surgical alternative to the "
+    "whole-doc drop in decontam_overlap_stats, preserving the "
+    "uncontaminated 99% of a page with one leaked passage.  The "
+    "benchmark's distinct shingle hashes BROADCAST, so the corpus "
+    "never shuffles for matching; marked positions and interval "
+    "arrays are ∝ contamination.  Oracle replays the policy "
+    "including the rebuilt text.",
+    tags=("decontam", "excision", "extension"),
+    extended=True,
+)
+def decontam_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.dedup import excise_contaminated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return excise_contaminated_spans(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        k=_DX_K,
+    )

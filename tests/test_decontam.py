@@ -61,3 +61,62 @@ def test_short_doc_shingle_edge(spark):
     bench = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
     out = decontaminate(corpus, bench, n=8).collect()
     assert out[0].contaminated
+
+
+# -- span-level decontamination (excision) -----------------------------------
+
+
+def test_excise_contaminated_spans_cuts_only_benchmark_overlap(spark):
+    from diabetes_etl_spark.operators.dedup import excise_contaminated_spans
+
+    leak = "q1 q2 q3 q4 q5 q6 q7 q8"
+    train = spark.createDataFrame(
+        [
+            (1, f"pre1 pre2 {leak} post1 post2"),
+            (2, "all clean tokens here nothing shared with eval set x y"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"eval intro {leak} eval outro")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in excise_contaminated_spans(train, bench, k=8).collect()
+    }
+    assert (out[1].n_spans_removed, out[1].n_tokens_removed) == (1, 8)
+    assert out[1].cleaned_text == "pre1 pre2 post1 post2"
+    assert out[2].n_spans_removed == 0
+    assert "clean" in out[2].cleaned_text
+
+
+def test_excise_contaminated_spans_long_leak_one_interval(spark):
+    """A 10-token leaked passage marks 3 overlapping 8-token positions
+    -> ONE merged 10-token excision."""
+    from diabetes_etl_spark.operators.dedup import excise_contaminated_spans
+
+    leak = "l1 l2 l3 l4 l5 l6 l7 l8 l9 l10"
+    train = spark.createDataFrame(
+        [(1, f"a b {leak} c d")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100, leak)], "doc_id long, text string"
+    )
+    row = excise_contaminated_spans(train, bench, k=8).collect()[0]
+    assert (row.n_spans_removed, row.n_tokens_removed) == (1, 10)
+    assert row.cleaned_text == "a b c d"
+
+
+def test_excise_contaminated_spans_no_false_positives(spark):
+    """Shared tokens below the k-gram threshold must NOT trigger cuts."""
+    from diabetes_etl_spark.operators.dedup import excise_contaminated_spans
+
+    train = spark.createDataFrame(
+        [(1, "q1 q2 q3 other stuff entirely different tail here now")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "q1 q2 q3 q4 q5 q6 q7 q8")], "doc_id long, text string"
+    )
+    row = excise_contaminated_spans(train, bench, k=8).collect()[0]
+    assert row.n_tokens_removed == 0

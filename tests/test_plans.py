@@ -431,3 +431,12 @@ def test_span_excision_windows_partition_by_doc_no_python(spark, sf_dir):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "doc_id" in line, line
+
+
+def test_decontam_span_excision_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark shingle-hash set must broadcast (the corpus never
+    shuffles for matching) and the policy stays JVM-side."""
+    plan = _plan(spark, sf_dir, "decontam_span_excision")
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
