@@ -587,3 +587,49 @@ def weighted_sample(
         )
         .alias("sample_rank"),
     )
+
+
+def quantile_threshold_filter(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    keep_frac: float,
+) -> DataFrame:
+    """CALIBRATED quality filtering: keep the top ``keep_frac`` of each
+    group by score — the threshold is DERIVED (per-group exact
+    ``percentile(score, 1 - keep_frac)``), not hand-picked, so "keep
+    the best 40% of every language" survives distribution shift
+    between languages/sources where one fixed cutoff (the
+    ``text_quality_filter`` pattern) over-prunes some groups and
+    under-prunes others.
+
+    Rows with score >= their group's threshold survive (ties at the
+    threshold all keep — retention can exceed keep_frac by the tie
+    mass; a rank-based variant would need a per-group sort for exact
+    counts).  NULL scores drop.
+
+    Determinism: scores should arrive pre-rounded (quality_score pins
+    6 decimals); the exact-percentile interpolation either lands ON a
+    data value (both engines equal) or strictly BETWEEN two adjacent
+    rounded values, where a last-ulp spread cannot flip any
+    ``score >= threshold`` comparison — so the SELECTION is
+    engine-portable even though the threshold itself is a float.
+
+    Scale shape (100 TB lens): Spark's exact ``percentile`` aggregates
+    a per-group value-count map (bounded by DISTINCT rounded scores —
+    10^6 cells at 6 decimals, not row count), so no per-group sort and
+    no corpus-wide window; the k-row threshold table broadcasts back
+    onto one filtering scan.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    thr = df.groupBy(group_col).agg(
+        F.percentile(F.col(score_col), F.lit(1.0 - keep_frac)).alias(
+            "group_threshold"
+        )
+    )
+    return (
+        df.filter(F.col(score_col).isNotNull())
+        .join(F.broadcast(thr), group_col)
+        .filter(F.col(score_col) >= F.col("group_threshold"))
+    )

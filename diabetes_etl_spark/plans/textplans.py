@@ -980,3 +980,63 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(20)
     )
+
+
+_QC_KEEP = 0.4
+
+_QCAL_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang, ROUND(
+      0.4 * least(len({_D_TOKENS}) / CAST(100 AS DOUBLE), 1.0)
+    + 0.3 * least({_D_STOPS["en"]} / CAST(10 AS DOUBLE), 1.0)
+    + 0.3 * (CAST(len(list_distinct({_D_TOKENS})) AS DOUBLE)
+             / len({_D_TOKENS})),
+    6) AS q
+  FROM documents
+),
+thr AS (
+  SELECT lang, quantile_cont(q, {1.0 - _QC_KEEP}) AS group_threshold
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.q,
+       ROUND(t.group_threshold, 6) AS group_threshold
+FROM scored s JOIN thr t ON s.lang = t.lang
+WHERE s.q >= t.group_threshold
+"""
+
+
+@register(
+    "text_quality_calibrated_filter",
+    oracle=_QCAL_ORACLE,
+    doc=f"CALIBRATED quality filtering (operators/sampling.py:"
+    f"quantile_threshold_filter): keep the top {_QC_KEEP:.0%} of EACH "
+    "language by the heuristic quality score — the per-group exact-"
+    "percentile threshold is derived in-plan and broadcast, so no "
+    "fixed cutoff over-prunes low-scoring languages (the calibration "
+    "step real corpus pipelines run before mixing).  Exact percentile "
+    "aggregates a bounded value-count map per group (distinct rounded "
+    "scores, not rows) — no per-group sort, no corpus window; the "
+    "k-row threshold table broadcasts onto one filtering scan.  "
+    "Thresholds land on or strictly between 6-decimal score values, "
+    "so the selection is engine-portable (threshold column rounded "
+    "for the output comparison only).",
+    tags=("text", "quality", "calibration", "extension"),
+    extended=True,
+)
+def text_quality_calibrated_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from diabetes_etl_spark.operators.sampling import (
+        quantile_threshold_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", TX.quality_score(F.col("text")).alias("q")
+    )
+    return quantile_threshold_filter(
+        scored, "q", "lang", _QC_KEEP
+    ).select(
+        "doc_id", "lang", "q",
+        F.round("group_threshold", 6).alias("group_threshold"),
+    )

@@ -440,3 +440,12 @@ def test_decontam_span_excision_broadcasts_benchmark(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_calibrated_thresholds_broadcast_no_window(spark, sf_dir):
+    """The per-group thresholds must broadcast back onto the scan —
+    no corpus-wide window/sort, no Python."""
+    plan = _plan(spark, sf_dir, "text_quality_calibrated_filter")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "Python" not in plan

@@ -574,3 +574,59 @@ def test_dsir_composes_with_weighted_sample(spark):
     # every selected doc is from the target-like half: their weights
     # dominate by construction (disjoint vocabularies)
     assert all(r.doc_id < 10 for r in picked.collect())
+
+
+# -- calibrated quantile-threshold filtering ---------------------------------
+
+
+def test_quantile_filter_calibrates_per_group(spark):
+    """Two groups with shifted score distributions must EACH retain
+    ~keep_frac — the property a fixed global threshold lacks."""
+    from diabetes_etl_spark.operators.sampling import (
+        quantile_threshold_filter,
+    )
+
+    rows = [(i, "hi", 0.8 + i / 1000.0) for i in range(100)] + [
+        (200 + i, "lo", 0.1 + i / 1000.0) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, s double")
+    kept = quantile_threshold_filter(df, "s", "grp", 0.4)
+    by_grp = {
+        r.grp: r.n
+        for r in kept.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    # exact percentile of 100 distinct values at q=0.6 -> 40 or 41 kept
+    assert 40 <= by_grp["hi"] <= 41
+    assert 40 <= by_grp["lo"] <= 41
+    # a fixed threshold at the hi-group's cut would keep ZERO lo rows
+    assert kept.filter("grp = 'lo'").count() > 0
+
+
+def test_quantile_filter_ties_all_keep_and_nulls_drop(spark):
+    from diabetes_etl_spark.operators.sampling import (
+        quantile_threshold_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "g", 0.5), (2, "g", 0.5), (3, "g", 0.5), (4, "g", 0.1),
+         (5, "g", None)],
+        "doc_id long, grp string, s double",
+    )
+    kept = quantile_threshold_filter(df, "s", "grp", 0.5)
+    ids = {r.doc_id for r in kept.collect()}
+    # threshold lands in the 0.5 tie mass -> all three keep; NULL drops
+    assert ids == {1, 2, 3}
+
+
+def test_quantile_filter_rejects_bad_frac(spark):
+    import pytest
+
+    from diabetes_etl_spark.operators.sampling import (
+        quantile_threshold_filter,
+    )
+
+    df = spark.createDataFrame([(1, "g", 0.5)], "doc_id long, grp string, s double")
+    with pytest.raises(ValueError, match="keep_frac"):
+        quantile_threshold_filter(df, "s", "grp", 0.0)
+    with pytest.raises(ValueError, match="keep_frac"):
+        quantile_threshold_filter(df, "s", "grp", 1.5)
