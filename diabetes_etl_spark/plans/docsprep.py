@@ -135,3 +135,164 @@ def docs_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# -- round-8 docs-prep pipeline v2: clean -> score -> select -----------------
+
+_V2_K = 8
+_V2_BLOCK = "slow"
+_V2_B = 64
+_V2_TOPK = 50
+
+_V2_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(
+           list_slice(t, i * {_V2_K} + 1, i * {_V2_K} + {_V2_K}), ' ')
+           AS line
+  FROM toks,
+       unnest(generate_series(0, (len(t) + {_V2_K - 1}) // {_V2_K} - 1))
+         AS u(i)
+),
+surv AS (
+  SELECT doc_id, idx, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+  FROM lines
+  WHERE NOT list_contains(string_split(line, ' '), '{_V2_BLOCK}')
+),
+kept AS (
+  SELECT doc_id,
+         string_agg(line, ' ' ORDER BY idx) AS ct,
+         count(*) AS n_kept
+  FROM surv WHERE rn = 1 GROUP BY doc_id
+),
+survd AS (
+  SELECT d.doc_id, d.lang, k.ct
+  FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+  WHERE k.n_kept >= 2
+),
+ctoks AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(ct), '\\s+') AS t
+  FROM survd
+),
+bk AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % {_V2_B} AS b
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i + 1])) AS g
+    FROM ctoks WHERE len(t) >= 2
+  )
+),
+cr AS (SELECT b, count(*) AS cr FROM bk GROUP BY b),
+tc AS (SELECT b, count(*) AS tc FROM bk WHERE lang = 'en' GROUP BY b),
+tot AS (
+  SELECT (SELECT count(*) FROM bk) AS nr,
+         (SELECT count(*) FROM bk WHERE lang = 'en') AS nt
+),
+llr AS (
+  SELECT s.b,
+         round(ln(CAST((coalesce(tc.tc, 0) + 1) * (tot.nr + {_V2_B})
+                       AS DOUBLE)
+                  / CAST((coalesce(cr.cr, 0) + 1) * (tot.nt + {_V2_B})
+                         AS DOUBLE)), 9) AS llr
+  FROM (SELECT unnest(generate_series(0, {_V2_B - 1})) AS b) s
+  LEFT JOIN tc ON s.b = tc.b
+  LEFT JOIN cr ON s.b = cr.b
+  CROSS JOIN tot
+),
+scored AS (
+  SELECT bk.doc_id,
+         CAST(SUM(CAST(llr.llr AS DECIMAL(38,12))) AS DOUBLE) AS lw
+  FROM bk JOIN llr ON bk.b = llr.b
+  GROUP BY bk.doc_id
+),
+enr AS (
+  SELECT s.doc_id, c.lang, len(c.t) AS n_tokens_kept, s.lw
+  FROM scored s JOIN ctoks c ON s.doc_id = c.doc_id
+),
+sel AS (SELECT doc_id FROM enr ORDER BY lw DESC, doc_id LIMIT {_V2_TOPK})
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(SUM(n_tokens_kept) AS BIGINT) AS total_tokens_kept,
+       CAST(SUM(CAST(lw AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+         AS avg_log_weight,
+       CAST(SUM(CASE WHEN enr.doc_id IN (SELECT doc_id FROM sel)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+FROM enr
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "docs_prep_pipeline_v2",
+    oracle=_V2_ORACLE,
+    doc="Round-8 docs-prep pipeline: C4-style line cleaning with "
+    "reconstruction (rule drop + corpus-wide first-occurrence line "
+    "dedup) -> survivors with >= 2 kept lines -> DSIR hashed-bigram "
+    "LLR scoring of the CLEANED text against the lang='en' target -> "
+    f"deterministic global top-{_V2_TOPK} selection (log_weight desc, "
+    "doc_id tiebreak) -> per-language budget (docs, kept tokens, "
+    "decimal-pinned mean log-weight, selected count).  Every stage is "
+    "an individually-gated round-8 operator; the oracle replays the "
+    "ENTIRE chain, cleaned text through selection, in SQL.  Scale "
+    "shape inherits the stages': line dedup shuffles hashes not text, "
+    "the DSIR bucket models are B-row aggregates, selection is a "
+    "TakeOrderedAndProject top-k — no corpus-wide sort.",
+    tags=("dedup", "dsir", "pipeline", "extension"),
+    extended=True,
+)
+def docs_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.functions.numeric import dec_sum
+    from diabetes_etl_spark.operators.dedup import remove_duplicate_lines
+    from diabetes_etl_spark.operators.sampling import dsir_llr_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    c4 = remove_duplicate_lines(
+        docs, line_tokens=_V2_K, blocklist=(_V2_BLOCK,)
+    )
+    survd = (
+        c4.filter(F.col("n_kept") >= 2)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "cleaned_text")
+    )
+    scored = dsir_llr_scores(
+        survd,
+        survd.filter(F.col("lang") == "en"),
+        text_col="cleaned_text",
+        n_buckets=_V2_B,
+    )
+    enr = scored.join(survd, "doc_id").select(
+        "doc_id",
+        "lang",
+        TX.token_count(F.col("cleaned_text")).cast("long").alias(
+            "n_tokens_kept"
+        ),
+        F.col("log_weight").alias("lw"),
+    )
+    sel = (
+        enr.orderBy(F.desc("lw"), F.asc("doc_id"))
+        .limit(_V2_TOPK)
+        .select("doc_id", F.lit(1).alias("__sel"))
+    )
+    return (
+        enr.join(sel, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens_kept").alias("total_tokens_kept"),
+            (dec_sum(F.col("lw"), 12, 38) / F.count("*")).alias(
+                "avg_log_weight"
+            ),
+            F.sum(F.coalesce(F.col("__sel"), F.lit(0)))
+            .cast("long")
+            .alias("n_selected"),
+        )
+        .orderBy("lang")
+    )

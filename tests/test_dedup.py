@@ -954,3 +954,27 @@ def test_span_excision_partition_invariant(spark):
         map(tuple, remove_duplicate_spans(docs.repartition(7)).collect())
     )
     assert a == b
+
+
+# -- docs-prep pipeline v2 ---------------------------------------------------
+
+
+def test_docs_prep_v2_selection_budget_and_en_bias(spark, sf_dir):
+    """The composite must select exactly TOPK docs globally, and the
+    en-targeted DSIR stage must tilt selection toward English."""
+    from diabetes_etl_spark.plans.registry import all_queries
+
+    q = all_queries(include_extended=True)["docs_prep_pipeline_v2"]
+    rows = {r.lang: r for r in q.fn(spark, sf_dir).collect()}
+    assert sum(r.n_selected for r in rows.values()) == 50
+    n_langs = len(rows)
+    assert n_langs >= 2
+    # the en row exists and wins a disproportionate share
+    en = rows["en"]
+    others = [r for lg, r in rows.items() if lg != "en"]
+    en_rate = en.n_selected / en.n_docs
+    other_rate = sum(r.n_selected for r in others) / max(
+        1, sum(r.n_docs for r in others)
+    )
+    assert en_rate > other_rate
+    assert en.avg_log_weight > max(r.avg_log_weight for r in others)

@@ -449,3 +449,12 @@ def test_quality_calibrated_thresholds_broadcast_no_window(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert "Python" not in plan
+
+
+def test_docs_prep_v2_topk_heap_no_cartesian_no_python(spark, sf_dir):
+    """The selection must be a heap top-k (TakeOrderedAndProject), the
+    chain JVM-side, and nothing falls back to a cartesian product."""
+    plan = _plan(spark, sf_dir, "docs_prep_pipeline_v2")
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
