@@ -475,3 +475,55 @@ register(
     tags=("agg", "histogram", "profile", "extension"),
     extended=True,
 )(_sql_query(_HIST_SQL, ("orders",)))
+
+
+# -- explicit Bloom semi-join reduction --------------------------------------
+
+_BJ_ORACLE = f"""
+SELECT c.c_nationkey AS nationkey,
+       count(*) AS n_orders,
+       {sql_dec_sum('o.o_totalprice', 2)} AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY c.c_nationkey
+ORDER BY nationkey
+"""
+
+
+@register(
+    "join_bloom_reduced",
+    oracle=_BJ_ORACLE,
+    doc="Explicit portable Bloom semi-join reduction "
+    "(operators/joins.py:bloom_reduced_join): BUILDING-segment "
+    "customer keys fold into a 16384-bit Bloom whose bit table becomes "
+    "a LITERAL bitmask filter in the orders scan — ~80% of fact rows "
+    "die in codegen BEFORE the join exchange; Bloom false positives "
+    "are removed by the exact join, so the result is bit-identical to "
+    "the plain join the oracle runs.  The guaranteed-portable "
+    "complement of Spark's adaptive runtime bloomFilter injection "
+    "(which tests/test_plans.py asserts separately): the reduction "
+    "applies regardless of optimizer thresholds and replays "
+    "identically in any engine with 64-bit integers.",
+    tags=("join", "bloom", "runtime-filter", "extension"),
+    extended=True,
+)
+def join_bloom_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.functions.numeric import dec_sum
+    from diabetes_etl_spark.operators.joins import bloom_reduced_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_nationkey")
+    )
+    joined = bloom_reduced_join(orders, dim, "o_custkey", "c_custkey")
+    return (
+        joined.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("nationkey")
+    )

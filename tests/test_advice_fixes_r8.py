@@ -189,3 +189,49 @@ def test_custkey_node_guard_fails_loudly_on_overlap(spark):
         bad.select(
             _custkey_node(F.col("custkey"), F.col("suppkey")).alias("dst")
         ).collect()
+
+
+# -- explicit Bloom semi-join reduction --------------------------------------
+
+
+def test_bloom_reduced_join_equals_plain_join(spark):
+    from diabetes_etl_spark.operators.joins import bloom_reduced_join
+
+    fact = spark.createDataFrame(
+        [(i, i % 20) for i in range(500)], "row_id long, fk long"
+    )
+    dim = spark.createDataFrame(
+        [(3, "a"), (7, "b"), (11, "c")], "pk long, tag string"
+    )
+    got = sorted(
+        map(
+            tuple,
+            bloom_reduced_join(fact, dim, "fk", "pk")
+            .select("row_id", "fk", "pk", "tag")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            fact.join(dim, fact.fk == dim.pk)
+            .select("row_id", "fk", "pk", "tag")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) == 75
+
+
+def test_bloom_reduced_join_saturated_filter_still_exact(spark):
+    """An undersized (saturated) Bloom must cost only pruning power,
+    never correctness."""
+    from diabetes_etl_spark.operators.joins import bloom_reduced_join
+
+    fact = spark.createDataFrame(
+        [(i, i) for i in range(200)], "row_id long, fk long"
+    )
+    dim = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(0, 200, 2)], "pk long, tag string"
+    )
+    got = bloom_reduced_join(fact, dim, "fk", "pk", m=64, k=3)
+    assert got.count() == 100

