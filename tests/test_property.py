@@ -357,3 +357,136 @@ def test_prefix_jaccard_random_corpora_lossless(spark, docs, threshold):
                 if inter >= threshold * union:
                     want[(a, b)] = (inter, union)
     assert got == want
+
+
+# -- span excision vs pure-Python reference ---------------------------------
+
+_span_corpus = st.lists(
+    st.lists(st.integers(0, 5), min_size=0, max_size=14),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _ref_span_excision(token_docs, k):
+    """Pure-Python replay of remove_duplicate_spans' policy."""
+    sh = []  # (doc, start, shingle)
+    for d, toks in enumerate(token_docs):
+        for i in range(len(toks) - k + 1):
+            sh.append((d, i, tuple(toks[i : i + k])))
+    by_sh = {}
+    for d, i, s in sh:
+        by_sh.setdefault(s, []).append((d, i))
+    marked = set()
+    for s, occ in by_sh.items():
+        if len({d for d, _ in occ}) >= 2:
+            keeper = min(occ)
+            marked |= {o for o in occ if o != keeper}
+    out = []
+    for d, toks in enumerate(token_docs):
+        starts = sorted(i for dd, i in marked if dd == d)
+        # merge overlapping/touching [i, i+k)
+        ivs = []
+        for i in starts:
+            if ivs and i <= ivs[-1][1]:
+                ivs[-1][1] = max(ivs[-1][1], i + k)
+            else:
+                ivs.append([i, i + k])
+        cut = set()
+        for s, e in ivs:
+            cut |= set(range(s, e))
+        kept = [t for j, t in enumerate(toks) if j not in cut]
+        out.append(
+            (d, len(toks), len(ivs), sum(e - s for s, e in ivs),
+             " ".join(kept))
+        )
+    return out
+
+
+@SLOW
+@given(_span_corpus, st.integers(2, 3))
+def test_span_excision_matches_reference(spark, token_docs, k):
+    from diabetes_etl_spark.operators.dedup import remove_duplicate_spans
+
+    rows = [
+        (d, " ".join(f"w{t}" for t in toks))
+        for d, toks in enumerate(token_docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        map(tuple, remove_duplicate_spans(df, k=k).collect())
+    )
+    want = sorted(
+        _ref_span_excision(
+            [[f"w{t}" for t in toks] for toks in token_docs], k
+        )
+    )
+    # empty docs tokenize to [''] in Spark's split(trim) — mirror that
+    want = [
+        (d, max(n, 1), s, c, t) if n == 0 else (d, n, s, c, t)
+        for d, n, s, c, t in want
+    ]
+    assert got == want
+
+
+# -- C4 line dedup vs pure-Python reference ---------------------------------
+
+
+def _ref_line_clean(token_docs, k, block):
+    out = []
+    lines_all = []  # (doc, idx, line_tuple)
+    for d, toks in enumerate(token_docs):
+        n = (len(toks) + k - 1) // k
+        for i in range(n):
+            lines_all.append((d, i, tuple(toks[i * k : i * k + k])))
+    first = {}
+    for d, i, ln in lines_all:
+        if block in ln:
+            continue
+        first.setdefault(ln, (d, i))
+    for d, toks in enumerate(token_docs):
+        n = (len(toks) + k - 1) // k
+        kept, n_rule, n_dup = [], 0, 0
+        for i in range(n):
+            ln = tuple(toks[i * k : i * k + k])
+            if block in ln:
+                n_rule += 1
+            elif first[ln] != (d, i):
+                n_dup += 1
+            else:
+                kept.extend(ln)
+        out.append((d, n, n_rule, n_dup, n - n_rule - n_dup, " ".join(kept)))
+    return out
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(st.integers(0, 4), min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(2, 4),
+)
+def test_c4_line_clean_matches_reference(spark, token_docs, k):
+    from diabetes_etl_spark.operators.dedup import remove_duplicate_lines
+
+    rows = [
+        (d, " ".join(f"w{t}" for t in toks))
+        for d, toks in enumerate(token_docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        map(
+            tuple,
+            remove_duplicate_lines(
+                df, line_tokens=k, blocklist=("w0",)
+            ).collect(),
+        )
+    )
+    want = sorted(
+        _ref_line_clean(
+            [[f"w{t}" for t in toks] for toks in token_docs], k, "w0"
+        )
+    )
+    assert got == want
