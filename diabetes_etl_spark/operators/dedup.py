@@ -874,33 +874,10 @@ def remove_duplicate_lines(
     cleaned_text); empty cleaned docs yield ``cleaned_text = ''``.
     """
     k = int(line_tokens)
-    toks = tokens(F.col(text_col))
-    lines_arr = F.transform(
-        F.sequence(F.lit(0), F.expr(
-            f"(size(split(trim({text_col}), '\\\\s+')) + {k - 1}) div {k}"
-        ) - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
-    )
-    if blocklist:
-        bad_tokens = F.array(*[F.lit(b) for b in blocklist])
-
-        def rule_bad(line: Column) -> Column:
-            return F.arrays_overlap(F.split(line, " "), bad_tokens)
-    else:
-        def rule_bad(line: Column) -> Column:
-            return F.lit(False)
-
     base = widen(df).select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col)
     )
-    keyed = base.select(
-        "doc_id", F.posexplode(lines_arr).alias("idx", "__line")
-    ).select(
-        "doc_id",
-        "idx",
-        F.substring(F.md5("__line"), 1, 16).alias("h"),
-        rule_bad(F.col("__line")).alias("bad"),
-    )
+    keyed = _c4_keyed_lines(base, text_col, k, blocklist)
     surv = keyed.filter(~F.col("bad")).select("doc_id", "idx", "h")
     keeper = surv.groupBy("h").agg(
         F.min(F.struct("doc_id", "idx")).alias("keep")
@@ -914,6 +891,56 @@ def remove_duplicate_lines(
         .groupBy("doc_id")
         .agg(F.collect_set("idx").alias("__dup_idx"))
     )
+    return _c4_rebuild(base, dup_sets, text_col, k, blocklist)
+
+
+def _c4_lines_arr(text_col: str, k: int):
+    """Array of k-token line strings for a text column — shared by the
+    keying pass and the rebuild pass (recompute beats shuffling)."""
+    toks = tokens(F.col(text_col))
+    return F.transform(
+        F.sequence(F.lit(0), F.expr(
+            f"(size(split(trim({text_col}), '\\\\s+')) + {k - 1}) div {k}"
+        ) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+    )
+
+
+def _c4_rule_bad(blocklist: tuple[str, ...]) -> Callable[[Column], Column]:
+    if not blocklist:
+        return lambda line: F.lit(False)
+    bad_tokens = F.array(*[F.lit(b) for b in blocklist])
+    return lambda line: F.arrays_overlap(F.split(line, " "), bad_tokens)
+
+
+def _c4_keyed_lines(
+    base: DataFrame, text_col: str, k: int, blocklist: tuple[str, ...]
+) -> DataFrame:
+    """(doc_id, idx, h, bad): every line position with its 16-hex md5
+    prefix and rule verdict — line text never leaves the projection."""
+    rule_bad = _c4_rule_bad(blocklist)
+    return base.select(
+        "doc_id", F.posexplode(_c4_lines_arr(text_col, k)).alias("idx", "__line")
+    ).select(
+        "doc_id",
+        "idx",
+        F.substring(F.md5("__line"), 1, 16).alias("h"),
+        rule_bad(F.col("__line")).alias("bad"),
+    )
+
+
+def _c4_rebuild(
+    base: DataFrame,
+    dup_sets: DataFrame,
+    text_col: str,
+    k: int,
+    blocklist: tuple[str, ...],
+) -> DataFrame:
+    """Reconstruction pass shared by the one-shot and incremental
+    cleaners: attach per-doc dup-index arrays, re-derive the line
+    array narrowly, drop rule-bad and dup positions, re-emit."""
+    rule_bad = _c4_rule_bad(blocklist)
+    lines_arr = _c4_lines_arr(text_col, k)
     rebuilt = base.join(dup_sets, "doc_id", "left")
     dup_idx = F.coalesce(
         F.col("__dup_idx"), F.array().cast("array<int>")
@@ -1115,3 +1142,91 @@ def excise_contaminated_spans(
         .select("doc_id", "start")
     )
     return _excise_marked(base, marked, text_col, kk)
+
+
+def line_hash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = 8,
+    blocklist: tuple[str, ...] = (),
+) -> DataFrame:
+    """The PERSISTABLE state of continuous C4 line dedup: the distinct
+    16-hex md5 prefixes of every rule-surviving line the corpus has
+    emitted so far — one short row per distinct line ever seen, no
+    text, no positions (the keeper identity is irrelevant to future
+    batches: any history hit means "not first").  Build it once over
+    the backfill, then fold each batch's ``new_line_hashes`` in
+    (append + distinct, or a versioned-table MERGE on ``h``).
+
+    Must be built with the same (line_tokens, blocklist) the
+    incremental cleaner uses — that pair is the index version (a
+    different splitter or rule set indexes different lines).
+    """
+    base = widen(df).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col)
+    )
+    keyed = _c4_keyed_lines(base, text_col, int(line_tokens), blocklist)
+    return keyed.filter(~F.col("bad")).select("h").distinct()
+
+
+def remove_duplicate_lines_incremental(
+    index_hashes: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = 8,
+    blocklist: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """Continuous-ingest C4 line cleaning: deduplicate a NEW batch
+    against the accumulated corpus through its
+    :func:`line_hash_index` — historical text is never re-read, and
+    per-batch cost is ∝ batch (+ one equi-join against the hash
+    index, at most ONE index row per distinct line, so no bucket
+    skew is possible by construction).
+
+    Exactness contract (the continuous-dedup-loop discipline): if
+    batches arrive in ascending id ranges and each batch's
+    ``new_line_hashes`` is folded into the index before the next
+    batch, the concatenated incremental outputs EQUAL the one-shot
+    :func:`remove_duplicate_lines` over the full corpus — a line
+    present in history always beats any batch occurrence (history ids
+    are smaller), and within the batch the min-(doc_id, idx) keeper
+    election is the one-shot election restricted to new lines.
+
+    Returns ``(cleaned, new_line_hashes)``:
+
+    - ``cleaned``: the batch in :func:`remove_duplicate_lines`'s
+      output schema (n_lines, n_rule_dropped, n_dup_dropped, n_kept,
+      cleaned_text);
+    - ``new_line_hashes`` (h): this batch's keeper hashes absent from
+      the index — the state delta to fold in.
+    """
+    k = int(line_tokens)
+    base = widen(batch).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col)
+    )
+    idx = index_hashes.select("h").distinct()
+    keyed = _c4_keyed_lines(base, text_col, k, blocklist)
+    surv = keyed.filter(~F.col("bad")).select("doc_id", "idx", "h")
+    hist_hit = surv.join(idx, "h", "semi").select("doc_id", "idx")
+    fresh = surv.join(idx, "h", "anti")
+    keeper = fresh.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("keep")
+    )
+    batch_dup = (
+        fresh.join(keeper, "h")
+        .filter(
+            (F.col("doc_id") != F.col("keep.doc_id"))
+            | (F.col("idx") != F.col("keep.idx"))
+        )
+        .select("doc_id", "idx")
+    )
+    dup_sets = (
+        hist_hit.unionByName(batch_dup)
+        .groupBy("doc_id")
+        .agg(F.collect_set("idx").alias("__dup_idx"))
+    )
+    cleaned = _c4_rebuild(base, dup_sets, text_col, k, blocklist)
+    new_hashes = keeper.select("h")
+    return cleaned, new_hashes

@@ -1025,3 +1025,99 @@ def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return remove_duplicate_spans(docs, k=_SP_K)
+
+
+# -- incremental C4 line dedup against a persisted hash index ----------------
+
+_C4I_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(
+           list_slice(t, i * {_C4_K} + 1, i * {_C4_K} + {_C4_K}), ' ')
+           AS line
+  FROM toks,
+       unnest(generate_series(0, (len(t) + {_C4_K - 1}) // {_C4_K} - 1))
+         AS u(i)
+),
+flags AS (
+  SELECT doc_id, idx, line,
+         list_contains(string_split(line, ' '), '{_C4_BLOCK}') AS bad
+  FROM lines
+),
+surv AS (
+  SELECT doc_id, idx, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+  FROM flags WHERE NOT bad
+),
+per_doc AS (
+  SELECT f.doc_id,
+         count(*) AS n_lines,
+         CAST(sum(CASE WHEN f.bad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rule_dropped
+  FROM flags f GROUP BY f.doc_id
+),
+dups AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_dropped
+  FROM surv WHERE rn > 1 GROUP BY doc_id
+),
+kept AS (
+  SELECT doc_id,
+         string_agg(line, ' ' ORDER BY idx) AS cleaned_text
+  FROM surv WHERE rn = 1 GROUP BY doc_id
+)
+SELECT p.doc_id,
+       p.n_lines,
+       p.n_rule_dropped,
+       coalesce(d.n_dup_dropped, 0) AS n_dup_dropped,
+       p.n_lines - p.n_rule_dropped - coalesce(d.n_dup_dropped, 0)
+         AS n_kept,
+       coalesce(k.cleaned_text, '') AS cleaned_text
+FROM per_doc p
+LEFT JOIN dups d ON p.doc_id = d.doc_id
+LEFT JOIN kept k ON p.doc_id = k.doc_id
+WHERE p.doc_id * 2 > (SELECT max(doc_id) FROM documents)
+"""
+
+
+@register(
+    "dedup_c4_incremental",
+    oracle=_C4I_ORACLE,
+    doc="CONTINUOUS-ingest C4 line cleaning (operators/dedup.py:"
+    "remove_duplicate_lines_incremental): the lower-id half of the "
+    "corpus plays the accumulated history — only its "
+    "line_hash_index (one short hash row per distinct "
+    "rule-surviving line, no text, no positions) persists — and the "
+    "upper-id half arrives as a batch cleaned against that index.  "
+    "Per-batch cost is ∝ batch plus one equi-join against the index "
+    "(at most ONE index row per distinct line, so no bucket skew is "
+    "possible by construction), and historical text is never "
+    "re-read.  The oracle is the ONE-SHOT cleaner over the full "
+    "corpus restricted to batch docs — the incremental path must "
+    "reproduce it exactly, which IS the exactness contract.",
+    tags=("dedup", "c4", "incremental", "extension"),
+    extended=True,
+)
+def dedup_c4_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.dedup import (
+        line_hash_index,
+        remove_duplicate_lines_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("__mx"))
+    with_mx = docs.crossJoin(F.broadcast(mx))
+    history = with_mx.filter(F.col("doc_id") * 2 <= F.col("__mx")).drop(
+        "__mx"
+    )
+    batch = with_mx.filter(F.col("doc_id") * 2 > F.col("__mx")).drop("__mx")
+    idx = line_hash_index(
+        history, line_tokens=_C4_K, blocklist=(_C4_BLOCK,)
+    )
+    cleaned, _ = remove_duplicate_lines_incremental(
+        idx, batch, line_tokens=_C4_K, blocklist=(_C4_BLOCK,)
+    )
+    return cleaned

@@ -978,3 +978,84 @@ def test_docs_prep_v2_selection_budget_and_en_bias(spark, sf_dir):
     )
     assert en_rate > other_rate
     assert en.avg_log_weight > max(r.avg_log_weight for r in others)
+
+
+# -- incremental C4 line dedup -----------------------------------------------
+
+
+def test_c4_incremental_matches_one_shot_across_batches(spark, tmp_path):
+    """Three ascending-id batches against a persisted hash index must
+    reproduce the one-shot cleaner exactly (the continuous-dedup-loop
+    contract), including the persisted round trip."""
+    from diabetes_etl_spark.operators.dedup import (
+        line_hash_index,
+        remove_duplicate_lines,
+        remove_duplicate_lines_incremental,
+    )
+
+    rows = [
+        (1, "a b c d e f g h x1 x2 x3 x4 x5 x6 x7 x8"),
+        (2, "a b c d e f g h slow y2 y3 y4 y5 y6 y7 y8"),
+        (3, "unique u2 u3 u4 u5 u6 u7 u8 tail"),
+        (4, "a b c d e f g h n1 n2 n3 n4 n5 n6 n7 n8"),
+        (5, "x1 x2 x3 x4 x5 x6 x7 x8 fresh1 fresh2"),
+        (6, "n1 n2 n3 n4 n5 n6 n7 n8 end"),
+    ]
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(
+        map(
+            tuple,
+            remove_duplicate_lines(full, blocklist=("slow",)).collect(),
+        )
+    )
+
+    batches = [rows[:2], rows[2:4], rows[4:]]
+    idx_path = str(tmp_path / "line_hashes")
+    first = spark.createDataFrame(batches[0], "doc_id long, text string")
+    line_hash_index(first, blocklist=("slow",)).write.mode(
+        "overwrite"
+    ).parquet(idx_path)
+    got = sorted(
+        map(
+            tuple,
+            remove_duplicate_lines(first, blocklist=("slow",)).collect(),
+        )
+    )
+    for b in batches[1:]:
+        bdf = spark.createDataFrame(b, "doc_id long, text string")
+        idx = spark.read.parquet(idx_path)
+        cleaned, new_h = remove_duplicate_lines_incremental(
+            idx, bdf, blocklist=("slow",)
+        )
+        got += sorted(map(tuple, cleaned.collect()))
+        idx.unionByName(new_h).distinct().write.mode(
+            "overwrite"
+        ).parquet(idx_path + "_next")
+        spark.read.parquet(idx_path + "_next").write.mode(
+            "overwrite"
+        ).parquet(idx_path)
+    assert sorted(got) == want
+
+
+def test_c4_incremental_batch_internal_dups_still_elected(spark):
+    """A line appearing twice inside ONE batch (and never in history)
+    must keep its first batch occurrence only."""
+    from diabetes_etl_spark.operators.dedup import (
+        remove_duplicate_lines_incremental,
+    )
+
+    index = spark.createDataFrame([], "h string")
+    batch = spark.createDataFrame(
+        [
+            (10, "p q r s t u v w tail1"),
+            (11, "p q r s t u v w tail2"),
+        ],
+        "doc_id long, text string",
+    )
+    cleaned, new_h = remove_duplicate_lines_incremental(index, batch)
+    out = {r.doc_id: r for r in cleaned.collect()}
+    assert out[10].n_dup_dropped == 0
+    assert out[11].n_dup_dropped == 1
+    assert "p q r s t u v w" not in out[11].cleaned_text
+    # the keeper hashes (both docs' distinct kept lines) are the delta
+    assert new_h.count() == 3
