@@ -935,10 +935,15 @@ def _c4_rebuild(
     text_col: str,
     k: int,
     blocklist: tuple[str, ...],
+    with_kept_hashes: bool = False,
 ) -> DataFrame:
     """Reconstruction pass shared by the one-shot and incremental
     cleaners: attach per-doc dup-index arrays, re-derive the line
-    array narrowly, drop rule-bad and dup positions, re-emit."""
+    array narrowly, drop rule-bad and dup positions, re-emit.
+    ``with_kept_hashes`` appends the kept lines' 16-hex md5 prefixes
+    (``kept_line_hashes``) so a stored cleaned corpus can REBUILD the
+    line-hash index from its own rows — what makes the index a
+    self-healing cache in streaming/changefeed.py:sync_line_index."""
     rule_bad = _c4_rule_bad(blocklist)
     lines_arr = _c4_lines_arr(text_col, k)
     rebuilt = base.join(dup_sets, "doc_id", "left")
@@ -954,14 +959,21 @@ def _c4_rebuild(
     ).cast("long")
     n_rule = F.size(F.filter(lines_arr, rule_bad)).cast("long")
     n_dup = F.size(dup_idx).cast("long")
-    return rebuilt.select(
-        "doc_id",
+    cols = [
+        F.col("doc_id"),
         n_total.alias("n_lines"),
         n_rule.alias("n_rule_dropped"),
         n_dup.alias("n_dup_dropped"),
         (n_total - n_rule - n_dup).alias("n_kept"),
         F.concat_ws(" ", kept_arr).alias("cleaned_text"),
-    )
+    ]
+    if with_kept_hashes:
+        cols.append(
+            F.transform(
+                kept_arr, lambda x: F.substring(F.md5(x), 1, 16)
+            ).alias("kept_line_hashes")
+        )
+    return rebuilt.select(*cols)
 
 
 def remove_duplicate_spans(
@@ -1177,6 +1189,7 @@ def remove_duplicate_lines_incremental(
     text_col: str = "text",
     line_tokens: int = 8,
     blocklist: tuple[str, ...] = (),
+    with_kept_hashes: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Continuous-ingest C4 line cleaning: deduplicate a NEW batch
     against the accumulated corpus through its
@@ -1227,6 +1240,9 @@ def remove_duplicate_lines_incremental(
         .groupBy("doc_id")
         .agg(F.collect_set("idx").alias("__dup_idx"))
     )
-    cleaned = _c4_rebuild(base, dup_sets, text_col, k, blocklist)
+    cleaned = _c4_rebuild(
+        base, dup_sets, text_col, k, blocklist,
+        with_kept_hashes=with_kept_hashes,
+    )
     new_hashes = keeper.select("h")
     return cleaned, new_hashes

@@ -344,3 +344,131 @@ def maintain_join_view_from_feeds(
             app_txn=(fact_app, new_fact_cur),
         )
     return out
+
+
+def sync_line_index(
+    clean: VersionedTable,
+    index: VersionedTable,
+    app_id: str = "clean-corpus",
+) -> int | None:
+    """Catch the C4 line-hash index up to the cleaned-corpus table by
+    consuming CLEAN's change feed: the stored ``kept_line_hashes``
+    arrays (operators/dedup.py:_c4_rebuild with_kept_hashes) explode
+    into the distinct new hashes, which MERGE into the index under the
+    feed cursor.  Because the index derives entirely from clean's own
+    rows, it is a REBUILDABLE CACHE with a single source of truth — a
+    crash between a clean commit and this sync self-heals on the next
+    call, which is what lets :func:`maintain_clean_corpus` keep two
+    stores consistent without a cross-table transaction.
+
+    Per-call cost ∝ clean's churn since the cursor (the change feed
+    reads only differing files); the merge rewrites only index files
+    whose hash envelope overlaps the new hashes.
+    """
+    cursor = index.last_app_version(app_id)
+    latest, doc = clean._latest()
+    if doc is None:
+        return None
+    if cursor is None:
+        hashes = (
+            clean.read(version_as_of=latest)
+            .select(F.explode("kept_line_hashes").alias("h"))
+            .distinct()
+        )
+        return index.overwrite(hashes, app_txn=(app_id, latest))
+    changes, new_cursor = changes_since(clean, cursor, latest)
+    if changes is None:
+        return None
+    if changes.filter(F.col("_change_type") == "delete").limit(1).count():
+        raise ValueError(
+            "sync_line_index: the cleaned corpus is append-only by "
+            "contract — a delete in its change feed means the index "
+            "derivation is no longer valid (removed lines cannot be "
+            "un-kept); rebuild the index from a full snapshot instead"
+        )
+    hashes = changes.select(
+        F.explode("kept_line_hashes").alias("h")
+    ).distinct()
+    return index.merge(hashes, "h", app_txn=(app_id, new_cursor))
+
+
+def maintain_clean_corpus(
+    raw: VersionedTable,
+    clean: VersionedTable,
+    index: VersionedTable,
+    line_tokens: int = 8,
+    blocklist: tuple[str, ...] = (),
+    app_id: str = "clean-corpus",
+) -> int | None:
+    """CONTINUOUS C4 corpus cleaning, exactly once: consume the raw
+    document table's change feed, clean each batch against the
+    accumulated line-hash index
+    (operators/dedup.py:remove_duplicate_lines_incremental), append
+    the cleaned rows (+ their kept-line hashes) to ``clean``, and fold
+    the new hashes into ``index`` — the end-to-end loop a training-
+    corpus pipeline runs on every ingest tick, composed entirely from
+    the individually-tested pieces.
+
+    Consistency design: ``clean`` carries the raw-feed cursor in its
+    own commits (``app_txn`` — the Delta txn idempotence handshake),
+    and ``index`` is a rebuildable cache of ``clean`` synced through
+    clean's OWN change feed (:func:`sync_line_index`, cursor in the
+    index's commits).  Every call starts with a sync, so a crash at
+    ANY point — after the clean append, before the index merge, mid
+    anything — leaves state the next call repairs before cleaning new
+    data.  No cross-table transaction is needed because each store's
+    cursor rides inside its own atomic commit.
+
+    Contract: ``raw`` is append-only (a delete in its feed raises —
+    retroactive un-ingest needs a rebuild, not silent divergence);
+    ascending ingest order makes the incremental outputs equal the
+    one-shot cleaner over the accumulated corpus (the
+    remove_duplicate_lines_incremental exactness contract, pinned by
+    tests/test_maint_r8.py against the one-shot on every batch).
+
+    Returns the clean-table version committed, or None when there was
+    nothing to consume.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from diabetes_etl_spark.operators.dedup import (
+        remove_duplicate_lines_incremental,
+    )
+
+    sync_line_index(clean, index, app_id)
+    cursor = clean.last_app_version(app_id)
+    latest, doc = raw._latest()
+    if doc is None:
+        return None
+    if cursor is None:
+        batch = raw.read(version_as_of=latest)
+        new_cursor = latest
+    else:
+        changes, new_cursor = changes_since(raw, cursor, latest)
+        if changes is None:
+            return None
+        if changes.filter(
+            F.col("_change_type") == "delete"
+        ).limit(1).count():
+            raise ValueError(
+                "maintain_clean_corpus: raw corpus is append-only by "
+                "contract — a delete would retroactively change which "
+                "lines were 'first'; rebuild the pipeline instead"
+            )
+        batch = changes.drop("_change_type", "_commit_version")
+    try:
+        idx_df = index.read().select("h")
+    except ValueError:
+        idx_df = raw.spark.createDataFrame(
+            [], StructType([StructField("h", StringType())])
+        )
+    cleaned, _ = remove_duplicate_lines_incremental(
+        idx_df,
+        batch,
+        line_tokens=line_tokens,
+        blocklist=blocklist,
+        with_kept_hashes=True,
+    )
+    v = clean.append(cleaned, app_txn=(app_id, new_cursor))
+    sync_line_index(clean, index, app_id)
+    return v

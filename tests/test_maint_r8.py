@@ -679,3 +679,125 @@ def test_minmax_null_values_dropped_not_confused_with_state(spark, tmp_path):
         ["g"], "v", "op", k=4,
     )
     assert store.read().first().group_max == 7.0
+
+
+# -- continuous clean-corpus loop --------------------------------------------
+
+
+def _raw_batches():
+    return [
+        [
+            (1, "a b c d e f g h x1 x2 x3 x4 x5 x6 x7 x8"),
+            (2, "a b c d e f g h slow y2 y3 y4 y5 y6 y7 y8"),
+        ],
+        [
+            (3, "unique u2 u3 u4 u5 u6 u7 u8 tail"),
+            (4, "a b c d e f g h n1 n2 n3 n4 n5 n6 n7 n8"),
+        ],
+        [
+            (5, "x1 x2 x3 x4 x5 x6 x7 x8 fresh1 fresh2"),
+            (6, "n1 n2 n3 n4 n5 n6 n7 n8 end"),
+        ],
+    ]
+
+
+def _clean_tables(spark, tmp_path, sub):
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+
+    raw = VersionedTable(spark, str(tmp_path / f"{sub}_raw"),
+                         stats_cols=("doc_id",))
+    clean = VersionedTable(spark, str(tmp_path / f"{sub}_clean"),
+                           stats_cols=("doc_id",))
+    index = VersionedTable(spark, str(tmp_path / f"{sub}_idx"),
+                           stats_cols=("h",))
+    return raw, clean, index
+
+
+def _one_shot(spark, rows):
+    from diabetes_etl_spark.operators.dedup import remove_duplicate_lines
+
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    return sorted(
+        map(tuple, remove_duplicate_lines(full, blocklist=("slow",)).collect())
+    )
+
+
+_CLEAN_COLS = [
+    "doc_id", "n_lines", "n_rule_dropped", "n_dup_dropped", "n_kept",
+    "cleaned_text",
+]
+
+
+def test_clean_corpus_loop_matches_one_shot_per_tick(spark, tmp_path):
+    from diabetes_etl_spark.streaming.changefeed import maintain_clean_corpus
+
+    raw, clean, index = _clean_tables(spark, tmp_path, "loop")
+    seen = []
+    for b in _raw_batches():
+        raw.append(spark.createDataFrame(b, "doc_id long, text string"))
+        assert maintain_clean_corpus(
+            raw, clean, index, blocklist=("slow",)
+        ) is not None
+        seen += b
+        got = sorted(
+            map(tuple, clean.read().select(*_CLEAN_COLS).collect())
+        )
+        assert got == _one_shot(spark, seen)
+    # nothing new -> no-op, state unchanged
+    assert maintain_clean_corpus(raw, clean, index, blocklist=("slow",)) is None
+
+
+def test_clean_corpus_loop_self_heals_after_crash_before_index_sync(
+    spark, tmp_path
+):
+    """Simulate a crash AFTER the clean append but BEFORE the index
+    sync: the next tick must repair the index from clean's own feed
+    and still match the one-shot cleaner."""
+    from diabetes_etl_spark.operators.dedup import (
+        remove_duplicate_lines_incremental,
+    )
+    from diabetes_etl_spark.streaming.changefeed import (
+        changes_since,
+        maintain_clean_corpus,
+        sync_line_index,
+    )
+
+    raw, clean, index = _clean_tables(spark, tmp_path, "crash")
+    batches = _raw_batches()
+    raw.append(spark.createDataFrame(batches[0], "doc_id long, text string"))
+    assert maintain_clean_corpus(raw, clean, index, blocklist=("slow",))
+
+    # tick 2 crashes mid-way: replicate the body up to the clean
+    # append, then "die" before sync_line_index
+    raw.append(spark.createDataFrame(batches[1], "doc_id long, text string"))
+    sync_line_index(clean, index)
+    cursor = clean.last_app_version("clean-corpus")
+    changes, new_cursor = changes_since(raw, cursor, raw._latest()[0])
+    batch = changes.drop("_change_type", "_commit_version")
+    cleaned, _ = remove_duplicate_lines_incremental(
+        index.read().select("h"), batch, blocklist=("slow",),
+        with_kept_hashes=True,
+    )
+    clean.append(cleaned, app_txn=("clean-corpus", new_cursor))
+    # CRASH here (no index sync).  Tick 3 must self-heal:
+    raw.append(spark.createDataFrame(batches[2], "doc_id long, text string"))
+    assert maintain_clean_corpus(raw, clean, index, blocklist=("slow",))
+    got = sorted(map(tuple, clean.read().select(*_CLEAN_COLS).collect()))
+    assert got == _one_shot(spark, [r for b in batches for r in b])
+
+
+def test_clean_corpus_loop_rejects_raw_deletes(spark, tmp_path):
+    import pytest
+
+    from diabetes_etl_spark.streaming.changefeed import maintain_clean_corpus
+
+    raw, clean, index = _clean_tables(spark, tmp_path, "del")
+    raw.append(
+        spark.createDataFrame(
+            _raw_batches()[0], "doc_id long, text string"
+        )
+    )
+    assert maintain_clean_corpus(raw, clean, index, blocklist=("slow",))
+    raw.delete_where("doc_id = 1")
+    with pytest.raises(ValueError, match="append-only"):
+        maintain_clean_corpus(raw, clean, index, blocklist=("slow",))
