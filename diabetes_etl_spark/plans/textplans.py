@@ -1040,3 +1040,103 @@ def text_quality_calibrated_filter(
         "doc_id", "lang", "q",
         F.round("group_threshold", 6).alias("group_threshold"),
     )
+
+
+# -- Zipf rank-frequency profile ---------------------------------------------
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({_D_TOKENS}) AS w FROM documents
+),
+vocab AS (
+  SELECT w, count(*) AS n FROM tok GROUP BY w
+),
+ranked AS (
+  SELECT round(ln(row_number() OVER (ORDER BY n DESC, w)), 9) AS x,
+         round(ln(n), 9) AS y
+  FROM vocab
+),
+moments AS (
+  SELECT count(*) AS m,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(19,9)) * CAST(y AS DECIMAL(19,9)))
+              AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(19,9)) * CAST(x AS DECIMAL(19,9)))
+              AS DOUBLE) AS sxx
+  FROM ranked
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS vocab_size,
+       (SELECT CAST(count(*) AS BIGINT) FROM tok) AS total_tokens,
+       round((sxy - sx * sy / m) / (sxx - sx * sx / m), 6) AS zipf_slope,
+       round((sy - ((sxy - sx * sy / m) / (sxx - sx * sx / m)) * sx) / m, 6)
+         AS zipf_intercept
+FROM moments
+"""
+
+
+@register(
+    "text_zipf_profile",
+    oracle=_ZIPF_ORACLE,
+    doc="Corpus token-distribution profile: vocabulary size, token "
+    "volume, and the Zipf rank-frequency fit — OLS of ln(freq) on "
+    "ln(rank) over the full vocabulary (natural corpora slope toward "
+    "-1; a far-off slope flags synthetic/degenerate text, and the fit "
+    "feeds vocab-size decisions for tokenizer training).  "
+    "Determinism: both lns quantize to 9 decimals at the source "
+    "(the BM25 precedent), the four OLS moments fold through exact "
+    "DECIMAL products/sums, and ranks tie-break on the token string, "
+    "so the fitted coefficients hash-match cross-engine.  Scale "
+    "shape: the rank window sorts the COUNT TABLE (vocabulary-sized "
+    "— orders smaller than the corpus; a >memory vocabulary would "
+    "range-partition the rank in two phases), the corpus itself only "
+    "feeds one map-side-combined token count.",
+    tags=("text", "zipf", "profile", "extension"),
+    extended=True,
+)
+def text_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(TX.tokens(F.col("text"))).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(F.count("*").alias("n"))
+    ranked = vocab.select(
+        F.round(
+            F.log(
+                F.row_number()
+                .over(Window.orderBy(F.desc("n"), F.asc("w")))
+                .cast("double")
+            ),
+            9,
+        ).alias("x"),
+        F.round(F.log(F.col("n").cast("double")), 9).alias("y"),
+    )
+    m = F.count("*")
+    sx = F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+    sy = F.sum(F.col("y").cast("decimal(38,12)")).cast("double")
+    sxy = F.sum(
+        F.col("x").cast("decimal(19,9)") * F.col("y").cast("decimal(19,9)")
+    ).cast("double")
+    sxx = F.sum(
+        F.col("x").cast("decimal(19,9)") * F.col("x").cast("decimal(19,9)")
+    ).cast("double")
+    moments = ranked.agg(
+        m.alias("m"), sx.alias("sx"), sy.alias("sy"),
+        sxy.alias("sxy"), sxx.alias("sxx"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("m")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("m")
+    )
+    totals = vocab.agg(
+        F.count("*").alias("vocab_size"), F.sum("n").alias("total_tokens")
+    )
+    return totals.crossJoin(F.broadcast(moments)).select(
+        "vocab_size",
+        "total_tokens",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("m"), 6
+        ).alias("zipf_intercept"),
+    )
