@@ -309,19 +309,45 @@ def simhash_near_pairs(
     matters more than skew safety (the oracle-paired gate instance
     does).
     """
-    n_chunks = max_hamming + 1
-    bounds = [round(63 * t / n_chunks) for t in range(n_chunks + 1)]
     sh = simhash63(df, id_col, text_col, token_hash=token_hash)
+    return bit_signature_near_pairs(
+        sh, "doc_id", "simhash", max_hamming=max_hamming,
+        bucket_cap=bucket_cap,
+    )
+
+
+def bit_signature_near_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int = 63,
+    max_hamming: int = 3,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Near pairs of ANY 63-bit-style signature by hamming distance —
+    the pigeonhole candidate join factored out of
+    :func:`simhash_near_pairs` so other bit fingerprints (image dHash,
+    audio chromaprints) reuse it: split the ``bits`` signature bits
+    into (max_hamming + 1) nearly-equal chunks (<= max_hamming
+    differing bits leaves at least one chunk identical), equi-join on
+    (chunk_idx, chunk) through the skew-safe bounded pair generator,
+    verify with bit_count(xor).  Recall caveats are
+    :func:`simhash_near_pairs`'s (exact under the cap; star edges
+    beyond it)."""
+    n_chunks = max_hamming + 1
+    bounds = [round(bits * t / n_chunks) for t in range(n_chunks + 1)]
+    sh = sig.select(
+        F.col(id_col).alias("doc_id"), F.col(sig_col).alias("__sig")
+    )
     chunks = sh.select(
         "doc_id",
-        "simhash",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_idx"),
                         F.expr(
-                            f"(simhash >> {bounds[i]}) & "
+                            f"(__sig >> {bounds[i]}) & "
                             f"{(1 << (bounds[i + 1] - bounds[i])) - 1}"
                         ).alias("chunk"),
                     )
@@ -331,15 +357,15 @@ def simhash_near_pairs(
         ).alias("c"),
     ).select("doc_id", "c.chunk_idx", "c.chunk")
     # Skew-safe bucket-group pair generation (operators/util.py) —
-    # still no bucket self-join, so the 63-sum simhash aggregation runs
+    # still no bucket self-join, so the signature aggregation runs
     # exactly once; the 8-byte signatures are re-attached to the
     # bounded candidate pairs with one tiny join per side.
     cand = bounded_bucket_pairs(chunks, ["chunk_idx", "chunk"], cap=bucket_cap)
     sig_a = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
+        F.col("doc_id").alias("doc_a"), F.col("__sig").alias("sim_a")
     )
     sig_b = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b")
+        F.col("doc_id").alias("doc_b"), F.col("__sig").alias("sim_b")
     )
     return (
         cand.join(sig_a, "doc_a")

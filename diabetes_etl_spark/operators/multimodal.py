@@ -3221,3 +3221,84 @@ def audio_signal_features(assets: DataFrame, max_lag: int = 8) -> DataFrame:
             yield out
 
     return assets.mapInPandas(batches, schema=AUDIO_SIGNAL_SCHEMA)
+
+
+# -- perceptual hashing (dHash) ----------------------------------------------
+
+DHASH_SCHEMA = "doc_id long, mime string, width int, height int, dhash long"
+
+
+def image_dhash(assets: DataFrame) -> DataFrame:
+    """63-bit difference hash (dHash) of every decodable image payload
+    — the standard perceptual fingerprint for IMAGE near-dup detection
+    (resize-/recompress-invariant, unlike the byte checksum): decode,
+    integer grayscale ``(299r + 587g + 114b) // 1000``, nearest-sample
+    to a 9x8 grid (``src = (dst * dim) // grid`` — the
+    :func:`resample_audio` convention), then one bit per horizontal
+    neighbor comparison ``g[i][j] < g[i][j+1]`` (8 rows x 8
+    comparisons, the final bit dropped so the packed hash stays
+    positive in a signed 64-bit — the repo's SimHash convention).
+
+    All-integer arithmetic end to end, so the hash — not just its
+    statistics — replays exactly in a SQL oracle over the fixture
+    generators, and hamming distance between two images' hashes is
+    engine-portable.  Pairs come from
+    ``operators/dedup.py:bit_signature_near_pairs`` (the SimHash
+    pigeonhole machinery — chunks equi-join, bit_count verifies).
+
+    Non-image rows and undecodable payloads are skipped, never
+    fabricated.  Scale shape: narrow mapInPandas (decode parallelizes
+    with splits); only (doc_id, 8-byte hash) ever shuffles downstream.
+    """
+    import numpy as np
+
+    GW, GH = 9, 8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["asset_meta"]
+            ):
+                mime = meta["mime"]
+                if not mime.startswith("image/"):
+                    continue
+                try:
+                    if mime == "image/png":
+                        w, h, ch, raw = decode_png(bytes(payload))
+                    elif mime == "image/gif":
+                        w, h, ch, raw = decode_gif(bytes(payload))
+                    elif mime == "image/jpeg":
+                        w, h, ch, raw = decode_jpeg_auto(bytes(payload))
+                    else:
+                        continue
+                except (ValueError, NotImplementedError):
+                    continue
+                px = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                px = px.reshape(h, w, ch)
+                if ch >= 3:
+                    gray = (
+                        299 * px[:, :, 0] + 587 * px[:, :, 1]
+                        + 114 * px[:, :, 2]
+                    ) // 1000
+                else:
+                    gray = px[:, :, 0]
+                ys = (np.arange(GH) * h) // GH
+                xs = (np.arange(GW) * w) // GW
+                g = gray[np.ix_(ys, xs)]
+                bits = (g[:, :-1] < g[:, 1:]).flatten()  # 8x8 = 64
+                val = 0
+                for k in range(63):
+                    if bits[k]:
+                        val |= 1 << k
+                rows.append((doc_id, mime, w, h, val))
+            out = pd.DataFrame(
+                rows, columns=["doc_id", "mime", "width", "height", "dhash"]
+            )
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            for c in ("doc_id", "dhash"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return assets.mapInPandas(batches, schema=DHASH_SCHEMA)

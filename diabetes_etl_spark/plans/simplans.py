@@ -1278,3 +1278,95 @@ def multimodal_audio_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_signal_features(
         attach_media_payloads(docs), max_lag=_AS_MAXLAG
     ).orderBy("doc_id")
+
+
+# -- perceptual-hash image near-dup ------------------------------------------
+
+_DH_MAXH = 3
+
+# PNG fixture (doc_id % 4 = 0): w = 4+d%13, h = 3+d%7, RGB bytes
+# (d*31 + i*7) mod 256; r/g/b of pixel idx share base B = d*31 + 21*idx.
+_DH_PW = "(4 + doc_id % 13)"
+_DH_PH = "(3 + doc_id % 7)"
+# JPEG fixture (doc_id % 4 = 1): block-constant gray
+# (d*29 + (x//8)*17 + (y//8)*53) mod 256, w = 8+d%21, h = 8+d%15.
+_DH_JW = "(8 + doc_id % 21)"
+_DH_JH = "(8 + doc_id % 15)"
+
+
+def _dh_png_gray(x: str, y: str) -> str:
+    b0 = f"(doc_id * 31 + 21 * (({y}) * {_DH_PW} + ({x})))"
+    return (
+        f"((299 * ({b0} % 256) + 587 * (({b0} + 7) % 256)"
+        f" + 114 * (({b0} + 14) % 256)) // 1000)"
+    )
+
+
+def _dh_jpeg_gray(x: str, y: str) -> str:
+    return (
+        f"((doc_id * 29 + (({x}) // 8) * 17 + (({y}) // 8) * 53) % 256)"
+    )
+
+
+def _dh_hash(gray, w: str, h: str) -> str:
+    def g(i: str, j: str) -> str:
+        return gray(f"((({j}) * {w}) // 9)", f"((({i}) * {h}) // 8)")
+
+    lt = f"{g('k // 8', 'k % 8')} < {g('k // 8', 'k % 8 + 1')}"
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(0, 62), k -> "
+        f"CASE WHEN {lt} THEN (CAST(1 AS BIGINT) << k) "
+        "ELSE CAST(0 AS BIGINT) END)), (acc, x) -> acc + x)"
+    )
+
+
+_DHASH_ORACLE = f"""
+WITH sig AS (
+  SELECT doc_id, {_dh_hash(_dh_png_gray, _DH_PW, _DH_PH)} AS dhash
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id, {_dh_hash(_dh_jpeg_gray, _DH_JW, _DH_JH)} AS dhash
+  FROM documents WHERE doc_id % 4 = 1
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {_DH_MAXH}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "multimodal_dhash_neardup",
+    oracle=_DHASH_ORACLE,
+    doc="IMAGE near-dup via perceptual difference hash "
+    "(operators/multimodal.py:image_dhash + operators/dedup.py:"
+    "bit_signature_near_pairs): every PNG/JPEG payload decodes through "
+    "the REAL codecs, integer-grayscales, nearest-samples to 9x8, and "
+    "packs 63 horizontal-gradient bits; pairs at hamming <= "
+    f"{_DH_MAXH} come from the SimHash pigeonhole chunk join and "
+    "bit_count verification.  The oracle recomputes the HASHES "
+    "THEMSELVES arithmetically from the fixture generators (PNG "
+    "through the gray formula, JPEG through the constant-block "
+    "values) and brute-force all-pairs them — so codec, grayscale, "
+    "sampling grid, bit packing, AND the pigeonhole recall are all "
+    "hash-checked (the Spark side must find exactly the brute-force "
+    "pair set).  Scale shape: decode is a narrow Arrow stage; only "
+    "(doc_id, 8-byte hash) shuffles; candidates come from bounded "
+    "chunk buckets, never an all-pairs join.",
+    tags=("multimodal", "dedup", "dhash", "pandas-udf", "extension"),
+    extended=True,
+)
+def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.dedup import bit_signature_near_pairs
+    from diabetes_etl_spark.operators.multimodal import (
+        attach_media_payloads,
+        image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = image_dhash(attach_media_payloads(docs))
+    return bit_signature_near_pairs(
+        sig, "doc_id", "dhash", max_hamming=_DH_MAXH, bucket_cap=1 << 20
+    ).orderBy("doc_a", "doc_b")

@@ -1386,3 +1386,92 @@ def test_audio_signal_features_drops_non_wav_rows(spark):
     rows = audio_signal_features(assets).collect()
     assert [r.doc_id for r in rows] == [1]
     assert rows[0].n_channels == 2 and rows[0].n_frames == 4
+
+
+# -- perceptual dHash --------------------------------------------------------
+
+
+def _asset_rows(spark, rows):
+    import hashlib
+
+    return spark.createDataFrame(
+        [
+            (i, bytearray(p), {"mime": m, "n_bytes": len(p),
+                               "checksum": hashlib.md5(p).hexdigest()})
+            for i, m, p in rows
+        ],
+        "doc_id long, payload binary, asset_meta map<string,string>",
+    )
+
+
+def test_dhash_codec_invariant_png_vs_gif(spark):
+    """The SAME pixels through two different codecs must hash
+    identically — the perceptual-hash property a byte checksum lacks.
+    GIF fixture palette entry j is (j, 3j, 7j) mod 256, so a PNG built
+    from those RGB bytes decodes to the same raster."""
+    from diabetes_etl_spark.operators.multimodal import (
+        fixture_gif_palette,
+        gif_bytes,
+        image_dhash,
+        png_bytes,
+    )
+
+    w, h = 12, 10
+    idx = _pix(w * h, seed=9)
+    pal = fixture_gif_palette()
+    rgb = bytes(v for j in idx for v in pal[3 * j : 3 * j + 3])
+    assets = _asset_rows(
+        spark,
+        [
+            (1, "image/png", png_bytes(w, h, rgb)),
+            (2, "image/gif", gif_bytes(w, h, idx)),
+        ],
+    )
+    hashes = {r.doc_id: r.dhash for r in image_dhash(assets).collect()}
+    assert hashes[1] == hashes[2]
+
+
+def test_dhash_near_pair_found_unrelated_not(spark):
+    from diabetes_etl_spark.operators.dedup import bit_signature_near_pairs
+    from diabetes_etl_spark.operators.multimodal import (
+        image_dhash,
+        png_bytes,
+    )
+
+    w, h = 18, 16
+    base = bytearray(_pix(w * h * 3, seed=4))
+    tweaked = bytearray(base)
+    tweaked[0] ^= 0x40  # one-channel change in one pixel
+    unrelated = bytes(
+        (251 * i * i + 17 * i) % 256 for i in range(w * h * 3)
+    )
+    assets = _asset_rows(
+        spark,
+        [
+            (1, "image/png", png_bytes(w, h, bytes(base))),
+            (2, "image/png", png_bytes(w, h, bytes(tweaked))),
+            (3, "image/png", png_bytes(w, h, unrelated)),
+        ],
+    )
+    sig = image_dhash(assets)
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in bit_signature_near_pairs(
+            sig, "doc_id", "dhash", max_hamming=3, bucket_cap=1 << 20
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_dhash_skips_undecodable_and_non_images(spark):
+    from diabetes_etl_spark.operators.multimodal import image_dhash
+
+    assets = _asset_rows(
+        spark,
+        [
+            (1, "image/png", b"\x89PNG but truncated"),
+            (2, "text/plain", b"hello"),
+        ],
+    )
+    assert image_dhash(assets).count() == 0
