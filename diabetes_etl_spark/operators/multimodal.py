@@ -3249,6 +3249,10 @@ def image_dhash(assets: DataFrame) -> DataFrame:
     Non-image rows and undecodable payloads are skipped, never
     fabricated.  Scale shape: narrow mapInPandas (decode parallelizes
     with splits); only (doc_id, 8-byte hash) ever shuffles downstream.
+    Downstream pairing consumes the signature table three times
+    (chunk explode + two re-attach joins) — persist/checkpoint this
+    output once before pairing at scale so the decode runs once, not
+    per consumer.
     """
     import numpy as np
 

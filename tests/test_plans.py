@@ -471,3 +471,16 @@ def test_join_bloom_reduced_prunes_in_fact_scan(spark, sf_dir):
     # the probe must be applied pre-exchange: the Filter mentioning
     # shiftright appears in the same stage as the orders scan
     assert "o_custkey" in plan
+
+
+def test_dhash_neardup_no_cartesian_single_python_stage(spark, sf_dir):
+    """Decode+hash runs as Arrow Python stages; candidates come from
+    the chunk equi-join (no cartesian, no all-pairs nested loop).  The
+    signature subtree is re-evaluated per consumer (chunks + two
+    re-attach joins) — cheap for the fixture producer; a production
+    run persists the (doc_id, hash) table once, as the docstring
+    directs."""
+    plan = _plan(spark, sf_dir, "multimodal_dhash_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
