@@ -1140,3 +1140,91 @@ def text_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") - slope * F.col("sx")) / F.col("m"), 6
         ).alias("zipf_intercept"),
     )
+
+
+# -- Heaps-law vocabulary growth ---------------------------------------------
+
+_HEAPS_ORACLE = f"""
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+tok AS (
+  SELECT (doc_id * 10) // (mx.m + 1) AS bucket, doc_id,
+         unnest({_D_TOKENS}) AS w
+  FROM documents, mx
+),
+per_bucket AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY bucket
+),
+firsts AS (
+  SELECT w, min(doc_id) AS first_doc FROM tok GROUP BY w
+),
+new_vocab AS (
+  SELECT (f.first_doc * 10) // (mx.m + 1) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_new
+  FROM firsts f, mx GROUP BY 1
+)
+SELECT p.bucket,
+       CAST(sum(p2.n_tokens) AS BIGINT) AS cum_tokens,
+       coalesce(n.n_new, 0) AS new_vocab,
+       CAST((SELECT sum(coalesce(n2.n_new, 0)) FROM new_vocab n2
+             WHERE n2.bucket <= p.bucket) AS BIGINT) AS cum_vocab
+FROM per_bucket p
+JOIN per_bucket p2 ON p2.bucket <= p.bucket
+LEFT JOIN new_vocab n ON n.bucket = p.bucket
+GROUP BY p.bucket, n.n_new
+ORDER BY p.bucket
+"""
+
+
+@register(
+    "text_heaps_growth",
+    oracle=_HEAPS_ORACLE,
+    doc="Heaps-law vocabulary growth: cumulative token volume vs "
+    "cumulative DISTINCT vocabulary at ten ingestion checkpoints "
+    "(doc-id deciles) — sublinear growth V(n) ~ K n^b is the "
+    "natural-corpus signature; a flattening curve says new data adds "
+    "volume, not novelty (the diminishing-returns signal corpus "
+    "curation watches), and the Zipf profile's companion diagnostic.  "
+    "A token's checkpoint is the decile of its FIRST document (one "
+    "min-aggregate over the vocabulary — no corpus-ordered window, no "
+    "cumulative scan: cumulative sums run over the 10-row bucket "
+    "table).  Exact integer counts throughout.",
+    tags=("text", "heaps", "profile", "extension"),
+    extended=True,
+)
+def text_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("__m"))
+    tok = docs.crossJoin(F.broadcast(mx)).select(
+        F.expr("(doc_id * 10) div (__m + 1)").alias("bucket"),
+        "doc_id",
+        F.explode(TX.tokens(F.col("text"))).alias("w"),
+    )
+    per_bucket = tok.groupBy("bucket").agg(
+        F.count("*").alias("n_tokens")
+    )
+    firsts = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    new_vocab = (
+        firsts.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("(first_doc * 10) div (__m + 1)").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_new"))
+    )
+    w10 = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_bucket.join(new_vocab, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_tokens").over(w10).alias("cum_tokens"),
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("new_vocab"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(w10)
+            .alias("cum_vocab"),
+        )
+        .orderBy("bucket")
+    )

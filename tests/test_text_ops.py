@@ -337,3 +337,32 @@ def test_zipf_profile_recovers_known_slope(spark, sf_dir):
     assert row.vocab_size == 40
     assert row.total_tokens == sum(round(1200 / r) for r in range(1, 41))
     assert math.isclose(row.zipf_slope, -1.0, abs_tol=0.05)
+
+
+def test_heaps_growth_cumulative_and_sublinear(spark, sf_dir):
+    """Cumulative columns must be monotone, the final cum_vocab equals
+    the corpus vocabulary, and the fixture corpus (small shared vocab)
+    must show strongly sublinear vocabulary growth."""
+    from diabetes_etl_spark.plans.registry import all_queries
+    from diabetes_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+    import diabetes_etl_spark.operators.text as TX
+
+    rows = (
+        all_queries(include_extended=True)["text_heaps_growth"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert [r.bucket for r in rows] == sorted(r.bucket for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_tokens > a.cum_tokens
+        assert b.cum_vocab >= a.cum_vocab
+    docs = load_table(spark, sf_dir, "documents")
+    true_vocab = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("w"))
+        .distinct()
+        .count()
+    )
+    assert rows[-1].cum_vocab == true_vocab
+    # sublinear: the last decile adds tokens but (here) almost no vocab
+    assert rows[-1].new_vocab <= rows[0].new_vocab
