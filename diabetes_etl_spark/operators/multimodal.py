@@ -3306,3 +3306,67 @@ def image_dhash(assets: DataFrame) -> DataFrame:
             yield out
 
     return assets.mapInPandas(batches, schema=DHASH_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = "doc_id long, rate int, n_frames int, afp long"
+
+
+def audio_fingerprint(assets: DataFrame, n_windows: int = 64) -> DataFrame:
+    """63-bit AUDIO fingerprint from the energy-gradient contour — the
+    time-domain analogue of :func:`image_dhash` (and the integer-exact
+    stand-in for spectral chromaprints, which would need an FFT whose
+    float butterflies break the hash-check contract): channel-0
+    samples split into ``n_windows`` equal windows by the
+    ``src = (i * n) // windows`` convention, window energy
+    ``E_i = sum(s^2)`` (exact ints), one bit per neighbor comparison
+    ``E_i < E_{i+1}`` (63 bits for 64 windows).  Loudness-contour
+    bits survive re-encoding and amplitude-preserving edits the byte
+    checksum dies on; pairs come from
+    ``operators/dedup.py:bit_signature_near_pairs`` exactly like text
+    SimHash and image dHash — one pigeonhole machine, three
+    modalities.
+
+    MP3 rows have no sample decoder here and are dropped, never
+    fabricated.  Scale shape: narrow mapInPandas; only (doc_id,
+    8-byte print) shuffles downstream — persist the print table before
+    pairing at scale (the :func:`image_dhash` note).
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["asset_meta"]
+            ):
+                if meta["mime"] != "audio/wav":
+                    continue
+                try:
+                    rate, ch, n_frames, raw = decode_wav(bytes(payload))
+                except ValueError:
+                    continue
+                c0 = np.frombuffer(raw, dtype="<i2").astype(np.int64)[::ch]
+                n = c0.size
+                bounds = (np.arange(n_windows + 1) * n) // n_windows
+                e = np.array(
+                    [
+                        int((c0[bounds[i]:bounds[i + 1]] ** 2).sum())
+                        for i in range(n_windows)
+                    ],
+                    dtype=object,
+                )
+                val = 0
+                for k in range(n_windows - 1):
+                    if e[k] < e[k + 1]:
+                        val |= 1 << k
+                rows.append((doc_id, rate, n_frames, val))
+            out = pd.DataFrame(
+                rows, columns=["doc_id", "rate", "n_frames", "afp"]
+            )
+            out["rate"] = out["rate"].astype("Int32")
+            out["n_frames"] = out["n_frames"].astype("Int32")
+            for c in ("doc_id", "afp"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return assets.mapInPandas(batches, schema=AUDIO_FP_SCHEMA)

@@ -1370,3 +1370,62 @@ def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bit_signature_near_pairs(
         sig, "doc_id", "dhash", max_hamming=_DH_MAXH, bucket_cap=1 << 20
     ).orderBy("doc_a", "doc_b")
+
+
+# -- audio energy-gradient fingerprint ---------------------------------------
+
+_AF_W = 64
+
+
+def _af_e(k_expr: str) -> str:
+    """Window energy E_k over channel-0 fixture samples (exact ints)."""
+    lo = f"((({k_expr}) * {_AS_NF}) // {_AF_W})"
+    hi = f"(((({k_expr}) + 1) * {_AS_NF}) // {_AF_W} - 1)"
+    v = _as_v(f"j * {_AS_CH}")
+    return (
+        f"list_sum(list_transform(generate_series({lo}, {hi}), "
+        f"j -> CAST({v} AS BIGINT) * {v}))"
+    )
+
+
+_AUDIO_FP_ORACLE = f"""
+SELECT doc_id,
+  CAST({_AS_RATE} AS INT) AS rate,
+  CAST({_AS_NF} AS INT) AS n_frames,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(generate_series(0, {_AF_W - 2}), k ->
+      CASE WHEN {_af_e('k')} < {_af_e('k + 1')}
+           THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)),
+    (acc, x) -> acc + x) AS afp
+FROM documents WHERE doc_id % 4 = 2
+ORDER BY doc_id
+"""
+
+
+@register(
+    "multimodal_audio_fingerprint",
+    oracle=_AUDIO_FP_ORACLE,
+    doc="63-bit audio fingerprint from the energy-gradient contour "
+    "(operators/multimodal.py:audio_fingerprint): channel-0 PCM split "
+    f"into {_AF_W} windows, exact-integer window energies, one bit "
+    "per neighbor comparison — the time-domain analogue of image "
+    "dHash, pairing through the same bit_signature_near_pairs "
+    "machinery (one pigeonhole machine, three modalities).  The "
+    "oracle recomputes every fingerprint arithmetically from the WAV "
+    "fixture formula — window bounds, energies, and bit packing all "
+    "hash-checked.  Narrow Arrow stage, no shuffle.",
+    tags=("multimodal", "audio", "fingerprint", "extension"),
+    extended=True,
+)
+def multimodal_audio_fingerprint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from diabetes_etl_spark.operators.multimodal import (
+        attach_media_payloads,
+        audio_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_fingerprint(
+        attach_media_payloads(docs), n_windows=_AF_W
+    ).orderBy("doc_id")

@@ -1475,3 +1475,49 @@ def test_dhash_skips_undecodable_and_non_images(spark):
         ],
     )
     assert image_dhash(assets).count() == 0
+
+
+# -- audio fingerprint -------------------------------------------------------
+
+
+def test_audio_fingerprint_pairs_detect_amplitude_scaled_copy(spark):
+    """A globally amplitude-scaled copy keeps the ENERGY-GRADIENT
+    contour (every E_i scales by the same factor, comparisons
+    unchanged) -> identical fingerprint; an unrelated signal does not
+    pair."""
+    import hashlib
+    import random
+
+    from diabetes_etl_spark.operators.dedup import bit_signature_near_pairs
+    from diabetes_etl_spark.operators.multimodal import (
+        audio_fingerprint,
+        wav_bytes,
+    )
+
+    rnd = random.Random(5)
+    base = [rnd.randrange(-12000, 12000) for _ in range(256)]
+    half = [s // 2 for s in base]
+    other = [rnd.randrange(-12000, 12000) for _ in range(256)]
+
+    def row(i, samples):
+        p = wav_bytes(8000, 1, samples)
+        return (i, bytearray(p), {"mime": "audio/wav", "n_bytes": len(p),
+                                  "checksum": hashlib.md5(p).hexdigest()})
+
+    assets = spark.createDataFrame(
+        [row(1, base), row(2, half), row(3, other)],
+        "doc_id long, payload binary, asset_meta map<string,string>",
+    )
+    sig = audio_fingerprint(assets)
+    fps = {r.doc_id: r.afp for r in sig.collect()}
+    # halving every sample halves int-divides energies -> contour may
+    # flip only where energies tie; require near-identical prints
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in bit_signature_near_pairs(
+            sig, "doc_id", "afp", max_hamming=3, bucket_cap=1 << 20
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    assert fps[1] != fps[3]
