@@ -935,6 +935,13 @@ def _c4_lines_arr(text_col: str, k: int):
 def _c4_rule_bad(blocklist: tuple[str, ...]) -> Callable[[Column], Column]:
     if not blocklist:
         return lambda line: F.lit(False)
+    bad = [b for b in blocklist if not b or any(c.isspace() for c in b)]
+    if bad:
+        # a blocklist entry with whitespace (or empty) can never equal
+        # a single token — it would silently never fire
+        raise ValueError(
+            f"blocklist entries must be single non-empty tokens; got {bad}"
+        )
     bad_tokens = F.array(*[F.lit(b) for b in blocklist])
     return lambda line: F.arrays_overlap(F.split(line, " "), bad_tokens)
 

@@ -100,6 +100,11 @@ def bloom_reduced_join(
     )
     from diabetes_etl_spark.operators.text import fingerprint
 
+    if "__fp" in fact.columns:
+        raise ValueError(
+            "fact side already has a '__fp' column (reserved for the "
+            "Bloom probe fingerprint); rename it first"
+        )
     key_str = f"CAST({dim_key} AS STRING)"
     bits = bloom_bits(
         dim.select(F.expr(key_str).alias("__k")), "__k", m=m, k=k, seed=seed
@@ -108,4 +113,6 @@ def bloom_reduced_join(
     pruned = fact.withColumn("__fp", fact_fp).filter(
         bloom_hit_mask_fp(bits, F.col("__fp"), m=m, k=k, seed=seed)
     ).drop("__fp")
+    if fact_key == dim_key:
+        return pruned.join(dim, [fact_key])
     return pruned.join(dim, pruned[fact_key] == dim[dim_key])

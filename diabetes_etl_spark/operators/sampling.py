@@ -623,6 +623,12 @@ def quantile_threshold_filter(
     """
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    if "group_threshold" in df.columns:
+        raise ValueError(
+            "input already has a 'group_threshold' column — filtering "
+            "already-filtered output would create an ambiguous "
+            "reference; drop or rename it first"
+        )
     thr = df.groupBy(group_col).agg(
         F.percentile(F.col(score_col), F.lit(1.0 - keep_frac)).alias(
             "group_threshold"

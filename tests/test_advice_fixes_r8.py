@@ -235,3 +235,51 @@ def test_bloom_reduced_join_saturated_filter_still_exact(spark):
     )
     got = bloom_reduced_join(fact, dim, "fk", "pk", m=64, k=3)
     assert got.count() == 100
+
+
+# -- round-8 reserved-name / degenerate-input guards -------------------------
+
+
+def test_quantile_filter_rejects_reserved_column(spark):
+    import pytest
+
+    from diabetes_etl_spark.operators.sampling import (
+        quantile_threshold_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "g", 0.5, 0.1)],
+        "doc_id long, grp string, s double, group_threshold double",
+    )
+    with pytest.raises(ValueError, match="group_threshold"):
+        quantile_threshold_filter(df, "s", "grp", 0.5)
+
+
+def test_c4_blocklist_rejects_non_token_entries(spark):
+    import pytest
+
+    from diabetes_etl_spark.operators.dedup import remove_duplicate_lines
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="blocklist"):
+        remove_duplicate_lines(docs, blocklist=("two words",))
+    with pytest.raises(ValueError, match="blocklist"):
+        remove_duplicate_lines(docs, blocklist=("",))
+
+
+def test_bloom_join_rejects_reserved_fp_and_handles_same_key_name(spark):
+    import pytest
+
+    from diabetes_etl_spark.operators.joins import bloom_reduced_join
+
+    fact = spark.createDataFrame(
+        [(1, 5, 0)], "row_id long, k long, __fp long"
+    )
+    dim = spark.createDataFrame([(5, "a")], "k long, tag string")
+    with pytest.raises(ValueError, match="__fp"):
+        bloom_reduced_join(fact, dim, "k", "k")
+    # same key name on both sides -> natural equi-join, one key column
+    fact2 = spark.createDataFrame([(1, 5), (2, 6)], "row_id long, k long")
+    out = bloom_reduced_join(fact2, dim, "k", "k")
+    assert out.columns.count("k") == 1
+    assert out.count() == 1
