@@ -1429,3 +1429,119 @@ def multimodal_audio_fingerprint(
     return audio_fingerprint(
         attach_media_payloads(docs), n_windows=_AF_W
     ).orderBy("doc_id")
+
+
+# -- multimodal prep pipeline ------------------------------------------------
+
+_MM_SIG = f"""
+  SELECT doc_id, 'image/png' AS mime,
+         CAST({_DH_PW} AS INT) AS width, CAST({_DH_PH} AS INT) AS height,
+         {_dh_hash(_dh_png_gray, _DH_PW, _DH_PH)} AS dhash
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id, 'image/jpeg' AS mime,
+         CAST({_DH_JW} AS INT) AS width, CAST({_DH_JH} AS INT) AS height,
+         {_dh_hash(_dh_jpeg_gray, _DH_JW, _DH_JH)} AS dhash
+  FROM documents WHERE doc_id % 4 = 1
+"""
+
+_MM_PREP_ORACLE = f"""
+WITH RECURSIVE sig AS ({_MM_SIG}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= {_DH_MAXH}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(id, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id
+),
+lab AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+reps AS (SELECT component, MIN(id) AS rep FROM lab GROUP BY component),
+labeled AS (
+  SELECT s.doc_id, s.mime, s.width, s.height,
+         COALESCE(lab.component, s.doc_id) AS component,
+         COALESCE(lab.id = reps.rep, TRUE) AS is_representative
+  FROM sig s
+  LEFT JOIN lab ON s.doc_id = lab.id
+  LEFT JOIN reps ON lab.component = reps.component
+)
+SELECT mime,
+  CAST(COUNT(*) AS BIGINT) AS n_images,
+  CAST(SUM(CASE WHEN is_representative THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept,
+  CAST(SUM(CASE WHEN is_representative THEN 0 ELSE 1 END) AS BIGINT)
+    AS n_dropped,
+  CAST(COALESCE(SUM(CASE WHEN NOT is_representative
+                         THEN width * height END), 0) AS BIGINT)
+    AS pixels_dropped,
+  CAST(COUNT(DISTINCT component) AS BIGINT) AS n_clusters
+FROM labeled GROUP BY mime ORDER BY mime
+"""
+
+
+@register(
+    "multimodal_prep_pipeline",
+    oracle=_MM_PREP_ORACLE,
+    doc="E2E multimodal prep: decode every image payload through the "
+    "real codecs -> 63-bit perceptual dHash -> pigeonhole near-dup "
+    "pairs -> connected-component clusters -> min-id representative "
+    "per cluster -> per-mime kept/dropped/pixels-saved accounting — "
+    "the image counterpart of docs_prep_pipeline, composed from the "
+    "individually-gated operators (image_dhash, "
+    "bit_signature_near_pairs, apply_dedup/components).  The oracle "
+    "recomputes the hashes arithmetically, brute-forces the pair "
+    "relation, and closes it with a recursive CTE — codec, hashing, "
+    "pigeonhole recall, clustering, AND the representative election "
+    "are all hash-checked.  filter(is_representative) on the labeled "
+    "signature table IS the deduplicated image corpus.",
+    tags=("multimodal", "dedup", "pipeline", "extension"),
+    extended=True,
+)
+def multimodal_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.dedup import (
+        apply_dedup,
+        bit_signature_near_pairs,
+    )
+    from diabetes_etl_spark.operators.multimodal import (
+        attach_media_payloads,
+        image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = image_dhash(attach_media_payloads(docs))
+    pairs = bit_signature_near_pairs(
+        sig, "doc_id", "dhash", max_hamming=_DH_MAXH, bucket_cap=1 << 20
+    ).select("doc_a", "doc_b")
+    labeled = apply_dedup(sig, pairs)
+    return (
+        labeled.groupBy("mime")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum(F.col("is_representative").cast("int"))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum((~F.col("is_representative")).cast("int"))
+            .cast("long")
+            .alias("n_dropped"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        ~F.col("is_representative"),
+                        F.col("width").cast("long") * F.col("height"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("pixels_dropped"),
+            F.countDistinct("component").alias("n_clusters"),
+        )
+        .orderBy("mime")
+    )

@@ -1521,3 +1521,21 @@ def test_audio_fingerprint_pairs_detect_amplitude_scaled_copy(spark):
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
     assert fps[1] != fps[3]
+
+
+def test_multimodal_prep_pipeline_accounting_consistent(spark, sf_dir):
+    """Per-mime accounting must balance: kept + dropped = total,
+    clusters <= kept (each cluster keeps exactly one representative
+    within the whole corpus), and representatives exist per mime."""
+    from diabetes_etl_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries(include_extended=True)["multimodal_prep_pipeline"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert {r.mime for r in rows} == {"image/png", "image/jpeg"}
+    for r in rows:
+        assert r.n_kept + r.n_dropped == r.n_images
+        assert 0 < r.n_kept <= r.n_images
+        assert (r.pixels_dropped == 0) == (r.n_dropped == 0)
