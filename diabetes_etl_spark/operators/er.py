@@ -159,3 +159,130 @@ def golden_records(
         .withColumn("is_golden", F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_dist: int = 1,
+    q: int = 3,
+) -> DataFrame:
+    """LOSSLESS bounded edit-distance self-join (levenshtein <=
+    ``max_dist``) via positional-q-gram prefix filtering (the
+    Gravano et al. VLDB'01 / Ed-Join family, re-expressed as DataFrame
+    ops) — the string-similarity primitive under fuzzy entity
+    matching, without ever forming the cross product.
+
+    How: ``max_dist`` edits can destroy at most ``max_dist * q`` of a
+    string's overlapping q-grams, so any pair within distance shares a
+    q-gram among each side's ``max_dist * q + 1`` RAREST q-grams
+    (global document frequency asc, gram asc — the
+    ``prefix_filter_jaccard_pairs`` ordering trick, so the
+    "Customer#"-style ubiquitous grams never key the join).  A length
+    co-filter (|len_a − len_b| <= max_dist — one edit changes length
+    by at most one) prunes in the join; ``F.levenshtein`` verifies
+    exactly, so the output has zero false positives and the prefix
+    lemma guarantees zero false negatives for strings long enough to
+    own ``max_dist*q + 1`` q-grams.
+
+    SHORT strings (fewer than ``max_dist*q + 1`` q-grams, i.e.
+    ``len < (max_dist + 1) * q``) cannot rely on the lemma; they take
+    a length-band candidate path against every string within
+    ``max_dist`` of their length (correct; quadratic only in the
+    short-string population, which is negligible in real name/title
+    corpora — documented contract).
+
+    Scale shape: gram df is one vocabulary-sized map-side-combined
+    aggregate; the rarity sort is per-string (bounded length); the
+    candidate join keys on RARE grams only; verification is one
+    levenshtein per candidate.  Output: (id_a, id_b, edit_distance),
+    id_a < id_b.
+    """
+    from diabetes_etl_spark.operators.util import widen
+
+    d = int(max_dist)
+    qq = int(q)
+    prefix = d * qq + 1
+    names = widen(df).select(
+        F.col(id_col).alias("__id"), F.col(name_col).alias("__s")
+    ).filter(F.col("__s").isNotNull())
+    with_len = names.withColumn("__len", F.length("__s"))
+    long_side = with_len.filter(F.col("__len") >= (d + 1) * qq)
+    grams = long_side.select(
+        "__id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__len") - (qq - 1)),
+                    lambda i: F.col("__s").substr(i, F.lit(qq)),
+                )
+            )
+        ).alias("g"),
+    )
+    dfreq = grams.groupBy("g").agg(F.count("*").alias("df"))
+    ranked = (
+        grams.join(dfreq, "g")
+        .groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("g")))
+            ).alias("ranked")
+        )
+        .select(
+            "__id",
+            F.expr(
+                f"transform(slice(ranked, 1, {prefix}), r -> r.g)"
+            ).alias("pref"),
+        )
+    )
+    pref = ranked.select("__id", F.explode("pref").alias("g"))
+    cand_long = (
+        pref.select(F.col("__id").alias("id_a"), "g")
+        .join(pref.select(F.col("__id").alias("id_b"), "g"), "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # short-string path: length-band candidates (each string lands in
+    # its own and the next band of width max_dist+1, so partners within
+    # +-max_dist always co-occur in some band)
+    shorts = with_len.filter(F.col("__len") < (d + 1) * qq)
+    near_shorts = with_len.filter(
+        F.col("__len") < (d + 1) * qq + d
+    )
+    if d > 0:
+        band = lambda c: F.floor(c / F.lit(d + 1))  # noqa: E731
+    else:
+        band = lambda c: c  # noqa: E731
+    banded = lambda src, idc: src.select(  # noqa: E731
+        F.col("__id").alias(idc), band(F.col("__len")).alias("band")
+    ).unionAll(
+        src.select(
+            F.col("__id").alias(idc),
+            (band(F.col("__len")) + 1).alias("band"),
+        )
+    )
+    cand_short = (
+        banded(shorts, "id_a")
+        .join(banded(near_shorts, "id_b"), "band")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    cand = cand_long.unionByName(cand_short).distinct()
+    sa = names.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
+    sb = names.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.abs(F.length("__sa") - F.length("__sb")) <= d
+        )
+        .withColumn("edit_distance", F.levenshtein("__sa", "__sb"))
+        .filter(F.col("edit_distance") <= d)
+        .select("id_a", "id_b", "edit_distance")
+    )

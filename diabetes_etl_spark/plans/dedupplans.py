@@ -1121,3 +1121,41 @@ def dedup_c4_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx, batch, line_tokens=_C4_K, blocklist=(_C4_BLOCK,)
     )
     return cleaned
+
+
+# -- bounded edit-distance name join -----------------------------------------
+
+_ED_ORACLE = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_distance
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+  AND levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "er_edit_distance_lossless",
+    oracle=_ED_ORACLE,
+    doc="LOSSLESS bounded edit-distance self-join on customer names "
+    "(levenshtein <= 1; operators/er.py:edit_distance_pairs): "
+    "candidates come from each name's max_dist*q+1 RAREST q-grams "
+    "(global-df rare-first ordering — the prefix_filter trick, so the "
+    "ubiquitous 'Customer#' grams never key the join), a length "
+    "co-filter prunes in-join, and F.levenshtein verifies exactly.  "
+    "The oracle is the BRUTE-FORCE all-pairs levenshtein join — "
+    "losslessness of the prefix scheme is the checked property, the "
+    "string-similarity analogue of dedup_prefix_jaccard.  Scale "
+    "shape: gram df is a vocabulary-sized aggregate, the join keys on "
+    "rare grams only, one levenshtein per surviving candidate.",
+    tags=("er", "edit-distance", "extension"),
+    extended=True,
+)
+def er_edit_distance_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.er import edit_distance_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    return edit_distance_pairs(
+        cust, "c_custkey", "c_name", max_dist=1, q=3
+    ).orderBy("id_a", "id_b")

@@ -490,3 +490,47 @@ def test_c4_line_clean_matches_reference(spark, token_docs, k):
         )
     )
     assert got == want
+
+
+# -- lossless edit-distance join vs brute force ------------------------------
+
+
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, len(b) + 1):
+            prev, dp[j] = dp[j], min(
+                dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+            )
+    return dp[len(b)]
+
+
+@SLOW
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=0, max_size=12),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    ),
+    st.integers(1, 2),
+)
+def test_edit_distance_pairs_lossless_random(spark, names, d):
+    from diabetes_etl_spark.operators.er import edit_distance_pairs
+
+    rows = [(i, s) for i, s in enumerate(names)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = sorted(
+        map(
+            tuple,
+            edit_distance_pairs(df, "id", "name", max_dist=d, q=2).collect(),
+        )
+    )
+    want = sorted(
+        (a[0], b[0], _lev(a[1], b[1]))
+        for i, a in enumerate(rows)
+        for b in rows[i + 1 :]
+        if _lev(a[1], b[1]) <= d
+    )
+    assert got == want
