@@ -11,6 +11,7 @@ fold-order of the mean shows up as a hash mismatch.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from diabetes_etl_spark.functions.numeric import sql_dec_cast, sql_dec_sum
 from diabetes_etl_spark.operators.profile import profile_table
@@ -302,3 +303,122 @@ def profile_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("exact_join_size"))
     )
     return est.crossJoin(F.broadcast(exact))
+
+
+# -- per-source corpus card --------------------------------------------------
+
+_CC_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, source, lang,
+         regexp_split_to_array(trim(text), '\s+') AS t,
+         md5(text) AS th
+  FROM documents
+),
+dup AS (SELECT th FROM base GROUP BY th HAVING count(*) >= 2),
+per_doc AS (
+  SELECT b.doc_id, b.source, b.lang, len(b.t) AS n_tokens,
+         ROUND(
+             0.4 * least(len(b.t) / CAST(100 AS DOUBLE), 1.0)
+           + 0.3 * least(length(regexp_extract_all(lower(
+               array_to_string(b.t, ' ')), '\b(the|and|of|to|is|in)\b'))
+               / CAST(10 AS DOUBLE), 1.0)
+           + 0.3 * (CAST(len(list_distinct(b.t)) AS DOUBLE) / len(b.t)),
+         6) AS q,
+         (b.th IN (SELECT th FROM dup)) AS is_dup
+  FROM base b
+),
+lang_counts AS (
+  SELECT source, lang, count(*) AS nl FROM per_doc GROUP BY source, lang
+),
+lang_tot AS (SELECT source, sum(nl) AS nt FROM lang_counts GROUP BY source),
+entropy AS (
+  SELECT c.source,
+         CAST(SUM(CAST(
+           round(-(CAST(c.nl AS DOUBLE) / t.nt)
+                 * ln(CAST(c.nl AS DOUBLE) / t.nt), 9)
+         AS DECIMAL(38,12))) AS DOUBLE) AS lang_entropy
+  FROM lang_counts c JOIN lang_tot t ON c.source = t.source
+  GROUP BY c.source
+)
+SELECT p.source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(p.n_tokens) AS BIGINT) AS total_tokens,
+  CAST(SUM(CAST(p.q AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_quality,
+  CAST(sum(CASE WHEN p.is_dup THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_exact_dup_docs,
+  round(e.lang_entropy, 6) AS lang_entropy
+FROM per_doc p JOIN entropy e ON p.source = e.source
+GROUP BY p.source, e.lang_entropy
+ORDER BY p.source
+"""
+
+
+@register(
+    "corpus_card_by_source",
+    oracle=_CC_ORACLE,
+    doc="Per-source CORPUS CARD: the one-page provenance scorecard a "
+    "curation pipeline publishes per ingest source — doc/token "
+    "volume, decimal-pinned mean quality score, exact-duplicate "
+    "exposure (docs whose md5 appears >= 2x corpus-wide), and "
+    "language-mix Shannon entropy (each -p ln p term quantized to 9 "
+    "decimals, folded through DECIMAL(38,12) — the portable-ln "
+    "discipline).  Composes the gated text/dedup primitives into the "
+    "artifact data buyers actually read.  Scale shape: one corpus "
+    "scan for per-doc features + one (md5, count) hash aggregate; "
+    "everything else aggregates source- or (source, lang)-sized "
+    "tables.",
+    tags=("profile", "corpus-card", "extension"),
+    extended=True,
+)
+def corpus_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.functions.numeric import dec_sum
+    from diabetes_etl_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", "lang",
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        TX.quality_score(F.col("text")).alias("q"),
+        F.md5(F.col("text").cast("binary")).alias("th"),
+    )
+    dup = (
+        base.groupBy("th")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("th")
+    )
+    per_doc = base.join(
+        dup.withColumn("__isdup", F.lit(True)), "th", "left"
+    ).withColumn("is_dup", F.coalesce(F.col("__isdup"), F.lit(False)))
+    lang_counts = per_doc.groupBy("source", "lang").agg(
+        F.count("*").alias("nl")
+    )
+    lang_tot = lang_counts.groupBy("source").agg(F.sum("nl").alias("nt"))
+    p = F.col("nl").cast("double") / F.col("nt").cast("double")
+    entropy = (
+        lang_counts.join(lang_tot, "source")
+        .select("source", F.round(-p * F.log(p), 9).alias("__term"))
+        .groupBy("source")
+        .agg(dec_sum(F.col("__term"), 12, 38).alias("lang_entropy"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (
+                F.sum(F.col("q").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_quality"),
+            F.sum(F.col("is_dup").cast("int"))
+            .cast("long")
+            .alias("n_exact_dup_docs"),
+        )
+        .join(entropy, "source")
+        .select(
+            "source", "n_docs", "total_tokens", "avg_quality",
+            "n_exact_dup_docs",
+            F.round("lang_entropy", 6).alias("lang_entropy"),
+        )
+        .orderBy("source")
+    )

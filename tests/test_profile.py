@@ -65,3 +65,39 @@ def test_profile_approx_close_to_exact(spark, sf_dir):
         # everything except the distinct estimator must be identical
         assert exact[col].n_nulls == approx[col].n_nulls
         assert exact[col].mean_value == approx[col].mean_value
+
+
+def test_corpus_card_entropy_and_dup_accounting(spark):
+    """Entropy: single-lang source -> 0; uniform two-lang -> ln 2.
+    Dup accounting: identical texts count in BOTH sources."""
+    import math
+
+    from diabetes_etl_spark.plans.registry import all_queries
+    import diabetes_etl_spark.plans.profileplans as PP
+    from diabetes_etl_spark.sources import tables as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text here", "en", "s1", 14),
+            (2, "same text here", "en", "s2", 14),
+            (3, "other words entirely", "en", "s1", 20),
+            (4, "vier worte auf deutsch", "de", "s2", 22),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = T.load_table
+    try:
+        PP.load_table = lambda s, d, name: docs  # noqa: ARG005
+        rows = {
+            r.source: r
+            for r in all_queries(include_extended=True)[
+                "corpus_card_by_source"
+            ].fn(spark, "unused").collect()
+        }
+    finally:
+        PP.load_table = orig
+    assert rows["s1"].lang_entropy == 0.0
+    assert math.isclose(rows["s2"].lang_entropy, math.log(2), abs_tol=1e-6)
+    assert rows["s1"].n_exact_dup_docs == 1
+    assert rows["s2"].n_exact_dup_docs == 1
+    assert rows["s1"].n_docs == 2 and rows["s2"].n_docs == 2
