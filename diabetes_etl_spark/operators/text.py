@@ -260,3 +260,72 @@ def bigram_lm_score(
             "rare_bigram_frac"
         ),
     )
+
+
+def kn_bigram_lm_score(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> "DataFrame":
+    """Interpolated Kneser-Ney bigram LM quality signals per doc — the
+    smoothed successor to :func:`bigram_lm_score` (Kneser & Ney 1995;
+    Chen & Goodman 1999), still in exact log-free form:
+
+        p_KN(w2|w1) = (c(w1,w2) - d) / c(w1)
+                      + d * N1+(w1,.) / c(w1) * p_cont(w2)
+        p_cont(w2)  = N1+(., w2) / |distinct bigram types|
+
+    with d = 0.75 (exactly representable in binary).  KN redistributes
+    probability mass toward words that appear in MANY distinct
+    contexts — "the", "of" score high as continuations; a word seen
+    often but only ever after one history (e.g. "Francisco") scores
+    low — which separates formulaic/boilerplate text from fluent text
+    better than raw MLE.  Per doc:
+
+    - ``avg_kn_prob``: mean p_KN over the doc's bigrams (each term is
+      a fixed double-op sequence, folded through DECIMAL(38,15) then
+      pinned at 12 digits — order-independent, hash-checkable);
+    - ``avg_cont_prob``: mean continuation probability of the doc's
+      second words (high = generic vocabulary, low = niche).
+
+    Scale shape (same as the MLE form): the bigram count table is one
+    map-side-combined groupBy of the exploded pairs; c1 / N1+ forward
+    / N1+ backward / the type total all re-aggregate the COUNT TABLE,
+    not the corpus; scoring is equi-joins plus one broadcast 1-row
+    total and a per-doc aggregate.  The model lives in the plan.
+    Because every doc bigram is by construction in the corpus table,
+    the max(c-d, 0) clamp of the published form is never active.
+    """
+    bg = doc_bigrams(df, text_col, id_col)
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("cnt2"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("cnt2").alias("cnt1"), F.count("*").alias("fw")
+    )
+    bw = c2.groupBy("w2").agg(F.count("*").alias("bw"))
+    tt = c2.agg(F.count("*").alias("t_types"))
+    d = F.lit(discount)
+    p_cont = F.col("bw").cast("double") / F.col("t_types")
+    p_kn = (
+        (F.col("cnt2").cast("double") - d) / F.col("cnt1")
+        + (d * F.col("fw") / F.col("cnt1"))
+        * (F.col("bw").cast("double") / F.col("t_types"))
+    )
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(bw, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select("id", p_kn.alias("p_kn"), p_cont.alias("p_cont"))
+    )
+    from diabetes_etl_spark.functions.numeric import dec_cast, dec_sum
+
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        dec_cast(
+            dec_sum(F.col("p_kn"), 15, 38) / F.count("*"), 12
+        ).alias("avg_kn_prob"),
+        dec_cast(
+            dec_sum(F.col("p_cont"), 15, 38) / F.count("*"), 12
+        ).alias("avg_cont_prob"),
+    )

@@ -410,6 +410,68 @@ def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KN_ORACLE = f"""
+WITH bg AS (
+  SELECT doc_id AS id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM (SELECT doc_id, {_D_TOKENS} AS t FROM documents))
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(cnt2) AS BIGINT) AS cnt1,
+              COUNT(*) AS fw FROM c2 GROUP BY w1),
+bw AS (SELECT w2, COUNT(*) AS bw FROM c2 GROUP BY w2),
+tt AS (SELECT COUNT(*) AS t_types FROM c2),
+scored AS (
+  SELECT bg.id,
+    ((CAST(c2.cnt2 AS DOUBLE) - 0.75) / c1.cnt1)
+      + ((0.75 * c1.fw / c1.cnt1)
+         * (CAST(bw.bw AS DOUBLE) / tt.t_types)) AS p_kn,
+    CAST(bw.bw AS DOUBLE) / tt.t_types AS p_cont
+  FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+  JOIN c1 ON bg.w1 = c1.w1
+  JOIN bw ON bg.w2 = bw.w2
+  CROSS JOIN tt
+)
+SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(CAST(CAST(SUM(CAST(p_kn AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*)
+       AS DECIMAL(18,12)) AS DOUBLE) AS avg_kn_prob,
+  CAST(CAST(CAST(SUM(CAST(p_cont AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*)
+       AS DECIMAL(18,12)) AS DOUBLE) AS avg_cont_prob
+FROM scored GROUP BY id ORDER BY doc_id
+"""
+
+
+@register(
+    "text_kn_lm_quality",
+    oracle=_KN_ORACLE,
+    doc="Interpolated Kneser-Ney bigram LM quality per doc (Kneser & "
+    "Ney 1995; Chen & Goodman 1999) — the smoothed successor to "
+    "text_bigram_lm_quality, still exact/log-free: p_KN(w2|w1) = "
+    "(c-0.75)/c1 + 0.75*N1+(w1,.)/c1 * p_cont(w2) with p_cont from "
+    "distinct-history counts, each term a pinned double-op sequence "
+    "folded through DECIMAL then 12-digit-pinned.  Count table + its "
+    "re-aggregations (c1, N1+ fw/bw, type total) never touch the "
+    "corpus again; scoring is equi-joins plus one broadcast 1-row "
+    "total.  avg_cont_prob separates generic from niche vocabulary.",
+    tags=("text", "lm", "quality", "extension"),
+    extended=True,
+)
+def text_kn_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.text import kn_bigram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        kn_bigram_lm_score(docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_bigrams",
+            "avg_kn_prob",
+            "avg_cont_prob",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # -- count-min sketch (operators/sketch.py) --------------------------------
 
 _CMS_W, _CMS_D, _CMS_SEED = 512, 4, 7

@@ -366,3 +366,75 @@ def test_heaps_growth_cumulative_and_sublinear(spark, sf_dir):
     assert rows[-1].cum_vocab == true_vocab
     # sublinear: the last decile adds tokens but (here) almost no vocab
     assert rows[-1].new_vocab <= rows[0].new_vocab
+
+
+# -- Kneser-Ney smoothed bigram LM (round-8) --------------------------------
+
+
+def test_kn_lm_score_hand_case(spark):
+    from diabetes_etl_spark.operators.text import kn_bigram_lm_score
+
+    # c2: (a,b)=3 (b,a)=1 (b,c)=1; c1: a=3(fw 1) b=2(fw 2);
+    # bw: a=1 b=1 c=1; T=3 types -> every p_cont = 1/3
+    out = {
+        r.id: r
+        for r in kn_bigram_lm_score(
+            _docs(spark, [(1, "a b a b"), (2, "a b c")])
+        ).collect()
+    }
+    d1, d2 = out[1], out[2]
+    # p_kn(b|a) = (3-.75)/3 + (.75*1/3)*(1/3) = 5/6
+    # p_kn(a|b) = p_kn(c|b) = (1-.75)/2 + (.75*2/2)*(1/3) = 3/8
+    assert abs(d1.avg_kn_prob - (5 / 6 + 3 / 8 + 5 / 6) / 3) < 1e-11
+    assert abs(d2.avg_kn_prob - (5 / 6 + 3 / 8) / 2) < 1e-11
+    assert abs(d1.avg_cont_prob - 1 / 3) < 1e-11
+    assert abs(d2.avg_cont_prob - 1 / 3) < 1e-11
+
+
+def test_kn_lm_is_proper_distribution(spark):
+    """For every history w1, the seen-bigram mass plus the backoff
+    mass over ALL continuation types must sum to exactly 1 — the
+    defining property of interpolated KN."""
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.operators.text import doc_bigrams
+
+    rows = [(i, f"w{i % 4} w{(i * 3) % 5} w{i % 3} x end") for i in range(30)]
+    bg = doc_bigrams(_docs(spark, rows))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("cnt2"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("cnt2").alias("cnt1"), F.count("*").alias("fw")
+    )
+    t_types = c2.count()
+    # seen mass per w1 + d*fw/c1 * (sum of p_cont over all types == 1)
+    for r in (
+        c2.groupBy("w1")
+        .agg(F.sum(F.col("cnt2") - 0.75).alias("num"))
+        .join(c1, "w1")
+        .collect()
+    ):
+        total = r.num / r.cnt1 + 0.75 * r.fw / r.cnt1 * (
+            sum(
+                b.bw / t_types
+                for b in c2.groupBy("w2")
+                .agg(F.count("*").alias("bw"))
+                .collect()
+            )
+        )
+        assert abs(total - 1.0) < 1e-9
+
+
+def test_kn_lm_partition_invariant_bit_identical(spark):
+    from diabetes_etl_spark.operators.text import kn_bigram_lm_score
+
+    rows = [(i, f"w{i % 5} w{(i * 3) % 7} w{i % 5} end") for i in range(40)]
+    a = sorted(map(tuple, kn_bigram_lm_score(_docs(spark, rows)).collect()))
+    b = sorted(
+        map(
+            tuple,
+            kn_bigram_lm_score(
+                _docs(spark, rows).repartition(11)
+            ).collect(),
+        )
+    )
+    assert a == b
