@@ -1481,3 +1481,111 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+_PATH_ORACLE = f"""
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type, value,
+    CASE WHEN epoch_us(ts)
+              - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+              >= 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+), s AS (
+  SELECT user_id, ts, event_id, event_type, value,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_seq
+  FROM g
+), r AS (
+  SELECT user_id, session_seq, event_type, value,
+    row_number() OVER (PARTITION BY user_id, session_seq
+                       ORDER BY ts, event_id) AS rn
+  FROM s
+), p AS (
+  SELECT user_id, session_seq,
+    string_agg(CASE WHEN rn <= 5 THEN event_type END, '>' ORDER BY rn)
+      AS path,
+    COUNT(*) AS n_events,
+    {sql_dec_sum("value", 2)} AS sess_value
+  FROM r GROUP BY user_id, session_seq
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+  CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_events,
+  {sql_dec_sum("sess_value", 2)} AS total_value
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT 20
+"""
+
+
+@register(
+    "events_path_mining",
+    oracle=_PATH_ORACLE,
+    doc="Top-20 session journey paths: gaps-and-islands sessionization "
+    "(30-min inactivity), each session reduced to its first-5 ordered "
+    "event-type path (sort_array over (rn, type) structs — "
+    "collect_list order is NOT deterministic under parallel merge, "
+    "the sort is what pins it), then path-level frequency / mean "
+    "length / decimal-folded value.  Two windows over the same "
+    "(user_id) partitioning reuse one shuffle; the path aggregate "
+    "shuffles one short string + two numbers per session, never "
+    "events; top-20 is a TakeOrdered, not a full sort.",
+    tags=("events", "session", "path", "analytics", "extension"),
+    extended=True,
+)
+def events_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    is_new = (
+        us - F.lag(us).over(w_user) >= 1800 * 1_000_000
+    ).cast("int")
+    s = ev.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.coalesce(is_new, F.lit(0)).alias("is_new"),
+    ).withColumn(
+        "session_seq",
+        F.sum("is_new").over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    r = s.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_seq").orderBy(
+                "ts", "event_id"
+            )
+        ),
+    )
+    per_session = r.groupBy("user_id", "session_seq").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                1,
+                5,
+            ),
+        ).alias("path"),
+        F.count("*").alias("n_events"),
+        dec_sum(F.col("value"), 2).alias("sess_value"),
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            (F.sum("n_events").cast("double") / F.count("*")).alias(
+                "avg_events"
+            ),
+            dec_sum(F.col("sess_value"), 2).alias("total_value"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )

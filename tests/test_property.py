@@ -534,3 +534,35 @@ def test_edit_distance_pairs_lossless_random(spark, names, d):
         if _lev(a[1], b[1]) <= d
     )
     assert got == want
+
+
+def test_path_mining_partition_invariant(spark, sf_dir):
+    """The journey path is pinned by sort_array over (rn, type) structs,
+    not collect_list arrival order — the result must be bit-identical
+    across input partitionings."""
+    from diabetes_etl_spark.plans import all_queries
+    from diabetes_etl_spark.sources.tables import load_table
+
+    fn = all_queries(include_extended=True)["events_path_mining"].fn
+    a = [tuple(r) for r in fn(spark, sf_dir).collect()]
+
+    import diabetes_etl_spark.sources.tables as tables
+
+    orig = tables.load_table
+
+    def scrambled(spark_, d, name):
+        df = orig(spark_, d, name)
+        return df.repartition(13) if name == "events" else df
+
+    tables.load_table = scrambled
+    # the plan module captured load_table at import; patch there too
+    import diabetes_etl_spark.plans.events as evmod
+
+    ev_orig = evmod.load_table
+    evmod.load_table = scrambled
+    try:
+        b = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    finally:
+        tables.load_table = orig
+        evmod.load_table = ev_orig
+    assert a == b
