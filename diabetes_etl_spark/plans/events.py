@@ -1589,3 +1589,123 @@ def events_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
     )
+
+
+def _markov_oracle(rounds: int) -> str:
+    # unroll the power iteration as chained CTEs (the PageRank-oracle
+    # pattern): each round folds through DECIMAL(38,15) then pins at
+    # 12 digits, so Spark and DuckDB agree bit-for-bit round by round
+    pis = []
+    prev = "pi0"
+    for k in range(1, rounds + 1):
+        pis.append(f"""
+pi{k} AS (
+  SELECT s.state, COALESCE(x.pi, CAST(0.0 AS DOUBLE)) AS pi
+  FROM states s LEFT JOIN (
+    SELECT p.nxt AS state,
+      CAST(CAST(CAST(SUM(CAST({prev}.pi * p.pv AS DECIMAL(38,15)))
+           AS DOUBLE) AS DECIMAL(18,12)) AS DOUBLE) AS pi
+    FROM {prev} JOIN p ON {prev}.state = p.cur GROUP BY p.nxt
+  ) x ON s.state = x.state
+)""")
+        prev = f"pi{k}"
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS nxt
+  FROM events
+),
+t2 AS (SELECT event_type AS cur, nxt, COUNT(*) AS cnt2 FROM seq
+       WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+c1 AS (SELECT cur, CAST(SUM(cnt2) AS BIGINT) AS cnt1 FROM t2 GROUP BY cur),
+p AS (SELECT t2.cur, t2.nxt, CAST(t2.cnt2 AS DOUBLE) / c1.cnt1 AS pv
+      FROM t2 JOIN c1 ON t2.cur = c1.cur),
+states AS (SELECT DISTINCT cur AS state FROM t2),
+n AS (SELECT COUNT(*) AS n FROM states),
+pi0 AS (SELECT state, CAST(1.0 AS DOUBLE) / n.n AS pi
+        FROM states CROSS JOIN n),
+{",".join(pis)},
+emp AS (SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM events)
+SELECT s.state AS event_type, {prev}.pi AS stationary_prob,
+  CAST(emp.cnt AS DOUBLE) / tot.t AS empirical_share
+FROM states s JOIN {prev} ON s.state = {prev}.state
+JOIN emp ON emp.event_type = s.state CROSS JOIN tot
+ORDER BY event_type
+"""
+
+
+_MARKOV_ROUNDS = 8
+
+
+@register(
+    "events_markov_stationary",
+    oracle=_markov_oracle(_MARKOV_ROUNDS),
+    doc="Steady-state user-behavior distribution: per-user consecutive "
+    "event-type transitions -> row-stochastic matrix (exact rational "
+    "cells), then 8 power-iteration rounds from uniform, each round's "
+    "mass decimal-folded and 12-digit-pinned (bit-identical to the "
+    "unrolled-CTE oracle).  The iteration runs on the TYPE-level "
+    "matrix (|types|^2 rows, ~25 here) — events are touched exactly "
+    "twice (transition count + empirical share), every join "
+    "broadcast-sized.  States with no outgoing edges would absorb "
+    "mass; documented, and absent in this event stream.",
+    tags=("events", "markov", "graph", "analytics", "extension"),
+    extended=True,
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from diabetes_etl_spark.functions.numeric import dec_cast, dec_sum as _ds
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    t2 = seq.groupBy("cur", "nxt").agg(F.count("*").alias("cnt2"))
+    c1 = t2.groupBy("cur").agg(F.sum("cnt2").alias("cnt1"))
+    p = t2.join(c1, "cur").select(
+        "cur", "nxt",
+        (F.col("cnt2").cast("double") / F.col("cnt1")).alias("pv"),
+    )
+    states = t2.select(F.col("cur").alias("state")).distinct()
+    n = states.count()  # |event types| — a handful; bounded driver value
+    pi = states.select(
+        "state", (F.lit(1.0) / F.lit(n).cast("long")).alias("pi")
+    )
+    p_r = p.select(
+        F.col("cur").alias("p_cur"),
+        F.col("nxt").alias("p_nxt"),
+        "pv",
+    )
+    for _ in range(_MARKOV_ROUNDS):
+        nxt_pi = (
+            pi.join(p_r, F.col("state") == F.col("p_cur"))
+            .groupBy(F.col("p_nxt").alias("state"))
+            .agg(
+                dec_cast(
+                    _ds(F.col("pi") * F.col("pv"), 15, 38), 12
+                ).alias("next_pi")
+            )
+        )
+        pi = states.join(nxt_pi, "state", "left").select(
+            "state", F.coalesce(F.col("next_pi"), F.lit(0.0)).alias("pi")
+        )
+    emp = ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    tot = ev.agg(F.count("*").alias("t"))
+    return (
+        states.join(pi, "state")
+        .join(emp, states["state"] == emp["event_type"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("state").alias("event_type"),
+            F.col("pi").alias("stationary_prob"),
+            (F.col("cnt").cast("double") / F.col("t")).alias(
+                "empirical_share"
+            ),
+        )
+        .orderBy("event_type")
+    )
