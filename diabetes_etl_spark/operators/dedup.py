@@ -1279,3 +1279,92 @@ def remove_duplicate_lines_incremental(
     )
     new_hashes = keeper.select("h")
     return cleaned, new_hashes
+
+
+def _splitmix64(x: int) -> int:
+    z = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+def source_overlap_perm_keys(num_perms: int) -> list[int]:
+    """Deterministic 59-bit XOR keys for the per-source MinHash perms
+    (splitmix64 of the slot index, masked below the hash width so the
+    XOR never touches the sign bit)."""
+    return [_splitmix64(j) & ((1 << 59) - 1) for j in range(num_perms)]
+
+
+def source_minhash_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    num_perms: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Pairwise estimated shingle-set Jaccard between corpus sources
+    from per-source MinHash signatures — the curation question "how
+    much does source A re-serve source B's content?" answered without
+    ever joining text.
+
+    Per source the state is ``num_perms`` 8-byte minima plus one
+    distinct-shingle count: constant-size, mergeable (min/count are
+    associative), the exact shape a 100 TB multi-source sweep needs —
+    signatures for a new crawl batch fold into the stored ones without
+    re-reading history.  XOR by a fixed 59-bit key is a bijection on
+    the hash universe, so each slot is a valid min-wise permutation;
+    agreement_rate estimates Jaccard with s.e. ~= sqrt(J(1-J)/K).
+
+    Scale shape: shingle text is hashed ONCE (engine-portable
+    60-bit polynomial hash, :func:`portable_token_hash`), reduced to
+    distinct (source, hash) — a count-table-sized shuffle — then K
+    mins per source; the pair matrix is |sources|^2 rows of tiny
+    signatures.  Oracle-paired bit-exactly (the estimator itself is
+    mirrored, not a tolerance).
+    """
+    from diabetes_etl_spark.operators.text import word_shingles
+
+    hb = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(
+                word_shingles(F.col(text_col), shingle_n)
+            ).alias("tok"),
+        )
+        .select("grp", portable_token_hash(F.col("tok")).alias("b"))
+        .distinct()
+    )
+    keys = source_overlap_perm_keys(num_perms)
+    sig = hb.groupBy("grp").agg(
+        F.count("*").alias("n_sh"),
+        *[
+            F.min(F.col("b").bitwiseXOR(F.lit(k))).alias(f"m{j}")
+            for j, k in enumerate(keys)
+        ],
+    )
+    a = sig.select(
+        F.col("grp").alias("source_a"),
+        F.col("n_sh").alias("n_sh_a"),
+        *[F.col(f"m{j}").alias(f"a{j}") for j in range(num_perms)],
+    )
+    b = sig.select(
+        F.col("grp").alias("source_b"),
+        F.col("n_sh").alias("n_sh_b"),
+        *[F.col(f"m{j}").alias(f"b{j}") for j in range(num_perms)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(num_perms)
+    )
+    return (
+        a.join(b, F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            agree.cast("long").alias("sig_agreements"),
+            (agree.cast("double") / num_perms).alias("est_jaccard"),
+            "n_sh_a",
+            "n_sh_b",
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -1159,3 +1159,117 @@ def er_edit_distance_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_pairs(
         cust, "c_custkey", "c_name", max_dist=1, q=3
     ).orderBy("id_a", "id_b")
+
+
+_OVERLAP_MINS = """MIN(xor(b, 153307352162749871)) AS m0,
+    MIN(xor(b, 74922837739199681)) AS m1,
+    MIN(xor(b, 529232184294725326)) AS m2,
+    MIN(xor(b, 363407168092868589)) AS m3,
+    MIN(xor(b, 464965269110098634)) AS m4,
+    MIN(xor(b, 217082132513276762)) AS m5,
+    MIN(xor(b, 388617822205370368)) AS m6,
+    MIN(xor(b, 273560573251292631)) AS m7,
+    MIN(xor(b, 456642232600311350)) AS m8,
+    MIN(xor(b, 481694939222138980)) AS m9,
+    MIN(xor(b, 38019731430059978)) AS m10,
+    MIN(xor(b, 69071857923403933)) AS m11,
+    MIN(xor(b, 306238162993057539)) AS m12,
+    MIN(xor(b, 345149584737929983)) AS m13,
+    MIN(xor(b, 191919841431250494)) AS m14,
+    MIN(xor(b, 530179042305200133)) AS m15,
+    MIN(xor(b, 423768122528862727)) AS m16,
+    MIN(xor(b, 37284371365065571)) AS m17,
+    MIN(xor(b, 81262499383865394)) AS m18,
+    MIN(xor(b, 306374460917881412)) AS m19,
+    MIN(xor(b, 442014189655327116)) AS m20,
+    MIN(xor(b, 489215147674969543)) AS m21,
+    MIN(xor(b, 3906538319515146)) AS m22,
+    MIN(xor(b, 60756813980729814)) AS m23,
+    MIN(xor(b, 200621289661537860)) AS m24,
+    MIN(xor(b, 146579386651883273)) AS m25,
+    MIN(xor(b, 267951980378672602)) AS m26,
+    MIN(xor(b, 526416696815191690)) AS m27,
+    MIN(xor(b, 26026036502140012)) AS m28,
+    MIN(xor(b, 250875205319249776)) AS m29,
+    MIN(xor(b, 67087230022323662)) AS m30,
+    MIN(xor(b, 529619871313423082)) AS m31"""
+_OVERLAP_AGREE = """(CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m4 = b.m4 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m5 = b.m5 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m6 = b.m6 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m7 = b.m7 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m8 = b.m8 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m9 = b.m9 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m10 = b.m10 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m11 = b.m11 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m12 = b.m12 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m13 = b.m13 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m14 = b.m14 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m15 = b.m15 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m16 = b.m16 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m17 = b.m17 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m18 = b.m18 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m19 = b.m19 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m20 = b.m20 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m21 = b.m21 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m22 = b.m22 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m23 = b.m23 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m24 = b.m24 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m25 = b.m25 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m26 = b.m26 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m27 = b.m27 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m28 = b.m28 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m29 = b.m29 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m30 = b.m30 THEN 1 ELSE 0 END)
+      + (CASE WHEN a.m31 = b.m31 THEN 1 ELSE 0 END)"""
+
+_SOURCE_OVERLAP_ORACLE = f"""
+WITH sh AS (
+  SELECT source,
+    unnest(list_transform(
+      generate_series(1, greatest(len(t) - 2, 1)),
+      i -> array_to_string(t[i:i+2], ' '))) AS tok
+  FROM (SELECT source, {_D_TOKENS} AS t FROM documents)
+), raw AS (
+  SELECT source, ({_P_H1}) AS h1, ({_P_H2}) AS h2 FROM sh
+), hb AS (
+  SELECT DISTINCT source,
+    ((h1 * 2654435761 + h2) % 1000000007) * CAST(1073741824 AS BIGINT)
+      + ((h2 * 2246822519 + h1) % 999999937) AS b
+  FROM raw
+), sig AS (
+  SELECT source, COUNT(*) AS n_sh,
+    {{mins}}
+  FROM hb GROUP BY source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+  CAST({{agree}} AS BIGINT) AS sig_agreements,
+  CAST({{agree}} AS DOUBLE) / 32 AS est_jaccard,
+  a.n_sh AS n_sh_a, b.n_sh AS n_sh_b
+FROM sig a JOIN sig b ON a.source < b.source
+ORDER BY source_a, source_b
+""".format(mins=_OVERLAP_MINS, agree=_OVERLAP_AGREE)
+
+
+@register(
+    "corpus_source_overlap",
+    oracle=_SOURCE_OVERLAP_ORACLE,
+    doc="Pairwise estimated shingle-set Jaccard between corpus sources "
+    "from per-source 32-slot MinHash signatures (operators/dedup.py:"
+    "source_minhash_overlap) — 'how much does source A re-serve "
+    "source B?' with constant mergeable per-source state (32 minima + "
+    "a distinct count) and no text join.  Shingles are hashed once "
+    "with the engine-portable polynomial hash, reduced to distinct "
+    "(source, hash); XOR-by-key bijections give the permutations; the "
+    "oracle mirrors the ESTIMATOR bit-exactly, not a tolerance.",
+    tags=("dedup", "corpus", "minhash", "extension"),
+    extended=True,
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.source_minhash_overlap(
+        docs, "source", "text", num_perms=32, shingle_n=3
+    )

@@ -1059,3 +1059,44 @@ def test_c4_incremental_batch_internal_dups_still_elected(spark):
     assert "p q r s t u v w" not in out[11].cleaned_text
     # the keeper hashes (both docs' distinct kept lines) are the delta
     assert new_h.count() == 3
+
+
+# -- per-source MinHash overlap (round-8) -----------------------------------
+
+
+def test_source_overlap_estimates_known_jaccard(spark):
+    """Two sources built from shingle-disjoint sentence pools with a
+    known shared half: J = |A∩B|/|A∪B| = 1/3; the 32-slot estimate
+    must land within 3 standard errors (~0.25)."""
+    from diabetes_etl_spark.operators.dedup import source_minhash_overlap
+
+    shared = [f"s{i} s{i}x s{i}y s{i}z" for i in range(40)]
+    only_a = [f"a{i} a{i}x a{i}y a{i}z" for i in range(40)]
+    only_b = [f"b{i} b{i}x b{i}y b{i}z" for i in range(40)]
+    rows = [(i, t, "src_a") for i, t in enumerate(shared + only_a)] + [
+        (1000 + i, t, "src_b") for i, t in enumerate(shared + only_b)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = source_minhash_overlap(df, "source", "text").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.source_a, r.source_b) == ("src_a", "src_b")
+    # each 4-token doc yields 2 distinct 3-shingles -> 80 per pool half
+    assert r.n_sh_a == 160 and r.n_sh_b == 160
+    assert abs(r.est_jaccard - 1 / 3) < 0.25
+    assert r.sig_agreements == round(r.est_jaccard * 32)
+
+
+def test_source_overlap_identical_sources_full_agreement(spark):
+    from diabetes_etl_spark.operators.dedup import source_minhash_overlap
+
+    rows = [(i, f"t{i} u{i} v{i} w{i}", s) for i in range(20)
+            for s in ("x", "y")]
+    df = spark.createDataFrame(
+        [(i * 2 + (0 if s == "x" else 1), t, s) for i, (_, t, s) in
+         enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+    r = source_minhash_overlap(df, "source", "text").collect()[0]
+    assert r.est_jaccard == 1.0 and r.sig_agreements == 32
+    assert r.n_sh_a == r.n_sh_b
