@@ -555,3 +555,62 @@ def hll_intersection_estimate(
             "hll_a", "hll_b", "hll_union",
         )
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    grid: int = 64,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Mergeable fixed-grid histogram quantiles: bucket = floor(value *
+    grid), one count per occupied bucket, quantile(q) = the lower edge
+    of the first bucket whose cumulative count reaches ceil(q * n).
+
+    This is the quantile member of the portable-sketch family
+    (CMS / HLL / Bloom here): per group the state is O(occupied
+    buckets) exact counts — associative under addition, so shards /
+    days / sources merge by summing bucket rows, unlike
+    percentile_approx's GK state which is neither portable nor
+    SQL-mirrorable.  Rank error is zero (the count table is exact);
+    VALUE error is bounded by the grid pitch 1/grid.  floor(double *
+    int) is bit-identical cross-engine, so the whole estimator
+    oracle-pairs exactly.
+
+    Scale shape: one map-side-combined groupBy to the bucket table
+    (|groups| x |occupied buckets| rows — thousands, not rows), a
+    per-group running sum over that tiny table, one row per group out.
+    """
+    g = F.col(group_col) if group_col else F.lit("all")
+    buckets = (
+        df.select(
+            g.alias("grp"),
+            F.floor(F.col(value_col) * grid).cast("long").alias("bucket"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = buckets.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy("grp"))
+    )
+    aggs = [F.sum("cnt").cast("long").alias("n")]
+    for q in qs:
+        tag = f"p{int(round(q * 100))}"
+        aggs.append(
+            (
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.ceil(F.col("total") * q),
+                        F.col("bucket"),
+                    )
+                ).cast("double")
+                / grid
+            ).alias(f"{tag}_est")
+        )
+    return cum.groupBy("grp").agg(*aggs).orderBy("grp")

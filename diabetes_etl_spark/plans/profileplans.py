@@ -422,3 +422,58 @@ def corpus_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_QH_GRID = 64
+
+
+def _qh_arm(q: float, tag: str) -> str:
+    return (
+        f"CAST(MIN(CASE WHEN cum >= ceil(total * CAST({q} AS DOUBLE)) "
+        f"THEN bucket END) AS DOUBLE) / {_QH_GRID} AS {tag}_est"
+    )
+
+
+_QH_ORACLE = f"""
+WITH b AS (
+  SELECT event_type AS grp,
+    CAST(floor(value * {_QH_GRID}) AS BIGINT) AS bucket,
+    COUNT(*) AS cnt
+  FROM events GROUP BY grp, bucket
+), c AS (
+  SELECT grp, bucket, cnt,
+    SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    SUM(cnt) OVER (PARTITION BY grp) AS total
+  FROM b
+)
+SELECT grp AS event_type, CAST(SUM(cnt) AS BIGINT) AS n,
+  {_qh_arm(0.5, "p50")},
+  {_qh_arm(0.9, "p90")},
+  {_qh_arm(0.99, "p99")}
+FROM c GROUP BY grp ORDER BY event_type
+"""
+
+
+@register(
+    "quantile_histogram_by_type",
+    oracle=_QH_ORACLE,
+    doc="Mergeable fixed-grid histogram quantiles of event value per "
+    "event type (operators/sketch.py:histogram_quantiles) — the "
+    "quantile member of the portable-sketch family: per group the "
+    "state is exact counts over floor(value*64) buckets, associative "
+    "under addition (shards/days merge by summing bucket rows), value "
+    "error bounded by the 1/64 pitch, zero rank error.  One map-side-"
+    "combined groupBy to a thousands-row bucket table, a running sum "
+    "over THAT, one row per group; the estimator (incl. the double "
+    "ceil(total*q) rank cut) is mirrored bit-exactly.",
+    tags=("profile", "sketch", "quantile", "extension"),
+    extended=True,
+)
+def quantile_histogram_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.sketch import histogram_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return histogram_quantiles(
+        ev, "value", "event_type", grid=_QH_GRID
+    ).withColumnRenamed("grp", "event_type")

@@ -387,3 +387,42 @@ def test_hll_intersection_estimate_tracks_true_overlap(spark):
     row2 = hll_intersection_estimate(a, c, m_log2).first()
     assert row2.hll_inter_estimate < 3 * sigma_union  # ~disjoint
     assert row2.hll_inter_estimate >= 0.0
+
+
+# -- fixed-grid histogram quantiles (round-8) -------------------------------
+
+
+def test_histogram_quantiles_value_error_bound(spark):
+    """Estimate must sit within one grid pitch below the exact
+    quantile (the estimator returns the bucket's LOWER edge)."""
+    import numpy as np
+
+    from diabetes_etl_spark.operators.sketch import histogram_quantiles
+
+    vals = [((i * 37) % 1000) / 50.0 for i in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    r = histogram_quantiles(df, "value", grid=64).collect()[0]
+    for q, est in ((0.5, r.p50_est), (0.9, r.p90_est), (0.99, r.p99_est)):
+        exact = float(np.quantile(np.array(vals), q, method="inverted_cdf"))
+        assert est <= exact + 1e-12, (q, est, exact)
+        assert exact - est <= 1.0 / 64 + 1e-12, (q, est, exact)
+
+
+def test_histogram_quantiles_shards_merge_exactly(spark):
+    """Bucket tables are associative: quantiles computed from the
+    union of two disjoint shards equal quantiles of the full data —
+    the defining mergeability property."""
+    from diabetes_etl_spark.operators.sketch import histogram_quantiles
+
+    rows = [(("a" if i % 3 else "b"), ((i * 61) % 500) / 25.0)
+            for i in range(1500)]
+    full = spark.createDataFrame(rows, "g string, value double")
+    a = full.filter("value < 10")
+    b = full.filter("value >= 10")
+    got_full = sorted(
+        map(tuple, histogram_quantiles(full, "value", "g").collect())
+    )
+    got_merged = sorted(
+        map(tuple, histogram_quantiles(a.unionAll(b), "value", "g").collect())
+    )
+    assert got_full == got_merged
