@@ -527,3 +527,69 @@ def join_bloom_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+_BASKET_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS n_together
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b
+)
+SELECT part_a, part_b, CAST(n_together AS BIGINT) AS n_together,
+  CAST(n_together AS DOUBLE) / n.n_orders AS support
+FROM pairs CROSS JOIN n
+ORDER BY n_together DESC, part_a, part_b LIMIT 20
+"""
+
+
+@register(
+    "basket_part_pairs",
+    oracle=_BASKET_ORACLE,
+    doc="Market-basket co-occurrence mining: top-20 part pairs bought "
+    "in the same order, with support against the order universe — "
+    "the A-Priori candidate-pair stage as one self-equi-join.  Scale "
+    "shape: the join key is l_orderkey and TPC-H orders hold <= 7 "
+    "items, so per-order pair fan-out is bounded by C(7,2)=21 — the "
+    "blow-up knob is data-bounded, not corpus-bounded (the same "
+    "contract the LSH bucket caps enforce elsewhere); the pair count "
+    "table shuffles (int, int, count) rows only and top-20 is a "
+    "TakeOrdered, never a full sort.",
+    tags=("tpch", "basket", "analytics", "extension"),
+    extended=True,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, ["ok"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_together"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_together",
+            (F.col("n_together").cast("double") / F.col("n_orders")).alias(
+                "support"
+            ),
+        )
+        .orderBy(F.col("n_together").desc(), "part_a", "part_b")
+        .limit(20)
+    )
