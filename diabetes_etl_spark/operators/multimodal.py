@@ -2556,6 +2556,337 @@ def attach_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# -- BMP (Windows DIB): BI_RGB 8/24-bit and BI_RLE8, either row order ------
+#
+# The fourth raster codec family.  BMP carries no entropy coding beyond
+# optional byte-level RLE, so the decode surface is header/layout
+# semantics the other codecs never exercise: bottom-up DEFAULT row order
+# (top-down only via negative biHeight, and then never RLE-compressed),
+# 4-byte scanline padding, BGR(A) channel order, and the two-mode RLE8
+# stream (encoded runs vs absolute literals with word alignment).
+# Reference parity: the reference pipeline has no media decode at all —
+# this extends the multimodal extension tier alongside PNG/JPEG/GIF.
+
+
+def fixture_bmp_dims(doc_id: int) -> tuple[int, int]:
+    """(w, h) of the BMP fixture for a doc id — shared by the payload
+    producer, the tests, and (as arithmetic) the oracle."""
+    return 6 + doc_id % 10, 5 + doc_id % 8
+
+
+def fixture_bmp_indices(doc_id: int, width: int, height: int) -> bytes:
+    """Palette index of pixel p (row-major) is
+    ``(d*31 + (p // (1 + (p//w) % 2)) * 7) mod 256``: EVEN rows advance
+    the index every pixel (singleton runs, so RLE8 encodes them in
+    ABSOLUTE mode), ODD rows advance every second pixel (length-2 runs,
+    ENCODED mode) — one corpus exercises both RLE8 modes while staying
+    pure arithmetic for the SQL oracle."""
+    out = bytearray()
+    for p in range(width * height):
+        step = 1 + (p // width) % 2
+        out.append((doc_id * 31 + (p // step) * 7) % 256)
+    return bytes(out)
+
+
+def _rle8_encode_row(row: bytes) -> bytes:
+    """RLE8-encode one scanline (no EOL marker): maximal runs of length
+    >= 2 (or isolated short literal stretches) become encoded-mode
+    ``(count, value)`` pairs; stretches of >= 3 consecutive singleton
+    runs become absolute-mode ``(0, count, bytes..., pad-to-word)``."""
+    runs: list[tuple[int, int]] = []
+    i = 0
+    while i < len(row):
+        j = i
+        while j < len(row) and row[j] == row[i]:
+            j += 1
+        runs.append((j - i, row[i]))
+        i = j
+    out = bytearray()
+    k = 0
+    while k < len(runs):
+        if runs[k][0] == 1:
+            m = k
+            while m < len(runs) and runs[m][0] == 1:
+                m += 1
+            if m - k >= 3:
+                lits = bytes(runs[t][1] for t in range(k, m))
+                for s in range(0, len(lits), 255):
+                    chunk = lits[s : s + 255]
+                    if len(chunk) >= 3:
+                        out += bytes((0, len(chunk))) + chunk
+                        if len(chunk) % 2:
+                            out += b"\x00"
+                    else:  # 1-2 byte tail of a 255-split: encoded pairs
+                        for b in chunk:
+                            out += bytes((1, b))
+                k = m
+                continue
+        cnt, v = runs[k]
+        while cnt > 0:
+            c = min(cnt, 255)
+            out += bytes((c, v))
+            cnt -= c
+        k += 1
+    return bytes(out)
+
+
+def bmp_bytes(
+    width: int,
+    height: int,
+    indices: bytes,
+    *,
+    bpp: int = 24,
+    rle: bool = False,
+    top_down: bool = False,
+    palette: bytes | None = None,
+) -> bytes:
+    """Encode an 8-bit indexed raster as a real BMP: 24-bit BI_RGB
+    (indices expanded through the palette at encode time, BGR order,
+    4-byte-padded rows, bottom-up unless ``top_down``), 8-bit BI_RGB
+    (padded index rows + BGRA color table), or 8-bit BI_RLE8 (two-mode
+    run-length stream, per-row EOL, trailing EOB).  All variants decode
+    to identical RGB, so one arithmetic oracle covers every wire shape.
+    """
+    if len(indices) != width * height:
+        raise ValueError(
+            f"need {width * height} indices for {width}x{height}, "
+            f"got {len(indices)}"
+        )
+    pal = palette if palette is not None else fixture_gif_palette()
+    if len(pal) != 768:
+        raise ValueError("palette must be 256 RGB entries (768 bytes)")
+    if rle and bpp != 8:
+        raise ValueError("BI_RLE8 requires 8-bit pixels")
+    if rle and top_down:
+        raise ValueError("a top-down BMP cannot be RLE-compressed")
+    rows = [indices[r * width : (r + 1) * width] for r in range(height)]
+    stored = rows if top_down else rows[::-1]
+    pal_bytes = b""
+    if bpp == 24:
+        pad = b"\x00" * ((-(width * 3)) % 4)
+        body = b"".join(
+            b"".join(
+                bytes((pal[3 * j + 2], pal[3 * j + 1], pal[3 * j]))
+                for j in row
+            )
+            + pad
+            for row in stored
+        )
+        comp, n_colors = 0, 0
+    elif bpp == 8:
+        pal_bytes = b"".join(
+            bytes((pal[3 * j + 2], pal[3 * j + 1], pal[3 * j], 0))
+            for j in range(256)
+        )
+        if rle:
+            parts = []
+            for ri, row in enumerate(stored):
+                parts.append(_rle8_encode_row(bytes(row)))
+                parts.append(b"\x00\x00" if ri < height - 1 else b"\x00\x01")
+            body = b"".join(parts)
+            comp = 1
+        else:
+            pad = b"\x00" * ((-width) % 4)
+            body = b"".join(bytes(row) + pad for row in stored)
+            comp = 0
+        n_colors = 256
+    else:
+        raise ValueError(f"{bpp}-bit BMP encode unsupported (8/24 only)")
+    data_off = 14 + 40 + len(pal_bytes)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        width,
+        -height if top_down else height,
+        1,
+        bpp,
+        comp,
+        len(body),
+        2835,
+        2835,
+        n_colors,
+        0,
+    )
+    head = b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+    return head + info + pal_bytes + body
+
+
+def probe_bmp(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, n_channels) from the info header — no pixel
+    decode.  Decoded output is always expanded to 3-channel RGB."""
+    if len(payload) < 26 or payload[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    w, h = struct.unpack("<ii", payload[18:26])
+    return w, abs(h), 3
+
+
+def _rle8_decode(data: bytes, width: int, height: int) -> list[bytes]:
+    """Decode a BI_RLE8 stream to ``height`` full index rows in STORED
+    (bottom-up) order.  A feature extractor must refuse rasters with
+    undefined pixels, so underfilled rows at EOL/EOB and the delta
+    escape (which skips pixels the spec leaves undefined) all raise."""
+    rows: list[bytes] = []
+    cur = bytearray()
+    x = 0
+    i = 0
+    while True:
+        if i + 2 > len(data):
+            raise ValueError("RLE8 stream truncated")
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n > 0:  # encoded mode: n copies of v
+            if x + n > width:
+                raise ValueError("RLE8 run overflows the row")
+            cur += bytes((v,)) * n
+            x += n
+        elif v == 0:  # end of line
+            if x != width:
+                raise ValueError("RLE8 row underfilled at EOL")
+            rows.append(bytes(cur))
+            cur = bytearray()
+            x = 0
+            if len(rows) > height:
+                raise ValueError("RLE8 stream has too many rows")
+        elif v == 1:  # end of bitmap
+            if x == width:
+                rows.append(bytes(cur))
+            elif x != 0:
+                raise ValueError("RLE8 row underfilled at EOB")
+            if len(rows) != height:
+                raise ValueError("RLE8 ended before covering the raster")
+            return rows
+        elif v == 2:
+            raise ValueError(
+                "RLE8 delta escape leaves skipped pixels undefined; refusing"
+            )
+        else:  # absolute mode: v literal bytes, word-aligned
+            if x + v > width:
+                raise ValueError("RLE8 absolute run overflows the row")
+            if i + v > len(data):
+                raise ValueError("RLE8 absolute run truncated")
+            cur += data[i : i + v]
+            x += v
+            i += v + (v & 1)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a BMP to (width, height, 3, rgb_bytes): BITMAPINFOHEADER
+    (or the V4/V5 extensions sharing its first 40 bytes), 8-bit
+    palettized (BI_RGB or BI_RLE8) and 24-bit BI_RGB pixel formats,
+    bottom-up and top-down row order, 4-byte scanline padding, BGR(A)
+    to RGB channel swap.  OS/2 core headers, other bit depths, and
+    streams with undefined pixels fail loudly."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER (OS/2) BMPs unsupported")
+    w, h_raw = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    comp = struct.unpack("<I", payload[30:34])[0]
+    n_colors = struct.unpack("<I", payload[46:50])[0]
+    if planes != 1:
+        raise ValueError(f"BMP planes must be 1, got {planes}")
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h_raw}")
+    if bpp == 24:
+        if comp != 0:
+            raise ValueError("24-bit BMP must be BI_RGB")
+        stride = w * 3 + ((-(w * 3)) % 4)
+        if data_off + stride * h > len(payload):
+            raise ValueError("BMP pixel data truncated")
+        rows = []
+        for r in range(h):
+            off = data_off + r * stride
+            row = bytearray()
+            for x in range(w):
+                b, g, rr = payload[off + 3 * x : off + 3 * x + 3]
+                row += bytes((rr, g, b))
+            rows.append(bytes(row))
+    elif bpp == 8:
+        n_pal = n_colors or 256
+        pal = payload[14 + hdr_size : 14 + hdr_size + 4 * n_pal]
+        if len(pal) < 4 * n_pal:
+            raise ValueError("BMP color table truncated")
+        if comp == 0:
+            stride = w + ((-w) % 4)
+            if data_off + stride * h > len(payload):
+                raise ValueError("BMP pixel data truncated")
+            idx_rows = [
+                payload[data_off + r * stride : data_off + r * stride + w]
+                for r in range(h)
+            ]
+        elif comp == 1:
+            if top_down:
+                raise ValueError("top-down BMP cannot be RLE-compressed")
+            idx_rows = _rle8_decode(payload[data_off:], w, h)
+        else:
+            raise ValueError(f"BMP compression {comp} unsupported")
+        rows = []
+        for irow in idx_rows:
+            row = bytearray()
+            for j in irow:
+                if j >= n_pal:
+                    raise ValueError("BMP palette index out of range")
+                row += bytes((pal[4 * j + 2], pal[4 * j + 1], pal[4 * j]))
+            rows.append(bytes(row))
+    else:
+        raise ValueError(f"{bpp}-bit BMP unsupported (8/24 only)")
+    if not top_down:
+        rows = rows[::-1]
+    return w, h, 3, b"".join(rows)
+
+
+def attach_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """All-BMP binary fixture: every row becomes a real BMP whose
+    palette indices follow :func:`fixture_bmp_indices` through the
+    fixed :func:`fixture_gif_palette`; ODD doc ids are 8-bit BI_RLE8
+    (bottom-up — both RLE modes exercised by the row-parity run
+    structure), ids % 4 == 0 are 24-bit TOP-DOWN, ids % 4 == 2 are
+    24-bit bottom-up — the decoded RGB is identical across all three
+    wire shapes, so ONE arithmetic oracle covers every decode path."""
+    from diabetes_etl_spark.operators.util import widen
+
+    src = widen(df.select(F.col(id_col).alias("doc_id")))
+
+    def produce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                bw, bh = fixture_bmp_dims(doc_id)
+                idx = fixture_bmp_indices(doc_id, bw, bh)
+                if doc_id % 2 == 1:
+                    payload = bmp_bytes(bw, bh, idx, bpp=8, rle=True)
+                else:
+                    payload = bmp_bytes(
+                        bw, bh, idx, bpp=24, top_down=doc_id % 4 == 0
+                    )
+                rows.append(
+                    (
+                        doc_id,
+                        payload,
+                        {
+                            "mime": "image/bmp",
+                            "n_bytes": len(payload),
+                            "checksum": hashlib.md5(payload).hexdigest(),
+                        },
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "asset_meta"])
+
+    return src.mapInPandas(
+        produce,
+        schema=(
+            "doc_id long, payload binary, "
+            "asset_meta struct<mime: string, n_bytes: int, checksum: string>"
+        ),
+    )
+
+
 def decode_payload(mime: str, payload: bytes) -> bytes:
     """Decode a media payload to its canonical raw representation
     (identity for text, pixel bytes for PNG/JPEG, PCM frame bytes for
@@ -2572,6 +2903,8 @@ def decode_payload(mime: str, payload: bytes) -> bytes:
         return decode_png(payload)[3]
     if mime == "image/gif":
         return decode_gif(payload)[3]
+    if mime == "image/bmp":
+        return decode_bmp(payload)[3]
     if mime == "audio/wav":
         return decode_wav(payload)[3]
     if mime == "image/jpeg":
@@ -2619,6 +2952,13 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 )
             elif mime == "image/gif":
                 w, h, ch, raw = decode_gif(payload)
+                n_space, n_alpha, fp = _byte_stats(raw)
+                rows.append(
+                    (doc_id, mime, len(raw), w, h, ch, n_space, n_alpha,
+                     fp, None, None)
+                )
+            elif mime == "image/bmp":
+                w, h, ch, raw = decode_bmp(payload)
                 n_space, n_alpha, fp = _byte_stats(raw)
                 rows.append(
                     (doc_id, mime, len(raw), w, h, ch, n_space, n_alpha,

@@ -1198,6 +1198,71 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BMP fixture arithmetic (operators/multimodal.py:fixture_bmp_dims /
+# fixture_bmp_indices): palette index of pixel p of doc d is
+# (d*31 + (p // (1 + (p//w) % 2))*7) mod 256 — even rows advance every
+# pixel, odd rows every second pixel (the RLE8 two-mode run structure);
+# decoded RGB maps through the same fixed palette as the GIF family.
+_BMP_W = "(6 + doc_id % 10)"
+_BMP_H = "(5 + doc_id % 8)"
+_BMP_LEN = f"({_BMP_W} * {_BMP_H} * 3)"
+_BMP_IDX = (
+    f"((doc_id * 31 + ((i // 3) // (1 + ((i // 3) // {_BMP_W}) % 2)) * 7)"
+    " % 256)"
+)
+_BMP_PX = (
+    f"(CASE i % 3 WHEN 0 THEN {_BMP_IDX} "
+    f"WHEN 1 THEN ({_BMP_IDX} * 3) % 256 "
+    f"ELSE ({_BMP_IDX} * 7) % 256 END)"
+)
+
+
+@register(
+    "multimodal_bmp_decode",
+    oracle=f"""
+SELECT doc_id,
+  CAST({_BMP_LEN} AS INT) AS byte_len,
+  CAST({_BMP_W} AS INT) AS width,
+  CAST({_BMP_H} AS INT) AS height,
+  CAST(3 AS INT) AS n_channels,
+  CAST(len(list_filter(generate_series(0, {_BMP_LEN} - 1),
+                       i -> {_BMP_PX} = 32)) AS INT) AS n_space,
+  CAST(len(list_filter(generate_series(0, {_BMP_LEN} - 1),
+                       i -> {_BMP_PX} BETWEEN 97 AND 122)) AS INT) AS n_alpha,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(generate_series(0, 15), i -> CAST({_BMP_PX} AS BIGINT))),
+    (acc, x) -> (acc * 131 + x) % 1000000007) AS head_fingerprint
+FROM documents
+""",
+    doc="BMP decode over a corpus mixing all three wire shapes: every "
+    "documents row becomes a real Windows DIB "
+    "(operators/multimodal.py:bmp_bytes — ODD ids 8-bit BI_RLE8 whose "
+    "row-parity run structure exercises BOTH RLE modes (encoded runs "
+    "and word-aligned absolute literals), ids % 4 == 0 24-bit TOP-DOWN "
+    "(negative biHeight), ids % 4 == 2 24-bit bottom-up) over the fixed "
+    "GIF-family palette; Spark parses the headers, decompresses RLE8 "
+    "with strict undefined-pixel refusal, strips 4-byte scanline "
+    "padding, swaps BGR(A) to RGB and normalizes row order "
+    "(decode_bmp); the oracle recomputes decoded-RGB statistics purely "
+    "arithmetically.  Same Arrow-batched mapInPandas plumbing as the "
+    "other codec queries.",
+    tags=("multimodal", "bmp", "pandas-udf", "extension"),
+    extended=True,
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.multimodal import (
+        attach_bmp_payloads,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_bmp_payloads(docs))
+    return feats.select(
+        "doc_id", "byte_len", "width", "height", "n_channels",
+        "n_space", "n_alpha", "head_fingerprint",
+    )
+
+
 # -- audio signal features ---------------------------------------------------
 
 _AS_RATE = "(8000 + 100 * (doc_id % 5))"

@@ -1310,6 +1310,182 @@ def test_gif_features_in_plan(spark):
         assert r.n_alpha == sum(1 for x in rgb if 97 <= x <= 122)
 
 
+# -- BMP (Windows DIB): BI_RGB 8/24-bit, BI_RLE8, row orders ----------------
+
+
+def _bmp_rgb(indices: bytes) -> bytes:
+    from diabetes_etl_spark.operators.multimodal import fixture_gif_palette
+
+    pal = fixture_gif_palette()
+    return bytes(v for j in indices for v in pal[3 * j : 3 * j + 3])
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (4, 3), (6, 5), (15, 12), (3, 13)])
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(bpp=24),
+        dict(bpp=24, top_down=True),
+        dict(bpp=8),
+        dict(bpp=8, rle=True),
+    ],
+)
+def test_bmp_roundtrip(w, h, kw):
+    from diabetes_etl_spark.operators.multimodal import (
+        bmp_bytes,
+        decode_bmp,
+        decode_payload,
+        probe_bmp,
+    )
+
+    idx = _pix(w * h, seed=9)
+    payload = bmp_bytes(w, h, idx, **kw)
+    assert probe_bmp(payload) == (w, h, 3)
+    assert decode_bmp(payload) == (w, h, 3, _bmp_rgb(idx))
+    assert decode_payload("image/bmp", payload) == _bmp_rgb(idx)
+
+
+def test_bmp_wire_shapes_differ_but_decode_identically():
+    """24-bit bottom-up / 24-bit top-down / 8-bit RLE8 are three
+    different byte streams that must decode to the same RGB."""
+    from diabetes_etl_spark.operators.multimodal import bmp_bytes, decode_bmp
+
+    w, h = 7, 6
+    idx = _pix(w * h, seed=3)
+    variants = [
+        bmp_bytes(w, h, idx, bpp=24),
+        bmp_bytes(w, h, idx, bpp=24, top_down=True),
+        bmp_bytes(w, h, idx, bpp=8),
+        bmp_bytes(w, h, idx, bpp=8, rle=True),
+    ]
+    assert len({v for v in variants}) == 4  # genuinely distinct wires
+    decoded = {decode_bmp(v) for v in variants}
+    assert len(decoded) == 1
+
+
+def test_bmp_rle8_exercises_both_modes():
+    """The fixture's row-parity run structure must produce BOTH RLE8
+    modes on the wire: absolute-mode markers (0, n>=3) for the
+    singleton-run even rows and encoded (count>=2, value) pairs for
+    the odd rows — and absolute runs must be word-aligned."""
+    from diabetes_etl_spark.operators.multimodal import (
+        _rle8_encode_row,
+        fixture_bmp_indices,
+    )
+
+    w, h = 9, 6
+    idx = fixture_bmp_indices(0, w, h)
+    rows = [idx[r * w : (r + 1) * w] for r in range(h)]
+    even_enc = _rle8_encode_row(bytes(rows[0]))  # singleton runs
+    odd_enc = _rle8_encode_row(bytes(rows[1]))  # length-2 runs
+    assert even_enc[0] == 0 and even_enc[1] >= 3  # absolute mode
+    assert len(even_enc) % 2 == 0  # word alignment held
+    # odd rows: a leading singleton then length-2 encoded runs
+    pairs = [
+        (odd_enc[i], odd_enc[i + 1]) for i in range(0, len(odd_enc), 2)
+    ]
+    assert any(n >= 2 for n, _ in pairs)  # encoded mode present
+    # splitting >255-byte literal stretches stays lossless
+    long_row = bytes(i % 251 for i in range(600))
+    enc = _rle8_encode_row(long_row)
+    out = bytearray()
+    i = 0
+    while i < len(enc):
+        n, v = enc[i], enc[i + 1]
+        i += 2
+        if n > 0:
+            out += bytes((v,)) * n
+        else:
+            out += enc[i : i + v]
+            i += v + (v & 1)
+    assert bytes(out) == long_row
+
+
+def test_bmp_rle8_undefined_pixels_refused():
+    """Delta escapes and underfilled rows leave pixels undefined; the
+    decoder must refuse rather than fabricate values."""
+    from diabetes_etl_spark.operators.multimodal import (
+        bmp_bytes,
+        decode_bmp,
+        _rle8_decode,
+    )
+
+    with pytest.raises(ValueError, match="delta"):
+        _rle8_decode(b"\x00\x02\x01\x01\x00\x01", 4, 1)
+    with pytest.raises(ValueError, match="underfilled"):
+        _rle8_decode(b"\x02\x05\x00\x00\x04\x07\x00\x01", 4, 2)
+    with pytest.raises(ValueError, match="truncated"):
+        _rle8_decode(b"\x04\x05\x00", 4, 1)
+    with pytest.raises(ValueError, match="overflows"):
+        _rle8_decode(b"\x05\x09\x00\x01", 4, 1)
+    # a top-down RLE8 header is spec-invalid: flip the height sign
+    w, h = 4, 3
+    payload = bytearray(bmp_bytes(w, h, _pix(w * h), bpp=8, rle=True))
+    import struct
+
+    payload[22:26] = struct.pack("<i", -h)
+    with pytest.raises(ValueError, match="top-down"):
+        decode_bmp(bytes(payload))
+
+
+def test_bmp_v5_header_and_bad_streams():
+    """A BITMAPV5HEADER (124-byte info header) must decode like the
+    40-byte form; OS/2 core headers and unknown depths fail loudly."""
+    import struct
+
+    from diabetes_etl_spark.operators.multimodal import bmp_bytes, decode_bmp
+
+    w, h = 5, 4
+    idx = _pix(w * h, seed=8)
+    base = bmp_bytes(w, h, idx, bpp=8)
+    # rebuild with a 124-byte header: splice 84 zero bytes after the
+    # 40-byte info block and bump data_off/hdr_size accordingly
+    extra = 84
+    data_off = struct.unpack("<I", base[10:14])[0]
+    rebuilt = bytearray(base[:54] + b"\x00" * extra + base[54:])
+    rebuilt[10:14] = struct.pack("<I", data_off + extra)
+    rebuilt[14:18] = struct.pack("<I", 124)
+    assert decode_bmp(bytes(rebuilt)) == decode_bmp(base)
+    # OS/2 BITMAPCOREHEADER (size 12) refused
+    core = bytearray(base)
+    core[14:18] = struct.pack("<I", 12)
+    with pytest.raises(ValueError, match="OS/2"):
+        decode_bmp(bytes(core))
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"XX" + base[2:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(base[: len(base) - 8])
+    bad_bpp = bytearray(base)
+    bad_bpp[28:30] = struct.pack("<H", 4)
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_bmp(bytes(bad_bpp))
+
+
+def test_bmp_features_in_plan(spark):
+    """extract_features routes image/bmp through the real decoder and
+    the fixture mixes all three wire shapes across doc ids."""
+    from diabetes_etl_spark.operators.multimodal import (
+        attach_bmp_payloads,
+        extract_features,
+        fixture_bmp_dims,
+        fixture_bmp_indices,
+    )
+
+    docs = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    rows = {
+        r.doc_id: r
+        for r in extract_features(attach_bmp_payloads(docs)).collect()
+    }
+    assert len(rows) == 12
+    for doc_id, r in rows.items():
+        w, h = fixture_bmp_dims(doc_id)
+        rgb = _bmp_rgb(fixture_bmp_indices(doc_id, w, h))
+        assert (r.width, r.height, r.n_channels) == (w, h, 3)
+        assert r.byte_len == len(rgb)
+        assert r.n_space == rgb.count(b" ")
+        assert r.n_alpha == sum(1 for x in rgb if 97 <= x <= 122)
+
+
 # -- audio signal features ---------------------------------------------------
 
 
