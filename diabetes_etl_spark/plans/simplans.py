@@ -732,6 +732,119 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.quantized_topk(emb, F.col("vec_id") < 10, k=5)
 
 
+# -- product quantization (PQ) ADC top-k -------------------------------------
+#
+# The oracle unrolls the ENTIRE pipeline — per-subspace Lloyd rounds
+# (the clusterplans recipe with `sub` as an extra grouping key), code
+# assignment, the query-to-centroid lookup table, and the ADC sum —
+# in the same decimal-pinned arithmetic as operators/pq.py, so the
+# hash pins every Lloyd round AND the final ranking.
+
+_PQ_M, _PQ_K, _PQ_ITERS, _PQ_SUBDIM = 4, 8, 2, 16
+
+
+def _pq_assign_sql(name: str, cent: str) -> str:
+    return f"""
+{name} AS (
+  SELECT id, sub, cid AS code FROM (
+    SELECT id, sub, cid,
+      row_number() OVER (PARTITION BY id, sub ORDER BY d2, cid) AS rn
+    FROM (
+      SELECT p.id, p.sub, c.cid,
+        SUM(CAST((p.x - c.c) * (p.x - c.c) AS DECIMAL(25,15))) AS d2
+      FROM pqpts p JOIN {cent} c ON p.sub = c.sub AND p.pos = c.pos
+      GROUP BY p.id, p.sub, c.cid))
+  WHERE rn = 1
+)"""
+
+
+def _pq_update_sql(name: str, prev: str, assign: str) -> str:
+    return f"""
+{name} AS (
+  SELECT prev.sub, prev.cid, prev.pos,
+    COALESCE(CAST(CAST(CAST(s.s AS DOUBLE) / s.n AS DECIMAL(18,12))
+                  AS DOUBLE), prev.c) AS c
+  FROM {prev} prev LEFT JOIN (
+    SELECT p.sub, a.code AS cid, p.pos,
+      SUM(CAST(p.x AS DECIMAL(25,15))) AS s, COUNT(*) AS n
+    FROM pqpts p JOIN {assign} a ON p.id = a.id AND p.sub = a.sub
+    GROUP BY p.sub, a.code, p.pos
+  ) s ON prev.sub = s.sub AND prev.cid = s.cid AND prev.pos = s.pos
+)"""
+
+
+def _pq_oracle() -> str:
+    parts = [
+        f"""
+pqpts AS (
+  SELECT vec_id AS id, (i - 1) // {_PQ_SUBDIM} AS sub,
+         (i - 1) % {_PQ_SUBDIM} AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+seeds AS (
+  SELECT sid, row_number() OVER (ORDER BY sid) - 1 AS cid
+  FROM (SELECT vec_id AS sid FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
+),
+c0 AS (SELECT p.sub, s.cid, p.pos, p.x AS c
+       FROM seeds s JOIN pqpts p ON s.sid = p.id)"""
+    ]
+    for r in range(1, _PQ_ITERS + 1):
+        parts.append(_pq_assign_sql(f"a{r}", f"c{r - 1}"))
+        parts.append(_pq_update_sql(f"c{r}", f"c{r - 1}", f"a{r}"))
+    parts.append(_pq_assign_sql("codes", f"c{_PQ_ITERS}"))
+    parts.append(f"""
+lut AS (
+  SELECT q.id AS qid, c.sub, c.cid,
+    SUM(CAST((q.x - c.c) * (q.x - c.c) AS DECIMAL(25,15))) AS d2
+  FROM pqpts q JOIN c{_PQ_ITERS} c ON q.sub = c.sub AND q.pos = c.pos
+  WHERE q.id < 10
+  GROUP BY q.id, c.sub, c.cid
+),
+adc AS (
+  SELECT l.qid, cd.id, SUM(l.d2) AS adc
+  FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.cid
+  WHERE cd.id != l.qid
+  GROUP BY l.qid, cd.id
+)""")
+    return (
+        "WITH " + ",".join(parts) + """
+SELECT qid AS query_id, id AS candidate_id,
+  ROUND(CAST(adc AS DOUBLE), 9) AS adc_d2, CAST(rn AS INT) AS adc_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, id) AS rn
+  FROM adc
+) WHERE rn <= 5
+"""
+    )
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=_pq_oracle(),
+    doc="Product-quantization ANN (Jégou et al. 2011): 4 subspaces x "
+    "8-code Lloyd codebooks (2 rounds, smallest-id seeds), 4-byte "
+    "codes per 64-dim vector (64x compression), asymmetric-distance "
+    "top-5 for 10 queries via a broadcast q*m*k lookup table — the "
+    "corpus embeddings are touched only at encode time; every future "
+    "query batch scans just the codes (operators/pq.py).  The oracle "
+    "unrolls training, encoding, and ADC scoring in the same "
+    "decimal-pinned arithmetic, so the hash pins every Lloyd round.",
+    tags=("similarity", "pq", "ann", "extension"),
+    extended=True,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.pq import pq_adc_topk, pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = pq_train(emb, dim=64, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS)
+    codes = pq_encode(emb, book, dim=64, m=_PQ_M)
+    return pq_adc_topk(
+        emb.where(F.col("vec_id") < 10), codes, book, dim=64, m=_PQ_M, k=5
+    )
+
+
 @register(
     "multimodal_video_probe",
     oracle="""
