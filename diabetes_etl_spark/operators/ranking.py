@@ -200,3 +200,148 @@ def rrf_fuse(
     if topk is not None:
         out = out.filter(F.col("rrf_rank") <= topk)
     return out
+
+
+def mmr_topk(
+    df: "DataFrame",
+    query_ids: "Column",
+    k: int = 5,
+    lam: float = 0.7,
+    pool: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR 1998): per query, greedily select ``k`` vectors
+    maximizing ``lam * rel(q, d) - (1 - lam) * max_{s in selected}
+    sim(d, s)`` — the standard re-rank that trades pure relevance for
+    coverage, used to de-redundantize retrieval shortlists and to
+    pick diverse exemplars from a training corpus.
+
+    Output: (query_id, selected_id, mmr_score, mmr_rank), rank 1..k
+    in selection order; round 1 scores ``lam * rel`` (empty penalty).
+
+    Scale shape (100 TB lens): the corpus is touched EXACTLY ONCE —
+    one broadcast-queries pass computes relevance and the per-query
+    top-``pool`` shortlist (rank-limit pattern, no full sort), which
+    is materialized; every MMR round after that runs on the
+    q x pool shortlist only (a few thousand rows regardless of corpus
+    size), joining it against the <= q*k broadcast selected set.  The
+    greedy argmax is inherently sequential in k — k is small by
+    definition (this is a re-ranker), and each round is one broadcast
+    join + one map-side-combined max per shortlist row, never a
+    corpus operation.
+
+    Determinism contract: relevance and pairwise similarities are the
+    decimal-folded cosines of operators/similarity.py rounded to 9
+    digits; ``lam`` multiplies as an IEEE double with the identical
+    literal on both engines; argmax ties break on the smaller
+    candidate id.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    from diabetes_etl_spark.operators.similarity import dot_exact, with_norm
+
+    spark = df.sparkSession
+    base = with_norm(df, vec_col)
+    queries = base.filter(query_ids).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+    )
+    cands = base.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("_norm").alias("c_norm"),
+    )
+    rel = (
+        cands.crossJoin(F.broadcast(queries))
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn(
+            "rel",
+            F.round(
+                dot_exact("q_vec", "c_vec")
+                / (F.col("q_norm") * F.col("c_norm")),
+                9,
+            ),
+        )
+    )
+    w_pool = Window.partitionBy("qid").orderBy(
+        F.col("rel").desc(), F.col("cid")
+    )
+    shortlist = (
+        rel.withColumn("_rn", F.row_number().over(w_pool))
+        .filter(F.col("_rn") <= pool)
+        .select("qid", "cid", "rel", "c_vec", "c_norm")
+    )
+    # one corpus pass: the shortlist (q x pool rows) is the only thing
+    # the k greedy rounds ever read
+    pool_dir = tempfile.mkdtemp(prefix="spark_mmr_")
+    atexit.register(shutil.rmtree, pool_dir, ignore_errors=True)
+    shortlist.write.mode("overwrite").parquet(pool_dir)
+    P = spark.read.parquet(pool_dir)
+
+    lam_c = F.lit(float(lam))
+    one_m = F.lit(float(1.0 - lam))
+    w_pick = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("cid")
+    )
+
+    first = (
+        P.withColumn("score", lam_c * F.col("rel"))
+        .withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "qid",
+            F.col("cid").alias("sid"),
+            F.col("c_vec").alias("s_vec"),
+            F.col("c_norm").alias("s_norm"),
+            F.col("score").alias("mmr_score"),
+            F.lit(1).alias("mmr_rank"),
+        )
+    )
+    selected = first
+    for r in range(2, k + 1):
+        remaining = P.join(
+            selected.select("qid", F.col("sid").alias("cid")),
+            ["qid", "cid"],
+            "left_anti",
+        )
+        penal = (
+            remaining.join(F.broadcast(selected.select(
+                "qid", "sid", "s_vec", "s_norm")), "qid")
+            .withColumn(
+                "sim",
+                F.round(
+                    dot_exact("c_vec", "s_vec")
+                    / (F.col("c_norm") * F.col("s_norm")),
+                    9,
+                ),
+            )
+            .groupBy("qid", "cid", "rel", "c_vec", "c_norm")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        pick = (
+            penal.withColumn(
+                "score", lam_c * F.col("rel") - one_m * F.col("maxsim")
+            )
+            .withColumn("_rn", F.row_number().over(w_pick))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "qid",
+                F.col("cid").alias("sid"),
+                F.col("c_vec").alias("s_vec"),
+                F.col("c_norm").alias("s_norm"),
+                F.col("score").alias("mmr_score"),
+                F.lit(r).alias("mmr_rank"),
+            )
+        )
+        selected = selected.unionByName(pick)
+    return selected.select(
+        F.col("qid").alias("query_id"),
+        F.col("sid").alias("selected_id"),
+        F.round(F.col("mmr_score"), 9).alias("mmr_score"),
+        F.col("mmr_rank").cast("int").alias("mmr_rank"),
+    )

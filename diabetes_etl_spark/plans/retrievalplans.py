@@ -168,3 +168,137 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         [lex, dense], id_col="doc_id", rank_col="rank",
         k_rrf=_RRF_K, topk=_RRF_TOPK,
     )
+
+
+# -- MMR diversified top-k ---------------------------------------------------
+#
+# The oracle unrolls the greedy selection round by round: the same
+# 9-digit-rounded decimal cosines, the same IEEE score arithmetic
+# (literals emitted via repr() so lam = 0.7 and 1 - lam =
+# 0.30000000000000004 are the IDENTICAL doubles Spark multiplies
+# with), argmax ties on the smaller candidate id.
+
+_MMR_K, _MMR_LAM, _MMR_POOL = 5, 0.7, 50
+_MMR_NQ = 5  # queries: vec_id < 5
+
+
+def _mmr_oracle(k: int, lam: float, pool: int) -> str:
+    lam_l = f"CAST({lam!r} AS DOUBLE)"
+    one_m = f"CAST({1.0 - lam!r} AS DOUBLE)"
+    parts = [
+        f"""
+norms AS (
+  SELECT vec_id,
+    sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+         AS DECIMAL(20,15))) AS DOUBLE)) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+  GROUP BY vec_id
+),
+rel0 AS (
+  SELECT d.qid, d.cid, ROUND(d.dot / (nq.nrm * nc.nrm), 9) AS rel
+  FROM (
+    SELECT qid, cid,
+      CAST(SUM(CAST(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)
+           AS DECIMAL(20,15))) AS DOUBLE) AS dot
+    FROM (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             unnest(q.embedding) AS qx, unnest(c.embedding) AS cx
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id < {_MMR_NQ} AND c.vec_id != q.vec_id
+    ) GROUP BY qid, cid
+  ) d
+  JOIN norms nq ON d.qid = nq.vec_id
+  JOIN norms nc ON d.cid = nc.vec_id
+),
+P AS (
+  SELECT qid, cid, rel FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+    FROM rel0) WHERE rn <= {pool}
+),
+members AS (SELECT DISTINCT cid FROM P),
+cc AS (
+  SELECT d.a, d.b, ROUND(d.dot / (na.nrm * nb.nrm), 9) AS sim
+  FROM (
+    SELECT a, b,
+      CAST(SUM(CAST(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)
+           AS DECIMAL(20,15))) AS DOUBLE) AS dot
+    FROM (
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             unnest(x.embedding) AS xa, unnest(y.embedding) AS xb
+      FROM (SELECT e.* FROM embeddings e JOIN members m
+              ON e.vec_id = m.cid) x
+      JOIN (SELECT e.* FROM embeddings e JOIN members m
+              ON e.vec_id = m.cid) y
+        ON x.vec_id != y.vec_id
+    ) GROUP BY a, b
+  ) d
+  JOIN norms na ON d.a = na.vec_id
+  JOIN norms nb ON d.b = nb.vec_id
+),
+s1 AS (
+  SELECT qid, cid AS sid, score, 1 AS rank FROM (
+    SELECT qid, cid, {lam_l} * rel AS score,
+      row_number() OVER (
+        PARTITION BY qid ORDER BY {lam_l} * rel DESC, cid) AS rn
+    FROM P) WHERE rn = 1
+),
+sel1 AS (SELECT qid, sid FROM s1)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(f"""
+m{r} AS (
+  SELECT p.qid, p.cid, p.rel, MAX(cc.sim) AS maxsim
+  FROM P p
+  JOIN sel{r - 1} s ON p.qid = s.qid
+  JOIN cc ON cc.a = p.cid AND cc.b = s.sid
+  WHERE NOT EXISTS (SELECT 1 FROM sel{r - 1} x
+                    WHERE x.qid = p.qid AND x.sid = p.cid)
+  GROUP BY p.qid, p.cid, p.rel
+),
+s{r} AS (
+  SELECT qid, cid AS sid, score, {r} AS rank FROM (
+    SELECT qid, cid, {lam_l} * rel - {one_m} * maxsim AS score,
+      row_number() OVER (PARTITION BY qid
+        ORDER BY {lam_l} * rel - {one_m} * maxsim DESC, cid) AS rn
+    FROM m{r}) WHERE rn = 1
+),
+sel{r} AS (SELECT qid, sid FROM sel{r - 1}
+           UNION ALL SELECT qid, sid FROM s{r})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT qid, sid, score, rank FROM s{r}" for r in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT qid AS query_id, sid AS selected_id,
+  ROUND(score, 9) AS mmr_score, CAST(rank AS INT) AS mmr_rank
+FROM ({union})
+"""
+    )
+
+
+@register(
+    "retrieval_mmr_diversified",
+    oracle=_mmr_oracle(_MMR_K, _MMR_LAM, _MMR_POOL),
+    doc="Maximal-Marginal-Relevance diversified top-5 for 5 query "
+    "vectors over a top-50 relevance shortlist (Carbonell & Goldstein "
+    "1998; lam = 0.7): one broadcast corpus pass builds the shortlist, "
+    "then each greedy round joins it against the tiny broadcast "
+    "selected set — corpus cost is rank-limited relevance only, the "
+    "diversification never touches more than q x pool rows "
+    "(operators/ranking.py:mmr_topk).  The oracle unrolls all 5 "
+    "selection rounds with identical 9-digit cosines and repr()-exact "
+    "IEEE score literals, so every round's argmax is hash-pinned.",
+    tags=("retrieval", "mmr", "extension"),
+    extended=True,
+)
+def retrieval_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.ranking import mmr_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_topk(
+        emb, F.col("vec_id") < _MMR_NQ, k=_MMR_K, lam=_MMR_LAM,
+        pool=_MMR_POOL,
+    )

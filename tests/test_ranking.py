@@ -161,3 +161,107 @@ def test_rrf_empty_input_raises(spark):
 
     with _pytest.raises(ValueError):
         rrf_fuse([])
+
+
+# -- MMR diversified top-k ---------------------------------------------------
+
+
+def _mmr_vecs(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_mmr_skips_redundant_runner_up(spark):
+    """Corpus: query q=(1,0); c1=(0.9,0.436) and its EXACT duplicate
+    c2, plus the mirror image c3=(0.9,-0.436) — all three equally
+    relevant to q.  Rank 1 takes c1 (id tie-break); rank 2 must skip
+    the duplicate (similarity 1.0 to c1) and take the mirror, whose
+    penalty is far lower.  Pure relevance would rank c1, c2."""
+    from diabetes_etl_spark.operators.ranking import mmr_topk
+    from pyspark.sql import functions as F
+
+    df = _mmr_vecs(
+        spark,
+        [
+            (0, [1.0, 0.0]),       # the query
+            (1, [0.9, 0.436]),
+            (2, [0.9, 0.436]),     # exact duplicate of c1
+            (3, [0.9, -0.436]),    # equally relevant, diverse
+        ],
+    )
+    out = sorted(
+        (r.mmr_rank, r.selected_id)
+        for r in mmr_topk(df, F.col("vec_id") == 0, k=2, lam=0.5).collect()
+    )
+    assert out == [(1, 1), (2, 3)]
+
+
+def test_mmr_rank1_is_pure_relevance_argmax(spark):
+    from diabetes_etl_spark.operators.ranking import mmr_topk
+    from diabetes_etl_spark.operators.similarity import cosine_topk
+    from pyspark.sql import functions as F
+
+    df = _mmr_vecs(
+        spark,
+        [(i, [float((i * 7) % 13) + 0.1, float((i * 5) % 11) + 0.1])
+         for i in range(20)],
+    )
+    top1 = {
+        r.query_id: r.candidate_id
+        for r in cosine_topk(df, F.col("vec_id") < 3, k=1).collect()
+    }
+    mmr1 = {
+        r.query_id: r.selected_id
+        for r in mmr_topk(df, F.col("vec_id") < 3, k=3).collect()
+        if r.mmr_rank == 1
+    }
+    assert mmr1 == top1
+
+
+def test_mmr_partition_invariant_bit_identical(spark):
+    from diabetes_etl_spark.operators.ranking import mmr_topk
+    from pyspark.sql import functions as F
+
+    df = _mmr_vecs(
+        spark,
+        [(i, [float((i * 7) % 13) + 0.1, float((i * 5) % 11) + 0.1,
+              float(i % 3) + 0.1])
+         for i in range(30)],
+    )
+
+    def run(d):
+        return sorted(
+            (r.query_id, r.selected_id, r.mmr_score, r.mmr_rank)
+            for r in mmr_topk(d, F.col("vec_id") < 2, k=4).collect()
+        )
+
+    assert run(df) == run(df.repartition(13))
+
+
+def test_mmr_pool_smaller_than_k(spark):
+    """pool=2 with k=4: only 2 candidates ever reachable -> 2 rows per
+    query, no error, ranks 1..2."""
+    from diabetes_etl_spark.operators.ranking import mmr_topk
+    from pyspark.sql import functions as F
+
+    df = _mmr_vecs(
+        spark,
+        [(i, [float(i + 1), float(2 * i + 1)]) for i in range(6)],
+    )
+    rows = mmr_topk(df, F.col("vec_id") == 0, k=4, pool=2).collect()
+    assert sorted(r.mmr_rank for r in rows) == [1, 2]
+
+
+def test_mmr_zero_norm_vectors_dropped(spark):
+    from diabetes_etl_spark.operators.ranking import mmr_topk
+    from pyspark.sql import functions as F
+
+    df = _mmr_vecs(
+        spark,
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.5, 0.5]),
+         (3, [0.9, 0.1])],
+    )
+    rows = mmr_topk(df, F.col("vec_id") == 0, k=3).collect()
+    assert 1 not in {r.selected_id for r in rows}
+    assert len(rows) == 2
