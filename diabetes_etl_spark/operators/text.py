@@ -10,7 +10,9 @@ in plans/textplans.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword probes for the language-ID heuristic.
@@ -328,4 +330,104 @@ def kn_bigram_lm_score(
         dec_cast(
             dec_sum(F.col("p_cont"), 15, 38) / F.count("*"), 12
         ).alias("avg_cont_prob"),
+    )
+
+
+# -- pairwise n-gram overlap metrics (ROUGE-N, BLEU) -------------------------
+#
+# Reference parity note: the reference pipeline has no text-pair
+# scoring; this extends the LLM-data-pipeline tier with the standard
+# summarization/translation overlap metrics (Lin 2004 ROUGE; Papineni
+# et al. 2002 BLEU) — in a training-data pipeline they score
+# paraphrase candidates, quantify near-dup severity beyond Jaccard,
+# and measure eval-set contamination by n-gram recall.
+#
+# Scale shape: all metrics are PER-ROW array arithmetic on the paired
+# texts — map-side JVM expressions, no shuffle, no Python; the only
+# shuffle belongs to whatever join built the pairs.  The clipped-
+# count lambda is O(distinct-grams x grams) per row — quadratic in
+# DOCUMENT length, constant in corpus size.
+
+
+def _clipped_overlap(ref_grams: Column, cand_grams: Column) -> Column:
+    """Sum over distinct candidate n-grams of min(count-in-ref,
+    count-in-cand) — the clipped modified-precision numerator."""
+    return F.aggregate(
+        F.array_distinct(cand_grams),
+        F.lit(0),
+        lambda acc, g: acc
+        + F.least(
+            F.size(F.filter(ref_grams, lambda x: x == g)),
+            F.size(F.filter(cand_grams, lambda x: x == g)),
+        ),
+    )
+
+
+def rouge_n(
+    ref_col: Column, cand_col: Column, n: int = 1
+) -> tuple[Column, Column, Column]:
+    """(precision, recall, f1) of clipped n-gram overlap — ROUGE-N
+    (Lin 2004) with BLEU-style clipping.  Division is IEEE double on
+    integer operands (cross-engine exact); f1 rounds to 9 digits."""
+    gr = ngrams_with_duplicates(ref_col, n)
+    gc = ngrams_with_duplicates(cand_col, n)
+    ov = _clipped_overlap(gr, gc).cast("double")
+    p = ov / F.size(gc)
+    r = ov / F.size(gr)
+    f1 = F.when(ov > 0, F.round(2 * p * r / (p + r), 9)).otherwise(
+        F.lit(0.0)
+    )
+    return F.round(p, 9), F.round(r, 9), f1
+
+
+def bleu_score(
+    ref_col: Column, cand_col: Column, max_n: int = 2
+) -> Column:
+    """Sentence BLEU-``max_n`` (Papineni et al. 2002) with Chen &
+    Cherry (2014) smoothing method 2 (add one to the numerator and
+    denominator of every order above unigram) and the standard
+    brevity penalty min(1, exp(1 - ref_len/cand_len)).
+
+    Determinism: each modified precision is an integer-operand IEEE
+    division; its libm ``ln`` quantizes to 9 decimals at the source
+    (the BM25 precedent), the uniform-weight sum is exact (weights
+    1/max_n on <= 9-decimal values), and the final ``exp`` product
+    quantizes to 9 — hash-stable cross-engine on the fixtures."""
+    log_sum = F.lit(0.0)
+    ov1 = None
+    for k in range(1, max_n + 1):
+        gr = ngrams_with_duplicates(ref_col, k)
+        gc = ngrams_with_duplicates(cand_col, k)
+        ov = _clipped_overlap(gr, gc).cast("double")
+        if k == 1:
+            ov1 = ov
+            p_k = ov / F.size(gc)
+        else:
+            p_k = (ov + 1.0) / (F.size(gc) + 1.0)
+        log_sum = log_sum + F.round(F.log(p_k), 9) / max_n
+    ref_len = token_count(ref_col).cast("double")
+    cand_len = token_count(cand_col).cast("double")
+    bp = F.least(F.lit(1.0), F.round(F.exp(1.0 - ref_len / cand_len), 9))
+    # zero unigram overlap means ln(0): guard BEFORE the log so neither
+    # engine ever evaluates it (DuckDB raises on ln(0))
+    return F.when(ov1 == 0, F.lit(0.0)).otherwise(
+        F.round(bp * F.round(F.exp(log_sum), 9), 9)
+    )
+
+
+def ngram_count_table(
+    df: DataFrame,
+    text_col: str,
+    n: int,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """(key_cols..., gram, cnt): n-gram occurrence counts per row key —
+    the explode/agg form of the overlap numerator, linear in corpus
+    size where the per-row clipped lambda is quadratic in document
+    length.  Shuffles (key, gram) pairs once with map-side combine."""
+    return (
+        df.select(*key_cols, F.explode(
+            ngrams_with_duplicates(F.col(text_col), n)).alias("gram"))
+        .groupBy(*key_cols, "gram")
+        .agg(F.count("*").alias("cnt"))
     )

@@ -1290,3 +1290,190 @@ def text_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# -- ROUGE / BLEU pairwise overlap -------------------------------------------
+
+_D_NG = {
+    n: (
+        "list_transform(generate_series(1, greatest(len({t}) - %d, 1)), "
+        "i -> array_to_string({t}[i:i+%d], ' '))" % (n - 1, n - 1)
+    )
+    for n in (1, 2)
+}
+
+
+def _rouge_bleu_oracle() -> str:
+    """Linear unnest/group overlap counting (the same shape as the
+    Spark plan) — the clipped sum min(cnt_cand, cnt_ref) over shared
+    n-grams is identical to the per-gram clipped lambda."""
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    parts = [
+        f"""
+cand AS (
+  SELECT doc_id, doc_id - (doc_id % 10) AS ref_id, {toks} AS t
+  FROM documents WHERE doc_id % 10 != 0
+),
+refs AS (
+  SELECT doc_id AS ref_id, {toks} AS t
+  FROM documents WHERE doc_id % 10 = 0
+)"""
+    ]
+    for n in (1, 2):
+        g = _D_NG[n].format(t="t")
+        parts.append(f"""
+cg{n} AS (
+  SELECT doc_id, ref_id, g, COUNT(*) AS cnt
+  FROM (SELECT doc_id, ref_id, unnest({g}) AS g FROM cand)
+  GROUP BY doc_id, ref_id, g
+),
+rg{n} AS (
+  SELECT ref_id, g, COUNT(*) AS cnt_r
+  FROM (SELECT ref_id, unnest({g}) AS g FROM refs)
+  GROUP BY ref_id, g
+),
+o{n} AS (
+  SELECT c.doc_id, c.ref_id, SUM(LEAST(c.cnt, r.cnt_r)) AS ov{n}
+  FROM cg{n} c JOIN rg{n} r ON c.ref_id = r.ref_id AND c.g = r.g
+  GROUP BY c.doc_id, c.ref_id
+)""")
+    parts.append("""
+base AS (
+  SELECT c.doc_id, c.ref_id,
+    greatest(len(c.t), 1) AS n1c, greatest(len(c.t) - 1, 1) AS n2c,
+    greatest(len(r.t), 1) AS n1r, greatest(len(r.t) - 1, 1) AS n2r,
+    len(r.t) AS rl, len(c.t) AS cl,
+    CAST(COALESCE(o1.ov1, 0) AS DOUBLE) AS ov1,
+    CAST(COALESCE(o2.ov2, 0) AS DOUBLE) AS ov2
+  FROM cand c JOIN refs r ON c.ref_id = r.ref_id
+  LEFT JOIN o1 ON c.doc_id = o1.doc_id AND c.ref_id = o1.ref_id
+  LEFT JOIN o2 ON c.doc_id = o2.doc_id AND c.ref_id = o2.ref_id
+),
+m AS (
+  SELECT doc_id, ref_id, ov1, ov2, rl, cl, n2c,
+    ov1 / CAST(n1c AS DOUBLE) AS p1, ov1 / CAST(n1r AS DOUBLE) AS r1,
+    ov2 / CAST(n2c AS DOUBLE) AS p2, ov2 / CAST(n2r AS DOUBLE) AS r2
+  FROM base
+)""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + """
+SELECT doc_id, ref_id,
+  ROUND(p1, 9) AS rouge1_p, ROUND(r1, 9) AS rouge1_r,
+  CASE WHEN ov1 > 0 THEN ROUND(2 * p1 * r1 / (p1 + r1), 9)
+       ELSE CAST(0 AS DOUBLE) END AS rouge1_f1,
+  CASE WHEN ov2 > 0 THEN ROUND(2 * p2 * r2 / (p2 + r2), 9)
+       ELSE CAST(0 AS DOUBLE) END AS rouge2_f1,
+  CASE WHEN ov1 = 0 THEN CAST(0 AS DOUBLE)
+       ELSE ROUND(
+    least(CAST(1 AS DOUBLE),
+          ROUND(exp(CAST(1 AS DOUBLE)
+                    - CAST(rl AS DOUBLE) / CAST(cl AS DOUBLE)), 9))
+    * ROUND(exp((CAST(0 AS DOUBLE) + ROUND(ln(p1), 9) / 2)
+                + ROUND(ln((ov2 + CAST(1 AS DOUBLE))
+                           / (CAST(n2c AS DOUBLE) + CAST(1 AS DOUBLE))),
+                        9) / 2), 9), 9)
+  END AS bleu2
+FROM m
+"""
+    )
+
+
+@register(
+    "text_rouge_bleu_pairs",
+    oracle=_rouge_bleu_oracle(),
+    doc="ROUGE-1 P/R/F1, ROUGE-2 F1 and smoothed sentence BLEU-2 "
+    "(Chen-Cherry method 2, brevity penalty) for every document "
+    "against its decade-head reference (ref = doc_id - doc_id%10) — "
+    "the overlap metrics a curation pipeline uses for paraphrase "
+    "scoring and contamination severity beyond binary n-gram hits "
+    "(operators/text.py:rouge_n/bleu_score).  All per-row JVM array "
+    "arithmetic: the only shuffle is the pair join; ln/exp quantize "
+    "to 9 decimals at the source (BM25 precedent), zero-overlap "
+    "pairs short-circuit before any ln(0).",
+    tags=("text", "rouge", "bleu", "extension"),
+    extended=True,
+)
+def text_rouge_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the DISTRIBUTED overlap shape (ngram_count_table + least-join),
+    # not the per-row clipped lambda: the lambda is O(len^2) per pair
+    # in the expression interpreter (measured 10x slower at sf0.01),
+    # while this form shuffles each (key, gram) once with map-side
+    # combine and reuses every decade-head's counts across its 9 pairs
+    docs = load_table(spark, sf_dir, "documents")
+    cand = docs.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") - (F.col("doc_id") % 10)).alias("ref_id"),
+    )
+    refs = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("ref_id"), "text"
+    )
+
+    def win(n: int) -> F.Column:
+        return F.greatest(
+            TX.token_count(F.col("text")) - (n - 1), F.lit(1)
+        )
+
+    cand_tot = cand.select(
+        "doc_id", "ref_id",
+        win(1).alias("n1c"), win(2).alias("n2c"),
+        TX.token_count(F.col("text")).alias("cl"),
+    )
+    ref_tot = refs.select(
+        "ref_id", win(1).alias("n1r"), win(2).alias("n2r"),
+        TX.token_count(F.col("text")).alias("rl"),
+    )
+
+    def overlap(n: int, out: str) -> DataFrame:
+        c = TX.ngram_count_table(cand, "text", n, ["doc_id", "ref_id"])
+        r = (
+            TX.ngram_count_table(refs, "text", n, ["ref_id"])
+            .withColumnRenamed("cnt", "cnt_r")
+        )
+        return (
+            c.join(r, ["ref_id", "gram"])
+            .groupBy("doc_id", "ref_id")
+            .agg(F.sum(F.least(F.col("cnt"), F.col("cnt_r"))).alias(out))
+        )
+
+    base = (
+        cand_tot.join(ref_tot, "ref_id")
+        .join(overlap(1, "ov1"), ["doc_id", "ref_id"], "left")
+        .join(overlap(2, "ov2"), ["doc_id", "ref_id"], "left")
+        .select(
+            "doc_id", "ref_id", "n1c", "n2c", "n1r", "n2r", "rl", "cl",
+            F.coalesce(F.col("ov1"), F.lit(0)).cast("double").alias("ov1"),
+            F.coalesce(F.col("ov2"), F.lit(0)).cast("double").alias("ov2"),
+        )
+    )
+    p1 = F.col("ov1") / F.col("n1c")
+    r1 = F.col("ov1") / F.col("n1r")
+    p2 = F.col("ov2") / F.col("n2c")
+    r2 = F.col("ov2") / F.col("n2r")
+    p2s = (F.col("ov2") + 1.0) / (F.col("n2c") + 1.0)
+    log_sum = (
+        F.lit(0.0) + F.round(F.log(p1), 9) / 2 + F.round(F.log(p2s), 9) / 2
+    )
+    bp = F.least(
+        F.lit(1.0),
+        F.round(
+            F.exp(1.0 - F.col("rl").cast("double") / F.col("cl")), 9
+        ),
+    )
+    return base.select(
+        "doc_id",
+        "ref_id",
+        F.round(p1, 9).alias("rouge1_p"),
+        F.round(r1, 9).alias("rouge1_r"),
+        F.when(F.col("ov1") > 0, F.round(2 * p1 * r1 / (p1 + r1), 9))
+        .otherwise(F.lit(0.0))
+        .alias("rouge1_f1"),
+        F.when(F.col("ov2") > 0, F.round(2 * p2 * r2 / (p2 + r2), 9))
+        .otherwise(F.lit(0.0))
+        .alias("rouge2_f1"),
+        F.when(F.col("ov1") == 0, F.lit(0.0))
+        .otherwise(F.round(bp * F.round(F.exp(log_sum), 9), 9))
+        .alias("bleu2"),
+    )

@@ -438,3 +438,117 @@ def test_kn_lm_partition_invariant_bit_identical(spark):
         )
     )
     assert a == b
+
+
+# -- ROUGE / BLEU pairwise overlap -------------------------------------------
+
+
+def _overlap_df(spark, ref, cand):
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.operators.text import bleu_score, rouge_n
+
+    df = spark.createDataFrame([(ref, cand)], "ref string, cand string")
+    p1, r1, f1 = rouge_n(F.col("ref"), F.col("cand"), 1)
+    p2, r2, f2 = rouge_n(F.col("ref"), F.col("cand"), 2)
+    return df.select(
+        p1.alias("p1"), r1.alias("r1"), f1.alias("f1"),
+        p2.alias("p2"), r2.alias("r2"), f2.alias("f2"),
+        bleu_score(F.col("ref"), F.col("cand"), 2).alias("bleu"),
+    ).collect()[0]
+
+
+def test_rouge_clipped_counts_known_values(spark):
+    """ref 'the cat sat on the mat', cand 'the cat the cat':
+    unigram clipped overlap = min(2,2)['the'] + min(1,2)['cat'] = 3
+    -> P=3/4, R=3/6; bigram overlap = 1 ('the cat' clipped at ref
+    count 1) -> P=1/3, R=1/5."""
+    r = _overlap_df(spark, "the cat sat on the mat", "the cat the cat")
+    assert (r.p1, r.r1) == (0.75, 0.5)
+    assert r.f1 == 0.6
+    assert (r.p2, r.r2) == (round(1 / 3, 9), 0.2)
+
+
+def test_bleu_matches_pure_python_formula(spark):
+    import math
+
+    ref, cand = "a b c d e f", "a b c x y"
+    r = _overlap_df(spark, ref, cand)
+    # ov1=3 of 5, ov2=2 of 4 bigrams (smoothed (2+1)/(4+1))
+    p1, p2s = 3 / 5, (2 + 1.0) / (4 + 1.0)
+    ls = 0.0 + round(math.log(p1), 9) / 2 + round(math.log(p2s), 9) / 2
+    bp = min(1.0, round(math.exp(1 - 6 / 5), 9))
+    assert r.bleu == round(bp * round(math.exp(ls), 9), 9)
+
+
+def test_rouge_bleu_zero_overlap_and_empty(spark):
+    r = _overlap_df(spark, "x y z", "a b c")
+    assert (r.f1, r.f2, r.bleu) == (0.0, 0.0, 0.0)
+    r = _overlap_df(spark, "", "")
+    # empty text tokenizes to [''] -> full overlap of the empty token
+    assert r.p1 == 1.0 and r.r1 == 1.0
+
+
+def test_ngram_count_table_matches_counter(spark):
+    from collections import Counter
+
+    from diabetes_etl_spark.operators.text import ngram_count_table
+
+    rows = [(1, "a b a b c"), (2, "z z"), (3, "q")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        (r.id, r.gram): r.cnt
+        for r in ngram_count_table(df, "text", 2, ["id"]).collect()
+    }
+    want = {}
+    for i, t in rows:
+        toks = t.split()
+        grams = (
+            [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+            if len(toks) > 1 else [toks[0]]
+        )
+        for g, c in Counter(grams).items():
+            want[(i, g)] = c
+    assert got == want
+
+
+def test_distributed_overlap_equals_clipped_lambda(spark):
+    """The explode/join overlap used by the corpus query must equal
+    the per-row clipped lambda for every n."""
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.operators.text import (
+        _clipped_overlap,
+        ngram_count_table,
+        ngrams_with_duplicates,
+    )
+
+    rows = [
+        (1, "a b a c", "a a b d"),
+        (2, "x y", "x y x y"),
+        (3, "p q r", "s t"),
+    ]
+    df = spark.createDataFrame(rows, "id long, ref string, cand string")
+    lam = {
+        r.id: r.ov
+        for r in df.select(
+            "id",
+            _clipped_overlap(
+                ngrams_with_duplicates(F.col("ref"), 2),
+                ngrams_with_duplicates(F.col("cand"), 2),
+            ).alias("ov"),
+        ).collect()
+    }
+    c = ngram_count_table(df, "cand", 2, ["id"])
+    r = ngram_count_table(df, "ref", 2, ["id"]).withColumnRenamed(
+        "cnt", "cnt_r"
+    )
+    dist = {
+        x.id: x.ov
+        for x in c.join(r, ["id", "gram"])
+        .groupBy("id")
+        .agg(F.sum(F.least(F.col("cnt"), F.col("cnt_r"))).alias("ov"))
+        .collect()
+    }
+    for i in lam:
+        assert lam[i] == dist.get(i, 0), i
