@@ -639,3 +639,102 @@ def quantile_threshold_filter(
         .join(F.broadcast(thr), group_col)
         .filter(F.col(score_col) >= F.col("group_threshold"))
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    tokens_col: Column | None = None,
+    epochs_cap: int = 2,
+    budget_num: int = 3,
+    budget_den: int = 2,
+) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023): spread a
+    token budget as uniformly as possible across strata, capping every
+    stratum at ``epochs_cap`` epochs of its own supply — the
+    principled alternative to temperature mixing that never
+    over-repeats low-resource languages.
+
+    The budget is ``(total_tokens * budget_num) div budget_den``
+    (derived IN-PLAN from the corpus, so the query is scale-factor
+    independent).  The published algorithm's per-language loop has a
+    CLOSED FORM (water-filling): sort strata by supply ascending; the
+    level theta* is the first theta_i = (B - cum_supply_below_i) /
+    (L - i + 1) with supply_i >= theta_i, and every allocation is
+    min(supply, theta*) — two window functions and one 1-row
+    aggregate, no iteration, no driver loop.
+
+    Output: (stratum, n_docs, toks, supply, allocated, weight,
+    epochs_used), weight summing to 1 over strata (allocated/B).
+
+    Scale shape (100 TB lens): ONE corpus pass (the per-stratum token
+    aggregate, map-side combined); everything after operates on L
+    stratum rows — the unpartitioned windows are over the stratum
+    table, never the corpus.  Determinism: supplies and budget are
+    exact BIGINTs; theta is one IEEE division of exact integers per
+    row; comparisons and min() see identical doubles on both engines.
+    """
+    from diabetes_etl_spark.operators.text import token_count
+
+    toks_expr = (
+        tokens_col if tokens_col is not None else token_count(F.col("text"))
+    )
+    sup = (
+        df.groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(toks_expr).cast("long").alias("toks"),
+        )
+        .withColumn("supply", F.lit(epochs_cap) * F.col("toks"))
+    )
+    tot = sup.agg(
+        F.sum("toks").alias("_tot"), F.count("*").alias("_L")
+    )
+    w = Window.orderBy("supply", "stratum")
+    s = (
+        sup.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "B", F.expr(f"(_tot * {budget_num}) div {budget_den}")
+        )
+        .withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "cum_prev",
+            F.coalesce(
+                F.sum("supply").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "theta",
+            (F.col("B") - F.col("cum_prev")).cast("double")
+            / (F.col("_L") - F.col("i") + 1),
+        )
+    )
+    star = s.agg(
+        F.min(
+            F.when(
+                F.col("supply") >= F.col("theta"),
+                F.struct("i", "theta"),
+            )
+        ).alias("_m")
+    )
+    alloc = F.when(
+        F.col("_m").isNull(), F.col("supply").cast("double")
+    ).otherwise(
+        F.least(F.col("supply").cast("double"), F.col("_m.theta"))
+    )
+    return (
+        s.crossJoin(F.broadcast(star))
+        .select(
+            F.col("stratum").alias(stratum_col),
+            "n_docs",
+            "toks",
+            "supply",
+            F.round(alloc, 6).alias("allocated"),
+            F.round(alloc / F.col("B"), 9).alias("weight"),
+            F.round(alloc / F.col("toks"), 9).alias("epochs_used"),
+        )
+        .orderBy(stratum_col)
+    )

@@ -623,3 +623,63 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_llr_scores(
         docs, docs.filter(F.col("lang") == "en"), n_buckets=_DSIR_B
     )
+
+
+_UNIMAX_ORACLE = r"""
+WITH sup AS (
+  SELECT lang AS stratum, COUNT(*) AS n_docs,
+    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+      AS toks,
+    CAST(2 * SUM(len(regexp_split_to_array(trim(text), '\s+')))
+      AS BIGINT) AS supply
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT SUM(toks) AS _tot, COUNT(*) AS _L FROM sup),
+s AS (
+  SELECT sup.*, (_tot * 3) // 2 AS B, _L,
+    row_number() OVER (ORDER BY supply, stratum) AS i,
+    COALESCE(SUM(supply) OVER (ORDER BY supply, stratum
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+  FROM sup, tot
+),
+t AS (
+  SELECT s.*, CAST(B - cum_prev AS DOUBLE) / (_L - i + 1) AS theta
+  FROM s
+),
+star AS (
+  SELECT theta AS tstar FROM t WHERE supply >= theta ORDER BY i LIMIT 1
+),
+alloc AS (
+  SELECT t.*, CASE WHEN star.tstar IS NULL THEN CAST(supply AS DOUBLE)
+              ELSE least(CAST(supply AS DOUBLE), star.tstar) END AS a
+  FROM t LEFT JOIN star ON TRUE
+)
+SELECT stratum AS lang, n_docs, toks, supply,
+  ROUND(a, 6) AS allocated,
+  ROUND(a / B, 9) AS weight,
+  ROUND(a / toks, 9) AS epochs_used
+FROM alloc ORDER BY lang
+"""
+
+
+@register(
+    "mix_unimax_langs",
+    oracle=_UNIMAX_ORACLE,
+    doc="UniMax language-budget allocation (Chung et al. 2023): a 1.5x "
+    "total-token budget spread as uniformly as possible across "
+    "languages with a 2-epoch per-language cap — the water-filling "
+    "closed form (two windows over the L-row stratum table + one "
+    "1-row boundary aggregate) replaces the paper's per-language "
+    "loop; the corpus is read ONCE for the per-language token "
+    "aggregate (operators/sampling.py:unimax_allocation).  On the "
+    "fixture the budget saturates every low-resource language at 2 "
+    "epochs and water-fills the remainder into English — the exact "
+    "behavior temperature mixing can't express.",
+    tags=("sampling", "mixing", "extension"),
+    extended=True,
+)
+def mix_unimax_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.sampling import unimax_allocation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unimax_allocation(docs, stratum_col="lang", epochs_cap=2)

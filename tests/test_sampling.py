@@ -630,3 +630,84 @@ def test_quantile_filter_rejects_bad_frac(spark):
         quantile_threshold_filter(df, "s", "grp", 0.0)
     with pytest.raises(ValueError, match="keep_frac"):
         quantile_threshold_filter(df, "s", "grp", 1.5)
+
+
+# -- UniMax budget allocation ------------------------------------------------
+
+
+def _unimax_ref(supplies, budget):
+    """Pure-Python water-fill: allocations per stratum."""
+    order = sorted(supplies.items(), key=lambda kv: (kv[1], kv[0]))
+    L = len(order)
+    cum = 0
+    theta = None
+    for i, (k, s) in enumerate(order):
+        t = (budget - cum) / (L - i)
+        if s >= t:
+            theta = t
+            break
+        cum += s
+    return {
+        k: (float(s) if theta is None else min(float(s), theta))
+        for k, s in supplies.items()
+    }
+
+
+def test_unimax_matches_waterfill_reference(spark):
+    from diabetes_etl_spark.operators.sampling import unimax_allocation
+    from pyspark.sql import functions as F
+
+    # strata with 1, 2, 3, 20 docs of 4 tokens each
+    rows = []
+    did = 0
+    for lang, n in [("aa", 1), ("bb", 2), ("cc", 3), ("dd", 20)]:
+        for _ in range(n):
+            rows.append((did, lang, "w x y z"))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        r.lang: r
+        for r in unimax_allocation(df, epochs_cap=2).collect()
+    }
+    toks = {"aa": 4, "bb": 8, "cc": 12, "dd": 80}
+    budget = (sum(toks.values()) * 3) // 2  # 156
+    ref = _unimax_ref({k: 2 * v for k, v in toks.items()}, budget)
+    for k, r in out.items():
+        assert r.toks == toks[k]
+        assert r.supply == 2 * toks[k]
+        assert abs(r.allocated - ref[k]) < 1e-6, k
+        assert r.epochs_used <= 2.0 + 1e-9
+    # the budget is fully spent when supply exceeds it
+    assert abs(sum(r.allocated for r in out.values()) - budget) < 1e-6
+    assert abs(sum(r.weight for r in out.values()) - 1.0) < 1e-8
+
+
+def test_unimax_budget_exceeds_supply(spark):
+    """budget_num/den = 3/1 with cap 1: budget (3x total) exceeds the
+    1-epoch supply -> every stratum fully allocated, weights < 1."""
+    from diabetes_etl_spark.operators.sampling import unimax_allocation
+
+    rows = [(0, "aa", "a b"), (1, "bb", "c d e f")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        r.lang: r
+        for r in unimax_allocation(
+            df, epochs_cap=1, budget_num=3, budget_den=1
+        ).collect()
+    }
+    assert out["aa"].allocated == 2.0
+    assert out["bb"].allocated == 4.0
+    assert sum(r.weight for r in out.values()) < 1.0
+
+
+def test_unimax_partition_invariant(spark):
+    from diabetes_etl_spark.operators.sampling import unimax_allocation
+
+    rows = [
+        (i, ["aa", "bb", "cc"][i % 3], " ".join(["t"] * (1 + i % 7)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    a = sorted(map(tuple, unimax_allocation(df).collect()))
+    b = sorted(map(tuple, unimax_allocation(df.repartition(13)).collect()))
+    assert a == b
