@@ -1368,3 +1368,124 @@ def source_minhash_overlap(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# -- content-defined chunking (Gear/FastCDC family) --------------------------
+#
+# Storage-dedup's chunking primitive applied to text corpora: cut each
+# document at positions where a w-byte rolling window hash satisfies a
+# mask condition.  Boundaries depend only on LOCAL content, so an
+# insertion early in a document shifts at most one chunk — the
+# property that makes chunk-level dedup robust where fixed-size
+# blocks are not (Muthitacharoen et al. 2001 LBFS; Xia et al. 2016
+# FastCDC).  This variant drops FastCDC's min/max chunk-size gates so
+# every boundary is a pure function of its window — fully
+# declarative, trivially parallel, and SQL-mirrorable (the gates
+# would make each boundary depend on the previous one); expected
+# chunk length is ``mask_mod`` characters.
+
+_CDC_BASE = 131
+_CDC_MOD = 1_000_000_007
+
+
+def cdc_boundaries(
+    text_col: str, window: int = 8, mask_mod: int = 64
+) -> Column:
+    """1-based positions p (window <= p <= len) whose trailing
+    ``window``-char polynomial hash is 0 mod ``mask_mod``."""
+    codes = f"transform(split({text_col}, ''), ch -> ascii(ch))"
+    win_hash = (
+        f"aggregate(slice({codes}, p - {window - 1}, {window}), 0L, "
+        f"(acc, x) -> (acc * {_CDC_BASE} + x) % {_CDC_MOD})"
+    )
+    return F.expr(
+        f"CASE WHEN length({text_col}) >= {window} THEN "
+        f"filter(sequence({window}, length({text_col})), "
+        f"p -> {win_hash} % {mask_mod} = 0) "
+        f"ELSE array() END"
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    mask_mod: int = 64,
+) -> DataFrame:
+    """(id, chunk_idx, chunk_len, chunk_fp): one row per content-
+    defined chunk; ``chunk_fp`` is the portable polynomial hash of
+    the chunk text — the CHUNK TEXT ITSELF NEVER LEAVES ITS SCAN
+    (only the 8-byte fingerprint + length shuffle), which is the
+    whole point at 100 TB.  Fingerprint collisions (~1e-9 per pair
+    mod 1e9+7) overcount sharing negligibly and deterministically."""
+    b = cdc_boundaries(text_col, window, mask_mod)
+    spans = F.expr(
+        "filter(arrays_zip("
+        "  concat(array(1), transform(__b, x -> x + 1)), "
+        f" concat(__b, array(length({text_col})))), "
+        "s -> s['1'] >= s['0'])"
+    )
+    chunk_fp = F.expr(
+        f"aggregate(transform(split(substring({text_col}, s['0'], "
+        "s['1'] - s['0'] + 1), ''), ch -> ascii(ch)), 0L, "
+        f"(acc, x) -> (acc * {_CDC_BASE} + x) % {_CDC_MOD})"
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"), F.col(text_col), b.alias("__b")
+        )
+        .select("id", F.col(text_col), F.posexplode(spans).alias("chunk_idx", "s"))
+        .select(
+            "id",
+            (F.col("chunk_idx") + 1).alias("chunk_idx"),
+            (F.col("s")["1"] - F.col("s")["0"] + 1).alias("chunk_len"),
+            chunk_fp.alias("chunk_fp"),
+        )
+    )
+
+
+def cdc_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    mask_mod: int = 64,
+) -> DataFrame:
+    """Per-document chunk-level dedup profile: (id, n_chunks,
+    total_len, chunks_fp, n_shared_chunks, shared_len) where a chunk
+    is SHARED when its fingerprint occurs in >= 2 distinct documents.
+    ``chunks_fp`` folds the ordered chunk fingerprints into one hash —
+    it pins the exact boundary positions, not just chunk membership.
+
+    Scale shape: one text scan emits (id, idx, len, fp); the sharing
+    join is fp-keyed (map-side-combined distinct-doc counts, the hot
+    fps are exactly the duplicated ones and AQE handles their skew);
+    nothing wider than 20 bytes/chunk ever shuffles."""
+    ch = cdc_chunks(df, id_col, text_col, window, mask_mod)
+    by_fp = ch.groupBy("chunk_fp").agg(
+        F.countDistinct("id").alias("__nd")
+    )
+    flagged = ch.join(by_fp, "chunk_fp").withColumn(
+        "__shared", (F.col("__nd") >= 2).cast("int")
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("chunk_len").cast("long").alias("total_len"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_fp"))
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, s: (
+                    acc * _CDC_BASE + s["chunk_fp"]
+                ) % _CDC_MOD,
+            ).alias("chunks_fp"),
+            F.sum("__shared").cast("long").alias("n_shared_chunks"),
+            F.sum(F.col("__shared") * F.col("chunk_len"))
+            .cast("long")
+            .alias("shared_len"),
+        )
+    )

@@ -1273,3 +1273,87 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.source_minhash_overlap(
         docs, "source", "text", num_perms=32, shingle_n=3
     )
+
+
+# -- content-defined chunking ------------------------------------------------
+
+_CDC_W, _CDC_MASK = 8, 64
+_CDC_WH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(p - %d, p), "
+    "j -> CAST(ascii(substr(text, j, 1)) AS BIGINT))), "
+    "(acc, x) -> (acc * 131 + x) %% 1000000007)" % (_CDC_W - 1)
+)
+_CDC_FP = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(st[keep[k]], en[keep[k]]), "
+    "j -> CAST(ascii(substr(text, j, 1)) AS BIGINT))), "
+    "(acc, x) -> (acc * 131 + x) % 1000000007)"
+)
+
+_CDC_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, text,
+    CASE WHEN length(text) >= {_CDC_W} THEN
+      list_filter(generate_series({_CDC_W}, length(text)),
+                  p -> {_CDC_WH} % {_CDC_MASK} = 0)
+    ELSE CAST([] AS BIGINT[]) END AS bounds
+  FROM documents
+),
+se AS (
+  SELECT doc_id, text,
+    list_prepend(CAST(1 AS BIGINT),
+                 list_transform(bounds, x -> x + 1)) AS st,
+    list_append(bounds, CAST(length(text) AS BIGINT)) AS en
+  FROM b
+),
+surv AS (
+  SELECT doc_id, text, st, en,
+    list_filter(generate_series(1, len(st)), i -> en[i] >= st[i]) AS keep
+  FROM se
+),
+ch AS (
+  SELECT doc_id, k AS chunk_idx,
+    en[keep[k]] - st[keep[k]] + 1 AS chunk_len,
+    {_CDC_FP} AS chunk_fp
+  FROM surv, unnest(generate_series(1, len(keep))) AS t(k)
+),
+by_fp AS (
+  SELECT chunk_fp, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk_fp
+),
+fl AS (
+  SELECT ch.*, CASE WHEN nd >= 2 THEN 1 ELSE 0 END AS shared
+  FROM ch JOIN by_fp USING (chunk_fp)
+)
+SELECT doc_id,
+  COUNT(*) AS n_chunks,
+  CAST(SUM(chunk_len) AS BIGINT) AS total_len,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list(chunk_fp ORDER BY chunk_idx)),
+    (acc, x) -> (acc * 131 + x) % 1000000007) AS chunks_fp,
+  CAST(SUM(shared) AS BIGINT) AS n_shared_chunks,
+  CAST(SUM(shared * chunk_len) AS BIGINT) AS shared_len
+FROM fl GROUP BY doc_id
+"""
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=_CDC_ORACLE,
+    doc="Content-defined chunking dedup profile (LBFS/FastCDC family, "
+    "gate-free variant): cut every document where the 8-char rolling "
+    "window hash is 0 mod 64 (boundaries are pure LOCAL functions — "
+    "an edit shifts at most one chunk), fingerprint each chunk with "
+    "the portable polynomial hash, and count per-document chunks "
+    "shared across >= 2 docs (operators/dedup.py:cdc_chunks/"
+    "cdc_dedup_stats).  chunks_fp folds the ORDERED chunk hashes, so "
+    "the oracle pins exact boundary positions; only (id, idx, len, "
+    "fp) ever shuffles — chunk text never leaves its scan.",
+    tags=("dedup", "cdc", "extension"),
+    extended=True,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.cdc_dedup_stats(
+        docs, window=_CDC_W, mask_mod=_CDC_MASK
+    ).withColumnRenamed("id", "doc_id")

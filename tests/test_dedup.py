@@ -1100,3 +1100,100 @@ def test_source_overlap_identical_sources_full_agreement(spark):
     r = source_minhash_overlap(df, "source", "text").collect()[0]
     assert r.est_jaccard == 1.0 and r.sig_agreements == 32
     assert r.n_sh_a == r.n_sh_b
+
+
+# -- content-defined chunking ------------------------------------------------
+
+
+def _cdc_ref(text, w=8, mask=64, base=131, mod=1_000_000_007):
+    """Pure-Python boundary + chunk reference."""
+    n = len(text)
+    bounds = []
+    for p in range(w, n + 1):
+        h = 0
+        for ch in text[p - w : p]:
+            h = (h * base + ord(ch)) % mod
+        if h % mask == 0:
+            bounds.append(p)
+    starts = [1] + [b + 1 for b in bounds]
+    ends = bounds + [n]
+    return [
+        text[s - 1 : e] for s, e in zip(starts, ends) if e >= s
+    ]
+
+
+def _fp(s, base=131, mod=1_000_000_007):
+    h = 0
+    for ch in s:
+        h = (h * base + ord(ch)) % mod
+    return h
+
+
+def test_cdc_chunks_match_python_reference(spark):
+    from diabetes_etl_spark.operators.dedup import cdc_chunks
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog " * 4),
+        (1, "hi"),
+        (2, "x" * 100),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in cdc_chunks(df).collect():
+        got.setdefault(r.id, []).append((r.chunk_idx, r.chunk_len, r.chunk_fp))
+    for i, t in texts:
+        ref = _cdc_ref(t)
+        want = [(k + 1, len(c), _fp(c)) for k, c in enumerate(ref)]
+        assert sorted(got[i]) == want, i
+
+
+def test_cdc_boundaries_shift_resistant(spark):
+    """Prepending a sentence to a long document must leave every chunk
+    after the first boundary IDENTICAL — the property fixed-size
+    blocking lacks."""
+    from diabetes_etl_spark.operators.dedup import cdc_chunks
+
+    body = (
+        "content defined chunking cuts where the rolling hash "
+        "satisfies a mask so local edits stay local " * 6
+    )
+    df = spark.createDataFrame(
+        [(0, body), (1, "INSERTED PREFIX >> " + body)],
+        "doc_id long, text string",
+    )
+    fps = {0: set(), 1: set()}
+    for r in cdc_chunks(df).collect():
+        fps[r.id].add(r.chunk_fp)
+    ref = _cdc_ref(body)
+    assert len(ref) >= 3  # the fixture must actually chunk
+    # every chunk of the original except (at most) the first survives
+    shared = fps[0] & fps[1]
+    assert len(shared) >= len(fps[0]) - 1
+
+
+def test_cdc_dedup_stats_flags_duplicates_only(spark):
+    from diabetes_etl_spark.operators.dedup import cdc_dedup_stats
+
+    a = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    df = spark.createDataFrame(
+        [(0, a), (1, a), (2, "totally unrelated content here " * 5)],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r for r in cdc_dedup_stats(df).collect()}
+    assert rows[0].chunks_fp == rows[1].chunks_fp
+    assert rows[0].n_shared_chunks == rows[0].n_chunks
+    assert rows[2].n_shared_chunks == 0
+    assert rows[0].total_len == len(a)
+
+
+def test_cdc_partition_invariant(spark):
+    from diabetes_etl_spark.operators.dedup import cdc_dedup_stats
+
+    df = spark.createDataFrame(
+        [(i, f"document number {i} " + "filler words here " * (i % 9))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, cdc_dedup_stats(df).collect()))
+    b = sorted(map(tuple, cdc_dedup_stats(df.repartition(11)).collect()))
+    assert a == b
