@@ -68,18 +68,15 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
-def cosine_topk(
+def _cosine_scored(
     df: DataFrame,
     query_ids: Column,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Exact brute-force top-k cosine neighbours for each query vector.
-
-    `query_ids` is a boolean Column selecting the query rows out of df.
-    Output: query_id, candidate_id, cosine_sim, sim_rank.
-    """
+    """(query_id, candidate_id, cosine_sim): broadcast-queries x one
+    corpus pass, 9-decimal-rounded exact cosine (shared by cosine_topk
+    and hard_negative_topk)."""
     base = with_norm(df, vec_col)
     queries = base.filter(query_ids).select(
         F.col(id_col).alias("query_id"),
@@ -97,12 +94,28 @@ def cosine_topk(
     # Round to 9 decimals: the DECIMAL fold is order-independent but the
     # product->DECIMAL rounding mode may differ by 1 ULP across engines;
     # ranking on the rounded value keeps order cross-engine stable.
-    scored = pairs.withColumn(
-        "cosine_sim",
+    return pairs.select(
+        "query_id",
+        "candidate_id",
         F.round(
             dot_exact("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 9
-        ),
+        ).alias("cosine_sim"),
     )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_ids: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k cosine neighbours for each query vector.
+
+    `query_ids` is a boolean Column selecting the query rows out of df.
+    Output: query_id, candidate_id, cosine_sim, sim_rank.
+    """
+    scored = _cosine_scored(df, query_ids, id_col, vec_col)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("candidate_id")
     )
@@ -815,4 +828,43 @@ def lsh_cross_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def hard_negative_topk(
+    df: DataFrame,
+    query_ids: Column,
+    k: int = 5,
+    lo: float = 0.15,
+    hi: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-``k`` candidates whose cosine lies in the band [lo, hi) —
+    similar enough to be informative negatives, below the near-dup
+    region where a "negative" is probably a positive (the standard
+    in-batch-negatives upgrade, cf. Karpukhin et al. 2020 DPR).
+
+    Output: (query_id, candidate_id, cosine_sim, neg_rank), ranked by
+    similarity DESCENDING within the band (hardest first), ties on
+    candidate id.  Same scale shape as cosine_topk: broadcast queries
+    x one corpus pass, rank-limit, never a corpus self-join; the band
+    predicate prunes before the window shuffle, so only in-band
+    (query, candidate) pairs ever leave the scan."""
+    scored = _cosine_scored(df, query_ids, id_col, vec_col)
+    # filter THEN window: only in-band pairs reach the rank shuffle
+    banded = scored.where(
+        (F.col("cosine_sim") >= lo) & (F.col("cosine_sim") < hi)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("candidate_id")
+    )
+    return (
+        banded.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= k)
+        .select(
+            "query_id", "candidate_id", "cosine_sim",
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+        )
     )

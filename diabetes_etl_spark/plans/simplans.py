@@ -1723,3 +1723,57 @@ def multimodal_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mime")
     )
+
+
+_HARDNEG_ORACLE = f"""
+WITH {_D_NORMS},
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+         q.embedding AS qe, c.embedding AS ce
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id < 10 AND c.vec_id != q.vec_id
+),
+upairs AS (
+  SELECT query_id, candidate_id, unnest(qe) AS qx, unnest(ce) AS cx FROM pairs
+),
+dots AS (
+  SELECT query_id, candidate_id,
+    CAST(SUM(CAST(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)
+         AS DECIMAL(20,15))) AS DOUBLE) AS dot
+  FROM upairs GROUP BY query_id, candidate_id
+),
+scored AS (
+  SELECT d.query_id, d.candidate_id,
+    ROUND(d.dot / (nq.nrm * nc.nrm), 9) AS cosine_sim
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nc ON d.candidate_id = nc.vec_id
+)
+SELECT query_id, candidate_id, cosine_sim, CAST(rn AS INT) AS neg_rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, candidate_id) AS rn
+  FROM scored
+  WHERE cosine_sim >= CAST(0.15 AS DOUBLE)
+    AND cosine_sim < CAST(0.5 AS DOUBLE)
+) WHERE rn <= 5
+"""
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=_HARDNEG_ORACLE,
+    doc="Hard-negative mining for contrastive training (DPR shape): "
+    "per query, the 5 hardest candidates with cosine in [0.15, 0.5) "
+    "— informative negatives below the near-dup region "
+    "(operators/similarity.py:hard_negative_topk).  Broadcast queries "
+    "x one corpus pass; the band predicate prunes before the rank "
+    "shuffle, so only in-band pairs leave the scan.",
+    tags=("similarity", "contrastive", "extension"),
+    extended=True,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.hard_negative_topk(
+        emb, F.col("vec_id") < 10, k=5, lo=0.15, hi=0.5
+    )

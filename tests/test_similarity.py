@@ -292,3 +292,47 @@ def test_lsh_cross_pairs_side_cap_bounds_hot_buckets(spark):
         a, b, threshold=0.9, n_bits=2, n_tables=2, dim=8, side_cap=10000
     ).count()
     assert uncapped > n  # the cap really bounded the hot bucket
+
+
+# -- hard-negative mining ----------------------------------------------------
+
+
+def test_hard_negatives_band_and_order(spark):
+    """Candidates: an exact near-dup (cos ~1, above the band), an
+    in-band hard negative, a weaker in-band negative, and an easy
+    negative below the band — only the two in-band rows survive,
+    hardest first."""
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.operators.similarity import hard_negative_topk
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.001]),    # ~1.0: above band -> excluded
+        (2, [0.45, 1.0]),     # in band, harder
+        (3, [0.25, 1.0]),     # in band, easier
+        (4, [0.0, 1.0]),      # 0.0: below band -> excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = hard_negative_topk(
+        df, F.col("vec_id") == 0, k=5, lo=0.15, hi=0.5
+    ).collect()
+    assert [(r.candidate_id, r.neg_rank) for r in out] == [(2, 1), (3, 2)]
+    for r in out:
+        assert 0.15 <= r.cosine_sim < 0.5
+
+
+def test_hard_negatives_k_and_tiebreak(spark):
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.operators.similarity import hard_negative_topk
+
+    # three identical in-band candidates: ties break on smaller id
+    rows = [(0, [1.0, 0.0])] + [
+        (i, [0.3, 1.0]) for i in (5, 3, 9)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = hard_negative_topk(
+        df, F.col("vec_id") == 0, k=2, lo=0.1, hi=0.9
+    ).collect()
+    assert [r.candidate_id for r in out] == [3, 5]
