@@ -169,3 +169,74 @@ def versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("commit_version")
     )
+
+
+@register(
+    "versioned_metadata_agg",
+    # COUNT/MIN/MAX per version answered from the MANIFEST ALONE
+    # (VersionedTable.metadata_aggregates — zero data files opened at
+    # answer time); the oracle recomputes the same numbers the hard
+    # way from the raw fixture.  A stale carried file, a rewrite that
+    # failed to re-derive footer stats, or a delete that left ghost
+    # rows would diverge here.
+    oracle=f"""
+SELECT 'v1' AS snapshot, COUNT(*) AS n_rows,
+  MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey,
+  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+FROM lineitem WHERE l_shipdate < TIMESTAMP '{_V1_CUT}'
+UNION ALL
+SELECT 'v2', COUNT(*), MIN(l_orderkey), MAX(l_orderkey),
+  MIN(l_quantity), MAX(l_quantity)
+FROM lineitem WHERE l_shipdate < TIMESTAMP '{_V2_CUT}'
+UNION ALL
+SELECT 'v3', COUNT(*), MIN(l_orderkey), MAX(l_orderkey),
+  MIN(l_quantity), MAX(l_quantity)
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '{_V2_CUT}' AND l_orderkey >= {_DEL_KEY}
+ORDER BY snapshot
+""",
+    doc="Metadata-only aggregates (the Delta/Iceberg manifest-served "
+    "COUNT/MIN/MAX optimization): the same overwrite -> append -> "
+    "delete_where commit sequence as versioned_time_travel, but every "
+    "per-version answer comes from VersionedTable.metadata_aggregates "
+    "— manifest file entries only, no parquet opened at answer time; "
+    "at 100 TB this is a manifest read replacing a full scan for the "
+    "commonest dashboard probes.  Exact because every mutation "
+    "rewrites affected files and re-derives their footer stats.",
+    tags=("versioned", "metadata", "extension"),
+    extended=True,
+)
+def versioned_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+
+    base = tempfile.mkdtemp(prefix="spark_graft_vmeta_")
+    atexit.register(shutil.rmtree, base, True)
+    vt = VersionedTable(
+        spark,
+        os.path.join(base, "tbl"),
+        stats_cols=("l_orderkey", "l_quantity"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vt.overwrite(
+        li.filter(F.col("l_shipdate") < F.lit(_V1_CUT).cast("timestamp"))
+    )
+    vt.append(
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(_V1_CUT).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_V2_CUT).cast("timestamp"))
+        ).repartitionByRange(4, "l_orderkey")
+    )
+    vt.delete_where(f"l_orderkey < {_DEL_KEY}")
+    rows = []
+    for v, tag in [(1, "v1"), (2, "v2"), (3, "v3")]:
+        m = vt.metadata_aggregates(version=v)
+        ok, qty = m["stats"]["l_orderkey"], m["stats"]["l_quantity"]
+        rows.append(
+            (tag, m["n_rows"], int(ok[0]), int(ok[1]),
+             float(qty[0]), float(qty[1]))
+        )
+    return spark.createDataFrame(
+        rows,
+        "snapshot string, n_rows long, min_okey long, max_okey long, "
+        "min_qty double, max_qty double",
+    ).orderBy("snapshot")

@@ -958,6 +958,63 @@ class VersionedTable:
             prev_doc = doc
         return out
 
+    def metadata_aggregates(
+        self, version: int | None = None
+    ) -> dict:
+        """COUNT(*) / per-stats-column MIN/MAX answered from the
+        MANIFEST ALONE — zero data files opened (the Delta/Iceberg
+        metadata-only-query optimization).  Exact by construction:
+        every mutation (append/delete/merge/compact) rewrites the
+        affected files and re-derives their footer stats, so the live
+        file list's stats ARE the table's stats.
+
+        Returns ``{"version", "n_rows", "n_bytes", "n_files",
+        "stats": {col: (min, max) | None}}``.  A column comes back
+        None when any live file lacks recorded stats for it — an
+        all-null file, a type outside _STATS_OK, or a STRING column
+        (parquet writers may truncate long string min/max in the
+        footer, so string extrema from footers are bounds, not
+        values; refusing is the honest answer).  At 100 TB this is
+        the difference between a manifest read and a full scan for
+        the commonest dashboard probes."""
+        from pyspark.sql.types import StructType
+
+        if version is None:
+            version, doc = self._latest()
+            if doc is None:
+                raise ValueError(f"table {self.path} has no commits")
+        else:
+            doc = self._manifest_at(version)
+        files = doc["files"]
+        schema = StructType.fromJson(json.loads(doc["schema"]))
+        kinds = {f.name: f.dataType.typeName() for f in schema.fields}
+        stats: dict[str, tuple | None] = {}
+        for col in self.stats_cols:
+            if col not in kinds or kinds[col] == "string":
+                stats[col] = None
+                continue
+            # 0-row files legitimately carry no stats and contribute
+            # nothing to extrema — only LIVE rows must be covered
+            per_file = [
+                e.get("stats", {}).get(col)
+                for e in files
+                if e["rows"] > 0
+            ]
+            if per_file and all(s is not None for s in per_file):
+                stats[col] = (
+                    min(s[0] for s in per_file),
+                    max(s[1] for s in per_file),
+                )
+            else:
+                stats[col] = None
+        return {
+            "version": version,
+            "n_rows": sum(e["rows"] for e in files),
+            "n_bytes": sum(e["bytes"] for e in files),
+            "n_files": len(files),
+            "stats": stats,
+        }
+
     def history(self) -> list[CommitInfo]:
         """Commit log, newest first (only non-vacuumed versions)."""
         mdir = self._mdir()

@@ -737,3 +737,64 @@ def test_bloom_words_match_operator_family(spark, tmp_path):
         for i in range(200)
     )
     assert misses < 10  # fp rate far below the 5% envelope at n=50
+
+
+# -- metadata-only aggregates ------------------------------------------------
+
+
+def test_metadata_aggregates_exact_and_scan_free(spark, tmp_path):
+    """COUNT/MIN/MAX from the manifest match a full scan at every
+    version — and keep answering after the data files are MOVED AWAY
+    (proof no parquet is opened at answer time)."""
+    import os
+    import shutil
+
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+
+    path = str(tmp_path / "t")
+    vt = VersionedTable(spark, path, stats_cols=("k", "v", "s"))
+    df1 = spark.createDataFrame(
+        [(i, float(i) / 2, f"s{i}") for i in range(10)],
+        "k long, v double, s string",
+    )
+    vt.overwrite(df1)
+    vt.append(
+        spark.createDataFrame(
+            [(i, float(i) * 3, f"s{i}") for i in range(10, 25)],
+            "k long, v double, s string",
+        ).repartition(3)
+    )
+    vt.delete_where("k < 5")
+
+    for ver in (1, 2, 3):
+        m = vt.metadata_aggregates(version=ver)
+        rows = vt.read(version_as_of=ver).collect()
+        assert m["n_rows"] == len(rows), ver
+        ks = [r.k for r in rows]
+        vs = [r.v for r in rows]
+        assert m["stats"]["k"] == (min(ks), max(ks)), ver
+        assert m["stats"]["v"] == (min(vs), max(vs)), ver
+        # strings refuse (footer min/max may be truncated bounds)
+        assert m["stats"]["s"] is None
+    latest = vt.metadata_aggregates()
+    assert latest["version"] == 3
+    assert latest["n_files"] >= 1 and latest["n_bytes"] > 0
+
+    # the scan-free proof: hide the data, the manifest still answers
+    shutil.move(os.path.join(path, "_data"), str(tmp_path / "hidden"))
+    m = vt.metadata_aggregates(version=3)
+    assert m["n_rows"] == latest["n_rows"]
+    assert m["stats"]["k"] == latest["stats"]["k"]
+
+
+def test_metadata_aggregates_empty_and_missing(spark, tmp_path):
+    import pytest as _pytest
+
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "e"), stats_cols=("k",))
+    with _pytest.raises(ValueError, match="no commits"):
+        vt.metadata_aggregates()
+    vt.overwrite(spark.createDataFrame([(1,)], "k long"))
+    with _pytest.raises(ValueError, match="does not exist"):
+        vt.metadata_aggregates(version=7)
