@@ -1389,18 +1389,21 @@ _CDC_MOD = 1_000_000_007
 
 
 def cdc_boundaries(
-    text_col: str, window: int = 8, mask_mod: int = 64
+    codes_col: str, window: int = 8, mask_mod: int = 64
 ) -> Column:
     """1-based positions p (window <= p <= len) whose trailing
-    ``window``-char polynomial hash is 0 mod ``mask_mod``."""
-    codes = f"transform(split({text_col}, ''), ch -> ascii(ch))"
+    ``window``-char polynomial hash is 0 mod ``mask_mod``.
+    ``codes_col`` must be a MATERIALIZED char-code array COLUMN (not
+    an inline expression): the per-position lambda slices it O(window)
+    — inlining the split would re-evaluate it per position and turn
+    the scan O(len^2) (measured 50x slower at sf0.1)."""
     win_hash = (
-        f"aggregate(slice({codes}, p - {window - 1}, {window}), 0L, "
+        f"aggregate(slice({codes_col}, p - {window - 1}, {window}), 0L, "
         f"(acc, x) -> (acc * {_CDC_BASE} + x) % {_CDC_MOD})"
     )
     return F.expr(
-        f"CASE WHEN length({text_col}) >= {window} THEN "
-        f"filter(sequence({window}, length({text_col})), "
+        f"CASE WHEN size({codes_col}) >= {window} THEN "
+        f"filter(sequence({window}, size({codes_col})), "
         f"p -> {win_hash} % {mask_mod} = 0) "
         f"ELSE array() END"
     )
@@ -1419,7 +1422,7 @@ def cdc_chunks(
     (only the 8-byte fingerprint + length shuffle), which is the
     whole point at 100 TB.  Fingerprint collisions (~1e-9 per pair
     mod 1e9+7) overcount sharing negligibly and deterministically."""
-    b = cdc_boundaries(text_col, window, mask_mod)
+    b = cdc_boundaries("__codes", window, mask_mod)
     spans = F.expr(
         "filter(arrays_zip("
         "  concat(array(1), transform(__b, x -> x + 1)), "
@@ -1433,8 +1436,13 @@ def cdc_chunks(
     )
     return (
         df.select(
-            F.col(id_col).alias("id"), F.col(text_col), b.alias("__b")
+            F.col(id_col).alias("id"),
+            F.col(text_col),
+            F.expr(
+                f"transform(split({text_col}, ''), ch -> ascii(ch))"
+            ).alias("__codes"),
         )
+        .select(F.col("id"), F.col(text_col), b.alias("__b"))
         .select("id", F.col(text_col), F.posexplode(spans).alias("chunk_idx", "s"))
         .select(
             "id",
