@@ -687,12 +687,16 @@ def unimax_allocation(
         )
         .withColumn("supply", F.lit(epochs_cap) * F.col("toks"))
     )
-    tot = sup.agg(
-        F.sum("toks").alias("_tot"), F.count("*").alias("_L")
-    )
+    # EVERYTHING below runs on the L-row stratum table via windows —
+    # one corpus scan total (the crossJoin formulation re-derived the
+    # per-stratum aggregate per consumer: 4 scans, plan-asserted
+    # against in tests/test_plans.py).  The unpartitioned windows
+    # single-partition L rows, which is the point: L is tiny.
+    wa = Window.partitionBy()
     w = Window.orderBy("supply", "stratum")
     s = (
-        sup.crossJoin(F.broadcast(tot))
+        sup.withColumn("_tot", F.sum("toks").over(wa))
+        .withColumn("_L", F.count("*").over(wa))
         .withColumn(
             "B", F.expr(f"(_tot * {budget_num}) div {budget_den}")
         )
@@ -711,14 +715,15 @@ def unimax_allocation(
             (F.col("B") - F.col("cum_prev")).cast("double")
             / (F.col("_L") - F.col("i") + 1),
         )
-    )
-    star = s.agg(
-        F.min(
-            F.when(
-                F.col("supply") >= F.col("theta"),
-                F.struct("i", "theta"),
-            )
-        ).alias("_m")
+        .withColumn(
+            "_m",
+            F.min(
+                F.when(
+                    F.col("supply") >= F.col("theta"),
+                    F.struct("i", "theta"),
+                )
+            ).over(wa),
+        )
     )
     alloc = F.when(
         F.col("_m").isNull(), F.col("supply").cast("double")
@@ -726,8 +731,7 @@ def unimax_allocation(
         F.least(F.col("supply").cast("double"), F.col("_m.theta"))
     )
     return (
-        s.crossJoin(F.broadcast(star))
-        .select(
+        s.select(
             F.col("stratum").alias(stratum_col),
             "n_docs",
             "toks",

@@ -484,3 +484,43 @@ def test_dhash_neardup_no_cartesian_single_python_stage(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" in plan
+
+
+def test_rouge_bleu_pairs_no_python_no_cartesian(spark, sf_dir):
+    """The overlap query is pure JVM: gram counting is explode +
+    hash-agg, the pair joins are equi-joins on (ref_id[, gram]) —
+    no Python stage, no cartesian, no nested-loop join."""
+    plan = _plan(spark, sf_dir, "text_rouge_bleu_pairs")
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad
+
+
+def test_unimax_single_corpus_pass_no_python(spark, sf_dir):
+    """UniMax reads the corpus once (one parquet scan of documents);
+    all window work runs on the L-row stratum table."""
+    plan = _plan(spark, sf_dir, "mix_unimax_langs")
+    assert plan.count("documents.parquet") <= 2  # scan + AQE re-list
+    for bad in ("CartesianProduct", "MapInPandas", "BatchEvalPython"):
+        assert bad not in plan, bad
+
+
+def test_hard_negatives_broadcast_queries_no_python(spark, sf_dir):
+    """Queries broadcast against one corpus pass; the band filter is
+    applied before the rank window's exchange."""
+    plan = _plan(spark, sf_dir, "sim_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    for bad in ("CartesianProduct", "MapInPandas", "BatchEvalPython"):
+        assert bad not in plan, bad
+
+
+def test_cdc_chunks_shuffles_fingerprints_not_text(spark, sf_dir):
+    """Only (id, idx, len, fp) reach the sharing exchange — the chunk
+    text itself never appears in a shuffle output schema."""
+    plan = _plan(spark, sf_dir, "dedup_cdc_chunks")
+    for bad in ("CartesianProduct", "MapInPandas", "BatchEvalPython"):
+        assert bad not in plan, bad
+    import re
+
+    for ex in re.findall(r"Exchange hashpartitioning\([^\n]*", plan):
+        assert "text#" not in ex, ex
