@@ -1477,3 +1477,117 @@ def text_rouge_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(bp * F.round(F.exp(log_sum), 9), 9))
         .alias("bleu2"),
     )
+
+
+# -- WordPiece greedy segmentation -------------------------------------------
+
+_WP_V, _WP_MIN, _WP_MAX = 200, 2, 4
+_WP_MOD, _WP_BASE = 1_073_741_789, 131
+_WP_F = 2048  # packed-state field width (pos | np | fp)
+
+
+def _wp_j_sql() -> str:
+    cases = " ".join(
+        f"WHEN acc % {_WP_F} + {l - 1} <= length(w) AND "
+        f"len(m[substr(w, CAST(acc % {_WP_F} AS INT), {l})]) > 0 THEN {l}"
+        for l in range(_WP_MAX, 1, -1)
+    )
+    return f"(CASE {cases} ELSE 1 END)"
+
+
+def _wp_oracle() -> str:
+    # Fully RELATIONAL replay — per-position longest-match via joins
+    # and the greedy walk as a recursive CTE.  DuckDB 1.0 misbinds
+    # sibling/cross-joined columns referenced inside list_reduce
+    # lambdas at vector scale (observed: the same word segmenting
+    # differently in different rows of one query), so the oracle
+    # avoids lambdas everywhere except the final integer-only fold
+    # over a grouped list (the CDC/BMP-proven pattern).
+    lens = ", ".join(str(l) for l in range(_WP_MIN, _WP_MAX + 1))
+    return rf"""
+WITH RECURSIVE words AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents
+),
+pc AS (
+  SELECT substr(w, CAST(s AS INT), CAST(l AS INT)) AS piece
+  FROM words,
+       unnest(generate_series({_WP_MIN}, {_WP_MAX})) AS tl(l),
+       unnest(generate_series(1, length(w) - l + 1)) AS ts(s)
+  WHERE length(w) >= l
+),
+vocab AS (
+  SELECT piece FROM (
+    SELECT piece, COUNT(*) AS cnt FROM pc GROUP BY piece
+  ) ORDER BY cnt DESC, piece LIMIT {_WP_V}
+),
+wordrows AS (
+  SELECT doc_id, unnest(ws) AS w,
+         unnest(generate_series(1, len(ws))) AS wi
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents)
+),
+posrows AS (
+  SELECT doc_id, wi, w, length(w) AS wl, unnest(
+    CASE WHEN length(w) >= 1
+         THEN generate_series(1, length(w)) ELSE [] END) AS pos
+  FROM wordrows
+),
+hits AS (
+  SELECT p.doc_id, p.wi, p.pos, MAX(tl.l) AS j
+  FROM posrows p, unnest([{lens}]) AS tl(l)
+  JOIN vocab v
+    ON v.piece = substr(p.w, CAST(p.pos AS INT), CAST(tl.l AS INT))
+  WHERE p.pos + tl.l - 1 <= p.wl
+  GROUP BY p.doc_id, p.wi, p.pos
+),
+jtab AS (
+  SELECT p.doc_id, p.wi, p.pos, p.wl, COALESCE(h.j, 1) AS j
+  FROM posrows p LEFT JOIN hits h
+    ON p.doc_id = h.doc_id AND p.wi = h.wi AND p.pos = h.pos
+),
+walk AS (
+  SELECT doc_id, wi, length(w) AS wl, CAST(1 AS BIGINT) AS pos,
+         0 AS np, CAST(0 AS BIGINT) AS fp
+  FROM wordrows
+  UNION ALL
+  SELECT wk.doc_id, wk.wi, wk.wl, wk.pos + j.j, wk.np + 1,
+         (wk.fp * {_WP_BASE} + j.j) % {_WP_MOD}
+  FROM walk wk JOIN jtab j
+    ON wk.doc_id = j.doc_id AND wk.wi = j.wi AND wk.pos = j.pos
+  WHERE wk.pos <= wk.wl
+),
+fin AS (
+  SELECT doc_id, wi, np, fp FROM walk WHERE pos > wl
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS INT) AS n_words,
+  CAST(SUM(np) AS INT) AS n_pieces,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), list(fp ORDER BY wi)),
+    (a, x) -> (a * {_WP_BASE} + x) % {_WP_MOD}) AS doc_fp
+FROM fin GROUP BY doc_id
+"""
+
+
+@register(
+    "text_wordpiece_segments",
+    oracle=_wp_oracle(),
+    doc="WordPiece greedy longest-match-first subword segmentation "
+    "(BERT inference shape) against an in-plan top-200 corpus-derived "
+    "substring vocabulary: per document, word count, total piece "
+    "count (the fertility numerator) and a fingerprint folding every "
+    "word's piece-length sequence in order — any cut moved anywhere "
+    "hashes apart (operators/wordpiece.py).  Pure integer arithmetic "
+    "(no ln), the vocab is a bounded constant-folded map literal, and "
+    "segmentation is a shuffle-free JVM projection; the oracle "
+    "replays the identical walk with a packed-BIGINT accumulator.",
+    tags=("text", "tokenizer", "wordpiece", "extension"),
+    extended=True,
+)
+def text_wordpiece_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.wordpiece import wordpiece_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wordpiece_pipeline(
+        docs, min_len=_WP_MIN, max_len=_WP_MAX, top_v=_WP_V
+    ).withColumnRenamed("id", "doc_id")
