@@ -462,3 +462,72 @@ def graph_lpa_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+_KHOP_H, _KHOP_SEEDS = 3, 5
+
+_KHOP_ORACLE = f"""
+WITH RECURSIVE raw AS (
+  SELECT DISTINCT l_suppkey AS s, o_custkey + {_CUST_NODE_OFFSET} AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (SELECT s AS src, c AS dst FROM raw
+      UNION SELECT c AS src, s AS dst FROM raw),
+seeds AS (
+  SELECT DISTINCT s AS seed FROM raw ORDER BY seed LIMIT {_KHOP_SEEDS}
+),
+r AS (
+  SELECT seed, seed AS node, 0 AS hop FROM seeds
+  UNION
+  SELECT r.seed, e.dst AS node, r.hop + 1
+  FROM r JOIN e ON r.node = e.src
+  WHERE r.hop < {_KHOP_H}
+),
+firsts AS (
+  SELECT seed, node, MIN(hop) AS hop FROM r GROUP BY seed, node
+),
+per_hop AS (
+  SELECT seed, hop, COUNT(*) AS n_new FROM firsts
+  WHERE hop >= 1 GROUP BY seed, hop
+)
+SELECT seed, CAST(hop AS INT) AS hop, n_new,
+  CAST(SUM(n_new) OVER (PARTITION BY seed ORDER BY hop
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum
+FROM per_hop
+"""
+
+
+@register(
+    "graph_khop_reach",
+    oracle=_KHOP_ORACLE,
+    doc=f"K-hop reachability profile: nodes FIRST reached at hops "
+    f"1..{_KHOP_H} from the {_KHOP_SEEDS} smallest supplier nodes of "
+    "the symmetric trade graph (operators/graph.py:khop_counts) — "
+    "frontier BFS where hop h joins ONLY the nodes first reached at "
+    "h-1 against the edge table, never the accumulated set or the "
+    "walk multiset (exponentially larger).  The oracle's recursive "
+    "CTE takes min-hop per (seed, node), which is exactly the "
+    "anti-join-visited semantics.",
+    tags=("graph", "bfs", "extension"),
+    extended=True,
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    raw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("s"),
+            _custkey_node(F.col("o_custkey"), F.col("l_suppkey")).alias("c"),
+        )
+        .distinct()
+    )
+    edges = raw.select(F.col("s").alias("src"), F.col("c").alias("dst")).union(
+        raw.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    ).distinct()
+    seeds = raw.select(F.col("s").alias("seed")).distinct().orderBy(
+        "seed"
+    ).limit(_KHOP_SEEDS)
+    from diabetes_etl_spark.operators.graph import khop_counts
+
+    return khop_counts(edges, seeds, max_hops=_KHOP_H)

@@ -450,3 +450,56 @@ def test_incremental_components_tracks_full_recompute(spark, tmp_path):
     # the no-op batch committed nothing new for its turn: version count
     # is bounded by the number of effectful batches + 1
     assert len(store.history()) <= len(batches)
+
+
+# -- k-hop reachability -------------------------------------------------------
+
+
+def test_khop_counts_on_path_graph(spark):
+    """Path 1-2-3-4-5 (symmetric): from seed 1, each hop reaches
+    exactly one new node; n_cum accumulates."""
+    from diabetes_etl_spark.operators.graph import khop_counts
+
+    raw = [(i, i + 1) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        raw + [(b, a) for a, b in raw], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "seed long")
+    out = sorted(
+        (r.hop, r.n_new, r.n_cum)
+        for r in khop_counts(edges, seeds, max_hops=3).collect()
+    )
+    assert out == [(1, 1, 1), (2, 1, 2), (3, 1, 3)]
+
+
+def test_khop_counts_min_hop_semantics(spark):
+    """Triangle 1-2-3 plus tail 3-4: node 3 is reached at hop 1 (via
+    the direct edge), NEVER recounted at hop 2 through node 2."""
+    from diabetes_etl_spark.operators.graph import khop_counts
+
+    raw = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        raw + [(b, a) for a, b in raw], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "seed long")
+    rows = {r.hop: (r.n_new, r.n_cum) for r in
+            khop_counts(edges, seeds, max_hops=3).collect()}
+    assert rows[1] == (2, 2)   # nodes 2 and 3
+    assert rows[2] == (1, 3)   # node 4 only
+    assert 3 not in rows       # nothing new at hop 3 -> no row
+
+
+def test_khop_multi_seed_and_partition_invariance(spark):
+    from diabetes_etl_spark.operators.graph import khop_counts
+
+    raw = [(i % 7, (i * 3) % 7) for i in range(20) if i % 7 != (i * 3) % 7]
+    edges = spark.createDataFrame(
+        raw + [(b, a) for a, b in raw], "src long, dst long"
+    ).distinct()
+    seeds = spark.createDataFrame([(1,), (2,)], "seed long")
+    a = sorted(map(tuple, khop_counts(edges, seeds, 3).collect()))
+    b = sorted(
+        map(tuple, khop_counts(edges.repartition(7), seeds, 3).collect())
+    )
+    assert a == b
+    assert {r[0] for r in a} == {1, 2}
