@@ -743,7 +743,7 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_K, _PQ_ITERS, _PQ_SUBDIM = 4, 8, 2, 16
 
 
-def _pq_assign_sql(name: str, cent: str) -> str:
+def _pq_assign_sql(name: str, cent: str, pts: str = "pqpts") -> str:
     return f"""
 {name} AS (
   SELECT id, sub, cid AS code FROM (
@@ -752,13 +752,15 @@ def _pq_assign_sql(name: str, cent: str) -> str:
     FROM (
       SELECT p.id, p.sub, c.cid,
         SUM(CAST((p.x - c.c) * (p.x - c.c) AS DECIMAL(25,15))) AS d2
-      FROM pqpts p JOIN {cent} c ON p.sub = c.sub AND p.pos = c.pos
+      FROM {pts} p JOIN {cent} c ON p.sub = c.sub AND p.pos = c.pos
       GROUP BY p.id, p.sub, c.cid))
   WHERE rn = 1
 )"""
 
 
-def _pq_update_sql(name: str, prev: str, assign: str) -> str:
+def _pq_update_sql(
+    name: str, prev: str, assign: str, pts: str = "pqpts"
+) -> str:
     return f"""
 {name} AS (
   SELECT prev.sub, prev.cid, prev.pos,
@@ -767,7 +769,7 @@ def _pq_update_sql(name: str, prev: str, assign: str) -> str:
   FROM {prev} prev LEFT JOIN (
     SELECT p.sub, a.code AS cid, p.pos,
       SUM(CAST(p.x AS DECIMAL(25,15))) AS s, COUNT(*) AS n
-    FROM pqpts p JOIN {assign} a ON p.id = a.id AND p.sub = a.sub
+    FROM {pts} p JOIN {assign} a ON p.id = a.id AND p.sub = a.sub
     GROUP BY p.sub, a.code, p.pos
   ) s ON prev.sub = s.sub AND prev.cid = s.cid AND prev.pos = s.pos
 )"""
@@ -1777,3 +1779,80 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.hard_negative_topk(
         emb, F.col("vec_id") < 10, k=5, lo=0.15, hi=0.5
     )
+
+
+def _pq_incr_oracle() -> str:
+    """Frozen-codebook incremental form: train + corpus codes from
+    HISTORY only (vec_id % 5 != 0); the batch (vec_id % 5 = 0, first
+    10) is encoded/queried against that frozen index."""
+    parts = [
+        f"""
+pqpts AS (
+  SELECT vec_id AS id, (i - 1) // {_PQ_SUBDIM} AS sub,
+         (i - 1) % {_PQ_SUBDIM} AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+hist AS (SELECT * FROM pqpts WHERE id % 5 != 0),
+seeds AS (
+  SELECT sid, row_number() OVER (ORDER BY sid) - 1 AS cid
+  FROM (SELECT vec_id AS sid FROM embeddings
+        WHERE vec_id % 5 != 0 ORDER BY vec_id LIMIT {_PQ_K})
+),
+c0 AS (SELECT p.sub, s.cid, p.pos, p.x AS c
+       FROM seeds s JOIN hist p ON s.sid = p.id)"""
+    ]
+    for r in range(1, _PQ_ITERS + 1):
+        parts.append(_pq_assign_sql(f"a{r}", f"c{r - 1}", pts="hist"))
+        parts.append(_pq_update_sql(f"c{r}", f"c{r - 1}", f"a{r}", pts="hist"))
+    parts.append(_pq_assign_sql("codes", f"c{_PQ_ITERS}", pts="hist"))
+    parts.append(f"""
+lut AS (
+  SELECT q.id AS qid, c.sub, c.cid,
+    SUM(CAST((q.x - c.c) * (q.x - c.c) AS DECIMAL(25,15))) AS d2
+  FROM pqpts q JOIN c{_PQ_ITERS} c ON q.sub = c.sub AND q.pos = c.pos
+  WHERE q.id % 5 = 0 AND q.id < 50
+  GROUP BY q.id, c.sub, c.cid
+),
+adc AS (
+  SELECT l.qid, cd.id, SUM(l.d2) AS adc
+  FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.cid
+  WHERE cd.id != l.qid
+  GROUP BY l.qid, cd.id
+)""")
+    return (
+        "WITH " + ",".join(parts) + """
+SELECT qid AS query_id, id AS candidate_id,
+  ROUND(CAST(adc AS DOUBLE), 9) AS adc_d2, CAST(rn AS INT) AS adc_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, id) AS rn
+  FROM adc
+) WHERE rn <= 5
+"""
+    )
+
+
+@register(
+    "sim_pq_incremental",
+    oracle=_pq_incr_oracle(),
+    doc="Continuous-ingest PQ ANN: the codebook trains ONCE on the "
+    "accumulated history (vec_id % 5 != 0) and is then FROZEN — the "
+    "new batch (10 vectors) is matched against the history's "
+    "persisted codes without re-reading or re-encoding any history "
+    "embedding.  Per-batch cost = one batch LUT (q*m*k rows, "
+    "broadcast) + one scan of the m-byte-per-vector codes table — "
+    "independent of history EMBEDDING bytes, the same shape as "
+    "dedup_incremental_minhash (operators/pq.py).",
+    tags=("similarity", "pq", "incremental", "extension"),
+    extended=True,
+)
+def sim_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.pq import pq_adc_topk, pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hist = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 50))
+    book = pq_train(hist, dim=64, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS)
+    codes = pq_encode(hist, book, dim=64, m=_PQ_M)
+    return pq_adc_topk(batch, codes, book, dim=64, m=_PQ_M, k=5)

@@ -134,3 +134,24 @@ def test_pq_scoring_plan_broadcasts_lut_and_codebook(spark):
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_frozen_codebook_incremental_shape(spark):
+    """Incremental form: the codebook trains on history only; a new
+    batch matches against the history's persisted codes.  The batch
+    must not shift the codebook, and batch vectors from a known blob
+    must retrieve history members of that blob."""
+    df = _blob_corpus(spark)
+    hist = df.where(F.col("vec_id") % 4 != 0)
+    batch = df.where(F.col("vec_id") % 4 == 0)
+    book_h = pq_train(hist, dim=4, m=2, k=3, iterations=2)
+    book_all = pq_train(df, dim=4, m=2, k=3, iterations=2)
+    assert sorted(map(tuple, book_h.collect())) != sorted(
+        map(tuple, book_all.collect())
+    )  # the batch genuinely did not participate in training
+    codes_h = pq_encode(hist, book_h, dim=4, m=2)
+    top = pq_adc_topk(batch, codes_h, book_h, dim=4, m=2, k=3).collect()
+    hist_ids = {r.vec_id for r in hist.collect()}
+    for r in top:
+        assert r.candidate_id in hist_ids  # only history is searched
+        assert r.candidate_id // 8 == r.query_id // 8  # same blob
