@@ -868,3 +868,60 @@ def hard_negative_topk(
             F.col("neg_rank").cast("int").alias("neg_rank"),
         )
     )
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-DIMENSION z-score standardization (x - mean_d) / std_d —
+    the whitening prep that keeps one high-variance dimension from
+    dominating L2/cosine geometry before ANN or clustering.  Adds a
+    ``z`` array column; constant dimensions (std 0) map to 0 rather
+    than raising under ANSI division.
+
+    Determinism: per-dim means pin through DECIMAL(18,12) (the kmeans
+    recipe), variance is IEEE arithmetic on exact-decimal sums cast
+    once to double, sqrt is IEEE-correctly-rounded — every z value is
+    bit-identical cross-engine before any rounding.
+
+    Scale shape: ONE corpus pass computes the d-row stats table
+    (map-side-combined sums), which folds to a single array row and
+    BROADCASTS — the z computation is then a per-row zip against that
+    constant; the corpus itself never shuffles."""
+    long = df.select(
+        F.posexplode(F.col(vec_col)).alias("pos", "xf")
+    ).select("pos", F.col("xf").cast("double").alias("x"))
+    stats = long.groupBy("pos").agg(
+        F.sum(F.col("x").cast("decimal(25,15)")).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(25,15)")).alias("q"),
+        F.count("*").alias("n"),
+    )
+    per_dim = stats.select(
+        "pos",
+        F.expr(
+            "CAST(CAST(CAST(s AS DOUBLE) / n AS DECIMAL(18,12)) AS DOUBLE)"
+        ).alias("mu"),
+        F.sqrt(
+            (F.col("q").cast("double")
+             - F.col("s").cast("double") * F.col("s").cast("double")
+             / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    stats_row = per_dim.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mu", "sd"))).alias(
+            "_stats"
+        )
+    )
+    z = F.expr(
+        f"transform({vec_col}, (v, i) -> CASE "
+        "WHEN _stats[i].sd = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) "
+        "ELSE (CAST(v AS DOUBLE) - _stats[i].mu) / _stats[i].sd END)"
+    )
+    return (
+        df.crossJoin(F.broadcast(stats_row))
+        .withColumn("z", z)
+        .drop("_stats")
+    )

@@ -1856,3 +1856,67 @@ def sim_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     book = pq_train(hist, dim=64, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS)
     codes = pq_encode(hist, book, dim=64, m=_PQ_M)
     return pq_adc_topk(batch, codes, book, dim=64, m=_PQ_M, k=5)
+
+
+_ZSTD_ORACLE = """
+WITH zlong AS (
+  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+st AS (
+  SELECT pos, SUM(CAST(x AS DECIMAL(25,15))) AS s,
+    SUM(CAST(x * x AS DECIMAL(25,15))) AS q, COUNT(*) AS n
+  FROM zlong GROUP BY pos
+),
+pd AS (
+  SELECT pos,
+    CAST(CAST(CAST(s AS DOUBLE) / n AS DECIMAL(18,12)) AS DOUBLE) AS mu,
+    sqrt((CAST(q AS DOUBLE)
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) AS sd
+  FROM st
+),
+zz AS (
+  SELECT vec_id,
+    CASE WHEN sd = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+         ELSE (x - mu) / sd END AS z
+  FROM zlong JOIN pd USING (pos)
+)
+SELECT vec_id,
+  ROUND(sqrt(CAST(SUM(CAST(CAST(z AS DOUBLE) * CAST(z AS DOUBLE)
+       AS DECIMAL(30,15))) AS DOUBLE)), 9) AS z_norm,
+  ROUND(MAX(abs(z)), 9) AS max_abs_z
+FROM zz GROUP BY vec_id
+"""
+
+
+@register(
+    "sim_standardized_norms",
+    oracle=_ZSTD_ORACLE,
+    doc="Per-dimension z-score standardization (whitening prep for "
+    "ANN/clustering: one high-variance dimension stops dominating the "
+    "geometry): the d-row mean/std table folds to one broadcast array "
+    "row, z is a per-row zip against that constant — the corpus never "
+    "shuffles (operators/similarity.py:standardize_embeddings).  "
+    "Output pins every z value through each vector's exact-decimal "
+    "z-norm and max |z|; means pin at DECIMAL(18,12), variance/sqrt "
+    "are IEEE on exact-decimal sums (bit-identical cross-engine).",
+    tags=("similarity", "preprocessing", "extension"),
+    extended=True,
+)
+def sim_standardized_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.similarity import (
+        norm_exact,
+        standardize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sdf = standardize_embeddings(emb)
+    return sdf.select(
+        "vec_id",
+        F.round(norm_exact("z"), 9).alias("z_norm"),
+        F.round(
+            F.expr("array_max(transform(z, v -> abs(v)))"), 9
+        ).alias("max_abs_z"),
+    )

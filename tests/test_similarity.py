@@ -336,3 +336,56 @@ def test_hard_negatives_k_and_tiebreak(spark):
         df, F.col("vec_id") == 0, k=2, lo=0.1, hi=0.9
     ).collect()
     assert [r.candidate_id for r in out] == [3, 5]
+
+
+# -- per-dimension standardization -------------------------------------------
+
+
+def test_standardize_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.operators.similarity import standardize_embeddings
+
+    rows = [(i, [float(i), float(i * i % 7), 5.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.z for r in standardize_embeddings(df).collect()}
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    mu = m.mean(axis=0)
+    sd = m.std(axis=0, ddof=1)
+    for i, vec in rows:
+        for d in range(3):
+            if sd[d] == 0:
+                assert out[i][d] == 0.0  # constant dim -> 0, no ANSI error
+            else:
+                assert abs(out[i][d] - (vec[d] - mu[d]) / sd[d]) < 1e-9
+
+
+def test_standardize_partition_invariant_bit_identical(spark):
+    from diabetes_etl_spark.operators.similarity import standardize_embeddings
+
+    rows = [
+        (i, [float((i * 7) % 13), float((i * 5) % 11), float(i % 3)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted((r.vec_id, tuple(r.z)) for r in
+               standardize_embeddings(df).collect())
+    b = sorted((r.vec_id, tuple(r.z)) for r in
+               standardize_embeddings(df.repartition(11)).collect())
+    assert a == b
+
+
+def test_standardize_plan_broadcasts_stats(spark):
+    from diabetes_etl_spark.operators.similarity import standardize_embeddings
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = (
+        standardize_embeddings(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
