@@ -371,3 +371,59 @@ def phrase_search(
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_matches"))
     )
+
+
+def proximity_search(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    window: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Documents where ``term_a`` and ``term_b`` co-occur within
+    ``window`` token positions (unordered) — the proximity operator
+    of a boolean retrieval stack (NEAR/k).  Returns (doc_id, n_pairs,
+    min_dist): the number of qualifying occurrence pairs and the
+    closest distance.
+
+    Scale shape: occurrences of the two terms filter from the token
+    stream (cost ∝ those occurrences, never full position lists);
+    the pair join is BUCKETED — a's occurrences key to bucket
+    pos div window, b's to its bucket and both neighbours, so each
+    qualifying pair meets in EXACTLY ONE (doc, bucket) cell and the
+    join never forms a per-document cross product beyond the
+    3-bucket neighbourhood.  A hot document costs occ_a x occ_b only
+    within +-window, which is the output size itself."""
+    if term_a.lower() == term_b.lower():
+        raise ValueError("proximity_search needs two distinct terms")
+    occ = _doc_positions(docs, id_col, text_col).filter(
+        F.col("term").isin([term_a.lower(), term_b.lower()])
+    )
+    a = occ.filter(F.col("term") == term_a.lower()).select(
+        "doc_id",
+        F.col("pos").alias("a_pos"),
+        F.expr(f"pos div {window}").alias("bucket"),
+    )
+    b = (
+        occ.filter(F.col("term") == term_b.lower())
+        .select(
+            "doc_id",
+            F.col("pos").alias("b_pos"),
+            F.explode(
+                F.expr(
+                    f"array(pos div {window} - 1, pos div {window}, "
+                    f"pos div {window} + 1)"
+                )
+            ).alias("bucket"),
+        )
+    )
+    pairs = a.join(b, ["doc_id", "bucket"]).filter(
+        F.abs(F.col("a_pos") - F.col("b_pos")) <= window
+    )
+    return pairs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.min(F.abs(F.col("a_pos") - F.col("b_pos")))
+        .cast("int")
+        .alias("min_dist"),
+    )

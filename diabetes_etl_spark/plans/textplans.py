@@ -1591,3 +1591,48 @@ def text_wordpiece_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_pipeline(
         docs, min_len=_WP_MIN, max_len=_WP_MAX, top_v=_WP_V
     ).withColumnRenamed("id", "doc_id")
+
+
+_PROX_A, _PROX_B, _PROX_W = "table", "hash", 5
+
+
+@register(
+    "text_proximity_search",
+    oracle=f"""
+WITH occ AS (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS term
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents WHERE LENGTH(text) > 0),
+       unnest(generate_series(1, len(toks))) AS t(i)
+  WHERE LENGTH(toks[i]) > 0
+),
+pairs AS (
+  SELECT a.doc_id, abs(a.pos - b.pos) AS d
+  FROM (SELECT doc_id, pos FROM occ WHERE term = '{_PROX_A}') a
+  JOIN (SELECT doc_id, pos FROM occ WHERE term = '{_PROX_B}') b
+    ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) <= {_PROX_W}
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(MIN(d) AS INT) AS min_dist
+FROM pairs GROUP BY doc_id ORDER BY doc_id
+""",
+    doc=f"Proximity retrieval (NEAR/{_PROX_W}): documents where "
+    f"{_PROX_A!r} and {_PROX_B!r} co-occur within {_PROX_W} token "
+    "positions, with pair counts and closest distance "
+    "(operators/invindex.py:proximity_search).  The pair join is "
+    "BUCKETED on pos div window with one-sided neighbour expansion, "
+    "so each qualifying pair meets in exactly one (doc, bucket) cell "
+    "— never a per-document position cross product; cost ∝ the two "
+    "terms' occurrences.  The oracle does the naive per-doc pair "
+    "join, proving the bucketing loses nothing.",
+    tags=("text", "retrieval", "proximity", "extension"),
+    extended=True,
+)
+def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.invindex import proximity_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return proximity_search(
+        docs, _PROX_A, _PROX_B, window=_PROX_W
+    ).orderBy("doc_id")

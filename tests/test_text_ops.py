@@ -552,3 +552,59 @@ def test_distributed_overlap_equals_clipped_lambda(spark):
     }
     for i in lam:
         assert lam[i] == dist.get(i, 0), i
+
+
+# -- proximity search ---------------------------------------------------------
+
+
+def test_proximity_search_window_and_counts(spark):
+    import pytest as _pytest
+
+    from diabetes_etl_spark.operators.invindex import proximity_search
+
+    rows = [
+        (0, "cat x x x dog"),          # dist 4: within 5
+        (1, "cat x x x x x dog"),      # dist 6: out
+        (2, "dog cat dog"),            # two pairs, dists 1 and 1
+        (3, "cat only here"),          # no dog
+        (4, "dog x cat x dog cat"),    # several pairs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_pairs, r.min_dist) for r in
+           proximity_search(df, "cat", "dog", window=5).collect()}
+    assert out[0] == (1, 4)
+    assert 1 not in out
+    assert out[2] == (2, 1)
+    assert 3 not in out
+    # doc 4 positions: dog 0,4; cat 2,5 -> pairs (0,2)=2,(4,2)=2,(4,5)=1,
+    # (0,5)=5 -> 4 pairs, min 1
+    assert out[4] == (4, 1)
+    with _pytest.raises(ValueError, match="distinct"):
+        proximity_search(df, "cat", "CAT")
+
+
+def test_proximity_bucketing_counts_each_pair_once(spark):
+    """Pairs straddling bucket boundaries must count exactly once —
+    brute-force comparison over random docs."""
+    import random
+
+    from diabetes_etl_spark.operators.invindex import proximity_search
+
+    rnd = random.Random(5)
+    rows = []
+    for i in range(30):
+        toks = [rnd.choice(["a", "b", "x", "y"]) for _ in range(40)]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_pairs, r.min_dist) for r in
+           proximity_search(df, "a", "b", window=4).collect()}
+    for i, t in rows:
+        toks = t.split()
+        pa = [p for p, w in enumerate(toks) if w == "a"]
+        pb = [p for p, w in enumerate(toks) if w == "b"]
+        pairs = [(x, y) for x in pa for y in pb if abs(x - y) <= 4]
+        if pairs:
+            assert got[i] == (len(pairs),
+                              min(abs(x - y) for x, y in pairs)), i
+        else:
+            assert i not in got, i
