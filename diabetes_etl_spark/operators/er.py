@@ -286,3 +286,50 @@ def edit_distance_pairs(
         .filter(F.col("edit_distance") <= d)
         .select("id_a", "id_b", "edit_distance")
     )
+
+
+# -- portable phonetic key (Soundex variant) ---------------------------------
+#
+# American Soundex with the H/W-removal simplification (H and W are
+# deleted before coding, so duplicate consonant codes merge across
+# them; a leading H/W still anchors the key letter).  Implemented as
+# an IDENTICAL translate + regexp chain on both engines — Spark's
+# builtin soundex() is NOT used because its refined-variant edge cases
+# would have to be reverse-engineered to mirror in the oracle, and a
+# phonetic BLOCKING key only needs determinism, not any one standard's
+# exact output.
+#
+# The letter->digit table (H, W already removed):
+_SOUNDEX_LETTERS = "ABCDEFGIJKLMNOPQRSTUVXYZ"
+_SOUNDEX_CODES = "012301202245501262301202"
+
+
+def _soundex_steps(col_sql: str) -> str:
+    """The shared SQL chain (valid in both Spark SQL and DuckDB)."""
+    s = f"regexp_replace(upper({col_sql}), '[^A-Z]', '')"
+    body = f"regexp_replace({s}, '[HW]', '')"
+    digits = f"translate({body}, '{_SOUNDEX_LETTERS}', '{_SOUNDEX_CODES}')"
+    collapsed = digits
+    for d in range(7):  # collapse runs without pattern backreferences
+        collapsed = f"regexp_replace({collapsed}, '{d}{d}+', '{d}')"
+    tail = (
+        f"replace(substr({collapsed}, 2, length({collapsed})), '0', '')"
+    )
+    return (
+        f"CASE WHEN length({s}) = 0 THEN '' "
+        f"ELSE substr({s}, 1, 1) || substr({tail} || '000', 1, 3) END"
+    )
+
+
+def soundex_key(col: Column | str) -> Column:
+    """Portable phonetic key column (see module comment for the exact
+    variant).  Pure string expressions — codegen-side, no Python."""
+    col_sql = col if isinstance(col, str) else None
+    if col_sql is None:
+        raise TypeError("soundex_key takes the column NAME (SQL identifier)")
+    return F.expr(_soundex_steps(col_sql))
+
+
+def soundex_sql(col_sql: str) -> str:
+    """The identical chain as an oracle-side SQL string."""
+    return _soundex_steps(col_sql)

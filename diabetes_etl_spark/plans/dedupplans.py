@@ -1357,3 +1357,65 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.cdc_dedup_stats(
         docs, window=_CDC_W, mask_mod=_CDC_MASK
     ).withColumnRenamed("id", "doc_id")
+
+
+# -- phonetic (Soundex) blocking ----------------------------------------------
+
+
+def _soundex_import():
+    from diabetes_etl_spark.operators.er import soundex_sql
+
+    return soundex_sql
+
+
+@register(
+    "er_soundex_blocks",
+    oracle=f"""
+WITH words AS (
+  SELECT p_partkey, p_name, unnest(string_split(p_name, ' ')) AS w,
+         unnest(generate_series(1, len(string_split(p_name, ' ')))) AS wi
+  FROM part
+),
+keys AS (
+  SELECT p_partkey, p_name,
+    string_agg(CASE WHEN length(regexp_replace(upper(w), '[^A-Z]', '')) = 0 THEN '' ELSE substr(regexp_replace(upper(w), '[^A-Z]', ''), 1, 1) || substr(replace(substr(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(translate(regexp_replace(regexp_replace(upper(w), '[^A-Z]', ''), '[HW]', ''), 'ABCDEFGIJKLMNOPQRSTUVXYZ', '012301202245501262301202'), '00+', '0'), '11+', '1'), '22+', '2'), '33+', '3'), '44+', '4'), '55+', '5'), '66+', '6'), 2, length(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(translate(regexp_replace(regexp_replace(upper(w), '[^A-Z]', ''), '[HW]', ''), 'ABCDEFGIJKLMNOPQRSTUVXYZ', '012301202245501262301202'), '00+', '0'), '11+', '1'), '22+', '2'), '33+', '3'), '44+', '4'), '55+', '5'), '66+', '6'))), '0', '') || '000', 1, 3) END, '-' ORDER BY wi) AS block_key
+  FROM words GROUP BY p_partkey, p_name
+)
+SELECT block_key, COUNT(*) AS n_parts,
+  COUNT(DISTINCT p_name) AS n_names,
+  MIN(p_partkey) AS min_partkey
+FROM keys GROUP BY block_key
+""",
+    doc="Phonetic blocking for entity resolution: every part name's "
+    "words map through a PORTABLE Soundex (identical translate+regexp "
+    "chain on both engines — Spark's builtin variant is deliberately "
+    "not used so the oracle can replay it; operators/er.py:"
+    "soundex_key), the per-name key is the '-'-join of word codes, "
+    "and blocks aggregate to (size, distinct names, min key).  "
+    "Blocking is THE standard ER fan-out bound: candidate pairs come "
+    "from within blocks only — block sizes are the quantity this "
+    "query audits.  All string expressions are codegen-side; the "
+    "only shuffle carries (partkey, word-index, 4-char code).",
+    tags=("er", "phonetic", "blocking", "extension"),
+    extended=True,
+)
+def er_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    soundex_sql = _soundex_import()
+    part = load_table(spark, sf_dir, "part")
+    words = part.select(
+        "p_partkey",
+        "p_name",
+        F.posexplode(F.split(F.col("p_name"), " ")).alias("wi", "w"),
+    ).withColumn("k", F.expr(soundex_sql("w")))
+    keys = words.groupBy("p_partkey", "p_name").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(wi, k))), "
+                   "s -> s.k)"),
+            "-",
+        ).alias("block_key")
+    )
+    return keys.groupBy("block_key").agg(
+        F.count("*").alias("n_parts"),
+        F.countDistinct("p_name").alias("n_names"),
+        F.min("p_partkey").alias("min_partkey"),
+    )

@@ -503,3 +503,32 @@ def test_khop_multi_seed_and_partition_invariance(spark):
     )
     assert a == b
     assert {r[0] for r in a} == {1, 2}
+
+
+# -- portable soundex ----------------------------------------------------------
+
+
+def test_soundex_classic_values_and_phonetic_equality(spark):
+    from diabetes_etl_spark.operators.er import soundex_key
+
+    cases = {
+        "Robert": "R163", "Rupert": "R163",
+        "Ashcraft": "A261", "Ashcroft": "A261",
+        "Tymczak": "T522", "Pfister": "P236", "Honeyman": "H555",
+        "gray": "G600", "grey": "G600",
+        "a": "A000", "": "",
+        "O'Brien": "O165",  # punctuation stripped before coding
+    }
+    df = spark.createDataFrame([(n,) for n in cases], "n string")
+    got = {r.n: r.k for r in df.select("n", soundex_key("n").alias("k")).collect()}
+    assert got == cases
+
+
+def test_soundex_key_requires_identifier(spark):
+    import pytest as _pytest
+
+    from diabetes_etl_spark.operators.er import soundex_key
+    from pyspark.sql import functions as F
+
+    with _pytest.raises(TypeError):
+        soundex_key(F.col("n"))
