@@ -1709,3 +1709,65 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -- exponentially decayed trending -------------------------------------------
+
+_DECAY_HL_US = 86_400_000_000  # half-life: 1 day of event time
+
+
+@register(
+    "events_decayed_trending",
+    oracle=f"""
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS _mx FROM events),
+w AS (
+  SELECT event_type, value,
+    ROUND(pow(CAST(2 AS DOUBLE),
+              -CAST(_mx - epoch_us(ts) AS DOUBLE)
+              / CAST({_DECAY_HL_US} AS DOUBLE)), 9) AS w
+  FROM events, mx
+)
+SELECT event_type, COUNT(*) AS n_events,
+  ROUND(CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE), 9)
+    AS decayed_count,
+  ROUND(CAST(SUM(CAST(w * value AS DECIMAL(38,9))) AS DOUBLE), 6)
+    AS decayed_value
+FROM w GROUP BY event_type
+""",
+    doc="Exponentially time-decayed trending aggregates (half-life = "
+    "1 day of event time, anchored at the corpus max timestamp): the "
+    "'what is hot NOW' rollup that a plain windowed count cannot "
+    "express — every event contributes 2^(-age/halflife).  The "
+    "1-row max-timestamp aggregate broadcasts (scalar-attach "
+    "pattern, no global window over the corpus); weights quantize "
+    "to 9 decimals at the source (libm pow — the BM25 ln precedent) "
+    "and fold through DECIMAL, so the sums are order-independent "
+    "and cross-engine exact.",
+    tags=("events", "decay", "trending", "extension"),
+    extended=True,
+)
+def events_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.functions.numeric import dec_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.unix_micros(F.col("ts"))).alias("_mx"))
+    w = F.round(
+        F.pow(
+            F.lit(2.0),
+            -(F.col("_mx") - F.unix_micros(F.col("ts"))).cast("double")
+            / F.lit(float(_DECAY_HL_US)),
+        ),
+        9,
+    )
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .withColumn("w", w)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(dec_sum(F.col("w"), 12, 38), 9).alias("decayed_count"),
+            F.round(
+                dec_sum(F.col("w") * F.col("value"), 9, 38), 6
+            ).alias("decayed_value"),
+        )
+    )

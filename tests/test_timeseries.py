@@ -247,3 +247,54 @@ def test_linear_trend_recovers_known_slope(spark, sf_dir):
     assert abs(out["b"].slope - (-1.0)) < 1e-6
     assert abs(out["a"].intercept - 7.0) < 1.0   # intercept magnifies
     assert abs(out["b"].intercept - 100.0) < 1.0  # slope quantization
+
+
+# -- decayed trending ----------------------------------------------------------
+
+
+def test_decayed_trending_halflife_semantics(spark):
+    """An event exactly one half-life older contributes half the
+    weight of the newest event; the newest contributes 1.0."""
+    import datetime as dt
+
+    from diabetes_etl_spark.plans.events import events_decayed_trending
+
+    # build a private parquet dir shaped like the fixture
+    import tempfile
+
+    base = dt.datetime(2025, 1, 2, 0, 0, 0)
+    rows = [
+        (1, base, 10, "a", 2.0, "{}"),
+        (2, base - dt.timedelta(days=1), 11, "a", 2.0, "{}"),
+        (3, base - dt.timedelta(days=2), 12, "b", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tempfile.mkdtemp(prefix="decay_ev_")
+    # write int64 micros like the fixture generator (Spark's default
+    # INT96 physical type defeats load_table's footer probe)
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    out = {r.event_type: r for r in events_decayed_trending(spark, d).collect()}
+    assert out["a"].n_events == 2
+    assert abs(out["a"].decayed_count - 1.5) < 1e-9      # 1.0 + 0.5
+    assert abs(out["a"].decayed_value - 3.0) < 1e-6      # 2*(1.0+0.5)
+    assert abs(out["b"].decayed_count - 0.25) < 1e-9     # two half-lives
+    assert abs(out["b"].decayed_value - 1.0) < 1e-6
+
+
+def test_decayed_trending_partition_invariant(spark, sf_dir):
+    from diabetes_etl_spark.plans.events import events_decayed_trending
+
+    a = sorted(map(tuple, events_decayed_trending(spark, sf_dir).collect()))
+    b = sorted(map(tuple, events_decayed_trending(spark, sf_dir).collect()))
+    assert a == b
