@@ -71,6 +71,14 @@ HEADLINE = [
     # PCA (2 corpus passes + d-row aggregates per round)
     "multimodal_progressive_decode",
     "embeddings_pca_power",
+    # round-8 late families: PQ ANN (codebook train + ADC scoring),
+    # content-defined chunking (per-row boundary scan + fp shuffle),
+    # WordPiece greedy segmentation (constant-folded vocab map),
+    # ROUGE/BLEU pair scoring (distributed clipped overlap)
+    "sim_pq_adc_topk",
+    "dedup_cdc_chunks",
+    "text_wordpiece_segments",
+    "text_rouge_bleu_pairs",
 ]
 
 
