@@ -147,3 +147,54 @@ def logistic_score(
     for j, c in enumerate(feature_cols):
         z = z + F.lit(weights[j + 1]) * F.col(c)
     return sigmoid_q(z)
+
+
+def loo_target_encode(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    alpha: float = 10.0,
+) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing toward
+    the global prior — the leakage-safe categorical feature
+    (each row's own target is EXCLUDED from its encoding, so the
+    feature never memorizes the label it will be asked to predict):
+
+        enc = (sum_cat - own + alpha * prior) / (n_cat - 1 + alpha)
+
+    Adds ``loo_enc`` (9-decimal rounded) and ``loo_enc_raw`` (the
+    bit-exact IEEE value — aggregate THIS one: rounding a 15-sig-digit
+    money-scale double to 9 decimals is engine-unstable in the last
+    ulp, which bit the oracle pairing; raw doubles are identical).
+
+    Determinism: per-category and global sums fold through
+    DECIMAL(38,6) (exact), the prior pins at DECIMAL(18,12), and the
+    per-row encoding is IEEE arithmetic on those pinned values with
+    identical operation order cross-engine.
+
+    Scale shape: ONE pass builds the per-category (sum, n) table
+    (map-side combined, category-cardinality rows) which BROADCASTS
+    back — the fact table never shuffles; the global prior is the
+    scalar-attach 1-row aggregate."""
+    cat, tgt = F.col(category_col), F.col(target_col)
+    per_cat = df.groupBy(category_col).agg(
+        F.sum(tgt.cast("decimal(38,6)")).alias("_csum"),
+        F.count("*").alias("_cn"),
+    )
+    prior = df.agg(
+        F.expr(
+            f"CAST(CAST(CAST(sum(CAST({target_col} AS DECIMAL(38,6))) "
+            f"AS DOUBLE) / count(*) AS DECIMAL(18,12)) AS DOUBLE)"
+        ).alias("_prior")
+    )
+    enc = (
+        (F.col("_csum").cast("double") - tgt)
+        + F.lit(float(alpha)) * F.col("_prior")
+    ) / (F.col("_cn") - 1 + F.lit(float(alpha)))
+    return (
+        df.join(F.broadcast(per_cat), category_col)
+        .crossJoin(F.broadcast(prior))
+        .withColumn("loo_enc_raw", enc)
+        .withColumn("loo_enc", F.round(enc, 9))
+        .drop("_csum", "_cn", "_prior")
+    )

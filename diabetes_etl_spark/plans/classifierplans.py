@@ -189,3 +189,58 @@ def classifier_quality_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+_LOO_ALPHA = 10.0
+
+
+@register(
+    "ml_loo_target_encoding",
+    oracle=f"""
+WITH per_cat AS (
+  SELECT o_orderpriority,
+    SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS csum,
+    COUNT(*) AS cn
+  FROM orders GROUP BY o_orderpriority
+),
+pr AS (
+  SELECT CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+    AS DOUBLE) / COUNT(*) AS DECIMAL(18,12)) AS DOUBLE) AS prior
+  FROM orders
+),
+enc AS (
+  SELECT o.o_orderpriority,
+    ((CAST(p.csum AS DOUBLE) - o.o_totalprice)
+     + CAST({_LOO_ALPHA!r} AS DOUBLE) * pr.prior)
+    / (p.cn - 1 + CAST({_LOO_ALPHA!r} AS DOUBLE)) AS e
+  FROM orders o JOIN per_cat p USING (o_orderpriority), pr
+)
+SELECT o_orderpriority, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(e AS DECIMAL(38,6))) AS DOUBLE) AS enc_sum,
+  ROUND(MIN(e), 4) AS enc_min, ROUND(MAX(e), 4) AS enc_max
+FROM enc GROUP BY o_orderpriority
+""",
+    doc="Leave-one-out target encoding of order priority against "
+    "order value (alpha=10 additive smoothing toward the global "
+    "prior) — the leakage-safe categorical feature: each row's own "
+    "target is excluded from its own encoding "
+    "(operators/classifier.py:loo_target_encode).  The 5-row "
+    "category table and the 1-row prior broadcast; the fact table "
+    "never shuffles.  Output pins every per-row encoding through "
+    "per-category decimal sums + extrema.",
+    tags=("ml", "feature-engineering", "extension"),
+    extended=True,
+)
+def ml_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.functions.numeric import dec_sum
+    from diabetes_etl_spark.operators.classifier import loo_target_encode
+
+    orders = load_table(spark, sf_dir, "orders")
+    enc = loo_target_encode(
+        orders, "o_orderpriority", "o_totalprice", alpha=_LOO_ALPHA
+    )
+    return enc.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        dec_sum(F.col("loo_enc_raw"), 6, 38).alias("enc_sum"),
+        F.round(F.min("loo_enc_raw"), 4).alias("enc_min"),
+        F.round(F.max("loo_enc_raw"), 4).alias("enc_max"),
+    )

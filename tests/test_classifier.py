@@ -85,3 +85,54 @@ def test_training_resumes_from_state_store(spark, tmp_path):
     )
     assert resumed == fresh
     assert store.last_app_version("gd_round") == 4
+
+
+# -- leave-one-out target encoding --------------------------------------------
+
+
+def test_loo_encoding_excludes_own_target(spark):
+    """Two rows in a category with targets 0 and 100 (alpha=0 edge via
+    tiny alpha): each row's encoding must reflect the OTHER row."""
+    from diabetes_etl_spark.operators.classifier import loo_target_encode
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.0), (2, "a", 100.0), (3, "b", 50.0)],
+        "id long, cat string, y double",
+    )
+    out = {r.id: r.loo_enc_raw for r in
+           loo_target_encode(df, "cat", "y", alpha=1e-9).collect()}
+    assert abs(out[1] - 100.0) < 1e-5   # sees only the other row
+    assert abs(out[2] - 0.0) < 1e-5
+    # singleton category: denominator ~alpha -> collapses to prior
+    assert abs(out[3] - 50.0) < 1e-3    # prior = (0+100+50)/3 = 50
+
+
+def test_loo_encoding_smoothing_pulls_to_prior(spark):
+    from diabetes_etl_spark.operators.classifier import loo_target_encode
+
+    df = spark.createDataFrame(
+        [(i, "a", 100.0) for i in range(5)] + [(9, "b", 0.0)],
+        "id long, cat string, y double",
+    )
+    prior = 500.0 / 6
+    out = {r.id: r.loo_enc_raw for r in
+           loo_target_encode(df, "cat", "y", alpha=10.0).collect()}
+    # category a row: (400 + 10*prior) / (4 + 10)
+    want = (400.0 + 10.0 * round(prior, 12)) / 14.0
+    assert abs(out[0] - want) < 1e-6
+    # heavy smoothing keeps the encoding strictly between prior and raw
+    assert prior < out[0] < 100.0
+
+
+def test_loo_encoding_partition_invariant(spark):
+    from diabetes_etl_spark.operators.classifier import loo_target_encode
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], float((i * 7) % 23)) for i in range(60)],
+        "id long, cat string, y double",
+    )
+    a = sorted((r.id, r.loo_enc_raw) for r in
+               loo_target_encode(df, "cat", "y").collect())
+    b = sorted((r.id, r.loo_enc_raw) for r in
+               loo_target_encode(df.repartition(13), "cat", "y").collect())
+    assert a == b
