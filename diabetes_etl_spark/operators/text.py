@@ -431,3 +431,47 @@ def ngram_count_table(
         .groupBy(*key_cols, "gram")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def hashed_bow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """(id, bucket, val): signed feature-hashing bag-of-words (the
+    Weinberger et al. 2009 hashing trick, sklearn HashingVectorizer /
+    VW shape) — token t adds sign(h(t)) to bucket h(t) mod B, so the
+    featurizer needs NO vocabulary, NO fit pass, and NO driver state;
+    collisions cancel in expectation because of the sign bit.
+    Zero-valued buckets (exact sign cancellation) are dropped — they
+    are indistinguishable from never-touched buckets downstream.
+
+    ALL-INTEGER arithmetic on the portable token hash
+    (operators/dedup.py:portable_token_hash), so outputs hash-match a
+    SQL replay with no float caveats at all.
+
+    Scale shape: one token explode with map-side combine into at most
+    B values per document; only (id, bucket, signed-count) shuffles —
+    the classic fixed-width featurizer that never grows with
+    vocabulary."""
+    from diabetes_etl_spark.operators.dedup import portable_token_hash
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    signed = toks.withColumn(
+        "h", portable_token_hash(F.col("tok"))
+    ).select(
+        "id",
+        (F.col("h") % n_buckets).alias("bucket"),
+        F.when(
+            F.expr(f"(h div {n_buckets}) % 2 = 0"), F.lit(1)
+        ).otherwise(F.lit(-1)).alias("sign"),
+    )
+    return (
+        signed.groupBy("id", "bucket")
+        .agg(F.sum("sign").cast("long").alias("val"))
+        .filter(F.col("val") != 0)
+    )

@@ -1636,3 +1636,80 @@ def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proximity_search(
         docs, _PROX_A, _PROX_B, window=_PROX_W
     ).orderBy("doc_id")
+
+
+# -- feature hashing -----------------------------------------------------------
+
+_FH_B = 256
+_FH_PACK = 1_000_000  # bucket * PACK + (val + PACK/2): collision-free
+_FH_H1 = (
+    "list_reduce(list_prepend(CAST(7 AS BIGINT), "
+    "list_transform(string_split(tok, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+    "(acc, x) -> (acc * 131 + x) % 1000000007)"
+)
+_FH_H2 = (
+    "list_reduce(list_prepend(CAST(13 AS BIGINT), "
+    "list_transform(string_split(tok, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+    "(acc, x) -> (acc * 137 + x) % 999999937)"
+)
+
+
+@register(
+    "text_hashed_features",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_D_TOKENS}) AS tok FROM documents
+),
+nz AS (SELECT doc_id, tok FROM toks WHERE LENGTH(tok) > 0),
+raw AS (
+  SELECT doc_id, ({_FH_H1}) AS h1, ({_FH_H2}) AS h2 FROM nz
+),
+th AS (
+  SELECT doc_id,
+    ((h1 * 2654435761 + h2) % 1000000007) * CAST(1073741824 AS BIGINT)
+      + ((h2 * 2246822519 + h1) % 999999937) AS h
+  FROM raw
+),
+sv AS (
+  SELECT doc_id, h % {_FH_B} AS bucket,
+    CASE WHEN (h // {_FH_B}) % 2 = 0 THEN 1 ELSE -1 END AS sign
+  FROM th
+),
+vec AS (
+  SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS val
+  FROM sv GROUP BY doc_id, bucket HAVING SUM(sign) != 0
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS INT) AS nnz,
+  CAST(SUM(val * val) AS BIGINT) AS l2sq,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list(bucket * {_FH_PACK} + val + {_FH_PACK // 2} ORDER BY bucket)),
+    (a, x) -> (a * 2654435761 + x) % 1000000007) AS vec_fp
+FROM vec GROUP BY doc_id
+""",
+    doc=f"Feature hashing (Weinberger et al. 2009; {_FH_B} signed "
+    "buckets over the portable token hash): vocabulary-free, "
+    "fit-free, driver-state-free featurization — one token explode "
+    "map-side-combines into at most B signed counts per document "
+    "(operators/text.py:hashed_bow).  ALL-INTEGER, so the oracle "
+    "pins every bucket value exactly via nnz + squared-L2 + an "
+    "ordered (bucket, val) fingerprint.",
+    tags=("text", "ml", "hashing-trick", "extension"),
+    extended=True,
+)
+def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.text import hashed_bow
+
+    docs = load_table(spark, sf_dir, "documents")
+    vec = hashed_bow(docs, n_buckets=_FH_B)
+    return vec.groupBy("id").agg(
+        F.count("*").cast("int").alias("nnz"),
+        F.sum(F.col("val") * F.col("val")).cast("long").alias("l2sq"),
+        F.aggregate(
+            F.array_sort(F.collect_list(
+                F.col("bucket") * _FH_PACK + F.col("val") + _FH_PACK // 2
+            )),
+            F.lit(0).cast("long"),
+            lambda a, x: (a * F.lit(2654435761) + x) % F.lit(1_000_000_007),
+        ).alias("vec_fp"),
+    ).withColumnRenamed("id", "doc_id")

@@ -608,3 +608,49 @@ def test_proximity_bucketing_counts_each_pair_once(spark):
                               min(abs(x - y) for x, y in pairs)), i
         else:
             assert i not in got, i
+
+
+# -- feature hashing -----------------------------------------------------------
+
+
+def test_hashed_bow_matches_python_reference(spark):
+    from diabetes_etl_spark.operators.text import hashed_bow
+
+    def pth(tok):
+        h1, h2 = 7, 13
+        for ch in tok:
+            h1 = (h1 * 131 + ord(ch)) % 1_000_000_007
+            h2 = (h2 * 137 + ord(ch)) % 999_999_937
+        f1 = (h1 * 2654435761 + h2) % 1_000_000_007
+        f2 = (h2 * 2246822519 + h1) % 999_999_937
+        return f1 * (1 << 30) + f2
+
+    rows = [(0, "alpha beta alpha gamma"), (1, "beta"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in hashed_bow(df, n_buckets=32).collect():
+        got.setdefault(r.id, {})[r.bucket] = r.val
+    for i, t in rows:
+        want = {}
+        for tok in t.split():
+            h = pth(tok)
+            b, s = h % 32, (1 if (h // 32) % 2 == 0 else -1)
+            want[b] = want.get(b, 0) + s
+        want = {b: v for b, v in want.items() if v != 0}
+        assert got.get(i, {}) == want, i
+
+
+def test_hashed_bow_fixed_width_and_invariance(spark):
+    from diabetes_etl_spark.operators.text import hashed_bow
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"tok{j}" for j in range(i + 1))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = hashed_bow(df, n_buckets=16)
+    from pyspark.sql import functions as F
+
+    assert out.agg(F.max("bucket")).collect()[0][0] < 16
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, hashed_bow(df.repartition(7), n_buckets=16).collect()))
+    assert a == b
