@@ -1497,3 +1497,105 @@ def cdc_dedup_stats(
             .alias("shared_len"),
         )
     )
+
+
+# -- winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003) ---------------
+
+_WIN_MOD = 1_000_000_007
+_WIN_POSCAP = 4096  # pos field in the packed tie-break value
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 8,
+) -> DataFrame:
+    """(id, fp, pos): winnowing fingerprints — from every window of
+    ``window`` consecutive char ``k``-gram hashes, select the MINIMUM
+    (rightmost on ties), then deduplicate selections.  The MOSS
+    guarantee: any shared substring of length >= window + k - 1 shares
+    at least one fingerprint, while only ~2/(window+1) of grams are
+    kept (Schleimer et al., SIGMOD 2003).  Documents shorter than one
+    window still emit their global minimum; documents shorter than
+    ``k`` emit nothing.
+
+    All integer arithmetic (30-bit polynomial gram hashes packed with
+    the position tie-break), oracle-replayable.  Per-row cost is
+    O(len * (k + window)) array expressions over HOISTED columns —
+    the gram/packed arrays are projected before the selection lambdas
+    so nothing re-derives per position (the CDC O(len^2) lesson);
+    only (id, 8-byte fp, pos) ever leaves the scan."""
+    if window >= _WIN_POSCAP:
+        raise ValueError(f"window must stay below {_WIN_POSCAP}")
+    codes = f"transform(split({text_col}, ''), ch -> ascii(ch))"
+    gram = (
+        f"aggregate(slice(__codes, p, {k}), 0L, "
+        f"(acc, x) -> (acc * 131 + x) % {_WIN_MOD})"
+    )
+    grams = (
+        f"CASE WHEN size(__codes) >= {k} THEN "
+        f"transform(sequence(1, size(__codes) - {k - 1}), p -> {gram}) "
+        f"ELSE array() END"
+    )
+    # packed value: gram-hash * 4096 + (4095 - (p-1) % 4096) — the
+    # minimum picks the smallest hash, ties the RIGHTMOST position
+    packed = (
+        f"CASE WHEN size(__grams) = 0 THEN array() ELSE "
+        f"transform(sequence(1, size(__grams)), "
+        f"p -> element_at(__grams, p) * {_WIN_POSCAP}L "
+        f"+ {_WIN_POSCAP - 1} - (p - 1) % {_WIN_POSCAP}) END"
+    )
+    n_win = f"greatest(size(__packed) - {window - 1}, 1)"
+    selected = (
+        f"CASE WHEN size(__packed) = 0 THEN array() ELSE "
+        f"array_distinct(transform(sequence(1, {n_win}), "
+        f"i -> array_min(slice(__packed, i, {window})))) END"
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.expr(codes).alias("__codes"),
+        )
+        .select("id", F.expr(grams).alias("__grams"))
+        .select("id", F.expr(packed).alias("__packed"))
+        .select("id", F.explode(F.expr(selected)).alias("v"))
+        .select(
+            "id",
+            F.expr(f"v div {_WIN_POSCAP}").alias("fp"),
+            (
+                F.lit(_WIN_POSCAP - 1) - F.col("v") % _WIN_POSCAP
+            ).cast("int").alias("pos"),
+        )
+    )
+
+
+def winnow_share_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 8,
+) -> DataFrame:
+    """Per-document winnowing profile: (id, n_fps, n_shared, sel_fp)
+    where a fingerprint is SHARED when it occurs in >= 2 documents
+    and ``sel_fp`` folds the ordered selected hashes.  The sharing
+    join is fp-keyed like cdc_dedup_stats — only 8-byte hashes
+    shuffle."""
+    sel = winnow_fingerprints(df, id_col, text_col, k, window).select(
+        "id", "fp"
+    ).distinct()
+    by_fp = sel.groupBy("fp").agg(F.countDistinct("id").alias("__nd"))
+    flagged = sel.join(by_fp, "fp").withColumn(
+        "__shared", (F.col("__nd") >= 2).cast("int")
+    )
+    return flagged.groupBy("id").agg(
+        F.count("*").alias("n_fps"),
+        F.sum("__shared").cast("long").alias("n_shared"),
+        F.aggregate(
+            F.array_sort(F.collect_list("fp")),
+            F.lit(0).cast("long"),
+            lambda a, x: (a * 131 + x) % _WIN_MOD,
+        ).alias("sel_fp"),
+    )

@@ -1419,3 +1419,82 @@ def er_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("p_name").alias("n_names"),
         F.min("p_partkey").alias("min_partkey"),
     )
+
+
+# -- winnowing fingerprints ----------------------------------------------------
+
+_WN_K, _WN_W, _WN_M, _WN_PC = 5, 8, 1_000_000_007, 4096
+
+_WN_ORACLE = f"""
+WITH ch0 AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS pos
+  FROM documents
+),
+chc AS (
+  SELECT doc_id, pos,
+    CAST(ascii(substr(text, CAST(pos AS INT), 1)) AS BIGINT) AS c
+  FROM ch0
+),
+g AS (
+  SELECT a.doc_id, a.pos AS p,
+    ((((a.c * 131 + b.c) % {_WN_M} * 131 + c.c) % {_WN_M}
+      * 131 + d.c) % {_WN_M} * 131 + e.c) % {_WN_M} AS gh
+  FROM chc a
+  JOIN chc b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN chc c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+  JOIN chc d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+  JOIN chc e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4
+),
+pv AS (
+  SELECT doc_id, p,
+    gh * {_WN_PC} + {_WN_PC - 1} - (p - 1) % {_WN_PC} AS v
+  FROM g
+),
+wm AS (
+  SELECT doc_id, p,
+    MIN(v) OVER (PARTITION BY doc_id ORDER BY p
+      ROWS BETWEEN CURRENT ROW AND {_WN_W - 1} FOLLOWING) AS vm,
+    COUNT(*) OVER (PARTITION BY doc_id) AS ng
+  FROM pv
+),
+sel AS (
+  SELECT DISTINCT doc_id, vm // {_WN_PC} AS fp
+  FROM wm WHERE p <= ng - {_WN_W - 1} OR (ng < {_WN_W} AND p = 1)
+),
+by_fp AS (
+  SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM sel GROUP BY fp
+)
+SELECT s.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_fps,
+  CAST(SUM(CASE WHEN b.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), list(s.fp ORDER BY s.fp)),
+    (a, x) -> (a * 131 + x) % {_WN_M}) AS sel_fp
+FROM sel s JOIN by_fp b USING (fp)
+GROUP BY s.doc_id
+"""
+
+
+@register(
+    "dedup_winnow_fingerprints",
+    oracle=_WN_ORACLE,
+    doc=f"Winnowing fingerprints (Schleimer-Wilkerson-Aiken 2003, the "
+    f"MOSS algorithm; k={_WN_K} char-grams, window {_WN_W}): every "
+    "window keeps its minimum gram hash (rightmost on ties via the "
+    "packed position tie-break), guaranteeing any shared substring "
+    f"of length >= {_WN_W + _WN_K - 1} shares a fingerprint while "
+    f"keeping only ~2/{_WN_W + 1} of grams — the density-guaranteed "
+    "middle ground between exact chunk hashing (CDC) and MinHash.  "
+    "Per-doc arrays are HOISTED before the selection lambdas (the "
+    "CDC O(len^2) lesson); sharing joins on 8-byte fps only "
+    "(operators/dedup.py:winnow_fingerprints/winnow_share_stats).  "
+    "The oracle replays selection RELATIONALLY (5-way char join + "
+    "frame MIN) — no DuckDB lambda binding risk.",
+    tags=("dedup", "winnowing", "extension"),
+    extended=True,
+)
+def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        DD.winnow_share_stats(docs, k=_WN_K, window=_WN_W)
+        .withColumnRenamed("id", "doc_id")
+    )

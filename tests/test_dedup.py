@@ -1197,3 +1197,75 @@ def test_cdc_partition_invariant(spark):
     a = sorted(map(tuple, cdc_dedup_stats(df).collect()))
     b = sorted(map(tuple, cdc_dedup_stats(df.repartition(11)).collect()))
     assert a == b
+
+
+# -- winnowing fingerprints ----------------------------------------------------
+
+
+def _winnow_ref(text, k=5, w=8, mod=1_000_000_007, pc=4096):
+    n = len(text)
+    grams = []
+    for p in range(n - k + 1):
+        h = 0
+        for ch in text[p : p + k]:
+            h = (h * 131 + ord(ch)) % mod
+        grams.append(h * pc + (pc - 1) - (p % pc))
+    if not grams:
+        return set()
+    sel = set()
+    for i in range(max(1, len(grams) - w + 1)):
+        sel.add(min(grams[i : i + w]))
+    return {v // pc for v in sel}
+
+
+def test_winnow_matches_python_reference(spark):
+    from diabetes_etl_spark.operators.dedup import winnow_fingerprints
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "short"),     # exactly k: one gram, global min
+        (2, "abc"),       # below k: nothing
+        (3, "x" * 30),    # all-equal grams: rightmost-tie selection
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r.id, set()).add(r.fp)
+    for i, t in texts:
+        assert got.get(i, set()) == _winnow_ref(t), i
+
+
+def test_winnow_moss_guarantee(spark):
+    """Two documents sharing a substring of length >= w + k - 1 = 12
+    MUST share at least one fingerprint, wherever it is embedded."""
+    from diabetes_etl_spark.operators.dedup import winnow_fingerprints
+
+    shared = "identicalrun12"  # 14 chars > 12
+    df = spark.createDataFrame(
+        [(0, "prefixAA " + shared + " suffixBB"),
+         (1, "zzz " + shared + " qqq different")],
+        "doc_id long, text string",
+    )
+    fps = {0: set(), 1: set()}
+    for r in winnow_fingerprints(df).collect():
+        fps[r.id].add(r.fp)
+    assert fps[0] & fps[1]
+
+
+def test_winnow_share_stats_and_partition_invariance(spark):
+    from diabetes_etl_spark.operators.dedup import winnow_share_stats
+
+    a_txt = "alpha beta gamma delta epsilon zeta" * 2
+    df = spark.createDataFrame(
+        [(0, a_txt), (1, a_txt), (2, "unrelated words entirely here")],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r for r in winnow_share_stats(df).collect()}
+    assert rows[0].sel_fp == rows[1].sel_fp
+    assert rows[0].n_shared == rows[0].n_fps
+    assert rows[2].n_shared == 0
+    b = {r.id: r for r in
+         winnow_share_stats(df.repartition(7)).collect()}
+    assert {i: tuple(r) for i, r in rows.items()} == {
+        i: tuple(r) for i, r in b.items()
+    }
