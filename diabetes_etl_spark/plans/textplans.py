@@ -1713,3 +1713,70 @@ def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: (a * F.lit(2654435761) + x) % F.lit(1_000_000_007),
         ).alias("vec_fp"),
     ).withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "text_chao1_vocabulary",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({_D_TOKENS}) AS tok, lang
+  FROM documents
+),
+tf AS (
+  SELECT lang, tok, COUNT(*) AS c FROM toks
+  WHERE LENGTH(tok) > 0 GROUP BY lang, tok
+),
+ff AS (
+  SELECT lang, COUNT(*) AS d,
+    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+    SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2,
+    CAST(SUM(c) AS BIGINT) AS n_tokens
+  FROM tf GROUP BY lang
+)
+SELECT lang, CAST(d AS BIGINT) AS observed_vocab,
+  CAST(f1 AS BIGINT) AS singletons, CAST(f2 AS BIGINT) AS doubletons,
+  n_tokens,
+  ROUND(d + CAST(f1 * f1 AS DOUBLE)
+            / (CAST(2 AS DOUBLE) * greatest(f2, 1)), 6) AS chao1_est
+FROM ff
+""",
+    doc="Chao1 species-richness estimate of the UNSEEN vocabulary per "
+    "language (Chao 1984: est = D + f1^2 / (2*f2), the lower-bound "
+    "estimator ecology and corpus linguistics share) — tells a "
+    "curation pipeline how much vocabulary another crawl would add, "
+    "complementing the Heaps-law growth diagnostic.  One token "
+    "explode -> (lang, token) counts (map-side combined) -> the "
+    "L-row frequency-of-frequencies profile; all integers except the "
+    "single final IEEE division.",
+    tags=("text", "vocabulary", "extension"),
+    extended=True,
+)
+def text_chao1_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "lang", F.explode(TX.tokens(F.col("text"))).alias("tok")
+        )
+        .filter(F.length("tok") > 0)
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    ff = tf.groupBy("lang").agg(
+        F.count("*").alias("d"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("f2"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    return ff.select(
+        "lang",
+        F.col("d").cast("long").alias("observed_vocab"),
+        F.col("f1").cast("long").alias("singletons"),
+        F.col("f2").cast("long").alias("doubletons"),
+        "n_tokens",
+        F.round(
+            F.col("d")
+            + (F.col("f1") * F.col("f1")).cast("double")
+            / (F.lit(2.0) * F.greatest(F.col("f2"), F.lit(1))),
+            6,
+        ).alias("chao1_est"),
+    )

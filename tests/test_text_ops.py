@@ -654,3 +654,41 @@ def test_hashed_bow_fixed_width_and_invariance(spark):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, hashed_bow(df.repartition(7), n_buckets=16).collect()))
     assert a == b
+
+
+# -- Chao1 vocabulary estimator -------------------------------------------------
+
+
+def test_chao1_known_values(spark, tmp_path):
+    """Corpus with known frequency-of-frequencies: tokens a(x3), b(x2),
+    c(x1), d(x1) -> D=4, f1=2, f2=1, chao1 = 4 + 4/2 = 6."""
+    import tempfile
+
+    from diabetes_etl_spark.plans.textplans import text_chao1_vocabulary
+
+    df = spark.createDataFrame(
+        [(0, "a a b c", "en", "s", 7), (1, "a b d", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    d = str(tmp_path / "docs")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    r = text_chao1_vocabulary(spark, d).collect()[0]
+    assert (r.observed_vocab, r.singletons, r.doubletons, r.n_tokens) == (
+        4, 2, 1, 7,
+    )
+    assert r.chao1_est == 6.0
+
+
+def test_chao1_no_doubletons_guard(spark, tmp_path):
+    """f2 = 0 must not divide by zero (greatest(f2,1) floor)."""
+    from diabetes_etl_spark.plans.textplans import text_chao1_vocabulary
+
+    df = spark.createDataFrame(
+        [(0, "x y z", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    d = str(tmp_path / "docs2")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    r = text_chao1_vocabulary(spark, d).collect()[0]
+    assert r.doubletons == 0
+    assert r.chao1_est == 3 + 9 / 2.0
