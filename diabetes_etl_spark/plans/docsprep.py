@@ -296,3 +296,159 @@ def docs_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# v3: winnow near-dup suppression -> quality gate -> UniMax language
+# budgeting -> deterministic sharding — the round-8 curation chain
+# composed from this round's operators, full-chain oracle.
+
+_V3_K, _V3_W, _V3_M, _V3_PC = 5, 8, 1_000_000_007, 4096
+_V3_MIN_TOKS = 20
+_V3_SHARDS = 8
+_V3_CAP, _V3_NUM, _V3_DEN = 2, 3, 2
+
+
+def _v3_oracle() -> str:
+    return rf"""
+WITH ch0 AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS pos
+  FROM documents
+),
+chc AS (
+  SELECT doc_id, pos,
+    CAST(ascii(substr(text, CAST(pos AS INT), 1)) AS BIGINT) AS c
+  FROM ch0
+),
+g AS (
+  SELECT a.doc_id, a.pos AS p,
+    ((((a.c * 131 + b.c) % {_V3_M} * 131 + c.c) % {_V3_M}
+      * 131 + d.c) % {_V3_M} * 131 + e.c) % {_V3_M} AS gh
+  FROM chc a
+  JOIN chc b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN chc c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+  JOIN chc d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+  JOIN chc e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4
+),
+pv AS (
+  SELECT doc_id, p,
+    gh * {_V3_PC} + {_V3_PC - 1} - (p - 1) % {_V3_PC} AS v
+  FROM g
+),
+wm AS (
+  SELECT doc_id, p,
+    MIN(v) OVER (PARTITION BY doc_id ORDER BY p
+      ROWS BETWEEN CURRENT ROW AND {_V3_W - 1} FOLLOWING) AS vm,
+    COUNT(*) OVER (PARTITION BY doc_id) AS ng
+  FROM pv
+),
+sel AS (
+  SELECT DISTINCT doc_id, vm // {_V3_PC} AS fp
+  FROM wm WHERE p <= ng - {_V3_W - 1} OR (ng < {_V3_W} AND p = 1)
+),
+fp_min AS (SELECT fp, MIN(doc_id) AS keeper FROM sel GROUP BY fp),
+dropped AS (
+  SELECT DISTINCT s.doc_id
+  FROM sel s JOIN fp_min m ON s.fp = m.fp AND m.keeper < s.doc_id
+),
+survivors AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d
+  LEFT JOIN dropped x ON d.doc_id = x.doc_id
+  WHERE x.doc_id IS NULL
+    AND len(regexp_split_to_array(trim(d.text), '\s+'))
+        >= {_V3_MIN_TOKS}
+),
+sup AS (
+  SELECT lang AS stratum, COUNT(*) AS n_docs,
+    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+      AS toks,
+    CAST({_V3_CAP} * SUM(len(regexp_split_to_array(trim(text), '\s+')))
+      AS BIGINT) AS supply
+  FROM survivors GROUP BY lang
+),
+tot AS (SELECT SUM(toks) AS _tot, COUNT(*) AS _L FROM sup),
+s AS (
+  SELECT sup.*, (_tot * {_V3_NUM}) // {_V3_DEN} AS B, _L,
+    row_number() OVER (ORDER BY supply, stratum) AS i,
+    COALESCE(SUM(supply) OVER (ORDER BY supply, stratum
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+  FROM sup, tot
+),
+t AS (
+  SELECT s.*, CAST(B - cum_prev AS DOUBLE) / (_L - i + 1) AS theta FROM s
+),
+star AS (
+  SELECT theta AS tstar FROM t WHERE supply >= theta ORDER BY i LIMIT 1
+),
+alloc AS (
+  SELECT t.stratum AS lang, t.toks,
+    CASE WHEN star.tstar IS NULL THEN CAST(supply AS DOUBLE)
+         ELSE least(CAST(supply AS DOUBLE), star.tstar) END AS a
+  FROM t LEFT JOIN star ON TRUE
+)
+SELECT v.doc_id, v.lang,
+  CAST(('0x' || substr(md5(CAST(v.doc_id AS VARCHAR)), 1, 8))::BIGINT
+       % {_V3_SHARDS} AS INT) AS shard,
+  CAST(length(regexp_extract_all(v.text,
+    ' ?[A-Za-z]+| ?[0-9]{{1,3}}| ?[^A-Za-z0-9\s]+')) AS INT)
+    AS n_subwords,
+  ROUND(al.a / al.toks, 9) AS lang_epochs_used
+FROM survivors v JOIN alloc al ON v.lang = al.lang
+"""
+
+
+@register(
+    "docs_prep_pipeline_v3",
+    oracle=_v3_oracle(),
+    doc="Curation chain v3 from the round-8 operators: winnowing "
+    "near-dup SUPPRESSION (a doc is dropped when any of its "
+    "fingerprints is also held by a smaller doc id — keep-first over "
+    "fingerprint-sharing neighbourhoods), a token-count quality "
+    "gate, UniMax per-language budget allocation over the SURVIVORS "
+    "(cap 2 epochs, 1.5x budget), and deterministic md5 sharding "
+    "with the BPE-ish subword count as the per-doc token budget.  "
+    "Full-chain oracle: every stage's SQL is the proven per-operator "
+    "oracle re-rooted on the previous stage's CTE, so a drift "
+    "anywhere in the chain hash-fails here even if each operator "
+    "stays individually green.",
+    tags=("composite", "curation", "extension"),
+    extended=True,
+)
+def docs_prep_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.dedup import winnow_fingerprints
+    from diabetes_etl_spark.operators.sampling import unimax_allocation
+    from diabetes_etl_spark.operators.text import subword_count, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    sel = winnow_fingerprints(
+        docs, k=_V3_K, window=_V3_W
+    ).select(F.col("id").alias("doc_id"), "fp").distinct()
+    fp_min = sel.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    dropped = (
+        sel.join(fp_min, "fp")
+        .filter(F.col("keeper") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+    )
+    survivors = (
+        docs.join(dropped, "doc_id", "left_anti")
+        .filter(token_count(F.col("text")) >= _V3_MIN_TOKS)
+        .select("doc_id", "lang", "text")
+    )
+    al = unimax_allocation(
+        survivors, stratum_col="lang", epochs_cap=_V3_CAP,
+        budget_num=_V3_NUM, budget_den=_V3_DEN,
+    ).select("lang", "epochs_used")
+    return survivors.join(F.broadcast(al), "lang").select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("long") % _V3_SHARDS
+        ).cast("int").alias("shard"),
+        subword_count(F.col("text")).cast("int").alias("n_subwords"),
+        F.col("epochs_used").alias("lang_epochs_used"),
+    )

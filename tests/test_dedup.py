@@ -1269,3 +1269,34 @@ def test_winnow_share_stats_and_partition_invariance(spark):
     assert {i: tuple(r) for i, r in rows.items()} == {
         i: tuple(r) for i, r in b.items()
     }
+
+
+def test_docs_prep_v3_chain_semantics(spark, tmp_path):
+    """End-to-end v3: the duplicate doc is suppressed (keep-first),
+    the short doc fails the quality gate, survivors carry their
+    language's epochs_used and a stable md5 shard."""
+    from diabetes_etl_spark.plans.docsprep import docs_prep_pipeline_v3
+
+    long_a = " ".join(f"tok{i}" for i in range(30))
+    long_b = " ".join(f"other{i}" for i in range(30))
+    rows = [
+        (0, long_a, "en", "s", len(long_a)),
+        (1, long_a, "en", "s", len(long_a)),      # exact dup -> dropped
+        (2, long_b, "fr", "s", len(long_b)),
+        (3, "too short", "en", "s", 9),           # quality-gated
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    d = str(tmp_path / "v3docs")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in docs_prep_pipeline_v3(spark, d).collect()}
+    assert set(out) == {0, 2}
+    assert 0 <= out[0].shard < 8
+    assert out[0].n_subwords > 0
+    assert out[0].lang_epochs_used <= 2.0 + 1e-9
+    # determinism across partitionings
+    out2 = {r.doc_id: tuple(r)
+            for r in docs_prep_pipeline_v3(spark, d).collect()}
+    assert out2 == {i: tuple(r) for i, r in out.items()}
