@@ -524,3 +524,17 @@ def test_cdc_chunks_shuffles_fingerprints_not_text(spark, sf_dir):
 
     for ex in re.findall(r"Exchange hashpartitioning\([^\n]*", plan):
         assert "text#" not in ex, ex
+
+
+def test_mmr_rounds_run_on_materialized_shortlist(spark, sf_dir):
+    """The greedy rounds must read the MATERIALIZED q x pool shortlist
+    (parquet scans), not re-derive the corpus relevance subtree per
+    round; selected-set joins broadcast."""
+    plan = _plan(spark, sf_dir, "retrieval_mmr_diversified")
+    assert "spark_mmr_" in plan  # the shortlist parquet path
+    assert "CartesianProduct" not in plan
+    for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad
+    # embeddings parquet appears only in the shortlist-build subtree,
+    # never once per greedy round (4 rounds would show >= 4 scans)
+    assert plan.count("embeddings.parquet") <= 2
