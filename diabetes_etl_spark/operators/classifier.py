@@ -154,6 +154,7 @@ def loo_target_encode(
     category_col: str,
     target_col: str,
     alpha: float = 10.0,
+    broadcast_categories: bool = True,
 ) -> DataFrame:
     """Leave-one-out target encoding with additive smoothing toward
     the global prior — the leakage-safe categorical feature
@@ -175,7 +176,10 @@ def loo_target_encode(
     Scale shape: ONE pass builds the per-category (sum, n) table
     (map-side combined, category-cardinality rows) which BROADCASTS
     back — the fact table never shuffles; the global prior is the
-    scalar-attach 1-row aggregate."""
+    scalar-attach 1-row aggregate.  For HIGH-cardinality categories
+    (user ids, URLs) pass ``broadcast_categories=False``: the stats
+    table is then joined hash-partitioned (one fact shuffle) instead
+    of forced into executor memory."""
     cat, tgt = F.col(category_col), F.col(target_col)
     per_cat = df.groupBy(category_col).agg(
         F.sum(tgt.cast("decimal(38,6)")).alias("_csum"),
@@ -191,8 +195,9 @@ def loo_target_encode(
         (F.col("_csum").cast("double") - tgt)
         + F.lit(float(alpha)) * F.col("_prior")
     ) / (F.col("_cn") - 1 + F.lit(float(alpha)))
+    cat_side = F.broadcast(per_cat) if broadcast_categories else per_cat
     return (
-        df.join(F.broadcast(per_cat), category_col)
+        df.join(cat_side, category_col)
         .crossJoin(F.broadcast(prior))
         .withColumn("loo_enc_raw", enc)
         .withColumn("loo_enc", F.round(enc, 9))
