@@ -368,7 +368,13 @@ def rouge_n(
 ) -> tuple[Column, Column, Column]:
     """(precision, recall, f1) of clipped n-gram overlap — ROUGE-N
     (Lin 2004) with BLEU-style clipping.  Division is IEEE double on
-    integer operands (cross-engine exact); f1 rounds to 9 digits."""
+    integer operands (cross-engine exact); f1 rounds to 9 digits.
+
+    PER-ROW form: the clipped lambda is O(distinct x grams) per pair —
+    right for sentence-level scoring; corpus-scale pair scoring should
+    use the explode/join shape (ngram_count_table + least-join, cf.
+    plans/textplans.py:text_rouge_bleu_pairs — measured 10x faster at
+    sf0.01 on ~300-token documents)."""
     gr = ngrams_with_duplicates(ref_col, n)
     gc = ngrams_with_duplicates(cand_col, n)
     ov = _clipped_overlap(gr, gc).cast("double")

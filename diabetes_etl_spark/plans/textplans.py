@@ -1411,7 +1411,7 @@ def text_rouge_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("ref_id"), "text"
     )
 
-    def win(n: int) -> F.Column:
+    def win(n: int):
         return F.greatest(
             TX.token_count(F.col("text")) - (n - 1), F.lit(1)
         )
