@@ -244,3 +244,67 @@ def ml_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("loo_enc_raw"), 4).alias("enc_min"),
         F.round(F.max("loo_enc_raw"), 4).alias("enc_max"),
     )
+
+
+_CALIB_ORACLE = (
+    _TRAIN_CTES
+    + f""",
+scored AS (
+  SELECT {_Y} AS y,
+    {_SIGMA.format(z="w.w0 + w.w1 * " + _F1 + " + w.w2 * " + _F2)} AS score
+  FROM documents d CROSS JOIN r{_ROUNDS} w
+  WHERE LENGTH(text) > 0
+)
+SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CAST(score AS DECIMAL(28,9))) AS DOUBLE) AS sum_score,
+  CAST(SUM(y) AS BIGINT) AS n_pos
+FROM scored GROUP BY bin
+"""
+)
+
+
+@register(
+    "classifier_calibration_bins",
+    oracle=_CALIB_ORACLE,
+    doc="Reliability-diagram data for the trained quality classifier: "
+    "predicted scores bucket into deciles (floor(score*10), top "
+    "clamped) with per-bin counts, decimal-folded score mass, and "
+    "positive counts — mean-score-vs-empirical-rate per bin IS the "
+    "calibration curve, the standard check before using classifier "
+    "scores as sampling weights.  Scoring stays the scan-local "
+    "quantized-sigmoid expression; binning is integer floor on the "
+    "7-decimal-quantized score, so bucket boundaries cannot straddle "
+    "an engine ulp.  Oracle: the unrolled training CTEs feed the "
+    "identical scoring + binning.",
+    tags=("classifier", "ml", "calibration", "extension"),
+    extended=True,
+)
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.classifier import (
+        logistic_score,
+        logistic_train_rounds,
+    )
+
+    feats = _features(spark, sf_dir)
+    rounds = logistic_train_rounds(
+        feats, ["f1", "f2"], "y", iterations=_ROUNDS, lr=_LR
+    ).collect()
+    final = next(r for r in rounds if r["round"] == _ROUNDS)
+    weights = [final["w0"], final["w1"], final["w2"]]
+    scored = feats.select(
+        "y", logistic_score(["f1", "f2"], weights).alias("score")
+    )
+    return scored.select(
+        F.least(F.floor(F.col("score") * 10), F.lit(9))
+        .cast("int")
+        .alias("bin"),
+        "y",
+        "score",
+    ).groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("score").cast("decimal(28,9)"))
+        .cast("double")
+        .alias("sum_score"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )

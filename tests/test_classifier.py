@@ -136,3 +136,22 @@ def test_loo_encoding_partition_invariant(spark):
     b = sorted((r.id, r.loo_enc_raw) for r in
                loo_target_encode(df.repartition(13), "cat", "y").collect())
     assert a == b
+
+
+def test_calibration_bins_cover_and_count(spark, sf_dir):
+    from diabetes_etl_spark.plans.classifierplans import (
+        classifier_calibration_bins,
+    )
+
+    rows = classifier_calibration_bins(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_docs for r in rows)
+    pos = sum(r.n_pos for r in rows)
+    assert all(0 <= r.bin <= 9 for r in rows)
+    for r in rows:
+        assert 0 <= r.n_pos <= r.n_docs
+        # mean score must lie inside the bin's nominal range (clamp top)
+        mean = r.sum_score / r.n_docs
+        lo, hi = r.bin / 10.0, (r.bin + 1) / 10.0 if r.bin < 9 else 1.01
+        assert lo - 1e-9 <= mean <= hi + 1e-9
+    assert total > 0 and 0 < pos < total
