@@ -33,6 +33,14 @@ def main() -> None:
     spark = get_spark()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     tmp = tempfile.mkdtemp(prefix="scale_probe_")
+    # non-replicated tables link through at 1x so any query can run
+    for name in os.listdir(sf_dir):
+        if name.endswith(".parquet") and name not in (
+            "documents.parquet", "embeddings.parquet"
+        ):
+            os.symlink(
+                os.path.join(sf_dir, name), os.path.join(tmp, name)
+            )
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     reduce(DataFrame.unionByName, [
