@@ -14,6 +14,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Tiny per-language stopword probes for the language-ID heuristic.
 # (The fixture corpus is synthetic, so this is a deterministic scoring
@@ -480,4 +481,103 @@ def hashed_bow(
         signed.groupBy("id", "bucket")
         .agg(F.sum("sign").cast("long").alias("val"))
         .filter(F.col("val") != 0)
+    )
+
+
+def nb_langid_confusion(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Multinomial Naive Bayes language identification, trained
+    IN-PLAN on the labeled corpus and evaluated as a confusion matrix
+    (label, predicted, n_docs): per-language add-one-smoothed token
+    log-probabilities plus the class-prior log, argmax per document
+    (ties on the language string).  The trained upgrade of the
+    stopword-heuristic text_lang_id — NB aggregates EVERY token's
+    per-language frequency skew instead of six hand-picked words.
+
+    Determinism: each ln quantizes to 9 decimals at the source (the
+    BM25 discipline), per-document sums fold through DECIMAL(38,9) —
+    order-free; counts and smoothing are exact integers.
+
+    Scale shape: the model is one (lang, token) count aggregate
+    (map-side combined) densified against the vocabulary (langs x V
+    rows); scoring joins each document's tokens against the model on
+    the token key — an equi-join whose fan-out is |langs| per token —
+    then one decimal-folded (doc, lang) aggregate.  No broadcast of
+    the (possibly huge) vocabulary is required; the only corpus
+    shuffle carries (doc, token) and the scored partials."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    counts = toks.groupBy("label", "tok").agg(F.count("*").alias("c"))
+    lang_tot = toks.groupBy("label").agg(F.count("*").alias("n_l"))
+    vocab_n = counts.select("tok").distinct().agg(
+        F.count("*").alias("v")
+    )
+    vocab = counts.select("tok").distinct()
+    langs = lang_tot.select(F.col("label").alias("cand"), "n_l")
+    dense = (
+        vocab.crossJoin(F.broadcast(langs))
+        .join(
+            counts.select(
+                F.col("label").alias("cand"), "tok", "c"
+            ),
+            ["cand", "tok"],
+            "left",
+        )
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "cand",
+            "tok",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n_l") + F.col("v"))
+                ),
+                9,
+            ).alias("lnp"),
+        )
+    )
+    n_docs_total = df.count()
+    priors = (
+        df.groupBy(F.col(label_col).alias("cand"))
+        .agg(F.count("*").alias("nd"))
+        .select(
+            "cand",
+            F.round(
+                F.log(F.col("nd").cast("double") / F.lit(n_docs_total)), 9
+            ).alias("lprior"),
+        )
+    )
+    scored = (
+        toks.join(dense, "tok")
+        .groupBy("id", "label", "cand")
+        .agg(
+            F.sum(F.col("lnp").cast("decimal(38,9)")).alias("s")
+        )
+        .join(F.broadcast(priors), "cand")
+        .select(
+            "id", "label", "cand",
+            (F.col("s").cast("double") + F.col("lprior")).alias("score"),
+        )
+    )
+    best = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(
+                    F.col("score").desc(), F.col("cand")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("id", "label", F.col("cand").alias("predicted"))
+    )
+    return best.groupBy("label", "predicted").agg(
+        F.count("*").alias("n_docs")
     )

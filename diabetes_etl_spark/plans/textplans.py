@@ -1780,3 +1780,74 @@ def text_chao1_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chao1_est"),
     )
+
+
+# -- trained language ID (multinomial Naive Bayes) --------------------------
+
+_NB_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, lang AS label, tok
+  FROM (SELECT doc_id, lang,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents)
+  WHERE LENGTH(tok) > 0
+),
+counts AS (
+  SELECT label, tok, COUNT(*) AS c FROM toks GROUP BY label, tok
+),
+lang_tot AS (SELECT label AS cand, COUNT(*) AS n_l FROM toks GROUP BY label),
+vocab AS (SELECT DISTINCT tok FROM counts),
+vn AS (SELECT COUNT(*) AS v FROM vocab),
+dense AS (
+  SELECT l.cand, vb.tok,
+    ROUND(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / (l.n_l + vn.v)), 9)
+      AS lnp
+  FROM vocab vb CROSS JOIN lang_tot l
+  LEFT JOIN counts c ON c.label = l.cand AND c.tok = vb.tok
+  CROSS JOIN vn
+),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+priors AS (
+  SELECT lang AS cand,
+    ROUND(ln(CAST(COUNT(*) AS DOUBLE) / nd.n), 9) AS lprior
+  FROM documents, nd GROUP BY lang, nd.n
+),
+scored AS (
+  SELECT t.doc_id, t.label, d.cand,
+    CAST(SUM(CAST(d.lnp AS DECIMAL(38,9))) AS DOUBLE) + p.lprior AS score
+  FROM toks t JOIN dense d ON t.tok = d.tok
+  JOIN priors p ON d.cand = p.cand
+  GROUP BY t.doc_id, t.label, d.cand, p.lprior
+),
+best AS (
+  SELECT doc_id, label, cand AS predicted FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT label, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM best GROUP BY label, predicted
+"""
+
+
+@register(
+    "text_langid_trained",
+    oracle=_NB_ORACLE,
+    doc="TRAINED language identification: multinomial Naive Bayes "
+    "with add-one smoothing and class priors, trained in-plan on the "
+    "labeled corpus and evaluated as a hash-exact confusion matrix — "
+    "an entire trained generative classifier under the oracle gate "
+    "(ln quantized to 9 at the source, per-doc sums decimal-folded, "
+    "argmax ties on the language string).  Honesty note: the "
+    "synthetic fixture's lang labels carry almost no textual signal "
+    "(the stopword heuristic scores 0% on non-en labels; NB reaches "
+    "47% vs the 43.6% majority baseline at sf0.01) — the deliverable "
+    "is the trained-model machinery and its exact evaluation, not a "
+    "fixture accuracy claim (operators/text.py:nb_langid_confusion).",
+    tags=("text", "langid", "ml", "extension"),
+    extended=True,
+)
+def text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.nb_langid_confusion(docs)

@@ -692,3 +692,51 @@ def test_chao1_no_doubletons_guard(spark, tmp_path):
     r = text_chao1_vocabulary(spark, d).collect()[0]
     assert r.doubletons == 0
     assert r.chao1_est == 3 + 9 / 2.0
+
+
+# -- trained language ID (Naive Bayes) -----------------------------------------
+
+
+def test_nb_langid_separates_clear_languages(spark):
+    """Two synthetic languages with disjoint vocabulary: the trained
+    NB model must classify every doc correctly."""
+    from diabetes_etl_spark.operators.text import nb_langid_confusion
+
+    rows = []
+    for i in range(10):
+        rows.append((i, f"aaa bbb aab abb ba{i % 3} abab", "aa"))
+        rows.append((100 + i, f"xxx yyy xxy xyy yx{i % 3} xyxy", "xx"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {(r.label, r.predicted): r.n_docs
+           for r in nb_langid_confusion(df).collect()}
+    assert out == {("aa", "aa"): 10, ("xx", "xx"): 10}
+
+
+def test_nb_langid_beats_majority_baseline(spark, sf_dir):
+    """The fixture's lang labels carry almost no textual signal
+    (docstring honesty note) — but a trained model must still BEAT
+    the predict-the-majority baseline, else it learned nothing."""
+    from diabetes_etl_spark.operators.text import nb_langid_confusion
+    from diabetes_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = nb_langid_confusion(docs).collect()
+    total = sum(r.n_docs for r in rows)
+    correct = sum(r.n_docs for r in rows if r.label == r.predicted)
+    majority = max(
+        r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    )
+    assert correct > majority, (correct, majority, total)
+
+
+def test_nb_langid_partition_invariant(spark, sf_dir):
+    from diabetes_etl_spark.operators.text import nb_langid_confusion
+    from diabetes_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, nb_langid_confusion(docs).collect()))
+    b = sorted(map(tuple,
+                   nb_langid_confusion(docs.repartition(17)).collect()))
+    assert a == b
