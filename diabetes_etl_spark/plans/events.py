@@ -1771,3 +1771,101 @@ def events_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decayed_value"),
         )
     )
+
+
+# -- multi-touch attribution ---------------------------------------------------
+
+_ATTR_WIN_US = 3_600_000_000  # 1 hour lookback
+
+
+@register(
+    "events_multitouch_attribution",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id AS pid, user_id, epoch_us(ts) AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS cid, user_id, epoch_us(ts) AS cts,
+    CAST(hour(ts) AS INT) AS click_hour
+  FROM events WHERE event_type = 'click'
+),
+touch AS (
+  SELECT p.pid, c.cid, c.click_hour,
+    row_number() OVER (PARTITION BY p.pid ORDER BY c.cts, c.cid) AS pos,
+    COUNT(*) OVER (PARTITION BY p.pid) AS n
+  FROM p JOIN c ON p.user_id = c.user_id
+    AND c.cts >= p.pts - {_ATTR_WIN_US} AND c.cts < p.pts
+),
+credit AS (
+  SELECT click_hour,
+    CASE WHEN n = 1 THEN CAST(1 AS DOUBLE)
+         WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+         WHEN pos = 1 OR pos = n THEN CAST(0.4 AS DOUBLE)
+         ELSE CAST(0.2 AS DOUBLE) / (n - 2) END AS w
+  FROM touch
+)
+SELECT click_hour, CAST(COUNT(*) AS BIGINT) AS n_touches,
+  CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS credit
+FROM credit GROUP BY click_hour
+""",
+    doc="U-shaped (position-based) multi-touch attribution: every "
+    "purchase distributes 1.0 of credit across the clicks in its "
+    "1-hour lookback — 40% first touch, 40% last, 20% split over the "
+    "middles (single touch 100%, two touches 50/50) — rolled up by "
+    "click hour-of-day.  The touch join is the bounded interval "
+    "join; position/count are one window over each purchase's "
+    "touches; weights are exact rationals (one IEEE division for "
+    "middles) folded through DECIMAL.  The asof join gives "
+    "last-touch; THIS is the multi-touch upgrade marketing analytics "
+    "actually runs.",
+    tags=("events", "attribution", "extension"),
+    extended=True,
+)
+def events_multitouch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from diabetes_etl_spark.functions.numeric import dec_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        us.alias("pts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("c_user"),
+        us.alias("cts"),
+        F.hour(F.col("ts")).cast("int").alias("click_hour"),
+    )
+    touch = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("cts") >= F.col("pts") - _ATTR_WIN_US)
+        & (F.col("cts") < F.col("pts")),
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("pid")
+    touch = touch.withColumn(
+        "pos",
+        F.row_number().over(wp.orderBy(F.col("cts"), F.col("cid"))),
+    ).withColumn("n", F.count("*").over(wp))
+    w = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(0.4)
+        )
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return (
+        touch.withColumn("w", w)
+        .groupBy("click_hour")
+        .agg(
+            F.count("*").alias("n_touches"),
+            dec_sum(F.col("w"), 12, 38).alias("credit"),
+        )
+    )

@@ -298,3 +298,56 @@ def test_decayed_trending_partition_invariant(spark, sf_dir):
     a = sorted(map(tuple, events_decayed_trending(spark, sf_dir).collect()))
     b = sorted(map(tuple, events_decayed_trending(spark, sf_dir).collect()))
     assert a == b
+
+
+# -- multi-touch attribution -----------------------------------------------------
+
+
+def test_multitouch_u_shape_weights(spark, tmp_path):
+    """3 clicks before a purchase: 0.4 / 0.2 / 0.4; a single click
+    gets 1.0; total credit equals the number of attributed
+    purchases."""
+    import datetime as dt
+
+    from diabetes_etl_spark.plans.events import (
+        events_multitouch_attribution,
+    )
+
+    base = dt.datetime(2025, 1, 2, 10, 0, 0)
+    rows = [
+        # user 1: 3 clicks then a purchase
+        (1, base - dt.timedelta(minutes=50), 1, "click", 0.0, "{}"),
+        (2, base - dt.timedelta(minutes=30), 1, "click", 0.0, "{}"),
+        (3, base - dt.timedelta(minutes=10), 1, "click", 0.0, "{}"),
+        (4, base, 1, "purchase", 9.0, "{}"),
+        # user 2: one click in-window
+        (5, base - dt.timedelta(minutes=5), 2, "click", 0.0, "{}"),
+        (6, base, 2, "purchase", 5.0, "{}"),
+        # user 3: click OUTSIDE the 1h window -> unattributed
+        (7, base - dt.timedelta(minutes=90), 3, "click", 0.0, "{}"),
+        (8, base, 3, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "attr")
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    out = {r.click_hour: r for r in
+           events_multitouch_attribution(spark, d).collect()}
+    # hours: 9 (clicks at 9:10,9:30,9:55) and 10 (9:50? no: base 10:00;
+    # -50m=9:10, -30m=9:30, -10m=9:50, -5m=9:55 -> all hour 9)
+    total_credit = sum(r.credit for r in out.values())
+    total_touches = sum(r.n_touches for r in out.values())
+    assert total_touches == 4
+    assert abs(total_credit - 2.0) < 1e-9  # two attributed purchases
+    assert set(out) == {9}
+    assert abs(out[9].credit - 2.0) < 1e-9
