@@ -351,3 +351,43 @@ def test_multitouch_u_shape_weights(spark, tmp_path):
     assert abs(total_credit - 2.0) < 1e-9  # two attributed purchases
     assert set(out) == {9}
     assert abs(out[9].credit - 2.0) < 1e-9
+
+
+def test_burstiness_known_patterns(spark, tmp_path):
+    """Perfectly periodic gaps -> B = -1 bin (bin 0); highly variable
+    gaps -> positive B (bin >= 5)."""
+    import datetime as dt
+
+    from diabetes_etl_spark.plans.events import events_burstiness_profile
+
+    base = dt.datetime(2025, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: periodic every 60s (sigma=0 -> B=-1 -> bin 0)
+    for i in range(6):
+        rows.append((eid, base + dt.timedelta(seconds=60 * i), 1,
+                     "click", 0.0, "{}")); eid += 1
+    # user 2: bursty — gaps 1s,1s,1s,10000s
+    offs = [0, 1, 2, 3, 10003]
+    for o in offs:
+        rows.append((eid, base + dt.timedelta(seconds=o), 2,
+                     "click", 0.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "burst")
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    out = {r.bin: r for r in events_burstiness_profile(spark, d).collect()}
+    assert out[0].n_users == 1          # the periodic user at B=-1
+    assert abs(out[0].burst_mass + 1.0) < 1e-9
+    bursty_bins = [b for b in out if b >= 5]
+    assert len(bursty_bins) == 1 and out[bursty_bins[0]].n_users == 1
