@@ -1244,3 +1244,108 @@ def ri_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("customers_never_ordered"))
     )
     return o_orph.crossJoin(l_orph).crossJoin(refed).crossJoin(never)
+
+
+# -- RFM segmentation ----------------------------------------------------------
+
+
+@register(
+    "orders_rfm_segments",
+    oracle="""
+WITH mx AS (SELECT MAX(o_orderdate) AS anchor FROM orders),
+per_cust AS (
+  SELECT o_custkey,
+    date_diff('day', MAX(o_orderdate), mx.anchor) AS recency_days,
+    COUNT(*) AS frequency,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders, mx GROUP BY o_custkey, mx.anchor
+),
+ranked AS (
+  SELECT *,
+    row_number() OVER (ORDER BY recency_days, o_custkey) AS r_rank,
+    row_number() OVER (ORDER BY frequency DESC, o_custkey) AS f_rank,
+    row_number() OVER (ORDER BY monetary DESC, o_custkey) AS m_rank,
+    COUNT(*) OVER () AS n
+  FROM per_cust
+),
+scored AS (
+  SELECT
+    CAST(5 - least(((r_rank - 1) * 5) // n, 4) AS INT) AS r_q,
+    CAST(5 - least(((f_rank - 1) * 5) // n, 4) AS INT) AS f_q,
+    CAST(5 - least(((m_rank - 1) * 5) // n, 4) AS INT) AS m_q,
+    monetary
+  FROM ranked
+)
+SELECT r_q, f_q, m_q,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS segment_value
+FROM scored GROUP BY r_q, f_q, m_q
+""",
+    doc="RFM segmentation (recency / frequency / monetary quintiles, "
+    "5 = best): per-customer metrics in one orders pass, quintiles "
+    "via rank-based integer cuts — row_number with the customer-key "
+    "tiebreak, never ntile (whose tie placement is "
+    "engine-dependent) — and the 125-cell segment grid with counts "
+    "and decimal-exact value mass.  The workhorse marketing rollup; "
+    "recency anchors at the corpus max order date (scalar-attach).",
+    tags=("relational", "rfm", "extension"),
+    extended=True,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("anchor"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "anchor")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .select(
+            "o_custkey",
+            F.datediff(F.col("anchor"), F.col("last_order")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    wr = Window.orderBy(F.col("recency_days"), F.col("o_custkey"))
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    wn = Window.partitionBy()
+    ranked = (
+        per_cust.withColumn("r_rank", F.row_number().over(wr))
+        .withColumn("f_rank", F.row_number().over(wf))
+        .withColumn("m_rank", F.row_number().over(wm))
+        .withColumn("n", F.count("*").over(wn))
+    )
+
+    def quint(rank_col: str):
+        return (
+            F.lit(5)
+            - F.least(
+                F.expr(f"(({rank_col} - 1) * 5) div n"), F.lit(4)
+            )
+        ).cast("int")
+
+    return (
+        ranked.select(
+            quint("r_rank").alias("r_q"),
+            quint("f_rank").alias("f_q"),
+            quint("m_rank").alias("m_q"),
+            "monetary",
+        )
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("monetary").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("segment_value"),
+        )
+    )

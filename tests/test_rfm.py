@@ -1,0 +1,37 @@
+"""RFM segmentation (plans/relational.py:orders_rfm_segments)."""
+
+from __future__ import annotations
+
+
+def test_rfm_quintiles_and_value_mass(spark, sf_dir):
+    from diabetes_etl_spark.plans.relational import orders_rfm_segments
+    from diabetes_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = orders_rfm_segments(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.r_q <= 5 and 1 <= r.f_q <= 5 and 1 <= r.m_q <= 5
+    orders = load_table(spark, sf_dir, "orders")
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in rows) == n_cust
+    total = orders.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+    ).collect()[0][0]
+    assert abs(sum(r.segment_value for r in rows) - total) < 1e-6
+    # quintile balance: each R quintile holds ~1/5 of customers
+    from collections import defaultdict
+
+    per_r = defaultdict(int)
+    for r in rows:
+        per_r[r.r_q] += r.n_customers
+    for q, n in per_r.items():
+        assert abs(n - n_cust / 5) <= n_cust / 5 * 0.25 + 1, (q, n)
+
+
+def test_rfm_deterministic(spark, sf_dir):
+    from diabetes_etl_spark.plans.relational import orders_rfm_segments
+
+    a = sorted(map(tuple, orders_rfm_segments(spark, sf_dir).collect()))
+    b = sorted(map(tuple, orders_rfm_segments(spark, sf_dir).collect()))
+    assert a == b
