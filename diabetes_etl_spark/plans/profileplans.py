@@ -477,3 +477,116 @@ def quantile_histogram_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(
         ev, "value", "event_type", grid=_QH_GRID
     ).withColumnRenamed("grp", "event_type")
+
+
+# -- physical-encoding advisor -------------------------------------------------
+
+
+def _enc_ctes(name: str, expr: str, kind: str) -> str:
+    d_expr = (
+        "abs(v - lag(v) OVER (ORDER BY k1, k2))"
+        if kind == "int" else "CAST(NULL AS BIGINT)"
+    )
+    return f"""
+base_{name} AS (
+  SELECT {expr} AS v, l_orderkey AS k1, l_linenumber AS k2 FROM lineitem
+),
+seq_{name} AS (
+  SELECT k1, k2, v,
+    CASE WHEN lag(v) OVER (ORDER BY k1, k2) IS NULL
+           OR v != lag(v) OVER (ORDER BY k1, k2) THEN 1 ELSE 0 END AS chg,
+    {d_expr} AS d
+  FROM base_{name}
+),
+rid_{name} AS (
+  SELECT v, d, SUM(chg) OVER (ORDER BY k1, k2
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM seq_{name}
+),
+rst_{name} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_runs,
+    CAST(MAX(rl) AS BIGINT) AS max_run
+  FROM (SELECT COUNT(*) AS rl FROM rid_{name} GROUP BY run)
+),
+cst_{name} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+    CAST(MAX(d) AS BIGINT) AS dmax,
+    {"CAST(greatest(length(bin(greatest(MAX(v), 0))), 1) AS BIGINT)"
+     if kind == "int"
+     else "CAST(MAX(length(v)) * 8 AS BIGINT)"} AS value_bits,
+    {"CAST(COUNT(*) * 64 AS BIGINT)"
+     if kind == "int"
+     else "CAST(SUM(length(v)) * 8 AS BIGINT)"} AS plain_cost
+  FROM rid_{name}
+),
+enc_{name} AS (
+  SELECT '{name}' AS column, n_rows, n_distinct, n_runs, max_run,
+    value_bits,
+    n_runs * (value_bits + 32) AS rle_cost,
+    n_rows * CAST(greatest(length(bin(n_distinct)), 1) AS BIGINT)
+      + n_distinct * 64 AS dict_cost,
+    {"n_rows * (CAST(greatest(length(bin(greatest(dmax, 0))), 1) AS BIGINT) + 1)"
+     if kind == "int" else "CAST(NULL AS BIGINT)"} AS delta_cost,
+    plain_cost
+  FROM cst_{name} CROSS JOIN rst_{name}
+)"""
+
+
+_ENC_COLS = [
+    ("l_orderkey", "CAST(l_orderkey AS BIGINT)", "int"),
+    ("l_linenumber", "CAST(l_linenumber AS BIGINT)", "int"),
+    ("l_quantity", "CAST(l_quantity AS BIGINT)", "int"),
+    ("l_returnflag", "CAST(l_returnflag AS VARCHAR)", "str"),
+]
+
+_ENC_ORACLE = (
+    "WITH "
+    + ",".join(_enc_ctes(n, e, k) for n, e, k in _ENC_COLS)
+    + "\nSELECT *,\n"
+    + """  CASE
+    WHEN rle_cost <= dict_cost
+         AND (delta_cost IS NULL OR rle_cost <= delta_cost)
+         AND rle_cost <= plain_cost THEN 'RLE'
+    WHEN (delta_cost IS NULL OR dict_cost <= delta_cost)
+         AND dict_cost <= plain_cost THEN 'DICT'
+    WHEN delta_cost IS NOT NULL AND delta_cost <= plain_cost
+      THEN 'DELTA'
+    ELSE 'PLAIN' END AS recommended
+FROM ("""
+    + " UNION ALL ".join(f"SELECT * FROM enc_{n}" for n, _, _ in _ENC_COLS)
+    + ")"
+)
+
+
+@register(
+    "profile_encoding_advisor",
+    oracle=_ENC_ORACLE,
+    doc="Physical-encoding advisor (Abadi et al. 2006 shape): per "
+    "column, run statistics under the table's LOGICAL key order "
+    "(natural scan order is engine-dependent, so runs are defined "
+    "against (l_orderkey, l_linenumber)), exact bit widths via "
+    "length(bin(x)), and an all-integer cost model ranking "
+    "RLE / DICT / DELTA / PLAIN — the first question of every "
+    "100 TB layout decision, deterministic enough to hash-check "
+    "(operators/profile.py:encoding_profile).  At scale this runs "
+    "on a sample; the one sort per column is the advisor's real "
+    "cost and a range-sorted table gets it free.",
+    tags=("profile", "storage", "extension"),
+    extended=True,
+)
+def profile_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.profile import encoding_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = ["l_orderkey", "l_linenumber"]
+    parts = [
+        encoding_profile(li, keys, "l_orderkey", "int"),
+        encoding_profile(li, keys, "l_linenumber", "int"),
+        encoding_profile(li, keys, "l_quantity", "int"),
+        encoding_profile(li, keys, "l_returnflag", "str"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

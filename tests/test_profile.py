@@ -101,3 +101,44 @@ def test_corpus_card_entropy_and_dup_accounting(spark):
     assert rows["s1"].n_exact_dup_docs == 1
     assert rows["s2"].n_exact_dup_docs == 1
     assert rows["s1"].n_docs == 2 and rows["s2"].n_docs == 2
+
+
+# -- encoding advisor -------------------------------------------------------
+
+
+def test_encoding_profile_known_sequences(spark):
+    from diabetes_etl_spark.operators.profile import encoding_profile
+
+    # column: 100 rows of value 7 -> 1 run -> RLE wins
+    df = spark.createDataFrame(
+        [(i, 0, 7) for i in range(100)], "k1 long, k2 long, v long"
+    )
+    r = encoding_profile(df, ["k1", "k2"], "v", "int").collect()[0]
+    assert (r.n_runs, r.max_run, r.n_distinct) == (1, 100, 1)
+    assert r.recommended == "RLE"
+    # strictly increasing by 1 -> deltas fit 2 bits -> DELTA beats DICT
+    df2 = spark.createDataFrame(
+        [(i, 0, i + 1000) for i in range(100)], "k1 long, k2 long, v long"
+    )
+    r2 = encoding_profile(df2, ["k1", "k2"], "v", "int").collect()[0]
+    assert r2.n_runs == 100 and r2.n_distinct == 100
+    assert r2.recommended == "DELTA"
+    # low-cardinality alternating string -> DICT (runs are all length 1)
+    df3 = spark.createDataFrame(
+        [(i, 0, "AB"[i % 2]) for i in range(100)],
+        "k1 long, k2 long, v string",
+    )
+    r3 = encoding_profile(df3, ["k1", "k2"], "v", "str").collect()[0]
+    assert r3.n_runs == 100 and r3.n_distinct == 2
+    assert r3.delta_cost is None
+    assert r3.recommended == "DICT"
+
+
+def test_encoding_profile_kind_validation(spark):
+    import pytest as _pytest
+
+    from diabetes_etl_spark.operators.profile import encoding_profile
+
+    df = spark.createDataFrame([(1, 1, 1)], "k1 long, k2 long, v long")
+    with _pytest.raises(ValueError, match="kind"):
+        encoding_profile(df, ["k1", "k2"], "v", "float")
