@@ -104,3 +104,41 @@ def topk_per_group_pruned(
 
     pruned = sorted_df.mapInPandas(local_head, schema=schema)
     return topk_per_group(pruned, group_cols, order_cols, k, rank_col)
+
+
+def skyline2d(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+    id_col: str,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier; Börzsönyi et al. 2001): rows not
+    STRICTLY dominated — no other row with ``minimize_col`` <= mine
+    AND ``maximize_col`` >= mine and at least one strict.  Duplicate
+    points survive together (neither strictly dominates).
+
+    Scale shape: the classic sort-scan, not the O(n^2) self-join —
+    one RANGE-frame window gives each row the best ``maximize`` value
+    among all strictly-smaller ``minimize`` values, one partition
+    window gives the best at EQUAL ``minimize``; a row is on the
+    frontier iff it strictly beats the former and ties the latter.
+    Cost: one sort + two windows, O(n log n); the oracle proves
+    equivalence against the literal NOT EXISTS definition."""
+    from pyspark.sql import Window
+
+    mn, mx = F.col(minimize_col), F.col(maximize_col)
+    w_lt = (
+        Window.orderBy(mn)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy(mn)
+    out = (
+        df.withColumn("__best_lt", F.max(mx).over(w_lt))
+        .withColumn("__best_eq", F.max(mx).over(w_eq))
+        .filter(
+            (F.col("__best_lt").isNull() | (mx > F.col("__best_lt")))
+            & (mx == F.col("__best_eq"))
+        )
+        .drop("__best_lt", "__best_eq")
+    )
+    return out

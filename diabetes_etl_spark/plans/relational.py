@@ -1349,3 +1349,60 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("segment_value"),
         )
     )
+
+
+@register(
+    "customers_pareto_frontier",
+    oracle="""
+WITH mx AS (SELECT MAX(o_orderdate) AS anchor FROM orders),
+per_cust AS (
+  SELECT o_custkey,
+    CAST(date_diff('day', MAX(o_orderdate), mx.anchor) AS BIGINT)
+      AS recency_days,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders, mx GROUP BY o_custkey, mx.anchor
+)
+SELECT o_custkey, recency_days, spend
+FROM per_cust p
+WHERE NOT EXISTS (
+  SELECT 1 FROM per_cust q
+  WHERE q.recency_days <= p.recency_days AND q.spend >= p.spend
+    AND (q.recency_days < p.recency_days OR q.spend > p.spend)
+)
+""",
+    doc="Pareto frontier of customers by (recency minimized, total "
+    "spend maximized) — the skyline operator (Borzsonyi et al. 2001) "
+    "via the sort-scan shape: one RANGE-frame window for the best "
+    "spend at strictly smaller recency + one equal-recency partition "
+    "window, O(n log n) instead of the O(n^2) dominance self-join "
+    "the ORACLE literally runs (operators/topk.py:skyline2d) — so "
+    "the hash match PROVES the window formulation equals the "
+    "NOT-EXISTS definition, strictness and ties included.",
+    tags=("relational", "skyline", "extension"),
+    extended=True,
+)
+def customers_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.topk import skyline2d
+
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("anchor"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "anchor")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend"),
+        )
+        .select(
+            "o_custkey",
+            F.datediff(F.col("anchor"), F.col("last_order"))
+            .cast("long")
+            .alias("recency_days"),
+            "spend",
+        )
+    )
+    return skyline2d(
+        per_cust, "recency_days", "spend", "o_custkey"
+    ).select("o_custkey", "recency_days", "spend")

@@ -78,3 +78,44 @@ def test_pruned_topk_single_exchange(spark):
     # exchanges: the explicit repartition of the INPUT + the window's —
     # nothing else (no exchange between the sort and the local head)
     assert plan.count("Exchange") <= 2
+
+
+# -- 2-D skyline --------------------------------------------------------------
+
+
+def _sky_brute(rows):
+    out = []
+    for i, (k, mn, mx) in enumerate(rows):
+        dom = any(
+            (qmn <= mn and qmx >= mx and (qmn < mn or qmx > mx))
+            for j, (qk, qmn, qmx) in enumerate(rows) if j != i
+        )
+        if not dom:
+            out.append(k)
+    return sorted(out)
+
+
+def test_skyline_matches_brute_force(spark):
+    import random
+
+    from diabetes_etl_spark.operators.topk import skyline2d
+
+    rnd = random.Random(3)
+    rows = [(i, rnd.randrange(20), float(rnd.randrange(50))) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, mn long, mx double")
+    got = sorted(r.id for r in skyline2d(df, "mn", "mx", "id").collect())
+    assert got == _sky_brute(rows)
+
+
+def test_skyline_duplicates_and_strictness(spark):
+    from diabetes_etl_spark.operators.topk import skyline2d
+
+    rows = [
+        (1, 5, 10.0), (2, 5, 10.0),   # identical: both survive
+        (3, 5, 9.0),                  # dominated at equal recency
+        (4, 4, 10.0),                 # dominates 1,2 strictly? mn < and mx == -> yes
+        (5, 6, 11.0),                 # frontier: worse mn, better mx
+    ]
+    df = spark.createDataFrame(rows, "id long, mn long, mx double")
+    got = sorted(r.id for r in skyline2d(df, "mn", "mx", "id").collect())
+    assert got == [4, 5]
