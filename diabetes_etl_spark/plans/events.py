@@ -1971,3 +1971,64 @@ def events_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("burst_mass"),
         )
     )
+
+
+# -- sweep-line peak concurrency -------------------------------------------
+
+_CONC_DUR_US = 300_000_000  # each event holds a 5-minute session slot
+
+
+@register(
+    "events_peak_concurrency",
+    oracle=f"""
+WITH bounds AS (
+  SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, epoch_us(ts) + {_CONC_DUR_US}, -1 FROM events
+),
+running AS (
+  SELECT event_type,
+    SUM(delta) OVER (PARTITION BY event_type
+      ORDER BY t, delta
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS load
+  FROM bounds
+)
+SELECT event_type,
+  CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals,
+  CAST(MAX(load) AS BIGINT) AS peak_concurrent
+FROM running GROUP BY event_type
+""",
+    doc="Sweep-line peak concurrency: each event occupies a 5-minute "
+    "slot [ts, ts+5m); the classic +1/-1 boundary scan with ends "
+    "processed BEFORE starts at equal instants (ORDER BY t, delta — "
+    "half-open intervals never double-count a touch-boundary "
+    "handoff) gives the running load, whose max is the capacity "
+    "answer a self-join formulation needs O(n^2) to reach.  One "
+    "exchange per event type, two rows per event, exact integers.",
+    tags=("events", "sweepline", "extension"),
+    extended=True,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    starts = ev.select(
+        "event_type", us.alias("t"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        "event_type",
+        (us + _CONC_DUR_US).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    bounds = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("t"), F.col("delta"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = bounds.withColumn("load", F.sum("delta").over(w))
+    return running.groupBy("event_type").agg(
+        (F.count("*") / 2).cast("long").alias("n_intervals"),
+        F.max("load").cast("long").alias("peak_concurrent"),
+    )

@@ -391,3 +391,41 @@ def test_burstiness_known_patterns(spark, tmp_path):
     assert abs(out[0].burst_mass + 1.0) < 1e-9
     bursty_bins = [b for b in out if b >= 5]
     assert len(bursty_bins) == 1 and out[bursty_bins[0]].n_users == 1
+
+
+def test_peak_concurrency_sweep_line(spark, tmp_path):
+    """Three overlapping 5-min slots -> peak 3; a back-to-back handoff
+    at exactly +5m must NOT double-count (half-open intervals)."""
+    import datetime as dt
+
+    from diabetes_etl_spark.plans.events import events_peak_concurrency
+
+    base = dt.datetime(2025, 3, 1, 12, 0, 0)
+    rows = [
+        # type a: 3 overlapping
+        (1, base, 1, "a", 0.0, "{}"),
+        (2, base + dt.timedelta(minutes=1), 2, "a", 0.0, "{}"),
+        (3, base + dt.timedelta(minutes=2), 3, "a", 0.0, "{}"),
+        # type b: handoff exactly at the 5-minute boundary
+        (4, base, 4, "b", 0.0, "{}"),
+        (5, base + dt.timedelta(minutes=5), 5, "b", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "conc")
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    out = {r.event_type: r for r in
+           events_peak_concurrency(spark, d).collect()}
+    assert out["a"].peak_concurrent == 3
+    assert out["a"].n_intervals == 3
+    assert out["b"].peak_concurrent == 1  # end processed before start
