@@ -1599,3 +1599,81 @@ def winnow_share_stats(
             lambda a, x: (a * 131 + x) % _WIN_MOD,
         ).alias("sel_fp"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.8,
+    df_cap: int = 20,
+    min_shingles: int = 3,
+) -> DataFrame:
+    """DIRECTIONAL near-duplicate pairs by shingle CONTAINMENT
+    C(A,B) = |A ∩ B| / |A| >= threshold — Broder's second resemblance
+    measure, which catches a document fully embedded in a larger one
+    (symmetric Jaccard dilutes to |A|/|B| and misses it).
+
+    Semantics are defined over the df-capped shingle universe:
+    shingles occurring in more than ``df_cap`` documents are dropped
+    as stop-shingles BEFORE counting (both the numerator and |A|) —
+    the standard inverted-index guard, and what keeps the candidate
+    join's fan-out bounded by df_cap per shingle instead of
+    quadratic.  Documents with fewer than ``min_shingles`` capped
+    shingles emit nothing (trivially contained).
+
+    Scale shape: only (md5-prefix shingle hash, doc id) rows shuffle
+    — text never leaves its scan; the self-join on the hash key has
+    per-key fan-out <= df_cap^2; |A| sizes re-attach by one
+    broadcast-friendly join.  Output is (doc_a, doc_b, shared,
+    size_a, containment), one row per ordered pair meeting the
+    threshold."""
+    base = (
+        widen(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            word_shingles(F.col(text_col), n).alias("__sh"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(__sh, "
+                    "s -> cast(conv(substring(md5(s), 1, 8), 16, 10) "
+                    "as long)))"
+                )
+            ).alias("h"),
+        )
+    )
+    dfreq = base.groupBy("h").agg(F.count("*").alias("__df"))
+    capped = base.join(
+        dfreq.filter(F.col("__df") <= df_cap), "h"
+    ).select("doc_id", "h")
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("size"))
+    a = capped.select(F.col("doc_id").alias("doc_a"), "h")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("size").alias("size_a"),
+            ),
+            "doc_a",
+        )
+        .filter(F.col("size_a") >= min_shingles)
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("shared").cast("double") / F.col("size_a"), 9
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "shared", "size_a", "containment")
+    )

@@ -1498,3 +1498,63 @@ def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         DD.winnow_share_stats(docs, k=_WN_K, window=_WN_W)
         .withColumnRenamed("id", "doc_id")
     )
+
+
+# -- containment pairs ----------------------------------------------------------
+
+_CN_N, _CN_TAU, _CN_CAP, _CN_MIN = 5, 0.8, 20, 3
+_CN_SH = (
+    "list_distinct(list_transform("
+    "  list_transform(generate_series(1, greatest(len(tk) - %d, 1)),"
+    "    i -> array_to_string(tk[i:i+%d], ' ')),"
+    "  s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)))"
+    % (_CN_N - 1, _CN_N - 1)
+)
+
+_CN_ORACLE = rf"""
+WITH sh AS (
+  SELECT doc_id, unnest({_CN_SH}) AS h
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS tk
+        FROM documents)
+),
+dfreq AS (SELECT h, COUNT(*) AS dfc FROM sh GROUP BY h),
+capped AS (
+  SELECT s.doc_id, s.h FROM sh s JOIN dfreq d ON s.h = d.h
+  WHERE d.dfc <= {_CN_CAP}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS size FROM capped GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id != b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.doc_a, s.doc_b, CAST(s.shared AS BIGINT) AS shared,
+  CAST(z.size AS BIGINT) AS size_a,
+  ROUND(CAST(s.shared AS DOUBLE) / z.size, 9) AS containment
+FROM shared s JOIN sizes z ON s.doc_a = z.doc_id
+WHERE z.size >= {_CN_MIN}
+  AND ROUND(CAST(s.shared AS DOUBLE) / z.size, 9) >= {_CN_TAU}
+"""
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=_CN_ORACLE,
+    doc=f"Directional containment near-dup pairs (Broder's second "
+    f"resemblance measure, C(A,B) = |A∩B|/|A| >= {_CN_TAU} over "
+    f"{_CN_N}-token shingles): catches a document EMBEDDED in a "
+    "larger one, which symmetric Jaccard dilutes away.  Semantics "
+    f"over the df<={_CN_CAP} stop-shingle-capped universe — the cap "
+    "is what bounds the inverted-index self-join's per-key fan-out "
+    "at scale (operators/dedup.py:containment_pairs); only "
+    "(md5-prefix hash, id) rows ever shuffle.",
+    tags=("dedup", "containment", "extension"),
+    extended=True,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.containment_pairs(
+        docs, n=_CN_N, threshold=_CN_TAU, df_cap=_CN_CAP,
+        min_shingles=_CN_MIN,
+    )

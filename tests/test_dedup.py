@@ -1300,3 +1300,38 @@ def test_docs_prep_v3_chain_semantics(spark, tmp_path):
     out2 = {r.doc_id: tuple(r)
             for r in docs_prep_pipeline_v3(spark, d).collect()}
     assert out2 == {i: tuple(r) for i, r in out.items()}
+
+
+# -- containment pairs -----------------------------------------------------------
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A short doc fully embedded in a 6x-larger one: containment
+    finds (small -> big) at 1.0 while the Jaccard of the pair is far
+    below any dedup threshold."""
+    from diabetes_etl_spark.operators.dedup import containment_pairs
+
+    small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    big = small + " " + " ".join(f"filler{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(0, small), (1, big), (2, "unrelated words here entirely " * 3)],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_a, r.doc_b): r.containment
+           for r in containment_pairs(df, threshold=0.8).collect()}
+    assert out.get((0, 1)) == 1.0    # small contained in big
+    assert (1, 0) not in out          # big NOT contained in small
+    assert all(a != 2 and b != 2 for a, b in out)
+
+
+def test_containment_df_cap_drops_stop_shingles(spark):
+    """A shingle present in EVERY doc is capped out: two docs sharing
+    only that shingle produce no pair."""
+    from diabetes_etl_spark.operators.dedup import containment_pairs
+
+    common = "the same five token shingle here"
+    rows = [(i, common + f" unique{i} filler{i} extra{i} pad{i}")
+            for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = containment_pairs(df, threshold=0.5, df_cap=20).collect()
+    assert out == []  # the shared shingles exceed the df cap
