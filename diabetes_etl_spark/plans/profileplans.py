@@ -590,3 +590,113 @@ def profile_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "profile_mutual_information",
+    oracle="""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+cxy AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS nxy
+  FROM documents GROUP BY lang, source
+),
+cx AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nx
+       FROM documents GROUP BY lang),
+cy AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ny
+       FROM documents GROUP BY source),
+terms AS (
+  SELECT cxy.nxy,
+    ROUND(ln(CAST(cxy.nxy AS DOUBLE) * n.nn
+             / (CAST(cx.nx AS DOUBLE) * cy.ny)), 9) AS lq
+  FROM cxy JOIN cx USING (lang) JOIN cy USING (source), n
+),
+hx AS (
+  SELECT SUM(CAST(nx * ROUND(ln(CAST(nx AS DOUBLE) / n.nn), 9)
+             AS DECIMAL(38,9))) AS s
+  FROM cx, n
+),
+hy AS (
+  SELECT SUM(CAST(ny * ROUND(ln(CAST(ny AS DOUBLE) / n.nn), 9)
+             AS DECIMAL(38,9))) AS s
+  FROM cy, n
+)
+SELECT n.nn AS n_rows,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM cxy) AS n_cells,
+  ROUND(CAST((SELECT SUM(CAST(nxy * lq AS DECIMAL(38,9))) FROM terms)
+        AS DOUBLE) / n.nn, 9) AS mi_nats,
+  ROUND(-CAST((SELECT s FROM hx) AS DOUBLE) / n.nn, 9) AS h_lang,
+  ROUND(-CAST((SELECT s FROM hy) AS DOUBLE) / n.nn, 9) AS h_source
+FROM n
+""",
+    doc="Mutual information I(lang; source) with both marginal "
+    "entropies — the feature-selection / leakage-detection measure "
+    "(does the source column give away the language?).  Exact "
+    "integer contingency counts from ONE pass each, per-cell ln "
+    "quantized to 9 at the source (BM25 discipline), nxy-weighted "
+    "decimal folds, one final IEEE division by N — a trained-metric "
+    "query that hash-checks.  All tables are "
+    "category-cardinality-sized after the map-side-combined counts.",
+    tags=("profile", "mi", "extension"),
+    extended=True,
+)
+def profile_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    cxy = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("nxy")
+    )
+    cx = docs.groupBy("lang").agg(F.count("*").cast("long").alias("nx"))
+    cy = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("ny")
+    )
+    terms = (
+        cxy.join(cx, "lang")
+        .join(cy, "source")
+        .select(
+            "nxy",
+            F.round(
+                F.log(
+                    F.col("nxy").cast("double") * F.lit(float(n))
+                    / (F.col("nx").cast("double") * F.col("ny"))
+                ),
+                9,
+            ).alias("lq"),
+        )
+    )
+    mi = terms.agg(
+        F.sum(
+            (F.col("nxy") * F.col("lq")).cast("decimal(38,9)")
+        ).alias("s"),
+        F.count("*").alias("n_cells"),
+    )
+    hx = cx.agg(
+        F.sum(
+            (
+                F.col("nx")
+                * F.round(
+                    F.log(F.col("nx").cast("double") / F.lit(float(n))), 9
+                )
+            ).cast("decimal(38,9)")
+        ).alias("s")
+    )
+    hy = cy.agg(
+        F.sum(
+            (
+                F.col("ny")
+                * F.round(
+                    F.log(F.col("ny").cast("double") / F.lit(float(n))), 9
+                )
+            ).cast("decimal(38,9)")
+        ).alias("s")
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx.withColumnRenamed("s", "sx")))
+        .crossJoin(F.broadcast(hy.withColumnRenamed("s", "sy")))
+        .select(
+            F.lit(n).cast("long").alias("n_rows"),
+            F.col("n_cells").cast("long").alias("n_cells"),
+            F.round(F.col("s").cast("double") / n, 9).alias("mi_nats"),
+            F.round(-F.col("sx").cast("double") / n, 9).alias("h_lang"),
+            F.round(-F.col("sy").cast("double") / n, 9).alias("h_source"),
+        )
+    )

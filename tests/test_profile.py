@@ -142,3 +142,38 @@ def test_encoding_profile_kind_validation(spark):
     df = spark.createDataFrame([(1, 1, 1)], "k1 long, k2 long, v long")
     with _pytest.raises(ValueError, match="kind"):
         encoding_profile(df, ["k1", "k2"], "v", "float")
+
+
+# -- mutual information ---------------------------------------------------------
+
+
+def test_mutual_information_known_cases(spark, tmp_path):
+    """Perfectly dependent columns: MI == H(lang) == H(source);
+    independent columns: MI == 0 (exactly, by count symmetry)."""
+    import math
+
+    from diabetes_etl_spark.plans.profileplans import (
+        profile_mutual_information,
+    )
+
+    def build(rows, name):
+        df = spark.createDataFrame(
+            [(i, "t", lang, src, 1) for i, (lang, src) in enumerate(rows)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars int",
+        )
+        d = str(tmp_path / name)
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        return profile_mutual_information(spark, d).collect()[0]
+
+    # dependent: source = f(lang), two equal classes
+    dep = build([("en", "a")] * 8 + [("fr", "b")] * 8, "dep")
+    assert abs(dep.mi_nats - math.log(2)) < 1e-6
+    assert abs(dep.h_lang - math.log(2)) < 1e-6
+    assert abs(dep.mi_nats - dep.h_source) < 1e-6
+    # independent: every (lang, source) cell equally filled
+    ind = build(
+        [(la, so) for la in ("en", "fr") for so in ("a", "b")] * 4, "ind"
+    )
+    assert abs(ind.mi_nats) < 1e-6
+    assert ind.n_cells == 4
