@@ -683,3 +683,77 @@ def mix_unimax_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unimax_allocation(docs, stratum_col="lang", epochs_cap=2)
+
+
+_APP_S = 64  # total shards to apportion
+
+
+@register(
+    "mix_shard_apportionment",
+    oracle=f"""
+WITH sup AS (
+  SELECT lang, CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+    AS BIGINT) AS toks
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT SUM(toks) AS t, COUNT(*) AS l FROM sup),
+q AS (
+  SELECT lang, toks,
+    (toks * {_APP_S}) // tot.t AS base,
+    (toks * {_APP_S}) % tot.t AS rem
+  FROM sup, tot
+),
+lo AS (SELECT CAST({_APP_S} AS BIGINT) - SUM(base) AS leftover FROM q),
+rk AS (
+  SELECT q.*, row_number() OVER (ORDER BY rem DESC, lang) AS rr
+  FROM q
+)
+SELECT rk.lang, rk.toks, CAST(rk.base AS BIGINT) AS base_shards,
+  CAST(rk.base + CASE WHEN rk.rr <= lo.leftover THEN 1 ELSE 0 END
+       AS BIGINT) AS shards
+FROM rk, lo
+""",
+    doc=f"Largest-remainder (Hamilton) apportionment of {_APP_S} "
+    "output shards across languages proportional to token mass — "
+    "the integerization step after a mixing policy decides weights: "
+    "floor quotas first, then the leftover shards go to the largest "
+    "fractional remainders (ties on language).  ALL INTEGER "
+    "(quota = toks * S as exact div/mod), so the classic "
+    "apportionment paradoxes are at least deterministic ones; "
+    "one corpus pass, then L-row arithmetic.",
+    tags=("sampling", "apportionment", "extension"),
+    extended=True,
+)
+def mix_shard_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from diabetes_etl_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    sup = docs.groupBy("lang").agg(
+        F.sum(token_count(F.col("text"))).cast("long").alias("toks")
+    )
+    wa = Window.partitionBy()
+    q = (
+        sup.withColumn("t", F.sum("toks").over(wa))
+        .withColumn("base", F.expr(f"(toks * {_APP_S}) div t"))
+        .withColumn("rem", F.expr(f"(toks * {_APP_S}) % t"))
+        .withColumn(
+            "leftover", F.lit(_APP_S) - F.sum("base").over(wa)
+        )
+        .withColumn(
+            "rr",
+            F.row_number().over(
+                Window.orderBy(F.col("rem").desc(), F.col("lang"))
+            ),
+        )
+    )
+    return q.select(
+        "lang",
+        "toks",
+        F.col("base").cast("long").alias("base_shards"),
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        ).cast("long").alias("shards"),
+    )

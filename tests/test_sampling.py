@@ -711,3 +711,48 @@ def test_unimax_partition_invariant(spark):
     a = sorted(map(tuple, unimax_allocation(df).collect()))
     b = sorted(map(tuple, unimax_allocation(df.repartition(13)).collect()))
     assert a == b
+
+
+# -- largest-remainder apportionment -------------------------------------------
+
+
+def test_apportionment_sums_and_hamilton_rule(spark, sf_dir):
+    from diabetes_etl_spark.plans.samplingplans import (
+        mix_shard_apportionment,
+        _APP_S,
+    )
+
+    rows = mix_shard_apportionment(spark, sf_dir).collect()
+    assert sum(r.shards for r in rows) == _APP_S  # exact apportionment
+    tot = sum(r.toks for r in rows)
+    for r in rows:
+        # Hamilton stays within 1 of the exact quota (quota rule)
+        exact = r.toks * _APP_S / tot
+        assert r.base_shards <= r.shards <= r.base_shards + 1
+        assert abs(r.shards - exact) < 1.0
+
+
+def test_apportionment_known_split(spark, tmp_path):
+    from diabetes_etl_spark.plans.samplingplans import (
+        mix_shard_apportionment,
+    )
+
+    # toks 50/30/20 over 10 shards -> exact 5/3/2, no remainders
+    rows = []
+    did = 0
+    for lang, n in [("aa", 50), ("bb", 30), ("cc", 20)]:
+        for _ in range(n):
+            rows.append((did, "w", lang, "s", 1)); did += 1
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    d = str(tmp_path / "app")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    # 50/30/20% of 64 shards -> exact quotas 32 / 19.2 / 12.8: floors
+    # 32/19/12 leave one shard, which the largest remainder (cc, .8)
+    # takes -> 32/19/13
+    out = {r.lang: r.shards
+           for r in mix_shard_apportionment(spark, d).collect()}
+    assert sum(out.values()) == 64
+    assert out["aa"] == 32 and out["bb"] == 19 and out["cc"] == 13
