@@ -1406,3 +1406,63 @@ def customers_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline2d(
         per_cust, "recency_days", "spend", "o_custkey"
     ).select("o_custkey", "recency_days", "spend")
+
+
+@register(
+    "orders_benford_audit",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM d),
+obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY digit),
+x AS (
+  SELECT o.digit, o.c,
+    ROUND(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / o.digit)
+          / ln(CAST(10 AS DOUBLE)), 9) AS p_benford
+  FROM obs o
+)
+SELECT x.digit, x.c AS n_orders,
+  x.p_benford,
+  ROUND(CAST(x.c AS DOUBLE) / n.nn, 9) AS p_observed,
+  ROUND((CAST(x.c AS DOUBLE) / n.nn - x.p_benford)
+        * (CAST(x.c AS DOUBLE) / n.nn - x.p_benford) / x.p_benford, 9)
+    AS chi_term
+FROM x, n
+""",
+    doc="Benford first-digit audit of order values — the classic "
+    "fraud/fabrication screen: observed leading-digit frequencies vs "
+    "log10(1 + 1/d), with per-digit chi-square terms.  First digit "
+    "extracted via exact integer/string ops; the two lns quantize at "
+    "the source and their ratio is one IEEE division; frequencies "
+    "are exact-count divisions.  One scan, 9-row output.",
+    tags=("relational", "benford", "audit", "extension"),
+    extended=True,
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.where(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"),
+            1, 1,
+        ).cast("int").alias("digit")
+    )
+    n = d.count()
+    obs = d.groupBy("digit").agg(F.count("*").cast("long").alias("c"))
+    p_benford = F.round(
+        F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+        / F.log(F.lit(10.0)),
+        9,
+    )
+    p_obs = F.col("c").cast("double") / F.lit(float(n))
+    return obs.select(
+        "digit",
+        F.col("c").alias("n_orders"),
+        p_benford.alias("p_benford"),
+        F.round(p_obs, 9).alias("p_observed"),
+        F.round(
+            (p_obs - p_benford) * (p_obs - p_benford) / p_benford, 9
+        ).alias("chi_term"),
+    )

@@ -35,3 +35,16 @@ def test_rfm_deterministic(spark, sf_dir):
     a = sorted(map(tuple, orders_rfm_segments(spark, sf_dir).collect()))
     b = sorted(map(tuple, orders_rfm_segments(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_benford_terms_and_probabilities(spark, sf_dir):
+    import math
+
+    from diabetes_etl_spark.plans.relational import orders_benford_audit
+
+    rows = {r.digit: r for r in orders_benford_audit(spark, sf_dir).collect()}
+    assert set(rows) <= set(range(1, 10))
+    for d, r in rows.items():
+        assert abs(r.p_benford - round(math.log10(1 + 1 / d), 9)) < 1e-9
+        assert r.chi_term >= 0
+    assert abs(sum(r.p_observed for r in rows.values()) - 1.0) < 1e-6
