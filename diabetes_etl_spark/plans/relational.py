@@ -1466,3 +1466,81 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (p_obs - p_benford) * (p_obs - p_benford) / p_benford, 9
         ).alias("chi_term"),
     )
+
+
+@register(
+    "customers_gini_by_nation",
+    oracle="""
+WITH spend AS (
+  SELECT c.c_nationkey AS nation, o.o_custkey,
+    SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS s
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey, o.o_custkey
+),
+ranked AS (
+  SELECT nation, s,
+    row_number() OVER (PARTITION BY nation ORDER BY s, o_custkey) AS i,
+    COUNT(*) OVER (PARTITION BY nation) AS n
+  FROM spend
+),
+agg AS (
+  SELECT nation, MAX(n) AS n_customers,
+    SUM(CAST(i AS DECIMAL(38,2)) * s) AS ws,
+    SUM(CAST(s AS DECIMAL(38,2))) AS ts
+  FROM ranked GROUP BY nation
+)
+SELECT nation, CAST(n_customers AS BIGINT) AS n_customers,
+  CAST(CAST(ts AS DECIMAL(18,2)) AS DOUBLE) AS total_spend,
+  ROUND(CAST(2 AS DOUBLE) * CAST(ws AS DOUBLE)
+        / (n_customers * CAST(ts AS DOUBLE))
+        - CAST(n_customers + 1 AS DOUBLE) / n_customers, 9) AS gini
+FROM agg
+""",
+    doc="Gini coefficient of customer-spend concentration per nation "
+    "(G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending-sorted "
+    "spend, ties broken on customer key) — the inequality measure "
+    "behind 'whale' revenue-risk dashboards.  Exact decimal "
+    "rank-weighted sums; two IEEE divisions at the end; one shuffle "
+    "for the per-customer rollup and one per-nation window.",
+    tags=("relational", "gini", "extension"),
+    extended=True,
+)
+def customers_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    spend = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation"), "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.col("s"), F.col("o_custkey")
+    )
+    wn = Window.partitionBy("nation")
+    ranked = spend.withColumn("i", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    agg = ranked.groupBy("nation").agg(
+        F.max("n").alias("n_customers"),
+        F.sum(F.col("i").cast("decimal(38,2)") * F.col("s")).alias("ws"),
+        F.sum(F.col("s").cast("decimal(38,2)")).alias("ts"),
+    )
+    return agg.select(
+        "nation",
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.col("ts").cast("decimal(18,2)").cast("double")
+        .alias("total_spend"),
+        F.round(
+            F.lit(2.0) * F.col("ws").cast("double")
+            / (F.col("n_customers") * F.col("ts").cast("double"))
+            - (F.col("n_customers") + 1).cast("double")
+            / F.col("n_customers"),
+            9,
+        ).alias("gini"),
+    )

@@ -48,3 +48,30 @@ def test_benford_terms_and_probabilities(spark, sf_dir):
         assert abs(r.p_benford - round(math.log10(1 + 1 / d), 9)) < 1e-9
         assert r.chi_term >= 0
     assert abs(sum(r.p_observed for r in rows.values()) - 1.0) < 1e-6
+
+
+def test_gini_known_distributions(spark, sf_dir):
+    """Fixture Gini values live in [0, 1); equal-spend synthetic case
+    gives 0, fully concentrated approaches 1 - 1/n."""
+    from diabetes_etl_spark.plans.relational import customers_gini_by_nation
+
+    rows = customers_gini_by_nation(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0
+        assert r.total_spend > 0
+
+
+def test_gini_formula_on_hand_case(spark):
+    """Direct formula check: spends [1, 1, 1, 1] -> G = 0; [0.01, 0.01,
+    0.01, 96.97] -> G near 0.72 by the rank formula."""
+    from diabetes_etl_spark.operators.topk import skyline2d  # noqa: F401
+
+    def gini(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        ws = sum((i + 1) * x for i, x in enumerate(xs))
+        return 2 * ws / (n * sum(xs)) - (n + 1) / n
+
+    assert gini([1, 1, 1, 1]) == 0
+    assert 0.70 < gini([0.01, 0.01, 0.01, 96.97]) < 0.75
