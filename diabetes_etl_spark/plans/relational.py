@@ -1544,3 +1544,106 @@ def customers_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("gini"),
     )
+
+
+@register(
+    "customers_spearman_freq_spend",
+    oracle="""
+WITH pc AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS f,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+  FROM orders GROUP BY o_custkey
+),
+rk AS (
+  SELECT o_custkey,
+    CAST(AVG(CAST(rf AS DECIMAL(38,1)))
+         OVER (PARTITION BY f) AS DECIMAL(38,1)) AS rf,
+    CAST(AVG(CAST(rm AS DECIMAL(38,1)))
+         OVER (PARTITION BY m) AS DECIMAL(38,1)) AS rm
+  FROM (
+    SELECT o_custkey, f, m,
+      row_number() OVER (ORDER BY f, o_custkey) AS rf,
+      row_number() OVER (ORDER BY m, o_custkey) AS rm
+    FROM pc)
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(rf AS DECIMAL(38,1))) AS sf,
+    SUM(CAST(rm AS DECIMAL(38,1))) AS sm,
+    SUM(CAST(rf * rm AS DECIMAL(38,2))) AS sfm,
+    SUM(CAST(rf * rf AS DECIMAL(38,2))) AS sff,
+    SUM(CAST(rm * rm AS DECIMAL(38,2))) AS smm
+  FROM rk
+)
+SELECT n AS n_customers,
+  ROUND((n * CAST(sfm AS DOUBLE) - CAST(sf AS DOUBLE) * CAST(sm AS DOUBLE))
+        / (sqrt(n * CAST(sff AS DOUBLE)
+                - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE))
+           * sqrt(n * CAST(smm AS DOUBLE)
+                  - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))), 9)
+    AS spearman_rho
+FROM s
+""",
+    doc="Tie-corrected Spearman rank correlation between customer "
+    "order frequency and total spend: AVERAGE ranks per tied value "
+    "(exact .5 decimals — a tied group's mean rank is always a "
+    "half-integer), Pearson on ranks from exact decimal sums, two "
+    "IEEE sqrt/divisions at the end.  The monotonic-association "
+    "companion to the existing Pearson corr operators; frequency is "
+    "heavily tied, which is exactly what the average-rank correction "
+    "exists for.",
+    tags=("relational", "spearman", "extension"),
+    extended=True,
+)
+def customers_spearman_freq_spend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    pc = orders.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("f"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("m"),
+    )
+    rf = F.row_number().over(Window.orderBy(F.col("f"), F.col("o_custkey")))
+    rm = F.row_number().over(Window.orderBy(F.col("m"), F.col("o_custkey")))
+    rk = (
+        pc.withColumn("rf0", rf.cast("decimal(38,1)"))
+        .withColumn("rm0", rm.cast("decimal(38,1)"))
+        .withColumn(
+            "rf",
+            F.avg("rf0").over(Window.partitionBy("f"))
+            .cast("decimal(38,1)"),
+        )
+        .withColumn(
+            "rm",
+            F.avg("rm0").over(Window.partitionBy("m"))
+            .cast("decimal(38,1)"),
+        )
+    )
+    s = rk.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("rf").cast("decimal(38,1)")).alias("sf"),
+        F.sum(F.col("rm").cast("decimal(38,1)")).alias("sm"),
+        F.sum((F.col("rf") * F.col("rm")).cast("decimal(38,2)"))
+        .alias("sfm"),
+        F.sum((F.col("rf") * F.col("rf")).cast("decimal(38,2)"))
+        .alias("sff"),
+        F.sum((F.col("rm") * F.col("rm")).cast("decimal(38,2)"))
+        .alias("smm"),
+    )
+    n = F.col("n")
+    num = n * F.col("sfm").cast("double") - F.col("sf").cast("double") * F.col(
+        "sm"
+    ).cast("double")
+    den = F.sqrt(
+        n * F.col("sff").cast("double")
+        - F.col("sf").cast("double") * F.col("sf").cast("double")
+    ) * F.sqrt(
+        n * F.col("smm").cast("double")
+        - F.col("sm").cast("double") * F.col("sm").cast("double")
+    )
+    return s.select(
+        n.alias("n_customers"),
+        F.round(num / den, 9).alias("spearman_rho"),
+    )

@@ -75,3 +75,58 @@ def test_gini_formula_on_hand_case(spark):
 
     assert gini([1, 1, 1, 1]) == 0
     assert 0.70 < gini([0.01, 0.01, 0.01, 96.97]) < 0.75
+
+
+def test_spearman_known_cases(spark, sf_dir):
+    """Fixture rho lies in (0, 1] (frequency and spend co-move); a
+    pure-Python tie-corrected replay on the same per-customer metrics
+    matches to rounding."""
+    from diabetes_etl_spark.plans.relational import (
+        customers_spearman_freq_spend,
+    )
+    from diabetes_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+    from decimal import Decimal
+
+    r = customers_spearman_freq_spend(spark, sf_dir).collect()[0]
+    assert 0.0 < r.spearman_rho <= 1.0
+    orders = load_table(spark, sf_dir, "orders")
+    pc = [
+        (x.f, x.m)
+        for x in orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("f"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("m"),
+        )
+        .collect()
+    ]
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: (vals[i], i))
+        ranks = [0.0] * len(vals)
+        pos = 0
+        while pos < len(order):
+            j = pos
+            while (j < len(order)
+                   and vals[order[j]] == vals[order[pos]]):
+                j += 1
+            r_avg = (pos + 1 + j) / 2
+            for t in range(pos, j):
+                ranks[order[t]] = r_avg
+            pos = j
+        return ranks
+
+    fs = [f for f, _ in pc]
+    ms = [float(m) for _, m in pc]
+    rf, rm = avg_ranks(fs), avg_ranks(ms)
+    n = len(pc)
+    sf, sm = sum(rf), sum(rm)
+    sfm = sum(a * b for a, b in zip(rf, rm))
+    sff = sum(a * a for a in rf)
+    smm = sum(b * b for b in rm)
+    import math
+
+    rho = (n * sfm - sf * sm) / (
+        math.sqrt(n * sff - sf * sf) * math.sqrt(n * smm - sm * sm)
+    )
+    assert abs(r.spearman_rho - rho) < 1e-6
