@@ -2032,3 +2032,110 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") / 2).cast("long").alias("n_intervals"),
         F.max("load").cast("long").alias("peak_concurrent"),
     )
+
+
+# -- lag-k autocorrelation ----------------------------------------------------
+
+
+@register(
+    "orders_daily_autocorrelation",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY d
+),
+lagged AS (
+  SELECT c,
+    lag(c, 1) OVER (ORDER BY d) AS c1,
+    lag(c, 2) OVER (ORDER BY d) AS c2,
+    lag(c, 3) OVER (ORDER BY d) AS c3
+  FROM daily
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(c AS DECIMAL(38,0))) AS sc,
+    SUM(CAST(c * c AS DECIMAL(38,0))) AS scc,
+    SUM(CAST(c * c1 AS DECIMAL(38,0))) AS s1,
+    CAST(COUNT(c1) AS BIGINT) AS n1,
+    SUM(CAST(c * c2 AS DECIMAL(38,0))) AS s2,
+    CAST(COUNT(c2) AS BIGINT) AS n2,
+    SUM(CAST(c * c3 AS DECIMAL(38,0))) AS s3,
+    CAST(COUNT(c3) AS BIGINT) AS n3
+  FROM lagged
+),
+m AS (
+  SELECT n, n1, n2, n3,
+    CAST(sc AS DOUBLE) / n AS mu,
+    CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n
+      AS ss,
+    CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+    CAST(s3 AS DOUBLE) AS s3,
+    CAST(sc AS DOUBLE) AS sc
+  FROM s
+)
+SELECT n AS n_days,
+  ROUND(mu, 9) AS mean_daily,
+  ROUND((s1 - CAST(n1 AS DOUBLE) * mu * mu) / ss, 9) AS acf_approx_1,
+  ROUND((s2 - CAST(n2 AS DOUBLE) * mu * mu) / ss, 9) AS acf_approx_2,
+  ROUND((s3 - CAST(n3 AS DOUBLE) * mu * mu) / ss, 9) AS acf_approx_3
+FROM m
+""",
+    doc="Lag-1..3 autocorrelation of the daily order-count series "
+    "(the standard ACF approximation: lag products centered by the "
+    "global mean, normalized by the total sum of squares — "
+    "Box-Jenkins' r_k): tells a forecaster whether daily volume "
+    "carries memory.  Exact integer count/cross-product sums via one "
+    "day rollup + one ordered window; the mean/normalization are the "
+    "only IEEE steps, identically ordered on both engines.",
+    tags=("events", "timeseries", "acf", "extension"),
+    extended=True,
+)
+def orders_daily_autocorrelation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("d")
+    ).agg(F.count("*").cast("long").alias("c"))
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "c",
+        F.lag("c", 1).over(w).alias("c1"),
+        F.lag("c", 2).over(w).alias("c2"),
+        F.lag("c", 3).over(w).alias("c3"),
+    )
+    s = lagged.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("sc"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("scc"),
+        F.sum((F.col("c") * F.col("c1")).cast("decimal(38,0)")).alias("s1"),
+        F.count("c1").cast("long").alias("n1"),
+        F.sum((F.col("c") * F.col("c2")).cast("decimal(38,0)")).alias("s2"),
+        F.count("c2").cast("long").alias("n2"),
+        F.sum((F.col("c") * F.col("c3")).cast("decimal(38,0)")).alias("s3"),
+        F.count("c3").cast("long").alias("n3"),
+    )
+    mu = F.col("sc").cast("double") / F.col("n")
+    ss = (
+        F.col("scc").cast("double")
+        - F.col("sc").cast("double") * F.col("sc").cast("double")
+        / F.col("n")
+    )
+
+    def acf(sk: str, nk: str):
+        return F.round(
+            (F.col(sk).cast("double") - F.col(nk).cast("double") * mu * mu)
+            / ss,
+            9,
+        )
+
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.round(mu, 9).alias("mean_daily"),
+        acf("s1", "n1").alias("acf_approx_1"),
+        acf("s2", "n2").alias("acf_approx_2"),
+        acf("s3", "n3").alias("acf_approx_3"),
+    )

@@ -429,3 +429,41 @@ def test_peak_concurrency_sweep_line(spark, tmp_path):
     assert out["a"].peak_concurrent == 3
     assert out["a"].n_intervals == 3
     assert out["b"].peak_concurrent == 1  # end processed before start
+
+
+def test_daily_autocorrelation_on_periodic_series(spark, tmp_path):
+    """Alternating hi/lo daily counts: lag-1 ACF strongly negative,
+    lag-2 strongly positive."""
+    import datetime as dt
+
+    from diabetes_etl_spark.plans.events import orders_daily_autocorrelation
+
+    rows = []
+    oid = 0
+    base = dt.date(1995, 1, 1)
+    for day in range(30):
+        n = 20 if day % 2 == 0 else 2
+        for _ in range(n):
+            rows.append(
+                (oid, 1, dt.datetime.combine(
+                    base + dt.timedelta(days=day), dt.time()), 1.0, "P")
+            )
+            oid += 1
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double, o_orderpriority string",
+    )
+    d = str(tmp_path / "acf")
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        df.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    r = orders_daily_autocorrelation(spark, d).collect()[0]
+    assert r.n_days == 30
+    assert r.acf_approx_1 < -0.5
+    assert r.acf_approx_2 > 0.5
