@@ -2139,3 +2139,82 @@ def orders_daily_autocorrelation(
         acf("s2", "n2").alias("acf_approx_2"),
         acf("s3", "n3").alias("acf_approx_3"),
     )
+
+
+# -- CUSUM change-point --------------------------------------------------------
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY d
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS sc, COUNT(*) AS n FROM daily),
+cus AS (
+  SELECT d, c,
+    SUM(CAST(tot.n * c AS DECIMAL(38,0)) - tot.sc) OVER (
+      ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS s_scaled,
+    tot.n AS n, tot.sc AS sc
+  FROM daily, tot
+),
+pick AS (
+  SELECT d, c, s_scaled, n, sc,
+    row_number() OVER (ORDER BY abs(s_scaled) DESC, d) AS rn
+  FROM cus
+)
+SELECT CAST(n AS BIGINT) AS n_days, d AS change_day,
+  CAST(c AS BIGINT) AS day_count,
+  CAST(s_scaled AS DOUBLE) AS cusum_scaled,
+  ROUND(CAST(s_scaled AS DOUBLE) / n, 9) AS cusum
+FROM pick WHERE rn = 1
+""",
+    doc="CUSUM change-point detection on the daily event-count "
+    "series: the cumulative sum of mean-deviations peaks (in "
+    "magnitude) at the most likely level-shift day (Page 1954).  "
+    "Deviations are kept EXACT by scaling with n — "
+    "n*c_i - sum(c) is an integer, so the running sum, the |argmax| "
+    "and its tie-break (earliest day) involve no floats at all; the "
+    "reported cusum divides once at the end.  One day rollup + one "
+    "ordered window.",
+    tags=("events", "changepoint", "extension"),
+    extended=True,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).agg(F.count("*").cast("long").alias("c"))
+    wa = Window.partitionBy()
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cus = (
+        daily.withColumn("sc", F.sum("c").over(wa))
+        .withColumn("n", F.count("*").over(wa))
+        .withColumn(
+            "s_scaled",
+            F.sum(
+                (F.col("n") * F.col("c")).cast("decimal(38,0)")
+                - F.col("sc")
+            ).over(w),
+        )
+    )
+    pick = cus.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.abs(F.col("s_scaled")).desc(), F.col("d"))
+        ),
+    ).filter(F.col("rn") == 1)
+    return pick.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("d").alias("change_day"),
+        F.col("c").cast("long").alias("day_count"),
+        F.col("s_scaled").cast("double").alias("cusum_scaled"),
+        F.round(
+            F.col("s_scaled").cast("double") / F.col("n"), 9
+        ).alias("cusum"),
+    )

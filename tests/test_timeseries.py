@@ -467,3 +467,40 @@ def test_daily_autocorrelation_on_periodic_series(spark, tmp_path):
     assert r.n_days == 30
     assert r.acf_approx_1 < -0.5
     assert r.acf_approx_2 > 0.5
+
+
+def test_cusum_finds_planted_level_shift(spark, tmp_path):
+    """20 days at rate 5, then 20 days at rate 15: the CUSUM magnitude
+    peaks exactly at the shift boundary (last low day)."""
+    import datetime as dt
+
+    from diabetes_etl_spark.plans.events import events_cusum_changepoint
+
+    rows = []
+    eid = 0
+    base = dt.date(2025, 4, 1)
+    for day in range(40):
+        n = 5 if day < 20 else 15
+        for k in range(n):
+            rows.append((eid, dt.datetime.combine(
+                base + dt.timedelta(days=day), dt.time(10, k)), 1,
+                "click", 0.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "cusum")
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    r = events_cusum_changepoint(spark, d).collect()[0]
+    assert r.n_days == 40
+    assert r.change_day == base + dt.timedelta(days=19)
+    assert r.cusum < 0  # low-rate prefix pulls the running sum down
