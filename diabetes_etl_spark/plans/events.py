@@ -2218,3 +2218,69 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_scaled").cast("double") / F.col("n"), 9
         ).alias("cusum"),
     )
+
+
+# -- Wilson-bound conversion ranking -------------------------------------------
+
+_WILSON_Z2 = 3.8416  # z = 1.96 squared, exact double literal
+
+
+@register(
+    "events_wilson_conversion",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+    CAST(min(hour(ts)) AS INT) AS first_hour
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT first_hour, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(conv) AS BIGINT) AS k
+  FROM per_user GROUP BY first_hour
+)
+SELECT first_hour, n AS n_users, k AS n_converted,
+  ROUND(CAST(k AS DOUBLE) / n, 9) AS rate,
+  ROUND((CAST(k AS DOUBLE) / n + CAST({_WILSON_Z2!r} AS DOUBLE) / (2 * n)
+         - sqrt(CAST({_WILSON_Z2!r} AS DOUBLE))
+           * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n
+                  + CAST({_WILSON_Z2!r} AS DOUBLE) / (4.0 * n * n)))
+        / (1 + CAST({_WILSON_Z2!r} AS DOUBLE) / n), 9) AS wilson_lower
+FROM g
+""",
+    doc="Conversion rate per first-seen hour with the WILSON score "
+    "lower bound (z = 1.96) — the rank-by-lower-bound rule that "
+    "stops a 1/1 cohort outranking a 180/200 one (Agresti-Coull "
+    "family; Evan Miller's 'how not to sort by average rating').  "
+    "Exact integer (n, k) from two rollups; the bound is IEEE "
+    "arithmetic with identical literals and op order, two "
+    "correctly-rounded sqrts.",
+    tags=("events", "wilson", "extension"),
+    extended=True,
+)
+def events_wilson_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+        F.min(F.hour(F.col("ts"))).cast("int").alias("first_hour"),
+    )
+    g = per_user.groupBy("first_hour").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("k"),
+    )
+    z2 = F.lit(_WILSON_Z2)
+    p = F.col("k").cast("double") / F.col("n")
+    n = F.col("n")
+    lower = (
+        p + z2 / (2 * n)
+        - F.sqrt(z2) * F.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n))
+    ) / (1 + z2 / n)
+    return g.select(
+        "first_hour",
+        F.col("n").alias("n_users"),
+        F.col("k").alias("n_converted"),
+        F.round(p, 9).alias("rate"),
+        F.round(lower, 9).alias("wilson_lower"),
+    )

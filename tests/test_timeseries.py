@@ -504,3 +504,34 @@ def test_cusum_finds_planted_level_shift(spark, tmp_path):
     assert r.n_days == 40
     assert r.change_day == base + dt.timedelta(days=19)
     assert r.cusum < 0  # low-rate prefix pulls the running sum down
+
+
+def test_wilson_lower_bound_ranks_sanely(spark, sf_dir):
+    """The bound must sit strictly below the rate for 0 < k < n and
+    never let a tiny perfect cohort outrank a large strong one."""
+    import math
+
+    from diabetes_etl_spark.plans.events import events_wilson_conversion
+
+    rows = events_wilson_conversion(spark, sf_dir).collect()
+    assert rows
+    z2 = 3.8416
+    for r in rows:
+        assert 0.0 <= r.wilson_lower <= r.rate + 1e-12
+        if 0 < r.n_converted < r.n_users:
+            assert r.wilson_lower < r.rate
+        # replay the formula
+        p, n = r.n_converted / r.n_users, r.n_users
+        want = (p + z2 / (2 * n)
+                - math.sqrt(z2) * math.sqrt(p * (1 - p) / n
+                                            + z2 / (4.0 * n * n))) / (
+            1 + z2 / n)
+        assert abs(r.wilson_lower - round(want, 9)) < 1e-9
+    # the classic comparison: 1/1 must not outrank 180/200
+    def wl(k, n):
+        p = k / n
+        return (p + z2 / (2 * n)
+                - math.sqrt(z2) * math.sqrt(p * (1 - p) / n
+                                            + z2 / (4.0 * n * n))) / (
+            1 + z2 / n)
+    assert wl(1, 1) < wl(180, 200)
