@@ -2231,7 +2231,7 @@ _WILSON_Z2 = 3.8416  # z = 1.96 squared, exact double literal
 WITH per_user AS (
   SELECT user_id,
     MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
-    CAST(min(hour(ts)) AS INT) AS first_hour
+    CAST(hour(min(ts)) AS INT) AS first_hour
   FROM events GROUP BY user_id
 ),
 g AS (
@@ -2248,7 +2248,11 @@ SELECT first_hour, n AS n_users, k AS n_converted,
         / (1 + CAST({_WILSON_Z2!r} AS DOUBLE) / n), 9) AS wilson_lower
 FROM g
 """,
-    doc="Conversion rate per first-seen hour with the WILSON score "
+    doc="Conversion rate per first-seen-hour cohort — the hour-of-day "
+    "of each user's EARLIEST event, hour(min(ts)), not min of hour "
+    "across all events (round-8 ADVICE low: a user first seen at "
+    "23:00 with a later 01:00 event belongs in cohort 23, not 1) — "
+    "with the WILSON score "
     "lower bound (z = 1.96) — the rank-by-lower-bound rule that "
     "stops a 1/1 cohort outranking a 180/200 one (Agresti-Coull "
     "family; Evan Miller's 'how not to sort by average rating').  "
@@ -2264,7 +2268,7 @@ def events_wilson_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("conv"),
-        F.min(F.hour(F.col("ts"))).cast("int").alias("first_hour"),
+        F.hour(F.min(F.col("ts"))).cast("int").alias("first_hour"),
     )
     g = per_user.groupBy("first_hour").agg(
         F.count("*").cast("long").alias("n"),

@@ -338,6 +338,7 @@ class VersionedTable:
         base_version: int,
         schema_json: str,
         app_txn: tuple[str, int] | None = None,
+        txn_map_override: dict | None = None,
     ) -> int:
         version = base_version + 1
         doc = {
@@ -355,7 +356,15 @@ class VersionedTable:
         # (streaming/changefeed.py is the consumer here).  The map
         # carries forward from the parent manifest so unrelated
         # commits never erase another app's cursor.
-        if base_version > 0:
+        # ``txn_map_override`` replaces the carry-forward wholesale —
+        # rollback() uses it to restore the ROLLED-BACK version's
+        # cursor map: carrying the latest map forward would restore
+        # old data while keeping newer feed cursors, and the gap
+        # between them would silently never be re-consumed (round-8
+        # ADVICE medium).
+        if txn_map_override is not None:
+            prev = dict(txn_map_override)
+        elif base_version > 0:
             try:
                 prev = self._manifest_at(base_version).get("app_txn", {})
             except ValueError:
@@ -755,11 +764,21 @@ class VersionedTable:
         return self._commit("compact", keep + new_files, ver, doc["schema"])
 
     def rollback(self, version: int) -> int:
-        """Restore an old version as a NEW commit (Delta RESTORE)."""
+        """Restore an old version as a NEW commit (Delta RESTORE).
+
+        Unlike Delta's RESTORE (which keeps the newest `txn` map and
+        so can strand changefeed consumers), the restored version's
+        ``app_txn`` cursor map is restored WITH its data: a consumer
+        view rolled back to version V wakes up with the cursors it had
+        at V, replays the upstream gap, and reconverges — preserving
+        the changefeed module's "no window where view and cursor
+        disagree" guarantee across restores (round-8 ADVICE medium).
+        """
         ver, _ = self._latest()
         old = self._manifest_at(version)
         return self._commit(
-            f"rollback_to_{version}", old["files"], ver, old["schema"]
+            f"rollback_to_{version}", old["files"], ver, old["schema"],
+            txn_map_override=old.get("app_txn", {}),
         )
 
     def clone_to(

@@ -361,14 +361,18 @@ def maintain_minmax_state(
 
     Transition per refresh (inside one Arrow-batched applyInPandas
     over state ∪ batch-deltas, grouped by ``keys``): net the batch to
-    (value → weight); inserts beyond the watermark join the pool,
-    inserts dominated by it are dropped (they can never beat a
-    truncated survivor — if the pool ever empties, the flag fires
-    anyway); deletes beyond the watermark remove their occurrences
-    from the pool, dominated deletes are ignored; the pool then
-    truncates back to k, advancing the watermark.  Deleting a value
-    that should be in the pool but is not means the input retracted a
-    row it never inserted — that fails loudly.
+    (value → weight); inserts at or beyond the watermark join the
+    pool, strictly-dominated inserts are dropped (they can never beat
+    a truncated survivor — if the pool ever empties, the flag fires
+    anyway); deletes at or beyond the watermark remove their
+    occurrences from the pool — a removal miss exactly AT the
+    watermark is a truncated copy and is ignored, while strictly
+    dominated deletes are skipped outright (tie-at-boundary deletes
+    MUST try the pool first: pool values can equal the watermark);
+    the pool then truncates back to k, advancing the watermark.
+    Deleting a value strictly beyond the watermark that is not in the
+    pool means the input retracted a row it never inserted — that
+    fails loudly.
 
     Scale shape: state is O(groups × k); per refresh the only
     pandas-side work is groups touched by the batch (plus a pool
@@ -455,7 +459,16 @@ def maintain_minmax_state(
         for _, d in pdf[pdf["__val"].notna()].iterrows():
             v, wt = sign * float(d["__val"]), int(d["__wt"])
             n += wt
-            if floor is not None and v <= floor:
+            # Strictly-dominated values can never be pool-resident
+            # (truncation keeps pool[:k] >= pool[k] == floor), so only
+            # v < floor is safe to skip outright.  A value that TIES
+            # the watermark may have copies both in the pool and in
+            # truncated history — deletes must try pool removal FIRST
+            # and treat only a removal miss at v == floor as the
+            # truncated-copy case (round-8 ADVICE high: delete of a
+            # pool-resident tie was silently ignored, leaving a stale
+            # extremum).
+            if floor is not None and v < floor:
                 continue  # dominated by a truncated survivor
             if wt > 0:
                 pool.extend([v] * wt)
@@ -464,6 +477,9 @@ def maintain_minmax_state(
                     try:
                         pool.remove(v)
                     except ValueError:
+                        if floor is not None and v == floor:
+                            # this copy was truncated at the watermark
+                            continue
                         raise ValueError(
                             f"maintain_minmax_state: retraction of "
                             f"{sign * v!r} in group {key_vals} has no "

@@ -252,6 +252,29 @@ def test_app_txn_survives_unrelated_commits(spark, tmp_path):
     assert t.last_app_version("other") is None
 
 
+def test_rollback_restores_app_txn_cursor_with_data(spark, tmp_path):
+    """Round-8 ADVICE medium regression: rollback() must restore the
+    rolled-back version's app_txn map, not carry the LATEST map
+    forward — otherwise a consumer view restores old data while
+    keeping the newer feed cursor and the gap is never re-consumed."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1,)], "k long")
+    v_at_7 = t.overwrite(df, app_txn=("feed", 7))
+    t.overwrite(spark.createDataFrame([(2,)], "k long"), app_txn=("feed", 9))
+    assert t.last_app_version("feed") == 9
+
+    t.rollback(v_at_7)
+    # data AND cursor rewind together: the consumer re-reads upstream
+    # versions 8..9 instead of silently skipping them
+    assert [r.k for r in t.read().collect()] == [1]
+    assert t.last_app_version("feed") == 7
+
+    # rolling back to a pre-cursor version clears the cursor too
+    if v_at_7 > 1:
+        t.rollback(v_at_7 - 1)
+        assert t.last_app_version("feed") is None
+
+
 # -- schema evolution: type widening ----------------------------------------
 
 
@@ -376,6 +399,75 @@ def test_minmax_group_disappears_at_zero_and_min_mode(spark, tmp_path):
         ["g"], "v", "op", k=2, mode="min",
     )
     assert [r.g for r in store.read().collect()] == ["b"]
+
+
+def test_minmax_tie_at_watermark_delete_not_dominated(spark, tmp_path):
+    """Round-8 ADVICE high regression: deleting a pool-RESIDENT value
+    that ties ``trunc_floor`` must remove it from the pool, not be
+    skipped as dominated.  k=2, insert [9,5,5,3] then delete [9,5,5]:
+    the old ``v <= floor`` pre-check left a stale 5 in the pool and
+    reported group_max=5.0 with needs_recompute=False while the true
+    surviving max is 3.0."""
+    store = VersionedTable(spark, str(tmp_path / "mm"))
+    maintain_minmax_state(
+        store,
+        _mm_batch(
+            spark, ("a", 9.0, "I"), ("a", 5.0, "I"),
+            ("a", 5.0, "I"), ("a", 3.0, "I"),
+        ),
+        ["g"], "v", "op", k=2,
+    )
+    row = store.read().first()
+    assert row.candidates == [9.0, 5.0] and row.trunc_floor == 5.0
+
+    maintain_minmax_state(
+        store,
+        _mm_batch(spark, ("a", 9.0, "D"), ("a", 5.0, "D"), ("a", 5.0, "D")),
+        ["g"], "v", "op", k=2,
+    )
+    row = store.read().first()
+    assert row.n_rows == 1
+    # never a silently wrong answer: the pool exhausted (the second 5
+    # was a truncated copy), so the group flags for recompute instead
+    # of reporting the stale 5.0
+    assert row.group_max is None and row.needs_recompute
+
+
+def test_minmax_tie_at_watermark_partial_delete_stays_exact(spark, tmp_path):
+    """Sibling of the tie regression where the pool still holds a live
+    tie copy afterwards: k=3, insert [9,5,5,5,3] truncates one 5; the
+    floor-tying delete removes a pool copy and the reported max stays
+    exact without a recompute."""
+    store = VersionedTable(spark, str(tmp_path / "mm"))
+    maintain_minmax_state(
+        store,
+        _mm_batch(
+            spark, ("a", 9.0, "I"), ("a", 5.0, "I"), ("a", 5.0, "I"),
+            ("a", 5.0, "I"), ("a", 3.0, "I"),
+        ),
+        ["g"], "v", "op", k=3,
+    )
+    row = store.read().first()
+    assert row.candidates == [9.0, 5.0, 5.0] and row.trunc_floor == 5.0
+
+    maintain_minmax_state(
+        store,
+        _mm_batch(spark, ("a", 9.0, "D"), ("a", 5.0, "D")),
+        ["g"], "v", "op", k=3,
+    )
+    row = store.read().first()
+    assert row.group_max == 5.0 and row.n_rows == 3
+    assert not row.needs_recompute
+    # deleting the remaining two 5s (one pool-resident, one truncated)
+    # exhausts the pool — flagged, with the surviving 3 recoverable
+    maintain_minmax_state(
+        store,
+        _mm_batch(spark, ("a", 5.0, "D"), ("a", 5.0, "D")),
+        ["g"], "v", "op", k=3,
+    )
+    row = store.read().first()
+    assert row.n_rows == 1
+    assert row.group_max is None and row.needs_recompute
 
 
 def test_minmax_rejects_bogus_retraction_and_ops(spark, tmp_path):

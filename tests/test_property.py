@@ -188,7 +188,9 @@ def test_scd1_state_matches_reference(spark, tmp_path_factory, changes):
 _mm_ops = st.lists(
     st.tuples(
         st.integers(0, 1),            # group
-        st.integers(0, 8),            # value
+        st.integers(0, 3),            # value — NARROW so values tie the
+        #   truncation watermark often (round-8 ADVICE: the 0-8 domain
+        #   never reached the pool-resident-tie delete case)
         st.booleans(),                # delete attempt?
     ),
     min_size=1,
