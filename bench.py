@@ -1,7 +1,11 @@
 #!/usr/bin/env python
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Prints ONE compact JSON line as the FINAL stdout line (per-query
+medians, minima total, pipeline e2e, ann-pair verdict — sized to fit
+the driver's 2000-char capture buffer) and writes the full detail
+(raw samples, ann_pair block, 10x/sf1 scale probes) to
+``BENCH_DETAIL.json`` next to this file:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is executed to completion (count + a bounded collect of the
@@ -454,7 +458,49 @@ def main() -> None:
         result["scale10x"] = scale10x
     if scale_sf1 is not None:
         result["scale_sf1"] = scale_sf1
-    print(json.dumps(result))
+
+    # The driver captures only the LAST ~2000 chars of stdout and
+    # parses the final line; the full result dict outgrew that buffer
+    # in round 5 and BENCH_r{5..8}.json all recorded `parsed: null`
+    # (round-8 VERDICT #1).  So: full detail (raw samples, ann_pair
+    # block, scale10x/sf1 probes) goes to a COMMITTED side file, and
+    # the final stdout line is a compact summary hard-capped well
+    # under the buffer — per-query MEDIANS (the round-over-round
+    # comparison number), the minima total, e2e, and the ann-pair
+    # verdict.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as exc:  # read-only checkout: summary still prints
+        print(f"# WARNING: could not write {detail_path}: {exc}",
+              file=sys.stderr)
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": medians,
+        "detail": "BENCH_DETAIL.json",
+    }
+    if pipeline_e2e is not None:
+        compact["pipeline_e2e_sec"] = pipeline_e2e
+    if ann_pair is not None:
+        compact["ann_vectorized_wins"] = (
+            f"{ann_pair['vectorized_wins']}/{ann_pair['paired_rounds']}"
+        )
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: keep only the slowest 25
+        slowest = dict(
+            sorted(medians.items(), key=lambda kv: -kv[1])[:25]
+        )
+        compact["queries"] = slowest
+        compact["queries_truncated_to"] = 25
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

@@ -165,3 +165,78 @@ def test_pool_embeddings_hand_case_and_invariance(spark):
         for r in pool_embeddings(df.repartition(7), "grp").collect()
     }
     assert again == out  # bit-identical
+
+
+def test_within_cluster_candidates_capped_matches_uncapped(spark):
+    """Round-8 VERDICT #3 regression: a degenerate giant cluster must
+    fan out into hard-bounded block-pair pandas groups, with a result
+    set IDENTICAL to the single-matmul path.  6k vectors all in ONE
+    k-means cell, capped at 500 rows/block (12 blocks, 78 block-pair
+    groups); planted near-dup pairs cross block boundaries."""
+    import numpy as np
+
+    from diabetes_etl_spark.operators.clustering import (
+        within_cluster_candidates,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 6000
+    vecs = rng.standard_normal((n, 8))
+    # plant near-dups whose partners land in DIFFERENT id blocks
+    for a, b in [(3, 5503), (700, 4200), (999, 1001), (2500, 2501)]:
+        vecs[b] = vecs[a] + 1e-4 * rng.standard_normal(8)
+    rows = [
+        (i, 0, [float(x) for x in vecs[i]],
+         float(np.sqrt(vecs[i] @ vecs[i])))
+        for i in range(n)
+    ]
+    members = spark.createDataFrame(
+        rows, "vec_id long, cluster int, embedding array<float>, nrm double"
+    ).repartition(8)
+    thresh = 0.999
+    capped = {
+        (r.id_a, r.id_b)
+        for r in within_cluster_candidates(
+            members, thresh, max_group_rows=500
+        ).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in within_cluster_candidates(
+            members, thresh, max_group_rows=1_000_000
+        ).collect()
+    }
+    assert capped == uncapped
+    assert {(3, 5503), (700, 4200), (999, 1001), (2500, 2501)} <= capped
+    assert all(a < b for a, b in capped)
+
+
+def test_within_cluster_candidates_block_groups_are_bounded(spark):
+    """Structural check on the fan-out: with cap=500 over one 6k-row
+    cluster, the exploded participation table holds ceil(6000/500)=12
+    exact-size blocks and every (gi, gj) group carries at most
+    2*cap rows."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n, cap = 6000, 500
+    rows = [
+        (i, 0, [float(x) for x in rng.standard_normal(4)], 1.0)
+        for i in range(n)
+    ]
+    members = spark.createDataFrame(
+        rows, "vec_id long, cluster int, embedding array<float>, nrm double"
+    )
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("cluster")
+    wr = wc.orderBy("vec_id")
+    blk = (
+        members.withColumn("__rn", F.row_number().over(wr))
+        .withColumn("__n_c", F.count("*").over(wc))
+        .withColumn("__nb", F.expr(f"CAST(-((-__n_c) DIV {cap}) AS INT)"))
+        .withColumn("__b", F.expr(f"CAST((__rn - 1) DIV {cap} AS INT)"))
+    )
+    sizes = {r["__b"]: r["cnt"] for r in
+             blk.groupBy("__b").agg(F.count("*").alias("cnt")).collect()}
+    assert len(sizes) == 12 and all(v == cap for v in sizes.values())
