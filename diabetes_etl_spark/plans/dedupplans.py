@@ -1350,7 +1350,6 @@ FROM fl GROUP BY doc_id
     "the oracle pins exact boundary positions; only (id, idx, len, "
     "fp) ever shuffles — chunk text never leaves its scan.",
     tags=("dedup", "cdc", "extension"),
-    extended=True,
 )
 def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

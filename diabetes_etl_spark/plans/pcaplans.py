@@ -113,7 +113,6 @@ _PCA_ORACLE = _mimic_spark_round(_PCA_ORACLE)
     "identical rounds, so every intermediate eigenvector estimate is "
     "hash-pinned.",
     tags=("embeddings", "pca", "iterative", "extension"),
-    extended=True,
 )
 def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.operators.pca import power_iteration_rounds

@@ -282,6 +282,52 @@ _EXTENDED: frozenset[str] = frozenset(
         # resampling); the zero-shuffle shard-assignment plan shape
         # stays asserted in tests/test_plans.py
         "corpus_sampling_shards",
+        # ---- round-9 rotation (round-8 VERDICT #2): six twins move
+        # out so the round-8 families (sim_pq_adc_topk,
+        # dedup_cdc_chunks, text_wordpiece_segments,
+        # text_rouge_bleu_pairs, multimodal_progressive_decode,
+        # embeddings_pca_power) get driver-gate visibility.  Every
+        # demoted query keeps its oracle and stays green in
+        # tests/test_oracle.py:
+        # end-to-end entity resolution: its constituent machinery
+        # stays gate-covered — connected components by
+        # dedup_components (same large-star/small-star operator),
+        # representative election by dedup_apply's survivorship
+        # pattern inside docs_prep composites, and the Soundex/
+        # levenshtein blocking pairs stay oracle-green locally (the
+        # er_fuzzy_name_pairs precedent, round 7)
+        "er_golden_customers",
+        # count-min-sketch token frequencies: the exact heavy-hitter
+        # side of this composite is the same tokenizer + token-keyed
+        # aggregation the gate keeps via text_quality_by_lang and
+        # text_bigram_lm_quality; the CMS cells' width/depth error
+        # bound stays pinned by tests + local oracle pairing
+        "cms_token_frequencies",
+        # stream-static + stream-stream join composite: the streaming
+        # surface keeps four gate slots (stream_ingest_events,
+        # stream_stateful_user_profiles, events_session_native,
+        # cdc_scd2_user_history) over the same watermark/state
+        # machinery; the join enrichment twin was gate-green rounds
+        # 5-8 and stays oracle-green locally
+        "stream_join_enrich",
+        # quantiles/corr/stddev composite: every constituent is
+        # ALREADY gate-exercised through the reference surface —
+        # percentile medians by diab_silver_features, exact-sum
+        # Pearson corr by diab_gold_feature_correlation, exact-sum
+        # stddev by diab_gold_risk_analysis — so the TPC-H-side twin
+        # yields its slot (gate-green since round 3)
+        "quantiles_corr_stddev_by_flag",
+        # versioned-table time travel: versioned_change_feed stays in
+        # the gate and is the stricter contract over the same manifest
+        # machinery (a change feed REQUIRES version-pinned reads of
+        # both endpoints); time travel semantics also stay directly
+        # tested in tests/test_versioned.py and oracle-green locally
+        "versioned_time_travel",
+        # RRF hybrid retrieval: the retrieval family keeps
+        # text_bm25_topk in the gate (BM25 is the scoring core RRF
+        # re-ranks); the rank-fusion arithmetic is a bounded window
+        # over the per-ranker top-k and stays oracle-green locally
+        "retrieval_rrf_hybrid",
     }
 )
 

@@ -609,7 +609,6 @@ def multimodal_color420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "environment stub now covers only compressed audio/video "
     "samples.",
     tags=("multimodal", "jpeg", "progressive", "pandas-udf", "extension"),
-    extended=True,
 )
 def multimodal_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.operators.multimodal import (
@@ -834,7 +833,6 @@ FROM (
     "unrolls training, encoding, and ADC scoring in the same "
     "decimal-pinned arithmetic, so the hash pins every Lloyd round.",
     tags=("similarity", "pq", "ann", "extension"),
-    extended=True,
 )
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.operators.pq import pq_adc_topk, pq_encode, pq_train

@@ -1393,7 +1393,6 @@ FROM m
     "to 9 decimals at the source (BM25 precedent), zero-overlap "
     "pairs short-circuit before any ln(0).",
     tags=("text", "rouge", "bleu", "extension"),
-    extended=True,
 )
 def text_rouge_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the DISTRIBUTED overlap shape (ngram_count_table + least-join),
@@ -1582,7 +1581,6 @@ FROM fin GROUP BY doc_id
     "segmentation is a shuffle-free JVM projection; the oracle "
     "replays the identical walk with a packed-BIGINT accumulator.",
     tags=("text", "tokenizer", "wordpiece", "extension"),
-    extended=True,
 )
 def text_wordpiece_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.operators.wordpiece import wordpiece_pipeline
