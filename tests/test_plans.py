@@ -538,3 +538,38 @@ def test_mmr_rounds_run_on_materialized_shortlist(spark, sf_dir):
     # embeddings parquet appears only in the shortlist-build subtree,
     # never once per greedy round (4 rounds would show >= 4 scans)
     assert plan.count("embeddings.parquet") <= 2
+
+
+def test_coverage_header_matches_registry():
+    """COVERAGE.md's tier counts are generated from the registry; this
+    pin keeps the header from drifting when queries are added or
+    rotated (round-8 verdict, What's wrong #3)."""
+    import os
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "COVERAGE.md"), encoding="utf-8") as f:
+        head = f.read(2000)
+    gate = all_queries()
+    full = all_queries(include_extended=True)
+    n_gate = len(gate)
+    n_gate_oracle = sum(1 for s in gate.values() if s.oracle)
+    n_full = len(full)
+    n_oracle = sum(1 for s in full.values() if s.oracle)
+    m = re.search(
+        r"\*\*gate\*\* — (\d+) queries .*?\*\*all (\d+)\s+oracle-paired\*\*",
+        head,
+        re.S,
+    )
+    assert m, "gate tier line missing from COVERAGE.md header"
+    assert (int(m.group(1)), int(m.group(2))) == (n_gate, n_gate_oracle)
+    m = re.search(
+        r"\*\*extended\*\* — (\d+) more queries\s*\n?\s*"
+        r"\(`all_queries\(include_extended=True\)` = (\d+) total, (\d+)\s*\n?\s*"
+        r"oracle-paired\)",
+        head,
+    )
+    assert m, "extended tier line missing from COVERAGE.md header"
+    assert int(m.group(1)) == n_full - n_gate
+    assert int(m.group(2)) == n_full
+    assert int(m.group(3)) == n_oracle
