@@ -328,6 +328,13 @@ _EXTENDED: frozenset[str] = frozenset(
         # re-ranks); the rank-fusion arithmetic is a bounded window
         # over the per-ranker top-k and stays oracle-green locally
         "retrieval_rrf_hybrid",
+        # round-9: yields its slot to q11_important_stock (the derived-
+        # partsupp TPC-H shape, verdict-r8 item 4).  Top-k-per-group
+        # pruning stays gate-covered by window_suite's ranking frames
+        # and by the TakeOrdered shapes inside q3/q10-family plans;
+        # the rank<=k filter-pushdown plan assertion remains in
+        # tests/test_plans.py and the query stays oracle-green locally
+        "topk_pruned_orders",
     }
 )
 

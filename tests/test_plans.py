@@ -573,3 +573,26 @@ def test_coverage_header_matches_registry():
     assert int(m.group(1)) == n_full - n_gate
     assert int(m.group(2)) == n_full
     assert int(m.group(3)) == n_oracle
+
+
+def test_q11_broadcasts_generator_and_dims_no_cartesian(spark, sf_dir):
+    """Derived-partsupp q11: the 4-row generator and supplier/nation
+    dims broadcast; nothing degenerates to a true cartesian (the only
+    nested-loop join is the constant 4-row inline table)."""
+    plan = _plan(spark, sf_dir, "q11_important_stock")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad
+
+
+def test_q20_decorrelates_lineitem_aggregate(spark, sf_dir):
+    """q20's correlated scalar SUM must decorrelate into an aggregate
+    joined on (partkey, suppkey) — lineitem scanned once with the
+    shipdate filter pushed down, never re-scanned per outer row."""
+    plan = _plan(spark, sf_dir, "q20_potential_promotion")
+    assert "CartesianProduct" not in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "PushedFilters" in plan
+    li_scans = [l for l in plan.splitlines() if "l_shipdate" in l and "PushedFilters" in l]
+    assert any("IsNotNull(l_shipdate)" in l or "GreaterThanOrEqual(l_shipdate" in l for l in li_scans), li_scans
