@@ -424,6 +424,17 @@ def docs_prep_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = winnow_fingerprints(
         docs, k=_V3_K, window=_V3_W
     ).select(F.col("id").alias("doc_id"), "fp").distinct()
+    # materialize the narrow (doc_id, fp) selection once (MMR
+    # shortlist precedent): both consumers below would otherwise
+    # recompute the O(len) text fingerprint extraction
+    import atexit
+    import shutil
+    import tempfile
+
+    sel_dir = tempfile.mkdtemp(prefix="spark_winnow_v3_")
+    atexit.register(shutil.rmtree, sel_dir, ignore_errors=True)
+    sel.write.mode("overwrite").parquet(sel_dir)
+    sel = spark.read.parquet(sel_dir)
     fp_min = sel.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
     dropped = (
         sel.join(fp_min, "fp")
