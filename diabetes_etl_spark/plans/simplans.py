@@ -625,6 +625,41 @@ def multimodal_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "multimodal_dri_decode",
+    # same constant-block RGB content as the 4:4:4 color query, so the
+    # color oracle's arithmetic pins the decode verbatim — Spark runs
+    # the restart-boundary entropy path over it
+    oracle=_COLOR_ORACLE,
+    doc="RESTART-INTERVAL (DRI/RSTn) baseline color JPEG decode "
+    "(round-9, verdict-r8 item 5 — the last baseline-JPEG fallback "
+    "removed): every documents row becomes a real 4:4:4 SOF0 stream "
+    "with RSTn markers every 1 + doc_id % 4 MCUs "
+    "(operators/multimodal.py:attach_dri_jpeg_payloads); the decoder "
+    "byte-aligns at each expected boundary, consumes the marker, "
+    "verifies the modulo-8 sequence (incl. wraparound past RST7 on "
+    "the interval-1 rows), and resets DC prediction (T.81 E.2.4).  "
+    "Constant blocks survive the codec bit-exactly, so the oracle "
+    "recomputes decoded-RGB statistics purely arithmetically; "
+    "header-probe fallback now remains only for progressive+DRI "
+    "combinations.",
+    tags=("multimodal", "jpeg", "dri", "pandas-udf", "extension"),
+    extended=True,
+)
+def multimodal_dri_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.multimodal import (
+        attach_dri_jpeg_payloads,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_dri_jpeg_payloads(docs))
+    return feats.select(
+        "doc_id", "byte_len", "width", "height", "n_channels",
+        "n_space", "n_alpha", "head_fingerprint",
+    )
+
+
+@register(
     "sim_lsh_topk_vectorized",
     oracle=None,  # approximate; recall vs brute force in tests
     doc="ANN top-5, fully Arrow-vectorized: one numpy matmul computes "

@@ -1715,3 +1715,107 @@ def test_multimodal_prep_pipeline_accounting_consistent(spark, sf_dir):
         assert r.n_kept + r.n_dropped == r.n_images
         assert 0 < r.n_kept <= r.n_images
         assert (r.pixels_dropped == 0) == (r.n_dropped == 0)
+
+
+# -- restart-interval (DRI/RSTn) streams (round 9, verdict-r8 item 5) -------
+
+
+def test_jpeg_dri_gray_roundtrip_all_intervals():
+    """DRI streams decode identically to their no-restart twins at
+    every interval shape: sub-row, row-spanning, wrapping past RST7
+    (interval 1 on a 12+ MCU image), and interval >= MCU count (no
+    markers actually emitted mid-stream)."""
+    import numpy as np
+
+    from diabetes_etl_spark.operators.multimodal import decode_jpeg_baseline
+
+    w, h = 40, 24  # 5x3 = 15 MCUs
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(h, w)).astype(np.uint8).tobytes()
+    base = decode_jpeg_baseline(jpeg_gray_bytes(w, h, px))[3]
+    for interval in (1, 2, 4, 7, 14, 15, 100):
+        enc = jpeg_gray_bytes(w, h, px, restart_interval=interval)
+        assert (b"\xff\xdd" in enc) == True  # DRI segment present
+        n_markers = sum(
+            enc.count(bytes([0xFF, 0xD0 + i])) for i in range(8)
+        )
+        assert n_markers == (15 - 1) // interval
+        assert decode_jpeg_baseline(enc)[3] == base, interval
+
+
+def test_jpeg_dri_resets_dc_prediction():
+    """A decoder that failed to reset DC predictors at RSTn would
+    produce wrong pixels on any image whose blocks differ: constant-
+    block fixtures must still reconstruct bit-exactly through
+    restart boundaries."""
+    from diabetes_etl_spark.operators.multimodal import decode_jpeg_baseline
+
+    w, h = 28, 22
+    for doc_id in (1, 5, 77, 1021):
+        pixels = bytes(
+            fixture_jpeg_block_value(doc_id, x // 8, y // 8)
+            for y in range(h)
+            for x in range(w)
+        )
+        for interval in (1, 3):
+            enc = jpeg_gray_bytes(w, h, pixels, restart_interval=interval)
+            dw, dh, ncomp, dec = decode_jpeg_baseline(enc)
+            assert (dw, dh, ncomp, dec) == (w, h, 1, pixels)
+
+
+def test_jpeg_dri_color_444_and_420_match_no_restart():
+    import numpy as np
+
+    from diabetes_etl_spark.operators.multimodal import decode_jpeg_baseline
+
+    w, h = 32, 32
+    rng = np.random.default_rng(13)
+    mb = rng.integers(0, 256, size=(2, 2, 3))
+    rgb = np.repeat(np.repeat(mb, 16, 0), 16, 1).astype(np.uint8).tobytes()
+    for sub in ("444", "420"):
+        base = decode_jpeg_baseline(jpeg_color_bytes(w, h, rgb, sub))[3]
+        for interval in (1, 2, 3):
+            enc = jpeg_color_bytes(
+                w, h, rgb, sub, restart_interval=interval
+            )
+            assert decode_jpeg_baseline(enc)[3] == base, (sub, interval)
+
+
+def test_jpeg_dri_out_of_sequence_marker_rejected():
+    from diabetes_etl_spark.operators.multimodal import decode_jpeg_baseline
+
+    w, h = 40, 24
+    pixels = bytes((x // 8 * 40 + y // 8 * 81) % 256 for y in range(h) for x in range(w))
+    enc = bytearray(jpeg_gray_bytes(w, h, pixels, restart_interval=2))
+    # corrupt the first restart marker RST0 -> RST5
+    i = enc.find(bytes([0xFF, 0xD0]))
+    assert i > 0
+    enc[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg_baseline(bytes(enc))
+
+
+def test_attach_dri_payloads_decode_with_real_pixel_stats(spark):
+    """The corpus fixture produces decodable DRI streams end-to-end:
+    extract_features yields REAL pixel stats (no NULL fallback rows)
+    matching the constant-block arithmetic."""
+    from diabetes_etl_spark.operators.multimodal import (
+        attach_dri_jpeg_payloads,
+        extract_features,
+        fixture_color_block_rgb,
+        fixture_media_dims,
+    )
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    rows = {
+        r["doc_id"]: r
+        for r in extract_features(attach_dri_jpeg_payloads(df)).collect()
+    }
+    assert len(rows) == 12
+    for doc_id, r in rows.items():
+        _, _, jw, jh = fixture_media_dims(doc_id)
+        assert (r["width"], r["height"], r["n_channels"]) == (jw, jh, 3)
+        assert r["n_space"] is not None  # real decode, not probe fallback
+        assert r["head_fingerprint"] is not None
