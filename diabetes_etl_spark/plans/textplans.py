@@ -1849,3 +1849,159 @@ FROM best GROUP BY label, predicted
 def text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return TX.nb_langid_confusion(docs)
+
+
+# -- unigram-LM tokenizer (round 9) -----------------------------------------
+#
+# The third tokenizer family: unigram-LM Viterbi segmentation with one
+# hard-EM refinement round (operators/unigram.py).  The oracle replays
+# the WHOLE chain relationally — seed vocab, quantized-ln integer
+# costs, forward dp as a recursive CTE carrying the last-4 packed
+# states, the backtrack as a second recursive CTE over the full dp
+# rows, the smoothed M-step re-count, the second Viterbi pass, and the
+# per-doc roll-up.  No list lambdas on the DuckDB side (the WordPiece
+# misbind lesson).
+
+_UNI_MAXLEN, _UNI_WCAP, _UNI_TOPV, _UNI_SCALE = 4, 16, 40, 1_000_000_000
+
+
+def _uni_dp_cte(name: str, vocab: str) -> str:
+    cands = []
+    for k in range(1, _UNI_MAXLEN + 1):
+        cands.append(
+            f"CASE WHEN {name}.i + 1 >= {k} THEN "
+            f"({name}.p{k} // 32 + v{k}.cost) * 32 + {name}.p{k} % 32 + 1 END"
+        )
+    joins = "\n".join(
+        f"  LEFT JOIN {vocab} v{k} ON v{k}.piece = "
+        f"substr({name}.w, {name}.i + 1 - {k - 1}, {k})"
+        for k in range(1, _UNI_MAXLEN + 1)
+    )
+    return f"""
+{name} AS (
+  SELECT w, 0 AS i, CAST(0 AS BIGINT) AS p1,
+         CAST(NULL AS BIGINT) AS p2, CAST(NULL AS BIGINT) AS p3,
+         CAST(NULL AS BIGINT) AS p4
+  FROM wcnt
+  UNION ALL
+  SELECT {name}.w, {name}.i + 1,
+    least({', '.join(cands)}), {name}.p1, {name}.p2, {name}.p3
+  FROM {name}
+{joins}
+  WHERE {name}.i < length({name}.w)
+)"""
+
+
+_UNI_KCASE = """(CASE
+      WHEN bt.pos >= 1 AND (e1.p1 // 32 + v1.cost) * 32 + e1.p1 % 32 + 1 = d0.p1 THEN 1
+      WHEN bt.pos >= 2 AND (e2.p1 // 32 + v2.cost) * 32 + e2.p1 % 32 + 1 = d0.p1 THEN 2
+      WHEN bt.pos >= 3 AND (e3.p1 // 32 + v3.cost) * 32 + e3.p1 % 32 + 1 = d0.p1 THEN 3
+      ELSE 4 END)"""
+
+_UNI_ORACLE = f"""
+WITH RECURSIVE
+dwords AS (
+  SELECT doc_id, substr(w0, 1, {_UNI_WCAP}) AS w
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w0
+        FROM documents)
+  WHERE w0 <> ''
+),
+wcnt AS MATERIALIZED (SELECT w, COUNT(*) AS wn FROM dwords GROUP BY w),
+pieces AS (
+  SELECT substr(w, s, l) AS piece, SUM(wn) AS cnt
+  FROM wcnt,
+       (SELECT unnest(generate_series(1, {_UNI_MAXLEN})) AS l) L,
+       (SELECT unnest(generate_series(1, {_UNI_WCAP})) AS s) S
+  WHERE s + l - 1 <= length(w)
+  GROUP BY 1
+),
+vocab0 AS (
+  SELECT piece, cnt FROM pieces WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn
+    FROM pieces WHERE length(piece) > 1) WHERE rn <= {_UNI_TOPV}
+),
+vocab AS MATERIALIZED (
+  SELECT piece,
+    CAST(round((round(ln(CAST((SELECT SUM(cnt) FROM vocab0) AS DOUBLE)), 9)
+      - round(ln(CAST(cnt AS DOUBLE)), 9)) * CAST({_UNI_SCALE} AS DOUBLE))
+      AS BIGINT) AS cost
+  FROM vocab0
+),
+{_uni_dp_cte('dp', 'vocab')},
+dpp AS MATERIALIZED (SELECT * FROM dp),
+bt AS (
+  SELECT w, CAST(length(w) AS INT) AS pos, CAST(NULL AS VARCHAR) AS tok
+  FROM wcnt
+  UNION ALL
+  SELECT bt.w,
+    CAST(bt.pos - {_UNI_KCASE} AS INT),
+    substr(bt.w, bt.pos - {_UNI_KCASE} + 1, {_UNI_KCASE})
+  FROM bt
+  JOIN dpp d0 ON d0.w = bt.w AND d0.i = bt.pos
+  LEFT JOIN dpp e1 ON e1.w = bt.w AND e1.i = bt.pos - 1
+  LEFT JOIN dpp e2 ON e2.w = bt.w AND e2.i = bt.pos - 2
+  LEFT JOIN dpp e3 ON e3.w = bt.w AND e3.i = bt.pos - 3
+  LEFT JOIN vocab v1 ON v1.piece = substr(bt.w, bt.pos, 1)
+  LEFT JOIN vocab v2 ON v2.piece = substr(bt.w, bt.pos - 1, 2)
+  LEFT JOIN vocab v3 ON v3.piece = substr(bt.w, bt.pos - 2, 3)
+  WHERE bt.pos > 0
+),
+used AS (
+  SELECT bt.tok AS piece, SUM(wc.wn) AS used
+  FROM bt JOIN wcnt wc ON wc.w = bt.w
+  WHERE bt.tok IS NOT NULL
+  GROUP BY 1
+),
+vocab2cnt AS MATERIALIZED (
+  SELECT v.piece, COALESCE(u.used, 0) + 1 AS cnt
+  FROM vocab0 v LEFT JOIN used u ON u.piece = v.piece
+),
+vocab2 AS MATERIALIZED (
+  SELECT piece,
+    CAST(round((round(ln(CAST((SELECT SUM(cnt) FROM vocab2cnt) AS DOUBLE)), 9)
+      - round(ln(CAST(cnt AS DOUBLE)), 9)) * CAST({_UNI_SCALE} AS DOUBLE))
+      AS BIGINT) AS cost
+  FROM vocab2cnt
+),
+{_uni_dp_cte('dp2', 'vocab2')},
+w1 AS (SELECT w, p1 % 32 AS n1 FROM dpp WHERE i = length(w)),
+w2 AS (SELECT w, p1 // 32 AS cost2, p1 % 32 AS n2 FROM dp2 WHERE i = length(w))
+SELECT d.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(w1.n1) AS BIGINT) AS n_tokens_seed,
+  CAST(SUM(w2.n2) AS BIGINT) AS n_tokens,
+  CAST(SUM(w2.cost2) AS BIGINT) AS vit_cost
+FROM dwords d JOIN w1 ON w1.w = d.w JOIN w2 ON w2.w = d.w
+GROUP BY d.doc_id
+"""
+
+
+@register(
+    "text_unigram_lm_segments",
+    oracle=_UNI_ORACLE,
+    doc="UNIGRAM-LM (SentencePiece-style) tokenizer: count-seeded "
+    "piece costs, per-word GLOBALLY-OPTIMAL Viterbi segmentation "
+    "(integer nano-nat costs, dp packed (cost, n) so least() is the "
+    "lexicographic tie-break), backtrack, one hard-EM re-estimation "
+    "round with add-one smoothing, second Viterbi pass, per-doc "
+    "roll-up (operators/unigram.py:unigram_pipeline).  The third "
+    "tokenizer family next to BPE (bottom-up merges) and WordPiece "
+    "(greedy longest-match); vit_cost is the exact per-doc "
+    "compression score a quality filter thresholds on.  Oracle "
+    "replays the entire chain relationally (recursive-CTE dp + "
+    "backtrack over the full dp rows).  Scale: all training math "
+    "runs on the DISTINCT-WORD table; the corpus is touched twice "
+    "(word extraction + final roll-up); vocab is bounded driver "
+    "state (chars + top-40, BPE precedent).",
+    tags=("text", "tokenizer", "unigram", "viterbi", "extension"),
+    extended=True,
+)
+def text_unigram_lm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.unigram import unigram_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_pipeline(
+        docs, max_len=_UNI_MAXLEN, top_v=_UNI_TOPV
+    ).orderBy("doc_id")

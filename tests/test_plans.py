@@ -610,3 +610,13 @@ def test_q20_decorrelates_lineitem_aggregate(spark, sf_dir):
     assert "PushedFilters" in plan
     li_scans = [l for l in plan.splitlines() if "l_shipdate" in l and "PushedFilters" in l]
     assert any("IsNotNull(l_shipdate)" in l or "GreaterThanOrEqual(l_shipdate" in l for l in li_scans), li_scans
+
+
+def test_unigram_segments_native_no_cartesian(spark, sf_dir):
+    """The unigram tokenizer's final plan must be all-native (dp folds
+    are JVM expressions over a constant-folded cost map; no Python
+    stages) with word-keyed equi-joins only."""
+    plan = _plan(spark, sf_dir, "text_unigram_lm_segments")
+    assert "CartesianProduct" not in plan
+    for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad
