@@ -531,3 +531,121 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.operators.graph import khop_counts
 
     return khop_counts(edges, seeds, max_hops=_KHOP_H)
+
+
+# -- link prediction: neighborhood Jaccard + Adamic-Adar (round 9) -----------
+#
+# Supplier pairs scored by shared customers on the bipartite trade
+# graph — the standard link-prediction pair (Liben-Nowell & Kleinberg
+# 2003): Jaccard(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)| and Adamic-Adar
+# = Σ_{c ∈ N(a)∩N(b)} 1/ln(deg(c)), which down-weights promiscuous
+# shared neighbors.  Scale guards: pair generation runs through the
+# customer-keyed self-join with a HUB CAP (customers connected to more
+# than _LP_CAP suppliers are dropped as stop-neighbors before pairing
+# — the inverted-index rule; a hub of degree h would fan out h^2
+# pairs), so per-key fan-out is <= _LP_CAP^2.  Every shared neighbor
+# has deg >= 2, so 1/ln(deg) never divides by zero; ln is quantized
+# (9 dp) and the AA sum decimal-folded (repo float rules).
+
+_LP_CAP = 40
+_LP_MIN_SHARED = 2
+
+_LP_ORACLE = f"""
+WITH
+edges AS MATERIALIZED (
+  SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+cdeg AS (SELECT c, COUNT(*) AS dc FROM edges GROUP BY c),
+sdeg AS (SELECT s, COUNT(*) AS ds FROM edges GROUP BY s),
+capped AS (
+  SELECT e.s, e.c, d.dc FROM edges e JOIN cdeg d ON d.c = e.c
+  WHERE d.dc <= {_LP_CAP}
+),
+pairs AS (
+  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS shared,
+    CAST(SUM(CAST(CAST(1 AS DOUBLE) / round(ln(CAST(a.dc AS DOUBLE)), 9)
+         AS DECIMAL(38,12))) AS DOUBLE) AS aa_raw
+  FROM capped a JOIN capped b ON a.c = b.c AND a.s < b.s
+  GROUP BY a.s, b.s
+)
+SELECT p.s1, p.s2, CAST(p.shared AS BIGINT) AS shared,
+  ROUND(CAST(p.shared AS DOUBLE) / (d1.ds + d2.ds - p.shared), 9)
+    AS jaccard,
+  ROUND(p.aa_raw, 9) AS adamic_adar
+FROM pairs p
+JOIN sdeg d1 ON d1.s = p.s1
+JOIN sdeg d2 ON d2.s = p.s2
+WHERE p.shared >= {_LP_MIN_SHARED}
+ORDER BY adamic_adar DESC, s1, s2
+"""
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle=_LP_ORACLE,
+    doc="Link prediction on the bipartite trade graph: supplier "
+    "pairs scored by neighborhood Jaccard and Adamic-Adar over "
+    "shared customers (Liben-Nowell & Kleinberg 2003).  The pair "
+    "join is customer-keyed with a HUB CAP (degree > 40 customers "
+    "dropped as stop-neighbors before pairing — bounded fan-out per "
+    "key, the inverted-index rule), shared neighbors always have "
+    "degree >= 2 so 1/ln(deg) is total, ln quantized to 9 dp and "
+    "the AA sum decimal-folded.  Scale: only (suppkey, custkey) "
+    "pairs shuffle; supplier degrees re-attach by two joins on the "
+    "tiny supplier-degree table.",
+    tags=("graph", "link-prediction", "extension"),
+    extended=True,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    cdeg = edges.groupBy("c").agg(F.count("*").alias("dc"))
+    sdeg = edges.groupBy("s").agg(F.count("*").alias("ds"))
+    capped = edges.join(
+        cdeg.filter(F.col("dc") <= _LP_CAP), "c"
+    ).select("s", "c", "dc")
+    a = capped.select(F.col("s").alias("s1"), "c", "dc")
+    b = capped.select(F.col("s").alias("s2"), "c")
+    pairs = (
+        a.join(b, "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.count("*").alias("shared"),
+            F.sum(
+                (
+                    F.lit(1.0)
+                    / F.round(F.log(F.col("dc").cast("double")), 9)
+                ).cast("decimal(38,12)")
+            ).cast("double").alias("aa_raw"),
+        )
+    )
+    return (
+        pairs.join(
+            F.broadcast(sdeg.select(F.col("s").alias("s1"), F.col("ds").alias("ds1"))),
+            "s1",
+        )
+        .join(
+            F.broadcast(sdeg.select(F.col("s").alias("s2"), F.col("ds").alias("ds2"))),
+            "s2",
+        )
+        .filter(F.col("shared") >= _LP_MIN_SHARED)
+        .select(
+            "s1",
+            "s2",
+            F.col("shared").cast("long").alias("shared"),
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("ds1") + F.col("ds2") - F.col("shared")),
+                9,
+            ).alias("jaccard"),
+            F.round(F.col("aa_raw"), 9).alias("adamic_adar"),
+        )
+        .orderBy(F.col("adamic_adar").desc(), "s1", "s2")
+    )

@@ -706,8 +706,7 @@ def profile_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HC_BITS, _HC_N, _HC_TILE = 8, 256, 600  # non-power-of-two tile: aligned 2^k tiles hide the Z-seam; at 600 cells Hilbert tiles average a ~2x tighter bounding box
 
-_HILBERT_ORACLE = f"""
-WITH RECURSIVE
+_HC_CTES = f"""
 pts AS MATERIALIZED (
   SELECT ROW_NUMBER() OVER () AS rid,
     CAST(o_custkey % {_HC_N} AS INT) AS xx,
@@ -747,6 +746,11 @@ curves AS (
   UNION ALL
   SELECT 'morton' AS curve, d // {_HC_TILE} AS tile, xx, yy FROM md
 )
+"""
+
+_HILBERT_ORACLE = f"""
+WITH RECURSIVE
+{_HC_CTES}
 SELECT curve, CAST(tile AS INT) AS tile,
   CAST(COUNT(*) AS BIGINT) AS n_rows,
   CAST(MAX(xx) - MIN(xx) AS INT) AS x_span,
@@ -813,4 +817,134 @@ def layout_hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("yy") - F.min("yy")).cast("int").alias("y_span"),
         )
         .orderBy("curve", "tile")
+    )
+
+
+# -- layout pruning simulation (round 9, companion to the span query) --------
+#
+# The span table says Hilbert tiles are tighter; this query converts
+# that into the metric operators actually care about: FILES SCANNED.
+# Each tile plays a parquet file carrying min/max column statistics
+# (its x/y bounding box); a 4x4 grid of 32x32 range predicates plays
+# the query workload; a file is read iff its box intersects the
+# predicate box — exactly how data-skipping stats prune.  Output: per
+# curve, the workload's total and average files-read fraction.
+
+_PRUNE_ORACLE = f"""
+WITH RECURSIVE
+{_HC_CTES},
+boxes AS MATERIALIZED (
+  SELECT curve, tile,
+    MIN(xx) AS mnx, MAX(xx) AS mxx, MIN(yy) AS mny, MAX(yy) AS mxy
+  FROM curves GROUP BY curve, tile
+),
+wins AS (
+  SELECT wx.i * 4 + wy.i AS wid,
+    wx.i * 64 AS wx0, wx.i * 64 + 31 AS wx1,
+    wy.i * 64 AS wy0, wy.i * 64 + 31 AS wy1
+  FROM (SELECT unnest(generate_series(0, 3)) AS i) wx,
+       (SELECT unnest(generate_series(0, 3)) AS i) wy
+),
+hits AS (
+  SELECT b.curve, w.wid, COUNT(*) AS n_hit
+  FROM boxes b JOIN wins w
+    ON b.mnx <= w.wx1 AND b.mxx >= w.wx0
+   AND b.mny <= w.wy1 AND b.mxy >= w.wy0
+  GROUP BY b.curve, w.wid
+),
+tot AS (SELECT curve, COUNT(*) AS n_tiles FROM boxes GROUP BY curve)
+SELECT t.curve,
+  CAST(t.n_tiles AS BIGINT) AS n_tiles,
+  CAST(16 AS BIGINT) AS n_windows,
+  CAST(SUM(h.n_hit) AS BIGINT) AS files_scanned,
+  ROUND(CAST(SUM(h.n_hit) AS DOUBLE) / (16 * t.n_tiles), 9)
+    AS scan_fraction
+FROM tot t JOIN hits h ON h.curve = t.curve
+GROUP BY t.curve, t.n_tiles
+ORDER BY t.curve
+"""
+
+
+@register(
+    "layout_pruning_simulation",
+    oracle=_PRUNE_ORACLE,
+    doc="Data-skipping simulation over the space-filling-curve "
+    "layouts: each Hilbert/Morton tile plays a parquet file with "
+    "min/max stats (its bounding box), a 4x4 grid of 32x32 range "
+    "predicates plays the workload, and a file is scanned iff its "
+    "box intersects the predicate box — converting the span table "
+    "into the metric that matters (files-read fraction; Hilbert "
+    "prunes more because its tiles never straddle the Z-seam).  "
+    "Scale: the boxes table is tiny (one row per file), the window "
+    "grid is a 16-row literal; the simulation is a broadcast "
+    "theta-join over both.",
+    tags=("layout", "pruning", "extension"),
+    extended=True,
+)
+def layout_pruning_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.layout import hilbert_index, morton_index
+
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        (F.col("o_custkey") % _HC_N).cast("int").alias("xx"),
+        (
+            F.datediff("o_orderdate", F.lit("1995-01-01")) % _HC_N
+        ).cast("int").alias("yy"),
+    )
+    idx = pts.select(
+        "xx", "yy",
+        hilbert_index("xx", "yy", _HC_BITS).alias("hd"),
+        morton_index("xx", "yy", _HC_BITS).alias("md"),
+    )
+    curves = idx.select(
+        F.lit("hilbert").alias("curve"),
+        (F.col("hd") - F.col("hd") % _HC_TILE).alias("t0"),
+        "xx", "yy",
+    ).unionByName(
+        idx.select(
+            F.lit("morton").alias("curve"),
+            (F.col("md") - F.col("md") % _HC_TILE).alias("t0"),
+            "xx", "yy",
+        )
+    )
+    boxes = curves.groupBy("curve", "t0").agg(
+        F.min("xx").alias("mnx"), F.max("xx").alias("mxx"),
+        F.min("yy").alias("mny"), F.max("yy").alias("mxy"),
+    )
+    wins = spark.createDataFrame(
+        [
+            (wx * 4 + wy, wx * 64, wx * 64 + 31, wy * 64, wy * 64 + 31)
+            for wx in range(4)
+            for wy in range(4)
+        ],
+        "wid int, wx0 int, wx1 int, wy0 int, wy1 int",
+    )
+    hits = (
+        boxes.join(
+            F.broadcast(wins),
+            (F.col("mnx") <= F.col("wx1"))
+            & (F.col("mxx") >= F.col("wx0"))
+            & (F.col("mny") <= F.col("wy1"))
+            & (F.col("mxy") >= F.col("wy0")),
+        )
+        .groupBy("curve", "wid")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    tot = boxes.groupBy("curve").agg(F.count("*").alias("n_tiles"))
+    return (
+        tot.join(hits, "curve")
+        .groupBy("curve", "n_tiles")
+        .agg(F.sum("n_hit").alias("files_scanned"))
+        .select(
+            "curve",
+            F.col("n_tiles").cast("long").alias("n_tiles"),
+            F.lit(16).cast("long").alias("n_windows"),
+            F.col("files_scanned").cast("long").alias("files_scanned"),
+            F.round(
+                F.col("files_scanned").cast("double")
+                / (F.lit(16) * F.col("n_tiles")),
+                9,
+            ).alias("scan_fraction"),
+        )
+        .orderBy("curve")
     )

@@ -80,3 +80,17 @@ def test_hilbert_tiles_tighter_than_morton(spark, sf_dir):
     ).collect()
     box = {r["curve"]: r["box"] for r in rows}
     assert box["hilbert"] < box["morton"] * 0.7
+
+
+def test_pruning_simulation_hilbert_scans_fewer_files(spark, sf_dir):
+    from diabetes_etl_spark.plans import all_queries
+
+    rows = {
+        r["curve"]: r
+        for r in all_queries(include_extended=True)[
+            "layout_pruning_simulation"
+        ].fn(spark, sf_dir).collect()
+    }
+    # occupied-tile counts may differ between curves (empty tiles
+    # don't exist); the normalized fraction is the claim
+    assert rows["hilbert"]["scan_fraction"] < rows["morton"]["scan_fraction"]

@@ -620,3 +620,13 @@ def test_unigram_segments_native_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, bad
+
+
+def test_link_prediction_hub_cap_and_broadcast_degrees(spark, sf_dir):
+    """graph_jaccard_neighbors: the pair join must be customer-keyed
+    (no cartesian), degree tables broadcast, no Python stages."""
+    plan = _plan(spark, sf_dir, "graph_jaccard_neighbors")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad
