@@ -649,3 +649,95 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("adamic_adar").desc(), "s1", "s2")
     )
+
+
+# -- TextRank keyword extraction (round 9) -----------------------------------
+#
+# PageRank COMPOSED over a word co-occurrence graph (Mihalcea & Tarau
+# 2004): nodes are corpus words, edges are adjacent-token pairs
+# (window 2, unweighted, symmetric — the standard simplification),
+# ranks from the same pinned 3-iteration decimal-folded power
+# iteration the trade-graph query gates, so the oracle unrolls
+# identical CTE layers over the word graph.  Top-20 by (rank DESC,
+# word) is the extracted keyword list.
+
+_TR_TOPK = 20
+
+_TR_ORACLE = (
+    """
+WITH raw AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS a FROM documents
+),
+adj AS (
+  SELECT DISTINCT a[i.i] AS src, a[i.i + 1] AS dst
+  FROM raw, (SELECT unnest(generate_series(1,
+         (SELECT MAX(len(a)) FROM raw))) AS i) i
+  WHERE i.i < len(a) AND a[i.i] <> '' AND a[i.i + 1] <> ''
+    AND a[i.i] <> a[i.i + 1]
+),
+e AS (SELECT src, dst FROM adj UNION SELECT dst, src FROM adj),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+r0 AS (
+  SELECT node,
+    CAST(CAST(CAST(1.0 AS DOUBLE) / nn.n AS DECIMAL(18,12)) AS DOUBLE)
+      AS rank
+  FROM nodes CROSS JOIN nn
+),"""
+    + ",".join(_iter_sql(f"r{i}", f"r{i + 1}") for i in range(_ITERS))
+    + f"""
+SELECT node AS word, rank FROM r{_ITERS}
+ORDER BY rank DESC, word LIMIT {_TR_TOPK}
+"""
+)
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=_TR_ORACLE,
+    doc="TextRank keyword extraction (Mihalcea & Tarau 2004): "
+    "PageRank composed over the corpus word co-occurrence graph "
+    "(adjacent-token pairs, window 2, unweighted symmetric) using "
+    "the SAME pinned 3-iteration decimal-folded power iteration as "
+    "graph_pagerank_trade (operators/graph.py:pagerank) — operator "
+    "composition, not a new engine path; the oracle unrolls "
+    "identical CTE layers over the word graph and the top-20 list "
+    "is tie-broken (rank DESC, word).  Scale: the distinct pair set "
+    "is bounded by vocabulary^2 but in practice by corpus bigrams; "
+    "per iteration one edges-ranks join + one decimal-folded "
+    "aggregate, rank state O(vocabulary).",
+    tags=("text", "graph", "textrank", "iterative", "extension"),
+    extended=True,
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(F.split(F.trim("text"), r"\s+").alias("a"))
+        .select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(a) >= 2 THEN "
+                    "transform(sequence(1, size(a) - 1), "
+                    "i -> named_struct('src', element_at(a, i), "
+                    "'dst', element_at(a, i + 1))) "
+                    "ELSE array() END"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .filter(
+            (F.col("src") != "")
+            & (F.col("dst") != "")
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+    )
+    ranks = pagerank(pairs, iterations=_ITERS, damping=_D, symmetric=True)
+    return (
+        ranks.select(F.col("node").alias("word"), "rank")
+        .orderBy(F.col("rank").desc(), "word")
+        .limit(_TR_TOPK)
+    )
