@@ -2288,3 +2288,121 @@ def events_wilson_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 9).alias("rate"),
         F.round(lower, 9).alias("wilson_lower"),
     )
+
+
+# -- seasonal decomposition + robust anomalies (round 9) ---------------------
+#
+# Classical additive decomposition of the daily volume series:
+# trend = 7-row centered moving average, seasonal = per-weekday MEDIAN
+# of the detrended series (median, not mean, so one spike day cannot
+# contaminate its weekday's seasonal estimate), residual = n - trend -
+# seasonal, and a robust MAD flag (|residual - median| > 3 * MAD) —
+# the monitoring-stack shape (STL-lite) over exact window arithmetic.
+# Weekday convention: Spark weekday() == DuckDB isodow - 1 (Monday=0).
+
+_SEAS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+tr AS (
+  SELECT day, n,
+    ROUND(CAST(SUM(n) OVER w AS DOUBLE) / COUNT(*) OVER w, 9) AS trend,
+    isodow(day) - 1 AS dow
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+seas AS (
+  SELECT dow, ROUND(median(n - trend), 9) AS seasonal
+  FROM tr GROUP BY dow
+),
+res AS (
+  SELECT t.day, t.n, t.trend, s.seasonal,
+    ROUND(t.n - t.trend - s.seasonal, 9) AS residual
+  FROM tr t JOIN seas s ON s.dow = t.dow
+),
+med AS (
+  SELECT ROUND(median(residual), 9) AS m FROM res
+),
+mad AS (
+  SELECT ROUND(median(ABS(res.residual - med.m)), 9) AS mad
+  FROM res, med
+)
+SELECT strftime(r.day, '%Y-%m-%d') AS day,
+  CAST(r.n AS BIGINT) AS n_events, r.trend, r.seasonal, r.residual,
+  CAST(ABS(r.residual - med.m) > 3 * mad.mad AS BOOLEAN) AS is_anomaly
+FROM res r, med, mad
+ORDER BY r.day
+"""
+
+
+@register(
+    "events_seasonal_anomalies",
+    oracle=_SEAS_ORACLE,
+    doc="Seasonal decomposition + robust anomaly flags on the daily "
+    "event volume (STL-lite): 7-row centered moving-average trend, "
+    "per-weekday seasonal MEDIANS over the detrended series (median "
+    "so a spike day cannot drag its own weekday's seasonal estimate), "
+    "residuals, and a 3-MAD-from-median flag — medians exact, every "
+    "float rounded where it is born so the flags are "
+    "engine-identical.  "
+    "Scale: the day dimension is tiny after the one grouped scan of "
+    "events; all window/median work runs on O(days) rows.",
+    tags=("events", "timeseries", "seasonal", "anomaly", "extension"),
+    extended=True,
+)
+def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "n",
+        F.round(
+            F.sum("n").over(w).cast("double") / F.count("*").over(w), 9
+        ).alias("trend"),
+        F.expr("weekday(day)").alias("dow"),
+    )
+    seas = tr.groupBy("dow").agg(
+        F.round(
+            F.median(F.col("n") - F.col("trend")), 9
+        ).alias("seasonal")
+    )
+    res = tr.join(F.broadcast(seas), "dow").select(
+        "day",
+        "n",
+        "trend",
+        "seasonal",
+        F.round(
+            F.col("n") - F.col("trend") - F.col("seasonal"), 9
+        ).alias("residual"),
+    )
+    med = res.agg(F.round(F.median("residual"), 9).alias("m"))
+    mad = (
+        res.crossJoin(F.broadcast(med))
+        .agg(
+            F.round(
+                F.median(F.abs(F.col("residual") - F.col("m"))), 9
+            ).alias("mad")
+        )
+    )
+    return (
+        res.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("long").alias("n_events"),
+            "trend",
+            "seasonal",
+            "residual",
+            (
+                F.abs(F.col("residual") - F.col("m"))
+                > F.lit(3) * F.col("mad")
+            ).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )

@@ -630,3 +630,13 @@ def test_link_prediction_hub_cap_and_broadcast_degrees(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, bad
+
+
+def test_seasonal_anomalies_all_native_tiny_windows(spark, sf_dir):
+    """events_seasonal_anomalies: everything after the one grouped
+    events scan runs on O(days) rows — no Python stages; the only
+    nested-loop joins are the 1-row median/MAD broadcast attaches."""
+    plan = _plan(spark, sf_dir, "events_seasonal_anomalies")
+    assert "CartesianProduct" not in plan
+    for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad

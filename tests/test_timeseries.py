@@ -535,3 +535,51 @@ def test_wilson_lower_bound_ranks_sanely(spark, sf_dir):
                                             + z2 / (4.0 * n * n))) / (
             1 + z2 / n)
     assert wl(1, 1) < wl(180, 200)
+
+
+def test_seasonal_decomposition_flags_planted_spike(spark, tmp_path):
+    """35 days with a weekly pattern plus mild drift; one mid-series
+    day gets a 10x spike.  The spike day must be the anomaly with the
+    largest residual; the far-from-spike days must not be flagged."""
+    import datetime as dt
+
+    from diabetes_etl_spark.plans.events import events_seasonal_anomalies
+
+    rows = []
+    eid = 0
+    base = dt.date(2025, 3, 3)  # a Monday
+    for day in range(35):
+        n = 10 + (day % 7) * 2 + (day % 3)  # weekly + mild aperiodic
+        if day == 17:
+            n += 120  # planted spike
+        for _ in range(n):
+            t = dt.datetime.combine(
+                base + dt.timedelta(days=day), dt.time(12, 0))
+            rows.append((eid, t, eid % 7, "click", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "seas")
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    out = events_seasonal_anomalies(spark, d).collect()
+    assert len(out) == 35
+    spike_day = (base + dt.timedelta(days=17)).strftime("%Y-%m-%d")
+    by_day = {r.day: r for r in out}
+    assert by_day[spike_day].is_anomaly
+    # spike residual dominates every other day's
+    others = [abs(r.residual) for r in out if r.day != spike_day]
+    assert by_day[spike_day].residual > max(others)
+    # days far from the spike (outside the +-3 trend window) are calm
+    for day in (0, 5, 10, 28, 34):
+        key = (base + dt.timedelta(days=day)).strftime("%Y-%m-%d")
+        assert not by_day[key].is_anomaly, key
