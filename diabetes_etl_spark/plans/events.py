@@ -2406,3 +2406,125 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# -- Theil-Sen robust trend (round 9) ----------------------------------------
+#
+# The median-of-pair-slopes estimator (Theil 1950 / Sen 1968): immune
+# to up to ~29% outlier days, unlike OLS.  Exact form: ALL O(days^2)
+# pairs — the quadratic runs on the tiny day dimension (one grouped
+# scan of orders reduces the corpus first), never on raw rows.  Pair
+# slopes are single IEEE divisions of exact integers (identical in
+# both engines), medians are exact, and every derived float is
+# rounded where it is born.  The OLS slope from exact DECIMAL sums
+# rides along so the robust-vs-least-squares gap is visible.
+
+_THEIL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT datediff('day', (SELECT MIN(day) FROM daily), day) AS d, c
+  FROM daily
+),
+pairs AS (
+  SELECT CAST(b.c - a.c AS DOUBLE) / (b.d - a.d) AS s
+  FROM idx a JOIN idx b ON a.d < b.d
+),
+ts AS (
+  SELECT ROUND(median(s), 9) AS slope,
+    CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs
+),
+icept AS (
+  SELECT ROUND(median(i.c - ts.slope * i.d), 9) AS intercept
+  FROM idx i, ts
+),
+ols AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(d AS DECIMAL(38,0))) AS sd,
+    SUM(CAST(c AS DECIMAL(38,0))) AS sc,
+    SUM(CAST(d * c AS DECIMAL(38,0))) AS sdc,
+    SUM(CAST(d * d AS DECIMAL(38,0))) AS sdd
+  FROM idx
+)
+SELECT ols.n AS n_days, ts.n_pairs, ts.slope AS ts_slope,
+  icept.intercept AS ts_intercept,
+  ROUND(CAST(ols.n * ols.sdc - ols.sd * ols.sc AS DOUBLE)
+        / CAST(ols.n * ols.sdd - ols.sd * ols.sd AS DOUBLE), 9)
+    AS ols_slope
+FROM ts, icept, ols
+"""
+
+
+@register(
+    "orders_theil_sen_trend",
+    oracle=_THEIL_ORACLE,
+    doc="Theil-Sen robust trend of daily order volume: the median of "
+    "all pair slopes (exact estimator, breakdown point ~29%) plus "
+    "the median intercept and the exact-DECIMAL-sum OLS slope for "
+    "comparison.  Pair slopes are IEEE divisions of exact integers; "
+    "medians exact; slope rounded at source before the intercept "
+    "uses it.  Scale: the O(days^2) pair join runs on the day "
+    "dimension AFTER one grouped corpus scan — ~2.4k days -> ~3M "
+    "pairs regardless of row count; for multi-decade horizons the "
+    "documented fallback is the repeated-median / sampled variant.",
+    tags=("events", "timeseries", "robust", "trend", "extension"),
+    extended=True,
+)
+def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("c"))
+    mind = daily.agg(F.min("day").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(mind)).select(
+        F.datediff(F.col("day"), F.col("d0")).alias("d"), "c"
+    )
+    a = idx.alias("a")
+    b = idx.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.d") < F.col("b.d")
+    ).select(
+        (
+            (F.col("b.c") - F.col("a.c")).cast("double")
+            / (F.col("b.d") - F.col("a.d"))
+        ).alias("s")
+    )
+    ts = pairs.agg(
+        F.round(F.median("s"), 9).alias("slope"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    icept = idx.crossJoin(F.broadcast(ts)).agg(
+        F.round(
+            F.median(F.col("c") - F.col("slope") * F.col("d")), 9
+        ).alias("intercept")
+    )
+    ols = idx.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("d").cast("decimal(38,0)")).alias("sd"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("sc"),
+        F.sum((F.col("d") * F.col("c")).cast("decimal(38,0)")).alias("sdc"),
+        F.sum((F.col("d") * F.col("d")).cast("decimal(38,0)")).alias("sdd"),
+    )
+    return (
+        ols.crossJoin(F.broadcast(ts))
+        .crossJoin(F.broadcast(icept))
+        .select(
+            F.col("n").alias("n_days"),
+            "n_pairs",
+            F.col("slope").alias("ts_slope"),
+            F.col("intercept").alias("ts_intercept"),
+            F.round(
+                (
+                    F.col("n") * F.col("sdc") - F.col("sd") * F.col("sc")
+                ).cast("double")
+                / (
+                    F.col("n") * F.col("sdd") - F.col("sd") * F.col("sd")
+                ).cast("double"),
+                9,
+            ).alias("ols_slope"),
+        )
+    )

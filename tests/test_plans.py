@@ -640,3 +640,15 @@ def test_seasonal_anomalies_all_native_tiny_windows(spark, sf_dir):
     assert "CartesianProduct" not in plan
     for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, bad
+
+
+def test_theil_sen_pair_join_on_day_dimension_broadcast(spark, sf_dir):
+    """orders_theil_sen_trend: the quadratic pair join must run on
+    the broadcast tiny day dimension (BNLJ with the a.d < b.d
+    condition — never a shuffled cartesian of raw rows) and the plan
+    stays all-native."""
+    plan = _plan(spark, sf_dir, "orders_theil_sen_trend")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad

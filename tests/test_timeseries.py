@@ -583,3 +583,44 @@ def test_seasonal_decomposition_flags_planted_spike(spark, tmp_path):
     for day in (0, 5, 10, 28, 34):
         key = (base + dt.timedelta(days=day)).strftime("%Y-%m-%d")
         assert not by_day[key].is_anomaly, key
+
+
+def test_theil_sen_ignores_outlier_days_ols_does_not(spark, tmp_path):
+    """Clean linear series c = 50 + 3d with 3 planted 10x outlier
+    days: the Theil-Sen slope/intercept recover (3, 50) EXACTLY
+    (clean pairs are the majority, their slopes are exactly 3.0)
+    while the OLS slope is dragged away."""
+    import datetime as dt
+
+    from diabetes_etl_spark.plans.events import orders_theil_sen_trend
+
+    rows = []
+    oid = 0
+    base = dt.date(1995, 1, 1)
+    for day in range(30):
+        n = 500 if day in (27, 28, 29) else 50 + 3 * day
+        for _ in range(n):
+            rows.append(
+                (oid, 1, dt.datetime.combine(
+                    base + dt.timedelta(days=day), dt.time()), 1.0, "P")
+            )
+            oid += 1
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double, o_orderpriority string",
+    )
+    d = str(tmp_path / "theil")
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        df.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    r = orders_theil_sen_trend(spark, d).collect()[0]
+    assert r.n_days == 30 and r.n_pairs == 435
+    assert r.ts_slope == 3.0
+    assert r.ts_intercept == 50.0
+    assert abs(r.ols_slope - 3.0) > 0.5  # OLS feels the outliers
