@@ -2528,3 +2528,145 @@ def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ols_slope"),
         )
     )
+
+
+# -- Kaplan-Meier user-lifetime survival (round 9) ---------------------------
+#
+# The product-limit estimator (Kaplan & Meier 1958) over user
+# "lifetimes": a user's observed span = days between first and last
+# event; users silent for >= 7 days at corpus end are observed churns
+# (deaths at their span), everyone else is right-CENSORED — exactly
+# the estimator retention curves need when the corpus ends mid-story.
+# Survival is kept in LOG space (cumulative decimal-folded sum of
+# ln(1 - d/n) terms, each quantized to 9 decimals at source — the
+# BM25 ln rule) so both engines agree bit-for-bit; exp() is left to
+# the consumer.  n_risk arithmetic is exact integers.
+
+_KM_ORACLE = """
+WITH ed AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+per_user AS (
+  SELECT user_id, MIN(day) AS f, MAX(day) AS l FROM ed GROUP BY user_id
+),
+mx AS (SELECT MAX(l) AS maxd FROM per_user),
+users AS (
+  SELECT datediff('day', f, l) AS t,
+    CASE WHEN l <= maxd - INTERVAL 7 DAY THEN 1 ELSE 0 END AS dead
+  FROM per_user, mx
+),
+grp AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS m,
+    CAST(SUM(dead) AS BIGINT) AS d
+  FROM users GROUP BY t
+),
+risk AS (
+  SELECT t, m, d,
+    SUM(m) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS upto,
+    SUM(m) OVER () AS total
+  FROM grp
+),
+terms AS (
+  SELECT t, m, d, total - upto + m AS n_risk,
+    CASE WHEN d < total - upto + m
+      THEN ROUND(ln(1 - CAST(d AS DOUBLE) / (total - upto + m)), 9)
+      ELSE NULL END AS lnterm,
+    MAX(CASE WHEN d >= total - upto + m THEN 1 ELSE 0 END)
+      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS zeroed
+  FROM risk
+)
+SELECT CAST(t AS BIGINT) AS t_days,
+  CAST(n_risk AS BIGINT) AS n_risk,
+  d AS n_deaths, m - d AS n_censored,
+  CASE WHEN zeroed = 1 THEN NULL
+    ELSE ROUND(CAST(SUM(CAST(lnterm AS DECIMAL(20,12)))
+      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS DOUBLE), 9) END AS log_survival
+FROM terms
+ORDER BY t
+"""
+
+
+@register(
+    "events_km_survival",
+    oracle=_KM_ORACLE,
+    doc="Kaplan-Meier product-limit survival of user lifetimes "
+    "(observed span first->last event; silent >= 7 days at corpus "
+    "end = churn/death, else right-censored): per distinct lifetime "
+    "t the at-risk count, deaths, censored, and the log-survival "
+    "curve — cumulative decimal-folded sum of ln(1 - d/n) hazard "
+    "terms quantized at source, NULL once survival hits zero.  "
+    "Scale: one grouped scan of events to per-user spans, then all "
+    "window work on the O(distinct lifetimes) dimension; the 1-row "
+    "corpus-end date attaches by broadcast.",
+    tags=("events", "survival", "timeseries", "extension"),
+    extended=True,
+)
+def events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts")).cast("date")).alias("f"),
+        F.max(F.date_trunc("day", F.col("ts")).cast("date")).alias("l"),
+    )
+    mx = per_user.agg(F.max("l").alias("maxd"))
+    users = per_user.crossJoin(F.broadcast(mx)).select(
+        F.datediff("l", "f").alias("t"),
+        F.when(
+            F.col("l") <= F.date_sub(F.col("maxd"), 7), F.lit(1)
+        ).otherwise(F.lit(0)).alias("dead"),
+    )
+    grp = users.groupBy("t").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("dead").cast("long").alias("d"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    risk = grp.select(
+        "t",
+        "m",
+        "d",
+        (
+            F.sum("m").over(wall) - F.sum("m").over(wcum) + F.col("m")
+        ).alias("n_risk"),
+    )
+    terms = risk.select(
+        "t",
+        "m",
+        "d",
+        "n_risk",
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d").cast("double") / F.col("n_risk")
+                ),
+                9,
+            ),
+        ).alias("lnterm"),
+        F.max(
+            F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+        ).over(wcum).alias("zeroed"),
+    )
+    return terms.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").alias("n_deaths"),
+        (F.col("m") - F.col("d")).alias("n_censored"),
+        F.when(
+            F.col("zeroed") == 1, F.lit(None).cast("double")
+        ).otherwise(
+            F.round(
+                F.sum(
+                    F.col("lnterm").cast("decimal(20,12)")
+                ).over(wcum).cast("double"),
+                9,
+            )
+        ).alias("log_survival"),
+    ).orderBy("t_days")

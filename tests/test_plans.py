@@ -652,3 +652,13 @@ def test_theil_sen_pair_join_on_day_dimension_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, bad
+
+
+def test_km_survival_tiny_dim_windows_no_python(spark, sf_dir):
+    """events_km_survival: one grouped scan to per-user spans, then
+    O(distinct lifetimes) window work; corpus-end date attaches by
+    broadcast; no Python stages, no cartesian."""
+    plan = _plan(spark, sf_dir, "events_km_survival")
+    assert "CartesianProduct" not in plan
+    for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad

@@ -624,3 +624,56 @@ def test_theil_sen_ignores_outlier_days_ols_does_not(spark, tmp_path):
     assert r.ts_slope == 3.0
     assert r.ts_intercept == 50.0
     assert abs(r.ols_slope - 3.0) > 0.5  # OLS feels the outliers
+
+
+def test_kaplan_meier_known_censoring_scenario(spark, tmp_path):
+    """10 users, corpus ends day 30: 2 die at t=0, 4 die at t=10,
+    3 censored at t=28, 1 censored at t=30.  KM: S(0)=0.8 (2/10),
+    S(10)=0.8*0.5=0.4 (4/8 at risk); censored rows must NOT move
+    the survival curve."""
+    import datetime as dt
+    import math
+
+    from diabetes_etl_spark.plans.events import events_km_survival
+
+    base = dt.date(2025, 1, 1)
+
+    def ev(eid, uid, day):
+        return (eid, dt.datetime.combine(
+            base + dt.timedelta(days=day), dt.time(9)), uid, "c", 1.0, "{}")
+
+    rows, eid = [], 0
+    for uid in (1, 2):            # single-event users: t=0, dead
+        rows.append(ev(eid, uid, 5)); eid += 1
+    for uid in (3, 4, 5, 6):      # span [0,10], dead
+        rows.append(ev(eid, uid, 0)); eid += 1
+        rows.append(ev(eid, uid, 10)); eid += 1
+    for uid in (7, 8, 9):         # span [0,28], censored
+        rows.append(ev(eid, uid, 0)); eid += 1
+        rows.append(ev(eid, uid, 28)); eid += 1
+    rows.append(ev(eid, 10, 0)); eid += 1   # span [0,30], censored
+    rows.append(ev(eid, 10, 30)); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "km")
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    out = {r.t_days: r for r in events_km_survival(spark, d).collect()}
+    assert set(out) == {0, 10, 28, 30}
+    assert (out[0].n_risk, out[0].n_deaths, out[0].n_censored) == (10, 2, 0)
+    assert (out[10].n_risk, out[10].n_deaths) == (8, 4)
+    assert (out[28].n_deaths, out[28].n_censored) == (0, 3)
+    assert abs(math.exp(out[0].log_survival) - 0.8) < 1e-6
+    assert abs(math.exp(out[10].log_survival) - 0.4) < 1e-6
+    # censoring leaves the curve flat
+    assert out[28].log_survival == out[10].log_survival
+    assert out[30].log_survival == out[10].log_survival
