@@ -2670,3 +2670,135 @@ def events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("log_survival"),
     ).orderBy("t_days")
+
+
+# -- Holt double-exponential smoothing (round 9) -----------------------------
+#
+# Holt's linear-trend method (Holt 1957) over the daily order-volume
+# series: level/trend recurrences with alpha=0.3, beta=0.1, seeded at
+# the first observation (trend 0) so every engine starts identically.
+# The recurrence is inherently sequential, but the sequence is the
+# O(days) dimension after one grouped corpus scan: the Spark side
+# folds the ordered daily array with a native `aggregate` lambda (no
+# Python), the oracle replays the IDENTICAL per-step arithmetic in a
+# recursive CTE.  Every level/trend/error is rounded to 9 decimals
+# the moment it is produced and the explicit complements (0.7, 0.9)
+# are spelled out on both sides, so the two engines walk bit-identical
+# states; squared errors fold through DECIMAL.
+
+_HOLT_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS i,
+    CAST(c AS DOUBLE) AS y
+  FROM daily
+),
+hw AS (
+  SELECT i, y AS lvl, CAST(0 AS DOUBLE) AS tr,
+    CAST(0 AS DOUBLE) AS sq
+  FROM idx WHERE i = 0
+  UNION ALL
+  SELECT d.i,
+    ROUND(CAST(0.3 AS DOUBLE) * d.y
+          + CAST(0.7 AS DOUBLE) * (hw.lvl + hw.tr), 9),
+    ROUND(CAST(0.1 AS DOUBLE)
+            * (ROUND(CAST(0.3 AS DOUBLE) * d.y
+                     + CAST(0.7 AS DOUBLE) * (hw.lvl + hw.tr), 9)
+               - hw.lvl)
+          + CAST(0.9 AS DOUBLE) * hw.tr, 9),
+    hw.sq + ROUND(d.y - ROUND(hw.lvl + hw.tr, 9), 9)
+            * ROUND(d.y - ROUND(hw.lvl + hw.tr, 9), 9)
+  FROM hw JOIN idx d ON d.i = hw.i + 1
+)
+SELECT CAST(i + 1 AS BIGINT) AS n_days,
+  lvl AS level, tr AS trend,
+  ROUND(lvl + tr, 9) AS forecast_1,
+  ROUND(lvl + CAST(7 AS DOUBLE) * tr, 9) AS forecast_7,
+  CASE WHEN i > 0 THEN ROUND(sq / i, 9) END AS mse_1step
+FROM hw
+WHERE i = (SELECT MAX(i) FROM idx)
+"""
+
+
+@register(
+    "orders_holt_smoothing",
+    oracle=_HOLT_ORACLE,
+    doc="Holt double-exponential smoothing of daily order volume "
+    "(alpha=0.3, beta=0.1, seeded level=y0/trend=0): final level and "
+    "trend, 1- and 7-day-ahead forecasts, and the one-step-ahead "
+    "mean squared error (raw-double sequential accumulation, rounded "
+    "once on the mean).  Each level/trend/error is "
+    "rounded to 9 decimals at the step that produces it with "
+    "explicit complements, so the Spark native-aggregate fold and "
+    "the oracle's recursive CTE walk bit-identical states.  Scale: "
+    "one grouped corpus scan; the sequential fold runs over the "
+    "O(days) array on a single row.",
+    tags=("events", "timeseries", "forecast", "extension"),
+    extended=True,
+)
+def orders_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("c"))
+    series = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "c"))),
+            lambda s: s.c.cast("double"),
+        ).alias("ys")
+    )
+    zero = F.lit(0).cast("double")
+    # sq accumulates RAW err*err doubles: the fold is strictly
+    # sequential in both engines, so plain IEEE accumulation is
+    # order-identical; quantizing err^2 (magnitude up to ~1e5) at 9
+    # decimals is exactly the last-ulp-unstable pattern the playbook
+    # bans, so the rounding happens once, on the ~magnitude-10 MEAN.
+    acc0 = F.struct(
+        zero.alias("lvl"),
+        zero.alias("tr"),
+        zero.alias("sq"),
+        F.lit(0).alias("n"),
+    )
+
+    def step(acc, y):
+        first = acc.n == 0
+        lvl_new = F.round(
+            F.lit(0.3) * y + F.lit(0.7) * (acc.lvl + acc.tr), 9
+        )
+        tr_new = F.round(
+            F.lit(0.1) * (lvl_new - acc.lvl) + F.lit(0.9) * acc.tr, 9
+        )
+        err = F.round(y - F.round(acc.lvl + acc.tr, 9), 9)
+        return F.struct(
+            F.when(first, y).otherwise(lvl_new).alias("lvl"),
+            F.when(first, zero).otherwise(tr_new).alias("tr"),
+            F.when(first, acc.sq)
+            .otherwise(acc.sq + err * err)
+            .alias("sq"),
+            (acc.n + 1).alias("n"),
+        )
+
+    return series.select(
+        F.aggregate(
+            F.col("ys"),
+            acc0,
+            step,
+            lambda acc: F.struct(
+                acc.n.cast("long").alias("n_days"),
+                acc.lvl.alias("level"),
+                acc.tr.alias("trend"),
+                F.round(acc.lvl + acc.tr, 9).alias("forecast_1"),
+                F.round(acc.lvl + F.lit(7.0) * acc.tr, 9).alias(
+                    "forecast_7"
+                ),
+                F.when(
+                    acc.n > 1,
+                    F.round(acc.sq / (acc.n - 1), 9),
+                ).alias("mse_1step"),
+            ),
+        ).alias("hw")
+    ).select("hw.*")

@@ -662,3 +662,13 @@ def test_km_survival_tiny_dim_windows_no_python(spark, sf_dir):
     assert "CartesianProduct" not in plan
     for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, bad
+
+
+def test_holt_smoothing_native_fold_no_python(spark, sf_dir):
+    """orders_holt_smoothing: the sequential recurrence folds the
+    ordered daily array with a native aggregate lambda — no Python
+    stages, no cartesian; corpus cost is the one grouped scan."""
+    plan = _plan(spark, sf_dir, "orders_holt_smoothing")
+    assert "CartesianProduct" not in plan
+    for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad

@@ -677,3 +677,49 @@ def test_kaplan_meier_known_censoring_scenario(spark, tmp_path):
     # censoring leaves the curve flat
     assert out[28].log_survival == out[10].log_survival
     assert out[30].log_survival == out[10].log_survival
+
+
+def test_holt_smoothing_constant_and_ramp(spark, tmp_path):
+    """Constant daily volume: level locks on, trend and MSE stay 0.
+    Linear ramp: the trend estimate converges near the true slope."""
+    import datetime as dt
+
+    from diabetes_etl_spark.plans.events import orders_holt_smoothing
+
+    def write(days, counts, sub):
+        rows, oid = [], 0
+        base = dt.date(1995, 1, 1)
+        for day in range(days):
+            for _ in range(counts(day)):
+                rows.append(
+                    (oid, 1, dt.datetime.combine(
+                        base + dt.timedelta(days=day), dt.time()), 1.0, "P")
+                )
+                oid += 1
+        df = spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+            "o_totalprice double, o_orderpriority string",
+        )
+        d = str(tmp_path / sub)
+        prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        try:
+            df.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        finally:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+        return d
+
+    r = orders_holt_smoothing(
+        spark, write(20, lambda d: 5, "const")).collect()[0]
+    assert r.n_days == 20
+    assert r.level == 5.0 and r.trend == 0.0
+    assert r.forecast_1 == 5.0 and r.forecast_7 == 5.0
+    assert r.mse_1step == 0.0
+
+    r = orders_holt_smoothing(
+        spark, write(40, lambda d: 10 + 2 * d, "ramp")).collect()[0]
+    assert 1.5 < r.trend < 2.5
+    assert abs(r.forecast_1 - (r.level + r.trend)) < 1e-9
