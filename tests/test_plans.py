@@ -672,3 +672,17 @@ def test_holt_smoothing_native_fold_no_python(spark, sf_dir):
     assert "CartesianProduct" not in plan
     for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, bad
+
+
+def test_q2_min_cost_join_on_partkey_dims_broadcast(spark, sf_dir):
+    """Faithful q2: the grouped-min attaches by a partkey equality
+    join (the decorrelated correlated-MIN), dims broadcast, the part
+    size/type filter reaches the scan, no true cartesian."""
+    plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    p_scans = [l for l in plan.splitlines()
+               if "PushedFilters" in l and "p_size" in l]
+    assert any("LessThanOrEqual(p_size,15)" in l for l in p_scans), p_scans
+    for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad
