@@ -2005,3 +2005,87 @@ def text_unigram_lm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_pipeline(
         docs, max_len=_UNI_MAXLEN, top_v=_UNI_TOPV
     ).orderBy("doc_id")
+
+
+# -- HTML -> text extraction (round 9) ---------------------------------------
+
+from diabetes_etl_spark.operators.html import (  # noqa: E402
+    build_test_page,
+    count_links,
+    duck_build_test_page_sql,
+    duck_count_links_sql,
+    duck_html_to_text_sql,
+    html_to_text,
+)
+
+_D_PAGE = duck_build_test_page_sql("text", "'Doc ' || CAST(doc_id AS VARCHAR)")
+_HTML_ORACLE = f"""
+WITH pages AS (
+  SELECT doc_id, text, {_D_PAGE} AS html FROM documents
+),
+ex AS (
+  SELECT doc_id, text, html,
+    {duck_html_to_text_sql("html")} AS extracted,
+    {duck_count_links_sql("html")} AS n_links
+  FROM pages
+)
+SELECT doc_id,
+  CAST(length(html) AS BIGINT) AS html_chars,
+  CAST(length(extracted) AS BIGINT) AS text_chars,
+  CAST(n_links AS BIGINT) AS n_links,
+  contains(extracted, text) AS body_preserved,
+  ROUND(CAST(1 AS DOUBLE)
+        - CAST(length(extracted) AS DOUBLE) / length(html), 9)
+    AS markup_fraction
+FROM ex
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_html_extract",
+    oracle=_HTML_ORACLE,
+    doc="HTML -> text extraction over the corpus (operators/html.py): "
+    "each document is wrapped in a deterministic hazard-laden page "
+    "(script/style with angle brackets inside, comments, nav "
+    "boilerplate, the fixed entity set) by the encoder twin, then "
+    "extracted by the shared regexp chain — script/style/comment "
+    "removal, block-closers to newlines, tag strip, entity decode "
+    "with &amp; last, whitespace discipline.  Both engines run the "
+    "byte-identical pattern table (Java-regex/RE2 common subset, "
+    "emitted from one list so they cannot drift).  body_preserved "
+    "proves the document text survives extraction verbatim.  Scale: "
+    "every step is one vectorized regexp pass inside whole-stage "
+    "codegen — linear, no shuffle, no Python.",
+    tags=("text", "html", "extraction", "extension"),
+    extended=True,
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+    pages = docs.select(
+        "doc_id",
+        "text",
+        build_test_page(F.col("text"), title).alias("html"),
+    )
+    ex = pages.select(
+        "doc_id",
+        "text",
+        "html",
+        html_to_text(F.col("html")).alias("extracted"),
+        count_links(F.col("html")).alias("n_links"),
+    )
+    return ex.select(
+        "doc_id",
+        F.length("html").cast("long").alias("html_chars"),
+        F.length("extracted").cast("long").alias("text_chars"),
+        F.col("n_links").cast("long").alias("n_links"),
+        F.contains(F.col("extracted"), F.col("text")).alias(
+            "body_preserved"
+        ),
+        F.round(
+            F.lit(1.0)
+            - F.length("extracted").cast("double") / F.length("html"),
+            9,
+        ).alias("markup_fraction"),
+    ).orderBy("doc_id")

@@ -686,3 +686,14 @@ def test_q2_min_cost_join_on_partkey_dims_broadcast(spark, sf_dir):
     assert any("LessThanOrEqual(p_size,15)" in l for l in p_scans), p_scans
     for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, bad
+
+
+def test_html_extract_all_native_single_scan(spark, sf_dir):
+    """text_html_extract: the whole build+extract chain is vectorized
+    regexp passes inside codegen — one documents scan, no shuffle
+    before the final sort, no Python stages."""
+    plan = _plan(spark, sf_dir, "text_html_extract")
+    assert "CartesianProduct" not in plan
+    assert plan.count("documents.parquet") == 1
+    for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad
