@@ -2089,3 +2089,102 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("markup_fraction"),
     ).orderBy("doc_id")
+
+
+# -- character-entropy quality signal (round 9) ------------------------------
+
+_ENTROPY_CAP = 512
+_ENTROPY_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id, text,
+    unnest(range(1, LEAST(length(text), {_ENTROPY_CAP}) + 1)) AS i
+  FROM documents WHERE length(text) > 0
+),
+chars AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch FROM pos
+),
+cnt AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+  FROM chars GROUP BY doc_id, ch
+),
+win AS (
+  SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n
+  FROM cnt
+),
+terms AS (
+  SELECT doc_id, n,
+    ROUND(CAST(c AS DOUBLE) / n
+          * ROUND(ln(CAST(c AS DOUBLE) / n), 9), 9) AS term
+  FROM win
+)
+SELECT doc_id,
+  CAST(MAX(n) AS BIGINT) AS n_chars_used,
+  CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+  ROUND(-CAST(SUM(CAST(term AS DECIMAL(20,9))) AS DOUBLE)
+        / 0.6931471805599453, 9) AS entropy_bits
+FROM terms
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_char_entropy",
+    oracle=_ENTROPY_ORACLE,
+    doc="Per-document Shannon character entropy over a 512-char "
+    "prefix (the cheap gibberish/encoding-junk quality signal: "
+    "natural text sits ~4-4.5 bits, base64 blobs and repeated-char "
+    "junk fall far outside): positions explode via sequence (guarded "
+    "— Spark's sequence(1,0) DESCENDS), per-(doc,char) counts, "
+    "p*ln(p) terms with ln quantized at source and products rounded "
+    "where born, DECIMAL-folded sum, bits via the exact-double ln2 "
+    "literal shared by both engines.  Scale: the explode is bounded "
+    "at 512 rows/doc (documented cap), counts map-side combine, one "
+    "shuffle on doc_id.",
+    tags=("text", "quality", "entropy", "extension"),
+    extended=True,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    chars = (
+        docs.where(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.length("text"), F.lit(_ENTROPY_CAP)),
+                )
+            ).alias("i"),
+            F.col("text"),
+        )
+        .select("doc_id", F.expr("substr(text, i, 1)").alias("ch"))
+    )
+    cnt = chars.groupBy("doc_id", "ch").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.partitionBy("doc_id")
+    win = cnt.select("doc_id", "c", F.sum("c").over(w).alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    terms = win.select(
+        "doc_id",
+        "n",
+        F.round(p * F.round(F.log(p), 9), 9).alias("term"),
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_chars_used"),
+            F.count("*").cast("long").alias("n_distinct_chars"),
+            F.round(
+                -F.sum(F.col("term").cast("decimal(20,9)")).cast(
+                    "double"
+                )
+                / F.lit(0.6931471805599453),
+                9,
+            ).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )

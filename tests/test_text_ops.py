@@ -740,3 +740,30 @@ def test_nb_langid_partition_invariant(spark, sf_dir):
     b = sorted(map(tuple,
                    nb_langid_confusion(docs.repartition(17)).collect()))
     assert a == b
+
+
+def test_char_entropy_known_distributions(spark, tmp_path):
+    """Hand-checkable entropies: single repeated char -> 0 bits; a
+    4-char uniform string -> exactly 2 bits; 'ab' -> 1 bit; the
+    512-char cap binds on a long doc."""
+    import duckdb  # noqa: F401  (parity checked by the oracle audit)
+
+    from diabetes_etl_spark.plans.textplans import text_char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aaaaaaaa", "en", "s", 8),
+            (1, "abcdabcd", "en", "s", 8),
+            (2, "ab", "en", "s", 2),
+            (3, "xy" * 600, "en", "s", 1200),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "ent")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in text_char_entropy(spark, d).collect()}
+    assert out[0].entropy_bits == 0.0 and out[0].n_distinct_chars == 1
+    assert abs(out[1].entropy_bits - 2.0) < 1e-8
+    assert abs(out[2].entropy_bits - 1.0) < 1e-8
+    assert out[3].n_chars_used == 512  # cap binds
+    assert abs(out[3].entropy_bits - 1.0) < 1e-8
