@@ -1678,3 +1678,51 @@ def customers_spearman_freq_spend(
         n.alias("n_customers"),
         F.round(num / den, 9).alias("spearman_rho"),
     )
+
+
+# -- bucketed co-located join (round 9) --------------------------------------
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle=f"""
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  {sql_dec_sum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="orders x lineitem revenue by priority over BUCKETED managed "
+    "tables (sources/bucketed.py): both facts are written once with "
+    "bucketBy(8, orderkey) + sortBy, so the equi-join reads them "
+    "already co-partitioned — the physical plan has NO Exchange on "
+    "the join key and sort-merge join skips its per-task sort "
+    "(asserted in tests/test_bucketed.py).  This is the pay-the-"
+    "shuffle-once-at-ingest layout a 1000-executor warehouse gives "
+    "its core facts; results are byte-identical to the plain join "
+    "(the oracle runs on the raw parquet).  Scale: the only "
+    "exchanges left are the 5-row aggregate and the output sort.",
+    tags=("join", "bucketing", "layout", "extension"),
+    extended=True,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.sources.bucketed import bucketed_pair
+
+    orders, lineitem = bucketed_pair(
+        spark, sf_dir, "orders", "lineitem", "o_orderkey", "l_orderkey"
+    )
+    return (
+        orders.join(
+            lineitem,
+            lineitem["l_orderkey"] == orders["o_orderkey"],
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
