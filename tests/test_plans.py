@@ -697,3 +697,14 @@ def test_html_extract_all_native_single_scan(spark, sf_dir):
     assert plan.count("documents.parquet") == 1
     for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, bad
+
+
+def test_dq_suite_single_lineitem_scan(spark, sf_dir):
+    """dq_suite_lineitem: all 9 metrics ride ONE lineitem scan (the
+    Deequ property); verification is a broadcast join of a 9-row
+    frame; no Python stages."""
+    plan = _plan(spark, sf_dir, "dq_suite_lineitem")
+    assert plan.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in plan
+    for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad
