@@ -1557,3 +1557,146 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, n=_CN_N, threshold=_CN_TAU, df_cap=_CN_CAP,
         min_shingles=_CN_MIN,
     )
+
+
+# -- Fellegi-Sunter probabilistic linkage (round 9) --------------------------
+#
+# The classical probabilistic record-linkage decision model (Fellegi &
+# Sunter 1969): candidate pairs from blocking, a per-field agreement
+# vector, and a log-likelihood-ratio score sum(ln(m/u) if agree else
+# ln((1-m)/(1-u))) classified against upper/lower thresholds into
+# match / possible / non-match.  The m/u parameters are fixed,
+# documented priors (the EM-estimated variant changes the parameters,
+# not the plan shape); their ln-ratios are quantized to 9 decimals in
+# PYTHON once and embedded as identical literals in both engines, so
+# the score is a sum of exact constants selected by integer
+# agreements — no runtime transcendentals at all.
+
+import math as _math
+
+_FS_FIELDS = {
+    # field -> (m = P(agree|match), u = P(agree|unmatch))
+    "name": (0.90, 0.05),
+    "prefix": (0.85, 0.10),
+    "acctbal": (0.80, 0.02),
+}
+_FS_W = {
+    f: (
+        round(_math.log(m / u), 9),
+        round(_math.log((1 - m) / (1 - u)), 9),
+    )
+    for f, (m, u) in _FS_FIELDS.items()
+}
+_FS_UPPER, _FS_LOWER = 3.0, -3.0
+
+
+def _fs_score_sql(a: str) -> str:
+    terms = [
+        f"CASE WHEN agree_{f} THEN {w_a} ELSE {w_d} END"
+        for f, (w_a, w_d) in _FS_W.items()
+    ]
+    return "ROUND(" + " + ".join(terms) + ", 9)"
+
+
+_FS_ORACLE = f"""
+WITH blocked AS (
+  SELECT c_custkey, c_name, c_acctbal,
+    c_nationkey || '|' || c_mktsegment AS blk
+  FROM customer
+),
+pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+    levenshtein(a.c_name, b.c_name) <= 2 AS agree_name,
+    substr(a.c_name, 1, 10) = substr(b.c_name, 1, 10) AS agree_prefix,
+    ABS(a.c_acctbal - b.c_acctbal) < 100.0 AS agree_acctbal
+  FROM blocked a JOIN blocked b
+    ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+),
+scored AS (
+  SELECT *, {_fs_score_sql("x")} AS score FROM pairs
+)
+SELECT id_a, id_b, agree_name, agree_prefix, agree_acctbal, score,
+  CASE WHEN score >= {_FS_UPPER} THEN 'match'
+       WHEN score <= {_FS_LOWER} THEN 'non-match'
+       ELSE 'possible' END AS decision
+FROM scored
+WHERE score > {_FS_LOWER}
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "er_fellegi_sunter",
+    oracle=_FS_ORACLE,
+    doc="Fellegi-Sunter probabilistic record linkage over "
+    "(nation,segment)-blocked customer pairs: per-field agreement "
+    "vector (edit-distance name match, 10-char prefix, account "
+    "balance within 100), log-likelihood-ratio score from fixed "
+    "documented m/u priors — the ln(m/u) weights are quantized once "
+    "in Python and embedded as IDENTICAL literals in both engines "
+    "(zero runtime transcendentals) — and the classic "
+    "match/possible/non-match three-way decision; clear non-matches "
+    "are dropped (the blocking bound already keeps pairs linear).  "
+    "Scale: pairs exist only within blocks (the standard ER fan-out "
+    "bound), one shuffle on the block key.",
+    tags=("er", "linkage", "probabilistic", "extension"),
+    extended=True,
+)
+def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    blocked = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.concat(
+            F.col("c_nationkey").cast("string"),
+            F.lit("|"),
+            F.col("c_mktsegment"),
+        ).alias("blk"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_custkey").alias("id_a"),
+        F.col("b.c_custkey").alias("id_b"),
+        (
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 2
+        ).alias("agree_name"),
+        (
+            F.substring(F.col("a.c_name"), 1, 10)
+            == F.substring(F.col("b.c_name"), 1, 10)
+        ).alias("agree_prefix"),
+        (
+            F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal"))
+            < F.lit(100.0)
+        ).alias("agree_acctbal"),
+    )
+    score = F.round(
+        sum(
+            F.when(F.col(f"agree_{f}"), F.lit(w_a)).otherwise(
+                F.lit(w_d)
+            )
+            for f, (w_a, w_d) in _FS_W.items()
+        ),
+        9,
+    )
+    scored = pairs.withColumn("score", score)
+    return (
+        scored.where(F.col("score") > F.lit(_FS_LOWER))
+        .select(
+            "id_a",
+            "id_b",
+            "agree_name",
+            "agree_prefix",
+            "agree_acctbal",
+            "score",
+            F.when(F.col("score") >= F.lit(_FS_UPPER), "match")
+            .when(F.col("score") <= F.lit(_FS_LOWER), "non-match")
+            .otherwise("possible")
+            .alias("decision"),
+        )
+        .orderBy("id_a", "id_b")
+    )

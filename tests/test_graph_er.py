@@ -532,3 +532,41 @@ def test_soundex_key_requires_identifier(spark):
 
     with _pytest.raises(TypeError):
         soundex_key(F.col("n"))
+
+
+def test_fellegi_sunter_three_way_decision(spark, tmp_path):
+    """Hand-built block: an all-agree pair scores the exact sum of
+    agree weights -> 'match'; an all-disagree pair falls below the
+    lower threshold and is dropped; a mixed pair lands 'possible'."""
+    from diabetes_etl_spark.plans.dedupplans import (
+        _FS_LOWER,
+        _FS_UPPER,
+        _FS_W,
+        er_fellegi_sunter,
+    )
+
+    rows = [
+        # block 1|SEG: ids 1,2 all-agree; id 3 disagrees with both
+        (1, "Customer#000000001", 1, 500.0, "SEG"),
+        (2, "Customer#000000002", 1, 550.0, "SEG"),
+        (3, "Zzzzzzzz#999999999", 1, 9500.0, "SEG"),
+        # block 2|SEG: prefix agrees, name distance > 2, balance far
+        (4, "Customer#000000004", 2, 100.0, "SEG"),
+        (5, "Customer#000099905", 2, 900.0, "SEG"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    d = str(tmp_path / "fs")
+    df.write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    out = {(r.id_a, r.id_b): r for r in er_fellegi_sunter(spark, d).collect()}
+    all_agree = round(sum(w for w, _ in _FS_W.values()), 9)
+    assert out[(1, 2)].decision == "match"
+    assert abs(out[(1, 2)].score - all_agree) < 1e-9
+    assert (1, 3) not in out and (2, 3) not in out  # clear non-matches
+    mixed = out[(4, 5)]
+    assert mixed.decision == "possible"
+    assert not mixed.agree_name and mixed.agree_prefix
+    assert _FS_LOWER < mixed.score < _FS_UPPER

@@ -708,3 +708,16 @@ def test_dq_suite_single_lineitem_scan(spark, sf_dir):
     assert "CartesianProduct" not in plan
     for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, bad
+
+
+def test_fellegi_sunter_block_keyed_join_no_python(spark, sf_dir):
+    """er_fellegi_sunter: pairs come from a block-keyed equi-join
+    (never a cartesian); the score is a CASE over constant literals —
+    no Python, no runtime transcendentals."""
+    plan = _plan(spark, sf_dir, "er_fellegi_sunter")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
+        "BroadcastHashJoin" in plan
+    for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython",
+                " LOG(", " ln("):
+        assert bad not in plan, bad
