@@ -2802,3 +2802,83 @@ def orders_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("hw")
     ).select("hw.*")
+
+
+# -- seasonal-naive backtest / MASE (round 9) --------------------------------
+
+_MASE_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT c,
+    lag(c, 1) OVER (ORDER BY day) AS c1,
+    lag(c, 7) OVER (ORDER BY day) AS c7
+  FROM daily
+),
+s AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_days,
+    CAST(COUNT(c1) AS BIGINT) AS n1,
+    CAST(COUNT(c7) AS BIGINT) AS n7,
+    SUM(CAST(ABS(c - c1) AS DECIMAL(38,0))) AS ae1,
+    SUM(CAST(ABS(c - c7) AS DECIMAL(38,0))) AS ae7
+  FROM lagged
+)
+SELECT n_days,
+  ROUND(CAST(ae1 AS DOUBLE) / n1, 9) AS mae_naive1,
+  ROUND(CAST(ae7 AS DOUBLE) / n7, 9) AS mae_seasonal7,
+  ROUND((CAST(ae7 AS DOUBLE) / n7) / (CAST(ae1 AS DOUBLE) / n1), 9)
+    AS mase_seasonal
+FROM s
+"""
+
+
+@register(
+    "orders_mase_backtest",
+    oracle=_MASE_ORACLE,
+    doc="Seasonal-naive forecast backtest with MASE (Hyndman & "
+    "Koehler 2006): MAE of the lag-7 seasonal-naive forecast scaled "
+    "by the MAE of the one-step naive — MASE < 1 means weekly "
+    "seasonality genuinely helps, the scale-free way to say so.  "
+    "Absolute errors are exact integers summed through DECIMAL; the "
+    "two divisions and the ratio are the only IEEE steps, identical "
+    "op order both engines.  Scale: one grouped corpus scan, then "
+    "O(days) window work.",
+    tags=("events", "timeseries", "forecast", "backtest", "extension"),
+    extended=True,
+)
+def orders_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("c"))
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "c",
+        F.lag("c", 1).over(w).alias("c1"),
+        F.lag("c", 7).over(w).alias("c7"),
+    )
+    s = lagged.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.count("c1").cast("long").alias("n1"),
+        F.count("c7").cast("long").alias("n7"),
+        F.sum(
+            F.abs(F.col("c") - F.col("c1")).cast("decimal(38,0)")
+        ).alias("ae1"),
+        F.sum(
+            F.abs(F.col("c") - F.col("c7")).cast("decimal(38,0)")
+        ).alias("ae7"),
+    )
+    mae1 = F.col("ae1").cast("double") / F.col("n1")
+    mae7 = F.col("ae7").cast("double") / F.col("n7")
+    return s.select(
+        "n_days",
+        F.round(mae1, 9).alias("mae_naive1"),
+        F.round(mae7, 9).alias("mae_seasonal7"),
+        F.round(mae7 / mae1, 9).alias("mase_seasonal"),
+    )

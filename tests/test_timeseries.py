@@ -723,3 +723,39 @@ def test_holt_smoothing_constant_and_ramp(spark, tmp_path):
         spark, write(40, lambda d: 10 + 2 * d, "ramp")).collect()[0]
     assert 1.5 < r.trend < 2.5
     assert abs(r.forecast_1 - (r.level + r.trend)) < 1e-9
+
+
+def test_mase_zero_for_perfect_weekly_pattern(spark, tmp_path):
+    """Exactly week-periodic volumes: the lag-7 seasonal-naive errors
+    are all zero -> MASE 0, while the one-step naive MAE is not."""
+    import datetime as dt
+
+    from diabetes_etl_spark.plans.events import orders_mase_backtest
+
+    rows, oid = [], 0
+    base = dt.date(1995, 1, 1)
+    for day in range(35):
+        for _ in range(10 * (day % 7 + 1)):
+            rows.append(
+                (oid, 1, dt.datetime.combine(
+                    base + dt.timedelta(days=day), dt.time()), 1.0, "P")
+            )
+            oid += 1
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double, o_orderpriority string",
+    )
+    d = str(tmp_path / "mase")
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        df.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    r = orders_mase_backtest(spark, d).collect()[0]
+    assert r.n_days == 35
+    assert r.mae_seasonal7 == 0.0 and r.mase_seasonal == 0.0
+    assert r.mae_naive1 > 0.0
