@@ -463,3 +463,42 @@ def docs_prep_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         subword_count(F.col("text")).cast("int").alias("n_subwords"),
         F.col("epochs_used").alias("lang_epochs_used"),
     )
+
+
+# -- global id assignment (round 9) ------------------------------------------
+
+
+@register(
+    "docs_global_ids",
+    oracle="""
+SELECT doc_id, n_chars,
+  CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT)
+    AS global_id
+FROM documents
+ORDER BY global_id
+""",
+    doc="Dense 0-based global ids in (n_chars, doc_id) order — the "
+    "length-sorted layout sequence packing wants — via the two-pass "
+    "deterministic-bucket + offset-broadcast operator "
+    "(operators/ids.py): quantile boundaries from one "
+    "approx-percentile aggregate define a bucket as a pure function "
+    "of the key, so ids are invariant to parallelism/retries/AQE "
+    "(range-partitioner sampling is NOT, see the operator "
+    "docstring).  The scalable replacement for the single-partition "
+    "row_number() OVER (ORDER BY ...) anti-pattern, which the oracle "
+    "deliberately uses (fine at DuckDB/fixture scale, OOM at "
+    "100 TB); the plan's only SinglePartition exchange feeds the "
+    "num_buckets-row offset prefix-sum (asserted in tests).",
+    tags=("docs", "ids", "layout", "extension"),
+    extended=True,
+)
+def docs_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.ids import assign_global_ids
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    out = assign_global_ids(docs, ["n_chars", "doc_id"])
+    return out.select("doc_id", "n_chars", "global_id").orderBy(
+        "global_id"
+    )
