@@ -1640,7 +1640,7 @@ ORDER BY id_a, id_b
     "Scale: pairs exist only within blocks (the standard ER fan-out "
     "bound), one shuffle on the block key.",
     tags=("er", "linkage", "probabilistic", "extension"),
-    extended=True,
+    extended=False,  # promoted to the gate (round-9 session rotation, see registry._EXTENDED)
 )
 def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")

@@ -490,7 +490,7 @@ ORDER BY global_id
     "100 TB); the plan's only SinglePartition exchange feeds the "
     "num_buckets-row offset prefix-sum (asserted in tests).",
     tags=("docs", "ids", "layout", "extension"),
-    extended=True,
+    extended=False,  # promoted to the gate (round-9 session rotation, see registry._EXTENDED)
 )
 def docs_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.operators.ids import assign_global_ids

@@ -2349,7 +2349,7 @@ ORDER BY r.day
     "Scale: the day dimension is tiny after the one grouped scan of "
     "events; all window/median work runs on O(days) rows.",
     tags=("events", "timeseries", "seasonal", "anomaly", "extension"),
-    extended=True,
+    extended=False,  # promoted to the gate (round-9 session rotation, see registry._EXTENDED)
 )
 def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

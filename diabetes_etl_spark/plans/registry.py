@@ -335,6 +335,42 @@ _EXTENDED: frozenset[str] = frozenset(
         # the rank<=k filter-pushdown plan assertion remains in
         # tests/test_plans.py and the query stays oracle-green locally
         "topk_pruned_orders",
+        # ---- round-9 session rotation (same precedent as round 7):
+        # six twins move out so the round-9 families
+        # (dq_suite_lineitem, er_fellegi_sunter, text_html_extract,
+        # docs_global_ids, events_seasonal_anomalies,
+        # join_bucketed_colocated) get driver-gate visibility in the
+        # round that built them.  Every demoted query keeps its
+        # oracle and stays green in tests/test_oracle.py:
+        # pivot/unpivot reshaping: gate-green since round 4; the wide
+        # SQL surface keeps window_suite + grouping_sets_having_
+        # regions + the dash CASE-pivot queries, and the stack()/
+        # pivot plan shapes stay asserted in tests/test_plans.py
+        "pivot_unpivot_roundtrip",
+        # INTERSECT/EXCEPT DISTINCT: gate-green since round 4; the
+        # set-op semantics are the degenerate forms of the semi/anti
+        # joins the gate keeps via join_outer_semi_anti
+        "setop_intersect_except_distinct",
+        # column profiling: the incoming dq_suite_lineitem is the
+        # STRICTER superset surface — the same one-scan multi-metric
+        # aggregation plus declarative constraint verification on top
+        "profile_part_columns",
+        # portable-hash A-Res weighted sampling: the sampling family
+        # keeps mix_temperature_langs (temperature resampling through
+        # the same A-Res key machinery); the weighted-sample twin was
+        # gate-green rounds 8-9 and stays oracle-green locally
+        "corpus_weighted_sample",
+        # k-means per-cluster stats: semdedup_cluster_stats stays in
+        # the gate and gate-exercises the SAME decimal-exact unrolled
+        # Lloyd's iterations as its first stage, then prunes within
+        # clusters on top (the stricter composite contract)
+        "cluster_kmeans_embeddings",
+        # k-core decomposition: the iterative-graph family keeps
+        # graph_lpa_trade (same two-joins-per-round + durable
+        # per-round commit machinery); k-core was gate-green rounds
+        # 6-9 (the graph_pagerank_trade precedent) and its peeling
+        # oracle stays green locally
+        "graph_kcore_trade",
     }
 )
 

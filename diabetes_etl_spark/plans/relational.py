@@ -1704,7 +1704,7 @@ ORDER BY o_orderpriority
     "(the oracle runs on the raw parquet).  Scale: the only "
     "exchanges left are the 5-row aggregate and the output sort.",
     tags=("join", "bucketing", "layout", "extension"),
-    extended=True,
+    extended=False,  # promoted to the gate (round-9 session rotation, see registry._EXTENDED)
 )
 def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.sources.bucketed import bucketed_pair
