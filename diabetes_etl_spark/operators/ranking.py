@@ -345,3 +345,155 @@ def mmr_topk(
         F.round(F.col("mmr_score"), 9).alias("mmr_score"),
         F.col("mmr_rank").cast("int").alias("mmr_rank"),
     )
+
+
+def rocchio_prf_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    fb_k: int = 5,
+    exp_k: int = 4,
+    beta: float = 0.5,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Rocchio-style pseudo-relevance feedback (Rocchio 1971 /
+    Robertson term selection): BM25 with the original query, take the
+    top `fb_k` docs as pseudo-relevant, select the `exp_k` strongest
+    expansion terms by Robertson offer weight r_t * idf(t) (r_t =
+    feedback docs containing t, global idf), and re-score with the
+    expanded query where expansion terms carry weight `beta` — the
+    classic recall lever of a lexical retrieval stack.
+
+    FULLY relational: the expansion terms never visit the driver —
+    they flow as a small DataFrame broadcast into the second scoring
+    pass.  Scale shape: one tokenize pass builds (doc, term, tf) and
+    doc lengths; term df/idf stay token-KEYED (never a vocabulary
+    broadcast); both scoring passes join the corpus tf table against
+    a broadcast query frame, so the only corpus-sized shuffles are
+    the tf build and the per-doc score fold.  Every float (idf, w,
+    offer weight) is ln-quantized/rounded at source and scores fold
+    through DECIMAL — ranking is hash-checkable cross-engine.
+    """
+    spark = docs.sparkSession
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        F.size(tokens(F.col(text_col))).alias("__dl"),
+    )
+    stats = base.agg(
+        F.count("*").alias("__n"),
+        (
+            F.sum("__dl").cast("double") / F.count("*")
+        ).alias("__avgdl"),
+    )
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.col(text_col))).alias("__tok"),
+    )
+    tf_all = toks.groupBy("__id", "__tok").agg(
+        F.count("*").alias("__tf")
+    )
+    df_all = tf_all.groupBy("__tok").agg(F.count("*").alias("__df"))
+    idf_all = df_all.crossJoin(F.broadcast(stats)).select(
+        "__tok",
+        F.round(
+            F.log(
+                (F.col("__n") - F.col("__df") + F.lit(0.5))
+                / (F.col("__df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+            9,
+        ).alias("__idf"),
+    )
+
+    def score(qterms: DataFrame) -> DataFrame:
+        per_term = (
+            tf_all.join(F.broadcast(qterms), "__tok")
+            .join(idf_all, "__tok")
+            .join(base, "__id")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "__id",
+                F.round(
+                    F.col("__qw")
+                    * F.round(
+                        F.col("__idf")
+                        * (F.col("__tf") * F.lit(k1 + 1.0))
+                        / (
+                            F.col("__tf")
+                            + F.lit(k1)
+                            * (
+                                F.lit(1.0 - b)
+                                + F.lit(b)
+                                * F.col("__dl").cast("double")
+                                / F.col("__avgdl")
+                            )
+                        ),
+                        9,
+                    ),
+                    9,
+                ).alias("__w"),
+            )
+        )
+        return per_term.groupBy("__id").agg(
+            F.sum(F.col("__w").cast("decimal(18,9)"))
+            .cast("double")
+            .alias("__score")
+        )
+
+    q0 = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in terms])
+        ).alias("__tok"),
+        F.lit(1.0).alias("__qw"),
+    )
+    s0 = score(q0)
+    fb = (
+        s0.orderBy(F.desc("__score"), F.col("__id"))
+        .limit(fb_k)
+        .select("__id")
+    )
+    cand = (
+        toks.join(F.broadcast(fb), "__id")
+        .select("__id", "__tok")
+        .distinct()
+        .groupBy("__tok")
+        .agg(F.count("*").alias("__r"))
+        .join(F.broadcast(q0.select("__tok")), "__tok", "left_anti")
+        .join(idf_all, "__tok")
+        .select(
+            "__tok",
+            F.round(F.col("__r") * F.col("__idf"), 9).alias("__offer"),
+        )
+    )
+    exp = (
+        cand.orderBy(F.desc("__offer"), F.col("__tok"))
+        .limit(exp_k)
+        .select("__tok", F.lit(beta).alias("__qw"))
+    )
+    q1 = q0.unionByName(exp)
+    s1 = score(q1)
+    exp_terms = exp.agg(
+        F.array_join(F.array_sort(F.collect_list("__tok")), ",").alias(
+            "__exp_terms"
+        )
+    )
+    ranked = (
+        s1.orderBy(F.desc("__score"), F.col("__id"))
+        .limit(k)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__score").alias("prf_score"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("__score"), F.col("__id")))
+            .alias("prf_rank"),
+        )
+    )
+    return ranked.crossJoin(F.broadcast(exp_terms)).select(
+        id_col,
+        "prf_score",
+        "prf_rank",
+        F.col("__exp_terms").alias("exp_terms"),
+    )

@@ -2058,7 +2058,7 @@ ORDER BY doc_id
     "every step is one vectorized regexp pass inside whole-stage "
     "codegen — linear, no shuffle, no Python.",
     tags=("text", "html", "extraction", "extension"),
-    extended=True,
+    extended=False,  # promoted to the gate (round-9 session rotation, see registry._EXTENDED)
 )
 def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -2187,4 +2187,135 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy_bits"),
         )
         .orderBy("doc_id")
+    )
+
+
+# -- Rocchio pseudo-relevance feedback (round 9) ------------------------------
+
+_PRF_FB, _PRF_EXP, _PRF_BETA, _PRF_TOPK = 5, 4, 0.5, 10
+
+_PRF_W = (
+    "ROUND({qw} * ROUND(idf.idf * (tf.tf * CAST(2.2 AS DOUBLE)) "
+    "/ (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) "
+    "+ CAST(0.75 AS DOUBLE) * CAST(base.dl AS DOUBLE) / stats.avgdl)), "
+    "9), 9)"
+)
+
+_PRF_ORACLE = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, len({_D_TOKENS}) AS dl FROM documents
+),
+stats AS MATERIALIZED (
+  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM base
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, unnest({_D_TOKENS}) AS tok FROM documents
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+),
+dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+idf AS MATERIALIZED (
+  SELECT tok,
+    ROUND(LN((CAST(n AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
+             / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 9)
+      AS idf
+  FROM dft CROSS JOIN stats
+),
+q0 AS (
+  SELECT unnest([{_BM25_TERMS_SQL}]) AS tok, CAST(1.0 AS DOUBLE) AS qw
+),
+w0 AS (
+  SELECT tf.doc_id, {_PRF_W.format(qw="q0.qw")} AS w
+  FROM tf JOIN q0 USING (tok) JOIN idf ON idf.tok = tf.tok
+  JOIN base USING (doc_id) CROSS JOIN stats
+),
+s0 AS (
+  SELECT doc_id,
+    CAST(SUM(CAST(w AS DECIMAL(18,9))) AS DOUBLE) AS score
+  FROM w0 GROUP BY doc_id
+),
+fb AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+      row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+    FROM s0
+  ) WHERE rn <= {_PRF_FB}
+),
+cand AS (
+  SELECT tok, COUNT(*) AS r FROM (
+    SELECT DISTINCT t.doc_id, t.tok FROM toks t JOIN fb USING (doc_id)
+  ) GROUP BY tok
+),
+cand2 AS (
+  SELECT c.tok, ROUND(c.r * idf.idf, 9) AS offer
+  FROM cand c JOIN idf ON idf.tok = c.tok
+  WHERE c.tok NOT IN (SELECT tok FROM q0)
+),
+exp AS MATERIALIZED (
+  SELECT tok, CAST({_PRF_BETA} AS DOUBLE) AS qw FROM (
+    SELECT tok, row_number() OVER (ORDER BY offer DESC, tok) AS rn
+    FROM cand2
+  ) WHERE rn <= {_PRF_EXP}
+),
+q1 AS (SELECT * FROM q0 UNION ALL SELECT * FROM exp),
+w1 AS (
+  SELECT tf.doc_id, {_PRF_W.format(qw="q1.qw")} AS w
+  FROM tf JOIN q1 USING (tok) JOIN idf ON idf.tok = tf.tok
+  JOIN base USING (doc_id) CROSS JOIN stats
+),
+s1 AS (
+  SELECT doc_id,
+    CAST(SUM(CAST(w AS DECIMAL(18,9))) AS DOUBLE) AS score
+  FROM w1 GROUP BY doc_id
+),
+expstr AS (
+  SELECT COALESCE(string_agg(tok, ',' ORDER BY tok), '') AS exp_terms
+  FROM exp
+)
+SELECT doc_id, score AS prf_score, CAST(rn AS INT) AS prf_rank,
+  exp_terms
+FROM (
+  SELECT doc_id, score,
+    row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+  FROM s1
+) CROSS JOIN expstr
+WHERE rn <= {_PRF_TOPK}
+ORDER BY prf_rank
+"""
+
+
+@register(
+    "retrieval_rocchio_prf",
+    oracle=_PRF_ORACLE,
+    doc=f"Rocchio pseudo-relevance feedback "
+    f"(operators/ranking.py:rocchio_prf_topk): BM25 with the "
+    f"{len(_BM25_TERMS)}-term query, top-{_PRF_FB} docs become the "
+    f"pseudo-relevant set, the {_PRF_EXP} strongest expansion terms "
+    "by Robertson offer weight r_t*idf(t) join the query at weight "
+    f"{_PRF_BETA}, and the expanded query re-scores — the classic "
+    "recall lever of lexical retrieval.  FULLY relational: expansion "
+    "terms never visit the driver, they broadcast as a 4-row frame "
+    "into the second scoring pass; term stats stay token-keyed "
+    "(no vocabulary broadcast); idf ln-quantized at source, scores "
+    "decimal-folded, all ties broken (score DESC, id / offer DESC, "
+    "term).  Scale: one tokenize pass builds the tf table; both "
+    "scoring passes are broadcast joins against it.",
+    tags=("text", "ranking", "retrieval", "prf", "extension"),
+    extended=True,
+)
+def retrieval_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.ranking import rocchio_prf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rocchio_prf_topk(
+        docs,
+        _BM25_TERMS,
+        fb_k=_PRF_FB,
+        exp_k=_PRF_EXP,
+        beta=_PRF_BETA,
+        k=_PRF_TOPK,
+        k1=_BM25_K1,
+        b=_BM25_B,
     )

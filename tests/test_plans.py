@@ -721,3 +721,14 @@ def test_fellegi_sunter_block_keyed_join_no_python(spark, sf_dir):
     for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython",
                 " LOG(", " ln("):
         assert bad not in plan, bad
+
+
+def test_rocchio_prf_broadcast_queries_no_python(spark, sf_dir):
+    """retrieval_rocchio_prf: both scoring passes join the tf table
+    against BROADCAST query frames; term stats stay token-keyed; no
+    Python stages, no cartesian beyond 1-row stat attaches."""
+    plan = _plan(spark, sf_dir, "retrieval_rocchio_prf")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad

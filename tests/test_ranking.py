@@ -265,3 +265,48 @@ def test_mmr_zero_norm_vectors_dropped(spark):
     rows = mmr_topk(df, F.col("vec_id") == 0, k=3).collect()
     assert 1 not in {r.selected_id for r in rows}
     assert len(rows) == 2
+
+
+def test_rocchio_prf_expands_and_rescores(spark, tmp_path):
+    """Tiny corpus where feedback docs share a strong co-occurring
+    term: PRF must pick it as an expansion term and pull in a doc
+    that matches ONLY the expansion term (recall win the plain query
+    cannot achieve)."""
+    from diabetes_etl_spark.operators.ranking import (
+        bm25_topk,
+        rocchio_prf_topk,
+    )
+
+    rows = [
+        # "shuffle" co-occurs with the query in every feedback doc
+        # (r=3); alpha/beta/gamma also live in the chaff so their
+        # higher idf cannot outbid r_t on the offer weight
+        (0, "join shuffle alpha", "en", "s", 1),
+        (1, "join shuffle beta", "en", "s", 1),
+        (2, "join shuffle gamma", "en", "s", 1),
+        # matches only the expansion term "shuffle":
+        (3, "shuffle shuffle metrics", "en", "s", 1),
+        (4, "alpha beta gamma quantile", "en", "s", 1),
+        (5, "alpha beta gamma window", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    d = str(tmp_path / "prf")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    stored = spark.read.parquet(f"{d}/documents.parquet")
+
+    plain = {r.doc_id for r in bm25_topk(stored, ("join",), k=6).collect()}
+    assert 3 not in plain  # doc 3 has no query term at all
+
+    out = rocchio_prf_topk(
+        stored, ("join",), fb_k=3, exp_k=1, beta=0.5, k=6
+    ).collect()
+    assert out, "PRF returned nothing"
+    assert out[0].exp_terms == "shuffle"
+    ids = {r.doc_id for r in out}
+    assert 3 in ids  # recall win via the expansion term
+    # ranks are dense, ties broken deterministically
+    assert [r.prf_rank for r in out] == list(range(1, len(out) + 1))
