@@ -1726,3 +1726,48 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# -- mergeable HLL sketch union (round 9) ------------------------------------
+
+
+@register(
+    "sketch_hll_union_users",
+    oracle="""
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+ORDER BY event_type
+""",
+    doc="Mergeable distinct-count sketches (Apache DataSketches HLL "
+    "via Spark's hll_sketch_agg/hll_union_agg): one pass builds a "
+    "per-event-type user sketch, and the 'ALL' rollup comes from "
+    "UNIONING the per-type sketches — never rescanning the corpus.  "
+    "That mergeability is THE 100 TB story: sketch each "
+    "segment/partition once, answer any rollup by sketch union.  "
+    "Oracle-paired at covering parameters (lgConfigK=21 keeps the "
+    "sketch in coupon-exact sparse mode at fixture cardinalities, so "
+    "estimates equal exact distinct counts; at production "
+    "cardinality the same plan degrades gracefully to ~1% error).  "
+    "Scale: map-side partial sketches merge in the agg — the shuffle "
+    "carries fixed-size sketch bytes, not user ids.",
+    tags=("sketch", "hll", "distinct", "mergeable", "extension"),
+    extended=True,
+)
+def sketch_hll_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sketches = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(21)).alias("sk")
+    )
+    per_type = sketches.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("long").alias("n_users"),
+    )
+    merged = sketches.agg(
+        F.hll_union_agg("sk").alias("u")
+    ).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("u").cast("long").alias("n_users"),
+    )
+    return per_type.unionByName(merged).orderBy("event_type")

@@ -426,3 +426,27 @@ def test_histogram_quantiles_shards_merge_exactly(spark):
         map(tuple, histogram_quantiles(a.unionAll(b), "value", "g").collect())
     )
     assert got_full == got_merged
+
+
+def test_hll_union_equals_rescan_and_handles_overlap(spark):
+    """Sketch union across overlapping segments must equal the
+    distinct count of the union (NOT the sum of per-segment counts) —
+    the mergeability contract."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(100)]
+        + [("b", i) for i in range(50, 150)],   # 50 overlap
+        "seg string, uid long",
+    )
+    sk = df.groupBy("seg").agg(
+        F.hll_sketch_agg("uid", F.lit(21)).alias("sk")
+    )
+    per = {r.seg: r.n for r in sk.select(
+        "seg", F.hll_sketch_estimate("sk").cast("long").alias("n")
+    ).collect()}
+    assert per == {"a": 100, "b": 100}
+    merged = sk.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.hll_sketch_estimate("u").cast("long").alias("n")
+    ).collect()[0].n
+    assert merged == 150  # union, not 200
