@@ -1,0 +1,104 @@
+"""Exact k-th smallest value in O(log) bounded passes — no global sort.
+
+`ORDER BY v LIMIT 1 OFFSET k-1` (or an exact percentile over a total
+order) plans as a full sort: a range exchange of the ENTIRE column.
+At 100 TB that is the most expensive way imaginable to find one
+number.  The classic distributed-selection alternative implemented
+here (Blum et al.'s selection idea re-shaped for bucketed scans):
+
+1. bracket [lo, hi] from one min/max aggregate,
+2. per round: histogram the in-bracket values into B equal-width
+   buckets (ONE filtered scan whose predicate pushes down to parquet
+   row-group min/max stats — later rounds physically read less),
+   walk the B counts on the driver (O(B) driver state, the documented
+   bounded-state budget), descend into the bucket holding the target
+   rank,
+3. stop when the bucket holds <= `threshold` rows (sort that sliver
+   locally) or its width collapses to one ulp (all remaining values
+   equal).
+
+Convergence: each round shrinks the candidate set by ~B× on
+non-adversarial data, so a trillion rows need ~4 rounds at B=1024.
+Every round's bucket assignment uses the SAME Spark expression
+(floor((v-lo)/width), clamped) with lo/width as Python float
+literals, so counting and descent can never disagree at boundary
+ulps.  All counts are exact integers; the result is bit-identical to
+the full-sort answer.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_kth(
+    df: DataFrame,
+    col: str,
+    k: int,
+    buckets: int = 1024,
+    threshold: int = 8192,
+    max_rounds: int = 64,
+) -> tuple[float, int]:
+    """The exact k-th smallest (1-based) non-null value of `col`.
+    Returns (value, rounds) where rounds counts histogram passes."""
+    if k < 1:
+        raise ValueError("k is 1-based and must be >= 1")
+    vals = df.select(F.col(col).cast("double").alias("v")).where(
+        F.col("v").isNotNull() & ~F.isnan("v")
+    )
+    row = vals.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    if k > row.n:
+        raise ValueError(f"k={k} exceeds non-null count {row.n}")
+    lo, hi, target = float(row.lo), float(row.hi), k
+    cur = vals
+    rounds = 0
+    while rounds < max_rounds:
+        if lo == hi:
+            return lo, rounds
+        remaining = cur
+        width = (hi - lo) / buckets
+        if width == 0 or not math.isfinite(width):
+            return lo, rounds
+        rounds += 1
+        bucket = F.least(
+            F.lit(buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("v") - F.lit(lo)) / F.lit(width)),
+            ),
+        )
+        counts = dict(
+            remaining.groupBy(bucket.alias("b"))
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        cum = 0
+        for b in range(buckets):
+            c = counts.get(b, 0)
+            if cum + c >= target:
+                break
+            cum += c
+        else:  # numeric edge: target beyond histogram (shouldn't happen)
+            b, c = buckets - 1, counts.get(buckets - 1, 0)
+        target -= cum
+        in_bucket = remaining.where(
+            bucket == F.lit(b)
+        )
+        new_lo = lo + b * width
+        new_hi = hi if b == buckets - 1 else lo + (b + 1) * width
+        if c <= threshold or (new_lo == lo and new_hi == hi):
+            sliver = sorted(
+                r.v for r in in_bucket.collect()
+            )  # <= threshold rows: bounded driver state
+            if not sliver:
+                return new_lo, rounds
+            return sliver[min(target, len(sliver)) - 1], rounds
+        cur, lo, hi = in_bucket, new_lo, new_hi
+    raise RuntimeError("exact_kth failed to converge")  # pragma: no cover

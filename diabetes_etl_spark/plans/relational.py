@@ -11,6 +11,8 @@ filters, broadcast dims, partial aggregation, no driver collects).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1771,3 +1773,51 @@ def sketch_hll_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("u").cast("long").alias("n_users"),
     )
     return per_type.unionByName(merged).orderBy("event_type")
+
+
+# -- iterative exact selection (round 9) -------------------------------------
+
+
+@register(
+    "selection_exact_percentiles",
+    oracle="""
+WITH ranked AS (
+  SELECT l_extendedprice AS v,
+    row_number() OVER (ORDER BY l_extendedprice) AS rn
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked)
+SELECT pct, k, v AS value FROM (
+  SELECT 50 AS pct, CAST(CEIL(0.50 * n) AS BIGINT) AS k FROM n
+  UNION ALL SELECT 90, CAST(CEIL(0.90 * n) AS BIGINT) FROM n
+  UNION ALL SELECT 99, CAST(CEIL(0.99 * n) AS BIGINT) FROM n
+) ks JOIN ranked ON ranked.rn = ks.k
+ORDER BY pct
+""",
+    doc="EXACT p50/p90/p99 of l_extendedprice via iterative bucketed "
+    "selection (operators/selection.py): per percentile, O(log_B n) "
+    "histogram passes over a shrinking bracket instead of the full "
+    "global sort the oracle deliberately runs (fine in DuckDB at "
+    "fixture scale, a corpus-wide range exchange at 100 TB).  Each "
+    "round's bracket predicate pushes down to parquet row-group "
+    "stats, so later rounds physically read less; driver state is "
+    "the B-bucket histogram (bounded).  Results are bit-identical "
+    "to the sort-based answer — exact, not approximate.",
+    tags=("selection", "percentile", "iterative", "extension"),
+    extended=True,
+)
+def selection_exact_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from diabetes_etl_spark.operators.selection import exact_kth
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.where(F.col("l_extendedprice").isNotNull()).count()
+    rows = []
+    for pct in (50, 90, 99):
+        k = math.ceil(pct / 100.0 * n)
+        v, _rounds = exact_kth(li, "l_extendedprice", k)
+        rows.append((pct, k, v))
+    return spark.createDataFrame(
+        rows, "pct int, k long, value double"
+    ).orderBy("pct")
