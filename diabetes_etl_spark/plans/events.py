@@ -2882,3 +2882,57 @@ def orders_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mae7, 9).alias("mae_seasonal7"),
         F.round(mae7 / mae1, 9).alias("mase_seasonal"),
     )
+
+
+# -- exactly-once stream -> versioned table (round 9) ------------------------
+
+
+@register(
+    "stream_versioned_sink",
+    oracle="""
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    doc="Exactly-once streaming sink into the versioned table "
+    "(streaming/versioned_sink.py): the events stream drains via "
+    "foreachBatch with the Delta-style app-transaction handshake "
+    "(app_txn committed atomically WITH the data in one manifest), "
+    "then the SAME drain runs a second time over the same checkpoint "
+    "— the result aggregates the table after both runs, so any "
+    "duplication or loss hash-mismatches the oracle.  This is the "
+    "standard Structured-Streaming exactly-once recipe expressed "
+    "against the repo's object-store-native ACID commits.  Scale: "
+    "the guard reads one manifest field; the append writes each "
+    "micro-batch once.",
+    tags=("streaming", "versioned", "exactly-once", "extension"),
+    extended=True,
+)
+def stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from diabetes_etl_spark.sources.tables import load_events_stream
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+    from diabetes_etl_spark.streaming.versioned_sink import (
+        stream_append_versioned,
+    )
+
+    work = tempfile.mkdtemp(prefix="vsink_")
+    vt = VersionedTable(spark, f"{work}/tbl")
+    ck = f"{work}/ck"
+    stream = load_events_stream(spark, sf_dir)
+    stream_append_versioned(stream, vt, "events-ingest", ck)
+    # replay over the same checkpoint: must be a no-op (exactly once)
+    stream_append_versioned(
+        load_events_stream(spark, sf_dir), vt, "events-ingest", ck
+    )
+    return (
+        vt.read()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
