@@ -1953,3 +1953,104 @@ def sim_standardized_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("array_max(transform(z, v -> abs(v)))"), 9
         ).alias("max_abs_z"),
     )
+
+
+# -- binaryFile source scan (round 9) ----------------------------------------
+
+
+@register(
+    "multimodal_binaryfile_scan",
+    oracle=f"""
+SELECT doc_id,
+  CAST(4 + doc_id % 13 AS INT) AS width,
+  CAST(3 + doc_id % 7 AS INT) AS height,
+  CAST({_PNG_LEN} AS BIGINT) AS n_pixel_bytes,
+  ROUND(CAST(list_sum(list_transform(
+          generate_series(0, {_PNG_LEN} - 1),
+          i -> CAST({_PIX} AS BIGINT))) AS DOUBLE) / {_PNG_LEN}, 9)
+    AS mean_pixel
+FROM documents
+WHERE doc_id % 4 = 0 AND doc_id < 200
+ORDER BY doc_id
+""",
+    doc="Spark `binaryFile` SOURCE feeding the pure-Python PNG "
+    "decoder: fixture PNGs are written as actual .png FILES (the "
+    "encoder twin, bounded count), scanned back with "
+    "spark.read.format('binaryFile') — path/length/content columns, "
+    "the ingestion route a real multimodal corpus arrives by — and "
+    "decoded via Arrow mapInPandas (zlib inflate + scanline "
+    "unfiltering) into per-image dimension and pixel statistics; the "
+    "oracle recomputes those statistics from the fixture pixel "
+    "arithmetic without decoding.  Scale: binaryFile is "
+    "splittable-by-file and predicate-prunable on path/length; the "
+    "decode stage is the same bounded Arrow batch pipeline as the "
+    "rest of the multimodal family.",
+    tags=("multimodal", "binaryfile", "source", "extension"),
+    extended=True,
+)
+def multimodal_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    from typing import Iterator
+
+    import pandas as pd
+
+    from diabetes_etl_spark.operators.multimodal import (
+        _fixture_pixels,
+        decode_png,
+        fixture_media_dims,
+        png_bytes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = [
+        r.doc_id
+        for r in docs.where("doc_id % 4 = 0 AND doc_id < 200")
+        .select("doc_id")
+        .collect()
+    ]  # bounded file count by construction (<= 50)
+    work = tempfile.mkdtemp(prefix="binfile_")
+    for d in ids:
+        w, h, _, _ = fixture_media_dims(d)
+        payload = png_bytes(w, h, _fixture_pixels(d, w * h * 3))
+        with open(os.path.join(work, f"doc_{d:06d}.png"), "wb") as f:
+            f.write(payload)
+
+    raw = spark.read.format("binaryFile").load(work)
+    files = raw.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.png", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "content",
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                w, h, _ch, pix = decode_png(bytes(content))
+                out.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        len(pix),
+                        round(float(sum(pix)) / len(pix), 9),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_pixel_bytes",
+                    "mean_pixel",
+                ],
+            )
+
+    return files.mapInPandas(
+        _decode,
+        "doc_id long, width int, height int, n_pixel_bytes long, "
+        "mean_pixel double",
+    ).orderBy("doc_id")
