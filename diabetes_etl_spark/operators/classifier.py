@@ -33,7 +33,7 @@ intermediate weight vector is pinned, not just the fixed point.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -202,4 +202,67 @@ def loo_target_encode(
         .withColumn("loo_enc_raw", enc)
         .withColumn("loo_enc", F.round(enc, 9))
         .drop("_csum", "_cn", "_prior")
+    )
+
+
+def rank_metrics(
+    scored: DataFrame, score_col: str = "score", label_col: str = "y"
+) -> DataFrame:
+    """Exact AUC / Gini / KS from a (score, 0-1 label) relation via
+    the Mann-Whitney rank-sum identity with midrank tie correction.
+
+    All arithmetic is integer until one final division: scores group
+    by distinct value (a quantized score — e.g. the 7-decimal sigmoid
+    — bounds that table independent of corpus size, which is why this
+    never needs a per-row global sort); a group of n rows with p
+    positives after cb predecessors contributes p*(2*cb + n + 1) to
+    TWICE the positive midrank sum, giving
+    AUC = (rs2 - np*(np+1)) / (2*np*nn) as a ratio of exact BIGINTs.
+    KS = max |TPR - FPR| evaluated cross-multiplied as
+    max |tp*nn - fp*np| / (np*nn) — no per-row float ratios.  The
+    single-partition windows run on the bounded score-group table.
+    """
+    g = scored.groupBy(F.col(score_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(label_col).alias("p"),
+    )
+    w_before = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_desc = Window.orderBy(F.desc("__s")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "n",
+        "p",
+        F.coalesce(F.sum("n").over(w_before), F.lit(0)).alias("cb"),
+        F.sum("p").over(w_desc).alias("tp"),
+        F.sum(F.col("n") - F.col("p")).over(w_desc).alias("fp"),
+        F.sum("p").over(w_all).alias("np_tot"),
+        F.sum(F.col("n") - F.col("p")).over(w_all).alias("nn_tot"),
+    )
+    a = c.agg(
+        F.sum(F.col("p") * (2 * F.col("cb") + F.col("n") + 1)).alias(
+            "rs2"
+        ),
+        F.max("np_tot").alias("np"),
+        F.max("nn_tot").alias("nn"),
+        F.max(
+            F.abs(
+                F.col("tp") * F.col("nn_tot")
+                - F.col("fp") * F.col("np_tot")
+            )
+        ).alias("dmax"),
+    )
+    np_, nn_ = F.col("np"), F.col("nn")
+    num = (F.col("rs2") - np_ * (np_ + 1)).cast("double")
+    return a.select(
+        np_.cast("long").alias("n_pos"),
+        nn_.cast("long").alias("n_neg"),
+        (num / (2 * np_ * nn_)).alias("auc"),
+        (num / (np_ * nn_) - F.lit(1.0)).alias("gini"),
+        (F.col("dmax").cast("double") / (np_ * nn_)).alias("ks"),
     )

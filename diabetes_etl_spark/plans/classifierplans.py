@@ -477,3 +477,192 @@ def ml_gbdt_histogram_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_left", "n_right", "mean_left", "mean_right",
     )
     return out1.unionByName(out2).orderBy("level", "leaf")
+
+
+# -- ranking metrics: AUC / KS / decile lift (round 9) ------------------------
+
+_SCORED_CTE = f""",
+scored AS (
+  SELECT d.doc_id, {_Y} AS y,
+    {_SIGMA.format(z="w.w0 + w.w1 * " + _F1 + " + w.w2 * " + _F2)} AS score
+  FROM documents d CROSS JOIN r{_ROUNDS} w
+  WHERE LENGTH(text) > 0
+)"""
+
+_AUC_ORACLE = (
+    _TRAIN_CTES
+    + _SCORED_CTE
+    + """,
+g AS (
+  SELECT score, COUNT(*) AS n, SUM(y) AS p FROM scored GROUP BY score
+),
+c AS (
+  SELECT n, p,
+    COALESCE(SUM(n) OVER (ORDER BY score
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+    SUM(p) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS tp,
+    SUM(n - p) OVER (ORDER BY score DESC
+      ROWS UNBOUNDED PRECEDING) AS fp,
+    SUM(p) OVER () AS np_tot,
+    SUM(n - p) OVER () AS nn_tot
+  FROM g
+),
+a AS (
+  SELECT SUM(p * (2 * cb + n + 1)) AS rs2,
+    MAX(np_tot) AS np, MAX(nn_tot) AS nn,
+    MAX(ABS(tp * nn_tot - fp * np_tot)) AS dmax
+  FROM c
+)
+SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+  CAST(rs2 - np * (np + 1) AS DOUBLE) / (2 * np * nn) AS auc,
+  CAST(rs2 - np * (np + 1) AS DOUBLE) / (np * nn)
+    - CAST(1 AS DOUBLE) AS gini,
+  CAST(dmax AS DOUBLE) / (np * nn) AS ks
+FROM a
+"""
+)
+
+
+@register(
+    "classifier_auc_roc",
+    oracle=_AUC_ORACLE,
+    doc="Exact AUC / Gini / Kolmogorov-Smirnov for the trained "
+    "quality classifier via the Mann-Whitney rank-sum identity with "
+    "midrank tie correction — ALL integer arithmetic until one final "
+    "division.  Scores group by distinct value (the 7-decimal sigmoid "
+    "quantization bounds that table at 10^7 rows INDEPENDENT of "
+    "corpus size — the reason AUC-at-scale works on the grouped "
+    "table, never a per-row global sort); a tied group of size n "
+    "after cb predecessors contributes p*(2*cb+n+1) to twice the "
+    "positive rank sum, so AUC = (rs2 - np(np+1)) / (2*np*nn) is a "
+    "ratio of exact BIGINTs.  KS = max |TPR - FPR| evaluated as "
+    "max |tp*nn - fp*np| (cross-multiplied — no per-row float "
+    "ratios).  The oracle unrolls the same 3 GD training rounds and "
+    "replays the identical rank algebra.",
+    tags=("classifier", "ml", "ranking-metric", "extension"),
+    extended=True,
+)
+def classifier_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.classifier import (
+        logistic_score,
+        logistic_train_rounds,
+        rank_metrics,
+    )
+
+    feats = _features(spark, sf_dir)
+    rounds = logistic_train_rounds(
+        feats, ["f1", "f2"], "y", iterations=_ROUNDS, lr=_LR
+    ).collect()
+    final = next(r for r in rounds if r["round"] == _ROUNDS)
+    scored = feats.select(
+        "y",
+        logistic_score(
+            ["f1", "f2"], [final["w0"], final["w1"], final["w2"]]
+        ).alias("score"),
+    )
+    return rank_metrics(scored)
+
+
+_LIFT_ORACLE = (
+    _TRAIN_CTES
+    + _SCORED_CTE
+    + """,
+ranked AS (
+  SELECT y, NTILE(10) OVER (ORDER BY score DESC, doc_id) AS decile
+  FROM scored
+),
+d AS (
+  SELECT decile, COUNT(*) AS n, SUM(y) AS p FROM ranked GROUP BY decile
+),
+c AS (
+  SELECT decile, n, p,
+    SUM(p) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum_p,
+    SUM(p) OVER () AS np_tot, SUM(n) OVER () AS n_tot
+  FROM d
+)
+SELECT CAST(decile AS INT) AS decile, CAST(n AS BIGINT) AS n_docs,
+  CAST(p AS BIGINT) AS n_pos,
+  CAST(cum_p AS DOUBLE) / np_tot AS cum_capture,
+  CAST(p * n_tot AS DOUBLE) / (n * np_tot) AS lift
+FROM c ORDER BY decile
+"""
+)
+
+
+@register(
+    "classifier_lift_deciles",
+    oracle=_LIFT_ORACLE,
+    doc="Decile lift / cumulative-gain table for the trained quality "
+    "classifier: exact NTILE(10) deciles under the deterministic "
+    "total order (score DESC, doc_id), per-decile positive counts, "
+    "cumulative capture rate, and lift = (p/n)/(np/N) evaluated as "
+    "the exact-integer cross product p*N/(n*np).  The fixture form "
+    "uses the exact global NTILE (one total-order pass); the 100 TB "
+    "twin buckets by precomputed score-quantile cutpoints (the "
+    "orders_rfm_segments pattern) so no global sort is needed — "
+    "semantics identical up to tie placement at decile boundaries, "
+    "which the doc_id tie-break pins here.",
+    tags=("classifier", "ml", "ranking-metric", "extension"),
+    extended=True,
+)
+def classifier_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from diabetes_etl_spark.operators.classifier import (
+        logistic_score,
+        logistic_train_rounds,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.filter(F.expr("LENGTH(text) > 0")).select(
+        "doc_id",
+        F.expr(_F1).alias("f1"),
+        F.expr(_F2).alias("f2"),
+        F.expr(_Y).alias("y"),
+    )
+    rounds = logistic_train_rounds(
+        feats, ["f1", "f2"], "y", iterations=_ROUNDS, lr=_LR
+    ).collect()
+    final = next(r for r in rounds if r["round"] == _ROUNDS)
+    scored = feats.select(
+        "doc_id",
+        "y",
+        logistic_score(
+            ["f1", "f2"], [final["w0"], final["w1"], final["w2"]]
+        ).alias("score"),
+    )
+    ranked = scored.select(
+        "y",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("decile"),
+    )
+    d = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("p")
+    )
+    from pyspark.sql import Window as W
+
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.orderBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    c = d.select(
+        "decile",
+        "n",
+        "p",
+        F.sum("p").over(w_cum).alias("cum_p"),
+        F.sum("p").over(w_all).alias("np_tot"),
+        F.sum("n").over(w_all).alias("n_tot"),
+    )
+    return c.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("p").cast("long").alias("n_pos"),
+        (F.col("cum_p").cast("double") / F.col("np_tot")).alias(
+            "cum_capture"
+        ),
+        (
+            (F.col("p") * F.col("n_tot")).cast("double")
+            / (F.col("n") * F.col("np_tot"))
+        ).alias("lift"),
+    ).orderBy("decile")

@@ -155,3 +155,82 @@ def test_calibration_bins_cover_and_count(spark, sf_dir):
         lo, hi = r.bin / 10.0, (r.bin + 1) / 10.0 if r.bin < 9 else 1.01
         assert lo - 1e-9 <= mean <= hi + 1e-9
     assert total > 0 and 0 < pos < total
+
+
+# -- rank metrics (round 9) ---------------------------------------------------
+
+
+def test_auc_perfect_separation(spark):
+    from diabetes_etl_spark.operators.classifier import rank_metrics
+
+    rows = [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)]
+    r = rank_metrics(
+        spark.createDataFrame(rows, "score double, y int")
+    ).collect()[0]
+    assert r["auc"] == 1.0 and r["gini"] == 1.0 and r["ks"] == 1.0
+    assert r["n_pos"] == 2 and r["n_neg"] == 2
+
+
+def test_auc_all_tied_is_half(spark):
+    from diabetes_etl_spark.operators.classifier import rank_metrics
+
+    rows = [(0.5, 1), (0.5, 1), (0.5, 0), (0.5, 0)]
+    r = rank_metrics(
+        spark.createDataFrame(rows, "score double, y int")
+    ).collect()[0]
+    assert r["auc"] == 0.5 and r["gini"] == 0.0 and r["ks"] == 0.0
+
+
+def test_auc_midrank_hand_case(spark):
+    from diabetes_etl_spark.operators.classifier import rank_metrics
+
+    # scores asc: 0.1(y0) 0.4(y1) 0.4(y0) 0.7(y1)
+    # midranks: 1, 2.5, 2.5, 4 -> pos rank sum = 6.5
+    # AUC = (6.5 - 2*3/2) / (2*2) = 3.5/4 = 0.875
+    rows = [(0.1, 0), (0.4, 1), (0.4, 0), (0.7, 1)]
+    r = rank_metrics(
+        spark.createDataFrame(rows, "score double, y int")
+    ).collect()[0]
+    assert r["auc"] == 0.875
+
+
+def test_auc_matches_pairwise_definition(spark):
+    from diabetes_etl_spark.operators.classifier import rank_metrics
+
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (round(rng.choice([0.1, 0.3, 0.5, 0.7]) , 1), rng.randint(0, 1))
+        for _ in range(40)
+    ]
+    if not any(y for _, y in rows):
+        rows[0] = (rows[0][0], 1)
+    if all(y for _, y in rows):
+        rows[0] = (rows[0][0], 0)
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    wins = sum(
+        1.0 if p > n else 0.5 if p == n else 0.0
+        for p, n in itertools.product(pos, neg)
+    )
+    expected = wins / (len(pos) * len(neg))
+    r = rank_metrics(
+        spark.createDataFrame(rows, "score double, y int")
+    ).collect()[0]
+    assert abs(r["auc"] - expected) < 1e-12
+
+
+def test_lift_deciles_invariants(spark, sf_dir):
+    from diabetes_etl_spark.plans import all_queries
+
+    rows = (
+        all_queries(include_extended=True)["classifier_lift_deciles"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    assert abs(rows[-1]["cum_capture"] - 1.0) < 1e-12
+    caps = [r["cum_capture"] for r in rows]
+    assert caps == sorted(caps)
