@@ -266,3 +266,68 @@ def rank_metrics(
         (num / (np_ * nn_) - F.lit(1.0)).alias("gini"),
         (F.col("dmax").cast("double") / (np_ * nn_)).alias("ks"),
     )
+
+
+def isotonic_fit(
+    bins: DataFrame,
+    key: str = "bin",
+    n_col: str = "n",
+    pos_col: str = "p",
+) -> DataFrame:
+    """Weighted isotonic regression (PAV) of the per-bin positive
+    rate, via the minimax identity
+        iso(k) = max_{i<=k} min_{j>=k} rate(i..j)
+    which equals the pool-adjacent-violators fit exactly.
+
+    Runs entirely on the BINNED table: cumulative sums give every
+    interval's exact integer (n, pos) in one self-join, so the whole
+    fit costs O(B^3) on B bins — B is a calibration knob (10..256),
+    never data-sized, which is what makes isotonic calibration at
+    100 TB a post-aggregation epilogue: the one corpus-scale stage is
+    the binning aggregate upstream.  Interval rates are single exact
+    divisions of BIGINTs; min/max over them are order comparisons of
+    identical doubles in both engines.
+    """
+    w = Window.orderBy(key).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = bins.select(
+        F.col(key).alias("b"),
+        F.sum(n_col).over(w).alias("cn"),
+        F.sum(pos_col).over(w).alias("cp"),
+    )
+    zero = c.sparkSession.createDataFrame(
+        [(-(2 ** 31), 0, 0)], "b long, cn long, cp long"
+    )
+    lower = zero.unionByName(
+        c.select(
+            F.col("b").cast("long"),
+            F.col("cn").cast("long"),
+            F.col("cp").cast("long"),
+        )
+    )
+    iv = lower.alias("L").join(
+        c.alias("R"), F.col("L.b") < F.col("R.b")
+    ).select(
+        F.col("L.b").alias("lo_excl"),
+        F.col("R.b").alias("hi"),
+        (F.col("R.cn") - F.col("L.cn")).alias("ivn"),
+        (F.col("R.cp") - F.col("L.cp")).alias("ivp"),
+        (
+            (F.col("R.cp") - F.col("L.cp")).cast("double")
+            / (F.col("R.cn") - F.col("L.cn"))
+        ).alias("rate"),
+    )
+    keys = bins.select(F.col(key).alias("k"))
+    inner = (
+        keys.join(
+            iv,
+            (F.col("lo_excl") < F.col("k"))
+            & (F.col("hi") >= F.col("k")),
+        )
+        .groupBy("k", "lo_excl")
+        .agg(F.min("rate").alias("minrate"))
+    )
+    return inner.groupBy("k").agg(
+        F.round(F.max("minrate"), 9).alias("iso_rate")
+    )

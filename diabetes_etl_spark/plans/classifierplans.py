@@ -666,3 +666,106 @@ def classifier_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("np_tot"))
         ).alias("lift"),
     ).orderBy("decile")
+
+
+_ISO_ORACLE = (
+    _TRAIN_CTES
+    + _SCORED_CTE
+    + """,
+bins AS (
+  SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS b,
+    COUNT(*) AS n, SUM(y) AS p
+  FROM scored GROUP BY b
+),
+cum AS (
+  SELECT b,
+    SUM(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cn,
+    SUM(p) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cp
+  FROM bins
+),
+lo AS (
+  SELECT CAST(-2147483648 AS BIGINT) AS b, CAST(0 AS BIGINT) AS cn,
+    CAST(0 AS BIGINT) AS cp
+  UNION ALL SELECT b, CAST(cn AS BIGINT), CAST(cp AS BIGINT) FROM cum
+),
+iv AS (
+  SELECT L.b AS lo_excl, R.b AS hi,
+    CAST(R.cp - L.cp AS DOUBLE) / (R.cn - L.cn) AS rate
+  FROM lo L JOIN cum R ON L.b < R.b
+),
+pooled AS (
+  SELECT k.b AS k, iv.lo_excl, MIN(rate) AS minrate
+  FROM bins k JOIN iv ON iv.lo_excl < k.b AND iv.hi >= k.b
+  GROUP BY k.b, iv.lo_excl
+),
+iso AS (
+  SELECT k, ROUND(MAX(minrate), 9) AS iso_rate FROM pooled GROUP BY k
+)
+SELECT CAST(bins.b AS INT) AS bin, CAST(n AS BIGINT) AS n_docs,
+  CAST(p AS BIGINT) AS n_pos,
+  ROUND(CAST(p AS DOUBLE) / n, 9) AS raw_rate, iso_rate
+FROM bins JOIN iso ON iso.k = bins.b
+ORDER BY bin
+"""
+)
+
+
+@register(
+    "classifier_isotonic_calibration",
+    oracle=_ISO_ORACLE,
+    doc="Weighted isotonic regression (pool-adjacent-violators) of "
+    "the classifier's per-bin positive rate via the minimax identity "
+    "iso(k) = max_{i<=k} min_{j>=k} rate(i..j) — exactly the PAV "
+    "fit, computed relationally on the BINNED table "
+    "(operators/classifier.py:isotonic_fit): cumulative sums give "
+    "every interval's exact integer (n, pos) in one self-join; "
+    "interval rates are single BIGINT divisions; min/max are order "
+    "comparisons.  The only corpus-scale stage is the upstream "
+    "binning aggregate — the O(B^3) fit runs on B=10 rows, a "
+    "post-aggregation epilogue at any corpus size.  Output keeps the "
+    "raw (possibly non-monotone) rate next to the isotonic fit.",
+    tags=("classifier", "ml", "calibration", "extension"),
+    extended=True,
+)
+def classifier_isotonic_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from diabetes_etl_spark.operators.classifier import (
+        isotonic_fit,
+        logistic_score,
+        logistic_train_rounds,
+    )
+
+    feats = _features(spark, sf_dir)
+    rounds = logistic_train_rounds(
+        feats, ["f1", "f2"], "y", iterations=_ROUNDS, lr=_LR
+    ).collect()
+    final = next(r for r in rounds if r["round"] == _ROUNDS)
+    scored = feats.select(
+        "y",
+        logistic_score(
+            ["f1", "f2"], [final["w0"], final["w1"], final["w2"]]
+        ).alias("score"),
+    )
+    bins = scored.select(
+        F.least(F.floor(F.col("score") * 10), F.lit(9))
+        .cast("long")
+        .alias("b"),
+        "y",
+    ).groupBy("b").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("p")
+    )
+    iso = isotonic_fit(bins, key="b", n_col="n", pos_col="p")
+    return (
+        bins.join(iso, bins["b"] == iso["k"])
+        .select(
+            F.col("b").cast("int").alias("bin"),
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("p").cast("long").alias("n_pos"),
+            F.round(
+                F.col("p").cast("double") / F.col("n"), 9
+            ).alias("raw_rate"),
+            "iso_rate",
+        )
+        .orderBy("bin")
+    )

@@ -234,3 +234,59 @@ def test_lift_deciles_invariants(spark, sf_dir):
     assert abs(rows[-1]["cum_capture"] - 1.0) < 1e-12
     caps = [r["cum_capture"] for r in rows]
     assert caps == sorted(caps)
+
+
+def _iso(spark, rows):
+    from diabetes_etl_spark.operators.classifier import isotonic_fit
+
+    bins = spark.createDataFrame(rows, "b long, n long, p long")
+    return {
+        r["k"]: r["iso_rate"]
+        for r in isotonic_fit(bins, "b", "n", "p").collect()
+    }
+
+
+def test_isotonic_already_monotone_is_identity(spark):
+    iso = _iso(spark, [(0, 10, 1), (1, 10, 5), (2, 10, 9)])
+    assert iso == {0: 0.1, 1: 0.5, 2: 0.9}
+
+
+def test_isotonic_pools_violators(spark):
+    # rates 0.8, 0.2 violate -> pool to (8+2)/20 = 0.5
+    iso = _iso(spark, [(0, 10, 8), (1, 10, 2)])
+    assert iso == {0: 0.5, 1: 0.5}
+
+
+def test_isotonic_weighted_pool(spark):
+    # rates 0.9 (n=10), 0.0 (n=30) -> pooled 9/40 = 0.225; then bin 2
+    # rate 0.5 stays above
+    iso = _iso(spark, [(0, 10, 9), (1, 30, 0), (2, 10, 5)])
+    assert iso == {0: 0.225, 1: 0.225, 2: 0.5}
+
+
+def test_isotonic_matches_sklearn_style_pav(spark):
+    # classic PAV hand case: 0.6, 0.4, 0.8, 0.2 ->
+    # pool(0.6,0.4)=0.5; pool(0.8,0.2)=0.5 -> all 0.5
+    iso = _iso(
+        spark, [(0, 10, 6), (1, 10, 4), (2, 10, 8), (3, 10, 2)]
+    )
+    assert iso == {0: 0.5, 1: 0.5, 2: 0.5, 3: 0.5}
+
+
+def test_isotonic_output_is_monotone_on_fixture(spark, sf_dir):
+    from diabetes_etl_spark.plans import all_queries
+
+    rows = (
+        all_queries(include_extended=True)[
+            "classifier_isotonic_calibration"
+        ]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    iso = [r["iso_rate"] for r in rows]
+    assert iso == sorted(iso)
+    # pooled regions preserve total positive mass per pool
+    assert abs(
+        sum(r["n_docs"] * r["iso_rate"] for r in rows)
+        - sum(r["n_pos"] for r in rows)
+    ) < 1e-6 * sum(r["n_docs"] for r in rows)
