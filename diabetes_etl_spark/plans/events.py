@@ -2266,7 +2266,11 @@ def events_wilson_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 150),
+                1,
+            ).otherwise(0)
         ).alias("conv"),
         F.hour(F.min(F.col("ts"))).cast("int").alias("first_hour"),
     )
@@ -2935,4 +2939,134 @@ def stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
         .orderBy("event_type")
+    )
+
+
+# -- A/B experiment readout (round 9) -----------------------------------------
+
+
+@register(
+    "events_ab_experiment",
+    oracle="""
+WITH users AS (
+  SELECT user_id,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+      % 2 AS INT) AS variant,
+    MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+        THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT variant, COUNT(*) AS n, SUM(conv) AS c
+  FROM users GROUP BY variant
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+    MAX(CASE WHEN variant = 0 THEN c END) AS c_a,
+    MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+    MAX(CASE WHEN variant = 1 THEN c END) AS c_b
+  FROM v
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS conv_a,
+  CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS conv_b,
+  CAST(c_a AS DOUBLE) / n_a AS rate_a,
+  CAST(c_b AS DOUBLE) / n_b AS rate_b,
+  CAST(c_b * n_a AS DOUBLE) / (c_a * n_b) - CAST(1 AS DOUBLE)
+    AS rel_uplift,
+  (CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+    / SQRT(CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)
+           * (CAST(1 AS DOUBLE)
+              - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+           * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+    AS z_score,
+  CAST(n_a + n_b AS DOUBLE)
+    * CAST(c_a * (n_b - c_b) - c_b * (n_a - c_a) AS DOUBLE)
+    * CAST(c_a * (n_b - c_b) - c_b * (n_a - c_a) AS DOUBLE)
+    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+       * CAST(c_a + c_b AS DOUBLE)
+       * CAST(n_a - c_a + n_b - c_b AS DOUBLE)) AS chi2
+FROM w
+""",
+    doc="A/B experiment readout: users bucket deterministically into "
+    "two variants by md5-prefix hash (the bucketing an "
+    "experimentation platform does — stable under re-runs and across "
+    "engines, never RAND), per-variant user-level conversion "
+    "(a purchase of value >= 150 — thresholded so the rate is "
+    "non-degenerate at every fixture scale) rates, exact-integer relative uplift "
+    "(c_b*n_a)/(c_a*n_b) - 1, the pooled two-proportion z statistic, "
+    "and the 2x2 chi-square via N*(ad-bc)^2 / row/col products — "
+    "every input an exact BIGINT, divisions and the one SQRT "
+    "(IEEE-correctly-rounded, not libm-variable) in pinned order so "
+    "both engines emit identical doubles.  No p-value on purpose: "
+    "erf IS libm-variable; downstream compares |z| to fixed critical "
+    "values.  Scale: one grouped pass to user grain (map-side "
+    "combine), then a 2-row epilogue.",
+    tags=("events", "abtest", "statistics", "extension"),
+    extended=True,
+)
+def events_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    ).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
+        .cast("int")
+        .alias("variant"),
+        "conv",
+    )
+    v = users.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("c"))).alias("c_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("c"))).alias("c_b"),
+    )
+    n_a, c_a = F.col("n_a"), F.col("c_a")
+    n_b, c_b = F.col("n_b"), F.col("c_b")
+    one = F.lit(1).cast("double")
+    rate_a = c_a.cast("double") / n_a
+    rate_b = c_b.cast("double") / n_b
+    pool = (c_a + c_b).cast("double") / (n_a + n_b)
+    diff = (c_a * (n_b - c_b) - c_b * (n_a - c_a)).cast("double")
+    return w.select(
+        n_a.cast("long").alias("n_a"),
+        c_a.cast("long").alias("conv_a"),
+        n_b.cast("long").alias("n_b"),
+        c_b.cast("long").alias("conv_b"),
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        ((c_b * n_a).cast("double") / (c_a * n_b) - one).alias(
+            "rel_uplift"
+        ),
+        (
+            (rate_b - rate_a)
+            / F.sqrt(pool * (one - pool) * (one / n_a + one / n_b))
+        ).alias("z_score"),
+        (
+            (n_a + n_b).cast("double")
+            * diff
+            * diff
+            / (
+                n_a.cast("double")
+                * n_b.cast("double")
+                * (c_a + c_b).cast("double")
+                * (n_a - c_a + n_b - c_b).cast("double")
+            )
+        ).alias("chi2"),
     )

@@ -732,3 +732,19 @@ def test_rocchio_prf_broadcast_queries_no_python(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, bad
+
+
+def test_ab_experiment_z_squared_equals_chi2(spark, sf_dir):
+    """For a 2x2 table the pooled two-proportion z statistic satisfies
+    z^2 == Pearson chi-square exactly (up to float error) — a strong
+    internal consistency check on both formulas."""
+    r = QUERIES["events_ab_experiment"].fn(spark, sf_dir).collect()[0]
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    assert 0.0 < r["rate_a"] < 1.0 and 0.0 < r["rate_b"] < 1.0
+    assert abs(r["z_score"] ** 2 - r["chi2"]) < 1e-9 * max(
+        1.0, r["chi2"]
+    )
+    assert (r["z_score"] > 0) == (r["rate_b"] > r["rate_a"])
+    import math
+
+    assert math.isfinite(r["rel_uplift"])
