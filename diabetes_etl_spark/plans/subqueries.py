@@ -218,3 +218,36 @@ register(
     tags=("subquery", "exists", "not-exists", "extension"),
     extended=True,
 )(_sql_query(_WAITING_SUPPLIER_SQL, ("supplier", "lineitem", "orders")))
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_name, t.spend
+FROM nation n,
+LATERAL (
+  SELECT c.c_name,
+    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS spend
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE c.c_nationkey = n.n_nationkey
+  GROUP BY c.c_custkey, c.c_name
+  ORDER BY spend DESC, c.c_name
+  LIMIT 2
+) t
+ORDER BY n.n_name, t.spend DESC, t.c_name
+"""
+
+register(
+    "lateral_topk_per_nation",
+    oracle=_LATERAL_SQL,
+    doc="Correlated LATERAL derived table (SQL:1999 / Spark 4 "
+    "LATERAL): for each nation, the top-2 customers by decimal-exact "
+    "total spend, expressed as a per-outer-row subquery with ORDER BY "
+    "+ LIMIT.  The point is the plan: Catalyst DECORRELATES the "
+    "lateral — the inner aggregate+top-k runs ONCE over customer x "
+    "orders re-grouped on the correlation key (window rank under the "
+    "hood), then joins back to nation; never a per-nation rescan of "
+    "orders, which is what a naive lateral executor would do and what "
+    "kills this shape at 100 TB.  One SQL string is both the Spark "
+    "plan and the DuckDB oracle.",
+    tags=("subquery", "lateral", "topk", "extension"),
+    extended=True,
+)(_sql_query(_LATERAL_SQL, ("nation", "customer", "orders")))

@@ -748,3 +748,14 @@ def test_ab_experiment_z_squared_equals_chi2(spark, sf_dir):
     import math
 
     assert math.isfinite(r["rel_uplift"])
+
+
+def test_lateral_topk_decorrelates_to_window_rank(spark, sf_dir):
+    """LATERAL ... ORDER BY ... LIMIT must decorrelate: the inner
+    aggregate+top-k runs ONCE (window rank / WindowGroupLimit), joined
+    back to the outer — never a per-outer-row rescan of orders."""
+    plan = _plan(spark, sf_dir, "lateral_topk_per_nation", "formatted")
+    assert "WindowGroupLimit" in plan or "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("orders.parquet") == 1
+    assert "BroadcastHashJoin" in plan
