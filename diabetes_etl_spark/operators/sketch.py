@@ -614,3 +614,131 @@ def histogram_quantiles(
             ).alias(f"{tag}_est")
         )
     return cum.groupBy("grp").agg(*aggs).orderBy("grp")
+
+
+# -- KMV (k-minimum-values / bottom-k) distinct sketch (round 9) --------------
+#
+# The one distinct sketch that supports SET INTERSECTION natively:
+# HLL unions for free but can only reach an intersection through
+# inclusion-exclusion (error explodes for small overlaps); a bottom-k
+# signature is a uniform sample of the union, so the fraction of the
+# merged bottom-k present in both sides is an unbiased Jaccard
+# estimator (Beyer et al., SIGMOD'07; Broder's min-wise hashing).
+# Memory is O(k) per group regardless of input size; two sketches
+# merge by union + re-truncate, so per-partition / per-day sketches
+# roll up without rescanning raw data.
+#
+# Determinism: the hash is the md5-prefix integer used repo-wide
+# (exact integer; same value both engines); bottom-k is a row_number
+# over (h ASC) on DISTINCT hashes — ties impossible within a group.
+
+
+def kmv_hash(value: Column) -> Column:
+    """Uniform 32-bit integer hash of a value: md5-prefix, the
+    cross-engine-portable form (DuckDB: ('0x'||substr(md5(x),1,8))
+    ::BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(value.cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame, group: str, value: Column, k: int
+) -> DataFrame:
+    """Per-``group`` bottom-k sketch: the k smallest distinct hash
+    values of ``value``.  One distinct pass + a per-group window on
+    (h ASC); the sketch table is O(groups x k)."""
+    from pyspark.sql import Window
+
+    h = (
+        df.select(F.col(group).alias("g"), kmv_hash(value).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """Distinct-count estimate per group: exact count when the sketch
+    is not full (covering mode), else (k-1) * 2^32 / tau where tau is
+    the k-th smallest hash."""
+    g = sketch.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.max("h").alias("tau")
+    )
+    return g.select(
+        "g",
+        F.when(F.col("n") < k, F.col("n").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1))
+            * F.lit(4294967296.0)
+            / F.col("tau").cast("double")
+        )
+        .alias("est_distinct"),
+    )
+
+
+def kmv_pair_stats(sketch: DataFrame, k: int) -> DataFrame:
+    """Pairwise union / intersection / Jaccard estimates from the
+    merged bottom-k of every group pair (g_a < g_b).
+
+    The merged sketch\'s bottom-k is a uniform sample of the union;
+    the fraction of it present in BOTH sides estimates Jaccard
+    (matches / sample size), and the union size uses the same
+    not-full-is-exact rule as kmv_estimate.  Runs entirely on the
+    O(groups x k) sketch table — the fact table is never rescanned;
+    merging two sketches is union + re-truncate (the mergeability
+    contract)."""
+    from pyspark.sql import Window
+
+    gs = sketch.select("g").distinct()
+    pairs = (
+        gs.select(F.col("g").alias("ga"))
+        .join(
+            gs.select(F.col("g").alias("gb")),
+            F.col("ga") < F.col("gb"),
+        )
+    )
+    left = pairs.join(
+        sketch.select(F.col("g").alias("ga"), "h"), "ga"
+    ).select("ga", "gb", "h", F.lit(1).alias("in_a"),
+             F.lit(0).alias("in_b"))
+    right = pairs.join(
+        sketch.select(F.col("g").alias("gb"), "h"), "gb"
+    ).select("ga", "gb", "h", F.lit(0).alias("in_a"),
+             F.lit(1).alias("in_b"))
+    merged = (
+        left.unionByName(right)
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    bottom = merged.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    stats = bottom.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("n_bottom"),
+        F.max("h").alias("tau"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("matches"),
+    )
+    return stats.select(
+        "ga",
+        "gb",
+        F.col("n_bottom").cast("long").alias("n_bottom"),
+        F.col("matches").cast("long").alias("matches"),
+        F.when(
+            F.col("n_bottom") < k, F.col("n_bottom").cast("double")
+        )
+        .otherwise(
+            F.lit(float(k - 1))
+            * F.lit(4294967296.0)
+            / F.col("tau").cast("double")
+        )
+        .alias("est_union"),
+        (
+            F.col("matches").cast("double") / F.col("n_bottom")
+        ).alias("est_jaccard"),
+    )

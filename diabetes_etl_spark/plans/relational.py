@@ -1821,3 +1821,75 @@ def selection_exact_percentiles(
     return spark.createDataFrame(
         rows, "pct int, k long, value double"
     ).orderBy("pct")
+
+
+# -- KMV bottom-k sketch: distinct + intersection estimates (round 9) ---------
+
+_KMV_K = 4096  # covering at fixture scale: every sketch holds ALL
+# distinct user hashes, so the estimator takes the exact-count branch
+# and the DuckDB oracle can be the EXACT set algebra (the LSH-style
+# covering-parameter pairing); the truncated-estimator branch is
+# unit-tested with small k in tests/test_sketch.py.
+
+
+def _kmv_event_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.sketch import (
+        kmv_pair_stats,
+        kmv_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "event_type", F.col("user_id"), _KMV_K)
+    out = kmv_pair_stats(sk, _KMV_K)
+    return out.select(
+        F.col("ga").alias("type_a"),
+        F.col("gb").alias("type_b"),
+        F.col("n_bottom").alias("kmv_union_size"),
+        F.col("matches").alias("kmv_common"),
+        "est_union",
+        F.round("est_jaccard", 9).alias("est_jaccard"),
+    ).orderBy("type_a", "type_b")
+
+
+register(
+    "sketch_kmv_event_overlap",
+    oracle="""
+WITH u AS (
+  SELECT DISTINCT event_type AS g, user_id FROM events
+),
+gs AS (SELECT DISTINCT g FROM u),
+pairs AS (
+  SELECT a.g AS ta, b.g AS tb FROM gs a JOIN gs b ON a.g < b.g
+),
+m AS (
+  SELECT p.ta, p.tb, uu.user_id,
+    MAX(CASE WHEN uu.g = p.ta THEN 1 ELSE 0 END) AS ia,
+    MAX(CASE WHEN uu.g = p.tb THEN 1 ELSE 0 END) AS ib
+  FROM pairs p JOIN u uu ON uu.g = p.ta OR uu.g = p.tb
+  GROUP BY p.ta, p.tb, uu.user_id
+)
+SELECT ta AS type_a, tb AS type_b,
+  CAST(COUNT(*) AS BIGINT) AS kmv_union_size,
+  CAST(SUM(ia * ib) AS BIGINT) AS kmv_common,
+  CAST(COUNT(*) AS DOUBLE) AS est_union,
+  ROUND(CAST(SUM(ia * ib) AS DOUBLE) / COUNT(*), 9) AS est_jaccard
+FROM m
+GROUP BY ta, tb
+ORDER BY type_a, type_b
+""",
+    doc="KMV (bottom-k / k-minimum-values) distinct sketch with SET "
+    "INTERSECTION — the capability HLL lacks (inclusion-exclusion "
+    "blows up on small overlaps; a bottom-k signature is a uniform "
+    "sample of the union, so matches/sample-size is an unbiased "
+    "Jaccard estimator — Broder min-wise hashing / Beyer SIGMOD'07).  "
+    "Per event_type: the k smallest md5-prefix hashes of user_id "
+    "(one distinct pass + per-group window, sketch table O(groups x "
+    "k)); every pair's union/Jaccard/intersection estimate computes "
+    "on the merged bottom-k WITHOUT rescanning events; sketches merge "
+    "by union + re-truncate (per-day rollups never touch raw data).  "
+    "Gate form runs k=4096 COVERING (sketch not full -> exact-count "
+    "branch), so the oracle is the exact set algebra; the truncated "
+    "(k-1)*2^32/tau estimator branch carries error-bound unit tests.",
+    tags=("sketch", "kmv", "distinct", "jaccard", "extension"),
+    extended=True,
+)(_kmv_event_overlap)

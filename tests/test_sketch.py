@@ -450,3 +450,87 @@ def test_hll_union_equals_rescan_and_handles_overlap(spark):
         F.hll_sketch_estimate("u").cast("long").alias("n")
     ).collect()[0].n
     assert merged == 150  # union, not 200
+
+
+# -- KMV bottom-k sketch (round 9) --------------------------------------------
+
+
+def _kmv_fixture(spark, n_a=200, n_b=200, overlap=100):
+    rows = []
+    for i in range(n_a):
+        rows.append(("A", i))
+    for i in range(n_a - overlap, n_a - overlap + n_b):
+        rows.append(("B", i))
+    return spark.createDataFrame(rows, "g string, v long")
+
+
+def test_kmv_covering_is_exact(spark):
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_pair_stats,
+        kmv_sketch,
+    )
+
+    df = _kmv_fixture(spark)
+    sk = kmv_sketch(df, "g", F.col("v"), k=1024)
+    est = {r["g"]: r["est_distinct"] for r in kmv_estimate(sk, 1024).collect()}
+    assert est == {"A": 200.0, "B": 200.0}
+    p = kmv_pair_stats(sk, 1024).collect()[0]
+    assert p["n_bottom"] == 300 and p["matches"] == 100
+    assert p["est_union"] == 300.0
+    assert abs(p["est_jaccard"] - 100 / 300) < 1e-12
+
+
+def test_kmv_truncated_estimator_within_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_pair_stats,
+        kmv_sketch,
+    )
+
+    df = _kmv_fixture(spark, n_a=2000, n_b=2000, overlap=1000)
+    k = 256
+    sk = kmv_sketch(df, "g", F.col("v"), k=k)
+    assert sk.groupBy("g").count().collect()[0]["count"] == k
+    est = {r["g"]: r["est_distinct"] for r in kmv_estimate(sk, k).collect()}
+    # KMV standard error ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+    for g in ("A", "B"):
+        assert abs(est[g] - 2000) / 2000 < 0.25, est
+    p = kmv_pair_stats(sk, k).collect()[0]
+    true_union, true_j = 3000, 1000 / 3000
+    assert abs(p["est_union"] - true_union) / true_union < 0.25
+    assert abs(p["est_jaccard"] - true_j) < 0.15
+    est_inter = p["est_jaccard"] * p["est_union"]
+    assert abs(est_inter - 1000) / 1000 < 0.35
+
+
+def test_kmv_merge_is_union_retruncate(spark):
+    """Mergeability: sketching two halves then merging (union + bottom
+    k) equals sketching the whole — the rollup contract."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.operators.sketch import kmv_sketch
+
+    df = _kmv_fixture(spark, n_a=500, n_b=0, overlap=0)
+    half1 = df.where("v < 250")
+    half2 = df.where("v >= 250")
+    k = 64
+    s1 = kmv_sketch(half1, "g", F.col("v"), k)
+    s2 = kmv_sketch(half2, "g", F.col("v"), k)
+    w = Window.partitionBy("g").orderBy("h")
+    merged = (
+        s1.unionByName(s2)
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+    whole = kmv_sketch(df.where("g = 'A'"), "g", F.col("v"), k)
+    assert sorted(r["h"] for r in merged.collect()) == sorted(
+        r["h"] for r in whole.collect()
+    )
