@@ -1893,3 +1893,125 @@ ORDER BY type_a, type_b
     tags=("sketch", "kmv", "distinct", "jaccard", "extension"),
     extended=True,
 )(_kmv_event_overlap)
+
+
+# -- item-item collaborative filtering (round 9) -------------------------------
+
+
+def _cf_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ui = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(li.select("l_orderkey", "l_partkey"),
+              orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("u"),
+                F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    # bounded fan-out contract: degenerate power-users would make the
+    # self-join quadratic per user; cap at 200 items (no fixture user
+    # reaches it — the oracle applies the same cap)
+    kept = ui.groupBy("u").agg(
+        F.collect_list("i").alias("_is"), F.count(F.lit(1)).alias("nu")
+    ).where(F.col("nu") <= 200).select("u", F.explode("_is").alias("i"))
+    item_n = kept.groupBy("i").agg(F.count(F.lit(1)).alias("ni"))
+    pairs = (
+        kept.alias("a")
+        .join(kept.alias("b"),
+              (F.col("a.u") == F.col("b.u"))
+              & (F.col("a.i") < F.col("b.i")))
+        .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("cij"))
+        .where(F.col("cij") >= 2)
+    )
+    sym = pairs.select("ia", "ib", "cij").unionByName(
+        pairs.select(F.col("ib").alias("ia"),
+                     F.col("ia").alias("ib"), "cij")
+    )
+    scored = (
+        sym.join(item_n.withColumnRenamed("i", "ia")
+                 .withColumnRenamed("ni", "na"), "ia")
+        .join(item_n.withColumnRenamed("i", "ib")
+              .withColumnRenamed("ni", "nb"), "ib")
+        .select(
+            "ia", "ib", "cij",
+            (F.col("cij").cast("double")
+             / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+             ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("ia").orderBy(
+        F.desc("cosine"), F.asc("ib")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select(
+            F.col("ia").alias("item"),
+            F.col("ib").alias("rec_item"),
+            F.col("cij").cast("long").alias("common_users"),
+            F.round("cosine", 9).alias("cosine"),
+            F.col("rk").cast("int").alias("rank"),
+        )
+        .orderBy("item", "rank")
+    )
+
+
+register(
+    "cf_item_similarity_topk",
+    oracle="""
+WITH ui AS (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+kept AS (
+  SELECT u, i FROM ui
+  WHERE u IN (SELECT u FROM ui GROUP BY u HAVING COUNT(*) <= 200)
+),
+item_n AS (SELECT i, COUNT(*) AS ni FROM kept GROUP BY i),
+pairs AS (
+  SELECT a.i AS ia, b.i AS ib, COUNT(*) AS cij
+  FROM kept a JOIN kept b ON a.u = b.u AND a.i < b.i
+  GROUP BY a.i, b.i HAVING COUNT(*) >= 2
+),
+sym AS (
+  SELECT ia, ib, cij FROM pairs
+  UNION ALL SELECT ib, ia, cij FROM pairs
+),
+scored AS (
+  SELECT s.ia, s.ib, s.cij,
+    CAST(s.cij AS DOUBLE)
+      / SQRT(CAST(na.ni * nb.ni AS DOUBLE)) AS cosine
+  FROM sym s
+  JOIN item_n na ON na.i = s.ia
+  JOIN item_n nb ON nb.i = s.ib
+),
+ranked AS (
+  SELECT ia, ib, cij, cosine,
+    ROW_NUMBER() OVER (PARTITION BY ia
+      ORDER BY cosine DESC, ib) AS rk
+  FROM scored
+)
+SELECT ia AS item, ib AS rec_item, CAST(cij AS BIGINT) AS common_users,
+  ROUND(cosine, 9) AS cosine, CAST(rk AS INT) AS rank
+FROM ranked WHERE rk <= 5
+ORDER BY item, rank
+""",
+    doc="Item-item collaborative filtering: cosine-normalized "
+    "co-occurrence cos(i,j) = c_ij / sqrt(c_i * c_j) over the "
+    "distinct customer-part matrix, per-item top-5 neighbors by "
+    "(cosine DESC, item) — the classic Amazon/implicit-feedback "
+    "recommender as pure relational ops.  Scale contract: per-user "
+    "pair fan-out is quadratic in basket size, so users above a 200-"
+    "item cap are EXCLUDED (documented + mirrored in the oracle — "
+    "the df-cap discipline: heavy users carry ~no similarity signal); "
+    "min-support c_ij >= 2 prunes the pair tail; similarity joins key "
+    "on item ids (int,int,count rows); top-k is a per-item window, "
+    "never a global sort.  SQRT is IEEE-correctly-rounded, division "
+    "pinned — identical doubles both engines.",
+    tags=("recsys", "cf", "similarity", "extension"),
+    extended=True,
+)(_cf_item_similarity)

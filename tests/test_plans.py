@@ -759,3 +759,27 @@ def test_lateral_topk_decorrelates_to_window_rank(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("orders.parquet") == 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_cf_item_similarity_invariants(spark, sf_dir):
+    rows = QUERIES["cf_item_similarity_topk"].fn(spark, sf_dir).collect()
+    assert rows, "CF output empty at fixture scale"
+    by_item = {}
+    for r in rows:
+        assert 0.0 < r["cosine"] <= 1.0
+        assert r["common_users"] >= 2
+        by_item.setdefault(r["item"], []).append(r)
+    for item, rs in by_item.items():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        assert len(rs) <= 5
+    # symmetry of the underlying similarity: if (a -> b) is a top-k
+    # edge with cosine c, the reverse pair exists in the full matrix
+    # with the same c — spot-check via a reversed lookup where b also
+    # kept a in ITS top-k
+    edges = {(r["item"], r["rec_item"]): r["cosine"] for r in rows}
+    mutual = [(a, b) for (a, b) in edges if (b, a) in edges]
+    assert mutual, "no mutual edges — suspicious for a symmetric metric"
+    for a, b in mutual[:20]:
+        assert abs(edges[(a, b)] - edges[(b, a)]) < 1e-12
