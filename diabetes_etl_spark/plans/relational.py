@@ -2015,3 +2015,160 @@ ORDER BY item, rank
     tags=("recsys", "cf", "similarity", "extension"),
     extended=True,
 )(_cf_item_similarity)
+
+
+# -- Poisson bootstrap CI (round 9) --------------------------------------------
+
+_BOOT_B = 64
+# integer thresholds: floor(cdf_Poisson(1)(k) * 2^32) for k = 0..6 —
+# pure-integer inverse-CDF lookup, identical literals both engines
+_BOOT_TH = (1580030168, 3160060337, 3950075421, 4213413783,
+            4279248373, 4292415291, 4294609777)
+
+
+def _boot_w_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_TH)
+    )
+    return f"CASE {branches} ELSE {len(_BOOT_TH)} END"
+
+
+def _poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    b = F.explode(
+        F.sequence(F.lit(0), F.lit(_BOOT_B - 1))
+    ).alias("b")
+    rep = orders.select(
+        F.col("o_orderkey"), F.col("o_totalprice"), b
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit("#"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.expr(_boot_w_sql("__u"))
+    means = (
+        rep.withColumn("__u", u)
+        .withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum(
+                (F.col("w") * F.col("o_totalprice")).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("s"),
+            F.sum("w").alias("n"),
+        )
+        .select(
+            "b",
+            F.round(
+                F.col("s").cast("double") / F.col("n"), 6
+            ).alias("m"),
+        )
+    )
+    wr = Window.orderBy("m")
+    ranked = means.withColumn("rn", F.row_number().over(wr))
+    lo_idx = 2       # ceil(0.025 * 64)
+    hi_idx = 63      # ceil(0.975 * 64)
+    point = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("point_mean"),
+    )
+    stats = ranked.agg(
+        F.sum(F.col("m").cast("decimal(28,12)")).alias("sm"),
+        F.sum(
+            (
+                F.col("m").cast("decimal(28,12)")
+                * F.col("m").cast("decimal(28,12)")
+            ).cast("decimal(38,12)")
+        ).alias("sm2"),
+        F.max(F.when(F.col("rn") == lo_idx, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == hi_idx, F.col("m"))).alias("ci_hi"),
+    ).select(
+        F.sqrt(
+            (
+                F.col("sm2").cast("double")
+                - F.col("sm").cast("double")
+                * F.col("sm").cast("double")
+                / F.lit(float(_BOOT_B))
+            )
+            / F.lit(float(_BOOT_B - 1))
+        ).alias("boot_se"),
+        "ci_lo",
+        "ci_hi",
+    )
+    return point.crossJoin(F.broadcast(stats))
+
+
+register(
+    "stats_poisson_bootstrap_ci",
+    oracle=f"""
+WITH rep AS (
+  SELECT o_orderkey, o_totalprice, b.b AS b
+  FROM orders, (SELECT UNNEST(generate_series(0, {_BOOT_B - 1})) AS b) b
+),
+wtab AS (
+  SELECT b, o_totalprice,
+    {_boot_w_sql("('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#' || CAST(b AS VARCHAR)), 1, 8))::BIGINT")} AS w
+  FROM rep
+),
+means AS (
+  SELECT b,
+    ROUND(CAST(SUM(CAST(w * o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+          / SUM(w), 6) AS m
+  FROM wtab GROUP BY b
+),
+ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM means
+),
+stats AS (
+  SELECT
+    SQRT((CAST(SUM(CAST(CAST(m AS DECIMAL(28,12)) * CAST(m AS DECIMAL(28,12)) AS DECIMAL(38,12))) AS DOUBLE)
+          - CAST(SUM(CAST(m AS DECIMAL(28,12))) AS DOUBLE)
+            * CAST(SUM(CAST(m AS DECIMAL(28,12))) AS DOUBLE)
+            / CAST({_BOOT_B} AS DOUBLE))
+         / CAST({_BOOT_B - 1} AS DOUBLE)) AS boot_se,
+    MAX(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+    MAX(CASE WHEN rn = 63 THEN m END) AS ci_hi
+  FROM ranked
+),
+point AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+          / COUNT(*), 6) AS point_mean
+  FROM orders
+)
+SELECT n_rows, point_mean, boot_se, ci_lo, ci_hi FROM point, stats
+""",
+    doc=f"Poisson bootstrap ({_BOOT_B} replicates) of the mean order "
+    "value: each row's multiplicity in replicate b is an inverse-CDF "
+    "lookup of Poisson(1) on an integer md5 hash of (row, b) — the "
+    "bootstrap that works at 100 TB because it needs NO resampling "
+    "pass, no global row count, and no per-replicate shuffle of data: "
+    "one scan fans out B weighted copies (explode), map-side combine "
+    "reduces them to B partial sums per task, and everything after "
+    "runs on a B-row table (rank for the percentile CI, exact "
+    "DECIMAL folds for the SE).  Inverse-CDF thresholds are pinned "
+    "integer literals (floor(cdf * 2^32)) so replicate weights are "
+    "bit-identical across engines — a deterministic bootstrap, which "
+    "is also what makes it re-runnable/auditable in production.",
+    tags=("statistics", "bootstrap", "extension"),
+    extended=True,
+)(_poisson_bootstrap_ci)

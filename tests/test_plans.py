@@ -783,3 +783,14 @@ def test_cf_item_similarity_invariants(spark, sf_dir):
     assert mutual, "no mutual edges — suspicious for a symmetric metric"
     for a, b in mutual[:20]:
         assert abs(edges[(a, b)] - edges[(b, a)]) < 1e-12
+
+
+def test_poisson_bootstrap_ci_sanity(spark, sf_dir):
+    r = QUERIES["stats_poisson_bootstrap_ci"].fn(spark, sf_dir).collect()[0]
+    assert r["ci_lo"] < r["point_mean"] < r["ci_hi"]
+    assert r["boot_se"] > 0
+    # CI width should be a few SEs (percentile vs normal agreement)
+    width = r["ci_hi"] - r["ci_lo"]
+    assert 2 * r["boot_se"] < width < 8 * r["boot_se"]
+    # SE of the mean ~ sigma/sqrt(n): sanity order of magnitude
+    assert width < 0.2 * r["point_mean"]
