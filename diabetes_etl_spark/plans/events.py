@@ -3070,3 +3070,99 @@ def events_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chi2"),
     )
+
+
+@register(
+    "events_ab_ks_values",
+    oracle="""
+WITH s AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      ::BIGINT % 2 AS INT) AS variant,
+    value AS v
+  FROM events WHERE event_type = 'purchase'
+),
+g AS (
+  SELECT v,
+    SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS na_v,
+    SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS nb_v
+  FROM s GROUP BY v
+),
+c AS (
+  SELECT
+    SUM(na_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+    SUM(nb_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb,
+    SUM(na_v) OVER () AS na, SUM(nb_v) OVER () AS nb
+  FROM g
+)
+SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+  CAST(MAX(ABS(ca * nb - cb * na)) AS DOUBLE)
+    / (MAX(na) * MAX(nb)) AS ks_d,
+  SQRT(CAST(MAX(na) AS DOUBLE) * MAX(nb) / (MAX(na) + MAX(nb)))
+    * (CAST(MAX(ABS(ca * nb - cb * na)) AS DOUBLE)
+       / (MAX(na) * MAX(nb))) AS ks_scaled
+FROM c
+""",
+    doc="Two-sample Kolmogorov-Smirnov test between the A/B variants' "
+    "purchase-value distributions — the distribution-shift companion "
+    "to events_ab_experiment's rate test (an experiment can leave the "
+    "conversion rate flat while shifting the spend distribution).  "
+    "Exact rank algebra: values group by distinct amount (2-decimal "
+    "money — the grouped table is bounded by the value domain, not "
+    "the event count), ECDF gaps evaluate CROSS-MULTIPLIED as "
+    "|ca*nb - cb*na| so the max runs on exact BIGINTs; one division "
+    "and one IEEE sqrt at the end.  ks_scaled = sqrt(na*nb/(na+nb)) "
+    "* D is the statistic compared to Kolmogorov critical values "
+    "(1.358 at alpha=0.05) — no p-value on purpose (the Kolmogorov "
+    "series is libm territory).",
+    tags=("events", "abtest", "statistics", "extension"),
+    extended=True,
+)
+def events_ab_ks_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "purchase").select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).cast("int").alias("variant"),
+        F.col("value").alias("v"),
+    )
+    g = s.groupBy("v").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("na_v"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("nb_v"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        F.sum("na_v").over(w_cum).alias("ca"),
+        F.sum("nb_v").over(w_cum).alias("cb"),
+        F.sum("na_v").over(w_all).alias("na"),
+        F.sum("nb_v").over(w_all).alias("nb"),
+    )
+    a = c.agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.max(
+            F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+        ).alias("dmax"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    d = a.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        (F.col("dmax").cast("double") / (na * nb)).alias("ks_d"),
+        (
+            F.sqrt(na.cast("double") * nb / (na + nb))
+            * (F.col("dmax").cast("double") / (na * nb))
+        ).alias("ks_scaled"),
+    )
+    return d

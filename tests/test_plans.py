@@ -794,3 +794,35 @@ def test_poisson_bootstrap_ci_sanity(spark, sf_dir):
     assert 2 * r["boot_se"] < width < 8 * r["boot_se"]
     # SE of the mean ~ sigma/sqrt(n): sanity order of magnitude
     assert width < 0.2 * r["point_mean"]
+
+
+def test_ab_ks_two_sample_matches_bruteforce(spark, sf_dir):
+    """KS D from the rank algebra equals the brute-force ECDF-gap max
+    computed in Python on the same partition of purchase values."""
+    r = QUERIES["events_ab_ks_values"].fn(spark, sf_dir).collect()[0]
+    from diabetes_etl_spark.sources.tables import load_table
+    import hashlib
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.where("event_type = 'purchase'").select(
+        "user_id", "value"
+    ).collect()
+    a, b = [], []
+    for row in rows:
+        h = int(hashlib.md5(str(row["user_id"]).encode()).hexdigest()[:8], 16)
+        (a if h % 2 == 0 else b).append(row["value"])
+    a.sort()
+    b.sort()
+    import bisect
+
+    pts = sorted(set(a) | set(b))
+    d = max(
+        abs(
+            bisect.bisect_right(a, v) / len(a)
+            - bisect.bisect_right(b, v) / len(b)
+        )
+        for v in pts
+    )
+    assert r["n_a"] == len(a) and r["n_b"] == len(b)
+    assert abs(r["ks_d"] - d) < 1e-12
+    assert 0.0 <= r["ks_d"] <= 1.0
