@@ -2266,11 +2266,7 @@ def events_wilson_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.max(
-            F.when(
-                (F.col("event_type") == "purchase")
-                & (F.col("value") >= 150),
-                1,
-            ).otherwise(0)
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("conv"),
         F.hour(F.min(F.col("ts"))).cast("int").alias("first_hour"),
     )
