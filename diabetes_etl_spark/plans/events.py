@@ -3162,3 +3162,159 @@ def events_ab_ks_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ks_scaled"),
     )
     return d
+
+
+@register(
+    "events_ab_cuped",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+      % 2 AS INT) AS variant,
+    CAST(SUM(CASE WHEN event_type = 'purchase'
+          AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        THEN CAST(value AS DECIMAL(38,2)) ELSE CAST(0 AS DECIMAL(38,2))
+        END) AS DECIMAL(38,2)) AS x,
+    CAST(SUM(CASE WHEN event_type = 'purchase'
+          AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+        THEN CAST(value AS DECIMAL(38,2)) ELSE CAST(0 AS DECIMAL(38,2))
+        END) AS DECIMAL(38,2)) AS y
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT COUNT(*) AS n,
+    SUM(CAST(x AS DECIMAL(38,6))) AS sx,
+    SUM(CAST(y AS DECIMAL(38,6))) AS sy,
+    SUM(CAST(x * x AS DECIMAL(38,6))) AS sxx,
+    SUM(CAST(y * y AS DECIMAL(38,6))) AS syy,
+    SUM(CAST(x * y AS DECIMAL(38,6))) AS sxy,
+    SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+    SUM(CASE WHEN variant = 0 THEN CAST(x AS DECIMAL(38,6))
+        ELSE CAST(0 AS DECIMAL(38,6)) END) AS sx_a,
+    SUM(CASE WHEN variant = 0 THEN CAST(y AS DECIMAL(38,6))
+        ELSE CAST(0 AS DECIMAL(38,6)) END) AS sy_a,
+    SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+    SUM(CASE WHEN variant = 1 THEN CAST(x AS DECIMAL(38,6))
+        ELSE CAST(0 AS DECIMAL(38,6)) END) AS sx_b,
+    SUM(CASE WHEN variant = 1 THEN CAST(y AS DECIMAL(38,6))
+        ELSE CAST(0 AS DECIMAL(38,6)) END) AS sy_b
+  FROM per_user
+),
+d AS (
+  SELECT CAST(n AS BIGINT) AS n_users,
+    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+      AS covxy,
+    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+      AS varx,
+    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+      AS vary,
+    CAST(sy_b AS DOUBLE) / n_b - CAST(sy_a AS DOUBLE) / n_a
+      AS delta_raw,
+    CAST(sx_b AS DOUBLE) / n_b - CAST(sx_a AS DOUBLE) / n_a
+      AS delta_x
+  FROM s
+)
+SELECT n_users,
+  ROUND(covxy / varx, 9) AS theta,
+  ROUND(covxy * covxy / (varx * vary), 9) AS var_reduction,
+  ROUND(delta_raw, 6) AS delta_raw,
+  ROUND(delta_raw - covxy / varx * delta_x, 6) AS delta_cuped
+FROM d
+""",
+    doc="CUPED variance reduction (Deng et al., WSDM'13 — the "
+    "standard experimentation-platform adjustment): per-user PRE-"
+    "period purchase spend (Jan 1-14) is the covariate X, POST-period "
+    "spend (Jan 15-30) the metric Y; theta = cov(X,Y)/var(X) from "
+    "exact DECIMAL-folded sums (2-decimal money — the fold is exact; "
+    "one grouped pass to user grain, one 1-row epilogue), the "
+    "adjusted treatment effect delta_cuped = delta_raw - theta * "
+    "delta_X, and var_reduction = rho^2 (the fraction of metric "
+    "variance the covariate removes).  All engine divergence risk "
+    "sits in 6 scalar double ops on identical exact inputs.  At "
+    "100 TB this is one fact scan + constants — CUPED is free at any "
+    "scale, which is why every platform runs it.",
+    tags=("events", "abtest", "statistics", "cuped", "extension"),
+    extended=True,
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    dec0 = F.lit(0).cast("decimal(38,2)")
+    x = F.sum(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") < cut),
+            F.col("value").cast("decimal(38,2)"),
+        ).otherwise(dec0)
+    ).cast("decimal(38,2)")
+    y = F.sum(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= cut),
+            F.col("value").cast("decimal(38,2)"),
+        ).otherwise(dec0)
+    ).cast("decimal(38,2)")
+    per_user = ev.groupBy("user_id").agg(
+        x.alias("x"), y.alias("y")
+    ).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).cast("int").alias("variant"),
+        "x",
+        "y",
+    )
+    dec6 = lambda c: c.cast("decimal(38,6)")
+    z6 = F.lit(0).cast("decimal(38,6)")
+    s = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec6(F.col("x"))).alias("sx"),
+        F.sum(dec6(F.col("y"))).alias("sy"),
+        F.sum(dec6(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec6(F.col("y") * F.col("y"))).alias("syy"),
+        F.sum(dec6(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(
+            F.when(F.col("variant") == 0, dec6(F.col("x"))).otherwise(z6)
+        ).alias("sx_a"),
+        F.sum(
+            F.when(F.col("variant") == 0, dec6(F.col("y"))).otherwise(z6)
+        ).alias("sy_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(F.col("variant") == 1, dec6(F.col("x"))).otherwise(z6)
+        ).alias("sx_b"),
+        F.sum(
+            F.when(F.col("variant") == 1, dec6(F.col("y"))).otherwise(z6)
+        ).alias("sy_b"),
+    )
+    n = F.col("n")
+    covxy = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double") / n
+    )
+    varx = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / n
+    )
+    vary = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double") / n
+    )
+    delta_raw = F.col("sy_b").cast("double") / F.col("n_b") - F.col(
+        "sy_a"
+    ).cast("double") / F.col("n_a")
+    delta_x = F.col("sx_b").cast("double") / F.col("n_b") - F.col(
+        "sx_a"
+    ).cast("double") / F.col("n_a")
+    return s.select(
+        n.cast("long").alias("n_users"),
+        F.round(covxy / varx, 9).alias("theta"),
+        F.round(covxy * covxy / (varx * vary), 9).alias("var_reduction"),
+        F.round(delta_raw, 6).alias("delta_raw"),
+        F.round(delta_raw - covxy / varx * delta_x, 6).alias(
+            "delta_cuped"
+        ),
+    )

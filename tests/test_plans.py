@@ -826,3 +826,48 @@ def test_ab_ks_two_sample_matches_bruteforce(spark, sf_dir):
     assert r["n_a"] == len(a) and r["n_b"] == len(b)
     assert abs(r["ks_d"] - d) < 1e-12
     assert 0.0 <= r["ks_d"] <= 1.0
+
+
+def test_cuped_matches_numpy_reference(spark, sf_dir):
+    """theta and var_reduction replicate the numpy covariance math on
+    the same per-user (x, y) table, and 0 <= var_reduction <= 1."""
+    import hashlib
+
+    import numpy as np
+
+    from diabetes_etl_spark.sources.tables import load_table
+
+    r = QUERIES["events_ab_cuped"].fn(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.where("event_type = 'purchase'").select(
+        "user_id", "ts", "value"
+    ).collect()
+    ids = {u["user_id"] for u in ev.select("user_id").distinct().collect()}
+    from collections import defaultdict
+    from datetime import datetime
+
+    cut = datetime(2024, 1, 15)
+    xs, ys = defaultdict(float), defaultdict(float)
+    for row in rows:
+        d = xs if row["ts"] < cut else ys
+        d[row["user_id"]] += row["value"]
+    uid = sorted(ids)
+    x = np.array([round(xs[u], 2) for u in uid])
+    y = np.array([round(ys[u], 2) for u in uid])
+    n = len(uid)
+    cov = (x * y).sum() - x.sum() * y.sum() / n
+    vx = (x * x).sum() - x.sum() ** 2 / n
+    vy = (y * y).sum() - y.sum() ** 2 / n
+    assert r["n_users"] == n
+    assert abs(r["theta"] - cov / vx) < 1e-6
+    assert abs(r["var_reduction"] - cov * cov / (vx * vy)) < 1e-6
+    assert 0.0 <= r["var_reduction"] <= 1.0
+    # the adjustment identity: delta_cuped = delta_raw - theta*delta_x
+    va = np.array([
+        int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+        for u in uid
+    ])
+    d_raw = y[va == 1].mean() - y[va == 0].mean()
+    d_x = x[va == 1].mean() - x[va == 0].mean()
+    assert abs(r["delta_raw"] - d_raw) < 1e-4
+    assert abs(r["delta_cuped"] - (d_raw - cov / vx * d_x)) < 1e-4
