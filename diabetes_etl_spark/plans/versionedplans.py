@@ -240,3 +240,79 @@ def versioned_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "snapshot string, n_rows long, min_okey long, max_okey long, "
         "min_qty double, max_qty double",
     ).orderBy("snapshot")
+
+
+_DS_CUT = 7500
+_DS_LO, _DS_HI = 2000, 3000
+
+
+@register(
+    "versioned_datasource_scan",
+    oracle=f"""
+SELECT 'v1' AS snapshot, COUNT(*) AS n_rows,
+  {sql_dec_sum("l_quantity", 2)} AS sum_qty
+FROM lineitem WHERE l_orderkey < {_DS_CUT}
+UNION ALL
+SELECT 'v2', COUNT(*), {sql_dec_sum("l_quantity", 2)}
+FROM lineitem
+UNION ALL
+SELECT 'v1_pruned', COUNT(*), {sql_dec_sum("l_quantity", 2)}
+FROM lineitem
+WHERE l_orderkey < {_DS_CUT}
+  AND l_orderkey BETWEEN {_DS_LO} AND {_DS_HI}
+ORDER BY snapshot
+""",
+    doc="The versioned table read through a Spark 4 PYTHON DATA "
+    "SOURCE (sources/vds.py): spark.read.format('versioned') resolves "
+    "one manifest at planning time (snapshot isolation), emits one "
+    "InputPartition per manifest file (file-parallel like a native "
+    "scan), serves executor-side pyarrow batches, and pushes =/range "
+    "predicates into MANIFEST [min,max] pruning via the DSv2-python "
+    "pushFilters hook — every filter is also returned unsupported so "
+    "Spark re-applies it row-level (pruning stays cost-only, the "
+    "versioned table's standing rule).  Three reads: versionAsOf=1, "
+    "latest, and a range-filtered v1 whose disjoint files never open; "
+    "the oracle replays each as predicates on the raw fixture.  The "
+    "Delta-format interop surface (format-string reads) the "
+    "env-blocked delta-spark would have provided.",
+    tags=("versioned", "datasource", "source", "extension"),
+    extended=True,
+)
+def versioned_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.sources.vds import register_versioned_source
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+
+    register_versioned_source(spark)
+    base = tempfile.mkdtemp(prefix="spark_graft_vds_")
+    atexit.register(shutil.rmtree, base, True)
+    path = os.path.join(base, "tbl")
+    vt = VersionedTable(spark, path, stats_cols=("l_orderkey",))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    vt.overwrite(
+        li.filter(F.col("l_orderkey") < _DS_CUT)
+        .repartitionByRange(4, "l_orderkey")
+    )
+    vt.append(li.filter(F.col("l_orderkey") >= _DS_CUT))
+
+    def rd(**opts):
+        r = spark.read.format("versioned").option("path", path)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    parts = [
+        _agg(rd(versionAsOf="1"), "v1"),
+        _agg(rd(), "v2"),
+        _agg(
+            rd(versionAsOf="1").filter(
+                F.col("l_orderkey").between(_DS_LO, _DS_HI)
+            ),
+            "v1_pruned",
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("snapshot")

@@ -1,0 +1,183 @@
+"""The versioned table exposed as a Spark 4 PYTHON DATA SOURCE —
+``spark.read.format("versioned").option("path", ...).load()`` — so
+any Spark consumer (SQL, other sessions, notebooks) reads manifest
+snapshots through the standard source API instead of importing
+VersionedTable.
+
+What the DSv2-python surface buys here:
+
+- **Planning-time manifest resolution**: ``schema()`` and
+  ``partitions()`` run on the driver, resolve ONE manifest (snapshot
+  isolation — same contract as VersionedTable.read), and emit one
+  InputPartition per manifest file, so Spark parallelizes by file
+  exactly like a native parquet scan.
+- **Filter pushdown → manifest pruning**: ``pushFilters`` receives
+  Catalyst predicates; =, <, <=, >, >= on columns with recorded
+  [min, max] stats prune FILES before any is opened.  Every filter is
+  returned as unsupported so Spark re-applies it row-level — pruning
+  stays a cost decision, never a correctness one (the versioned
+  table's standing rule).
+- **Executor-side Arrow batches**: ``read`` runs on executors and
+  yields pyarrow record batches straight off the parquet file — no
+  row-at-a-time Python.
+
+Scale notes: the manifest carries file metadata only, so planning is
+O(files); batch decode streams at Arrow granularity.  A native
+DSv2/JVM source would beat the Python batch hop per byte — this
+source is the INTEROP surface, the hot path remains
+VersionedTable.read's direct parquet scan (same files, same plan).
+
+Reference parity: Delta Lake's path-based `format("delta")` reads
+(reference TBLPROPERTIES imply Delta; delta-spark is env-blocked —
+COVERAGE.md §2.1); this provides the equivalent format-string read
+over the native manifest tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+__all__ = ["VersionedDataSource", "register_versioned_source"]
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str
+
+
+def _resolve_manifest(path: str, version: str | None) -> dict:
+    mdir = os.path.join(path, "_manifests")
+    if version is not None:
+        cand = os.path.join(mdir, f"v{int(version):020d}.json")
+        with open(cand, encoding="utf-8") as f:
+            return json.load(f)
+    best = None
+    for name in sorted(os.listdir(mdir), reverse=True):
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(mdir, name), encoding="utf-8") as f:
+                return json.load(f)
+        except (json.JSONDecodeError, OSError):
+            # a truncated newest manifest means a torn write: fall back
+            # (same tolerance as VersionedTable._latest)
+            continue
+    raise ValueError(f"no readable manifest under {mdir}")
+
+
+class VersionedReader(DataSourceReader):
+    def __init__(self, path: str, doc: dict) -> None:
+        self._path = path
+        self._files = list(doc["files"])
+        self._bounds: dict[str, list[tuple[str, object]]] = {}
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        for f in filters:
+            col = None
+            if isinstance(
+                f,
+                (
+                    EqualTo,
+                    GreaterThan,
+                    GreaterThanOrEqual,
+                    LessThan,
+                    LessThanOrEqual,
+                ),
+            ):
+                # attributeOrColumn: ColumnPath tuple, top-level only
+                if len(f.attribute) == 1:
+                    col = f.attribute[0]
+            if col is not None:
+                kind = type(f).__name__
+                self._bounds.setdefault(col, []).append((kind, f.value))
+            # EVERY filter is re-applied by Spark row-level: pruning
+            # below is advisory, exactly like VersionedTable.read
+            yield f
+
+    @staticmethod
+    def _survives(stats: dict, col: str, kind: str, v) -> bool:
+        if col not in stats:
+            return True
+        lo, hi = stats[col]
+        if kind == "EqualTo":
+            return lo <= v <= hi
+        if kind == "GreaterThan":
+            return hi > v
+        if kind == "GreaterThanOrEqual":
+            return hi >= v
+        if kind == "LessThan":
+            return lo < v
+        if kind == "LessThanOrEqual":
+            return lo <= v
+        return True
+
+    def partitions(self):
+        out = []
+        for e in self._files:
+            stats = e.get("stats", {})
+            keep = all(
+                self._survives(stats, col, kind, v)
+                for col, preds in self._bounds.items()
+                for kind, v in preds
+            )
+            if keep:
+                out.append(
+                    _FilePartition(os.path.join(self._path, e["path"]))
+                )
+        # an empty scan still needs one partition object
+        return out or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(partition.path)
+        yield from pf.iter_batches()
+
+
+class VersionedDataSource(DataSource):
+    """``spark.read.format("versioned").option("path", p)
+    [.option("versionAsOf", n)].load()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned"
+
+    def _doc(self) -> tuple[str, dict]:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("versioned source requires option 'path'")
+        return path, _resolve_manifest(
+            path, self.options.get("versionasof")
+        )
+
+    def schema(self):
+        _, doc = self._doc()
+        return StructType.fromJson(json.loads(doc["schema"]))
+
+    def reader(self, schema) -> VersionedReader:
+        path, doc = self._doc()
+        return VersionedReader(path, doc)
+
+
+def register_versioned_source(spark) -> None:
+    """Idempotent session registration.  Python-source filter
+    pushdown is opt-in (SQL conf, runtime-settable) — without it
+    Spark refuses a reader that implements pushFilters."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(VersionedDataSource)
