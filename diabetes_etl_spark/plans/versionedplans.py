@@ -316,3 +316,92 @@ def versioned_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("snapshot")
+
+
+@register(
+    "stream_versioned_source",
+    oracle=f"""
+SELECT 'run1' AS phase, COUNT(*) AS n_rows,
+  {sql_dec_sum("l_quantity", 2)} AS sum_qty
+FROM lineitem WHERE l_orderkey < {_DS_CUT}
+UNION ALL
+SELECT 'total', COUNT(*), {sql_dec_sum("l_quantity", 2)}
+FROM lineitem
+ORDER BY phase
+""",
+    doc="The versioned table as a STREAMING source "
+    "(sources/vds.py:VersionedStreamReader — the Delta streaming-"
+    "source analogue through Spark 4's Python DataSourceStreamReader): "
+    "offsets are manifest versions, each microbatch reads exactly the "
+    "files ADDED between offsets (path set-difference on metadata "
+    "only — a 100 TB history costs a batch only its churn), and the "
+    "offset checkpoints through Spark's offset log.  The query runs "
+    "one availableNow drain of a 2-commit table into a parquet sink, "
+    "appends a third commit, drains AGAIN over the SAME checkpoint, "
+    "and aggregates the sink after each phase: run1 must hold exactly "
+    "commits 1-2 and the final sink exactly all three — any re-read "
+    "or loss across the restart hash-mismatches the oracle.  "
+    "Delete/rewrite commits raise unless ignoreChanges=true (the "
+    "Delta contract; tested in tests/test_vds.py).",
+    tags=("streaming", "versioned", "datasource", "extension"),
+    extended=True,
+)
+def stream_versioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.sources.vds import register_versioned_source
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+
+    register_versioned_source(spark)
+    base = tempfile.mkdtemp(prefix="spark_graft_vds_stream_")
+    atexit.register(shutil.rmtree, base, True)
+    path = os.path.join(base, "tbl")
+    sink = os.path.join(base, "sink")
+    ck = os.path.join(base, "ck")
+    vt = VersionedTable(spark, path)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    half = _DS_CUT // 2
+    vt.overwrite(li.filter(F.col("l_orderkey") < half))
+    vt.append(
+        li.filter(
+            (F.col("l_orderkey") >= half) & (F.col("l_orderkey") < _DS_CUT)
+        )
+    )
+
+    def drain() -> None:
+        sdf = (
+            spark.readStream.format("versioned")
+            .option("path", path)
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    run1 = (
+        spark.read.parquet(sink)
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dec_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(F.lit("run1").alias("phase"), "n_rows", "sum_qty")
+        .collect()[0]
+    )
+    vt.append(li.filter(F.col("l_orderkey") >= _DS_CUT))
+    drain()
+    total = (
+        spark.read.parquet(sink)
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dec_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(F.lit("total").alias("phase"), "n_rows", "sum_qty")
+    )
+    run1_df = spark.createDataFrame([tuple(run1)], total.schema)
+    return run1_df.unionByName(total).orderBy("phase")

@@ -42,6 +42,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -174,6 +175,10 @@ class VersionedDataSource(DataSource):
         path, doc = self._doc()
         return VersionedReader(path, doc)
 
+    def streamReader(self, schema) -> "VersionedStreamReader":
+        path, _ = self._doc()
+        return VersionedStreamReader(path, self.options)
+
 
 def register_versioned_source(spark) -> None:
     """Idempotent session registration.  Python-source filter
@@ -181,3 +186,97 @@ def register_versioned_source(spark) -> None:
     Spark refuses a reader that implements pushFilters."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(VersionedDataSource)
+
+
+# -- streaming source: manifest versions as microbatches ----------------------
+
+
+@dataclass
+class _VersionSlice(InputPartition):
+    paths: tuple  # file paths added in this version range
+
+
+class VersionedStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("versioned")`` — the Delta-style
+    streaming source over manifest commits: each OFFSET is a manifest
+    version, each microbatch reads exactly the files ADDED between
+    the start and end versions (set difference by path — file
+    metadata only, no data listing), so a 100 TB history costs a
+    batch only its own churn.
+
+    Contract (same as Delta's streaming source): the feed is APPEND-
+    driven.  A commit that REMOVES files (delete_where / optimize
+    rewrite) raises unless ``ignoreChanges=true`` — silently re-
+    emitting or dropping rewritten rows would corrupt downstream
+    exactly-once sinks; the error names the option, the user opts in.
+    Offsets checkpoint through Spark's offset log, so restart resumes
+    at the committed version — exactly-once with the txn handshake in
+    streaming/changefeed.py."""
+
+    def __init__(self, path: str, options) -> None:
+        self._path = path
+        self._ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        start = options.get("startingversion")
+        self._start = int(start) if start is not None else 0
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def _latest_version(self) -> int:
+        mdir = os.path.join(self._path, "_manifests")
+        best = self._start
+        for name in os.listdir(mdir):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    best = max(best, int(name[1:-5]))
+                except ValueError:
+                    continue
+        return best
+
+    def latestOffset(self) -> dict:
+        return {"version": self._latest_version()}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["version"]), int(end["version"])
+        parts: list[_VersionSlice] = []
+        prev_paths: set | None = None
+        for v in range(lo, hi + 1):
+            doc = _resolve_manifest(self._path, str(v)) if v > 0 else {
+                "files": []
+            }
+            paths = {e["path"] for e in doc["files"]}
+            if prev_paths is not None:
+                removed = prev_paths - paths
+                if removed and not self._ignore_changes:
+                    raise ValueError(
+                        f"versioned stream: commit v{v} removes "
+                        f"{len(removed)} file(s) (delete/rewrite). "
+                        "The append-driven stream cannot represent "
+                        "this exactly-once; restart from a snapshot "
+                        "or set option ignoreChanges=true to stream "
+                        "added files only."
+                    )
+                added = sorted(paths - prev_paths)
+                if added:
+                    parts.append(
+                        _VersionSlice(
+                            tuple(
+                                os.path.join(self._path, p)
+                                for p in added
+                            )
+                        )
+                    )
+            prev_paths = paths
+        return parts
+
+    def read(self, partition: _VersionSlice):
+        import pyarrow.parquet as pq
+
+        for path in partition.paths:
+            yield from pq.ParquetFile(path).iter_batches()
+
+    def commit(self, end: dict) -> None:
+        # offsets live in Spark's checkpoint offset log; nothing to do
+        pass

@@ -124,3 +124,59 @@ def test_vds_schema_comes_from_manifest(spark, vds_table):
     path, li, _ = vds_table
     df = spark.read.format("versioned").option("path", path).load()
     assert df.schema == li.schema
+
+
+# -- streaming source ----------------------------------------------------------
+
+
+def test_vds_stream_exactly_once_and_delete_guard(spark, sf_dir):
+    import tempfile
+
+    from diabetes_etl_spark.sources.tables import load_table
+    from diabetes_etl_spark.sources.versioned import VersionedTable
+
+    register_versioned_source(spark)
+    base = tempfile.mkdtemp(prefix="vds_stream_test_")
+    path, sink, ck = (
+        os.path.join(base, "t"),
+        os.path.join(base, "s"),
+        os.path.join(base, "c"),
+    )
+    vt = VersionedTable(spark, path)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    vt.overwrite(li.filter("l_orderkey < 500"))
+
+    def drain(**opts):
+        r = spark.readStream.format("versioned").option("path", path)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (
+            r.load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink).count()
+
+    n1 = drain()
+    assert n1 == li.filter("l_orderkey < 500").count()
+    # no new commit: re-drain over the checkpoint adds nothing
+    assert drain() == n1
+    vt.append(li.filter("l_orderkey >= 500"))
+    assert drain() == li.count()
+    # a delete commit must fail loudly (append-driven contract)...
+    vt.delete_where("l_orderkey < 100")
+    with pytest.raises(Exception, match="removes|ignoreChanges"):
+        drain()
+    # ...and ignoreChanges opts in to added-files-only streaming
+    # (the delete rewrote survivors into new files -> they re-emit;
+    # the option's documented semantics, same as Delta)
+    before = spark.read.parquet(sink).count()
+    after = drain(ignoreChanges="true")
+    assert after >= before
+    shutil.rmtree(base, ignore_errors=True)
