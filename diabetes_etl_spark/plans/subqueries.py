@@ -251,3 +251,55 @@ register(
     tags=("subquery", "lateral", "topk", "extension"),
     extended=True,
 )(_sql_query(_LATERAL_SQL, ("nation", "customer", "orders")))
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE base AS (
+  SELECT DISTINCT l.l_suppkey AS s,
+    o.o_custkey + 1000000000000 AS c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT s AS src, c AS dst FROM base
+  UNION
+  SELECT c AS src, s AS dst FROM base
+),
+seeds AS (
+  SELECT s AS seed FROM (SELECT DISTINCT s FROM base) t
+  ORDER BY s LIMIT 3
+),
+walk(seed, node, hop) AS (
+  SELECT seed, CAST(seed AS BIGINT) AS node, 0 AS hop FROM seeds
+  UNION ALL
+  SELECT DISTINCT w.seed, e.dst, w.hop + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.hop < 3
+),
+first_reach AS (
+  SELECT seed, node, MIN(hop) AS hop
+  FROM walk GROUP BY seed, node
+)
+SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM first_reach WHERE hop > 0
+GROUP BY hop ORDER BY hop
+"""
+
+register(
+    "recursive_cte_khop",
+    oracle=_RECURSIVE_SQL,
+    doc="WITH RECURSIVE (Spark 4 recursive CTE) — 3-hop reachability "
+    "on the symmetric supplier-customer trade graph expressed as the "
+    "SQL-standard recursion, ONE SQL string for both engines.  The "
+    "recursive term takes SELECT DISTINCT of the previous level's "
+    "frontier joined to edges (standard working-table semantics both "
+    "engines), so each iteration materializes a deduplicated frontier "
+    "bounded by seeds x nodes — never the walk multiset, which grows "
+    "exponentially on a cyclic graph; the hop < 3 bound terminates "
+    "the recursion regardless of cycles (Spark's UNION-distinct "
+    "recursion isn't supported yet, so the bound + final MIN(hop) "
+    "carry the semantics).  Cross-checked by construction against "
+    "graph_khop_reach's iterative anti-join-visited BFS, which "
+    "computes the same first-reach profile operator-style.",
+    tags=("subquery", "recursive-cte", "graph", "extension"),
+    extended=True,
+)(_sql_query(_RECURSIVE_SQL, ("lineitem", "orders")))

@@ -871,3 +871,23 @@ def test_cuped_matches_numpy_reference(spark, sf_dir):
     d_x = x[va == 1].mean() - x[va == 0].mean()
     assert abs(r["delta_raw"] - d_raw) < 1e-4
     assert abs(r["delta_cuped"] - (d_raw - cov / vx * d_x)) < 1e-4
+
+
+def test_recursive_cte_matches_iterative_bfs(spark, sf_dir):
+    """The WITH RECURSIVE k-hop profile equals graph_khop_reach's
+    iterative frontier BFS aggregated the same way (hops 1..3, same
+    3 seeds) — two independent formulations, one answer."""
+    rec = {
+        r["hop"]: r["n_nodes"]
+        for r in QUERIES["recursive_cte_khop"].fn(spark, sf_dir).collect()
+    }
+    it = QUERIES["graph_khop_reach"].fn(spark, sf_dir).collect()
+    # graph_khop_reach: per-(seed, hop) first-reach counts over 5
+    # seeds; the recursive query uses the 3 smallest seeds — sum
+    # n_new over those seeds per hop
+    seeds = sorted({r["seed"] for r in it})[:3]
+    it_map: dict[int, int] = {}
+    for r in it:
+        if r["seed"] in seeds:
+            it_map[r["hop"]] = it_map.get(r["hop"], 0) + r["n_new"]
+    assert rec == it_map
