@@ -2172,3 +2172,55 @@ SELECT n_rows, point_mean, boot_se, ci_lo, ci_hi FROM point, stats
     tags=("statistics", "bootstrap", "extension"),
     extended=True,
 )(_poisson_bootstrap_ci)
+
+
+# -- join strategy hints (round 9) ---------------------------------------------
+
+_HINT_SQL = """
+SELECT 'shuffle_hash' AS strategy, n_orders, revenue FROM (
+  SELECT /*+ SHUFFLE_HASH(o) */
+    COUNT(*) AS n_orders,
+    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+      AS revenue
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+) a
+UNION ALL
+SELECT 'merge', n_orders, revenue FROM (
+  SELECT /*+ MERGE(o) */
+    COUNT(*) AS n_orders,
+    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+      AS revenue
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '2-HIGH'
+) b
+UNION ALL
+SELECT 'broadcast', n_orders, revenue FROM (
+  SELECT /*+ BROADCAST(o) */
+    COUNT(*) AS n_orders,
+    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+      AS revenue
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '3-MEDIUM'
+) c
+ORDER BY strategy
+"""
+
+register(
+    "join_strategy_hints",
+    oracle=_HINT_SQL,
+    doc="Join-strategy HINTS — the manual override lever when "
+    "Catalyst's size estimates are wrong at 100 TB (a common failure: "
+    "a filtered dimension whose post-filter size the optimizer can't "
+    "see).  The same orders-lineitem join runs under SHUFFLE_HASH "
+    "(skips the sort — wins when one side fits per-partition memory), "
+    "MERGE (sort-merge — wins when both sides are huge or pre-"
+    "sorted), and BROADCAST (replicates the small side — kills the "
+    "shuffle entirely); tests/test_plans.py asserts each hint "
+    "actually flips the physical operator.  Results are identical by "
+    "construction — strategy choice must never change answers — and "
+    "DuckDB reads the hint as a comment, so ONE SQL string is both "
+    "the plan and the oracle.",
+    tags=("join", "hints", "plan-control", "extension"),
+    extended=True,
+)(_sql_query(_HINT_SQL, ("orders", "lineitem")))

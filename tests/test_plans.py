@@ -891,3 +891,11 @@ def test_recursive_cte_matches_iterative_bfs(spark, sf_dir):
         if r["seed"] in seeds:
             it_map[r["hop"]] = it_map.get(r["hop"], 0) + r["n_new"]
     assert rec == it_map
+
+
+def test_join_hints_flip_physical_operators(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_strategy_hints", "formatted")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
