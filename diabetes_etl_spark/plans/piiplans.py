@@ -236,3 +236,81 @@ def pii_kanonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, ["c_nationkey", "c_mktsegment"], _KANON_K,
         sensitive_col="in_debt",
     ).orderBy("c_nationkey", "c_mktsegment")
+
+
+# -- differential privacy: seeded Laplace counts (round 9) ---------------------
+
+_DP_EPS = 1.0  # budget per release; sensitivity of a count is 1
+
+
+@register(
+    "pii_dp_noisy_counts",
+    oracle=f"""
+WITH g AS (
+  SELECT c_nationkey, COUNT(*) AS n FROM customer GROUP BY c_nationkey
+),
+u AS (
+  SELECT c_nationkey, n,
+    CAST(('0x' || substr(md5('dp#' || CAST(c_nationkey AS VARCHAR)),
+      1, 8))::BIGINT AS DOUBLE) / 4294967296.0 AS uu
+  FROM g
+)
+SELECT c_nationkey,
+  ROUND(n + (CASE WHEN uu < 0.5 THEN 1 ELSE -1 END)
+    * (CAST(1 AS DOUBLE) / {_DP_EPS!r})
+    * ROUND(LN(CASE WHEN uu < 0.5 THEN 2 * uu
+                    ELSE 2 * (1 - uu) END), 9), 6) AS noisy_count
+FROM u
+ORDER BY c_nationkey
+""",
+    doc="Differentially-private count release (Laplace mechanism, "
+    "eps=1, count sensitivity 1): per-nation customer counts plus "
+    "Laplace(1/eps) noise drawn by INVERSE CDF from a SEEDED "
+    "md5-prefix uniform — the reproducible-DP pattern production "
+    "pipelines use so a re-run releases the SAME noisy values "
+    "instead of leaking extra budget through fresh randomness "
+    "(each release key gets one fixed draw; a new release must "
+    "change the seed string and spend new budget).  The one libm "
+    "call (ln) quantizes to 9 decimals (the BM25 precedent) so both "
+    "engines emit identical noise; sign and magnitude derive from "
+    "the same u.  Scale: the noise attaches to the GROUPED table — "
+    "one aggregate pass, O(groups) epilogue.",
+    tags=("pii", "privacy", "dp", "extension"),
+    extended=True,
+)
+def pii_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+    uu = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("dp#"),
+                        F.col("c_nationkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = g.withColumn("uu", uu)
+    sign = F.when(F.col("uu") < 0.5, F.lit(1)).otherwise(F.lit(-1))
+    mag = F.round(
+        F.log(
+            F.when(F.col("uu") < 0.5, 2 * F.col("uu")).otherwise(
+                2 * (F.lit(1.0) - F.col("uu"))
+            )
+        ),
+        9,
+    )
+    return w.select(
+        "c_nationkey",
+        F.round(
+            F.col("n") + sign * (F.lit(1.0) / F.lit(_DP_EPS)) * mag, 6
+        ).alias("noisy_count"),
+    ).orderBy("c_nationkey")

@@ -113,3 +113,52 @@ def test_kanonymity_without_sensitive_col_has_no_diversity_columns(spark):
     df = spark.createDataFrame([("a", 1)] * 3, "zip string, age int")
     out = kanonymity_profile(df, ["zip"], k=2)
     assert out.columns == ["zip", "n_rows", "is_risky"]
+
+
+# -- DP noisy counts (round 9) --------------------------------------------------
+
+
+def test_dp_noise_matches_inverse_cdf_reference(spark, sf_dir):
+    """Replays the seeded Laplace draw in pure Python and checks the
+    released values; also sanity-bounds noise magnitude."""
+    import hashlib
+    import math
+
+    from diabetes_etl_spark.plans import all_queries
+    from diabetes_etl_spark.sources.tables import load_table
+
+    rows = (
+        all_queries(include_extended=True)["pii_dp_noisy_counts"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    truth = {
+        r["c_nationkey"]: r["n"]
+        for r in load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for r in rows:
+        k = r["c_nationkey"]
+        u = int(
+            hashlib.md5(f"dp#{k}".encode()).hexdigest()[:8], 16
+        ) / 2**32
+        if u < 0.5:
+            noise = round(math.log(2 * u), 9)
+        else:
+            noise = -round(math.log(2 * (1 - u)), 9)
+        expected = round(truth[k] + noise, 6)
+        assert abs(r["noisy_count"] - expected) < 1e-9
+        # Laplace(1) noise beyond |12| has probability ~6e-6
+        assert abs(r["noisy_count"] - truth[k]) < 12
+
+
+def test_dp_rerun_releases_identical_values(spark, sf_dir):
+    from diabetes_etl_spark.plans import all_queries
+
+    q = all_queries(include_extended=True)["pii_dp_noisy_counts"].fn
+    a = sorted(map(tuple, q(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q(spark, sf_dir).collect()))
+    assert a == b
