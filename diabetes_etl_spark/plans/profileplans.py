@@ -948,3 +948,90 @@ def layout_pruning_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("curve")
     )
+
+
+# -- functional-dependency strength discovery (round 9) ------------------------
+
+_FD_COLS = ("p_name", "p_brand", "p_type", "p_size")
+
+
+@register(
+    "profile_functional_deps",
+    oracle=f"""
+WITH pairs AS (
+  {" UNION ALL ".join(
+    f"SELECT '{a}' AS det, '{b}' AS dep, "
+    f"CAST({a} AS VARCHAR) AS av, CAST({b} AS VARCHAR) AS bv FROM part"
+    for a in _FD_COLS for b in _FD_COLS if a != b
+  )}
+),
+pc AS (
+  SELECT det, dep, av, bv, COUNT(*) AS n
+  FROM pairs GROUP BY det, dep, av, bv
+),
+pg AS (
+  SELECT det, dep, av,
+    MAX(n) AS best, SUM(n) AS tot,
+    COUNT(*) AS n_dep_vals
+  FROM pc GROUP BY det, dep, av
+)
+SELECT det, dep,
+  CAST(COUNT(*) AS BIGINT) AS n_groups,
+  CAST(SUM(CASE WHEN n_dep_vals > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS violating_groups,
+  ROUND(CAST(SUM(best) AS DOUBLE) / SUM(tot), 9) AS fd_confidence
+FROM pg
+GROUP BY det, dep
+ORDER BY det, dep
+""",
+    doc="Functional-dependency STRENGTH discovery over the part "
+    "attribute set — the data-profiling primitive behind schema "
+    "inference and key detection: for every ordered column pair "
+    "A -> B, the number of A-groups with more than one B value and "
+    "the g3-style confidence = (rows kept by the best per-group "
+    "repair) / N, i.e. SUM(max per-(A,B) count) / total.  ONE corpus "
+    "scan stacks all 12 pairs into (det, dep, a_val, b_val) rows; "
+    "two grouped reductions do the rest — never a pass per candidate "
+    "pair, which is what makes profiling 12 (or 12,000) candidates "
+    "affordable at 100 TB.  Exact integer counts; one final "
+    "division.",
+    tags=("profile", "fd", "data-quality", "extension"),
+    extended=True,
+)
+def profile_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    stacked = part.select(
+        F.expr(
+            "stack("
+            + str(len(_FD_COLS) * (len(_FD_COLS) - 1))
+            + ", "
+            + ", ".join(
+                f"'{a}', '{b}', CAST({a} AS STRING), CAST({b} AS STRING)"
+                for a in _FD_COLS
+                for b in _FD_COLS
+                if a != b
+            )
+            + ")"
+        ).alias("det", "dep", "av", "bv")
+    )
+    pc = stacked.groupBy("det", "dep", "av", "bv").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pg = pc.groupBy("det", "dep", "av").agg(
+        F.max("n").alias("best"),
+        F.sum("n").alias("tot"),
+        F.count(F.lit(1)).alias("n_dep_vals"),
+    )
+    return (
+        pg.groupBy("det", "dep")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(
+                F.when(F.col("n_dep_vals") > 1, 1).otherwise(0)
+            ).cast("long").alias("violating_groups"),
+            F.round(
+                F.sum("best").cast("double") / F.sum("tot"), 9
+            ).alias("fd_confidence"),
+        )
+        .orderBy("det", "dep")
+    )

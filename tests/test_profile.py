@@ -177,3 +177,69 @@ def test_mutual_information_known_cases(spark, tmp_path):
     )
     assert abs(ind.mi_nats) < 1e-6
     assert ind.n_cells == 4
+
+
+def test_fd_confidence_bounds_and_exact_fd_detection(spark):
+    """A constructed exact FD has confidence 1.0 / zero violations; a
+    broken one reports the right violating group and g3 confidence."""
+    from diabetes_etl_spark.plans import all_queries  # noqa: F401
+
+    import diabetes_etl_spark.plans.profileplans as pp
+
+    rows = [
+        ("a", "x", 1), ("a", "x", 1), ("b", "y", 2), ("b", "y", 2),
+        ("c", "y", 3), ("c", "y", 4),
+    ]
+    df = spark.createDataFrame(rows, "k string, v string, z int")
+    from pyspark.sql import functions as F
+
+    stacked = df.select(
+        F.expr(
+            "stack(2, 'k', 'v', CAST(k AS STRING), CAST(v AS STRING), "
+            "'k', 'z', CAST(k AS STRING), CAST(z AS STRING))"
+        ).alias("det", "dep", "av", "bv")
+    )
+    pc = stacked.groupBy("det", "dep", "av", "bv").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pg = pc.groupBy("det", "dep", "av").agg(
+        F.max("n").alias("best"),
+        F.sum("n").alias("tot"),
+        F.count(F.lit(1)).alias("n_dep_vals"),
+    )
+    out = {
+        (r["det"], r["dep"]): r
+        for r in pg.groupBy("det", "dep")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("n_dep_vals") > 1, 1).otherwise(0)).alias(
+                "violating_groups"
+            ),
+            F.round(F.sum("best").cast("double") / F.sum("tot"), 9).alias(
+                "fd_confidence"
+            ),
+        )
+        .collect()
+    }
+    kv = out[("k", "v")]
+    assert kv["violating_groups"] == 0 and kv["fd_confidence"] == 1.0
+    kz = out[("k", "z")]
+    # group c has two z values -> 1 violating group; best repair keeps
+    # 5 of 6 rows
+    assert kz["violating_groups"] == 1
+    assert abs(kz["fd_confidence"] - 5 / 6) < 1e-9
+
+
+def test_fd_profile_fixture_invariants(spark, sf_dir):
+    from diabetes_etl_spark.plans import all_queries
+
+    rows = (
+        all_queries(include_extended=True)["profile_functional_deps"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert len(rows) == 12
+    for r in rows:
+        assert 0.0 < r["fd_confidence"] <= 1.0
+        if r["violating_groups"] == 0:
+            assert r["fd_confidence"] == 1.0
