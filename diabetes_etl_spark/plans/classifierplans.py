@@ -421,7 +421,7 @@ ORDER BY level, leaf
     "counts, and leaf means.  Scale: per level = one fact scan + an "
     "O(leaves x F x B)-row window; no global sort anywhere.",
     tags=("ml", "gbdt", "histogram", "iterative", "extension"),
-    extended=True,
+    extended=False,  # promoted to the gate round 9 (registry._EXTENDED rationale)
 )
 def ml_gbdt_histogram_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.operators.gbdt import (
@@ -540,7 +540,7 @@ FROM a
     "ratios).  The oracle unrolls the same 3 GD training rounds and "
     "replays the identical rank algebra.",
     tags=("classifier", "ml", "ranking-metric", "extension"),
-    extended=True,
+    extended=False,  # promoted to the gate round 9 (registry._EXTENDED rationale)
 )
 def classifier_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.operators.classifier import (

@@ -3234,7 +3234,7 @@ FROM d
     "100 TB this is one fact scan + constants — CUPED is free at any "
     "scale, which is why every platform runs it.",
     tags=("events", "abtest", "statistics", "cuped", "extension"),
-    extended=True,
+    extended=False,  # promoted to the gate round 9 (registry._EXTENDED rationale)
 )
 def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

@@ -371,6 +371,44 @@ _EXTENDED: frozenset[str] = frozenset(
         # 6-9 (the graph_pagerank_trade precedent) and its peeling
         # oracle stays green locally
         "graph_kcore_trade",
+        # ---- round-9 second session rotation: five twins move out so
+        # the round-9 late families (ml_gbdt_histogram_tree,
+        # classifier_auc_roc, sketch_kmv_event_overlap,
+        # recursive_cte_khop, events_ab_cuped) get driver-gate
+        # visibility in the round that built them.  Every demoted
+        # query keeps its oracle and stays green in
+        # tests/test_oracle.py:
+        # SQL-over-registered-views dash scan: identical entry surface
+        # to the three diab_dash_* queries remaining in the gate (the
+        # diab_dash_totals/risk_matrix precedent, rounds 6-7); its
+        # ORDER BY CASE shape stays gate-covered by
+        # diab_dash_risk_distribution and locally by
+        # sort_case_custom_order
+        "diab_dash_age_group",
+        # incremental minhash vs persisted index: the dedup family
+        # keeps THREE gate slots (dedup_exact_docs, dedup_components,
+        # dedup_cdc_chunks) and the banding machinery is shared with
+        # dedup_minhash_lsh (ext since round 7); gate-green rounds
+        # 7-9, index-side cap + per-batch-cost tests stay in
+        # tests/test_dedup.py
+        "dedup_incremental_minhash",
+        # hyperplane-LSH ANN: the ANN surface keeps sim_pq_adc_topk in
+        # the gate (bucketed candidates -> exact re-rank -> covering
+        # oracle, the same contract); LSH stays a bench headline with
+        # recall floors in tests/test_similarity.py; gate-green rounds
+        # 4-9 (the sim_ivf_topk precedent)
+        "sim_lsh_topk",
+        # per-language quality signals: the text family keeps FIVE
+        # gate slots (bigram_lm, bm25, html_extract, wordpiece,
+        # rouge_bleu) over the same tokenizer + per-doc signal
+        # machinery; gate-green since round 3
+        "text_quality_by_lang",
+        # GROUPING SETS / HAVING: gate-green since round 4; the wide
+        # SQL surface keeps window_suite + the dash CTE/subquery
+        # shapes, rollup/cube/sets stay asserted in tests/test_plans
+        # .py and oracle-green locally; its slot carries the NEW SQL
+        # surface (WITH RECURSIVE)
+        "grouping_sets_having_regions",
     }
 )
 

@@ -1891,7 +1891,7 @@ ORDER BY type_a, type_b
     "branch), so the oracle is the exact set algebra; the truncated "
     "(k-1)*2^32/tau estimator branch carries error-bound unit tests.",
     tags=("sketch", "kmv", "distinct", "jaccard", "extension"),
-    extended=True,
+    extended=False,  # promoted to the gate round 9 (registry._EXTENDED rationale)
 )(_kmv_event_overlap)
 
 

@@ -301,5 +301,5 @@ register(
     "graph_khop_reach's iterative anti-join-visited BFS, which "
     "computes the same first-reach profile operator-style.",
     tags=("subquery", "recursive-cte", "graph", "extension"),
-    extended=True,
+    extended=False,  # promoted to the gate round 9 (registry._EXTENDED rationale)
 )(_sql_query(_RECURSIVE_SQL, ("lineitem", "orders")))
