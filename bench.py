@@ -83,6 +83,14 @@ HEADLINE = [
     "dedup_cdc_chunks",
     "text_wordpiece_segments",
     "text_rouge_bleu_pairs",
+    # round-9 late families: histogram-GBDT depth-2 tree (one fact
+    # scan per level), exact AUC/KS rank metrics (bounded score-group
+    # table), KMV bottom-k intersection sketch, item-item CF (capped
+    # co-occurrence cosine)
+    "ml_gbdt_histogram_tree",
+    "classifier_auc_roc",
+    "sketch_kmv_event_overlap",
+    "cf_item_similarity_topk",
 ]
 
 

@@ -1913,10 +1913,12 @@ def _cf_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bounded fan-out contract: degenerate power-users would make the
     # self-join quadratic per user; cap at 200 items (no fixture user
-    # reaches it — the oracle applies the same cap)
-    kept = ui.groupBy("u").agg(
-        F.collect_list("i").alias("_is"), F.count(F.lit(1)).alias("nu")
-    ).where(F.col("nu") <= 200).select("u", F.explode("_is").alias("i"))
+    # reaches it — the oracle applies the same cap).  Left-semi join
+    # against the capped user set — no array materialization.
+    ok_users = ui.groupBy("u").agg(F.count(F.lit(1)).alias("nu")).where(
+        F.col("nu") <= 200
+    ).select("u")
+    kept = ui.join(ok_users, "u", "left_semi")
     item_n = kept.groupBy("i").agg(F.count(F.lit(1)).alias("ni"))
     pairs = (
         kept.alias("a")
