@@ -769,3 +769,240 @@ def classifier_isotonic_calibration(
         )
         .orderBy("bin")
     )
+
+
+# -- closed-form ridge regression (round 9) ------------------------------------
+
+_RIDGE_LAMBDA = 10.0
+
+
+@register(
+    "ml_ridge_closed_form",
+    oracle=f"""
+WITH s AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+    CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+      AS DOUBLE) AS s11,
+    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,6)))
+      AS DOUBLE) AS s12,
+    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,6)))
+      AS DOUBLE) AS s22,
+    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+      AS DOUBLE) AS s1y,
+    CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(38,6)))
+      AS DOUBLE) AS s2y,
+    CAST(SUM(CAST(l_extendedprice * l_extendedprice
+      AS DECIMAL(38,6))) AS DOUBLE) AS syy
+  FROM lineitem
+),
+c AS (
+  SELECT n,
+    s11 - s1 * s1 / n + CAST({_RIDGE_LAMBDA!r} AS DOUBLE) AS a11,
+    s12 - s1 * s2 / n AS a12,
+    s22 - s2 * s2 / n + CAST({_RIDGE_LAMBDA!r} AS DOUBLE) AS a22,
+    s1y - s1 * sy / n AS c1,
+    s2y - s2 * sy / n AS c2,
+    syy - sy * sy / n AS syy_c,
+    s1 / n AS m1, s2 / n AS m2, sy / n AS my
+  FROM s
+),
+w AS (
+  SELECT n, syy_c, c1, c2, m1, m2, my,
+    a11 * a22 - a12 * a12 AS det,
+    (c1 * a22 - c2 * a12) / (a11 * a22 - a12 * a12) AS w1,
+    (c2 * a11 - c1 * a12) / (a11 * a22 - a12 * a12) AS w2
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+  ROUND(w1, 9) AS w_quantity,
+  ROUND(w2, 9) AS w_discount,
+  ROUND(my - w1 * m1 - w2 * m2, 6) AS intercept,
+  ROUND((w1 * c1 + w2 * c2) / syy_c, 9) AS r2
+FROM w
+""",
+    doc=f"Closed-form RIDGE regression (lambda {_RIDGE_LAMBDA}) of "
+    "l_extendedprice on (l_quantity, l_discount) via centered normal "
+    "equations — the exact linear model ONE aggregate pass buys when "
+    "d is small: all 9 sufficient statistics fold through "
+    "DECIMAL(38,6) (2-decimal money x integer quantities — exact), "
+    "the centered 2x2 system solves by explicit determinant in "
+    "pinned IEEE order, intercept recovers from the means, and R^2 = "
+    "explained/total centered sum of squares.  No iteration, no "
+    "collect, no libm; the oracle replays the identical algebra.  "
+    "Scale: one map-side-combined pass + a 1-row epilogue — at "
+    "100 TB the entire model costs one scan (the GD trainer "
+    "classifier_logreg_train is the iterative general-d pattern; "
+    "this is the exact small-d shortcut).",
+    tags=("ml", "regression", "extension"),
+    extended=True,
+)
+def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d6 = lambda c: c.cast("decimal(38,6)")
+    q, disc, y = F.col("l_quantity"), F.col("l_discount"), F.col(
+        "l_extendedprice"
+    )
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d6(q)).cast("double").alias("s1"),
+        F.sum(d6(disc)).cast("double").alias("s2"),
+        F.sum(d6(y)).cast("double").alias("sy"),
+        F.sum(d6(q * q)).cast("double").alias("s11"),
+        F.sum(d6(q * disc)).cast("double").alias("s12"),
+        F.sum(d6(disc * disc)).cast("double").alias("s22"),
+        F.sum(d6(q * y)).cast("double").alias("s1y"),
+        F.sum(d6(disc * y)).cast("double").alias("s2y"),
+        F.sum(d6(y * y)).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    lam = F.lit(float(_RIDGE_LAMBDA))
+    c = s.select(
+        n,
+        (F.col("s11") - F.col("s1") * F.col("s1") / n + lam).alias("a11"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / n).alias("a12"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / n + lam).alias("a22"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / n).alias("c1"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / n).alias("c2"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / n).alias("syy_c"),
+        (F.col("s1") / n).alias("m1"),
+        (F.col("s2") / n).alias("m2"),
+        (F.col("sy") / n).alias("my"),
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    w1 = (F.col("c1") * F.col("a22") - F.col("c2") * F.col("a12")) / det
+    w2 = (F.col("c2") * F.col("a11") - F.col("c1") * F.col("a12")) / det
+    w = c.select(
+        n, F.col("syy_c"), F.col("c1"), F.col("c2"),
+        F.col("m1"), F.col("m2"), F.col("my"),
+        w1.alias("w1"), w2.alias("w2"),
+    )
+    return w.select(
+        n.cast("long").alias("n_rows"),
+        F.round(F.col("w1"), 9).alias("w_quantity"),
+        F.round(F.col("w2"), 9).alias("w_discount"),
+        F.round(
+            F.col("my") - F.col("w1") * F.col("m1")
+            - F.col("w2") * F.col("m2"),
+            6,
+        ).alias("intercept"),
+        F.round(
+            (F.col("w1") * F.col("c1") + F.col("w2") * F.col("c2"))
+            / F.col("syy_c"),
+            9,
+        ).alias("r2"),
+    )
+
+
+# -- weight-of-evidence / information value (round 9) ---------------------------
+
+
+@register(
+    "ml_woe_information_value",
+    oracle="""
+WITH base AS (
+  SELECT CAST(least(floor(LENGTH(text) / 500.0), 9) AS INT) AS bin,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE LENGTH(text) > 0
+),
+b AS (
+  SELECT bin, COUNT(*) AS n, SUM(y) AS p, COUNT(*) - SUM(y) AS q
+  FROM base GROUP BY bin
+),
+t AS (
+  SELECT bin, n, p, q,
+    SUM(p) OVER () AS pt, SUM(q) OVER () AS qt
+  FROM b
+),
+w AS (
+  SELECT bin, n, p, q, pt, qt,
+    CASE WHEN p > 0 AND q > 0 THEN
+      ROUND(LN(CAST(p * qt AS DOUBLE) / (q * pt)), 9)
+    END AS woe
+  FROM t
+),
+iv AS (
+  SELECT bin, n, p, woe,
+    CASE WHEN woe IS NOT NULL THEN
+      CAST(ROUND((CAST(p AS DOUBLE) / pt - CAST(q AS DOUBLE) / qt)
+                 * woe, 12) AS DECIMAL(28,12))
+    ELSE CAST(0 AS DECIMAL(28,12)) END AS term
+  FROM w
+)
+SELECT CAST(bin AS INT) AS bin, CAST(n AS BIGINT) AS n_docs,
+  CAST(p AS BIGINT) AS n_pos, woe,
+  CAST(SUM(term) OVER () AS DOUBLE) AS information_value
+FROM iv
+ORDER BY bin
+""",
+    doc="Weight-of-evidence encoding + information value for the "
+    "is-English label over document-length bins — the credit-scoring "
+    "feature-screening standard: WOE_b = ln((p_b/P)/(q_b/Q)) "
+    "evaluated as ln of ONE exact-integer cross-ratio (p*qt)/(q*pt) "
+    "with the repo's 9-decimal ln quantization (the BM25 libm "
+    "precedent); IV = sum (p_b/P - q_b/Q) * WOE_b with terms "
+    "quantized to 12 decimals and folded through DECIMAL so the "
+    "across-bin sum is order-independent.  Empty-side bins emit NULL "
+    "WOE and contribute 0 to IV (the standard guard, not a fudge "
+    "factor).  Scale: one corpus pass to B=10 bins, everything after "
+    "is O(B).",
+    tags=("ml", "woe", "feature-screening", "extension"),
+    extended=True,
+)
+def ml_woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.expr("LENGTH(text) > 0")).select(
+        F.least(F.floor(F.length("text") / 500.0), F.lit(9))
+        .cast("int")
+        .alias("bin"),
+        F.expr(_Y).alias("y"),
+    )
+    b = base.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("p"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("q"),
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = b.select(
+        "bin", "n", "p", "q",
+        F.sum("p").over(w_all).alias("pt"),
+        F.sum("q").over(w_all).alias("qt"),
+    )
+    woe = F.when(
+        (F.col("p") > 0) & (F.col("q") > 0),
+        F.round(
+            F.log(
+                (F.col("p") * F.col("qt")).cast("double")
+                / (F.col("q") * F.col("pt"))
+            ),
+            9,
+        ),
+    )
+    w = t.withColumn("woe", woe)
+    term = F.when(
+        F.col("woe").isNotNull(),
+        F.round(
+            (
+                F.col("p").cast("double") / F.col("pt")
+                - F.col("q").cast("double") / F.col("qt")
+            )
+            * F.col("woe"),
+            12,
+        ).cast("decimal(28,12)"),
+    ).otherwise(F.lit(0).cast("decimal(28,12)"))
+    iv = w.withColumn("term", term)
+    return iv.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("p").cast("long").alias("n_pos"),
+        "woe",
+        F.sum("term").over(w_all).cast("double").alias(
+            "information_value"
+        ),
+    ).orderBy("bin")

@@ -290,3 +290,54 @@ def test_isotonic_output_is_monotone_on_fixture(spark, sf_dir):
         sum(r["n_docs"] * r["iso_rate"] for r in rows)
         - sum(r["n_pos"] for r in rows)
     ) < 1e-6 * sum(r["n_docs"] for r in rows)
+
+
+def test_ridge_closed_form_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from diabetes_etl_spark.plans import all_queries
+    from diabetes_etl_spark.sources.tables import load_table
+
+    r = all_queries(include_extended=True)["ml_ridge_closed_form"].fn(
+        spark, sf_dir
+    ).collect()[0]
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    ).collect()
+    X = np.array([[x["l_quantity"], x["l_discount"]] for x in rows])
+    y = np.array([x["l_extendedprice"] for x in rows])
+    Xc = X - X.mean(axis=0)
+    yc = y - y.mean()
+    lam = 10.0
+    A = Xc.T @ Xc + lam * np.eye(2)
+    w = np.linalg.solve(A, Xc.T @ yc)
+    b0 = y.mean() - w @ X.mean(axis=0)
+    assert abs(r["w_quantity"] - w[0]) < 1e-5
+    assert abs(r["w_discount"] - w[1]) < 1e-3
+    assert abs(r["intercept"] - b0) < 1e-2
+    assert 0.0 < r["r2"] <= 1.0
+
+
+def test_woe_iv_identities(spark, sf_dir):
+    import math
+
+    from diabetes_etl_spark.plans import all_queries
+
+    rows = all_queries(include_extended=True)[
+        "ml_woe_information_value"
+    ].fn(spark, sf_dir).collect()
+    pt = sum(r["n_pos"] for r in rows)
+    qt = sum(r["n_docs"] - r["n_pos"] for r in rows)
+    iv = rows[0]["information_value"]
+    assert all(abs(r["information_value"] - iv) < 1e-12 for r in rows)
+    acc = 0.0
+    for r in rows:
+        p, q = r["n_pos"], r["n_docs"] - r["n_pos"]
+        if p > 0 and q > 0:
+            woe = round(math.log((p * qt) / (q * pt)), 9)
+            assert abs(r["woe"] - woe) < 1e-12
+            acc += round((p / pt - q / qt) * woe, 12)
+        else:
+            assert r["woe"] is None
+    assert abs(iv - acc) < 1e-9
+    assert iv >= 0.0  # IV is a KL-symmetrized divergence: nonnegative
