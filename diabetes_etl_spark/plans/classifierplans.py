@@ -1006,3 +1006,203 @@ def ml_woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "information_value"
         ),
     ).orderBy("bin")
+
+
+# -- split-conformal prediction intervals (round 9) -----------------------------
+
+_CONF_ALPHA = 0.1  # target 90% coverage
+
+_CONF_SPLIT = (
+    "CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '#' "
+    "|| CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 4 AS INT)"
+)
+_CONF_SPLIT_SPARK = None  # built inline
+
+
+_CONF_STATS = """
+s AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+    CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+      AS DOUBLE) AS s11,
+    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,6)))
+      AS DOUBLE) AS s12,
+    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,6)))
+      AS DOUBLE) AS s22,
+    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+      AS DOUBLE) AS s1y,
+    CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(38,6)))
+      AS DOUBLE) AS s2y
+  FROM split WHERE part <= 1
+),
+c AS (
+  SELECT n,
+    s11 - s1 * s1 / n + CAST(10.0 AS DOUBLE) AS a11,
+    s12 - s1 * s2 / n AS a12,
+    s22 - s2 * s2 / n + CAST(10.0 AS DOUBLE) AS a22,
+    s1y - s1 * sy / n AS c1,
+    s2y - s2 * sy / n AS c2,
+    s1 / n AS m1, s2 / n AS m2, sy / n AS my
+  FROM s
+),
+w AS (
+  SELECT n AS n_train, m1, m2, my,
+    (c1 * a22 - c2 * a12) / (a11 * a22 - a12 * a12) AS w1,
+    (c2 * a11 - c1 * a12) / (a11 * a22 - a12 * a12) AS w2
+  FROM c
+)"""
+
+
+@register(
+    "ml_conformal_interval",
+    oracle=f"""
+WITH split AS (
+  SELECT l_quantity, l_discount, l_extendedprice,
+    {_CONF_SPLIT} AS part
+  FROM lineitem
+),
+{_CONF_STATS},
+resid AS (
+  SELECT s.part,
+    ABS(s.l_extendedprice
+        - ((w.my - w.w1 * w.m1 - w.w2 * w.m2)
+           + w.w1 * s.l_quantity + w.w2 * s.l_discount)) AS r
+  FROM split s CROSS JOIN w
+  WHERE s.part >= 2
+),
+cal AS (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rk,
+    COUNT(*) OVER () AS n_cal
+  FROM resid WHERE part = 2
+),
+qhat AS (
+  SELECT MAX(n_cal) AS n_cal,
+    MAX(CASE WHEN rk = CAST(ceil((MAX_N + 1) * 0.9) AS BIGINT)
+        THEN r END) AS q
+  FROM (SELECT r, rk, n_cal, MAX(n_cal) OVER () AS MAX_N FROM cal) t
+),
+test AS (
+  SELECT COUNT(*) AS n_test,
+    SUM(CASE WHEN r <= (SELECT q FROM qhat) THEN 1 ELSE 0 END)
+      AS covered
+  FROM resid WHERE part = 3
+)
+SELECT (SELECT CAST(n_train AS BIGINT) FROM w) AS n_train,
+  CAST(q2.n_cal AS BIGINT) AS n_cal,
+  CAST(t.n_test AS BIGINT) AS n_test,
+  ROUND(q2.q, 6) AS q_hat,
+  CAST(t.covered AS DOUBLE) / t.n_test AS coverage
+FROM qhat q2, test t
+""",
+    doc="Split-conformal prediction interval for the closed-form "
+    "ridge model (Vovk; Lei et al.): rows hash-split 4 ways "
+    "(train=0,1 / calibration=2 / test=3), the model fits on train "
+    "via the same one-pass exact normal equations as "
+    "ml_ridge_closed_form, the conformal radius q_hat is the "
+    "ceil((n_cal+1)*(1-alpha))-th smallest calibration |residual| "
+    "(an EXACT order statistic — well-defined under ties), and "
+    "held-out coverage P(|resid| <= q_hat) is reported on the test "
+    "split, which conformal theory guarantees >= 90% in expectation "
+    "with NO distributional assumptions.  Determinism: weights come "
+    "from exact decimal sums; residuals are pinned IEEE arithmetic "
+    "on identical doubles; the order statistic's value is invariant "
+    "to tie order.  Scale: two corpus passes (stats + residuals); "
+    "the rank runs on the calibration split only — production sizes "
+    "that split by hash rate, or replaces the sort with the "
+    "iterative exact-selection operator (selection_exact_percentiles "
+    "pattern).",
+    tags=("ml", "conformal", "uncertainty", "extension"),
+    extended=True,
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("l_orderkey").cast("string"),
+                        F.lit("#"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 4
+    ).cast("int")
+    split = li.select(
+        "l_quantity", "l_discount", "l_extendedprice", part.alias("part")
+    )
+    train = split.where(F.col("part") <= 1)
+    d6 = lambda c: c.cast("decimal(38,6)")
+    q, disc, y = (
+        F.col("l_quantity"),
+        F.col("l_discount"),
+        F.col("l_extendedprice"),
+    )
+    s = train.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d6(q)).cast("double").alias("s1"),
+        F.sum(d6(disc)).cast("double").alias("s2"),
+        F.sum(d6(y)).cast("double").alias("sy"),
+        F.sum(d6(q * q)).cast("double").alias("s11"),
+        F.sum(d6(q * disc)).cast("double").alias("s12"),
+        F.sum(d6(disc * disc)).cast("double").alias("s22"),
+        F.sum(d6(q * y)).cast("double").alias("s1y"),
+        F.sum(d6(disc * y)).cast("double").alias("s2y"),
+    ).collect()[0]
+    n = s["n"]
+    lam = 10.0
+    a11 = s["s11"] - s["s1"] * s["s1"] / n + lam
+    a12 = s["s12"] - s["s1"] * s["s2"] / n
+    a22 = s["s22"] - s["s2"] * s["s2"] / n + lam
+    c1 = s["s1y"] - s["s1"] * s["sy"] / n
+    c2 = s["s2y"] - s["s2"] * s["sy"] / n
+    det = a11 * a22 - a12 * a12
+    w1 = (c1 * a22 - c2 * a12) / det
+    w2 = (c2 * a11 - c1 * a12) / det
+    m1, m2, my = s["s1"] / n, s["s2"] / n, s["sy"] / n
+    w0 = my - w1 * m1 - w2 * m2
+    # O(1) driver model state (the GBDT-winner precedent); residuals
+    # attach scan-locally — no join
+    resid = split.where(F.col("part") >= 2).select(
+        "part",
+        F.abs(
+            y - (F.lit(w0) + F.lit(w1) * q + F.lit(w2) * disc)
+        ).alias("r"),
+    )
+    from pyspark.sql import Window
+
+    cal = resid.where(F.col("part") == 2)
+    n_cal = cal.count()
+    k = math.ceil((n_cal + 1) * (1 - _CONF_ALPHA))
+    wr = Window.orderBy("r")
+    qrow = (
+        cal.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == k)
+        .collect()
+    )
+    q_hat = qrow[0]["r"]
+    test = resid.where(F.col("part") == 3).agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(
+            F.when(F.col("r") <= F.lit(q_hat), 1).otherwise(0)
+        ).alias("covered"),
+    )
+    return test.select(
+        F.lit(int(n)).cast("long").alias("n_train"),
+        F.lit(int(n_cal)).cast("long").alias("n_cal"),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.lit(round(q_hat, 6)).cast("double").alias("q_hat"),
+        (
+            F.col("covered").cast("double") / F.col("n_test")
+        ).alias("coverage"),
+    )

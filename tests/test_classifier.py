@@ -341,3 +341,20 @@ def test_woe_iv_identities(spark, sf_dir):
             assert r["woe"] is None
     assert abs(iv - acc) < 1e-9
     assert iv >= 0.0  # IV is a KL-symmetrized divergence: nonnegative
+
+
+def test_conformal_coverage_near_target(spark, sf_dir):
+    from diabetes_etl_spark.plans import all_queries
+
+    r = all_queries(include_extended=True)["ml_conformal_interval"].fn(
+        spark, sf_dir
+    ).collect()[0]
+    assert r["n_train"] > 0 and r["n_cal"] > 0 and r["n_test"] > 0
+    assert r["q_hat"] > 0
+    # conformal guarantee: coverage >= 1 - alpha in expectation; allow
+    # finite-sample slack of 4 binomial sigmas below target
+    import math
+
+    slack = 4 * math.sqrt(0.1 * 0.9 / r["n_test"])
+    assert r["coverage"] >= 0.9 - slack, r
+    assert r["coverage"] <= 1.0
