@@ -3318,3 +3318,102 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delta_cuped"
         ),
     )
+
+
+@register(
+    "events_psi_drift",
+    oracle="""
+WITH s AS (
+  SELECT CAST(least(floor(value / 25.0), 19) AS INT) AS bin,
+    user_id % 2 AS side
+  FROM events WHERE event_type = 'purchase' AND value >= 0
+),
+b AS (
+  SELECT bin,
+    SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS a,
+    SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS e
+  FROM s GROUP BY bin
+),
+t AS (
+  SELECT bin, a, e,
+    SUM(a) OVER () AS at, SUM(e) OVER () AS et
+  FROM b
+),
+w AS (
+  SELECT bin, a, e,
+    CASE WHEN a > 0 AND e > 0 THEN
+      CAST(ROUND((CAST(a AS DOUBLE) / at - CAST(e AS DOUBLE) / et)
+        * ROUND(LN(CAST(a * et AS DOUBLE) / (e * at)), 9), 12)
+        AS DECIMAL(28,12))
+    ELSE CAST(0 AS DECIMAL(28,12)) END AS term,
+    CASE WHEN a = 0 OR e = 0 THEN 1 ELSE 0 END AS degenerate
+  FROM t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+  CAST(SUM(degenerate) AS BIGINT) AS n_degenerate_bins,
+  CAST(SUM(term) AS DOUBLE) AS psi
+FROM w
+""",
+    doc="Population-stability index between the two deterministic "
+    "population halves of purchase values (the ln-based drift score "
+    "events_value_drift deliberately avoided before the repo's "
+    "9-decimal ln quantization precedent existed): per 20-bin "
+    "equi-width cell, PSI_b = (p_b - q_b) * ln(p_b/q_b) with the ln "
+    "evaluated on ONE exact-integer cross-ratio (a*et)/(e*at), terms "
+    "12dp-quantized and DECIMAL-folded so the bin sum is order-"
+    "independent; one-sided-empty bins are COUNTED as degenerate and "
+    "contribute 0 (the auditable guard — silent epsilon-smoothing "
+    "changes the score).  PSI > 0.25 is the standard retrain alarm.  "
+    "Scale: two map-side-combined histogram passes onto <= 20 rows.",
+    tags=("events", "drift", "psi", "extension"),
+    extended=True,
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 0)
+    ).select(
+        F.least(F.floor(F.col("value") / 25.0), F.lit(19))
+        .cast("int")
+        .alias("bin"),
+        (F.col("user_id") % 2).alias("side"),
+    )
+    b = s.groupBy("bin").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("e"),
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = b.select(
+        "bin", "a", "e",
+        F.sum("a").over(w_all).alias("at"),
+        F.sum("e").over(w_all).alias("et"),
+    )
+    term = F.when(
+        (F.col("a") > 0) & (F.col("e") > 0),
+        F.round(
+            (
+                F.col("a").cast("double") / F.col("at")
+                - F.col("e").cast("double") / F.col("et")
+            )
+            * F.round(
+                F.log(
+                    (F.col("a") * F.col("et")).cast("double")
+                    / (F.col("e") * F.col("at"))
+                ),
+                9,
+            ),
+            12,
+        ).cast("decimal(28,12)"),
+    ).otherwise(F.lit(0).cast("decimal(28,12)"))
+    degen = F.when(
+        (F.col("a") == 0) | (F.col("e") == 0), 1
+    ).otherwise(0)
+    return t.select(term.alias("term"), degen.alias("degenerate")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("degenerate").cast("long").alias("n_degenerate_bins"),
+        F.sum("term").cast("double").alias("psi"),
+    )

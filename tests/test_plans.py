@@ -899,3 +899,13 @@ def test_join_hints_flip_physical_operators(spark, sf_dir):
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_psi_nonnegative_and_symmetricish(spark, sf_dir):
+    r = QUERIES["events_psi_drift"].fn(spark, sf_dir).collect()[0]
+    # PSI is a symmetrized KL: each term (p-q)*ln(p/q) >= 0
+    assert r["psi"] >= 0.0
+    assert r["n_bins"] >= 1
+    assert r["n_degenerate_bins"] <= r["n_bins"]
+    # parity halves of the same distribution: no real drift expected
+    assert r["psi"] < 0.25
