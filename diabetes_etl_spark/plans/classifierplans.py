@@ -1206,3 +1206,70 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("covered").cast("double") / F.col("n_test")
         ).alias("coverage"),
     )
+
+
+# -- grouped per-segment OLS: many models in one pass (round 9) ------------------
+
+
+@register(
+    "ml_grouped_ols_slopes",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag AS seg, COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+      AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+      AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(l_extendedprice * l_extendedprice
+      AS DECIMAL(38,6))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT seg, CAST(n AS BIGINT) AS n_rows,
+  ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 9) AS slope,
+  ROUND(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+        * (sx / n), 6) AS intercept,
+  ROUND((sxy - sx * sy / n) * (sxy - sx * sy / n)
+        / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 9) AS r2
+FROM s
+ORDER BY seg
+""",
+    doc="Grouped per-segment OLS — the MANY-MODELS-IN-ONE-PASS "
+    "pattern (one regression per l_returnflag, here 3; per customer "
+    "or per SKU, millions): a single map-side-combined grouped "
+    "aggregate collects each segment's exact DECIMAL sufficient "
+    "statistics, and slope/intercept/R^2 come from the closed form "
+    "on the tiny per-group epilogue.  This is how per-entity models "
+    "fit at 100 TB — NEVER a loop over groups, never applyInPandas "
+    "with sklearn per group (the standard anti-pattern: pandas "
+    "groups OOM on skewed entities and lose exactness).  Pinned "
+    "IEEE division order; oracle replays the identical algebra.",
+    tags=("ml", "regression", "grouped", "extension"),
+    extended=True,
+)
+def ml_grouped_ols_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d6 = lambda c: c.cast("decimal(38,6)")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy(F.col("l_returnflag").alias("seg")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d6(x)).cast("double").alias("sx"),
+        F.sum(d6(y)).cast("double").alias("sy"),
+        F.sum(d6(x * x)).cast("double").alias("sxx"),
+        F.sum(d6(x * y)).cast("double").alias("sxy"),
+        F.sum(d6(y * y)).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return s.select(
+        "seg",
+        n.cast("long").alias("n_rows"),
+        F.round(cov / vx, 9).alias("slope"),
+        F.round(
+            F.col("sy") / n - cov / vx * (F.col("sx") / n), 6
+        ).alias("intercept"),
+        F.round(cov * cov / (vx * vy), 9).alias("r2"),
+    ).orderBy("seg")

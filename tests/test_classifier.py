@@ -358,3 +358,29 @@ def test_conformal_coverage_near_target(spark, sf_dir):
     slack = 4 * math.sqrt(0.1 * 0.9 / r["n_test"])
     assert r["coverage"] >= 0.9 - slack, r
     assert r["coverage"] <= 1.0
+
+
+def test_grouped_ols_matches_numpy_per_segment(spark, sf_dir):
+    import numpy as np
+
+    from diabetes_etl_spark.plans import all_queries
+    from diabetes_etl_spark.sources.tables import load_table
+
+    rows = all_queries(include_extended=True)["ml_grouped_ols_slopes"].fn(
+        spark, sf_dir
+    ).collect()
+    data = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    by_seg = {}
+    for d in data:
+        by_seg.setdefault(d["l_returnflag"], []).append(
+            (d["l_quantity"], d["l_extendedprice"])
+        )
+    for r in rows:
+        pts = np.array(by_seg[r["seg"]])
+        slope, intercept = np.polyfit(pts[:, 0], pts[:, 1], 1)
+        assert abs(r["slope"] - slope) < 1e-5 * max(1, abs(slope))
+        assert abs(r["intercept"] - intercept) < 1e-2
+        cc = np.corrcoef(pts[:, 0], pts[:, 1])[0, 1]
+        assert abs(r["r2"] - cc * cc) < 1e-6
