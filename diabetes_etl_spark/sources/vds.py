@@ -220,6 +220,14 @@ class VersionedStreamReader(DataSourceStreamReader):
         )
         start = options.get("startingversion")
         self._start = int(start) if start is not None else 0
+        # admission control (Delta's maxFilesPerTrigger analogue at
+        # version granularity): each microbatch advances the offset at
+        # most this many manifest versions, so a backfill over a long
+        # commit history drains in bounded batches instead of one
+        # giant catch-up batch that overwhelms the sink
+        mvpt = options.get("maxversionspertrigger")
+        self._max_versions = int(mvpt) if mvpt is not None else None
+        self._last_planned = self._start
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -236,10 +244,23 @@ class VersionedStreamReader(DataSourceStreamReader):
         return best
 
     def latestOffset(self) -> dict:
-        return {"version": self._latest_version()}
+        latest = self._latest_version()
+        if self._max_versions is not None:
+            capped = min(
+                latest, self._last_planned + self._max_versions
+            )
+            self._last_planned = capped
+            return {"version": capped}
+        self._last_planned = latest
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
+        # restart sync: the checkpointed offset is authoritative — jump
+        # the admission-control cursor forward so a resumed stream
+        # doesn't spend empty batches catching the cap up to the
+        # checkpoint
+        self._last_planned = max(self._last_planned, lo, hi)
         parts: list[_VersionSlice] = []
         prev_paths: set | None = None
         for v in range(lo, hi + 1):

@@ -180,3 +180,31 @@ def test_vds_stream_exactly_once_and_delete_guard(spark, sf_dir):
     after = drain(ignoreChanges="true")
     assert after >= before
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_admission_control_caps_offset_advance():
+    """maxVersionsPerTrigger bounds each planned batch to k manifest
+    versions; the cursor syncs forward on restart via partitions()."""
+    import json
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="vds_cap_")
+    mdir = os.path.join(base, "_manifests")
+    os.makedirs(mdir)
+    for v in range(1, 8):
+        with open(os.path.join(mdir, f"v{v:020d}.json"), "w") as f:
+            json.dump({"version": v, "files": [], "schema": "{}"}, f)
+    from diabetes_etl_spark.sources.vds import VersionedStreamReader
+
+    r = VersionedStreamReader(base, {"maxversionspertrigger": "2"})
+    assert r.initialOffset() == {"version": 0}
+    assert r.latestOffset() == {"version": 2}
+    assert r.latestOffset() == {"version": 4}
+    # restart mid-history: the checkpointed end syncs the cursor
+    r2 = VersionedStreamReader(base, {"maxversionspertrigger": "2"})
+    r2.partitions({"version": 5}, {"version": 6})
+    assert r2.latestOffset() == {"version": 7}
+    # uncapped reader goes straight to the newest manifest
+    r3 = VersionedStreamReader(base, {})
+    assert r3.latestOffset() == {"version": 7}
+    shutil.rmtree(base, ignore_errors=True)
