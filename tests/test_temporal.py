@@ -97,3 +97,37 @@ def test_temporal_join_plan_is_single_equi_join(spark):
     # cartesian/range-explode anywhere
     assert "CartesianProduct" not in plan
     assert plan.count("Join") >= 1
+
+
+def test_twa_hand_case_step_interpolation(spark):
+    """TWA of a step series: value 10 held 3s then 20 held 1s ->
+    (10*3 + 20*1)/4 = 12.5; the last observation is open-ended and
+    excluded from weighting."""
+    from datetime import datetime
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 0, 0, 0), 10.0),
+        (1, 2, datetime(2024, 1, 1, 0, 0, 3), 20.0),
+        (1, 3, datetime(2024, 1, 1, 0, 0, 4), 99.0),  # open-ended
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = df.select(
+        "user_id", "value",
+        (F.unix_micros(F.lead("ts").over(w))
+         - F.unix_micros(F.col("ts"))).alias("dur_us"),
+    )
+    agg = seg.groupBy("user_id").agg(
+        F.sum(F.when(F.col("dur_us").isNotNull(),
+                     (F.col("value") * F.col("dur_us"))
+                     .cast("decimal(38,2)"))
+              .otherwise(F.lit(0).cast("decimal(38,2)"))).alias("wsum"),
+        F.sum(F.when(F.col("dur_us").isNotNull(), F.col("dur_us"))
+              .otherwise(0)).alias("tot"),
+    ).collect()[0]
+    assert float(agg["wsum"]) / agg["tot"] == 12.5
