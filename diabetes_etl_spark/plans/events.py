@@ -3498,3 +3498,124 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_eb_shrunken_rates",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+    CAST(user_id % 24 AS INT) AS cohort,
+    MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+        THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT cohort, COUNT(*) AS n, SUM(conv) AS k FROM per_user
+  GROUP BY cohort
+),
+r AS (
+  SELECT cohort, n, k,
+    CAST(ROUND(CAST(k AS DOUBLE) / n, 9) AS DECIMAL(20,9)) AS rate
+  FROM g
+),
+m AS (
+  SELECT COUNT(*) AS c,
+    CAST(SUM(rate) AS DOUBLE) AS sr,
+    CAST(SUM(CAST(rate * rate AS DECIMAL(38,18))) AS DOUBLE) AS srr
+  FROM r
+),
+ab AS (
+  SELECT
+    (sr / c) AS mu,
+    (srr - sr * sr / c) / (c - 1) AS v
+  FROM m
+),
+p AS (
+  SELECT mu, v,
+    CASE WHEN v > 0 AND mu * (1 - mu) > v
+      THEN mu * (mu * (1 - mu) / v - 1) ELSE CAST(1 AS DOUBLE) END
+      AS alpha,
+    CASE WHEN v > 0 AND mu * (1 - mu) > v
+      THEN (1 - mu) * (mu * (1 - mu) / v - 1) ELSE CAST(1 AS DOUBLE) END
+      AS beta
+  FROM ab
+)
+SELECT r.cohort, CAST(r.n AS BIGINT) AS n_users,
+  CAST(r.k AS BIGINT) AS n_conv,
+  CAST(r.rate AS DOUBLE) AS raw_rate,
+  ROUND((r.k + p.alpha) / (r.n + p.alpha + p.beta), 9)
+    AS shrunken_rate
+FROM r, p
+ORDER BY r.cohort
+""",
+    doc="Empirical-Bayes (beta-binomial) shrinkage of per-cohort "
+    "conversion rates — the method-of-moments James-Stein treatment "
+    "that stops a 2/3 cohort outranking 180/500 (the prior pulls "
+    "small-n cohorts toward the grand mean; the Wilson query is the "
+    "confidence-bound alternative, this is the posterior-mean one): "
+    "cohort rates quantize to 9 decimals and fold through DECIMAL so "
+    "the across-cohort moment sums are order-independent; alpha/beta "
+    "come from mu*(mu(1-mu)/v - 1) with a stated uniform-prior "
+    "fallback when the moment estimate degenerates; the posterior "
+    "mean (k+alpha)/(n+alpha+beta) is pinned IEEE arithmetic.  "
+    "Scale: one user-grain pass, one O(cohorts) epilogue.",
+    tags=("events", "abtest", "empirical-bayes", "extension"),
+    extended=True,
+)
+def events_eb_shrunken_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    ).select(
+        (F.col("user_id") % 24).cast("int").alias("cohort"), "conv"
+    )
+    g = per_user.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k")
+    )
+    r = g.withColumn(
+        "rate",
+        F.round(F.col("k").cast("double") / F.col("n"), 9).cast(
+            "decimal(20,9)"
+        ),
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r2 = r.select(
+        "cohort", "n", "k", "rate",
+        F.count(F.lit(1)).over(w_all).alias("c"),
+        F.sum("rate").over(w_all).cast("double").alias("sr"),
+        F.sum((F.col("rate") * F.col("rate")).cast("decimal(38,18)"))
+        .over(w_all)
+        .cast("double")
+        .alias("srr"),
+    )
+    mu = F.col("sr") / F.col("c")
+    v = (F.col("srr") - F.col("sr") * F.col("sr") / F.col("c")) / (
+        F.col("c") - 1
+    )
+    ok = (v > 0) & (mu * (1 - mu) > v)
+    alpha = F.when(ok, mu * (mu * (1 - mu) / v - 1)).otherwise(
+        F.lit(1.0)
+    )
+    beta = F.when(ok, (1 - mu) * (mu * (1 - mu) / v - 1)).otherwise(
+        F.lit(1.0)
+    )
+    return r2.select(
+        "cohort",
+        F.col("n").cast("long").alias("n_users"),
+        F.col("k").cast("long").alias("n_conv"),
+        F.col("rate").cast("double").alias("raw_rate"),
+        F.round(
+            (F.col("k") + alpha) / (F.col("n") + alpha + beta), 9
+        ).alias("shrunken_rate"),
+    ).orderBy("cohort")

@@ -909,3 +909,27 @@ def test_psi_nonnegative_and_symmetricish(spark, sf_dir):
     assert r["n_degenerate_bins"] <= r["n_bins"]
     # parity halves of the same distribution: no real drift expected
     assert r["psi"] < 0.25
+
+
+def test_eb_shrinkage_pulls_toward_grand_mean(spark, sf_dir):
+    rows = QUERIES["events_eb_shrunken_rates"].fn(spark, sf_dir).collect()
+    assert rows
+    mu = sum(r["raw_rate"] for r in rows) / len(rows)
+    for r in rows:
+        raw, shr = r["raw_rate"], r["shrunken_rate"]
+        assert 0.0 <= shr <= 1.0
+        # shrinkage moves every cohort TOWARD mu, never past it
+        if raw > mu:
+            assert mu - 1e-9 <= shr <= raw + 1e-9
+        else:
+            assert raw - 1e-9 <= shr <= mu + 1e-9
+    # small-n cohorts shrink more (relative movement toward mu)
+    big = max(rows, key=lambda r: r["n_users"])
+    small = min(rows, key=lambda r: r["n_users"])
+    if big["n_users"] > small["n_users"] and abs(
+        small["raw_rate"] - mu
+    ) > 1e-6 and abs(big["raw_rate"] - mu) > 1e-6:
+        move = lambda r: abs(r["shrunken_rate"] - r["raw_rate"]) / abs(
+            r["raw_rate"] - mu
+        )
+        assert move(small) >= move(big) - 1e-6
