@@ -3516,13 +3516,13 @@ g AS (
 ),
 r AS (
   SELECT cohort, n, k,
-    CAST(ROUND(CAST(k AS DOUBLE) / n, 9) AS DECIMAL(20,9)) AS rate
+    CAST(ROUND(CAST(k AS DOUBLE) / n, 9) AS DECIMAL(10,9)) AS rate
   FROM g
 ),
 m AS (
   SELECT COUNT(*) AS c,
     CAST(SUM(rate) AS DOUBLE) AS sr,
-    CAST(SUM(CAST(rate * rate AS DECIMAL(38,18))) AS DOUBLE) AS srr
+    CAST(SUM(rate * rate) AS DOUBLE) AS srr
   FROM r
 ),
 ab AS (
@@ -3584,7 +3584,7 @@ def events_eb_shrunken_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = g.withColumn(
         "rate",
         F.round(F.col("k").cast("double") / F.col("n"), 9).cast(
-            "decimal(20,9)"
+            "decimal(10,9)"
         ),
     )
     w_all = Window.orderBy(F.lit(1)).rowsBetween(
@@ -3594,7 +3594,7 @@ def events_eb_shrunken_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort", "n", "k", "rate",
         F.count(F.lit(1)).over(w_all).alias("c"),
         F.sum("rate").over(w_all).cast("double").alias("sr"),
-        F.sum((F.col("rate") * F.col("rate")).cast("decimal(38,18)"))
+        F.sum(F.col("rate") * F.col("rate"))
         .over(w_all)
         .cast("double")
         .alias("srr"),

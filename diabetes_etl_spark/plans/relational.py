@@ -2094,12 +2094,10 @@ def _poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("point_mean"),
     )
     stats = ranked.agg(
-        F.sum(F.col("m").cast("decimal(28,12)")).alias("sm"),
+        F.sum(F.col("m").cast("decimal(15,6)")).alias("sm"),
         F.sum(
-            (
-                F.col("m").cast("decimal(28,12)")
-                * F.col("m").cast("decimal(28,12)")
-            ).cast("decimal(38,12)")
+            F.col("m").cast("decimal(15,6)")
+            * F.col("m").cast("decimal(15,6)")
         ).alias("sm2"),
         F.max(F.when(F.col("rn") == lo_idx, F.col("m"))).alias("ci_lo"),
         F.max(F.when(F.col("rn") == hi_idx, F.col("m"))).alias("ci_hi"),
@@ -2142,9 +2140,9 @@ ranked AS (
 ),
 stats AS (
   SELECT
-    SQRT((CAST(SUM(CAST(CAST(m AS DECIMAL(28,12)) * CAST(m AS DECIMAL(28,12)) AS DECIMAL(38,12))) AS DOUBLE)
-          - CAST(SUM(CAST(m AS DECIMAL(28,12))) AS DOUBLE)
-            * CAST(SUM(CAST(m AS DECIMAL(28,12))) AS DOUBLE)
+    SQRT((CAST(SUM(CAST(m AS DECIMAL(19,6)) * CAST(m AS DECIMAL(19,6))) AS DOUBLE)
+          - CAST(SUM(CAST(m AS DECIMAL(19,6))) AS DOUBLE)
+            * CAST(SUM(CAST(m AS DECIMAL(19,6))) AS DOUBLE)
             / CAST({_BOOT_B} AS DOUBLE))
          / CAST({_BOOT_B - 1} AS DOUBLE)) AS boot_se,
     MAX(CASE WHEN rn = 2 THEN m END) AS ci_lo,
