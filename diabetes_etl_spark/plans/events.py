@@ -3619,3 +3619,184 @@ def events_eb_shrunken_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("k") + alpha) / (F.col("n") + alpha + beta), 9
         ).alias("shrunken_rate"),
     ).orderBy("cohort")
+
+
+@register(
+    "events_ab_diff_in_diff",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+      % 2 AS INT) AS variant,
+    CAST(SUM(CASE WHEN event_type = 'purchase'
+          AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        THEN CAST(value AS DECIMAL(38,2)) ELSE CAST(0 AS DECIMAL(38,2))
+        END) AS DECIMAL(38,2)) AS pre,
+    CAST(SUM(CASE WHEN event_type = 'purchase'
+          AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+        THEN CAST(value AS DECIMAL(38,2)) ELSE CAST(0 AS DECIMAL(38,2))
+        END) AS DECIMAL(38,2)) AS post
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT variant, COUNT(*) AS n,
+    SUM(CAST(pre AS DECIMAL(38,6))) AS sp,
+    SUM(CAST(post AS DECIMAL(38,6))) AS sq
+  FROM per_user GROUP BY variant
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+    MAX(CASE WHEN variant = 0 THEN CAST(sp AS DOUBLE) END) AS sp_a,
+    MAX(CASE WHEN variant = 0 THEN CAST(sq AS DOUBLE) END) AS sq_a,
+    MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+    MAX(CASE WHEN variant = 1 THEN CAST(sp AS DOUBLE) END) AS sp_b,
+    MAX(CASE WHEN variant = 1 THEN CAST(sq AS DOUBLE) END) AS sq_b
+  FROM g
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  ROUND(sq_a / n_a - sp_a / n_a, 6) AS delta_a,
+  ROUND(sq_b / n_b - sp_b / n_b, 6) AS delta_b,
+  ROUND((sq_b / n_b - sp_b / n_b) - (sq_a / n_a - sp_a / n_a), 6)
+    AS did_estimate
+FROM w
+""",
+    doc="Difference-in-differences treatment-effect estimate: per-"
+    "variant pre/post per-user spend means from exact DECIMAL folds, "
+    "DiD = (post_B - pre_B) - (post_A - pre_A) — the parallel-trends "
+    "causal estimator that removes any level difference between the "
+    "hash-bucketed groups (the additive-bias companion to CUPED's "
+    "variance reduction; same sufficient statistics, different "
+    "identification assumption).  One user-grain pass + a 2-row "
+    "epilogue; pinned division order.",
+    tags=("events", "abtest", "causal", "extension"),
+    extended=True,
+)
+def events_ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    dec0 = F.lit(0).cast("decimal(38,2)")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") < cut),
+                F.col("value").cast("decimal(38,2)"),
+            ).otherwise(dec0)
+        ).cast("decimal(38,2)").alias("pre"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= cut),
+                F.col("value").cast("decimal(38,2)"),
+            ).otherwise(dec0)
+        ).cast("decimal(38,2)").alias("post"),
+    ).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).cast("int").alias("variant"),
+        "pre",
+        "post",
+    )
+    g = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("pre").cast("decimal(38,6)")).alias("sp"),
+        F.sum(F.col("post").cast("decimal(38,6)")).alias("sq"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(
+            F.when(F.col("variant") == 0, F.col("sp").cast("double"))
+        ).alias("sp_a"),
+        F.max(
+            F.when(F.col("variant") == 0, F.col("sq").cast("double"))
+        ).alias("sq_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(
+            F.when(F.col("variant") == 1, F.col("sp").cast("double"))
+        ).alias("sp_b"),
+        F.max(
+            F.when(F.col("variant") == 1, F.col("sq").cast("double"))
+        ).alias("sq_b"),
+    )
+    da = F.col("sq_a") / F.col("n_a") - F.col("sp_a") / F.col("n_a")
+    db = F.col("sq_b") / F.col("n_b") - F.col("sp_b") / F.col("n_b")
+    return w.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(da, 6).alias("delta_a"),
+        F.round(db, 6).alias("delta_b"),
+        F.round(db - da, 6).alias("did_estimate"),
+    )
+
+
+@register(
+    "events_ab_power_mde",
+    oracle="""
+WITH users AS (
+  SELECT user_id,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+      % 2 AS INT) AS variant,
+    MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+        THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT COUNT(*) AS n, SUM(conv) AS c FROM users
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+  ROUND(CAST(c AS DOUBLE) / n, 9) AS base_rate,
+  ROUND((CAST(1.959963985 AS DOUBLE) + CAST(0.841621234 AS DOUBLE))
+    * SQRT(CAST(2 AS DOUBLE) * (CAST(c AS DOUBLE) / n)
+           * (CAST(1 AS DOUBLE) - CAST(c AS DOUBLE) / n)
+           / (CAST(n AS DOUBLE) / 2)), 9) AS mde_abs,
+  ROUND((CAST(1.959963985 AS DOUBLE) + CAST(0.841621234 AS DOUBLE))
+    * SQRT(CAST(2 AS DOUBLE) * (CAST(c AS DOUBLE) / n)
+           * (CAST(1 AS DOUBLE) - CAST(c AS DOUBLE) / n)
+           / (CAST(n AS DOUBLE) / 2))
+    / (CAST(c AS DOUBLE) / n), 9) AS mde_rel
+FROM v
+""",
+    doc="Experiment power analysis: the minimum detectable effect at "
+    "alpha=0.05 (two-sided) and 80% power for the current user count "
+    "and base conversion rate — MDE = (z_0.975 + z_0.8) * "
+    "sqrt(2 p (1-p) / (n/2)), with the two z quantiles as PINNED "
+    "9-decimal literals (1.959963985, 0.841621234 — constants, not "
+    "libm calls, same rationale as the Wilson query's 1.96).  The "
+    "planning readout every experimentation platform shows next to "
+    "a result: an uplift below mde_rel was never detectable at this "
+    "n, so a null readout is uninformative rather than negative.  "
+    "One user-grain pass + a 1-row epilogue.",
+    tags=("events", "abtest", "power", "extension"),
+    extended=True,
+)
+def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    v = users.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    n, c = F.col("n"), F.col("c")
+    p = c.cast("double") / n
+    z = F.lit(1.959963985) + F.lit(0.841621234)
+    mde = z * F.sqrt(
+        F.lit(2.0) * p * (F.lit(1.0) - p) / (n.cast("double") / 2)
+    )
+    return v.select(
+        n.cast("long").alias("n_users"),
+        F.round(p, 9).alias("base_rate"),
+        F.round(mde, 9).alias("mde_abs"),
+        F.round(mde / p, 9).alias("mde_rel"),
+    )

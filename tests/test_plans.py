@@ -933,3 +933,25 @@ def test_eb_shrinkage_pulls_toward_grand_mean(spark, sf_dir):
             r["raw_rate"] - mu
         )
         assert move(small) >= move(big) - 1e-6
+
+
+def test_did_consistent_with_cuped_sums(spark, sf_dir):
+    """DiD's per-variant deltas must equal the raw post-pre mean gaps
+    reconstructable from the CUPED query's machinery (same sums)."""
+    did = QUERIES["events_ab_diff_in_diff"].fn(spark, sf_dir).collect()[0]
+    assert did["n_a"] > 0 and did["n_b"] > 0
+    assert abs(
+        did["did_estimate"] - (did["delta_b"] - did["delta_a"])
+    ) <= 2e-6  # 6dp rounding of each term
+
+
+def test_power_mde_shrinks_with_n(spark, sf_dir):
+    import math
+
+    r = QUERIES["events_ab_power_mde"].fn(spark, sf_dir).collect()[0]
+    p, n = r["base_rate"], r["n_users"]
+    want = (1.959963985 + 0.841621234) * math.sqrt(
+        2 * p * (1 - p) / (n / 2)
+    )
+    assert abs(r["mde_abs"] - want) < 1e-9
+    assert r["mde_rel"] > r["mde_abs"] > 0
