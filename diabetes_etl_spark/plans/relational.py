@@ -2224,3 +2224,188 @@ register(
     tags=("join", "hints", "plan-control", "extension"),
     extended=True,
 )(_sql_query(_HINT_SQL, ("orders", "lineitem")))
+
+
+# -- distribution-free median CI via order statistics (round 9) -----------------
+
+
+def _median_ci_orderstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_totalprice",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    n = F.col("n")
+    half = n.cast("double") / 2
+    z = F.lit(1.959963985)
+    spread = z * F.sqrt(n.cast("double")) / 2
+    lo_idx = F.ceil(half - spread).cast("long")
+    hi_idx = (F.floor(half + spread) + 1).cast("long")
+    med_lo = (n + 1).cast("double") / 2
+    tagged = ranked.select(
+        "o_totalprice", "rk", "n",
+        lo_idx.alias("lo_idx"), hi_idx.alias("hi_idx"),
+        F.floor(med_lo).cast("long").alias("m1"),
+        F.ceil(med_lo).cast("long").alias("m2"),
+    )
+    return tagged.agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.round(
+            (
+                F.max(F.when(F.col("rk") == F.col("m1"),
+                             F.col("o_totalprice")))
+                + F.max(F.when(F.col("rk") == F.col("m2"),
+                               F.col("o_totalprice")))
+            )
+            / 2,
+            6,
+        ).alias("median"),
+        F.max(
+            F.when(F.col("rk") == F.col("lo_idx"), F.col("o_totalprice"))
+        ).alias("ci_lo"),
+        F.max(
+            F.when(F.col("rk") == F.col("hi_idx"), F.col("o_totalprice"))
+        ).alias("ci_hi"),
+    )
+
+
+register(
+    "stats_median_ci_orderstats",
+    oracle="""
+WITH ranked AS (
+  SELECT o_totalprice,
+    ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+    COUNT(*) OVER () AS n
+  FROM orders
+),
+idx AS (
+  SELECT o_totalprice, rk, n,
+    CAST(ceil(CAST(n AS DOUBLE) / 2
+      - CAST(1.959963985 AS DOUBLE) * SQRT(CAST(n AS DOUBLE)) / 2)
+      AS BIGINT) AS lo_idx,
+    CAST(floor(CAST(n AS DOUBLE) / 2
+      + CAST(1.959963985 AS DOUBLE) * SQRT(CAST(n AS DOUBLE)) / 2)
+      + 1 AS BIGINT) AS hi_idx,
+    CAST(floor(CAST(n + 1 AS DOUBLE) / 2) AS BIGINT) AS m1,
+    CAST(ceil(CAST(n + 1 AS DOUBLE) / 2) AS BIGINT) AS m2
+  FROM ranked
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+  ROUND((MAX(CASE WHEN rk = m1 THEN o_totalprice END)
+       + MAX(CASE WHEN rk = m2 THEN o_totalprice END)) / 2, 6)
+    AS median,
+  MAX(CASE WHEN rk = lo_idx THEN o_totalprice END) AS ci_lo,
+  MAX(CASE WHEN rk = hi_idx THEN o_totalprice END) AS ci_hi
+FROM idx
+""",
+    doc="Distribution-free 95% confidence interval for the MEDIAN via "
+    "order statistics: the binomial argument puts the median between "
+    "the (n/2 - z*sqrt(n)/2)-th and (n/2 + z*sqrt(n)/2 + 1)-th sorted "
+    "values with ~95% coverage REGARDLESS of the distribution — no "
+    "bootstrap resampling, no normality.  z is the pinned 9-decimal "
+    "literal; indices are floor/ceil of identical doubles; the "
+    "selected values are exact order statistics under the "
+    "deterministic (value, key) order.  Complements "
+    "stats_poisson_bootstrap_ci (mean) with the quantile analogue.  "
+    "Fixture form sorts once; the 100 TB twin fetches the three "
+    "order statistics with the iterative exact-selection operator "
+    "(selection_exact_percentiles) — no global sort.",
+    tags=("statistics", "quantile", "ci", "extension"),
+    extended=True,
+)(_median_ci_orderstats)
+
+
+# -- Mann-Kendall trend test (round 9) -------------------------------------------
+
+
+def _mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        F.signum(
+            (F.col("b.c") - F.col("a.c")).cast("double")
+        ).cast("long").alias("sgn")
+    )
+    s = pairs.agg(
+        F.sum("sgn").alias("s"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    ties = daily.groupBy("c").agg(F.count(F.lit(1)).alias("t"))
+    tie_term = ties.agg(
+        F.sum(
+            F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+        ).alias("tt"),
+        F.sum(F.lit(1) * F.col("t")).alias("n_days"),
+    )
+    j = s.crossJoin(F.broadcast(tie_term))
+    n = F.col("n_days")
+    var = (
+        (n * (n - 1) * (2 * n + 5) - F.col("tt")).cast("double")
+        / F.lit(18.0)
+    )
+    sgn = F.col("s")
+    z = (
+        F.when(sgn > 0, (sgn - 1).cast("double") / F.sqrt(var))
+        .when(sgn < 0, (sgn + 1).cast("double") / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        n.cast("long").alias("n_days"),
+        sgn.cast("long").alias("mk_s"),
+        F.round(F.sqrt(var), 9).alias("sd_s"),
+        F.round(z, 9).alias("z_mk"),
+    )
+
+
+register(
+    "orders_mann_kendall_trend",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+    COUNT(*) AS c
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT CAST(sign(CAST(b.c - a.c AS DOUBLE)) AS BIGINT) AS sgn
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+s AS (SELECT SUM(sgn) AS s, COUNT(*) AS n_pairs FROM pairs),
+ties AS (SELECT c, COUNT(*) AS t FROM daily GROUP BY c),
+tt AS (
+  SELECT SUM(t * (t - 1) * (2 * t + 5)) AS tt, SUM(t) AS n_days
+  FROM ties
+)
+SELECT CAST(n_days AS BIGINT) AS n_days, CAST(s AS BIGINT) AS mk_s,
+  ROUND(SQRT(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tt
+    AS DOUBLE) / CAST(18.0 AS DOUBLE)), 9) AS sd_s,
+  ROUND(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+      / SQRT(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tt
+        AS DOUBLE) / CAST(18.0 AS DOUBLE))
+    WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+      / SQRT(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tt
+        AS DOUBLE) / CAST(18.0 AS DOUBLE))
+    ELSE CAST(0 AS DOUBLE) END, 9) AS z_mk
+FROM s, tt
+""",
+    doc="Mann-Kendall nonparametric trend TEST on daily order volume "
+    "— the significance companion to orders_theil_sen_trend's slope: "
+    "S = sum of pairwise signs (exact integers over the bounded "
+    "daily-series self-join), tie-corrected variance n(n-1)(2n+5)/18 "
+    "- sum t(t-1)(2t+5)/18, and the continuity-corrected z compared "
+    "to fixed critical values (no libm p-value by design).  Scale: "
+    "the corpus collapses to O(days) rows in one grouped pass before "
+    "any pairing; the day-pair join is O(days^2) on a calendar-"
+    "bounded table.",
+    tags=("timeseries", "trend", "statistics", "extension"),
+    extended=True,
+)(_mann_kendall)

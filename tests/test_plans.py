@@ -955,3 +955,45 @@ def test_power_mde_shrinks_with_n(spark, sf_dir):
     )
     assert abs(r["mde_abs"] - want) < 1e-9
     assert r["mde_rel"] > r["mde_abs"] > 0
+
+
+def test_median_ci_brackets_median(spark, sf_dir):
+    r = QUERIES["stats_median_ci_orderstats"].fn(spark, sf_dir).collect()[0]
+    assert r["ci_lo"] <= r["median"] <= r["ci_hi"]
+    assert r["ci_lo"] < r["ci_hi"]
+    # order-statistic CI width shrinks like 1/sqrt(n): sanity scale
+    assert (r["ci_hi"] - r["ci_lo"]) < 0.2 * r["median"]
+
+
+def test_mann_kendall_matches_bruteforce(spark, sf_dir):
+    import math
+
+    from diabetes_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    r = QUERIES["orders_mann_kendall_trend"].fn(spark, sf_dir).collect()[0]
+    daily = sorted(
+        (row["d"], row["c"])
+        for row in load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate"))
+                 .cast("date").alias("d"))
+        .count()
+        .withColumnRenamed("count", "c")
+        .collect()
+    )
+    vals = [c for _, c in daily]
+    s = sum(
+        (v2 > v1) - (v2 < v1)
+        for i, v1 in enumerate(vals)
+        for v2 in vals[i + 1:]
+    )
+    n = len(vals)
+    from collections import Counter
+
+    tt = sum(t * (t - 1) * (2 * t + 5) for t in Counter(vals).values())
+    var = (n * (n - 1) * (2 * n + 5) - tt) / 18
+    z = (s - 1) / math.sqrt(var) if s > 0 else (
+        (s + 1) / math.sqrt(var) if s < 0 else 0.0
+    )
+    assert r["mk_s"] == s and r["n_days"] == n
+    assert abs(r["z_mk"] - z) < 1e-9
