@@ -3800,3 +3800,179 @@ def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde, 9).alias("mde_abs"),
         F.round(mde / p, 9).alias("mde_rel"),
     )
+
+
+_RAND_B = 128
+
+
+@register(
+    "events_ab_randomization_test",
+    oracle=f"""
+WITH users AS (
+  SELECT user_id,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+      % 2 AS INT) AS variant,
+    MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+        THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+obs AS (
+  SELECT
+    SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS c_b,
+    SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+    SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS c_a,
+    SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a
+  FROM users
+),
+rep AS (
+  SELECT u.conv, b.b AS b,
+    CAST(('0x' || substr(md5('perm#' || CAST(u.user_id AS VARCHAR)
+      || '#' || CAST(b.b AS VARCHAR)), 1, 8))::BIGINT % 2 AS INT)
+      AS relabel
+  FROM users u,
+    (SELECT UNNEST(generate_series(0, {_RAND_B - 1})) AS b) b
+),
+perm AS (
+  SELECT b,
+    SUM(CASE WHEN relabel = 1 THEN conv ELSE 0 END) AS c1,
+    SUM(CASE WHEN relabel = 1 THEN 1 ELSE 0 END) AS n1,
+    SUM(CASE WHEN relabel = 0 THEN conv ELSE 0 END) AS c0,
+    SUM(CASE WHEN relabel = 0 THEN 1 ELSE 0 END) AS n0
+  FROM rep GROUP BY b
+),
+cmp AS (
+  SELECT p.b,
+    CASE WHEN n1 = 0 OR n0 = 0 THEN 1
+      WHEN ABS(CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+        >= ABS(CAST(o.c_b AS DOUBLE) / o.n_b
+               - CAST(o.c_a AS DOUBLE) / o.n_a)
+      THEN 1 ELSE 0 END AS extreme
+  FROM perm p, obs o
+)
+SELECT (SELECT CAST(n_a AS BIGINT) FROM obs) AS n_a,
+  (SELECT CAST(n_b AS BIGINT) FROM obs) AS n_b,
+  ROUND((SELECT CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a
+    FROM obs), 9) AS observed_diff,
+  CAST(SUM(extreme) AS BIGINT) AS n_extreme,
+  ROUND(CAST(1 + SUM(extreme) AS DOUBLE) / ({_RAND_B} + 1), 9)
+    AS p_value
+FROM cmp
+""",
+    doc=f"Randomization (permutation-style) test of the A/B "
+    f"conversion difference: {_RAND_B} deterministic RE-LABELINGS of "
+    "the user-grain table (relabel = md5('perm#'||user||'#'||b) % 2 "
+    "— the seeded-replicate pattern shared with the Poisson "
+    "bootstrap), each replicate's rate difference compared to the "
+    "observed one, p = (1 + #extreme)/(B+1) — the add-one form that "
+    "keeps the test exact-level.  Everything is exact integers until "
+    "per-replicate rate divisions of identical operands; no "
+    "distributional assumption, the model-free cross-check of "
+    "events_ab_experiment's z test.  Scale: the corpus collapses to "
+    "user grain in ONE pass; the B-fold fan-out runs on the USER "
+    "table (users x B rows, map-side combined to B rows) — never on "
+    "raw events.",
+    tags=("events", "abtest", "randomization", "extension"),
+    extended=True,
+)
+def events_ab_randomization_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    ).select(
+        "user_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).cast("int").alias("variant"),
+        "conv",
+    )
+    obs = users.agg(
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0))
+        .alias("c_b"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0))
+        .alias("c_a"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+    )
+    rep = users.select(
+        "user_id",
+        "conv",
+        F.explode(F.sequence(F.lit(0), F.lit(_RAND_B - 1))).alias("b"),
+    ).select(
+        "conv",
+        "b",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("perm#"),
+                            F.col("user_id").cast("string"),
+                            F.lit("#"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).cast("int").alias("relabel"),
+    )
+    perm = rep.groupBy("b").agg(
+        F.sum(F.when(F.col("relabel") == 1, F.col("conv")).otherwise(0))
+        .alias("c1"),
+        F.sum(F.when(F.col("relabel") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("relabel") == 0, F.col("conv")).otherwise(0))
+        .alias("c0"),
+        F.sum(F.when(F.col("relabel") == 0, 1).otherwise(0)).alias("n0"),
+    )
+    j = perm.crossJoin(F.broadcast(obs))
+    obs_diff = F.col("c_b").cast("double") / F.col("n_b") - F.col(
+        "c_a"
+    ).cast("double") / F.col("n_a")
+    extreme = F.when(
+        (F.col("n1") == 0) | (F.col("n0") == 0), F.lit(1)
+    ).otherwise(
+        F.when(
+            F.abs(
+                F.col("c1").cast("double") / F.col("n1")
+                - F.col("c0").cast("double") / F.col("n0")
+            )
+            >= F.abs(obs_diff),
+            1,
+        ).otherwise(0)
+    )
+    agg = j.select(
+        extreme.alias("extreme"),
+        F.col("n_a"), F.col("n_b"),
+        obs_diff.alias("od"),
+    ).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("od").alias("od"),
+        F.sum("extreme").alias("n_extreme"),
+    )
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.col("od"), 9).alias("observed_diff"),
+        F.col("n_extreme").cast("long").alias("n_extreme"),
+        F.round(
+            (1 + F.col("n_extreme")).cast("double") / (_RAND_B + 1), 9
+        ).alias("p_value"),
+    )

@@ -997,3 +997,14 @@ def test_mann_kendall_matches_bruteforce(spark, sf_dir):
     )
     assert r["mk_s"] == s and r["n_days"] == n
     assert abs(r["z_mk"] - z) < 1e-9
+
+
+def test_randomization_test_p_value_valid(spark, sf_dir):
+    r = QUERIES["events_ab_randomization_test"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 < r["p_value"] <= 1.0
+    assert 0 <= r["n_extreme"] <= 128
+    # add-one form: p = (1 + extreme) / (B + 1)
+    assert abs(r["p_value"] - (1 + r["n_extreme"]) / 129) < 1e-9
+    # null is true by construction (hash halves of one population):
+    # a tiny p-value would indicate a broken relabeling
+    assert r["p_value"] > 0.01
