@@ -384,3 +384,70 @@ def test_grouped_ols_matches_numpy_per_segment(spark, sf_dir):
         assert abs(r["intercept"] - intercept) < 1e-2
         cc = np.corrcoef(pts[:, 0], pts[:, 1])[0, 1]
         assert abs(r["r2"] - cc * cc) < 1e-6
+
+
+def test_brier_murphy_residual_is_within_bin_variance(spark, sf_dir):
+    """brier - (reliability - resolution + uncertainty) must equal the
+    mean within-bin score variance (the exact Murphy residual) — a
+    strong algebraic identity check on all four components."""
+    from collections import defaultdict
+
+    from diabetes_etl_spark.plans import all_queries
+    from diabetes_etl_spark.operators.classifier import (
+        logistic_score,
+        logistic_train_rounds,
+    )
+
+    r = all_queries(include_extended=True)[
+        "classifier_brier_decomposition"
+    ].fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= r["brier"] <= 1.0
+    assert r["reliability"] >= 0 and r["resolution"] >= 0
+    assert 0.0 <= r["uncertainty"] <= 0.25
+    feats = _features_for_test(spark, sf_dir)
+    rows = feats.collect()
+    by_bin = defaultdict(list)
+    for row in rows:
+        by_bin[min(int(row["score"] * 10), 9)].append(
+            (row["score"], row["y"])
+        )
+    n = len(rows)
+    # exact Murphy residual: within-bin variance of f MINUS twice the
+    # within-bin covariance of (f, o)
+    resid = 0.0
+    for pairs in by_bin.values():
+        fbar = sum(f for f, _ in pairs) / len(pairs)
+        resid += sum((f - fbar) ** 2 for f, _ in pairs)
+        resid -= 2 * (
+            sum(f * y for f, y in pairs)
+            - fbar * sum(y for _, y in pairs)
+        )
+    resid /= n
+    lhs = r["brier"] - (
+        r["reliability"] - r["resolution"] + r["uncertainty"]
+    )
+    assert abs(lhs - resid) < 1e-6
+
+
+def _features_for_test(spark, sf_dir):
+    from diabetes_etl_spark.operators.classifier import (
+        logistic_score,
+        logistic_train_rounds,
+    )
+    from diabetes_etl_spark.plans.classifierplans import (
+        _LR,
+        _ROUNDS,
+        _features,
+    )
+
+    feats = _features(spark, sf_dir)
+    rounds = logistic_train_rounds(
+        feats, ["f1", "f2"], "y", iterations=_ROUNDS, lr=_LR
+    ).collect()
+    final = next(x for x in rounds if x["round"] == _ROUNDS)
+    return feats.select(
+        "y",
+        logistic_score(
+            ["f1", "f2"], [final["w0"], final["w1"], final["w2"]]
+        ).alias("score"),
+    )
