@@ -2409,3 +2409,107 @@ FROM s, tt
     tags=("timeseries", "trend", "statistics", "extension"),
     extended=True,
 )(_mann_kendall)
+
+
+# -- lagged cross-correlation of two daily series (round 9) ----------------------
+
+
+def _volume_value_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).cast("decimal(17,6)").alias("v"),
+    )
+    lags = spark.range(-3, 4).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    pairs = (
+        lags.crossJoin(daily.alias("a"))
+        .join(
+            daily.alias("b"),
+            F.col("b.d") == F.expr("date_add(a.d, lag)"),
+        )
+        .select(
+            "lag",
+            F.col("a.c").alias("x"),
+            F.col("b.v").alias("y"),
+        )
+    )
+    s_ = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy_dec"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy_dec"),
+        F.sum(F.col("y") * F.col("y")).alias("syy_dec"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy_dec").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy_dec").cast("double")
+    syy = F.col("syy_dec").cast("double")
+    cov = sxy - sx * sy / n
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    return s_.select(
+        "lag",
+        n.cast("long").alias("n_days"),
+        F.round(cov / F.sqrt(vx * vy), 9).alias("crosscorr"),
+    ).orderBy("lag")
+
+
+register(
+    "orders_volume_value_crosscorr",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+    COUNT(*) AS c,
+    CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+      AS DOUBLE) / COUNT(*), 6) AS DECIMAL(19,6)) AS v
+  FROM orders GROUP BY 1
+),
+lags AS (SELECT UNNEST(generate_series(-3, 3)) AS lag),
+pairs AS (
+  SELECT l.lag, a.c AS x, b.v AS y
+  FROM lags l
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.d = a.d + to_days(CAST(l.lag AS INT))
+),
+s AS (
+  SELECT lag, COUNT(*) AS n,
+    SUM(x) AS sx, SUM(y) AS sy_dec,
+    SUM(x * x) AS sxx, SUM(x * y) AS sxy_dec,
+    SUM(y * y) AS syy_dec
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_days,
+  ROUND((CAST(sxy_dec AS DOUBLE) - CAST(sx AS DOUBLE)
+      * CAST(sy_dec AS DOUBLE) / n)
+    / SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        * CAST(sx AS DOUBLE) / n)
+      * (CAST(syy_dec AS DOUBLE) - CAST(sy_dec AS DOUBLE)
+        * CAST(sy_dec AS DOUBLE) / n)), 9) AS crosscorr
+FROM s
+ORDER BY lag
+""",
+    doc="Lagged cross-correlation (lags -3..+3 days) between daily "
+    "order VOLUME and daily average order VALUE — does a busy day "
+    "predict cheaper orders tomorrow?  Exact-sum Pearson per lag: "
+    "the 6-decimal daily means fold through DECIMAL (Spark side "
+    "(17,6) so products stay inside precision 38; the DuckDB twin "
+    "casts (19,6) to force HUGEINT storage — the cross-engine "
+    "decimal-width pattern), counts are integers, one division + "
+    "sqrt per lag.  The lag pairing is a 7-row broadcast against the "
+    "calendar-bounded daily table; the corpus collapses in ONE "
+    "grouped pass before any of it.",
+    tags=("timeseries", "crosscorr", "statistics", "extension"),
+    extended=True,
+)(_volume_value_crosscorr)

@@ -1008,3 +1008,37 @@ def test_randomization_test_p_value_valid(spark, sf_dir):
     # null is true by construction (hash halves of one population):
     # a tiny p-value would indicate a broken relabeling
     assert r["p_value"] > 0.01
+
+
+def test_crosscorr_lag0_matches_numpy_and_symmetric_counts(spark, sf_dir):
+    import numpy as np
+
+    from diabetes_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = {
+        r["lag"]: r
+        for r in QUERIES["orders_volume_value_crosscorr"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == set(range(-3, 4))
+    daily = sorted(
+        (r["d"], r["c"], r["v"])
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate"))
+                 .cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"),
+             F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                     .cast("double") / F.count(F.lit(1)), 6).alias("v"))
+        .collect()
+    )
+    c = np.array([x[1] for x in daily], dtype=float)
+    v = np.array([float(x[2]) for x in daily], dtype=float)
+    want = np.corrcoef(c, v)[0, 1]
+    assert abs(rows[0]["crosscorr"] - want) < 1e-9
+    for r in rows.values():
+        assert -1.0 <= r["crosscorr"] <= 1.0
+    # lag +k and -k pair the same number of days
+    for k in (1, 2, 3):
+        assert rows[k]["n_days"] == rows[-k]["n_days"]
