@@ -1035,3 +1035,100 @@ def profile_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("det", "dep")
     )
+
+
+# -- Cramér's V categorical association (round 9) --------------------------------
+
+
+@register(
+    "profile_cramers_v",
+    oracle="""
+WITH ct AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT a, b, n,
+    SUM(n) OVER (PARTITION BY a) AS ra,
+    SUM(n) OVER (PARTITION BY b) AS cb,
+    SUM(n) OVER () AS nt
+  FROM ct
+),
+chi AS (
+  SELECT MAX(nt) AS nt,
+    COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb,
+    CAST(SUM(CAST(ROUND(
+      (CAST(n AS DOUBLE) - CAST(ra AS DOUBLE) * cb / nt)
+      * (CAST(n AS DOUBLE) - CAST(ra AS DOUBLE) * cb / nt)
+      / (CAST(ra AS DOUBLE) * cb / nt), 9) AS DECIMAL(28,9)))
+      AS DOUBLE) AS chi2_obs
+  FROM m
+)
+SELECT CAST(nt AS BIGINT) AS n_rows,
+  CAST(ka AS INT) AS k_priority, CAST(kb AS INT) AS k_status,
+  ROUND(chi2_obs, 9) AS chi2,
+  ROUND(SQRT(chi2_obs / (nt * (least(ka, kb) - 1))), 9) AS cramers_v
+FROM chi
+""",
+    doc="Cramér's V association between order priority and status — "
+    "the [0,1]-normalized chi-square that makes categorical "
+    "dependence comparable across tables (the third leg of the "
+    "profiling trio: mutual information for information content, FD "
+    "strength for determinism, V for association).  Contingency "
+    "cells and margins are exact integers from ONE grouped pass; "
+    "expected counts ra*cb/nt and the chi-square sum are pinned IEEE "
+    "doubles per cell, 9dp-quantized and DECIMAL-folded so the "
+    "cell-order of the sum cannot matter (repo float rule).  NOTE: "
+    "the sum runs over OBSERVED cells, which understates chi2 when "
+    "structural zeros exist; the fixture grid is dense (asserted in "
+    "tests) — sparse tables should left-join the margin product.  V = sqrt(chi2 / (n * "
+    "(min(k)-1))).",
+    tags=("profile", "association", "statistics", "extension"),
+    extended=True,
+)
+def profile_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    ct = orders.groupBy(
+        F.col("o_orderpriority").alias("a"),
+        F.col("o_orderstatus").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = ct.select(
+        "a", "b", "n",
+        F.sum("n").over(Window.partitionBy("a")).alias("ra"),
+        F.sum("n").over(Window.partitionBy("b")).alias("cb"),
+        F.sum("n").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("nt"),
+    )
+    exp = F.col("ra").cast("double") * F.col("cb") / F.col("nt")
+    chi = m.agg(
+        F.max("nt").alias("nt"),
+        F.countDistinct("a").alias("ka"),
+        F.countDistinct("b").alias("kb"),
+        F.sum(
+            F.round(
+                (F.col("n").cast("double") - exp)
+                * (F.col("n").cast("double") - exp)
+                / exp,
+                9,
+            ).cast("decimal(28,9)")
+        ).cast("double").alias("chi2_obs"),
+    )
+    nt = F.col("nt")
+    return chi.select(
+        nt.cast("long").alias("n_rows"),
+        F.col("ka").cast("int").alias("k_priority"),
+        F.col("kb").cast("int").alias("k_status"),
+        F.round(F.col("chi2_obs"), 9).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2_obs")
+                / (nt * (F.least(F.col("ka"), F.col("kb")) - 1))
+            ),
+            9,
+        ).alias("cramers_v"),
+    )

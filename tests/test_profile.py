@@ -243,3 +243,33 @@ def test_fd_profile_fixture_invariants(spark, sf_dir):
         assert 0.0 < r["fd_confidence"] <= 1.0
         if r["violating_groups"] == 0:
             assert r["fd_confidence"] == 1.0
+
+
+def test_cramers_v_matches_scipy_style_bruteforce(spark, sf_dir):
+    from collections import Counter
+
+    from diabetes_etl_spark.plans import all_queries
+    from diabetes_etl_spark.sources.tables import load_table
+
+    r = all_queries(include_extended=True)["profile_cramers_v"].fn(
+        spark, sf_dir
+    ).collect()[0]
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    ).collect()
+    ct = Counter((x[0], x[1]) for x in rows)
+    ra = Counter(x[0] for x in rows)
+    cb = Counter(x[1] for x in rows)
+    n = len(rows)
+    # grid density precondition for the observed-cell sum
+    assert len(ct) == len(ra) * len(cb), "fixture grid not dense"
+    chi2 = sum(
+        round((c - ra[a] * cb[b] / n) ** 2 / (ra[a] * cb[b] / n), 9)
+        for (a, b), c in ct.items()
+    )
+    assert abs(r["chi2"] - chi2) < 1e-6
+    import math
+
+    v = math.sqrt(chi2 / (n * (min(len(ra), len(cb)) - 1)))
+    assert abs(r["cramers_v"] - v) < 1e-9
+    assert 0.0 <= r["cramers_v"] <= 1.0
