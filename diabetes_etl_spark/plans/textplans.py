@@ -2319,3 +2319,103 @@ def retrieval_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k1=_BM25_K1,
         b=_BM25_B,
     )
+
+
+# -- inter-rater agreement: Cohen's kappa (round 9) -------------------------------
+
+_D_PRED = f"""CASE
+    WHEN {_D_STOPS["en"]} >= {_D_STOPS["fr"]} AND {_D_STOPS["en"]} >= {_D_STOPS["de"]}
+         AND {_D_STOPS["en"]} >= {_D_STOPS["es"]} THEN 'en'
+    WHEN {_D_STOPS["fr"]} >= {_D_STOPS["de"]} AND {_D_STOPS["fr"]} >= {_D_STOPS["es"]} THEN 'fr'
+    WHEN {_D_STOPS["de"]} >= {_D_STOPS["es"]} THEN 'de'
+    ELSE 'es'
+  END"""
+
+
+@register(
+    "text_langid_kappa",
+    oracle=f"""
+WITH p AS (
+  SELECT lang AS label, {_D_PRED} AS pred FROM documents
+),
+ct AS (SELECT label, pred, COUNT(*) AS n FROM p GROUP BY 1, 2),
+m AS (
+  SELECT label, pred, n,
+    SUM(n) OVER (PARTITION BY label) AS rl,
+    SUM(n) OVER (PARTITION BY pred) AS cp,
+    SUM(n) OVER () AS nt
+  FROM ct
+),
+s AS (
+  SELECT MAX(nt) AS nt,
+    SUM(CASE WHEN label = pred THEN n ELSE 0 END) AS agree,
+    SUM(CASE WHEN label = pred THEN rl * cp ELSE 0 END) AS chance_num
+  FROM m
+)
+SELECT CAST(nt AS BIGINT) AS n_docs, CAST(agree AS BIGINT) AS n_agree,
+  ROUND(CAST(agree AS DOUBLE) / nt, 9) AS po,
+  ROUND(CAST(chance_num AS DOUBLE) / (CAST(nt AS DOUBLE) * nt), 9)
+    AS pe,
+  ROUND((CAST(agree AS DOUBLE) / nt
+         - CAST(chance_num AS DOUBLE) / (CAST(nt AS DOUBLE) * nt))
+        / (CAST(1 AS DOUBLE)
+           - CAST(chance_num AS DOUBLE) / (CAST(nt AS DOUBLE) * nt)),
+        9) AS kappa
+FROM s
+""",
+    doc="Cohen's kappa between the stopword-heuristic language "
+    "predictions and the corpus labels — chance-corrected agreement, "
+    "the honest report when classes are imbalanced (raw accuracy "
+    "rewards always-guessing the majority; kappa subtracts the "
+    "expected agreement pe = sum of matched row*column margins / "
+    "n^2).  All counts and margin products are exact integers from "
+    "one grouped pass over per-doc predictions (scan-local CASE "
+    "expressions — no UDF); three pinned divisions at the end.  "
+    "NOTE the honest caveat carried from text_langid_trained: the "
+    "fixture's synthetic text carries ~no language signal, so kappa "
+    "~ 0 here — the query certifies the METRIC, the tests pin a "
+    "constructed-agreement case where kappa is meaningfully high.",
+    tags=("text", "langid", "agreement", "extension"),
+    extended=True,
+)
+def text_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        F.col("lang").alias("label"),
+        TX.lang_guess(F.col("text")).alias("pred"),
+    )
+    ct = p.groupBy("label", "pred").agg(F.count(F.lit(1)).alias("n"))
+    m = ct.select(
+        "label", "pred", "n",
+        F.sum("n").over(Window.partitionBy("label")).alias("rl"),
+        F.sum("n").over(Window.partitionBy("pred")).alias("cp"),
+        F.sum("n").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("nt"),
+    )
+    s = m.agg(
+        F.max("nt").alias("nt"),
+        F.sum(
+            F.when(F.col("label") == F.col("pred"), F.col("n")).otherwise(0)
+        ).alias("agree"),
+        F.sum(
+            F.when(
+                F.col("label") == F.col("pred"),
+                F.col("rl") * F.col("cp"),
+            ).otherwise(0)
+        ).alias("chance_num"),
+    )
+    nt = F.col("nt")
+    po = F.col("agree").cast("double") / nt
+    pe = F.col("chance_num").cast("double") / (nt.cast("double") * nt)
+    return s.select(
+        nt.cast("long").alias("n_docs"),
+        F.col("agree").cast("long").alias("n_agree"),
+        F.round(po, 9).alias("po"),
+        F.round(pe, 9).alias("pe"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 9).alias("kappa"),
+    )

@@ -767,3 +767,58 @@ def test_char_entropy_known_distributions(spark, tmp_path):
     assert abs(out[2].entropy_bits - 1.0) < 1e-8
     assert out[3].n_chars_used == 512  # cap binds
     assert abs(out[3].entropy_bits - 1.0) < 1e-8
+
+
+# -- Cohen's kappa (round 9) -------------------------------------------------
+
+
+def _kappa_of(spark, pairs):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    p = spark.createDataFrame(pairs, "label string, pred string")
+    ct = p.groupBy("label", "pred").agg(F.count(F.lit(1)).alias("n"))
+    m = ct.select(
+        "label", "pred", "n",
+        F.sum("n").over(Window.partitionBy("label")).alias("rl"),
+        F.sum("n").over(Window.partitionBy("pred")).alias("cp"),
+        F.sum("n").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("nt"),
+    )
+    s = m.agg(
+        F.max("nt").alias("nt"),
+        F.sum(F.when(F.col("label") == F.col("pred"), F.col("n"))
+              .otherwise(0)).alias("agree"),
+        F.sum(F.when(F.col("label") == F.col("pred"),
+                     F.col("rl") * F.col("cp")).otherwise(0))
+        .alias("chance"),
+    ).collect()[0]
+    po = s["agree"] / s["nt"]
+    pe = s["chance"] / s["nt"] ** 2
+    return (po - pe) / (1 - pe)
+
+
+def test_kappa_perfect_agreement_is_one(spark):
+    pairs = [("en", "en")] * 5 + [("fr", "fr")] * 5
+    assert abs(_kappa_of(spark, pairs) - 1.0) < 1e-12
+
+
+def test_kappa_majority_guessing_is_zero_not_accuracy(spark):
+    # rater always predicts 'en'; labels 80% en -> accuracy 0.8 but
+    # kappa must be exactly 0 (prediction independent of label)
+    pairs = [("en", "en")] * 8 + [("fr", "en")] * 2
+    assert abs(_kappa_of(spark, pairs)) < 1e-12
+
+
+def test_kappa_query_bounds_on_fixture(spark, sf_dir):
+    from diabetes_etl_spark.plans import all_queries
+
+    r = all_queries(include_extended=True)["text_langid_kappa"].fn(
+        spark, sf_dir
+    ).collect()[0]
+    assert 0.0 <= r["po"] <= 1.0 and 0.0 < r["pe"] < 1.0
+    assert -1.0 <= r["kappa"] <= 1.0
+    assert abs(r["kappa"] - (r["po"] - r["pe"]) / (1 - r["pe"])) < 1e-6
