@@ -1424,3 +1424,121 @@ def classifier_brier_decomposition(
         F.round(F.col("res") / nt, 9).alias("resolution"),
         F.round(base_t * (1 - base_t), 9).alias("uncertainty"),
     )
+
+
+# -- precision/recall threshold sweep (round 9) -----------------------------------
+
+
+_PR_ORACLE = (
+    _TRAIN_CTES
+    + _SCORED_CTE
+    + """,
+th AS (SELECT UNNEST(generate_series(1, 9)) AS t10),
+sweep AS (
+  SELECT t10,
+    SUM(CASE WHEN score >= CAST(t10 AS DOUBLE) / 10 AND y = 1
+        THEN 1 ELSE 0 END) AS tp,
+    SUM(CASE WHEN score >= CAST(t10 AS DOUBLE) / 10 AND y = 0
+        THEN 1 ELSE 0 END) AS fp,
+    SUM(CASE WHEN score < CAST(t10 AS DOUBLE) / 10 AND y = 1
+        THEN 1 ELSE 0 END) AS fn
+  FROM scored, th GROUP BY t10
+)
+SELECT CAST(t10 AS INT) AS threshold_x10,
+  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+  CAST(fn AS BIGINT) AS fn,
+  ROUND(CASE WHEN tp + fp > 0
+    THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0 END, 9) AS precision,
+  ROUND(CASE WHEN tp + fn > 0
+    THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0 END, 9) AS recall,
+  ROUND(CASE WHEN 2 * tp + fp + fn > 0
+    THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)
+    ELSE 0 END, 9) AS f1
+FROM sweep
+ORDER BY threshold_x10
+"""
+)
+
+
+@register(
+    "classifier_pr_curve",
+    oracle=_PR_ORACLE,
+    doc="Precision/recall/F1 sweep of the trained quality classifier "
+    "at thresholds 0.1..0.9 — the operating-point table a corpus "
+    "filter is tuned from (AUC says the ranking is good; THIS says "
+    "what you keep and lose at each cut).  One corpus pass fans each "
+    "scored row out against the broadcast 9-row threshold table and "
+    "reduces map-side to 9 exact-integer confusion rows; "
+    "precision/recall/F1 are single divisions of BIGINTs (F1 in the "
+    "2tp/(2tp+fp+fn) form — no float chaining of P and R).  Empty "
+    "denominators emit 0 by stated convention.",
+    tags=("classifier", "ml", "pr-curve", "extension"),
+    extended=True,
+)
+def classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.classifier import (
+        logistic_score,
+        logistic_train_rounds,
+    )
+
+    feats = _features(spark, sf_dir)
+    rounds = logistic_train_rounds(
+        feats, ["f1", "f2"], "y", iterations=_ROUNDS, lr=_LR
+    ).collect()
+    final = next(r for r in rounds if r["round"] == _ROUNDS)
+    scored = feats.select(
+        "y",
+        logistic_score(
+            ["f1", "f2"], [final["w0"], final["w1"], final["w2"]]
+        ).alias("score"),
+    )
+    th = spark.range(1, 10).select(F.col("id").cast("int").alias("t10"))
+    sweep = scored.crossJoin(F.broadcast(th)).groupBy("t10").agg(
+        F.sum(
+            F.when(
+                (F.col("score") >= F.col("t10").cast("double") / 10)
+                & (F.col("y") == 1),
+                1,
+            ).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when(
+                (F.col("score") >= F.col("t10").cast("double") / 10)
+                & (F.col("y") == 0),
+                1,
+            ).otherwise(0)
+        ).alias("fp"),
+        F.sum(
+            F.when(
+                (F.col("score") < F.col("t10").cast("double") / 10)
+                & (F.col("y") == 1),
+                1,
+            ).otherwise(0)
+        ).alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return sweep.select(
+        F.col("t10").cast("int").alias("threshold_x10"),
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        F.round(
+            F.when(tp + fp > 0, tp.cast("double") / (tp + fp)).otherwise(
+                0.0
+            ),
+            9,
+        ).alias("precision"),
+        F.round(
+            F.when(tp + fn > 0, tp.cast("double") / (tp + fn)).otherwise(
+                0.0
+            ),
+            9,
+        ).alias("recall"),
+        F.round(
+            F.when(
+                2 * tp + fp + fn > 0,
+                (2 * tp).cast("double") / (2 * tp + fp + fn),
+            ).otherwise(0.0),
+            9,
+        ).alias("f1"),
+    ).orderBy("threshold_x10")

@@ -451,3 +451,23 @@ def _features_for_test(spark, sf_dir):
             ["f1", "f2"], [final["w0"], final["w1"], final["w2"]]
         ).alias("score"),
     )
+
+
+def test_pr_curve_monotonicity_and_identities(spark, sf_dir):
+    from diabetes_etl_spark.plans import all_queries
+
+    rows = all_queries(include_extended=True)["classifier_pr_curve"].fn(
+        spark, sf_dir
+    ).collect()
+    assert [r["threshold_x10"] for r in rows] == list(range(1, 10))
+    # recall is non-increasing in the threshold; tp+fn is the constant
+    # positive count
+    recalls = [r["recall"] for r in rows]
+    assert recalls == sorted(recalls, reverse=True)
+    pos = {r["tp"] + r["fn"] for r in rows}
+    assert len(pos) == 1
+    for r in rows:
+        if r["tp"] + r["fp"] > 0 and r["tp"] + r["fn"] > 0 and r["tp"]:
+            p, rr = r["precision"], r["recall"]
+            f1 = 2 * p * rr / (p + rr)
+            assert abs(r["f1"] - f1) < 1e-6
