@@ -2513,3 +2513,85 @@ ORDER BY lag
     tags=("timeseries", "crosscorr", "statistics", "extension"),
     extended=True,
 )(_volume_value_crosscorr)
+
+
+# -- Herfindahl-Hirschman concentration (round 9) ---------------------------------
+
+
+def _hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(
+            cust.select("c_custkey", "c_nationkey"),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("s")
+        )
+    )
+    w = Window.partitionBy("c_nationkey")
+    shares = spend.select(
+        "c_nationkey",
+        F.round(
+            F.col("s").cast("double")
+            / F.sum("s").over(w).cast("double"),
+            9,
+        ).cast("decimal(10,9)").alias("share"),
+    )
+    g = shares.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("share") * F.col("share")).alias("hhi_dec"),
+    )
+    return g.select(
+        "c_nationkey",
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.round(F.col("hhi_dec").cast("double"), 9).alias("hhi"),
+        F.round(
+            F.lit(1.0) / F.col("hhi_dec").cast("double"), 6
+        ).alias("effective_customers"),
+    ).orderBy("c_nationkey")
+
+
+register(
+    "orders_hhi_concentration",
+    oracle="""
+WITH spend AS (
+  SELECT c.c_nationkey, o.o_custkey,
+    SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS s
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey, o.o_custkey
+),
+shares AS (
+  SELECT c_nationkey,
+    CAST(ROUND(CAST(s AS DOUBLE)
+      / CAST(SUM(s) OVER (PARTITION BY c_nationkey) AS DOUBLE), 9)
+      AS DECIMAL(10,9)) AS share
+  FROM spend
+),
+g AS (
+  SELECT c_nationkey, COUNT(*) AS n_customers,
+    SUM(share * share) AS hhi_dec
+  FROM shares GROUP BY c_nationkey
+)
+SELECT c_nationkey, CAST(n_customers AS BIGINT) AS n_customers,
+  ROUND(CAST(hhi_dec AS DOUBLE), 9) AS hhi,
+  ROUND(CAST(1 AS DOUBLE) / CAST(hhi_dec AS DOUBLE), 6)
+    AS effective_customers
+FROM g ORDER BY c_nationkey
+""",
+    doc="Herfindahl-Hirschman spend concentration per nation (= the "
+    "Simpson index of customer spend shares): shares quantize to 9 "
+    "decimals — DECIMAL(10,9), so share*share is the exact (21,18) "
+    "product in BOTH engines (inside int64/precision limits on each "
+    "side) and the HHI sum is order-independent; effective customer "
+    "count = 1/HHI is the business readout (an HHI of 0.2 means the "
+    "nation behaves as if it had 5 equal customers — the "
+    "concentration companion to customers_gini_by_nation's "
+    "inequality).  Two grouped passes, both keyed on nation/customer.",
+    tags=("analytics", "concentration", "extension"),
+    extended=True,
+)(_hhi_concentration)

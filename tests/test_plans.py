@@ -1042,3 +1042,14 @@ def test_crosscorr_lag0_matches_numpy_and_symmetric_counts(spark, sf_dir):
     # lag +k and -k pair the same number of days
     for k in (1, 2, 3):
         assert rows[k]["n_days"] == rows[-k]["n_days"]
+
+
+def test_hhi_bounds_and_equal_share_identity(spark, sf_dir):
+    rows = QUERIES["orders_hhi_concentration"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n = r["n_customers"]
+        # HHI in [1/n, 1]; effective customers in [1, n]
+        assert 1.0 / n - 1e-6 <= r["hhi"] <= 1.0 + 1e-9
+        assert 1.0 - 1e-6 <= r["effective_customers"] <= n + 1e-6
+        assert abs(r["effective_customers"] - 1.0 / r["hhi"]) < 1e-3
