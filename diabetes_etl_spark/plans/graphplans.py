@@ -741,3 +741,113 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "word")
         .limit(_TR_TOPK)
     )
+
+
+# -- degree assortativity (round 9) ------------------------------------------------
+
+
+@register(
+    "graph_assortativity_trade",
+    oracle=f"""
+WITH base AS (
+  SELECT DISTINCT l.l_suppkey AS s,
+    o.o_custkey + {_CUST_NODE_OFFSET} AS c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT s AS src, c AS dst FROM base
+  UNION
+  SELECT c AS src, s AS dst FROM base
+),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+pairs AS (
+  SELECT da.d AS x, db.d AS y
+  FROM edges e
+  JOIN deg da ON da.node = e.src
+  JOIN deg db ON db.node = e.dst
+),
+s AS (
+  SELECT COUNT(*) AS m,
+    SUM(x) AS sx, SUM(y) AS sy,
+    SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM pairs
+)
+SELECT CAST(m AS BIGINT) AS n_directed_edges,
+  ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / m)
+    / SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / m)
+         * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / m)), 9)
+    AS assortativity
+FROM s
+""",
+    doc="Degree assortativity of the symmetric supplier-customer "
+    "trade graph (Newman 2002): the Pearson correlation of endpoint "
+    "degrees over every directed edge — negative means hubs attach "
+    "to leaves (disassortative, typical of bipartite-derived trade "
+    "graphs), positive means hub-hub mixing.  Degrees are exact "
+    "integer counts; the correlation uses the repo's exact-sum form "
+    "(all five sums are BIGINT-exact — degree products can't "
+    "overflow at any realistic degree), one division + sqrt at the "
+    "end.  Scale: two hash joins of the edge table against the "
+    "degree table (both keyed on node), one scalar epilogue.",
+    tags=("graph", "assortativity", "extension"),
+    extended=True,
+)
+def graph_assortativity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    raw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("s"),
+            _custkey_node(
+                F.col("o_custkey"), F.col("l_suppkey")
+            ).alias("c"),
+        )
+        .distinct()
+    )
+    edges = raw.select(
+        F.col("s").alias("src"), F.col("c").alias("dst")
+    ).union(
+        raw.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    ).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("src").alias("node"), "d"
+    )
+    pairs = (
+        edges.join(
+            deg.withColumnRenamed("node", "src")
+            .withColumnRenamed("d", "x"),
+            "src",
+        )
+        .join(
+            deg.withColumnRenamed("node", "dst")
+            .withColumnRenamed("d", "y"),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    m = F.col("m")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    return s.select(
+        m.cast("long").alias("n_directed_edges"),
+        F.round(
+            (sxy - sx * sy / m)
+            / F.sqrt((sxx - sx * sx / m) * (syy - sy * sy / m)),
+            9,
+        ).alias("assortativity"),
+    )

@@ -2419,3 +2419,72 @@ def text_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 9).alias("pe"),
         F.round((po - pe) / (F.lit(1.0) - pe), 9).alias("kappa"),
     )
+
+
+@register(
+    "text_token_entropy",
+    oracle=f"""
+WITH toks AS (
+  SELECT lang, UNNEST({_D_TOKENS}) AS tok FROM documents
+  WHERE LENGTH(trim(text)) > 0
+),
+tc AS (
+  SELECT lang, tok, COUNT(*) AS c FROM toks
+  WHERE LENGTH(tok) > 0 GROUP BY lang, tok
+),
+t AS (
+  SELECT lang, tok, c, SUM(c) OVER (PARTITION BY lang) AS nt
+  FROM tc
+),
+h AS (
+  SELECT lang, MAX(nt) AS n_tokens, COUNT(*) AS vocab,
+    CAST(SUM(CAST(ROUND(
+      -(CAST(c AS DOUBLE) / nt)
+        * ROUND(LN(CAST(c AS DOUBLE) / nt), 9), 12)
+      AS DECIMAL(28,12))) AS DOUBLE) AS entropy
+  FROM t GROUP BY lang
+)
+SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(vocab AS BIGINT) AS vocab,
+  ROUND(entropy, 9) AS entropy_nats,
+  ROUND(EXP(ROUND(entropy, 9)), 4) AS perplexity
+FROM h ORDER BY lang
+""",
+    doc="Corpus token-distribution entropy and unigram perplexity per "
+    "language — the corpus-level diversity readout next to Zipf/"
+    "Chao1/Heaps (a perplexity collapse flags template/boilerplate "
+    "floods before any model trains): H = -sum p ln p with per-token "
+    "terms 9dp-ln + 12dp-quantized and DECIMAL-folded "
+    "(vocab-order-independent); perplexity = exp(H) rounded to 4 "
+    "decimals AFTER quantizing H to 9 (exp's last-ulp variance is "
+    "~1e-10 at these magnitudes — far inside the rounding).  One "
+    "tokenize pass to the (lang, token) count table; entropy runs on "
+    "vocab-bounded rows.",
+    tags=("text", "entropy", "diversity", "extension"),
+    extended=True,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "lang", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    ).filter(F.length("tok") > 0)
+    tc = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    t = tc.withColumn(
+        "nt", F.sum("c").over(Window.partitionBy("lang"))
+    )
+    p = F.col("c").cast("double") / F.col("nt")
+    term = F.round(-p * F.round(F.log(p), 9), 12).cast("decimal(28,12)")
+    h = t.groupBy("lang").agg(
+        F.max("nt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(term).cast("double").alias("entropy"),
+    )
+    return h.select(
+        "lang", "n_tokens", "vocab",
+        F.round(F.col("entropy"), 9).alias("entropy_nats"),
+        F.round(F.exp(F.round(F.col("entropy"), 9)), 4).alias(
+            "perplexity"
+        ),
+    ).orderBy("lang")

@@ -1053,3 +1053,23 @@ def test_hhi_bounds_and_equal_share_identity(spark, sf_dir):
         assert 1.0 / n - 1e-6 <= r["hhi"] <= 1.0 + 1e-9
         assert 1.0 - 1e-6 <= r["effective_customers"] <= n + 1e-6
         assert abs(r["effective_customers"] - 1.0 / r["hhi"]) < 1e-3
+
+
+def test_token_entropy_bounds(spark, sf_dir):
+    import math
+
+    rows = QUERIES["text_token_entropy"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 0 <= H <= ln(vocab); perplexity = e^H in [1, vocab]
+        assert 0.0 <= r["entropy_nats"] <= math.log(r["vocab"]) + 1e-6
+        assert 1.0 <= r["perplexity"] <= r["vocab"] + 1e-3
+        assert abs(
+            r["perplexity"] - round(math.exp(r["entropy_nats"]), 4)
+        ) < 1e-9
+
+
+def test_assortativity_in_range_and_bipartite_negative(spark, sf_dir):
+    r = QUERIES["graph_assortativity_trade"].fn(spark, sf_dir).collect()[0]
+    assert -1.0 <= r["assortativity"] <= 1.0
+    assert r["n_directed_edges"] > 0 and r["n_directed_edges"] % 2 == 0
