@@ -2595,3 +2595,88 @@ FROM g ORDER BY c_nationkey
     tags=("analytics", "concentration", "extension"),
     extended=True,
 )(_hhi_concentration)
+
+
+# -- one-way ANOVA: day-of-week effect (round 9) -----------------------------------
+
+
+def _dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    g = daily.select(
+        F.dayofweek("d").alias("dow"), F.col("c")
+    ).groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("st"),
+        F.sum("ss").alias("sst"),
+        F.sum(
+            F.round(
+                F.col("s").cast("double")
+                * F.col("s")
+                / F.col("n"),
+                9,
+            ).cast("decimal(28,9)")
+        ).cast("double").alias("group_sq"),
+    )
+    k, nt = F.col("k"), F.col("nt")
+    ss_between = F.col("group_sq") - F.col("st").cast("double") * F.col(
+        "st"
+    ) / nt
+    ss_within = F.col("sst").cast("double") - F.col("group_sq")
+    fstat = (ss_between / (k - 1)) / (ss_within / (nt - k))
+    return t.select(
+        k.cast("int").alias("k_groups"),
+        nt.cast("long").alias("n_days"),
+        F.round(ss_between, 6).alias("ss_between"),
+        F.round(ss_within, 6).alias("ss_within"),
+        F.round(fstat, 9).alias("f_stat"),
+    )
+
+
+register(
+    "orders_dow_anova",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+    COUNT(*) AS c
+  FROM orders GROUP BY 1
+),
+g AS (
+  SELECT dayofweek(d) + 1 AS dow, COUNT(*) AS n, SUM(c) AS s,
+    SUM(c * c) AS ss
+  FROM daily GROUP BY 1
+),
+t AS (
+  SELECT COUNT(*) AS k, SUM(n) AS nt, SUM(s) AS st, SUM(ss) AS sst,
+    CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * s / n, 9)
+      AS DECIMAL(28,9))) AS DOUBLE) AS group_sq
+  FROM g
+)
+SELECT CAST(k AS INT) AS k_groups, CAST(nt AS BIGINT) AS n_days,
+  ROUND(group_sq - CAST(st AS DOUBLE) * st / nt, 6) AS ss_between,
+  ROUND(CAST(sst AS DOUBLE) - group_sq, 6) AS ss_within,
+  ROUND(((group_sq - CAST(st AS DOUBLE) * st / nt) / (k - 1))
+    / ((CAST(sst AS DOUBLE) - group_sq) / (nt - k)), 9) AS f_stat
+FROM t
+""",
+    doc="One-way ANOVA F test for a day-of-week effect on daily order "
+    "volume — the parametric seasonality check next to the MASE "
+    "backtest and Mann-Kendall trend: SS_between from per-group "
+    "s^2/n terms (9dp-quantized + DECIMAL-folded so the 7-group sum "
+    "is order-independent), SS_within by subtraction from the exact "
+    "integer sum of squares, F = (SSB/(k-1)) / (SSW/(n-k)) compared "
+    "to F critical values (no libm p-value).  NOTE the engines' "
+    "dayofweek bases differ (Spark 1=Sunday, DuckDB 0=Sunday) — the "
+    "oracle adds 1, pinning identical group keys.  The corpus "
+    "collapses to O(days) in one pass; everything after is O(7).",
+    tags=("timeseries", "anova", "statistics", "extension"),
+    extended=True,
+)(_dow_anova)

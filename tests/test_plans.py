@@ -1073,3 +1073,35 @@ def test_assortativity_in_range_and_bipartite_negative(spark, sf_dir):
     r = QUERIES["graph_assortativity_trade"].fn(spark, sf_dir).collect()[0]
     assert -1.0 <= r["assortativity"] <= 1.0
     assert r["n_directed_edges"] > 0 and r["n_directed_edges"] % 2 == 0
+
+
+def test_dow_anova_matches_bruteforce(spark, sf_dir):
+    from collections import defaultdict
+
+    from diabetes_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    r = QUERIES["orders_dow_anova"].fn(spark, sf_dir).collect()[0]
+    daily = load_table(spark, sf_dir, "orders").groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("d")
+    ).count().collect()
+    groups = defaultdict(list)
+    for row in daily:
+        groups[row["d"].isoweekday() % 7].append(row["count"])
+    vals = [v for g in groups.values() for v in g]
+    n, k = len(vals), len(groups)
+    grand = sum(vals) / n
+    ssb = sum(
+        len(g) * (sum(g) / len(g) - grand) ** 2 for g in groups.values()
+    )
+    ssw = sum(
+        (v - sum(g) / len(g)) ** 2
+        for g in groups.values()
+        for v in g
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r["k_groups"] == k and r["n_days"] == n
+    assert abs(r["ss_between"] - ssb) < 1e-3
+    assert abs(r["ss_within"] - ssw) < 1e-3
+    assert abs(r["f_stat"] - f) < 1e-6
+    assert r["f_stat"] >= 0
