@@ -1105,3 +1105,37 @@ def test_dow_anova_matches_bruteforce(spark, sf_dir):
     assert abs(r["ss_within"] - ssw) < 1e-3
     assert abs(r["f_stat"] - f) < 1e-6
     assert r["f_stat"] >= 0
+
+
+def test_runs_test_matches_bruteforce(spark, sf_dir):
+    import math
+    import statistics
+
+    from diabetes_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    r = QUERIES["orders_runs_test"].fn(spark, sf_dir).collect()[0]
+    daily = sorted(
+        (row["d"], row["count"])
+        for row in load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate"))
+                 .cast("date").alias("d"))
+        .count()
+        .collect()
+    )
+    med = statistics.median(c for _, c in daily)
+    seq = [1 if c > med else 0 for _, c in daily if c != med]
+    runs = 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+    n, n1 = len(seq), sum(seq)
+    mu = 1 + 2 * n1 * (n - n1) / n
+    assert r["n_days"] == n and r["n_above"] == n1
+    assert r["n_runs"] == runs
+    assert abs(r["expected_runs"] - mu) < 1e-9
+    if 0 < n1 < n and n > 1:
+        var = (
+            2 * n1 * (n - n1) * (2 * n1 * (n - n1) - n)
+            / (n ** 2 * (n - 1))
+        )
+        assert abs(r["z_runs"] - (runs - mu) / math.sqrt(var)) < 1e-9
+    else:
+        assert r["z_runs"] is None
