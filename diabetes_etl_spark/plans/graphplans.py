@@ -851,3 +851,149 @@ def graph_assortativity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("assortativity"),
     )
+
+
+# -- hub-removal robustness (round 9) ------------------------------------------------
+
+_ROB_EDGES = f"""
+base AS (
+  SELECT DISTINCT l.l_suppkey AS s,
+    o.o_custkey + {_CUST_NODE_OFFSET} AS c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT s AS a, c AS b FROM base
+  UNION
+  SELECT c AS a, s AS b FROM base
+),
+deg AS (SELECT a AS node, COUNT(*) AS d FROM edges GROUP BY a),
+hubs AS (
+  SELECT node FROM deg ORDER BY d DESC, node LIMIT 3
+),
+kept AS (
+  SELECT a, b FROM edges
+  WHERE a NOT IN (SELECT node FROM hubs)
+    AND b NOT IN (SELECT node FROM hubs)
+)"""
+
+
+def _rob_phase_sql(edges_cte: str, tag: str) -> str:
+    return f"""
+reach_{tag}(id, comp) AS (
+  SELECT a, a FROM {edges_cte}
+  UNION
+  SELECT e.a, r.comp FROM {edges_cte} e JOIN reach_{tag} r
+    ON e.b = r.id
+),
+lab_{tag} AS (
+  SELECT id, MIN(comp) AS component FROM reach_{tag} GROUP BY id
+),
+agg_{tag} AS (
+  SELECT '{tag}' AS phase,
+    COUNT(*) AS n_nodes,
+    COUNT(DISTINCT component) AS n_components,
+    MAX(sz) AS largest_cc
+  FROM (
+    SELECT id, component,
+      COUNT(*) OVER (PARTITION BY component) AS sz
+    FROM lab_{tag}
+  ) t
+)"""
+
+
+@register(
+    "graph_hub_robustness",
+    oracle=f"""
+WITH RECURSIVE {_ROB_EDGES},
+{_rob_phase_sql("edges", "full")},
+{_rob_phase_sql("kept", "dehubbed")}
+SELECT phase, CAST(n_nodes AS BIGINT) AS n_nodes,
+  CAST(n_components AS BIGINT) AS n_components,
+  CAST(largest_cc AS BIGINT) AS largest_cc,
+  ROUND(CAST(largest_cc AS DOUBLE) / n_nodes, 9) AS largest_share
+FROM (SELECT * FROM agg_full UNION ALL SELECT * FROM agg_dehubbed) u
+ORDER BY phase
+""",
+    doc="Hub-removal robustness of the trade graph (percolation "
+    "probe): connected-component structure BEFORE and AFTER deleting "
+    "the top-3 degree hubs (ties broken by node id) — how much of "
+    "the giant component one carrier-node failure class takes down, "
+    "the supply-chain fragility readout.  Both phases run the pinned "
+    "large-star/small-star components operator "
+    "(operators/components.py, O(log^2 n) rounds, checkpointed); "
+    "hub exclusion is one broadcast anti-join on the 3-row hub set.  "
+    "The oracle replays both phases as recursive-CTE closures (the "
+    "dedup_components pattern).",
+    tags=("graph", "robustness", "components", "extension"),
+    extended=True,
+)
+def graph_hub_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    raw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("s"),
+            _custkey_node(
+                F.col("o_custkey"), F.col("l_suppkey")
+            ).alias("c"),
+        )
+        .distinct()
+    )
+    edges = raw.select(
+        F.col("s").alias("src"), F.col("c").alias("dst")
+    ).union(
+        raw.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    ).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    hubs = (
+        deg.orderBy(F.desc("d"), F.asc("src"))
+        .limit(3)
+        .select(F.col("src").alias("node"))
+    )
+    kept = (
+        edges.join(
+            F.broadcast(hubs),
+            edges["src"] == hubs["node"],
+            "left_anti",
+        )
+        .join(
+            F.broadcast(hubs),
+            F.col("dst") == hubs["node"],
+            "left_anti",
+        )
+    )
+
+    def phase(e, tag):
+        cc = connected_components(e, "src", "dst")
+        return (
+            cc.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .agg(
+                F.sum("sz").alias("n_nodes"),
+                F.count(F.lit(1)).alias("n_components"),
+                F.max("sz").alias("largest_cc"),
+            )
+            .select(
+                F.lit(tag).alias("phase"),
+                F.col("n_nodes").cast("long").alias("n_nodes"),
+                F.col("n_components").cast("long").alias("n_components"),
+                F.col("largest_cc").cast("long").alias("largest_cc"),
+                F.round(
+                    F.col("largest_cc").cast("double") / F.col("n_nodes"),
+                    9,
+                ).alias("largest_share"),
+            )
+        )
+
+    return phase(edges, "full").unionByName(
+        phase(kept, "dehubbed")
+    ).orderBy("phase")

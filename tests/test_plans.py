@@ -1139,3 +1139,19 @@ def test_runs_test_matches_bruteforce(spark, sf_dir):
         assert abs(r["z_runs"] - (runs - mu) / math.sqrt(var)) < 1e-9
     else:
         assert r["z_runs"] is None
+
+
+def test_hub_robustness_monotone_fragmentation(spark, sf_dir):
+    rows = {
+        r["phase"]: r
+        for r in QUERIES["graph_hub_robustness"].fn(spark, sf_dir).collect()
+    }
+    full, dehub = rows["full"], rows["dehubbed"]
+    # removing nodes can only shrink the node set and the giant CC
+    assert dehub["n_nodes"] <= full["n_nodes"]
+    assert dehub["largest_cc"] <= full["largest_cc"]
+    assert 0.0 < dehub["largest_share"] <= 1.0
+    assert 0.0 < full["largest_share"] <= 1.0
+    for r in rows.values():
+        assert r["largest_cc"] <= r["n_nodes"]
+        assert r["n_components"] >= 1
