@@ -2054,3 +2054,145 @@ def multimodal_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width int, height int, n_pixel_bytes long, "
         "mean_pixel double",
     ).orderBy("doc_id")
+
+
+# -- TwoNN intrinsic dimension (round 9) -----------------------------------------
+
+
+def _intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from diabetes_etl_spark.operators.similarity import dot_exact
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    sq = emb.withColumn(
+        "s", dot_exact("embedding", "embedding")
+    )
+    a = sq.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("ea"),
+        F.col("s").alias("sa"),
+    )
+    b = sq.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("eb"),
+        F.col("s").alias("sb"),
+    )
+    pairs = a.join(b, F.col("ia") != F.col("ib")).select(
+        "ia",
+        "ib",
+        (
+            F.col("sa")
+            + F.col("sb")
+            - 2 * F.expr(
+                "CAST(aggregate(zip_with(ea, eb, (x, y) -> "
+                "CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) "
+                "AS DECIMAL(20,15))), CAST(0 AS DECIMAL(38,15)), "
+                "(acc, v) -> CAST(acc + CAST(v AS DECIMAL(38,15)) "
+                "AS DECIMAL(38,15))) AS DOUBLE)"
+            )
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("ia").orderBy(F.asc("d2"), F.asc("ib"))
+    nn = pairs.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= 2
+    )
+    per = nn.groupBy("ia").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("d2"))).alias("d1sq"),
+        F.max(F.when(F.col("rk") == 2, F.col("d2"))).alias("d2sq"),
+    )
+    term = F.when(
+        (F.col("d1sq") > 0) & (F.col("d2sq") > 0),
+        F.round(
+            F.lit(0.5)
+            * F.round(F.log(F.col("d2sq") / F.col("d1sq")), 9),
+            12,
+        ).cast("decimal(28,12)"),
+    )
+    agg = per.select(term.alias("t")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.count("t").alias("n_used"),
+        F.sum("t").cast("double").alias("sum_log_mu"),
+    )
+    return agg.select(
+        F.col("n_points").cast("long").alias("n_points"),
+        F.col("n_used").cast("long").alias("n_used"),
+        F.round(F.col("sum_log_mu"), 9).alias("sum_log_mu"),
+        F.round(
+            F.col("n_used").cast("double") / F.col("sum_log_mu"), 6
+        ).alias("intrinsic_dim"),
+    )
+
+
+register(
+    "embeddings_intrinsic_dim",
+    oracle="""
+WITH sq AS (
+  SELECT vec_id, CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+    AS DECIMAL(20,15))) AS DOUBLE) AS s
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+  GROUP BY vec_id
+),
+up AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+    unnest(a.embedding) AS xa, unnest(b.embedding) AS xb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT ia, ib, CAST(SUM(CAST(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)
+    AS DECIMAL(20,15))) AS DOUBLE) AS dot
+  FROM up GROUP BY ia, ib
+),
+dist AS (
+  SELECT d.ia, d.ib, sa.s + sb.s - 2 * d.dot AS d2
+  FROM dots d
+  JOIN sq sa ON sa.vec_id = d.ia
+  JOIN sq sb ON sb.vec_id = d.ib
+),
+sym AS (
+  SELECT ia, ib, d2 FROM dist
+  UNION ALL SELECT ib, ia, d2 FROM dist
+),
+nn AS (
+  SELECT ia, d2,
+    ROW_NUMBER() OVER (PARTITION BY ia ORDER BY d2, ib) AS rk
+  FROM sym
+),
+per AS (
+  SELECT ia,
+    MAX(CASE WHEN rk = 1 THEN d2 END) AS d1sq,
+    MAX(CASE WHEN rk = 2 THEN d2 END) AS d2sq
+  FROM nn WHERE rk <= 2 GROUP BY ia
+),
+terms AS (
+  SELECT CASE WHEN d1sq > 0 AND d2sq > 0 THEN
+    CAST(ROUND(CAST(0.5 AS DOUBLE)
+      * ROUND(LN(d2sq / d1sq), 9), 12) AS DECIMAL(28,12))
+  END AS t
+  FROM per
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+  CAST(COUNT(t) AS BIGINT) AS n_used,
+  ROUND(CAST(SUM(t) AS DOUBLE), 9) AS sum_log_mu,
+  ROUND(CAST(COUNT(t) AS DOUBLE) / CAST(SUM(t) AS DOUBLE), 6)
+    AS intrinsic_dim
+FROM terms
+""",
+    doc="TwoNN intrinsic-dimension estimate of the embedding corpus "
+    "(Facco et al. 2017): per point the ratio mu = d2/d1 of the two "
+    "nearest-neighbor distances, ID = n / sum ln mu — the "
+    "training-data diagnostic that says how many degrees of freedom "
+    "the 64-dim vectors actually use (anisotropy collapse, duplicate "
+    "floods, and projection damage all move it).  Exact arithmetic: "
+    "squared distances via decimal-folded dots (d2 = |a|^2 + |b|^2 - "
+    "2ab, pinned order), ln(mu^2)/2 with 9dp-ln + 12dp-term DECIMAL "
+    "folds; zero-distance points (exact duplicates) are excluded and "
+    "counted.  Fixture form is the all-pairs VERIFIER BASELINE (the "
+    "cosine_threshold_pairs precedent); the scale path feeds the "
+    "same estimator from ANN candidates (sim_lsh_topk's bucketed "
+    "top-2), trading exactness of d1/d2 for recall floors.",
+    tags=("similarity", "intrinsic-dim", "diagnostics", "extension"),
+    extended=True,
+)(_intrinsic_dim)

@@ -389,3 +389,49 @@ def test_standardize_plan_broadcasts_stats(spark):
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_intrinsic_dim_recovers_planted_dimension(spark):
+    """TwoNN on points from a known d-dimensional manifold embedded in
+    higher dimension recovers ~d (deterministic lattice-ish sample)."""
+    import math
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.operators.similarity import dot_exact
+
+    rng = random.Random(11)
+    d_true, d_amb, n = 2, 8, 300
+    rows = []
+    for i in range(n):
+        free = [rng.uniform(0, 1) for _ in range(d_true)]
+        vec = free + [0.0] * (d_amb - d_true)
+        rows.append((i, [float(round(v, 6)) for v in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sq = emb.withColumn("s", dot_exact("embedding", "embedding"))
+    a = sq.select(F.col("vec_id").alias("ia"),
+                  F.col("embedding").alias("ea"), F.col("s").alias("sa"))
+    b = sq.select(F.col("vec_id").alias("ib"),
+                  F.col("embedding").alias("eb"), F.col("s").alias("sb"))
+    pairs = a.join(b, F.col("ia") != F.col("ib")).select(
+        "ia", "ib",
+        (F.col("sa") + F.col("sb") - 2 * F.expr(
+            "CAST(aggregate(zip_with(ea, eb, (x, y) -> "
+            "CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) "
+            "AS DECIMAL(20,15))), CAST(0 AS DECIMAL(38,15)), "
+            "(acc, v) -> CAST(acc + CAST(v AS DECIMAL(38,15)) "
+            "AS DECIMAL(38,15))) AS DOUBLE)")).alias("d2"),
+    )
+    w = Window.partitionBy("ia").orderBy(F.asc("d2"), F.asc("ib"))
+    nn = pairs.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= 2
+    )
+    per = nn.groupBy("ia").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("d2"))).alias("d1"),
+        F.max(F.when(F.col("rk") == 2, F.col("d2"))).alias("d2v"),
+    ).where(F.col("d1") > 0).collect()
+    slm = sum(0.5 * math.log(r["d2v"] / r["d1"]) for r in per)
+    est = len(per) / slm
+    assert 1.3 < est < 3.2, est  # ~2 with TwoNN finite-sample noise
