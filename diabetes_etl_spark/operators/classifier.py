@@ -259,12 +259,19 @@ def rank_metrics(
     )
     np_, nn_ = F.col("np"), F.col("nn")
     num = (F.col("rs2") - np_ * (np_ + 1)).cast("double")
+    # single-class input (no positives or no negatives): ranking
+    # quality is undefined — emit an intentional NULL (the repo's
+    # degenerate-input convention, e.g. the runs test's guarded z),
+    # not a silent NaN from the 0 denominator
+    both = (np_ > 0) & (nn_ > 0)
     return a.select(
         np_.cast("long").alias("n_pos"),
         nn_.cast("long").alias("n_neg"),
-        (num / (2 * np_ * nn_)).alias("auc"),
-        (num / (np_ * nn_) - F.lit(1.0)).alias("gini"),
-        (F.col("dmax").cast("double") / (np_ * nn_)).alias("ks"),
+        F.when(both, num / (2 * np_ * nn_)).alias("auc"),
+        F.when(both, num / (np_ * nn_) - F.lit(1.0)).alias("gini"),
+        F.when(both, F.col("dmax").cast("double") / (np_ * nn_)).alias(
+            "ks"
+        ),
     )
 
 

@@ -46,15 +46,13 @@ Scale notes (100 TB lens):
 
 from __future__ import annotations
 
-import atexit
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from diabetes_etl_spark.functions.numeric import dec_cast
+from diabetes_etl_spark.operators.util import scratch_dir
 
 # per-dimension squared-difference terms and point coordinates fold at
 # scale 15 (the similarity operators' element scale); centroid means
@@ -141,8 +139,7 @@ def kmeans_assign(
     """
     spark = df.sparkSession
     if work_dir is None:
-        work_dir = tempfile.mkdtemp(prefix="spark_kmeans_")
-        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
+        work_dir = scratch_dir(spark, "spark_kmeans_")
     else:
         os.makedirs(work_dir, exist_ok=True)
 

@@ -41,15 +41,13 @@ materialization of new state.
 
 from __future__ import annotations
 
-import atexit
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from diabetes_etl_spark.operators.iterstate import state_write_partitions
+from diabetes_etl_spark.operators.util import scratch_dir
 
 _CONVERGED_MARKER = "CONVERGED"
 _STAR_SWITCH_MARKER = "STAR_SWITCH"
@@ -78,6 +76,7 @@ def connected_components(
     work_dir: str | None = None,
     auto_star: bool = True,
     state_partitions: int | None = None,
+    assume_symmetric: bool = False,
 ) -> DataFrame:
     """Label every node reachable through ``edges`` with the minimum
     node id of its connected component.
@@ -111,8 +110,7 @@ def connected_components(
     spark = edges.sparkSession
     nparts = state_write_partitions(spark, state_partitions)
     if work_dir is None:
-        work_dir = tempfile.mkdtemp(prefix="spark_cc_")
-        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
+        work_dir = scratch_dir(spark, "spark_cc_")
     else:
         os.makedirs(work_dir, exist_ok=True)
 
@@ -150,7 +148,15 @@ def connected_components(
     # does not share common subtrees across union branches, so the
     # most expensive stage of the job would run twice.
     raw_path = os.path.join(work_dir, "raw_edges")
-    sym_path = os.path.join(work_dir, "sym_edges")
+    # ``assume_symmetric``: the caller PROMISES the input already
+    # carries both directions of every edge, deduplicated (e.g. it was
+    # built as union(e, swap(e)).distinct() upstream, or filtered from
+    # such a set) — the symmetrize-distinct below would shuffle the
+    # whole edge set once more only to reproduce its input.  A wrong
+    # promise gives wrong components; callers opt in explicitly.
+    sym_path = raw_path if assume_symmetric else os.path.join(
+        work_dir, "sym_edges"
+    )
     if not _is_committed(sym_path):
         if not _is_committed(raw_path):
             (
@@ -158,13 +164,16 @@ def connected_components(
                 .write.mode("overwrite")
                 .parquet(raw_path)
             )
-        raw = spark.read.parquet(raw_path)
-        (
-            raw.union(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
-            .distinct()
-            .write.mode("overwrite")
-            .parquet(sym_path)
-        )
+        if not assume_symmetric:
+            raw = spark.read.parquet(raw_path)
+            (
+                raw.union(
+                    raw.select(F.col("b").alias("a"), F.col("a").alias("b"))
+                )
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(sym_path)
+            )
     sym = spark.read.parquet(sym_path)
     if os.path.exists(star_marker):
         return _star_fallback(sym)
@@ -283,8 +292,7 @@ def connected_components_star(
     """
     spark = edges.sparkSession
     if work_dir is None:
-        work_dir = tempfile.mkdtemp(prefix="spark_ccstar_")
-        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
+        work_dir = scratch_dir(spark, "spark_ccstar_")
     else:
         os.makedirs(work_dir, exist_ok=True)
 

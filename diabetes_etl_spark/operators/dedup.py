@@ -33,7 +33,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from diabetes_etl_spark.operators.text import jaccard, tokens, word_shingles
-from diabetes_etl_spark.operators.util import bounded_bucket_pairs, widen
+from diabetes_etl_spark.operators.util import (
+    bounded_bucket_pairs,
+    scratch_dir,
+    widen,
+)
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -1599,12 +1603,7 @@ def winnow_share_stats(
     # fingerprint extraction is the dominant cost, and both consumers
     # below would otherwise recompute it.  Everything downstream
     # touches only 16-byte rows.
-    import atexit
-    import shutil
-    import tempfile
-
-    sel_dir = tempfile.mkdtemp(prefix="spark_winnow_")
-    atexit.register(shutil.rmtree, sel_dir, ignore_errors=True)
+    sel_dir = scratch_dir(df.sparkSession, "spark_winnow_")
     sel.write.mode("overwrite").parquet(sel_dir)
     sel = df.sparkSession.read.parquet(sel_dir)
 

@@ -140,7 +140,16 @@ def verify(metrics_df: DataFrame, checks: list[Check]) -> DataFrame:
     """Join constraints against the metric rows -> report with one
     row per constraint: (constraint, metric, value, passed).  A check
     naming a metric the suite never computed FAILS (passed=false,
-    value NULL) rather than vanishing."""
+    value NULL) rather than vanishing.  An EMPTY checks list returns
+    an empty report with the same schema (not a plan-construction
+    error from folding zero conditions)."""
+    if not checks:
+        return metrics_df.limit(0).select(
+            F.lit(None).cast("string").alias("constraint"),
+            "metric",
+            "value",
+            F.lit(None).cast("boolean").alias("passed"),
+        )
     rows = F.array(
         *[
             F.struct(

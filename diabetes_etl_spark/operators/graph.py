@@ -44,16 +44,14 @@ exactly in the SQL oracle.
 
 from __future__ import annotations
 
-import atexit
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from diabetes_etl_spark.functions.numeric import dec_cast, dec_sum
 from diabetes_etl_spark.operators.iterstate import state_write_partitions
+from diabetes_etl_spark.operators.util import scratch_dir
 
 _SCALE = 12
 
@@ -132,8 +130,7 @@ def pagerank(
     spark = edges.sparkSession
     nparts = state_write_partitions(spark, state_partitions)
     if work_dir is None:
-        work_dir = tempfile.mkdtemp(prefix="spark_pr_")
-        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
+        work_dir = scratch_dir(spark, "spark_pr_")
     else:
         os.makedirs(work_dir, exist_ok=True)
 
@@ -223,8 +220,7 @@ def kcore_peel(
     """
     spark = edges.sparkSession
     if work_dir is None:
-        work_dir = tempfile.mkdtemp(prefix="spark_kcore_")
-        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
+        work_dir = scratch_dir(spark, "spark_kcore_")
     else:
         os.makedirs(work_dir, exist_ok=True)
 
@@ -341,8 +337,7 @@ def personalized_pagerank(
     spark = edges.sparkSession
     nparts = state_write_partitions(spark, state_partitions)
     if work_dir is None:
-        work_dir = tempfile.mkdtemp(prefix="spark_ppr_")
-        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
+        work_dir = scratch_dir(spark, "spark_ppr_")
     else:
         os.makedirs(work_dir, exist_ok=True)
 
@@ -493,8 +488,7 @@ def label_propagation(
     spark = edges.sparkSession
     nparts = state_write_partitions(spark, state_partitions)
     if work_dir is None:
-        work_dir = tempfile.mkdtemp(prefix="spark_lpa_")
-        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
+        work_dir = scratch_dir(spark, "spark_lpa_")
     else:
         os.makedirs(work_dir, exist_ok=True)
 

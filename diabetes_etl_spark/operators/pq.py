@@ -49,15 +49,13 @@ Scale notes (100 TB lens):
 
 from __future__ import annotations
 
-import atexit
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from diabetes_etl_spark.functions.numeric import dec_cast
+from diabetes_etl_spark.operators.util import scratch_dir
 
 _DEC_TERM = "decimal(25,15)"
 _MEAN_SCALE = 12
@@ -160,8 +158,7 @@ def pq_train(
     sub_dim = dim // m
     spark = df.sparkSession
     if work_dir is None:
-        work_dir = tempfile.mkdtemp(prefix="spark_pq_")
-        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
+        work_dir = scratch_dir(spark, "spark_pq_")
     else:
         os.makedirs(work_dir, exist_ok=True)
 

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from diabetes_etl_spark.operators.text import tokens
+from diabetes_etl_spark.operators.util import scratch_dir
 
 
 def bm25_scores(
@@ -238,9 +239,6 @@ def mmr_topk(
     literal on both engines; argmax ties break on the smaller
     candidate id.
     """
-    import atexit
-    import shutil
-    import tempfile
 
     from diabetes_etl_spark.operators.similarity import dot_exact, with_norm
 
@@ -278,8 +276,7 @@ def mmr_topk(
     )
     # one corpus pass: the shortlist (q x pool rows) is the only thing
     # the k greedy rounds ever read
-    pool_dir = tempfile.mkdtemp(prefix="spark_mmr_")
-    atexit.register(shutil.rmtree, pool_dir, ignore_errors=True)
+    pool_dir = scratch_dir(spark, "spark_mmr_")
     shortlist.write.mode("overwrite").parquet(pool_dir)
     P = spark.read.parquet(pool_dir)
 

@@ -2,9 +2,63 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import atexit
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+SCRATCH_CONF = "spark.diabetes_etl.scratchDir"
+
+
+def scratch_dir(spark: SparkSession, prefix: str) -> str:
+    """A scratch location for materializing narrow intermediates
+    (``df.write.parquet(scratch)`` then re-read), visible to BOTH the
+    driver and every executor.
+
+    Iterative operators (connected components, pagerank, k-means, PQ,
+    MMR, winnowing) persist a narrow frame between rounds.  A plain
+    ``tempfile.mkdtemp()`` path is only correct when driver and
+    executors share one filesystem — i.e. ``local[*]``; on a real
+    cluster each executor would write its task output to its OWN
+    local disk and the driver-side re-read would silently lose rows.
+
+    Resolution order:
+
+    - ``spark.diabetes_etl.scratchDir`` conf, when set: a unique
+      subdirectory under it.  On a multi-node cluster this MUST point
+      at shared storage (HDFS / S3 / NFS) — the same requirement
+      Spark itself places on checkpoint directories.
+    - otherwise, a driver-local tempdir — but ONLY under a
+      ``local[...]`` master, where the single-filesystem assumption
+      holds by construction.  Any other master without the conf
+      raises immediately instead of losing data at the re-read.
+
+    Local tempdirs are removed at interpreter exit; conf-rooted
+    scratch is cleaned up best-effort (ignore_errors — remote URI
+    schemes are the storage layer's janitor's job, same as Spark
+    checkpoint dirs).
+    """
+    root = spark.conf.get(SCRATCH_CONF, None)
+    if root:
+        path = root.rstrip("/") + f"/{prefix}{uuid.uuid4().hex}"
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        return path
+    master = spark.conf.get("spark.master", "")
+    if not master.startswith("local"):
+        raise ValueError(
+            f"master {master!r} is multi-node: operator scratch "
+            f"requires shared storage — set {SCRATCH_CONF} to an "
+            "HDFS/S3/NFS path visible to all executors (a "
+            "driver-local tempdir would silently lose "
+            "executor-written rows on re-read)"
+        )
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
 
 
 _ALL_PAIRS = (

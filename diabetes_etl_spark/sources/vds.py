@@ -64,8 +64,16 @@ def _resolve_manifest(path: str, version: str | None) -> dict:
     mdir = os.path.join(path, "_manifests")
     if version is not None:
         cand = os.path.join(mdir, f"v{int(version):020d}.json")
-        with open(cand, encoding="utf-8") as f:
-            return json.load(f)
+        try:
+            with open(cand, encoding="utf-8") as f:
+                return json.load(f)
+        except OSError as exc:
+            # same error contract as the latest-version path: a missing
+            # or never-written pinned version is a ValueError naming the
+            # option, not a raw FileNotFoundError with an opaque path
+            raise ValueError(
+                f"versionAsOf {int(version)} not found under {mdir}"
+            ) from exc
     best = None
     for name in sorted(os.listdir(mdir), reverse=True):
         if not (name.startswith("v") and name.endswith(".json")):
@@ -227,7 +235,34 @@ class VersionedStreamReader(DataSourceStreamReader):
         # giant catch-up batch that overwhelms the sink
         mvpt = options.get("maxversionspertrigger")
         self._max_versions = int(mvpt) if mvpt is not None else None
-        self._last_planned = self._start
+        # Restart safety for the cap: on a CLEAN restart (last batch
+        # fully committed) Spark calls latestOffset() BEFORE
+        # partitions(), so a cursor that resets to startingversion
+        # would cap the next offset BEHIND the checkpointed one and
+        # Spark would re-plan already-consumed versions — silent
+        # duplication.  commit(end) therefore persists the committed
+        # version to a per-stream cursor file under the table path
+        # (keyed by the streamId option, default "default"), and the
+        # planning cursor initializes from it.  The cursor is a FLOOR,
+        # never a read position — over-estimating it only makes a
+        # batch larger (partitions() reads exactly [start, end] from
+        # the offset log), so two checkpoints sharing a streamId
+        # degrade to weaker admission control, never to wrong data.
+        sid = str(options.get("streamid", "default"))
+        self._cursor_path = os.path.join(
+            path,
+            "_streams",
+            "".join(c if c.isalnum() or c in "._-" else "_" for c in sid)
+            + ".cursor.json",
+        )
+        self._last_planned = max(self._start, self._committed_floor())
+
+    def _committed_floor(self) -> int:
+        try:
+            with open(self._cursor_path, encoding="utf-8") as f:
+                return int(json.load(f)["version"])
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            return self._start
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -246,8 +281,12 @@ class VersionedStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         latest = self._latest_version()
         if self._max_versions is not None:
-            capped = min(
-                latest, self._last_planned + self._max_versions
+            # clamp UP to the planning cursor (seeded from the
+            # committed floor on restart): the returned offset must
+            # never regress behind what a previous run committed
+            capped = max(
+                self._last_planned,
+                min(latest, self._last_planned + self._max_versions),
             )
             self._last_planned = capped
             return {"version": capped}
@@ -299,5 +338,20 @@ class VersionedStreamReader(DataSourceStreamReader):
             yield from pq.ParquetFile(path).iter_batches()
 
     def commit(self, end: dict) -> None:
-        # offsets live in Spark's checkpoint offset log; nothing to do
-        pass
+        # Offsets of record live in Spark's checkpoint offset log; the
+        # cursor file is ONLY the admission-control floor for clean
+        # restarts (see __init__).  Atomic tmp+rename so a torn write
+        # degrades to "no floor", never a corrupt one.
+        v = int(end["version"])
+        self._last_planned = max(self._last_planned, v)
+        try:
+            os.makedirs(os.path.dirname(self._cursor_path), exist_ok=True)
+            tmp = self._cursor_path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump({"version": v}, f)
+            os.replace(tmp, self._cursor_path)
+        except OSError:
+            # best-effort: losing the floor only weakens the cap on the
+            # next clean restart (one larger catch-up batch), it cannot
+            # duplicate or drop data
+            pass
