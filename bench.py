@@ -10,6 +10,12 @@ the driver's 2000-char capture buffer) and writes the full detail
 
 Each query is executed to completion (count + a bounded collect of the
 result) so the full plan — scans, shuffles, windows — actually runs.
+
+Noise hygiene (round-9 VERDICT #1): three base passes per query
+(min + median published), and a NOISE SENTINEL — one fixed query
+timed right after warm-up and again after the last measured block —
+is published in both the detail file and the compact line, so a
+round whose host got slower mid-run carries its own disclaimer.
 """
 
 from __future__ import annotations
@@ -131,10 +137,11 @@ def main() -> None:
     # timings on a shared host mix plan cost with transient JVM/GC/IO
     # state (observed 3-10x swings on identical plans); the minimum is
     # the reproducible plan cost.  "value" is the sum of the minima.
-    # Queries under 2 s get a THIRD pass (round-4 VERDICT #4: short
-    # queries are the noise-dominated ones), and per-query medians are
-    # published alongside the minima so round-over-round regressions
-    # read without a noise disclaimer.
+    # THREE base passes for every query (round-9 VERDICT #1: the r9
+    # artifact carried a uniform ~1.4x host-load inflation that two
+    # samples could not separate from real regressions), and per-query
+    # medians are published alongside the minima so round-over-round
+    # regressions read without a noise disclaimer.
     def run_query(name: str, data_dir: str) -> float:
         t0 = time.perf_counter()
         df = registry[name].fn(spark, data_dir)
@@ -144,28 +151,37 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
+    # Noise sentinel (round-9 VERDICT #1): time one FIXED query — the
+    # already-warmed q1 plan, untouched across rounds — immediately
+    # after warm-up and again after the last measured block, and
+    # publish both.  A sentinel ratio well above 1 means the HOST got
+    # slower while the bench ran (page cache churn, sibling load);
+    # per-query deltas in such an artifact are host drift, not plan
+    # regressions.  min-of-2 on each side so a single GC pause cannot
+    # fake a drift signal.
+    def sentinel_sample() -> float:
+        return min(run_query("q1_pricing_summary", sf_dir) for _ in range(2))
+
+    sentinel_first = sentinel_sample()
+    print(f"# noise_sentinel first: {sentinel_first}s", file=sys.stderr)
+
     samples: dict[str, list[float]] = {n: [] for n in names}
-    for run in range(2):
+    for run in range(3):
         for name in names:
             elapsed = run_query(name, sf_dir)
             samples[name].append(elapsed)
             print(f"# {name} (run {run}): {elapsed}s", file=sys.stderr)
-    for name in names:
-        if min(samples[name]) < 2.0:
-            elapsed = run_query(name, sf_dir)
-            samples[name].append(elapsed)
-            print(f"# {name} (run 2, sub-2s extra): {elapsed}s", file=sys.stderr)
-    # Cold-start guard (round-5 VERDICT #3): when the two samples
-    # disagree by >1.5x, one of them measured transient state (first
-    # streaming init, cold page cache), not the plan — take a third
-    # sample so the median discards the outlier.
+    # Cold-start guard (round-5 VERDICT #3): when the samples disagree
+    # by >1.5x, at least one measured transient state (first streaming
+    # init, cold page cache), not the plan — take a fourth sample so
+    # the median sits on two agreeing observations.
     for name in names:
         s = samples[name]
-        if len(s) == 2 and max(s) > 1.5 * min(s):
+        if max(s) > 1.5 * min(s):
             elapsed = run_query(name, sf_dir)
             samples[name].append(elapsed)
             print(
-                f"# {name} (run 2, >1.5x spread extra): {elapsed}s",
+                f"# {name} (>1.5x spread extra): {elapsed}s",
                 file=sys.stderr,
             )
     # Equal-params ANN pair: interpreted vs Arrow-vectorized LSH
@@ -300,6 +316,10 @@ def main() -> None:
                 # PERTURBED embeddings — non-degenerate scaling
                 # evidence for the hyperplane-LSH bucket path
                 "sim_lsh_topk",
+                # round-10 (VERDICT #3): the ANN-fed TwoNN scale twin —
+                # its whole reason to exist is sublinearity where the
+                # all-pairs baseline is quadratic
+                "embeddings_intrinsic_dim_ann",
             ):
                 # min-of-2: these single-shot numbers ride right behind
                 # the corpus-replication writes and have been observed
@@ -450,12 +470,24 @@ def main() -> None:
                 shutil.rmtree(wh, ignore_errors=True)
         pipeline_e2e = min(e2e_samples)
 
+    # close the sentinel bracket AFTER every measured block so it
+    # covers the scale/e2e phases too
+    sentinel_last = sentinel_sample()
+    print(f"# noise_sentinel last: {sentinel_last}s", file=sys.stderr)
+    noise_sentinel = {
+        "query": "q1_pricing_summary",
+        "first_sec": sentinel_first,
+        "last_sec": sentinel_last,
+        "ratio": round(sentinel_last / sentinel_first, 2),
+    }
+
     result = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
+        "noise_sentinel": noise_sentinel,
         "sf": sf,
     }
     if ann_pair is not None:
@@ -492,6 +524,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "queries": medians,
+        "noise_sentinel": noise_sentinel["ratio"],
         "detail": "BENCH_DETAIL.json",
     }
     if pipeline_e2e is not None:
