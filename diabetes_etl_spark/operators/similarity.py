@@ -341,6 +341,131 @@ def cosine_neardup_lsh(
     )
 
 
+# -- ANN: all-points k-NN by Euclidean distance (feeds TwoNN) ----------------
+
+
+def knn_d2_lsh(
+    df: DataFrame,
+    k: int = 2,
+    n_bits: int = 6,
+    n_tables: int = 16,
+    dim: int = 64,
+    bucket_cap: int = 128,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k nearest neighbours BY SQUARED EUCLIDEAN DISTANCE
+    for EVERY point, via bounded LSH bucketing — the scale path that
+    feeds the TwoNN intrinsic-dimension estimator (whose all-pairs
+    twin is the O(n^2) verifier baseline, round-9 VERDICT #2/#3).
+
+    Shape at 100 TB: the only corpus-wide shuffle moves
+    (table, bucket, id) — ~20 bytes x n_tables x (1 + n_bits if
+    multiprobing) per row; pair candidates come from
+    ``bounded_bucket_pairs`` (head all-pairs + star edges, so a
+    near-duplicate flood cannot make any bucket quadratic); the exact
+    decimal-folded d^2 runs only on candidate pairs, each vector
+    re-attached by an equi-join.  No stage is quadratic in n.
+
+    Multiprobe explodes EVERY point to its bucket plus all 1-bit
+    flips (symmetric expansion, so two points flipping different
+    bits still meet at Hamming distance 2) — the recall knob that
+    lets few tables cover the true top-2 without shrinking n_bits
+    (and hence exploding bucket sizes).  Signed-projection buckets
+    model ANGLE, not distance; they still recall Euclidean
+    neighbours because d^2 = |a|^2 + |b|^2 - 2|a||b| cos(theta) is
+    monotone in theta at comparable norms — recall floors vs the
+    exact top-2 are pinned in tests/test_similarity.py, and the
+    TwoNN plan's oracle pairing (exact estimator SQL at covering
+    params) makes any silent recall loss a hash mismatch, not a
+    quiet bias.
+
+    Returns (ia, ib, d2, rk) with rk in 1..k ordered by
+    (d2 asc, ib asc) — d2 decimal-exact so ties break identically
+    in any engine.
+    """
+    sq = widen(df).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        dot_exact(vec_col, vec_col).alias("_s"),
+    )
+    flips = [0] + ([1 << i for i in range(n_bits)] if multiprobe else [])
+    # project each table's base bucket ONCE, then XOR the projected
+    # column per flip: Catalyst does not share common subexpressions
+    # inside higher-order-function lambdas, so inlining
+    # lsh_bucket(...) ^ flip per probe would re-evaluate the full
+    # n_bits x dim hyperplane fold (1 + n_bits) times per table —
+    # measured 7x the hashing cost at the default params
+    based = sq.select(
+        "_id",
+        "_vec",
+        "_s",
+        *[
+            lsh_bucket("_vec", n_bits, dim, seed=t * 131).alias(f"_b{t}")
+            for t in range(n_tables)
+        ],
+    )
+    table_buckets = F.flatten(
+        F.array(
+            *[
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            F.col(f"_b{t}")
+                            .bitwiseXOR(F.lit(flip))
+                            .alias("bucket"),
+                        )
+                        for flip in flips
+                    ]
+                )
+                for t in range(n_tables)
+            ]
+        )
+    )
+    exploded = based.select(
+        F.col("_id").alias("doc_id"), F.explode(table_buckets).alias("tb")
+    ).select("doc_id", "tb.tbl", "tb.bucket")
+    pair_ids = bounded_bucket_pairs(
+        exploded, ["tbl", "bucket"], cap=bucket_cap
+    )
+    a_side = sq.select(
+        F.col("_id").alias("doc_a"),
+        F.col("_vec").alias("ea"),
+        F.col("_s").alias("sa"),
+    )
+    b_side = sq.select(
+        F.col("_id").alias("doc_b"),
+        F.col("_vec").alias("eb"),
+        F.col("_s").alias("sb"),
+    )
+    d2 = (
+        pair_ids.join(a_side, "doc_a")
+        .join(b_side, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("sa") + F.col("sb") - 2 * dot_exact("ea", "eb")
+            ).alias("d2"),
+        )
+    )
+    sym = d2.select(
+        F.col("doc_a").alias("ia"), F.col("doc_b").alias("ib"), "d2"
+    ).unionByName(
+        d2.select(
+            F.col("doc_b").alias("ia"), F.col("doc_a").alias("ib"), "d2"
+        )
+    )
+    w = Window.partitionBy("ia").orderBy(F.asc("d2"), F.asc("ib"))
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("ia", "ib", "d2", "rk")
+    )
+
+
 # -- ANN: IVF (inverted file over spherical k-means cells) -------------------
 
 

@@ -2099,6 +2099,15 @@ def _intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = pairs.withColumn("rk", F.row_number().over(w)).where(
         F.col("rk") <= 2
     )
+    return _twonn_estimate(nn)
+
+
+def _twonn_estimate(nn: DataFrame) -> DataFrame:
+    """Shared TwoNN estimator tail over per-point ranked neighbour
+    rows (ia, d2, rk<=2): ID = n_used / sum ln(d2/d1), with the
+    repo's determinism quantization (9dp ln, 12dp DECIMAL term fold)
+    so the exact all-pairs baseline and the ANN-fed scale path agree
+    bit-for-bit whenever the candidates cover the true top-2."""
     per = nn.groupBy("ia").agg(
         F.max(F.when(F.col("rk") == 1, F.col("d2"))).alias("d1sq"),
         F.max(F.when(F.col("rk") == 2, F.col("d2"))).alias("d2sq"),
@@ -2126,9 +2135,12 @@ def _intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "embeddings_intrinsic_dim",
-    oracle="""
+# The exact all-pairs TwoNN oracle — shared verbatim by the baseline
+# and the ANN-fed scale twin: at covering probe params the ANN
+# candidates contain every point's true top-2, so both queries must
+# reproduce the SAME exact estimate (the sim_lsh_topk covering-oracle
+# precedent); any recall loss surfaces as a hash mismatch.
+_TWONN_ORACLE = """
 WITH sq AS (
   SELECT vec_id, CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
     AS DECIMAL(20,15))) AS DOUBLE) AS s
@@ -2179,7 +2191,11 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
   ROUND(CAST(COUNT(t) AS DOUBLE) / CAST(SUM(t) AS DOUBLE), 6)
     AS intrinsic_dim
 FROM terms
-""",
+"""
+
+register(
+    "embeddings_intrinsic_dim",
+    oracle=_TWONN_ORACLE,
     doc="TwoNN intrinsic-dimension estimate of the embedding corpus "
     "(Facco et al. 2017): per point the ratio mu = d2/d1 of the two "
     "nearest-neighbor distances, ID = n / sum ln mu — the "
@@ -2196,3 +2212,45 @@ FROM terms
     tags=("similarity", "intrinsic-dim", "diagnostics", "extension"),
     extended=True,
 )(_intrinsic_dim)
+
+
+def _intrinsic_dim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.similarity import knn_d2_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    nn = knn_d2_lsh(
+        emb,
+        k=2,
+        n_bits=6,
+        n_tables=16,
+        dim=64,
+        bucket_cap=128,
+        multiprobe=True,
+        id_col="vec_id",
+    )
+    return _twonn_estimate(nn)
+
+
+register(
+    "embeddings_intrinsic_dim_ann",
+    oracle=_TWONN_ORACLE,
+    doc="TwoNN intrinsic dimension fed by ANN candidates — the SCALE "
+    "path for embeddings_intrinsic_dim (round-9 VERDICT #2/#3): "
+    "per-point top-2 squared distances come from "
+    "operators/similarity.knn_d2_lsh's bounded LSH buckets (16 "
+    "tables x 6 bits, symmetric 1-bit multiprobe, bucket cap 128 "
+    "via bounded_bucket_pairs' head+star expansion) instead of the "
+    "O(n^2) all-pairs join; the estimator tail (_twonn_estimate) "
+    "and its quantization are SHARED with the baseline.  The oracle "
+    "is the exact all-pairs SQL at covering probe params — recall "
+    "below 1.0 on the gate fixture is a hash mismatch, never a "
+    "silent bias; per-point top-2 recall floors and 10x-corpus "
+    "sublinearity are pinned in tests/test_similarity.py.  Every "
+    "stage is linear in n: one (tbl,bucket,id) shuffle "
+    "(~20B x tables x probes per row), bounded per-bucket pair "
+    "fan-out, exact decimal d^2 on candidates only.",
+    tags=("similarity", "intrinsic-dim", "ann", "scale", "extension"),
+    extended=False,  # gate (round-10 rotation)
+)(_intrinsic_dim_ann)
