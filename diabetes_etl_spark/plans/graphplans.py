@@ -918,12 +918,24 @@ ORDER BY phase
     "probe): connected-component structure BEFORE and AFTER deleting "
     "the top-3 degree hubs (ties broken by node id) — how much of "
     "the giant component one carrier-node failure class takes down, "
-    "the supply-chain fragility readout.  Both phases run the pinned "
-    "large-star/small-star components operator "
-    "(operators/components.py, O(log^2 n) rounds, checkpointed); "
-    "hub exclusion is one broadcast anti-join on the 3-row hub set.  "
-    "The oracle replays both phases as recursive-CTE closures (the "
-    "dedup_components pattern).",
+    "the supply-chain fragility readout.  Round-10 (verdict-r9 #5): "
+    "the graph-sized components run happens ONCE, on the DEHUBBED "
+    "graph; the full phase is DERIVED by contracting each dehubbed "
+    "component to a super-node and running components again on the "
+    "tiny hub-incident contracted graph (3 hubs + touched parts + "
+    "hub-only leaves — degree-of-hubs-sized, never graph-sized).  "
+    "This is exact, not approximate: adding the hub edges back can "
+    "only MERGE dehubbed components, and the output is phase "
+    "aggregates, so the merged partition (sizes summed per cluster) "
+    "fully determines it.  Label reuse in the other direction "
+    "(verdict's sketch) degenerates here — the trade graph is one "
+    "giant component containing every hub, so the affected-label "
+    "set is the whole graph.  Edge extraction (lineitem x orders "
+    "join + distinct) is materialized once and shared by the hub "
+    "ranking, the kept filter, and the hub-incident slice.  The "
+    "oracle replays both phases as recursive-CTE closures (the "
+    "dedup_components pattern) — unchanged, so the hash certifies "
+    "the composition.",
     tags=("graph", "robustness", "components", "extension"),
     extended=True,
 )
@@ -931,6 +943,7 @@ def graph_hub_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.operators.components import (
         connected_components,
     )
+    from diabetes_etl_spark.operators.util import scratch_dir
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
@@ -948,11 +961,22 @@ def graph_hub_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # no distinct after the symmetrizing union: supplier and customer
+    # node ids live in DISJOINT ranges (the +10^12 offset), so a
+    # swapped copy can never collide with an original and ``raw`` is
+    # already (s, c)-distinct — the dedup shuffle would reproduce its
+    # input
     edges = raw.select(
         F.col("s").alias("src"), F.col("c").alias("dst")
     ).union(
         raw.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-    ).distinct()
+    )
+    # one materialization, three consumers (hub ranking, kept filter,
+    # hub-incident slice) — without it the join+distinct lineage
+    # would re-execute per consumer
+    edir = scratch_dir(spark, "spark_hubrob_")
+    edges.write.mode("overwrite").parquet(edir)
+    edges = spark.read.parquet(edir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     hubs = (
         deg.orderBy(F.desc("d"), F.asc("src"))
@@ -972,11 +996,21 @@ def graph_hub_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def phase(e, tag):
-        cc = connected_components(e, "src", "dst")
+    # the ONE graph-sized components run — kept inherits both-direction
+    # symmetry from edges (the anti-join removes whole incident pairs),
+    # so the operator's symmetrize-distinct pass is skipped
+    cc_kept = connected_components(
+        kept, "src", "dst", assume_symmetric=True
+    )
+    part_sizes = cc_kept.groupBy("component").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+
+    def stats(weighted, tag):
+        # weighted: (cluster, w) — one row per member entity
         return (
-            cc.groupBy("component")
-            .agg(F.count(F.lit(1)).alias("sz"))
+            weighted.groupBy("cluster")
+            .agg(F.sum("w").alias("sz"))
             .agg(
                 F.sum("sz").alias("n_nodes"),
                 F.count(F.lit(1)).alias("n_components"),
@@ -994,6 +1028,106 @@ def graph_hub_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return phase(edges, "full").unionByName(
-        phase(kept, "dehubbed")
-    ).orderBy("phase")
+    dehubbed = stats(
+        cc_kept.select(F.col("component").alias("cluster"), F.lit(1).alias("w")),
+        "dehubbed",
+    )
+
+    # -- derive the FULL phase from the dehubbed partition ------------
+    # hub-incident slice: edges is symmetric, so src-side membership
+    # captures every incident pair (hub-hub edges included)
+    hub_edges = edges.join(
+        F.broadcast(hubs), edges["src"] == hubs["node"]
+    ).select(F.col("src").alias("hub"), F.col("dst").alias("other"))
+    # contract each endpoint to its dehubbed component; an endpoint
+    # absent from cc_kept (a hub, or a leaf whose only edges touched
+    # hubs) stays itself
+    mapped = hub_edges.join(
+        cc_kept.withColumnRenamed("id", "other"), "other", "left"
+    ).select(
+        "hub",
+        F.coalesce(F.col("component"), F.col("other")).alias("part"),
+    )
+    contracted = mapped.distinct()
+    # Hub-hub connectivity closes over SHARED PARTS only: parts are
+    # dehubbed components, so any kept-path between two hub
+    # neighbourhoods lies inside one part — two hubs are in the same
+    # full component iff they share a part, transitively through other
+    # hubs.  That is a union-find over exactly len(hubs)=3 elements
+    # (constant, bounded driver state — the PCA d-vector precedent),
+    # fed by the <= 9-row hub-pair overlap join; no graph-sized or
+    # iterative work.  Every part then joins the cluster of the MIN
+    # hub it touches (broadcast 3-row map), parts touching no hub stay
+    # their own cluster.
+    hub_pairs = (
+        contracted.alias("x")
+        .join(contracted.alias("y"), "part")
+        .select(
+            F.col("x.hub").alias("ha"), F.col("y.hub").alias("hb")
+        )
+        .distinct()
+        .collect()
+    )
+    parent: dict = {}
+
+    def find(u):
+        while parent.setdefault(u, u) != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for r in hub_pairs:
+        ra, rb = find(r["ha"]), find(r["hb"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    hub_cluster = [(h, find(h)) for h in parent]
+    cc_small_hubs = spark.createDataFrame(
+        hub_cluster, "hub long, cluster long"
+    )
+    # (part -> cluster) for every hub-touched part; one row per part
+    cc_small = (
+        contracted.join(F.broadcast(cc_small_hubs), "hub")
+        .groupBy("part")
+        .agg(F.min("cluster").alias("component"))
+        .select(F.col("part").alias("id"), "component")
+        # the hubs themselves are entities too
+        .unionByName(
+            cc_small_hubs.select(
+                F.col("hub").alias("id"), F.col("cluster").alias("component")
+            )
+        )
+    )
+    # full-graph member entities with weights: every dehubbed part
+    # (weight = its size), every hub-only leaf (weight 1), every hub
+    # (weight 1); entities missing from the contracted graph (parts
+    # no hub touches) are their own cluster
+    leaves = (
+        mapped.select(F.col("part").alias("ent"))
+        .join(
+            part_sizes.withColumnRenamed("component", "ent"),
+            "ent",
+            "left_anti",
+        )
+        .join(hubs.withColumnRenamed("node", "ent"), "ent", "left_anti")
+        .distinct()
+        .select("ent", F.lit(1).alias("w"))
+    )
+    entities = (
+        part_sizes.select(
+            F.col("component").alias("ent"), F.col("sz").alias("w")
+        )
+        .unionByName(leaves)
+        .unionByName(
+            hubs.select(F.col("node").alias("ent"), F.lit(1).alias("w"))
+        )
+    )
+    full = stats(
+        entities.join(
+            cc_small.withColumnRenamed("id", "ent"), "ent", "left"
+        ).select(
+            F.coalesce(F.col("component"), F.col("ent")).alias("cluster"),
+            "w",
+        ),
+        "full",
+    )
+    return full.unionByName(dehubbed).orderBy("phase")
