@@ -837,7 +837,7 @@ FROM w
     "classifier_logreg_train is the iterative general-d pattern; "
     "this is the exact small-d shortcut).",
     tags=("ml", "regression", "extension"),
-    extended=True,
+    extended=False,  # gate (round-10 rotation)
 )
 def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -1114,7 +1114,7 @@ FROM qhat q2, test t
     "iterative exact-selection operator (selection_exact_percentiles "
     "pattern).",
     tags=("ml", "conformal", "uncertainty", "extension"),
-    extended=True,
+    extended=False,  # gate (round-10 rotation)
 )
 def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
@@ -1344,7 +1344,7 @@ FROM terms
     "(asserted in tests — the decomposition is only exact when "
     "scores are constant within bins).  One corpus pass to 10 bins + one for the cross term.",
     tags=("classifier", "ml", "calibration", "extension"),
-    extended=True,
+    extended=False,  # gate (round-10 rotation)
 )
 def classifier_brier_decomposition(
     spark: SparkSession, sf_dir: str

@@ -3366,7 +3366,7 @@ FROM w
     "changes the score).  PSI > 0.25 is the standard retrain alarm.  "
     "Scale: two map-side-combined histogram passes onto <= 20 rows.",
     tags=("events", "drift", "psi", "extension"),
-    extended=True,
+    extended=False,  # gate (round-10 rotation)
 )
 def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -3872,7 +3872,7 @@ FROM cmp
     "table (users x B rows, map-side combined to B rows) — never on "
     "raw events.",
     tags=("events", "abtest", "randomization", "extension"),
-    extended=True,
+    extended=False,  # gate (round-10 rotation)
 )
 def events_ab_randomization_test(
     spark: SparkSession, sf_dir: str

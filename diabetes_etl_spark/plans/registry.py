@@ -409,6 +409,59 @@ _EXTENDED: frozenset[str] = frozenset(
         # .py and oracle-green locally; its slot carries the NEW SQL
         # surface (WITH RECURSIVE)
         "grouping_sets_having_regions",
+        # ---- round-10 rotation (round-9 VERDICT #2): seven twins move
+        # out so the round-9 stats/ML families the r9 gate snapshot
+        # could not see (ml_ridge_closed_form, ml_conformal_interval,
+        # events_psi_drift, classifier_brier_decomposition,
+        # profile_cramers_v, events_ab_randomization_test) plus the
+        # new ANN-fed TwoNN scale twin (embeddings_intrinsic_dim_ann,
+        # round-9 VERDICT #3) get driver-gate visibility.  Every
+        # demoted query keeps its oracle and stays green in
+        # tests/test_oracle.py:
+        # mapInPandas binary decode composite: gate-green rounds 3-9;
+        # the multimodal decode machinery keeps
+        # multimodal_progressive_decode in the gate (the stricter
+        # 9-scan SOF2 path over the same Arrow decode surface, the
+        # multimodal_color_decode precedent from round 8); PNG/WAV
+        # bit-exactness stays pinned by tests/test_multimodal.py
+        "multimodal_features",
+        # ROUGE/BLEU pair scoring: gate-green rounds 8-9; bounded
+        # window arithmetic over per-pair clipped overlaps — the text
+        # family keeps text_bm25_topk, text_wordpiece_segments and
+        # text_html_extract in the gate, and the pair scorer stays a
+        # bench headline
+        "text_rouge_bleu_pairs",
+        # event-time sessionization: gate-green rounds 4-9; its
+        # gaps-and-islands SQL twin events_sessionize_sql (same rows,
+        # same oracle) has been extended since round 4, and the
+        # streaming state machinery keeps stream_ingest_events,
+        # stream_stateful_user_profiles and cdc_scd2_user_history in
+        # the gate
+        "events_session_native",
+        # corpus-trained bigram LM scoring: gate-green rounds 6-9; the
+        # count-table LM design (bounded model state, ln-quantized
+        # scoring) stays a bench headline + oracle-green locally, and
+        # the trained-model family stays gate-visible through
+        # ml_gbdt_histogram_tree + the incoming ridge/conformal slots
+        "text_bigram_lm_quality",
+        # content-defined chunk dedup: gate-green rounds 8-9; the
+        # dedup family keeps dedup_exact_docs + dedup_components in
+        # the gate, the CDC apply machinery keeps
+        # cdc_scd2_user_history, and the boundary-scan chunker stays
+        # a bench headline with its tests in tests/test_cdc.py
+        "dedup_cdc_chunks",
+        # CUPED variance reduction: gate-green round 9; yields its
+        # A/B-family slot to events_ab_randomization_test (the
+        # stricter inference contract: exact permutation p-value over
+        # the same assignment/metric machinery); the theta/variance
+        # arithmetic stays oracle-green locally
+        "events_ab_cuped",
+        # monotonic global id assignment: gate-green round 9; a
+        # zero-shuffle narrow map whose plan shape (no Exchange)
+        # stays asserted in tests/test_plans.py, and the id/sharding
+        # family keeps mix_temperature_langs gate-visible through the
+        # same portable-hash machinery
+        "docs_global_ids",
     }
 )
 
