@@ -1155,3 +1155,57 @@ def test_hub_robustness_monotone_fragmentation(spark, sf_dir):
     for r in rows.values():
         assert r["largest_cc"] <= r["n_nodes"]
         assert r["n_components"] >= 1
+
+
+def test_coverage_md_tier_marks_match_registry():
+    """Every registry query named in a COVERAGE.md TABLE ROW carries
+    the tier mark the registry assigns it — extended queries are
+    suffixed ``(ext)``, gate queries are bare (round-9 VERDICT #4:
+    the header-count pin catches totals but let per-query tier labels
+    drift across rotations).  Prose mentions are exempt: only table
+    rows make a tier claim.  tools/sync_coverage_marks.py rewrites
+    the marks from the registry when a rotation moves queries."""
+    import os
+    import re
+
+    from diabetes_etl_spark.plans import all_queries
+
+    reg = all_queries(include_extended=True)
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "COVERAGE.md"), encoding="utf-8") as f:
+        lines = f.read().split("\n")
+    bad = []
+    for i, ln in enumerate(lines, 1):
+        if not ln.lstrip().startswith("|"):
+            continue
+        # a mark is "(ext)" or the prose form "(ext, ...)" / "(ext; ...)"
+        for m in re.finditer(r"`([a-z0-9_]+)`( \(ext[,;)])?", ln):
+            name, marked = m.group(1), bool(m.group(2))
+            if name not in reg:
+                continue
+            if reg[name].extended != marked:
+                bad.append(
+                    f"COVERAGE.md:{i} `{name}` marked "
+                    f"{'ext' if marked else 'gate'} but registry says "
+                    f"{'ext' if reg[name].extended else 'gate'}"
+                )
+    assert not bad, "\n".join(bad)
+
+
+def test_poisson_bootstrap_fold_equals_explode_form(spark, sf_dir):
+    """The no-fan-out fold form reproduces the explode form
+    bit-for-bit (same md5 weight stream, same DECIMAL folds)."""
+    from diabetes_etl_spark.plans import all_queries
+
+    reg = all_queries(include_extended=True)
+    a = [
+        tuple(r)
+        for r in reg["stats_poisson_bootstrap_ci"].fn(spark, sf_dir).collect()
+    ]
+    b = [
+        tuple(r)
+        for r in reg["stats_poisson_bootstrap_ci_fold"]
+        .fn(spark, sf_dir)
+        .collect()
+    ]
+    assert a == b
