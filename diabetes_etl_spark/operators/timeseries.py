@@ -71,6 +71,66 @@ def locf_fill(
     return out
 
 
+def linear_interpolate(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    order_cols: Sequence[str],
+    value: str | Column,
+    out_name: str = "interp",
+) -> DataFrame:
+    """Append ``<out_name>`` linearly interpolating a SPARSE series
+    between its neighbouring observations within each key group:
+
+        v(t) = v_prev + (v_next - v_prev) * (t - t_prev)/(t_next - t_prev)
+
+    Rows that carry an observation keep it exactly; rows with only one
+    neighbour (before the first / after the last observation) stay
+    NULL — interpolation does not extrapolate (chain ``locf_fill`` or
+    a global imputation for edges).
+
+    Shape at 100 TB: TWO running windows over the SAME
+    (key, order) sort — last/first non-null value and timestamp in
+    each direction — so the whole fill costs one key-partition
+    exchange + one sort, no self-join, no per-gap lookup (the
+    ``locf_fill`` contract, extended with the backward pass; Catalyst
+    reuses the exchange between the two window frames).  The time
+    fraction divides BIGINT epoch-micro differences cast to double in
+    pinned IEEE order, so both engines interpolate bit-identically;
+    a zero-width gap (prev ts == next ts) yields the previous value
+    (fraction guarded, no ANSI divide-by-zero).
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    tus = F.unix_micros(F.col(ts_col))
+    fwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(v.isNotNull(), tus)
+    prev_v = F.last(v, ignorenulls=True).over(fwd)
+    prev_t = F.last(obs_ts, ignorenulls=True).over(fwd)
+    next_v = F.first(v, ignorenulls=True).over(bwd)
+    next_t = F.first(obs_ts, ignorenulls=True).over(bwd)
+    frac = F.when(
+        next_t > prev_t,
+        (tus - prev_t).cast("double") / (next_t - prev_t).cast("double"),
+    ).otherwise(F.lit(0.0))
+    interp = F.when(v.isNotNull(), v.cast("double")).otherwise(
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v.cast("double")
+            + (next_v.cast("double") - prev_v.cast("double")) * frac,
+        )
+    )
+    return df.withColumn(out_name, interp)
+
+
 def rolling_zscore(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -1700,3 +1700,74 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# -- Jaro-Winkler fuzzy pairs (round 10) --------------------------------------
+
+
+def _jw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.er import jaro_winkler_steps
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size"
+    )
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    pairs = a.join(b, ["brand", "size"]).filter(
+        F.col("key_a") < F.col("key_b")
+    )
+    scored = jaro_winkler_steps(pairs, "name_a", "name_b")
+    return (
+        scored.filter(F.col("jw_sim") >= 0.82)
+        .select(
+            "key_a",
+            "key_b",
+            "name_a",
+            "name_b",
+            F.round("jw_sim", 9).alias("jw_sim"),
+        )
+        .orderBy("key_a", "key_b")
+    )
+
+
+register(
+    "er_jaro_winkler_pairs",
+    oracle="""
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+  a.p_name AS name_a, b.p_name AS name_b,
+  ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 9) AS jw_sim
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.82
+ORDER BY key_a, key_b
+""",
+    doc="Jaro-Winkler fuzzy name matching over (brand, size)-blocked "
+    "part pairs — an operator Spark LACKS (no jaro builtin), rebuilt "
+    "as pure Catalyst sequence folds in "
+    "operators/er.py:jaro_winkler_steps: greedy window matching with "
+    "a BIGINT used-position bitmask, matched-substring transposition "
+    "count, the (c/|s| + c/|t| + (c-tr)/c)/3 Jaro score and the "
+    "classic Winkler prefix bonus (weight 0.1, max 4 chars, 0.7 "
+    "boost threshold).  The oracle is DuckDB's BUILT-IN "
+    "jaro_winkler_similarity — the strongest possible check: an "
+    "independent C++ implementation must agree to 9 decimals on "
+    "every surviving pair (bit-identical doubles verified on the "
+    "textbook constants AND a boost-threshold discriminator in "
+    "tests/test_graph_er.py).  Scan-local per-pair bit arithmetic "
+    "after an equi-join on the blocking key: no UDF, no shuffle "
+    "beyond the blocked join, complements the levenshtein and "
+    "Soundex blocks in the ER family.",
+    tags=("er", "fuzzy", "jaro-winkler", "extension"),
+    extended=True,
+)(_jw_pairs)

@@ -3976,3 +3976,257 @@ def events_ab_randomization_test(
             (1 + F.col("n_extreme")).cast("double") / (_RAND_B + 1), 9
         ).alias("p_value"),
     )
+
+
+# -- MAD robust outliers (round 10) --------------------------------------------
+
+
+def _mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    wg = Window.partitionBy("event_type")
+    w1 = wg.orderBy("value", "event_id")
+    r1 = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w1).alias("rk"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+    )
+    mid = (F.col("n") + 1).cast("double") / 2
+    med = (
+        r1.withColumn("m1", F.floor(mid).cast("long"))
+        .withColumn("m2", F.ceil(mid).cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            (
+                (
+                    F.max(F.when(F.col("rk") == F.col("m1"), F.col("value")))
+                    + F.max(F.when(F.col("rk") == F.col("m2"), F.col("value")))
+                )
+                / 2
+            ).alias("med"),
+        )
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "value",
+        "n",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    w2 = wg.orderBy("dev", "event_id")
+    r2 = dev.select(
+        "event_type", "value", "n", "med", "dev",
+        F.row_number().over(w2).alias("rk"),
+    )
+    mad = (
+        r2.withColumn("m1", F.floor(mid).cast("long"))
+        .withColumn("m2", F.ceil(mid).cast("long"))
+        .groupBy("event_type")
+        .agg(
+            (
+                (
+                    F.max(F.when(F.col("rk") == F.col("m1"), F.col("dev")))
+                    + F.max(F.when(F.col("rk") == F.col("m2"), F.col("dev")))
+                )
+                / 2
+            ).alias("mad"),
+        )
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").select(
+        "event_type", "n", "med", "mad",
+        F.when(
+            F.col("dev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad"), 1
+        ).otherwise(0).alias("is_out"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.round(F.max("med"), 9).alias("median_value"),
+            F.round(F.max("mad"), 9).alias("mad"),
+            F.sum("is_out").cast("long").alias("n_outliers"),
+            F.round(
+                F.sum("is_out").cast("double") / F.max("n"), 9
+            ).alias("outlier_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "events_mad_outliers",
+    oracle="""
+WITH r1 AS (
+  SELECT event_type, event_id, value,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY value, event_id) AS rk,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type, MAX(n) AS n,
+    (MAX(CASE WHEN rk = CAST(floor(CAST(n + 1 AS DOUBLE) / 2) AS BIGINT)
+              THEN value END)
+   + MAX(CASE WHEN rk = CAST(ceil(CAST(n + 1 AS DOUBLE) / 2) AS BIGINT)
+              THEN value END)) / 2 AS med
+  FROM r1 GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.event_id, e.value, m.n, m.med,
+    ABS(e.value - m.med) AS dev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+r2 AS (
+  SELECT event_type, n, med, dev,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY dev, event_id) AS rk
+  FROM dev
+),
+mad AS (
+  SELECT event_type,
+    (MAX(CASE WHEN rk = CAST(floor(CAST(n + 1 AS DOUBLE) / 2) AS BIGINT)
+              THEN dev END)
+   + MAX(CASE WHEN rk = CAST(ceil(CAST(n + 1 AS DOUBLE) / 2) AS BIGINT)
+              THEN dev END)) / 2 AS mad
+  FROM r2 GROUP BY event_type
+)
+SELECT d.event_type,
+  CAST(MAX(d.n) AS BIGINT) AS n_events,
+  ROUND(MAX(d.med), 9) AS median_value,
+  ROUND(MAX(a.mad), 9) AS mad,
+  CAST(SUM(CASE WHEN d.dev > CAST(3.0 AS DOUBLE)
+                             * CAST(1.4826 AS DOUBLE) * a.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  ROUND(CAST(SUM(CASE WHEN d.dev > CAST(3.0 AS DOUBLE)
+                                   * CAST(1.4826 AS DOUBLE) * a.mad
+                      THEN 1 ELSE 0 END) AS DOUBLE) / MAX(d.n), 9)
+    AS outlier_share
+FROM dev d JOIN mad a ON d.event_type = a.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+""",
+    doc="Robust per-segment outlier detection via MEDIAN ABSOLUTE "
+    "DEVIATION: per event_type the exact median (averaged order "
+    "statistics under a deterministic (value, id) sort), the exact "
+    "MAD (median of absolute deviations, same machinery), and the "
+    "count/share of events beyond 3 x 1.4826 x MAD — the robust "
+    "z-score rule that, unlike mean/stddev fences, a few extreme "
+    "values cannot drag (the consistency constant 1.4826 scales MAD "
+    "to sigma under normality).  All comparisons are IEEE doubles "
+    "computed in pinned identical order on both engines; medians are "
+    "exact order statistics, never percentile_approx.  Fixture form "
+    "sorts within each segment (few segments, window per group); the "
+    "100 TB twin fetches the two order statistics per group with the "
+    "iterative exact-selection operator (the "
+    "stats_median_ci_orderstats precedent) — no per-group global "
+    "sort, no skewed single partition.",
+    tags=("statistics", "robust", "outliers", "extension"),
+    extended=True,
+)(_mad_outliers)
+
+
+# -- linear interpolation of a sparse series (round 10) -------------------------
+
+
+def _linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.timeseries import linear_interpolate
+
+    ev = load_table(spark, sf_dir, "events")
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    st = linear_interpolate(
+        ev.select("user_id", "ts", "event_id", sparse.alias("sparse")),
+        key_cols=["user_id"],
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+        value="sparse",
+        out_name="interp",
+    )
+    filled = F.col("sparse").isNull() & F.col("interp").isNotNull()
+    return (
+        st.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(filled.cast("int")).cast("long").alias("n_interpolated"),
+            F.sum(
+                (F.col("interp").isNull()).cast("int")
+            ).cast("long").alias("n_edge_unfilled"),
+            F.sum(
+                F.when(
+                    filled,
+                    F.round(F.col("interp"), 9).cast("decimal(28,9)"),
+                )
+            ).cast("double").alias("interp_value_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+register(
+    "events_linear_interpolate",
+    oracle="""
+WITH base AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN event_type = 'purchase' THEN value END AS sparse
+  FROM events
+),
+st AS (
+  SELECT user_id, sparse,
+    epoch_us(ts) AS tus,
+    last_value(sparse IGNORE NULLS) OVER w_fwd AS prev_v,
+    last_value(CASE WHEN sparse IS NOT NULL THEN epoch_us(ts) END
+               IGNORE NULLS) OVER w_fwd AS prev_t,
+    first_value(sparse IGNORE NULLS) OVER w_bwd AS next_v,
+    first_value(CASE WHEN sparse IS NOT NULL THEN epoch_us(ts) END
+                IGNORE NULLS) OVER w_bwd AS next_t
+  FROM base
+  WINDOW
+    w_fwd AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_bwd AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+it AS (
+  SELECT user_id, sparse,
+    CASE WHEN sparse IS NOT NULL THEN CAST(sparse AS DOUBLE)
+         WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+           CAST(prev_v AS DOUBLE)
+           + (CAST(next_v AS DOUBLE) - CAST(prev_v AS DOUBLE))
+             * (CASE WHEN next_t > prev_t
+                     THEN CAST(tus - prev_t AS DOUBLE)
+                          / CAST(next_t - prev_t AS DOUBLE)
+                     ELSE CAST(0.0 AS DOUBLE) END)
+    END AS interp
+  FROM st
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN sparse IS NULL AND interp IS NOT NULL
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_interpolated,
+  CAST(SUM(CASE WHEN interp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_edge_unfilled,
+  CAST(SUM(CASE WHEN sparse IS NULL AND interp IS NOT NULL
+           THEN CAST(ROUND(interp, 9) AS DECIMAL(28,9)) END) AS DOUBLE)
+    AS interp_value_sum
+FROM it GROUP BY user_id ORDER BY user_id
+""",
+    doc="Time-weighted LINEAR interpolation of the sparse purchase "
+    "price onto every intermediate event "
+    "(operators/timeseries.py:linear_interpolate): v_prev + "
+    "(v_next - v_prev) * (t - t_prev)/(t_next - t_prev), neighbours "
+    "found with one forward and one backward running ignore-nulls "
+    "window over the SAME (user, ts, id) sort — one exchange, one "
+    "sort, no self-join, no per-gap lookup (the events_locf_fill "
+    "contract extended with the backward pass).  Edges stay NULL "
+    "(no extrapolation).  Time fractions divide BIGINT epoch-micro "
+    "differences in pinned IEEE order; interpolated values are "
+    "9dp-quantized then DECIMAL-folded so the per-user sum is "
+    "order-independent and engine-exact.",
+    tags=("events", "timeseries", "window", "extension"),
+    extended=True,
+)(_linear_interp)

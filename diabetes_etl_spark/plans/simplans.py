@@ -2254,3 +2254,98 @@ register(
     tags=("similarity", "intrinsic-dim", "ann", "scale", "extension"),
     extended=False,  # gate (round-10 rotation)
 )(_intrinsic_dim_ann)
+
+
+# -- semantic decontamination quarantine (round 10) ---------------------------
+
+_SEMDECON_ORACLE = """
+WITH tr AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
+ev AS (SELECT * FROM embeddings WHERE vec_id % 10 = 0),
+nt AS (
+  SELECT vec_id,
+    sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+         AS DECIMAL(20,15))) AS DOUBLE)) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM tr) GROUP BY vec_id
+),
+ne AS (
+  SELECT vec_id,
+    sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+         AS DECIMAL(20,15))) AS DOUBLE)) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM ev) GROUP BY vec_id
+),
+dots AS (
+  SELECT id_t, id_e,
+    CAST(SUM(CAST(CAST(xt AS DOUBLE) * CAST(xe AS DOUBLE)
+         AS DECIMAL(20,15))) AS DOUBLE) AS dot
+  FROM (
+    SELECT t.vec_id AS id_t, e.vec_id AS id_e,
+           unnest(t.embedding) AS xt, unnest(e.embedding) AS xe
+    FROM tr t CROSS JOIN ev e
+  ) GROUP BY id_t, id_e
+),
+scored AS (
+  SELECT d.id_t AS train_id, d.id_e AS eval_id,
+    ROUND(d.dot / (nt.nrm * ne.nrm), 9) AS cosine_sim
+  FROM dots d JOIN nt ON d.id_t = nt.vec_id JOIN ne ON d.id_e = ne.vec_id
+),
+hits AS (
+  SELECT train_id, eval_id, cosine_sim,
+    ROW_NUMBER() OVER (PARTITION BY train_id
+                       ORDER BY cosine_sim DESC, eval_id) AS rk
+  FROM scored WHERE cosine_sim >= 0.45
+)
+SELECT train_id, eval_id AS best_eval_id, cosine_sim AS best_sim
+FROM hits WHERE rk = 1 ORDER BY train_id
+"""
+
+
+@register(
+    "decontam_semantic_quarantine",
+    # covering configuration (32 tables x 3 bits, caps unbounded at
+    # fixture scale — the sim_cross_corpus_pairs precedent): recall is
+    # exact, so the exact cross-join oracle applies verbatim and any
+    # recall drop FAILS the pairing
+    oracle=_SEMDECON_ORACLE,
+    doc="SEMANTIC decontamination quarantine list: train-corpus "
+    "embeddings (vec_id % 10 != 0) whose cosine against ANY eval-set "
+    "embedding (vec_id % 10 = 0) reaches 0.45, each with its "
+    "best-matching eval item (ties broken by eval id) — the "
+    "embedding-space complement of the n-gram/Bloom decontamination "
+    "family: paraphrased or reformatted benchmark leakage that "
+    "token-overlap misses sits exactly in this cosine band.  "
+    "Candidates come from the two-sided bounded LSH bucket join "
+    "(operators/similarity.py:lsh_cross_pairs — only (id, table, "
+    "bucket) shuffles, hot buckets head-capped per side, exact "
+    "decimal-dot verification keeps precision 1.0), then one "
+    "(train_id)-keyed window picks the argmax eval match.  At 100 TB "
+    "the eval side is benchmark-sized but NOT broadcast-sized "
+    "(thousands of benchmarks x thousands of items), which is the "
+    "case this cross-corpus shape exists for.",
+    tags=("decontamination", "similarity", "lsh", "extension"),
+    extended=True,
+)
+def decontam_semantic_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 10 != 0)
+    ev = emb.filter(F.col("vec_id") % 10 == 0)
+    pairs = SIM.lsh_cross_pairs(
+        train, ev, threshold=0.45, n_bits=3, n_tables=32,
+        side_cap=100000,
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("cosine_sim").desc(), F.col("id_b").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("id_a").alias("train_id"),
+            F.col("id_b").alias("best_eval_id"),
+            F.col("cosine_sim").alias("best_sim"),
+        )
+        .orderBy("train_id")
+    )

@@ -570,3 +570,49 @@ def test_fellegi_sunter_three_way_decision(spark, tmp_path):
     assert mixed.decision == "possible"
     assert not mixed.agree_name and mixed.agree_prefix
     assert _FS_LOWER < mixed.score < _FS_UPPER
+
+
+# -- Jaro-Winkler (round 10) --------------------------------------------------
+
+
+def test_jaro_winkler_textbook_constants_and_threshold(spark):
+    """The Catalyst-expression Jaro-Winkler must agree bit-for-bit
+    with DuckDB's independent C++ builtin on the textbook constants,
+    the transposition cases, and a boost-threshold discriminator
+    (jaro <= 0.7 with a shared prefix — bonus must NOT apply)."""
+    import duckdb
+
+    from diabetes_etl_spark.operators.er import jaro_winkler_steps
+
+    rows = [
+        ("MARTHA", "MARHTA"),      # one transposition
+        ("DIXON", "DICKSONX"),     # classic Winkler example
+        ("JELLYFISH", "SMELLYFISH"),
+        ("CRATE", "TRACE"),
+        ("arnab", "raanb"),
+        ("axxxx", "ayyyy"),        # jaro 0.4667 <= 0.7: NO prefix bonus
+        ("aaaa", "aaa"),
+        ("abcdef", "abcdef"),
+        ("a", ""),
+        ("", ""),
+        ("ab", "ba"),              # window 0: zero matches
+    ]
+    df = spark.createDataFrame(rows, "s string, t string")
+    got = {
+        (r["s"], r["t"]): r["jw_sim"]
+        for r in jaro_winkler_steps(df, "s", "t").collect()
+    }
+    for s, t in rows:
+        want = duckdb.sql(
+            f"SELECT jaro_winkler_similarity('{s}','{t}')"
+        ).fetchall()[0][0]
+        assert got[(s, t)] == want, (s, t, got[(s, t)], want)
+
+
+def test_jaro_winkler_null_and_overlong_guard(spark):
+    from diabetes_etl_spark.operators.er import jaro_winkler_steps
+
+    rows = [(None, "x"), ("x", None), ("y" * 64, "y"), ("z", "z" * 70)]
+    df = spark.createDataFrame(rows, "s string, t string")
+    out = jaro_winkler_steps(df, "s", "t").collect()
+    assert all(r["jw_sim"] is None for r in out)
