@@ -162,6 +162,10 @@ def main() -> None:
     def sentinel_sample() -> float:
         return min(run_query("q1_pricing_summary", sf_dir) for _ in range(2))
 
+    # unrecorded first-touch: the sentinel must measure HOST drift, not
+    # its own cold page-cache at sf_dir (a cold first bracket read as
+    # ratio 0.38 — a phantom "host sped up")
+    run_query("q1_pricing_summary", sf_dir)
     sentinel_first = sentinel_sample()
     print(f"# noise_sentinel first: {sentinel_first}s", file=sys.stderr)
 
