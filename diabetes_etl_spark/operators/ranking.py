@@ -494,3 +494,84 @@ def rocchio_prf_topk(
         "prf_rank",
         F.col("__exp_terms").alias("exp_terms"),
     )
+
+
+# -- NDCG@k (round 10) --------------------------------------------------------
+
+
+def ndcg_discounts(k: int) -> list[float]:
+    """The k positional discounts log2(pos+1), 12dp-quantized at BUILD
+    time so both engines consume identical literals — transcendental
+    log2 never evaluates inside either engine (the ln-quantization
+    precedent, applied one step earlier)."""
+    import math
+
+    return [round(math.log2(pos + 1), 12) for pos in range(1, k + 1)]
+
+
+def ndcg_at_k(
+    scored: DataFrame,
+    k: int = 10,
+    query_col: str = "query",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """NDCG@k per query over a (query, doc, score, graded-rel) table:
+
+        DCG@k  = sum_{pos<=k} (2^rel - 1) / log2(pos + 1)   [score order]
+        IDCG@k = the same sum under the IDEAL (rel-sorted) order
+        NDCG@k = DCG / IDCG   (NULL when IDCG = 0 — no relevant docs)
+
+    Determinism: gains are exact integers (shiftleft, rel bounded by
+    the caller's grading), discounts are 12dp build-time literals,
+    each term is 12dp-quantized and DECIMAL-folded so the per-query
+    sums are order-independent; both rankings carry a total
+    (key DESC, id ASC) tiebreak.
+
+    Scale shape: the input is retrieval OUTPUT (per-query candidate
+    lists), so everything here is query-sized — two row_number
+    windows per query partition and one grouped fold; the corpus
+    never enters.
+    """
+    disc = ndcg_discounts(k)
+    darr = F.array(*[F.lit(d) for d in disc])
+    # shiftleft's bit count must be a Column here (graded rel), which
+    # the pyspark wrapper rejects — go through the SQL parser
+    gain = (F.expr(f"shiftleft(1, {rel_col})") - 1).cast("double")
+    w_s = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    w_i = Window.partitionBy(query_col).orderBy(
+        F.col(rel_col).desc(), F.col(id_col)
+    )
+    ranked = scored.select(
+        query_col,
+        gain.alias("__g"),
+        F.row_number().over(w_s).alias("__rs"),
+        F.row_number().over(w_i).alias("__ri"),
+    )
+    term = lambda rank_col: F.when(  # noqa: E731
+        F.col(rank_col) <= k,
+        F.round(
+            F.col("__g") / F.element_at(darr, F.col(rank_col)), 12
+        ).cast("decimal(28,12)"),
+    )
+    return (
+        ranked.groupBy(query_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.sum(term("__rs")).cast("double").alias("dcg"),
+            F.sum(term("__ri")).cast("double").alias("idcg"),
+        )
+        .select(
+            query_col,
+            "n_scored",
+            F.round("dcg", 9).alias("dcg"),
+            F.round("idcg", 9).alias("idcg"),
+            F.when(
+                F.col("idcg") > 0,
+                F.round(F.col("dcg") / F.col("idcg"), 9),
+            ).alias("ndcg"),
+        )
+    )

@@ -2902,3 +2902,110 @@ FROM s
     tags=("timeseries", "runs-test", "statistics", "extension"),
     extended=True,
 )(_runs_test)
+
+
+# -- Gini / Lorenz revenue concentration (round 10) -----------------------------
+
+
+def _gini_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(15,2)")).alias("rev")
+    )
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = rev.select(
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    i_dec = F.col("i").cast("decimal(18,0)")
+    agg = ranked.agg(
+        F.max("n").alias("n"),
+        F.sum("rev").alias("s"),
+        F.sum(i_dec * F.col("rev")).alias("iws"),
+        F.sum(
+            F.when(
+                F.col("i") <= F.floor(F.col("n") / 2), F.col("rev")
+            )
+        ).alias("bottom_half"),
+        F.sum(
+            F.when(
+                F.col("i") > F.col("n") - F.floor(F.col("n") / 10),
+                F.col("rev"),
+            )
+        ).alias("top_decile"),
+    )
+    n = F.col("n").cast("decimal(18,0)")
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("s").cast("double").alias("total_revenue"),
+        F.round(
+            (2 * F.col("iws") - (n + 1) * F.col("s")).cast("double")
+            / (n * F.col("s")).cast("double"),
+            9,
+        ).alias("gini"),
+        F.round(
+            F.col("bottom_half").cast("double") / F.col("s").cast("double"),
+            9,
+        ).alias("bottom_half_share"),
+        F.round(
+            F.col("top_decile").cast("double") / F.col("s").cast("double"),
+            9,
+        ).alias("top_decile_share"),
+    )
+
+
+register(
+    "orders_gini_customers",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(19,2))) AS rev
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i,
+    COUNT(*) OVER () AS n
+  FROM rev
+),
+agg AS (
+  SELECT MAX(n) AS n, SUM(rev) AS s,
+    SUM(CAST(i AS DECIMAL(19,0)) * rev) AS iws,
+    SUM(CASE WHEN i <= CAST(floor(CAST(n AS DOUBLE) / 2) AS BIGINT)
+        THEN rev END) AS bottom_half,
+    SUM(CASE WHEN i > n - CAST(floor(CAST(n AS DOUBLE) / 10) AS BIGINT)
+        THEN rev END) AS top_decile
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+  CAST(s AS DOUBLE) AS total_revenue,
+  ROUND(CAST(2 * iws - (n + 1) * s AS DOUBLE)
+        / CAST(n * s AS DOUBLE), 9) AS gini,
+  ROUND(CAST(bottom_half AS DOUBLE) / CAST(s AS DOUBLE), 9)
+    AS bottom_half_share,
+  ROUND(CAST(top_decile AS DOUBLE) / CAST(s AS DOUBLE), 9)
+    AS top_decile_share
+FROM agg
+""",
+    doc="Gini coefficient + Lorenz-curve shares of customer revenue "
+    "concentration: G = (2 sum(i x_i) - (n+1) S) / (n S) over the "
+    "revenue-ascending rank order — exact DECIMAL products and sums "
+    "end-to-end (rank cast DECIMAL(18,0) x revenue DECIMAL(15,2): "
+    "Spark's product stays under precision 38 so nothing truncates; "
+    "the DuckDB twin goes wide into HUGEINT — both exact, the r9 "
+    "bootstrap-SE width pattern), with ONE IEEE division per output. "
+    "bottom_half_share / top_decile_share read the Lorenz curve at "
+    "the 50th and 90th percentiles (floor boundaries, integer rank "
+    "compare).  Complements HHI (squared market shares) with the "
+    "rank-based inequality view.  Fixture form sorts once globally; "
+    "the 100 TB path gets rank i from a two-pass range-partitioned "
+    "rank (quantile boundaries + per-bucket offsets, the "
+    "docs_global_ids machinery) — no single-partition window.",
+    tags=("statistics", "concentration", "extension"),
+    extended=True,
+)(_gini_customers)

@@ -2488,3 +2488,164 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "perplexity"
         ),
     ).orderBy("lang")
+
+
+# -- NDCG@k retrieval quality (round 10) ---------------------------------------
+
+_NDCG_K = 10
+
+
+def _ndcg_case_sql(rank: str) -> str:
+    from diabetes_etl_spark.operators.ranking import ndcg_discounts
+
+    branches = " ".join(
+        f"WHEN {rank} = {pos} THEN CAST({d!r} AS DOUBLE)"
+        for pos, d in enumerate(ndcg_discounts(_NDCG_K), start=1)
+    )
+    return f"CASE {branches} END"
+
+
+_NDCG_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, len({_D_TOKENS}) AS dl FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM base
+),
+toks AS (
+  SELECT doc_id, unnest({_D_TOKENS}) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, tok
+),
+dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+idf AS (
+  SELECT tok,
+    ROUND(LN((CAST(n AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
+             / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 9)
+      AS idf
+  FROM dft CROSS JOIN stats
+),
+scored AS (
+  SELECT tf.tok AS query, tf.doc_id,
+    ROUND(idf.idf * (tf.tf * CAST({_BM25_K1 + 1.0} AS DOUBLE))
+      / (tf.tf + CAST({_BM25_K1} AS DOUBLE)
+         * (CAST({1.0 - _BM25_B} AS DOUBLE)
+            + CAST({_BM25_B} AS DOUBLE) * CAST(base.dl AS DOUBLE)
+              / stats.avgdl)), 9) AS score,
+    LEAST(tf.tf, 3) AS rel
+  FROM tf JOIN idf USING (tok) JOIN base USING (doc_id)
+  CROSS JOIN stats
+),
+ranked AS (
+  SELECT query,
+    CAST(CASE WHEN rel >= 0 THEN (1 << rel) - 1 END AS DOUBLE) AS g,
+    ROW_NUMBER() OVER (PARTITION BY query
+                       ORDER BY score DESC, doc_id) AS rs,
+    ROW_NUMBER() OVER (PARTITION BY query
+                       ORDER BY rel DESC, doc_id) AS ri
+  FROM scored
+),
+agg AS (
+  SELECT query,
+    CAST(COUNT(*) AS BIGINT) AS n_scored,
+    CAST(SUM(CASE WHEN rs <= {_NDCG_K}
+         THEN CAST(ROUND(g / ({_ndcg_case_sql("rs")}), 12)
+              AS DECIMAL(28,12)) END) AS DOUBLE) AS dcg,
+    CAST(SUM(CASE WHEN ri <= {_NDCG_K}
+         THEN CAST(ROUND(g / ({_ndcg_case_sql("ri")}), 12)
+              AS DECIMAL(28,12)) END) AS DOUBLE) AS idcg
+  FROM ranked GROUP BY query
+)
+SELECT query, n_scored, ROUND(dcg, 9) AS dcg, ROUND(idcg, 9) AS idcg,
+  CASE WHEN idcg > 0 THEN ROUND(dcg / idcg, 9) END AS ndcg
+FROM agg ORDER BY query
+"""
+
+
+@register(
+    "retrieval_ndcg_bm25",
+    oracle=_NDCG_ORACLE,
+    doc=f"NDCG@{_NDCG_K} of the per-term BM25 ranking against "
+    "occurrence-graded relevance (rel = min(tf, 3)): per query term, "
+    "how well the length-normalized BM25 order agrees with raw "
+    "occurrence grades — the standard graded retrieval metric "
+    "(operators/ranking.py:ndcg_at_k), closing the eval side of the "
+    "retrieval family (BM25 + RRF were rank producers; this scores "
+    "them).  Gains 2^rel - 1 are exact integers; positional "
+    "discounts log2(pos+1) are 12dp BUILD-TIME literals shared "
+    "verbatim by both engines (the ln-quantization precedent one "
+    "step earlier — no transcendental evaluates in either engine); "
+    "per-term contributions are 12dp-quantized and DECIMAL-folded.  "
+    "Scale shape: scoring is the existing one-scan BM25 tf/df "
+    "pipeline; NDCG itself touches only per-query candidate lists "
+    "(two windows + one grouped fold, query-sized).",
+    tags=("retrieval", "ndcg", "eval", "extension"),
+    extended=True,
+)
+def retrieval_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.ranking import ndcg_at_k
+    from diabetes_etl_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("dl")
+    )
+    stats = base.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("tdl")
+    ).select(
+        "n", (F.col("tdl").cast("double") / F.col("n")).alias("avgdl")
+    )
+    tf = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .filter(F.col("tok").isin(list(_BM25_TERMS)))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "tok",
+            F.round(
+                F.log(
+                    (F.col("n") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                ),
+                9,
+            ).alias("idf"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(base, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("tok").alias("query"),
+            "doc_id",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(_BM25_K1)
+                    * (
+                        F.lit(1.0 - _BM25_B)
+                        + F.lit(_BM25_B)
+                        * F.col("dl").cast("double")
+                        / F.col("avgdl")
+                    )
+                ),
+                9,
+            ).alias("score"),
+            F.least(F.col("tf"), F.lit(3)).cast("int").alias("rel"),
+        )
+    )
+    return ndcg_at_k(scored, k=_NDCG_K).orderBy("query")
