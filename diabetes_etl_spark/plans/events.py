@@ -4230,3 +4230,216 @@ FROM it GROUP BY user_id ORDER BY user_id
     tags=("events", "timeseries", "window", "extension"),
     extended=True,
 )(_linear_interp)
+
+
+# -- exact 1-D Wasserstein distance (round 10) ----------------------------------
+
+
+def _wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    tagged = ev.select(
+        F.col("value").cast("decimal(18,6)").alias("x"),
+        F.when(F.col("event_id") % 2 == 0, 1).otherwise(0).alias("a"),
+        F.when(F.col("event_id") % 2 == 1, 1).otherwise(0).alias("b"),
+    )
+    # one row per distinct value with per-sample counts: the merged
+    # support, O(distinct values) after the aggregate
+    pts = tagged.groupBy("x").agg(
+        F.sum("a").alias("ca"), F.sum("b").alias("cb")
+    )
+    w = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wl = Window.orderBy("x")
+    cum = pts.select(
+        "x",
+        F.sum("ca").over(w).alias("fa"),
+        F.sum("cb").over(w).alias("fb"),
+        F.lead("x").over(wl).alias("x_next"),
+    )
+    tot = tagged.agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    # integral of |F_a - F_b| dx over the merged support, kept EXACT
+    # until one final division: |fa*nb - fb*na| is an exact BIGINT,
+    # (x_next - x) an exact DECIMAL gap, their product DECIMAL-folds
+    seg = cum.crossJoin(F.broadcast(tot)).select(
+        (
+            F.abs(
+                F.col("fa") * F.col("nb") - F.col("fb") * F.col("na")
+            ).cast("decimal(20,0)")
+            * (F.col("x_next") - F.col("x"))
+        ).alias("area"),
+        "na",
+        "nb",
+    )
+    return seg.agg(
+        F.max("na").cast("long").alias("n_ref"),
+        F.max("nb").cast("long").alias("n_cur"),
+        F.round(
+            F.sum("area").cast("double")
+            / (F.max("na") * F.max("nb")).cast("double"),
+            9,
+        ).alias("wasserstein_1"),
+    )
+
+
+register(
+    "events_wasserstein_drift",
+    oracle="""
+WITH tagged AS (
+  SELECT CAST(value AS DECIMAL(18,6)) AS x,
+    CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+    CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS b
+  FROM events WHERE value IS NOT NULL
+),
+pts AS (
+  SELECT x, SUM(a) AS ca, SUM(b) AS cb FROM tagged GROUP BY x
+),
+cum AS (
+  SELECT x,
+    SUM(ca) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS fa,
+    SUM(cb) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS fb,
+    LEAD(x) OVER (ORDER BY x) AS x_next
+  FROM pts
+),
+tot AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM tagged),
+seg AS (
+  SELECT CAST(ABS(fa * nb - fb * na) AS DECIMAL(20,0))
+           * (x_next - x) AS area,
+         na, nb
+  FROM cum CROSS JOIN tot
+)
+SELECT CAST(MAX(na) AS BIGINT) AS n_ref,
+  CAST(MAX(nb) AS BIGINT) AS n_cur,
+  ROUND(CAST(SUM(area) AS DOUBLE)
+        / CAST(MAX(na) * MAX(nb) AS DOUBLE), 9) AS wasserstein_1
+FROM seg
+""",
+    doc="EXACT 1-D Wasserstein-1 (earth mover's) distance between the "
+    "even- and odd-id halves of the event value distribution — the "
+    "drift metric that, unlike PSI/TV/KS (all already here), weighs "
+    "HOW FAR mass moved, not just how much: W1 = integral "
+    "|F_ref - F_cur| dx over the merged support.  Arithmetic is "
+    "exact until ONE final division: at each support gap the CDF "
+    "difference is the exact integer |fa*nb - fb*na|, the gap an "
+    "exact DECIMAL, and their products DECIMAL-fold; no sampling, "
+    "no binning, no interpolation.  Scale shape: one aggregate to "
+    "the distinct-value support, one sort-window over it (money-"
+    "grain support is bounded: ~1e4 distinct cents-values regardless "
+    "of row count), everything after is support-sized.  Binned "
+    "variants (PSI's 20-bucket spine) remain the knob when the "
+    "support itself is unbounded.",
+    tags=("statistics", "drift", "wasserstein", "extension"),
+    extended=True,
+)(_wasserstein_drift)
+
+
+# -- McNemar paired test (round 10) ---------------------------------------------
+
+
+def _mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    half = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        (
+            F.row_number().over(w) * 2 <= F.count(F.lit(1)).over(wn)
+        ).alias("early"),
+    )
+    hi = (F.col("event_type") == "purchase") & (F.col("value") > 90)
+    per_user = half.groupBy("user_id").agg(
+        F.max((F.col("early") & hi).cast("int")).alias("e"),
+        F.max(((~F.col("early")) & hi).cast("int")).alias("l"),
+    )
+    agg = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum((F.col("e") * F.col("l"))).alias("n_both"),
+        F.sum(F.col("e") * (1 - F.col("l"))).alias("b"),
+        F.sum((1 - F.col("e")) * F.col("l")).alias("c"),
+        F.sum((1 - F.col("e")) * (1 - F.col("l"))).alias("n_neither"),
+    )
+    b, c = F.col("b"), F.col("c")
+    return agg.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_both").cast("long").alias("n_both"),
+        b.cast("long").alias("n_early_only"),
+        c.cast("long").alias("n_late_only"),
+        F.col("n_neither").cast("long").alias("n_neither"),
+        F.when(
+            b + c > 0,
+            F.round(
+                (
+                    F.greatest(F.abs(b - c) - 1, F.lit(0))
+                    * F.greatest(F.abs(b - c) - 1, F.lit(0))
+                ).cast("double")
+                / (b + c),
+                9,
+            ),
+        ).alias("mcnemar_chi2_cc"),
+    )
+
+
+register(
+    "events_mcnemar_purchase_shift",
+    oracle="""
+WITH half AS (
+  SELECT user_id, event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) * 2
+      <= COUNT(*) OVER (PARTITION BY user_id) AS early
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+    MAX(CASE WHEN early AND event_type = 'purchase' AND value > 90
+        THEN 1 ELSE 0 END) AS e,
+    MAX(CASE WHEN NOT early AND event_type = 'purchase' AND value > 90
+        THEN 1 ELSE 0 END) AS l
+  FROM half GROUP BY user_id
+),
+agg AS (
+  SELECT COUNT(*) AS n_users,
+    SUM(e * l) AS n_both,
+    SUM(e * (1 - l)) AS b,
+    SUM((1 - e) * l) AS c,
+    SUM((1 - e) * (1 - l)) AS n_neither
+  FROM per_user
+)
+SELECT CAST(n_users AS BIGINT) AS n_users,
+  CAST(n_both AS BIGINT) AS n_both,
+  CAST(b AS BIGINT) AS n_early_only,
+  CAST(c AS BIGINT) AS n_late_only,
+  CAST(n_neither AS BIGINT) AS n_neither,
+  CASE WHEN b + c > 0 THEN
+    ROUND(CAST(GREATEST(ABS(b - c) - 1, 0)
+               * GREATEST(ABS(b - c) - 1, 0) AS DOUBLE)
+          / (b + c), 9) END AS mcnemar_chi2_cc
+FROM agg
+""",
+    doc="McNemar's test for a PAIRED binary shift: did users' "
+    "HIGH-VALUE (value > 90) purchasing behaviour change between the "
+    "first and second half of their own event history (each user is their own control — "
+    "the within-subject design the independent-sample z/chi-square "
+    "tests in this family cannot touch)?  The 2x2 paired table "
+    "(both / early-only / late-only / neither) comes from one "
+    "windowed per-user split + one grouped aggregate; the "
+    "continuity-corrected statistic max(|b-c|-1, 0)^2/(b+c) (Edwards CC, floored at 0 so b = c scores exactly 0) uses only the "
+    "DISCORDANT cells — exact integers until one final division, "
+    "NULL when no user changed (the degenerate-NULL convention).  "
+    "Reference chi-square(1) criticals apply (3.841 at 5%).",
+    tags=("statistics", "ab-testing", "paired", "extension"),
+    extended=True,
+)(_mcnemar_paired)

@@ -2649,3 +2649,116 @@ def retrieval_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ndcg_at_k(scored, k=_NDCG_K).orderBy("query")
+
+
+# -- Jensen-Shannon token-distribution drift (round 10) --------------------------
+
+_LN2_9DP = 0.693147181  # pinned literal, both engines
+
+
+def _jsd_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0).alias("p"),
+        F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0).alias("q"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    cnt = toks.groupBy("tok").agg(
+        F.sum("p").alias("cp"), F.sum("q").alias("cq")
+    )
+    tot = toks.agg(F.sum("p").alias("np"), F.sum("q").alias("nq"))
+    # per-token terms from EXACT integer ratios: the ln argument
+    # 2*cp*nq/(cp*nq + cq*np) is a single double division of exact
+    # BIGINT products, ln is 9dp-quantized, the p-weighted term
+    # 12dp-quantized and DECIMAL-folded (order-independent)
+    j = cnt.crossJoin(F.broadcast(tot))
+    pn = F.col("cp") * F.col("nq")
+    qn = F.col("cq") * F.col("np")
+    term_p = F.when(
+        F.col("cp") > 0,
+        F.round(
+            (F.col("cp").cast("double") / F.col("np"))
+            * F.round(
+                F.log(
+                    (2 * pn).cast("double") / (pn + qn).cast("double")
+                ),
+                9,
+            ),
+            12,
+        ).cast("decimal(28,12)"),
+    )
+    term_q = F.when(
+        F.col("cq") > 0,
+        F.round(
+            (F.col("cq").cast("double") / F.col("nq"))
+            * F.round(
+                F.log(
+                    (2 * qn).cast("double") / (pn + qn).cast("double")
+                ),
+                9,
+            ),
+            12,
+        ).cast("decimal(28,12)"),
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens_union"),
+        F.sum(term_p).cast("double").alias("kl_p"),
+        F.sum(term_q).cast("double").alias("kl_q"),
+    )
+    jsd = (F.col("kl_p") + F.col("kl_q")) / 2
+    return agg.select(
+        "n_tokens_union",
+        F.round(jsd, 9).alias("jsd_nats"),
+        F.round(jsd / F.lit(_LN2_9DP), 9).alias("jsd_bits"),
+    )
+
+
+register(
+    "text_jsd_token_drift",
+    oracle=f"""
+WITH toks AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS p,
+         CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS q,
+         unnest({_D_TOKENS}) AS tok
+  FROM documents
+),
+cnt AS (
+  SELECT tok, SUM(p) AS cp, SUM(q) AS cq FROM toks GROUP BY tok
+),
+tot AS (SELECT SUM(p) AS np, SUM(q) AS nq FROM toks),
+terms AS (
+  SELECT
+    CASE WHEN cp > 0 THEN
+      CAST(ROUND((CAST(cp AS DOUBLE) / np)
+        * ROUND(LN(CAST(2 * cp * nq AS DOUBLE)
+                   / CAST(cp * nq + cq * np AS DOUBLE)), 9), 12)
+        AS DECIMAL(28,12)) END AS tp,
+    CASE WHEN cq > 0 THEN
+      CAST(ROUND((CAST(cq AS DOUBLE) / nq)
+        * ROUND(LN(CAST(2 * cq * np AS DOUBLE)
+                   / CAST(cp * nq + cq * np AS DOUBLE)), 9), 12)
+        AS DECIMAL(28,12)) END AS tq
+  FROM cnt CROSS JOIN tot
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens_union,
+  ROUND((CAST(SUM(tp) AS DOUBLE) + CAST(SUM(tq) AS DOUBLE)) / 2, 9)
+    AS jsd_nats,
+  ROUND(((CAST(SUM(tp) AS DOUBLE) + CAST(SUM(tq) AS DOUBLE)) / 2)
+        / CAST({_LN2_9DP} AS DOUBLE), 9) AS jsd_bits
+FROM terms
+""",
+    doc="Jensen-Shannon divergence between the token distributions of "
+    "the even- and odd-id document halves — the SYMMETRIC, bounded "
+    "drift measure the PSI/TV family lacks (JSD is finite even when "
+    "a token exists in only one half, where KL diverges; sqrt(JSD) "
+    "is a metric).  Each per-token term is built from EXACT integer "
+    "ratios (2*cp*nq / (cp*nq + cq*np) — one double division of "
+    "BIGINT products), ln 9dp-quantized, terms 12dp DECIMAL-folded; "
+    "jsd_bits divides by a pinned 9dp ln(2) literal.  Scale: one "
+    "token-keyed aggregate (vocab-bounded, the text_token_entropy "
+    "precedent), everything after is vocabulary-sized.",
+    tags=("text", "drift", "jsd", "extension"),
+    extended=True,
+)(_jsd_token_drift)
