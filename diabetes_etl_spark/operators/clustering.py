@@ -398,3 +398,72 @@ def pool_embeddings(
             lambda e: e["c"],
         ).alias(out_col)
     ).withColumnRenamed("__g", group_col)
+
+
+def kmeans_silhouette(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iterations: int = 2,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Per-cluster SIMPLIFIED silhouette over a k-means clustering:
+    s(i) = (b - a) / max(a, b) with a = distance to the OWN centroid
+    and b = the nearest OTHER centroid — the centroid-based form
+    (Hruschka et al.), which is the one that scales: exact silhouette
+    needs all point-point distances (quadratic), the simplified form
+    needs the same n x k centroid-distance table the assignment step
+    already computes, so quality costs one more broadcast join over
+    work the clustering did anyway.
+
+    Returns (cluster, n_points, mean_silhouette): mean of
+    12dp-quantized DECIMAL-folded s(i) per cluster, rounded to 9 —
+    the fit diagnostic for the k knob (low/negative means overlap).
+    Shares ``work_dir`` rounds with :func:`kmeans_assign` (same
+    resumability contract); distances are the same decimal-exact
+    folds, sqrt/compare/divide pinned IEEE doubles.
+    """
+    spark = df.sparkSession
+    if work_dir is None:
+        work_dir = scratch_dir(spark, "spark_sil_")
+    else:
+        os.makedirs(work_dir, exist_ok=True)
+    assign = kmeans_assign(
+        df, id_col, vec_col, k=k, iterations=iterations, work_dir=work_dir
+    ).select("id", "cluster")
+    pts = spark.read.parquet(os.path.join(work_dir, "points"))
+    cent = spark.read.parquet(_round_path(work_dir, iterations))
+    diff = F.col("x") - F.col("c")
+    alld = (
+        pts.join(F.broadcast(cent), "pos")
+        .groupBy("id", "cid")
+        .agg(F.sum((diff * diff).cast(_DEC_TERM)).alias("d2"))
+    )
+    own = alld.join(
+        assign, (alld["id"] == assign["id"]) & (alld["cid"] == assign["cluster"])
+    ).select(alld["id"].alias("oid"), "cluster", F.col("d2").alias("d2_own"))
+    other = (
+        alld.join(assign.withColumnRenamed("id", "aid"),
+                  (alld["id"] == F.col("aid")) & (alld["cid"] != F.col("cluster")))
+        .groupBy(alld["id"].alias("oid2"))
+        .agg(F.min("d2").alias("d2_other"))
+    )
+    a = F.sqrt(F.col("d2_own").cast("double"))
+    b = F.sqrt(F.col("d2_other").cast("double"))
+    s = F.when(
+        F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)
+    ).otherwise(F.lit(0.0))
+    per = own.join(other, own["oid"] == other["oid2"]).select(
+        "cluster", F.round(s, 12).cast("decimal(28,12)").alias("s")
+    )
+    return (
+        per.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.round(
+                F.sum("s").cast("double") / F.count(F.lit(1)), 9
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("cluster")
+    )

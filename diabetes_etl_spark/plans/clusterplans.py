@@ -295,3 +295,69 @@ def cluster_pooled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         pooled.select("label", F.posexplode("pooled").alias("pos", "c"))
         .orderBy("label", "pos")
     )
+
+
+# -- simplified silhouette (round 10) -------------------------------------------
+
+_SIL_ORACLE = (
+    "WITH "
+    + _kmeans_cte(_K, _ITERS)
+    + f""",
+alld AS (
+  SELECT p.id, c.cid,
+    SUM(CAST((p.x - c.c) * (p.x - c.c) AS DECIMAL(25,15))) AS d2
+  FROM pts p JOIN c{_ITERS} c ON p.pos = c.pos
+  GROUP BY p.id, c.cid
+),
+own AS (
+  SELECT a.id, a.cluster, d.d2 AS d2_own
+  FROM af a JOIN alld d ON a.id = d.id AND a.cluster = d.cid
+),
+oth AS (
+  SELECT a.id, MIN(d.d2) AS d2_other
+  FROM af a JOIN alld d ON a.id = d.id AND a.cluster <> d.cid
+  GROUP BY a.id
+),
+per AS (
+  SELECT o.cluster,
+    CAST(ROUND(CASE WHEN GREATEST(sqrt(CAST(o.d2_own AS DOUBLE)),
+                                  sqrt(CAST(t.d2_other AS DOUBLE))) > 0
+      THEN (sqrt(CAST(t.d2_other AS DOUBLE))
+            - sqrt(CAST(o.d2_own AS DOUBLE)))
+           / GREATEST(sqrt(CAST(o.d2_own AS DOUBLE)),
+                      sqrt(CAST(t.d2_other AS DOUBLE)))
+      ELSE CAST(0.0 AS DOUBLE) END, 12) AS DECIMAL(28,12)) AS s
+  FROM own o JOIN oth t ON o.id = t.id
+)
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
+  ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 9) AS mean_silhouette
+FROM per GROUP BY cluster ORDER BY cluster
+"""
+)
+
+
+@register(
+    "cluster_silhouette_kmeans",
+    oracle=_SIL_ORACLE,
+    doc=f"Per-cluster SIMPLIFIED silhouette of the k={_K} k-means "
+    "clustering (operators/clustering.py:kmeans_silhouette): "
+    "s = (b - a)/max(a, b) with a = distance to the own centroid, "
+    "b = nearest other centroid — the centroid-based form that "
+    "scales (exact silhouette is all-pairs quadratic; this reuses "
+    "the n x k distance table the assignment already computes, so "
+    "cluster-quality costs one extra broadcast join).  The fit "
+    "diagnostic for the k knob: low or negative means overlapping "
+    "clusters.  Distances are the same decimal-exact folds as the "
+    "gate k-means; sqrt/divide pinned IEEE; per-point terms 12dp "
+    "DECIMAL-folded.  The oracle re-unrolls the identical Lloyd's "
+    "iterations and scores the identical partition.",
+    tags=("clustering", "quality", "silhouette", "extension"),
+    extended=True,
+)
+def cluster_silhouette_kmeans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from diabetes_etl_spark.operators.clustering import kmeans_silhouette
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_silhouette(emb, k=_K, iterations=_ITERS)
