@@ -750,3 +750,109 @@ register(
 )(_sql_query(
     _Q2_SQL, ("part", "supplier", "nation", "region")
 ))
+
+
+# -- association rules (round 10) ------------------------------------------------
+
+
+def _association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    item = op.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, ["ok"])
+        .filter(F.col("part_a") != F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_together"))
+        .filter(F.col("n_together") >= 2)
+    )
+    na = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    nb = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pairs.join(na, "part_a")
+        .join(nb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("part_a").alias("antecedent"),
+            F.col("part_b").alias("consequent"),
+            F.col("n_together").cast("long").alias("n_together"),
+            F.round(
+                F.col("n_together").cast("double") / F.col("n_orders"), 9
+            ).alias("support"),
+            F.round(
+                F.col("n_together").cast("double") / F.col("n_a"), 9
+            ).alias("confidence"),
+            F.round(
+                (F.col("n_together") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                9,
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.col("lift").desc(),
+            F.col("n_together").desc(),
+            "antecedent",
+            "consequent",
+        )
+        .limit(25)
+    )
+
+
+register(
+    "basket_association_rules",
+    oracle="""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+item AS (SELECT l_partkey, COUNT(*) AS n_item FROM op GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS n_together
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY part_a, part_b
+  HAVING COUNT(*) >= 2
+)
+SELECT part_a AS antecedent, part_b AS consequent,
+  CAST(n_together AS BIGINT) AS n_together,
+  ROUND(CAST(n_together AS DOUBLE) / n.n_orders, 9) AS support,
+  ROUND(CAST(n_together AS DOUBLE) / na.n_item, 9) AS confidence,
+  ROUND(CAST(n_together * n.n_orders AS DOUBLE)
+        / CAST(na.n_item * nb.n_item AS DOUBLE), 9) AS lift
+FROM pairs
+JOIN item na ON pairs.part_a = na.l_partkey
+JOIN item nb ON pairs.part_b = nb.l_partkey
+CROSS JOIN n
+ORDER BY lift DESC, n_together DESC, antecedent, consequent
+LIMIT 25
+""",
+    doc="DIRECTED association rules a => b over order baskets: "
+    "support n(ab)/N, confidence n(ab)/n(a), lift "
+    "n(ab)*N / (n(a)*n(b)) — the rule-generation stage on top of "
+    "basket_part_pairs' candidate counts (A-Priori's second half), "
+    "min-support floor n_together >= 2, top-25 by lift with a total "
+    "tiebreak.  Exact integer counts everywhere; each output metric "
+    "is ONE IEEE division of exact BIGINT products (lift's "
+    "numerator/denominator multiplied out as integers so no "
+    "rounding compounds).  Scale shape: identical to "
+    "basket_part_pairs — basket-bounded pair fan-out (<= C(13,2) "
+    "per order on this fixture), counts shuffle (int, int, count) "
+    "rows, item margins join on broadcast-sized tables, top-25 is a "
+    "TakeOrdered.",
+    tags=("tpch", "basket", "association-rules", "extension"),
+    extended=True,
+)(_association_rules)
