@@ -33,7 +33,13 @@ QUERIES = [
     "retrieval_ndcg_bm25",
     "decontam_semantic_quarantine",
     "cluster_silhouette_kmeans",
-    "er_jaro_winkler_pairs",
+    # er_jaro_winkler_pairs is EXCLUDED by design: a pair-scored
+    # operator scales with PAIR COUNT, and replicating parts 10x
+    # inside a fixed (brand, size) block set grows every block 10x
+    # -> 100x pairs at ~10ms of interpreted fold per pair.  That
+    # quadratic-in-block-size behavior is the documented contract
+    # ("blocking-key selectivity is the scale knob"); a wall-clock
+    # row would only re-measure the pair count.
     "orders_gini_customers",
     "basket_association_rules",
     "stats_poisson_bootstrap_ci_fold",
