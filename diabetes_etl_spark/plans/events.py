@@ -4443,3 +4443,392 @@ FROM agg
     tags=("statistics", "ab-testing", "paired", "extension"),
     extended=True,
 )(_mcnemar_paired)
+
+
+# -- Mann-Whitney U rank-sum + Hodges-Lehmann shift (round 10) -----------------
+
+
+def _mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    tagged = ev.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("variant"),
+        F.col("value").alias("v"),
+    )
+    # support grain: one row per distinct value -- bounded at money
+    # grain (~1e4 cents-values) regardless of event count, the same
+    # spine events_wasserstein_drift rides.
+    pts = tagged.groupBy("v").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("na_v"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("nb_v"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    t = F.col("na_v") + F.col("nb_v")
+    ranked = pts.select(
+        "na_v",
+        "nb_v",
+        t.alias("t"),
+        (F.sum(t).over(w) - t).alias("cum_before"),
+    )
+    agg = ranked.agg(
+        F.sum("na_v").alias("n_a"),
+        F.sum("nb_v").alias("n_b"),
+        # 2*R_a is an exact integer even under midpoint tie ranks
+        F.sum(
+            F.col("na_v") * (2 * F.col("cum_before") + F.col("t") + 1)
+        ).alias("r2_a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "tie_term"
+        ),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    n = n_a + n_b
+    u2_a = F.col("r2_a") - n_a * (n_a + 1)  # == 2*U_a, exact BIGINT
+    # var(U) with tie correction; z = (2U - n_a n_b) / (2 sqrt(var))
+    var_u = (
+        (n_a * n_b).cast("double")
+        / (12 * n * (n - 1)).cast("double")
+        * (n * n * n - n - F.col("tie_term")).cast("double")
+    )
+    return agg.select(
+        n_a.cast("long").alias("n_a"),
+        n_b.cast("long").alias("n_b"),
+        u2_a.cast("long").alias("u2_a"),
+        F.col("tie_term").cast("long").alias("tie_term"),
+        F.when(
+            (n_a > 0) & (n_b > 0) & (var_u > 0),
+            F.round(
+                (u2_a - n_a * n_b).cast("double") / (2 * F.sqrt(var_u)),
+                9,
+            ),
+        ).alias("z_mw"),
+    )
+
+
+register(
+    "events_ab_mann_whitney",
+    oracle="""
+WITH s AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      ::BIGINT % 2 AS INT) AS variant, value AS v
+  FROM events WHERE event_type = 'purchase'
+),
+pts AS (
+  SELECT v,
+    SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS na_v,
+    SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS nb_v
+  FROM s GROUP BY v
+),
+ranked AS (
+  SELECT na_v, nb_v, na_v + nb_v AS t,
+    SUM(na_v + nb_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      - (na_v + nb_v) AS cum_before
+  FROM pts
+),
+agg AS (
+  SELECT SUM(na_v) AS n_a, SUM(nb_v) AS n_b,
+    SUM(na_v * (2 * cum_before + t + 1)) AS r2_a,
+    SUM(t * t * t - t) AS tie_term
+  FROM ranked
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+  CAST(tie_term AS BIGINT) AS tie_term,
+  CASE WHEN n_a > 0 AND n_b > 0 AND
+    CAST(n_a * n_b AS DOUBLE)
+      / CAST(12 * (n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)
+      * CAST((n_a + n_b) * (n_a + n_b) * (n_a + n_b)
+             - (n_a + n_b) - tie_term AS DOUBLE) > 0
+  THEN ROUND(
+    CAST(r2_a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
+    / (2 * SQRT(CAST(n_a * n_b AS DOUBLE)
+        / CAST(12 * (n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)
+        * CAST((n_a + n_b) * (n_a + n_b) * (n_a + n_b)
+               - (n_a + n_b) - tie_term AS DOUBLE))), 9)
+  END AS z_mw
+FROM agg
+""",
+    doc="Mann-Whitney U rank-sum test between the two hash-bucketed "
+    "variants' purchase values — the DISTRIBUTION-FREE location test "
+    "this family lacked (the z/chi-square pair tests rates, KS tests "
+    "shape, Welch below tests means; MW is the robust workhorse when "
+    "values are skewed and outliers poison the mean).  Ranks never "
+    "materialize per row: on the distinct-value support, the midpoint "
+    "tie rank times 2 (2*cum_before + t + 1) is an exact integer, so "
+    "2*R_a, 2*U_a and the tie term sum(t^3 - t) are exact BIGINTs; "
+    "the only doubles are the final tie-corrected variance and one "
+    "SQRT in pinned order.  Degenerate inputs (either side empty, or "
+    "all values tied so var = 0) yield NULL z per the house "
+    "convention.  Scale: one grouped pass to the bounded money-grain "
+    "support, one sort-window over it — identical shape to "
+    "events_wasserstein_drift; nothing is per-row after the first "
+    "aggregate.",
+    tags=("statistics", "ab-testing", "nonparametric", "extension"),
+    extended=True,
+)(_mann_whitney)
+
+
+# -- Hodges-Lehmann shift estimator (round 10) ---------------------------------
+
+
+def _hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    tagged = ev.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("variant"),
+        F.col("value").alias("v"),
+    )
+    sa = (
+        tagged.where(F.col("variant") == 0)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("wa"))
+        .select(F.col("v").alias("va"), "wa")
+    )
+    sb = (
+        tagged.where(F.col("variant") == 1)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("wb"))
+        .select(F.col("v").alias("vb"), "wb")
+    )
+    # support x support pair grid: money-grain support is bounded
+    # (~1e4 distinct cents-values regardless of row count), so the
+    # grid is ~1e8 cells worst case and the broadcast side tiny --
+    # never an n^2 row blowup.  Weighted by count products it
+    # reproduces the FULL n_a*n_b pairwise-difference multiset.
+    diffs = (
+        sa.crossJoin(F.broadcast(sb))
+        .groupBy((F.col("vb") - F.col("va")).alias("diff"))
+        .agg(F.sum(F.col("wa").cast("long") * F.col("wb")).alias("w"))
+    )
+    win = Window.orderBy("diff").rowsBetween(Window.unboundedPreceding, 0)
+    cum = diffs.select(
+        "diff", "w", F.sum("w").over(win).alias("cw")
+    ).select("diff", (F.col("cw") - F.col("w")).alias("pw"), "cw")
+    tot = diffs.agg(F.sum("w").alias("n_pairs"))
+    j = cum.crossJoin(F.broadcast(tot))
+    k1 = F.floor((F.col("n_pairs") + 1) / 2)
+    k2 = F.floor(F.col("n_pairs") / 2) + 1
+    picked = j.agg(
+        F.max(F.col("n_pairs")).alias("n_pairs"),
+        F.max(
+            F.when(
+                (F.col("pw") < k1) & (k1 <= F.col("cw")), F.col("diff")
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                (F.col("pw") < k2) & (k2 <= F.col("cw")), F.col("diff")
+            )
+        ).alias("hi"),
+    )
+    return picked.select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round((F.col("lo") + F.col("hi")) / 2, 9).alias("hl_shift"),
+    )
+
+
+register(
+    "events_ab_hodges_lehmann",
+    oracle="""
+WITH s AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      ::BIGINT % 2 AS INT) AS variant, value AS v
+  FROM events WHERE event_type = 'purchase'
+),
+sa AS (SELECT v AS va, COUNT(*) AS wa FROM s WHERE variant = 0 GROUP BY v),
+sb AS (SELECT v AS vb, COUNT(*) AS wb FROM s WHERE variant = 1 GROUP BY v),
+diffs AS (
+  SELECT vb - va AS diff, SUM(CAST(wa AS BIGINT) * wb) AS w
+  FROM sa CROSS JOIN sb GROUP BY vb - va
+),
+cum AS (
+  SELECT diff,
+    SUM(w) OVER (ORDER BY diff ROWS UNBOUNDED PRECEDING) - w AS pw,
+    SUM(w) OVER (ORDER BY diff ROWS UNBOUNDED PRECEDING) AS cw
+  FROM diffs
+),
+tot AS (SELECT SUM(w) AS n_pairs FROM diffs),
+j AS (SELECT * FROM cum CROSS JOIN tot)
+SELECT CAST(MAX(n_pairs) AS BIGINT) AS n_pairs,
+  ROUND((MAX(CASE WHEN pw < CAST(FLOOR((n_pairs + 1) / 2) AS BIGINT)
+          AND CAST(FLOOR((n_pairs + 1) / 2) AS BIGINT) <= cw
+          THEN diff END)
+       + MAX(CASE WHEN pw < CAST(FLOOR(n_pairs / 2) + 1 AS BIGINT)
+          AND CAST(FLOOR(n_pairs / 2) + 1 AS BIGINT) <= cw
+          THEN diff END)) / 2, 9) AS hl_shift
+FROM j
+""",
+    doc="Hodges-Lehmann shift estimator between the two hash-bucketed "
+    "variants' purchase values: the median of ALL n_a x n_b pairwise "
+    "differences (v_b - v_a) — the robust effect size that pairs with "
+    "events_ab_mann_whitney's z the way a mean difference pairs with "
+    "Welch's t (30% gross-error breakdown, no moment assumptions).  "
+    "The quadratic pair multiset never materializes per row: both "
+    "samples first collapse to their bounded money-grain value "
+    "support (~1e4 distinct values at any corpus size), the "
+    "difference grid is support x support with COUNT-PRODUCT weights "
+    "(exact BIGINTs), and the weighted median picks order statistics "
+    "floor((N+1)/2) / floor(N/2)+1 off one cumulative window — the "
+    "classical even/odd midpoint rule, exact until the final /2.  "
+    "Scale: two grouped passes + one bounded broadcast grid; the "
+    "window runs over the diff support only.",
+    tags=("statistics", "ab-testing", "nonparametric", "extension"),
+    extended=True,
+)(_hodges_lehmann)
+
+
+# -- Welch's unequal-variance t test (round 10) --------------------------------
+
+
+def _welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    tagged = ev.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("variant"),
+        F.col("value").alias("v"),
+    )
+    per = tagged.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(38,6)")).alias("s1"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,6)")).alias("s2"),
+    )
+    w = per.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("s1"))).alias("s1_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("s2"))).alias("s2_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("s1"))).alias("s1_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("s2"))).alias("s2_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    m_a = F.col("s1_a").cast("double") / n_a
+    m_b = F.col("s1_b").cast("double") / n_b
+    var_a = (
+        F.col("s2_a").cast("double")
+        - F.col("s1_a").cast("double") * F.col("s1_a").cast("double") / n_a
+    ) / (n_a - 1)
+    var_b = (
+        F.col("s2_b").cast("double")
+        - F.col("s1_b").cast("double") * F.col("s1_b").cast("double") / n_b
+    ) / (n_b - 1)
+    se2_a = var_a / n_a
+    se2_b = var_b / n_b
+    se2 = se2_a + se2_b
+    ok = (n_a > 1) & (n_b > 1) & (se2 > 0)
+    return w.select(
+        n_a.cast("long").alias("n_a"),
+        n_b.cast("long").alias("n_b"),
+        F.round(m_a, 9).alias("mean_a"),
+        F.round(m_b, 9).alias("mean_b"),
+        F.round(var_a, 9).alias("var_a"),
+        F.round(var_b, 9).alias("var_b"),
+        F.when(ok, F.round((m_b - m_a) / F.sqrt(se2), 9)).alias("t_welch"),
+        F.when(
+            ok,
+            F.round(
+                se2
+                * se2
+                / (
+                    se2_a * se2_a / (n_a - 1)
+                    + se2_b * se2_b / (n_b - 1)
+                ),
+                6,
+            ),
+        ).alias("df_welch"),
+    )
+
+
+register(
+    "events_ab_welch_ttest",
+    oracle="""
+WITH s AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      ::BIGINT % 2 AS INT) AS variant, value AS v
+  FROM events WHERE event_type = 'purchase'
+),
+per AS (
+  SELECT variant, COUNT(*) AS n,
+    SUM(CAST(v AS DECIMAL(38,6))) AS s1,
+    SUM(CAST(v * v AS DECIMAL(38,6))) AS s2
+  FROM s GROUP BY variant
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+    MAX(CASE WHEN variant = 0 THEN s1 END) AS s1_a,
+    MAX(CASE WHEN variant = 0 THEN s2 END) AS s2_a,
+    MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+    MAX(CASE WHEN variant = 1 THEN s1 END) AS s1_b,
+    MAX(CASE WHEN variant = 1 THEN s2 END) AS s2_b
+  FROM per
+),
+d AS (
+  SELECT n_a, n_b,
+    CAST(s1_a AS DOUBLE) / n_a AS m_a,
+    CAST(s1_b AS DOUBLE) / n_b AS m_b,
+    (CAST(s2_a AS DOUBLE)
+      - CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE) / n_a) / (n_a - 1)
+      AS var_a,
+    (CAST(s2_b AS DOUBLE)
+      - CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE) / n_b) / (n_b - 1)
+      AS var_b
+  FROM w
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  ROUND(m_a, 9) AS mean_a, ROUND(m_b, 9) AS mean_b,
+  ROUND(var_a, 9) AS var_a, ROUND(var_b, 9) AS var_b,
+  CASE WHEN n_a > 1 AND n_b > 1 AND var_a / n_a + var_b / n_b > 0
+  THEN ROUND((m_b - m_a) / SQRT(var_a / n_a + var_b / n_b), 9)
+  END AS t_welch,
+  CASE WHEN n_a > 1 AND n_b > 1 AND var_a / n_a + var_b / n_b > 0
+  THEN ROUND((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+    / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+       + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6)
+  END AS df_welch
+FROM d
+""",
+    doc="Welch's unequal-variance t test on the two hash-bucketed "
+    "variants' purchase VALUES — the mean-shift test that completes "
+    "the A/B battery (z/chi-square = rates, KS = shape, Mann-Whitney "
+    "= robust location, Welch = means without the pooled-variance "
+    "assumption Student's t makes and real traffic always violates).  "
+    "Moments come from exact order-independent DECIMAL(38,6) folds "
+    "of v and v*v (the corr/stddev precedent), so both engines see "
+    "identical sums; mean/variance/t and the Welch-Satterthwaite df "
+    "are then pinned-order double arithmetic with one SQRT.  "
+    "Degenerate inputs (a side with <2 rows, or zero pooled standard "
+    "error) yield NULL t/df per the house convention.  No p-value on "
+    "purpose: erf is libm-variable; compare |t| to fixed criticals "
+    "at df_welch.  Scale: one grouped map-side-combinable pass to a "
+    "2-row table, then an epilogue.",
+    tags=("statistics", "ab-testing", "extension"),
+    extended=True,
+)(_welch_ttest)
