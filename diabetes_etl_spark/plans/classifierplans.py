@@ -1542,3 +1542,129 @@ def classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("f1"),
     ).orderBy("threshold_x10")
+
+
+# -- k-NN majority-vote classifier over ANN candidates (round 10) --------------
+
+
+def _knn_lsh_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from diabetes_etl_spark.operators.similarity import knn_d2_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    nn = knn_d2_lsh(
+        emb.select("vec_id", "embedding"),
+        k=10,
+        n_bits=6,
+        n_tables=32,
+        dim=64,
+        bucket_cap=128,
+        multiprobe=True,
+        id_col="vec_id",
+    )
+    labels = emb.select("vec_id", "label")
+    votes = (
+        nn.join(
+            F.broadcast(labels).withColumnsRenamed(
+                {"vec_id": "ib_id", "label": "nb_label"}
+            ),
+            F.col("ib") == F.col("ib_id"),
+        )
+        .groupBy("ia", "nb_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("ia").orderBy(
+        F.col("n_votes").desc(), F.col("nb_label").asc()
+    )
+    pred = (
+        votes.select(
+            "ia", "nb_label", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") == 1)
+        .select("ia", F.col("nb_label").alias("pred_label"))
+    )
+    truth = labels.withColumnsRenamed(
+        {"vec_id": "ia_id", "label": "true_label"}
+    )
+    return (
+        pred.join(F.broadcast(truth), F.col("ia") == F.col("ia_id"))
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    )
+
+
+register(
+    "classifier_knn_lsh",
+    oracle="""
+WITH sq AS (
+  SELECT vec_id, CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+    AS DECIMAL(20,15))) AS DOUBLE) AS s
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+  GROUP BY vec_id
+),
+up AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+    unnest(a.embedding) AS xa, unnest(b.embedding) AS xb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT ia, ib, CAST(SUM(CAST(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)
+    AS DECIMAL(20,15))) AS DOUBLE) AS dot
+  FROM up GROUP BY ia, ib
+),
+dist AS (
+  SELECT d.ia, d.ib, sa.s + sb.s - 2 * d.dot AS d2
+  FROM dots d
+  JOIN sq sa ON sa.vec_id = d.ia
+  JOIN sq sb ON sb.vec_id = d.ib
+),
+sym AS (
+  SELECT ia, ib, d2 FROM dist
+  UNION ALL SELECT ib, ia, d2 FROM dist
+),
+nn AS (
+  SELECT ia, ib,
+    ROW_NUMBER() OVER (PARTITION BY ia ORDER BY d2, ib) AS rk
+  FROM sym
+),
+votes AS (
+  SELECT nn.ia, e.label AS nb_label, COUNT(*) AS n_votes
+  FROM nn JOIN embeddings e ON e.vec_id = nn.ib
+  WHERE nn.rk <= 10
+  GROUP BY nn.ia, e.label
+),
+pred AS (
+  SELECT ia, nb_label AS pred_label,
+    ROW_NUMBER() OVER (PARTITION BY ia
+                       ORDER BY n_votes DESC, nb_label ASC) AS rn
+  FROM votes
+)
+SELECT t.label AS true_label, p.pred_label,
+  CAST(COUNT(*) AS BIGINT) AS n_points
+FROM pred p JOIN embeddings t ON t.vec_id = p.ia
+WHERE p.rn = 1
+GROUP BY t.label, p.pred_label
+""",
+    doc="k-NN majority-vote classifier (k = 10, squared-Euclidean) over "
+    "the embedding corpus, evaluated leave-one-out as a confusion "
+    "matrix (true_label x pred_label x count) — the non-parametric "
+    "baseline every embedding-quality audit runs before trusting a "
+    "learned head.  Neighbours come from operators/similarity."
+    "knn_d2_lsh's BOUNDED LSH buckets (32 tables x 6 bits, symmetric "
+    "1-bit multiprobe, bucket cap 128) — never an all-pairs join; "
+    "votes and the (n_votes DESC, label ASC) tie-break are exact "
+    "integers, so the whole result is hash-stable with no float in "
+    "sight after the decimal-exact d^2.  The oracle is the exact "
+    "all-pairs k-NN in SQL at covering probe params (the "
+    "embeddings_intrinsic_dim_ann precedent): any recall slip on the "
+    "fixture is a loud hash mismatch, never a silent accuracy drift.  "
+    "Scale: one (table, bucket, id) shuffle ~20B x tables x probes "
+    "per row, bounded per-bucket fan-out, candidate-only distances, "
+    "then label-vote aggregates on k rows per point; the label map "
+    "rides as a broadcast.",
+    tags=("classifier", "knn", "ann", "similarity", "extension"),
+    extended=True,
+)(_knn_lsh_classifier)

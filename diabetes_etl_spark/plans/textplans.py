@@ -2762,3 +2762,97 @@ FROM terms
     tags=("text", "drift", "jsd", "extension"),
     extended=True,
 )(_jsd_token_drift)
+
+
+# -- Flesch-Kincaid readability (round 10) -------------------------------------
+
+
+def _readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    lowered = F.lower(F.col("text"))
+    n_words = F.regexp_count(lowered, F.lit(r"[a-z0-9]+"))
+    n_syll = F.regexp_count(lowered, F.lit(r"[aeiouy]+"))
+    n_sent = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    per = docs.select(
+        "doc_id",
+        "lang",
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+    )
+    w = F.col("n_words").cast("double")
+    s = F.col("n_sentences").cast("double")
+    y = F.col("n_syllables").cast("double")
+    return per.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w),
+                6,
+            ),
+        ).alias("flesch_ease"),
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                F.lit(0.39) * (w / s) + F.lit(11.8) * (y / w) - F.lit(15.59),
+                6,
+            ),
+        ).alias("fk_grade"),
+    )
+
+
+register(
+    "text_readability_fk",
+    oracle=r"""
+WITH per AS (
+  SELECT doc_id, lang,
+    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      AS n_words,
+    CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+      AS n_sentences,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+      AS n_syllables
+  FROM documents
+)
+SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+  CASE WHEN n_words > 0 THEN ROUND(
+    CAST(206.835 AS DOUBLE)
+    - CAST(1.015 AS DOUBLE)
+      * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+    - CAST(84.6 AS DOUBLE)
+      * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+  END AS flesch_ease,
+  CASE WHEN n_words > 0 THEN ROUND(
+    CAST(0.39 AS DOUBLE)
+      * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+    + CAST(11.8 AS DOUBLE)
+      * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+    - CAST(15.59 AS DOUBLE), 6)
+  END AS fk_grade
+FROM per
+""",
+    doc="Flesch reading ease + Flesch-Kincaid grade level per document "
+    "— the classic readability pair every corpus-quality pipeline "
+    "reports next to the stopword/length heuristics "
+    "(text_quality_filter) already here.  Syllables are approximated "
+    "by vowel-group runs [aeiouy]+ (the standard regex surrogate; "
+    "both engines count non-overlapping RE2/Java-agreeing matches), "
+    "words by [a-z0-9]+ runs, sentences by [.!?]+ runs floored at 1 "
+    "so punctuation-free docs read as one sentence instead of "
+    "dividing by zero.  Counts are exact BIGINTs; the two scores are "
+    "pinned-order double affine maps rounded at 6dp, NULL for empty "
+    "docs per the degenerate convention.  Scale: a narrow stateless "
+    "map over the corpus scan — no shuffle at all; regexp_count is "
+    "JVM-side codegen, never a Python UDF.",
+    tags=("text", "quality", "readability", "extension"),
+    extended=True,
+)(_readability)
