@@ -467,3 +467,73 @@ def kmeans_silhouette(
         )
         .orderBy("cluster")
     )
+
+
+def dbscan_labels(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    min_pts: int = 3,
+) -> DataFrame:
+    """DBSCAN role/cluster assignment over a precomputed
+    eps-neighbourhood pair relation (one undirected edge per row).
+
+    The eps-ball query — the only metric-dependent and the only
+    scale-dangerous stage of DBSCAN — is the CALLER's problem, solved
+    by whatever bounded candidate generator fits the metric (MinHash
+    bands for Jaccard in plans/dedupplans.py:cluster_dbscan_docs,
+    knn_d2_lsh buckets for Euclidean).  Everything here is
+    degree-bounded relational algebra:
+
+    - ``n_eps`` = neighbour count + 1 (the point itself, textbook
+      DBSCAN);  core iff n_eps >= min_pts
+    - clusters = connected components (O(log^2 n) min-label rounds)
+      over CORE-CORE edges only; isolated cores head singleton
+      clusters labelled by their own id
+    - border = non-core touching >= 1 core, cluster = MIN core
+      neighbour component (deterministic tie-break)
+    - returns (id, role in {'core','border'}, cluster); points absent
+      from the result are noise — callers left-join and coalesce.
+    """
+    from diabetes_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).union(pairs.select(F.col(b_col), F.col(a_col)))
+    core = (
+        edges.groupBy("a")
+        .agg((F.count(F.lit(1)) + 1).alias("n_eps"))
+        .where(F.col("n_eps") >= min_pts)
+        .select(F.col("a").alias("id"))
+    )
+    core_edges = (
+        edges.join(core.withColumnRenamed("id", "a"), "a", "left_semi")
+        .join(core.withColumnRenamed("id", "b"), "b", "left_semi")
+        .select("a", "b")
+    )
+    comp = (
+        connected_components(core_edges, "a", "b")
+        .select("id", "component")
+        .unionByName(
+            core.join(
+                core_edges.select(F.col("a").alias("id")).distinct(),
+                "id",
+                "left_anti",
+            ).select("id", F.col("id").alias("component"))
+        )
+    )
+    border = (
+        edges.join(core.withColumnRenamed("id", "b"), "b", "left_semi")
+        .join(core.withColumnRenamed("id", "a"), "a", "left_anti")
+        .join(comp.withColumnRenamed("id", "b"), "b")
+        .groupBy("a")
+        .agg(F.min("component").alias("component"))
+        .select(F.col("a").alias("id"), "component")
+    )
+    return comp.select(
+        "id", F.lit("core").alias("role"), "component"
+    ).unionByName(
+        border.select("id", F.lit("border").alias("role"), "component")
+    )

@@ -1771,3 +1771,104 @@ ORDER BY key_a, key_b
     tags=("er", "fuzzy", "jaro-winkler", "extension"),
     extended=True,
 )(_jw_pairs)
+
+
+# -- DBSCAN density clustering over the near-dup relation (round 10) -----------
+
+
+def _dbscan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.clustering import dbscan_labels
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Same LSH-fed, small-corpus-exact-unioned edge relation as
+    # dedup_components (see that plan's recall note): eps-neighbourhood
+    # = 5-gram Jaccard >= 0.8.
+    lsh_pairs = DD.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=5, num_hashes=32, bands=8, threshold=0.8
+    ).select("doc_a", "doc_b")
+    if docs.count() <= 2000:
+        exact_pairs = DD.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=5, threshold=0.8
+        )
+        pairs = lsh_pairs.union(exact_pairs.select("doc_a", "doc_b")).distinct()
+    else:
+        pairs = lsh_pairs
+    roles = dbscan_labels(pairs, "doc_a", "doc_b", min_pts=3)
+    return (
+        docs.select(F.col("doc_id"))
+        .join(roles.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("role"), F.lit("noise")).alias("role"),
+            F.col("component").cast("bigint").alias("cluster"),
+        )
+    )
+
+
+register(
+    "cluster_dbscan_docs",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS_ORACLE})
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT a, COUNT(*) + 1 AS n_eps FROM edges GROUP BY a),
+core AS (SELECT a AS id FROM deg WHERE n_eps >= 3),
+core_edges AS (
+  SELECT e.a, e.b FROM edges e
+  JOIN core ca ON ca.id = e.a
+  JOIN core cb ON cb.id = e.b
+),
+reach(id, comp) AS (
+  SELECT a, a FROM core_edges
+  UNION
+  SELECT e.a, r.comp FROM core_edges e JOIN reach r ON e.b = r.id
+),
+lab AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+comp AS (
+  SELECT id, component FROM lab
+  UNION ALL
+  SELECT c.id, c.id FROM core c
+  WHERE c.id NOT IN (SELECT id FROM lab)
+),
+border AS (
+  SELECT e.a AS id, MIN(cm.component) AS component
+  FROM edges e
+  JOIN core cb ON cb.id = e.b
+  JOIN comp cm ON cm.id = e.b
+  WHERE e.a NOT IN (SELECT id FROM core)
+  GROUP BY e.a
+),
+roles AS (
+  SELECT id, 'core' AS role, component FROM comp
+  UNION ALL
+  SELECT id, 'border', component FROM border
+)
+SELECT d.doc_id,
+  COALESCE(r.role, 'noise') AS role,
+  CAST(r.component AS BIGINT) AS cluster
+FROM documents d LEFT JOIN roles r ON r.id = d.doc_id
+""",
+    doc="DBSCAN density clustering over the document corpus with the "
+    "5-gram Jaccard >= 0.8 near-dup relation as the eps-neighbourhood "
+    "and minPts = 3: CORE docs sit in locally dense near-dup regions "
+    "(>= 2 neighbours + self), BORDER docs touch a core without being "
+    "one (cluster = MIN core-neighbour component, deterministic), "
+    "everything else is NOISE — the density/noise split plain "
+    "connected components (dedup_components) cannot express, and the "
+    "standard template-flood detector (boilerplate families are "
+    "dense; genuine one-off near-dups stay sparse).  Clusters are "
+    "connected components over CORE-CORE edges only (textbook "
+    "DBSCAN), via the same O(log^2 n) min-label operator; isolated "
+    "cores head singleton clusters.  Edge generation is the "
+    "LSH-banded + small-corpus-exact-unioned relation of "
+    "dedup_components (recall note there); everything downstream is "
+    "degree-bounded joins and one components run.  Scale: identical "
+    "to dedup_components plus two semi-joins.",
+    tags=("dedup", "clustering", "dbscan", "extension"),
+    extended=True,
+)(_dbscan_docs)

@@ -1,0 +1,163 @@
+"""Round-10b unit tests: independent ground-truth cross-checks for the
+new A/B statistics (the oracle gate proves Spark == DuckDB; these prove
+the shared formula == a from-scratch numpy implementation) and direct
+edge-semantics tests for the DBSCAN operator the Jaccard fixture cannot
+exercise (borders, isolated cores, noise)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+
+def _variant(user_id: int) -> int:
+    return int(hashlib.md5(str(user_id).encode()).hexdigest()[:8], 16) % 2
+
+
+def _load_purchase_split(duck):
+    df = duck.execute(
+        "SELECT user_id, value FROM events WHERE event_type = 'purchase'"
+    ).fetchdf()
+    v = df["user_id"].map(_variant)
+    a = df.loc[v == 0, "value"].to_numpy(float)
+    b = df.loc[v == 1, "value"].to_numpy(float)
+    return a, b
+
+
+def _rankdata_average(x: np.ndarray) -> np.ndarray:
+    """Average ranks with tie-midpoints, scipy-free."""
+    order = np.argsort(x, kind="mergesort")
+    ranks = np.empty(len(x), float)
+    sx = x[order]
+    i = 0
+    while i < len(sx):
+        j = i
+        while j + 1 < len(sx) and sx[j + 1] == sx[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    return ranks
+
+
+def test_mann_whitney_matches_numpy_reference(spark, duck, sf_dir):
+    from diabetes_etl_spark.plans import all_queries
+
+    a, b = _load_purchase_split(duck)
+    pooled = np.concatenate([a, b])
+    ranks = _rankdata_average(pooled)
+    r_a = ranks[: len(a)].sum()
+    n_a, n_b = len(a), len(b)
+    u_a = r_a - n_a * (n_a + 1) / 2
+    _, counts = np.unique(pooled, return_counts=True)
+    tie = float((counts**3 - counts).sum())
+    n = n_a + n_b
+    var_u = n_a * n_b / (12 * n * (n - 1)) * (n**3 - n - tie)
+    z_ref = (u_a - n_a * n_b / 2) / np.sqrt(var_u)
+
+    spec = all_queries(include_extended=True)["events_ab_mann_whitney"]
+    row = spec.fn(spark, sf_dir).collect()[0]
+    assert row["n_a"] == n_a and row["n_b"] == n_b
+    assert row["u2_a"] == pytest.approx(2 * u_a)
+    assert row["tie_term"] == tie
+    assert row["z_mw"] == pytest.approx(z_ref, abs=1e-8)
+
+
+def test_hodges_lehmann_matches_numpy_reference(spark, duck, sf_dir):
+    from diabetes_etl_spark.plans import all_queries
+
+    a, b = _load_purchase_split(duck)
+    diffs = np.sort((b[None, :] - a[:, None]).ravel())
+    n = len(diffs)
+    lo = diffs[(n + 1) // 2 - 1]
+    hi = diffs[n // 2]
+    hl_ref = (lo + hi) / 2
+
+    spec = all_queries(include_extended=True)["events_ab_hodges_lehmann"]
+    row = spec.fn(spark, sf_dir).collect()[0]
+    assert row["n_pairs"] == n
+    assert row["hl_shift"] == pytest.approx(hl_ref, abs=1e-8)
+
+
+def test_welch_matches_numpy_reference(spark, duck, sf_dir):
+    from diabetes_etl_spark.plans import all_queries
+
+    a, b = _load_purchase_split(duck)
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / len(a) + vb / len(b)
+    t_ref = (b.mean() - a.mean()) / np.sqrt(se2)
+    df_ref = se2**2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+
+    spec = all_queries(include_extended=True)["events_ab_welch_ttest"]
+    row = spec.fn(spark, sf_dir).collect()[0]
+    assert row["mean_a"] == pytest.approx(a.mean(), abs=1e-8)
+    assert row["var_b"] == pytest.approx(vb, abs=1e-6)
+    assert row["t_welch"] == pytest.approx(t_ref, abs=1e-8)
+    assert row["df_welch"] == pytest.approx(df_ref, abs=1e-4)
+
+
+def test_readability_hand_computed(spark, duck, sf_dir):
+    """One doc checked end-to-end by hand-counted words/syllables."""
+    from diabetes_etl_spark.plans import all_queries
+
+    spec = all_queries(include_extended=True)["text_readability_fk"]
+    rows = {r["doc_id"]: r for r in spec.fn(spark, sf_dir).collect()}
+    import re
+
+    docs = duck.execute("SELECT doc_id, text FROM documents").fetchdf()
+    for _, d in docs.head(5).iterrows():
+        text = d["text"]
+        w = len(re.findall(r"[a-z0-9]+", text.lower()))
+        y = len(re.findall(r"[aeiouy]+", text.lower()))
+        s = max(len(re.findall(r"[.!?]+", text)), 1)
+        r = rows[d["doc_id"]]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (w, s, y)
+        assert r["flesch_ease"] == pytest.approx(
+            206.835 - 1.015 * w / s - 84.6 * y / w, abs=1e-5
+        )
+
+
+# -- dbscan_labels edge semantics ----------------------------------------------
+
+
+def _dbscan(spark, edges, min_pts=3):
+    from diabetes_etl_spark.operators.clustering import dbscan_labels
+
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    out = dbscan_labels(pairs, "a", "b", min_pts=min_pts).collect()
+    return {r["id"]: (r["role"], r["component"]) for r in out}
+
+
+def test_dbscan_border_attaches_to_min_core_component(spark):
+    # path 1-2-3-4-5: cores 2,3,4 (deg 2); borders 1 and 5
+    got = _dbscan(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got[2] == ("core", 2) and got[3] == ("core", 2)
+    assert got[4] == ("core", 2)
+    assert got[1] == ("border", 2) and got[5] == ("border", 2)
+
+
+def test_dbscan_pure_pair_is_noise(spark):
+    # a 2-chain has no core at min_pts=3: both endpoints absent (noise)
+    got = _dbscan(spark, [(10, 11)])
+    assert got == {}
+
+
+def test_dbscan_isolated_core_heads_singleton_cluster(spark):
+    # star 20-(21,22): 20 is core, no core-core edges -> own cluster
+    got = _dbscan(spark, [(20, 21), (20, 22)])
+    assert got[20] == ("core", 20)
+    assert got[21] == ("border", 20) and got[22] == ("border", 20)
+
+
+def test_dbscan_border_between_two_clusters_takes_min(spark):
+    # min_pts=4: two K4 cliques {1,2,3,4} and {7,8,9,10}; point 5
+    # touches cores 3 and 7 but has only 2 neighbours -> border, and
+    # must take the MIN of the two reachable components
+    k4a = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    k4b = [(7, 8), (7, 9), (7, 10), (8, 9), (8, 10), (9, 10)]
+    got = _dbscan(spark, k4a + k4b + [(3, 5), (5, 7)], min_pts=4)
+    assert got[3] == ("core", 1) and got[7] == ("core", 7)
+    assert got[5] == ("border", 1)  # min of components {1, 7}
