@@ -527,7 +527,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
-        "queries": medians,
+        # minima, matching "value" and every pre-r10 artifact: medians
+        # live in BENCH_DETAIL.json's queries_median — publishing
+        # medians here (as this round briefly did) silently pessimizes
+        # every cross-round comparison by the noise floor
+        "queries": timings,
         "noise_sentinel": noise_sentinel["ratio"],
         "detail": "BENCH_DETAIL.json",
     }
@@ -540,7 +544,7 @@ def main() -> None:
     line = json.dumps(compact)
     if len(line) > 1900:  # belt-and-braces: keep only the slowest 25
         slowest = dict(
-            sorted(medians.items(), key=lambda kv: -kv[1])[:25]
+            sorted(timings.items(), key=lambda kv: -kv[1])[:25]
         )
         compact["queries"] = slowest
         compact["queries_truncated_to"] = 25

@@ -499,9 +499,20 @@ def dbscan_labels(
         connected_components,
     )
 
-    edges = pairs.select(
+    # The pair relation is referenced by FOUR downstream consumers
+    # (degree count, core-core restriction, border probe, component
+    # attach); without materialization each reuse re-expands the
+    # caller's candidate-generation subplan (LSH banding + exact
+    # verify) — measured 566 exchanges in the gate plan before this
+    # cut, 10 after.  Same scratch-parquet pattern as the winnowing
+    # and k-means round states (cluster-safe scratch root, never
+    # driver-local tmp).
+    pairs_dir = scratch_dir(pairs.sparkSession, "spark_dbscan_")
+    pairs.select(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")
-    ).union(pairs.select(F.col(b_col), F.col(a_col)))
+    ).write.mode("overwrite").parquet(pairs_dir)
+    und = pairs.sparkSession.read.parquet(pairs_dir)
+    edges = und.union(und.select(F.col("b"), F.col("a")))
     core = (
         edges.groupBy("a")
         .agg((F.count(F.lit(1)) + 1).alias("n_eps"))

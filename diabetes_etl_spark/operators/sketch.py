@@ -742,3 +742,48 @@ def kmv_pair_stats(sketch: DataFrame, k: int) -> DataFrame:
             F.col("matches").cast("double") / F.col("n_bottom")
         ).alias("est_jaccard"),
     )
+
+
+def misra_gries_candidates(
+    items: DataFrame, col: str, k: int
+) -> DataFrame:
+    """Misra-Gries candidate pass for phi-heavy-hitter detection over a
+    stream whose VOCABULARY is unbounded (n-gram shingles, URLs, user
+    agents) — the case where a plain groupBy's hash-agg state is
+    itself corpus-sized.
+
+    Per Arrow batch, at most ``k`` counters are kept (the classical
+    decrement-all-when-full summary).  The MG guarantee — an item
+    absent from a batch summary has batch count <= n_batch/k — unions
+    across batches: an item absent from EVERY summary has total count
+    <= N/k.  Contrapositive: every item with count > N/k survives in
+    at least one batch summary, so the DISTINCT union of summary keys
+    is a covering candidate set of bounded size (batches x k) with no
+    ordering sensitivity that can reach the final answer: callers
+    exact-recount candidates in a second pass and threshold strictly,
+    so MG's order-dependent counts never surface — only its
+    no-false-negative key guarantee does (the standard 2-pass exact
+    heavy-hitters layout; cf. Agarwal et al., "Mergeable Summaries",
+    PODS 2012).
+
+    Python appears only here, Arrow-batched with O(k) state; both
+    counting passes stay JVM-side.
+    """
+    import pandas as pd
+
+    def mg(batches):
+        for pdf in batches:
+            counters: dict[str, int] = {}
+            for tok in pdf[col]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < k:
+                    counters[tok] = 1
+                else:
+                    for key in list(counters):
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            del counters[key]
+            yield pd.DataFrame({col: list(counters.keys())})
+
+    return items.mapInPandas(mg, schema=f"{col} string").distinct()

@@ -1870,5 +1870,5 @@ FROM documents d LEFT JOIN roles r ON r.id = d.doc_id
     "degree-bounded joins and one components run.  Scale: identical "
     "to dedup_components plus two semi-joins.",
     tags=("dedup", "clustering", "dbscan", "extension"),
-    extended=True,
+    extended=False,  # gate (round-10b rotation)
 )(_dbscan_docs)

