@@ -161,3 +161,36 @@ def test_dbscan_border_between_two_clusters_takes_min(spark):
     got = _dbscan(spark, k4a + k4b + [(3, 5), (5, 7)], min_pts=4)
     assert got[3] == ("core", 1) and got[7] == ("core", 7)
     assert got[5] == ("border", 1)  # min of components {1, 7}
+
+
+# -- plan shapes for the round-10b gate queries --------------------------------
+
+
+def _plan(spark, sf_dir, name):
+    from diabetes_etl_spark.plans import all_queries
+
+    df = all_queries(include_extended=True)[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_mg_heavy_ngrams_plan_one_mg_stage_broadcast_semi(spark, sf_dir):
+    """Exactly one MapInPandas (the bounded MG candidate pass); the
+    exact recount joins candidates as a BROADCAST left-semi — never a
+    shuffled join of the exploded trigram stream; no cartesian."""
+    plan = _plan(spark, sf_dir, "text_mg_heavy_ngrams")
+    assert plan.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dbscan_docs_plan_materialized_pairs_no_python(spark, sf_dir):
+    """The pair relation materializes once to scratch parquet, so the
+    role/cluster algebra must NOT re-expand the LSH+exact candidate
+    subplan: bounded exchange count, no cartesian, no Python stage
+    (MG's mapInPandas belongs to the text query, not this one)."""
+    plan = _plan(spark, sf_dir, "cluster_dbscan_docs")
+    assert "CartesianProduct" not in plan
+    for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad
+    assert plan.count("Exchange") < 60, plan.count("Exchange")
