@@ -1555,11 +1555,15 @@ def _knn_lsh_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", "label"
     )
+    # table seeds are t*131 for t in range(n), so the candidate set is
+    # MONOTONE in n_tables: 16 is exact-covering on both fixtures
+    # (verified), 24 is the margined setting (the sim_lsh_topk
+    # precedent), and anything above only adds cost
     nn = knn_d2_lsh(
         emb.select("vec_id", "embedding"),
         k=10,
         n_bits=6,
-        n_tables=32,
+        n_tables=24,
         dim=64,
         bucket_cap=128,
         multiprobe=True,
@@ -1653,7 +1657,7 @@ GROUP BY t.label, p.pred_label
     "matrix (true_label x pred_label x count) — the non-parametric "
     "baseline every embedding-quality audit runs before trusting a "
     "learned head.  Neighbours come from operators/similarity."
-    "knn_d2_lsh's BOUNDED LSH buckets (32 tables x 6 bits, symmetric "
+    "knn_d2_lsh's BOUNDED LSH buckets (24 tables x 6 bits, symmetric "
     "1-bit multiprobe, bucket cap 128) — never an all-pairs join; "
     "votes and the (n_votes DESC, label ASC) tie-break are exact "
     "integers, so the whole result is hash-stable with no float in "
