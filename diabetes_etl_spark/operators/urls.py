@@ -73,3 +73,41 @@ def with_url_parts(df, url_col: str = "url"):
         .withColumn("path", url_path(url))
         .withColumn("ref", url_query_param(url, "ref"))
     )
+
+
+_TRACKING_RE = r"^(utm_[^=]*|gclid|fbclid)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Crawl-dedup URL canonicalization, all native expressions:
+
+    - scheme pinned https, authority lowercased, default ``:443``
+      stripped (non-default ports kept);
+    - fragment dropped (parse_url QUERY already excludes it);
+    - tracking params (``utm_*``, ``gclid``, ``fbclid``) removed,
+      survivors SORTED so param order cannot split a dup group;
+    - single trailing slash stripped from the path.
+
+    The canonical form is a pure per-row function — a narrow
+    projection in any plan; dedup is then an ordinary groupBy on the
+    canonical string.
+    """
+    auth = F.regexp_replace(
+        F.lower(F.parse_url(url, F.lit("AUTHORITY"))), ":443$", ""
+    )
+    path = F.regexp_replace(
+        F.parse_url(url, F.lit("PATH")), "/$", ""
+    )
+    params = F.filter(
+        F.split(F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit("")), "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        F.lit("https://"),
+        auth,
+        path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(
+            F.lit("")
+        ),
+    )

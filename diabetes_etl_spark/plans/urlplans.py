@@ -99,3 +99,108 @@ def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+# -- URL canonicalization dedup (round 10) -------------------------------------
+
+
+def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MESSY URLs: consecutive doc pairs (2k, 2k+1) point
+    at the same resource through different surface noise — case, the
+    default :443 port, a trailing slash, param order, tracking params,
+    a fragment — so canonicalization must collapse exactly the pairs
+    the gid arithmetic says it should (did % 10 == 9 docs carry a
+    real &u= param and stay unique)."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    gid = F.floor(did / 2)
+    sub = (
+        F.when(gid % 3 == 0, "www.")
+        .when(gid % 3 == 1, "cdn.")
+        .otherwise("")
+    )
+    tld = (
+        F.when(gid % 3 == 0, ".com")
+        .when(gid % 3 == 1, ".org")
+        .otherwise(".co.uk")
+    )
+    host = F.concat(sub, F.lit("site"), (gid % 7).cast("string"), tld)
+    auth = F.concat(
+        host, F.when(gid % 5 == 0, ":443").otherwise(F.lit(""))
+    )
+    auth = F.when(did % 2 == 1, F.upper(auth)).otherwise(auth)
+    a_par = F.concat(F.lit("a="), (gid % 5).cast("string"))
+    uniq = F.when(
+        did % 10 == 9, F.concat(F.lit("&u="), did.cast("string"))
+    ).otherwise(F.lit(""))
+    q = F.when(
+        did % 2 == 0, F.concat(F.lit("?"), a_par, F.lit("&b=1"), uniq)
+    ).otherwise(
+        F.concat(
+            F.lit("?b=1&utm_source=feed&"), a_par, uniq, F.lit("#frag")
+        )
+    )
+    url = F.concat(
+        F.lit("https://"),
+        auth,
+        F.lit("/docs/"),
+        gid.cast("string"),
+        F.when(did % 2 == 0, "/").otherwise(F.lit("")),
+        q,
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def _url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.urls import canonical_url
+
+    urls = _messy_urls(spark, sf_dir)
+    return (
+        urls.select("doc_id", canonical_url(F.col("url")).alias("canon"))
+        .groupBy("canon")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+    )
+
+
+register(
+    "url_canonical_dedup",
+    oracle="""
+WITH c AS (
+  SELECT doc_id,
+    'https://'
+    || CASE WHEN (doc_id // 2) % 3 = 0 THEN 'www.'
+            WHEN (doc_id // 2) % 3 = 1 THEN 'cdn.' ELSE '' END
+    || 'site' || ((doc_id // 2) % 7)
+    || CASE WHEN (doc_id // 2) % 3 = 0 THEN '.com'
+            WHEN (doc_id // 2) % 3 = 1 THEN '.org' ELSE '.co.uk' END
+    || '/docs/' || (doc_id // 2)
+    || '?a=' || ((doc_id // 2) % 5) || '&b=1'
+    || CASE WHEN doc_id % 10 = 9 THEN '&u=' || doc_id ELSE '' END
+    AS canon
+  FROM documents
+)
+SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_urls,
+  CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+FROM c GROUP BY canon
+""",
+    doc="URL canonicalization dedup — the crawl-frontier operator that "
+    "collapses surface-noise variants of one resource before any "
+    "content fetch: authority lowercased, default :443 stripped, "
+    "fragment dropped, utm_*/gclid/fbclid tracking params removed, "
+    "surviving params SORTED, trailing slash stripped "
+    "(operators/urls.py:canonical_url, pure native expressions — a "
+    "narrow per-row projection).  The fixture generator builds messy "
+    "pairs (case, port, slash, param order, tracking, fragment) from "
+    "doc_id arithmetic and the oracle derives each row's canonical "
+    "form INDEPENDENTLY from that same arithmetic (the "
+    "url_domain_stats pattern) — so any canonicalization misstep "
+    "(param kept, port left, case missed) hash-fails; docs with a "
+    "real &u= param must stay singletons, proving the filter removes "
+    "ONLY tracking params.  Scale: projection + one groupBy on the "
+    "canonical string.",
+    tags=("url", "dedup", "extension"),
+    extended=True,
+)(_url_canonical_dedup)
