@@ -97,6 +97,12 @@ HEADLINE = [
     "classifier_auc_roc",
     "sketch_kmv_event_overlap",
     "cf_item_similarity_topk",
+    # round-10 gate families: tie-corrected rank-sum on the bounded
+    # value support, density clustering over the materialized pair
+    # relation, MG-candidates + exact recount heavy hitters
+    "events_ab_mann_whitney",
+    "cluster_dbscan_docs",
+    "text_mg_heavy_ngrams",
 ]
 
 

@@ -4832,3 +4832,194 @@ FROM d
     tags=("statistics", "ab-testing", "extension"),
     extended=True,
 )(_welch_ttest)
+
+
+# -- log-rank test between the variants' survival curves (round 10) ------------
+
+
+def _logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts")).cast("date")).alias("f"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.date_trunc("day", F.col("ts")).cast("date"),
+            )
+        ).alias("p"),
+        F.max(F.date_trunc("day", F.col("ts")).cast("date")).alias("l"),
+    )
+    mx = per_user.agg(F.max("l").alias("maxd"))
+    users = per_user.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("p").isNotNull(), F.datediff("p", "f")
+        ).otherwise(F.datediff("maxd", "f")).alias("t"),
+        F.col("p").isNotNull().cast("int").alias("dead"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("variant"),
+    )
+    grp = users.groupBy("t").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("m1"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("m2"),
+        F.sum(
+            F.when(F.col("variant") == 0, F.col("dead")).otherwise(0)
+        ).alias("d1"),
+        F.sum(
+            F.when(F.col("variant") == 1, F.col("dead")).otherwise(0)
+        ).alias("d2"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    risk = grp.select(
+        "d1",
+        "d2",
+        (
+            F.sum("m1").over(wall) - F.sum("m1").over(wcum) + F.col("m1")
+        ).alias("n1"),
+        (
+            F.sum("m2").over(wall) - F.sum("m2").over(wcum) + F.col("m2")
+        ).alias("n2"),
+    ).where(F.col("d1") + F.col("d2") > 0)
+    n, dt = F.col("n1") + F.col("n2"), F.col("d1") + F.col("d2")
+    terms = risk.select(
+        "d1",
+        "d2",
+        "n1",
+        "n2",
+        # per-time expected/variance terms quantized at source (the KM
+        # lnterm pattern) so the decimal folds see identical doubles
+        F.round(
+            dt.cast("double") * F.col("n1").cast("double") / n, 12
+        ).alias("e1"),
+        F.when(
+            n > 1,
+            F.round(
+                dt.cast("double")
+                * (F.col("n1").cast("double") / n)
+                * (F.lit(1.0) - F.col("n1").cast("double") / n)
+                * (n - dt).cast("double")
+                / (n - 1),
+                12,
+            ),
+        ).otherwise(F.lit(0.0)).alias("v"),
+    )
+    agg = terms.agg(
+        F.max("n1").cast("long").alias("n_a"),
+        F.max("n2").cast("long").alias("n_b"),
+        F.sum("d1").cast("long").alias("deaths_a"),
+        F.sum("d2").cast("long").alias("deaths_b"),
+        F.sum(F.col("e1").cast("decimal(28,12)"))
+        .cast("double")
+        .alias("e_a"),
+        F.sum(F.col("v").cast("decimal(28,12)"))
+        .cast("double")
+        .alias("var_o"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "deaths_a",
+        "deaths_b",
+        F.round("e_a", 9).alias("expected_a"),
+        F.round("var_o", 9).alias("variance"),
+        F.when(
+            F.col("var_o") > 0,
+            F.round(
+                (F.col("deaths_a") - F.col("e_a")) / F.sqrt("var_o"), 9
+            ),
+        ).alias("z_logrank"),
+    )
+
+
+register(
+    "events_ab_logrank",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+    MIN(CAST(date_trunc('day', ts) AS DATE)) AS f,
+    MIN(CASE WHEN event_type = 'purchase'
+        THEN CAST(date_trunc('day', ts) AS DATE) END) AS p,
+    MAX(CAST(date_trunc('day', ts) AS DATE)) AS l
+  FROM events GROUP BY user_id
+),
+mx AS (SELECT MAX(l) AS maxd FROM per_user),
+users AS (
+  SELECT CASE WHEN p IS NOT NULL THEN datediff('day', f, p)
+              ELSE datediff('day', f, maxd) END AS t,
+    CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS dead,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      ::BIGINT % 2 AS INT) AS variant
+  FROM per_user CROSS JOIN mx
+),
+grp AS (
+  SELECT t,
+    SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS m1,
+    SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS m2,
+    SUM(CASE WHEN variant = 0 THEN dead ELSE 0 END) AS d1,
+    SUM(CASE WHEN variant = 1 THEN dead ELSE 0 END) AS d2
+  FROM users GROUP BY t
+),
+risk AS (
+  SELECT d1, d2,
+    SUM(m1) OVER () - SUM(m1) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+      + m1 AS n1,
+    SUM(m2) OVER () - SUM(m2) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+      + m2 AS n2
+  FROM grp
+),
+terms AS (
+  SELECT d1, d2, n1, n2,
+    ROUND(CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE) / (n1 + n2), 12)
+      AS e1,
+    CASE WHEN n1 + n2 > 1 THEN
+      ROUND(CAST(d1 + d2 AS DOUBLE)
+        * (CAST(n1 AS DOUBLE) / (n1 + n2))
+        * (CAST(1 AS DOUBLE) - CAST(n1 AS DOUBLE) / (n1 + n2))
+        * CAST(n1 + n2 - d1 - d2 AS DOUBLE) / (n1 + n2 - 1), 12)
+    ELSE CAST(0 AS DOUBLE) END AS v
+  FROM risk WHERE d1 + d2 > 0
+),
+agg AS (
+  SELECT CAST(MAX(n1) AS BIGINT) AS n_a, CAST(MAX(n2) AS BIGINT) AS n_b,
+    CAST(SUM(d1) AS BIGINT) AS deaths_a,
+    CAST(SUM(d2) AS BIGINT) AS deaths_b,
+    CAST(SUM(CAST(e1 AS DECIMAL(28,12))) AS DOUBLE) AS e_a,
+    CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) AS var_o
+  FROM terms
+)
+SELECT n_a, n_b, deaths_a, deaths_b,
+  ROUND(e_a, 9) AS expected_a,
+  ROUND(var_o, 9) AS variance,
+  CASE WHEN var_o > 0
+    THEN ROUND((deaths_a - e_a) / SQRT(var_o), 9) END AS z_logrank
+FROM agg
+""",
+    doc="Log-rank (Mantel-Cox) test between the two hash-bucketed "
+    "variants' TIME-TO-FIRST-PURCHASE survival curves (event = first "
+    "purchase day since first activity; users who never purchase are "
+    "right-censored at corpus end) — the inferential companion to "
+    "events_km_survival's descriptive machinery, on the conversion "
+    "clock where this fixture actually has events (the lifetime/"
+    "churn clock is degenerate here: users stay active to the end): "
+    "at each distinct conversion time, observed group-A events vs the "
+    "hypergeometric expectation d*n1/n and variance "
+    "d*(n1/n)(1-n1/n)(n-d)/(n-1); z = (O-E)/sqrt(V).  Counts are "
+    "exact integers; each per-time E/V term is one pinned-order "
+    "double expression quantized at source (the KM lnterm pattern) "
+    "and DECIMAL-folded so the sums are order-independent; degenerate "
+    "V = 0 yields NULL z.  Scale: one grouped scan to user spans, "
+    "then every window runs on the O(distinct lifetimes) dimension; "
+    "the corpus-end date attaches by broadcast.",
+    tags=("events", "survival", "ab-testing", "statistics", "extension"),
+    extended=True,
+)(_logrank_test)

@@ -194,3 +194,48 @@ def test_dbscan_docs_plan_materialized_pairs_no_python(spark, sf_dir):
     for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, bad
     assert plan.count("Exchange") < 60, plan.count("Exchange")
+
+
+def test_logrank_matches_numpy_reference(spark, duck, sf_dir):
+    """From-scratch numpy log-rank on the same per-user conversion
+    table the query derives (ground truth for the shared formula)."""
+    from diabetes_etl_spark.plans import all_queries
+
+    pu = duck.execute(
+        """
+        SELECT user_id,
+          MIN(CAST(date_trunc('day', ts) AS DATE)) AS f,
+          MIN(CASE WHEN event_type = 'purchase'
+              THEN CAST(date_trunc('day', ts) AS DATE) END) AS p,
+          MAX(CAST(date_trunc('day', ts) AS DATE)) AS l
+        FROM events GROUP BY user_id
+        """
+    ).fetchdf()
+    maxd = pu["l"].max()
+    t = np.where(
+        pu["p"].notna(),
+        (pu["p"] - pu["f"]).dt.days,
+        (maxd - pu["f"]).dt.days,
+    ).astype(int)
+    dead = pu["p"].notna().astype(int).to_numpy()
+    g = pu["user_id"].map(_variant).to_numpy()
+
+    O1 = E1 = V = 0.0
+    for ti in sorted(set(t[dead == 1])):
+        at1 = int(((t >= ti) & (g == 0)).sum())
+        at2 = int(((t >= ti) & (g == 1)).sum())
+        d1 = int(((t == ti) & (g == 0) & (dead == 1)).sum())
+        d2 = int(((t == ti) & (g == 1) & (dead == 1)).sum())
+        n, d = at1 + at2, d1 + d2
+        O1 += d1
+        E1 += d * at1 / n
+        if n > 1:
+            V += d * (at1 / n) * (1 - at1 / n) * (n - d) / (n - 1)
+    z_ref = (O1 - E1) / np.sqrt(V)
+
+    spec = all_queries(include_extended=True)["events_ab_logrank"]
+    row = spec.fn(spark, sf_dir).collect()[0]
+    assert row["deaths_a"] == O1
+    assert row["expected_a"] == pytest.approx(E1, abs=1e-6)
+    assert row["variance"] == pytest.approx(V, abs=1e-6)
+    assert row["z_logrank"] == pytest.approx(z_ref, abs=1e-7)
