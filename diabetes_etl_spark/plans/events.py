@@ -5023,3 +5023,132 @@ FROM agg
     tags=("events", "survival", "ab-testing", "statistics", "extension"),
     extended=True,
 )(_logrank_test)
+
+
+# -- experiment health: SRM + covariate balance (round 10) ---------------------
+
+
+def _ab_srm_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    users = per_user.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("variant"),
+        F.col("n_events"),
+    )
+    per = users.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    w = per.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("s1"))).alias("s1_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("s2"))).alias("s2_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("s1"))).alias("s1_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("s2"))).alias("s2_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    # SRM chi-square vs the designed 50/50 split: (n_a - n_b)^2 / N,
+    # exact integers until one division
+    srm = ((n_a - n_b) * (n_a - n_b)).cast("double") / (n_a + n_b)
+    m_a = F.col("s1_a").cast("double") / n_a
+    m_b = F.col("s1_b").cast("double") / n_b
+    var_a = (
+        F.col("s2_a").cast("double")
+        - F.col("s1_a").cast("double") * F.col("s1_a").cast("double") / n_a
+    ) / (n_a - 1)
+    var_b = (
+        F.col("s2_b").cast("double")
+        - F.col("s1_b").cast("double") * F.col("s1_b").cast("double") / n_b
+    ) / (n_b - 1)
+    pooled = (var_a + var_b) / 2
+    ok = (n_a > 1) & (n_b > 1) & (pooled > 0)
+    return w.select(
+        n_a.cast("long").alias("n_a"),
+        n_b.cast("long").alias("n_b"),
+        F.round(srm, 9).alias("srm_chi2"),
+        (srm > F.lit(3.841)).alias("srm_flag"),
+        F.round(m_a, 9).alias("events_mean_a"),
+        F.round(m_b, 9).alias("events_mean_b"),
+        F.when(
+            ok, F.round((m_b - m_a) / F.sqrt(pooled), 9)
+        ).alias("smd_events"),
+        F.when(ok, F.abs((m_b - m_a) / F.sqrt(pooled)) > 0.1).alias(
+            "imbalance_flag"
+        ),
+    )
+
+
+register(
+    "events_ab_srm_health",
+    oracle="""
+WITH users AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      ::BIGINT % 2 AS INT) AS variant,
+    COUNT(*) AS n_events
+  FROM events GROUP BY user_id
+),
+per AS (
+  SELECT variant, COUNT(*) AS n, SUM(n_events) AS s1,
+    SUM(n_events * n_events) AS s2
+  FROM users GROUP BY variant
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+    MAX(CASE WHEN variant = 0 THEN s1 END) AS s1_a,
+    MAX(CASE WHEN variant = 0 THEN s2 END) AS s2_a,
+    MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+    MAX(CASE WHEN variant = 1 THEN s1 END) AS s1_b,
+    MAX(CASE WHEN variant = 1 THEN s2 END) AS s2_b
+  FROM per
+),
+d AS (
+  SELECT n_a, n_b,
+    CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) AS srm,
+    CAST(s1_a AS DOUBLE) / n_a AS m_a,
+    CAST(s1_b AS DOUBLE) / n_b AS m_b,
+    ((CAST(s2_a AS DOUBLE)
+      - CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE) / n_a) / (n_a - 1)
+     + (CAST(s2_b AS DOUBLE)
+      - CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE) / n_b) / (n_b - 1)
+    ) / 2 AS pooled
+  FROM w
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  ROUND(srm, 9) AS srm_chi2,
+  srm > CAST(3.841 AS DOUBLE) AS srm_flag,
+  ROUND(m_a, 9) AS events_mean_a,
+  ROUND(m_b, 9) AS events_mean_b,
+  CASE WHEN n_a > 1 AND n_b > 1 AND pooled > 0
+    THEN ROUND((m_b - m_a) / SQRT(pooled), 9) END AS smd_events,
+  CASE WHEN n_a > 1 AND n_b > 1 AND pooled > 0
+    THEN ABS((m_b - m_a) / SQRT(pooled)) > CAST(0.1 AS DOUBLE) END
+    AS imbalance_flag
+FROM d
+""",
+    doc="Experiment health guardrails, the checks run BEFORE reading "
+    "any treatment metric: (1) sample-ratio mismatch — chi-square "
+    "(n_a - n_b)^2 / N of the observed split against the designed "
+    "50/50 hash allocation, flagged at the 3.841 (5%, 1 df) critical "
+    "(an SRM means broken bucketing/logging and invalidates the "
+    "experiment regardless of lift); (2) covariate balance — the "
+    "standardized mean difference of per-user activity volume "
+    "between arms ((m_b - m_a)/sqrt((v_a + v_b)/2)), flagged at the "
+    "conventional |SMD| > 0.1.  Exact integer counts and activity "
+    "sums until the final divisions; degenerate inputs NULL out per "
+    "the house convention.  Scale: one user-grain grouped pass "
+    "(map-side combined) to a 2-row table, then an epilogue.",
+    tags=("events", "ab-testing", "statistics", "extension"),
+    extended=True,
+)(_ab_srm_health)
