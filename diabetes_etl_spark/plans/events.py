@@ -5152,3 +5152,74 @@ FROM d
     tags=("events", "ab-testing", "statistics", "extension"),
     extended=True,
 )(_ab_srm_health)
+
+
+# -- streaming online MG heavy users (round 10) --------------------------------
+
+
+def _stream_mg_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from diabetes_etl_spark.streaming.stateful import (
+        running_mg_heavy_users,
+    )
+
+    summ = running_mg_heavy_users(_events_stream(spark, sf_dir))
+    snap = stream_snapshot(spark, summ, output_mode="update")
+    wlast = Window.partitionBy("event_type").orderBy(
+        F.col("n_total").desc()
+    )
+    latest = (
+        snap.withColumn("_rn", F.row_number().over(wlast))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", "uids", "counts")
+    )
+    exploded = latest.select(
+        "event_type",
+        F.explode(F.arrays_zip("uids", "counts")).alias("z"),
+    ).select(
+        "event_type",
+        F.col("z.uids").alias("user_id"),
+        F.col("z.counts").alias("n_events"),
+    )
+    wtop = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    )
+    return (
+        exploded.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "event_type",
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+register(
+    "stream_mg_heavy_users",
+    oracle="""
+SELECT event_type, user_id, n_events, rk FROM (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      ORDER BY COUNT(*) DESC, user_id) AS INT) AS rk
+  FROM events GROUP BY event_type, user_id
+) WHERE rk <= 10
+""",
+    doc="ONLINE SKETCH as streaming state: a Misra-Gries heavy-hitter "
+    "summary of per-user activity per event type maintained across "
+    "micro-batches via applyInPandasWithState — state is a bounded "
+    "k = 512 array-typed summary (never the full per-user table), "
+    "the shape that keeps stateful streaming viable when key "
+    "cardinality inside a group is unbounded.  At fixture scale k "
+    "covers every distinct user so the final counts are EXACT and "
+    "the top-10-per-type result equals the batch groupBy oracle "
+    "(the covering-parameter discipline); the eviction/merge path "
+    "(subtract (k+1)-th largest, drop <= 0 — Agarwal et al. 2012) "
+    "is exercised with a tiny k in tests/test_round10b_stats.py.  "
+    "Update-mode emissions collapse to the newest summary per key "
+    "by the cumulative n_total.",
+    tags=("streaming", "stateful", "sketch", "extension"),
+    extended=True,
+)(_stream_mg_heavy_users)

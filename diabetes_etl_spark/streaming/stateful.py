@@ -176,3 +176,73 @@ def running_user_profiles_tws(events_stream: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# -- online Misra-Gries heavy-hitter state (round 10) ------------------------
+
+_MG_OUT_SCHEMA = (
+    "event_type string, uids array<long>, counts array<long>, n_total long"
+)
+_MG_STATE_SCHEMA = (
+    "uids array<long>, counts array<long>, n_total long"
+)
+_MG_K = 512
+
+
+def _mg_updater(k: int):
+    """Build the per-key state-update function for a given summary
+    capacity (parameterized so tests can force the eviction path with
+    a tiny k)."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        if state.exists:
+            uids, counts, n_total = state.get
+            c = dict(zip(uids, counts))
+        else:
+            c, n_total = {}, 0
+        for pdf in pdfs:
+            n_total += len(pdf)
+            for uid, cnt in pdf["user_id"].value_counts().items():
+                c[int(uid)] = c.get(int(uid), 0) + int(cnt)
+            if len(c) > k:
+                # mergeable-summaries merge (Agarwal et al. 2012):
+                # subtract the (k+1)-th largest count from everyone,
+                # drop <= 0 — keeps the summary at k entries with
+                # additive error bounded by n/k, and absent keys
+                # provably have count <= n/k
+                thr = sorted(c.values(), reverse=True)[k]
+                c = {u: v - thr for u, v in c.items() if v - thr > 0}
+        state.update((list(c.keys()), list(c.values()), n_total))
+        yield pd.DataFrame(
+            [(etype, list(c.keys()), list(c.values()), n_total)],
+            columns=["event_type", "uids", "counts", "n_total"],
+        )
+
+    return update
+
+
+def running_mg_heavy_users(events_stream: DataFrame, k: int = _MG_K) -> DataFrame:
+    """Online Misra-Gries summary of per-user activity per event type —
+    the ONLINE SKETCH case of this module's pattern: state is a
+    bounded (k = 512 entries) array-typed summary, never the full
+    per-user count table, so a key whose user cardinality grows
+    without bound still holds O(k) state.  At fixture scale k covers
+    every distinct user, so the final summary counts are EXACT and
+    the batch groupBy oracle applies (the covering-parameter
+    discipline of sketch_kmv_event_overlap); the eviction path is
+    exercised separately in tests with a tiny k.
+    """
+    return (
+        events_stream.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _mg_updater(k),
+            outputStructType=_MG_OUT_SCHEMA,
+            stateStructType=_MG_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

