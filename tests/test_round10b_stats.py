@@ -307,3 +307,108 @@ def test_mg_updater_covering_k_is_exact():
     list(update(("x",), iter([b]), state))
     uids, counts, n = state.get
     assert dict(zip(uids, counts)) == {1: 2, 2: 1, 3: 3} and n == 6
+
+
+# -- property tests: MG guarantee + canonical_url laws -------------------------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), min_size=0, max_size=300),
+    st.integers(2, 8),
+    st.integers(1, 4),
+)
+def test_mg_guarantee_on_random_streams(stream, k, n_batches):
+    """For ANY stream, batch split and capacity: summary size <= k,
+    summary counts are floors of true counts, and every key with
+    true count > n/k is present (the no-false-negative guarantee)."""
+    import pandas as pd
+
+    from diabetes_etl_spark.streaming.stateful import _mg_updater
+
+    update = _mg_updater(k)
+    state = _FakeState()
+    step = max(1, len(stream) // n_batches)
+    for i in range(0, max(len(stream), 1), step):
+        chunk = stream[i : i + step]
+        if not chunk:
+            continue
+        list(update(("t",), iter([pd.DataFrame({"user_id": chunk})]), state))
+    if state.get is None:
+        assert not stream
+        return
+    uids, counts, n_total = state.get
+    assert n_total == len(stream)
+    assert len(uids) <= k
+    true = {}
+    for u in stream:
+        true[u] = true.get(u, 0) + 1
+    for u, c in zip(uids, counts):
+        assert c <= true[u]
+    for u, tc in true.items():
+        if tc > len(stream) / k:
+            assert u in uids, (u, tc, len(stream), k)
+
+
+_url_part = st.text(
+    alphabet="abcdefghij", min_size=1, max_size=6
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    _url_part,
+    st.lists(
+        st.tuples(
+            st.sampled_from(
+                ["a", "b", "zz", "utm_source", "utm_x", "gclid", "fbclid"]
+            ),
+            st.text(alphabet="xyz01", min_size=0, max_size=4),
+        ),
+        max_size=5,
+    ),
+    st.booleans(),  # uppercase authority
+    st.booleans(),  # default port
+    st.booleans(),  # trailing slash
+    st.booleans(),  # fragment
+)
+def test_canonical_url_invariance_and_idempotence(
+    spark, host, params, upper, port, slash, frag
+):
+    """Canonicalization is invariant under every pure-noise transform
+    (case, :443, trailing slash, fragment, param ORDER, tracking
+    params) and idempotent on its own output."""
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.operators.urls import canonical_url
+
+    def build(ps, up, pt, sl, fg):
+        auth = f"{host}.com" + (":443" if pt else "")
+        if up:
+            auth = auth.upper()
+        q = "&".join(f"{k}={v}" for k, v in ps)
+        return (
+            "https://" + auth + "/p/x" + ("/" if sl else "")
+            + (("?" + q) if q else "") + ("#f" if fg else "")
+        )
+
+    clean_params = [p for p in params if not p[0].startswith(("utm_", "gclid", "fbclid"))]
+    variants = [
+        build(params, upper, port, slash, frag),
+        build(list(reversed(params)), False, False, False, False),
+        build(clean_params, upper, False, slash, False),
+    ]
+    df = spark.createDataFrame([(v,) for v in variants], "url string")
+    out = [
+        r["c"]
+        for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    assert len(set(out)) == 1, out
+    # idempotence: canonical(canonical(u)) == canonical(u)
+    df2 = spark.createDataFrame([(out[0],)], "url string")
+    again = df2.select(canonical_url(F.col("url")).alias("c")).collect()[0]["c"]
+    assert again == out[0]
