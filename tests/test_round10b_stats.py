@@ -412,3 +412,52 @@ def test_canonical_url_invariance_and_idempotence(
     df2 = spark.createDataFrame([(out[0],)], "url string")
     again = df2.select(canonical_url(F.col("url")).alias("c")).collect()[0]["c"]
     assert again == out[0]
+
+
+# -- image patch stats: hand-built PNG with edge remainders --------------------
+
+
+def test_patch_stats_edge_drop_and_fold_order(spark):
+    """5x3 RGB image: 2x2 tiles -> n_px=2, n_py=1; column 5 and row 3
+    are edge remainders and must NOT contribute; the fingerprint must
+    fold tiles in row-major order."""
+    from diabetes_etl_spark.operators.multimodal import (
+        image_patch_stats,
+        png_bytes,
+    )
+
+    w, h = 5, 3
+    px = bytes((7 * i + 3) % 256 for i in range(w * h * 3))
+    payload = png_bytes(w, h, px)
+    df = spark.createDataFrame(
+        [(1, payload, {"mime": "image/png", "n_bytes": len(payload),
+                       "checksum": "x"})],
+        "doc_id long, payload binary, "
+        "asset_meta struct<mime: string, n_bytes: int, checksum: string>",
+    )
+    row = image_patch_stats(df).collect()[0]
+
+    def luma(x, y):
+        return sum(px[(y * w + x) * 3 + c] for c in range(3))
+
+    tiles = []
+    for py in range(1):
+        for pxi in range(2):
+            tiles.append(
+                sum(
+                    luma(2 * pxi + dx, 2 * py + dy)
+                    for dy in range(2)
+                    for dx in range(2)
+                )
+            )
+    fp = 0
+    for s in tiles:
+        fp = (fp * 131 + s) % ((1 << 61) - 1)
+    assert (row["n_px"], row["n_py"]) == (2, 1)
+    assert row["patch_sum_total"] == sum(tiles)
+    assert row["patch_fp"] == fp
+    # swapped tile order must hash differently (fold is ordered)
+    fp_swapped = 0
+    for s in reversed(tiles):
+        fp_swapped = (fp_swapped * 131 + s) % ((1 << 61) - 1)
+    assert tiles[0] == tiles[1] or fp_swapped != fp
