@@ -5223,3 +5223,85 @@ SELECT event_type, user_id, n_events, rk FROM (
     tags=("streaming", "stateful", "sketch", "extension"),
     extended=True,
 )(_stream_mg_heavy_users)
+
+
+# -- Poisson overdispersion check on daily counts (round 10) -------------------
+
+
+def _overdispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    agg = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    n = F.col("n")
+    mean = F.col("s1").cast("double") / n
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / n
+    ) / (n - 1)
+    chi2 = (n - 1) * var / mean
+    z = (chi2 - (n - 1)) / F.sqrt(2 * (n - 1).cast("double"))
+    ok = (n > 1) & (F.col("s1") > 0)
+    return agg.select(
+        n.cast("long").alias("n_days"),
+        F.col("s1").cast("long").alias("n_events"),
+        F.round(mean, 9).alias("mean_daily"),
+        F.when(ok, F.round(var, 9)).alias("var_daily"),
+        F.when(ok, F.round(var / mean, 9)).alias("dispersion_index"),
+        F.when(ok, F.round(chi2, 9)).alias("chi2_stat"),
+        F.when(ok, F.round(z, 9)).alias("z_dispersion"),
+        F.when(ok, z > 1.645).alias("overdispersed_flag"),
+    )
+
+
+register(
+    "events_overdispersion_check",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS c
+  FROM events GROUP BY 1
+),
+agg AS (
+  SELECT COUNT(*) AS n, SUM(c) AS s1, SUM(c * c) AS s2 FROM daily
+),
+d AS (
+  SELECT n, s1,
+    CAST(s1 AS DOUBLE) / n AS mean,
+    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+      / (n - 1) AS var
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n_days, CAST(s1 AS BIGINT) AS n_events,
+  ROUND(mean, 9) AS mean_daily,
+  CASE WHEN n > 1 AND s1 > 0 THEN ROUND(var, 9) END AS var_daily,
+  CASE WHEN n > 1 AND s1 > 0 THEN ROUND(var / mean, 9) END
+    AS dispersion_index,
+  CASE WHEN n > 1 AND s1 > 0 THEN ROUND((n - 1) * var / mean, 9) END
+    AS chi2_stat,
+  CASE WHEN n > 1 AND s1 > 0 THEN
+    ROUND(((n - 1) * var / mean - (n - 1))
+          / SQRT(CAST(2 * (n - 1) AS DOUBLE)), 9) END AS z_dispersion,
+  CASE WHEN n > 1 AND s1 > 0 THEN
+    ((n - 1) * var / mean - (n - 1))
+      / SQRT(CAST(2 * (n - 1) AS DOUBLE)) > CAST(1.645 AS DOUBLE) END
+    AS overdispersed_flag
+FROM d
+""",
+    doc="Poisson overdispersion check on daily event counts — the "
+    "count-data diagnostic that decides whether Poisson-based "
+    "alerting/forecasting assumptions hold (variance = mean) or the "
+    "series is clumpy (bursts, bots, batch replays): dispersion "
+    "index s^2/m, the chi-square dispersion statistic (n-1)s^2/m, "
+    "and its normal-approximation z flagged at 1.645 (one-sided 5%).  "
+    "Daily counts and their squares fold as exact BIGINTs (counts "
+    "are integers — no decimal scale needed), divisions and one "
+    "SQRT pinned at the end, degenerate-NULL.  Scale: one grouped "
+    "scan to the O(days) spine, then a 1-row epilogue.",
+    tags=("events", "statistics", "timeseries", "extension"),
+    extended=True,
+)(_overdispersion_check)

@@ -3009,3 +3009,109 @@ FROM agg
     tags=("statistics", "concentration", "extension"),
     extended=True,
 )(_gini_customers)
+
+
+# -- Kendall's tau-b over daily order aggregates (round 10) --------------------
+
+
+def _kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"),
+    )
+    a = daily.select(
+        F.col("d").alias("da"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+    )
+    b = daily.select(
+        F.col("d").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    # day-grain self-join: the pair volume is days^2 — BOUNDED by the
+    # calendar (~2.4k days full TPC-H history -> ~6M cells), never by
+    # order volume; per-cell work is integer sign tests
+    pairs = a.join(b, F.col("da") < F.col("db"))
+    sx = F.signum((F.col("xb") - F.col("xa")).cast("double"))
+    sy = F.signum((F.col("yb") - F.col("ya")).cast("double"))
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when((sx * sy) > 0, 1).otherwise(0)
+        ).alias("c"),
+        F.sum(
+            F.when((sx * sy) < 0, 1).otherwise(0)
+        ).alias("dsc"),
+        F.sum(F.when((sx == 0) & (sy != 0), 1).otherwise(0)).alias("tx"),
+        F.sum(F.when((sy == 0) & (sx != 0), 1).otherwise(0)).alias("ty"),
+        F.sum(F.when((sx == 0) & (sy == 0), 1).otherwise(0)).alias("txy"),
+    )
+    c, d_ = F.col("c"), F.col("dsc")
+    den = F.sqrt(
+        (c + d_ + F.col("tx")).cast("double")
+        * (c + d_ + F.col("ty")).cast("double")
+    )
+    return agg.select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        c.cast("long").alias("concordant"),
+        d_.cast("long").alias("discordant"),
+        F.col("tx").cast("long").alias("ties_x"),
+        F.col("ty").cast("long").alias("ties_y"),
+        F.col("txy").cast("long").alias("ties_both"),
+        F.when(
+            den > 0, F.round((c - d_).cast("double") / den, 9)
+        ).alias("kendall_tau_b"),
+    )
+
+
+register(
+    "orders_kendall_tau_daily",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderdate AS d, COUNT(*) AS x,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders GROUP BY o_orderdate
+),
+pairs AS (
+  SELECT
+    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sx,
+    CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sy
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+agg AS (
+  SELECT COUNT(*) AS n_pairs,
+    SUM(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS c,
+    SUM(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS dsc,
+    SUM(CASE WHEN sx = 0 AND sy != 0 THEN 1 ELSE 0 END) AS tx,
+    SUM(CASE WHEN sy = 0 AND sx != 0 THEN 1 ELSE 0 END) AS ty,
+    SUM(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END) AS txy
+  FROM pairs
+)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+  CAST(c AS BIGINT) AS concordant,
+  CAST(dsc AS BIGINT) AS discordant,
+  CAST(tx AS BIGINT) AS ties_x,
+  CAST(ty AS BIGINT) AS ties_y,
+  CAST(txy AS BIGINT) AS ties_both,
+  CASE WHEN (c + dsc + tx) * (c + dsc + ty) > 0 THEN
+    ROUND(CAST(c - dsc AS DOUBLE)
+      / SQRT(CAST(c + dsc + tx AS DOUBLE)
+             * CAST(c + dsc + ty AS DOUBLE)), 9)
+  END AS kendall_tau_b
+FROM agg
+""",
+    doc="Kendall's tau-b between daily order volume and daily revenue "
+    "— completes the correlation trio (Pearson = exact-sum corr "
+    "plans, Spearman = customers_spearman_freq_spend; Kendall is the "
+    "one whose value is a PROBABILITY statement, P(concordant) - "
+    "P(discordant), robust to any monotone transform).  "
+    "Concordant/discordant/tie counts are exact integers off a "
+    "day-grain self-join whose pair volume is bounded by the "
+    "CALENDAR (~2.4k days in full TPC-H history, ~6M sign tests) "
+    "regardless of order volume; tau-b's tie-corrected denominator "
+    "is one pinned-order sqrt at the end, degenerate-NULL.  The "
+    "daily spine aggregates map-side before the join, so order rows "
+    "never enter the pair stage.",
+    tags=("statistics", "correlation", "extension"),
+    extended=True,
+)(_kendall_tau_daily)
