@@ -112,6 +112,12 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         spark.readStream.format("parquet")
         .schema(_EVENTS_RAW_SCHEMA)
+        # the symlink may point at a FILE (driver fixtures) or at a
+        # Spark-written DIRECTORY of part files (tests, 10x probes);
+        # without recursive lookup the directory case silently streams
+        # ZERO rows — the same silent-data-loss class as the round-9
+        # scratch-dir advice item
+        .option("recursiveFileLookup", "true")
         .load(stream_dir)
     )
     to_micros = _TS_UNIT_TO_MICROS[_events_ts_unit(path)]
