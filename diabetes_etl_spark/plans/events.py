@@ -5305,3 +5305,161 @@ FROM d
     tags=("events", "statistics", "timeseries", "extension"),
     extended=True,
 )(_overdispersion_check)
+
+
+# -- delta-method ratio metric (round 10) --------------------------------------
+
+
+def _ab_ratio_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value")
+            ).otherwise(0.0).cast("decimal(38,6)")
+        ).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    users = per_user.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("variant"),
+        "x",
+        "y",
+    )
+    per = users.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,6)")).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,6)")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,6)")).alias("sxy"),
+    )
+
+    def side(tag, v):
+        return [
+            F.max(F.when(F.col("variant") == v, F.col(c))).alias(f"{c}_{tag}")
+            for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+        ]
+
+    w = per.agg(*(side("a", 0) + side("b", 1)))
+
+    def ratio_stats(tag):
+        n = F.col(f"n_{tag}")
+        sx = F.col(f"sx_{tag}").cast("double")
+        sy = F.col(f"sy_{tag}").cast("double")
+        sxx = F.col(f"sxx_{tag}").cast("double")
+        syy = F.col(f"syy_{tag}").cast("double")
+        sxy = F.col(f"sxy_{tag}").cast("double")
+        r = sx / sy
+        my = sy / n
+        vx = (sxx - sx * sx / n) / (n - 1)
+        vy = (syy - sy * sy / n) / (n - 1)
+        cxy = (sxy - sx * sy / n) / (n - 1)
+        # Deng et al. delta method: Var(R) ~ (vx - 2R cxy + R^2 vy)
+        #                                   / (n * my^2)
+        var_r = (vx - 2 * r * cxy + r * r * vy) / (n * my * my)
+        return r, var_r, n
+
+    r_a, v_a, n_a = ratio_stats("a")
+    r_b, v_b, n_b = ratio_stats("b")
+    ok = (n_a > 1) & (n_b > 1) & (v_a + v_b > 0)
+    return w.select(
+        n_a.cast("long").alias("n_a"),
+        n_b.cast("long").alias("n_b"),
+        F.round(r_a, 9).alias("ratio_a"),
+        F.round(r_b, 9).alias("ratio_b"),
+        F.when(ok, F.round(F.sqrt(v_a), 9)).alias("se_a"),
+        F.when(ok, F.round(F.sqrt(v_b), 9)).alias("se_b"),
+        F.when(
+            ok, F.round((r_b - r_a) / F.sqrt(v_a + v_b), 9)
+        ).alias("z_ratio"),
+    )
+
+
+register(
+    "events_ab_ratio_delta",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+    SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+        ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(38,6))) AS x,
+    COUNT(*) AS y
+  FROM events GROUP BY user_id
+),
+users AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      ::BIGINT % 2 AS INT) AS variant, x, y
+  FROM per_user
+),
+per AS (
+  SELECT variant, COUNT(*) AS n, SUM(x) AS sx,
+    SUM(CAST(y AS DECIMAL(38,6))) AS sy,
+    SUM(CAST(x * x AS DECIMAL(38,6))) AS sxx,
+    SUM(CAST(y * y AS DECIMAL(38,6))) AS syy,
+    SUM(CAST(x * y AS DECIMAL(38,6))) AS sxy
+  FROM users GROUP BY variant
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+    MAX(CASE WHEN variant = 0 THEN sx END) AS sx_a,
+    MAX(CASE WHEN variant = 0 THEN sy END) AS sy_a,
+    MAX(CASE WHEN variant = 0 THEN sxx END) AS sxx_a,
+    MAX(CASE WHEN variant = 0 THEN syy END) AS syy_a,
+    MAX(CASE WHEN variant = 0 THEN sxy END) AS sxy_a,
+    MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+    MAX(CASE WHEN variant = 1 THEN sx END) AS sx_b,
+    MAX(CASE WHEN variant = 1 THEN sy END) AS sy_b,
+    MAX(CASE WHEN variant = 1 THEN sxx END) AS sxx_b,
+    MAX(CASE WHEN variant = 1 THEN syy END) AS syy_b,
+    MAX(CASE WHEN variant = 1 THEN sxy END) AS sxy_b
+  FROM per
+),
+d AS (
+  SELECT n_a, n_b,
+    CAST(sx_a AS DOUBLE) / CAST(sy_a AS DOUBLE) AS r_a,
+    CAST(sx_b AS DOUBLE) / CAST(sy_b AS DOUBLE) AS r_b,
+    ((CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE) / n_a) / (n_a - 1)
+     - 2 * (CAST(sx_a AS DOUBLE) / CAST(sy_a AS DOUBLE))
+       * ((CAST(sxy_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sy_a AS DOUBLE) / n_a) / (n_a - 1))
+     + (CAST(sx_a AS DOUBLE) / CAST(sy_a AS DOUBLE)) * (CAST(sx_a AS DOUBLE) / CAST(sy_a AS DOUBLE))
+       * ((CAST(syy_a AS DOUBLE) - CAST(sy_a AS DOUBLE) * CAST(sy_a AS DOUBLE) / n_a) / (n_a - 1)))
+    / (n_a * (CAST(sy_a AS DOUBLE) / n_a) * (CAST(sy_a AS DOUBLE) / n_a)) AS v_a,
+    ((CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE) / n_b) / (n_b - 1)
+     - 2 * (CAST(sx_b AS DOUBLE) / CAST(sy_b AS DOUBLE))
+       * ((CAST(sxy_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sy_b AS DOUBLE) / n_b) / (n_b - 1))
+     + (CAST(sx_b AS DOUBLE) / CAST(sy_b AS DOUBLE)) * (CAST(sx_b AS DOUBLE) / CAST(sy_b AS DOUBLE))
+       * ((CAST(syy_b AS DOUBLE) - CAST(sy_b AS DOUBLE) * CAST(sy_b AS DOUBLE) / n_b) / (n_b - 1)))
+    / (n_b * (CAST(sy_b AS DOUBLE) / n_b) * (CAST(sy_b AS DOUBLE) / n_b)) AS v_b
+  FROM w
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  ROUND(r_a, 9) AS ratio_a, ROUND(r_b, 9) AS ratio_b,
+  CASE WHEN n_a > 1 AND n_b > 1 AND v_a + v_b > 0
+    THEN ROUND(SQRT(v_a), 9) END AS se_a,
+  CASE WHEN n_a > 1 AND n_b > 1 AND v_a + v_b > 0
+    THEN ROUND(SQRT(v_b), 9) END AS se_b,
+  CASE WHEN n_a > 1 AND n_b > 1 AND v_a + v_b > 0
+    THEN ROUND((r_b - r_a) / SQRT(v_a + v_b), 9) END AS z_ratio
+FROM d
+""",
+    doc="Delta-method inference for a RATIO metric — revenue per "
+    "event, R = sum(x)/sum(y) per variant — the metric form most "
+    "real experiments ship and the one a naive per-user t-test gets "
+    "WRONG (users are the randomization unit, so R is a ratio of "
+    "sums with correlated numerator/denominator; Deng, Knoblich & "
+    "Lu 2018): Var(R) ~ (s_x^2 - 2R s_xy + R^2 s_y^2) / (n ybar^2) "
+    "from the five exact DECIMAL(38,6)-folded moments, z on the "
+    "difference with independent-arm variances.  Pinned-order "
+    "doubles after the folds, degenerate-NULL.  Scale: one "
+    "user-grain grouped pass (map-side combined) to a 2-row table, "
+    "then an epilogue.",
+    tags=("events", "ab-testing", "statistics", "extension"),
+    extended=True,
+)(_ab_ratio_delta)

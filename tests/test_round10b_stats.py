@@ -461,3 +461,35 @@ def test_patch_stats_edge_drop_and_fold_order(spark):
     for s in reversed(tiles):
         fp_swapped = (fp_swapped * 131 + s) % ((1 << 61) - 1)
     assert tiles[0] == tiles[1] or fp_swapped != fp
+
+
+def test_ratio_delta_matches_numpy_reference(spark, duck, sf_dir):
+    """Delta-method ratio variance cross-checked against a from-scratch
+    numpy implementation on the same per-user table."""
+    from diabetes_etl_spark.plans import all_queries
+
+    pu = duck.execute(
+        """
+        SELECT user_id,
+          SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS x,
+          COUNT(*) AS y
+        FROM events GROUP BY user_id
+        """
+    ).fetchdf()
+    g = pu["user_id"].map(_variant).to_numpy()
+    stats = {}
+    for v in (0, 1):
+        x = pu.loc[g == v, "x"].to_numpy(float)
+        y = pu.loc[g == v, "y"].to_numpy(float)
+        n, r, my = len(x), x.sum() / y.sum(), y.mean()
+        vx, vy = x.var(ddof=1), y.var(ddof=1)
+        cxy = np.cov(x, y, ddof=1)[0, 1]
+        stats[v] = (n, r, (vx - 2 * r * cxy + r * r * vy) / (n * my * my))
+    z_ref = (stats[1][1] - stats[0][1]) / np.sqrt(stats[0][2] + stats[1][2])
+
+    spec = all_queries(include_extended=True)["events_ab_ratio_delta"]
+    row = spec.fn(spark, sf_dir).collect()[0]
+    assert row["n_a"] == stats[0][0] and row["n_b"] == stats[1][0]
+    assert row["ratio_a"] == pytest.approx(stats[0][1], abs=1e-8)
+    assert row["se_a"] == pytest.approx(np.sqrt(stats[0][2]), abs=1e-7)
+    assert row["z_ratio"] == pytest.approx(z_ref, abs=1e-7)
