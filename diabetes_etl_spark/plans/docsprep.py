@@ -502,3 +502,259 @@ def docs_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_chars", "global_id").orderBy(
         "global_id"
     )
+
+
+# -- v4: round-10 curation chain (round 10) ------------------------------------
+
+_V4_M = (1 << 61) - 1
+_V4_K = 2654435761  # Knuth multiplicative constant
+
+
+def _v4_oracle() -> str:
+    from diabetes_etl_spark.plans.urlplans import _CANON_ARITH
+
+    return rf"""
+WITH RECURSIVE canon AS (
+  SELECT doc_id, {_CANON_ARITH} AS canon FROM documents
+),
+keep1 AS (SELECT MIN(doc_id) AS doc_id FROM canon GROUP BY canon),
+surv1 AS MATERIALIZED (
+  SELECT d.doc_id, d.text, d.lang FROM documents d
+  JOIN keep1 USING (doc_id)
+),
+t AS MATERIALIZED (
+  SELECT doc_id, {_D_SHINGLES} AS sh, CAST(length(text) AS BIGINT) AS len
+  FROM surv1
+),
+bnd AS (
+  SELECT doc_id, len // 50 AS band FROM t
+  UNION ALL
+  SELECT doc_id, len // 50 + 1 AS band FROM t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bnd a JOIN bnd c ON a.band = c.band AND a.doc_id < c.doc_id
+),
+prs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+      ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+            / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
+            6) AS js
+    FROM cand
+    JOIN t x ON cand.doc_a = x.doc_id
+    JOIN t y ON cand.doc_b = y.doc_id
+  ) WHERE js >= 0.8
+),
+edges AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM prs
+  UNION SELECT doc_b, doc_a FROM prs
+),
+core AS (
+  SELECT a AS id FROM edges GROUP BY a HAVING COUNT(*) + 1 >= 3
+),
+core_edges AS (
+  SELECT e.a, e.b FROM edges e
+  JOIN core ca ON ca.id = e.a JOIN core cb ON cb.id = e.b
+),
+reach(id, comp) AS (
+  SELECT a, a FROM core_edges
+  UNION
+  SELECT e.a, r.comp FROM core_edges e JOIN reach r ON e.b = r.id
+),
+lab AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+comp AS (
+  SELECT id, component FROM lab
+  UNION ALL
+  SELECT c.id, c.id FROM core c WHERE c.id NOT IN (SELECT id FROM lab)
+),
+border AS (
+  SELECT e.a AS id, MIN(cm.component) AS component
+  FROM edges e
+  JOIN core cb ON cb.id = e.b
+  JOIN comp cm ON cm.id = e.b
+  WHERE e.a NOT IN (SELECT id FROM core)
+  GROUP BY e.a
+),
+members AS (
+  SELECT id, component FROM comp
+  UNION ALL SELECT id, component FROM border
+),
+reps AS (SELECT component, MIN(id) AS rep FROM members GROUP BY component),
+drop2 AS (
+  SELECT m.id FROM members m JOIN reps r ON m.component = r.component
+  WHERE m.id != r.rep
+),
+surv2 AS MATERIALIZED (
+  SELECT s.* FROM surv1 s LEFT JOIN drop2 x ON s.doc_id = x.id
+  WHERE x.id IS NULL
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+  FROM surv2
+),
+tri AS MATERIALIZED (
+  SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(a) - 2)) AS i)
+  WHERE len(a) >= 3
+),
+cnt AS (SELECT g, COUNT(*) AS c FROM tri GROUP BY g),
+tot AS (SELECT COUNT(*) AS ntot FROM tri),
+heavy AS (SELECT g FROM cnt CROSS JOIN tot WHERE 10000 * c > 2 * ntot),
+per AS (
+  SELECT t2.doc_id, COUNT(*) AS td,
+    SUM(CASE WHEN h.g IS NOT NULL THEN 1 ELSE 0 END) AS hd
+  FROM tri t2 LEFT JOIN heavy h ON t2.g = h.g GROUP BY t2.doc_id
+),
+drop3 AS (SELECT doc_id FROM per WHERE 50 * hd > td),
+surv3 AS MATERIALIZED (
+  SELECT s.* FROM surv2 s LEFT JOIN drop3 x USING (doc_id)
+  WHERE x.doc_id IS NULL
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_input,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM surv1) AS n_after_url_dedup,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM surv2) AS n_after_flood,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM surv3) AS n_final,
+  (SELECT CAST(SUM((doc_id * {_V4_K}) % {_V4_M}) % {_V4_M} AS BIGINT)
+   FROM surv3) AS survivors_fp
+"""
+
+
+@register(
+    "docs_prep_pipeline_v4",
+    oracle=_v4_oracle(),
+    doc="Curation composite v4 — the ROUND-10 operators chained into "
+    "one plan, full-chain oracle-checked: (1) crawl-frontier URL "
+    "canonicalization dedup (keep the min-doc_id per canonical URL "
+    "over the messy fixture pairs), (2) DBSCAN template-flood "
+    "control over the LSH-fed Jaccard >= 0.8 relation of the "
+    "SURVIVORS — dense near-dup regions (cores + their borders) "
+    "collapse to one min-id representative per cluster, noise "
+    "passes untouched, (3) phi-heavy trigram boilerplate gate: drop "
+    "survivors whose heavy-trigram occupancy exceeds 2% (exact "
+    "integers, 50*hits > total) with the heavy set computed by the "
+    "MG-candidates + exact-recount pass ON the stage-2 survivors.  "
+    "Output is the per-stage census plus an ORDER-INDEPENDENT "
+    "survivor-id fingerprint (sum of Knuth-mixed ids mod 2^61-1 — "
+    "no corpus-sized array, unlike an ordered fold), so a drift "
+    "ANYWHERE in the chain — a canonicalization miss, one wrong "
+    "cluster representative, an off-by-one threshold — changes the "
+    "row.  The oracle replays all three stages re-rooted on each "
+    "other's CTEs (the v3 precedent), with exact all-pairs Jaccard "
+    "as the near-dup ground truth.  Scale: each stage is the "
+    "individually-probed operator; no new shuffle shapes.",
+    tags=("docsprep", "composite", "dedup", "extension"),
+    extended=True,
+)
+def docs_prep_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.clustering import dbscan_labels
+    from diabetes_etl_spark.operators.sketch import misra_gries_candidates
+    from diabetes_etl_spark.operators.urls import canonical_url
+    from diabetes_etl_spark.plans.urlplans import _messy_urls
+
+    docs = load_table(spark, sf_dir, "documents")
+    # stage 1: URL canonical dedup
+    keep1 = (
+        _messy_urls(spark, sf_dir)
+        .select("doc_id", canonical_url(F.col("url")).alias("canon"))
+        .groupBy("canon")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv1 = docs.join(keep1, "doc_id", "left_semi")
+    # stage 2: DBSCAN flood control (same edge relation as
+    # cluster_dbscan_docs, computed on the survivors)
+    lsh_pairs = DD.minhash_lsh_pairs(
+        surv1, "doc_id", "text", n=5, num_hashes=32, bands=8, threshold=0.8
+    ).select("doc_a", "doc_b")
+    if surv1.count() <= 2000:
+        exact_pairs = DD.ngram_jaccard_pairs(
+            surv1, "doc_id", "text", n=5, threshold=0.8
+        )
+        pairs = lsh_pairs.union(
+            exact_pairs.select("doc_a", "doc_b")
+        ).distinct()
+    else:
+        pairs = lsh_pairs
+    roles = dbscan_labels(pairs, "doc_a", "doc_b", min_pts=3)
+    reps = roles.groupBy("component").agg(F.min("id").alias("rep"))
+    drop2 = (
+        roles.join(reps, "component")
+        .where(F.col("id") != F.col("rep"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    surv2 = surv1.join(drop2, "doc_id", "left_anti")
+    # stage 3: phi-heavy trigram boilerplate gate on the survivors
+    toks = surv2.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("a")
+    )
+    tri = toks.where(F.size("a") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(a) - 3),"
+                " i -> concat_ws(' ', a[i], a[i+1], a[i+2]))"
+            )
+        ).alias("g"),
+    )
+    cand = misra_gries_candidates(tri.select("g"), "g", k=5000)
+    counts = (
+        tri.join(F.broadcast(cand), "g", "left_semi")
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ntot = tri.agg(F.count(F.lit(1)).alias("ntot"))
+    heavy = (
+        counts.crossJoin(F.broadcast(ntot))
+        .where(10000 * F.col("c") > 2 * F.col("ntot"))
+        .select("g")
+    )
+    per = (
+        tri.join(
+            F.broadcast(heavy.withColumn("_h", F.lit(1))), "g", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("td"),
+            F.sum(F.coalesce(F.col("_h"), F.lit(0))).alias("hd"),
+        )
+    )
+    drop3 = per.where(50 * F.col("hd") > F.col("td")).select("doc_id")
+    surv3 = surv2.join(drop3, "doc_id", "left_anti")
+    fp = F.sum(
+        ((F.col("doc_id") * _V4_K) % _V4_M).cast("decimal(38,0)")
+    ) % _V4_M
+    return (
+        docs.agg(F.count(F.lit(1)).alias("n_input"))
+        .crossJoin(
+            F.broadcast(
+                surv1.agg(
+                    F.count(F.lit(1)).alias("n_after_url_dedup")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                surv2.agg(F.count(F.lit(1)).alias("n_after_flood"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                surv3.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_final"),
+                    fp.cast("long").alias("survivors_fp"),
+                )
+            )
+        )
+        .select(
+            F.col("n_input").cast("long").alias("n_input"),
+            F.col("n_after_url_dedup").cast("long").alias(
+                "n_after_url_dedup"
+            ),
+            F.col("n_after_flood").cast("long").alias("n_after_flood"),
+            "n_final",
+            "survivors_fp",
+        )
+    )
+

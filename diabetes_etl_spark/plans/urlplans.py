@@ -103,6 +103,19 @@ def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- URL canonicalization dedup (round 10) -------------------------------------
 
+# canonical form of the messy fixture URLs, derived from doc_id
+# arithmetic alone (shared with docsprep v4's full-chain oracle)
+_CANON_ARITH = """'https://'
+    || CASE WHEN (doc_id // 2) % 3 = 0 THEN 'www.'
+            WHEN (doc_id // 2) % 3 = 1 THEN 'cdn.' ELSE '' END
+    || 'site' || ((doc_id // 2) % 7)
+    || CASE WHEN (doc_id // 2) % 3 = 0 THEN '.com'
+            WHEN (doc_id // 2) % 3 = 1 THEN '.org' ELSE '.co.uk' END
+    || '/docs/' || (doc_id // 2)
+    || '?a=' || ((doc_id // 2) % 5) || '&b=1'
+    || CASE WHEN doc_id % 10 = 9 THEN '&u=' || doc_id ELSE '' END"""
+
+
 
 def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic MESSY URLs: consecutive doc pairs (2k, 2k+1) point
@@ -167,19 +180,9 @@ def _url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(
     "url_canonical_dedup",
-    oracle="""
+    oracle=f"""
 WITH c AS (
-  SELECT doc_id,
-    'https://'
-    || CASE WHEN (doc_id // 2) % 3 = 0 THEN 'www.'
-            WHEN (doc_id // 2) % 3 = 1 THEN 'cdn.' ELSE '' END
-    || 'site' || ((doc_id // 2) % 7)
-    || CASE WHEN (doc_id // 2) % 3 = 0 THEN '.com'
-            WHEN (doc_id // 2) % 3 = 1 THEN '.org' ELSE '.co.uk' END
-    || '/docs/' || (doc_id // 2)
-    || '?a=' || ((doc_id // 2) % 5) || '&b=1'
-    || CASE WHEN doc_id % 10 = 9 THEN '&u=' || doc_id ELSE '' END
-    AS canon
+  SELECT doc_id, {_CANON_ARITH} AS canon
   FROM documents
 )
 SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_urls,
