@@ -508,9 +508,17 @@ def dbscan_labels(
     # and k-means round states (cluster-safe scratch root, never
     # driver-local tmp).
     pairs_dir = scratch_dir(pairs.sparkSession, "spark_dbscan_")
+    # Harden the edge contract at the materialization boundary (free —
+    # the relation is rewritten anyway): canonicalize each undirected
+    # edge to a < b, drop self-pairs, and dedup.  A duplicate or
+    # self-edge from a sloppy caller would otherwise silently inflate
+    # n_eps and flip noise points to core.
     pairs.select(
-        F.col(a_col).alias("a"), F.col(b_col).alias("b")
-    ).write.mode("overwrite").parquet(pairs_dir)
+        F.least(F.col(a_col), F.col(b_col)).alias("a"),
+        F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+    ).where(F.col("a") != F.col("b")).distinct().write.mode(
+        "overwrite"
+    ).parquet(pairs_dir)
     und = pairs.sparkSession.read.parquet(pairs_dir)
     edges = und.union(und.select(F.col("b"), F.col("a")))
     core = (

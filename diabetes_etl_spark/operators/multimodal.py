@@ -3884,7 +3884,14 @@ def image_patch_stats(assets: DataFrame, patch: int = 2) -> DataFrame:
                 # PNG only: the fixture's JPEG rows are header-only
                 # containers (no entropy data), and _feature_batches
                 # already treats them as such — dropped, not fabricated
-                if payload is None or meta["mime"] != "image/png":
+                # meta can be NULL when the operator is fed raw rows
+                # (attach_media_payloads always sets it, but this is a
+                # public building block) — dropped, not fabricated
+                if (
+                    payload is None
+                    or meta is None
+                    or meta["mime"] != "image/png"
+                ):
                     continue
                 try:
                     w, h, ch, px = decode_png(bytes(payload))

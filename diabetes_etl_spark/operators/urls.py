@@ -75,7 +75,10 @@ def with_url_parts(df, url_col: str = "url"):
     )
 
 
-_TRACKING_RE = r"^(utm_[^=]*|gclid|fbclid)="
+# Case-insensitive, and matches VALUELESS params too ("?gclid",
+# "?UTM_SOURCE=x" — both appear in real crawls; the query string is
+# not lowercased by canonicalization, only the authority is).
+_TRACKING_RE = r"(?i)^(utm_[^=&]*|gclid|fbclid)(=.*)?$"
 
 
 def canonical_url(url: Column) -> Column:

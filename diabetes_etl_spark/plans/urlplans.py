@@ -146,11 +146,19 @@ def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniq = F.when(
         did % 10 == 9, F.concat(F.lit("&u="), did.cast("string"))
     ).otherwise(F.lit(""))
+    # odd rows carry three tracking-param shapes: lowercase valued
+    # (utm_source=feed), UPPERCASE valued (UTM_Medium=em — the query
+    # string is never lowercased, only the authority), and valueless
+    # (gclid with no '=') — canonicalization must strip all three or
+    # the oracle's doc_id-arithmetic canon hash-fails
     q = F.when(
         did % 2 == 0, F.concat(F.lit("?"), a_par, F.lit("&b=1"), uniq)
     ).otherwise(
         F.concat(
-            F.lit("?b=1&utm_source=feed&"), a_par, uniq, F.lit("#frag")
+            F.lit("?b=1&utm_source=feed&gclid&UTM_Medium=em&"),
+            a_par,
+            uniq,
+            F.lit("#frag"),
         )
     )
     url = F.concat(
@@ -205,5 +213,5 @@ FROM c GROUP BY canon
     "ONLY tracking params.  Scale: projection + one groupBy on the "
     "canonical string.",
     tags=("url", "dedup", "extension"),
-    extended=True,
+    extended=False,  # gate (round-11 rotation)
 )(_url_canonical_dedup)

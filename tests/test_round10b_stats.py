@@ -80,6 +80,35 @@ def test_hodges_lehmann_matches_numpy_reference(spark, duck, sf_dir):
     assert row["hl_shift"] == pytest.approx(hl_ref, abs=1e-8)
 
 
+def test_hodges_lehmann_continuous_support_cap(spark):
+    """A genuinely CONTINUOUS value column (every value distinct) must
+    not blow the support x support grid: past the cap the samples
+    floor-quantize onto a shared cap-sized grid, the pair count stays
+    exact (quantization moves values, never drops them), and the HL
+    estimate stays within the documented 2*(max-min)/cap bound of the
+    exact all-pairs answer."""
+    from diabetes_etl_spark.plans.events import hl_shift_from_tagged
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(50.0, 9.0, 400)
+    b = rng.normal(53.5, 11.0, 350)
+    rows = [(0, float(v)) for v in a] + [(1, float(v)) for v in b]
+    tagged = spark.createDataFrame(rows, "variant int, v double")
+
+    cap = 64
+    row = hl_shift_from_tagged(tagged, cap=cap).collect()[0]
+    diffs = np.sort((b[None, :] - a[:, None]).ravel())
+    n = len(diffs)
+    hl_exact = (diffs[(n + 1) // 2 - 1] + diffs[n // 2]) / 2
+    vals = np.concatenate([a, b])
+    bound = 2 * (vals.max() - vals.min()) / cap
+    assert row["n_pairs"] == n
+    assert abs(row["hl_shift"] - hl_exact) <= bound
+    # under-cap input is untouched: exact path, exact answer
+    row2 = hl_shift_from_tagged(tagged, cap=2000).collect()[0]
+    assert row2["hl_shift"] == pytest.approx(hl_exact, abs=1e-8)
+
+
 def test_welch_matches_numpy_reference(spark, duck, sf_dir):
     from diabetes_etl_spark.plans import all_queries
 
@@ -161,6 +190,16 @@ def test_dbscan_border_between_two_clusters_takes_min(spark):
     got = _dbscan(spark, k4a + k4b + [(3, 5), (5, 7)], min_pts=4)
     assert got[3] == ("core", 1) and got[7] == ("core", 7)
     assert got[5] == ("border", 1)  # min of components {1, 7}
+
+
+def test_dbscan_duplicate_and_self_edges_are_hardened(spark):
+    # a 2-chain fed with duplicate edges (both orientations) plus a
+    # self-pair: without canonicalize+distinct+self-filter at the
+    # materialization boundary, node 10's n_eps would inflate to
+    # min_pts and flip noise -> core.  Must stay identical to the
+    # clean [(10, 11)] relation: all noise.
+    got = _dbscan(spark, [(10, 11), (11, 10), (10, 11), (10, 10)])
+    assert got == {}
 
 
 # -- plan shapes for the round-10b gate queries --------------------------------
@@ -365,7 +404,11 @@ _url_part = st.text(
     st.lists(
         st.tuples(
             st.sampled_from(
-                ["a", "b", "zz", "utm_source", "utm_x", "gclid", "fbclid"]
+                [
+                    "a", "b", "zz", "utm_source", "utm_x", "gclid",
+                    "fbclid", "UTM_SOURCE", "Utm_Medium", "GCLID",
+                    "FbClid",
+                ]
             ),
             st.text(alphabet="xyz01", min_size=0, max_size=4),
         ),
@@ -390,13 +433,26 @@ def test_canonical_url_invariance_and_idempotence(
         auth = f"{host}.com" + (":443" if pt else "")
         if up:
             auth = auth.upper()
-        q = "&".join(f"{k}={v}" for k, v in ps)
+        # tracking params with an empty value render VALUELESS
+        # ("?gclid", no '=') — the real-crawl shape the filter must
+        # also catch, case-insensitively
+        q = "&".join(
+            k
+            if v == ""
+            and k.lower().startswith(("utm_", "gclid", "fbclid"))
+            else f"{k}={v}"
+            for k, v in ps
+        )
         return (
             "https://" + auth + "/p/x" + ("/" if sl else "")
             + (("?" + q) if q else "") + ("#f" if fg else "")
         )
 
-    clean_params = [p for p in params if not p[0].startswith(("utm_", "gclid", "fbclid"))]
+    clean_params = [
+        p
+        for p in params
+        if not p[0].lower().startswith(("utm_", "gclid", "fbclid"))
+    ]
     variants = [
         build(params, upper, port, slash, frag),
         build(list(reversed(params)), False, False, False, False),
@@ -461,6 +517,32 @@ def test_patch_stats_edge_drop_and_fold_order(spark):
     for s in reversed(tiles):
         fp_swapped = (fp_swapped * 131 + s) % ((1 << 61) - 1)
     assert tiles[0] == tiles[1] or fp_swapped != fp
+
+
+def test_patch_stats_null_meta_and_payload_dropped(spark):
+    """Rows with NULL asset_meta or NULL payload are DROPPED (never a
+    task-failing TypeError): the operator is a public building block
+    and must honor its 'dropped, never fabricated' contract even when
+    fed raw rows that never went through attach_media_payloads."""
+    from diabetes_etl_spark.operators.multimodal import (
+        image_patch_stats,
+        png_bytes,
+    )
+
+    payload = png_bytes(2, 2, bytes(range(12)))
+    meta = {"mime": "image/png", "n_bytes": len(payload), "checksum": "x"}
+    df = spark.createDataFrame(
+        [
+            (1, payload, meta),
+            (2, payload, None),  # NULL meta, real payload
+            (3, None, meta),  # NULL payload
+            (4, None, None),
+        ],
+        "doc_id long, payload binary, "
+        "asset_meta struct<mime: string, n_bytes: int, checksum: string>",
+    )
+    rows = image_patch_stats(df).collect()
+    assert [r["doc_id"] for r in rows] == [1]
 
 
 def test_ratio_delta_matches_numpy_reference(spark, duck, sf_dir):
