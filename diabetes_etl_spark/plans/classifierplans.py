@@ -597,9 +597,10 @@ FROM c ORDER BY decile
     "total order (score DESC, doc_id), per-decile positive counts, "
     "cumulative capture rate, and lift = (p/n)/(np/N) evaluated as "
     "the exact-integer cross product p*N/(n*np).  The fixture form "
-    "uses the exact global NTILE (one total-order pass); the 100 TB "
-    "twin buckets by precomputed score-quantile cutpoints (the "
-    "orders_rfm_segments pattern) so no global sort is needed — "
+    "uses the exact global NTILE (one total-order pass) and serves "
+    "as the tie-placement baseline; the 100 TB twin is "
+    "classifier_lift_cutpoints below — support-grain cum-count "
+    "deciles, no global sort, oracle-paired in its own right — "
     "semantics identical up to tie placement at decile boundaries, "
     "which the doc_id tie-break pins here.",
     tags=("classifier", "ml", "ranking-metric", "extension"),
@@ -656,6 +657,132 @@ def classifier_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return c.select(
         F.col("decile").cast("int").alias("decile"),
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("p").cast("long").alias("n_pos"),
+        (F.col("cum_p").cast("double") / F.col("np_tot")).alias(
+            "cum_capture"
+        ),
+        (
+            (F.col("p") * F.col("n_tot")).cast("double")
+            / (F.col("n") * F.col("np_tot"))
+        ).alias("lift"),
+    ).orderBy("decile")
+
+
+_LIFT_CUT_ORACLE = (
+    _TRAIN_CTES
+    + _SCORED_CTE
+    + """,
+g AS (
+  SELECT score, COUNT(*) AS n, SUM(y) AS p FROM scored GROUP BY score
+),
+t AS (SELECT SUM(n) AS n_tot FROM g),
+spine AS (
+  SELECT n, p,
+    COALESCE(SUM(n) OVER (ORDER BY score DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM g
+),
+d AS (
+  SELECT CAST(LEAST(9, (10 * s.cum_before) // t.n_tot) + 1 AS INT)
+    AS decile,
+    SUM(s.n) AS n, SUM(s.p) AS p
+  FROM spine s CROSS JOIN t
+  GROUP BY 1
+),
+c AS (
+  SELECT decile, n, p,
+    SUM(p) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum_p,
+    SUM(p) OVER () AS np_tot, SUM(n) OVER () AS n_tot
+  FROM d
+)
+SELECT decile, CAST(n AS BIGINT) AS n_docs, CAST(p AS BIGINT) AS n_pos,
+  CAST(cum_p AS DOUBLE) / np_tot AS cum_capture,
+  CAST(p * n_tot AS DOUBLE) / (n * np_tot) AS lift
+FROM c ORDER BY decile
+"""
+)
+
+
+@register(
+    "classifier_lift_cutpoints",
+    oracle=_LIFT_CUT_ORACLE,
+    doc="Decile lift table WITHOUT a global sort — the 100 TB twin of "
+    "classifier_lift_deciles (which pins exact NTILE(10) semantics as "
+    "the fixture oracle baseline, the TwoNN baseline/ANN-twin "
+    "precedent).  The classifier's sigmoid is quantized to 7 decimals "
+    "(operators/classifier.py sigmoid_q), so scores live on a BOUNDED "
+    "support (<= 1e7+1 values, far fewer in practice); one grouped "
+    "pass collapses N rows to that support, a cum-count spine over it "
+    "yields each score's rank interval, and decile(score) = "
+    "least(9, 10*cum_before div N) + 1 — exact integer arithmetic, "
+    "every tie group lands WHOLE in one decile (score-coherent "
+    "deciles: the production semantics, where NTILE's engine-defined "
+    "tie splitting is the artifact).  Same shape as the gate's "
+    "classifier_auc_roc spine; nothing is per-row after the first "
+    "aggregate, so the plan survives any corpus size the support "
+    "grain survives.",
+    tags=("classifier", "ml", "ranking-metric", "scale", "extension"),
+    extended=True,
+)
+def classifier_lift_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from diabetes_etl_spark.operators.classifier import (
+        logistic_score,
+        logistic_train_rounds,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.filter(F.expr("LENGTH(text) > 0")).select(
+        F.expr(_F1).alias("f1"),
+        F.expr(_F2).alias("f2"),
+        F.expr(_Y).alias("y"),
+    )
+    rounds = logistic_train_rounds(
+        feats, ["f1", "f2"], "y", iterations=_ROUNDS, lr=_LR
+    ).collect()
+    final = next(r for r in rounds if r["round"] == _ROUNDS)
+    scored = feats.select(
+        "y",
+        logistic_score(
+            ["f1", "f2"], [final["w0"], final["w1"], final["w2"]]
+        ).alias("score"),
+    )
+    g = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("p")
+    )
+    tot = g.agg(F.sum("n").alias("n_tot"))
+    w_before = W.orderBy(F.desc("score")).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    spine = g.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "p",
+        "n_tot",
+        F.coalesce(F.sum("n").over(w_before), F.lit(0)).alias(
+            "cum_before"
+        ),
+    )
+    d = spine.groupBy(
+        F.expr(
+            "CAST(LEAST(9, (10 * cum_before) div n_tot) + 1 AS INT)"
+        ).alias("decile")
+    ).agg(F.sum("n").alias("n"), F.sum("p").alias("p"))
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.orderBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    c = d.select(
+        "decile",
+        "n",
+        "p",
+        F.sum("p").over(w_cum).alias("cum_p"),
+        F.sum("p").over(w_all).alias("np_tot"),
+        F.sum("n").over(w_all).alias("n_tot"),
+    )
+    return c.select(
+        "decile",
         F.col("n").cast("long").alias("n_docs"),
         F.col("p").cast("long").alias("n_pos"),
         (F.col("cum_p").cast("double") / F.col("np_tot")).alias(
@@ -1108,11 +1235,12 @@ FROM qhat q2, test t
     "with NO distributional assumptions.  Determinism: weights come "
     "from exact decimal sums; residuals are pinned IEEE arithmetic "
     "on identical doubles; the order statistic's value is invariant "
-    "to tie order.  Scale: two corpus passes (stats + residuals); "
-    "the rank runs on the calibration split only — production sizes "
-    "that split by hash rate, or replaces the sort with the "
-    "iterative exact-selection operator (selection_exact_percentiles "
-    "pattern).",
+    "to tie order.  Scale: the stats pass plus the residual scans; "
+    "the order statistic comes from the iterative exact-selection "
+    "operator (operators/selection.py exact_kth — O(log) bounded "
+    "histogram passes over the calibration split, never a global "
+    "sort; the selection_exact_percentiles pattern), so NO stage "
+    "executes an unpartitioned total order.",
     tags=("ml", "conformal", "uncertainty", "extension"),
     extended=False,  # gate (round-10 rotation)
 )
@@ -1179,18 +1307,19 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             y - (F.lit(w0) + F.lit(w1) * q + F.lit(w2) * disc)
         ).alias("r"),
     )
-    from pyspark.sql import Window
+    from diabetes_etl_spark.operators.selection import exact_kth
 
     cal = resid.where(F.col("part") == 2)
     n_cal = cal.count()
     k = math.ceil((n_cal + 1) * (1 - _CONF_ALPHA))
-    wr = Window.orderBy("r")
-    qrow = (
-        cal.withColumn("rk", F.row_number().over(wr))
-        .where(F.col("rk") == k)
-        .collect()
-    )
-    q_hat = qrow[0]["r"]
+    # exact k-th smallest |residual| WITHOUT a global sort: an
+    # unpartitioned row_number() window here would execute in ONE task
+    # (a single-executor sort of the whole calibration split at
+    # scale).  exact_kth brackets the rank through O(log) bounded
+    # histogram passes (B=1024 buckets of driver state per round) and
+    # sorts only the final <= 8k-row sliver — bit-identical to the
+    # full-sort answer, per tests/test_selection.py.
+    q_hat, _rounds = exact_kth(cal, "r", k)
     test = resid.where(F.col("part") == 3).agg(
         F.count(F.lit(1)).alias("n_test"),
         F.sum(
@@ -1547,7 +1676,16 @@ def classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- k-NN majority-vote classifier over ANN candidates (round 10) --------------
 
 
-def _knn_lsh_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_lsh_predictions(
+    spark: SparkSession, sf_dir: str, n_tables: int = 24
+) -> DataFrame:
+    """(ia, pred_label) for the leave-one-out k-NN majority vote at the
+    given LSH table count.  Table seeds are t*131 for t in range(n),
+    so the candidate set is MONOTONE in n_tables: 16 is exact-covering
+    on both fixtures (verified), 24 is the margined oracle setting,
+    and the 10-table production profile trades a pinned agreement
+    floor for ~2-3x less candidate volume (the sim_lsh_topk
+    recall-profile split)."""
     from pyspark.sql import Window
 
     from diabetes_etl_spark.operators.similarity import knn_d2_lsh
@@ -1555,15 +1693,11 @@ def _knn_lsh_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", "label"
     )
-    # table seeds are t*131 for t in range(n), so the candidate set is
-    # MONOTONE in n_tables: 16 is exact-covering on both fixtures
-    # (verified), 24 is the margined setting (the sim_lsh_topk
-    # precedent), and anything above only adds cost
     nn = knn_d2_lsh(
         emb.select("vec_id", "embedding"),
         k=10,
         n_bits=6,
-        n_tables=24,
+        n_tables=n_tables,
         dim=64,
         bucket_cap=128,
         multiprobe=True,
@@ -1583,21 +1717,37 @@ def _knn_lsh_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("ia").orderBy(
         F.col("n_votes").desc(), F.col("nb_label").asc()
     )
-    pred = (
+    return (
         votes.select(
             "ia", "nb_label", F.row_number().over(w).alias("rn")
         )
         .where(F.col("rn") == 1)
         .select("ia", F.col("nb_label").alias("pred_label"))
     )
-    truth = labels.withColumnsRenamed(
-        {"vec_id": "ia_id", "label": "true_label"}
+
+
+def _knn_confusion(
+    spark: SparkSession, sf_dir: str, n_tables: int
+) -> DataFrame:
+    pred = knn_lsh_predictions(spark, sf_dir, n_tables=n_tables)
+    truth = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .withColumnsRenamed({"vec_id": "ia_id", "label": "true_label"})
     )
     return (
         pred.join(F.broadcast(truth), F.col("ia") == F.col("ia_id"))
         .groupBy("true_label", "pred_label")
         .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
     )
+
+
+def _knn_lsh_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn_confusion(spark, sf_dir, n_tables=24)
+
+
+def _knn_lsh_classifier_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn_confusion(spark, sf_dir, n_tables=10)
 
 
 register(
@@ -1672,3 +1822,22 @@ GROUP BY t.label, p.pred_label
     tags=("classifier", "knn", "ann", "similarity", "extension"),
     extended=True,
 )(_knn_lsh_classifier)
+
+
+register(
+    "classifier_knn_lsh_prod",
+    oracle=None,  # perf/scale twin of the oracle-paired covering form
+    doc="PRODUCTION profile of classifier_knn_lsh: 10 LSH tables "
+    "instead of the 24-table exact-covering oracle setting — the same "
+    "bounded bucket machinery with ~2-3x less candidate volume, the "
+    "knob a 100 TB run would actually ship (the sim_lsh_topk "
+    "recall-profile precedent).  Not oracle-paired BY DESIGN (ANN at "
+    "sub-covering params is approximate); instead "
+    "tests/test_classifier.py pins a per-point prediction agreement "
+    "floor vs the covering form and an identical row-count contract, "
+    "so any silent recall collapse fails loudly.  Same plan shape as "
+    "the base query: (table, bucket, id) shuffle, capped buckets, "
+    "candidate-only exact d^2, broadcast label map.",
+    tags=("classifier", "knn", "ann", "similarity", "scale", "extension"),
+    extended=True,
+)(_knn_lsh_classifier_prod)

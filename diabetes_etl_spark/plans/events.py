@@ -4480,25 +4480,35 @@ def _mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.alias("t"),
         (F.sum(t).over(w) - t).alias("cum_before"),
     )
+    # 2*R_a and the tie term are exact integers, but BIGINT overflows
+    # once n_a*n (r2_a) or a hot value's t^3 (tie_term) passes ~9.2e18
+    # — n ~ 2.09M rows on one value already cubes past the long range,
+    # silently wrapping with ANSI off.  Accumulate in DECIMAL(38,0)
+    # (HUGEINT on the oracle side): exact to 1e38, so any real event
+    # volume fits; the variance factor n^3 - n is consumed as a double
+    # and is computed in doubles outright.
+    dec = lambda c: c.cast("decimal(38,0)")
     agg = ranked.agg(
         F.sum("na_v").alias("n_a"),
         F.sum("nb_v").alias("n_b"),
         # 2*R_a is an exact integer even under midpoint tie ranks
         F.sum(
-            F.col("na_v") * (2 * F.col("cum_before") + F.col("t") + 1)
+            dec(F.col("na_v")) * (2 * F.col("cum_before") + F.col("t") + 1)
         ).alias("r2_a"),
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
-            "tie_term"
-        ),
+        F.sum(
+            dec(F.col("t")) * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_term"),
     )
     n_a, n_b = F.col("n_a"), F.col("n_b")
     n = n_a + n_b
-    u2_a = F.col("r2_a") - n_a * (n_a + 1)  # == 2*U_a, exact BIGINT
-    # var(U) with tie correction; z = (2U - n_a n_b) / (2 sqrt(var))
+    u2_a = F.col("r2_a") - dec(n_a) * (n_a + 1)  # == 2*U_a, exact decimal
+    # var(U) with tie correction; z = (2U - n_a n_b) / (2 sqrt(var)).
+    # All-double arithmetic in pinned order, mirrored in the oracle.
+    nd = n.cast("double")
     var_u = (
-        (n_a * n_b).cast("double")
-        / (12 * n * (n - 1)).cast("double")
-        * (n * n * n - n - F.col("tie_term")).cast("double")
+        n_a.cast("double") * n_b.cast("double")
+        / (F.lit(12.0) * nd * (nd - F.lit(1.0)))
+        * (nd * nd * nd - nd - F.col("tie_term").cast("double"))
     )
     return agg.select(
         n_a.cast("long").alias("n_a"),
@@ -4508,7 +4518,8 @@ def _mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             (n_a > 0) & (n_b > 0) & (var_u > 0),
             F.round(
-                (u2_a - n_a * n_b).cast("double") / (2 * F.sqrt(var_u)),
+                (u2_a - dec(n_a) * n_b).cast("double")
+                / (2 * F.sqrt(var_u)),
                 9,
             ),
         ).alias("z_mw"),
@@ -4537,24 +4548,30 @@ ranked AS (
 ),
 agg AS (
   SELECT SUM(na_v) AS n_a, SUM(nb_v) AS n_b,
-    SUM(na_v * (2 * cum_before + t + 1)) AS r2_a,
-    SUM(t * t * t - t) AS tie_term
+    SUM(CAST(na_v AS HUGEINT) * (2 * cum_before + t + 1)) AS r2_a,
+    SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_term
   FROM ranked
 )
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-  CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+  CAST(r2_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a,
   CAST(tie_term AS BIGINT) AS tie_term,
   CASE WHEN n_a > 0 AND n_b > 0 AND
-    CAST(n_a * n_b AS DOUBLE)
-      / CAST(12 * (n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)
-      * CAST((n_a + n_b) * (n_a + n_b) * (n_a + n_b)
-             - (n_a + n_b) - tie_term AS DOUBLE) > 0
+    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      / (12 * CAST(n_a + n_b AS DOUBLE)
+         * (CAST(n_a + n_b AS DOUBLE) - 1))
+      * (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
+           * CAST(n_a + n_b AS DOUBLE)
+         - CAST(n_a + n_b AS DOUBLE) - CAST(tie_term AS DOUBLE)) > 0
   THEN ROUND(
-    CAST(r2_a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
-    / (2 * SQRT(CAST(n_a * n_b AS DOUBLE)
-        / CAST(12 * (n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)
-        * CAST((n_a + n_b) * (n_a + n_b) * (n_a + n_b)
-               - (n_a + n_b) - tie_term AS DOUBLE))), 9)
+    CAST(r2_a - CAST(n_a AS HUGEINT) * (n_a + 1)
+         - CAST(n_a AS HUGEINT) * n_b AS DOUBLE)
+    / (2 * SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        / (12 * CAST(n_a + n_b AS DOUBLE)
+           * (CAST(n_a + n_b AS DOUBLE) - 1))
+        * (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
+             * CAST(n_a + n_b AS DOUBLE)
+           - CAST(n_a + n_b AS DOUBLE)
+           - CAST(tie_term AS DOUBLE)))), 9)
   END AS z_mw
 FROM agg
 """,
@@ -4581,22 +4598,39 @@ FROM agg
 # -- Hodges-Lehmann shift estimator (round 10) ---------------------------------
 
 
-def _hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Past this many distinct values the HL pair grid quantizes onto a
+# uniform grid of the same size: the grid stays support x support
+# bounded even for genuinely CONTINUOUS value columns (where the raw
+# support would equal the row count and the count-product grid would
+# go quadratic).  Error bound: each value moves < (max-min)/cap, so
+# every pairwise difference — and hence the weighted median — moves
+# < 2*(max-min)/cap.  The money-grain fixture (~1e4 cents-values)
+# never trips it; the trigger is mirrored EXACTLY in the oracle SQL,
+# so the pairing stays hash-exact whether or not it fires.
+_HL_SUPPORT_CAP = 20000
+
+
+def hl_shift_from_tagged(tagged: DataFrame, cap: int = _HL_SUPPORT_CAP) -> DataFrame:
+    """Hodges-Lehmann shift from a (variant in {0,1}, v) relation via
+    the support-grain count-product grid; see events_ab_hodges_lehmann
+    for the full contract.  ``cap`` bounds the value support (floor-
+    grid quantization past it — deterministic IEEE arithmetic, no
+    round-tie hazard)."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").where(
-        F.col("event_type") == "purchase"
+    stats = tagged.agg(
+        F.countDistinct("v").alias("ns"),
+        F.min("v").alias("vlo"),
+        F.max("v").alias("vhi"),
     )
-    tagged = ev.select(
-        (
-            F.conv(
-                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
-                16,
-                10,
-            ).cast("long")
-            % 2
-        ).alias("variant"),
-        F.col("value").alias("v"),
+    step = (F.col("vhi") - F.col("vlo")) / cap
+    vq = F.when(
+        (F.col("ns") > cap) & (step > 0),
+        F.col("vlo")
+        + F.floor((F.col("v") - F.col("vlo")) / step) * step,
+    ).otherwise(F.col("v"))
+    tagged = tagged.crossJoin(F.broadcast(stats)).select(
+        "variant", vq.alias("v")
     )
     sa = (
         tagged.where(F.col("variant") == 0)
@@ -4647,13 +4681,44 @@ def _hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    tagged = ev.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("variant"),
+        F.col("value").alias("v"),
+    )
+    return hl_shift_from_tagged(tagged)
+
+
 register(
     "events_ab_hodges_lehmann",
-    oracle="""
-WITH s AS (
+    oracle=f"""
+WITH s0 AS (
   SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
       ::BIGINT % 2 AS INT) AS variant, value AS v
   FROM events WHERE event_type = 'purchase'
+),
+st AS (
+  SELECT COUNT(DISTINCT v) AS ns, MIN(v) AS vlo, MAX(v) AS vhi FROM s0
+),
+s AS (
+  SELECT variant,
+    CASE WHEN st.ns > {_HL_SUPPORT_CAP}
+           AND (st.vhi - st.vlo) / {_HL_SUPPORT_CAP} > 0
+      THEN st.vlo
+        + FLOOR((v - st.vlo) / ((st.vhi - st.vlo) / {_HL_SUPPORT_CAP}))
+          * ((st.vhi - st.vlo) / {_HL_SUPPORT_CAP})
+      ELSE v END AS v
+  FROM s0 CROSS JOIN st
 ),
 sa AS (SELECT v AS va, COUNT(*) AS wa FROM s WHERE variant = 0 GROUP BY v),
 sb AS (SELECT v AS vb, COUNT(*) AS wb FROM s WHERE variant = 1 GROUP BY v),
@@ -4690,8 +4755,14 @@ FROM j
     "(exact BIGINTs), and the weighted median picks order statistics "
     "floor((N+1)/2) / floor(N/2)+1 off one cumulative window — the "
     "classical even/odd midpoint rule, exact until the final /2.  "
-    "Scale: two grouped passes + one bounded broadcast grid; the "
-    "window runs over the diff support only.",
+    "GUARD: a genuinely continuous value column (support ~ row "
+    "count) would defeat the grid, so past _HL_SUPPORT_CAP distinct "
+    "values both samples floor-quantize onto a shared cap-sized "
+    "uniform grid (each diff moves < 2*(max-min)/cap; trigger and "
+    "grid arithmetic mirrored exactly in the oracle, so the pairing "
+    "stays hash-exact whether or not it fires — the fixture never "
+    "trips it).  Scale: two grouped passes + one bounded broadcast "
+    "grid; the window runs over the diff support only.",
     tags=("statistics", "ab-testing", "nonparametric", "extension"),
     extended=True,
 )(_hodges_lehmann)
@@ -5021,7 +5092,7 @@ FROM agg
     "then every window runs on the O(distinct lifetimes) dimension; "
     "the corpus-end date attaches by broadcast.",
     tags=("events", "survival", "ab-testing", "statistics", "extension"),
-    extended=True,
+    extended=False,  # gate (round-11 rotation)
 )(_logrank_test)
 
 
@@ -5150,7 +5221,7 @@ FROM d
     "the house convention.  Scale: one user-grain grouped pass "
     "(map-side combined) to a 2-row table, then an epilogue.",
     tags=("events", "ab-testing", "statistics", "extension"),
-    extended=True,
+    extended=False,  # gate (round-11 rotation)
 )(_ab_srm_health)
 
 
@@ -5221,7 +5292,7 @@ SELECT event_type, user_id, n_events, rk FROM (
     "Update-mode emissions collapse to the newest summary per key "
     "by the cumulative n_total.",
     tags=("streaming", "stateful", "sketch", "extension"),
-    extended=True,
+    extended=False,  # gate (round-11 rotation)
 )(_stream_mg_heavy_users)
 
 
@@ -5463,3 +5534,297 @@ FROM d
     tags=("events", "ab-testing", "statistics", "extension"),
     extended=True,
 )(_ab_ratio_delta)
+
+
+# -- A/B healthcheck composite: one scan, whole readout (round 11) -------------
+
+
+def _ab_healthcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    v = F.col("value")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("y"),
+        F.sum(F.when(is_p, 1).otherwise(0)).alias("pn"),
+        F.sum(
+            F.when(is_p, v).otherwise(0.0).cast("decimal(38,6)")
+        ).alias("x"),
+        F.sum(
+            F.when(is_p, v * v).otherwise(0.0).cast("decimal(38,6)")
+        ).alias("x2"),
+    )
+    users = per_user.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("variant"),
+        "y",
+        "pn",
+        "x",
+        "x2",
+    )
+    per = users.groupBy("variant").agg(
+        # SRM / balance moments (user grain, exact integers)
+        F.count(F.lit(1)).alias("nu"),
+        F.sum("y").alias("su1"),
+        F.sum(F.col("y") * F.col("y")).alias("su2"),
+        # Welch moments (purchase-row grain, recovered exactly from the
+        # per-user decimal partials — decimal addition is associative)
+        F.sum("pn").alias("np"),
+        F.sum("x").alias("sp1"),
+        F.sum("x2").alias("sp2"),
+        # ratio-metric moments (user grain, the Deng et al. five)
+        F.sum(F.col("y").cast("decimal(38,6)")).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)")).alias(
+            "sxx"
+        ),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,6)")).alias(
+            "syy"
+        ),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,6)")).alias(
+            "sxy"
+        ),
+    )
+
+    def side(tag, val):
+        return [
+            F.max(F.when(F.col("variant") == val, F.col(c))).alias(
+                f"{c}_{tag}"
+            )
+            for c in (
+                "nu", "su1", "su2", "np", "sp1", "sp2", "sy", "sxx",
+                "syy", "sxy",
+            )
+        ]
+
+    w = per.agg(*(side("a", 0) + side("b", 1)))
+    # --- SRM + covariate balance (events_ab_srm_health algebra)
+    nu_a, nu_b = F.col("nu_a"), F.col("nu_b")
+    srm = ((nu_a - nu_b) * (nu_a - nu_b)).cast("double") / (nu_a + nu_b)
+    mu_a = F.col("su1_a").cast("double") / nu_a
+    mu_b = F.col("su1_b").cast("double") / nu_b
+    vu_a = (
+        F.col("su2_a").cast("double")
+        - F.col("su1_a").cast("double")
+        * F.col("su1_a").cast("double")
+        / nu_a
+    ) / (nu_a - 1)
+    vu_b = (
+        F.col("su2_b").cast("double")
+        - F.col("su1_b").cast("double")
+        * F.col("su1_b").cast("double")
+        / nu_b
+    ) / (nu_b - 1)
+    pooled = (vu_a + vu_b) / 2
+    ok_bal = (nu_a > 1) & (nu_b > 1) & (pooled > 0)
+    # --- Welch t on purchase values (events_ab_welch_ttest algebra)
+    np_a, np_b = F.col("np_a"), F.col("np_b")
+    mp_a = F.col("sp1_a").cast("double") / np_a
+    mp_b = F.col("sp1_b").cast("double") / np_b
+    vp_a = (
+        F.col("sp2_a").cast("double")
+        - F.col("sp1_a").cast("double")
+        * F.col("sp1_a").cast("double")
+        / np_a
+    ) / (np_a - 1)
+    vp_b = (
+        F.col("sp2_b").cast("double")
+        - F.col("sp1_b").cast("double")
+        * F.col("sp1_b").cast("double")
+        / np_b
+    ) / (np_b - 1)
+    se2_a = vp_a / np_a
+    se2_b = vp_b / np_b
+    se2 = se2_a + se2_b
+    ok_w = (np_a > 1) & (np_b > 1) & (se2 > 0)
+
+    # --- delta-method ratio (events_ab_ratio_delta algebra)
+    def ratio_stats(tag):
+        n = F.col(f"nu_{tag}")
+        sx = F.col(f"sp1_{tag}").cast("double")
+        sy = F.col(f"sy_{tag}").cast("double")
+        sxx = F.col(f"sxx_{tag}").cast("double")
+        syy = F.col(f"syy_{tag}").cast("double")
+        sxy = F.col(f"sxy_{tag}").cast("double")
+        r = sx / sy
+        my = sy / n
+        vx = (sxx - sx * sx / n) / (n - 1)
+        vy = (syy - sy * sy / n) / (n - 1)
+        cxy = (sxy - sx * sy / n) / (n - 1)
+        var_r = (vx - 2 * r * cxy + r * r * vy) / (n * my * my)
+        return r, var_r
+
+    r_a, v_a = ratio_stats("a")
+    r_b, v_b = ratio_stats("b")
+    ok_r = (nu_a > 1) & (nu_b > 1) & (v_a + v_b > 0)
+    return w.select(
+        nu_a.cast("long").alias("n_users_a"),
+        nu_b.cast("long").alias("n_users_b"),
+        F.round(srm, 9).alias("srm_chi2"),
+        (srm > F.lit(3.841)).alias("srm_flag"),
+        F.when(
+            ok_bal, F.round((mu_b - mu_a) / F.sqrt(pooled), 9)
+        ).alias("smd_events"),
+        F.when(
+            ok_bal, F.abs((mu_b - mu_a) / F.sqrt(pooled)) > 0.1
+        ).alias("imbalance_flag"),
+        np_a.cast("long").alias("n_purch_a"),
+        np_b.cast("long").alias("n_purch_b"),
+        F.round(mp_a, 9).alias("mean_value_a"),
+        F.round(mp_b, 9).alias("mean_value_b"),
+        F.when(ok_w, F.round((mp_b - mp_a) / F.sqrt(se2), 9)).alias(
+            "t_welch"
+        ),
+        F.when(
+            ok_w,
+            F.round(
+                se2
+                * se2
+                / (
+                    se2_a * se2_a / (np_a - 1)
+                    + se2_b * se2_b / (np_b - 1)
+                ),
+                6,
+            ),
+        ).alias("df_welch"),
+        F.round(r_a, 9).alias("ratio_a"),
+        F.round(r_b, 9).alias("ratio_b"),
+        F.when(
+            ok_r, F.round((r_b - r_a) / F.sqrt(v_a + v_b), 9)
+        ).alias("z_ratio"),
+    )
+
+
+register(
+    "events_ab_healthcheck",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS y,
+    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pn,
+    SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+        ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(38,6))) AS x,
+    SUM(CAST(CASE WHEN event_type = 'purchase' THEN value * value
+        ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(38,6))) AS x2
+  FROM events GROUP BY user_id
+),
+users AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      ::BIGINT % 2 AS INT) AS variant, y, pn, x, x2
+  FROM per_user
+),
+per AS (
+  SELECT variant, COUNT(*) AS nu, SUM(y) AS su1, SUM(y * y) AS su2,
+    SUM(pn) AS np, SUM(x) AS sp1, SUM(x2) AS sp2,
+    SUM(CAST(y AS DECIMAL(38,6))) AS sy,
+    SUM(CAST(x * x AS DECIMAL(38,6))) AS sxx,
+    SUM(CAST(y * y AS DECIMAL(38,6))) AS syy,
+    SUM(CAST(x * y AS DECIMAL(38,6))) AS sxy
+  FROM users GROUP BY variant
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN variant = 0 THEN nu END) AS nu_a,
+    MAX(CASE WHEN variant = 0 THEN su1 END) AS su1_a,
+    MAX(CASE WHEN variant = 0 THEN su2 END) AS su2_a,
+    MAX(CASE WHEN variant = 0 THEN np END) AS np_a,
+    MAX(CASE WHEN variant = 0 THEN sp1 END) AS sp1_a,
+    MAX(CASE WHEN variant = 0 THEN sp2 END) AS sp2_a,
+    MAX(CASE WHEN variant = 0 THEN sy END) AS sy_a,
+    MAX(CASE WHEN variant = 0 THEN sxx END) AS sxx_a,
+    MAX(CASE WHEN variant = 0 THEN syy END) AS syy_a,
+    MAX(CASE WHEN variant = 0 THEN sxy END) AS sxy_a,
+    MAX(CASE WHEN variant = 1 THEN nu END) AS nu_b,
+    MAX(CASE WHEN variant = 1 THEN su1 END) AS su1_b,
+    MAX(CASE WHEN variant = 1 THEN su2 END) AS su2_b,
+    MAX(CASE WHEN variant = 1 THEN np END) AS np_b,
+    MAX(CASE WHEN variant = 1 THEN sp1 END) AS sp1_b,
+    MAX(CASE WHEN variant = 1 THEN sp2 END) AS sp2_b,
+    MAX(CASE WHEN variant = 1 THEN sy END) AS sy_b,
+    MAX(CASE WHEN variant = 1 THEN sxx END) AS sxx_b,
+    MAX(CASE WHEN variant = 1 THEN syy END) AS syy_b,
+    MAX(CASE WHEN variant = 1 THEN sxy END) AS sxy_b
+  FROM per
+),
+d AS (
+  SELECT nu_a, nu_b, np_a, np_b,
+    CAST((nu_a - nu_b) * (nu_a - nu_b) AS DOUBLE) / (nu_a + nu_b)
+      AS srm,
+    CAST(su1_a AS DOUBLE) / nu_a AS mu_a,
+    CAST(su1_b AS DOUBLE) / nu_b AS mu_b,
+    ((CAST(su2_a AS DOUBLE)
+      - CAST(su1_a AS DOUBLE) * CAST(su1_a AS DOUBLE) / nu_a)
+       / (nu_a - 1)
+     + (CAST(su2_b AS DOUBLE)
+      - CAST(su1_b AS DOUBLE) * CAST(su1_b AS DOUBLE) / nu_b)
+       / (nu_b - 1)) / 2 AS pooled,
+    CAST(sp1_a AS DOUBLE) / np_a AS mp_a,
+    CAST(sp1_b AS DOUBLE) / np_b AS mp_b,
+    ((CAST(sp2_a AS DOUBLE)
+      - CAST(sp1_a AS DOUBLE) * CAST(sp1_a AS DOUBLE) / np_a)
+      / (np_a - 1)) / np_a AS se2_a,
+    ((CAST(sp2_b AS DOUBLE)
+      - CAST(sp1_b AS DOUBLE) * CAST(sp1_b AS DOUBLE) / np_b)
+      / (np_b - 1)) / np_b AS se2_b,
+    CAST(sp1_a AS DOUBLE) / CAST(sy_a AS DOUBLE) AS r_a,
+    CAST(sp1_b AS DOUBLE) / CAST(sy_b AS DOUBLE) AS r_b,
+    ((CAST(sxx_a AS DOUBLE) - CAST(sp1_a AS DOUBLE) * CAST(sp1_a AS DOUBLE) / nu_a) / (nu_a - 1)
+     - 2 * (CAST(sp1_a AS DOUBLE) / CAST(sy_a AS DOUBLE))
+       * ((CAST(sxy_a AS DOUBLE) - CAST(sp1_a AS DOUBLE) * CAST(sy_a AS DOUBLE) / nu_a) / (nu_a - 1))
+     + (CAST(sp1_a AS DOUBLE) / CAST(sy_a AS DOUBLE)) * (CAST(sp1_a AS DOUBLE) / CAST(sy_a AS DOUBLE))
+       * ((CAST(syy_a AS DOUBLE) - CAST(sy_a AS DOUBLE) * CAST(sy_a AS DOUBLE) / nu_a) / (nu_a - 1)))
+    / (nu_a * (CAST(sy_a AS DOUBLE) / nu_a) * (CAST(sy_a AS DOUBLE) / nu_a)) AS v_a,
+    ((CAST(sxx_b AS DOUBLE) - CAST(sp1_b AS DOUBLE) * CAST(sp1_b AS DOUBLE) / nu_b) / (nu_b - 1)
+     - 2 * (CAST(sp1_b AS DOUBLE) / CAST(sy_b AS DOUBLE))
+       * ((CAST(sxy_b AS DOUBLE) - CAST(sp1_b AS DOUBLE) * CAST(sy_b AS DOUBLE) / nu_b) / (nu_b - 1))
+     + (CAST(sp1_b AS DOUBLE) / CAST(sy_b AS DOUBLE)) * (CAST(sp1_b AS DOUBLE) / CAST(sy_b AS DOUBLE))
+       * ((CAST(syy_b AS DOUBLE) - CAST(sy_b AS DOUBLE) * CAST(sy_b AS DOUBLE) / nu_b) / (nu_b - 1)))
+    / (nu_b * (CAST(sy_b AS DOUBLE) / nu_b) * (CAST(sy_b AS DOUBLE) / nu_b)) AS v_b
+  FROM w
+)
+SELECT CAST(nu_a AS BIGINT) AS n_users_a,
+  CAST(nu_b AS BIGINT) AS n_users_b,
+  ROUND(srm, 9) AS srm_chi2,
+  srm > CAST(3.841 AS DOUBLE) AS srm_flag,
+  CASE WHEN nu_a > 1 AND nu_b > 1 AND pooled > 0
+    THEN ROUND((mu_b - mu_a) / SQRT(pooled), 9) END AS smd_events,
+  CASE WHEN nu_a > 1 AND nu_b > 1 AND pooled > 0
+    THEN ABS((mu_b - mu_a) / SQRT(pooled)) > CAST(0.1 AS DOUBLE) END
+    AS imbalance_flag,
+  CAST(np_a AS BIGINT) AS n_purch_a,
+  CAST(np_b AS BIGINT) AS n_purch_b,
+  ROUND(mp_a, 9) AS mean_value_a,
+  ROUND(mp_b, 9) AS mean_value_b,
+  CASE WHEN np_a > 1 AND np_b > 1 AND se2_a + se2_b > 0
+    THEN ROUND((mp_b - mp_a) / SQRT(se2_a + se2_b), 9) END AS t_welch,
+  CASE WHEN np_a > 1 AND np_b > 1 AND se2_a + se2_b > 0
+    THEN ROUND((se2_a + se2_b) * (se2_a + se2_b)
+      / (se2_a * se2_a / (np_a - 1) + se2_b * se2_b / (np_b - 1)), 6)
+    END AS df_welch,
+  ROUND(r_a, 9) AS ratio_a,
+  ROUND(r_b, 9) AS ratio_b,
+  CASE WHEN nu_a > 1 AND nu_b > 1 AND v_a + v_b > 0
+    THEN ROUND((r_b - r_a) / SQRT(v_a + v_b), 9) END AS z_ratio
+FROM d
+""",
+    doc="A/B experiment-readout composite: SRM + covariate balance "
+    "(events_ab_srm_health), Welch's t on purchase values "
+    "(events_ab_welch_ttest) and the delta-method ratio metric "
+    "(events_ab_ratio_delta) — all from ONE events scan instead of "
+    "three (round-10 VERDICT #8).  The user-grain pass carries every "
+    "needed moment: per-user event count (SRM/balance + ratio "
+    "denominator), per-user purchase-row count and DECIMAL partial "
+    "sums of value and value^2 (Welch — decimal addition is "
+    "associative, so the two-level fold reproduces the single-level "
+    "row fold EXACTLY).  The three standalone queries stay "
+    "registered as oracle twins, and tests pin field-for-field "
+    "equality between this composite and each single.  Scale: one "
+    "user-grain grouped pass (map-side combined) to a 2-row table, "
+    "then a 1-row epilogue; strictly cheaper than the three "
+    "constituent scans it replaces.",
+    tags=("events", "ab-testing", "statistics", "composite", "extension"),
+    extended=True,
+)(_ab_healthcheck)

@@ -360,6 +360,92 @@ def test_conformal_coverage_near_target(spark, sf_dir):
     assert r["coverage"] <= 1.0
 
 
+def test_conformal_no_unpartitioned_window(spark, sf_dir, monkeypatch):
+    """The conformal order statistic must come from the bounded-
+    histogram selection operator (operators/selection.py exact_kth),
+    NEVER an unpartitioned Window.orderBy — which Spark executes as a
+    single-task global sort of the calibration split (the round-10
+    verdict's one in-gate scale-killer).  Runtime pin: poison the
+    static (partition-less) Window.orderBy constructor for the whole
+    query run; any regression back to row_number() trips it.
+    Window.partitionBy(...).orderBy (the legitimate partitioned form)
+    is a WindowSpec method and stays usable."""
+    import pyspark.sql.window as wmod
+
+    def _boom(*_a, **_k):  # pragma: no cover - only on regression
+        raise AssertionError(
+            "unpartitioned Window.orderBy inside ml_conformal_interval"
+        )
+
+    monkeypatch.setattr(wmod.Window, "orderBy", staticmethod(_boom))
+    from diabetes_etl_spark.plans import all_queries
+
+    r = all_queries(include_extended=True)["ml_conformal_interval"].fn(
+        spark, sf_dir
+    ).collect()
+    assert len(r) == 1 and r[0]["q_hat"] > 0
+
+
+def test_lift_cutpoints_plan_no_ntile_and_agrees_with_exact(spark, sf_dir):
+    """The cutpoint twin must plan WITHOUT ntile (no unpartitioned
+    total-order pass over scored rows — its window rides the grouped
+    score support), and its decile masses must track the exact-NTILE
+    baseline: totals identical, per-decile counts within the largest
+    score-tie group (ties move WHOLE between the two semantics)."""
+    from diabetes_etl_spark.plans import all_queries
+
+    reg = all_queries(include_extended=True)
+    cut_df = reg["classifier_lift_cutpoints"].fn(spark, sf_dir)
+    plan = cut_df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan.lower()
+    assert "CartesianProduct" not in plan
+    cut = cut_df.collect()
+    exact = reg["classifier_lift_deciles"].fn(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in cut) == sum(r["n_docs"] for r in exact)
+    assert sum(r["n_pos"] for r in cut) == sum(r["n_pos"] for r in exact)
+    n_tot = sum(r["n_docs"] for r in cut)
+    # every decile's mass stays within half the ideal width of N/10
+    # (tie groups in this fixture are far smaller than a decile)
+    for r in cut:
+        assert abs(r["n_docs"] - n_tot / 10) < n_tot / 20, r
+    # cumulative capture is monotone and ends at 1
+    caps = [r["cum_capture"] for r in sorted(cut, key=lambda r: r["decile"])]
+    assert caps == sorted(caps) and abs(caps[-1] - 1.0) < 1e-12
+
+
+def test_knn_prod_profile_agreement_floor(spark, sf_dir):
+    """The 10-table production profile must predict for EVERY point
+    (LSH at these seeds always yields >= 1 candidate via self-bucket
+    neighbours) and agree with the 24-table exact-covering form on
+    >= 90% of points — the pinned recall floor that makes the
+    unpaired perf twin safe to ship."""
+    from diabetes_etl_spark.plans.classifierplans import (
+        knn_lsh_predictions,
+    )
+
+    base = knn_lsh_predictions(spark, sf_dir, n_tables=24)
+    prod = knn_lsh_predictions(spark, sf_dir, n_tables=10)
+    j = base.withColumnsRenamed(
+        {"pred_label": "base_label"}
+    ).join(
+        prod.withColumnsRenamed(
+            {"ia": "ia2", "pred_label": "prod_label"}
+        ),
+        F.col("ia") == F.col("ia2"),
+        "full_outer",
+    )
+    r = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("base_label") == F.col("prod_label")).cast("int")
+        ).alias("agree"),
+        F.sum(F.col("ia").isNull().cast("int")).alias("only_prod"),
+        F.sum(F.col("ia2").isNull().cast("int")).alias("only_base"),
+    ).collect()[0]
+    assert r["only_prod"] == 0 and r["only_base"] == 0, r
+    assert r["agree"] / r["n"] >= 0.90, (r["agree"], r["n"])
+
+
 def test_grouped_ols_matches_numpy_per_segment(spark, sf_dir):
     import numpy as np
 
