@@ -1947,5 +1947,5 @@ FROM p WHERE distance <= 8
     "Scale: rank two-pass + one rank-keyed shuffle, pair volume w*n "
     "by construction regardless of name skew.",
     tags=("er", "dedup", "blocking", "extension"),
-    extended=True,
+    extended=False,  # gate (round-11 rotation)
 )(_snm_pairs)

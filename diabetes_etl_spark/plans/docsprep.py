@@ -645,7 +645,7 @@ SELECT
     "as the near-dup ground truth.  Scale: each stage is the "
     "individually-probed operator; no new shuffle shapes.",
     tags=("docsprep", "composite", "dedup", "extension"),
-    extended=True,
+    extended=False,  # gate (round-11 rotation)
 )
 def docs_prep_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.operators.clustering import dbscan_labels

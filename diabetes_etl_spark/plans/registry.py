@@ -491,6 +491,54 @@ _EXTENDED: frozenset[str] = frozenset(
         # carries events_ab_mann_whitney (the distribution-free
         # location test, support-bounded rank arithmetic)
         "events_seasonal_anomalies",
+        # ---- round-11 rotation (round-10 VERDICT #2): six twins move
+        # out so the round-10b families the r10 gate snapshot could
+        # not see (events_ab_logrank, events_ab_srm_health,
+        # er_sorted_neighborhood, url_canonical_dedup,
+        # stream_mg_heavy_users, docs_prep_pipeline_v4) get
+        # driver-gate visibility.  Every demoted query keeps its
+        # oracle and stays green in tests/test_oracle.py:
+        # ridge closed-form fit: the gate keeps ml_conformal_interval,
+        # which runs the IDENTICAL one-pass exact normal-equations
+        # train stage as its first step (the stricter superset
+        # contract: fit + calibrated interval + held-out coverage);
+        # the standalone fit stays oracle-green locally
+        "ml_ridge_closed_form",
+        # AUC/ROC rank metrics: gate-green rounds 9-10; the classifier
+        # eval family keeps classifier_brier_decomposition (the same
+        # trained scorer through the same support-grain spine) plus
+        # gbdt/conformal; the rank-metric arithmetic stays
+        # oracle-green locally and numpy-cross-checked
+        "classifier_auc_roc",
+        # exact permutation inference: gate-green round 10; its
+        # A/B-family slots pass to events_ab_logrank (censored
+        # time-to-event, the inference surface the family lacked in
+        # the gate) and events_ab_srm_health (the pre-readout
+        # guardrail); the permutation p-value machinery stays
+        # oracle-green locally alongside gate events_ab_mann_whitney
+        "events_ab_randomization_test",
+        # 2-pass Misra-Gries heavy n-grams: gate-green round 10; the
+        # MG machinery keeps TWO gate slots — stream_mg_heavy_users
+        # (the same bounded-candidate state through
+        # applyInPandasWithState) and docs_prep_pipeline_v4 (whose
+        # boilerplate gate IS this operator's batch form); the batch
+        # query stays a bench headline with its no-false-negative
+        # property test
+        "text_mg_heavy_ngrams",
+        # DBSCAN over the near-dup relation: gate-green round 10;
+        # docs_prep_pipeline_v4 runs the SAME dbscan_labels operator
+        # (now edge-hardened) over the same LSH-fed pair relation as
+        # its template-flood stage — the er_golden_customers
+        # superset-chain precedent; the standalone query stays a
+        # bench headline with its materialize-once plan test
+        "cluster_dbscan_docs",
+        # Fellegi-Sunter probabilistic ER: gate-green rounds 9-10; the
+        # ER family's gate slot passes to er_sorted_neighborhood (the
+        # OTHER blocking discipline — rank-windowed, skew-immune by
+        # construction); FS weights/match classes stay oracle-green
+        # locally, and blocked-pair machinery remains gate-adjacent
+        # through the dedup composites
+        "er_fellegi_sunter",
     }
 )
 
@@ -525,6 +573,7 @@ def all_queries(include_extended: bool = False) -> dict[str, QuerySpec]:
     from diabetes_etl_spark.plans import subqueries  # noqa: F401
     from diabetes_etl_spark.plans import tpch_breadth  # noqa: F401
     from diabetes_etl_spark.plans import events  # noqa: F401
+    from diabetes_etl_spark.plans import causalplans  # noqa: F401
     from diabetes_etl_spark.plans import medallion_demo  # noqa: F401
     from diabetes_etl_spark.plans import dedupplans  # noqa: F401
     from diabetes_etl_spark.plans import simplans  # noqa: F401
