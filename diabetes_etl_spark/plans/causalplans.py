@@ -1,0 +1,575 @@
+"""Inference classes the A/B battery lacked (round 11): multiplicity
+control (Benjamini-Hochberg FDR across the per-event-type tests),
+always-valid sequential monitoring (mixture SPRT over the daily
+accumulation path), and observational causal effect estimation
+(stratified + inverse-propensity-weighted ATE when assignment is NOT
+randomized).
+
+Determinism notes shared by all three:
+
+- Exact integer counts / decimal folds up to a pinned-order double
+  epilogue (the house convention).
+- The normal TAIL probability needed by BH uses the Abramowitz &
+  Stegun 7.1.26 polynomial (max abs error 1.5e-7) instead of libm
+  erf — pure arithmetic plus ONE exp call whose input and output are
+  9/7-decimal quantized (the sigmoid_q precedent in
+  operators/classifier.py), so both engines see identical doubles.
+- The mSPRT statistic is reported as ln(Lambda) — no exp at all; ln's
+  argument and result are 9-decimal quantized (the bigram-LM
+  ln-quantization precedent).
+
+Everything runs on bounded spines: the 5-row event-type grid, the
+O(days) daily path, the fixed 4-bucket activity strata.  Events are
+touched once per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.plans.registry import register
+from diabetes_etl_spark.sources.tables import load_table
+
+_SQRT2 = 1.4142135623730951
+_BH_ALPHA = 0.05
+# mSPRT mixture prior variance (rate-difference units) — fixed tuning
+# constant, part of the test's definition
+_MSPRT_TAU2 = 0.0001
+_MSPRT_ALPHA = 0.05
+
+
+def _variant_col(c):
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % 2
+    )
+
+
+def _phi_tail_spark(absz):
+    """Two-sided normal p-value 2*(1 - Phi(|z|)) = 1 - erf(|z|/sqrt 2)
+    via A&S 7.1.26 — identical Horner chain and quantization as the
+    oracle SQL."""
+    x = F.round(absz / _SQRT2, 9)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = (
+        (
+            (
+                (1.061405429 * t - 1.453152027) * t + 1.421413741
+            )
+            * t
+            - 0.284496736
+        )
+        * t
+        + 0.254829592
+    ) * t
+    return F.round(poly * F.exp(F.round(-(x * x), 9)), 7)
+
+
+_PHI_TAIL_SQL = """ROUND(
+  ((((((1.061405429 * {t} - 1.453152027) * {t} + 1.421413741) * {t}
+      - 0.284496736) * {t} + 0.254829592) * {t}))
+  * EXP(ROUND(-({x} * {x}), 9)), 7)"""
+
+
+def _phi_tail_sql(absz_expr: str) -> str:
+    x = f"ROUND(({absz_expr}) / {_SQRT2}, 9)"
+    t = f"(CAST(1.0 AS DOUBLE) / (1.0 + 0.3275911 * {x}))"
+    return _PHI_TAIL_SQL.format(t=t, x=x)
+
+
+# -- Benjamini-Hochberg FDR across the per-event-type engagement tests ---------
+
+
+def _fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # per-user per-type event counts; users WITHOUT a type contribute
+    # zero to the sums and enter only through the variant user total —
+    # the implicit-zero trick that avoids a users x types grid
+    pu = ev.groupBy(
+        _variant_col(F.col("user_id")).alias("variant"),
+        "user_id",
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    per = pu.groupBy("event_type", "variant").agg(
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    tot = (
+        ev.select(
+            _variant_col(F.col("user_id")).alias("variant"), "user_id"
+        )
+        .distinct()
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        per.join(F.broadcast(tot), "variant")
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("variant") == 0, F.col("s1"))).alias("s1_a"),
+            F.max(F.when(F.col("variant") == 0, F.col("s2"))).alias("s2_a"),
+            F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+            F.max(F.when(F.col("variant") == 1, F.col("s1"))).alias("s1_b"),
+            F.max(F.when(F.col("variant") == 1, F.col("s2"))).alias("s2_b"),
+            F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        )
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    m_a = F.col("s1_a").cast("double") / n_a
+    m_b = F.col("s1_b").cast("double") / n_b
+    var_a = (
+        F.col("s2_a").cast("double")
+        - F.col("s1_a").cast("double") * F.col("s1_a").cast("double") / n_a
+    ) / (n_a - 1)
+    var_b = (
+        F.col("s2_b").cast("double")
+        - F.col("s1_b").cast("double") * F.col("s1_b").cast("double") / n_b
+    ) / (n_b - 1)
+    se2 = var_a / n_a + var_b / n_b
+    ok = (n_a > 1) & (n_b > 1) & (se2 > 0)
+    z = F.when(ok, F.round((m_b - m_a) / F.sqrt(se2), 9))
+    scored = w.select(
+        "event_type",
+        F.col("s1_a").cast("long").alias("events_a"),
+        F.col("s1_b").cast("long").alias("events_b"),
+        z.alias("z_rate"),
+        F.when(ok, _phi_tail_spark(F.abs(z))).alias("p_two"),
+    )
+    wr = Window.orderBy(F.col("p_two").asc_nulls_last(), "event_type")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = scored.select(
+        "*",
+        F.row_number().over(wr).alias("rank"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    ).select(
+        "*",
+        F.round(
+            F.col("rank") * _BH_ALPHA / F.col("m"), 9
+        ).alias("bh_threshold"),
+    )
+    kstar = ranked.select(
+        "*",
+        F.max(
+            F.when(
+                F.col("p_two") <= F.col("bh_threshold"), F.col("rank")
+            )
+        )
+        .over(wall)
+        .alias("k_star"),
+    )
+    return kstar.select(
+        "event_type",
+        "events_a",
+        "events_b",
+        "z_rate",
+        "p_two",
+        F.col("rank").cast("int").alias("rank"),
+        "bh_threshold",
+        F.coalesce(
+            F.col("rank") <= F.col("k_star"), F.lit(False)
+        ).alias("rejected"),
+    ).orderBy("rank")
+
+
+register(
+    "events_ab_fdr_bh",
+    oracle=f"""
+WITH pu AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      ::BIGINT % 2 AS INT) AS variant,
+    user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+per AS (
+  SELECT event_type, variant, SUM(c) AS s1, SUM(c * c) AS s2
+  FROM pu GROUP BY event_type, variant
+),
+tot AS (
+  SELECT variant, COUNT(*) AS n FROM (
+    SELECT DISTINCT
+      CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        ::BIGINT % 2 AS INT) AS variant, user_id
+    FROM events
+  ) GROUP BY variant
+),
+w AS (
+  SELECT p.event_type,
+    MAX(CASE WHEN p.variant = 0 THEN p.s1 END) AS s1_a,
+    MAX(CASE WHEN p.variant = 0 THEN p.s2 END) AS s2_a,
+    MAX(CASE WHEN p.variant = 0 THEN t.n END) AS n_a,
+    MAX(CASE WHEN p.variant = 1 THEN p.s1 END) AS s1_b,
+    MAX(CASE WHEN p.variant = 1 THEN p.s2 END) AS s2_b,
+    MAX(CASE WHEN p.variant = 1 THEN t.n END) AS n_b
+  FROM per p JOIN tot t ON p.variant = t.variant
+  GROUP BY p.event_type
+),
+d AS (
+  SELECT event_type, s1_a, s1_b, n_a, n_b,
+    CAST(s1_a AS DOUBLE) / n_a AS m_a,
+    CAST(s1_b AS DOUBLE) / n_b AS m_b,
+    (CAST(s2_a AS DOUBLE)
+      - CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE) / n_a) / (n_a - 1)
+      / n_a
+    + (CAST(s2_b AS DOUBLE)
+      - CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE) / n_b) / (n_b - 1)
+      / n_b AS se2
+  FROM w
+),
+scored AS (
+  SELECT event_type,
+    CAST(s1_a AS BIGINT) AS events_a, CAST(s1_b AS BIGINT) AS events_b,
+    CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0
+      THEN ROUND((m_b - m_a) / SQRT(se2), 9) END AS z_rate
+  FROM d
+),
+pd AS (
+  SELECT event_type, events_a, events_b, z_rate,
+    CASE WHEN z_rate IS NOT NULL
+      THEN {_phi_tail_sql("ABS(z_rate)")} END AS p_two
+  FROM scored
+),
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (ORDER BY p_two ASC NULLS LAST, event_type)
+      AS rank,
+    COUNT(*) OVER () AS m
+  FROM pd
+),
+thr AS (
+  SELECT *, ROUND(rank * {_BH_ALPHA} / m, 9) AS bh_threshold FROM ranked
+),
+ks AS (
+  SELECT *, MAX(CASE WHEN p_two <= bh_threshold THEN rank END) OVER ()
+    AS k_star
+  FROM thr
+)
+SELECT event_type, events_a, events_b, z_rate, p_two,
+  CAST(rank AS INT) AS rank, bh_threshold,
+  COALESCE(rank <= k_star, FALSE) AS rejected
+FROM ks ORDER BY rank
+""",
+    doc="Benjamini-Hochberg FDR control across the per-event-type "
+    "engagement tests — the MULTIPLICITY layer every real experiment "
+    "readout needs once it reports more than one metric (5 "
+    "event-type engagement rates here; naive per-metric 5% testing "
+    "inflates the family-wise false-positive rate): two-proportion "
+    "pooled z per type on exact distinct-user counts, two-sided "
+    "p-values from the A&S 7.1.26 normal-tail POLYNOMIAL (no libm "
+    "erf — pure Horner arithmetic + one input/output-quantized exp, "
+    "mirrored literally in the oracle), then the BH step-up rule "
+    "p_(k) <= k*alpha/m via two windows over the 5-row metric table.  "
+    "Scale: one distinct + two grouped passes over events; every "
+    "window rides the event-type grid (bounded by the type "
+    "vocabulary, not the corpus).",
+    tags=("events", "ab-testing", "statistics", "multiplicity", "extension"),
+    extended=True,
+)(_fdr_bh)
+
+
+# -- always-valid sequential monitoring: mixture SPRT over the daily path ------
+
+
+def _msprt_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+        _variant_col(F.col("user_id")).alias("variant"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("x"),
+    )
+    g = daily.groupBy("d").agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("x"))).alias("x_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("x"))).alias("x_b"),
+    )
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "d",
+        F.sum(F.coalesce(F.col("n_a"), F.lit(0))).over(wc).alias("cn_a"),
+        F.sum(F.coalesce(F.col("x_a"), F.lit(0))).over(wc).alias("cx_a"),
+        F.sum(F.coalesce(F.col("n_b"), F.lit(0))).over(wc).alias("cn_b"),
+        F.sum(F.coalesce(F.col("x_b"), F.lit(0))).over(wc).alias("cx_b"),
+    ).where((F.col("cn_a") > 0) & (F.col("cn_b") > 0))
+    p_a = F.col("cx_a").cast("double") / F.col("cn_a")
+    p_b = F.col("cx_b").cast("double") / F.col("cn_b")
+    pool = (F.col("cx_a") + F.col("cx_b")).cast("double") / (
+        F.col("cn_a") + F.col("cn_b")
+    )
+    var_d = pool * (1 - pool) * (
+        1.0 / F.col("cn_a") + 1.0 / F.col("cn_b")
+    )
+    # information V = 1/Var(diff); mixture-likelihood ratio in LOG form
+    # (no exp): lnLam = 0.5*ln(1/(1+V*tau2)) + z^2/2 * V*tau2/(1+V*tau2)
+    v = 1.0 / var_d
+    z = F.round((p_b - p_a) / F.sqrt(var_d), 9)
+    rho = v * _MSPRT_TAU2 / (1.0 + v * _MSPRT_TAU2)
+    lnlam = F.round(
+        0.5 * F.log(F.round(1.0 / (1.0 + v * _MSPRT_TAU2), 9))
+        + z * z / 2 * rho,
+        9,
+    )
+    crossed = lnlam > F.lit(
+        float(__import__("math").log(1.0 / _MSPRT_ALPHA))
+    )
+    out = cum.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("cn_a").cast("long").alias("cum_n_a"),
+        F.col("cn_b").cast("long").alias("cum_n_b"),
+        F.col("cx_a").cast("long").alias("cum_purch_a"),
+        F.col("cx_b").cast("long").alias("cum_purch_b"),
+        z.alias("z_t"),
+        lnlam.alias("ln_lambda"),
+        crossed.alias("crossed"),
+    )
+    wmono = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return out.select(
+        "*", F.max(F.col("crossed").cast("int")).over(wmono).cast(
+            "boolean"
+        ).alias("decided_by_day")
+    )
+
+
+register(
+    "events_ab_sequential_msprt",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      ::BIGINT % 2 AS INT) AS variant,
+    COUNT(*) AS n,
+    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT d,
+    SUM(CASE WHEN variant = 0 THEN n END) AS n_a,
+    SUM(CASE WHEN variant = 0 THEN x END) AS x_a,
+    SUM(CASE WHEN variant = 1 THEN n END) AS n_b,
+    SUM(CASE WHEN variant = 1 THEN x END) AS x_b
+  FROM daily GROUP BY d
+),
+cum AS (
+  SELECT d,
+    SUM(COALESCE(n_a, 0)) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+      AS cn_a,
+    SUM(COALESCE(x_a, 0)) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+      AS cx_a,
+    SUM(COALESCE(n_b, 0)) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+      AS cn_b,
+    SUM(COALESCE(x_b, 0)) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+      AS cx_b
+  FROM g
+),
+st AS (
+  SELECT d, cn_a, cn_b, cx_a, cx_b,
+    ROUND((CAST(cx_b AS DOUBLE) / cn_b - CAST(cx_a AS DOUBLE) / cn_a)
+      / SQRT((CAST(cx_a AS DOUBLE) + cx_b) / (cn_a + cn_b)
+             * (1 - (CAST(cx_a AS DOUBLE) + cx_b) / (cn_a + cn_b))
+             * (CAST(1.0 AS DOUBLE) / cn_a
+                + CAST(1.0 AS DOUBLE) / cn_b)), 9) AS z_t,
+    CAST(1.0 AS DOUBLE)
+      / ((CAST(cx_a AS DOUBLE) + cx_b) / (cn_a + cn_b)
+         * (1 - (CAST(cx_a AS DOUBLE) + cx_b) / (cn_a + cn_b))
+         * (CAST(1.0 AS DOUBLE) / cn_a + CAST(1.0 AS DOUBLE) / cn_b))
+      AS v
+  FROM cum WHERE cn_a > 0 AND cn_b > 0
+),
+lam AS (
+  SELECT strftime(d, '%Y-%m-%d') AS day,
+    CAST(cn_a AS BIGINT) AS cum_n_a, CAST(cn_b AS BIGINT) AS cum_n_b,
+    CAST(cx_a AS BIGINT) AS cum_purch_a,
+    CAST(cx_b AS BIGINT) AS cum_purch_b,
+    z_t,
+    ROUND(0.5 * LN(ROUND(CAST(1.0 AS DOUBLE)
+                         / (1.0 + v * {_MSPRT_TAU2}), 9))
+          + z_t * z_t / 2
+            * (v * {_MSPRT_TAU2} / (1.0 + v * {_MSPRT_TAU2})), 9)
+      AS ln_lambda
+  FROM st
+)
+SELECT day, cum_n_a, cum_n_b, cum_purch_a, cum_purch_b, z_t,
+  ln_lambda,
+  ln_lambda > LN(CAST(1.0 AS DOUBLE) / {_MSPRT_ALPHA}) AS crossed,
+  CAST(MAX(CASE WHEN ln_lambda
+        > LN(CAST(1.0 AS DOUBLE) / {_MSPRT_ALPHA}) THEN 1 ELSE 0 END)
+    OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BOOLEAN)
+    AS decided_by_day
+FROM lam ORDER BY day
+""",
+    doc="Always-valid sequential A/B monitoring — the mixture "
+    "sequential probability ratio test (mSPRT; Johari/Pekelis/"
+    "Walsh's always-valid inference, Deng et al.'s continuous "
+    "monitoring form) over the DAILY accumulation path of the "
+    "purchase-rate difference: fixed-horizon z-tests are invalid "
+    "under daily peeking (the universal practice), the mSPRT's "
+    "likelihood-ratio boundary ln(Lambda_t) > ln(1/alpha) holds "
+    "type-I error at alpha for ALL stopping times.  Lambda has the "
+    "closed normal-mixture form sqrt(1/(1+V tau^2)) * "
+    "exp(z^2/2 * V tau^2/(1+V tau^2)) with V the cumulative Fisher "
+    "information of the pooled two-proportion variance; reported in "
+    "LOG form (no exp anywhere; ln input/output 9-decimal quantized "
+    "— the bigram-LM precedent), with the monotone decided-by-day "
+    "flag as a cumulative-max window.  Scale: one grouped pass to "
+    "the (day x variant) grid; every window rides the O(days) "
+    "spine.",
+    tags=("events", "ab-testing", "sequential", "statistics", "extension"),
+    extended=True,
+)(_msprt_path)
+
+
+# -- observational causal: stratified + IPW ATE --------------------------------
+
+# fixed activity-stratum cuts (determinism: never quantile-derived;
+# chosen around the stable ~66-events-per-user fixture center so all
+# four strata are populated at every sf)
+_STRATA_SQL = (
+    "CASE WHEN y <= 60 THEN 0 WHEN y <= 66 THEN 1 "
+    "WHEN y <= 72 THEN 2 ELSE 3 END"
+)
+# fixed treatment cut: a "heavy clicker" did >= this many click events
+_TREAT_CLICKS = 14
+
+
+def _ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("y_events"),
+        F.sum(
+            (F.col("event_type") == "click").cast("int")
+        ).alias("n_clicks"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value")
+            ).otherwise(0.0).cast("decimal(38,6)")
+        ).alias("outcome"),
+    )
+    strata = per_user.select(
+        (F.col("n_clicks") >= _TREAT_CLICKS).cast("int").alias("treated"),
+        "outcome",
+        F.expr(
+            _STRATA_SQL.replace("y", "y_events")
+        ).alias("stratum"),
+    )
+    per_s = strata.groupBy("stratum").agg(
+        F.sum("treated").alias("nt"),
+        F.sum(1 - F.col("treated")).alias("nc"),
+        F.sum(
+            F.when(F.col("treated") == 1, F.col("outcome")).otherwise(
+                F.lit(0).cast("decimal(38,6)")
+            )
+        ).alias("syt"),
+        F.sum(
+            F.when(F.col("treated") == 0, F.col("outcome")).otherwise(
+                F.lit(0).cast("decimal(38,6)")
+            )
+        ).alias("syc"),
+    )
+    nt, nc = F.col("nt"), F.col("nc")
+    syt = F.col("syt").cast("double")
+    syc = F.col("syc").cast("double")
+    ns = nt + nc
+    e = nt.cast("double") / ns
+    ok = (nt > 0) & (nc > 0)
+    agg = per_s.agg(
+        F.sum(nt).alias("n_treat"),
+        F.sum(nc).alias("n_ctrl"),
+        F.sum(syt).alias("sy_treat"),
+        F.sum(syc).alias("sy_ctrl"),
+        F.sum(F.when(ok, ns)).alias("n_ok"),
+        F.sum(
+            F.when(ok, ns.cast("double") * (syt / nt - syc / nc))
+        ).alias("strat_num"),
+        F.sum(F.when(ok, syt / e - syc / (1 - e))).alias("ipw_num"),
+    )
+    naive = (
+        F.col("sy_treat") / F.col("n_treat")
+        - F.col("sy_ctrl") / F.col("n_ctrl")
+    )
+    return agg.select(
+        F.col("n_treat").cast("long").alias("n_treat"),
+        F.col("n_ctrl").cast("long").alias("n_ctrl"),
+        F.round(naive, 9).alias("ate_naive"),
+        F.round(F.col("strat_num") / F.col("n_ok"), 9).alias(
+            "ate_stratified"
+        ),
+        F.round(F.col("ipw_num") / F.col("n_ok"), 9).alias("ate_ipw"),
+    )
+
+
+register(
+    "events_ipw_stratified_ate",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS y_events,
+    CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      >= 14 THEN 1 ELSE 0 END AS treated,
+    SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+        ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(38,6))) AS outcome
+  FROM events GROUP BY user_id
+),
+strata AS (
+  SELECT treated, outcome,
+    {_STRATA_SQL.replace("y", "y_events")} AS stratum
+  FROM per_user
+),
+per_s AS (
+  SELECT stratum,
+    SUM(treated) AS nt, SUM(1 - treated) AS nc,
+    SUM(CASE WHEN treated = 1 THEN outcome
+        ELSE CAST(0 AS DECIMAL(38,6)) END) AS syt,
+    SUM(CASE WHEN treated = 0 THEN outcome
+        ELSE CAST(0 AS DECIMAL(38,6)) END) AS syc
+  FROM strata GROUP BY stratum
+),
+agg AS (
+  SELECT SUM(nt) AS n_treat, SUM(nc) AS n_ctrl,
+    SUM(CAST(syt AS DOUBLE)) AS sy_treat,
+    SUM(CAST(syc AS DOUBLE)) AS sy_ctrl,
+    SUM(CASE WHEN nt > 0 AND nc > 0 THEN nt + nc END) AS n_ok,
+    SUM(CASE WHEN nt > 0 AND nc > 0 THEN
+      CAST(nt + nc AS DOUBLE)
+      * (CAST(syt AS DOUBLE) / nt - CAST(syc AS DOUBLE) / nc) END)
+      AS strat_num,
+    SUM(CASE WHEN nt > 0 AND nc > 0 THEN
+      CAST(syt AS DOUBLE) / (CAST(nt AS DOUBLE) / (nt + nc))
+      - CAST(syc AS DOUBLE)
+        / (1 - CAST(nt AS DOUBLE) / (nt + nc)) END) AS ipw_num
+  FROM per_s
+)
+SELECT CAST(n_treat AS BIGINT) AS n_treat,
+  CAST(n_ctrl AS BIGINT) AS n_ctrl,
+  ROUND(sy_treat / n_treat - sy_ctrl / n_ctrl, 9) AS ate_naive,
+  ROUND(strat_num / n_ok, 9) AS ate_stratified,
+  ROUND(ipw_num / n_ok, 9) AS ate_ipw
+FROM agg
+""",
+    doc="Observational causal effect of heavy clicking on purchase "
+    "revenue — the estimator class for when assignment is NOT "
+    "randomized (every product question outside an A/B test): "
+    "treatment = user made >= 14 click events (a fixed cut), outcome "
+    "= per-user purchase revenue, confounder = total activity volume "
+    "in FIXED strata (cuts 60/66/72 — never "
+    "quantile-derived, so the stratification is a pure function of "
+    "the row).  Reports the confounded naive difference, the "
+    "stratified (blocked) ATE sum_s (n_s/N)(ybar_ts - ybar_cs), and "
+    "the equivalent stratum-propensity IPW form sum_s (Syt/e_s - "
+    "Syc/(1-e_s))/N — with e_s the exact within-stratum treatment "
+    "share; strata missing a side drop from both estimators "
+    "(positivity violation, the honest convention) while staying in "
+    "the naive one.  DECIMAL-folded outcomes, exact integer counts, "
+    "pinned double epilogue.  Scale: one user-grain pass, then the "
+    "4-row stratum grid.",
+    tags=("events", "causal", "statistics", "extension"),
+    extended=True,
+)(_ipw_ate)
