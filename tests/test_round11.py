@@ -42,6 +42,110 @@ def test_healthcheck_matches_singles_field_for_field(spark, sf_dir, reg):
     assert hc["z_ratio"] == ratio["z_ratio"]
 
 
+def test_fdr_bh_polynomial_tail_and_stepup_rule(spark, sf_dir, reg):
+    """The A&S 7.1.26 polynomial tail must track libm erfc within its
+    documented 1.5e-7 bound, and the rejected set must equal the BH
+    step-up rule replayed in plain Python on the reported p-values."""
+    import math
+
+    rows = sorted(
+        reg["events_ab_fdr_bh"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    m = len(rows)
+    assert m >= 2
+    for r in rows:
+        if r["z_rate"] is None:
+            assert r["p_two"] is None
+            continue
+        p_ref = math.erfc(abs(r["z_rate"]) / math.sqrt(2))
+        assert abs(r["p_two"] - p_ref) < 2e-7, (r["p_two"], p_ref)
+    ps = [r["p_two"] for r in rows if r["p_two"] is not None]
+    k_star = max(
+        (k for k in range(1, len(ps) + 1) if ps[k - 1] <= 0.05 * k / m),
+        default=0,
+    )
+    for r in rows:
+        assert r["rejected"] == (r["rank"] <= k_star), (r, k_star)
+
+
+def test_msprt_lnlambda_formula_and_monotone_decision(spark, sf_dir, reg):
+    """ln(Lambda_t) must reproduce the closed normal-mixture form from
+    the reported z_t and cumulative counts, and the decided flag must
+    be the monotone closure of the daily crossings."""
+    import math
+
+    rows = sorted(
+        reg["events_ab_sequential_msprt"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert len(rows) >= 5
+    tau2 = 0.0001
+    decided = False
+    for r in rows:
+        pool = (r["cum_purch_a"] + r["cum_purch_b"]) / (
+            r["cum_n_a"] + r["cum_n_b"]
+        )
+        var_d = pool * (1 - pool) * (
+            1.0 / r["cum_n_a"] + 1.0 / r["cum_n_b"]
+        )
+        v = 1.0 / var_d
+        rho = v * tau2 / (1.0 + v * tau2)
+        ref = 0.5 * math.log(1.0 / (1.0 + v * tau2)) + (
+            r["z_t"] ** 2
+        ) / 2 * rho
+        assert abs(r["ln_lambda"] - ref) < 1e-6, (r["ln_lambda"], ref)
+        assert r["crossed"] == (
+            r["ln_lambda"] > math.log(1.0 / 0.05)
+        )
+        decided = decided or r["crossed"]
+        assert r["decided_by_day"] == decided
+
+
+def test_ipw_ate_matches_numpy_reference(spark, duck, sf_dir, reg):
+    """Stratified and IPW estimators cross-checked against a
+    from-scratch numpy implementation on the same per-user table."""
+    import numpy as np
+
+    pu = duck.execute(
+        """
+        SELECT COUNT(*) AS y,
+          SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ck,
+          SUM(CASE WHEN event_type = 'purchase' THEN value
+              ELSE 0 END) AS out
+        FROM events GROUP BY user_id
+        """
+    ).fetchdf()
+    t = (pu["ck"] >= 14).to_numpy().astype(int)
+    y = pu["out"].to_numpy(float)
+    s = np.select(
+        [pu["y"] <= 60, pu["y"] <= 66, pu["y"] <= 72],
+        [0, 1, 2],
+        default=3,
+    )
+    naive = y[t == 1].mean() - y[t == 0].mean()
+    num_s = num_i = n_ok = 0.0
+    for st in np.unique(s):
+        ms = s == st
+        nt, nc = int((t[ms] == 1).sum()), int((t[ms] == 0).sum())
+        if nt == 0 or nc == 0:
+            continue
+        ns = nt + nc
+        n_ok += ns
+        dt = y[ms & (t == 1)].sum() / nt - y[ms & (t == 0)].sum() / nc
+        num_s += ns * dt
+        e = nt / ns
+        num_i += y[ms & (t == 1)].sum() / e - y[ms & (t == 0)].sum() / (
+            1 - e
+        )
+    row = reg["events_ipw_stratified_ate"].fn(spark, sf_dir).collect()[0]
+    assert row["n_treat"] == int(t.sum())
+    assert row["n_ctrl"] == int((1 - t).sum())
+    assert row["ate_naive"] == pytest.approx(naive, abs=1e-6)
+    assert row["ate_stratified"] == pytest.approx(num_s / n_ok, abs=1e-6)
+    assert row["ate_ipw"] == pytest.approx(num_i / n_ok, abs=1e-6)
+
+
 def test_healthcheck_plan_single_events_scan(spark, sf_dir, reg):
     """The whole point of the composite: ONE scan of events feeds all
     three readouts (the constituent singles cost three), and the plan

@@ -42,6 +42,10 @@ QUERIES = [
     "classifier_knn_lsh",
     "classifier_knn_lsh_prod",
     "events_ab_hodges_lehmann",
+    "events_ab_healthcheck",
+    "events_ab_fdr_bh",
+    "events_ab_sequential_msprt",
+    "events_ipw_stratified_ate",
 ]
 
 
