@@ -146,6 +146,33 @@ def test_ipw_ate_matches_numpy_reference(spark, duck, sf_dir, reg):
     assert row["ate_ipw"] == pytest.approx(num_i / n_ok, abs=1e-6)
 
 
+def test_quantile_effects_match_numpy(spark, duck, sf_dir, reg):
+    """Each reported quantile must equal the exact ceil(q*n)-th
+    smallest value of that variant's purchase sample (numpy sort
+    reference on the same rows)."""
+    import numpy as np
+
+    pdf = duck.execute(
+        """
+        SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+            ::BIGINT % 2 AS INT) AS variant, value AS v
+        FROM events WHERE event_type = 'purchase'
+        """
+    ).fetchdf()
+    a = np.sort(pdf.loc[pdf["variant"] == 0, "v"].to_numpy())
+    b = np.sort(pdf.loc[pdf["variant"] == 1, "v"].to_numpy())
+    rows = reg["events_ab_quantile_effects"].fn(spark, sf_dir).collect()
+    assert len(rows) == 4
+    import math
+
+    for r in rows:
+        qa_ref = a[math.ceil(r["q"] * len(a)) - 1]
+        qb_ref = b[math.ceil(r["q"] * len(b)) - 1]
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+        assert r["q_a"] == qa_ref and r["q_b"] == qb_ref, r
+        assert r["qte"] == pytest.approx(qb_ref - qa_ref, abs=1e-9)
+
+
 def test_healthcheck_plan_single_events_scan(spark, sf_dir, reg):
     """The whole point of the composite: ONE scan of events feeds all
     three readouts (the constituent singles cost three), and the plan
