@@ -757,3 +757,105 @@ def mix_shard_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
         ).cast("long").alias("shards"),
     )
+
+
+# -- PPS Poisson sampling + Horvitz-Thompson estimation (round 11) -------------
+
+_PPS_SEED = 777
+_PPS_EXPECT = 500  # expected sample size (sum of inclusion probs, pre-cap)
+
+
+@register(
+    "corpus_pps_ht_estimate",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+      AS y
+  FROM documents WHERE LENGTH(text) > 0
+),
+t AS (SELECT SUM(n_chars) AS tot_chars, SUM(y) AS true_total FROM d),
+pi AS (
+  SELECT doc_id, y,
+    LEAST(CAST(1.0 AS DOUBLE),
+          {_PPS_EXPECT} * CAST(n_chars AS DOUBLE) / t.tot_chars) AS p,
+    {_unit_sql("doc_id", _PPS_SEED)} AS u,
+    t.true_total
+  FROM d CROSS JOIN t
+),
+s AS (
+  SELECT true_total,
+    COUNT(CASE WHEN u < p THEN 1 END) AS n_sampled,
+    SUM(CASE WHEN u < p THEN CAST(y AS DOUBLE) / p END) AS ht
+  FROM pi GROUP BY true_total
+)
+SELECT CAST(n_sampled AS BIGINT) AS n_sampled,
+  CAST(true_total AS BIGINT) AS true_total_tokens,
+  ROUND(ht, 6) AS ht_estimate_tokens,
+  ROUND(ABS(ht - true_total) / true_total, 9) AS rel_error
+FROM s
+""",
+    doc=f"Probability-proportional-to-size Poisson sampling with the "
+    "Horvitz-Thompson total estimator — the survey-sampling operator "
+    "behind every 'estimate corpus statistics from a tiny audited "
+    "sample' workflow: inclusion probability pi_i = min(1, "
+    f"{_PPS_EXPECT} * n_chars_i / sum(n_chars)) (size measure = "
+    "chars), selection keyed on the engine-portable unit hash (never "
+    "rand() — partition-layout-independent, mirrored VERBATIM by the "
+    "oracle), and the HT estimate sum(y_i/pi_i) of TOTAL WHITESPACE "
+    "TOKENS over the sample, reported against the exact truth with "
+    "its realized relative error — the estimator's unbiasedness is "
+    "thus an auditable number, not a claim.  pi attaches via one "
+    "broadcast 1-row aggregate; everything else is scan-local.  "
+    "Scale: two scans (totals + selection), no shuffle beyond the "
+    "1-row epilogue.",
+    tags=("sampling", "survey", "estimation", "extension"),
+    extended=True,
+)
+def corpus_pps_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.sampling import portable_unit_hash
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.expr("LENGTH(text) > 0")
+    )
+    d = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("y"),
+    )
+    t = d.agg(
+        F.sum("n_chars").alias("tot_chars"),
+        F.sum("y").alias("true_total"),
+    )
+    pi = d.crossJoin(F.broadcast(t)).select(
+        "y",
+        "true_total",
+        F.least(
+            F.lit(1.0),
+            F.lit(_PPS_EXPECT)
+            * F.col("n_chars").cast("double")
+            / F.col("tot_chars"),
+        ).alias("p"),
+        portable_unit_hash(F.col("doc_id"), _PPS_SEED).alias("u"),
+    )
+    s = pi.groupBy("true_total").agg(
+        F.count(F.when(F.col("u") < F.col("p"), 1)).alias("n_sampled"),
+        F.sum(
+            F.when(
+                F.col("u") < F.col("p"),
+                F.col("y").cast("double") / F.col("p"),
+            )
+        ).alias("ht"),
+    )
+    return s.select(
+        F.col("n_sampled").cast("long").alias("n_sampled"),
+        F.col("true_total").cast("long").alias("true_total_tokens"),
+        F.round(F.col("ht"), 6).alias("ht_estimate_tokens"),
+        F.round(
+            F.abs(F.col("ht") - F.col("true_total"))
+            / F.col("true_total"),
+            9,
+        ).alias("rel_error"),
+    )

@@ -519,3 +519,30 @@ def test_intrinsic_dim_ann_matches_exact_estimator(spark, sf_dir):
         .collect()
     ]
     assert ann == exact
+
+
+def test_semantic_quarantine_prod_recall_floor(spark, sf_dir):
+    """The 16x5/side_cap-64 production profile must flag >= 90% of the
+    covering form's quarantined train ids (quarantine recall — a miss
+    is benchmark leakage), with precision 1.0 by construction (both
+    profiles share the exact decimal-dot verification, so any flagged
+    pair truly clears the threshold)."""
+    from diabetes_etl_spark.plans import all_queries
+
+    reg = all_queries(include_extended=True)
+    base = {
+        r["train_id"]
+        for r in reg["decontam_semantic_quarantine"].fn(
+            spark, sf_dir
+        ).collect()
+    }
+    prod = {
+        r["train_id"]
+        for r in reg["decontam_semantic_quarantine_prod"].fn(
+            spark, sf_dir
+        ).collect()
+    }
+    assert base, "covering quarantine unexpectedly empty"
+    assert prod <= base  # precision 1.0: no spurious flags possible
+    recall = len(prod & base) / len(base)
+    assert recall >= 0.9, (recall, len(base), len(prod))
