@@ -824,3 +824,277 @@ FROM c ORDER BY decile
     tags=("events", "uplift", "causal", "ab-testing", "extension"),
     extended=True,
 )(_uplift_qini)
+
+
+# -- regression discontinuity at the heavy-clicker cutoff ----------------------
+
+_RDD_CUT = 14
+_RDD_BW = 6
+
+
+def _rdd_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            (F.col("event_type") == "click").cast("int")
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value")
+            ).otherwise(0.0).cast("decimal(38,6)")
+        ).alias("y"),
+    )
+    d6 = lambda c: c.cast("decimal(38,6)")
+    xc = (F.col("x") - _RDD_CUT).cast("long")
+    win = per_user.where(
+        (F.col("x") >= _RDD_CUT - _RDD_BW)
+        & (F.col("x") <= _RDD_CUT + _RDD_BW - 1)
+    ).select(
+        (F.col("x") >= _RDD_CUT).cast("int").alias("side"),
+        xc.alias("xc"),
+        "y",
+    )
+    s = win.groupBy("side").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d6(F.col("xc"))).alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(d6(F.col("xc") * F.col("xc"))).alias("sxx"),
+        F.sum(d6(F.col("xc")) * F.col("y")).alias("sxy"),
+    )
+
+    def fit(tag, v):
+        n = F.max(F.when(F.col("side") == v, F.col("n"))).alias(
+            f"n_{tag}"
+        )
+        return [n] + [
+            F.max(F.when(F.col("side") == v, F.col(c))).alias(
+                f"{c}_{tag}"
+            )
+            for c in ("sx", "sy", "sxx", "sxy")
+        ]
+
+    w = s.agg(*(fit("l", 0) + fit("r", 1)))
+
+    def intercept(tag):
+        n = F.col(f"n_{tag}")
+        sx = F.col(f"sx_{tag}").cast("double")
+        sy = F.col(f"sy_{tag}").cast("double")
+        sxx = F.col(f"sxx_{tag}").cast("double")
+        sxy = F.col(f"sxy_{tag}").cast("double")
+        slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+        return sy / n - slope * (sx / n), slope, n
+
+    a_l, b_l, n_l = intercept("l")
+    a_r, b_r, n_r = intercept("r")
+    ok = (n_l > 2) & (n_r > 2)
+    return w.select(
+        n_l.cast("long").alias("n_left"),
+        n_r.cast("long").alias("n_right"),
+        F.when(ok, F.round(a_l, 9)).alias("intercept_left"),
+        F.when(ok, F.round(a_r, 9)).alias("intercept_right"),
+        F.when(ok, F.round(b_l, 9)).alias("slope_left"),
+        F.when(ok, F.round(b_r, 9)).alias("slope_right"),
+        F.when(ok, F.round(a_r - a_l, 9)).alias("rdd_effect"),
+    )
+
+
+register(
+    "events_rdd_estimate",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+    SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+        ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(38,6))) AS y
+  FROM events GROUP BY user_id
+),
+win AS (
+  SELECT CASE WHEN x >= {_RDD_CUT} THEN 1 ELSE 0 END AS side,
+    CAST(x - {_RDD_CUT} AS BIGINT) AS xc, y
+  FROM per_user
+  WHERE x >= {_RDD_CUT - _RDD_BW} AND x <= {_RDD_CUT + _RDD_BW - 1}
+),
+s AS (
+  SELECT side, COUNT(*) AS n,
+    SUM(CAST(xc AS DECIMAL(38,6))) AS sx,
+    SUM(y) AS sy,
+    SUM(CAST(xc * xc AS DECIMAL(38,6))) AS sxx,
+    SUM(CAST(xc AS DECIMAL(38,6)) * y) AS sxy
+  FROM win GROUP BY side
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN side = 0 THEN n END) AS n_l,
+    MAX(CASE WHEN side = 0 THEN sx END) AS sx_l,
+    MAX(CASE WHEN side = 0 THEN sy END) AS sy_l,
+    MAX(CASE WHEN side = 0 THEN sxx END) AS sxx_l,
+    MAX(CASE WHEN side = 0 THEN sxy END) AS sxy_l,
+    MAX(CASE WHEN side = 1 THEN n END) AS n_r,
+    MAX(CASE WHEN side = 1 THEN sx END) AS sx_r,
+    MAX(CASE WHEN side = 1 THEN sy END) AS sy_r,
+    MAX(CASE WHEN side = 1 THEN sxx END) AS sxx_r,
+    MAX(CASE WHEN side = 1 THEN sxy END) AS sxy_r
+  FROM s
+),
+d AS (
+  SELECT n_l, n_r,
+    CAST(sy_l AS DOUBLE) / n_l
+      - (CAST(sxy_l AS DOUBLE) - CAST(sx_l AS DOUBLE)
+         * CAST(sy_l AS DOUBLE) / n_l)
+        / (CAST(sxx_l AS DOUBLE) - CAST(sx_l AS DOUBLE)
+           * CAST(sx_l AS DOUBLE) / n_l)
+        * (CAST(sx_l AS DOUBLE) / n_l) AS a_l,
+    CAST(sy_r AS DOUBLE) / n_r
+      - (CAST(sxy_r AS DOUBLE) - CAST(sx_r AS DOUBLE)
+         * CAST(sy_r AS DOUBLE) / n_r)
+        / (CAST(sxx_r AS DOUBLE) - CAST(sx_r AS DOUBLE)
+           * CAST(sx_r AS DOUBLE) / n_r)
+        * (CAST(sx_r AS DOUBLE) / n_r) AS a_r,
+    (CAST(sxy_l AS DOUBLE) - CAST(sx_l AS DOUBLE)
+     * CAST(sy_l AS DOUBLE) / n_l)
+      / (CAST(sxx_l AS DOUBLE) - CAST(sx_l AS DOUBLE)
+         * CAST(sx_l AS DOUBLE) / n_l) AS b_l,
+    (CAST(sxy_r AS DOUBLE) - CAST(sx_r AS DOUBLE)
+     * CAST(sy_r AS DOUBLE) / n_r)
+      / (CAST(sxx_r AS DOUBLE) - CAST(sx_r AS DOUBLE)
+         * CAST(sx_r AS DOUBLE) / n_r) AS b_r
+  FROM w
+)
+SELECT CAST(n_l AS BIGINT) AS n_left, CAST(n_r AS BIGINT) AS n_right,
+  CASE WHEN n_l > 2 AND n_r > 2 THEN ROUND(a_l, 9) END
+    AS intercept_left,
+  CASE WHEN n_l > 2 AND n_r > 2 THEN ROUND(a_r, 9) END
+    AS intercept_right,
+  CASE WHEN n_l > 2 AND n_r > 2 THEN ROUND(b_l, 9) END AS slope_left,
+  CASE WHEN n_l > 2 AND n_r > 2 THEN ROUND(b_r, 9) END AS slope_right,
+  CASE WHEN n_l > 2 AND n_r > 2 THEN ROUND(a_r - a_l, 9) END
+    AS rdd_effect
+FROM d
+""",
+    doc="Sharp regression discontinuity at the heavy-clicker cutoff "
+    f"(running variable = per-user click count, cutoff {_RDD_CUT}, "
+    f"bandwidth +/-{_RDD_BW}): local linear fits on each side of the "
+    "cutoff via the closed-form OLS on exact DECIMAL sufficient "
+    "statistics (the ml_grouped_ols_slopes machinery, centered at "
+    "the cutoff so each intercept IS the boundary value), RD effect "
+    "= right-limit minus left-limit.  The third leg of the causal "
+    "suite: randomized A/B (hash variants), observational "
+    "strata/IPW, and now the discontinuity design for "
+    "threshold-assigned treatments (promotions, eligibility rules).  "
+    "Degenerate windows (< 3 points a side) NULL out.  Scale: one "
+    "user-grain pass with the bandwidth filter pushed to the "
+    "aggregate, then a 2-row epilogue.",
+    tags=("events", "causal", "statistics", "extension"),
+    extended=True,
+)(_rdd_estimate)
+
+
+# -- instrumental-variable (Wald) estimator ------------------------------------
+
+
+def _iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            (F.col("event_type") == "click").cast("int")
+        ).alias("n_clicks"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value")
+            ).otherwise(0.0).cast("decimal(38,6)")
+        ).alias("y"),
+    )
+    users = per_user.select(
+        _variant_col(F.col("user_id")).alias("z"),
+        (F.col("n_clicks") >= _TREAT_CLICKS).cast("int").alias("t"),
+        "y",
+    )
+    per = users.groupBy("z").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+    )
+    w = per.agg(
+        F.max(F.when(F.col("z") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("z") == 0, F.col("st"))).alias("st0"),
+        F.max(F.when(F.col("z") == 0, F.col("sy"))).alias("sy0"),
+        F.max(F.when(F.col("z") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("z") == 1, F.col("st"))).alias("st1"),
+        F.max(F.when(F.col("z") == 1, F.col("sy"))).alias("sy1"),
+    )
+    itt_y = F.col("sy1").cast("double") / F.col("n1") - F.col(
+        "sy0"
+    ).cast("double") / F.col("n0")
+    itt_t = F.col("st1").cast("double") / F.col("n1") - F.col(
+        "st0"
+    ).cast("double") / F.col("n0")
+    ok = (F.col("n0") > 0) & (F.col("n1") > 0) & (itt_t != 0)
+    return w.select(
+        F.col("n0").cast("long").alias("n_z0"),
+        F.col("n1").cast("long").alias("n_z1"),
+        F.round(itt_y, 9).alias("itt_outcome"),
+        F.round(itt_t, 9).alias("itt_takeup"),
+        F.when(ok, F.round(itt_y / itt_t, 9)).alias("late_wald"),
+    )
+
+
+register(
+    "events_iv_wald",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
+    SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+        ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(38,6))) AS y
+  FROM events GROUP BY user_id
+),
+users AS (
+  SELECT
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      ::BIGINT % 2 AS INT) AS z,
+    CASE WHEN n_clicks >= 14 THEN 1 ELSE 0 END AS t,
+    y
+  FROM per_user
+),
+per AS (
+  SELECT z, COUNT(*) AS n, SUM(t) AS st, SUM(y) AS sy
+  FROM users GROUP BY z
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN z = 0 THEN n END) AS n0,
+    MAX(CASE WHEN z = 0 THEN st END) AS st0,
+    MAX(CASE WHEN z = 0 THEN sy END) AS sy0,
+    MAX(CASE WHEN z = 1 THEN n END) AS n1,
+    MAX(CASE WHEN z = 1 THEN st END) AS st1,
+    MAX(CASE WHEN z = 1 THEN sy END) AS sy1
+  FROM per
+),
+d AS (
+  SELECT n0, n1,
+    CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0 AS itt_y,
+    CAST(st1 AS DOUBLE) / n1 - CAST(st0 AS DOUBLE) / n0 AS itt_t
+  FROM w
+)
+SELECT CAST(n0 AS BIGINT) AS n_z0, CAST(n1 AS BIGINT) AS n_z1,
+  ROUND(itt_y, 9) AS itt_outcome,
+  ROUND(itt_t, 9) AS itt_takeup,
+  CASE WHEN n0 > 0 AND n1 > 0 AND itt_t <> 0
+    THEN ROUND(itt_y / itt_t, 9) END AS late_wald
+FROM d
+""",
+    doc="Instrumental-variable (Wald) estimator: the randomized hash "
+    "bucket is the INSTRUMENT (z), heavy-clicker status the "
+    "endogenous treatment (t), purchase revenue the outcome — "
+    "LATE = ITT_outcome / ITT_takeup, the estimator for encouragement "
+    "designs where assignment is random but uptake is not (the "
+    "standard way to read an A/B test whose feature users must opt "
+    "into).  Both ITTs are exact-integer/DECIMAL group means; one "
+    "division at the end, NULL when the first stage is empty (no "
+    "takeup difference — a weak-instrument guard, not a fabricated "
+    "zero).  Completes the causal-design suite: randomized, "
+    "stratified/IPW observational, discontinuity, instrument.  "
+    "Scale: one user-grain pass to a 2-row table.",
+    tags=("events", "causal", "statistics", "extension"),
+    extended=True,
+)(_iv_wald)

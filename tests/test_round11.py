@@ -173,6 +173,58 @@ def test_quantile_effects_match_numpy(spark, duck, sf_dir, reg):
         assert r["qte"] == pytest.approx(qb_ref - qa_ref, abs=1e-9)
 
 
+def test_rdd_matches_numpy_polyfit(spark, duck, sf_dir, reg):
+    """Each side's local linear fit must equal numpy polyfit on the
+    same (clicks - cutoff, revenue) window, and the RD effect the
+    intercept difference."""
+    import numpy as np
+
+    pu = duck.execute(
+        """
+        SELECT SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) x,
+          SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) y
+        FROM events GROUP BY user_id
+        """
+    ).fetchdf()
+    cut, bw = 14, 6
+    m = (pu["x"] >= cut - bw) & (pu["x"] <= cut + bw - 1)
+    xc = (pu.loc[m, "x"] - cut).to_numpy(float)
+    y = pu.loc[m, "y"].to_numpy(float)
+    left, right = xc < 0, xc >= 0
+    bl, al = np.polyfit(xc[left], y[left], 1)
+    br, ar = np.polyfit(xc[right], y[right], 1)
+    row = reg["events_rdd_estimate"].fn(spark, sf_dir).collect()[0]
+    assert row["n_left"] == int(left.sum())
+    assert row["n_right"] == int(right.sum())
+    assert row["intercept_left"] == pytest.approx(al, abs=1e-5)
+    assert row["intercept_right"] == pytest.approx(ar, abs=1e-5)
+    assert row["slope_left"] == pytest.approx(bl, abs=1e-5)
+    assert row["slope_right"] == pytest.approx(br, abs=1e-5)
+    assert row["rdd_effect"] == pytest.approx(ar - al, abs=1e-5)
+
+
+def test_iv_wald_matches_reference(spark, duck, sf_dir, reg):
+    """LATE must equal ITT_outcome / ITT_takeup computed from scratch
+    on the same per-user table with the same hash split."""
+    pu = duck.execute(
+        """
+        SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+            ::BIGINT % 2 AS INT) AS z,
+          SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ck,
+          SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+        """
+    ).fetchdf()
+    g0, g1 = pu[pu["z"] == 0], pu[pu["z"] == 1]
+    itt_y = g1["y"].mean() - g0["y"].mean()
+    itt_t = (g1["ck"] >= 14).mean() - (g0["ck"] >= 14).mean()
+    row = reg["events_iv_wald"].fn(spark, sf_dir).collect()[0]
+    assert row["n_z0"] == len(g0) and row["n_z1"] == len(g1)
+    assert row["itt_outcome"] == pytest.approx(itt_y, abs=1e-6)
+    assert row["itt_takeup"] == pytest.approx(itt_t, abs=1e-9)
+    assert row["late_wald"] == pytest.approx(itt_y / itt_t, abs=1e-6)
+
+
 def test_healthcheck_plan_single_events_scan(spark, sf_dir, reg):
     """The whole point of the composite: ONE scan of events feeds all
     three readouts (the constituent singles cost three), and the plan
