@@ -25,6 +25,8 @@ touched once per query.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -37,6 +39,7 @@ _BH_ALPHA = 0.05
 # constant, part of the test's definition
 _MSPRT_TAU2 = 0.0001
 _MSPRT_ALPHA = 0.05
+_MSPRT_LN_BOUND = math.log(1.0 / _MSPRT_ALPHA)
 
 
 def _variant_col(c):
@@ -307,19 +310,27 @@ def _msprt_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_d = pool * (1 - pool) * (
         1.0 / F.col("cn_a") + 1.0 / F.col("cn_b")
     )
-    # information V = 1/Var(diff); mixture-likelihood ratio in LOG form
-    # (no exp): lnLam = 0.5*ln(1/(1+V*tau2)) + z^2/2 * V*tau2/(1+V*tau2)
+    # information V = 1/Var(diff); mixture-likelihood ratio in LOG
+    # form (no exp): lnLam = -0.5*ln(1+V*tau2) + z^2/2 *
+    # V*tau2/(1+V*tau2).  The 1+V*tau2 argument GROWS with V, so the
+    # 9-decimal ln quantization never rounds it to zero (the inverted
+    # form 1/(1+V*tau2) would underflow the quantization once V*tau2
+    # > ~2e9 — Spark ln(0) = NULL, DuckDB LN(0) errors); a
+    # zero-variance day (no purchases yet in either arm) NULLs the
+    # whole row's statistics via the ok guard, never fabricates.
+    ok = var_d > 0
     v = 1.0 / var_d
-    z = F.round((p_b - p_a) / F.sqrt(var_d), 9)
+    z = F.when(ok, F.round((p_b - p_a) / F.sqrt(var_d), 9))
     rho = v * _MSPRT_TAU2 / (1.0 + v * _MSPRT_TAU2)
-    lnlam = F.round(
-        0.5 * F.log(F.round(1.0 / (1.0 + v * _MSPRT_TAU2), 9))
-        + z * z / 2 * rho,
-        9,
+    lnlam = F.when(
+        ok,
+        F.round(
+            -0.5 * F.log(F.round(1.0 + v * _MSPRT_TAU2, 9))
+            + z * z / 2 * rho,
+            9,
+        ),
     )
-    crossed = lnlam > F.lit(
-        float(__import__("math").log(1.0 / _MSPRT_ALPHA))
-    )
+    crossed = F.when(ok, lnlam > F.lit(_MSPRT_LN_BOUND))
     out = cum.select(
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         F.col("cn_a").cast("long").alias("cum_n_a"),
@@ -334,9 +345,13 @@ def _msprt_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, 0
     )
     return out.select(
-        "*", F.max(F.col("crossed").cast("int")).over(wmono).cast(
-            "boolean"
-        ).alias("decided_by_day")
+        "*",
+        F.max(
+            F.coalesce(F.col("crossed").cast("int"), F.lit(0))
+        )
+        .over(wmono)
+        .cast("boolean")
+        .alias("decided_by_day"),
     )
 
 
@@ -373,16 +388,24 @@ cum AS (
 ),
 st AS (
   SELECT d, cn_a, cn_b, cx_a, cx_b,
+    CASE WHEN (CAST(cx_a AS DOUBLE) + cx_b) / (cn_a + cn_b)
+             * (1 - (CAST(cx_a AS DOUBLE) + cx_b) / (cn_a + cn_b))
+             * (CAST(1.0 AS DOUBLE) / cn_a
+                + CAST(1.0 AS DOUBLE) / cn_b) > 0 THEN
     ROUND((CAST(cx_b AS DOUBLE) / cn_b - CAST(cx_a AS DOUBLE) / cn_a)
       / SQRT((CAST(cx_a AS DOUBLE) + cx_b) / (cn_a + cn_b)
              * (1 - (CAST(cx_a AS DOUBLE) + cx_b) / (cn_a + cn_b))
              * (CAST(1.0 AS DOUBLE) / cn_a
-                + CAST(1.0 AS DOUBLE) / cn_b)), 9) AS z_t,
+                + CAST(1.0 AS DOUBLE) / cn_b)), 9) END AS z_t,
+    CASE WHEN (CAST(cx_a AS DOUBLE) + cx_b) / (cn_a + cn_b)
+         * (1 - (CAST(cx_a AS DOUBLE) + cx_b) / (cn_a + cn_b))
+         * (CAST(1.0 AS DOUBLE) / cn_a + CAST(1.0 AS DOUBLE) / cn_b)
+         > 0 THEN
     CAST(1.0 AS DOUBLE)
       / ((CAST(cx_a AS DOUBLE) + cx_b) / (cn_a + cn_b)
          * (1 - (CAST(cx_a AS DOUBLE) + cx_b) / (cn_a + cn_b))
          * (CAST(1.0 AS DOUBLE) / cn_a + CAST(1.0 AS DOUBLE) / cn_b))
-      AS v
+    END AS v
   FROM cum WHERE cn_a > 0 AND cn_b > 0
 ),
 lam AS (
@@ -391,16 +414,18 @@ lam AS (
     CAST(cx_a AS BIGINT) AS cum_purch_a,
     CAST(cx_b AS BIGINT) AS cum_purch_b,
     z_t,
-    ROUND(0.5 * LN(ROUND(CAST(1.0 AS DOUBLE)
-                         / (1.0 + v * {_MSPRT_TAU2}), 9))
+    CASE WHEN z_t IS NOT NULL THEN
+    ROUND(-0.5 * LN(ROUND(1.0 + v * {_MSPRT_TAU2}, 9))
           + z_t * z_t / 2
             * (v * {_MSPRT_TAU2} / (1.0 + v * {_MSPRT_TAU2})), 9)
-      AS ln_lambda
+    END AS ln_lambda
   FROM st
 )
 SELECT day, cum_n_a, cum_n_b, cum_purch_a, cum_purch_b, z_t,
   ln_lambda,
-  ln_lambda > LN(CAST(1.0 AS DOUBLE) / {_MSPRT_ALPHA}) AS crossed,
+  CASE WHEN ln_lambda IS NOT NULL
+    THEN ln_lambda > LN(CAST(1.0 AS DOUBLE) / {_MSPRT_ALPHA}) END
+    AS crossed,
   CAST(MAX(CASE WHEN ln_lambda
         > LN(CAST(1.0 AS DOUBLE) / {_MSPRT_ALPHA}) THEN 1 ELSE 0 END)
     OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BOOLEAN)
@@ -440,10 +465,24 @@ _STRATA_SQL = (
 # fixed treatment cut: a "heavy clicker" did >= this many click events
 _TREAT_CLICKS = 14
 
+# ONE per-user activity relation shared by the observational designs
+# (IPW strata, RDD, IV) — Spark builder and oracle CTE side by side so
+# a change to the treatment definition cannot silently skew one
+# estimator relative to its siblings (round-11 review finding).
+_PER_USER_SQL = """
+  SELECT user_id, COUNT(*) AS y_events,
+    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
+    SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+        ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(38,6))) AS revenue
+  FROM events GROUP BY user_id
+"""
 
-def _ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _per_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, y_events, n_clicks, revenue) — the exact mirror of
+    ``_PER_USER_SQL``."""
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
+    return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("y_events"),
         F.sum(
             (F.col("event_type") == "click").cast("int")
@@ -452,7 +491,13 @@ def _ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 F.col("event_type") == "purchase", F.col("value")
             ).otherwise(0.0).cast("decimal(38,6)")
-        ).alias("outcome"),
+        ).alias("revenue"),
+    )
+
+
+def _ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = _per_user_activity(spark, sf_dir).withColumnRenamed(
+        "revenue", "outcome"
     )
     strata = per_user.select(
         (F.col("n_clicks") >= _TREAT_CLICKS).cast("int").alias("treated"),
@@ -510,16 +555,11 @@ def _ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "events_ipw_stratified_ate",
     oracle=f"""
-WITH per_user AS (
-  SELECT user_id, COUNT(*) AS y_events,
-    CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-      >= 14 THEN 1 ELSE 0 END AS treated,
-    SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
-        ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(38,6))) AS outcome
-  FROM events GROUP BY user_id
-),
+WITH per_user AS ({_PER_USER_SQL}),
 strata AS (
-  SELECT treated, outcome,
+  SELECT CASE WHEN n_clicks >= {_TREAT_CLICKS} THEN 1 ELSE 0 END
+    AS treated,
+    revenue AS outcome,
     {_STRATA_SQL.replace("y", "y_events")} AS stratum
   FROM per_user
 ),
@@ -833,16 +873,8 @@ _RDD_BW = 6
 
 
 def _rdd_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.sum(
-            (F.col("event_type") == "click").cast("int")
-        ).alias("x"),
-        F.sum(
-            F.when(
-                F.col("event_type") == "purchase", F.col("value")
-            ).otherwise(0.0).cast("decimal(38,6)")
-        ).alias("y"),
+    per_user = _per_user_activity(spark, sf_dir).select(
+        F.col("n_clicks").alias("x"), F.col("revenue").alias("y")
     )
     d6 = lambda c: c.cast("decimal(38,6)")
     xc = (F.col("x") - _RDD_CUT).cast("long")
@@ -901,18 +933,13 @@ def _rdd_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "events_rdd_estimate",
     oracle=f"""
-WITH per_user AS (
-  SELECT user_id,
-    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
-    SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
-        ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(38,6))) AS y
-  FROM events GROUP BY user_id
-),
+WITH per_user AS ({_PER_USER_SQL}),
 win AS (
-  SELECT CASE WHEN x >= {_RDD_CUT} THEN 1 ELSE 0 END AS side,
-    CAST(x - {_RDD_CUT} AS BIGINT) AS xc, y
+  SELECT CASE WHEN n_clicks >= {_RDD_CUT} THEN 1 ELSE 0 END AS side,
+    CAST(n_clicks - {_RDD_CUT} AS BIGINT) AS xc, revenue AS y
   FROM per_user
-  WHERE x >= {_RDD_CUT - _RDD_BW} AND x <= {_RDD_CUT + _RDD_BW - 1}
+  WHERE n_clicks >= {_RDD_CUT - _RDD_BW}
+    AND n_clicks <= {_RDD_CUT + _RDD_BW - 1}
 ),
 s AS (
   SELECT side, COUNT(*) AS n,
@@ -993,16 +1020,8 @@ FROM d
 
 
 def _iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.sum(
-            (F.col("event_type") == "click").cast("int")
-        ).alias("n_clicks"),
-        F.sum(
-            F.when(
-                F.col("event_type") == "purchase", F.col("value")
-            ).otherwise(0.0).cast("decimal(38,6)")
-        ).alias("y"),
+    per_user = _per_user_activity(spark, sf_dir).withColumnRenamed(
+        "revenue", "y"
     )
     users = per_user.select(
         _variant_col(F.col("user_id")).alias("z"),
@@ -1040,20 +1059,14 @@ def _iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(
     "events_iv_wald",
-    oracle="""
-WITH per_user AS (
-  SELECT user_id,
-    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
-    SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
-        ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(38,6))) AS y
-  FROM events GROUP BY user_id
-),
+    oracle=f"""
+WITH per_user AS ({_PER_USER_SQL}),
 users AS (
   SELECT
     CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
       ::BIGINT % 2 AS INT) AS z,
-    CASE WHEN n_clicks >= 14 THEN 1 ELSE 0 END AS t,
-    y
+    CASE WHEN n_clicks >= {_TREAT_CLICKS} THEN 1 ELSE 0 END AS t,
+    revenue AS y
   FROM per_user
 ),
 per AS (

@@ -4513,8 +4513,14 @@ def _mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         n_a.cast("long").alias("n_a"),
         n_b.cast("long").alias("n_b"),
-        u2_a.cast("long").alias("u2_a"),
-        F.col("tie_term").cast("long").alias("tie_term"),
+        # diagnostics OUT as DOUBLE: a long cast here would
+        # wrap/NULL at exactly the scale the decimal accumulation
+        # protects (t^3 ~ 9.2e18 at ~2.1M rows on one value); the
+        # decimal->double conversion is round-to-nearest from an EXACT
+        # value on both engines, so it stays hash-stable at any scale
+        # (exact below 2^53, deterministically rounded above)
+        u2_a.cast("double").alias("u2_a"),
+        F.col("tie_term").cast("double").alias("tie_term"),
         F.when(
             (n_a > 0) & (n_b > 0) & (var_u > 0),
             F.round(
@@ -4553,8 +4559,8 @@ agg AS (
   FROM ranked
 )
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-  CAST(r2_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a,
-  CAST(tie_term AS BIGINT) AS tie_term,
+  CAST(r2_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE) AS u2_a,
+  CAST(tie_term AS DOUBLE) AS tie_term,
   CASE WHEN n_a > 0 AND n_b > 0 AND
     CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
       / (12 * CAST(n_a + n_b AS DOUBLE)

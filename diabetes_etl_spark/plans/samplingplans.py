@@ -786,13 +786,15 @@ pi AS (
 s AS (
   SELECT true_total,
     COUNT(CASE WHEN u < p THEN 1 END) AS n_sampled,
-    SUM(CASE WHEN u < p THEN CAST(y AS DOUBLE) / p END) AS ht
+    SUM(CASE WHEN u < p
+        THEN CAST(CAST(y AS DOUBLE) / p AS DECIMAL(38,12)) END) AS ht
   FROM pi GROUP BY true_total
 )
 SELECT CAST(n_sampled AS BIGINT) AS n_sampled,
   CAST(true_total AS BIGINT) AS true_total_tokens,
-  ROUND(ht, 6) AS ht_estimate_tokens,
-  ROUND(ABS(ht - true_total) / true_total, 9) AS rel_error
+  ROUND(CAST(ht AS DOUBLE), 6) AS ht_estimate_tokens,
+  ROUND(ABS(CAST(ht AS DOUBLE) - true_total) / true_total, 9)
+    AS rel_error
 FROM s
 """,
     doc=f"Probability-proportional-to-size Poisson sampling with the "
@@ -842,19 +844,26 @@ def corpus_pps_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = pi.groupBy("true_total").agg(
         F.count(F.when(F.col("u") < F.col("p"), 1)).alias("n_sampled"),
+        # each HT term quantizes to DECIMAL(38,12) so the fold is
+        # EXACT and order-independent (a raw double sum drifts ~1e-8
+        # with partition order — enough to flip the 1e-6 rounding)
         F.sum(
             F.when(
                 F.col("u") < F.col("p"),
-                F.col("y").cast("double") / F.col("p"),
+                (F.col("y").cast("double") / F.col("p")).cast(
+                    "decimal(38,12)"
+                ),
             )
         ).alias("ht"),
     )
     return s.select(
         F.col("n_sampled").cast("long").alias("n_sampled"),
         F.col("true_total").cast("long").alias("true_total_tokens"),
-        F.round(F.col("ht"), 6).alias("ht_estimate_tokens"),
+        F.round(F.col("ht").cast("double"), 6).alias(
+            "ht_estimate_tokens"
+        ),
         F.round(
-            F.abs(F.col("ht") - F.col("true_total"))
+            F.abs(F.col("ht").cast("double") - F.col("true_total"))
             / F.col("true_total"),
             9,
         ).alias("rel_error"),
