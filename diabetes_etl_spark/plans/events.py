@@ -4588,9 +4588,11 @@ FROM agg
     "values are skewed and outliers poison the mean).  Ranks never "
     "materialize per row: on the distinct-value support, the midpoint "
     "tie rank times 2 (2*cum_before + t + 1) is an exact integer, so "
-    "2*R_a, 2*U_a and the tie term sum(t^3 - t) are exact BIGINTs; "
-    "the only doubles are the final tie-corrected variance and one "
-    "SQRT in pinned order.  Degenerate inputs (either side empty, or "
+    "2*R_a, 2*U_a and the tie term sum(t^3 - t) accumulate EXACTLY "
+    "in DECIMAL(38,0)/HUGEINT (BIGINT wraps once a hot value's t^3 "
+    "passes ~9.2e18); the diagnostics then output as deterministic "
+    "round-to-nearest doubles, and the only other doubles are the "
+    "tie-corrected variance and one SQRT in pinned order.  Degenerate inputs (either side empty, or "
     "all values tied so var = 0) yield NULL z per the house "
     "convention.  Scale: one grouped pass to the bounded money-grain "
     "support, one sort-window over it — identical shape to "
