@@ -288,6 +288,13 @@ def _msprt_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("x"),
     )
+    return _msprt_epilogue(daily)
+
+
+def _msprt_epilogue(daily: DataFrame) -> DataFrame:
+    """The mSPRT path from a (d, variant, n, x) daily grid — shared
+    by the batch query and the streaming monitor (whose grid arrives
+    from a streaming aggregate snapshot)."""
     g = daily.groupBy("d").agg(
         F.sum(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
         F.sum(F.when(F.col("variant") == 0, F.col("x"))).alias("x_a"),
@@ -355,9 +362,7 @@ def _msprt_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "events_ab_sequential_msprt",
-    oracle=f"""
+_MSPRT_ORACLE = f"""
 WITH daily AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
     CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
@@ -431,7 +436,11 @@ SELECT day, cum_n_a, cum_n_b, cum_purch_a, cum_purch_b, z_t,
     OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BOOLEAN)
     AS decided_by_day
 FROM lam ORDER BY day
-""",
+"""
+
+register(
+    "events_ab_sequential_msprt",
+    oracle=_MSPRT_ORACLE,
     doc="Always-valid sequential A/B monitoring — the mixture "
     "sequential probability ratio test (mSPRT; Johari/Pekelis/"
     "Walsh's always-valid inference, Deng et al.'s continuous "
@@ -1111,3 +1120,43 @@ FROM d
     tags=("events", "causal", "statistics", "extension"),
     extended=True,
 )(_iv_wald)
+
+
+# -- streaming mSPRT monitor ---------------------------------------------------
+
+
+def _stream_msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.sources.tables import load_events_stream
+    from diabetes_etl_spark.streaming.ingest import stream_snapshot
+
+    ev = load_events_stream(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+        _variant_col(F.col("user_id")).alias("variant"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("x"),
+    )
+    snap = stream_snapshot(spark, daily, output_mode="complete")
+    return _msprt_epilogue(snap)
+
+
+register(
+    "stream_msprt_monitor",
+    oracle=_MSPRT_ORACLE,
+    doc="The mSPRT always-valid monitor fed by a REAL streaming source "
+    "— the deployment shape of continuous experiment monitoring: the "
+    "(day x variant) count grid maintains as a streaming aggregate "
+    "(availableNow through readStream, complete mode; at 100 TB this "
+    "state is O(days x 2), trivially bounded), and each refresh "
+    "recomputes the whole decision path from the grid — so the "
+    "monitor's output after any prefix of data is exactly the batch "
+    "path on that prefix, and on bounded input it equals "
+    "events_ab_sequential_msprt row for row (SAME oracle, the "
+    "stream_tumbling_hourly equality pattern).  Epilogue shared "
+    "verbatim with the batch query (_msprt_epilogue).",
+    tags=("streaming", "ab-testing", "sequential", "extension"),
+    extended=True,
+)(_stream_msprt_monitor)

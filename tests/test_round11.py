@@ -225,6 +225,22 @@ def test_iv_wald_matches_reference(spark, duck, sf_dir, reg):
     assert row["late_wald"] == pytest.approx(itt_y / itt_t, abs=1e-6)
 
 
+def test_stream_msprt_equals_batch_path(spark, sf_dir, reg):
+    """On bounded input the streaming monitor's decision path must
+    equal the batch mSPRT query row for row (shared epilogue, grid
+    from a real readStream aggregate instead of a table scan)."""
+    batch = sorted(
+        map(
+            tuple,
+            reg["events_ab_sequential_msprt"].fn(spark, sf_dir).collect(),
+        )
+    )
+    stream = sorted(
+        map(tuple, reg["stream_msprt_monitor"].fn(spark, sf_dir).collect())
+    )
+    assert batch == stream and len(batch) >= 5
+
+
 def test_healthcheck_plan_single_events_scan(spark, sf_dir, reg):
     """The whole point of the composite: ONE scan of events feeds all
     three readouts (the constituent singles cost three), and the plan
