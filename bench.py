@@ -103,6 +103,12 @@ HEADLINE = [
     "events_ab_mann_whitney",
     "cluster_dbscan_docs",
     "text_mg_heavy_ngrams",
+    # round-11 gate families: the repaired conformal plan (exact
+    # selection instead of an unpartitioned window — its bench row IS
+    # the evidence for the round-10 verdict fix) and the one-scan A/B
+    # healthcheck composite
+    "ml_conformal_interval",
+    "events_ab_healthcheck",
 ]
 
 
