@@ -787,14 +787,21 @@ s AS (
   SELECT true_total,
     COUNT(CASE WHEN u < p THEN 1 END) AS n_sampled,
     SUM(CASE WHEN u < p
-        THEN CAST(CAST(y AS DOUBLE) / p AS DECIMAL(38,12)) END) AS ht
+        THEN CAST(CAST(y AS DOUBLE) / p AS DECIMAL(38,12)) END) AS ht,
+    SUM(CASE WHEN u < p
+        THEN CAST((1 - p) * (CAST(y AS DOUBLE) / p)
+                  * (CAST(y AS DOUBLE) / p) AS DECIMAL(38,12)) END)
+      AS vht
   FROM pi GROUP BY true_total
 )
 SELECT CAST(n_sampled AS BIGINT) AS n_sampled,
   CAST(true_total AS BIGINT) AS true_total_tokens,
   ROUND(CAST(ht AS DOUBLE), 6) AS ht_estimate_tokens,
   ROUND(ABS(CAST(ht AS DOUBLE) - true_total) / true_total, 9)
-    AS rel_error
+    AS rel_error,
+  ROUND(SQRT(CAST(vht AS DOUBLE)), 6) AS ht_se,
+  ABS(CAST(ht AS DOUBLE) - true_total)
+    <= 2 * SQRT(CAST(vht AS DOUBLE)) AS within_2se
 FROM s
 """,
     doc=f"Probability-proportional-to-size Poisson sampling with the "
@@ -806,8 +813,10 @@ FROM s
     "rand() — partition-layout-independent, mirrored VERBATIM by the "
     "oracle), and the HT estimate sum(y_i/pi_i) of TOTAL WHITESPACE "
     "TOKENS over the sample, reported against the exact truth with "
-    "its realized relative error — the estimator's unbiasedness is "
-    "thus an auditable number, not a claim.  pi attaches via one "
+    "its realized relative error AND the Poisson-design HT variance "
+    "estimate sum((1-pi)(y/pi)^2) with a within-2-SE flag — "
+    "unbiasedness and calibration are auditable numbers, not "
+    "claims.  pi attaches via one "
     "broadcast 1-row aggregate; everything else is scan-local.  "
     "Scale: two scans (totals + selection), no shuffle beyond the "
     "1-row epilogue.",
@@ -855,6 +864,18 @@ def corpus_pps_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("ht"),
+        # Poisson-design HT variance estimator sum((1-pi)(y/pi)^2)
+        # over the sample — same exact order-independent fold
+        F.sum(
+            F.when(
+                F.col("u") < F.col("p"),
+                (
+                    (1 - F.col("p"))
+                    * (F.col("y").cast("double") / F.col("p"))
+                    * (F.col("y").cast("double") / F.col("p"))
+                ).cast("decimal(38,12)"),
+            )
+        ).alias("vht"),
     )
     return s.select(
         F.col("n_sampled").cast("long").alias("n_sampled"),
@@ -867,4 +888,9 @@ def corpus_pps_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("true_total"),
             9,
         ).alias("rel_error"),
+        F.round(F.sqrt(F.col("vht").cast("double")), 6).alias("ht_se"),
+        (
+            F.abs(F.col("ht").cast("double") - F.col("true_total"))
+            <= 2 * F.sqrt(F.col("vht").cast("double"))
+        ).alias("within_2se"),
     )
