@@ -270,7 +270,7 @@ FROM ks ORDER BY rank
     "window rides the event-type grid (bounded by the type "
     "vocabulary, not the corpus).",
     tags=("events", "ab-testing", "statistics", "multiplicity", "extension"),
-    extended=True,
+    extended=False,  # gate (round-12 rotation)
 )(_fdr_bh)
 
 
@@ -620,7 +620,7 @@ FROM agg
     "pinned double epilogue.  Scale: one user-grain pass, then the "
     "4-row stratum grid.",
     tags=("events", "causal", "statistics", "extension"),
-    extended=True,
+    extended=False,  # gate (round-12 rotation)
 )(_ipw_ate)
 
 
@@ -722,7 +722,7 @@ FROM j GROUP BY q ORDER BY q
     "bounded value support, one window over it, a 4-way quantile "
     "fan-out on the spine only.",
     tags=("events", "ab-testing", "statistics", "quantile", "extension"),
-    extended=True,
+    extended=False,  # gate (round-12 rotation)
 )(_quantile_effects)
 
 
@@ -1158,5 +1158,5 @@ register(
     "stream_tumbling_hourly equality pattern).  Epilogue shared "
     "verbatim with the batch query (_msprt_epilogue).",
     tags=("streaming", "ab-testing", "sequential", "extension"),
-    extended=True,
+    extended=False,  # gate (round-12 rotation; batch twin stays ext w/ same oracle)
 )(_stream_msprt_monitor)

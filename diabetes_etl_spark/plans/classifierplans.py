@@ -1473,7 +1473,7 @@ FROM terms
     "(asserted in tests — the decomposition is only exact when "
     "scores are constant within bins).  One corpus pass to 10 bins + one for the cross term.",
     tags=("classifier", "ml", "calibration", "extension"),
-    extended=False,  # gate (round-10 rotation)
+    extended=False,  # demoted round 12 — registry._EXTENDED wins (rationale there)
 )
 def classifier_brier_decomposition(
     spark: SparkSession, sf_dir: str

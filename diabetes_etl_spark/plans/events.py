@@ -4599,7 +4599,7 @@ FROM agg
     "events_wasserstein_drift; nothing is per-row after the first "
     "aggregate.",
     tags=("statistics", "ab-testing", "nonparametric", "extension"),
-    extended=False,  # gate (round-10b rotation)
+    extended=False,  # demoted round 12 — registry._EXTENDED wins (rationale there)
 )(_mann_whitney)
 
 
@@ -5834,5 +5834,5 @@ FROM d
     "then a 1-row epilogue; strictly cheaper than the three "
     "constituent scans it replaces.",
     tags=("events", "ab-testing", "statistics", "composite", "extension"),
-    extended=True,
+    extended=False,  # gate (round-12 rotation)
 )(_ab_healthcheck)

@@ -433,7 +433,7 @@ FROM l{_LPA_ITERS} ORDER BY node
     "majority argmax folds into max(struct(count, -label))), state "
     "committed to parquet with restart resume.",
     tags=("graph", "iterative", "community", "extension"),
-    extended=False,  # promoted to the gate round 8 (registry._EXTENDED rationale)
+    extended=False,  # demoted round 12 — registry._EXTENDED wins (rationale there)
 )
 def graph_lpa_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window

@@ -1084,7 +1084,7 @@ FROM chi
     "tests) — sparse tables should left-join the margin product.  V = sqrt(chi2 / (n * "
     "(min(k)-1))).",
     tags=("profile", "association", "statistics", "extension"),
-    extended=False,  # gate (round-10 rotation)
+    extended=False,  # demoted round 12 — registry._EXTENDED wins (rationale there)
 )
 def profile_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -539,6 +539,64 @@ _EXTENDED: frozenset[str] = frozenset(
         # locally, and blocked-pair machinery remains gate-adjacent
         # through the dedup composites
         "er_fellegi_sunter",
+        # ---- round-12 rotation (round-11 VERDICT #1/#5): seven twins
+        # move out so the round-11 causal/inference suite the r11 gate
+        # snapshot could not see (events_ab_fdr_bh,
+        # stream_msprt_monitor, events_ipw_stratified_ate,
+        # corpus_pps_ht_estimate, events_ab_quantile_effects,
+        # events_ab_healthcheck) plus the Spark-4 Python DataSource
+        # read path (versioned_datasource_scan) get driver-gate
+        # visibility.  Every demoted query keeps its oracle and stays
+        # green in tests/test_oracle.py:
+        # Mann-Whitney rank-sum: gate-green rounds 10-11; its
+        # support-grain cum-count spine is the EXACT machinery the
+        # incoming events_ab_quantile_effects runs (same bounded value
+        # support, same window), and its Welch/location-test siblings
+        # ride inside the incoming events_ab_healthcheck composite —
+        # the A/B family keeps logrank + srm_health + the four new
+        # causal slots
+        "events_ab_mann_whitney",
+        # label propagation: gate-green rounds 8-11 (the
+        # graph_pagerank_trade/graph_kcore_trade precedent); the
+        # two-joins-per-round + durable per-round commit machinery
+        # stays locally oracle-green, and component-style iteration
+        # remains gate-visible through docs_prep_pipeline_v4's
+        # DBSCAN/components stage
+        "graph_lpa_trade",
+        # Cramers-V association profile: gate-green rounds 10-11; the
+        # profiling family keeps dq_suite_lineitem in the gate (the
+        # stricter one-scan multi-metric + constraint-verification
+        # surface over the same grouped-contingency machinery)
+        "profile_cramers_v",
+        # temperature-mixture resampling: gate-green rounds 7-11; the
+        # sampling family's gate slot passes to corpus_pps_ht_estimate
+        # (PPS A-Res selection + Horvitz-Thompson estimation + the new
+        # design-variance SE — the stricter inference contract over
+        # the same portable-hash selection keys); the mixture rate
+        # algebra stays oracle-green locally
+        "mix_temperature_langs",
+        # Brier decomposition: gate-green rounds 10-11; the classifier
+        # eval family keeps ml_gbdt_histogram_tree +
+        # ml_conformal_interval in the gate over the same trained
+        # scorer, and the support-grain spine it shares with
+        # classifier_auc_roc stays pinned by the incoming QTE query's
+        # identical machinery
+        "classifier_brier_decomposition",
+        # PCA power iteration: gate-green rounds 10-11; the embedding
+        # family keeps sim_pq_adc_topk + embeddings_intrinsic_dim_ann
+        # in the gate (the PQ codebooks train through the same
+        # centroid-update folds), and the Gram/power-iteration
+        # decimal folds stay oracle-green locally
+        "embeddings_pca_power",
+        # versioned change feed: gate-green rounds 8-11; the versioned
+        # family's slot passes to versioned_datasource_scan (round-11
+        # VERDICT #5: the Spark-4 Python DataSource read path —
+        # snapshot isolation, per-file InputPartitions, manifest
+        # min/max pruning through pushFilters — had never been
+        # driver-visible); the feed's multiset-cancellation contract
+        # stays pinned by tests/test_versioned.py and oracle-green
+        # locally
+        "versioned_change_feed",
     }
 )
 

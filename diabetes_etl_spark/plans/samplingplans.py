@@ -821,7 +821,7 @@ FROM s
     "Scale: two scans (totals + selection), no shuffle beyond the "
     "1-row epilogue.",
     tags=("sampling", "survey", "estimation", "extension"),
-    extended=True,
+    extended=False,  # gate (round-12 rotation)
 )
 def corpus_pps_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.operators.sampling import portable_unit_hash

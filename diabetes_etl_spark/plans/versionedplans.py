@@ -136,7 +136,7 @@ ORDER BY commit_version
     "delete+insert shape feeds merge_cdc_partial_aggs directly for "
     "incremental view maintenance off the feed.",
     tags=("versioned", "cdc", "extension"),
-    extended=False,  # promoted to the gate round 8 (registry._EXTENDED rationale)
+    extended=False,  # demoted round 12 — registry._EXTENDED wins (rationale there)
 )
 def versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.sources.versioned import VersionedTable
@@ -276,7 +276,7 @@ ORDER BY snapshot
     "Delta-format interop surface (format-string reads) the "
     "env-blocked delta-spark would have provided.",
     tags=("versioned", "datasource", "source", "extension"),
-    extended=True,
+    extended=False,  # gate (round-12 rotation; round-11 VERDICT #5)
 )
 def versioned_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.sources.vds import register_versioned_source
