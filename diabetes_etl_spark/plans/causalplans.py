@@ -866,13 +866,180 @@ FROM c ORDER BY decile
     "group; randomization comes from the variant hash, so "
     "within-decile treated/control are exchangeable.  Exact integer "
     "counts until the final divisions.  Scale: user-grain pass; the "
-    "fixture form ranks with one total-order pass at user grain — "
-    "the production twin buckets by precomputed score cutpoints "
-    "(the classifier_lift_cutpoints pattern, which this score's "
-    "integer grain makes exact).",
+    "fixture form ranks with one total-order pass at user grain and "
+    "is the FIXTURE ORACLE BASELINE — the production twin "
+    "events_uplift_qini_cutpoints (below) buckets by the score-grain "
+    "cum-count spine with no per-user window at all (the "
+    "classifier_lift_cutpoints pattern, which this score's integer "
+    "grain makes exact).",
     tags=("events", "uplift", "causal", "ab-testing", "extension"),
     extended=True,
 )(_uplift_qini)
+
+
+def _uplift_qini_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("score"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 90)
+            ).cast("int")
+        ).alias("conv"),
+    )
+    users = per_user.select(
+        "score", "conv", _variant_col(F.col("user_id")).alias("t")
+    )
+    # collapse the user table to the bounded integer score support —
+    # after this aggregate nothing is per-user; the only window in the
+    # plan rides the O(support) spine
+    g = users.groupBy("score").agg(
+        F.count(F.lit(1)).alias("nu"),
+        F.sum(F.col("t")).alias("n_t"),
+        F.sum(1 - F.col("t")).alias("n_c"),
+        F.sum(F.col("t") * F.col("conv")).alias("x_t"),
+        F.sum((1 - F.col("t")) * F.col("conv")).alias("x_c"),
+    )
+    tot = g.agg(F.sum("nu").alias("n_tot"))
+    w_before = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    spine = g.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.coalesce(F.sum("nu").over(w_before), F.lit(0)).alias(
+            "cum_before"
+        ),
+    )
+    d = spine.groupBy(
+        F.expr(
+            "CAST(LEAST(9, (10 * cum_before) div n_tot) + 1 AS INT)"
+        ).alias("decile")
+    ).agg(
+        F.sum("n_t").alias("n_t"),
+        F.sum("n_c").alias("n_c"),
+        F.sum("x_t").alias("x_t"),
+        F.sum("x_c").alias("x_c"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = d.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "x_t",
+        "x_c",
+        F.sum("n_t").over(wc).alias("cn_t"),
+        F.sum("n_c").over(wc).alias("cn_c"),
+        F.sum("x_t").over(wc).alias("cx_t"),
+        F.sum("x_c").over(wc).alias("cx_c"),
+    )
+    return c.select(
+        "decile",
+        F.col("n_t").cast("long").alias("n_treated"),
+        F.col("n_c").cast("long").alias("n_ctrl"),
+        F.col("x_t").cast("long").alias("conv_treated"),
+        F.col("x_c").cast("long").alias("conv_ctrl"),
+        F.when(
+            (F.col("n_t") > 0) & (F.col("n_c") > 0),
+            F.round(
+                F.col("x_t").cast("double") / F.col("n_t")
+                - F.col("x_c").cast("double") / F.col("n_c"),
+                9,
+            ),
+        ).alias("uplift_rate"),
+        F.when(
+            F.col("cn_c") > 0,
+            F.round(
+                F.col("cx_t").cast("double")
+                - F.col("cx_c").cast("double")
+                * F.col("cn_t")
+                / F.col("cn_c"),
+                6,
+            ),
+        ).alias("qini"),
+    ).orderBy("decile")
+
+
+register(
+    "events_uplift_qini_cutpoints",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS score,
+    MAX(CASE WHEN event_type = 'purchase' AND value > 90
+        THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+users AS (
+  SELECT score, conv,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      ::BIGINT % 2 AS INT) AS t
+  FROM per_user
+),
+g AS (
+  SELECT score, COUNT(*) AS nu,
+    SUM(t) AS n_t, SUM(1 - t) AS n_c,
+    SUM(t * conv) AS x_t, SUM((1 - t) * conv) AS x_c
+  FROM users GROUP BY score
+),
+tot AS (SELECT SUM(nu) AS n_tot FROM g),
+spine AS (
+  SELECT g.*, tot.n_tot,
+    COALESCE(SUM(nu) OVER (ORDER BY score DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS cum_before
+  FROM g CROSS JOIN tot
+),
+d AS (
+  SELECT CAST(LEAST(9, (10 * cum_before) // n_tot) + 1 AS INT)
+    AS decile,
+    SUM(n_t) AS n_t, SUM(n_c) AS n_c,
+    SUM(x_t) AS x_t, SUM(x_c) AS x_c
+  FROM spine GROUP BY 1
+),
+c AS (
+  SELECT decile, n_t, n_c, x_t, x_c,
+    SUM(n_t) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cn_t,
+    SUM(n_c) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cn_c,
+    SUM(x_t) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cx_t,
+    SUM(x_c) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cx_c
+  FROM d
+)
+SELECT decile,
+  CAST(n_t AS BIGINT) AS n_treated,
+  CAST(n_c AS BIGINT) AS n_ctrl,
+  CAST(x_t AS BIGINT) AS conv_treated,
+  CAST(x_c AS BIGINT) AS conv_ctrl,
+  CASE WHEN n_t > 0 AND n_c > 0 THEN
+    ROUND(CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c, 9)
+  END AS uplift_rate,
+  CASE WHEN cn_c > 0 THEN
+    ROUND(CAST(cx_t AS DOUBLE)
+          - CAST(cx_c AS DOUBLE) * cn_t / cn_c, 6)
+  END AS qini
+FROM c ORDER BY decile
+""",
+    doc="The Qini/uplift table WITHOUT a per-user window — the 100 TB "
+    "twin of events_uplift_qini (round-11 VERDICT 'What's wrong #1', "
+    "the classifier_lift_cutpoints precedent): the targeting score is "
+    "integer-grain (per-user event count), so one grouped pass "
+    "collapses the user table to its bounded score support carrying "
+    "per-score (users, treated, control, conversions-by-arm); a "
+    "cum-count spine over that support yields each score's rank "
+    "interval and decile(score) = least(9, 10*cum_before div N) + 1 — "
+    "exact integer arithmetic, every score tie-group lands WHOLE in "
+    "one decile (score-coherent deciles: the production semantics, "
+    "where splitting a tie across deciles by user_id is the "
+    "artifact).  Decile 10's cumulative row is IDENTICAL to the rank "
+    "form's (the full prefix is tie-split-invariant — pinned in "
+    "tests/test_round12.py); interior deciles differ only by tie "
+    "placement.  Scale: one user-grain aggregate, then everything "
+    "rides the O(score-support) spine — no row_number, no ntile, no "
+    "per-user window anywhere in the plan (plan-asserted).",
+    tags=("events", "uplift", "causal", "scale", "extension"),
+    extended=True,
+)(_uplift_qini_cutpoints)
 
 
 # -- regression discontinuity at the heavy-clicker cutoff ----------------------
