@@ -453,9 +453,16 @@ register(
     "information of the pooled two-proportion variance; reported in "
     "LOG form (no exp anywhere; ln input/output 9-decimal quantized "
     "— the bigram-LM precedent), with the monotone decided-by-day "
-    "flag as a cumulative-max window.  Scale: one grouped pass to "
-    "the (day x variant) grid; every window rides the O(days) "
-    "spine.",
+    "flag as a cumulative-max window.  VALIDITY CAVEAT (round-11 "
+    "ADVICE): the trial unit here is the EVENT row while "
+    "randomization is per user, so the always-valid guarantee holds "
+    "under the event-level iid reading; within-user correlation "
+    "makes the nominal variance optimistic at the user reading "
+    "(the fixture's every-user-has-every-type degeneracy rules out "
+    "a user-grain conversion metric — a real deployment would feed "
+    "the same epilogue a per-user trial grid).  Scale: one grouped "
+    "pass to the (day x variant) grid; every window rides the "
+    "O(days) spine.",
     tags=("events", "ab-testing", "sequential", "statistics", "extension"),
     extended=True,
 )(_msprt_path)
@@ -1045,6 +1052,9 @@ FROM c ORDER BY decile
 
 _RDD_CUT = 14
 _RDD_BW = 6
+# bandwidth-sensitivity grid (round-11 VERDICT #4): the headline
+# effect at _RDD_BW plus the +/-2 neighbours, all from the SAME pass
+_RDD_BWS = (4, 6, 8)
 
 
 def _rdd_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1053,48 +1063,56 @@ def _rdd_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d6 = lambda c: c.cast("decimal(38,6)")
     xc = (F.col("x") - _RDD_CUT).cast("long")
+    wide = max(_RDD_BWS)
     win = per_user.where(
-        (F.col("x") >= _RDD_CUT - _RDD_BW)
-        & (F.col("x") <= _RDD_CUT + _RDD_BW - 1)
+        (F.col("x") >= _RDD_CUT - wide)
+        & (F.col("x") <= _RDD_CUT + wide - 1)
     ).select(
         (F.col("x") >= _RDD_CUT).cast("int").alias("side"),
         xc.alias("xc"),
         "y",
     )
-    s = win.groupBy("side").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(d6(F.col("xc"))).alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(d6(F.col("xc") * F.col("xc"))).alias("sxx"),
-        F.sum(d6(F.col("xc")) * F.col("y")).alias("sxy"),
-    )
+    aggs = []
+    for bw in _RDD_BWS:
+        inw = (F.col("xc") >= -bw) & (F.col("xc") <= bw - 1)
+        aggs += [
+            F.sum(F.when(inw, 1)).alias(f"n{bw}"),
+            F.sum(F.when(inw, d6(F.col("xc")))).alias(f"sx{bw}"),
+            F.sum(F.when(inw, F.col("y"))).alias(f"sy{bw}"),
+            F.sum(
+                F.when(inw, d6(F.col("xc") * F.col("xc")))
+            ).alias(f"sxx{bw}"),
+            F.sum(
+                F.when(inw, d6(F.col("xc")) * F.col("y"))
+            ).alias(f"sxy{bw}"),
+        ]
+    s = win.groupBy("side").agg(*aggs)
 
     def fit(tag, v):
-        n = F.max(F.when(F.col("side") == v, F.col("n"))).alias(
-            f"n_{tag}"
-        )
-        return [n] + [
+        return [
             F.max(F.when(F.col("side") == v, F.col(c))).alias(
                 f"{c}_{tag}"
             )
-            for c in ("sx", "sy", "sxx", "sxy")
+            for bw in _RDD_BWS
+            for c in (f"n{bw}", f"sx{bw}", f"sy{bw}", f"sxx{bw}",
+                      f"sxy{bw}")
         ]
 
     w = s.agg(*(fit("l", 0) + fit("r", 1)))
 
-    def intercept(tag):
-        n = F.col(f"n_{tag}")
-        sx = F.col(f"sx_{tag}").cast("double")
-        sy = F.col(f"sy_{tag}").cast("double")
-        sxx = F.col(f"sxx_{tag}").cast("double")
-        sxy = F.col(f"sxy_{tag}").cast("double")
+    def intercept(tag, bw):
+        n = F.col(f"n{bw}_{tag}")
+        sx = F.col(f"sx{bw}_{tag}").cast("double")
+        sy = F.col(f"sy{bw}_{tag}").cast("double")
+        sxx = F.col(f"sxx{bw}_{tag}").cast("double")
+        sxy = F.col(f"sxy{bw}_{tag}").cast("double")
         slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
         return sy / n - slope * (sx / n), slope, n
 
-    a_l, b_l, n_l = intercept("l")
-    a_r, b_r, n_r = intercept("r")
+    a_l, b_l, n_l = intercept("l", _RDD_BW)
+    a_r, b_r, n_r = intercept("r", _RDD_BW)
     ok = (n_l > 2) & (n_r > 2)
-    return w.select(
+    cols = [
         n_l.cast("long").alias("n_left"),
         n_r.cast("long").alias("n_right"),
         F.when(ok, F.round(a_l, 9)).alias("intercept_left"),
@@ -1102,90 +1120,144 @@ def _rdd_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.round(b_l, 9)).alias("slope_left"),
         F.when(ok, F.round(b_r, 9)).alias("slope_right"),
         F.when(ok, F.round(a_r - a_l, 9)).alias("rdd_effect"),
-    )
+    ]
+    for bw in _RDD_BWS:
+        if bw == _RDD_BW:
+            continue
+        al, _, nl = intercept("l", bw)
+        ar, _, nr = intercept("r", bw)
+        okb = (nl > 2) & (nr > 2)
+        cols.append(
+            F.when(okb, F.round(ar - al, 9)).alias(
+                f"rdd_effect_bw{bw}"
+            )
+        )
+    return w.select(*cols)
 
 
-register(
-    "events_rdd_estimate",
-    oracle=f"""
+def _rdd_sql() -> str:
+    """The oracle, generated from the same bandwidth grid so the two
+    sides cannot drift."""
+    wide = max(_RDD_BWS)
+    s_cols = []
+    for bw in _RDD_BWS:
+        c = f"xc >= -{bw} AND xc <= {bw} - 1"
+        s_cols += [
+            f"SUM(CASE WHEN {c} THEN 1 END) AS n{bw}",
+            f"SUM(CASE WHEN {c} THEN CAST(xc AS DECIMAL(38,6)) END)"
+            f" AS sx{bw}",
+            f"SUM(CASE WHEN {c} THEN y END) AS sy{bw}",
+            f"SUM(CASE WHEN {c} THEN CAST(xc * xc AS DECIMAL(38,6))"
+            f" END) AS sxx{bw}",
+            f"SUM(CASE WHEN {c} THEN CAST(xc AS DECIMAL(38,6)) * y"
+            f" END) AS sxy{bw}",
+        ]
+    w_cols = []
+    for tag, v in (("l", 0), ("r", 1)):
+        for bw in _RDD_BWS:
+            for c in (f"n{bw}", f"sx{bw}", f"sy{bw}", f"sxx{bw}",
+                      f"sxy{bw}"):
+                w_cols.append(
+                    f"MAX(CASE WHEN side = {v} THEN {c} END)"
+                    f" AS {c}_{tag}"
+                )
+
+    def a_expr(tag, bw):
+        n = f"n{bw}_{tag}"
+        sx = f"CAST(sx{bw}_{tag} AS DOUBLE)"
+        sy = f"CAST(sy{bw}_{tag} AS DOUBLE)"
+        sxx = f"CAST(sxx{bw}_{tag} AS DOUBLE)"
+        sxy = f"CAST(sxy{bw}_{tag} AS DOUBLE)"
+        slope = (
+            f"({sxy} - {sx} * {sy} / {n})"
+            f" / ({sxx} - {sx} * {sx} / {n})"
+        )
+        return f"{sy} / {n} - {slope} * ({sx} / {n})", slope
+
+    d_cols, out_cols = [], []
+    for bw in _RDD_BWS:
+        a_l, b_l = a_expr("l", bw)
+        a_r, b_r = a_expr("r", bw)
+        d_cols += [
+            f"{a_l} AS a_l{bw}", f"{a_r} AS a_r{bw}",
+            f"{b_l} AS b_l{bw}", f"{b_r} AS b_r{bw}",
+        ]
+    ok = f"n{_RDD_BW}_l > 2 AND n{_RDD_BW}_r > 2"
+    out_cols = [
+        f"CAST(n{_RDD_BW}_l AS BIGINT) AS n_left",
+        f"CAST(n{_RDD_BW}_r AS BIGINT) AS n_right",
+        f"CASE WHEN {ok} THEN ROUND(a_l{_RDD_BW}, 9) END"
+        " AS intercept_left",
+        f"CASE WHEN {ok} THEN ROUND(a_r{_RDD_BW}, 9) END"
+        " AS intercept_right",
+        f"CASE WHEN {ok} THEN ROUND(b_l{_RDD_BW}, 9) END"
+        " AS slope_left",
+        f"CASE WHEN {ok} THEN ROUND(b_r{_RDD_BW}, 9) END"
+        " AS slope_right",
+        f"CASE WHEN {ok} THEN ROUND(a_r{_RDD_BW} - a_l{_RDD_BW}, 9)"
+        " END AS rdd_effect",
+    ]
+    for bw in _RDD_BWS:
+        if bw == _RDD_BW:
+            continue
+        okb = f"n{bw}_l > 2 AND n{bw}_r > 2"
+        out_cols.append(
+            f"CASE WHEN {okb} THEN ROUND(a_r{bw} - a_l{bw}, 9) END"
+            f" AS rdd_effect_bw{bw}"
+        )
+    nl = ",\n    ".join
+    return f"""
 WITH per_user AS ({_PER_USER_SQL}),
 win AS (
   SELECT CASE WHEN n_clicks >= {_RDD_CUT} THEN 1 ELSE 0 END AS side,
     CAST(n_clicks - {_RDD_CUT} AS BIGINT) AS xc, revenue AS y
   FROM per_user
-  WHERE n_clicks >= {_RDD_CUT - _RDD_BW}
-    AND n_clicks <= {_RDD_CUT + _RDD_BW - 1}
+  WHERE n_clicks >= {_RDD_CUT - wide}
+    AND n_clicks <= {_RDD_CUT + wide - 1}
 ),
 s AS (
-  SELECT side, COUNT(*) AS n,
-    SUM(CAST(xc AS DECIMAL(38,6))) AS sx,
-    SUM(y) AS sy,
-    SUM(CAST(xc * xc AS DECIMAL(38,6))) AS sxx,
-    SUM(CAST(xc AS DECIMAL(38,6)) * y) AS sxy
+  SELECT side,
+    {nl(s_cols)}
   FROM win GROUP BY side
 ),
 w AS (
   SELECT
-    MAX(CASE WHEN side = 0 THEN n END) AS n_l,
-    MAX(CASE WHEN side = 0 THEN sx END) AS sx_l,
-    MAX(CASE WHEN side = 0 THEN sy END) AS sy_l,
-    MAX(CASE WHEN side = 0 THEN sxx END) AS sxx_l,
-    MAX(CASE WHEN side = 0 THEN sxy END) AS sxy_l,
-    MAX(CASE WHEN side = 1 THEN n END) AS n_r,
-    MAX(CASE WHEN side = 1 THEN sx END) AS sx_r,
-    MAX(CASE WHEN side = 1 THEN sy END) AS sy_r,
-    MAX(CASE WHEN side = 1 THEN sxx END) AS sxx_r,
-    MAX(CASE WHEN side = 1 THEN sxy END) AS sxy_r
+    {nl(w_cols)}
   FROM s
 ),
 d AS (
-  SELECT n_l, n_r,
-    CAST(sy_l AS DOUBLE) / n_l
-      - (CAST(sxy_l AS DOUBLE) - CAST(sx_l AS DOUBLE)
-         * CAST(sy_l AS DOUBLE) / n_l)
-        / (CAST(sxx_l AS DOUBLE) - CAST(sx_l AS DOUBLE)
-           * CAST(sx_l AS DOUBLE) / n_l)
-        * (CAST(sx_l AS DOUBLE) / n_l) AS a_l,
-    CAST(sy_r AS DOUBLE) / n_r
-      - (CAST(sxy_r AS DOUBLE) - CAST(sx_r AS DOUBLE)
-         * CAST(sy_r AS DOUBLE) / n_r)
-        / (CAST(sxx_r AS DOUBLE) - CAST(sx_r AS DOUBLE)
-           * CAST(sx_r AS DOUBLE) / n_r)
-        * (CAST(sx_r AS DOUBLE) / n_r) AS a_r,
-    (CAST(sxy_l AS DOUBLE) - CAST(sx_l AS DOUBLE)
-     * CAST(sy_l AS DOUBLE) / n_l)
-      / (CAST(sxx_l AS DOUBLE) - CAST(sx_l AS DOUBLE)
-         * CAST(sx_l AS DOUBLE) / n_l) AS b_l,
-    (CAST(sxy_r AS DOUBLE) - CAST(sx_r AS DOUBLE)
-     * CAST(sy_r AS DOUBLE) / n_r)
-      / (CAST(sxx_r AS DOUBLE) - CAST(sx_r AS DOUBLE)
-         * CAST(sx_r AS DOUBLE) / n_r) AS b_r
+  SELECT *,
+    {nl(d_cols)}
   FROM w
 )
-SELECT CAST(n_l AS BIGINT) AS n_left, CAST(n_r AS BIGINT) AS n_right,
-  CASE WHEN n_l > 2 AND n_r > 2 THEN ROUND(a_l, 9) END
-    AS intercept_left,
-  CASE WHEN n_l > 2 AND n_r > 2 THEN ROUND(a_r, 9) END
-    AS intercept_right,
-  CASE WHEN n_l > 2 AND n_r > 2 THEN ROUND(b_l, 9) END AS slope_left,
-  CASE WHEN n_l > 2 AND n_r > 2 THEN ROUND(b_r, 9) END AS slope_right,
-  CASE WHEN n_l > 2 AND n_r > 2 THEN ROUND(a_r - a_l, 9) END
-    AS rdd_effect
+SELECT
+  {nl(out_cols)}
 FROM d
-""",
+"""
+
+
+register(
+    "events_rdd_estimate",
+    oracle=_rdd_sql(),
     doc="Sharp regression discontinuity at the heavy-clicker cutoff "
     f"(running variable = per-user click count, cutoff {_RDD_CUT}, "
-    f"bandwidth +/-{_RDD_BW}): local linear fits on each side of the "
-    "cutoff via the closed-form OLS on exact DECIMAL sufficient "
-    "statistics (the ml_grouped_ols_slopes machinery, centered at "
-    "the cutoff so each intercept IS the boundary value), RD effect "
-    "= right-limit minus left-limit.  The third leg of the causal "
-    "suite: randomized A/B (hash variants), observational "
-    "strata/IPW, and now the discontinuity design for "
-    "threshold-assigned treatments (promotions, eligibility rules).  "
-    "Degenerate windows (< 3 points a side) NULL out.  Scale: one "
-    "user-grain pass with the bandwidth filter pushed to the "
-    "aggregate, then a 2-row epilogue.",
+    f"headline bandwidth +/-{_RDD_BW}): local linear fits on each "
+    "side of the cutoff via the closed-form OLS on exact DECIMAL "
+    "sufficient statistics (the ml_grouped_ols_slopes machinery, "
+    "centered at the cutoff so each intercept IS the boundary "
+    "value), RD effect = right-limit minus left-limit.  Real RD "
+    "practice never reports one bandwidth: the same single pass "
+    "carries conditional sums for the +/-2 neighbours "
+    f"(bandwidths {_RDD_BWS}) and reports rdd_effect_bw4/"
+    "rdd_effect_bw8 sensitivity columns next to the headline "
+    "(round-11 VERDICT #4; stability on the fixture pinned in "
+    "tests/test_round12.py).  The third leg of the causal suite: "
+    "randomized A/B (hash variants), observational strata/IPW, and "
+    "the discontinuity design for threshold-assigned treatments "
+    "(promotions, eligibility rules).  Degenerate windows (< 3 "
+    "points a side) NULL out per bandwidth.  Scale: one user-grain "
+    "pass with the widest-bandwidth filter pushed to the aggregate, "
+    "then a 2-row epilogue.",
     tags=("events", "causal", "statistics", "extension"),
     extended=True,
 )(_rdd_estimate)
@@ -1322,7 +1394,8 @@ register(
     "path on that prefix, and on bounded input it equals "
     "events_ab_sequential_msprt row for row (SAME oracle, the "
     "stream_tumbling_hourly equality pattern).  Epilogue shared "
-    "verbatim with the batch query (_msprt_epilogue).",
+    "verbatim with the batch query (_msprt_epilogue), including its "
+    "event-level-iid validity caveat (see that query's doc).",
     tags=("streaming", "ab-testing", "sequential", "extension"),
     extended=False,  # gate (round-12 rotation; batch twin stays ext w/ same oracle)
 )(_stream_msprt_monitor)

@@ -75,3 +75,19 @@ def test_qini_cutpoints_agrees_with_rank_form(spark, sf_dir, reg):
         )
         got = cut_mass - (rank[d]["n_treated"] + rank[d]["n_ctrl"])
         assert abs(got) <= biggest_tie, (d, got, biggest_tie)
+
+
+def test_rdd_bandwidth_sensitivity_stable_on_null_fixture(
+    spark, sf_dir, reg
+):
+    """The fixture has NO true discontinuity at the click cutoff
+    (smooth synthetic activity), so every bandwidth's effect must be
+    small relative to the boundary outcome level — a bandwidth that
+    manufactures a large jump on null data is a broken fit.  All
+    three sensitivity columns populate (>= 3 points a side at bw=4
+    on the fixture)."""
+    r = reg["events_rdd_estimate"].fn(spark, sf_dir).collect()[0]
+    level = max(abs(r["intercept_left"]), abs(r["intercept_right"]))
+    for col in ("rdd_effect", "rdd_effect_bw4", "rdd_effect_bw8"):
+        assert r[col] is not None, col
+        assert abs(r[col]) < 0.25 * level, (col, r[col], level)
