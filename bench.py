@@ -109,6 +109,15 @@ HEADLINE = [
     # healthcheck composite
     "ml_conformal_interval",
     "events_ab_healthcheck",
+    # round-12 gate promotions (the headline grows ONLY by newly
+    # promoted queries — protocol frozen since round 10): the causal/
+    # inference suite plus the Spark-4 Python DataSource scan
+    "events_ab_fdr_bh",
+    "events_ipw_stratified_ate",
+    "events_ab_quantile_effects",
+    "corpus_pps_ht_estimate",
+    "stream_msprt_monitor",
+    "versioned_datasource_scan",
 ]
 
 
