@@ -1826,7 +1826,12 @@ GROUP BY t.label, p.pred_label
 
 register(
     "classifier_knn_lsh_prod",
-    oracle=None,  # perf/scale twin of the oracle-paired covering form
+    oracle=None,  # perf/scale twin of the oracle-paired covering form.
+    # Round-12 covering probe (verdict-r11 #8): 10 tables is NOT
+    # covering at fixture scale (prod != base confusion at sf0.001
+    # and sf0.01), so an exact-oracle pairing would require raising
+    # the profile toward the 16-table covering point and defeat the
+    # knob; the agreement floor below stays the contract.
     doc="PRODUCTION profile of classifier_knn_lsh: 10 LSH tables "
     "instead of the 24-table exact-covering oracle setting — the same "
     "bounded bucket machinery with ~2-3x less candidate volume, the "
