@@ -44,6 +44,25 @@ def _wide(c: Column, mult: int) -> Column:
     return (c * mult).cast("decimal(38,0)")
 
 
+def exact_cov_num(
+    sx: Column, sy: Column, sxy: Column, n: Column, frac_digits: int = 0
+) -> Column:
+    """The exact DECIMAL(38,0) numerator ``n*sxy - sx*sy``, scaled to
+    integer grain by ``10^frac_digits`` per factor (i.e. the value is
+    ``(n*sxy - sx*sy) * 10^(2*frac_digits)``).  Exposed for ratio
+    forms (an OLS slope is ``cov_num/var_num`` — the common scale
+    cancels, so dividing the two double-cast numerators avoids four
+    needless roundings)."""
+    mult = 10**frac_digits
+    if mult == 1:
+        return n.cast("decimal(38,0)") * _wide(sxy, 1) - _wide(
+            sx, 1
+        ) * _wide(sy, 1)
+    return n.cast("decimal(38,0)") * _wide(sxy, mult) * mult - _wide(
+        sx, mult
+    ) * _wide(sy, mult)
+
+
 def exact_cov(
     sx: Column, sy: Column, sxy: Column, n: Column, frac_digits: int = 0
 ) -> Column:
@@ -52,14 +71,9 @@ def exact_cov(
     ``n*sxy - sx*sy`` (scaled to integer grain first), one double
     cast, then the pinned division chain ``/ M^2 / n / (n-1)``."""
     mult = 10**frac_digits
+    num = exact_cov_num(sx, sy, sxy, n, frac_digits)
     if mult == 1:
-        num = n.cast("decimal(38,0)") * _wide(sxy, 1) - _wide(
-            sx, 1
-        ) * _wide(sy, 1)
         return num.cast("double") / n / (n - 1)
-    num = n.cast("decimal(38,0)") * _wide(sxy, mult) * mult - _wide(
-        sx, mult
-    ) * _wide(sy, mult)
     return (
         num.cast("double") / float(mult * mult) / n / (n - 1)
     )
@@ -73,22 +87,31 @@ def exact_var(
     return exact_cov(s1, s1, s2, n, frac_digits)
 
 
+def sql_exact_cov_num(
+    sx: str, sy: str, sxy: str, n: str, frac_digits: int = 0
+) -> str:
+    """The DuckDB mirror of :func:`exact_cov_num` — HUGEINT."""
+    mult = 10**frac_digits
+    if mult == 1:
+        return (
+            f"CAST({n} AS HUGEINT) * CAST({sxy} AS HUGEINT) "
+            f"- CAST({sx} AS HUGEINT) * CAST({sy} AS HUGEINT)"
+        )
+    return (
+        f"CAST({n} AS HUGEINT) * CAST({sxy} * {mult} AS HUGEINT) * {mult} "
+        f"- CAST({sx} * {mult} AS HUGEINT) * CAST({sy} * {mult} AS HUGEINT)"
+    )
+
+
 def sql_exact_cov(
     sx: str, sy: str, sxy: str, n: str, frac_digits: int = 0
 ) -> str:
     """The DuckDB mirror of :func:`exact_cov` — HUGEINT numerator,
     identical double cast and division order."""
     mult = 10**frac_digits
+    num = sql_exact_cov_num(sx, sy, sxy, n, frac_digits)
     if mult == 1:
-        num = (
-            f"CAST({n} AS HUGEINT) * CAST({sxy} AS HUGEINT) "
-            f"- CAST({sx} AS HUGEINT) * CAST({sy} AS HUGEINT)"
-        )
         return f"CAST({num} AS DOUBLE) / {n} / ({n} - 1)"
-    num = (
-        f"CAST({n} AS HUGEINT) * CAST({sxy} * {mult} AS HUGEINT) * {mult} "
-        f"- CAST({sx} * {mult} AS HUGEINT) * CAST({sy} * {mult} AS HUGEINT)"
-    )
     return (
         f"CAST({num} AS DOUBLE) / CAST({mult * mult} AS DOUBLE) "
         f"/ {n} / ({n} - 1)"

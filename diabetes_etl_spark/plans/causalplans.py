@@ -1399,3 +1399,639 @@ register(
     tags=("streaming", "ab-testing", "sequential", "extension"),
     extended=False,  # gate (round-12 rotation; batch twin stays ext w/ same oracle)
 )(_stream_msprt_monitor)
+
+
+# -- AIPW doubly-robust ATE (round 12) ------------------------------------------
+#
+# The estimator practitioners actually ship when neither the
+# propensity model nor the outcome model is trusted alone: AIPW
+# (augmented IPW / doubly robust; Robins, Rotnitzky & Zhao 1994) is
+# consistent if EITHER is right.  Here the two models are genuinely
+# different functions — propensity = exact within-stratum treatment
+# share (the events_ipw_stratified_ate machinery), outcome = per-arm
+# LINEAR-in-activity OLS fit globally (closed form on exact decimal
+# sufficient statistics) — so the augmentation terms do NOT vanish
+# the way they would with saturated stratum-mean outcome models, and
+# the query demonstrates the actual bias-correction algebra.
+
+
+def _aipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.functions.stats import exact_cov_num
+
+    per_user = _per_user_activity(spark, sf_dir)
+    base = per_user.select(
+        (F.col("n_clicks") >= _TREAT_CLICKS).cast("int").alias("treated"),
+        F.col("y_events").alias("x"),
+        F.col("revenue").alias("y"),
+        F.expr(_STRATA_SQL.replace("y", "y_events")).alias("stratum"),
+    )
+    grid = base.groupBy("stratum", "treated").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias(
+            "sxx"
+        ),
+        F.sum(
+            (F.col("x") * F.col("y")).cast("decimal(38,6)")
+        ).alias("sxy"),
+    )
+
+    def cell(c, v):
+        return F.max(
+            F.when(F.col("treated") == v, F.col(c))
+        ).alias(f"{c}{'t' if v else 'c'}")
+
+    strat = grid.groupBy("stratum").agg(
+        *[cell(c, v) for v in (1, 0)
+          for c in ("n", "sx", "sy", "sxx", "sxy")]
+    )
+
+    def arm(tag):
+        # arm-level sufficient statistics (decimal sums over strata
+        # cells are exact regardless of grouping), then the OLS
+        # slope as a ratio of exact_cov_num numerators (the common
+        # n*(n-1)*1e12 scale cancels) and the pinned intercept
+        z = F.lit(0).cast("decimal(38,0)")
+        z6 = F.lit(0).cast("decimal(38,6)")
+        n = F.sum(F.coalesce(F.col(f"n{tag}"), F.lit(0)))
+        sx = F.sum(F.coalesce(F.col(f"sx{tag}"), z))
+        sy = F.sum(F.coalesce(F.col(f"sy{tag}"), z6))
+        sxx = F.sum(F.coalesce(F.col(f"sxx{tag}"), z))
+        sxy = F.sum(F.coalesce(F.col(f"sxy{tag}"), z6))
+        return [
+            n.alias(f"n_{tag}"), sx.alias(f"sx_{tag}"),
+            sy.alias(f"sy_{tag}"), sxx.alias(f"sxx_{tag}"),
+            sxy.alias(f"sxy_{tag}"),
+        ]
+
+    arms = strat.agg(*(arm("t") + arm("c")))
+
+    def coefs(tag):
+        n = F.col(f"n_{tag}")
+        covn = exact_cov_num(
+            F.col(f"sx_{tag}"), F.col(f"sy_{tag}"),
+            F.col(f"sxy_{tag}"), n, frac_digits=6,
+        )
+        varn = exact_cov_num(
+            F.col(f"sx_{tag}"), F.col(f"sx_{tag}"),
+            F.col(f"sxx_{tag}"), n, frac_digits=6,
+        )
+        b = F.round(covn.cast("double") / varn.cast("double"), 9)
+        a = F.round(
+            F.col(f"sy_{tag}").cast("double") / n
+            - b * (F.col(f"sx_{tag}").cast("double") / n),
+            9,
+        )
+        return a, b
+
+    a1, b1 = coefs("t")
+    a0, b0 = coefs("c")
+    coef = arms.select(
+        F.col("n_t").alias("n_treat"),
+        F.col("n_c").alias("n_ctrl"),
+        a1.alias("a1"), b1.alias("b1"),
+        a0.alias("a0"), b0.alias("b0"),
+    )
+
+    j = strat.crossJoin(F.broadcast(coef))
+    nt = F.coalesce(F.col("nt"), F.lit(0))
+    nc = F.coalesce(F.col("nc"), F.lit(0))
+    ns = nt + nc
+    ok = (nt > 0) & (nc > 0)
+    e = nt.cast("double") / ns
+    sxt = F.coalesce(F.col("sxt"), F.lit(0).cast("decimal(38,0)"))
+    sxc = F.coalesce(F.col("sxc"), F.lit(0).cast("decimal(38,0)"))
+    syt = F.coalesce(F.col("syt"), F.lit(0).cast("decimal(38,6)"))
+    syc = F.coalesce(F.col("syc"), F.lit(0).cast("decimal(38,6)"))
+    gterm = (F.col("a1") - F.col("a0")) * ns + (
+        F.col("b1") - F.col("b0")
+    ) * (sxt + sxc).cast("double")
+    corr1 = (
+        syt.cast("double")
+        - nt * F.col("a1")
+        - F.col("b1") * sxt.cast("double")
+    ) / e
+    corr0 = (
+        syc.cast("double")
+        - nc * F.col("a0")
+        - F.col("b0") * sxc.cast("double")
+    ) / (1 - e)
+    d12 = "decimal(38,12)"
+    out = j.agg(
+        F.max("n_treat").alias("n_treat"),
+        F.max("n_ctrl").alias("n_ctrl"),
+        F.max("b1").alias("slope_treat"),
+        F.max("b0").alias("slope_ctrl"),
+        F.sum(F.when(ok, ns)).alias("n_ok"),
+        F.sum(
+            F.when(ok, F.round(gterm, 9).cast(d12))
+        ).alias("g_sum"),
+        F.sum(
+            F.when(
+                ok, F.round(gterm + corr1 - corr0, 9).cast(d12)
+            )
+        ).alias("aipw_sum"),
+    )
+    return out.select(
+        F.col("n_treat").cast("long").alias("n_treat"),
+        F.col("n_ctrl").cast("long").alias("n_ctrl"),
+        F.col("n_ok").cast("long").alias("n_ok"),
+        "slope_treat",
+        "slope_ctrl",
+        F.round(
+            F.col("g_sum").cast("double") / F.col("n_ok"), 9
+        ).alias("ate_gcomp"),
+        F.round(
+            F.col("aipw_sum").cast("double") / F.col("n_ok"), 9
+        ).alias("ate_aipw"),
+    )
+
+
+def _aipw_sql() -> str:
+    from diabetes_etl_spark.functions.stats import sql_exact_cov_num
+
+    def coefs(tag):
+        n = f"n_{tag}"
+        covn = sql_exact_cov_num(
+            f"sx_{tag}", f"sy_{tag}", f"sxy_{tag}", n, 6
+        )
+        varn = sql_exact_cov_num(
+            f"sx_{tag}", f"sx_{tag}", f"sxx_{tag}", n, 6
+        )
+        b = (
+            f"ROUND(CAST({covn} AS DOUBLE)"
+            f" / CAST({varn} AS DOUBLE), 9)"
+        )
+        a = (
+            f"ROUND(CAST(sy_{tag} AS DOUBLE) / {n}"
+            f" - b{1 if tag == 't' else 0}"
+            f" * (CAST(sx_{tag} AS DOUBLE) / {n}), 9)"
+        )
+        return a, b
+
+    a1, b1 = coefs("t")
+    a0, b0 = coefs("c")
+    return f"""
+WITH per_user AS ({_PER_USER_SQL}),
+base AS (
+  SELECT CASE WHEN n_clicks >= {_TREAT_CLICKS} THEN 1 ELSE 0 END
+      AS treated,
+    y_events AS x, revenue AS y,
+    {_STRATA_SQL.replace("y", "y_events")} AS stratum
+  FROM per_user
+),
+grid AS (
+  SELECT stratum, treated, COUNT(*) AS n,
+    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+    SUM(y) AS sy,
+    SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+    SUM(CAST(x * y AS DECIMAL(38,6))) AS sxy
+  FROM base GROUP BY stratum, treated
+),
+strat AS (
+  SELECT stratum,
+    MAX(CASE WHEN treated = 1 THEN n END) AS nt,
+    MAX(CASE WHEN treated = 1 THEN sx END) AS sxt,
+    MAX(CASE WHEN treated = 1 THEN sy END) AS syt,
+    MAX(CASE WHEN treated = 1 THEN sxx END) AS sxxt,
+    MAX(CASE WHEN treated = 1 THEN sxy END) AS sxyt,
+    MAX(CASE WHEN treated = 0 THEN n END) AS nc,
+    MAX(CASE WHEN treated = 0 THEN sx END) AS sxc,
+    MAX(CASE WHEN treated = 0 THEN sy END) AS syc,
+    MAX(CASE WHEN treated = 0 THEN sxx END) AS sxxc,
+    MAX(CASE WHEN treated = 0 THEN sxy END) AS sxyc
+  FROM grid GROUP BY stratum
+),
+arms AS (
+  SELECT
+    SUM(COALESCE(nt, 0)) AS n_t,
+    SUM(COALESCE(sxt, CAST(0 AS DECIMAL(38,0)))) AS sx_t,
+    SUM(COALESCE(syt, CAST(0 AS DECIMAL(38,6)))) AS sy_t,
+    SUM(COALESCE(sxxt, CAST(0 AS DECIMAL(38,0)))) AS sxx_t,
+    SUM(COALESCE(sxyt, CAST(0 AS DECIMAL(38,6)))) AS sxy_t,
+    SUM(COALESCE(nc, 0)) AS n_c,
+    SUM(COALESCE(sxc, CAST(0 AS DECIMAL(38,0)))) AS sx_c,
+    SUM(COALESCE(syc, CAST(0 AS DECIMAL(38,6)))) AS sy_c,
+    SUM(COALESCE(sxxc, CAST(0 AS DECIMAL(38,0)))) AS sxx_c,
+    SUM(COALESCE(sxyc, CAST(0 AS DECIMAL(38,6)))) AS sxy_c
+  FROM strat
+),
+slopes AS (
+  SELECT n_t AS n_treat, n_c AS n_ctrl, n_t, n_c,
+    sx_t, sy_t, sx_c, sy_c,
+    {b1} AS b1, {b0} AS b0
+  FROM arms
+),
+coef AS (
+  SELECT n_treat, n_ctrl, b1, b0, {a1} AS a1, {a0} AS a0
+  FROM slopes
+),
+terms AS (
+  SELECT s.*, c.*,
+    COALESCE(s.nt, 0) + COALESCE(s.nc, 0) AS ns,
+    COALESCE(s.nt, 0) > 0 AND COALESCE(s.nc, 0) > 0 AS ok,
+    CAST(COALESCE(s.nt, 0) AS DOUBLE)
+      / (COALESCE(s.nt, 0) + COALESCE(s.nc, 0)) AS e
+  FROM strat s CROSS JOIN coef c
+),
+contrib AS (
+  SELECT *,
+    (a1 - a0) * ns
+      + (b1 - b0) * CAST(COALESCE(sxt, CAST(0 AS DECIMAL(38,0)))
+          + COALESCE(sxc, CAST(0 AS DECIMAL(38,0))) AS DOUBLE)
+      AS gterm,
+    (CAST(COALESCE(syt, CAST(0 AS DECIMAL(38,6))) AS DOUBLE)
+      - COALESCE(nt, 0) * a1
+      - b1 * CAST(COALESCE(sxt, CAST(0 AS DECIMAL(38,0))) AS DOUBLE))
+      / e AS corr1,
+    (CAST(COALESCE(syc, CAST(0 AS DECIMAL(38,6))) AS DOUBLE)
+      - COALESCE(nc, 0) * a0
+      - b0 * CAST(COALESCE(sxc, CAST(0 AS DECIMAL(38,0))) AS DOUBLE))
+      / (1 - e) AS corr0
+  FROM terms
+)
+SELECT CAST(MAX(n_treat) AS BIGINT) AS n_treat,
+  CAST(MAX(n_ctrl) AS BIGINT) AS n_ctrl,
+  CAST(SUM(CASE WHEN ok THEN ns END) AS BIGINT) AS n_ok,
+  MAX(b1) AS slope_treat,
+  MAX(b0) AS slope_ctrl,
+  ROUND(CAST(SUM(CASE WHEN ok
+      THEN CAST(ROUND(gterm, 9) AS DECIMAL(38,12)) END) AS DOUBLE)
+    / SUM(CASE WHEN ok THEN ns END), 9) AS ate_gcomp,
+  ROUND(CAST(SUM(CASE WHEN ok
+      THEN CAST(ROUND(gterm + corr1 - corr0, 9) AS DECIMAL(38,12))
+      END) AS DOUBLE)
+    / SUM(CASE WHEN ok THEN ns END), 9) AS ate_aipw
+FROM contrib
+"""
+
+
+register(
+    "events_aipw_doubly_robust",
+    oracle=_aipw_sql(),
+    doc="AIPW doubly-robust ATE (Robins/Rotnitzky/Zhao 1994) of heavy "
+    "clicking on purchase revenue — the estimator that stays "
+    "consistent if EITHER the propensity model or the outcome model "
+    "is right: propensity = exact within-stratum treatment share "
+    "(the events_ipw_stratified_ate strata), outcome = per-arm "
+    "linear-in-activity OLS fit in closed form on exact decimal "
+    "sufficient statistics (slope = ratio of exact_cov_num "
+    "numerators — the cancellation-proof fold, common scale "
+    "cancels).  The two models are genuinely different functions, "
+    "so the augmentation residual terms (sum_s residual_t/e_s - "
+    "residual_c/(1-e_s)) do not vanish and the g-computation column "
+    "(ate_gcomp, pure outcome model) sits next to the corrected "
+    "ate_aipw.  Strata missing a side drop from both (positivity), "
+    "per-stratum double terms quantize to DECIMAL(38,12) before the "
+    "order-independent fold.  Completes the observational suite: "
+    "naive / stratified / IPW / AIPW / RDD / IV.  Scale: ONE "
+    "user-grain pass to an (4 strata x 2 arms) grid; everything "
+    "after is a bounded epilogue.",
+    tags=("events", "causal", "statistics", "extension"),
+    extended=True,
+)(_aipw_ate)
+
+
+# -- off-policy evaluation: IPS / SNIPS / clipped IPS (round 12) ----------------
+
+_POLICY_ARMS = 4
+_IPS_CLIP = 2.0
+
+
+def _policy_col(c):
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % _POLICY_ARMS
+    )
+
+
+def _ops_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = _per_user_activity(spark, sf_dir)
+    scored = per_user.select(
+        _policy_col(F.col("user_id")).alias("a_logged"),
+        F.expr(_STRATA_SQL.replace("y", "y_events")).alias("a_target"),
+        F.col("revenue").alias("r"),
+    )
+    m = (F.col("a_logged") == F.col("a_target")).cast("int")
+    z6 = F.lit(0).cast("decimal(38,6)")
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(m).alias("k"),
+        F.sum("r").alias("sr_all"),
+        F.sum(F.when(m == 1, F.col("r")).otherwise(z6)).alias("sr_m"),
+    )
+    n, k = F.col("n"), F.col("k")
+    sr_all = F.col("sr_all").cast("double")
+    sr_m = F.col("sr_m").cast("double")
+    w = float(_POLICY_ARMS)
+    return agg.select(
+        n.cast("long").alias("n_users"),
+        k.cast("long").alias("n_matched"),
+        F.round(k.cast("double") / n, 9).alias("match_rate"),
+        F.round(sr_all / n, 9).alias("value_logged"),
+        F.round(sr_m * w / n, 9).alias("value_ips"),
+        F.when(k > 0, F.round(sr_m * w / (w * k), 9)).alias(
+            "value_snips"
+        ),
+        F.round(sr_m * _IPS_CLIP / n, 9).alias("value_ips_clipped"),
+        F.when(
+            k > 0,
+            F.round(
+                ((w * k) * (w * k)).cast("double") / (w * w * k), 9
+            ),
+        ).alias("ess"),
+    )
+
+
+register(
+    "events_policy_ips_snips",
+    oracle=f"""
+WITH per_user AS ({_PER_USER_SQL}),
+scored AS (
+  SELECT
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      ::BIGINT % {_POLICY_ARMS} AS INT) AS a_logged,
+    {_STRATA_SQL.replace("y", "y_events")} AS a_target,
+    revenue AS r
+  FROM per_user
+),
+agg AS (
+  SELECT COUNT(*) AS n,
+    SUM(CASE WHEN a_logged = a_target THEN 1 ELSE 0 END) AS k,
+    SUM(r) AS sr_all,
+    SUM(CASE WHEN a_logged = a_target THEN r
+        ELSE CAST(0 AS DECIMAL(38,6)) END) AS sr_m
+  FROM scored
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+  CAST(k AS BIGINT) AS n_matched,
+  ROUND(CAST(k AS DOUBLE) / n, 9) AS match_rate,
+  ROUND(CAST(sr_all AS DOUBLE) / n, 9) AS value_logged,
+  ROUND(CAST(sr_m AS DOUBLE) * {float(_POLICY_ARMS)} / n, 9)
+    AS value_ips,
+  CASE WHEN k > 0 THEN
+    ROUND(CAST(sr_m AS DOUBLE) * {float(_POLICY_ARMS)}
+      / ({float(_POLICY_ARMS)} * k), 9) END AS value_snips,
+  ROUND(CAST(sr_m AS DOUBLE) * {_IPS_CLIP} / n, 9)
+    AS value_ips_clipped,
+  CASE WHEN k > 0 THEN
+    ROUND(CAST(({float(_POLICY_ARMS)} * k)
+        * ({float(_POLICY_ARMS)} * k) AS DOUBLE)
+      / ({float(_POLICY_ARMS)} * {float(_POLICY_ARMS)} * k), 9)
+    END AS ess
+FROM agg
+""",
+    doc="Off-policy evaluation of a deterministic targeting policy "
+    "from randomized logs — the counterfactual readout every "
+    "recommendation/campaign system needs BEFORE shipping a policy: "
+    "the logged policy assigns each user one of 4 campaign arms "
+    "uniformly by md5 hash (so the behavior propensity is KNOWN "
+    "exactly: 1/4 — the clean-logging case IPS theory assumes), the "
+    "target policy assigns the activity-tiered arm (the fixed "
+    "stratum cuts), and the estimators are the standard triad: IPS "
+    "= sum(w r)/N with w = 4 x match-indicator (unbiased, "
+    "high-variance), SNIPS = sum(w r)/sum(w) (self-normalized, "
+    "biased-but-consistent, variance-damped), clipped IPS at w <= "
+    f"{_IPS_CLIP} (the bias-variance knob), plus the effective-"
+    "sample-size diagnostic ESS = (sum w)^2 / sum(w^2) and the "
+    "on-policy logged value for reference.  Exact integer/DECIMAL "
+    "folds until the final divisions; NULL (never fabricated) when "
+    "no user matches the target policy.  Scale: ONE user-grain "
+    "grouped pass to a 1-row epilogue.",
+    tags=("events", "causal", "policy", "statistics", "extension"),
+    extended=True,
+)(_ops_ips)
+
+
+# -- restricted mean survival time between arms (round 12) ----------------------
+
+_RMST_TAU = 14  # days: the restriction horizon (fixture spans ~0-30d)
+
+
+def _rmst_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(day).alias("f"),
+        F.max(day).alias("l"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 90),
+                day,
+            )
+        ).alias("cday"),
+    )
+    users = per_user.select(
+        _variant_col(F.col("user_id")).alias("variant"),
+        F.when(
+            F.col("cday").isNotNull(),
+            F.datediff("cday", "f"),
+        ).otherwise(F.datediff("l", "f")).alias("t"),
+        F.col("cday").isNotNull().cast("int").alias("dead"),
+    )
+    grp = users.groupBy("variant", "t").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("dead").cast("long").alias("d"),
+    )
+    wcum = Window.partitionBy("variant").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("variant").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    word = Window.partitionBy("variant").orderBy("t")
+    risk = grp.select(
+        "variant",
+        "t",
+        "m",
+        "d",
+        (
+            F.sum("m").over(wall) - F.sum("m").over(wcum) + F.col("m")
+        ).alias("n_risk"),
+    )
+    # the KM log-space machinery (events_km_survival), per arm; S is
+    # materialized through ONE input/output-quantized exp per spine
+    # row (the sigmoid_q convention) because RMST integrates S itself
+    terms = risk.select(
+        "variant",
+        "t",
+        "m",
+        "d",
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d").cast("double") / F.col("n_risk")
+                ),
+                9,
+            ),
+        ).alias("lnterm"),
+        F.max(
+            F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+        ).over(wcum).alias("zeroed"),
+    )
+    spine = terms.select(
+        "variant",
+        "t",
+        "m",
+        "d",
+        F.when(F.col("zeroed") == 1, F.lit(0.0)).otherwise(
+            F.round(
+                F.exp(
+                    F.round(
+                        F.sum(
+                            F.col("lnterm").cast("decimal(20,12)")
+                        ).over(wcum).cast("double"),
+                        9,
+                    )
+                ),
+                7,
+            )
+        ).alias("s"),
+        F.lead("t").over(word).alias("nt"),
+    )
+    tau = F.lit(_RMST_TAU)
+    width = F.greatest(
+        F.lit(0),
+        F.least(F.coalesce(F.col("nt"), tau), tau)
+        - F.least(F.col("t"), tau),
+    )
+    arm = spine.groupBy("variant").agg(
+        F.sum("m").cast("long").alias("n_users"),
+        F.sum("d").cast("long").alias("n_deaths"),
+        F.round(
+            F.least(F.min("t"), tau).cast("double")
+            + F.sum(
+                F.round(F.col("s") * width.cast("double"), 7).cast(
+                    "decimal(20,12)"
+                )
+            ).cast("double"),
+            9,
+        ).alias("rmst"),
+    )
+    w = arm.agg(
+        *[
+            F.max(
+                F.when(F.col("variant") == v, F.col(c))
+            ).alias(f"{c}_{tag}")
+            for tag, v in (("a", 0), ("b", 1))
+            for c in ("n_users", "n_deaths", "rmst")
+        ]
+    )
+    return w.select(
+        F.col("n_users_a").alias("n_users_a"),
+        F.col("n_users_b").alias("n_users_b"),
+        F.col("n_deaths_a").alias("n_deaths_a"),
+        F.col("n_deaths_b").alias("n_deaths_b"),
+        F.col("rmst_a").alias("rmst_a"),
+        F.col("rmst_b").alias("rmst_b"),
+        F.round(F.col("rmst_b") - F.col("rmst_a"), 9).alias(
+            "rmst_diff"
+        ),
+    )
+
+
+register(
+    "events_ab_rmst",
+    oracle=f"""
+WITH ed AS (
+  SELECT user_id, event_type, value,
+    CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+per_user AS (
+  SELECT user_id, MIN(day) AS f, MAX(day) AS l,
+    MIN(CASE WHEN event_type = 'purchase' AND value > 90
+        THEN day END) AS cday
+  FROM ed GROUP BY user_id
+),
+users AS (
+  SELECT
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      ::BIGINT % 2 AS INT) AS variant,
+    CASE WHEN cday IS NOT NULL THEN datediff('day', f, cday)
+      ELSE datediff('day', f, l) END AS t,
+    CAST(cday IS NOT NULL AS INT) AS dead
+  FROM per_user
+),
+grp AS (
+  SELECT variant, t, CAST(COUNT(*) AS BIGINT) AS m,
+    CAST(SUM(dead) AS BIGINT) AS d
+  FROM users GROUP BY variant, t
+),
+risk AS (
+  SELECT variant, t, m, d,
+    SUM(m) OVER (PARTITION BY variant) 
+      - SUM(m) OVER (PARTITION BY variant ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) + m AS n_risk
+  FROM grp
+),
+terms AS (
+  SELECT variant, t, m, d,
+    CASE WHEN d < n_risk
+      THEN ROUND(ln(1 - CAST(d AS DOUBLE) / n_risk), 9) END AS lnterm,
+    MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+      OVER (PARTITION BY variant ORDER BY t ROWS UNBOUNDED PRECEDING)
+      AS zeroed
+  FROM risk
+),
+spine AS (
+  SELECT variant, t, m, d,
+    CASE WHEN zeroed = 1 THEN CAST(0.0 AS DOUBLE)
+      ELSE ROUND(EXP(ROUND(CAST(SUM(CAST(lnterm AS DECIMAL(20,12)))
+        OVER (PARTITION BY variant ORDER BY t
+              ROWS UNBOUNDED PRECEDING) AS DOUBLE), 9)), 7) END AS s,
+    LEAD(t) OVER (PARTITION BY variant ORDER BY t) AS nt
+  FROM terms
+),
+arm AS (
+  SELECT variant,
+    CAST(SUM(m) AS BIGINT) AS n_users,
+    CAST(SUM(d) AS BIGINT) AS n_deaths,
+    ROUND(CAST(LEAST(MIN(t), {_RMST_TAU}) AS DOUBLE)
+      + CAST(SUM(CAST(ROUND(s * CAST(GREATEST(0,
+          LEAST(COALESCE(nt, {_RMST_TAU}), {_RMST_TAU})
+          - LEAST(t, {_RMST_TAU})) AS DOUBLE), 7)
+        AS DECIMAL(20,12))) AS DOUBLE), 9) AS rmst
+  FROM spine GROUP BY variant
+)
+SELECT
+  MAX(CASE WHEN variant = 0 THEN n_users END) AS n_users_a,
+  MAX(CASE WHEN variant = 1 THEN n_users END) AS n_users_b,
+  MAX(CASE WHEN variant = 0 THEN n_deaths END) AS n_deaths_a,
+  MAX(CASE WHEN variant = 1 THEN n_deaths END) AS n_deaths_b,
+  MAX(CASE WHEN variant = 0 THEN rmst END) AS rmst_a,
+  MAX(CASE WHEN variant = 1 THEN rmst END) AS rmst_b,
+  ROUND(MAX(CASE WHEN variant = 1 THEN rmst END)
+    - MAX(CASE WHEN variant = 0 THEN rmst END), 9) AS rmst_diff
+FROM arm
+""",
+    doc="Restricted mean survival time (RMST) difference between the "
+    f"hash-bucketed arms at tau = {_RMST_TAU} days — the "
+    "model-free effect size for censored time-to-event data "
+    "(Royston & Parmar 2013): events_ab_logrank answers IS there a "
+    "survival difference, RMST answers HOW MANY DAYS (within tau) "
+    "the treatment delays or hastens the event — the number a "
+    "decision needs.  Event = days from first activity to first "
+    "BIG purchase (value > 90); users who never convert are "
+    "right-censored at their last active day (the KM churn cut is "
+    "degenerate on the fixture — zero silent users — so "
+    "time-to-conversion is the honest non-degenerate target).  Per "
+    "arm, the Kaplan-Meier step curve on the arm's own event-time "
+    "spine (events_km_survival machinery: ln terms quantized at "
+    "source, decimal-folded), then "
+    "RMST = integral_0^tau S(t) dt as the exact step-function sum "
+    "S_i x (clamped interval width) — one input/output-quantized "
+    "exp per spine row materializes S (the sigmoid_q convention), "
+    "products quantize to 7 decimals before the order-independent "
+    "DECIMAL fold.  Scale: one grouped scan of events to per-user "
+    "spans; every window rides the per-arm O(distinct lifetimes) "
+    "spine.",
+    tags=("events", "survival", "ab-testing", "statistics", "extension"),
+    extended=True,
+)(_rmst_arms)

@@ -91,3 +91,51 @@ def test_rdd_bandwidth_sensitivity_stable_on_null_fixture(
     for col in ("rdd_effect", "rdd_effect_bw4", "rdd_effect_bw8"):
         assert r[col] is not None, col
         assert abs(r[col]) < 0.25 * level, (col, r[col], level)
+
+
+def test_aipw_correction_is_real_and_bounded(spark, sf_dir, reg):
+    """The outcome model (per-arm linear OLS) is deliberately NOT the
+    saturated stratum-mean model, so the augmentation terms must not
+    vanish (ate_aipw != ate_gcomp) — with saturated means AIPW
+    collapses to the stratified ATE and the query would demonstrate
+    nothing.  Sanity: both arms populated, strata missing a side
+    drop from the estimator (positivity: n_ok <= n_treat + n_ctrl),
+    and both estimates land within the naive difference's order of
+    magnitude."""
+    r = reg["events_aipw_doubly_robust"].fn(spark, sf_dir).collect()[0]
+    assert r["n_treat"] > 0 and r["n_ctrl"] > 0
+    assert 0 < r["n_ok"] <= r["n_treat"] + r["n_ctrl"]
+    assert r["ate_aipw"] is not None and r["ate_gcomp"] is not None
+    assert abs(r["ate_aipw"] - r["ate_gcomp"]) > 1e-6
+    ipw = reg["events_ipw_stratified_ate"].fn(spark, sf_dir).collect()[0]
+    scale = max(abs(ipw["ate_naive"]), 1.0)
+    assert abs(r["ate_aipw"]) < 10 * scale
+
+
+def test_ips_snips_identities(spark, sf_dir, reg):
+    """With w in {0, 4} the estimators obey exact identities: SNIPS =
+    matched-mean reward, ESS = matched count, clipped IPS = IPS / 2
+    (clip 2 vs weight 4), and IPS = 4 * match_share * SNIPS."""
+    r = reg["events_policy_ips_snips"].fn(spark, sf_dir).collect()[0]
+    assert 0 < r["n_matched"] < r["n_users"]
+    assert r["ess"] == pytest.approx(r["n_matched"], abs=1e-9)
+    assert r["value_ips_clipped"] == pytest.approx(
+        r["value_ips"] / 2, abs=1e-6
+    )
+    assert r["value_ips"] == pytest.approx(
+        4.0 * r["n_matched"] / r["n_users"] * r["value_snips"], abs=1e-5
+    )
+
+
+def test_rmst_bounds_and_consistency(spark, sf_dir, reg):
+    """RMST is an integral of a [0,1] step function over [0, tau]:
+    0 <= rmst <= tau per arm; the diff column is exactly the arm
+    difference; conversions (deaths) are plentiful on the fixture
+    (the non-degeneracy this query switched event definitions for)."""
+    r = reg["events_ab_rmst"].fn(spark, sf_dir).collect()[0]
+    for tag in ("a", "b"):
+        assert 0.0 <= r[f"rmst_{tag}"] <= 14.0
+        assert 0 < r[f"n_deaths_{tag}"] <= r[f"n_users_{tag}"]
+    assert r["rmst_diff"] == pytest.approx(
+        round(r["rmst_b"] - r["rmst_a"], 9), abs=1e-12
+    )
