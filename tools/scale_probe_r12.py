@@ -25,6 +25,9 @@ QUERIES = [
     "events_uplift_qini_cutpoints",
     "stream_msprt_monitor",
     "events_rdd_estimate",
+    "events_aipw_doubly_robust",
+    "events_policy_ips_snips",
+    "events_ab_rmst",
 ]
 
 
