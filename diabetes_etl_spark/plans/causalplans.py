@@ -290,10 +290,10 @@ def _msprt_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _msprt_epilogue(daily)
 
 
-def _msprt_epilogue(daily: DataFrame) -> DataFrame:
-    """The mSPRT path from a (d, variant, n, x) daily grid — shared
-    by the batch query and the streaming monitor (whose grid arrives
-    from a streaming aggregate snapshot)."""
+def _msprt_cum(daily: DataFrame) -> DataFrame:
+    """The cumulative (day, cn_a, cx_a, cn_b, cx_b) accumulation path
+    from a (d, variant, n, x) daily grid — shared by the mSPRT test,
+    the streaming monitor, and the confidence-sequence inversion."""
     g = daily.groupBy("d").agg(
         F.sum(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
         F.sum(F.when(F.col("variant") == 0, F.col("x"))).alias("x_a"),
@@ -301,13 +301,20 @@ def _msprt_epilogue(daily: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("variant") == 1, F.col("x"))).alias("x_b"),
     )
     wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    cum = g.select(
+    return g.select(
         "d",
         F.sum(F.coalesce(F.col("n_a"), F.lit(0))).over(wc).alias("cn_a"),
         F.sum(F.coalesce(F.col("x_a"), F.lit(0))).over(wc).alias("cx_a"),
         F.sum(F.coalesce(F.col("n_b"), F.lit(0))).over(wc).alias("cn_b"),
         F.sum(F.coalesce(F.col("x_b"), F.lit(0))).over(wc).alias("cx_b"),
     ).where((F.col("cn_a") > 0) & (F.col("cn_b") > 0))
+
+
+def _msprt_epilogue(daily: DataFrame) -> DataFrame:
+    """The mSPRT path from a (d, variant, n, x) daily grid — shared
+    by the batch query and the streaming monitor (whose grid arrives
+    from a streaming aggregate snapshot)."""
+    cum = _msprt_cum(daily)
     p_a = F.col("cx_a").cast("double") / F.col("cn_a")
     p_b = F.col("cx_b").cast("double") / F.col("cn_b")
     pool = (F.col("cx_a") + F.col("cx_b")).cast("double") / (
@@ -2035,3 +2042,156 @@ FROM arm
     tags=("events", "survival", "ab-testing", "statistics", "extension"),
     extended=True,
 )(_rmst_arms)
+
+
+# -- anytime-valid confidence sequence on the rate difference (round 12) --------
+#
+# The duality the mSPRT only half-uses: inverting the SAME normal-
+# mixture likelihood ratio over all candidate effects theta gives a
+# CONFIDENCE SEQUENCE — an interval valid at every look
+# simultaneously (Robbins 1970 mixture bound; Howard et al. 2021
+# time-uniform CSs; Johari et al.'s always-valid CIs are exactly
+# this inversion).  {theta : lnLam_t(theta) < ln(1/alpha)} solves to
+#   diff_t +/- sqrt( (1 + V tau^2) / (V^2 tau^2)
+#                    * (2 ln(1/alpha) + ln(1 + V tau^2)) )
+# with V the cumulative pooled-variance information — so the margin
+# needs one quantized ln and one sqrt per day row, and the interval
+# NEVER un-covers a value it has excluded (width shrinks ~sqrt(ln V/V)).
+
+
+def _confseq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+        _variant_col(F.col("user_id")).alias("variant"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("x"),
+    )
+    cum = _msprt_cum(daily)
+    p_a = F.col("cx_a").cast("double") / F.col("cn_a")
+    p_b = F.col("cx_b").cast("double") / F.col("cn_b")
+    pool = (F.col("cx_a") + F.col("cx_b")).cast("double") / (
+        F.col("cn_a") + F.col("cn_b")
+    )
+    var_d = pool * (1 - pool) * (
+        1.0 / F.col("cn_a") + 1.0 / F.col("cn_b")
+    )
+    ok = var_d > 0
+    v = 1.0 / var_d
+    a = 1.0 + v * _MSPRT_TAU2
+    ln_a = F.log(F.round(a, 9))
+    margin = F.when(
+        ok,
+        F.round(
+            F.sqrt(
+                a / (v * _MSPRT_TAU2) / v
+                * (2 * _MSPRT_LN_BOUND + ln_a)
+            ),
+            9,
+        ),
+    )
+    diff = F.when(ok, F.round(p_b - p_a, 9))
+    lo = F.when(ok, F.round(diff - margin, 9))
+    hi = F.when(ok, F.round(diff + margin, 9))
+    return cum.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("cn_a").cast("long").alias("cum_n_a"),
+        F.col("cn_b").cast("long").alias("cum_n_b"),
+        diff.alias("rate_diff"),
+        margin.alias("cs_margin"),
+        lo.alias("cs_lo"),
+        hi.alias("cs_hi"),
+        F.when(ok, (lo > 0) | (hi < 0)).alias("excludes_zero"),
+    ).orderBy("day")
+
+
+register(
+    "events_ab_confidence_sequence",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      ::BIGINT % 2 AS INT) AS variant,
+    COUNT(*) AS n,
+    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT d,
+    SUM(CASE WHEN variant = 0 THEN n END) AS n_a,
+    SUM(CASE WHEN variant = 0 THEN x END) AS x_a,
+    SUM(CASE WHEN variant = 1 THEN n END) AS n_b,
+    SUM(CASE WHEN variant = 1 THEN x END) AS x_b
+  FROM daily GROUP BY d
+),
+cum AS (
+  SELECT d,
+    SUM(COALESCE(n_a, 0)) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+      AS cn_a,
+    SUM(COALESCE(x_a, 0)) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+      AS cx_a,
+    SUM(COALESCE(n_b, 0)) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+      AS cn_b,
+    SUM(COALESCE(x_b, 0)) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+      AS cx_b
+  FROM g
+),
+st AS (
+  SELECT d, cn_a, cn_b, cx_a, cx_b,
+    (CAST(cx_a AS DOUBLE) + cx_b) / (cn_a + cn_b)
+      * (1 - (CAST(cx_a AS DOUBLE) + cx_b) / (cn_a + cn_b))
+      * (CAST(1.0 AS DOUBLE) / cn_a + CAST(1.0 AS DOUBLE) / cn_b)
+      AS var_d
+  FROM cum WHERE cn_a > 0 AND cn_b > 0
+),
+m AS (
+  SELECT d, cn_a, cn_b,
+    CASE WHEN var_d > 0
+      THEN ROUND(CAST(cx_b AS DOUBLE) / cn_b
+                 - CAST(cx_a AS DOUBLE) / cn_a, 9) END AS rate_diff,
+    CASE WHEN var_d > 0 THEN
+      ROUND(SQRT((1.0 + (CAST(1.0 AS DOUBLE) / var_d) * {_MSPRT_TAU2})
+        / ((CAST(1.0 AS DOUBLE) / var_d) * {_MSPRT_TAU2})
+        / (CAST(1.0 AS DOUBLE) / var_d)
+        * (2 * {_MSPRT_LN_BOUND!r}
+           + LN(ROUND(1.0 + (CAST(1.0 AS DOUBLE) / var_d)
+                      * {_MSPRT_TAU2}, 9)))), 9) END AS cs_margin
+  FROM st
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+  CAST(cn_a AS BIGINT) AS cum_n_a,
+  CAST(cn_b AS BIGINT) AS cum_n_b,
+  rate_diff, cs_margin,
+  CASE WHEN cs_margin IS NOT NULL
+    THEN ROUND(rate_diff - cs_margin, 9) END AS cs_lo,
+  CASE WHEN cs_margin IS NOT NULL
+    THEN ROUND(rate_diff + cs_margin, 9) END AS cs_hi,
+  CASE WHEN cs_margin IS NOT NULL
+    THEN ROUND(rate_diff - cs_margin, 9) > 0
+      OR ROUND(rate_diff + cs_margin, 9) < 0 END AS excludes_zero
+FROM m ORDER BY day
+""",
+    doc="Anytime-valid confidence sequence on the daily purchase-rate "
+    "difference — the inversion of the SAME normal-mixture likelihood "
+    "ratio the mSPRT thresholds (Robbins 1970; Howard et al. "
+    "time-uniform CSs; Johari et al. always-valid CIs): "
+    "{{theta : lnLam_t(theta) < ln(1/alpha)}} solves in closed form "
+    "to diff_t +/- sqrt((1 + V tau^2)/(V^2 tau^2) * (2 ln(1/alpha) + "
+    "ln(1 + V tau^2))) with V the cumulative pooled-variance "
+    "information, so the interval is simultaneously valid at EVERY "
+    "look — the number a live experiment dashboard should actually "
+    "display instead of a fixed-horizon CI that lies under peeking.  "
+    "Shares the accumulation-path machinery (_msprt_cum) and the "
+    "tau^2/alpha tuning with events_ab_sequential_msprt, and the "
+    "same event-level-iid validity reading (see that query's doc); "
+    "excludes_zero agrees with the mSPRT's crossing decision up to "
+    "the shared boundary algebra (pinned in tests/test_round12.py).  "
+    "One quantized ln + one sqrt per day row.  Scale: one grouped "
+    "pass to the (day x variant) grid; every window rides the "
+    "O(days) spine.",
+    tags=("events", "ab-testing", "sequential", "statistics", "extension"),
+    extended=True,
+)(_confseq)

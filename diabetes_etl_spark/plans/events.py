@@ -22,8 +22,10 @@ from pyspark.sql import functions as F
 from diabetes_etl_spark.functions.numeric import dec_sum, sql_dec_sum
 from diabetes_etl_spark.functions.stats import (
     exact_cov,
+    exact_cov_num,
     exact_var,
     sql_exact_cov,
+    sql_exact_cov_num,
     sql_exact_var,
 )
 from diabetes_etl_spark.operators.asof import asof_join
@@ -3172,7 +3174,7 @@ def events_ab_ks_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_ab_cuped",
-    oracle="""
+    oracle=f"""
 WITH per_user AS (
   SELECT user_id,
     CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
@@ -3208,12 +3210,12 @@ s AS (
 ),
 d AS (
   SELECT CAST(n AS BIGINT) AS n_users,
-    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
-      AS covxy,
-    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-      AS varx,
-    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
-      AS vary,
+    CAST({sql_exact_cov_num("sx", "sy", "sxy", "n", 6)} AS DOUBLE)
+      AS covn,
+    CAST({sql_exact_cov_num("sx", "sx", "sxx", "n", 6)} AS DOUBLE)
+      AS varxn,
+    CAST({sql_exact_cov_num("sy", "sy", "syy", "n", 6)} AS DOUBLE)
+      AS varyn,
     CAST(sy_b AS DOUBLE) / n_b - CAST(sy_a AS DOUBLE) / n_a
       AS delta_raw,
     CAST(sx_b AS DOUBLE) / n_b - CAST(sx_a AS DOUBLE) / n_a
@@ -3221,10 +3223,10 @@ d AS (
   FROM s
 )
 SELECT n_users,
-  ROUND(covxy / varx, 9) AS theta,
-  ROUND(covxy * covxy / (varx * vary), 9) AS var_reduction,
+  ROUND(covn / varxn, 9) AS theta,
+  ROUND(covn * covn / (varxn * varyn), 9) AS var_reduction,
   ROUND(delta_raw, 6) AS delta_raw,
-  ROUND(delta_raw - covxy / varx * delta_x, 6) AS delta_cuped
+  ROUND(delta_raw - covn / varxn * delta_x, 6) AS delta_cuped
 FROM d
 """,
     doc="CUPED variance reduction (Deng et al., WSDM'13 — the "
@@ -3297,18 +3299,19 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sy_b"),
     )
     n = F.col("n")
-    covxy = (
-        F.col("sxy").cast("double")
-        - F.col("sx").cast("double") * F.col("sy").cast("double") / n
-    )
-    varx = (
-        F.col("sxx").cast("double")
-        - F.col("sx").cast("double") * F.col("sx").cast("double") / n
-    )
-    vary = (
-        F.col("syy").cast("double")
-        - F.col("sy").cast("double") * F.col("sy").cast("double") / n
-    )
+    # theta / rho^2 are RATIOS of second-moment folds, so the exact
+    # DECIMAL numerators (functions/stats.py exact_cov_num — the
+    # round-11 "What's wrong #2" fix) divide directly: the common
+    # n*1e12 scale cancels and the one rounding left is the ratio
+    covn = exact_cov_num(
+        F.col("sx"), F.col("sy"), F.col("sxy"), n, frac_digits=6
+    ).cast("double")
+    varxn = exact_cov_num(
+        F.col("sx"), F.col("sx"), F.col("sxx"), n, frac_digits=6
+    ).cast("double")
+    varyn = exact_cov_num(
+        F.col("sy"), F.col("sy"), F.col("syy"), n, frac_digits=6
+    ).cast("double")
     delta_raw = F.col("sy_b").cast("double") / F.col("n_b") - F.col(
         "sy_a"
     ).cast("double") / F.col("n_a")
@@ -3317,10 +3320,10 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double") / F.col("n_a")
     return s.select(
         n.cast("long").alias("n_users"),
-        F.round(covxy / varx, 9).alias("theta"),
-        F.round(covxy * covxy / (varx * vary), 9).alias("var_reduction"),
+        F.round(covn / varxn, 9).alias("theta"),
+        F.round(covn * covn / (varxn * varyn), 9).alias("var_reduction"),
         F.round(delta_raw, 6).alias("delta_raw"),
-        F.round(delta_raw - covxy / varx * delta_x, 6).alias(
+        F.round(delta_raw - covn / varxn * delta_x, 6).alias(
             "delta_cuped"
         ),
     )

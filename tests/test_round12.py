@@ -139,3 +139,32 @@ def test_rmst_bounds_and_consistency(spark, sf_dir, reg):
     assert r["rmst_diff"] == pytest.approx(
         round(r["rmst_b"] - r["rmst_a"], 9), abs=1e-12
     )
+
+
+def test_confidence_sequence_inverts_msprt(spark, sf_dir, reg):
+    """The CS is the inversion of the SAME mixture likelihood ratio
+    the mSPRT thresholds, so on every day: excludes_zero == the
+    mSPRT's crossed flag, the margin is positive and shrinking in
+    information (non-increasing in cumulative n up to rate jitter is
+    too strong — assert the last margin < the first), and the
+    interval brackets the point estimate."""
+    cs = {
+        r["day"]: r
+        for r in reg["events_ab_confidence_sequence"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    ms = {
+        r["day"]: r
+        for r in reg["events_ab_sequential_msprt"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(cs) == set(ms) and len(cs) >= 5
+    for d in cs:
+        assert cs[d]["excludes_zero"] == ms[d]["crossed"], d
+        if cs[d]["cs_margin"] is not None:
+            assert cs[d]["cs_margin"] > 0
+            assert cs[d]["cs_lo"] <= cs[d]["rate_diff"] <= cs[d]["cs_hi"]
+    days = sorted(cs)
+    assert cs[days[-1]]["cs_margin"] < cs[days[0]]["cs_margin"]
