@@ -2178,7 +2178,7 @@ FROM m ORDER BY day
     "difference — the inversion of the SAME normal-mixture likelihood "
     "ratio the mSPRT thresholds (Robbins 1970; Howard et al. "
     "time-uniform CSs; Johari et al. always-valid CIs): "
-    "{{theta : lnLam_t(theta) < ln(1/alpha)}} solves in closed form "
+    "{theta : lnLam_t(theta) < ln(1/alpha)} solves in closed form "
     "to diff_t +/- sqrt((1 + V tau^2)/(V^2 tau^2) * (2 ln(1/alpha) + "
     "ln(1 + V tau^2))) with V the cumulative pooled-variance "
     "information, so the interval is simultaneously valid at EVERY "
