@@ -18,18 +18,28 @@ rounding to one final double cast:
 with ``n*s2 - s1*s1`` evaluated in Spark DECIMAL(38,0) and DuckDB
 HUGEINT (both exact 128-bit-class integer arithmetic; both cast to
 DOUBLE with round-to-nearest, bit-identically).  Fractional inputs
-(the DECIMAL(38,6) money folds) are first shifted to integer grain by
-``10^frac_digits`` — exact, because the folds quantized them to that
-many decimals when they were born.
+(the DECIMAL(38,6) money folds) are first shifted to integer grain —
+exact, because the folds quantized them to that many decimals when
+they were born.  That premise is the CALLER's to uphold: ``_wide``
+would silently ROUND an input whose true fractional grain exceeds its
+declared ``frac`` (and Spark HALF_UP vs DuckDB casts can then split
+on exact ties), so pass each factor's real quantization grain.
 
-Headroom: the numerator needs ``n * s2 * 10^(2*frac_digits) < 1e38``.
-For the money grain (frac_digits=6) that is ``n * sum(x^2) < 1e26`` —
-comfortable for cents-scale values at 1e12 rows; the count grain
-(frac_digits=0) allows ``n * sum(c^2) < 1e38``.
+Mixed grains are first-class: ``frac_digits`` is the x-factor grain,
+``frac_y`` (default: same) the y grain; the product sum ``sxy`` must
+be quantized at ``frac_digits + frac_y`` or finer-as-integer.  Use
+``frac_y=0`` for count-grain y next to money-grain x — it divides the
+DECIMAL(38,0)/HUGEINT headroom burn by 1e6.
+
+Headroom: the numerator needs
+``n * sxy * 10^(frac_digits + frac_y) < 1e38``.  For money x money
+(6,6) that is ``n * sum(x*y) < 1e26``; money x count (6,0) allows
+``n * sum(x*y) < 1e32``; count x count (0,0) the full 1e38.
 
 Both halves of each pair MUST be edited together: ``exact_var`` /
-``exact_cov`` build the Spark column, ``sql_exact_var`` /
-``sql_exact_cov`` emit the literally-mirrored DuckDB expression.
+``exact_cov`` / ``exact_cov_num`` build the Spark column,
+``sql_exact_var`` / ``sql_exact_cov`` / ``sql_exact_cov_num`` emit
+the literally-mirrored DuckDB expression.
 """
 
 from __future__ import annotations
@@ -44,38 +54,55 @@ def _wide(c: Column, mult: int) -> Column:
     return (c * mult).cast("decimal(38,0)")
 
 
+def _grains(frac_digits: int, frac_y: int | None) -> tuple[int, int]:
+    fy = frac_digits if frac_y is None else frac_y
+    return frac_digits, fy
+
+
 def exact_cov_num(
-    sx: Column, sy: Column, sxy: Column, n: Column, frac_digits: int = 0
+    sx: Column,
+    sy: Column,
+    sxy: Column,
+    n: Column,
+    frac_digits: int = 0,
+    frac_y: int | None = None,
 ) -> Column:
     """The exact DECIMAL(38,0) numerator ``n*sxy - sx*sy``, scaled to
-    integer grain by ``10^frac_digits`` per factor (i.e. the value is
-    ``(n*sxy - sx*sy) * 10^(2*frac_digits)``).  Exposed for ratio
-    forms (an OLS slope is ``cov_num/var_num`` — the common scale
-    cancels, so dividing the two double-cast numerators avoids four
-    needless roundings)."""
-    mult = 10**frac_digits
-    if mult == 1:
-        return n.cast("decimal(38,0)") * _wide(sxy, 1) - _wide(
-            sx, 1
-        ) * _wide(sy, 1)
-    return n.cast("decimal(38,0)") * _wide(sxy, mult) * mult - _wide(
-        sx, mult
-    ) * _wide(sy, mult)
+    integer grain per factor (i.e. the value is
+    ``(n*sxy - sx*sy) * 10^(frac_digits + frac_y)``).  Exposed for
+    ratio forms (an OLS slope is ``cov_num/var_num`` — when both
+    numerators share the same grain sum the scale cancels, so
+    dividing the two double-cast numerators avoids four needless
+    roundings; with DIFFERENT grain sums divide the ratio by the
+    leftover power of ten)."""
+    fx, fy = _grains(frac_digits, frac_y)
+    m_hi, m_lo = 10 ** max(fx, fy), 10 ** min(fx, fy)
+    num = n.cast("decimal(38,0)") * _wide(sxy, m_hi)
+    if m_lo != 1:
+        num = num * m_lo
+    return num - _wide(sx, 10**fx) * _wide(sy, 10**fy)
 
 
 def exact_cov(
-    sx: Column, sy: Column, sxy: Column, n: Column, frac_digits: int = 0
+    sx: Column,
+    sy: Column,
+    sxy: Column,
+    n: Column,
+    frac_digits: int = 0,
+    frac_y: int | None = None,
 ) -> Column:
     """Sample covariance ``(sxy - sx*sy/n)/(n-1)`` with the
     cancellation performed exactly in DECIMAL(38,0): numerator
     ``n*sxy - sx*sy`` (scaled to integer grain first), one double
-    cast, then the pinned division chain ``/ M^2 / n / (n-1)``."""
-    mult = 10**frac_digits
-    num = exact_cov_num(sx, sy, sxy, n, frac_digits)
-    if mult == 1:
+    cast, then the pinned division chain ``/ 10^(fx+fy) / n /
+    (n-1)``."""
+    fx, fy = _grains(frac_digits, frac_y)
+    mult2 = 10 ** (fx + fy)
+    num = exact_cov_num(sx, sy, sxy, n, fx, fy)
+    if mult2 == 1:
         return num.cast("double") / n / (n - 1)
     return (
-        num.cast("double") / float(mult * mult) / n / (n - 1)
+        num.cast("double") / float(mult2) / n / (n - 1)
     )
 
 
@@ -88,32 +115,45 @@ def exact_var(
 
 
 def sql_exact_cov_num(
-    sx: str, sy: str, sxy: str, n: str, frac_digits: int = 0
+    sx: str,
+    sy: str,
+    sxy: str,
+    n: str,
+    frac_digits: int = 0,
+    frac_y: int | None = None,
 ) -> str:
     """The DuckDB mirror of :func:`exact_cov_num` — HUGEINT."""
-    mult = 10**frac_digits
-    if mult == 1:
-        return (
-            f"CAST({n} AS HUGEINT) * CAST({sxy} AS HUGEINT) "
-            f"- CAST({sx} AS HUGEINT) * CAST({sy} AS HUGEINT)"
-        )
-    return (
-        f"CAST({n} AS HUGEINT) * CAST({sxy} * {mult} AS HUGEINT) * {mult} "
-        f"- CAST({sx} * {mult} AS HUGEINT) * CAST({sy} * {mult} AS HUGEINT)"
-    )
+    fx, fy = _grains(frac_digits, frac_y)
+    m_hi, m_lo = 10 ** max(fx, fy), 10 ** min(fx, fy)
+
+    def wide(c: str, mult: int) -> str:
+        if mult == 1:
+            return f"CAST({c} AS HUGEINT)"
+        return f"CAST({c} * {mult} AS HUGEINT)"
+
+    num = f"CAST({n} AS HUGEINT) * {wide(sxy, m_hi)}"
+    if m_lo != 1:
+        num += f" * {m_lo}"
+    return f"{num} - {wide(sx, 10**fx)} * {wide(sy, 10**fy)}"
 
 
 def sql_exact_cov(
-    sx: str, sy: str, sxy: str, n: str, frac_digits: int = 0
+    sx: str,
+    sy: str,
+    sxy: str,
+    n: str,
+    frac_digits: int = 0,
+    frac_y: int | None = None,
 ) -> str:
     """The DuckDB mirror of :func:`exact_cov` — HUGEINT numerator,
     identical double cast and division order."""
-    mult = 10**frac_digits
-    num = sql_exact_cov_num(sx, sy, sxy, n, frac_digits)
-    if mult == 1:
+    fx, fy = _grains(frac_digits, frac_y)
+    mult2 = 10 ** (fx + fy)
+    num = sql_exact_cov_num(sx, sy, sxy, n, fx, fy)
+    if mult2 == 1:
         return f"CAST({num} AS DOUBLE) / {n} / ({n} - 1)"
     return (
-        f"CAST({num} AS DOUBLE) / CAST({mult * mult} AS DOUBLE) "
+        f"CAST({num} AS DOUBLE) / CAST({mult2} AS DOUBLE) "
         f"/ {n} / ({n} - 1)"
     )
 

@@ -43,12 +43,15 @@ _MSPRT_ALPHA = 0.05
 _MSPRT_LN_BOUND = math.log(1.0 / _MSPRT_ALPHA)
 
 
-def _variant_col(c):
+def _variant_col(c, mod: int = 2):
+    """Portable md5-prefix hash bucketing — the ONE assignment hash
+    every randomized design in this module shares (mod=2 variants,
+    mod=4 campaign arms), so a hash fix cannot decorrelate them."""
     return (
         F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
             "long"
         )
-        % 2
+        % mod
     )
 
 
@@ -276,9 +279,15 @@ FROM ks ORDER BY rank
 # -- always-valid sequential monitoring: mixture SPRT over the daily path ------
 
 
-def _msprt_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _msprt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (d, variant, n, x) daily trial grid — ONE definition
+    shared by the batch mSPRT and the confidence-sequence inversion
+    (the _PER_USER_SQL precedent: a change to the trial/metric
+    definition cannot silently skew one monitor against the other;
+    the streaming twin maintains the same grid as a streaming
+    aggregate in _stream_msprt_monitor)."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
+    return ev.groupBy(
         F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
         _variant_col(F.col("user_id")).alias("variant"),
     ).agg(
@@ -287,7 +296,10 @@ def _msprt_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("x"),
     )
-    return _msprt_epilogue(daily)
+
+
+def _msprt_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _msprt_epilogue(_msprt_daily(spark, sf_dir))
 
 
 def _msprt_cum(daily: DataFrame) -> DataFrame:
@@ -368,8 +380,10 @@ def _msprt_epilogue(daily: DataFrame) -> DataFrame:
     )
 
 
-_MSPRT_ORACLE = f"""
-WITH daily AS (
+# The daily/g/cum accumulation-path CTEs — ONE SQL fragment shared by
+# the mSPRT oracle and the confidence-sequence oracle (mirrors the
+# _msprt_daily/_msprt_cum sharing on the Spark side).
+_MSPRT_CUM_SQL = """WITH daily AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
     CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
       ::BIGINT % 2 AS INT) AS variant,
@@ -396,7 +410,11 @@ cum AS (
     SUM(COALESCE(x_b, 0)) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
       AS cx_b
   FROM g
-),
+),"""
+
+
+_MSPRT_ORACLE = f"""
+{_MSPRT_CUM_SQL}
 st AS (
   SELECT d, cn_a, cn_b, cx_a, cx_b,
     CASE WHEN (CAST(cx_a AS DOUBLE) + cx_b) / (cn_a + cn_b)
@@ -1108,12 +1126,25 @@ def _rdd_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = s.agg(*(fit("l", 0) + fit("r", 1)))
 
     def intercept(tag, bw):
+        # slope as a ratio of exact_cov_num numerators (the common
+        # n*1e12 scale cancels) — the cancellation-proof fold this
+        # round applied to every sibling estimator; the one-sided
+        # xc means make the naive double form exactly the
+        # round-11 "What's wrong #2" hazard here
+        from diabetes_etl_spark.functions.stats import exact_cov_num
+
         n = F.col(f"n{bw}_{tag}")
-        sx = F.col(f"sx{bw}_{tag}").cast("double")
-        sy = F.col(f"sy{bw}_{tag}").cast("double")
-        sxx = F.col(f"sxx{bw}_{tag}").cast("double")
-        sxy = F.col(f"sxy{bw}_{tag}").cast("double")
-        slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+        sx_raw = F.col(f"sx{bw}_{tag}")
+        sy_raw = F.col(f"sy{bw}_{tag}")
+        sx = sx_raw.cast("double")
+        sy = sy_raw.cast("double")
+        covn = exact_cov_num(
+            sx_raw, sy_raw, F.col(f"sxy{bw}_{tag}"), n, frac_digits=6
+        ).cast("double")
+        varn = exact_cov_num(
+            sx_raw, sx_raw, F.col(f"sxx{bw}_{tag}"), n, frac_digits=6
+        ).cast("double")
+        slope = covn / varn
         return sy / n - slope * (sx / n), slope, n
 
     a_l, b_l, n_l = intercept("l", _RDD_BW)
@@ -1170,14 +1201,22 @@ def _rdd_sql() -> str:
                 )
 
     def a_expr(tag, bw):
+        from diabetes_etl_spark.functions.stats import (
+            sql_exact_cov_num,
+        )
+
         n = f"n{bw}_{tag}"
         sx = f"CAST(sx{bw}_{tag} AS DOUBLE)"
         sy = f"CAST(sy{bw}_{tag} AS DOUBLE)"
-        sxx = f"CAST(sxx{bw}_{tag} AS DOUBLE)"
-        sxy = f"CAST(sxy{bw}_{tag} AS DOUBLE)"
+        covn = sql_exact_cov_num(
+            f"sx{bw}_{tag}", f"sy{bw}_{tag}", f"sxy{bw}_{tag}", n, 6
+        )
+        varn = sql_exact_cov_num(
+            f"sx{bw}_{tag}", f"sx{bw}_{tag}", f"sxx{bw}_{tag}", n, 6
+        )
         slope = (
-            f"({sxy} - {sx} * {sy} / {n})"
-            f" / ({sxx} - {sx} * {sx} / {n})"
+            f"CAST({covn} AS DOUBLE)"
+            f" / CAST({varn} AS DOUBLE)"
         )
         return f"{sy} / {n} - {slope} * ({sx} / {n})", slope
 
@@ -1475,16 +1514,21 @@ def _aipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms = strat.agg(*(arm("t") + arm("c")))
 
     def coefs(tag):
+        # per-factor grains: x (activity count) is integer-grain,
+        # y (revenue) money-grain — covn carries a leftover 1e6
+        # scale vs the grain-0 varn, compensated by one division
         n = F.col(f"n_{tag}")
         covn = exact_cov_num(
             F.col(f"sx_{tag}"), F.col(f"sy_{tag}"),
-            F.col(f"sxy_{tag}"), n, frac_digits=6,
+            F.col(f"sxy_{tag}"), n, frac_digits=0, frac_y=6,
         )
         varn = exact_cov_num(
             F.col(f"sx_{tag}"), F.col(f"sx_{tag}"),
-            F.col(f"sxx_{tag}"), n, frac_digits=6,
+            F.col(f"sxx_{tag}"), n, frac_digits=0,
         )
-        b = F.round(covn.cast("double") / varn.cast("double"), 9)
+        b = F.round(
+            covn.cast("double") / varn.cast("double") / 1000000.0, 9
+        )
         a = F.round(
             F.col(f"sy_{tag}").cast("double") / n
             - b * (F.col(f"sx_{tag}").cast("double") / n),
@@ -1561,14 +1605,15 @@ def _aipw_sql() -> str:
     def coefs(tag):
         n = f"n_{tag}"
         covn = sql_exact_cov_num(
-            f"sx_{tag}", f"sy_{tag}", f"sxy_{tag}", n, 6
+            f"sx_{tag}", f"sy_{tag}", f"sxy_{tag}", n, 0, 6
         )
         varn = sql_exact_cov_num(
-            f"sx_{tag}", f"sx_{tag}", f"sxx_{tag}", n, 6
+            f"sx_{tag}", f"sx_{tag}", f"sxx_{tag}", n, 0
         )
         b = (
             f"ROUND(CAST({covn} AS DOUBLE)"
-            f" / CAST({varn} AS DOUBLE), 9)"
+            f" / CAST({varn} AS DOUBLE)"
+            f" / CAST(1000000 AS DOUBLE), 9)"
         )
         a = (
             f"ROUND(CAST(sy_{tag} AS DOUBLE) / {n}"
@@ -1707,12 +1752,7 @@ _IPS_CLIP = 2.0
 
 
 def _policy_col(c):
-    return (
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
-            "long"
-        )
-        % _POLICY_ARMS
-    )
+    return _variant_col(c, mod=_POLICY_ARMS)
 
 
 def _ops_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2060,17 +2100,7 @@ FROM arm
 
 
 def _confseq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
-        _variant_col(F.col("user_id")).alias("variant"),
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("x"),
-    )
-    cum = _msprt_cum(daily)
+    cum = _msprt_cum(_msprt_daily(spark, sf_dir))
     p_a = F.col("cx_a").cast("double") / F.col("cn_a")
     p_b = F.col("cx_b").cast("double") / F.col("cn_b")
     pool = (F.col("cx_a") + F.col("cx_b")).cast("double") / (
@@ -2111,34 +2141,7 @@ def _confseq(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "events_ab_confidence_sequence",
     oracle=f"""
-WITH daily AS (
-  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
-    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
-      ::BIGINT % 2 AS INT) AS variant,
-    COUNT(*) AS n,
-    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
-  FROM events GROUP BY 1, 2
-),
-g AS (
-  SELECT d,
-    SUM(CASE WHEN variant = 0 THEN n END) AS n_a,
-    SUM(CASE WHEN variant = 0 THEN x END) AS x_a,
-    SUM(CASE WHEN variant = 1 THEN n END) AS n_b,
-    SUM(CASE WHEN variant = 1 THEN x END) AS x_b
-  FROM daily GROUP BY d
-),
-cum AS (
-  SELECT d,
-    SUM(COALESCE(n_a, 0)) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
-      AS cn_a,
-    SUM(COALESCE(x_a, 0)) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
-      AS cx_a,
-    SUM(COALESCE(n_b, 0)) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
-      AS cn_b,
-    SUM(COALESCE(x_b, 0)) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
-      AS cx_b
-  FROM g
-),
+{_MSPRT_CUM_SQL}
 st AS (
   SELECT d, cn_a, cn_b, cx_a, cx_b,
     (CAST(cx_a AS DOUBLE) + cx_b) / (cn_a + cn_b)

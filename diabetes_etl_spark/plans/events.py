@@ -5435,10 +5435,14 @@ def _ab_ratio_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cancellation-proof folds (round-11 VERDICT "What's wrong
         # #2"): n*sxy - sx*sy exact at the 1e-6 grain, one double
         # cast — functions/stats.py, mirrored in the oracle
+        # per-factor grains (functions/stats.py): x is money (6),
+        # y is a per-user COUNT folded as integer-valued decimal —
+        # frac 0 for y keeps the exact numerator 1e6 narrower
         vx = exact_var(sx_raw, F.col(f"sxx_{tag}"), n, frac_digits=6)
-        vy = exact_var(sy_raw, F.col(f"syy_{tag}"), n, frac_digits=6)
+        vy = exact_var(sy_raw, F.col(f"syy_{tag}"), n, frac_digits=0)
         cxy = exact_cov(
-            sx_raw, sy_raw, F.col(f"sxy_{tag}"), n, frac_digits=6
+            sx_raw, sy_raw, F.col(f"sxy_{tag}"), n,
+            frac_digits=6, frac_y=0,
         )
         # Deng et al. delta method: Var(R) ~ (vx - 2R cxy + R^2 vy)
         #                                   / (n * my^2)
@@ -5506,15 +5510,15 @@ d AS (
     CAST(sx_b AS DOUBLE) / CAST(sy_b AS DOUBLE) AS r_b,
     (({sql_exact_var("sx_a", "sxx_a", "n_a", 6)})
      - 2 * (CAST(sx_a AS DOUBLE) / CAST(sy_a AS DOUBLE))
-       * ({sql_exact_cov("sx_a", "sy_a", "sxy_a", "n_a", 6)})
+       * ({sql_exact_cov("sx_a", "sy_a", "sxy_a", "n_a", 6, 0)})
      + (CAST(sx_a AS DOUBLE) / CAST(sy_a AS DOUBLE)) * (CAST(sx_a AS DOUBLE) / CAST(sy_a AS DOUBLE))
-       * ({sql_exact_var("sy_a", "syy_a", "n_a", 6)}))
+       * ({sql_exact_var("sy_a", "syy_a", "n_a", 0)}))
     / (n_a * (CAST(sy_a AS DOUBLE) / n_a) * (CAST(sy_a AS DOUBLE) / n_a)) AS v_a,
     (({sql_exact_var("sx_b", "sxx_b", "n_b", 6)})
      - 2 * (CAST(sx_b AS DOUBLE) / CAST(sy_b AS DOUBLE))
-       * ({sql_exact_cov("sx_b", "sy_b", "sxy_b", "n_b", 6)})
+       * ({sql_exact_cov("sx_b", "sy_b", "sxy_b", "n_b", 6, 0)})
      + (CAST(sx_b AS DOUBLE) / CAST(sy_b AS DOUBLE)) * (CAST(sx_b AS DOUBLE) / CAST(sy_b AS DOUBLE))
-       * ({sql_exact_var("sy_b", "syy_b", "n_b", 6)}))
+       * ({sql_exact_var("sy_b", "syy_b", "n_b", 0)}))
     / (n_b * (CAST(sy_b AS DOUBLE) / n_b) * (CAST(sy_b AS DOUBLE) / n_b)) AS v_b
   FROM w
 )
@@ -5646,9 +5650,10 @@ def _ab_healthcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
         r = sx / sy
         my = sy / n
         vx = exact_var(sx_raw, F.col(f"sxx_{tag}"), n, frac_digits=6)
-        vy = exact_var(sy_raw, F.col(f"syy_{tag}"), n, frac_digits=6)
+        vy = exact_var(sy_raw, F.col(f"syy_{tag}"), n, frac_digits=0)
         cxy = exact_cov(
-            sx_raw, sy_raw, F.col(f"sxy_{tag}"), n, frac_digits=6
+            sx_raw, sy_raw, F.col(f"sxy_{tag}"), n,
+            frac_digits=6, frac_y=0,
         )
         var_r = (vx - 2 * r * cxy + r * r * vy) / (n * my * my)
         return r, var_r
@@ -5761,15 +5766,15 @@ d AS (
     CAST(sp1_b AS DOUBLE) / CAST(sy_b AS DOUBLE) AS r_b,
     (({sql_exact_var("sp1_a", "sxx_a", "nu_a", 6)})
      - 2 * (CAST(sp1_a AS DOUBLE) / CAST(sy_a AS DOUBLE))
-       * ({sql_exact_cov("sp1_a", "sy_a", "sxy_a", "nu_a", 6)})
+       * ({sql_exact_cov("sp1_a", "sy_a", "sxy_a", "nu_a", 6, 0)})
      + (CAST(sp1_a AS DOUBLE) / CAST(sy_a AS DOUBLE)) * (CAST(sp1_a AS DOUBLE) / CAST(sy_a AS DOUBLE))
-       * ({sql_exact_var("sy_a", "syy_a", "nu_a", 6)}))
+       * ({sql_exact_var("sy_a", "syy_a", "nu_a", 0)}))
     / (nu_a * (CAST(sy_a AS DOUBLE) / nu_a) * (CAST(sy_a AS DOUBLE) / nu_a)) AS v_a,
     (({sql_exact_var("sp1_b", "sxx_b", "nu_b", 6)})
      - 2 * (CAST(sp1_b AS DOUBLE) / CAST(sy_b AS DOUBLE))
-       * ({sql_exact_cov("sp1_b", "sy_b", "sxy_b", "nu_b", 6)})
+       * ({sql_exact_cov("sp1_b", "sy_b", "sxy_b", "nu_b", 6, 0)})
      + (CAST(sp1_b AS DOUBLE) / CAST(sy_b AS DOUBLE)) * (CAST(sp1_b AS DOUBLE) / CAST(sy_b AS DOUBLE))
-       * ({sql_exact_var("sy_b", "syy_b", "nu_b", 6)}))
+       * ({sql_exact_var("sy_b", "syy_b", "nu_b", 0)}))
     / (nu_b * (CAST(sy_b AS DOUBLE) / nu_b) * (CAST(sy_b AS DOUBLE) / nu_b)) AS v_b
   FROM w
 )
