@@ -168,3 +168,50 @@ def test_confidence_sequence_inverts_msprt(spark, sf_dir, reg):
             assert cs[d]["cs_lo"] <= cs[d]["rate_diff"] <= cs[d]["cs_hi"]
     days = sorted(cs)
     assert cs[days[-1]]["cs_margin"] < cs[days[0]]["cs_margin"]
+
+
+def test_exact_cov_mixed_grain_parity_and_value(spark):
+    """The per-factor-grain path (money x count, frac_y=0) must (a)
+    equal the true covariance to double precision on a constructed
+    case and (b) be bit-identical between the Spark column and its
+    DuckDB mirror."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.functions.stats import (
+        exact_cov,
+        sql_exact_cov,
+    )
+
+    # 4 users: x (money) = 10.50, 20.25, 30.00, 39.25
+    #          y (count) = 1, 2, 3, 4
+    n = 4
+    sx = "100.000000"       # sum x
+    sy = "10"               # sum y (integer-valued)
+    sxy = "309.750000"      # sum x*y = 10.5 + 40.5 + 90 + 157? no:
+    # 10.50*1 + 20.25*2 + 30.00*3 + 39.25*4 = 10.5+40.5+90+157 = 298.0
+    sxy = "298.000000"
+    truth = (298.0 - 100.0 * 10 / 4) / 3  # = 16.0
+
+    df = spark.range(1).select(
+        F.lit(sx).cast("decimal(38,6)").alias("sx"),
+        F.lit(sy).cast("decimal(38,0)").alias("sy"),
+        F.lit(sxy).cast("decimal(38,6)").alias("sxy"),
+        F.lit(n).alias("n"),
+    )
+    got = df.select(
+        exact_cov(
+            F.col("sx"), F.col("sy"), F.col("sxy"), F.col("n"),
+            frac_digits=6, frac_y=0,
+        ).alias("c")
+    ).collect()[0]["c"]
+    assert got == pytest.approx(truth, rel=1e-15)
+
+    expr = sql_exact_cov("sx", "sy", "sxy", "n", 6, 0)
+    duck = duckdb.connect().execute(
+        f"SELECT {expr} FROM (SELECT"
+        f" CAST('{sx}' AS DECIMAL(38,6)) AS sx,"
+        f" CAST('{sy}' AS DECIMAL(38,0)) AS sy,"
+        f" CAST('{sxy}' AS DECIMAL(38,6)) AS sxy, {n} AS n)"
+    ).fetchone()[0]
+    assert duck == got
