@@ -45,7 +45,6 @@ the literally-mirrored DuckDB expression.
 from __future__ import annotations
 
 from pyspark.sql import Column
-from pyspark.sql import functions as F
 
 
 def _wide(c: Column, mult: int) -> Column:
