@@ -118,6 +118,9 @@ HEADLINE = [
     "corpus_pps_ht_estimate",
     "stream_msprt_monitor",
     "versioned_datasource_scan",
+    # round-12b rotation promotions (same growth rule)
+    "events_aipw_doubly_robust",
+    "events_ab_rmst",
 ]
 
 

@@ -1741,7 +1741,7 @@ register(
     "user-grain pass to an (4 strata x 2 arms) grid; everything "
     "after is a bounded epilogue.",
     tags=("events", "causal", "statistics", "extension"),
-    extended=True,
+    extended=False,  # gate (round-12b rotation)
 )(_aipw_ate)
 
 
@@ -2080,7 +2080,7 @@ FROM arm
     "spans; every window rides the per-arm O(distinct lifetimes) "
     "spine.",
     tags=("events", "survival", "ab-testing", "statistics", "extension"),
-    extended=True,
+    extended=False,  # gate (round-12b rotation)
 )(_rmst_arms)
 
 

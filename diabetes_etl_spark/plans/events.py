@@ -5102,7 +5102,7 @@ FROM agg
     "then every window runs on the O(distinct lifetimes) dimension; "
     "the corpus-end date attaches by broadcast.",
     tags=("events", "survival", "ab-testing", "statistics", "extension"),
-    extended=False,  # gate (round-11 rotation)
+    extended=False,  # demoted round 12b — registry._EXTENDED wins (rationale there)
 )(_logrank_test)
 
 
@@ -5226,7 +5226,7 @@ FROM d
     "the house convention.  Scale: one user-grain grouped pass "
     "(map-side combined) to a 2-row table, then an epilogue.",
     tags=("events", "ab-testing", "statistics", "extension"),
-    extended=False,  # gate (round-11 rotation)
+    extended=False,  # demoted round 12b — registry._EXTENDED wins (rationale there)
 )(_ab_srm_health)
 
 

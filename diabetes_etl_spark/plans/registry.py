@@ -597,6 +597,25 @@ _EXTENDED: frozenset[str] = frozenset(
         # stays pinned by tests/test_versioned.py and oracle-green
         # locally
         "versioned_change_feed",
+        # ---- round-12b rotation (the round-10b preemption pattern:
+        # families built THIS round enter the gate so CORRECTNESS_r12
+        # sees them instead of waiting a round):
+        # SRM + balance guardrails: every field of this query is
+        # pinned bit-identical inside the gate's events_ab_healthcheck
+        # composite (tests/test_round11.py field-for-field equality),
+        # so with healthcheck promoted this round the standalone form
+        # duplicates gate surface; its slot passes to
+        # events_aipw_doubly_robust (the observational-causal
+        # family's doubly-robust completion next to the gate's
+        # events_ipw_stratified_ate)
+        "events_ab_srm_health",
+        # log-rank survival test: gate-green rounds 11-12; its slot
+        # passes to events_ab_rmst — the SAME censoring/spine
+        # machinery (per-arm event-time grids, at-risk windows) plus
+        # the per-arm KM curves and the effect size in DAYS that the
+        # z statistic lacks; the Mantel-Cox z stays oracle-green
+        # locally on the shared conversion clock
+        "events_ab_logrank",
     }
 )
 
