@@ -26,15 +26,28 @@ declared ``frac`` (and Spark HALF_UP vs DuckDB casts can then split
 on exact ties), so pass each factor's real quantization grain.
 
 Mixed grains are first-class: ``frac_digits`` is the x-factor grain,
-``frac_y`` (default: same) the y grain; the product sum ``sxy`` must
-be quantized at ``frac_digits + frac_y`` or finer-as-integer.  Use
-``frac_y=0`` for count-grain y next to money-grain x — it divides the
+``frac_y`` (default: same) the y grain; the product sum ``sxy`` may
+be quantized at any grain up to ``frac_digits + frac_y`` — it is
+scaled by the full ``10^(fx+fy)`` BEFORE the integer cast, so the
+product grain is honored exactly (round-12 ADVICE: the earlier
+``10^max`` pre-cast scale silently rounded an sxy finer than the
+coarser factor, identically in both engines).  Use ``frac_y=0`` for
+count-grain y next to money-grain x — it divides the
 DECIMAL(38,0)/HUGEINT headroom burn by 1e6.
 
 Headroom: the numerator needs
 ``n * sxy * 10^(frac_digits + frac_y) < 1e38``.  For money x money
 (6,6) that is ``n * sum(x*y) < 1e26``; money x count (6,0) allows
 ``n * sum(x*y) < 1e32``; count x count (0,0) the full 1e38.
+A breach fails LOUDLY on both engines as this repo configures them:
+Spark 4 defaults to ANSI mode, where DECIMAL(38,0) overflow raises
+NUMERIC_VALUE_OUT_OF_RANGE, and DuckDB HUGEINT/DECIMAL arithmetic
+raises out-of-range.  (Only an ``ansi.enabled=false`` session — which
+this repo never constructs — would instead produce the silent-NULL /
+oracle-error asymmetry.)  The boundary test
+(``tests/test_round13.py::test_stats_headroom_breach_is_loud``) pins
+the ANSI setting and both raise behaviors so a config drift cannot
+quietly reintroduce the asymmetry.
 
 Both halves of each pair MUST be edited together: ``exact_var`` /
 ``exact_cov`` / ``exact_cov_num`` build the Spark column,
@@ -75,10 +88,11 @@ def exact_cov_num(
     roundings; with DIFFERENT grain sums divide the ratio by the
     leftover power of ten)."""
     fx, fy = _grains(frac_digits, frac_y)
-    m_hi, m_lo = 10 ** max(fx, fy), 10 ** min(fx, fy)
-    num = n.cast("decimal(38,0)") * _wide(sxy, m_hi)
-    if m_lo != 1:
-        num = num * m_lo
+    # sxy is scaled by the FULL 10^(fx+fy) before the integer cast:
+    # exact for any sxy grain up to fx+fy (the docstring contract).
+    # Scaling by 10^max then multiplying post-cast would silently
+    # HALF_UP-round an sxy quantized finer than max(fx, fy).
+    num = n.cast("decimal(38,0)") * _wide(sxy, 10 ** (fx + fy))
     return num - _wide(sx, 10**fx) * _wide(sy, 10**fy)
 
 
@@ -123,16 +137,14 @@ def sql_exact_cov_num(
 ) -> str:
     """The DuckDB mirror of :func:`exact_cov_num` — HUGEINT."""
     fx, fy = _grains(frac_digits, frac_y)
-    m_hi, m_lo = 10 ** max(fx, fy), 10 ** min(fx, fy)
 
     def wide(c: str, mult: int) -> str:
         if mult == 1:
             return f"CAST({c} AS HUGEINT)"
         return f"CAST({c} * {mult} AS HUGEINT)"
 
-    num = f"CAST({n} AS HUGEINT) * {wide(sxy, m_hi)}"
-    if m_lo != 1:
-        num += f" * {m_lo}"
+    # Mirror of the Spark half: full 10^(fx+fy) pre-cast scale on sxy.
+    num = f"CAST({n} AS HUGEINT) * {wide(sxy, 10 ** (fx + fy))}"
     return f"{num} - {wide(sx, 10**fx)} * {wide(sy, 10**fy)}"
 
 

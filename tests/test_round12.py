@@ -161,7 +161,17 @@ def test_confidence_sequence_inverts_msprt(spark, sf_dir, reg):
         .collect()
     }
     assert set(cs) == set(ms) and len(cs) >= 5
+    from diabetes_etl_spark.plans.causalplans import _MSPRT_LN_BOUND
+
     for d in cs:
+        # Algebraically identical, but each side rounds different
+        # quantities to 9 decimals (ln_lambda vs lo/hi), so a
+        # knife-edge day — |ln_lambda - ln(1/alpha)| inside the
+        # rounding radius — can legitimately disagree (round-12
+        # ADVICE).  Skip only those; every clear day must agree.
+        lnlam = ms[d]["ln_lambda"]
+        if lnlam is not None and abs(lnlam - _MSPRT_LN_BOUND) < 1e-8:
+            continue
         assert cs[d]["excludes_zero"] == ms[d]["crossed"], d
         if cs[d]["cs_margin"] is not None:
             assert cs[d]["cs_margin"] > 0

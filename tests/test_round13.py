@@ -1,0 +1,125 @@
+"""Round-13 additions: the full-grain sxy scale in the exact
+covariance fold, the loud headroom-breach contract, and regression
+pins for the round-12 ADVICE items."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from diabetes_etl_spark.functions.stats import (
+    exact_cov,
+    exact_cov_num,
+    sql_exact_cov,
+    sql_exact_cov_num,
+)
+
+
+def test_exact_cov_honors_full_product_grain(spark):
+    """Round-12 ADVICE (medium): with fx=fy=6 and an sxy quantized at
+    the docstring-blessed 12 fractional digits, the old 10^max
+    pre-cast scale rounded sxy*1e6 to an integer BEFORE restoring the
+    missing 1e6 — identically in both engines, so the oracle gate
+    could never catch it.  Constructed case: sums sx=3e-6, sy=4e-6,
+    sxy=7e-12, n=2 -> exact numerator (n*sxy - sx*sy)*1e12 = 2 and
+    cov = 1e-12; the broken fold returned numerator -12 / cov -6e-12
+    (sign flip!).  Both halves must now return the true value,
+    bit-identically."""
+    row = spark.sql(
+        "SELECT CAST('0.000003' AS DECIMAL(38,6)) sx,"
+        " CAST('0.000004' AS DECIMAL(38,6)) sy,"
+        " CAST('0.000000000007' AS DECIMAL(38,12)) sxy,"
+        " CAST(2 AS BIGINT) n"
+    )
+    got = row.select(
+        exact_cov_num(
+            F.col("sx"), F.col("sy"), F.col("sxy"), F.col("n"), 6, 6
+        ).alias("numv"),
+        exact_cov(
+            F.col("sx"), F.col("sy"), F.col("sxy"), F.col("n"), 6, 6
+        ).alias("cov"),
+    ).collect()[0]
+    assert int(got["numv"]) == 2
+    assert got["cov"] == pytest.approx(1e-12, rel=1e-15)
+
+    con = duckdb.connect()
+    duck = con.execute(
+        f"SELECT {sql_exact_cov_num('sx', 'sy', 'sxy', 'n', 6, 6)} AS numv,"
+        f" {sql_exact_cov('sx', 'sy', 'sxy', 'n', 6, 6)} AS cov"
+        " FROM (SELECT CAST('0.000003' AS DECIMAL(38,6)) sx,"
+        " CAST('0.000004' AS DECIMAL(38,6)) sy,"
+        " CAST('0.000000000007' AS DECIMAL(38,12)) sxy, 2 AS n)"
+    ).fetchone()
+    assert int(duck[0]) == 2
+    assert duck[1] == got["cov"]
+
+
+def test_stats_headroom_breach_is_loud(spark):
+    """Round-12 ADVICE (low) asked that a headroom breach fail loudly
+    rather than silently diverge.  Under this engine pair it does, on
+    BOTH sides: Spark 4 runs ANSI mode by default, so DECIMAL(38,0)
+    overflow raises NUMERIC_VALUE_OUT_OF_RANGE (the ADVICE's
+    silent-NULL reading applies only to ansi.enabled=false sessions,
+    which this repo never constructs), and DuckDB HUGEINT/DECIMAL
+    arithmetic raises out-of-range.  Pin both so a config drift that
+    reintroduces the silent-NULL asymmetry fails this test.  Breach
+    case: n=1e10, sxy=1e22 at (6,6) grain -> n*sxy*1e12 = 1e44 >>
+    1e38."""
+    from pyspark.errors.exceptions.base import ArithmeticException
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    row = spark.sql(
+        "SELECT CAST('1000000.000000' AS DECIMAL(38,6)) sx,"
+        " CAST('1000000.000000' AS DECIMAL(38,6)) sy,"
+        " CAST('10000000000000000000000' AS DECIMAL(38,6)) sxy,"
+        " CAST(10000000000 AS BIGINT) n"
+    )
+    with pytest.raises(ArithmeticException):
+        row.select(
+            exact_cov_num(
+                F.col("sx"), F.col("sy"), F.col("sxy"), F.col("n"), 6, 6
+            ).alias("numv")
+        ).collect()
+
+    con = duckdb.connect()
+    with pytest.raises(duckdb.Error):
+        con.execute(
+            f"SELECT {sql_exact_cov_num('sx', 'sy', 'sxy', 'n', 6, 6)}"
+            " FROM (SELECT CAST('1000000.000000' AS DECIMAL(38,6)) sx,"
+            " CAST('1000000.000000' AS DECIMAL(38,6)) sy,"
+            " CAST('10000000000000000000000' AS DECIMAL(38,6)) sxy,"
+            " CAST(10000000000 AS BIGINT) n)"
+        ).fetchone()
+
+
+def test_quarantine_prod_covering_assumption_pinned(spark, sf_dir):
+    """Round-12 ADVICE (low): decontam_semantic_quarantine_prod's
+    oracle pairing rests on an EMPIRICAL covering property — at
+    fixture scale its 16x5/side_cap-64 candidate sets cover the exact
+    answer, so the covering form's cross-join SQL applies verbatim.
+    Pin the assumption itself: prod output must equal the covering
+    form's output row-for-row on the fixture.  If a fixture regen or
+    a new gating scale breaks covering, THIS test fails and names the
+    assumption, instead of the oracle gate presenting it as an
+    engine-parity failure."""
+    from diabetes_etl_spark.plans import all_queries
+
+    reg = all_queries(include_extended=True)
+    cover = sorted(
+        tuple(r)
+        for r in reg["decontam_semantic_quarantine"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    prod = sorted(
+        tuple(r)
+        for r in reg["decontam_semantic_quarantine_prod"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert cover, "covering quarantine unexpectedly empty"
+    assert prod == cover, (
+        "decontam_semantic_quarantine_prod's fixture-covering "
+        "assumption broke: its oracle pairing is no longer valid"
+    )
