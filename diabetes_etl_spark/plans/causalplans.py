@@ -651,7 +651,7 @@ FROM agg
     "pinned double epilogue.  Scale: one user-grain pass, then the "
     "4-row stratum grid.",
     tags=("events", "causal", "statistics", "extension"),
-    extended=False,  # gate (round-12 rotation)
+    extended=False,  # demoted round 13 — registry._EXTENDED wins (rationale there)
 )(_ipw_ate)
 
 
@@ -753,7 +753,7 @@ FROM j GROUP BY q ORDER BY q
     "bounded value support, one window over it, a 4-way quantile "
     "fan-out on the spine only.",
     tags=("events", "ab-testing", "statistics", "quantile", "extension"),
-    extended=False,  # gate (round-12 rotation)
+    extended=False,  # demoted round 13 — registry._EXTENDED wins (rationale there)
 )(_quantile_effects)
 
 
@@ -1069,7 +1069,7 @@ FROM c ORDER BY decile
     "rides the O(score-support) spine — no row_number, no ntile, no "
     "per-user window anywhere in the plan (plan-asserted).",
     tags=("events", "uplift", "causal", "scale", "extension"),
-    extended=True,
+    extended=False,  # gate (round-13 rotation: the production Qini form, verdict-r12 #1)
 )(_uplift_qini_cutpoints)
 
 
@@ -1849,7 +1849,7 @@ FROM agg
     "no user matches the target policy.  Scale: ONE user-grain "
     "grouped pass to a 1-row epilogue.",
     tags=("events", "causal", "policy", "statistics", "extension"),
-    extended=True,
+    extended=False,  # gate (round-13 rotation, verdict-r12 #1)
 )(_ops_ips)
 
 
@@ -2196,5 +2196,5 @@ FROM m ORDER BY day
     "pass to the (day x variant) grid; every window rides the "
     "O(days) spine.",
     tags=("events", "ab-testing", "sequential", "statistics", "extension"),
-    extended=True,
+    extended=False,  # gate (round-13 rotation, verdict-r12 #1)
 )(_confseq)

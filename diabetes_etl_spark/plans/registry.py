@@ -616,6 +616,46 @@ _EXTENDED: frozenset[str] = frozenset(
         # z statistic lacks; the Mantel-Cox z stays oracle-green
         # locally on the shared conversion clock
         "events_ab_logrank",
+        # ---- round-13 rotation (verdict-r12 "Next round" #1/#7):
+        # five slots open for events_uplift_qini_cutpoints,
+        # events_policy_ips_snips, events_ab_confidence_sequence,
+        # stream_versioned_source and q8_market_share.  Each demoted
+        # query keeps its oracle and stays green in tests/test_oracle.py
+        # and tools/audit_oracle.py:
+        # stratified IPW ATE: the gated events_aipw_doubly_robust runs
+        # the SAME stratified empirical-propensity machinery and adds
+        # the per-arm outcome model on top (the stricter contract);
+        # the inverse-propensity surface also re-enters the gate
+        # through events_policy_ips_snips (off-policy IPS/SNIPS)
+        "events_ipw_stratified_ate",
+        # exact quantile treatment effects: gate-green round 12; its
+        # bounded-support cum-count spine stays gate-exercised by
+        # ml_conformal_interval's exact selection and events_ab_rmst's
+        # per-arm event-time spine (the Mann-Whitney/Hodges-Lehmann
+        # ext twins share the identical support-grid machinery,
+        # oracle-green locally); slot passes to the anytime-valid
+        # confidence sequence (the sequential surface's missing half)
+        "events_ab_quantile_effects",
+        # batch half of the Spark-4 Python DataSource: gate-green
+        # round 12; the STREAMING half (stream_versioned_source) is
+        # the stricter surface of the same connector (same reader
+        # code path plus offset/commit bookkeeping) and takes the
+        # driver slot this round
+        "versioned_datasource_scan",
+        # crawl-frontier URL canonicalization dedup: runs VERBATIM as
+        # stage 1 of the gated docs_prep_pipeline_v4 composite (same
+        # canonical_url + min-doc_id-per-URL dedup, full-chain
+        # oracle-checked there); slot passes to
+        # events_uplift_qini_cutpoints, the scale-safe production
+        # Qini form two verdicts tracked
+        "url_canonical_dedup",
+        # TPC-H q11 (scalar-subquery HAVING): gate-tenured since the
+        # early rounds; the scalar-subquery family stays gate-covered
+        # by diab_dash_bmi_dist (reference parity) with the ext twin
+        # scalar_subquery_share oracle-green; slot passes to the
+        # never-gated q8_market_share (8-table join + CASE share) for
+        # relational-tier gate freshness (verdict-r12 #7)
+        "q11_important_stock",
     }
 )
 

@@ -142,7 +142,7 @@ register(
     "both sums compute in ONE aggregate pass (no self-join, no second "
     "scan).",
     tags=("join", "agg", "case", "extension"),
-    extended=True,
+    extended=False,  # gate (round-13 rotation, verdict-r12 #7)
 )(
     _sql_query(
         _Q8_SQL,
@@ -659,6 +659,7 @@ register(
     "strict > threshold partition-count-invariant.  Closes verdict-r8 "
     "item 4 (q11/q20 were 'omitted rather than faked').",
     tags=("tpch", "having", "scalar-subquery", "extension"),
+    extended=False,  # demoted round 13 — registry._EXTENDED wins (rationale there)
 )(_sql_query(_Q11_SQL, ("part", "supplier", "nation")))
 
 

@@ -213,5 +213,5 @@ FROM c GROUP BY canon
     "ONLY tracking params.  Scale: projection + one groupBy on the "
     "canonical string.",
     tags=("url", "dedup", "extension"),
-    extended=False,  # gate (round-11 rotation)
+    extended=False,  # demoted round 13 — registry._EXTENDED wins (rationale there)
 )(_url_canonical_dedup)

@@ -276,7 +276,7 @@ ORDER BY snapshot
     "Delta-format interop surface (format-string reads) the "
     "env-blocked delta-spark would have provided.",
     tags=("versioned", "datasource", "source", "extension"),
-    extended=False,  # gate (round-12 rotation; round-11 VERDICT #5)
+    extended=False,  # demoted round 13 — registry._EXTENDED wins (rationale there)
 )
 def versioned_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.sources.vds import register_versioned_source
@@ -344,7 +344,7 @@ ORDER BY phase
     "Delete/rewrite commits raise unless ignoreChanges=true (the "
     "Delta contract; tested in tests/test_vds.py).",
     tags=("streaming", "versioned", "datasource", "extension"),
-    extended=True,
+    extended=False,  # gate (round-13 rotation: streaming half of the Python DataSource, verdict-r12 #1)
 )
 def stream_versioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.sources.vds import register_versioned_source
