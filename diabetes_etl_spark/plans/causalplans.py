@@ -355,7 +355,11 @@ def _msprt_epilogue(daily: DataFrame) -> DataFrame:
             9,
         ),
     )
-    crossed = F.when(ok, lnlam > F.lit(_MSPRT_LN_BOUND))
+    # a zero-information day (no trials/conversions yet) cannot
+    # cross: FALSE, not NULL (mirrored in the oracle epilogue)
+    crossed = F.coalesce(
+        F.when(ok, lnlam > F.lit(_MSPRT_LN_BOUND)), F.lit(False)
+    )
     out = cum.select(
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         F.col("cn_a").cast("long").alias("cum_n_a"),
@@ -382,16 +386,10 @@ def _msprt_epilogue(daily: DataFrame) -> DataFrame:
 
 # The daily/g/cum accumulation-path CTEs — ONE SQL fragment shared by
 # the mSPRT oracle and the confidence-sequence oracle (mirrors the
-# _msprt_daily/_msprt_cum sharing on the Spark side).
-_MSPRT_CUM_SQL = """WITH daily AS (
-  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
-    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
-      ::BIGINT % 2 AS INT) AS variant,
-    COUNT(*) AS n,
-    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
-  FROM events GROUP BY 1, 2
-),
-g AS (
+# _msprt_daily/_msprt_cum sharing on the Spark side).  The g/cum
+# suffix is further shared with the USER-GRAIN grid builders (round
+# 13), which swap only the daily CTE.
+_MSPRT_GCUM_SQL = """g AS (
   SELECT d,
     SUM(CASE WHEN variant = 0 THEN n END) AS n_a,
     SUM(CASE WHEN variant = 0 THEN x END) AS x_a,
@@ -412,10 +410,45 @@ cum AS (
   FROM g
 ),"""
 
+_MSPRT_CUM_SQL = f"""WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      ::BIGINT % 2 AS INT) AS variant,
+    COUNT(*) AS n,
+    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY 1, 2
+),
+{_MSPRT_GCUM_SQL}"""
 
-_MSPRT_ORACLE = f"""
-{_MSPRT_CUM_SQL}
-st AS (
+# USER-GRAIN daily increment grid (round 13): n = users whose FIRST
+# event lands on d (entry into the experiment), x = users whose first
+# BIG purchase (value > 90 — the RMST/uplift conversion clock) lands
+# on d.  Cumulated through the shared g/cum suffix this yields
+# (cumulative distinct users exposed, cumulative users converted) by
+# day — one Bernoulli trial per USER, the randomization unit.
+_MSPRT_USER_CUM_SQL = f"""WITH fu AS (
+  SELECT
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      ::BIGINT % 2 AS INT) AS variant,
+    MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day,
+    MIN(CASE WHEN event_type = 'purchase' AND value > 90
+        THEN CAST(date_trunc('day', ts) AS DATE) END) AS conv_day
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT d, variant, SUM(n) AS n, SUM(x) AS x FROM (
+    SELECT first_day AS d, variant, 1 AS n, 0 AS x FROM fu
+    UNION ALL
+    SELECT conv_day AS d, variant, 0 AS n, 1 AS x FROM fu
+    WHERE conv_day IS NOT NULL
+  ) u GROUP BY d, variant
+),
+{_MSPRT_GCUM_SQL}"""
+
+
+# The st/lam epilogue — shared verbatim by the event-grain and the
+# user-grain mSPRT oracles (only the cum-building prefix differs).
+_MSPRT_EPILOGUE_SQL = f"""st AS (
   SELECT d, cn_a, cn_b, cx_a, cx_b,
     CASE WHEN (CAST(cx_a AS DOUBLE) + cx_b) / (cn_a + cn_b)
              * (1 - (CAST(cx_a AS DOUBLE) + cx_b) / (cn_a + cn_b))
@@ -452,15 +485,17 @@ lam AS (
 )
 SELECT day, cum_n_a, cum_n_b, cum_purch_a, cum_purch_b, z_t,
   ln_lambda,
-  CASE WHEN ln_lambda IS NOT NULL
-    THEN ln_lambda > LN(CAST(1.0 AS DOUBLE) / {_MSPRT_ALPHA}) END
-    AS crossed,
+  COALESCE(CASE WHEN ln_lambda IS NOT NULL
+    THEN ln_lambda > LN(CAST(1.0 AS DOUBLE) / {_MSPRT_ALPHA}) END,
+    FALSE) AS crossed,
   CAST(MAX(CASE WHEN ln_lambda
         > LN(CAST(1.0 AS DOUBLE) / {_MSPRT_ALPHA}) THEN 1 ELSE 0 END)
     OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BOOLEAN)
     AS decided_by_day
 FROM lam ORDER BY day
 """
+
+_MSPRT_ORACLE = f"""\n{_MSPRT_CUM_SQL}\n{_MSPRT_EPILOGUE_SQL}"""
 
 register(
     "events_ab_sequential_msprt",
@@ -478,19 +513,114 @@ register(
     "information of the pooled two-proportion variance; reported in "
     "LOG form (no exp anywhere; ln input/output 9-decimal quantized "
     "— the bigram-LM precedent), with the monotone decided-by-day "
-    "flag as a cumulative-max window.  VALIDITY CAVEAT (round-11 "
-    "ADVICE): the trial unit here is the EVENT row while "
-    "randomization is per user, so the always-valid guarantee holds "
-    "under the event-level iid reading; within-user correlation "
-    "makes the nominal variance optimistic at the user reading "
-    "(the fixture's every-user-has-every-type degeneracy rules out "
-    "a user-grain conversion metric — a real deployment would feed "
-    "the same epilogue a per-user trial grid).  Scale: one grouped "
+    "flag as a cumulative-max window.  GRAIN: the trial unit here is "
+    "the EVENT row while randomization is per user, so this form is "
+    "the documented event-level-iid FIXTURE TWIN; the production "
+    "monitor is events_ab_msprt_users / stream_msprt_monitor_users "
+    "(round 13), which feeds the SAME epilogue a per-USER trial grid "
+    "so the randomization unit is the analysis unit and the "
+    "always-valid guarantee needs no iid caveat.  Scale: one grouped "
     "pass to the (day x variant) grid; every window rides the "
     "O(days) spine.",
     tags=("events", "ab-testing", "sequential", "statistics", "extension"),
     extended=True,
 )(_msprt_path)
+
+
+# -- user-grain mSPRT: the production monitor (round 13) ------------------------
+#
+# Round-12 VERDICT "What's wrong #1": the event-grain monitor counts
+# EVENT rows as trials while randomization is per user, so its
+# always-valid guarantee held only under a documented event-level-iid
+# reading (within-user correlation makes the nominal variance
+# optimistic).  The production form aggregates trials at USER grain —
+# a user ENTERS the experiment on the day of their first event
+# (cumulative n = distinct users exposed) and CONVERTS on the day of
+# their first big purchase (value > 90, the RMST/uplift conversion
+# clock; plain "ever purchased" saturates at p = 1 under the
+# fixture's every-user-purchases degeneracy).  Each user is one
+# Bernoulli trial whose outcome flips 0 -> 1 at conversion — exactly
+# the cumulative visitors-vs-conversions grid of Johari et al.'s
+# always-valid inference — so the randomization unit IS the analysis
+# unit and no validity caveat is needed.  Grid rows exist on days
+# where a count changes; by the decided-by-day monotone flag the
+# decision on any intermediate day is the previous row's.
+
+
+def _msprt_user_per_user(ev: DataFrame) -> DataFrame:
+    """(variant, first_day, conv_day) per user — the first-touch
+    relation (batch form; the streaming twin maintains the same
+    min-aggregate as streaming state)."""
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    return ev.groupBy("user_id").agg(
+        F.min(day).alias("first_day"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 90),
+                day,
+            )
+        ).alias("conv_day"),
+    ).select(
+        _variant_col(F.col("user_id")).alias("variant"),
+        "first_day",
+        "conv_day",
+    )
+
+
+def _msprt_user_daily(per_user: DataFrame) -> DataFrame:
+    """The (d, variant, n, x) USER-GRAIN daily increment grid from
+    the first-touch relation: n counts users entering on d, x counts
+    users converting on d.  Cumulating through _msprt_cum yields
+    (distinct users exposed, users converted) by day."""
+    entries = per_user.select(
+        F.col("first_day").alias("d"),
+        "variant",
+        F.lit(1).alias("n"),
+        F.lit(0).alias("x"),
+    )
+    convs = per_user.where(F.col("conv_day").isNotNull()).select(
+        F.col("conv_day").alias("d"),
+        "variant",
+        F.lit(0).alias("n"),
+        F.lit(1).alias("x"),
+    )
+    return (
+        entries.unionByName(convs)
+        .groupBy("d", "variant")
+        .agg(F.sum("n").alias("n"), F.sum("x").alias("x"))
+    )
+
+
+def _msprt_users_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return _msprt_epilogue(_msprt_user_daily(_msprt_user_per_user(ev)))
+
+
+_MSPRT_USERS_ORACLE = f"""
+{_MSPRT_USER_CUM_SQL}
+{_MSPRT_EPILOGUE_SQL}"""
+
+register(
+    "events_ab_msprt_users",
+    oracle=_MSPRT_USERS_ORACLE,
+    doc="USER-GRAIN mSPRT — the production always-valid monitor "
+    "(round-12 verdict #2): cumulative distinct users exposed vs "
+    "users converted (first big purchase, value > 90) by day, one "
+    "Bernoulli trial per USER so the randomization unit is the "
+    "analysis unit and the mSPRT's anytime guarantee applies with "
+    "no iid caveat (Johari/Pekelis/Walsh's visitors-vs-conversions "
+    "grid).  Shares the st/lam epilogue VERBATIM with the "
+    "event-grain fixture twin (_msprt_epilogue / "
+    "_MSPRT_EPILOGUE_SQL) and the same tau^2/alpha tuning — only "
+    "the trial grid differs (first-touch min-aggregate instead of "
+    "row counts).  cum_n_* here read as users, cum_purch_* as "
+    "converters.  Scale: one user-grain grouped pass (map-side "
+    "combinable min), a union of two O(users)->O(days) projections, "
+    "then everything rides the O(days) spine.",
+    tags=("events", "ab-testing", "sequential", "statistics", "extension"),
+    extended=True,
+)(_msprt_users_path)
 
 
 # -- observational causal: stratified + IPW ATE --------------------------------
@@ -1440,11 +1570,50 @@ register(
     "path on that prefix, and on bounded input it equals "
     "events_ab_sequential_msprt row for row (SAME oracle, the "
     "stream_tumbling_hourly equality pattern).  Epilogue shared "
-    "verbatim with the batch query (_msprt_epilogue), including its "
-    "event-level-iid validity caveat (see that query's doc).",
+    "verbatim with the batch query (_msprt_epilogue).  GRAIN: "
+    "event-grain FIXTURE TWIN — the production monitor is "
+    "stream_msprt_monitor_users (user-grain trials, no iid caveat; "
+    "see events_ab_msprt_users).",
     tags=("streaming", "ab-testing", "sequential", "extension"),
-    extended=False,  # gate (round-12 rotation; batch twin stays ext w/ same oracle)
+    extended=False,  # demoted round 13 — registry._EXTENDED wins (rationale there)
 )(_stream_msprt_monitor)
+
+
+def _stream_msprt_monitor_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from diabetes_etl_spark.sources.tables import load_events_stream
+    from diabetes_etl_spark.streaming.ingest import stream_snapshot
+
+    ev = load_events_stream(spark, sf_dir)
+    snap = stream_snapshot(
+        spark, _msprt_user_per_user(ev), output_mode="complete"
+    )
+    return _msprt_epilogue(_msprt_user_daily(snap))
+
+
+register(
+    "stream_msprt_monitor_users",
+    oracle=_MSPRT_USERS_ORACLE,
+    doc="The USER-GRAIN mSPRT monitor fed by a REAL streaming source "
+    "— the production deployment shape (round-12 verdict #2): the "
+    "per-user first-touch relation (first event day, first "
+    "big-purchase day) maintains as a streaming min-aggregate "
+    "(availableNow through readStream, complete mode — first-touch "
+    "state is the price of user-grain monitoring and is O(users) "
+    "keys x 2 dates, the same state any conversion-dedup keeps; at "
+    "cluster scale this state partitions by user_id and each "
+    "microbatch touches only the users it saw), and each refresh "
+    "recomputes the O(days) decision path from the snapshot — so "
+    "the monitor's output after any prefix of data equals the batch "
+    "events_ab_msprt_users on that prefix (SAME oracle, the "
+    "stream_tumbling_hourly equality pattern), and because both "
+    "grids count each user once, the randomization unit is the "
+    "analysis unit: no event-level-iid caveat.  Epilogue shared "
+    "verbatim with the batch query (_msprt_epilogue).",
+    tags=("streaming", "ab-testing", "sequential", "extension"),
+    extended=False,  # gate (round-13 rotation: the production monitor replaces the event-grain twin)
+)(_stream_msprt_monitor_users)
 
 
 # -- AIPW doubly-robust ATE (round 12) ------------------------------------------
@@ -2100,7 +2269,14 @@ FROM arm
 
 
 def _confseq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cum = _msprt_cum(_msprt_daily(spark, sf_dir))
+    return _confseq_epilogue(_msprt_cum(_msprt_daily(spark, sf_dir)))
+
+
+def _confseq_epilogue(cum: DataFrame) -> DataFrame:
+    """The confidence-sequence margin/interval columns from a
+    cumulative (d, cn_a, cx_a, cn_b, cx_b) path — shared by the
+    event-grain fixture twin and the user-grain production form
+    (round 13), mirroring the _msprt_epilogue sharing."""
     p_a = F.col("cx_a").cast("double") / F.col("cn_a")
     p_b = F.col("cx_b").cast("double") / F.col("cn_b")
     pool = (F.col("cx_a") + F.col("cx_b")).cast("double") / (
@@ -2134,15 +2310,15 @@ def _confseq(spark: SparkSession, sf_dir: str) -> DataFrame:
         margin.alias("cs_margin"),
         lo.alias("cs_lo"),
         hi.alias("cs_hi"),
-        F.when(ok, (lo > 0) | (hi < 0)).alias("excludes_zero"),
+        F.coalesce(
+            F.when(ok, (lo > 0) | (hi < 0)), F.lit(False)
+        ).alias("excludes_zero"),
     ).orderBy("day")
 
 
-register(
-    "events_ab_confidence_sequence",
-    oracle=f"""
-{_MSPRT_CUM_SQL}
-st AS (
+# The st/m epilogue of the confidence-sequence oracle — shared by the
+# event-grain fixture twin and the user-grain production form.
+_CONFSEQ_EPILOGUE_SQL = f"""st AS (
   SELECT d, cn_a, cn_b, cx_a, cx_b,
     (CAST(cx_a AS DOUBLE) + cx_b) / (cn_a + cn_b)
       * (1 - (CAST(cx_a AS DOUBLE) + cx_b) / (cn_a + cn_b))
@@ -2172,11 +2348,16 @@ SELECT strftime(d, '%Y-%m-%d') AS day,
     THEN ROUND(rate_diff - cs_margin, 9) END AS cs_lo,
   CASE WHEN cs_margin IS NOT NULL
     THEN ROUND(rate_diff + cs_margin, 9) END AS cs_hi,
-  CASE WHEN cs_margin IS NOT NULL
+  COALESCE(CASE WHEN cs_margin IS NOT NULL
     THEN ROUND(rate_diff - cs_margin, 9) > 0
-      OR ROUND(rate_diff + cs_margin, 9) < 0 END AS excludes_zero
+      OR ROUND(rate_diff + cs_margin, 9) < 0 END, FALSE)
+    AS excludes_zero
 FROM m ORDER BY day
-""",
+"""
+
+register(
+    "events_ab_confidence_sequence",
+    oracle=f"""\n{_MSPRT_CUM_SQL}\n{_CONFSEQ_EPILOGUE_SQL}""",
     doc="Anytime-valid confidence sequence on the daily purchase-rate "
     "difference — the inversion of the SAME normal-mixture likelihood "
     "ratio the mSPRT thresholds (Robbins 1970; Howard et al. "
@@ -2188,13 +2369,47 @@ FROM m ORDER BY day
     "look — the number a live experiment dashboard should actually "
     "display instead of a fixed-horizon CI that lies under peeking.  "
     "Shares the accumulation-path machinery (_msprt_cum) and the "
-    "tau^2/alpha tuning with events_ab_sequential_msprt, and the "
-    "same event-level-iid validity reading (see that query's doc); "
+    "tau^2/alpha tuning with events_ab_sequential_msprt; "
     "excludes_zero agrees with the mSPRT's crossing decision up to "
     "the shared boundary algebra (pinned in tests/test_round12.py).  "
+    "GRAIN: event-grain trials — the documented fixture twin; the "
+    "user-grain production form is "
+    "events_ab_confidence_sequence_users (same epilogue, trials at "
+    "the randomization unit, no iid caveat).  "
     "One quantized ln + one sqrt per day row.  Scale: one grouped "
     "pass to the (day x variant) grid; every window rides the "
     "O(days) spine.",
     tags=("events", "ab-testing", "sequential", "statistics", "extension"),
     extended=False,  # gate (round-13 rotation, verdict-r12 #1)
 )(_confseq)
+
+
+def _confseq_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return _confseq_epilogue(
+        _msprt_cum(_msprt_user_daily(_msprt_user_per_user(ev)))
+    )
+
+
+register(
+    "events_ab_confidence_sequence_users",
+    oracle=f"""
+{_MSPRT_USER_CUM_SQL}
+{_CONFSEQ_EPILOGUE_SQL}""",
+    doc="USER-GRAIN anytime-valid confidence sequence — the "
+    "production form of events_ab_confidence_sequence (round-12 "
+    "verdict #2): the SAME mixture-inversion margin "
+    "(_confseq_epilogue / _CONFSEQ_EPILOGUE_SQL, shared verbatim) "
+    "over the user-grain trial grid of events_ab_msprt_users "
+    "(cumulative distinct users exposed vs users with a first big "
+    "purchase, value > 90), so each user is one Bernoulli trial, "
+    "the randomization unit is the analysis unit, and the "
+    "time-uniform coverage guarantee applies with no "
+    "event-level-iid caveat — the interval a live experiment "
+    "dashboard should display.  rate_diff/cs_lo/cs_hi here read as "
+    "conversion-rate differences between arms.  Scale: one "
+    "user-grain grouped pass (map-side combinable min), then "
+    "everything rides the O(days) spine.",
+    tags=("events", "ab-testing", "sequential", "statistics", "extension"),
+    extended=True,
+)(_confseq_users)

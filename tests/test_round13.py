@@ -123,3 +123,84 @@ def test_quarantine_prod_covering_assumption_pinned(spark, sf_dir):
         "decontam_semantic_quarantine_prod's fixture-covering "
         "assumption broke: its oracle pairing is no longer valid"
     )
+
+
+@pytest.fixture(scope="module")
+def reg():
+    from diabetes_etl_spark.plans import all_queries
+
+    return all_queries(include_extended=True)
+
+
+def test_msprt_users_grid_is_user_grain(spark, sf_dir, reg):
+    """The production monitor counts TRIALS at the randomization
+    unit: the final cumulative n_a + n_b must equal the number of
+    distinct users, cumulative counts must be non-decreasing, and
+    converters can never exceed entrants within an arm on any day."""
+    rows = (
+        reg["events_ab_msprt_users"].fn(spark, sf_dir)
+        .orderBy("day")
+        .collect()
+    )
+    assert len(rows) >= 3
+    from diabetes_etl_spark.sources.tables import load_table
+
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id").distinct().count()
+    )
+    last = rows[-1]
+    assert last["cum_n_a"] + last["cum_n_b"] == n_users
+    prev = None
+    for r in rows:
+        assert r["cum_purch_a"] <= r["cum_n_a"]
+        assert r["cum_purch_b"] <= r["cum_n_b"]
+        if prev is not None:
+            for c in ("cum_n_a", "cum_n_b", "cum_purch_a", "cum_purch_b"):
+                assert r[c] >= prev[c]
+        prev = r
+
+
+def test_stream_msprt_users_equals_batch(spark, sf_dir, reg):
+    """On bounded input the streaming user-grain monitor must equal
+    the batch user-grain path row for row (the
+    stream_tumbling_hourly equality pattern — both share the oracle,
+    so a drift in either is a gate failure; this pins them against
+    EACH OTHER without DuckDB in the loop)."""
+    batch = sorted(
+        tuple(r)
+        for r in reg["events_ab_msprt_users"].fn(spark, sf_dir).collect()
+    )
+    stream = sorted(
+        tuple(r)
+        for r in reg["stream_msprt_monitor_users"].fn(spark, sf_dir).collect()
+    )
+    assert stream == batch and len(batch) >= 3
+
+
+def test_confseq_users_inverts_msprt_users(spark, sf_dir, reg):
+    """The user-grain CS is the inversion of the user-grain mSPRT —
+    same agreement contract as the event-grain pair, at the grain
+    where the always-valid guarantee actually holds."""
+    from diabetes_etl_spark.plans.causalplans import _MSPRT_LN_BOUND
+
+    cs = {
+        r["day"]: r
+        for r in reg["events_ab_confidence_sequence_users"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    ms = {
+        r["day"]: r
+        for r in reg["events_ab_msprt_users"].fn(spark, sf_dir).collect()
+    }
+    assert set(cs) == set(ms) and len(cs) >= 3
+    for d in cs:
+        lnlam = ms[d]["ln_lambda"]
+        if lnlam is None:
+            assert cs[d]["cs_margin"] is None
+            continue
+        if abs(lnlam - _MSPRT_LN_BOUND) < 1e-8:
+            continue  # knife-edge rounding radius (round-12 ADVICE)
+        assert cs[d]["excludes_zero"] == ms[d]["crossed"], d
+        assert cs[d]["cs_lo"] <= cs[d]["rate_diff"] <= cs[d]["cs_hi"]
