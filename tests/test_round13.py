@@ -204,3 +204,100 @@ def test_confseq_users_inverts_msprt_users(spark, sf_dir, reg):
             continue  # knife-edge rounding radius (round-12 ADVICE)
         assert cs[d]["excludes_zero"] == ms[d]["crossed"], d
         assert cs[d]["cs_lo"] <= cs[d]["rate_diff"] <= cs[d]["cs_hi"]
+
+
+def test_rmst_greenwood_se_matches_direct_computation(spark, sf_dir, reg):
+    """rmst_se must equal the standard Greenwood-based RMST variance
+    (survRM2's estimator) recomputed INDEPENDENTLY in plain Python
+    from the raw per-user spans — KM fitted from scratch, remaining
+    areas by direct summation, no shared code with the plan — up to
+    the plan's documented quantization (9-decimal outputs, 7-decimal
+    S and contribution grains)."""
+    import math
+    from collections import Counter
+
+    from diabetes_etl_spark.plans.causalplans import (
+        _RMST_TAU,
+        _variant_col,
+    )
+    from diabetes_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(day).alias("f"),
+            F.max(day).alias("l"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 90),
+                    day,
+                )
+            ).alias("c"),
+        )
+        .select(
+            _variant_col(F.col("user_id")).alias("v"),
+            F.when(
+                F.col("c").isNotNull(), F.datediff("c", "f")
+            ).otherwise(F.datediff("l", "f")).alias("t"),
+            F.col("c").isNotNull().cast("int").alias("dead"),
+        )
+        .collect()
+    )
+    expected = {}
+    for arm in (0, 1):
+        rows = [(r["t"], r["dead"]) for r in pu if r["v"] == arm]
+        grid = sorted(
+            Counter(t for t, _ in rows).keys()
+        )
+        n_at = {
+            t: sum(1 for u, _ in rows if u >= t) for t in grid
+        }
+        d_at = {
+            t: sum(1 for u, dd in rows if u == t and dd) for t in grid
+        }
+        s, surv = 1.0, {}
+        for t in grid:
+            if d_at[t] >= n_at[t]:
+                s = 0.0
+            else:
+                s *= 1.0 - d_at[t] / n_at[t]
+            surv[t] = s
+        areas = {}
+        for i, t in enumerate(grid):
+            a = 0.0
+            for j in range(i, len(grid)):
+                tj = grid[j]
+                nxt = grid[j + 1] if j + 1 < len(grid) else _RMST_TAU
+                w = max(
+                    0, min(nxt, _RMST_TAU) - min(tj, _RMST_TAU)
+                )
+                a += surv[tj] * w
+            areas[t] = a
+        var = sum(
+            areas[t] ** 2 * d_at[t] / (n_at[t] * (n_at[t] - d_at[t]))
+            for t in grid
+            if 0 < d_at[t] < n_at[t]
+        )
+        expected[arm] = math.sqrt(var)
+
+    got = reg["events_ab_rmst"].fn(spark, sf_dir).collect()[0]
+    assert got["rmst_se_a"] == pytest.approx(expected[0], rel=1e-4)
+    assert got["rmst_se_b"] == pytest.approx(expected[1], rel=1e-4)
+    assert got["rmst_se_a"] > 0 and got["rmst_se_b"] > 0
+    assert got["rmst_diff_se"] == pytest.approx(
+        math.sqrt(got["rmst_se_a"] ** 2 + got["rmst_se_b"] ** 2),
+        rel=1e-6,
+    )
+    assert (
+        got["rmst_diff_lo"]
+        <= got["rmst_diff"]
+        <= got["rmst_diff_hi"]
+    )
+    width = got["rmst_diff_hi"] - got["rmst_diff_lo"]
+    assert width == pytest.approx(
+        2 * 1.96 * got["rmst_diff_se"], rel=1e-6
+    )
