@@ -1650,6 +1650,17 @@ def _aipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             (F.col("x") * F.col("y")).cast("decimal(38,6)")
         ).alias("sxy"),
+        # y is 2-decimal money, so y^2 is exact at grain 4; the
+        # (19,2) operand casts make the multiply land on an exact
+        # (38,4) in BOTH engines (width 19 forces DuckDB onto the
+        # int128 path — an 18-wide operand overflows its int64
+        # multiply) before the (38,6) fold
+        F.sum(
+            (
+                F.col("y").cast("decimal(19,2)")
+                * F.col("y").cast("decimal(19,2)")
+            ).cast("decimal(38,6)")
+        ).alias("syy"),
     )
 
     def cell(c, v):
@@ -1659,7 +1670,7 @@ def _aipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     strat = grid.groupBy("stratum").agg(
         *[cell(c, v) for v in (1, 0)
-          for c in ("n", "sx", "sy", "sxx", "sxy")]
+          for c in ("n", "sx", "sy", "sxx", "sxy", "syy")]
     )
 
     def arm(tag):
@@ -1724,6 +1735,12 @@ def _aipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxc = F.coalesce(F.col("sxc"), F.lit(0).cast("decimal(38,0)"))
     syt = F.coalesce(F.col("syt"), F.lit(0).cast("decimal(38,6)"))
     syc = F.coalesce(F.col("syc"), F.lit(0).cast("decimal(38,6)"))
+    sxxt = F.coalesce(F.col("sxxt"), F.lit(0).cast("decimal(38,0)"))
+    sxxc = F.coalesce(F.col("sxxc"), F.lit(0).cast("decimal(38,0)"))
+    sxyt = F.coalesce(F.col("sxyt"), F.lit(0).cast("decimal(38,6)"))
+    sxyc = F.coalesce(F.col("sxyc"), F.lit(0).cast("decimal(38,6)"))
+    syyt = F.coalesce(F.col("syyt"), F.lit(0).cast("decimal(38,6)"))
+    syyc = F.coalesce(F.col("syyc"), F.lit(0).cast("decimal(38,6)"))
     gterm = (F.col("a1") - F.col("a0")) * ns + (
         F.col("b1") - F.col("b0")
     ) * (sxt + sxc).cast("double")
@@ -1737,6 +1754,37 @@ def _aipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         - nc * F.col("a0")
         - F.col("b0") * sxc.cast("double")
     ) / (1 - e)
+    # Influence-function second moment (round 13, verdict-r12 #6):
+    # within a (stratum, arm) cell the AIPW influence contribution is
+    # LINEAR in (1, x, y) — treated: psi = kt + lt*x + mt*y with
+    # kt = (a1-a0) - a1/e, lt = (b1-b0) - b1/e, mt = 1/e; control:
+    # kc = (a1-a0) + a0/(1-e), lc = (b1-b0) + b0/(1-e),
+    # mc = -1/(1-e) — so sum(psi^2) over the cell is the closed form
+    # n*k^2 + l^2*sxx + m^2*syy + 2kl*sx + 2km*sy + 2lm*sxy on the
+    # moments the grid already folds (plus the new syy).  Standard
+    # AIPW variance: Var = sum(psi - psibar)^2 / n^2.
+    ad = F.col("a1") - F.col("a0")
+    bd = F.col("b1") - F.col("b0")
+    kt = ad - F.col("a1") / e
+    lt = bd - F.col("b1") / e
+    mt = F.lit(1.0) / e
+    kc = ad + F.col("a0") / (1 - e)
+    lc = bd + F.col("b0") / (1 - e)
+    mc = -(F.lit(1.0) / (1 - e))
+
+    def psi2(n_, k, l_, m, sx_, sy_, sxx_, sxy_, syy_):
+        return (
+            n_ * k * k
+            + l_ * l_ * sxx_.cast("double")
+            + m * m * syy_.cast("double")
+            + 2 * k * l_ * sx_.cast("double")
+            + 2 * k * m * sy_.cast("double")
+            + 2 * l_ * m * sxy_.cast("double")
+        )
+
+    psis = psi2(nt, kt, lt, mt, sxt, syt, sxxt, sxyt, syyt) + psi2(
+        nc, kc, lc, mc, sxc, syc, sxxc, sxyc, syyc
+    )
     d12 = "decimal(38,12)"
     out = j.agg(
         F.max("n_treat").alias("n_treat"),
@@ -1752,6 +1800,22 @@ def _aipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ok, F.round(gterm + corr1 - corr0, 9).cast(d12)
             )
         ).alias("aipw_sum"),
+        F.sum(
+            F.when(ok, F.round(psis, 6).cast(d12))
+        ).alias("psi2_sum"),
+    )
+    se = F.round(
+        F.sqrt(
+            F.greatest(
+                F.col("psi2_sum").cast("double")
+                - F.col("aipw_sum").cast("double")
+                * F.col("aipw_sum").cast("double")
+                / F.col("n_ok"),
+                F.lit(0.0),
+            )
+        )
+        / F.col("n_ok"),
+        9,
     )
     return out.select(
         F.col("n_treat").cast("long").alias("n_treat"),
@@ -1765,11 +1829,37 @@ def _aipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("aipw_sum").cast("double") / F.col("n_ok"), 9
         ).alias("ate_aipw"),
+        se.alias("ate_aipw_se"),
+    ).select(
+        "*",
+        F.round(
+            F.col("ate_aipw") - F.lit(1.96) * F.col("ate_aipw_se"), 9
+        ).alias("ate_aipw_lo"),
+        F.round(
+            F.col("ate_aipw") + F.lit(1.96) * F.col("ate_aipw_se"), 9
+        ).alias("ate_aipw_hi"),
     )
 
 
 def _aipw_sql() -> str:
     from diabetes_etl_spark.functions.stats import sql_exact_cov_num
+
+    def psi2(n, k, l, m, sx, sy, sxx, sxy, syy):
+        # literal mirror of the Spark psi2 closed form (see _aipw_ate)
+        def cd(col, dec):
+            return (
+                f"CAST(COALESCE({col}, CAST(0 AS DECIMAL(38,{dec})))"
+                " AS DOUBLE)"
+            )
+
+        return (
+            f"({n} * {k} * {k}"
+            f" + {l} * {l} * {cd(sxx, 0)}"
+            f" + {m} * {m} * {cd(syy, 6)}"
+            f" + 2 * {k} * {l} * {cd(sx, 0)}"
+            f" + 2 * {k} * {m} * {cd(sy, 6)}"
+            f" + 2 * {l} * {m} * {cd(sxy, 6)})"
+        )
 
     def coefs(tag):
         n = f"n_{tag}"
@@ -1807,7 +1897,9 @@ grid AS (
     SUM(CAST(x AS DECIMAL(38,0))) AS sx,
     SUM(y) AS sy,
     SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
-    SUM(CAST(x * y AS DECIMAL(38,6))) AS sxy
+    SUM(CAST(x * y AS DECIMAL(38,6))) AS sxy,
+    SUM(CAST(CAST(y AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2))
+        AS DECIMAL(38,6))) AS syy
   FROM base GROUP BY stratum, treated
 ),
 strat AS (
@@ -1817,11 +1909,13 @@ strat AS (
     MAX(CASE WHEN treated = 1 THEN sy END) AS syt,
     MAX(CASE WHEN treated = 1 THEN sxx END) AS sxxt,
     MAX(CASE WHEN treated = 1 THEN sxy END) AS sxyt,
+    MAX(CASE WHEN treated = 1 THEN syy END) AS syyt,
     MAX(CASE WHEN treated = 0 THEN n END) AS nc,
     MAX(CASE WHEN treated = 0 THEN sx END) AS sxc,
     MAX(CASE WHEN treated = 0 THEN sy END) AS syc,
     MAX(CASE WHEN treated = 0 THEN sxx END) AS sxxc,
-    MAX(CASE WHEN treated = 0 THEN sxy END) AS sxyc
+    MAX(CASE WHEN treated = 0 THEN sxy END) AS sxyc,
+    MAX(CASE WHEN treated = 0 THEN syy END) AS syyc
   FROM grid GROUP BY stratum
 ),
 arms AS (
@@ -1869,22 +1963,53 @@ contrib AS (
     (CAST(COALESCE(syc, CAST(0 AS DECIMAL(38,6))) AS DOUBLE)
       - COALESCE(nc, 0) * a0
       - b0 * CAST(COALESCE(sxc, CAST(0 AS DECIMAL(38,0))) AS DOUBLE))
-      / (1 - e) AS corr0
+      / (1 - e) AS corr0,
+    {psi2('COALESCE(nt, 0)',
+          '((a1 - a0) - a1 / e)',
+          '((b1 - b0) - b1 / e)',
+          '(CAST(1.0 AS DOUBLE) / e)',
+          'sxt', 'syt', 'sxxt', 'sxyt', 'syyt')}
+      + {psi2('COALESCE(nc, 0)',
+              '((a1 - a0) + a0 / (1 - e))',
+              '((b1 - b0) + b0 / (1 - e))',
+              '(-(CAST(1.0 AS DOUBLE) / (1 - e)))',
+              'sxc', 'syc', 'sxxc', 'sxyc', 'syyc')}
+      AS psis
   FROM terms
+),
+aggr AS (
+  SELECT CAST(MAX(n_treat) AS BIGINT) AS n_treat,
+    CAST(MAX(n_ctrl) AS BIGINT) AS n_ctrl,
+    CAST(SUM(CASE WHEN ok THEN ns END) AS BIGINT) AS n_ok,
+    MAX(b1) AS slope_treat,
+    MAX(b0) AS slope_ctrl,
+    ROUND(CAST(SUM(CASE WHEN ok
+        THEN CAST(ROUND(gterm, 9) AS DECIMAL(38,12)) END) AS DOUBLE)
+      / SUM(CASE WHEN ok THEN ns END), 9) AS ate_gcomp,
+    ROUND(CAST(SUM(CASE WHEN ok
+        THEN CAST(ROUND(gterm + corr1 - corr0, 9) AS DECIMAL(38,12))
+        END) AS DOUBLE)
+      / SUM(CASE WHEN ok THEN ns END), 9) AS ate_aipw,
+    ROUND(SQRT(GREATEST(
+        CAST(SUM(CASE WHEN ok
+          THEN CAST(ROUND(psis, 6) AS DECIMAL(38,12)) END) AS DOUBLE)
+        - CAST(SUM(CASE WHEN ok
+            THEN CAST(ROUND(gterm + corr1 - corr0, 9)
+                 AS DECIMAL(38,12)) END) AS DOUBLE)
+          * CAST(SUM(CASE WHEN ok
+              THEN CAST(ROUND(gterm + corr1 - corr0, 9)
+                   AS DECIMAL(38,12)) END) AS DOUBLE)
+          / SUM(CASE WHEN ok THEN ns END),
+        CAST(0.0 AS DOUBLE)))
+      / SUM(CASE WHEN ok THEN ns END), 9) AS ate_aipw_se
+  FROM contrib
 )
-SELECT CAST(MAX(n_treat) AS BIGINT) AS n_treat,
-  CAST(MAX(n_ctrl) AS BIGINT) AS n_ctrl,
-  CAST(SUM(CASE WHEN ok THEN ns END) AS BIGINT) AS n_ok,
-  MAX(b1) AS slope_treat,
-  MAX(b0) AS slope_ctrl,
-  ROUND(CAST(SUM(CASE WHEN ok
-      THEN CAST(ROUND(gterm, 9) AS DECIMAL(38,12)) END) AS DOUBLE)
-    / SUM(CASE WHEN ok THEN ns END), 9) AS ate_gcomp,
-  ROUND(CAST(SUM(CASE WHEN ok
-      THEN CAST(ROUND(gterm + corr1 - corr0, 9) AS DECIMAL(38,12))
-      END) AS DOUBLE)
-    / SUM(CASE WHEN ok THEN ns END), 9) AS ate_aipw
-FROM contrib
+SELECT *,
+  ROUND(ate_aipw - CAST(1.96 AS DOUBLE) * ate_aipw_se, 9)
+    AS ate_aipw_lo,
+  ROUND(ate_aipw + CAST(1.96 AS DOUBLE) * ate_aipw_se, 9)
+    AS ate_aipw_hi
+FROM aggr
 """
 
 

@@ -301,3 +301,77 @@ def test_rmst_greenwood_se_matches_direct_computation(spark, sf_dir, reg):
     assert width == pytest.approx(
         2 * 1.96 * got["rmst_diff_se"], rel=1e-6
     )
+
+
+def test_aipw_se_matches_direct_influence_computation(spark, sf_dir, reg):
+    """ate_aipw_se must equal the standard influence-function AIPW
+    variance sqrt(sum(psi_i - psibar)^2) / n recomputed directly at
+    USER level in plain Python — per-user psi built from the query's
+    own reported coefficients (slope/intercept are deterministic
+    outputs) and raw per-user (treated, x, y) rows, no shared fold
+    code."""
+    import math
+
+    from diabetes_etl_spark.plans.causalplans import (
+        _STRATA_SQL,
+        _TREAT_CLICKS,
+        _per_user_activity,
+    )
+    from pyspark.sql import functions as F
+
+    got = reg["events_aipw_doubly_robust"].fn(spark, sf_dir).collect()[0]
+    pu = (
+        _per_user_activity(spark, sf_dir)
+        .select(
+            (F.col("n_clicks") >= _TREAT_CLICKS).cast("int").alias("t"),
+            F.col("y_events").cast("double").alias("x"),
+            F.col("revenue").cast("double").alias("y"),
+            F.expr(_STRATA_SQL.replace("y", "y_events")).alias("s"),
+        )
+        .collect()
+    )
+    b1, b0 = got["slope_treat"], got["slope_ctrl"]
+    # intercepts from the same closed form the query uses
+    xt = [r for r in pu if r["t"] == 1]
+    xc = [r for r in pu if r["t"] == 0]
+    a1 = round(
+        sum(r["y"] for r in xt) / len(xt)
+        - b1 * (sum(r["x"] for r in xt) / len(xt)),
+        9,
+    )
+    a0 = round(
+        sum(r["y"] for r in xc) / len(xc)
+        - b0 * (sum(r["x"] for r in xc) / len(xc)),
+        9,
+    )
+    # empirical propensity per stratum; strata with an empty arm are
+    # excluded (the query's ok guard)
+    strata = {}
+    for r in pu:
+        strata.setdefault(r["s"], [0, 0])[r["t"]] += 1
+    ok = {s for s, (nc, nt) in strata.items() if nc > 0 and nt > 0}
+    psis = []
+    for r in pu:
+        if r["s"] not in ok:
+            continue
+        nc, nt = strata[r["s"]]
+        e = nt / (nt + nc)
+        g = (a1 - a0) + (b1 - b0) * r["x"]
+        if r["t"] == 1:
+            psi = g + (r["y"] - a1 - b1 * r["x"]) / e
+        else:
+            psi = g - (r["y"] - a0 - b0 * r["x"]) / (1 - e)
+        psis.append(psi)
+    n = len(psis)
+    mean = sum(psis) / n
+    se = math.sqrt(sum((p - mean) ** 2 for p in psis)) / n
+    assert got["n_ok"] == n
+    assert got["ate_aipw"] == pytest.approx(mean, abs=1e-6)
+    assert got["ate_aipw_se"] == pytest.approx(se, rel=1e-6)
+    assert got["ate_aipw_se"] > 0
+    assert (
+        got["ate_aipw_lo"] <= got["ate_aipw"] <= got["ate_aipw_hi"]
+    )
+    assert got["ate_aipw_hi"] - got["ate_aipw_lo"] == pytest.approx(
+        2 * 1.96 * got["ate_aipw_se"], abs=1e-6
+    )
