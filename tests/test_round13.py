@@ -375,3 +375,25 @@ def test_aipw_se_matches_direct_influence_computation(spark, sf_dir, reg):
     assert got["ate_aipw_hi"] - got["ate_aipw_lo"] == pytest.approx(
         2 * 1.96 * got["ate_aipw_se"], abs=1e-6
     )
+
+
+def test_knn_prod_covering_assumption_pinned(spark, sf_dir, reg):
+    """classifier_knn_lsh_prod's oracle pairing (round 13) rests on
+    the 16-table profile being COVERING at fixture scale.  Pin the
+    assumption: prod confusion must equal the 24-table margined
+    form's row-for-row, so a fixture regen that breaks covering
+    fails here by name instead of as an engine-parity mismatch
+    (the decontam_semantic_quarantine_prod pattern)."""
+    base = sorted(
+        tuple(r)
+        for r in reg["classifier_knn_lsh"].fn(spark, sf_dir).collect()
+    )
+    prod = sorted(
+        tuple(r)
+        for r in reg["classifier_knn_lsh_prod"].fn(spark, sf_dir).collect()
+    )
+    assert base, "knn confusion unexpectedly empty"
+    assert prod == base, (
+        "classifier_knn_lsh_prod's fixture-covering assumption "
+        "broke: its oracle pairing is no longer valid"
+    )
