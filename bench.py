@@ -121,6 +121,15 @@ HEADLINE = [
     # round-12b rotation promotions (same growth rule)
     "events_aipw_doubly_robust",
     "events_ab_rmst",
+    # round-13 rotation promotions (same growth rule): the production
+    # Qini/off-policy/anytime-CS trio, the streaming Python
+    # DataSource, TPC-H q8, and the user-grain streaming mSPRT
+    "events_uplift_qini_cutpoints",
+    "events_policy_ips_snips",
+    "events_ab_confidence_sequence",
+    "stream_versioned_source",
+    "q8_market_share",
+    "stream_msprt_monitor_users",
 ]
 
 
