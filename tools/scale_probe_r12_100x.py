@@ -1,5 +1,8 @@
 #!/usr/bin/env python
 """100x EVENTS-replication probe for the round-12 gate promotions.
+(Round 13 reuses this exact script via tools/scale_probe_r13_100x.py,
+which only swaps the QUERIES list — verdict-r12 #8 asked for new probe
+rows at the SAME probe version.)
 
 The six causal/inference queries promoted into the round-12 gate all
 claim bounded epilogues (O(days) / O(strata) / O(value-support) /
