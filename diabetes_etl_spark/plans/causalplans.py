@@ -2147,6 +2147,225 @@ FROM agg
 )(_ops_ips)
 
 
+# -- doubly-robust off-policy value (round 13) -----------------------------------
+#
+# IPS is unbiased but rides only the matched users; the DIRECT METHOD
+# (score every user with an outcome model at the target action) is
+# low-variance but inherits the model's bias.  The doubly-robust
+# estimator (Dudik, Langford & Li 2011) pays the model's prediction
+# everywhere and IPS-corrects it on the matched logs:
+#   V_DR = (1/n) sum_i [ q(pi(x_i)) + 1{a_i = pi(x_i)} * w * (r_i - q(a_i)) ]
+# — unbiased if EITHER the propensity (exact here: 1/4 by design) or
+# the model is right, with variance between the two.  The outcome
+# model is the per-logged-arm mean reward (the honest baseline a DM
+# would use); because the target policy is deterministic and the
+# model is arm-level, the per-user influence contribution is LINEAR
+# in r within each (target-arm, matched) cell:
+#   psi = qv(t)*(1 - w*m) + w*m*r
+# so the value, its influence-function SE (sqrt(sum(psi - psibar)^2)/n)
+# and the CI all fold from an 8-cell (4 target arms x matched) grid of
+# (count, sum r, sum r^2) — one user-grain pass, O(arms) epilogue.
+
+
+def _ops_dr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = _per_user_activity(spark, sf_dir)
+    scored = per_user.select(
+        _policy_col(F.col("user_id")).alias("a_logged"),
+        F.expr(_STRATA_SQL.replace("y", "y_events")).alias("a_target"),
+        F.col("revenue").alias("r"),
+    )
+    q = (
+        scored.groupBy("a_logged")
+        .agg(F.count(F.lit(1)).alias("n_a"), F.sum("r").alias("sr_a"))
+        .select(
+            F.col("a_logged").alias("arm"),
+            F.round(
+                F.col("sr_a").cast("double") / F.col("n_a"), 9
+            ).alias("qv"),
+        )
+    )
+    cells = (
+        scored.select(
+            F.col("a_target").alias("t"),
+            (F.col("a_logged") == F.col("a_target"))
+            .cast("int")
+            .alias("m"),
+            "r",
+        )
+        .groupBy("t", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_c"),
+            F.sum("r").alias("sr"),
+            # r is 2-decimal money: the (19,2) operand casts keep the
+            # square exact at (38,4) in both engines (the AIPW syy
+            # precedent)
+            F.sum(
+                (
+                    F.col("r").cast("decimal(19,2)")
+                    * F.col("r").cast("decimal(19,2)")
+                ).cast("decimal(38,6)")
+            ).alias("srr"),
+        )
+    )
+    j = cells.join(F.broadcast(q), F.col("t") == F.col("arm"), "left")
+    w = float(_POLICY_ARMS)
+    c0 = F.col("qv") * (1 - F.lit(w) * F.col("m"))
+    c1 = F.lit(w) * F.col("m")
+    sr_d = F.col("sr").cast("double")
+    srr_d = F.col("srr").cast("double")
+    psi = F.col("n_c") * c0 + c1 * sr_d
+    psi2 = (
+        F.col("n_c") * c0 * c0
+        + 2 * c0 * c1 * sr_d
+        + c1 * c1 * srr_d
+    )
+    d12 = "decimal(38,12)"
+    agg = j.agg(
+        F.sum("n_c").alias("n"),
+        F.sum(
+            F.when(F.col("m") == 1, F.col("n_c")).otherwise(0)
+        ).alias("k"),
+        F.sum(
+            F.when(F.col("qv").isNull(), F.col("n_c")).otherwise(0)
+        ).alias("n_unmodeled"),
+        F.sum(
+            F.round(F.col("n_c") * F.col("qv"), 9).cast(d12)
+        ).alias("dm_sum"),
+        F.sum(F.round(psi, 9).cast(d12)).alias("psi_sum"),
+        F.sum(F.round(psi2, 6).cast(d12)).alias("psi2_sum"),
+    )
+    n = F.col("n")
+    ok = F.col("n_unmodeled") == 0
+    v_dm = F.round(F.col("dm_sum").cast("double") / n, 9)
+    v_dr = F.round(F.col("psi_sum").cast("double") / n, 9)
+    se = F.round(
+        F.sqrt(
+            F.greatest(
+                F.col("psi2_sum").cast("double")
+                - F.col("psi_sum").cast("double")
+                * F.col("psi_sum").cast("double")
+                / n,
+                F.lit(0.0),
+            )
+        )
+        / n,
+        9,
+    )
+    base = agg.select(
+        n.cast("long").alias("n_users"),
+        F.col("k").cast("long").alias("n_matched"),
+        F.when(ok, v_dm).alias("value_dm"),
+        F.when(ok, v_dr).alias("value_dr"),
+        F.when(ok, se).alias("value_dr_se"),
+    )
+    return base.select(
+        "*",
+        F.round(
+            F.col("value_dr") - F.lit(1.96) * F.col("value_dr_se"), 9
+        ).alias("value_dr_lo"),
+        F.round(
+            F.col("value_dr") + F.lit(1.96) * F.col("value_dr_se"), 9
+        ).alias("value_dr_hi"),
+    )
+
+
+register(
+    "events_policy_dr",
+    oracle=f"""
+WITH per_user AS ({_PER_USER_SQL}),
+scored AS (
+  SELECT
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      ::BIGINT % {_POLICY_ARMS} AS INT) AS a_logged,
+    {_STRATA_SQL.replace("y", "y_events")} AS a_target,
+    revenue AS r
+  FROM per_user
+),
+q AS (
+  SELECT a_logged AS arm,
+    ROUND(CAST(SUM(r) AS DOUBLE) / COUNT(*), 9) AS qv
+  FROM scored GROUP BY a_logged
+),
+cells AS (
+  SELECT a_target AS t,
+    CASE WHEN a_logged = a_target THEN 1 ELSE 0 END AS m,
+    COUNT(*) AS n_c,
+    SUM(r) AS sr,
+    SUM(CAST(CAST(r AS DECIMAL(19,2)) * CAST(r AS DECIMAL(19,2))
+        AS DECIMAL(38,6))) AS srr
+  FROM scored GROUP BY 1, 2
+),
+jn AS (
+  SELECT c.*, q.qv,
+    q.qv * (1 - CAST({float(_POLICY_ARMS)} AS DOUBLE) * c.m) AS c0,
+    CAST({float(_POLICY_ARMS)} AS DOUBLE) * c.m AS c1
+  FROM cells c LEFT JOIN q ON q.arm = c.t
+),
+terms AS (
+  SELECT *,
+    n_c * c0 + c1 * CAST(sr AS DOUBLE) AS psi,
+    n_c * c0 * c0 + 2 * c0 * c1 * CAST(sr AS DOUBLE)
+      + c1 * c1 * CAST(srr AS DOUBLE) AS psi2
+  FROM jn
+),
+aggr AS (
+  SELECT
+    CAST(SUM(n_c) AS BIGINT) AS n_users,
+    CAST(SUM(CASE WHEN m = 1 THEN n_c ELSE 0 END) AS BIGINT)
+      AS n_matched,
+    SUM(CASE WHEN qv IS NULL THEN n_c ELSE 0 END) AS n_unmodeled,
+    CAST(SUM(CAST(ROUND(n_c * qv, 9) AS DECIMAL(38,12)))
+      AS DOUBLE) AS dm_sum,
+    CAST(SUM(CAST(ROUND(psi, 9) AS DECIMAL(38,12)))
+      AS DOUBLE) AS psi_sum,
+    CAST(SUM(CAST(ROUND(psi2, 6) AS DECIMAL(38,12)))
+      AS DOUBLE) AS psi2_sum
+  FROM terms
+),
+fin AS (
+  SELECT n_users, n_matched,
+    CASE WHEN n_unmodeled = 0
+      THEN ROUND(dm_sum / n_users, 9) END AS value_dm,
+    CASE WHEN n_unmodeled = 0
+      THEN ROUND(psi_sum / n_users, 9) END AS value_dr,
+    CASE WHEN n_unmodeled = 0
+      THEN ROUND(SQRT(GREATEST(psi2_sum
+          - psi_sum * psi_sum / n_users,
+          CAST(0.0 AS DOUBLE))) / n_users, 9) END AS value_dr_se
+  FROM aggr
+)
+SELECT *,
+  ROUND(value_dr - CAST(1.96 AS DOUBLE) * value_dr_se, 9)
+    AS value_dr_lo,
+  ROUND(value_dr + CAST(1.96 AS DOUBLE) * value_dr_se, 9)
+    AS value_dr_hi
+FROM fin
+""",
+    doc="Doubly-robust off-policy value (Dudik/Langford/Li 2011) of "
+    "the same deterministic targeting policy events_policy_ips_snips "
+    "evaluates: the DIRECT METHOD scores every user with an "
+    "arm-level outcome model (per-logged-arm mean reward) at the "
+    "target action, and the IPS term corrects the model's residual "
+    "on the matched logs at the exact known propensity (1/4 by "
+    "hash design) — unbiased if EITHER nuisance is right, variance "
+    "between the two (completes the policy triad next to IPS/SNIPS "
+    "and the AIPW ATE, which is the same algebra at 2 arms).  "
+    "Because the target policy is deterministic and the model "
+    "arm-level, the influence contribution is linear in r within "
+    "each (target-arm x matched) cell, so value_dr, its "
+    "influence-function SE sqrt(sum(psi - psibar)^2)/n and the "
+    "1.96-z CI fold from an 8-cell grid of (count, sum r, sum r^2) "
+    "— exact decimal moments (squares via the (19,2) cast, the "
+    "AIPW syy precedent), psi/psi^2 quantized at 9/6 decimals "
+    "before order-independent DECIMAL(38,12) folds, NULL (never "
+    "fabricated) if any target arm lacks logged users to model.  "
+    "Scale: ONE user-grain grouped pass, then everything rides the "
+    "O(arms) epilogue.",
+    tags=("events", "causal", "policy", "statistics", "extension"),
+    extended=True,
+)(_ops_dr)
+
+
 # -- restricted mean survival time between arms (round 12) ----------------------
 
 _RMST_TAU = 14  # days: the restriction horizon (fixture spans ~0-30d)

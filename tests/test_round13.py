@@ -397,3 +397,65 @@ def test_knn_prod_covering_assumption_pinned(spark, sf_dir, reg):
         "classifier_knn_lsh_prod's fixture-covering assumption "
         "broke: its oracle pairing is no longer valid"
     )
+
+
+def test_policy_dr_matches_direct_computation(spark, sf_dir, reg):
+    """events_policy_dr must equal the textbook DR estimator
+    recomputed directly in plain Python at user level: per-logged-arm
+    mean-reward model, V_DR = mean(q(pi(x)) + m*w*(r - q(a))), and
+    the influence SE sqrt(sum(psi - psibar)^2)/n — no shared fold
+    code.  Also pins the DM/DR decomposition and the CI shape."""
+    import math
+    from collections import defaultdict
+
+    from diabetes_etl_spark.plans.causalplans import (
+        _POLICY_ARMS,
+        _STRATA_SQL,
+        _per_user_activity,
+        _policy_col,
+    )
+    from pyspark.sql import functions as F
+
+    got = reg["events_policy_dr"].fn(spark, sf_dir).collect()[0]
+    rows = (
+        _per_user_activity(spark, sf_dir)
+        .select(
+            _policy_col(F.col("user_id")).alias("a"),
+            F.expr(_STRATA_SQL.replace("y", "y_events")).alias("t"),
+            F.col("revenue").cast("double").alias("r"),
+        )
+        .collect()
+    )
+    by_arm = defaultdict(list)
+    for r in rows:
+        by_arm[r["a"]].append(r["r"])
+    q = {a: round(sum(v) / len(v), 9) for a, v in by_arm.items()}
+    w = float(_POLICY_ARMS)
+    psis = []
+    for r in rows:
+        m = 1.0 if r["a"] == r["t"] else 0.0
+        psis.append(q[r["t"]] + m * w * (r["r"] - q[r["a"]]))
+    n = len(psis)
+    v_dr = sum(psis) / n
+    v_dm = sum(q[r["t"]] for r in rows) / n
+    se = math.sqrt(
+        sum((p - v_dr) ** 2 for p in psis)
+    ) / n
+    assert got["n_users"] == n
+    assert got["value_dm"] == pytest.approx(v_dm, rel=1e-9)
+    assert got["value_dr"] == pytest.approx(v_dr, rel=1e-9)
+    assert got["value_dr_se"] == pytest.approx(se, rel=1e-6)
+    assert got["value_dr_se"] > 0
+    assert (
+        got["value_dr_lo"] <= got["value_dr"] <= got["value_dr_hi"]
+    )
+    # DR = DM + the IPS correction on matched logs
+    corr = (
+        sum(
+            w * (r["r"] - q[r["a"]])
+            for r in rows
+            if r["a"] == r["t"]
+        )
+        / n
+    )
+    assert got["value_dr"] == pytest.approx(v_dm + corr, rel=1e-9)
