@@ -459,3 +459,26 @@ def test_policy_dr_matches_direct_computation(spark, sf_dir, reg):
         / n
     )
     assert got["value_dr"] == pytest.approx(v_dm + corr, rel=1e-9)
+
+
+def test_new_variance_columns_partition_invariant(spark, sf_dir, reg):
+    """The round-13 variance folds (RMST Greenwood, AIPW influence,
+    DR influence) must be bit-identical under a different shuffle
+    partitioning — the decimal-fold order-independence contract that
+    makes them safe on a 1000-executor cluster."""
+    before = {}
+    for name in ("events_ab_rmst", "events_aipw_doubly_robust",
+                 "events_policy_dr"):
+        before[name] = sorted(
+            tuple(r) for r in reg[name].fn(spark, sf_dir).collect()
+        )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        for name, want in before.items():
+            got = sorted(
+                tuple(r) for r in reg[name].fn(spark, sf_dir).collect()
+            )
+            assert got == want, name
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
