@@ -122,8 +122,11 @@ HEADLINE = [
     "events_aipw_doubly_robust",
     "events_ab_rmst",
     # round-13 rotation promotions (same growth rule): the production
-    # Qini/off-policy/anytime-CS trio, the streaming Python
-    # DataSource, TPC-H q8, and the user-grain streaming mSPRT
+    # Qini and off-policy forms, the anytime-valid CS (event-grain —
+    # the verdict-named promotion; its user-grain production twin
+    # events_ab_confidence_sequence_users is oracle-paired in the
+    # extended tier, a round-14 rotation candidate), the streaming
+    # Python DataSource, TPC-H q8, and the user-grain streaming mSPRT
     "events_uplift_qini_cutpoints",
     "events_policy_ips_snips",
     "events_ab_confidence_sequence",

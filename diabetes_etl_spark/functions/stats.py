@@ -26,19 +26,27 @@ declared ``frac`` (and Spark HALF_UP vs DuckDB casts can then split
 on exact ties), so pass each factor's real quantization grain.
 
 Mixed grains are first-class: ``frac_digits`` is the x-factor grain,
-``frac_y`` (default: same) the y grain; the product sum ``sxy`` may
-be quantized at any grain up to ``frac_digits + frac_y`` — it is
-scaled by the full ``10^(fx+fy)`` BEFORE the integer cast, so the
-product grain is honored exactly (round-12 ADVICE: the earlier
-``10^max`` pre-cast scale silently rounded an sxy finer than the
-coarser factor, identically in both engines).  Use ``frac_y=0`` for
-count-grain y next to money-grain x — it divides the
-DECIMAL(38,0)/HUGEINT headroom burn by 1e6.
+``frac_y`` (default: same) the y grain, and ``frac_xy`` the product
+sum's TRUE grain (default ``fx + fy``, exact for any legal input —
+the round-12 ADVICE fix: the earlier ``10^max`` pre-cast scale
+silently rounded an sxy finer than the coarser factor, identically
+in both engines).  sxy scales by ``10^frac_xy`` before the integer
+cast and by the exact-integer remainder ``10^(fx+fy-frac_xy)``
+after, so declaring the real grain (e.g. ``frac_xy=6`` for the
+money folds that quantize squares/products at 6 decimals) pays only
+that much pre-cast headroom.  Use ``frac_y=0`` for count-grain y
+next to money-grain x — it divides the DECIMAL(38,0)/HUGEINT
+headroom burn by 1e6.
 
-Headroom: the numerator needs
-``n * sxy * 10^(frac_digits + frac_y) < 1e38``.  For money x money
-(6,6) that is ``n * sum(x*y) < 1e26``; money x count (6,0) allows
-``n * sum(x*y) < 1e32``; count x count (0,0) the full 1e38.
+Headroom, two constraints (post-review round-13): (a) the final
+numerator needs ``n * sxy * 10^(frac_digits + frac_y) < 1e38`` —
+money x money (6,6) gives ``n * sum(x*y) < 1e26``, money x count
+(6,0) ``< 1e32``, count x count (0,0) the full 1e38; (b) the
+pre-cast intermediate needs ``sxy * 10^frac_xy`` to fit sxy's own
+DECIMAL(38,s) width, i.e. ``sxy < 10^(38 - s - frac_xy)`` — at the
+``fx+fy`` default with scale-6 storage and (6,6) grains that caps
+sxy at 1e20, so callers whose products are genuinely coarser MUST
+declare ``frac_xy`` to keep constraint (a) the binding one.
 A breach fails LOUDLY on both engines as this repo configures them:
 Spark 4 defaults to ANSI mode, where DECIMAL(38,0) overflow raises
 NUMERIC_VALUE_OUT_OF_RANGE, and DuckDB HUGEINT/DECIMAL arithmetic
@@ -71,6 +79,15 @@ def _grains(frac_digits: int, frac_y: int | None) -> tuple[int, int]:
     return frac_digits, fy
 
 
+def _xy_grain(fx: int, fy: int, frac_xy: int | None) -> int:
+    g = fx + fy if frac_xy is None else frac_xy
+    if not 0 <= g <= fx + fy:
+        raise ValueError(
+            f"frac_xy={g} outside [0, {fx + fy}] for grains ({fx},{fy})"
+        )
+    return g
+
+
 def exact_cov_num(
     sx: Column,
     sy: Column,
@@ -78,6 +95,7 @@ def exact_cov_num(
     n: Column,
     frac_digits: int = 0,
     frac_y: int | None = None,
+    frac_xy: int | None = None,
 ) -> Column:
     """The exact DECIMAL(38,0) numerator ``n*sxy - sx*sy``, scaled to
     integer grain per factor (i.e. the value is
@@ -86,13 +104,25 @@ def exact_cov_num(
     numerators share the same grain sum the scale cancels, so
     dividing the two double-cast numerators avoids four needless
     roundings; with DIFFERENT grain sums divide the ratio by the
-    leftover power of ten)."""
+    leftover power of ten).
+
+    ``frac_xy`` declares sxy's TRUE quantization grain (default: the
+    safe-for-anything ``fx + fy``).  sxy scales by ``10^frac_xy``
+    before the integer cast — exact for any sxy at that grain (the
+    round-12 ADVICE fix; a 10^max pre-cast scale silently HALF_UP-
+    rounded finer products) — and the remaining ``10^(fx+fy-frac_xy)``
+    multiplies AFTER the cast in exact integer arithmetic, so a
+    caller whose products are quantized coarser than fx+fy (e.g. the
+    money-grain folds that quantize squares at 6) pays only its real
+    grain in pre-cast headroom (post-review round-13 fix: the fx+fy
+    default alone capped a scale-6 DECIMAL(38) sxy at 1e20 instead of
+    the documented 1e26)."""
     fx, fy = _grains(frac_digits, frac_y)
-    # sxy is scaled by the FULL 10^(fx+fy) before the integer cast:
-    # exact for any sxy grain up to fx+fy (the docstring contract).
-    # Scaling by 10^max then multiplying post-cast would silently
-    # HALF_UP-round an sxy quantized finer than max(fx, fy).
-    num = n.cast("decimal(38,0)") * _wide(sxy, 10 ** (fx + fy))
+    g = _xy_grain(fx, fy, frac_xy)
+    num = n.cast("decimal(38,0)") * _wide(sxy, 10**g)
+    rest = 10 ** (fx + fy - g)
+    if rest != 1:
+        num = num * rest
     return num - _wide(sx, 10**fx) * _wide(sy, 10**fy)
 
 
@@ -103,6 +133,7 @@ def exact_cov(
     n: Column,
     frac_digits: int = 0,
     frac_y: int | None = None,
+    frac_xy: int | None = None,
 ) -> Column:
     """Sample covariance ``(sxy - sx*sy/n)/(n-1)`` with the
     cancellation performed exactly in DECIMAL(38,0): numerator
@@ -111,7 +142,7 @@ def exact_cov(
     (n-1)``."""
     fx, fy = _grains(frac_digits, frac_y)
     mult2 = 10 ** (fx + fy)
-    num = exact_cov_num(sx, sy, sxy, n, fx, fy)
+    num = exact_cov_num(sx, sy, sxy, n, fx, fy, frac_xy)
     if mult2 == 1:
         return num.cast("double") / n / (n - 1)
     return (
@@ -120,11 +151,17 @@ def exact_cov(
 
 
 def exact_var(
-    s1: Column, s2: Column, n: Column, frac_digits: int = 0
+    s1: Column,
+    s2: Column,
+    n: Column,
+    frac_digits: int = 0,
+    frac_s2: int | None = None,
 ) -> Column:
     """Sample variance ``(s2 - s1^2/n)/(n-1)`` via the exact-numerator
-    fold — ``exact_cov`` with x = y."""
-    return exact_cov(s1, s1, s2, n, frac_digits)
+    fold — ``exact_cov`` with x = y.  ``frac_s2`` declares the
+    squares' true grain (see ``exact_cov_num.frac_xy``): the
+    money-grain callers quantize squares at 6, not 12."""
+    return exact_cov(s1, s1, s2, n, frac_digits, None, frac_s2)
 
 
 def sql_exact_cov_num(
@@ -134,17 +171,22 @@ def sql_exact_cov_num(
     n: str,
     frac_digits: int = 0,
     frac_y: int | None = None,
+    frac_xy: int | None = None,
 ) -> str:
     """The DuckDB mirror of :func:`exact_cov_num` — HUGEINT."""
     fx, fy = _grains(frac_digits, frac_y)
+    g = _xy_grain(fx, fy, frac_xy)
 
     def wide(c: str, mult: int) -> str:
         if mult == 1:
             return f"CAST({c} AS HUGEINT)"
         return f"CAST({c} * {mult} AS HUGEINT)"
 
-    # Mirror of the Spark half: full 10^(fx+fy) pre-cast scale on sxy.
-    num = f"CAST({n} AS HUGEINT) * {wide(sxy, 10 ** (fx + fy))}"
+    # Mirror of the Spark half: 10^frac_xy pre-cast, remainder after.
+    num = f"CAST({n} AS HUGEINT) * {wide(sxy, 10**g)}"
+    rest = 10 ** (fx + fy - g)
+    if rest != 1:
+        num += f" * {rest}"
     return f"{num} - {wide(sx, 10**fx)} * {wide(sy, 10**fy)}"
 
 
@@ -155,12 +197,13 @@ def sql_exact_cov(
     n: str,
     frac_digits: int = 0,
     frac_y: int | None = None,
+    frac_xy: int | None = None,
 ) -> str:
     """The DuckDB mirror of :func:`exact_cov` — HUGEINT numerator,
     identical double cast and division order."""
     fx, fy = _grains(frac_digits, frac_y)
     mult2 = 10 ** (fx + fy)
-    num = sql_exact_cov_num(sx, sy, sxy, n, fx, fy)
+    num = sql_exact_cov_num(sx, sy, sxy, n, fx, fy, frac_xy)
     if mult2 == 1:
         return f"CAST({num} AS DOUBLE) / {n} / ({n} - 1)"
     return (
@@ -169,6 +212,12 @@ def sql_exact_cov(
     )
 
 
-def sql_exact_var(s1: str, s2: str, n: str, frac_digits: int = 0) -> str:
+def sql_exact_var(
+    s1: str,
+    s2: str,
+    n: str,
+    frac_digits: int = 0,
+    frac_s2: int | None = None,
+) -> str:
     """The DuckDB mirror of :func:`exact_var`."""
-    return sql_exact_cov(s1, s1, s2, n, frac_digits)
+    return sql_exact_cov(s1, s1, s2, n, frac_digits, None, frac_s2)

@@ -3210,11 +3210,11 @@ s AS (
 ),
 d AS (
   SELECT CAST(n AS BIGINT) AS n_users,
-    CAST({sql_exact_cov_num("sx", "sy", "sxy", "n", 6)} AS DOUBLE)
+    CAST({sql_exact_cov_num("sx", "sy", "sxy", "n", 6, None, 6)} AS DOUBLE)
       AS covn,
-    CAST({sql_exact_cov_num("sx", "sx", "sxx", "n", 6)} AS DOUBLE)
+    CAST({sql_exact_cov_num("sx", "sx", "sxx", "n", 6, None, 6)} AS DOUBLE)
       AS varxn,
-    CAST({sql_exact_cov_num("sy", "sy", "syy", "n", 6)} AS DOUBLE)
+    CAST({sql_exact_cov_num("sy", "sy", "syy", "n", 6, None, 6)} AS DOUBLE)
       AS varyn,
     CAST(sy_b AS DOUBLE) / n_b - CAST(sy_a AS DOUBLE) / n_a
       AS delta_raw,
@@ -3304,13 +3304,16 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-11 "What's wrong #2" fix) divide directly: the common
     # n*1e12 scale cancels and the one rounding left is the ratio
     covn = exact_cov_num(
-        F.col("sx"), F.col("sy"), F.col("sxy"), n, frac_digits=6
+        F.col("sx"), F.col("sy"), F.col("sxy"), n, frac_digits=6,
+        frac_xy=6,  # products quantized at (38,6) when folded
     ).cast("double")
     varxn = exact_cov_num(
-        F.col("sx"), F.col("sx"), F.col("sxx"), n, frac_digits=6
+        F.col("sx"), F.col("sx"), F.col("sxx"), n, frac_digits=6,
+        frac_xy=6,
     ).cast("double")
     varyn = exact_cov_num(
-        F.col("sy"), F.col("sy"), F.col("syy"), n, frac_digits=6
+        F.col("sy"), F.col("sy"), F.col("syy"), n, frac_digits=6,
+        frac_xy=6,
     ).cast("double")
     delta_raw = F.col("sy_b").cast("double") / F.col("n_b") - F.col(
         "sy_a"
@@ -4822,8 +4825,12 @@ def _welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cancellation-proof fold (round-11 VERDICT "What's wrong #2"):
     # n*s2 - s1^2 exact at the 1e-6 money grain, one double cast —
     # functions/stats.py, mirrored in the oracle
-    var_a = exact_var(F.col("s1_a"), F.col("s2_a"), n_a, frac_digits=6)
-    var_b = exact_var(F.col("s1_b"), F.col("s2_b"), n_b, frac_digits=6)
+    var_a = exact_var(
+        F.col("s1_a"), F.col("s2_a"), n_a, frac_digits=6, frac_s2=6
+    )
+    var_b = exact_var(
+        F.col("s1_b"), F.col("s2_b"), n_b, frac_digits=6, frac_s2=6
+    )
     se2_a = var_a / n_a
     se2_b = var_b / n_b
     se2 = se2_a + se2_b
@@ -4879,8 +4886,8 @@ d AS (
   SELECT n_a, n_b,
     CAST(s1_a AS DOUBLE) / n_a AS m_a,
     CAST(s1_b AS DOUBLE) / n_b AS m_b,
-    {sql_exact_var("s1_a", "s2_a", "n_a", 6)} AS var_a,
-    {sql_exact_var("s1_b", "s2_b", "n_b", 6)} AS var_b
+    {sql_exact_var("s1_a", "s2_a", "n_a", 6, 6)} AS var_a,
+    {sql_exact_var("s1_b", "s2_b", "n_b", 6, 6)} AS var_b
   FROM w
 )
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
@@ -5438,7 +5445,9 @@ def _ab_ratio_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-factor grains (functions/stats.py): x is money (6),
         # y is a per-user COUNT folded as integer-valued decimal —
         # frac 0 for y keeps the exact numerator 1e6 narrower
-        vx = exact_var(sx_raw, F.col(f"sxx_{tag}"), n, frac_digits=6)
+        vx = exact_var(
+            sx_raw, F.col(f"sxx_{tag}"), n, frac_digits=6, frac_s2=6
+        )
         vy = exact_var(sy_raw, F.col(f"syy_{tag}"), n, frac_digits=0)
         cxy = exact_cov(
             sx_raw, sy_raw, F.col(f"sxy_{tag}"), n,
@@ -5508,13 +5517,13 @@ d AS (
   SELECT n_a, n_b,
     CAST(sx_a AS DOUBLE) / CAST(sy_a AS DOUBLE) AS r_a,
     CAST(sx_b AS DOUBLE) / CAST(sy_b AS DOUBLE) AS r_b,
-    (({sql_exact_var("sx_a", "sxx_a", "n_a", 6)})
+    (({sql_exact_var("sx_a", "sxx_a", "n_a", 6, 6)})
      - 2 * (CAST(sx_a AS DOUBLE) / CAST(sy_a AS DOUBLE))
        * ({sql_exact_cov("sx_a", "sy_a", "sxy_a", "n_a", 6, 0)})
      + (CAST(sx_a AS DOUBLE) / CAST(sy_a AS DOUBLE)) * (CAST(sx_a AS DOUBLE) / CAST(sy_a AS DOUBLE))
        * ({sql_exact_var("sy_a", "syy_a", "n_a", 0)}))
     / (n_a * (CAST(sy_a AS DOUBLE) / n_a) * (CAST(sy_a AS DOUBLE) / n_a)) AS v_a,
-    (({sql_exact_var("sx_b", "sxx_b", "n_b", 6)})
+    (({sql_exact_var("sx_b", "sxx_b", "n_b", 6, 6)})
      - 2 * (CAST(sx_b AS DOUBLE) / CAST(sy_b AS DOUBLE))
        * ({sql_exact_cov("sx_b", "sy_b", "sxy_b", "n_b", 6, 0)})
      + (CAST(sx_b AS DOUBLE) / CAST(sy_b AS DOUBLE)) * (CAST(sx_b AS DOUBLE) / CAST(sy_b AS DOUBLE))
@@ -5634,8 +5643,12 @@ def _ab_healthcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     np_a, np_b = F.col("np_a"), F.col("np_b")
     mp_a = F.col("sp1_a").cast("double") / np_a
     mp_b = F.col("sp1_b").cast("double") / np_b
-    vp_a = exact_var(F.col("sp1_a"), F.col("sp2_a"), np_a, frac_digits=6)
-    vp_b = exact_var(F.col("sp1_b"), F.col("sp2_b"), np_b, frac_digits=6)
+    vp_a = exact_var(
+        F.col("sp1_a"), F.col("sp2_a"), np_a, frac_digits=6, frac_s2=6
+    )
+    vp_b = exact_var(
+        F.col("sp1_b"), F.col("sp2_b"), np_b, frac_digits=6, frac_s2=6
+    )
     se2_a = vp_a / np_a
     se2_b = vp_b / np_b
     se2 = se2_a + se2_b
@@ -5649,7 +5662,9 @@ def _ab_healthcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
         sy = sy_raw.cast("double")
         r = sx / sy
         my = sy / n
-        vx = exact_var(sx_raw, F.col(f"sxx_{tag}"), n, frac_digits=6)
+        vx = exact_var(
+            sx_raw, F.col(f"sxx_{tag}"), n, frac_digits=6, frac_s2=6
+        )
         vy = exact_var(sy_raw, F.col(f"syy_{tag}"), n, frac_digits=0)
         cxy = exact_cov(
             sx_raw, sy_raw, F.col(f"sxy_{tag}"), n,
@@ -5760,17 +5775,17 @@ d AS (
     ) / 2 AS pooled,
     CAST(sp1_a AS DOUBLE) / np_a AS mp_a,
     CAST(sp1_b AS DOUBLE) / np_b AS mp_b,
-    ({sql_exact_var("sp1_a", "sp2_a", "np_a", 6)}) / np_a AS se2_a,
-    ({sql_exact_var("sp1_b", "sp2_b", "np_b", 6)}) / np_b AS se2_b,
+    ({sql_exact_var("sp1_a", "sp2_a", "np_a", 6, 6)}) / np_a AS se2_a,
+    ({sql_exact_var("sp1_b", "sp2_b", "np_b", 6, 6)}) / np_b AS se2_b,
     CAST(sp1_a AS DOUBLE) / CAST(sy_a AS DOUBLE) AS r_a,
     CAST(sp1_b AS DOUBLE) / CAST(sy_b AS DOUBLE) AS r_b,
-    (({sql_exact_var("sp1_a", "sxx_a", "nu_a", 6)})
+    (({sql_exact_var("sp1_a", "sxx_a", "nu_a", 6, 6)})
      - 2 * (CAST(sp1_a AS DOUBLE) / CAST(sy_a AS DOUBLE))
        * ({sql_exact_cov("sp1_a", "sy_a", "sxy_a", "nu_a", 6, 0)})
      + (CAST(sp1_a AS DOUBLE) / CAST(sy_a AS DOUBLE)) * (CAST(sp1_a AS DOUBLE) / CAST(sy_a AS DOUBLE))
        * ({sql_exact_var("sy_a", "syy_a", "nu_a", 0)}))
     / (nu_a * (CAST(sy_a AS DOUBLE) / nu_a) * (CAST(sy_a AS DOUBLE) / nu_a)) AS v_a,
-    (({sql_exact_var("sp1_b", "sxx_b", "nu_b", 6)})
+    (({sql_exact_var("sp1_b", "sxx_b", "nu_b", 6, 6)})
      - 2 * (CAST(sp1_b AS DOUBLE) / CAST(sy_b AS DOUBLE))
        * ({sql_exact_cov("sp1_b", "sy_b", "sxy_b", "nu_b", 6, 0)})
      + (CAST(sp1_b AS DOUBLE) / CAST(sy_b AS DOUBLE)) * (CAST(sp1_b AS DOUBLE) / CAST(sy_b AS DOUBLE))

@@ -482,3 +482,50 @@ def test_new_variance_columns_partition_invariant(spark, sf_dir, reg):
             assert got == want, name
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_exact_cov_frac_xy_restores_documented_headroom():
+    """Post-review round-13 fix: with the fx+fy default alone, a
+    scale-6 DECIMAL(38) sxy at (6,6) grains overflowed the pre-cast
+    intermediate at ~1e20 — inside the module's documented 1e26
+    numerator bound.  Declaring the true product grain (frac_xy=6,
+    what every money fold actually quantizes at) must restore the
+    old headroom: sxy = 9e20 at grain 6 evaluates exactly in DuckDB,
+    while the undeclared default still fails loudly (never
+    silently)."""
+    import duckdb
+
+    from diabetes_etl_spark.functions.stats import sql_exact_cov_num
+
+    con = duckdb.connect()
+    frame = (
+        "(SELECT CAST('1000000.000000' AS DECIMAL(38,6)) sx,"
+        " CAST('1000000.000000' AS DECIMAL(38,6)) sy,"
+        " CAST('900000000000000000000.000000' AS DECIMAL(38,6)) sxy,"
+        " CAST(1 AS BIGINT) n)"
+    )
+    got = con.execute(
+        f"SELECT {sql_exact_cov_num('sx', 'sy', 'sxy', 'n', 6, None, 6)}"
+        f" FROM {frame}"
+    ).fetchone()[0]
+    # (1*9e20 - 1e6*1e6) * 1e12 exactly
+    assert int(got) == (9 * 10**20 - 10**12) * 10**12
+    with pytest.raises(duckdb.Error):
+        con.execute(
+            f"SELECT {sql_exact_cov_num('sx', 'sy', 'sxy', 'n', 6)}"
+            f" FROM {frame}"
+        ).fetchone()
+
+
+def test_events_value_two_decimal_grain_pinned(duck):
+    """The (19,2) squared-moment casts (AIPW syy, DR srr) and every
+    money fold's grain declaration rest on events.value being
+    2-decimal money.  Pin the assumption on the fixture so a regen
+    that emits finer values fails HERE by name instead of silently
+    rounding squares identically in both engines (review finding,
+    round 13)."""
+    bad = duck.execute(
+        "SELECT COUNT(*) FROM events"
+        " WHERE value IS NOT NULL AND ROUND(value, 2) <> value"
+    ).fetchone()[0]
+    assert bad == 0
