@@ -5836,3 +5836,212 @@ FROM d
     tags=("events", "ab-testing", "statistics", "composite", "extension"),
     extended=False,  # gate (round-12 rotation)
 )(_ab_healthcheck)
+
+
+# -- CUSUM drift monitor (round 13) -------------------------------------------
+
+# Tabular CUSUM tuning: reference value (allowance) kappa and decision
+# interval h, both on the daily purchase-share scale.  kappa absorbs
+# in-control noise; h is the alarm threshold on the accumulated
+# deviation.  Pinned literals so both engines fold identical doubles.
+_CUSUM_KAPPA = 0.005
+_CUSUM_H = 0.05
+_CUSUM_BASELINE_DAYS = 7
+
+
+def _cusum_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided tabular CUSUM over the daily purchase-share path.
+
+    The classic recurrence S+_d = max(0, S+_{d-1} + (x_d - mu0 - k))
+    is not directly window-expressible, but its closed form is:
+    S+_d = M_d - min(0, min_{j<=d} M_j) where M is the running sum of
+    z_d = x_d - mu0 - k (Lindley's recursion / reflected random walk).
+    Both the running sum and the running min ARE windows, so the whole
+    monitor is two ordered window passes over the O(days) spine — no
+    recursion, no driver loop, no UDF.
+
+    mu0 is the pooled purchase share of the first
+    ``_CUSUM_BASELINE_DAYS`` days (the burn-in), read off the same
+    spine via two 1-row broadcast cross-joins (the in-plan
+    scalar-extraction pattern of SURVEY §7.4) — no second events scan.
+
+    Scale shape: ONE map-side-combinable grouped pass over events
+    collapses the corpus to the O(days) daily grid; every window after
+    that is spine-sized (30 rows here, ~365 rows/year at any data
+    scale).  The same shape as events_psi_drift / the mSPRT monitors.
+
+    Exactness: daily shares and z-increments are rounded to 9dp and
+    accumulated as DECIMAL(38,9) — the running sum and running min are
+    exact and order-independent, so Spark and DuckDB agree bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("x"),
+    )
+
+    d0 = daily.agg(F.min("d").alias("d0"))
+    with_base = daily.crossJoin(F.broadcast(d0)).select(
+        "d",
+        "n",
+        "x",
+        (
+            F.col("d") < F.date_add(F.col("d0"), _CUSUM_BASELINE_DAYS)
+        ).alias("is_base"),
+    )
+    mu = with_base.agg(
+        F.round(
+            F.sum(F.when(F.col("is_base"), F.col("x"))).cast("double")
+            / F.sum(F.when(F.col("is_base"), F.col("n"))),
+            9,
+        ).alias("mu0")
+    )
+    with_mu = with_base.crossJoin(F.broadcast(mu))
+
+    zq = "decimal(38,9)"
+    rate = F.round(F.col("x").cast("double") / F.col("n"), 9)
+    mon = with_mu.where(~F.col("is_base")).select(
+        "d",
+        "n",
+        "x",
+        "mu0",
+        rate.alias("rate"),
+        F.round(rate - F.col("mu0") - F.lit(_CUSUM_KAPPA), 9)
+        .cast(zq)
+        .alias("z_hi"),
+        F.round(F.col("mu0") - rate - F.lit(_CUSUM_KAPPA), 9)
+        .cast(zq)
+        .alias("z_lo"),
+    )
+
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = mon.select(
+        "d",
+        "n",
+        "x",
+        "mu0",
+        "rate",
+        F.sum("z_hi").over(wc).alias("m_hi"),
+        F.sum("z_lo").over(wc).alias("m_lo"),
+    )
+    # The subtraction operands are re-cast to DECIMAL(20,9) first:
+    # Spark's DECIMAL(38,9) - DECIMAL(38,9) needs precision 39, which
+    # clamps back to (38,8) under the default precision-loss rule and
+    # silently drops the 9th decimal.  |m| <= days * max|z| < 1e3, so
+    # 11 integer digits of headroom are ample at any horizon.
+    nq = "decimal(20,9)"
+    zero = F.lit(0).cast(nq)
+    m_hi = F.col("m_hi").cast(nq)
+    m_lo = F.col("m_lo").cast(nq)
+    s = cum.select(
+        "d",
+        "n",
+        "x",
+        "mu0",
+        "rate",
+        (m_hi - F.least(zero, F.min(m_hi).over(wc))).alias("s_hi"),
+        (m_lo - F.least(zero, F.min(m_lo).over(wc))).alias("s_lo"),
+    )
+    alarm_hi = F.col("s_hi").cast("double") > F.lit(_CUSUM_H)
+    alarm_lo = F.col("s_lo").cast("double") > F.lit(_CUSUM_H)
+    return s.select(
+        "d",
+        "n",
+        "x",
+        "mu0",
+        "rate",
+        F.round(F.col("s_hi").cast("double"), 9).alias("s_hi"),
+        F.round(F.col("s_lo").cast("double"), 9).alias("s_lo"),
+        alarm_hi.alias("alarm_hi"),
+        alarm_lo.alias("alarm_lo"),
+        F.max((alarm_hi | alarm_lo).cast("int"))
+        .over(wc)
+        .cast("boolean")
+        .alias("drift_decided"),
+    ).orderBy("d")
+
+
+_CUSUM_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+    COUNT(*) AS n,
+    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY 1
+),
+d0 AS (SELECT MIN(d) AS d0 FROM daily),
+with_base AS (
+  SELECT d, n, x,
+    d < d0 + INTERVAL {_CUSUM_BASELINE_DAYS} DAY AS is_base
+  FROM daily, d0
+),
+mu AS (
+  SELECT ROUND(CAST(SUM(CASE WHEN is_base THEN x END) AS DOUBLE)
+               / SUM(CASE WHEN is_base THEN n END), 9) AS mu0
+  FROM with_base
+),
+with_mu AS (SELECT d, n, x, is_base, mu0 FROM with_base, mu),
+mon AS (
+  SELECT d, n, x, mu0,
+    ROUND(CAST(x AS DOUBLE) / n, 9) AS rate,
+    CAST(ROUND(ROUND(CAST(x AS DOUBLE) / n, 9) - mu0 - {_CUSUM_KAPPA}, 9)
+         AS DECIMAL(38,9)) AS z_hi,
+    CAST(ROUND(mu0 - ROUND(CAST(x AS DOUBLE) / n, 9) - {_CUSUM_KAPPA}, 9)
+         AS DECIMAL(38,9)) AS z_lo
+  FROM with_mu WHERE NOT is_base
+),
+cum AS (
+  SELECT d, n, x, mu0, rate,
+    SUM(z_hi) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS m_hi,
+    SUM(z_lo) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS m_lo
+  FROM mon
+),
+s AS (
+  SELECT d, n, x, mu0, rate,
+    m_hi - LEAST(CAST(0 AS DECIMAL(38,9)),
+                 MIN(m_hi) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING))
+      AS s_hi,
+    m_lo - LEAST(CAST(0 AS DECIMAL(38,9)),
+                 MIN(m_lo) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING))
+      AS s_lo
+  FROM cum
+)
+SELECT d, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x, mu0, rate,
+  ROUND(CAST(s_hi AS DOUBLE), 9) AS s_hi,
+  ROUND(CAST(s_lo AS DOUBLE), 9) AS s_lo,
+  CAST(s_hi AS DOUBLE) > {_CUSUM_H} AS alarm_hi,
+  CAST(s_lo AS DOUBLE) > {_CUSUM_H} AS alarm_lo,
+  CAST(MAX(CASE WHEN CAST(s_hi AS DOUBLE) > {_CUSUM_H}
+                  OR CAST(s_lo AS DOUBLE) > {_CUSUM_H}
+            THEN 1 ELSE 0 END)
+       OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BOOLEAN)
+    AS drift_decided
+FROM s
+ORDER BY d
+"""
+
+
+register(
+    "events_cusum_drift_monitor",
+    oracle=_CUSUM_ORACLE,
+    doc="Two-sided tabular CUSUM control chart over the daily "
+    "purchase-share path: the sequential drift monitor that detects "
+    "SMALL persistent shifts PSI/Wasserstein snapshots miss and the "
+    "mSPRT (tuned for A/B lift) is not built for.  The recurrence "
+    "S_d = max(0, S_{d-1} + z_d) is re-expressed in its Lindley "
+    "closed form S_d = M_d - min(0, min_{j<=d} M_j), turning the "
+    "sequential loop into two ordered windows (running DECIMAL(38,9) "
+    "sum + running min) over the O(days) spine.  mu0 burns in on the "
+    f"first {_CUSUM_BASELINE_DAYS} days of the SAME spine (no second "
+    "events scan); alarms at S > h with a monotone decided-by-day "
+    "cumulative-max readout, the events_ab_sequential_msprt "
+    "discipline.  Scale: one map-side-combinable grouped pass over "
+    "events, then spine-sized windows only.",
+    tags=("statistics", "drift", "cusum", "sequential", "extension"),
+    extended=True,
+)(_cusum_drift_monitor)
