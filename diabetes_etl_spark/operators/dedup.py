@@ -1724,3 +1724,106 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "shared", "size_a", "containment")
     )
+
+
+def repeated_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Maximal duplicated-SPAN formation — the cut-list half of
+    exact-substring dedup (Lee et al. 2022).  substring_dup_stats
+    counts duplicated k-gram POSITIONS; this operator merges
+    overlapping/adjacent duplicated positions into maximal token
+    spans, which is what a removal policy actually cuts, and what
+    position counting overstates (consecutive duplicated k-grams
+    share k-1 tokens).
+
+    Per doc: positions p whose k-gram is cross-doc duplicated are
+    sorted and merged whenever p_next - p_prev <= k (token ranges
+    [p, p+k) overlap or touch); each merged island is one span of
+    max(p)+k-min(p) tokens.  Output per document: n_tokens,
+    n_dup_positions, n_spans, dup_tokens (union of span lengths —
+    never double-counts overlap), longest_span, and dup_fraction =
+    dup_tokens / n_tokens at 9dp.
+
+    Scale shape: identical to substring_dup_stats up to the
+    duplicated-position set — shingles shuffle as 16-hex md5
+    prefixes with their integer position, the text never shuffles;
+    the span merge is ONE window pass partitioned BY DOCUMENT
+    (bounded partitions — a doc's positions, not the corpus) plus
+    two grouped folds, all on the duplicated subset, which scales
+    with the corpus' duplication rate, not its size.
+    """
+    df = widen(df)
+    w = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(w).cast("long").alias("n_tokens"),
+    )
+    shingles = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(shingles).alias("pos", "shingle"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.substring(F.md5(F.col("shingle")), 1, 16).alias("h"),
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    pos = sh.join(dup, "h").select("doc_id", "pos")
+
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w_doc).isNull()
+        | ((F.col("pos") - F.lag("pos").over(w_doc)) > k),
+        1,
+    ).otherwise(0)
+    islands = pos.select(
+        "doc_id",
+        "pos",
+        F.sum(brk)
+        .over(w_doc.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("span_seq"),
+    )
+    spans = islands.groupBy("doc_id", "span_seq").agg(
+        (F.max("pos") + k - F.min("pos")).alias("span_len"),
+        F.count("*").alias("n_pos"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("span_len").alias("dup_tokens"),
+        F.max("span_len").alias("longest_span"),
+        F.sum("n_pos").alias("n_dup_positions"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_dup_positions"), F.lit(0))
+        .cast("long")
+        .alias("n_dup_positions"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0))
+        .cast("long")
+        .alias("dup_tokens"),
+        F.coalesce(F.col("longest_span"), F.lit(0))
+        .cast("long")
+        .alias("longest_span"),
+        F.round(
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+            / F.nullif(F.col("n_tokens"), F.lit(0)),
+            9,
+        ).alias("dup_fraction"),
+    )

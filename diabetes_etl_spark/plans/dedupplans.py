@@ -1949,3 +1949,74 @@ FROM p WHERE distance <= 8
     tags=("er", "dedup", "blocking", "extension"),
     extended=False,  # gate (round-11 rotation)
 )(_snm_pairs)
+
+
+@register(
+    "dedup_repeated_span_stats",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents
+),
+posx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 8 + 1)) AS i
+  FROM toks WHERE len(w) >= 8
+),
+sh AS (
+  SELECT doc_id, i - 1 AS pos,
+    substr(md5(array_to_string(list_slice(w, i, i + 7), ' ')), 1, 16) AS h
+  FROM posx
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+p AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+    SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+      AS span_seq
+  FROM (SELECT doc_id, pos,
+          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM p) lagged
+),
+spans AS (
+  SELECT doc_id, span_seq, MAX(pos) + 8 - MIN(pos) AS span_len,
+    COUNT(*) AS n_pos
+  FROM isl GROUP BY doc_id, span_seq
+),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_spans, SUM(span_len) AS dup_tokens,
+    MAX(span_len) AS longest_span, SUM(n_pos) AS n_dup_positions
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(len(t.w) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(per.n_dup_positions, 0) AS BIGINT) AS n_dup_positions,
+  CAST(COALESCE(per.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(COALESCE(per.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+  CAST(COALESCE(per.longest_span, 0) AS BIGINT) AS longest_span,
+  ROUND(CAST(COALESCE(per.dup_tokens, 0) AS DOUBLE)
+        / NULLIF(len(t.w), 0), 9) AS dup_fraction
+FROM toks t LEFT JOIN per USING (doc_id)
+ORDER BY doc_id
+""",
+    doc="Maximal duplicated-span formation — the CUT-LIST half of "
+    "exact-substring dedup (Lee et al. 2022) that "
+    "dedup_substring_spans' position counts overstate: consecutive "
+    "duplicated 8-gram positions share 7 tokens, so positions within "
+    "k of each other merge into one maximal span (gaps-and-islands "
+    "per document, the events_sessionize machinery re-aimed at token "
+    "offsets).  Per document: span count, the union token coverage "
+    "(never double-counts overlap), the longest span, and the "
+    "dup_fraction a removal policy thresholds on "
+    "(operators/dedup.py:repeated_span_stats).  Text never shuffles; "
+    "the span merge windows are partitioned BY DOCUMENT over the "
+    "duplicated subset only, which scales with the corpus' "
+    "duplication rate, not its size.",
+    tags=("dedup", "substring", "spans", "extension"),
+    extended=True,
+)
+def dedup_repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diabetes_etl_spark.operators.dedup import repeated_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_span_stats(docs, k=8).orderBy("doc_id")

@@ -68,3 +68,68 @@ def test_cusum_partition_invariant(spark, sf_dir, reg):
         assert got == want
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_repeated_span_merges_overlapping_positions(spark):
+    """Two docs share a 12-token paragraph: positions 0..4 of the
+    paragraph region are all duplicated 8-grams, which must merge to
+    ONE span of exactly 12 tokens (position counting alone would say
+    5 positions ~ 5*8=40 token-claims)."""
+    from diabetes_etl_spark.operators.dedup import repeated_span_stats
+
+    para = " ".join(f"p{i}" for i in range(12))
+    rows = [
+        (1, para + " " + " ".join(f"a{i}" for i in range(10))),
+        (2, " ".join(f"b{i}" for i in range(10)) + " " + para),
+        (3, " ".join(f"c{i}" for i in range(15))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in repeated_span_stats(df, k=8).collect()
+    }
+    for d in (1, 2):
+        assert got[d]["n_spans"] == 1
+        assert got[d]["dup_tokens"] == 12
+        assert got[d]["longest_span"] == 12
+        assert got[d]["n_dup_positions"] == 5
+    assert got[3]["n_spans"] == 0
+    assert got[3]["dup_tokens"] == 0
+    assert got[3]["dup_fraction"] == 0.0
+
+
+def test_repeated_span_disjoint_spans_stay_separate(spark):
+    """Two shared paragraphs separated by a >k private gap must stay
+    two spans, and dup_tokens must be their union, not the gap."""
+    from diabetes_etl_spark.operators.dedup import repeated_span_stats
+
+    p1 = " ".join(f"x{i}" for i in range(8))
+    p2 = " ".join(f"y{i}" for i in range(8))
+    gap = " ".join(f"g{i}" for i in range(20))
+    gap2 = " ".join(f"h{i}" for i in range(20))
+    rows = [
+        (1, p1 + " " + gap + " " + p2),
+        (2, p1 + " " + gap2 + " " + p2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repeated_span_stats(df, k=8).collect()}
+    for d in (1, 2):
+        assert got[d]["n_spans"] == 2
+        assert got[d]["dup_tokens"] == 16
+        assert got[d]["longest_span"] == 8
+
+
+def test_repeated_span_positions_agree_with_substring_stats(
+    spark, sf_dir, reg
+):
+    """n_dup_positions must equal substring_dup_stats' n_dup_shingles
+    on the fixture — same duplicated-position set, different rollup."""
+    spans = {
+        r["doc_id"]: r["n_dup_positions"]
+        for r in reg["dedup_repeated_span_stats"].fn(spark, sf_dir).collect()
+    }
+    counts = {
+        r["doc_id"]: r["n_dup_shingles"]
+        for r in reg["dedup_substring_spans"].fn(spark, sf_dir).collect()
+    }
+    assert spans == counts
