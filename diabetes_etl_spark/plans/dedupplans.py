@@ -197,14 +197,12 @@ def dedup_simhash_xx64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
-@register(
-    "dedup_components",
-    # Transitive closure of the exact >=0.8-Jaccard pair relation: the
-    # oracle replays the pair oracle and closes it with a recursive CTE
-    # (min reachable id = component), which is exactly what the
-    # iterative min-label propagation computes distributed-side.
-    oracle=f"""
-WITH RECURSIVE pairs AS (
+# Transitive closure of the exact >=0.8-Jaccard pair relation as a
+# recursive CTE (min reachable id = component) — exactly what the
+# iterative min-label propagation computes distributed-side.  Named so
+# downstream plans that consume cluster labels (the leakage-guarded
+# split in samplingplans.py) reuse the SAME closure verbatim.
+_COMPONENTS_CLOSURE_SQL = f"""WITH RECURSIVE pairs AS (
   SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS_ORACLE})
 ),
 edges AS (
@@ -217,7 +215,15 @@ reach(id, comp) AS (
   UNION
   SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id
 ),
-lab AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id)
+lab AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id)"""
+
+
+@register(
+    "dedup_components",
+    # The oracle replays the pair oracle and closes it with the shared
+    # recursive-CTE closure above.
+    oracle=f"""
+{_COMPONENTS_CLOSURE_SQL}
 SELECT id AS doc_id, component,
   CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS component_size
 FROM lab

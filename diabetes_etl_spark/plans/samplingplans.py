@@ -894,3 +894,107 @@ def corpus_pps_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 2 * F.sqrt(F.col("vht").cast("double"))
         ).alias("within_2se"),
     )
+
+
+# -- Leakage-guarded train/val/test split (round 13) --------------------------
+
+# 10 md5 buckets on the CLUSTER label: 0-7 train, 8 val, 9 test.  The
+# unit of assignment is the near-dup cluster, never the document — the
+# standard evaluation-leakage guard (a near-duplicate of a training doc
+# landing in the test split silently inflates every downstream eval).
+_SPLIT_BUCKETS = 10
+
+
+def corpus_leakage_guarded_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-coherent 80/10/10 split: near-dup connected components
+    (the dedup_components labeling) are the assignment unit; every
+    member of a cluster inherits the md5 bucket of its min-id label,
+    so no near-dup pair can straddle train/test by construction.
+    Output is the split manifest a training pipeline audits: per
+    (split, lang) document, cluster, and token counts.
+
+    Scale shape: the component labeling is the dedup_components plan
+    (LSH-blocked edges, O(diameter) min-label rounds); everything
+    after is one broadcast-joinable label attach + one map-side-
+    combinable grouped pass; the manifest is O(splits x langs).
+    """
+    from diabetes_etl_spark.operators.text import token_count
+    from diabetes_etl_spark.plans.dedupplans import dedup_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component")
+    labeled = docs.join(comp, "doc_id", "left").select(
+        "lang",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % _SPLIT_BUCKETS
+    )
+    split = (
+        F.when(bucket < _SPLIT_BUCKETS - 2, "train")
+        .when(bucket == _SPLIT_BUCKETS - 2, "val")
+        .otherwise("test")
+    )
+    return (
+        labeled.select(split.alias("split"), "lang", "cluster", "n_tokens")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster").alias("n_clusters"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def _split_oracle() -> str:
+    from diabetes_etl_spark.plans.dedupplans import _COMPONENTS_CLOSURE_SQL
+
+    return rf"""
+{_COMPONENTS_CLOSURE_SQL},
+labeled AS (
+  SELECT d.lang,
+    COALESCE(l.component, d.doc_id) AS cluster,
+    len(regexp_split_to_array(trim(d.text), '\s+')) AS n_tokens
+  FROM documents d LEFT JOIN lab l ON d.doc_id = l.id
+),
+b AS (
+  SELECT lang, n_tokens, cluster,
+    ('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 8))::BIGINT
+      % {_SPLIT_BUCKETS} AS bucket
+  FROM labeled
+)
+SELECT CASE WHEN bucket < {_SPLIT_BUCKETS - 2} THEN 'train'
+            WHEN bucket = {_SPLIT_BUCKETS - 2} THEN 'val'
+            ELSE 'test' END AS split,
+  lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+register(
+    "corpus_leakage_guarded_split",
+    oracle=_split_oracle(),
+    doc="Leakage-guarded 80/10/10 train/val/test split: the assignment "
+    "unit is the NEAR-DUP CLUSTER (dedup_components min-label), hashed "
+    "once per cluster into 10 md5 buckets, so a near-duplicate of a "
+    "training document can never land in val/test — the evaluation-"
+    "contamination guard document-level hash splits miss.  Composes "
+    "three gate-covered families (near-dup pairs -> connected "
+    "components -> portable hash bucketing) into the split manifest a "
+    "training pipeline audits (per split x lang: docs, clusters, "
+    "tokens).  The oracle replays the full composition: recursive-CTE "
+    "closure of the exact Jaccard pair relation, the same md5 bucket "
+    "arithmetic, the same rollup.",
+    tags=("sampling", "split", "leakage", "composite", "extension"),
+    extended=True,
+)(corpus_leakage_guarded_split)

@@ -133,3 +133,52 @@ def test_repeated_span_positions_agree_with_substring_stats(
         for r in reg["dedup_substring_spans"].fn(spark, sf_dir).collect()
     }
     assert spans == counts
+
+
+def test_split_no_near_dup_pair_straddles(spark, sf_dir, reg):
+    """The leakage guard itself: every exact near-dup pair must land
+    in one split.  Rebuilds the doc-level assignment with the same
+    cluster labels and bucket arithmetic the plan aggregates."""
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.plans.dedupplans import (
+        dedup_components,
+        dedup_ngram_jaccard,
+    )
+    from diabetes_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 10
+    )
+    assign = {
+        r["doc_id"]: r["bucket"]
+        for r in docs.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+        )
+        .select("doc_id", bucket.alias("bucket"))
+        .collect()
+    }
+    pairs = dedup_ngram_jaccard(spark, sf_dir).collect()
+    assert len(pairs) > 0
+    for p in pairs:
+        assert assign[p["doc_a"]] == assign[p["doc_b"]], (
+            p["doc_a"],
+            p["doc_b"],
+        )
+
+
+def test_split_manifest_covers_corpus(spark, sf_dir, reg):
+    rows = reg["corpus_leakage_guarded_split"].fn(spark, sf_dir).collect()
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    from diabetes_etl_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert all(r["n_clusters"] <= r["n_docs"] for r in rows)
