@@ -3115,3 +3115,133 @@ FROM agg
     tags=("statistics", "correlation", "extension"),
     extended=True,
 )(_kendall_tau_daily)
+
+
+# -- K-fold target encoding (round 13) ----------------------------------------
+
+_TE_FOLDS = 5
+_TE_SMOOTH = 20  # m-estimate pseudo-count toward the out-of-fold global mean
+
+
+def _target_encoding_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold m-estimate target encoding of o_orderpriority
+    against o_totalprice — the leakage-safe categorical encoder
+    (Micci-Barreca 2001 smoothing + the K-fold scheme every gradient-
+    boosting pipeline uses): rows in fold f are encoded ONLY from the
+    other folds, enc(c,f) = (S_c - S_cf + m * mu_oof) / (n_c - n_cf
+    + m), with mu_oof the global mean excluding fold f, so the
+    encoder never sees its own target.
+
+    Scale shape: ONE map-side-combinable grouped pass collapses the
+    fact table to the (category x fold) cell grid; category / fold /
+    global totals are windows over that bounded grid (|categories| *
+    K cells — 25 here), never over rows.  Money sums fold as exact
+    DECIMAL(38,2); the encoding itself is one IEEE division per cell,
+    9dp-quantized.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % _TE_FOLDS
+    )
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("category"), fold.alias("fold")
+    ).agg(
+        F.count("*").alias("n_cf"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("s_cf"),
+    )
+    # Windows over the bounded cell grid (|categories| x K rows), not
+    # over order rows — the same bounded-epilogue discipline as the
+    # causal plans' O(strata) stages.
+    wc = Window.partitionBy("category")
+    wf = Window.partitionBy("fold")
+    wg = Window.partitionBy(F.lit(1))
+    enriched = cells.select(
+        "category",
+        "fold",
+        "n_cf",
+        "s_cf",
+        F.sum("n_cf").over(wc).alias("n_c"),
+        F.sum("s_cf").over(wc).alias("s_c"),
+        F.sum("n_cf").over(wf).alias("n_f"),
+        F.sum("s_cf").over(wf).alias("s_f"),
+        F.sum("n_cf").over(wg).alias("n_g"),
+        F.sum("s_cf").over(wg).alias("s_g"),
+    )
+    mu_oof = F.round(
+        (F.col("s_g") - F.col("s_f")).cast("double")
+        / (F.col("n_g") - F.col("n_f")),
+        9,
+    )
+    enc = F.round(
+        (
+            (F.col("s_c") - F.col("s_cf")).cast("double")
+            + _TE_SMOOTH * mu_oof
+        )
+        / (F.col("n_c") - F.col("n_cf") + _TE_SMOOTH),
+        9,
+    )
+    return enriched.select(
+        "category",
+        "fold",
+        F.col("n_cf").alias("n_in_fold"),
+        (F.col("n_c") - F.col("n_cf")).alias("n_oof"),
+        mu_oof.alias("mu_oof"),
+        enc.alias("enc_smoothed"),
+    ).orderBy("category", "fold")
+
+
+def _te_oracle() -> str:
+    # enc lands at money magnitude (~1e5) where a 9dp round can hit a
+    # representable tie; mirror Spark's string-first HALF_UP rounding.
+    from diabetes_etl_spark.plans.diabetesplans import _mimic_spark_round
+
+    return _mimic_spark_round(f"""
+WITH cells AS (
+  SELECT o_orderpriority AS category,
+    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+      % {_TE_FOLDS} AS fold,
+    COUNT(*) AS n_cf,
+    SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS s_cf
+  FROM orders GROUP BY 1, 2
+),
+enriched AS (
+  SELECT category, fold, n_cf, s_cf,
+    SUM(n_cf) OVER (PARTITION BY category) AS n_c,
+    SUM(s_cf) OVER (PARTITION BY category) AS s_c,
+    SUM(n_cf) OVER (PARTITION BY fold) AS n_f,
+    SUM(s_cf) OVER (PARTITION BY fold) AS s_f,
+    SUM(n_cf) OVER () AS n_g,
+    SUM(s_cf) OVER () AS s_g
+  FROM cells
+)
+SELECT category, fold,
+  CAST(n_cf AS BIGINT) AS n_in_fold,
+  CAST(n_c - n_cf AS BIGINT) AS n_oof,
+  ROUND(CAST(s_g - s_f AS DOUBLE) / (n_g - n_f), 9) AS mu_oof,
+  ROUND((CAST(s_c - s_cf AS DOUBLE)
+         + {_TE_SMOOTH} * ROUND(CAST(s_g - s_f AS DOUBLE) / (n_g - n_f), 9))
+        / (n_c - n_cf + {_TE_SMOOTH}), 9) AS enc_smoothed
+FROM enriched
+ORDER BY category, fold
+""")
+
+
+register(
+    "features_target_encoding_kfold",
+    oracle=_te_oracle(),
+    doc="Out-of-fold m-estimate target encoding (Micci-Barreca 2001 "
+    "smoothing, K-fold leakage scheme): o_orderpriority encoded "
+    "against o_totalprice with fold-f rows encoded only from the "
+    "other folds and shrunk toward the out-of-fold global mean by "
+    f"m={_TE_SMOOTH} pseudo-counts.  The categorical-feature "
+    "companion to corpus_leakage_guarded_split: both guard target "
+    "leakage by construction.  One grouped pass to the (category x "
+    "fold) grid; everything after is windows over that bounded grid.",
+    tags=("features", "encoding", "ml", "extension"),
+    extended=True,
+)(_target_encoding_kfold)

@@ -182,3 +182,52 @@ def test_split_manifest_covers_corpus(spark, sf_dir, reg):
     n_docs = load_table(spark, sf_dir, "documents").count()
     assert sum(r["n_docs"] for r in rows) == n_docs
     assert all(r["n_clusters"] <= r["n_docs"] for r in rows)
+
+
+def test_target_encoding_excludes_own_fold(spark, sf_dir, reg):
+    """Recompute every cell's encoding directly from the raw orders
+    table in Python: enc(c,f) must use only out-of-fold rows plus the
+    m-smoothed out-of-fold global mean."""
+    import duckdb
+
+    got = {
+        (r["category"], r["fold"]): r
+        for r in reg["features_target_encoding_kfold"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert len(got) == 25
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT o_orderpriority, "
+        "('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 5,"
+        " CAST(o_totalprice AS DECIMAL(38,2)) FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchall()
+    from collections import defaultdict
+    from decimal import Decimal
+
+    n = defaultdict(int)
+    s = defaultdict(Decimal)
+    for c, f, v in rows:
+        n[(c, f)] += 1
+        s[(c, f)] += v
+    cats = {c for c, _ in n}
+    folds = {f for _, f in n}
+    n_g = sum(n.values())
+    s_g = sum(s.values())
+    for c in cats:
+        for f in folds:
+            n_c = sum(n[(c, g)] for g in folds)
+            s_c = sum(s[(c, g)] for g in folds)
+            n_f = sum(n[(d, f)] for d in cats)
+            s_f = sum(s[(d, f)] for d in cats)
+            mu_oof = round(float(s_g - s_f) / (n_g - n_f), 9)
+            enc = (float(s_c - s[(c, f)]) + 20 * mu_oof) / (
+                n_c - n[(c, f)] + 20
+            )
+            r = got[(c, f)]
+            assert r["n_in_fold"] == n[(c, f)]
+            assert r["n_oof"] == n_c - n[(c, f)]
+            assert r["mu_oof"] == pytest.approx(mu_oof, abs=1e-9)
+            assert r["enc_smoothed"] == pytest.approx(enc, abs=1e-6)
