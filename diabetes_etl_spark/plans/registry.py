@@ -718,6 +718,7 @@ def all_queries(include_extended: bool = False) -> dict[str, QuerySpec]:
     from diabetes_etl_spark.plans import classifierplans  # noqa: F401
     from diabetes_etl_spark.plans import pcaplans  # noqa: F401
     from diabetes_etl_spark.plans import dqplans  # noqa: F401
+    from diabetes_etl_spark.plans import alsplans  # noqa: F401
 
     if include_extended:
         return dict(_REGISTRY)

@@ -231,3 +231,93 @@ def test_target_encoding_excludes_own_fold(spark, sf_dir, reg):
             assert r["n_oof"] == n_c - n[(c, f)]
             assert r["mu_oof"] == pytest.approx(mu_oof, abs=1e-9)
             assert r["enc_smoothed"] == pytest.approx(enc, abs=1e-6)
+
+
+def _als_ratings_and_users(spark, sf_dir):
+    from diabetes_etl_spark.operators.als import als_rank2_sweep
+    from diabetes_etl_spark.plans.alsplans import _ratings
+
+    ratings = _ratings(spark, sf_dir)
+    users, items = als_rank2_sweep(ratings)
+    return ratings, users, items
+
+
+def test_als_user_solve_matches_numpy(spark, sf_dir):
+    """The exact-decimal closed-form 2x2 solve must agree with
+    numpy's float64 normal-equations solve on every user."""
+    import hashlib
+
+    import numpy as np
+
+    ratings, users, _ = _als_ratings_and_users(spark, sf_dir)
+
+    def hfac(i, salt):
+        h = int(hashlib.md5(f"{i}{salt}".encode()).hexdigest()[:8], 16)
+        return (h % 1000) / 1000.0
+
+    by_user = {}
+    for row in ratings.collect():
+        v = np.array([hfac(row["i"], ":v1"), hfac(row["i"], ":v2")])
+        by_user.setdefault(row["u"], []).append((float(row["r"]), v))
+    got = {r["u"]: (r["x1"], r["x2"]) for r in users.collect()}
+    assert set(got) == set(by_user)
+    for u, rows in by_user.items():
+        A = np.zeros((2, 2))
+        b = np.zeros(2)
+        for rv, v in rows:
+            A += np.outer(v, v)
+            b += rv * v
+        A += 0.1 * len(rows) * np.eye(2)
+        want = np.linalg.solve(A, b)
+        assert abs(got[u][0] - want[0]) < 5e-6, u
+        assert abs(got[u][1] - want[1]) < 5e-6, u
+
+
+def test_als_solve_is_per_entity_optimum(spark, sf_dir):
+    """Perturbing any user's solved factors must not decrease the
+    regularized least-squares objective (ALS half-step optimality)."""
+    import hashlib
+
+    import numpy as np
+
+    ratings, users, _ = _als_ratings_and_users(spark, sf_dir)
+
+    def hfac(i, salt):
+        h = int(hashlib.md5(f"{i}{salt}".encode()).hexdigest()[:8], 16)
+        return (h % 1000) / 1000.0
+
+    by_user = {}
+    for row in ratings.collect():
+        v = np.array([hfac(row["i"], ":v1"), hfac(row["i"], ":v2")])
+        by_user.setdefault(row["u"], []).append((float(row["r"]), v))
+
+    def obj(u, x):
+        rows = by_user[u]
+        sse = sum((rv - x @ v) ** 2 for rv, v in rows)
+        return sse + 0.1 * len(rows) * (x @ x)
+
+    some = sorted(by_user)[:10]
+    got = {r["u"]: np.array([r["x1"], r["x2"]]) for r in users.collect()}
+    for u in some:
+        base = obj(u, got[u])
+        for d in ([1e-3, 0], [-1e-3, 0], [0, 1e-3], [0, -1e-3]):
+            assert obj(u, got[u] + np.array(d)) >= base - 1e-9, u
+
+
+def test_als_factors_finite_and_partition_invariant(spark, sf_dir, reg):
+    rows = reg["ml_als_factorization"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["w1"] is not None and r["w2"] is not None
+        assert r["rmse_train"] is not None and r["rmse_train"] >= 0
+    want = sorted(tuple(r) for r in rows)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        got = sorted(
+            tuple(r)
+            for r in reg["ml_als_factorization"].fn(spark, sf_dir).collect()
+        )
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
