@@ -321,3 +321,13 @@ def test_als_factors_finite_and_partition_invariant(spark, sf_dir, reg):
         assert got == want
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_recsys_eval_metrics_and_holdout_discipline(spark, sf_dir, reg):
+    row = reg["ml_recsys_eval_topk"].fn(spark, sf_dir).collect()[0]
+    assert row["n_users_eval"] > 0
+    assert 0 <= row["n_hits"] <= row["n_users_eval"]
+    assert 0.0 <= row["mrr"] <= row["hit_rate"] <= 1.0
+    # MRR@10 is bounded below by hit_rate/10 (every hit contributes
+    # at least 1/10) and above by hit_rate (at most 1 each).
+    assert row["mrr"] >= row["hit_rate"] / 10 - 1e-9
