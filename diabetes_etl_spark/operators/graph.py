@@ -598,3 +598,88 @@ def khop_counts(
         "n_new",
         F.sum("n_new").over(w).alias("n_cum"),
     )
+
+
+def modularity_contributions(
+    edges_sym: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Newman modularity of a community partition, per community:
+    (community, size, intra_pairs, degree_sum, q_contrib, q_total).
+
+    Q = sum_c [ A_c/(2m) - (d_c/(2m))^2 ]  (Newman & Girvan 2004),
+    computed on a SYMMETRIC edge table where each undirected edge
+    appears in both directions: with E = |rows| = 2m, A_c = symmetric
+    rows with both endpoints in c, and d_c = the out-degree sum of c,
+    each contribution is (A_c*E - d_c^2)/E^2.  The numerator folds as
+    exact DECIMAL(38,0) integers (A_c*E <= 1e20 and d_c^2 <= 1e20 at
+    1e10 edges — ample headroom), so the ONLY IEEE steps are the two
+    final divisions, performed in an identical order in the SQL twin
+    and rounded to 12dp where born.  q_total = (sum_c num_c)/E^2 is
+    the partition's quality score, attached to every row from the
+    same exact fold.
+
+    Scale shape (100 TB lens): degree is one map-side-combined
+    aggregate; intra-edge counting is two node-keyed equi-joins of
+    the edge table against the (node, label) state (shuffle on node
+    ids, never a community-sized fan-out); everything after is
+    O(communities) plus two intentional 1-row broadcast cross-joins
+    (the in-plan scalar pattern of SURVEY §7.4).  No collect, no UDF,
+    no window.
+    """
+    e = edges_sym.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    lab = labels.select("node", "label")
+    tot = e.agg(F.count(F.lit(1)).alias("e2"))
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    nd = deg.join(lab, "node").groupBy("label").agg(
+        F.sum("d").alias("d_c"), F.count(F.lit(1)).alias("size")
+    )
+    ls = lab.select(F.col("node").alias("src"), F.col("label").alias("sl"))
+    ld = lab.select(F.col("node").alias("dst"), F.col("label").alias("dl"))
+    intra = (
+        e.join(ls, "src")
+        .join(ld, "dst")
+        .where(F.col("sl") == F.col("dl"))
+        .groupBy(F.col("sl").alias("label"))
+        .agg(F.count(F.lit(1)).alias("a_c"))
+    )
+    dq = "decimal(38,0)"
+    num = (
+        nd.join(intra, "label", "left")
+        .select(
+            "label",
+            "size",
+            "d_c",
+            F.coalesce("a_c", F.lit(0)).alias("a_c"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("label").alias("community"),
+            "size",
+            "a_c",
+            "d_c",
+            "e2",
+            (
+                F.col("a_c").cast(dq) * F.col("e2").cast(dq)
+                - F.col("d_c").cast(dq) * F.col("d_c").cast(dq)
+            ).alias("q_num"),
+        )
+    )
+    qtot = num.agg(F.sum("q_num").alias("q_num_tot"))
+    return num.crossJoin(F.broadcast(qtot)).select(
+        "community",
+        F.col("size").cast("long").alias("size"),
+        F.expr("a_c DIV 2").cast("long").alias("intra_pairs"),
+        F.col("d_c").cast("long").alias("degree_sum"),
+        F.round(
+            F.col("q_num").cast("double") / F.col("e2") / F.col("e2"), 12
+        ).alias("q_contrib"),
+        F.round(
+            F.col("q_num_tot").cast("double") / F.col("e2") / F.col("e2"),
+            12,
+        ).alias("q_total"),
+    )

@@ -6045,3 +6045,270 @@ register(
     tags=("statistics", "drift", "cusum", "sequential", "extension"),
     extended=True,
 )(_cusum_drift_monitor)
+
+
+# -- offline changepoint detection: binary segmentation (round 13) -----------
+
+_BINSEG_MIN = 5  # min days on each side of any cut
+
+
+def _binseg_level_splits(df: DataFrame, level: int) -> DataFrame:
+    """Best SSE-reducing cut per segment of ``df`` = (seg, d, n, x, y)
+    with y the 1e9-scaled daily rate.  For a cut after rank t the
+    piecewise-constant objective maximizes
+    f(t) = S_l^2/L_l + S_r^2/L_r (equivalently minimizes the two-sided
+    SSE), computed as ONE exact DECIMAL(38,0) numerator
+    fnum = S_l^2*L_r + S_r^2*L_l over denom = L_l*L_r, with a single
+    IEEE division for the argmax comparison — both engines see
+    identical doubles, and ties break on the earlier day.  The split
+    gain SSE_parent - SSE_children = (fnum*D - S^2*denom)/(denom*D)
+    keeps an exact integer numerator too (headroom: S <= 1e13 at 1e4
+    days, so fnum*D <= 2e34 << 1e38).
+
+    All windows partition BY SEGMENT over the O(days) spine — the
+    bounded-spine discipline of the CUSUM/mSPRT monitors."""
+    from pyspark.sql import Window
+
+    dq = "decimal(38,0)"
+    wo = Window.partitionBy("seg").orderBy("d")
+    w = wo.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy("seg")
+    c = df.select(
+        "seg",
+        "d",
+        F.row_number().over(wo).alias("rn"),
+        F.sum(F.col("y").cast(dq)).over(w).alias("s_l"),
+        F.count(F.lit(1)).over(wall).alias("dd"),
+        F.sum(F.col("y").cast(dq)).over(wall).alias("s_tot"),
+        F.min("d").over(wall).alias("d_lo"),
+        F.max("d").over(wall).alias("d_hi"),
+    )
+    cand = c.where(
+        (F.col("rn") >= _BINSEG_MIN)
+        & (F.col("rn") <= F.col("dd") - _BINSEG_MIN)
+    ).select(
+        "seg",
+        "d",
+        "d_lo",
+        "d_hi",
+        "dd",
+        "s_tot",
+        "s_l",
+        F.col("rn").cast("long").alias("l_l"),
+        (F.col("dd") - F.col("rn")).cast("long").alias("l_r"),
+        (F.col("s_tot") - F.col("s_l")).alias("s_r"),
+    )
+    f = cand.select(
+        "*",
+        (
+            F.col("s_l") * F.col("s_l") * F.col("l_r")
+            + F.col("s_r") * F.col("s_r") * F.col("l_l")
+        ).alias("fnum"),
+        (F.col("l_l") * F.col("l_r")).alias("denom"),
+    ).withColumn(
+        "f_cmp", F.col("fnum").cast("double") / F.col("denom")
+    )
+    pick = (
+        f.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("seg").orderBy(
+                    F.col("f_cmp").desc(), F.col("d").asc()
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+    )
+    return pick.select(
+        F.lit(level).cast("int").alias("level"),
+        F.col("seg").cast("long").alias("seg"),
+        "d_lo",
+        "d_hi",
+        F.col("d").alias("cp_d"),
+        F.col("l_l").alias("left_days"),
+        F.col("l_r").alias("right_days"),
+        F.round(
+            F.col("s_l").cast("double") / F.col("l_l") / F.lit(1e9), 9
+        ).alias("left_mean"),
+        F.round(
+            F.col("s_r").cast("double") / F.col("l_r") / F.lit(1e9), 9
+        ).alias("right_mean"),
+        F.round(
+            (
+                F.col("fnum") * F.col("dd")
+                - F.col("s_tot") * F.col("s_tot") * F.col("denom")
+            ).cast("double")
+            / F.col("denom")
+            / F.col("dd")
+            / F.lit(1e18),
+            12,
+        ).alias("gain_rate2"),
+    )
+
+
+def _binseg_assign(df: DataFrame, splits: DataFrame) -> DataFrame:
+    """Child segment ids after applying ``splits``: seg*2 (+1 right of
+    the cut).  The split table is O(segments) — an intentional tiny
+    broadcast join."""
+    s = splits.select("seg", "cp_d")
+    return df.join(F.broadcast(s), "seg", "left").select(
+        (
+            F.col("seg") * 2
+            + F.when(
+                F.col("cp_d").isNotNull() & (F.col("d") > F.col("cp_d")), 1
+            ).otherwise(0)
+        ).alias("seg"),
+        "d",
+        "n",
+        "x",
+        "y",
+    )
+
+
+def _changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline changepoint detection on the daily purchase-share path
+    via DEPTH-2 BINARY SEGMENTATION (Scott & Knott 1974 lineage; the
+    standard offline complement to the sequential CUSUM monitor):
+    find the single cut that most reduces the piecewise-constant SSE,
+    then recurse once into each side, each side keeping at least
+    ``_BINSEG_MIN`` days.
+
+    Output: one row per EXECUTED split — (level, seg, parent range,
+    cut day, side lengths, side means, SSE gain in rate^2 units).
+
+    Scale shape: ONE map-side-combinable grouped pass collapses the
+    corpus to the O(days) spine; every window after that partitions
+    by segment over that spine (30 rows here, ~365/year at any data
+    scale).  Rates quantize to 9dp at birth and scale to exact 1e9
+    integers, so every prefix sum and objective numerator folds as
+    exact DECIMAL(38,0)/HUGEINT integers; the only IEEE steps are the
+    argmax comparison and the final reported divisions, identical op
+    order in the SQL twin."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("x"),
+    )
+    rate = F.round(F.col("x").cast("double") / F.col("n"), 9)
+    y0 = daily.select(
+        F.lit(0).cast("long").alias("seg"),
+        "d",
+        "n",
+        "x",
+        F.round(rate * F.lit(1e9), 0).cast("long").alias("y"),
+    )
+    s1 = _binseg_level_splits(y0, 1)
+    a2 = _binseg_assign(y0, s1)
+    s2 = _binseg_level_splits(a2, 2)
+    return s1.unionByName(s2).orderBy("level", "cp_d")
+
+
+def _binseg_level_sql(src: str, seg_expr: str, part: str, level: int) -> str:
+    """One binseg level as mirrored SQL.  ``part`` is the window
+    partition clause ('' for the root level)."""
+    over_all = f"OVER ({part})" if part else "OVER ()"
+    over_ord = (
+        f"OVER ({part} ORDER BY d ROWS UNBOUNDED PRECEDING)"
+        if part
+        else "OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)"
+    )
+    pb = part if part else ""
+    return f"""
+c{level} AS (
+  SELECT {seg_expr} AS seg, d,
+    row_number() {over_ord} AS rn,
+    SUM(CAST(y AS HUGEINT)) {over_ord} AS s_l,
+    COUNT(*) {over_all} AS dd,
+    SUM(CAST(y AS HUGEINT)) {over_all} AS s_tot,
+    MIN(d) {over_all} AS d_lo,
+    MAX(d) {over_all} AS d_hi
+  FROM {src}
+),
+f{level} AS (
+  SELECT seg, d, d_lo, d_hi, dd, s_tot, s_l,
+    CAST(rn AS BIGINT) AS l_l,
+    CAST(dd - rn AS BIGINT) AS l_r,
+    s_tot - s_l AS s_r,
+    s_l*s_l*(dd - rn) + (s_tot - s_l)*(s_tot - s_l)*rn AS fnum,
+    CAST(rn AS BIGINT)*(dd - rn) AS denom,
+    CAST(s_l*s_l*(dd - rn) + (s_tot - s_l)*(s_tot - s_l)*rn AS DOUBLE)
+      / (CAST(rn AS BIGINT)*(dd - rn)) AS f_cmp
+  FROM c{level}
+  WHERE rn >= {_BINSEG_MIN} AND rn <= dd - {_BINSEG_MIN}
+),
+split{level} AS (
+  SELECT CAST({level} AS INT) AS level, CAST(seg AS BIGINT) AS seg,
+    d_lo, d_hi, d AS cp_d, l_l AS left_days, l_r AS right_days,
+    ROUND(CAST(s_l AS DOUBLE) / l_l / CAST(1e9 AS DOUBLE), 9)
+      AS left_mean,
+    ROUND(CAST(s_r AS DOUBLE) / l_r / CAST(1e9 AS DOUBLE), 9)
+      AS right_mean,
+    ROUND(CAST(fnum*dd - s_tot*s_tot*denom AS DOUBLE)
+          / denom / dd / CAST(1e18 AS DOUBLE), 12) AS gain_rate2,
+    d AS _cp
+  FROM (
+    SELECT *,
+      row_number() OVER ({pb + " " if pb else ""}ORDER BY f_cmp DESC, d)
+        AS rk
+    FROM f{level}
+  ) WHERE rk = 1
+)"""
+
+
+_BINSEG_ORACLE = (
+    f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+    COUNT(*) AS n,
+    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY 1
+),
+y0 AS (
+  SELECT CAST(0 AS BIGINT) AS seg, d, n, x,
+    CAST(ROUND(ROUND(CAST(x AS DOUBLE) / n, 9) * CAST(1e9 AS DOUBLE), 0)
+         AS BIGINT) AS y
+  FROM daily
+),"""
+    + _binseg_level_sql("y0", "seg", "", 1)
+    + """,
+a2 AS (
+  SELECT CASE WHEN s._cp IS NOT NULL AND y0.d > s._cp
+              THEN y0.seg * 2 + 1 ELSE y0.seg * 2 END AS seg,
+    y0.d, y0.n, y0.x, y0.y
+  FROM y0 LEFT JOIN split1 s ON TRUE
+),"""
+    + _binseg_level_sql("a2", "seg", "PARTITION BY seg", 2)
+    + """
+SELECT level, seg, d_lo, d_hi, cp_d, left_days, right_days,
+  left_mean, right_mean, gain_rate2
+FROM (
+  SELECT * FROM split1
+  UNION ALL
+  SELECT * FROM split2
+) ORDER BY level, cp_d
+"""
+)
+
+
+register(
+    "events_changepoint_binseg",
+    oracle=_BINSEG_ORACLE,
+    doc="Offline changepoint detection on the daily purchase-share "
+    "path: depth-2 BINARY SEGMENTATION minimizing piecewise-constant "
+    "SSE — the retrospective 'when did the metric actually shift?' "
+    "complement to the sequential CUSUM/mSPRT monitors.  Per "
+    "segment, the best cut maximizes S_l^2/L_l + S_r^2/L_r, carried "
+    "as ONE exact DECIMAL(38,0)/HUGEINT numerator over an integer "
+    "denominator with a single IEEE division for the argmax "
+    "(earlier-day tiebreak); split gains keep exact integer "
+    f"numerators too.  Cuts keep >= {_BINSEG_MIN} days per side.  "
+    "Scale: one map-side-combinable grouped pass to the O(days) "
+    "spine, then segment-partitioned windows on that spine only — "
+    "no corpus window, no UDF, no collect.",
+    tags=("events", "statistics", "changepoint", "drift", "extension"),
+    extended=True,
+)(_changepoint_binseg)

@@ -464,6 +464,107 @@ def graph_lpa_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- modularity of the LPA partition (round 13) ------------------------------
+
+_MOD_ORACLE = (
+    """
+WITH raw AS (
+  SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000000000 AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (SELECT s AS src, c AS dst FROM raw
+      UNION SELECT c AS src, s AS dst FROM raw),
+l0 AS (SELECT src AS node, src AS label FROM e
+       UNION SELECT dst, dst FROM e)"""
+    + ",".join([""] + [_lpa_round_sql(k) for k in range(1, _LPA_ITERS + 1)])
+    + f""",
+lab AS (SELECT node, label FROM l{_LPA_ITERS}),
+tot AS (SELECT COUNT(*) AS e2 FROM e),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY 1),
+nd AS (SELECT l.label, SUM(d) AS d_c, COUNT(*) AS size
+       FROM deg JOIN lab l USING (node) GROUP BY 1),
+intra AS (
+  SELECT ls.label, COUNT(*) AS a_c
+  FROM e
+  JOIN lab ls ON e.src = ls.node
+  JOIN lab ld ON e.dst = ld.node
+  WHERE ls.label = ld.label
+  GROUP BY 1
+),
+num AS (
+  SELECT nd.label AS community, nd.size, COALESCE(i.a_c, 0) AS a_c,
+         nd.d_c, tot.e2,
+         CAST(COALESCE(i.a_c, 0) AS HUGEINT) * tot.e2
+           - CAST(nd.d_c AS HUGEINT) * nd.d_c AS q_num
+  FROM nd LEFT JOIN intra i ON nd.label = i.label CROSS JOIN tot
+),
+q AS (SELECT SUM(q_num) AS q_num_tot FROM num)
+SELECT community,
+  CAST(size AS BIGINT) AS size,
+  CAST(a_c // 2 AS BIGINT) AS intra_pairs,
+  CAST(d_c AS BIGINT) AS degree_sum,
+  ROUND(CAST(q_num AS DOUBLE) / e2 / e2, 12) AS q_contrib,
+  ROUND(CAST(q_num_tot AS DOUBLE) / e2 / e2, 12) AS q_total
+FROM num, q ORDER BY community
+"""
+)
+
+
+@register(
+    "graph_modularity_communities",
+    oracle=_MOD_ORACLE,
+    doc="Newman modularity scoring of the LPA community partition "
+    "(graph_lpa_trade's exact labels) on the symmetric trade graph — "
+    "the quality number that turns 'here are communities' into 'is "
+    "this partition better than chance?' (Newman & Girvan 2004).  "
+    "Per community: size, intra-edge pairs, degree sum, and the "
+    "contribution (A_c*E - d_c^2)/E^2 with the numerator folded as "
+    "exact DECIMAL(38,0)/HUGEINT integers; the partition total Q "
+    "rides every row from the same exact fold "
+    "(operators/graph.py:modularity_contributions).  The oracle "
+    "unrolls the identical 3 LPA rounds then replays the modularity "
+    "arithmetic, so labels AND score are hash-pinned.  Scale: degree "
+    "is one map-side-combined aggregate; intra counting is two "
+    "node-keyed equi-joins; everything after is O(communities) with "
+    "two intentional 1-row broadcast scalar-attach joins.",
+    tags=("graph", "community", "modularity", "extension"),
+    extended=True,
+)
+def graph_modularity_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from diabetes_etl_spark.operators.graph import (
+        label_propagation,
+        modularity_contributions,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    directed = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            _custkey_node(F.col("o_custkey"), F.col("l_suppkey")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    edges_sym = directed.unionByName(
+        directed.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    ).distinct()
+    labels = label_propagation(
+        edges_sym, iterations=_LPA_ITERS, symmetric=False
+    )
+    return modularity_contributions(edges_sym, labels).orderBy("community")
+
+
 _KHOP_H, _KHOP_SEEDS = 3, 5
 
 _KHOP_ORACLE = f"""

@@ -1,0 +1,182 @@
+"""Round-13 additions (third batch): modularity scoring, offline
+changepoint detection, and the bandit replay evaluator."""
+
+from __future__ import annotations
+
+import pytest
+
+from diabetes_etl_spark.plans import all_queries
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return all_queries(include_extended=True)
+
+
+def _sym_edges(spark, undirected_pairs):
+    both = [(a, b) for a, b in undirected_pairs] + [
+        (b, a) for a, b in undirected_pairs
+    ]
+    return spark.createDataFrame(sorted(set(both)), "src long, dst long")
+
+
+def test_modularity_two_disjoint_triangles(spark):
+    """Two disjoint triangles under their natural partition: each
+    community contributes (6*12 - 6^2)/12^2 = 0.25, total Q = 0.5 —
+    the textbook hand-checkable value."""
+    from diabetes_etl_spark.operators.graph import (
+        label_propagation,
+        modularity_contributions,
+    )
+
+    edges = _sym_edges(
+        spark, [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    )
+    labels = label_propagation(edges, iterations=3, symmetric=False)
+    rows = (
+        modularity_contributions(edges, labels).orderBy("community").collect()
+    )
+    assert len(rows) == 2
+    for r in rows:
+        assert r["size"] == 3
+        assert r["intra_pairs"] == 3
+        assert r["degree_sum"] == 6
+        assert r["q_contrib"] == pytest.approx(0.25, abs=1e-12)
+        assert r["q_total"] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_modularity_singleton_partition_is_negative_or_zero(spark):
+    """Every node in its own community: A_c = 0 for all c, so each
+    contribution is -(d_c/E)^2 < 0 and Q < 0 — the partition is
+    worse than chance, as modularity must report."""
+    from diabetes_etl_spark.operators.graph import modularity_contributions
+
+    edges = _sym_edges(spark, [(1, 2), (2, 3), (3, 4)])
+    singleton = edges.selectExpr("src AS node", "src AS label").distinct()
+    rows = modularity_contributions(edges, singleton).collect()
+    assert all(r["intra_pairs"] == 0 for r in rows)
+    assert all(r["q_contrib"] < 0 for r in rows)
+    assert rows[0]["q_total"] < 0
+
+
+def _daily(spark, rates):
+    """Synthetic (seg, d, n, x, y) spine with given daily rates."""
+    import datetime
+
+    rows = [
+        (
+            0,
+            datetime.date(2024, 1, 1) + datetime.timedelta(days=i),
+            1000,
+            int(round(r * 1000)),
+            int(round(round(r, 9) * 1e9)),
+        )
+        for i, r in enumerate(rates)
+    ]
+    return spark.createDataFrame(
+        rows, "seg long, d date, n long, x long, y long"
+    )
+
+
+def test_binseg_finds_planted_step(spark):
+    """20 days at rate 0.2 then 20 at 0.8: the level-1 cut must land
+    exactly on day 20 with side means 0.2/0.8, and the level-2 cuts
+    (inside constant halves) must carry zero gain."""
+    import datetime
+
+    from diabetes_etl_spark.plans.events import (
+        _binseg_assign,
+        _binseg_level_splits,
+    )
+
+    df = _daily(spark, [0.2] * 20 + [0.8] * 20)
+    s1 = _binseg_level_splits(df, 1).collect()
+    assert len(s1) == 1
+    r = s1[0]
+    assert r["cp_d"] == datetime.date(2024, 1, 20)
+    assert r["left_days"] == 20 and r["right_days"] == 20
+    assert r["left_mean"] == pytest.approx(0.2, abs=1e-9)
+    assert r["right_mean"] == pytest.approx(0.8, abs=1e-9)
+    assert r["gain_rate2"] == pytest.approx(40 * 0.09, rel=1e-9)
+
+    s2 = _binseg_level_splits(
+        _binseg_assign(df, _binseg_level_splits(df, 1)), 2
+    ).collect()
+    assert len(s2) == 2
+    for r2 in s2:
+        assert r2["gain_rate2"] == pytest.approx(0.0, abs=1e-12)
+        assert r2["left_mean"] == r2["right_mean"]
+
+
+def test_binseg_matches_bruteforce_on_fixture(spark, sf_dir, reg):
+    """The level-1 cut must agree with a from-scratch Python brute
+    force over the same 9dp daily rates."""
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = sorted(
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("x"),
+        )
+        .collect(),
+        key=lambda r: r["d"],
+    )
+    ys = [int(round(round(r["x"] / r["n"], 9) * 1e9)) for r in daily]
+    best, best_f = None, None
+    dd, s_tot = len(ys), sum(ys)
+    for t in range(5, dd - 5 + 1):
+        s_l = sum(ys[:t])
+        f = (
+            s_l * s_l * (dd - t) + (s_tot - s_l) ** 2 * t
+        ) / (t * (dd - t))
+        if best_f is None or f > best_f:
+            best, best_f = t, f
+    rows = [
+        r
+        for r in reg["events_changepoint_binseg"].fn(spark, sf_dir).collect()
+        if r["level"] == 1
+    ]
+    assert len(rows) == 1
+    assert rows[0]["cp_d"] == daily[best - 1]["d"]
+    assert all(
+        r["gain_rate2"] >= 0
+        for r in reg["events_changepoint_binseg"].fn(spark, sf_dir).collect()
+    )
+
+
+def test_binseg_partition_invariant(spark, sf_dir, reg):
+    want = sorted(
+        tuple(r)
+        for r in reg["events_changepoint_binseg"].fn(spark, sf_dir).collect()
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        got = sorted(
+            tuple(r)
+            for r in reg["events_changepoint_binseg"]
+            .fn(spark, sf_dir)
+            .collect()
+        )
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_modularity_total_is_sum_of_contributions(spark, sf_dir, reg):
+    rows = reg["graph_modularity_communities"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    total = rows[0]["q_total"]
+    assert all(r["q_total"] == total for r in rows)
+    assert total == pytest.approx(
+        sum(r["q_contrib"] for r in rows), abs=len(rows) * 1e-12
+    )
+    assert -1.0 <= total <= 1.0
