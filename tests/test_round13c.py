@@ -180,3 +180,109 @@ def test_modularity_total_is_sum_of_contributions(spark, sf_dir, reg):
         sum(r["q_contrib"] for r in rows), abs=len(rows) * 1e-12
     )
     assert -1.0 <= total <= 1.0
+
+
+def test_ucb_replay_matches_python_replay(spark, sf_dir, reg):
+    """From-scratch Python replay of the day-batched UCB1 protocol
+    (same 9dp-quantized formulas) must reproduce every arm choice,
+    index value, and running estimate."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.plans.causalplans import (
+        _UCB_ARMS,
+        _variant_col,
+    )
+    from diabetes_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    grid = (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+            _variant_col(F.col("event_id"), mod=_UCB_ARMS)
+            .cast("int")
+            .alias("arm"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("r"),
+        )
+        .groupBy("d", "arm")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("r").alias("s"))
+        .collect()
+    )
+    days = {}
+    for row in grid:
+        day = days.setdefault(
+            row["d"], {"n": [0] * _UCB_ARMS, "s": [0] * _UCB_ARMS}
+        )
+        day["n"][row["arm"]] = row["n"]
+        day["s"][row["arm"]] = row["s"]
+
+    n_acc, s_acc = [0] * _UCB_ARMS, [0] * _UCB_ARMS
+    expect = []
+    for d in sorted(days):
+        t = sum(n_acc)
+        if 0 in n_acc:
+            chosen = n_acc.index(0)
+            ucbs = [
+                None
+                if n_acc[a] == 0
+                else round(
+                    s_acc[a] / n_acc[a]
+                    + math.sqrt(2 * round(math.log(t), 9) / n_acc[a]),
+                    9,
+                )
+                for a in range(_UCB_ARMS)
+            ]
+        else:
+            ucbs = [
+                round(
+                    s_acc[a] / n_acc[a]
+                    + math.sqrt(2 * round(math.log(t), 9) / n_acc[a]),
+                    9,
+                )
+                for a in range(_UCB_ARMS)
+            ]
+            chosen = max(range(_UCB_ARMS), key=lambda a: (ucbs[a], -a))
+        n_acc[chosen] += days[d]["n"][chosen]
+        s_acc[chosen] += days[d]["s"][chosen]
+        expect.append((d, chosen, t, tuple(ucbs), sum(n_acc), sum(s_acc)))
+
+    got = (
+        reg["events_bandit_ucb_replay"].fn(spark, sf_dir)
+        .orderBy("d")
+        .collect()
+    )
+    assert len(got) == len(expect)
+    for r, (d, chosen, t, ucbs, cum_n, cum_s) in zip(got, expect):
+        assert r["d"] == d
+        assert r["chosen_arm"] == chosen
+        assert r["t_before"] == t
+        assert r["cum_n"] == cum_n and r["cum_s"] == cum_s
+        for a in range(_UCB_ARMS):
+            if ucbs[a] is None:
+                assert r[f"ucb{a}"] is None
+            else:
+                assert r[f"ucb{a}"] == pytest.approx(ucbs[a], abs=2e-9)
+        if cum_n > 0:
+            assert r["avg_reward"] == pytest.approx(
+                round(cum_s / cum_n, 9), abs=2e-9
+            )
+
+
+def test_ucb_replay_explores_then_exploits(spark, sf_dir, reg):
+    """Every arm with logged traffic must eventually be explored
+    (t_before grows; after the burn-in all ucb columns are set), and
+    matched trials must never exceed that day's logged volume."""
+    rows = (
+        reg["events_bandit_ucb_replay"].fn(spark, sf_dir)
+        .orderBy("d")
+        .collect()
+    )
+    assert rows[0]["t_before"] == 0 and rows[0]["chosen_arm"] == 0
+    late = rows[-1]
+    assert all(late[f"ucb{a}"] is not None for a in range(4))
+    for r in rows:
+        assert 0 <= r["matched_n"]
+        assert 0 <= r["matched_s"] <= r["matched_n"]
