@@ -6312,3 +6312,319 @@ register(
     tags=("events", "statistics", "changepoint", "drift", "extension"),
     extended=True,
 )(_changepoint_binseg)
+
+
+# -- Nelson-Aalen cumulative hazard (round 13) -------------------------------
+
+
+def _nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arm Nelson-Aalen cumulative-hazard curve H(t) = sum d_i/n_i
+    on the time-to-first-purchase spine (the events_ab_logrank /
+    events_ab_rmst survival setup: t = days from first-seen to first
+    purchase, censored at the last observed day; arms = the md5 user
+    hash), with the standard variance estimate sum d_i/n_i^2 and the
+    Fleming-Harrington survival transform exp(-H) — the
+    hazard-accumulation view the KM product-limit curve cannot give
+    (hazards ADD across time and across cause decompositions; KM
+    multiplies).
+
+    Exactness: per-time increments quantize to 12dp at source and
+    fold through DECIMAL(28,12) windows (order-independent); exp is
+    the ONE libm call, 9dp-quantized in and 9dp-rounded out (the
+    sigmoid discipline).  Risk sets come from the same
+    reverse-cumulative window identity as the log-rank plan — no
+    self-join, no corpus window: everything after the ONE user-grain
+    grouped pass rides the O(arms x distinct event times) spine."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(day).alias("f"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", day)
+        ).alias("p"),
+        F.max(day).alias("l"),
+    )
+    mx = per_user.agg(F.max("l").alias("maxd"))
+    users = per_user.crossJoin(F.broadcast(mx)).select(
+        F.when(F.col("p").isNotNull(), F.datediff("p", "f"))
+        .otherwise(F.datediff("maxd", "f"))
+        .alias("t"),
+        F.col("p").isNotNull().cast("int").alias("dead"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("variant"),
+    )
+    grp = users.groupBy("variant", "t").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dead").alias("d"),
+    )
+    wcum = (
+        Window.partitionBy("variant")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = (
+        Window.partitionBy("variant")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    risk = grp.select(
+        "variant",
+        "t",
+        "d",
+        (
+            F.sum("m").over(wall) - F.sum("m").over(wcum) + F.col("m")
+        ).alias("n_risk"),
+    ).where(F.col("d") > 0)
+    nd = F.col("n_risk").cast("double")
+    inc = risk.select(
+        "variant",
+        "t",
+        "n_risk",
+        "d",
+        F.round(F.col("d").cast("double") / nd, 12).alias("dh"),
+        F.round(F.col("d").cast("double") / nd / nd, 12).alias("dv"),
+    )
+    dq = "decimal(28,12)"
+    cum = inc.select(
+        "variant",
+        "t",
+        "n_risk",
+        "d",
+        "dh",
+        F.sum(F.col("dh").cast(dq)).over(wcum).cast("double").alias("ch"),
+        F.sum(F.col("dv").cast(dq)).over(wcum).cast("double").alias("cv"),
+    )
+    return cum.select(
+        F.col("variant").cast("long").alias("variant"),
+        F.col("t").cast("int").alias("t"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d_events"),
+        "dh",
+        F.round("ch", 9).alias("cum_hazard"),
+        F.round(F.sqrt("cv"), 9).alias("se_hazard"),
+        F.round(F.exp(-F.round(F.col("ch"), 9)), 9).alias("surv_fh"),
+    ).orderBy("variant", "t")
+
+
+register(
+    "events_survival_nelson_aalen",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+    MIN(CAST(date_trunc('day', ts) AS DATE)) AS f,
+    MIN(CASE WHEN event_type = 'purchase'
+        THEN CAST(date_trunc('day', ts) AS DATE) END) AS p,
+    MAX(CAST(date_trunc('day', ts) AS DATE)) AS l
+  FROM events GROUP BY user_id
+),
+mx AS (SELECT MAX(l) AS maxd FROM per_user),
+users AS (
+  SELECT CASE WHEN p IS NOT NULL THEN datediff('day', f, p)
+              ELSE datediff('day', f, maxd) END AS t,
+    CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS dead,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+      AS variant
+  FROM per_user, mx
+),
+grp AS (
+  SELECT variant, t, COUNT(*) AS m, SUM(dead) AS d
+  FROM users GROUP BY variant, t
+),
+risk AS (
+  SELECT variant, t, d,
+    SUM(m) OVER (PARTITION BY variant)
+      - SUM(m) OVER (PARTITION BY variant ORDER BY t
+                     ROWS UNBOUNDED PRECEDING)
+      + m AS n_risk
+  FROM grp
+),
+inc AS (
+  SELECT variant, t, n_risk, d,
+    ROUND(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 12) AS dh,
+    ROUND(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+          / CAST(n_risk AS DOUBLE), 12) AS dv
+  FROM risk WHERE d > 0
+),
+cum AS (
+  SELECT variant, t, n_risk, d, dh,
+    CAST(SUM(CAST(dh AS DECIMAL(28,12)))
+         OVER (PARTITION BY variant ORDER BY t ROWS UNBOUNDED PRECEDING)
+         AS DOUBLE) AS ch,
+    CAST(SUM(CAST(dv AS DECIMAL(28,12)))
+         OVER (PARTITION BY variant ORDER BY t ROWS UNBOUNDED PRECEDING)
+         AS DOUBLE) AS cv
+  FROM inc
+)
+SELECT CAST(variant AS BIGINT) AS variant,
+  CAST(t AS INT) AS t,
+  CAST(n_risk AS BIGINT) AS n_risk,
+  CAST(d AS BIGINT) AS d_events,
+  dh,
+  ROUND(ch, 9) AS cum_hazard,
+  ROUND(sqrt(cv), 9) AS se_hazard,
+  ROUND(exp(-ROUND(ch, 9)), 9) AS surv_fh
+FROM cum ORDER BY variant, t
+""",
+    doc="Per-arm Nelson-Aalen cumulative-hazard curve on the "
+    "time-to-first-purchase spine (the events_ab_logrank / "
+    "events_ab_rmst setup) — completes the survival family: KM "
+    "product-limit (curve), log-rank (test), RMST (effect size), and "
+    "now the hazard-scale view where increments ADD: H(t) = sum "
+    "d_i/n_i with variance sum d_i/n_i^2 and the Fleming-Harrington "
+    "survival transform exp(-H).  Per-time increments quantize to "
+    "12dp at source and fold through DECIMAL(28,12) windows; risk "
+    "sets from the reverse-cumulative window identity (no "
+    "self-join); exp is the one libm call, 9dp in/out.  Scale: ONE "
+    "user-grain grouped pass, then O(arms x distinct event times) "
+    "spine windows only.",
+    tags=("events", "survival", "statistics", "extension"),
+    extended=True,
+)(_nelson_aalen)
+
+
+# -- length-2 sequential patterns with unbounded gap (round 13) --------------
+
+
+def _seq_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user support of every ordered event-type pair
+    'A then later B' (any gap): the GSP/PrefixSpan length-2 pattern
+    table — the piece the ADJACENT-transition Markov matrix and the
+    one fixed-path funnel cannot give (a user who clicks, browses for
+    a week, then purchases supports click->purchase here but never as
+    an adjacent bigram).
+
+    A user supports (A, B) iff their FIRST A precedes their LAST B —
+    an exact existence test computed from the (user, type) first/last
+    timestamps, so the corpus collapses in ONE map-side-combinable
+    grouped pass and the pair stage fans out at most |types|^2 = 25
+    rows per user.  Same-type pairs (A, A) read as 'A recurs'.
+    support = users(A->B)/users_total, confidence = users(A->B)/
+    users(A), lift = support / (P(A) x P(B)) as one pinned-order
+    division chain over exact BIGINT counts.
+
+    Scale shape: user-keyed equi-join of two projections of the same
+    bounded (user, type) table — shuffle linear in users x types;
+    marginals and the user total attach as tiny broadcasts; output is
+    O(|types|^2)."""
+    ev = load_table(spark, sf_dir, "events")
+    fl = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    tot = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("users_total")
+    )
+    marg = fl.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    ante = fl.select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        F.col("first_ts").alias("a_first"),
+    )
+    cons = fl.select(
+        "user_id",
+        F.col("event_type").alias("b"),
+        F.col("last_ts").alias("b_last"),
+    )
+    seq = (
+        ante.join(cons, "user_id")
+        .where(F.col("a_first") < F.col("b_last"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_seq"))
+    )
+    out = (
+        seq.join(
+            F.broadcast(
+                marg.select(
+                    F.col("event_type").alias("a"),
+                    F.col("n_t").alias("n_a"),
+                )
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                marg.select(
+                    F.col("event_type").alias("b"),
+                    F.col("n_t").alias("n_b"),
+                )
+            ),
+            "b",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return out.select(
+        "a",
+        "b",
+        F.col("n_seq").cast("long").alias("n_seq"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "users_total",
+        F.round(
+            F.col("n_seq").cast("double") / F.col("users_total"), 9
+        ).alias("support"),
+        F.round(F.col("n_seq").cast("double") / F.col("n_a"), 9).alias(
+            "confidence"
+        ),
+        F.round(
+            F.col("n_seq").cast("double")
+            * F.col("users_total")
+            / F.col("n_a")
+            / F.col("n_b"),
+            6,
+        ).alias("lift"),
+    ).orderBy("a", "b")
+
+
+register(
+    "events_seq_pair_rules",
+    oracle="""
+WITH fl AS (
+  SELECT user_id, event_type,
+    MIN(ts) AS first_ts, MAX(ts) AS last_ts
+  FROM events GROUP BY user_id, event_type
+),
+tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_total
+        FROM events),
+marg AS (SELECT event_type, COUNT(*) AS n_t FROM fl GROUP BY event_type),
+seq AS (
+  SELECT a.event_type AS a, b.event_type AS b, COUNT(*) AS n_seq
+  FROM fl a JOIN fl b ON a.user_id = b.user_id
+  WHERE a.first_ts < b.last_ts
+  GROUP BY 1, 2
+)
+SELECT s.a, s.b,
+  CAST(s.n_seq AS BIGINT) AS n_seq,
+  CAST(ma.n_t AS BIGINT) AS n_a,
+  CAST(mb.n_t AS BIGINT) AS n_b,
+  tot.users_total,
+  ROUND(CAST(s.n_seq AS DOUBLE) / tot.users_total, 9) AS support,
+  ROUND(CAST(s.n_seq AS DOUBLE) / ma.n_t, 9) AS confidence,
+  ROUND(CAST(s.n_seq AS DOUBLE) * tot.users_total / ma.n_t / mb.n_t, 6)
+    AS lift
+FROM seq s
+JOIN marg ma ON ma.event_type = s.a
+JOIN marg mb ON mb.event_type = s.b
+CROSS JOIN tot
+ORDER BY s.a, s.b
+""",
+    doc="Length-2 sequential-pattern rule table with UNBOUNDED gap "
+    "(GSP/PrefixSpan's k=2 stage): distinct-user support of every "
+    "ordered 'A then later B' event-type pair via the exact "
+    "first(A) < last(B) existence test on per-(user, type) first/"
+    "last timestamps — the non-adjacent sequence evidence the "
+    "Markov transition matrix (adjacent only) and the fixed-path "
+    "funnel cannot express.  support/confidence/lift from exact "
+    "BIGINT counts with pinned-order final divisions; same-type "
+    "rows read as recurrence.  Scale: one map-side-combinable "
+    "(user, type) pass, user-keyed pair join bounded at |types|^2 "
+    "rows per user, O(|types|^2) output with broadcast marginals.",
+    tags=("events", "sequence", "mining", "analytics", "extension"),
+    extended=True,
+)(_seq_pair_rules)

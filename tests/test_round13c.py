@@ -286,3 +286,132 @@ def test_ucb_replay_explores_then_exploits(spark, sf_dir, reg):
     for r in rows:
         assert 0 <= r["matched_n"]
         assert 0 <= r["matched_s"] <= r["matched_n"]
+
+
+def test_nelson_aalen_matches_python_replay(spark, sf_dir, reg):
+    """From-scratch NA replay (risk sets by reverse scan, 12dp
+    increments, decimal folds) must match every curve point."""
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(day).alias("f"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", day)
+            ).alias("p"),
+            F.max(day).alias("l"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("variant"),
+        )
+        .collect()
+    )
+    maxd = max(r["l"] for r in per_user)
+    by_var = {0: {}, 1: {}}
+    for r in per_user:
+        t = (
+            (r["p"] - r["f"]).days
+            if r["p"] is not None
+            else (maxd - r["f"]).days
+        )
+        m, d = by_var[r["variant"]].setdefault(t, [0, 0])
+        by_var[r["variant"]][t] = [
+            m + 1,
+            d + (1 if r["p"] is not None else 0),
+        ]
+
+    expect = {}
+    for v, times in by_var.items():
+        at_risk = sum(m for m, _ in times.values())
+        ch = cv = 0.0
+        for t in sorted(times):
+            m, d = times[t]
+            if d > 0:
+                ch = round(ch + round(d / at_risk, 12), 12)
+                cv = round(cv + round(d / at_risk / at_risk, 12), 12)
+                expect[(v, t)] = (at_risk, d, ch, cv)
+            at_risk -= m
+
+    rows = (
+        reg["events_survival_nelson_aalen"].fn(spark, sf_dir).collect()
+    )
+    assert len(rows) == len(expect)
+    for r in rows:
+        n_risk, d, ch, cv = expect[(r["variant"], r["t"])]
+        assert r["n_risk"] == n_risk and r["d_events"] == d
+        assert r["cum_hazard"] == pytest.approx(round(ch, 9), abs=2e-9)
+        assert r["se_hazard"] == pytest.approx(cv**0.5, abs=2e-9)
+        assert r["surv_fh"] == pytest.approx(
+            __import__("math").exp(-round(ch, 9)), abs=2e-9
+        )
+
+
+def test_nelson_aalen_monotone_curves(spark, sf_dir, reg):
+    rows = (
+        reg["events_survival_nelson_aalen"].fn(spark, sf_dir)
+        .orderBy("variant", "t")
+        .collect()
+    )
+    last = {}
+    for r in rows:
+        v = r["variant"]
+        if v in last:
+            assert r["cum_hazard"] >= last[v][0]
+            assert r["surv_fh"] <= last[v][1]
+            assert r["n_risk"] < last[v][2]
+        assert 0 < r["surv_fh"] <= 1.0
+        last[v] = (r["cum_hazard"], r["surv_fh"], r["n_risk"])
+
+
+def test_seq_pair_rules_match_python_replay(spark, sf_dir, reg):
+    """Exact replay of the first(A) < last(B) existence test from
+    the collected (user, type) first/last table."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    fl = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("ft"), F.max("ts").alias("lt"))
+        .collect()
+    )
+    per_user = defaultdict(dict)
+    for r in fl:
+        per_user[r["user_id"]][r["event_type"]] = (r["ft"], r["lt"])
+    n_seq = defaultdict(int)
+    n_t = defaultdict(int)
+    for types in per_user.values():
+        for a, (ft, _) in types.items():
+            n_t[a] += 1
+            for b, (_, lt) in types.items():
+                if ft < lt:
+                    n_seq[(a, b)] += 1
+    total = len(per_user)
+
+    rows = reg["events_seq_pair_rules"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(n_seq)
+    for r in rows:
+        key = (r["a"], r["b"])
+        assert r["n_seq"] == n_seq[key]
+        assert r["n_a"] == n_t[r["a"]] and r["n_b"] == n_t[r["b"]]
+        assert r["users_total"] == total
+        assert r["n_seq"] <= min(r["n_a"], r["n_b"])
+        assert 0 < r["confidence"] <= 1.0
+        assert r["support"] == pytest.approx(
+            round(n_seq[key] / total, 9), abs=1e-12
+        )
