@@ -6628,3 +6628,188 @@ ORDER BY s.a, s.b
     tags=("events", "sequence", "mining", "analytics", "extension"),
     extended=True,
 )(_seq_pair_rules)
+
+
+# -- inter-arrival burstiness + memory (round 13) ----------------------------
+
+
+def _burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi (2008) burstiness/memory profile of per-user
+    inter-event times: B = (sigma - mu)/(sigma + mu) per user over
+    integer-second gaps (-1 = perfectly regular, 0 = Poisson, -> 1 =
+    bursty), averaged across users, plus the pooled memory
+    coefficient M = corr(g_i, g_{i+1}) over consecutive-gap pairs —
+    together they place the event stream on the burstiness-memory
+    plane (human activity: B > 0, M ~ 0; periodic machines: B < 0).
+
+    Exactness: gaps are exact epoch-second differences (floor
+    division of exact micros); per-user B = (sqrt(nQ - S^2) - S) /
+    (sqrt(nQ - S^2) + S) has an exact DECIMAL(38,0) radicand
+    (population sigma; the n's cancel), one correctly-rounded sqrt
+    and one division, 9dp-rounded at birth then DECIMAL-folded for
+    the mean; the memory Pearson keeps every moment exact (seconds
+    keep n*Sxy under 1e37 at 1e12 pooled pairs) with divisions in
+    pinned order.  Scale: ONE user-partitioned window pass (shuffle
+    linear in events), one map-side-combinable per-user aggregate,
+    then 1-row epilogues."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.expr("unix_micros(ts) DIV 1000000")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("user_id", sec.alias("t"), "ts", "event_id")
+        .select(
+            "user_id",
+            (F.col("t") - F.lag("t").over(w)).alias("g"),
+            (F.lead("t").over(w) - F.col("t")).alias("g2"),
+        )
+        .where(F.col("g").isNotNull())
+    )
+    dq = "decimal(38,0)"
+    per_user = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("g").alias("s"),
+        F.sum((F.col("g") * F.col("g")).cast(dq)).alias("q"),
+    )
+    rad = (
+        F.col("n").cast(dq) * F.col("q")
+        - F.col("s").cast(dq) * F.col("s").cast(dq)
+    )
+    sq = F.sqrt(rad.cast("double"))
+    b_user = per_user.where(F.col("s") > 0).select(
+        F.round(
+            (sq - F.col("s").cast("double"))
+            / (sq + F.col("s").cast("double")),
+            9,
+        ).alias("b"),
+        "n",
+        "s",
+    )
+    bstats = b_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_gaps"),
+        F.round(
+            F.sum(F.col("b").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mean_burstiness"),
+        F.round(
+            F.sum(F.when(F.col("b") > 0, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("frac_bursty"),
+        F.round(
+            F.sum("s").cast("double") / F.sum("n"), 6
+        ).alias("mean_gap_sec"),
+    )
+    pairs = gaps.where(F.col("g2").isNotNull())
+    mem = pairs.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("g").alias("sx"),
+        F.sum("g2").alias("sy"),
+        F.sum((F.col("g") * F.col("g2")).cast(dq)).alias("sxy"),
+        F.sum((F.col("g") * F.col("g")).cast(dq)).alias("sxx"),
+        F.sum((F.col("g2") * F.col("g2")).cast(dq)).alias("syy"),
+    )
+    npd = F.col("np").cast(dq)
+    cnum = npd * F.col("sxy") - F.col("sx").cast(dq) * F.col("sy").cast(dq)
+    vx = npd * F.col("sxx") - F.col("sx").cast(dq) * F.col("sx").cast(dq)
+    vy = npd * F.col("syy") - F.col("sy").cast(dq) * F.col("sy").cast(dq)
+    memrow = mem.select(
+        F.col("np").cast("long").alias("n_pairs"),
+        F.when(
+            (vx.cast("double") > 0) & (vy.cast("double") > 0),
+            F.round(
+                cnum.cast("double")
+                / F.sqrt(vx.cast("double"))
+                / F.sqrt(vy.cast("double")),
+                9,
+            ),
+        ).alias("memory_coeff"),
+    )
+    return bstats.crossJoin(F.broadcast(memrow))
+
+
+register(
+    "events_burstiness_memory",
+    oracle="""
+WITH seqd AS (
+  SELECT user_id,
+    epoch_us(ts) // 1000000 AS t,
+    ts, event_id
+  FROM events
+),
+gaps_all AS (
+  SELECT user_id,
+    t - lag(t) OVER w AS g,
+    lead(t) OVER w - t AS g2
+  FROM seqd
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+gaps AS (SELECT * FROM gaps_all WHERE g IS NOT NULL),
+per_user AS (
+  SELECT user_id, COUNT(*) AS n, SUM(g) AS s,
+    SUM(CAST(g AS HUGEINT) * g) AS q
+  FROM gaps GROUP BY user_id
+),
+b_user AS (
+  SELECT
+    ROUND((sqrt(CAST(CAST(n AS HUGEINT) * q
+                     - CAST(s AS HUGEINT) * s AS DOUBLE))
+           - CAST(s AS DOUBLE))
+          / (sqrt(CAST(CAST(n AS HUGEINT) * q
+                       - CAST(s AS HUGEINT) * s AS DOUBLE))
+             + CAST(s AS DOUBLE)), 9) AS b,
+    n, s
+  FROM per_user WHERE s > 0
+),
+bstats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+    CAST(SUM(n) AS BIGINT) AS n_gaps,
+    ROUND(CAST(SUM(CAST(b AS DECIMAL(28,12))) AS DOUBLE)
+          / COUNT(*), 9) AS mean_burstiness,
+    ROUND(CAST(SUM(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*), 9) AS frac_bursty,
+    ROUND(CAST(SUM(s) AS DOUBLE) / SUM(n), 6) AS mean_gap_sec
+  FROM b_user
+),
+pairs AS (SELECT g, g2 FROM gaps WHERE g2 IS NOT NULL),
+mem AS (
+  SELECT COUNT(*) AS np, SUM(g) AS sx, SUM(g2) AS sy,
+    SUM(CAST(g AS HUGEINT) * g2) AS sxy,
+    SUM(CAST(g AS HUGEINT) * g) AS sxx,
+    SUM(CAST(g2 AS HUGEINT) * g2) AS syy
+  FROM pairs
+),
+memrow AS (
+  SELECT CAST(np AS BIGINT) AS n_pairs,
+    CASE WHEN CAST(CAST(np AS HUGEINT) * sxx
+                   - CAST(sx AS HUGEINT) * sx AS DOUBLE) > 0
+          AND CAST(CAST(np AS HUGEINT) * syy
+                   - CAST(sy AS HUGEINT) * sy AS DOUBLE) > 0
+      THEN ROUND(CAST(CAST(np AS HUGEINT) * sxy
+                      - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / sqrt(CAST(CAST(np AS HUGEINT) * sxx
+                             - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                 / sqrt(CAST(CAST(np AS HUGEINT) * syy
+                             - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 9)
+      END AS memory_coeff
+  FROM mem
+)
+SELECT * FROM bstats CROSS JOIN memrow
+""",
+    doc="Goh-Barabasi burstiness-memory profile of per-user "
+    "inter-event times: mean per-user B = (sigma - mu)/(sigma + mu) "
+    "over exact integer-second gaps (population sigma with an exact "
+    "DECIMAL(38,0)/HUGEINT radicand — the n's cancel), the bursty "
+    "share, and the pooled memory coefficient corr(g_i, g_{i+1}) "
+    "from exact moment folds — the temporal-texture diagnostic "
+    "(human traffic is bursty with weak memory; periodic machine "
+    "traffic is the opposite) that mean-rate and seasonality "
+    "queries cannot see.  Scale: one user-partitioned window pass "
+    "(lag + two leads, shuffle linear), one map-side-combinable "
+    "per-user aggregate, 1-row epilogues broadcast-joined.",
+    tags=("events", "statistics", "temporal", "extension"),
+    extended=True,
+)(_burstiness_profile)

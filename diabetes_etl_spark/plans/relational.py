@@ -3245,3 +3245,167 @@ register(
     tags=("features", "encoding", "ml", "extension"),
     extended=True,
 )(_target_encoding_kfold)
+
+
+# -- HBOS histogram-based outlier scoring (round 13) -------------------------
+
+_HBOS_BINS = 10
+_HBOS_TOPK = 25
+_HBOS_FEATS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def _hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBOS (Goldstein & Dengel 2012): histogram-based outlier score
+    over lineitem's (quantity, extendedprice, discount) — score =
+    sum_f -ln(density of the row's bin in feature f), the
+    feature-independence anomaly detector that runs in two aggregate
+    passes plus one scoring scan at ANY corpus size (the reason HBOS
+    is the standard first-pass detector at scale; no pairwise
+    distances, no trees).
+
+    Equi-width bins from the global min/max (top bin closed);
+    per-feature histograms come from ONE posexplode'd
+    map-side-combined aggregate (3N ints collapse to 30 cells) and
+    BROADCAST back onto the scoring scan; every row's own bin has
+    count >= 1, so densities are never zero.  The bin index is a
+    floor of an identically-ordered IEEE expression, each -ln term
+    is 9dp-quantized at birth (the BM25 discipline), and the top-25
+    readout orders by (score DESC, l_orderkey, l_linenumber) — a
+    TakeOrderedAndProject heap, no corpus sort."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", *_HBOS_FEATS
+    )
+    bounds = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.min(f).alias(f"mn_{f}") for f in _HBOS_FEATS],
+        *[F.max(f).alias(f"mx_{f}") for f in _HBOS_FEATS],
+    )
+
+    def bin_col(f):
+        mn, mx = F.col(f"mn_{f}"), F.col(f"mx_{f}")
+        return (
+            F.when(
+                mx > mn,
+                F.least(
+                    F.lit(_HBOS_BINS - 1),
+                    F.floor(
+                        (F.col(f) - mn) / (mx - mn) * F.lit(_HBOS_BINS)
+                    ),
+                ),
+            )
+            .otherwise(0)
+            .cast("int")
+        )
+
+    binned = li.crossJoin(F.broadcast(bounds)).select(
+        "l_orderkey",
+        "l_linenumber",
+        *_HBOS_FEATS,
+        "n_rows",
+        *[bin_col(f).alias(f"bin_{f}") for f in _HBOS_FEATS],
+    )
+    hist = (
+        binned.select(
+            F.posexplode(
+                F.array(*[F.col(f"bin_{f}") for f in _HBOS_FEATS])
+            ).alias("fi", "b")
+        )
+        .groupBy("fi", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = binned
+    for i, f in enumerate(_HBOS_FEATS):
+        h = hist.where(F.col("fi") == i).select(
+            F.col("b").alias(f"bin_{f}"), F.col("c").alias(f"c_{f}")
+        )
+        scored = scored.join(F.broadcast(h), f"bin_{f}")
+    score = sum(
+        -F.round(
+            F.log(F.col(f"c_{f}").cast("double") / F.col("n_rows")), 9
+        )
+        for f in _HBOS_FEATS
+    )
+    return (
+        scored.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            F.col("bin_l_quantity").alias("bin_qty"),
+            F.col("bin_l_extendedprice").alias("bin_price"),
+            F.col("bin_l_discount").alias("bin_disc"),
+            F.round(score, 9).alias("hbos_score"),
+        )
+        .orderBy(
+            F.col("hbos_score").desc(), "l_orderkey", "l_linenumber"
+        )
+        .limit(_HBOS_TOPK)
+    )
+
+
+def _hbos_oracle() -> str:
+    mnmx = ", ".join(
+        f"MIN({f}) AS mn_{f}, MAX({f}) AS mx_{f}" for f in _HBOS_FEATS
+    )
+    bins = ",\n    ".join(
+        f"CAST(CASE WHEN mx_{f} > mn_{f} THEN "
+        f"LEAST({_HBOS_BINS - 1}, CAST(floor(({f} - mn_{f}) "
+        f"/ (mx_{f} - mn_{f}) * {_HBOS_BINS}) AS BIGINT)) "
+        f"ELSE 0 END AS INT) AS bin_{f}"
+        for f in _HBOS_FEATS
+    )
+    hists = ",\n".join(
+        f"h{i} AS (SELECT bin_{f} AS b, COUNT(*) AS c_{f} "
+        f"FROM binned GROUP BY 1)"
+        for i, f in enumerate(_HBOS_FEATS)
+    )
+    joins = "\n  ".join(
+        f"JOIN h{i} ON h{i}.b = binned.bin_{f}"
+        for i, f in enumerate(_HBOS_FEATS)
+    )
+    terms = " + ".join(
+        f"(-ROUND(ln(CAST(c_{f} AS DOUBLE) / n_rows), 9))"
+        for f in _HBOS_FEATS
+    )
+    return f"""
+WITH bounds AS (
+  SELECT COUNT(*) AS n_rows, {mnmx} FROM lineitem
+),
+binned AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+    l_discount, n_rows,
+    {bins}
+  FROM lineitem, bounds
+),
+{hists}
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+  l_discount,
+  bin_l_quantity AS bin_qty,
+  bin_l_extendedprice AS bin_price,
+  bin_l_discount AS bin_disc,
+  ROUND({terms}, 9) AS hbos_score
+FROM binned
+  {joins}
+ORDER BY hbos_score DESC, l_orderkey, l_linenumber
+LIMIT {_HBOS_TOPK}
+"""
+
+
+register(
+    "lineitem_hbos_outliers",
+    oracle=_hbos_oracle(),
+    doc="HBOS histogram-based outlier scoring over lineitem "
+    "(quantity, extendedprice, discount): score = sum of -ln(bin "
+    "density) across per-feature 10-bin equi-width histograms — the "
+    "constant-memory feature-independence anomaly detector that "
+    "complements the robust-z/MAD family (which is univariate) and "
+    "needs no distances or trees.  Global min/max in one aggregate, "
+    "histograms from one posexplode'd map-side-combined pass "
+    "(3N ints -> 30 cells) broadcast onto the scoring scan, -ln "
+    "terms 9dp-quantized at birth, top-25 by (score DESC, key) via "
+    "a TakeOrderedAndProject heap.  Scale: two aggregate passes + "
+    "one scoring scan, broadcast-only joins, no corpus sort.",
+    tags=("anomaly", "statistics", "relational", "extension"),
+    extended=True,
+)(_hbos_outliers)

@@ -2937,3 +2937,129 @@ WHERE 10000 * n > 2 * n_total
     tags=("text", "sketch", "heavy-hitters", "extension"),
     extended=False,  # gate (round-10b rotation)
 )(_mg_heavy_ngrams)
+
+
+# -- Good-Turing frequency smoothing (round 13) ------------------------------
+
+
+def _good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table over the corpus
+    vocabulary (Good 1953): for observed counts r = 1..10, n_r =
+    number of word types seen exactly r times, the Turing-smoothed
+    count r* = (r+1) n_{r+1}/n_r, and the smoothed probability
+    r*/N — plus the r = 0 row whose p_gt = n_1/N is the total
+    probability mass the corpus has NEVER seen (the quantity Chao1
+    estimates in SPECIES and this estimates in MASS; the foundation
+    of Katz back-off).
+
+    Scale shape: the word-count table is Zipf-bounded (the
+    text_token_entropy argument); the frequency-of-frequencies
+    re-aggregation touches the COUNT TABLE, not the corpus, and the
+    output is 11 rows.  All counts exact BIGINT; the only IEEE steps
+    are the final divisions in pinned order, rounded where born."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.where(F.length(F.trim(F.col("text"))) > 0)
+        .select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+    wc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("r"))
+    fof = wc.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    tot = wc.agg(
+        F.sum("r").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    nxt = fof.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_next")
+    )
+    rows = (
+        fof.where(F.col("r") <= 10)
+        .join(nxt, "r", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    rstar = F.round(
+        (F.col("r") + 1).cast("double")
+        * F.col("n_next")
+        / F.col("n_r"),
+        6,
+    )
+    body = rows.select(
+        F.col("r").cast("int").alias("r"),
+        F.col("n_r").cast("long").alias("n_r"),
+        F.round(
+            (F.col("r") * F.col("n_r")).cast("double")
+            / F.col("n_tokens"),
+            9,
+        ).alias("mass"),
+        rstar.alias("r_star"),
+        F.round(rstar / F.col("n_tokens"), 9).alias("p_gt"),
+    )
+    n1 = fof.where(F.col("r") == 1).select(F.col("n_r").alias("n1"))
+    unseen = (
+        tot.join(F.broadcast(n1), F.lit(True), "left")
+        .select(
+            F.lit(0).cast("int").alias("r"),
+            F.lit(None).cast("long").alias("n_r"),
+            F.lit(None).cast("double").alias("mass"),
+            F.lit(None).cast("double").alias("r_star"),
+            F.round(
+                F.coalesce(F.col("n1"), F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+                9,
+            ).alias("p_gt"),
+        )
+    )
+    return unseen.unionByName(body).orderBy("r")
+
+
+register(
+    "text_good_turing",
+    oracle=r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+wc AS (
+  SELECT tok, COUNT(*) AS r FROM toks WHERE length(tok) > 0
+  GROUP BY tok
+),
+fof AS (SELECT r, COUNT(*) AS n_r FROM wc GROUP BY r),
+tot AS (SELECT CAST(SUM(r) AS BIGINT) AS n_tokens FROM wc),
+body AS (
+  SELECT CAST(f.r AS INT) AS r,
+    CAST(f.n_r AS BIGINT) AS n_r,
+    ROUND(CAST(f.r * f.n_r AS DOUBLE) / tot.n_tokens, 9) AS mass,
+    ROUND(CAST(f.r + 1 AS DOUBLE) * nx.n_r / f.n_r, 6) AS r_star,
+    ROUND(ROUND(CAST(f.r + 1 AS DOUBLE) * nx.n_r / f.n_r, 6)
+          / tot.n_tokens, 9) AS p_gt
+  FROM fof f LEFT JOIN fof nx ON nx.r = f.r + 1 CROSS JOIN tot
+  WHERE f.r <= 10
+),
+unseen AS (
+  SELECT CAST(0 AS INT) AS r,
+    CAST(NULL AS BIGINT) AS n_r,
+    CAST(NULL AS DOUBLE) AS mass,
+    CAST(NULL AS DOUBLE) AS r_star,
+    ROUND(CAST(COALESCE((SELECT n_r FROM fof WHERE r = 1), 0)
+               AS DOUBLE) / tot.n_tokens, 9) AS p_gt
+  FROM tot
+)
+SELECT * FROM unseen
+UNION ALL
+SELECT * FROM body
+ORDER BY r
+""",
+    doc="Good-Turing frequency smoothing over the corpus vocabulary "
+    "(Good 1953, the Katz back-off foundation): frequency-of-"
+    "frequencies n_r for r = 1..10 with Turing-smoothed counts "
+    "r* = (r+1) n_{r+1}/n_r and probabilities r*/N, plus the r = 0 "
+    "row whose p_gt = n_1/N is the total UNSEEN probability mass — "
+    "the mass-scale companion to Chao1's unseen-species count and "
+    "the principled discount the raw MLE table overstates.  Exact "
+    "BIGINT counts; divisions in pinned order rounded where born.  "
+    "Scale: one tokenize pass to the Zipf-bounded word-count table; "
+    "the frequency-of-frequencies re-aggregation touches the count "
+    "table only; 11-row output.",
+    tags=("text", "statistics", "smoothing", "extension"),
+    extended=True,
+)(_good_turing)

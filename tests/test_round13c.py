@@ -415,3 +415,141 @@ def test_seq_pair_rules_match_python_replay(spark, sf_dir, reg):
         assert r["support"] == pytest.approx(
             round(n_seq[key] / total, 9), abs=1e-12
         )
+
+
+def test_good_turing_matches_python_replay(spark, sf_dir, reg):
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from diabetes_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = [
+        r["tok"]
+        for r in docs.where(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+        )
+        .where(F.length("tok") > 0)
+        .collect()
+    ]
+    wc = Counter(toks)
+    fof = Counter(wc.values())
+    n_tokens = sum(wc.values())
+
+    rows = {r["r"]: r for r in reg["text_good_turing"].fn(spark, sf_dir).collect()}
+    assert rows[0]["n_r"] is None
+    assert rows[0]["p_gt"] == pytest.approx(
+        round(fof.get(1, 0) / n_tokens, 9), abs=1e-12
+    )
+    for r, row in rows.items():
+        if r == 0:
+            continue
+        assert row["n_r"] == fof[r]
+        assert row["mass"] == pytest.approx(
+            round(r * fof[r] / n_tokens, 9), abs=1e-12
+        )
+        if fof.get(r + 1):
+            want = round((r + 1) * fof[r + 1] / fof[r], 6)
+            assert row["r_star"] == pytest.approx(want, abs=1e-9)
+            assert row["p_gt"] == pytest.approx(
+                round(want / n_tokens, 9), abs=1e-12
+            )
+        else:
+            assert row["r_star"] is None and row["p_gt"] is None
+
+
+def test_burstiness_matches_python_replay(spark, sf_dir, reg):
+    from collections import defaultdict
+
+    from diabetes_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    per_user = defaultdict(list)
+    for r in ev:
+        us = int(r["ts"].timestamp())  # ts is tz-naive UTC micros
+        per_user[r["user_id"]].append((r["ts"], r["event_id"], us))
+    bs, n_gaps = [], 0
+    xs, ys = [], []
+    for rows in per_user.values():
+        rows.sort()
+        ts = [u for _, _, u in rows]
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        if not gaps:
+            continue
+        xs += gaps[:-1]
+        ys += gaps[1:]
+        n, s = len(gaps), sum(gaps)
+        if s <= 0:
+            continue
+        n_gaps += n
+        q = sum(g * g for g in gaps)
+        sq = (n * q - s * s) ** 0.5
+        bs.append(round((sq - s) / (sq + s), 9))
+    got = reg["events_burstiness_memory"].fn(spark, sf_dir).collect()[0]
+    assert got["n_users"] == len(bs)
+    assert got["n_gaps"] == n_gaps
+    assert got["mean_burstiness"] == pytest.approx(
+        round(sum(bs) / len(bs), 9), abs=2e-9
+    )
+    assert got["frac_bursty"] == pytest.approx(
+        round(sum(1 for b in bs if b > 0) / len(bs), 9), abs=1e-12
+    )
+    assert -1.0 <= got["mean_burstiness"] < 1.0
+    np_, sx, sy = len(xs), sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    vx, vy = np_ * sxx - sx * sx, np_ * sy * 0 + np_ * syy - sy * sy
+    assert got["n_pairs"] == np_
+    if vx > 0 and vy > 0:
+        want = round(
+            (np_ * sxy - sx * sy) / (vx**0.5) / (vy**0.5), 9
+        )
+        assert got["memory_coeff"] == pytest.approx(want, abs=2e-9)
+        assert -1.0 <= got["memory_coeff"] <= 1.0
+
+
+def test_hbos_matches_python_replay(spark, sf_dir, reg):
+    import math
+
+    from diabetes_etl_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount",
+    ).collect()
+    feats = ["l_quantity", "l_extendedprice", "l_discount"]
+    n = len(li)
+    mn = {f: min(r[f] for r in li) for f in feats}
+    mx = {f: max(r[f] for r in li) for f in feats}
+
+    def bin_of(f, x):
+        if mx[f] <= mn[f]:
+            return 0
+        return min(9, math.floor((x - mn[f]) / (mx[f] - mn[f]) * 10))
+
+    hist = {f: {} for f in feats}
+    for r in li:
+        for f in feats:
+            b = bin_of(f, r[f])
+            hist[f][b] = hist[f].get(b, 0) + 1
+    scored = []
+    for r in li:
+        s = round(
+            sum(
+                -round(math.log(hist[f][bin_of(f, r[f])] / n), 9)
+                for f in feats
+            ),
+            9,
+        )
+        scored.append((-s, r["l_orderkey"], r["l_linenumber"], s))
+    scored.sort()
+    want = scored[:25]
+    got = reg["lineitem_hbos_outliers"].fn(spark, sf_dir).collect()
+    assert len(got) == 25
+    for g, (_, ok, ln_, s) in zip(got, want):
+        assert (g["l_orderkey"], g["l_linenumber"]) == (ok, ln_)
+        assert g["hbos_score"] == pytest.approx(s, abs=2e-9)
+    assert all(g["hbos_score"] > 0 for g in got)
