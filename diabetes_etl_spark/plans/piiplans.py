@@ -314,3 +314,125 @@ def pii_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") + sign * (F.lit(1.0) / F.lit(_DP_EPS)) * mag, 6
         ).alias("noisy_count"),
     ).orderBy("c_nationkey")
+
+
+# -- t-closeness release gate (round 13) -------------------------------------
+
+_TCLOSE_BINS = 10
+_TCLOSE_T = 0.2
+
+
+@register(
+    "pii_tcloseness_customer",
+    oracle=f"""
+WITH bounds AS (
+  SELECT MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx,
+    COUNT(*) AS n_tot
+  FROM customer
+),
+binned AS (
+  SELECT c_nationkey, c_mktsegment, n_tot,
+    CAST(CASE WHEN mx > mn THEN
+      LEAST({_TCLOSE_BINS - 1},
+            CAST(floor((c_acctbal - mn) / (mx - mn)
+                       * {_TCLOSE_BINS}) AS BIGINT))
+      ELSE 0 END AS INT) AS b
+  FROM customer, bounds
+),
+spine AS (SELECT CAST(unnest(range(0, {_TCLOSE_BINS})) AS INT) AS b),
+gdist AS (
+  SELECT s.b, CAST(COALESCE(g.g, 0) AS BIGINT) AS g
+  FROM spine s LEFT JOIN
+    (SELECT b, COUNT(*) AS g FROM binned GROUP BY b) g ON g.b = s.b
+),
+grp_tot AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_grp
+  FROM binned GROUP BY 1, 2
+),
+cnts AS (
+  SELECT c_nationkey, c_mktsegment, b, COUNT(*) AS c
+  FROM binned GROUP BY 1, 2, 3
+),
+dense AS (
+  SELECT gt.c_nationkey, gt.c_mktsegment, gt.n_grp, s.b,
+    CAST(COALESCE(c.c, 0) AS BIGINT) AS c, gl.g, bo.n_tot
+  FROM grp_tot gt
+  CROSS JOIN spine s
+  LEFT JOIN cnts c ON c.c_nationkey = gt.c_nationkey
+    AND c.c_mktsegment = gt.c_mktsegment AND c.b = s.b
+  JOIN gdist gl ON gl.b = s.b
+  CROSS JOIN bounds bo
+),
+cum AS (
+  SELECT c_nationkey, c_mktsegment, n_grp, n_tot, b,
+    SUM(CAST(c AS HUGEINT) * n_tot - CAST(g AS HUGEINT) * n_grp)
+      OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY b
+            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM dense
+),
+emd AS (
+  SELECT c_nationkey, c_mktsegment, n_grp, n_tot,
+    SUM(ABS(cum)) AS emd_num
+  FROM cum GROUP BY 1, 2, 3, 4
+)
+SELECT c_nationkey, c_mktsegment,
+  CAST(n_grp AS BIGINT) AS n_rows,
+  ROUND(CAST(emd_num AS DOUBLE) / n_grp / n_tot
+        / {_TCLOSE_BINS - 1}, 9) AS t_closeness,
+  ROUND(CAST(emd_num AS DOUBLE) / n_grp / n_tot
+        / {_TCLOSE_BINS - 1}, 9) > {_TCLOSE_T} AS is_violating
+FROM emd
+ORDER BY c_nationkey, c_mktsegment
+""",
+    doc="t-closeness release-gate profile (Li, Li & "
+    "Venkatasubramanian 2007; operators/pii.py:tcloseness_profile): "
+    "per (nation, market segment) QI group, the Earth-Mover's "
+    "Distance between the group's account-balance decile "
+    "distribution and the global one on the ordered 10-bucket "
+    "domain — the skew/similarity attack k-anonymity and "
+    "l-diversity miss.  Cumulative differences cross-multiply to "
+    "exact DECIMAL(38,0)/HUGEINT integers (the last bucket's "
+    "cumulative is identically zero — a built-in fold checksum), so "
+    f"t is ONE pinned division chain; flag at t > {_TCLOSE_T}.  "
+    "Completes the privacy family: PII scan/redaction, k-anonymity, "
+    "l-diversity, DP counts, t-closeness.  Scale: two map-side-"
+    "combined aggregates, a broadcast 10-row bucket spine, windows "
+    "per group over 10 rows.",
+    tags=("privacy", "governance", "statistics", "extension"),
+    extended=True,
+)
+def pii_tcloseness_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from diabetes_etl_spark.operators.pii import tcloseness_profile
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    bounds = cust.agg(
+        F.min("c_acctbal").alias("mn"), F.max("c_acctbal").alias("mx")
+    )
+    binned = cust.crossJoin(F.broadcast(bounds)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.lit(_TCLOSE_BINS - 1),
+                F.floor(
+                    (F.col("c_acctbal") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * F.lit(_TCLOSE_BINS)
+                ),
+            ),
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("bucket"),
+    )
+    return tcloseness_profile(
+        binned,
+        ["c_nationkey", "c_mktsegment"],
+        m=_TCLOSE_BINS,
+        t_threshold=_TCLOSE_T,
+    ).orderBy("c_nationkey", "c_mktsegment")

@@ -553,3 +553,76 @@ def test_hbos_matches_python_replay(spark, sf_dir, reg):
         assert (g["l_orderkey"], g["l_linenumber"]) == (ok, ln_)
         assert g["hbos_score"] == pytest.approx(s, abs=2e-9)
     assert all(g["hbos_score"] > 0 for g in got)
+
+
+def test_tcloseness_identical_and_polarized_groups(spark):
+    """A group distributed exactly like the global table has t = 0;
+    two equal groups fully concentrated in opposite extreme buckets
+    each sit at t = 0.5 (EMD of half the mass across the whole
+    domain, normalized by m-1)."""
+    from diabetes_etl_spark.operators.pii import tcloseness_profile
+
+    same = spark.createDataFrame(
+        [("a", b % 10) for b in range(20)]
+        + [("b", b % 10) for b in range(20)],
+        "grp string, bucket int",
+    )
+    rows = tcloseness_profile(same, ["grp"], m=10).collect()
+    assert all(r["t_closeness"] == 0.0 for r in rows)
+    assert all(not r["is_violating"] for r in rows)
+
+    polar = spark.createDataFrame(
+        [("a", 0)] * 10 + [("b", 9)] * 10, "grp string, bucket int"
+    )
+    rows = {
+        r["grp"]: r
+        for r in tcloseness_profile(polar, ["grp"], m=10).collect()
+    }
+    assert rows["a"]["t_closeness"] == pytest.approx(0.5, abs=1e-12)
+    assert rows["b"]["t_closeness"] == pytest.approx(0.5, abs=1e-12)
+    assert rows["a"]["is_violating"] and rows["b"]["is_violating"]
+
+
+def test_tcloseness_matches_python_replay(spark, sf_dir, reg):
+    import math
+
+    from diabetes_etl_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    ).collect()
+    mn = min(r["c_acctbal"] for r in cust)
+    mx = max(r["c_acctbal"] for r in cust)
+    n_tot = len(cust)
+
+    def bucket(x):
+        if mx <= mn:
+            return 0
+        return min(9, math.floor((x - mn) / (mx - mn) * 10))
+
+    glob = [0] * 10
+    groups = {}
+    for r in cust:
+        b = bucket(r["c_acctbal"])
+        glob[b] += 1
+        g = groups.setdefault((r["c_nationkey"], r["c_mktsegment"]), [0] * 10)
+        g[b] += 1
+
+    got = {
+        (r["c_nationkey"], r["c_mktsegment"]): r
+        for r in reg["pii_tcloseness_customer"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(groups)
+    for key, cnts in groups.items():
+        n_g = sum(cnts)
+        cum, emd = 0, 0
+        for b in range(10):
+            cum += cnts[b] * n_tot - glob[b] * n_g
+            emd += abs(cum)
+        assert cum == 0  # built-in checksum
+        want = round(emd / n_g / n_tot / 9, 9)
+        r = got[key]
+        assert r["n_rows"] == n_g
+        assert r["t_closeness"] == pytest.approx(want, abs=1e-12)
+        assert 0.0 <= r["t_closeness"] <= 1.0
+        assert r["is_violating"] == (r["t_closeness"] > 0.2)
