@@ -626,3 +626,43 @@ def test_tcloseness_matches_python_replay(spark, sf_dir, reg):
         assert r["t_closeness"] == pytest.approx(want, abs=1e-12)
         assert 0.0 <= r["t_closeness"] <= 1.0
         assert r["is_violating"] == (r["t_closeness"] > 0.2)
+
+
+def _plan_str(spark, sf_dir, reg, name, mode="extended"):
+    df = reg[name].fn(spark, sf_dir)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_round13c_plans_no_cartesian_no_python(spark, sf_dir, reg):
+    """None of the third/fourth-batch queries may plan a cartesian
+    product or a Python UDF; the only BNLJs allowed are the
+    intentional 1-row scalar-attach broadcasts."""
+    for name in (
+        "graph_modularity_communities",
+        "events_changepoint_binseg",
+        "events_bandit_ucb_replay",
+        "events_survival_nelson_aalen",
+        "events_seq_pair_rules",
+        "events_burstiness_memory",
+        "text_good_turing",
+        "lineitem_hbos_outliers",
+        "pii_tcloseness_customer",
+    ):
+        plan = _plan_str(spark, sf_dir, reg, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_hbos_topk_is_heap_not_global_sort(spark, sf_dir, reg):
+    plan = _plan_str(spark, sf_dir, reg, "lineitem_hbos_outliers")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_seq_pair_marginals_broadcast(spark, sf_dir, reg):
+    plan = _plan_str(spark, sf_dir, reg, "events_seq_pair_rules")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan or "user_id" in plan
