@@ -998,3 +998,150 @@ register(
     tags=("sampling", "split", "leakage", "composite", "extension"),
     extended=True,
 )(corpus_leakage_guarded_split)
+
+
+# -- survey raking / iterative proportional fitting (round 13) ---------------
+
+_RAKE_ROUNDS = 3
+
+
+def _rake_step_sql(prev: str, out: str, part: str, tgt: str) -> str:
+    """One IPF scaling step as mirrored SQL: the margin's current
+    weighted mass folds as DECIMAL(28,6) of 6dp-rounded cell terms
+    (order-independent), the factor and the updated weight each
+    round to 9dp where born."""
+    return f"""
+{out} AS (
+  SELECT c_nationkey, c_mktsegment, c, target_n, target_s,
+    ROUND(w * ROUND({tgt} / CAST(
+      SUM(CAST(ROUND(w * c, 6) AS DECIMAL(28,6)))
+        OVER (PARTITION BY {part}) AS DOUBLE), 9), 9) AS w
+  FROM {prev}
+)"""
+
+
+def _rake_oracle() -> str:
+    steps, prev = [], "w0"
+    k = 0
+    for _ in range(_RAKE_ROUNDS):
+        for part, tgt in (
+            ("c_nationkey", "target_n"),
+            ("c_mktsegment", "target_s"),
+        ):
+            k += 1
+            steps.append(_rake_step_sql(prev, f"w{k}", part, tgt))
+            prev = f"w{k}"
+    return (
+        """
+WITH samp AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment FROM customer
+  WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+        % 10 < CASE WHEN c_mktsegment = 'BUILDING' THEN 6 ELSE 3 END
+),
+cells AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS c
+  FROM samp GROUP BY 1, 2
+),
+mn AS (SELECT c_nationkey, COUNT(*) AS target_n FROM customer
+       GROUP BY 1),
+ms AS (SELECT c_mktsegment, COUNT(*) AS target_s FROM customer
+       GROUP BY 1),
+w0 AS (
+  SELECT cells.c_nationkey, cells.c_mktsegment, c, target_n, target_s,
+    CAST(1.0 AS DOUBLE) AS w
+  FROM cells
+  JOIN mn ON mn.c_nationkey = cells.c_nationkey
+  JOIN ms ON ms.c_mktsegment = cells.c_mktsegment
+),"""
+        + ",".join(steps)
+        + f"""
+SELECT c_nationkey, c_mktsegment,
+  CAST(c AS BIGINT) AS n_sample,
+  CAST(target_n AS BIGINT) AS nation_target,
+  CAST(target_s AS BIGINT) AS segment_target,
+  w AS weight,
+  ROUND(w * c, 6) AS est_count
+FROM {prev}
+ORDER BY c_nationkey, c_mktsegment
+"""
+    )
+
+
+@register(
+    "sample_raking_ipf",
+    oracle=_rake_oracle(),
+    doc=f"Survey raking / iterative proportional fitting (Deming & "
+    "Stephan 1940): a deliberately BIASED customer subsample (the "
+    "md5 inclusion threshold doubles for the BUILDING segment) is "
+    "calibrated back to the FULL table's nation and segment margins "
+    f"by {_RAKE_ROUNDS} rounds of alternating margin scaling on the "
+    "(nation x segment) cell grid — the post-stratification "
+    "workhorse when only marginal totals are known.  Each step's "
+    "current margin mass folds as DECIMAL(28,6) of 6dp cell terms "
+    "(order-independent), factors and weights round to 9dp where "
+    "born, and the oracle UNROLLS all "
+    f"{2 * _RAKE_ROUNDS} scaling steps as CTE layers — every "
+    "intermediate weight hash-pinned (the PageRank/LPA discipline "
+    "for iterative algorithms).  Margins restrict to cells observed "
+    "in the sample (standard raking practice).  Scale: two "
+    "map-side-combined grouped passes (sample cells, full margins); "
+    "all scaling work is windows over the O(nations x segments) "
+    "cell grid.",
+    tags=("sampling", "weighting", "iterative", "statistics", "extension"),
+    extended=True,
+)
+def sample_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    thresh = F.when(F.col("c_mktsegment") == "BUILDING", 6).otherwise(3)
+    samp = cust.where(h < thresh)
+    cells = samp.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mn = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("target_n")
+    )
+    ms = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("target_s")
+    )
+    df = (
+        cells.join(F.broadcast(mn), "c_nationkey")
+        .join(F.broadcast(ms), "c_mktsegment")
+        .withColumn("w", F.lit(1.0))
+    )
+    for _ in range(_RAKE_ROUNDS):
+        for part, tgt in (
+            ("c_nationkey", "target_n"),
+            ("c_mktsegment", "target_s"),
+        ):
+            cur = F.sum(
+                F.round(F.col("w") * F.col("c"), 6).cast("decimal(28,6)")
+            ).over(Window.partitionBy(part))
+            df = df.withColumn(
+                "w",
+                F.round(
+                    F.col("w")
+                    * F.round(F.col(tgt) / cur.cast("double"), 9),
+                    9,
+                ),
+            )
+    return df.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("c").cast("long").alias("n_sample"),
+        F.col("target_n").cast("long").alias("nation_target"),
+        F.col("target_s").cast("long").alias("segment_target"),
+        F.col("w").alias("weight"),
+        F.round(F.col("w") * F.col("c"), 6).alias("est_count"),
+    ).orderBy("c_nationkey", "c_mktsegment")

@@ -666,3 +666,42 @@ def test_seq_pair_marginals_broadcast(spark, sf_dir, reg):
     plan = _plan_str(spark, sf_dir, reg, "events_seq_pair_rules")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan or "user_id" in plan
+
+
+def test_raking_matches_python_replay_and_calibrates(spark, sf_dir, reg):
+    """Full-precision Python IPF replay (same 6dp/9dp rounding
+    points) must reproduce every weight; after the final segment
+    step, segment margins must match their targets to rounding, and
+    the overrepresented BUILDING segment must be downweighted."""
+    from collections import defaultdict
+
+    rows = reg["sample_raking_ipf"].fn(spark, sf_dir).collect()
+    cells = {
+        (r["c_nationkey"], r["c_mktsegment"]): r["n_sample"] for r in rows
+    }
+    tn = {r["c_nationkey"]: r["nation_target"] for r in rows}
+    ts = {r["c_mktsegment"]: r["segment_target"] for r in rows}
+    w = {k: 1.0 for k in cells}
+    for _ in range(3):
+        for dim, tgt in ((0, tn), (1, ts)):
+            cur = defaultdict(float)
+            for k, c in cells.items():
+                cur[k[dim]] = round(cur[k[dim]] + round(w[k] * c, 6), 6)
+            for k in w:
+                w[k] = round(w[k] * round(tgt[k[dim]] / cur[k[dim]], 9), 9)
+    for r in rows:
+        k = (r["c_nationkey"], r["c_mktsegment"])
+        assert r["weight"] == pytest.approx(w[k], abs=2e-9)
+        assert r["est_count"] == pytest.approx(
+            round(w[k] * cells[k], 6), abs=2e-6
+        )
+
+    seg_mass = defaultdict(float)
+    for r in rows:
+        seg_mass[r["c_mktsegment"]] += r["est_count"]
+    for s, target in ts.items():
+        assert seg_mass[s] == pytest.approx(target, rel=1e-5)
+
+    bld = [r["weight"] for r in rows if r["c_mktsegment"] == "BUILDING"]
+    oth = [r["weight"] for r in rows if r["c_mktsegment"] != "BUILDING"]
+    assert sum(bld) / len(bld) < sum(oth) / len(oth)
