@@ -133,6 +133,13 @@ HEADLINE = [
     "stream_versioned_source",
     "q8_market_share",
     "stream_msprt_monitor_users",
+    # round-13b rotation promotions (same growth rule): offline
+    # changepoint localization, the day-batched UCB1 replay, LPA
+    # modularity scoring, and CTE-unrolled IPF raking
+    "events_changepoint_binseg",
+    "events_bandit_ucb_replay",
+    "graph_modularity_communities",
+    "sample_raking_ipf",
 ]
 
 

@@ -3182,5 +3182,5 @@ register(
     "O(days x 4) grid, then an O(days^2 x arms) scalar epilogue on "
     "the spine.",
     tags=("events", "causal", "policy", "bandit", "sequential", "extension"),
-    extended=True,
+    extended=False,  # gate (round-13b rotation)
 )(_bandit_ucb_replay)

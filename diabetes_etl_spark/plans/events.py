@@ -6310,7 +6310,7 @@ register(
     "spine, then segment-partitioned windows on that spine only — "
     "no corpus window, no UDF, no collect.",
     tags=("events", "statistics", "changepoint", "drift", "extension"),
-    extended=True,
+    extended=False,  # gate (round-13b rotation)
 )(_changepoint_binseg)
 
 

@@ -528,7 +528,7 @@ FROM num, q ORDER BY community
     "node-keyed equi-joins; everything after is O(communities) with "
     "two intentional 1-row broadcast scalar-attach joins.",
     tags=("graph", "community", "modularity", "extension"),
-    extended=True,
+    extended=False,  # gate (round-13b rotation)
 )
 def graph_modularity_communities(
     spark: SparkSession, sf_dir: str

@@ -665,6 +665,40 @@ _EXTENDED: frozenset[str] = frozenset(
         # carries no event-level-iid caveat; the event-grain form
         # stays as the documented fixture twin, oracle-green locally
         "stream_msprt_monitor",
+        # ---- round-13b rotation (the round-10b/12b preemption
+        # pattern: families built THIS round enter the gate so
+        # CORRECTNESS_r13 sees them instead of waiting a round).
+        # Each demoted query keeps its oracle and stays green in
+        # tests/test_oracle.py and tools/audit_oracle.py:
+        # PSI snapshot drift: gate-green many rounds; the drift
+        # surface re-enters the gate through
+        # events_changepoint_binseg (retrospective SSE localization
+        # of the shift PSI only flags), and the PSI/W1/TV/CUSUM
+        # monitors all stay oracle-green locally
+        "events_psi_drift",
+        # histogram-GBDT depth-2 tree: gate-green since round 10 and
+        # still a bench headline row; the bounded-histogram exact
+        # machinery stays gate-exercised by ml_conformal_interval;
+        # slot passes to events_bandit_ucb_replay — the
+        # sequential-decision tier (replayed UCB1) the one-shot
+        # IPS/SNIPS/DR gate rows lack
+        "ml_gbdt_histogram_tree",
+        # sorted-neighborhood ER blocking: the ER family keeps three
+        # oracle-paired ext forms (Fellegi-Sunter, fuzzy name pairs,
+        # Soundex blocking) green locally, and the gate's
+        # dedup/semdedup rows cover cluster formation; slot passes to
+        # graph_modularity_communities, restoring a graph-tier gate
+        # row after PageRank's earlier demotion — with the LPA labels
+        # AND the partition score hash-pinned through the unrolled
+        # oracle
+        "er_sorted_neighborhood",
+        # DQ rule suite: the expectations surface is reference parity
+        # and stays gated via diab_bronze_ingest (expect_or_drop +
+        # violation counters) and diab_gold_validation (expect_all
+        # warn metrics); slot passes to sample_raking_ipf — the
+        # iterative-weighting family (CTE-unrolled IPF) the gate
+        # did not cover
+        "dq_suite_lineitem",
     }
 )
 

@@ -1088,7 +1088,7 @@ ORDER BY c_nationkey, c_mktsegment
     "all scaling work is windows over the O(nations x segments) "
     "cell grid.",
     tags=("sampling", "weighting", "iterative", "statistics", "extension"),
-    extended=True,
+    extended=False,  # gate (round-13b rotation)
 )
 def sample_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
