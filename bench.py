@@ -134,11 +134,17 @@ HEADLINE = [
     "q8_market_share",
     "stream_msprt_monitor_users",
     # round-13b rotation promotions (same growth rule): offline
-    # changepoint localization, the day-batched UCB1 replay, LPA
-    # modularity scoring, and CTE-unrolled IPF raking
+    # changepoint localization, the day-batched UCB1 replay, and
+    # CTE-unrolled IPF raking.  graph_modularity_communities is
+    # gate-promoted but NOT added here: its LPA state machinery
+    # re-runs the per-round parquet commits on every bench
+    # repetition (~20 s cold at sf0.1), and the headline wall-clock
+    # already sits near the capture budget — the same machinery's
+    # bench behavior was measured in the graph rows of earlier
+    # rounds, and the query stays timed per-round in
+    # CORRECTNESS_r13 at the driver's scale factor.
     "events_changepoint_binseg",
     "events_bandit_ucb_replay",
-    "graph_modularity_communities",
     "sample_raking_ipf",
 ]
 
