@@ -555,6 +555,22 @@ def main() -> None:
     if scale_sf1 is not None:
         result["scale_sf1"] = scale_sf1
 
+    # Host-state stamp: cross-BOOT drift is the one thing the noise
+    # sentinel cannot separate from code regressions after the fact
+    # (round 13: a reboot mid-round made the same code time ~1.24x
+    # slower board-wide while warm single-query times matched).
+    # Recording uptime and load alongside the numbers makes that
+    # diagnosable from the committed artifact alone.
+    try:
+        with open("/proc/uptime") as f:
+            up_s = float(f.read().split()[0])
+        result["host_state"] = {
+            "uptime_sec": round(up_s),
+            "loadavg_1m_at_end": round(os.getloadavg()[0], 2),
+        }
+    except OSError:
+        pass
+
     # The driver captures only the LAST ~2000 chars of stdout and
     # parses the final line; the full result dict outgrew that buffer
     # in round 5 and BENCH_r{5..8}.json all recorded `parsed: null`
