@@ -6813,3 +6813,376 @@ SELECT * FROM bstats CROSS JOIN memrow
     tags=("events", "statistics", "temporal", "extension"),
     extended=True,
 )(_burstiness_profile)
+
+
+# -- Markov removal-effect attribution (round 13) ----------------------------
+
+_MK_TR = ("click", "error", "signup", "view")  # transient channel states
+_MK_A = ("start",) + _MK_TR  # states with outgoing transitions
+_MK_B = _MK_TR + ("purchase", "nil")  # successor states
+_MK_K = 12  # fixed absorption horizon (mass beyond quantizes to ~0)
+
+
+def _mk_prob_exprs() -> list[str]:
+    """Transition-probability expressions over the pivoted count
+    columns: p_a_b = c_a_b / t_a (9dp at birth), 0 for states with
+    no outgoing mass.  Pure SQL text valid in BOTH engines."""
+    out = []
+    for a in _MK_A:
+        tot = " + ".join(f"c_{a}_{b}" for b in _MK_B)
+        out.append(f"({tot}) AS t_{a}")
+    for a in _MK_A:
+        for b in _MK_B:
+            out.append(
+                f"CASE WHEN ({' + '.join(f'c_{a}_{bb}' for bb in _MK_B)})"
+                f" = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+                f"ROUND(CAST(c_{a}_{b} AS DOUBLE) / "
+                f"({' + '.join(f'c_{a}_{bb}' for bb in _MK_B)}), 9) END"
+                f" AS p_{a}_{b}"
+            )
+    return out
+
+
+def _mk_variants() -> list[str]:
+    return ["full"] + [f"no_{c}" for c in _MK_TR]
+
+
+def _mk_init_exprs() -> list[str]:
+    """Iteration-0 state: v = p(start -> s), conv = p(start ->
+    purchase); a removed channel starts (and stays) at mass 0."""
+    out = []
+    for var in _mk_variants():
+        removed = var[3:] if var.startswith("no_") else None
+        for s in _MK_TR:
+            val = "CAST(0.0 AS DOUBLE)" if s == removed else f"p_start_{s}"
+            out.append(f"{val} AS v_{var}_{s}")
+        out.append(f"p_start_purchase AS conv_{var}")
+    return out
+
+
+def _mk_step_exprs() -> list[str]:
+    """One absorption step per variant: fixed alphabetical term
+    order, every product 12dp at birth, every sum 12dp."""
+    out = []
+    for var in _mk_variants():
+        removed = var[3:] if var.startswith("no_") else None
+        srcs = [a for a in _MK_TR if a != removed]
+        for s in _MK_TR:
+            if s == removed:
+                out.append(f"CAST(0.0 AS DOUBLE) AS v_{var}_{s}")
+                continue
+            terms = " + ".join(
+                f"ROUND(v_{var}_{a} * p_{a}_{s}, 12)" for a in srcs
+            )
+            out.append(f"ROUND({terms}, 12) AS v_{var}_{s}")
+        conv_terms = " + ".join(
+            f"ROUND(v_{var}_{a} * p_{a}_purchase, 12)" for a in srcs
+        )
+        out.append(
+            f"ROUND(conv_{var} + {conv_terms}, 12) AS conv_{var}"
+        )
+    return out
+
+
+def _mk_final_exprs() -> list[str]:
+    """Per-channel readout: removal effect 1 - p_rem/p_full and the
+    share over positive effects only (a negative effect means the
+    channel was net harmful and earns zero credit)."""
+    res = []
+    for c in _MK_TR:
+        res.append(
+            f"CASE WHEN conv_full > 0 THEN "
+            f"ROUND(1 - conv_no_{c} / conv_full, 9) END AS re_{c}"
+        )
+    pos = " + ".join(
+        f"CASE WHEN re_{c} > 0 THEN re_{c} ELSE CAST(0.0 AS DOUBLE) END"
+        for c in _MK_TR
+    )
+    res.append(f"({pos}) AS re_pos_total")
+    return res
+
+
+_MK_COUNT_COLS = [f"c_{a}_{b}" for a in _MK_A for b in _MK_B]
+_MK_COUNT_KEEP = ", ".join(_MK_COUNT_COLS)
+
+
+def _markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl et al. 2014):
+    sessionized event paths (30-min gap, truncated at the first
+    purchase) become a first-order chain over the four channel
+    states with absorbing purchase/abandon states; conversion
+    probability from start is computed by a fixed {K}-step
+    absorption iteration, once for the full chain and once per
+    channel with that channel removed (its inbound mass abandons).
+    A channel's credit is its removal effect 1 - p_removed/p_full,
+    shared over positive effects.
+
+    The data-driven upgrade of the positional attribution family:
+    last-click (asof_purchase_last_click) and U-shaped
+    (events_multitouch_attribution) assign credit by rule; the
+    removal effect asks the chain what actually breaks without the
+    channel.
+
+    Scale shape: two user-partitioned window passes (sessionize +
+    order/truncate) and ONE map-side-combinable conditional
+    aggregate collapse the corpus to a 30-column 1-row transition
+    table; the entire absorption iteration (5 variants x {K} steps)
+    is scalar expressions on that single row — the oracle replays
+    every layer as a CTE, so each intermediate mass vector is
+    hash-pinned.  Every product/sum quantizes where born in fixed
+    alphabetical term order, so both engines walk identical doubles.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    us = F.expr("unix_micros(ts)")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(
+            F.when(
+                (us - F.lag(us).over(w_user)) >= 1800 * 1_000_000, 1
+            )
+            .otherwise(0)
+            .cast("long")
+        )
+        .over(w_user.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sess"),
+    )
+    w_sess = Window.partitionBy("user_id", "sess").orderBy(
+        "ts", "event_id"
+    )
+    w_all = Window.partitionBy("user_id", "sess")
+    rn = sess.select(
+        "user_id",
+        "sess",
+        "event_type",
+        F.row_number().over(w_sess).alias("rn"),
+    )
+    marked = rn.select(
+        "user_id",
+        "sess",
+        "event_type",
+        "rn",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rn"))
+        )
+        .over(w_all)
+        .alias("p_rn"),
+        F.max("rn").over(w_all).alias("max_rn"),
+    )
+    w_rn = Window.partitionBy("user_id", "sess").orderBy("rn")
+    kept_a = marked.where(
+        F.col("rn") <= F.coalesce(F.col("p_rn"), F.col("max_rn"))
+    ).select(
+        "user_id",
+        "sess",
+        "event_type",
+        F.row_number().over(w_rn).alias("rn2"),
+        F.lag("event_type").over(w_rn).alias("prev"),
+    )
+    kept = kept_a.select(
+        "user_id",
+        "sess",
+        "event_type",
+        "rn2",
+        "prev",
+        F.max("rn2").over(w_all).alias("last_rn"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .over(w_all)
+        .alias("has_p"),
+    )
+    edges = (
+        kept.where(F.col("rn2") == 1)
+        .select(F.lit("start").alias("a"), F.col("event_type").alias("b"))
+        .unionByName(
+            kept.where(F.col("rn2") > 1).select(
+                F.col("prev").alias("a"), F.col("event_type").alias("b")
+            )
+        )
+        .unionByName(
+            kept.where(
+                (F.col("rn2") == F.col("last_rn")) & (F.col("has_p") == 0)
+            ).select(
+                F.col("event_type").alias("a"), F.lit("nil").alias("b")
+            )
+        )
+    )
+    one = edges.agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("a") == a) & (F.col("b") == b), 1
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"c_{a}_{b}")
+            for a in _MK_A
+            for b in _MK_B
+        ]
+    )
+    probs = one.selectExpr(*_MK_COUNT_COLS, *_mk_prob_exprs())
+    state = probs.selectExpr("*", *_mk_init_exprs())
+    for _ in range(_MK_K):
+        keep = (
+            _MK_COUNT_COLS
+            + [f"t_{a}" for a in _MK_A]
+            + [f"p_{a}_{b}" for a in _MK_A for b in _MK_B]
+        )
+        state = state.selectExpr(*keep, *_mk_step_exprs())
+    final = state.selectExpr("*", *_mk_final_exprs())
+    parts = []
+    for c in _MK_TR:
+        parts.append(
+            final.selectExpr(
+                f"'{c}' AS channel",
+                f"CAST(t_{c} AS BIGINT) AS n_out",
+                "conv_full AS p_conversion",
+                f"conv_no_{c} AS p_conversion_removed",
+                f"re_{c} AS removal_effect",
+                f"CASE WHEN re_pos_total > 0 AND re_{c} > 0 THEN "
+                f"ROUND(re_{c} / re_pos_total, 9) "
+                f"WHEN re_pos_total > 0 THEN CAST(0.0 AS DOUBLE) END "
+                f"AS attribution_share",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("channel")
+
+
+_markov_attribution.__doc__ = _markov_attribution.__doc__.replace(
+    "{K}", str(_MK_K)
+)
+
+
+def _mk_oracle() -> str:
+    counts = ",\n    ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN a = '{a}' AND b = '{b}' "
+        f"THEN 1 END), 0) AS BIGINT) AS c_{a}_{b}"
+        for a in _MK_A
+        for b in _MK_B
+    )
+    layers = []
+    prev = "it0"
+    keep = (
+        [_MK_COUNT_KEEP]
+        + [f"t_{a}" for a in _MK_A]
+        + [f"p_{a}_{b}" for a in _MK_A for b in _MK_B]
+    )
+    for k in range(1, _MK_K + 1):
+        layers.append(
+            f"it{k} AS (SELECT {', '.join(keep)}, "
+            + ", ".join(_mk_step_exprs())
+            + f" FROM {prev})"
+        )
+        prev = f"it{k}"
+    chan_rows = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS channel, CAST(t_{c} AS BIGINT) AS n_out,
+  conv_full AS p_conversion,
+  conv_no_{c} AS p_conversion_removed,
+  re_{c} AS removal_effect,
+  CASE WHEN re_pos_total > 0 AND re_{c} > 0
+       THEN ROUND(re_{c} / re_pos_total, 9)
+       WHEN re_pos_total > 0 THEN CAST(0.0 AS DOUBLE) END
+    AS attribution_share
+FROM fin"""
+        for c in _MK_TR
+    )
+    return f"""
+WITH brk AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+          OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          >= 1800000000 THEN 1 ELSE 0 END AS is_brk
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+    SUM(is_brk)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sess
+  FROM brk
+),
+rn AS (
+  SELECT user_id, sess, event_type,
+    row_number() OVER (PARTITION BY user_id, sess
+                       ORDER BY ts, event_id) AS rn,
+    ts, event_id
+  FROM sess
+),
+marked AS (
+  SELECT *,
+    MIN(CASE WHEN event_type = 'purchase' THEN rn END)
+      OVER (PARTITION BY user_id, sess) AS p_rn,
+    MAX(rn) OVER (PARTITION BY user_id, sess) AS max_rn
+  FROM rn
+),
+kept_a AS (
+  SELECT user_id, sess, event_type,
+    row_number() OVER (PARTITION BY user_id, sess ORDER BY rn) AS rn2,
+    lag(event_type) OVER (PARTITION BY user_id, sess ORDER BY rn)
+      AS prev
+  FROM marked WHERE rn <= COALESCE(p_rn, max_rn)
+),
+kept AS (
+  SELECT user_id, sess, event_type, rn2, prev,
+    MAX(rn2) OVER (PARTITION BY user_id, sess) AS last_rn,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id, sess) AS has_p
+  FROM kept_a
+),
+edges AS (
+  SELECT 'start' AS a, event_type AS b FROM kept WHERE rn2 = 1
+  UNION ALL
+  SELECT prev AS a, event_type AS b FROM kept WHERE rn2 > 1
+  UNION ALL
+  SELECT event_type AS a, 'nil' AS b FROM kept
+  WHERE rn2 = last_rn AND has_p = 0
+),
+one AS (
+  SELECT
+    {counts}
+  FROM edges
+),
+probs AS (SELECT {_MK_COUNT_KEEP}, {', '.join(_mk_prob_exprs())}
+          FROM one),
+it0 AS (SELECT *, {', '.join(_mk_init_exprs())} FROM probs),
+{','.join(layers)},
+fin AS (SELECT *, {', '.join(_mk_final_exprs())} FROM {prev})
+{chan_rows}
+ORDER BY channel
+"""
+
+
+register(
+    "events_markov_attribution",
+    oracle=_mk_oracle(),
+    doc="Markov-chain removal-effect attribution (Anderl et al. "
+    "2014): sessionized paths (30-min gap, truncated at first "
+    "purchase) as a first-order chain over the four channel states "
+    "with absorbing purchase/abandon; conversion-from-start via a "
+    f"fixed {_MK_K}-step absorption iteration, re-run with each "
+    "channel removed; credit = removal effect 1 - p_rem/p_full "
+    "shared over positive effects.  The data-driven member of the "
+    "attribution family beside last-click and U-shaped positional.  "
+    "Scale: two user-partitioned window passes + ONE conditional "
+    "aggregate to a 30-column 1-row transition table; the whole "
+    "iteration is scalar expressions on that row, every "
+    "product/sum 12dp at birth in fixed term order, and the oracle "
+    "replays each of the 5x12 absorption layers as CTEs — every "
+    "intermediate mass vector hash-pinned.",
+    tags=("events", "attribution", "markov", "analytics", "extension"),
+    extended=True,
+)(_markov_attribution)

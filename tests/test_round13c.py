@@ -705,3 +705,113 @@ def test_raking_matches_python_replay_and_calibrates(spark, sf_dir, reg):
     bld = [r["weight"] for r in rows if r["c_mktsegment"] == "BUILDING"]
     oth = [r["weight"] for r in rows if r["c_mktsegment"] != "BUILDING"]
     assert sum(bld) / len(bld) < sum(oth) / len(oth)
+
+
+def test_markov_attribution_matches_python_replay(spark, sf_dir, reg):
+    """Full from-scratch replay: sessionize (30-min gap), truncate at
+    first purchase, count transitions, run the 12-step absorption for
+    the full chain and each removal variant with the same 9dp/12dp
+    quantization — every output field must match."""
+    from collections import defaultdict
+
+    from diabetes_etl_spark.sources.tables import load_table
+
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    TR = ["click", "error", "signup", "view"]
+    counts = defaultdict(int)
+    path, last_us, cur_user = [], None, None
+
+    def flush(p):
+        if not p:
+            return
+        cut = next(
+            (i for i, t in enumerate(p) if t == "purchase"), None
+        )
+        kept = p if cut is None else p[: cut + 1]
+        counts[("start", kept[0])] += 1
+        for a, b in zip(kept, kept[1:]):
+            counts[(a, b)] += 1
+        if cut is None:
+            counts[(kept[-1], "nil")] += 1
+
+    for r in ev:
+        us = int(r["ts"].timestamp() * 1_000_000)
+        if r["user_id"] != cur_user:
+            flush(path)
+            path, cur_user = [], r["user_id"]
+        elif last_us is not None and us - last_us >= 1800 * 1_000_000:
+            flush(path)
+            path = []
+        path.append(r["event_type"])
+        last_us = us
+    flush(path)
+
+    B = TR + ["purchase", "nil"]
+
+    def p(a, b):
+        tot = sum(counts[(a, bb)] for bb in B)
+        return 0.0 if tot == 0 else round(counts[(a, b)] / tot, 9)
+
+    def absorb(removed):
+        v = {
+            s: (0.0 if s == removed else p("start", s)) for s in TR
+        }
+        conv = p("start", "purchase")
+        srcs = [a for a in TR if a != removed]
+        for _ in range(12):
+            nv = {}
+            for s in TR:
+                if s == removed:
+                    nv[s] = 0.0
+                    continue
+                nv[s] = round(
+                    sum(round(v[a] * p(a, s), 12) for a in srcs), 12
+                )
+            conv = round(
+                conv
+                + sum(
+                    round(v[a] * p(a, "purchase"), 12) for a in srcs
+                ),
+                12,
+            )
+            v = nv
+        return conv
+
+    full = absorb(None)
+    res = {
+        c: (None if full <= 0 else round(1 - absorb(c) / full, 9))
+        for c in TR
+    }
+    pos_total = sum(x for x in res.values() if x and x > 0)
+
+    rows = {
+        r["channel"]: r
+        for r in reg["events_markov_attribution"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(TR)
+    for c in TR:
+        r = rows[c]
+        assert r["n_out"] == sum(counts[(c, b)] for b in B)
+        assert r["p_conversion"] == pytest.approx(full, abs=2e-9)
+        assert r["p_conversion_removed"] == pytest.approx(
+            absorb(c), abs=2e-9
+        )
+        assert 0.0 <= r["p_conversion"] <= 1.0
+        if res[c] is not None:
+            assert r["removal_effect"] == pytest.approx(res[c], abs=2e-9)
+        if pos_total > 0:
+            want = (
+                round(res[c] / pos_total, 9)
+                if res[c] and res[c] > 0
+                else 0.0
+            )
+            assert r["attribution_share"] == pytest.approx(want, abs=2e-8)
+    if pos_total > 0:
+        assert sum(
+            r["attribution_share"] for r in rows.values()
+        ) == pytest.approx(1.0, abs=1e-6)
