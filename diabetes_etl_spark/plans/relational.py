@@ -3409,3 +3409,170 @@ register(
     tags=("anomaly", "statistics", "relational", "extension"),
     extended=True,
 )(_hbos_outliers)
+
+
+# -- ABC / XYZ inventory segmentation (round 13) -----------------------------
+
+
+def _abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ part segmentation — the supply-chain planner's
+    two-axis classification: ABC = cumulative-revenue Pareto class
+    (A while the running revenue share <= 0.80, B <= 0.95, else C),
+    XYZ = weekly-demand variability class from the coefficient of
+    variation over the corpus' calendar weeks with zero weeks
+    counted (X: cv <= 0.5, Y: cv <= 1.0, else Z) — together they
+    say what to stock tightly (AX) vs review manually (CZ).
+
+    Exactness: revenue folds as DECIMAL(38,2) money sums (exact) and
+    the running total as an ordered decimal window, so every
+    cumulative share is ROUND(exact/exact, 9); the CV needs no mean
+    subtraction: with S = sum qty, Q = sum qty^2 (exact BIGINT/
+    DECIMAL) and W the corpus week count, cv = sqrt(Q*W - S^2)/S has
+    an EXACT integer radicand and one correctly-rounded sqrt + one
+    division.  Class boundaries compare 9dp-rounded values, so both
+    engines cut identically.
+
+    Scale shape: one map-side-combinable pass over lineitem to the
+    PART DIMENSION; the revenue-ranked cumulative window rides that
+    dimension (the customers_pareto_frontier precedent), never the
+    fact table; W attaches as a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(
+            F.unix_date(F.col("l_shipdate").cast("date")) / 7
+        ).alias("wk"),
+    )
+    weeks = li.agg(F.countDistinct("wk").alias("w_cnt"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("price").alias("revenue"),
+        F.sum("qty").alias("s_qty"),
+        F.sum((F.col("qty") * F.col("qty")).cast("decimal(38,0)")).alias(
+            "q_qty"
+        ),
+    )
+    tot = per_part.agg(F.sum("revenue").alias("rev_total"))
+    w_rank = Window.orderBy(
+        F.col("revenue").desc(), F.col("l_partkey").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (
+        per_part.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(weeks))
+        .select(
+            "l_partkey",
+            "revenue",
+            "s_qty",
+            "q_qty",
+            "rev_total",
+            "w_cnt",
+            F.sum("revenue").over(w_rank).alias("cum_rev"),
+        )
+    )
+    rev_share = F.round(
+        F.col("revenue").cast("double") / F.col("rev_total").cast("double"),
+        9,
+    )
+    cum_share = F.round(
+        F.col("cum_rev").cast("double") / F.col("rev_total").cast("double"),
+        9,
+    )
+    rad = (
+        F.col("q_qty") * F.col("w_cnt").cast("decimal(38,0)")
+        - F.col("s_qty").cast("decimal(38,0)")
+        * F.col("s_qty").cast("decimal(38,0)")
+    )
+    cv = F.round(
+        F.sqrt(rad.cast("double")) / F.col("s_qty").cast("double"), 9
+    )
+    return (
+        ranked.select(
+            "l_partkey",
+            F.round(F.col("revenue").cast("double"), 2).alias(
+                "revenue"
+            ),
+            rev_share.alias("rev_share"),
+            cum_share.alias("cum_share"),
+            F.when(cum_share <= 0.80, "A")
+            .when(cum_share <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+            F.col("s_qty").cast("long").alias("total_qty"),
+            F.round(
+                F.col("s_qty").cast("double") / F.col("w_cnt"), 9
+            ).alias("weekly_mean_qty"),
+            cv.alias("weekly_cv"),
+            F.when(cv <= 0.5, "X")
+            .when(cv <= 1.0, "Y")
+            .otherwise("Z")
+            .alias("xyz_class"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_partkey").asc())
+    )
+
+
+register(
+    "parts_abc_xyz_classes",
+    oracle="""
+WITH li AS (
+  SELECT l_partkey,
+    CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+    CAST(l_quantity AS BIGINT) AS qty,
+    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) // 7
+      AS wk
+  FROM lineitem
+),
+weeks AS (SELECT COUNT(DISTINCT wk) AS w_cnt FROM li),
+per_part AS (
+  SELECT l_partkey, SUM(price) AS revenue, SUM(qty) AS s_qty,
+    SUM(CAST(qty AS HUGEINT) * qty) AS q_qty
+  FROM li GROUP BY l_partkey
+),
+tot AS (SELECT SUM(revenue) AS rev_total FROM per_part),
+ranked AS (
+  SELECT l_partkey, revenue, s_qty, q_qty, rev_total, w_cnt,
+    SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                       ROWS UNBOUNDED PRECEDING) AS cum_rev
+  FROM per_part CROSS JOIN tot CROSS JOIN weeks
+),
+scored AS (
+  SELECT l_partkey,
+    ROUND(CAST(revenue AS DOUBLE), 2) AS revenue,
+    ROUND(CAST(revenue AS DOUBLE) / CAST(rev_total AS DOUBLE), 9)
+      AS rev_share,
+    ROUND(CAST(cum_rev AS DOUBLE) / CAST(rev_total AS DOUBLE), 9)
+      AS cum_share,
+    CAST(s_qty AS BIGINT) AS total_qty,
+    ROUND(CAST(s_qty AS DOUBLE) / w_cnt, 9) AS weekly_mean_qty,
+    ROUND(sqrt(CAST(q_qty * CAST(w_cnt AS HUGEINT)
+                    - CAST(s_qty AS HUGEINT) * s_qty AS DOUBLE))
+          / CAST(s_qty AS DOUBLE), 9) AS weekly_cv
+  FROM ranked
+)
+SELECT l_partkey, revenue, rev_share, cum_share,
+  CASE WHEN cum_share <= 0.80 THEN 'A'
+       WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class,
+  total_qty, weekly_mean_qty, weekly_cv,
+  CASE WHEN weekly_cv <= 0.5 THEN 'X'
+       WHEN weekly_cv <= 1.0 THEN 'Y' ELSE 'Z' END AS xyz_class
+FROM scored
+ORDER BY revenue DESC, l_partkey ASC
+""",
+    doc="ABC/XYZ part segmentation: cumulative-revenue Pareto class "
+    "(A <= 0.80 running share, B <= 0.95, C) crossed with the "
+    "weekly-demand-variability class from the coefficient of "
+    "variation over corpus calendar weeks with zero weeks counted "
+    "(X <= 0.5, Y <= 1.0, Z) — the supply-chain planner's stocking "
+    "matrix, and the classification view of what Gini/Lorenz "
+    "measures as a single number.  Exact money/quantity folds; the "
+    "CV radicand Q*W - S^2 is an exact integer so cv needs one "
+    "correctly-rounded sqrt + one division; class cuts compare "
+    "9dp-rounded shares.  Scale: one map-side-combinable pass to "
+    "the part DIMENSION; the ranked cumulative window rides that "
+    "dimension (the customers_pareto_frontier precedent), never the "
+    "fact table.",
+    tags=("relational", "analytics", "segmentation", "extension"),
+    extended=True,
+)(_abc_xyz)

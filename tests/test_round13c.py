@@ -815,3 +815,60 @@ def test_markov_attribution_matches_python_replay(spark, sf_dir, reg):
         assert sum(
             r["attribution_share"] for r in rows.values()
         ) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_abc_xyz_matches_python_replay(spark, sf_dir, reg):
+    """Replay ABC cut points and the exact-radicand CV from collected
+    lineitem; classes must match and the Pareto structure must hold
+    (A parts carry <= 0.80+one-part of revenue, every A part ranks
+    above every C part)."""
+    from collections import defaultdict
+
+    from diabetes_etl_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_extendedprice", "l_quantity", "l_shipdate")
+        .collect()
+    )
+    rev = defaultdict(float)
+    s_q = defaultdict(int)
+    q_q = defaultdict(int)
+    weeks = set()
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)
+    for r in rows:
+        k = r["l_partkey"]
+        rev[k] = round(rev[k] + round(r["l_extendedprice"], 2), 2)
+        q = int(r["l_quantity"])
+        s_q[k] += q
+        q_q[k] += q * q
+        weeks.add((r["l_shipdate"].date() - epoch).days // 7)
+    w = len(weeks)
+    total = round(sum(rev.values()), 2)
+    order = sorted(rev, key=lambda k: (-rev[k], k))
+    cum, expect = 0.0, {}
+    for k in order:
+        cum = round(cum + rev[k], 2)
+        share = round(cum / total, 9)
+        abc = "A" if share <= 0.80 else ("B" if share <= 0.95 else "C")
+        radic = q_q[k] * w - s_q[k] * s_q[k]
+        cv = round(radic**0.5 / s_q[k], 9)
+        xyz = "X" if cv <= 0.5 else ("Y" if cv <= 1.0 else "Z")
+        expect[k] = (abc, xyz, cv)
+
+    got = reg["parts_abc_xyz_classes"].fn(spark, sf_dir).collect()
+    assert len(got) == len(rev)
+    seen_c = False
+    for r in got:  # ordered by revenue desc
+        abc, xyz, cv = expect[r["l_partkey"]]
+        assert r["abc_class"] == abc
+        assert r["xyz_class"] == xyz
+        assert r["weekly_cv"] == pytest.approx(cv, abs=2e-9)
+        if r["abc_class"] == "C":
+            seen_c = True
+        else:
+            assert not seen_c  # A/B never after a C in revenue order
+    assert {r["abc_class"] for r in got} >= {"A"}
+    assert got[-1]["cum_share"] == pytest.approx(1.0, abs=1e-6)
