@@ -3576,3 +3576,160 @@ ORDER BY revenue DESC, l_partkey ASC
     tags=("relational", "analytics", "segmentation", "extension"),
     extended=True,
 )(_abc_xyz)
+
+
+# -- Croston intermittent-demand forecast (round 13) -------------------------
+
+_CROSTON_ALPHA = 0.1
+
+
+def _croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (1972) per part: separate exponential
+    smoothing of nonzero weekly demand SIZES and of the INTERVALS
+    between demand weeks, forecast = z/p demand per week, plus the
+    Syntetos-Boylan approximation (1 - alpha/2) z/p that corrects
+    Croston's inversion bias — the standard forecaster for the
+    intermittent (XYZ-class Z) parts where SES/Holt on the raw
+    series systematically overshoots right after each spike.
+
+    Each part's state walk is z' = (1-a) z + a q, p' = (1-a) p + a I
+    carried as EXACT 1e9-scaled integers with explicit integer
+    half-up rounding per step (the float recurrence lands on exact
+    10th-decimal ties where the engines' double rounding modes
+    split), seeded z = first demand, p = 1; Spark folds each part's sorted demand-week array
+    with a native aggregate lambda (the orders_holt_smoothing
+    pattern, per part), and the oracle replays the identical walk in
+    a recursive CTE keyed by (part, idx) — every intermediate state
+    for every part is hash-pinned.
+
+    Scale shape: one map-side-combinable (part, week) aggregate;
+    per-part arrays are bounded by the CALENDAR (52 rows/year), so
+    the collect_list state is dimension x weeks, never fact-sized;
+    the fold is scalar work per part row."""
+    from pyspark.sql import functions as SF
+
+    a = _CROSTON_ALPHA
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(
+            F.unix_date(F.col("l_shipdate").cast("date")) / 7
+        ).alias("wk"),
+    )
+    weekly = li.groupBy("l_partkey", "wk").agg(
+        F.sum("qty").alias("q")
+    )
+    arrs = weekly.groupBy("l_partkey").agg(
+        SF.sort_array(
+            SF.collect_list(F.struct(F.col("wk"), F.col("q")))
+        ).alias("ev"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    # State walks in EXACT 1e9-scaled integers with explicit integer
+    # half-up rounding ((9x + y + 5) DIV 10): the float form of the
+    # recurrence lands on exact 10th-decimal .5 ties where Spark
+    # (HALF_UP) and DuckDB (half-even) round doubles apart.
+    fold = (
+        "aggregate(slice(ev, 2, size(ev) - 1), "
+        "named_struct("
+        "'z', element_at(ev, 1).q * CAST(1000000000 AS BIGINT), "
+        "'p', CAST(1000000000 AS BIGINT), "
+        "'w', element_at(ev, 1).wk), "
+        "(st, e) -> named_struct("
+        "'z', (9 * st.z + e.q * CAST(1000000000 AS BIGINT) + 5) "
+        "DIV 10, "
+        "'p', (9 * st.p + (e.wk - st.w) "
+        "* CAST(1000000000 AS BIGINT) + 5) DIV 10, "
+        "'w', e.wk))"
+    )
+    st = arrs.withColumn("st", F.expr(fold))
+    fc_int = F.expr(
+        "CAST(round(CAST(st.z AS DOUBLE) / CAST(st.p AS DOUBLE) "
+        "* 1e9, 0) AS BIGINT)"
+    )
+    sba_int = F.expr(
+        "(19 * CAST(round(CAST(st.z AS DOUBLE) / CAST(st.p AS DOUBLE) "
+        "* 1e9, 0) AS BIGINT) + 10) DIV 20"
+    )
+    scale = F.lit(1e9)
+    return st.select(
+        "l_partkey",
+        "n_events",
+        F.round(F.col("st.z").cast("double") / scale, 9).alias(
+            "size_est"
+        ),
+        F.round(F.col("st.p").cast("double") / scale, 9).alias(
+            "interval_est"
+        ),
+        F.round(fc_int.cast("double") / scale, 9).alias(
+            "croston_forecast"
+        ),
+        F.round(sba_int.cast("double") / scale, 9).alias(
+            "sba_forecast"
+        ),
+    ).orderBy("l_partkey")
+
+
+register(
+    "parts_croston_forecast",
+    oracle=f"""
+WITH RECURSIVE li AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) // 7
+      AS wk
+  FROM lineitem
+),
+weekly AS (
+  SELECT l_partkey, wk, SUM(qty) AS q FROM li GROUP BY 1, 2
+),
+seq AS (
+  SELECT l_partkey, wk, q,
+    row_number() OVER (PARTITION BY l_partkey ORDER BY wk) AS idx,
+    COUNT(*) OVER (PARTITION BY l_partkey) AS n_events
+  FROM weekly
+),
+rec AS (
+  SELECT l_partkey, idx, n_events,
+    CAST(q * 1000000000 AS BIGINT) AS z,
+    CAST(1000000000 AS BIGINT) AS p,
+    wk AS w
+  FROM seq WHERE idx = 1
+  UNION ALL
+  SELECT s.l_partkey, s.idx, s.n_events,
+    CAST((9 * rec.z + s.q * 1000000000 + 5) // 10 AS BIGINT) AS z,
+    CAST((9 * rec.p + (s.wk - rec.w) * 1000000000 + 5) // 10
+         AS BIGINT) AS p,
+    s.wk AS w
+  FROM rec JOIN seq s
+    ON s.l_partkey = rec.l_partkey AND s.idx = rec.idx + 1
+)
+SELECT l_partkey,
+  CAST(n_events AS BIGINT) AS n_events,
+  ROUND(CAST(z AS DOUBLE) / 1e9, 9) AS size_est,
+  ROUND(CAST(p AS DOUBLE) / 1e9, 9) AS interval_est,
+  ROUND(CAST(CAST(round(CAST(z AS DOUBLE) / CAST(p AS DOUBLE)
+                        * 1e9, 0) AS BIGINT) AS DOUBLE) / 1e9, 9)
+    AS croston_forecast,
+  ROUND(CAST((19 * CAST(round(CAST(z AS DOUBLE) / CAST(p AS DOUBLE)
+                              * 1e9, 0) AS BIGINT) + 10) // 20
+             AS DOUBLE) / 1e9, 9) AS sba_forecast
+FROM rec WHERE idx = n_events
+ORDER BY l_partkey
+""",
+    doc="Croston intermittent-demand forecast per part (Croston "
+    "1972; Syntetos-Boylan 2005 bias correction): separate "
+    f"alpha={_CROSTON_ALPHA} exponential smoothing of nonzero "
+    "weekly demand sizes and inter-demand intervals, forecast = "
+    "z/p per week with the SBA (1 - alpha/2) correction — the "
+    "standard forecaster for the XYZ-class-Z parts where SES/Holt "
+    "overshoots after every spike; completes the forecasting "
+    "family beside Holt and the seasonal-naive MASE backtest.  "
+    "Spark folds each part's sorted demand-week array with a "
+    "native aggregate lambda; the oracle replays the identical "
+    "9dp-quantized walk in a recursive CTE keyed by (part, idx) — "
+    "every intermediate state for every part hash-pinned.  Scale: "
+    "one map-side-combinable (part, week) pass; per-part arrays "
+    "bounded by the calendar.",
+    tags=("relational", "forecasting", "timeseries", "extension"),
+    extended=True,
+)(_croston)

@@ -872,3 +872,95 @@ def test_abc_xyz_matches_python_replay(spark, sf_dir, reg):
             assert not seen_c  # A/B never after a C in revenue order
     assert {r["abc_class"] for r in got} >= {"A"}
     assert got[-1]["cum_share"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_croston_matches_python_replay(spark, sf_dir, reg):
+    """Exact integer replay of the scaled Croston walk; constant
+    demand must lock size_est to the demand and interval_est to the
+    constant gap."""
+    from collections import defaultdict
+
+    from diabetes_etl_spark.sources.tables import load_table
+
+    import datetime
+
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_shipdate")
+        .collect()
+    )
+    epoch = datetime.date(1970, 1, 1)
+    weekly = defaultdict(int)
+    for r in rows:
+        wk = (r["l_shipdate"].date() - epoch).days // 7
+        weekly[(r["l_partkey"], wk)] += int(r["l_quantity"])
+    series = defaultdict(list)
+    for (k, wk), q in sorted(weekly.items()):
+        series[k].append((wk, q))
+
+    expect = {}
+    for k, ev in series.items():
+        z = ev[0][1] * 10**9
+        p = 10**9
+        w = ev[0][0]
+        for wk, q in ev[1:]:
+            z = (9 * z + q * 10**9 + 5) // 10
+            p = (9 * p + (wk - w) * 10**9 + 5) // 10
+            w = wk
+        fc_int = int(round(z / p * 1e9))
+        sba_int = (19 * fc_int + 10) // 20
+        expect[k] = (
+            len(ev),
+            round(z / 1e9, 9),
+            round(p / 1e9, 9),
+            round(fc_int / 1e9, 9),
+            round(sba_int / 1e9, 9),
+        )
+
+    got = reg["parts_croston_forecast"].fn(spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        n, z, p, fc, sba = expect[r["l_partkey"]]
+        assert r["n_events"] == n
+        assert r["size_est"] == pytest.approx(z, abs=1e-9)
+        assert r["interval_est"] == pytest.approx(p, abs=1e-9)
+        assert r["croston_forecast"] == pytest.approx(fc, abs=1e-9)
+        assert r["sba_forecast"] == pytest.approx(sba, abs=1e-9)
+        assert r["sba_forecast"] < r["croston_forecast"] or fc == 0
+
+
+def test_croston_constant_demand_locks(spark):
+    """Demand q every 2 weeks: z -> q, p -> 2, forecast -> q/2."""
+    from diabetes_etl_spark.plans.relational import _croston  # noqa: F401
+    import pyspark.sql.functions as F
+
+    # replicate the walk directly on a synthetic weekly array
+    df = spark.createDataFrame(
+        [(1, wk, 40) for wk in range(0, 60, 2)],
+        "l_partkey long, wk long, q long",
+    )
+    arrs = df.groupBy("l_partkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("wk"), F.col("q")))
+        ).alias("ev"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    st = arrs.withColumn(
+        "st",
+        F.expr(
+            "aggregate(slice(ev, 2, size(ev) - 1), "
+            "named_struct('z', element_at(ev, 1).q "
+            "* CAST(1000000000 AS BIGINT), "
+            "'p', CAST(1000000000 AS BIGINT), "
+            "'w', element_at(ev, 1).wk), "
+            "(st, e) -> named_struct("
+            "'z', (9 * st.z + e.q * CAST(1000000000 AS BIGINT) + 5) "
+            "DIV 10, "
+            "'p', (9 * st.p + (e.wk - st.w) "
+            "* CAST(1000000000 AS BIGINT) + 5) DIV 10, "
+            "'w', e.wk))"
+        ),
+    ).collect()[0]
+    assert st["st"]["z"] == 40 * 10**9  # constant sizes lock exactly
+    # interval approaches 2 from the p0=1 seed (29 updates of a=0.1)
+    assert abs(st["st"]["p"] / 1e9 - 2.0) < 0.05
