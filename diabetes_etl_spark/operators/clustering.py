@@ -133,64 +133,81 @@ def kmeans_assign(
     docstring): pass a durable path to make the loop resumable across
     driver restarts; a given ``work_dir`` belongs to one invocation's
     (input, k, iterations) and must not be shared across different
-    ones.  When omitted, a process-local temp dir is used (removed at
-    interpreter exit; the returned DataFrame reads from it, hence
-    atexit, not finally).
+    ones.  When omitted (the default), centroid state lives as k·d
+    driver rows instead — the PCA/GBDT bounded-driver-state pattern —
+    and each round is ONE collect job with no parquet round-trip: the
+    volatile mode costs one job per round, the durable mode one
+    write + read per round (identical arithmetic, identical output;
+    pinned by tests/test_clustering.py work_dir-parity tests).
     """
     spark = df.sparkSession
-    if work_dir is None:
-        work_dir = scratch_dir(spark, "spark_kmeans_")
-    else:
+    durable = work_dir is not None
+    if durable:
         os.makedirs(work_dir, exist_ok=True)
 
-    # long-format points, materialized exactly once
-    pts_path = os.path.join(work_dir, "points")
-    if not _is_committed(pts_path):
-        (
-            df.select(
-                F.col(id_col).alias("id"),
-                F.posexplode(F.col(vec_col)).alias("pos", "xf"),
-            )
-            .select("id", "pos", F.col("xf").cast("double").alias("x"))
-            .write.mode("overwrite")
-            .parquet(pts_path)
+    long_pts = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.col(vec_col)).alias("pos", "xf"),
         )
-    pts = spark.read.parquet(pts_path)
+        .select("id", "pos", F.col("xf").cast("double").alias("x"))
+    )
+    if durable:
+        # long-format points, materialized exactly once: every round
+        # reads this parquet, so the (possibly expensive) upstream
+        # embedding subtree executes exactly once across restarts
+        pts_path = os.path.join(work_dir, "points")
+        if not _is_committed(pts_path):
+            long_pts.write.mode("overwrite").parquet(pts_path)
+        pts = spark.read.parquet(pts_path)
+    else:
+        # volatile mode: re-derive the long form per round straight off
+        # the columnar scan — a compressed corpus re-read per round is
+        # cheaper at every scale than writing n·d long rows once
+        pts = long_pts
 
-    last = None
-    for r in range(iterations, -1, -1):
-        if _is_committed(_round_path(work_dir, r)):
-            last = r
-            break
-    if last is None:
-        # round 0: the k smallest ids seed the centroids (k-row window
-        # after a LIMIT — bounded, deterministic, no driver collect)
-        seeds = (
-            df.select(F.col(id_col).alias("sid"))
-            .orderBy("sid")
-            .limit(k)
-            .withColumn(
-                "cid", F.row_number().over(Window.orderBy("sid")) - 1
-            )
+    # round 0: the k smallest ids seed the centroids (k-row window
+    # after a LIMIT — bounded, deterministic)
+    seeds = (
+        df.select(F.col(id_col).alias("sid"))
+        .orderBy("sid")
+        .limit(k)
+        .withColumn(
+            "cid", F.row_number().over(Window.orderBy("sid")) - 1
         )
-        (
-            pts.join(F.broadcast(seeds), pts["id"] == seeds["sid"])
-            .select("cid", "pos", F.col("x").alias("c"))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(_round_path(work_dir, 0))
-        )
-        last = 0
-    cent = spark.read.parquet(_round_path(work_dir, last))
+    )
+    c0 = pts.join(F.broadcast(seeds), pts["id"] == seeds["sid"]).select(
+        "cid", "pos", F.col("x").alias("c")
+    )
 
-    for r in range(last + 1, iterations + 1):
-        (
-            _update(pts, _assign(pts, cent), cent)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(_round_path(work_dir, r))
-        )
-        cent = spark.read.parquet(_round_path(work_dir, r))
+    if durable:
+        last = None
+        for r in range(iterations, -1, -1):
+            if _is_committed(_round_path(work_dir, r)):
+                last = r
+                break
+        if last is None:
+            c0.coalesce(1).write.mode("overwrite").parquet(
+                _round_path(work_dir, 0)
+            )
+            last = 0
+        cent = spark.read.parquet(_round_path(work_dir, last))
+        for r in range(last + 1, iterations + 1):
+            (
+                _update(pts, _assign(pts, cent), cent)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(_round_path(work_dir, r))
+            )
+            cent = spark.read.parquet(_round_path(work_dir, r))
+    else:
+        # k·d rows of driver state per round; collect -> local relation
+        # preserves the exact doubles (no serialization rounding), so
+        # the arithmetic is bit-identical to the parquet path
+        cent = spark.createDataFrame(c0.collect(), c0.schema)
+        for _ in range(iterations):
+            upd = _update(pts, _assign(pts, cent), cent)
+            cent = spark.createDataFrame(upd.collect(), upd.schema)
 
     final = _assign(pts, cent)
     # d2 reports at 9 digits (the repo's float-output convention, cf.

@@ -1392,27 +1392,6 @@ _CDC_BASE = 131
 _CDC_MOD = 1_000_000_007
 
 
-def cdc_boundaries(
-    codes_col: str, window: int = 8, mask_mod: int = 64
-) -> Column:
-    """1-based positions p (window <= p <= len) whose trailing
-    ``window``-char polynomial hash is 0 mod ``mask_mod``.
-    ``codes_col`` must be a MATERIALIZED char-code array COLUMN (not
-    an inline expression): the per-position lambda slices it O(window)
-    — inlining the split would re-evaluate it per position and turn
-    the scan O(len^2) (measured 50x slower at sf0.1)."""
-    win_hash = (
-        f"aggregate(slice({codes_col}, p - {window - 1}, {window}), 0L, "
-        f"(acc, x) -> (acc * {_CDC_BASE} + x) % {_CDC_MOD})"
-    )
-    return F.expr(
-        f"CASE WHEN size({codes_col}) >= {window} THEN "
-        f"filter(sequence({window}, size({codes_col})), "
-        f"p -> {win_hash} % {mask_mod} = 0) "
-        f"ELSE array() END"
-    )
-
-
 def cdc_chunks(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1425,36 +1404,115 @@ def cdc_chunks(
     the chunk text — the CHUNK TEXT ITSELF NEVER LEAVES ITS SCAN
     (only the 8-byte fingerprint + length shuffle), which is the
     whole point at 100 TB.  Fingerprint collisions (~1e-9 per pair
-    mod 1e9+7) overcount sharing negligibly and deterministically."""
-    b = cdc_boundaries("__codes", window, mask_mod)
-    spans = F.expr(
-        "filter(arrays_zip("
-        "  concat(array(1), transform(__b, x -> x + 1)), "
-        f" concat(__b, array(length({text_col})))), "
-        "s -> s['1'] >= s['0'])"
+    mod 1e9+7) overcount sharing negligibly and deterministically.
+
+    Implementation is a vectorized Arrow kernel (guide-§4.2 shape:
+    Spark distributes, numpy computes): per batch, the rolling window
+    hash is ``window`` shifted modular multiply-adds over the code-
+    point array, and every chunk fingerprint comes from one modular
+    prefix-Horner pass (fp(a..b) = (G[b]-G[a])·base^(b-1) mod M) —
+    O(len) exact int64 arithmetic per document, identical values to
+    the declarative per-position fold it replaces (same Horner, same
+    modulus; pinned by tests/test_dedup.py's pure-Python reference).
+    Only (id, text) crosses the Python boundary, only (id, idx, len,
+    fp) crosses back."""
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
     )
-    chunk_fp = F.expr(
-        f"aggregate(transform(split(substring({text_col}, s['0'], "
-        "s['1'] - s['0'] + 1), ''), ch -> ascii(ch)), 0L, "
-        f"(acc, x) -> (acc * {_CDC_BASE} + x) % {_CDC_MOD})"
+
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField("id", id_field.dataType, id_field.nullable),
+            StructField("chunk_idx", IntegerType(), False),
+            StructField("chunk_len", IntegerType(), False),
+            StructField("chunk_fp", LongType(), False),
+        ]
     )
-    return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(text_col),
-            F.expr(
-                f"transform(split({text_col}, ''), ch -> ascii(ch))"
-            ).alias("__codes"),
-        )
-        .select(F.col("id"), F.col(text_col), b.alias("__b"))
-        .select("id", F.col(text_col), F.posexplode(spans).alias("chunk_idx", "s"))
-        .select(
-            "id",
-            (F.col("chunk_idx") + 1).alias("chunk_idx"),
-            (F.col("s")["1"] - F.col("s")["0"] + 1).alias("chunk_len"),
-            chunk_fp.alias("chunk_fp"),
-        )
-    )
+    base, mod, w, mask = _CDC_BASE, _CDC_MOD, window, mask_mod
+
+    def gen(batches):
+        import numpy as np
+
+        # window-position powers base^j mod M (j < w), once per task
+        pw = np.empty(w, dtype=np.int64)
+        pw[0] = 1
+        for j in range(1, w):
+            pw[j] = pw[j - 1] * base % mod
+        binv = pow(base, mod - 2, mod)  # M prime -> Fermat inverse
+        bp = np.array([1], dtype=np.int64)   # base^t mod M
+        bi = np.array([1], dtype=np.int64)   # base^-t mod M
+
+        def grow(n: int) -> None:
+            nonlocal bp, bi
+            while len(bp) <= n:
+                m = len(bp)
+                nbp = np.empty(2 * m, dtype=np.int64)
+                nbi = np.empty(2 * m, dtype=np.int64)
+                nbp[:m], nbi[:m] = bp, bi
+                for t in range(m, 2 * m):
+                    nbp[t] = nbp[t - 1] * base % mod
+                    nbi[t] = nbi[t - 1] * binv % mod
+                bp, bi = nbp, nbi
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            o_id: list = []
+            o_idx: list = []
+            o_len: list = []
+            o_fp: list = []
+            for rid, text in zip(ids, texts):
+                if not text:
+                    continue  # null/empty: zero chunks (en < st)
+                n = len(text)
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                if n >= w:
+                    acc = np.zeros(n - w + 1, dtype=np.int64)
+                    for j in range(w):
+                        acc += codes[j : j + n - w + 1] * pw[w - 1 - j] % mod
+                    acc %= mod
+                    bounds = np.nonzero(acc % mask == 0)[0] + w  # 1-based
+                else:
+                    bounds = np.empty(0, dtype=np.int64)
+                starts = np.concatenate(([1], bounds + 1))
+                ends = np.concatenate((bounds, [n]))
+                keep = ends >= starts
+                st, en = starts[keep], ends[keep]
+                if len(st) == 0:
+                    continue
+                grow(n)
+                # prefix G[i] = sum_{t<i} c[t]·base^-t; cumsum stays
+                # exact in int64 up to ~9e9 chars per document
+                terms = codes * bi[:n] % mod
+                g = np.concatenate(
+                    ([0], np.cumsum(terms))
+                )
+                a, b = st - 1, en
+                fp = (g[b] - g[a]) % mod * bp[b - 1] % mod
+                o_id.extend([rid] * len(st))
+                o_idx.extend(range(1, len(st) + 1))
+                o_len.extend((en - st + 1).tolist())
+                o_fp.extend(fp.tolist())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_id, type=batch.schema.field(0).type),
+                    pa.array(o_idx, type=pa.int32()),
+                    pa.array(o_len, type=pa.int32()),
+                    pa.array(o_fp, type=pa.int64()),
+                ],
+                names=["id", "chunk_idx", "chunk_len", "chunk_fp"],
+            )
+
+    return df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    ).mapInArrow(gen, out_schema)
 
 
 def cdc_dedup_stats(

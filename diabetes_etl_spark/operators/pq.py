@@ -55,7 +55,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from diabetes_etl_spark.functions.numeric import dec_cast
-from diabetes_etl_spark.operators.util import scratch_dir
 
 _DEC_TERM = "decimal(25,15)"
 _MEAN_SCALE = 12
@@ -157,54 +156,64 @@ def pq_train(
         raise ValueError(f"dim {dim} does not split into {m} subspaces")
     sub_dim = dim // m
     spark = df.sparkSession
-    if work_dir is None:
-        work_dir = scratch_dir(spark, "spark_pq_")
-    else:
+    durable = work_dir is not None
+    if durable:
         os.makedirs(work_dir, exist_ok=True)
 
     train = df
     if train_cap is not None:
         train = df.orderBy(id_col).limit(train_cap)
 
-    pts_path = os.path.join(work_dir, "train_points")
-    if not _is_committed(pts_path):
-        (
-            _long_points(train, id_col, vec_col, sub_dim)
-            .write.mode("overwrite")
-            .parquet(pts_path)
-        )
-    pts = spark.read.parquet(pts_path)
+    long_pts = _long_points(train, id_col, vec_col, sub_dim)
+    if durable:
+        pts_path = os.path.join(work_dir, "train_points")
+        if not _is_committed(pts_path):
+            long_pts.write.mode("overwrite").parquet(pts_path)
+        pts = spark.read.parquet(pts_path)
+    else:
+        # volatile mode (kmeans_assign precedent): re-derive the long
+        # form per round off the columnar scan instead of writing n·d
+        # long rows once; codebook state is m·k·sub_dim driver rows
+        # collected per round — one job per Lloyd round, no parquet
+        # round-trip, bit-identical arithmetic
+        pts = long_pts
 
-    last = None
-    for r in range(iterations, -1, -1):
-        if _is_committed(_round_path(work_dir, r)):
-            last = r
-            break
-    if last is None:
-        seeds = (
-            train.select(F.col(id_col).alias("sid"))
-            .orderBy("sid")
-            .limit(k)
-            .withColumn("cid", F.row_number().over(Window.orderBy("sid")) - 1)
-        )
-        (
-            pts.join(F.broadcast(seeds), pts["id"] == seeds["sid"])
-            .select("sub", "cid", "pos", F.col("x").alias("c"))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(_round_path(work_dir, 0))
-        )
-        last = 0
-    cent = spark.read.parquet(_round_path(work_dir, last))
+    seeds = (
+        train.select(F.col(id_col).alias("sid"))
+        .orderBy("sid")
+        .limit(k)
+        .withColumn("cid", F.row_number().over(Window.orderBy("sid")) - 1)
+    )
+    c0 = pts.join(F.broadcast(seeds), pts["id"] == seeds["sid"]).select(
+        "sub", "cid", "pos", F.col("x").alias("c")
+    )
 
-    for r in range(last + 1, iterations + 1):
-        (
-            _update(pts, _assign(pts, cent), cent)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(_round_path(work_dir, r))
-        )
-        cent = spark.read.parquet(_round_path(work_dir, r))
+    if durable:
+        last = None
+        for r in range(iterations, -1, -1):
+            if _is_committed(_round_path(work_dir, r)):
+                last = r
+                break
+        if last is None:
+            c0.coalesce(1).write.mode("overwrite").parquet(
+                _round_path(work_dir, 0)
+            )
+            last = 0
+        cent = spark.read.parquet(_round_path(work_dir, last))
+        for r in range(last + 1, iterations + 1):
+            (
+                _update(pts, _assign(pts, cent), cent)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(_round_path(work_dir, r))
+            )
+            cent = spark.read.parquet(_round_path(work_dir, r))
+        return cent
+
+    cent = spark.createDataFrame(c0.collect(), c0.schema)
+    for _ in range(iterations):
+        upd = _update(pts, _assign(pts, cent), cent)
+        cent = spark.createDataFrame(upd.collect(), upd.schema)
     return cent
 
 

@@ -93,38 +93,62 @@ def wordpiece_segment_stats(
         vmap = f"map({entries})"
     else:
         vmap = "map('\\u0000impossible', 1)"
-    # longest-match-first CASE chain, max_len down to 2 (1 = fallback)
+    # longest-match-first CASE chain, max_len down to 2 (1 = fallback).
+    # The match length j at a position depends only on (w, p), so it is
+    # PRECOMPUTED per position into an int array: the old form inlined
+    # this CASE twice per walk step (once in 'pos', once in 'fp') and
+    # evaluated the whole walk twice per row (n_pieces and doc_fp were
+    # separate expressions) — 4x the map probes of the walk below.
     j_cases = " ".join(
-        f"WHEN acc.pos + {l - 1} <= length(w) AND "
-        f"try_element_at({vmap}, substring(w, acc.pos, {l})) IS NOT NULL "
+        f"WHEN p + {l - 1} <= length(w) AND "
+        f"try_element_at({vmap}, substring(w, p, {l})) IS NOT NULL "
         f"THEN {l}"
         for l in range(max_len, 1, -1)
     )
-    j_expr = f"(CASE {j_cases} ELSE 1 END)"
+    jarr = (
+        "CASE WHEN length(w) >= 1 THEN "
+        f"transform(sequence(1, length(w)), p -> (CASE {j_cases} "
+        "ELSE 1 END)) ELSE array() END"
+    )
+    # greedy walk over the precomputed j array: each step is two array
+    # lookups, no string/map work
     word_walk = (
-        "aggregate("
-        "CASE WHEN length(w) >= 1 THEN sequence(1, length(w)) "
-        "ELSE array() END, "
+        "aggregate(j, "
         "named_struct('pos', 1, 'np', 0, 'fp', CAST(0 AS BIGINT)), "
-        "(acc, x) -> CASE WHEN acc.pos > length(w) THEN acc ELSE "
+        "(acc, x) -> CASE WHEN acc.pos > size(j) THEN acc ELSE "
         "named_struct("
-        f"'pos', acc.pos + {j_expr}, "
+        "'pos', acc.pos + element_at(j, acc.pos), "
         "'np', acc.np + 1, "
-        f"'fp', (acc.fp * {_FP_BASE} + {j_expr}) % {_FP_MOD}) END)"
+        f"'fp', (acc.fp * {_FP_BASE} + element_at(j, acc.pos)) "
+        f"% {_FP_MOD}) END)"
     )
-    segs = (
-        f"transform(split(trim({text_col}), '\\\\s+'), w -> {word_walk})"
-    )
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.expr(f"size(split(trim({text_col}), '\\\\s+'))").alias("n_words"),
-        F.expr(
-            f"aggregate({segs}, 0, (a, s) -> a + s.np)"
-        ).alias("n_pieces"),
-        F.expr(
-            f"aggregate({segs}, CAST(0 AS BIGINT), "
-            f"(a, s) -> (a * {_FP_BASE} + s.fp) % {_FP_MOD})"
-        ).alias("doc_fp"),
+    # staged projections: __ws / __segs are each referenced more than
+    # once downstream and are non-cheap, so CollapseProject keeps the
+    # stages separate — the split and the walk evaluate ONCE per row
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.expr(f"split(trim({text_col}), '\\\\s+')").alias("__ws"),
+        )
+        .select(
+            "id",
+            F.expr("size(__ws)").alias("n_words"),
+            F.expr(
+                f"transform(transform(__ws, w -> {jarr}), "
+                f"j -> {word_walk})"
+            ).alias("__segs"),
+        )
+        .select(
+            "id",
+            "n_words",
+            F.expr("aggregate(__segs, 0, (a, s) -> a + s.np)").alias(
+                "n_pieces"
+            ),
+            F.expr(
+                f"aggregate(__segs, CAST(0 AS BIGINT), "
+                f"(a, s) -> (a * {_FP_BASE} + s.fp) % {_FP_MOD})"
+            ).alias("doc_fp"),
+        )
     )
 
 

@@ -454,7 +454,8 @@ def ml_gbdt_histogram_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inline it as a scan-local CASE literal.  Re-using w1 in-plan
     # would rescan its whole lineitem lineage a third time; inlining
     # keeps depth-d growth at exactly d fact scans.
-    win = w1.select("feature", "split_bin").collect()[0]
+    rows1 = w1.collect()  # the full 1-row level-1 winner
+    win = rows1[0]
     leafed = base.withColumn(
         "leaf",
         F.when(
@@ -465,7 +466,13 @@ def ml_gbdt_histogram_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     f2 = stack_features(leafed, feat_cols, F.col("y"), keep=["leaf"])
     w2 = best_splits(split_histogram(f2, ["leaf"]), ["leaf"])
 
-    out1 = w1.select(
+    # out1 re-materializes from the ALREADY-COLLECTED winner row
+    # (LocalRelation) instead of re-deriving from w1's plan: keeping w1
+    # in the output plan re-scanned the whole level-1 lineitem lineage
+    # a second time at execution — depth-d growth is exactly d fact
+    # scans again (one per level, each executed once).
+    w1_local = spark.createDataFrame(rows1, w1.schema)
+    out1 = w1_local.select(
         F.lit(1).cast("int").alias("level"),
         F.lit("root").alias("leaf"),
         "feature", "split_bin", "gain",
@@ -1269,6 +1276,13 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = li.select(
         "l_quantity", "l_discount", "l_extendedprice", part.alias("part")
     )
+    # localCheckpoint: the md5 hash-split feeds SIX separate jobs
+    # (train stats, n_cal, exact_kth bracket + histogram rounds +
+    # sliver, final test agg) — without it every job re-scans lineitem
+    # and re-hashes 600k keys (guide §1.2: don't recompute what the
+    # driver loop re-reads).  Eager, per-invocation, executor-memory
+    # only — nothing persists across bench invocations.
+    split = split.localCheckpoint(eager=True)
     train = split.where(F.col("part") <= 1)
     d6 = lambda c: c.cast("decimal(38,6)")
     q, disc, y = (

@@ -319,15 +319,17 @@ class VersionedStreamReader(DataSourceStreamReader):
                         "added files only."
                     )
                 added = sorted(paths - prev_paths)
-                if added:
-                    parts.append(
-                        _VersionSlice(
-                            tuple(
-                                os.path.join(self._path, p)
-                                for p in added
-                            )
-                        )
-                    )
+                # one InputPartition PER ADDED FILE (not per version):
+                # a commit written by a 32-task job yields 32 files, and
+                # a per-version slice would read them all sequentially
+                # through one Python worker — a one-task straggler
+                # stage.  Per-file partitions parallelize the microbatch
+                # exactly like the batch reader; the batch's row SET
+                # (files added between offsets) is unchanged.
+                parts.extend(
+                    _VersionSlice((os.path.join(self._path, p),))
+                    for p in added
+                )
             prev_paths = paths
         return parts
 
