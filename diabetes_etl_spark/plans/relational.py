@@ -1913,12 +1913,21 @@ def _cf_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bounded fan-out contract: degenerate power-users would make the
     # self-join quadratic per user; cap at 200 items (no fixture user
-    # reaches it — the oracle applies the same cap).  Left-semi join
-    # against the capped user set — no array materialization.
-    ok_users = ui.groupBy("u").agg(F.count(F.lit(1)).alias("nu")).where(
-        F.col("nu") <= 200
-    ).select("u")
-    kept = ui.join(ok_users, "u", "left_semi")
+    # reaches it — the oracle applies the same cap).  The cap is a
+    # COUNT WINDOW over the u partition rather than a groupBy+semi-join
+    # pair: one exchange on u establishes the partitioning that the
+    # self-join below then reuses on BOTH sides (identical subtrees →
+    # ReusedExchange), where the semi-join form shuffled the relation
+    # for the cap and again for each join side.
+    from pyspark.sql import Window as _W
+
+    kept = (
+        ui.withColumn(
+            "__nu", F.count(F.lit(1)).over(_W.partitionBy("u"))
+        )
+        .where(F.col("__nu") <= 200)
+        .select("u", "i")
+    )
     item_n = kept.groupBy("i").agg(F.count(F.lit(1)).alias("ni"))
     pairs = (
         kept.alias("a")

@@ -50,6 +50,17 @@ def session_conf(
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         "spark.ui.enabled": "false",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # guide §3.1/§9: let the planner pick shuffled-hash join when
+        # its per-partition build side fits (no sort of either side),
+        # and let AQE rewrite SMJ->SHJ at runtime when every post-
+        # shuffle partition is under the threshold.  Scale-safe: the
+        # size conditions still gate the choice (a build partition
+        # beyond the threshold keeps sort-merge), so this is a planner
+        # PERMISSION, not a forced strategy.
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": str(
+            64 * 1024 * 1024
+        ),
     }
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
