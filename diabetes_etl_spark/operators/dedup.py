@@ -126,6 +126,79 @@ def _verify_jaccard(
     )
 
 
+def shingle_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """(doc_id, sh): distinct n-token shingles per document — the
+    Arrow-kernel form of ``text.word_shingles`` (guide-§4.2 shape).
+    Produces EXACTLY the strings the Column form produces, replicating
+    Spark's semantics corner by corner: ``trim`` strips SPACES only,
+    the split regex is ASCII ``\\s+`` (Java's default character
+    class), an empty/space-only text yields the single empty token
+    (Java ``"".split`` keeps [""]), a leading non-space whitespace
+    yields a leading empty token, shingle count is
+    max(len(toks)-n+1, 1), and dedup keeps first occurrence
+    (array_distinct order).  Pinned against the Column form by
+    tests/test_opt_r13.py::test_shingle_frame_matches_column_form.
+
+    Why: the interpreted transform(slice+concat_ws) per position was
+    the measured cost center of every LSH-shaped query (~2-3s of each
+    at sf0.1); per-batch Python does the same slicing vectorized-
+    cheaply and only (id, text) in / (id, shingles) out cross the
+    boundary."""
+    import re
+
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField("doc_id", id_field.dataType, id_field.nullable),
+            StructField("sh", ArrayType(StringType(), False), False),
+        ]
+    )
+    nn = n
+
+    def gen(batches):
+        ws = re.compile(r"\s+", re.ASCII)
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out = []
+            for text in texts:
+                toks = ws.split(text.strip(" ")) if text is not None else [""]
+                m = len(toks) - nn + 1
+                if m < 1:
+                    m = 1
+                out.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + nn]) for i in range(m)
+                        )
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=batch.schema.field(0).type),
+                    pa.array(out, type=pa.list_(pa.string())),
+                ],
+                names=["doc_id", "sh"],
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+    ).mapInArrow(gen, out_schema)
+
+
 def minhash_signature(sh: Column, num_hashes: int = 32) -> Column:
     """K minhashes of a shingle array in ONE fold over the shingles.
 
@@ -200,10 +273,9 @@ def minhash_lsh_pairs(
             f"({num_hashes}) with at least 1 row per band"
         )
     rows = num_hashes // bands
-    base = widen(df).select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), n).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    base = shingle_frame(widen(df), id_col, text_col, n).withColumn(
+        "sig", minhash_signature(F.col("sh"), num_hashes)
+    )
     # Only (id, band_idx, band_hash) leaves the signature stage, and the
     # pair generation GROUPS bucket members instead of self-joining — a
     # self-join would duplicate the whole minhash subtree (Catalyst

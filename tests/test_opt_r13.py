@@ -117,3 +117,36 @@ def test_versioned_stream_partitions_per_file(spark, tmp_path):
     parts = rdr.partitions({"version": 0}, {"version": 1})
     assert len(parts) == 4
     assert all(len(p.paths) == 1 for p in parts)
+
+
+def test_shingle_frame_matches_column_form(spark):
+    """The Arrow shingle kernel must produce EXACTLY the Column form's
+    arrays on every tokenization corner: space-only trim, ASCII \\s+
+    split semantics (leading empty token after a non-space leading
+    whitespace), empty text -> [""] single empty token, short docs,
+    duplicate shingles deduped keeping first occurrence."""
+    from diabetes_etl_spark.operators.dedup import shingle_frame
+    from diabetes_etl_spark.operators.text import word_shingles
+
+    rows = [
+        (0, "a b c d e f g h a b c d e f g h"),
+        (1, ""),
+        (2, "   "),
+        (3, "one"),
+        (4, "x\ty  z\n w p q r s t u v"),
+        (5, " lead trail "),
+        (6, "a a a a a a a a"),
+        (7, "tok1 tok2 tok3 tok4 tok5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    col_form = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id", word_shingles(F.col("text"), 5).alias("sh")
+        ).collect()
+    }
+    kernel = {
+        r.doc_id: r.sh
+        for r in shingle_frame(df, "doc_id", "text", 5).collect()
+    }
+    assert kernel == col_form
