@@ -87,12 +87,14 @@ def test_gbdt_tree_plan_shape(spark, sf_dir):
     plan = spark._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "extended"
     )
-    # one fact scan per level, no more: the collected 1-row winner is
-    # inlined as a literal, so level 2 does not rescan w1's lineage
-    # ("extended" mode repeats the plan 4x -> 8 mentions total)
-    assert plan.count("lineitem.parquet") <= 8
+    # one EXECUTED fact scan per level, no more — and level 1's scan
+    # ran in the upfront winner collect(), so the OUTPUT plan holds
+    # only level 2's scan: the collected winner row re-materializes as
+    # a LocalRelation (round-13 optimization) instead of re-deriving
+    # from its lineitem lineage ("extended" mode repeats the plan 4x)
+    assert plan.count("lineitem.parquet") <= 4
     physical = plan.split("== Physical Plan ==")[-1]
-    assert physical.count("lineitem.parquet") == 2
+    assert physical.count("lineitem.parquet") == 1
     assert "CartesianProduct" not in plan
     # all relational: no Python row stage anywhere
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
