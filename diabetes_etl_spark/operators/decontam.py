@@ -21,8 +21,9 @@ gram join becomes a plain hash join on the shingle string — still one
 shuffle of (id, gram) pairs, never all-pairs.
 
 No reference counterpart (SURVEY.md §6 extension tier); shingle
-generation shares operators/text.py:word_shingles with the dedup
-family.
+generation shares the Arrow shingle kernel
+(operators/dedup.py:shingle_frame, parity-pinned against
+operators/text.py:word_shingles) with the dedup family.
 """
 
 from __future__ import annotations
@@ -30,18 +31,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from diabetes_etl_spark.operators.text import word_shingles
-
 
 def benchmark_shingles(
     benchmark: DataFrame, text_col: str = "text", n: int = 8
 ) -> DataFrame:
     """Distinct n-token shingles of the benchmark set (one column
-    ``g``) — the contamination dictionary."""
+    ``g``) — the contamination dictionary.  Shingling runs through the
+    Arrow kernel (operators/dedup.py:shingle_frame — round-14,
+    verdict-r13 #1): identical strings to ``text.word_shingles``,
+    pinned by the kernel's parity test, without the interpreted
+    per-position transform(slice+concat_ws) lambda."""
+    from diabetes_etl_spark.operators.dedup import shingle_frame
+    from diabetes_etl_spark.operators.util import widen
+
     return (
-        benchmark.select(
-            F.explode(word_shingles(F.col(text_col), n)).alias("g")
-        )
+        shingle_frame(widen(benchmark), None, text_col, n)
+        .select(F.explode("sh").alias("g"))
         .distinct()
     )
 
@@ -55,12 +60,20 @@ def contamination_hits(
     broadcast: bool = True,
 ) -> DataFrame:
     """(id, n_hit_grams) for every corpus doc sharing >= 1 shingle
-    with the benchmark.  Clean docs don't appear (join-reduced)."""
+    with the benchmark.  Clean docs don't appear (join-reduced).
+    Corpus shingling runs through the Arrow kernel too (see
+    benchmark_shingles) — the corpus side is the 100 TB side, so the
+    per-position interpreted lambda is where the operator's time went
+    (round-13 phase profile); widen() first so the per-batch Python
+    work spreads across cores instead of one input split."""
+    from diabetes_etl_spark.operators.dedup import shingle_frame
+    from diabetes_etl_spark.operators.util import widen
+
     bench = benchmark_shingles(benchmark, text_col, n)
     if broadcast:
         bench = F.broadcast(bench)
-    grams = corpus.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    grams = shingle_frame(widen(corpus), id_col, text_col, n).select(
+        F.col("doc_id").alias(id_col), F.explode("sh").alias("g")
     )
     return (
         grams.join(bench, "g")

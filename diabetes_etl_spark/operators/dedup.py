@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from diabetes_etl_spark.operators.text import jaccard, tokens, word_shingles
+from diabetes_etl_spark.operators.text import jaccard, tokens
 from diabetes_etl_spark.operators.util import (
     bounded_bucket_pairs,
     scratch_dir,
@@ -78,18 +78,21 @@ def ngram_jaccard_pairs(
     length = (
         F.col(length_col) if length_col else F.length(F.col(text_col))
     )
-    base = widen(df).select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), n).alias("sh"),
-        length.cast("long").alias("len"),
+    wide = widen(df)
+    # Candidate generation moves ONLY (id, band) and never touches the
+    # shingles — it stays a pure JVM projection so the scan prunes to
+    # (id, length source); the Arrow shingle kernel (round-14,
+    # verdict-r13 #1 — identical strings to word_shingles, parity-
+    # pinned) runs only on the verification side, where the arrays are
+    # actually consumed (guide §4.2: an opaque kernel under the band
+    # branches would defeat column pruning and run twice for nothing).
+    lens = wide.select(
+        F.col(id_col).alias("doc_id"), length.cast("long").alias("len")
     )
-    # Candidate generation moves ONLY (id, band): the shingle arrays
-    # never ride through the band self-join; they are re-attached once
-    # per side for verification (see _verify_jaccard).
-    banded = base.select(
+    banded = lens.select(
         "doc_id", F.expr("len div " + str(band_width)).alias("band")
     ).unionAll(
-        base.select(
+        lens.select(
             "doc_id", (F.expr("len div " + str(band_width)) + 1).alias("band")
         )
     )
@@ -100,7 +103,10 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return _verify_jaccard(cand_ids, base.select("doc_id", "sh"), threshold)
+    shingled = shingle_frame(wide, id_col, text_col, n)
+    return _verify_jaccard(
+        cand_ids, shingled.select("doc_id", "sh"), threshold
+    )
 
 
 def _verify_jaccard(
@@ -128,74 +134,136 @@ def _verify_jaccard(
 
 def shingle_frame(
     df: DataFrame,
-    id_col: str,
+    id_col: str | None,
     text_col: str,
     n: int = 5,
+    keep_cols: tuple[str, ...] = (),
+    with_fp: bool = False,
 ) -> DataFrame:
-    """(doc_id, sh): distinct n-token shingles per document — the
-    Arrow-kernel form of ``text.word_shingles`` (guide-§4.2 shape).
-    Produces EXACTLY the strings the Column form produces, replicating
-    Spark's semantics corner by corner: ``trim`` strips SPACES only,
-    the split regex is ASCII ``\\s+`` (Java's default character
-    class), an empty/space-only text yields the single empty token
-    (Java ``"".split`` keeps [""]), a leading non-space whitespace
-    yields a leading empty token, shingle count is
+    """(doc_id, *keep_cols, sh): distinct n-token shingles per document
+    — the Arrow-kernel form of ``text.word_shingles`` (guide-§4.2
+    shape).  Produces EXACTLY the strings the Column form produces,
+    replicating Spark's semantics corner by corner: ``trim`` strips
+    SPACES only, the split regex is ASCII ``\\s+`` (Java's default
+    character class), an empty/space-only text yields the single empty
+    token (Java ``"".split`` keeps [""]), a leading non-space
+    whitespace yields a leading empty token, shingle count is
     max(len(toks)-n+1, 1), and dedup keeps first occurrence
-    (array_distinct order).  Pinned against the Column form by
-    tests/test_opt_r13.py::test_shingle_frame_matches_column_form.
+    (array_distinct order).  NULL text yields [""] too — the Column
+    form's ``size(split(NULL)) = -1`` makes its sequence(1, max(-1-
+    (n-1), 1)) = [1] window produce one all-NULL slice whose concat_ws
+    is "" (pinned by the parity test's None row; this parity holds
+    under the session's legacy sizeOfNull).  Pinned against the Column
+    form by tests/test_opt_r13.py::test_shingle_frame_matches_
+    column_form.
+
+    ``keep_cols`` pass through the kernel untouched (guide §4: ship
+    only the columns the function needs — callers that need e.g. a
+    language tag alongside the shingles carry it through the batch
+    instead of re-joining on id).
+
+    ``with_fp`` adds a parallel ``fp: array<long>`` column —
+    ``text.fingerprint`` of each shingle string (the polynomial
+    rolling hash acc*131 + codepoint mod 1e9+7; Spark's ``ascii`` is
+    the Unicode code point, exactly Python ``ord``, probed and pinned
+    by the parity test) — computed here because the Column form runs
+    an interpreted aggregate-over-split lambda PER GRAM, the measured
+    cost center of the Bloom-probe plan.  Grams repeat heavily across
+    documents (shared vocabulary), so fingerprints memoize in a
+    per-task dict.
 
     Why: the interpreted transform(slice+concat_ws) per position was
     the measured cost center of every LSH-shaped query (~2-3s of each
     at sf0.1); per-batch Python does the same slicing vectorized-
-    cheaply and only (id, text) in / (id, shingles) out cross the
-    boundary."""
+    cheaply and only (id, keeps, text) in / (id, keeps, shingles) out
+    cross the boundary."""
     import re
 
     import pyarrow as pa
     from pyspark.sql.types import (
         ArrayType,
+        LongType,
         StringType,
         StructField,
         StructType,
     )
 
-    id_field = df.schema[id_col]
+    id_fields = [] if id_col is None else [df.schema[id_col]]
+    keep_fields = [df.schema[c] for c in keep_cols]
     out_schema = StructType(
         [
-            StructField("doc_id", id_field.dataType, id_field.nullable),
+            *[
+                StructField("doc_id", idf.dataType, idf.nullable)
+                for idf in id_fields
+            ],
+            *[
+                StructField(kf.name, kf.dataType, kf.nullable)
+                for kf in keep_fields
+            ],
             StructField("sh", ArrayType(StringType(), False), False),
+            *(
+                [StructField("fp", ArrayType(LongType(), False), False)]
+                if with_fp
+                else []
+            ),
         ]
     )
     nn = n
+    n_pass = len(id_fields) + len(keep_cols)
+    _FP_MOD = 1_000_000_007
 
     def gen(batches):
         ws = re.compile(r"\s+", re.ASCII)
+        fp_memo: dict[str, int] = {}
+
+        def fp_of(s: str) -> int:
+            v = fp_memo.get(s)
+            if v is None:
+                v = 0
+                for ch in s:
+                    v = (v * 131 + ord(ch)) % _FP_MOD
+                fp_memo[s] = v
+            return v
+
         for batch in batches:
-            ids = batch.column(0).to_pylist()
-            texts = batch.column(1).to_pylist()
+            texts = batch.column(n_pass).to_pylist()
             out = []
+            fps = [] if with_fp else None
             for text in texts:
                 toks = ws.split(text.strip(" ")) if text is not None else [""]
                 m = len(toks) - nn + 1
                 if m < 1:
                     m = 1
-                out.append(
-                    list(
-                        dict.fromkeys(
-                            " ".join(toks[i : i + nn]) for i in range(m)
-                        )
+                sh = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + nn]) for i in range(m)
                     )
                 )
+                out.append(sh)
+                if with_fp:
+                    fps.append([fp_of(s) for s in sh])
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(ids, type=batch.schema.field(0).type),
+                    *(batch.column(j) for j in range(n_pass)),
                     pa.array(out, type=pa.list_(pa.string())),
+                    *(
+                        [pa.array(fps, type=pa.list_(pa.int64()))]
+                        if with_fp
+                        else []
+                    ),
                 ],
-                names=["doc_id", "sh"],
+                names=[
+                    *(["doc_id"] if id_fields else []),
+                    *(kf.name for kf in keep_fields),
+                    "sh",
+                    *(["fp"] if with_fp else []),
+                ],
             )
 
     return df.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+        *([F.col(id_col).alias("doc_id")] if id_col is not None else []),
+        *[F.col(c) for c in keep_cols],
+        F.col(text_col).alias("__t"),
     ).mapInArrow(gen, out_schema)
 
 
@@ -544,11 +612,8 @@ def content_novelty(
     min-id first-occurrence is order-free, counts are exact, the
     novelty ratio is one IEEE division of exact integers.
     """
-    from diabetes_etl_spark.operators.text import word_shingles
-
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+    sh = shingle_frame(widen(df), id_col, text_col, n).select(
+        F.col("doc_id").alias("id"), F.explode("sh").alias("s")
     ).select("id", F.substring(F.md5("s"), 1, 16).alias("h"))
     first = sh.groupBy("h").agg(F.min("id").alias("first_id"))
     return (
@@ -663,10 +728,9 @@ def minhash_index(
             f"bands ({bands}) must evenly divide num_hashes "
             f"({num_hashes}) with at least 1 row per band"
         )
-    base = widen(df).select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), n).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    base = shingle_frame(widen(df), id_col, text_col, n).withColumn(
+        "sig", minhash_signature(F.col("sh"), num_hashes)
+    )
     bands_df = _minhash_band_rows(base, num_hashes, bands)
     profiles_df = base.select(
         "doc_id",
@@ -830,14 +894,15 @@ def prefix_filter_jaccard_pairs(
     ``bounded_bucket_pairs`` remains the 100 TB default, with this as
     the exact small/medium-scale and per-bucket verifier.
     """
-    unit = (
-        word_shingles(F.col(text_col), shingle_n)
-        if shingle_n
-        else F.array_distinct(tokens(F.col(text_col)))
-    )
-    sets = widen(df).select(
-        F.col(id_col).alias("doc_id"), unit.alias("ts")
-    )
+    if shingle_n:
+        sets = shingle_frame(widen(df), id_col, text_col, shingle_n).select(
+            "doc_id", F.col("sh").alias("ts")
+        )
+    else:
+        sets = widen(df).select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(tokens(F.col(text_col))).alias("ts"),
+        )
     tok = sets.select("doc_id", F.explode("ts").alias("token"))
     dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
     # Per-doc tokens ordered rare-first: join token->df (shuffle on
@@ -1398,14 +1463,12 @@ def source_minhash_overlap(
     signatures.  Oracle-paired bit-exactly (the estimator itself is
     mirrored, not a tolerance).
     """
-    from diabetes_etl_spark.operators.text import word_shingles
-
     hb = (
-        df.select(
-            F.col(group_col).alias("grp"),
-            F.explode(
-                word_shingles(F.col(text_col), shingle_n)
-            ).alias("tok"),
+        shingle_frame(
+            widen(df), None, text_col, shingle_n, keep_cols=(group_col,)
+        )
+        .select(
+            F.col(group_col).alias("grp"), F.explode("sh").alias("tok")
         )
         .select("grp", portable_token_hash(F.col("tok")).alias("b"))
         .distinct()
@@ -1656,52 +1719,100 @@ def winnow_fingerprints(
     ``k`` emit nothing.
 
     All integer arithmetic (30-bit polynomial gram hashes packed with
-    the position tie-break), oracle-replayable.  Per-row cost is
-    O(len * (k + window)) array expressions over HOISTED columns —
-    the gram/packed arrays are projected before the selection lambdas
-    so nothing re-derives per position (the CDC O(len^2) lesson);
-    only (id, 8-byte fp, pos) ever leaves the scan."""
+    the position tie-break), oracle-replayable; only (id, 8-byte fp,
+    pos) ever leaves the scan.
+
+    Round-14 (verdict-r13 #1, the CDC-kernel precedent): the selection
+    runs as a ``mapInArrow`` numpy kernel instead of the hoisted
+    per-position array expressions — gram hashes as ``k`` shifted
+    modular multiply-adds over the whole codepoint array, the window
+    minimum as one strided sliding-window min, dedup via np.unique.
+    Exact-arithmetic equivalence: codepoints via utf-32 decode match
+    Spark's ``ascii`` (the Unicode code point — probed, pinned by the
+    round-14 parity test); all intermediates stay < 2^43, far inside
+    int64; the same Horner/modulus/packing constants.  The Column
+    form's corners are replicated verbatim: NULL text emits nothing,
+    empty text has the single code [0] (Spark ``split('', '')`` keeps
+    [""], ``ascii('')`` = 0), docs shorter than ``k`` emit nothing,
+    docs shorter than one window emit their global minimum, ties pack
+    to the rightmost position.  The per-doc (fp, pos) SET is
+    identical; only intra-document row order differs (np.unique sorts
+    where array_distinct kept first occurrence) — row order of an
+    exploded relation carries no semantics, and every consumer
+    aggregates or sorts."""
     if window >= _WIN_POSCAP:
         raise ValueError(f"window must stay below {_WIN_POSCAP}")
-    codes = f"transform(split({text_col}, ''), ch -> ascii(ch))"
-    gram = (
-        f"aggregate(slice(__codes, p, {k}), 0L, "
-        f"(acc, x) -> (acc * 131 + x) % {_WIN_MOD})"
+    import numpy as np
+    import pyarrow as pa
+    from numpy.lib.stride_tricks import sliding_window_view
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
     )
-    grams = (
-        f"CASE WHEN size(__codes) >= {k} THEN "
-        f"transform(sequence(1, size(__codes) - {k - 1}), p -> {gram}) "
-        f"ELSE array() END"
+
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField("id", id_field.dataType, id_field.nullable),
+            StructField("fp", LongType(), False),
+            StructField("pos", IntegerType(), False),
+        ]
     )
-    # packed value: gram-hash * 4096 + (4095 - (p-1) % 4096) — the
-    # minimum picks the smallest hash, ties the RIGHTMOST position
-    packed = (
-        f"CASE WHEN size(__grams) = 0 THEN array() ELSE "
-        f"transform(sequence(1, size(__grams)), "
-        f"p -> element_at(__grams, p) * {_WIN_POSCAP}L "
-        f"+ {_WIN_POSCAP - 1} - (p - 1) % {_WIN_POSCAP}) END"
-    )
-    n_win = f"greatest(size(__packed) - {window - 1}, 1)"
-    selected = (
-        f"CASE WHEN size(__packed) = 0 THEN array() ELSE "
-        f"array_distinct(transform(sequence(1, {n_win}), "
-        f"i -> array_min(slice(__packed, i, {window})))) END"
-    )
+    kk, win, cap, mod = k, window, _WIN_POSCAP, _WIN_MOD
+
+    def gen(batches):
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_id, out_v = [], []
+            for i, text in enumerate(texts):
+                if text is None:
+                    continue
+                if text == "":
+                    codes = np.zeros(1, dtype=np.int64)
+                else:
+                    codes = np.frombuffer(
+                        text.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
+                m = codes.size - kk + 1
+                if m < 1:
+                    continue
+                g = np.zeros(m, dtype=np.int64)
+                for j in range(kk):
+                    g = (g * 131 + codes[j : j + m]) % mod
+                packed = g * cap + (
+                    cap - 1 - (np.arange(m, dtype=np.int64) % cap)
+                )
+                if m >= win:
+                    sel = sliding_window_view(packed, win).min(axis=1)
+                else:
+                    sel = packed.min(keepdims=True)
+                sel = np.unique(sel)
+                out_id.extend([ids[i]] * sel.size)
+                out_v.append(sel)
+            v = (
+                np.concatenate(out_v)
+                if out_v
+                else np.empty(0, dtype=np.int64)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, type=batch.schema.field(0).type),
+                    pa.array(v // cap, type=pa.int64()),
+                    pa.array(
+                        (cap - 1 - (v % cap)).astype(np.int32),
+                        type=pa.int32(),
+                    ),
+                ],
+                names=["id", "fp", "pos"],
+            )
+
     return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.expr(codes).alias("__codes"),
-        )
-        .select("id", F.expr(grams).alias("__grams"))
-        .select("id", F.expr(packed).alias("__packed"))
-        .select("id", F.explode(F.expr(selected)).alias("v"))
-        .select(
-            "id",
-            F.expr(f"v div {_WIN_POSCAP}").alias("fp"),
-            (
-                F.lit(_WIN_POSCAP - 1) - F.col("v") % _WIN_POSCAP
-            ).cast("int").alias("pos"),
-        )
+        widen(df)
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .mapInArrow(gen, out_schema)
     )
 
 
@@ -1807,11 +1918,8 @@ def containment_pairs(
     size_a, containment), one row per ordered pair meeting the
     threshold."""
     base = (
-        widen(df)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            word_shingles(F.col(text_col), n).alias("__sh"),
-        )
+        shingle_frame(widen(df), id_col, text_col, n)
+        .withColumnRenamed("sh", "__sh")
         .select(
             "doc_id",
             F.explode(

@@ -6,7 +6,12 @@ At 100 TB that is the most expensive way imaginable to find one
 number.  The classic distributed-selection alternative implemented
 here (Blum et al.'s selection idea re-shaped for bucketed scans):
 
-1. bracket [lo, hi] from one min/max aggregate,
+1. bracket [lo, hi], total count AND the first descent from ONE
+   aggregate grouped by the value's clamped binary exponent (a
+   monotonic pure function of v, <= ~4400 bins of (count, min, max)
+   driver state) — the k-th value's bin gives an exact tight
+   sub-bracket, so the old separate min/max/count pass is fused away
+   (round-14),
 2. per round: histogram the in-bracket values into B equal-width
    buckets (ONE filtered scan whose predicate pushes down to parquet
    row-group min/max stats — later rounds physically read less),
@@ -30,7 +35,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -49,16 +54,62 @@ def exact_kth(
     vals = df.select(F.col(col).cast("double").alias("v")).where(
         F.col("v").isNotNull() & ~F.isnan("v")
     )
-    row = vals.agg(
-        F.min("v").alias("lo"),
-        F.max("v").alias("hi"),
-        F.count("*").alias("n"),
-    ).collect()[0]
-    if k > row.n:
-        raise ValueError(f"k={k} exceeds non-null count {row.n}")
-    lo, hi, target = float(row.lo), float(row.hi), k
-    cur = vals
+    # Fused bracket + first descent (round-14, verdict-r13 #4): the
+    # old plain min/max/count aggregate spent one full pass only to
+    # learn the bracket, then the first histogram round re-scanned
+    # everything.  Grouping that SAME pass by a magnitude bin — the
+    # clamped binary exponent, a monotonic pure function of v with at
+    # most ~4400 distinct values — returns per-bin (count, min, max),
+    # which is simultaneously the global bracket/count AND a first
+    # histogram: the driver walks the bins (bounded driver state, the
+    # documented budget) and descends straight into the k-th value's
+    # bin with its EXACT [min, max] sub-bracket.  One Spark job
+    # replaces two, and the first equal-width round starts from a
+    # tighter bracket.  Exactness is unchanged: bin assignment uses
+    # the same Spark expression for counting and filtering (boundary
+    # ulps cannot disagree), and the final answer still comes from an
+    # exact sliver sort / collapsed bracket.  Clamp BEFORE floor so
+    # +-inf inputs saturate instead of overflowing the long cast
+    # under ANSI.
+    _CLAMP = 1100.0  # |binary exponent| bound (subnormals reach -1074)
+
+    def _magnitude_bin(v: Column) -> Column:
+        exp_of = lambda x: F.floor(  # noqa: E731
+            F.greatest(
+                F.lit(-_CLAMP), F.least(F.lit(_CLAMP), F.log2(x))
+            )
+        )
+        return (
+            F.when(v == 0, F.lit(0).cast("long"))
+            .when(v > 0, F.lit(2000) + exp_of(v))
+            .otherwise(F.lit(-2000) - exp_of(-v))
+        )
+
+    bin_rows = {
+        r.b: (int(r.c), float(r.bmin), float(r.bmax))
+        for r in vals.groupBy(_magnitude_bin(F.col("v")).alias("b"))
+        .agg(
+            F.count("*").alias("c"),
+            F.min("v").alias("bmin"),
+            F.max("v").alias("bmax"),
+        )
+        .collect()
+    }
+    n = sum(c for c, _, _ in bin_rows.values())
+    if k > n:
+        raise ValueError(f"k={k} exceeds non-null count {n}")
+    target = k
+    for b in sorted(bin_rows):
+        c, bmin, bmax = bin_rows[b]
+        if target <= c:
+            break
+        target -= c
+    lo, hi = bmin, bmax
+    cur = vals.where(_magnitude_bin(F.col("v")) == F.lit(b))
     rounds = 0
+    if c <= threshold:
+        sliver = sorted(r.v for r in cur.collect())
+        return sliver[min(target, len(sliver)) - 1], rounds
     while rounds < max_rounds:
         if lo == hi:
             return lo, rounds

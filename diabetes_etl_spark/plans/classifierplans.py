@@ -1280,9 +1280,15 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (train stats, n_cal, exact_kth bracket + histogram rounds +
     # sliver, final test agg) — without it every job re-scans lineitem
     # and re-hashes 600k keys (guide §1.2: don't recompute what the
-    # driver loop re-reads).  Eager, per-invocation, executor-memory
-    # only — nothing persists across bench invocations.
-    split = split.localCheckpoint(eager=True)
+    # driver loop re-reads).  Per-invocation, executor-memory only —
+    # nothing persists across bench invocations.  eager=False
+    # (round-14, per round-13 ADVICE): plan construction stays
+    # job-free — callers that only build/explain this registry plan no
+    # longer trigger a lineitem scan; the checkpoint materializes on
+    # the first of the six jobs (the train-stats collect below, a few
+    # lines down in THIS function) and is reused by the rest, so the
+    # executed shape is identical to the eager form.
+    split = split.localCheckpoint(eager=False)
     train = split.where(F.col("part") <= 1)
     d6 = lambda c: c.cast("decimal(38,6)")
     q, disc, y = (

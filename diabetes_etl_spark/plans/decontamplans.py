@@ -180,14 +180,11 @@ FROM graded GROUP BY lang ORDER BY lang
 )
 def decontam_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diabetes_etl_spark.operators.decontam import benchmark_shingles
+    from diabetes_etl_spark.operators.dedup import shingle_frame
     from diabetes_etl_spark.operators.sketch import (
         bloom_bits,
         bloom_hit_mask_fp,
     )
-    from diabetes_etl_spark.operators.text import (
-        fingerprint as TX_fingerprint,
-    )
-    from diabetes_etl_spark.operators.text import word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("source") == _BENCH_SRC)
@@ -201,13 +198,20 @@ def decontam_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # widen BEFORE the per-row shingling + fingerprint work: the sf0.1
     # fixture arrives as one input split, which would pin the whole
-    # CPU-bound gram stage on a single core (no-op on a wide scan)
-    corp_grams = widen(corpus).select(
+    # CPU-bound gram stage on a single core (no-op on a wide scan).
+    # Shingles AND their polynomial fingerprints come from the Arrow
+    # kernel in one pass (round-14, verdict-r13 #1): the Column form
+    # ran an interpreted transform(slice+concat_ws) per position PLUS
+    # an interpreted aggregate-over-split rolling hash per gram — the
+    # two measured cost centers of this plan; parity with
+    # text.fingerprint/word_shingles is pinned by the kernel tests.
+    corp_grams = shingle_frame(
+        widen(corpus), "doc_id", "text", _N,
+        keep_cols=("lang",), with_fp=True,
+    ).select(
         "doc_id",
         "lang",
-        F.explode(
-            F.array_distinct(word_shingles(F.col("text"), _N))
-        ).alias("g"),
+        F.explode(F.arrays_zip("sh", "fp")).alias("z"),
     )
     # SCAN-LOCAL probe (bloom_hit_mask): the <= m-row bit table folds
     # into a literal bitmask, so the corpus side tests membership
@@ -218,8 +222,8 @@ def decontam_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = corp_grams.select(
         "doc_id",
         "lang",
-        "g",
-        TX_fingerprint("g").alias("__fp"),
+        F.col("z.sh").alias("g"),
+        F.col("z.fp").alias("__fp"),
     ).select(
         "doc_id",
         "lang",

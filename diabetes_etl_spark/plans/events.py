@@ -7033,13 +7033,25 @@ def _markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probs = one.selectExpr(*_MK_COUNT_COLS, *_mk_prob_exprs())
     state = probs.selectExpr("*", *_mk_init_exprs())
-    for _ in range(_MK_K):
+    for step in range(_MK_K):
         keep = (
             _MK_COUNT_COLS
             + [f"t_{a}" for a in _MK_A]
             + [f"p_{a}_{b}" for a in _MK_A for b in _MK_B]
         )
         state = state.selectExpr(*keep, *_mk_step_exprs())
+        # codegen stage barrier (round-14, verdict-r13 #5): the
+        # 93-projection chain fused into ONE WholeStageCodegen method
+        # that exceeded the JVM's 64KB limit — every run paid ~10
+        # failed janino compilations of a multi-MB source and then
+        # executed the whole chain interpreted.  A repartition(1) on
+        # this one-row state every 3 steps is a WSCG boundary: each
+        # stage now holds <= 3 absorption layers and compiles.  Values
+        # are untouched (same ROUND expressions, same single row; an
+        # exchange of one row is microseconds) — the oracle CTE replay
+        # pins every layer either way.
+        if step % 3 == 2 and step != _MK_K - 1:
+            state = state.repartition(1)
     final = state.selectExpr("*", *_mk_final_exprs())
     parts = []
     for c in _MK_TR:

@@ -56,7 +56,20 @@ def session_conf(
         # shuffle partition is under the threshold.  Scale-safe: the
         # size conditions still gate the choice (a build partition
         # beyond the threshold keeps sort-merge), so this is a planner
-        # PERMISSION, not a forced strategy.
+        # PERMISSION, not a forced strategy.  Caveat (round-13
+        # ADVICE): the STATIC planner's half of this decision rides on
+        # Catalyst size ESTIMATES, which can be badly wrong for
+        # post-aggregation subtrees, and an SHJ build map cannot spill
+        # — a gross under-estimate risks executor OOM at scale (AQE's
+        # runtime rewrite uses real map sizes and is not exposed to
+        # this).  The suite is green under it and AQE skew-splitting
+        # covers SHJ since 3.2; on a production cluster with wildly
+        # misestimated intermediate stats, scope this per-query
+        # (SHUFFLE_HASH/MERGE hints outrank the conf) or re-enable
+        # preferSortMergeJoin.  No query's RESULT depends on the
+        # strategy (and none relies on SMJ's incidental sort order:
+        # every declared query orders or hashes its output
+        # explicitly).
         "spark.sql.join.preferSortMergeJoin": "false",
         "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": str(
             64 * 1024 * 1024

@@ -137,6 +137,12 @@ def test_shingle_frame_matches_column_form(spark):
         (5, " lead trail "),
         (6, "a a a a a a a a"),
         (7, "tok1 tok2 tok3 tok4 tok5"),
+        # NULL text (round-14, verdict-r13 #9 / ADVICE): the Column
+        # form's size(split(NULL)) = -1 under the session's legacy
+        # sizeOfNull makes word_shingles(NULL) yield [""], and the
+        # kernel special-cases None -> [""] to match — this row pins
+        # that parity against future session SQL-conf changes.
+        (8, None),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     col_form = {

@@ -15,7 +15,11 @@ def test_matches_sorted_answer_every_k(spark):
     for k in (1, 2, 1000, 1999, 2000):
         v, rounds = exact_kth(df, "x", k, buckets=64, threshold=50)
         assert v == s[k - 1], k
-        assert rounds >= 1
+        # rounds == 0 is now legitimate: the round-14 fused
+        # bracket+count pass descends into the k-th value's magnitude
+        # bin directly, and a bin at or under the threshold resolves
+        # by sliver sort with no equal-width histogram pass at all
+        assert rounds >= 0
 
 
 def test_duplicate_heavy_column_converges(spark):
