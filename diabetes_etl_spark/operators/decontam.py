@@ -36,17 +36,21 @@ def benchmark_shingles(
     benchmark: DataFrame, text_col: str = "text", n: int = 8
 ) -> DataFrame:
     """Distinct n-token shingles of the benchmark set (one column
-    ``g``) — the contamination dictionary.  Shingling runs through the
-    Arrow kernel (operators/dedup.py:shingle_frame — round-14,
-    verdict-r13 #1): identical strings to ``text.word_shingles``,
-    pinned by the kernel's parity test, without the interpreted
-    per-position transform(slice+concat_ws) lambda."""
-    from diabetes_etl_spark.operators.dedup import shingle_frame
-    from diabetes_etl_spark.operators.util import widen
+    ``g``) — the contamination dictionary.  Deliberately stays on the
+    Column form (round-14 measurement): the benchmark side is SMALL
+    by contract (module docstring), and consumers evaluate it eagerly
+    (bloom_bits collects it into a literal bitmask) or broadcast it —
+    routing those few rows through the Arrow kernel paid a Python
+    worker round-trip per evaluation that measured ~0.9s SLOWER
+    paired on decontam_bloom_probe than the codegen'd expression.
+    The 100 TB corpus side is where the kernel lives
+    (contamination_hits below)."""
+    from diabetes_etl_spark.operators.text import word_shingles
 
     return (
-        shingle_frame(widen(benchmark), None, text_col, n)
-        .select(F.explode("sh").alias("g"))
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("g")
+        )
         .distinct()
     )
 

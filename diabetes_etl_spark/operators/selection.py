@@ -105,7 +105,17 @@ def exact_kth(
             break
         target -= c
     lo, hi = bmin, bmax
-    cur = vals.where(_magnitude_bin(F.col("v")) == F.lit(b))
+    # The bin's rows are exactly the rows in [bmin, bmax]: the bin
+    # function is monotonic non-decreasing in v, so any v > bmin has
+    # bin(v) >= b and any v < bmax has bin(v) <= b — bins partition
+    # the value line into disjoint intervals.  Filtering by the VALUE
+    # range instead of re-evaluating the bin expression keeps later
+    # rounds' predicates pushable to parquet row-group min/max stats
+    # (the operator's later-rounds-read-less property) and off the
+    # log2 path.
+    cur = vals.where(
+        (F.col("v") >= F.lit(lo)) & (F.col("v") <= F.lit(hi))
+    )
     rounds = 0
     if c <= threshold:
         sliver = sorted(r.v for r in cur.collect())

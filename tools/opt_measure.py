@@ -1,8 +1,9 @@
-"""Round-13 optimization measurement harness.
+"""Optimization measurement harness (rounds 13+).
 
 Times named registry queries in isolation with the noop sink (guide
 §1.4) and captures the POST-EXECUTION ``explain("formatted")`` plan
-(the AQE final plan) to ``plans/r13/<name>_<tag>.txt``:
+(the AQE final plan) to ``plans/$SPARK_GRAFT_PLANS_ROUND/<name>_
+<tag>.txt`` (default round: r14):
 
     python tools/opt_measure.py q1_pricing_summary sim_pq_adc_topk \
         [--sf /root/testdata/sf0.1] [--reps 3] [--tag before]
@@ -55,7 +56,7 @@ def main() -> None:
 
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r13",
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
     )
     os.makedirs(plans_dir, exist_ok=True)
 
