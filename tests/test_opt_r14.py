@@ -8,7 +8,6 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_SMALL
 
 
 # -- Arrow shingle kernel: keep_cols / with_fp / id_col=None -----------------
@@ -90,13 +89,13 @@ def test_shingle_frame_keep_cols_and_no_id(spark):
 # -- decontamination through the kernel --------------------------------------
 
 
-def test_contamination_hits_matches_column_form(spark):
+def test_contamination_hits_matches_column_form(spark, sf_dir):
     """contamination_hits (now kernel-shingled) must produce exactly
     the rows the round-13 Column form produced on the fixture."""
     from diabetes_etl_spark.operators.decontam import contamination_hits
     from diabetes_etl_spark.operators.text import word_shingles
 
-    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench = docs.filter(F.col("source") == "src0")
     corpus = docs.filter(F.col("source") != "src0")
     n = 5
@@ -123,14 +122,14 @@ def test_contamination_hits_matches_column_form(spark):
     assert len(new) > 0  # the fixture has real contamination
 
 
-def test_ngram_jaccard_pairs_matches_column_form(spark):
+def test_ngram_jaccard_pairs_matches_column_form(spark, sf_dir):
     """ngram_jaccard_pairs (kernel verification side + JVM-only band
     side) returns exactly the round-13 pair set with equal scores."""
     from diabetes_etl_spark.operators.dedup import ngram_jaccard_pairs
     from diabetes_etl_spark.operators.text import jaccard, word_shingles
     from diabetes_etl_spark.operators.util import widen
 
-    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     new = {
         (r.doc_a, r.doc_b): r.jaccard_sim
         for r in ngram_jaccard_pairs(
@@ -241,12 +240,12 @@ def test_winnow_kernel_matches_column_form(spark):
     assert any(r[0] == 5 for r in new)  # tie-heavy doc still selects
 
 
-def test_winnow_kernel_matches_column_form_fixture(spark):
+def test_winnow_kernel_matches_column_form_fixture(spark, sf_dir):
     """Same parity over the real document fixture (every organic text
     shape at sf0.001)."""
     from diabetes_etl_spark.operators.dedup import winnow_fingerprints
 
-    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     new = {
         (r.id, r.fp, r.pos)
         for r in winnow_fingerprints(docs, "doc_id", "text", 5, 8).collect()
